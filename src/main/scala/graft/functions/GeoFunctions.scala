@@ -110,12 +110,28 @@ object GeoFunctions extends Serializable {
     if (featureJson == null) return null
     try {
       val root = mapper.readTree(featureJson)
-      if (!root.isObject) return featureJson
+      if (!root.isObject) return featureJson // keep original bytes
+      mapper.writeValueAsString(processGeometryNode(root, layer))
+    } catch {
+      case _: Exception => featureJson // reference swallows errors (:649-652)
+    }
+  }
+
+  /** Tree-level core of P7 — lets the ZIP source fuse the transform into
+    * its parse loop (the feature is already a JsonNode there; parsing the
+    * serialized string again would double the dominant CPU cost at scale).
+    * Mutates and returns `root` when applicable; returns `root` unchanged
+    * for passthrough cases. A `null` return means "not an object" (caller
+    * keeps its original representation).
+    */
+  def processGeometryNode(root: JsonNode, layer: String): JsonNode = {
+    if (root == null || !root.isObject) return root
+    try {
       val feature = root.asInstanceOf[ObjectNode]
       val geometry = feature.get("geometry")
-      if (!truthy(geometry) || !geometry.isObject) return featureJson
+      if (!truthy(geometry) || !geometry.isObject) return root
       val coordinates = geometry.get("coordinates")
-      if (!truthy(coordinates)) return featureJson
+      if (!truthy(coordinates)) return root
 
       val geomObj = geometry.asInstanceOf[ObjectNode]
       val isNodeOrPoint = layer == "nodes" || layer == "points"
@@ -140,9 +156,9 @@ object GeoFunctions extends Serializable {
       } else {
         geomObj.set[JsonNode]("coordinates", stripZ(coordinates))
       }
-      mapper.writeValueAsString(feature)
+      root
     } catch {
-      case _: Exception => featureJson // reference swallows errors (:649-652)
+      case _: Exception => root // reference swallows errors (:649-652)
     }
   }
 

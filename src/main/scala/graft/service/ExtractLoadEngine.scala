@@ -2,9 +2,9 @@ package graft.service
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.GeoFunctions
 import graft.model.{Layer, LoadResponse, QueueMessage}
 import graft.sinks.Warehouse
 import graft.sources.GeoJsonZipSource
@@ -14,16 +14,23 @@ import graft.sources.GeoJsonZipSource
   *
   * One request = one archive load:
   *   1. pre-clean the dataset's rows (A1; partition delete),
-  *   2. binaryFile scan → lazy ZIP/GeoJSON expansion → `ParsedRecord`s,
-  *   3. per-layer `process_geometry` + write to `content_*` tables
-  *      (partitioned by dataset id, dynamic overwrite),
+  *   2. streamed ZIP/GeoJSON expansion with the geometry transform (P7)
+  *      FUSED into the parse loop (one Jackson parse + one serialize per
+  *      feature — never parse-serialize-reparse),
+  *   3. per-layer writes to `content_*` tables (partitioned by dataset
+  *      id, dynamic overwrite),
   *   4. header metadata → `dataset` row (K8) and `extension_file` rows
   *      (K9; ids are a per-dataset dense sequence in archive entry
   *      order — the reference's DB sequence is opaque, so the contract
   *      here is ours),
-  *   5. stats refresh (A3; the stored proc body is external to the
-  *      reference, so the schema below is this engine's contract),
+  *   5. stats refresh (A3; computed from the cached parse, one shuffle),
   *   6. success/failure response (K10).
+  *
+  * Spark-action budget per load: ONE aggregation over the cached parse
+  * (layer/kind counts — replaces the reference-era per-layer isEmpty
+  * probes), ONE small header collect (rows ≈ entries per archive,
+  * bounded by archive layout, not data volume), one write per non-empty
+  * layer, one stats agg, two metadata writes, one response append.
   *
   * Failure anywhere → failure response; a replay overwrites the same
   * partitions, which is how the reference's transaction-rollback intent
@@ -59,57 +66,67 @@ final class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
     // A1: idempotent pre-clean across every table.
     warehouse.deleteDatasetRecords(datasetId)
 
-    val parsed = GeoJsonZipSource.read(spark, msg.data.file_upload_path)
+    // 2. streamed source with the geometry transform fused in.
+    val parsed = GeoJsonZipSource.read(spark, msg.data.file_upload_path, transform = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (parsed.isEmpty)
+      // ONE action: per-(layer, kind) counts. Presence of any header row
+      // ⇔ at least one valid .geojson entry; feature counts decide which
+      // layer tables get a write.
+      val counts: Map[(String, String), Long] = parsed
+        .groupBy($"layer", $"kind").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      if (!counts.keys.exists(_._2 == "header"))
         throw new RuntimeException("No valid .geojson files found in dataset archive.")
+      val featureCount: String => Long = l => counts.getOrElse((l, "feature"), 0L)
 
       val features = parsed.filter($"kind" === "feature")
-        .withColumn("feature", GeoFunctions.process_geometry($"feature", $"layer"))
+
+      // Header rows: one per entry — bounded by archive layout (a few
+      // entries per ZIP), safe to collect.
+      val headers = parsed.filter($"kind" === "header")
+        .select($"entry_path", $"entry_seq", $"layer", $"header")
+        .collect()
+        .sortBy(_.getAs[Int]("entry_seq"))
 
       // Extension-file id allocation: dense per-dataset sequence in entry
-      // order (driver-side; the set of entries per archive is small).
-      val extEntries = parsed
-        .filter($"kind" === "header" && $"layer" === "extension")
-        .select($"entry_path", $"entry_seq", $"header")
-        .collect()
-        .sortBy(r => r.getAs[Int]("entry_seq"))
+      // order (driver-side; the reference memoizes the DB-generated id,
+      // `extract-load-service.ts:59,123,456-458`).
+      val extEntries = headers.filter(_.getAs[String]("layer") == "extension")
       val extIds: Map[String, Int] =
         extEntries.zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 1) }.toMap
 
-      // 3. per-layer feature writes (K1–K7).
+      // 3. per-layer feature writes (K1–K7) — no isEmpty probes: the
+      // single counts aggregation already told us which layers are live.
       Layer.all.foreach { layer =>
-        val slice = features.filter($"layer" === layer.name)
-        val out =
-          if (layer == Layer.Extension) {
-            val idMap = typedLit(extIds)
-            slice.select(
-              lit(datasetId).as("tdei_dataset_id"),
-              element_at(idMap, $"entry_path").as("ext_file_id"),
-              $"feature",
-              lit(userId).as("requested_by"))
-          } else
-            slice.select(
-              lit(datasetId).as("tdei_dataset_id"),
-              $"feature",
-              lit(userId).as("requested_by"))
-        // Stale partitions were removed by the pre-clean, so empty layers
-        // need no write at all.
-        if (!slice.isEmpty) warehouse.writeFeatures(layer.table, out)
+        if (featureCount(layer.name) > 0) {
+          val slice = features.filter($"layer" === layer.name)
+          val out =
+            if (layer == Layer.Extension) {
+              val idMap = typedLit(extIds)
+              slice.select(
+                lit(datasetId).as("tdei_dataset_id"),
+                element_at(idMap, $"entry_path").as("ext_file_id"),
+                $"feature",
+                lit(userId).as("requested_by"))
+            } else
+              slice.select(
+                lit(datasetId).as("tdei_dataset_id"),
+                $"feature",
+                lit(userId).as("requested_by"))
+          warehouse.writeFeatures(layer.table, out)
+        }
       }
 
       // 4a. dataset metadata row (K8): last entry per layer wins, matching
       // the reference's sequential per-entry UPDATEs.
-      val headers = parsed.filter($"kind" === "header").collect()
-        .sortBy(_.entry_seq)
       val infoByLayer: Map[String, String] =
-        headers.filter(_.layer != "extension").map { r =>
-          r.layer -> additionalInfo(r.header)
+        headers.filter(_.getAs[String]("layer") != "extension").map { r =>
+          r.getAs[String]("layer") -> additionalInfo(r.getAs[String]("header"))
         }.toMap // toMap keeps the LAST value per key
 
       val metaCols = Layer.routingOrder.map { l =>
-        lit(infoByLayer.get(l.name).orNull).as(l.metaColumn.get)
+        lit(infoByLayer.get(l.name).orNull).cast(StringType).as(l.metaColumn.get)
       }
       val datasetRow = spark.range(1).select(
         (metaCols :+ lit(datasetId).as("tdei_dataset_id")): _*)
@@ -119,15 +136,17 @@ final class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
       if (extEntries.nonEmpty) {
         val rows = extEntries.map { r =>
           val path = r.getString(0)
-          (extIds(path), baseNameNoExt(path), additionalInfo(r.getString(2)), userId)
+          (extIds(path), baseNameNoExt(path),
+            additionalInfo(r.getAs[String]("header")), userId)
         }.toSeq
         val extDf = rows.toDF("id", "name", "file_meta", "requested_by")
           .withColumn("tdei_dataset_id", lit(datasetId))
         warehouse.upsertByDataset("extension_file", extDf)
       }
 
-      // 5. stats refresh (A3).
-      updateStats(datasetId)
+      // 5. stats refresh (A3) — from the cached parse, not a table re-read.
+      if (Layer.all.exists(l => featureCount(l.name) > 0))
+        updateStats(datasetId, features)
     } finally parsed.unpersist()
   }
 
@@ -151,16 +170,29 @@ final class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
 
   /** A3 replacement: the reference calls an opaque stored procedure
     * (`content.tdei_update_osw_stats`); this engine's contract is a
-    * per-dataset aggregation over all layer tables — feature counts per
-    * layer and per geometry type. One shuffle (the groupBy), partial
-    * aggregation map-side.
+    * per-dataset aggregation — feature counts per layer table and
+    * geometry type. One shuffle (the groupBy), partial aggregation
+    * map-side, computed from the already-cached parsed features.
+    */
+  private def updateStats(datasetId: String,
+      features: org.apache.spark.sql.Dataset[graft.sources.ParsedRecord]): Unit = {
+    val tableByLayer = typedLit(Layer.all.map(l => l.name -> l.table).toMap)
+    val stats = features
+      .select(element_at(tableByLayer, $"layer").as("layer_table"),
+        get_json_object($"feature", "$.geometry.type").as("geometry_type"))
+      .groupBy($"layer_table", $"geometry_type")
+      .agg(count(lit(1)).as("feature_count"))
+      .withColumn("tdei_dataset_id", lit(datasetId))
+    warehouse.upsertByDataset("stats", stats)
+  }
+
+  /** Legacy entry: stats from the stored tables (used when refreshing
+    * without a load in hand, mirroring the stored-proc call shape).
     */
   def updateStats(datasetId: String): Unit = {
-    // Read each table's partition directory for this dataset directly —
-    // partition pruning at the path level, no full-table listing.
     val perLayer = Layer.all.map(_.table).distinct.flatMap { t =>
       if (warehouse.partitionExists(t, datasetId))
-        Some(spark.read.parquet(warehouse.partitionPath(t, datasetId))
+        Some(spark.read.schema(warehouse.tableSchema(t)).parquet(warehouse.partitionPath(t, datasetId))
           .select(lit(t).as("layer_table"),
             get_json_object($"feature", "$.geometry.type").as("geometry_type")))
       else None

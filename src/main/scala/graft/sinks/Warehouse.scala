@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
 
 import graft.model.Layer
 
@@ -17,6 +18,11 @@ import graft.model.Layer
   * partitions they produce, so a failed load is repaired by re-running —
   * the at-least-once story the queue semantics require.
   *
+  * Every table has a FIXED schema (the reference's DDL is fixed too), so
+  * reads never rely on parquet schema inference: a table whose last
+  * partition was deleted (only `_SUCCESS` left) reads as an empty,
+  * correctly-typed DataFrame instead of failing schema inference.
+  *
   * Scale note: partitioning by dataset id means a 1000-executor load of N
   * archives touches only its own partitions (no global shuffle, no table
   * lock); per-layer writes are narrow maps over the parsed records.
@@ -24,6 +30,8 @@ import graft.model.Layer
 final class Warehouse(spark: SparkSession, val root: String) {
 
   def tablePath(table: String): String = s"$root/content_$table"
+
+  def tableSchema(name: String): StructType = Warehouse.schemas(name)
 
   /** content.node / edge / zone / extension_* feature tables. */
   def writeFeatures(table: String, df: DataFrame): Unit =
@@ -47,7 +55,17 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def appendResponses(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(tablePath("response"))
 
-  def table(name: String): DataFrame = spark.read.parquet(tablePath(name))
+  /** Read a table with its fixed schema. A missing directory or a
+    * directory with no data files (all partitions deleted) reads as an
+    * empty DataFrame — parity with `SELECT * FROM t` on an empty table.
+    */
+  def table(name: String): DataFrame = {
+    val schema = Warehouse.schemas.getOrElse(name, null)
+    if (schema == null) spark.read.parquet(tablePath(name))
+    else if (!tableExists(name))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(tablePath(name))
+  }
 
   def tableExists(name: String): Boolean = {
     val p = new Path(tablePath(name))
@@ -79,4 +97,49 @@ final class Warehouse(spark: SparkSession, val root: String) {
       if (fs.exists(dir)) fs.delete(dir, true)
     }
   }
+}
+
+object Warehouse {
+
+  private def featureSchema = StructType(Seq(
+    StructField("feature", StringType),
+    StructField("requested_by", StringType),
+    StructField("tdei_dataset_id", StringType)))
+
+  /** Fixed schema per table — mirrors the reference's `content.*` DDL
+    * (INSERT column lists at `extract-load-service.ts:378,426,478,528`).
+    * The partition column `tdei_dataset_id` is declared StringType.
+    */
+  val schemas: Map[String, StructType] = Map(
+    "node" -> featureSchema,
+    "edge" -> featureSchema,
+    "zone" -> featureSchema,
+    "extension_point" -> featureSchema,
+    "extension_line" -> featureSchema,
+    "extension_polygon" -> featureSchema,
+    "extension" -> StructType(Seq(
+      StructField("ext_file_id", IntegerType),
+      StructField("feature", StringType),
+      StructField("requested_by", StringType),
+      StructField("tdei_dataset_id", StringType))),
+    "extension_file" -> StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("file_meta", StringType),
+      StructField("requested_by", StringType),
+      StructField("tdei_dataset_id", StringType))),
+    "dataset" -> StructType(
+      Layer.routingOrder.flatMap(_.metaColumn).map(c => StructField(c, StringType)) :+
+        StructField("tdei_dataset_id", StringType)),
+    "stats" -> StructType(Seq(
+      StructField("layer_table", StringType),
+      StructField("geometry_type", StringType),
+      StructField("feature_count", LongType),
+      StructField("tdei_dataset_id", StringType))),
+    "response" -> StructType(Seq(
+      StructField("messageId", StringType),
+      StructField("messageType", StringType),
+      StructField("message", StringType),
+      StructField("success", BooleanType)))
+  )
 }

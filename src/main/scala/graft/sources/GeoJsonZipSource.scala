@@ -3,12 +3,15 @@ package graft.sources
 import java.io.{ByteArrayInputStream, InputStream}
 import java.util.zip.ZipInputStream
 
-import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.ObjectNode
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
+import graft.functions.GeoFunctions
 import graft.model.Layer
 
 /** One parsed record out of a dataset ZIP.
@@ -34,12 +37,19 @@ final case class ParsedRecord(
   * The reference streams a ZIP from blob storage, walks entries serially,
   * and token-streams each `.geojson` so the file is never materialized
   * (`src/service/extract-load-service.ts:210-234,298-318`). Re-expressed
-  * for Spark: `binaryFile` scan → `flatMap` over a lazy
-  * ZipInputStream/Jackson-streaming iterator, so each task holds one
-  * feature tree at a time regardless of entry size. Parallelism comes
-  * from *many archives* (one row each) — at 100 TB the unit of work is
-  * the archive, matching the reference's job-per-ZIP model; a single ZIP
-  * is inherently serial in both systems (central-directory-less stream).
+  * for Spark: archive *paths* are distributed as a `Dataset[String]`, and
+  * each task opens a Hadoop `FSDataInputStream` and walks a lazy
+  * ZipInputStream/Jackson-streaming iterator — the archive is NEVER
+  * materialized in memory, so a 50 GB ZIP costs the same executor memory
+  * as a 5 MB one (one feature tree at a time). Parallelism comes from
+  * *many archives* (one row each) — at 100 TB the unit of work is the
+  * archive, matching the reference's job-per-ZIP model; a single ZIP is
+  * inherently serial in both systems (central-directory-less stream).
+  *
+  * With `transform = true` the per-feature geometry rewrite (P7) is FUSED
+  * into the parse loop: the feature tree Jackson just built is rewritten
+  * in place and serialized once, instead of serialize → re-parse in a UDF
+  * downstream (which would double the dominant CPU cost at scale).
   *
   * Entry filter parity: `.geojson` suffix, skip `__MACOSX/`
   * (`extract-load-service.ts:303`). Header capture parity
@@ -56,37 +66,81 @@ object GeoJsonZipSource {
   def isGeoJsonEntry(path: String): Boolean =
     path.endsWith(".geojson") && !path.contains("__MACOSX/")
 
-  /** Read one or more ZIP archives into a DataFrame of ParsedRecord. */
-  def read(spark: SparkSession, path: String): Dataset[ParsedRecord] =
-    expand(spark.read.format("binaryFile").load(path))
-
-  /** Expand a (path, content) DataFrame of ZIP blobs into ParsedRecords.
-    * Input contract matches `binaryFile`: columns `path` (string) and
-    * `content` (binary).
+  /** Read one or more ZIP archives (path, glob, or directory) into a
+    * DataFrame of ParsedRecord, streaming each archive from the
+    * filesystem — no whole-file materialization.
     */
-  def expand(zips: DataFrame): Dataset[ParsedRecord] = {
+  def read(spark: SparkSession, path: String,
+      transform: Boolean = false): Dataset[ParsedRecord] = {
+    import spark.implicits._
+    val files = resolvePaths(spark, path)
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val parallelism =
+      math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files)
+      .repartition(parallelism) // one archive per task when archives ≤ cores
+      .flatMap { p =>
+        val fsPath = new Path(p)
+        val fs = fsPath.getFileSystem(hconf.value)
+        val in = fs.open(fsPath)
+        val zin = new ZipInputStream(in)
+        // Close the archive stream when the task finishes, exhausted or not.
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => zin.close()))
+        expandZipStream(p, zin, transform)
+      }
+  }
+
+  /** Driver-side resolution of a path/glob/directory into archive files.
+    * One driver RPC per load — the per-archive bytes stay on executors.
+    */
+  private def resolvePaths(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched: Seq[FileStatus] = Option(fs.globStatus(p)) match {
+      case None | Some(Array()) => throw new java.io.FileNotFoundException(path)
+      case Some(arr) => arr.toSeq
+    }
+    matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString)
+  }
+
+  /** Expand a (path, content) DataFrame of already-materialized ZIP blobs
+    * (e.g. a `binaryFile` scan or binary column) into ParsedRecords.
+    */
+  def expand(zips: DataFrame, transform: Boolean = false): Dataset[ParsedRecord] = {
     val spark = zips.sparkSession
     import spark.implicits._
     zips
       .select("path", "content")
       .as[(String, Array[Byte])]
-      .flatMap { case (zipPath, content) => expandZip(zipPath, content) }
+      .flatMap { case (zipPath, content) =>
+        expandZipStream(zipPath,
+          new ZipInputStream(new ByteArrayInputStream(content)), transform)
+      }
   }
 
-  /** Lazily walk a ZIP: for each `.geojson` entry, stream its features
-    * and finish with one header record. Entries are walked serially (a
-    * streamed ZIP admits nothing else — same constraint the reference
-    * documents at `extract-load-service.ts:305-307`).
+  /** Expand in-memory ZIP bytes (tests / small fixtures). */
+  def expandZip(zipPath: String, content: Array[Byte],
+      transform: Boolean = false): Iterator[ParsedRecord] =
+    expandZipStream(zipPath,
+      new ZipInputStream(new ByteArrayInputStream(content)), transform)
+
+  /** Lazily walk a ZIP stream: for each `.geojson` entry, stream its
+    * features and finish with one header record. Entries are walked
+    * serially (a streamed ZIP admits nothing else — same constraint the
+    * reference documents at `extract-load-service.ts:305-307`).
     */
-  def expandZip(zipPath: String, content: Array[Byte]): Iterator[ParsedRecord] = {
-    val zin = new ZipInputStream(new ByteArrayInputStream(content))
-    // Iterator over matching entries; each yields a lazy per-entry iterator.
+  def expandZipStream(zipPath: String, zin: ZipInputStream,
+      transform: Boolean): Iterator[ParsedRecord] = {
     val entryIt = Iterator
       .continually(zin.getNextEntry)
       .takeWhile(_ != null)
       .filter(e => !e.isDirectory && isGeoJsonEntry(e.getName))
       .zipWithIndex
-      .map { case (e, i) => entryRecords(zipPath, e.getName, i, zin) }
+      .map { case (e, i) => entryRecords(zipPath, e.getName, i, zin, transform) }
     entryIt.flatten
   }
 
@@ -96,7 +150,7 @@ object GeoJsonZipSource {
     * Only one feature tree is in memory at a time.
     */
   def entryRecords(zipPath: String, entryPath: String, entrySeq: Int,
-      in: InputStream): Iterator[ParsedRecord] = {
+      in: InputStream, transform: Boolean = false): Iterator[ParsedRecord] = {
     val layer = Layer.route(entryPath).name
     val parser = jsonFactory.createParser(new NonClosingInputStream(in))
     val header = mapper.createObjectNode()
@@ -133,7 +187,8 @@ object GeoJsonZipSource {
             val t = parser.nextToken()
             if (t == JsonToken.END_ARRAY || t == null) { inFeatures = false }
             else {
-              val node = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](parser)
+              var node = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](parser)
+              if (transform) node = GeoFunctions.processGeometryNode(node, layer)
               nextRec = ParsedRecord(zipPath, entryPath, entrySeq, layer,
                 "feature", mapper.writeValueAsString(node), null)
             }
@@ -183,5 +238,20 @@ object GeoJsonZipSource {
     */
   private final class NonClosingInputStream(in: InputStream) extends java.io.FilterInputStream(in) {
     override def close(): Unit = () // leave the underlying zip stream open
+  }
+
+  /** Hadoop Configuration is not Serializable; ship it to tasks via its
+    * own writable form (same trick Spark's internal wrapper uses).
+    */
+  private final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
   }
 }

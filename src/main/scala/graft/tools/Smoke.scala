@@ -1,5 +1,9 @@
 package graft.tools
 
+import java.io.FileOutputStream
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -34,6 +38,33 @@ object Smoke {
         |       strip_z('[[[1.0,2.0,3.0]]]') AS deep,
         |       first_elevation('[[1.0,2.0],[3.0,4.0,9.5]]') AS fe
         |""".stripMargin).show(false)
+
+    // E2E: write a fixture archive to disk, load it through the streamed
+    // path-based source + engine, dump every table.
+    val dir = Files.createTempDirectory("smoke").toFile
+    val zipPath = s"$dir/fixture.zip"
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("nodes.geojson",
+      """{"type":"FeatureCollection","name":"nf","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[-122.1,47.6,55.5]},"properties":{"_id":"n1"}},
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[-122.2,47.7,0]},"properties":{"_id":"n2"}}],"rev":7}""".stripMargin)
+    entry("edges.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"LineString","coordinates":[[1.0,2.0,3.0],[4.0,5.0,6.0]]},"properties":{"_id":"e1"}}]}""".stripMargin)
+    entry("curbs.geojson",
+      """{"type":"FeatureCollection","name":"curbfile","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[9.0,8.0,7.0]},"properties":{"_id":"c1"}}]}""".stripMargin)
+    zos.close()
+
+    val engine = new graft.service.ExtractLoadEngine(spark, s"$dir/wh")
+    val resp = engine.processRequest(graft.model.QueueMessage("m1", "wf",
+      graft.model.ExtractLoadRequest("osw", zipPath, "smoke-ds", "smoke-user")))
+    println(s"response: $resp")
+    Seq("node", "edge", "extension", "extension_file", "dataset", "stats", "response")
+      .foreach { t => println(s"== $t =="); engine.warehouse.table(t).show(false) }
     spark.stop()
   }
 }
