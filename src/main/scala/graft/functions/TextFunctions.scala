@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, n-grams, quality stats, fingerprints, language ID.
+  *
+  * Everything except `langId` is built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs) so the hot path stays
+  * inside whole-stage codegen at 100 TB: a narrow map over the text
+  * column, no shuffle until the caller aggregates.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. Empty/blank text → empty array (split on a
+    * blank string yields one empty token; filter it out so counts are 0).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-grams as space-joined strings; length-N windows only (a text
+    * with fewer than `n` tokens yields an empty array).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    // windows [i, i+n) for i in 0 .. size-n; sequence() is empty-safe via when()
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 3-word shingles — the dedup unit. */
+  def shingles(text: Column): Column = ngrams(text, 3)
+
+  // ---- quality stats ----------------------------------------------------
+
+  /** Default stopword list used by qualityStats (tiny, deterministic). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** Fraction of tokens that are stopwords (0 when no tokens). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Stopwords): Column = {
+    val ts = tokens(text)
+    val sw = filter(ts, t => t.isin(stopwords.map(x => x: Any): _*))
+    when(size(ts) > 0, size(sw).cast("double") / size(ts)).otherwise(lit(0.0))
+  }
+
+  /** Mean token length (0 when no tokens). */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation,
+    * some-but-not-all stopwords. A deterministic arithmetic combination —
+    * the contract is this formula, not a model.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swr = stopwordRatio(text)
+    val swScore = lit(1.0) - abs(swr - 0.15) // natural text sits near 15%
+    (lenScore * 0.4 + punctPenalty * 0.3 + swScore * 0.3)
+  }
+
+  // ---- fingerprints -----------------------------------------------------
+
+  /** Canonical-text fingerprint: md5 of lower-cased, whitespace-collapsed
+    * text — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit SimHash over token hashes: bit j of the result is 1 iff the
+    * sum over tokens of ±1 (by bit j of xxhash64(token)) is positive.
+    * Pure expressions (aggregate over the token array), no shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val ts = tokens(text)
+    // For each bit, count tokens with that bit set; bit is 1 in the
+    // simhash iff set-count*2 > token-count (majority).
+    val n = size(ts)
+    val bitCols = (0 until 64).map { j =>
+      val setCount = size(filter(ts, t => (shiftright(xxhash64(t), j).bitwiseAND(1)) === 1))
+      when(setCount * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- language ID ------------------------------------------------------
+
+  /** Tiny character/word-frequency language heuristic for
+    * {en, es, de, fr, zh}: CJK characters → zh; otherwise score marker
+    * words and characteristic letters per language. Deterministic; the
+    * contract is the heuristic, not a trained model.
+    */
+  def langId(text: Column): Column = {
+    val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    def wordScore(words: Seq[String]): Column =
+      size(filter(tokens(lower(text)), t => t.isin(words.map(x => x: Any): _*)))
+    val enS = wordScore(Seq("the", "and", "of", "is", "with"))
+    val esS = wordScore(Seq("el", "la", "los", "las", "es", "y", "de", "con"))
+    val deS = wordScore(Seq("der", "die", "das", "und", "ist", "mit"))
+    val frS = wordScore(Seq("le", "la", "les", "est", "et", "avec", "des"))
+    // accent hints break word-score ties
+    val esAcc = length(regexp_replace(text, "[^ñ¿¡]", ""))
+    val deAcc = length(regexp_replace(text, "[^äöüß]", ""))
+    val frAcc = length(regexp_replace(text, "[^éèêàçœ]", ""))
+    // argmax over the four scores, 'en' default on full tie
+    val best = array(
+      struct((enS * 10).as("s"), lit(4).as("p"), lit("en").as("l")),
+      struct((esS * 10 + esAcc).as("s"), lit(3).as("p"), lit("es").as("l")),
+      struct((deS * 10 + deAcc).as("s"), lit(2).as("p"), lit("de").as("l")),
+      struct((frS * 10 + frAcc).as("s"), lit(1).as("p"), lit("fr").as("l")))
+    val top = element_at(array_sort(best, (x, y) =>
+      when(x("s") > y("s"), -1).when(x("s") < y("s"), 1)
+        .when(x("p") > y("p"), -1).when(x("p") < y("p"), 1).otherwise(0)), 1)
+    when(zh, lit("zh")).otherwise(top("l"))
+  }
+}

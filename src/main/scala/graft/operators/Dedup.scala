@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB shape: every stage is a keyed shuffle (groupBy/join on hashes
+  * or bucket ids) — there is NO all-pairs/cartesian step anywhere.
+  *
+  * - exact: hash-groupBy on a canonical fingerprint.
+  * - minHashLsh: shingle → minhash signature → banded LSH buckets →
+  *   candidate pairs from same-bucket docs only → exact-Jaccard verify.
+  *   False positives are eliminated by verification; false-negative rate
+  *   is the standard (1 - s^r)^b curve — with 64 hashes as 16 bands × 4
+  *   rows, a 0.9-similar pair is missed with p < 1e-8.
+  * - simHash: 64-bit simhash; near-dup candidates via block-match
+  *   (Hamming-distance pigeonhole: any pair within distance d ≤ 3 shares
+  *   at least one of 4 identical 16-bit blocks), verified by bit_count.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by canonical fingerprint. Returns one row per
+    * duplicated fingerprint: (fingerprint, dup_count, keeper_id) where
+    * keeper is the smallest id — the row a dedup pass would retain.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("dup_count"), min(col("id")).as("keeper_id"))
+
+  /** Drop exact duplicates, keeping the smallest id per fingerprint.
+    * One shuffle (the window by fingerprint).
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    docs
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Universal-hash parameters for minhash: h_i(x) = (a_i*x + b_i) mod p.
+    * Deterministic (fixed seed), odd multipliers. Parameters and the
+    * hashed input are kept under 2^31 so a_i*x + b_i stays well below
+    * 2^63 — no 64-bit overflow under ANSI mode.
+    */
+  private val HashPrime = 2147483647L // 2^31 - 1
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)(((rnd.nextInt(Int.MaxValue - 1) + 1).toLong | 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: one row per doc, `sig` = array of numHashes
+    * minima over the doc's distinct shingle hashes. One explode + one
+    * groupBy(doc) — map-side partial aggregation keeps the shuffle small
+    * (numHashes longs per doc).
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64): DataFrame = {
+    val params = hashParams(numHashes)
+    val shingled = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol)))).as("shingle"))
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(HashPrime)))
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(HashPrime))).as(s"h$i")
+    }
+    shingled
+      .groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Near-duplicate pairs via banded LSH + exact-Jaccard verification.
+    * Returns (a, b, jaccard) with a < b and jaccard ≥ threshold.
+    *
+    * Plan shape: explode bands → groupBy-free self-join on (band,
+    * band_sig) — a keyed equi-join, never cartesian — then distinct
+    * candidate pairs, then one more keyed join against exploded shingle
+    * sets to count intersections. Skew guard: buckets larger than
+    * `maxBucket` docs are dropped (a degenerate bucket means the band
+    * hash collapsed, e.g. all-identical boilerplate; real systems cap
+    * exactly like this to bound the quadratic within-bucket blowup).
+    */
+  def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, numHashes)
+
+    // band id + hashed band slice of the signature
+    val banded = sigs.select(col("id"), posexplode(
+      array((0 until bands).map(bnd =>
+        hash(slice(col("sig"), bnd * rows + 1, rows)).as(s"b$bnd")): _*)))
+      .toDF("id", "band", "band_sig")
+
+    // cap degenerate buckets
+    val bucketSizes = banded.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+    val inBuckets = banded.join(bucketSizes, Seq("band", "band_sig"))
+
+    val left = inBuckets.select(col("band"), col("band_sig"), col("id").as("a"))
+    val right = inBuckets.select(col("band"), col("band_sig"), col("id").as("b"))
+    val candidates = left.join(right, Seq("band", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+
+    verifyJaccard(docs, idCol, textCol, candidates, threshold)
+  }
+
+  /** Exact word-shingle Jaccard for the candidate pairs only (keyed joins
+    * on doc id — proportional to candidates, not to n²).
+    */
+  def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextFunctions.shingles(col(textCol)))).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+
+    // candidates → a's shingles, then match b's shingles on (b, shingle):
+    // two keyed equi-joins, cost ∝ candidate shingle volume.
+    val aSh = candidates.join(sh.withColumnRenamed("id", "a"), Seq("a"))
+    val common = aSh.join(
+        sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+
+    common
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** N-gram (word) Jaccard similarity of two text columns — scalar
+    * building block for pairwise checks.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = array_distinct(TextFunctions.ngrams(a, n))
+    val sb = array_distinct(TextFunctions.ngrams(b, n))
+    val inter = size(array_intersect(sa, sb))
+    val union = size(sa) + size(sb) - inter
+    when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
+  }
+
+  /** SimHash near-dup pairs: pigeonhole on 4 16-bit blocks (pairs within
+    * Hamming distance ≤ maxDistance share ≥ 1 identical block when
+    * maxDistance ≤ 3), verified with bit_count. Keyed join on
+    * (block index, block value); no cartesian.
+    */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+      TextFunctions.simhash64(col(textCol)).as("sh"))
+    val blocks = hashed.select(col("id"), col("sh"), posexplode(
+      array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("id", "sh", "block", "block_val")
+
+    val bucketSizes = blocks.groupBy(col("block"), col("block_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1 && col("n") <= maxBucket)
+    val inB = blocks.join(bucketSizes, Seq("block", "block_val"))
+
+    val left = inB.select(col("block"), col("block_val"), col("id").as("a"), col("sh").as("sha"))
+    val right = inB.select(col("block"), col("block_val"), col("id").as("b"), col("sh").as("shb"))
+    left.join(right, Seq("block", "block_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("sha").bitwiseXOR(col("shb"))).as("distance"))
+      .distinct()
+      .filter(col("distance") <= maxDistance)
+  }
+}

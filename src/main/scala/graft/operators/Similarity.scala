@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - `cosine`: pure-expression cosine similarity (zip_with/aggregate in
+  *   double precision — codegen'd, no UDF).
+  * - `bruteForceTopK`: the exactness baseline. The query set is small and
+  *   broadcast; every executor scores its local shard of the corpus —
+  *   a broadcast nested-loop over N·Q pairs is the *correct* physical
+  *   plan for exhaustive scoring (it is a scan, not a shuffle), and at
+  *   100 TB it parallelizes linearly with executors.
+  * - `lshBucketedTopK`: the scale path — random-hyperplane LSH buckets
+  *   the corpus once (signature = sign pattern of `planes` projections);
+  *   each query probes only its own bucket plus single-bit-flip
+  *   neighbors (multi-probe), so the per-query work drops from N to
+  *   N / 2^planes · probes. Recall is tunable via planes/probes.
+  * - `ivfTopK`: IVF-style — k centroids from a deterministic mini
+  *   k-means, corpus partitioned by nearest centroid, queries probe the
+  *   `nprobe` nearest centroids only.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float|double> columns, computed in
+    * double precision with a fixed left-to-right order (deterministic).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` and `corpus`
+    * both need (idCol, vecCol); queries are assumed small (broadcast).
+    * Self-matches (same id) are excluded. Ties broken by corpus id so
+    * results are fully deterministic.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane i is a
+    * fixed hash-derived value in [-1, 1]. No RNG state — reproducible
+    * across executors and runs.
+    */
+  private def planeExpr(i: Int, dim: Int): Column =
+    array((0 until dim).map { j =>
+      // xxhash64 of the (i, j) pair scaled into [-1, 1]
+      (hash(lit(i * 7919 + j)).cast("double") / Int.MaxValue.toDouble)
+    }: _*)
+
+  /** Signature = bit pattern of sign(v · plane_i) for i < planes. */
+  private def signature(vec: Column, planes: Int, dim: Int): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    val bits = (0 until planes).map { i =>
+      val dot = aggregate(zip_with(vd, planeExpr(i, dim), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus hashed once into 2^planes
+    * buckets; each query probes its own bucket and all single-bit-flip
+    * neighbor buckets (multi-probe), then scores exactly within the
+    * probed set. The join is a keyed equi-join on bucket id — per-query
+    * cost is the probed-bucket population, not the corpus.
+    */
+  def lshBucketedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", signature(col("cv"), planes, dim))
+    // query probes: own bucket + single-bit flips
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("sig", signature(col("qv"), planes, dim))
+        .withColumn("bucket", explode(array(
+          (col("sig") +: (0 until planes).map(i => col("sig").bitwiseXOR(lit(1L << i)))): _*)))
+        .drop("sig"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .distinct() // a neighbor can appear via several probed buckets
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic mini k-means centroids (driver-side on a sample):
+    * init = first k vectors by id; `iters` Lloyd iterations over a
+    * bounded sample. Returns (centroid_id, centroid) rows.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3, sampleSize: Int = 10000): Array[(Int, Array[Double])] = {
+    val sample = corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(col("id")).limit(sampleSize)
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"need at least $k vectors")
+    var centroids = sample.take(k).map(_.clone())
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) { val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = (0 until k).map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+  }
+
+  /** IVF top-k: corpus partitioned by nearest centroid (broadcast
+    * centroid list, expression argmin); queries probe the `nprobe`
+    * nearest centroids. Keyed equi-join on centroid id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, numCentroids)
+    val centArr = array(cents.map { case (i, v) =>
+      struct(lit(i).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+
+    def nearestCentroids(vec: Column, n: Int): Column = {
+      val vd = transform(vec, x => x.cast("double"))
+      val scored = transform(centArr, c => struct(
+        aggregate(zip_with(vd, c("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        c("cid").as("cid")))
+      slice(array_sort(scored), 1, n)
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cid", element_at(nearestCentroids(col("cv"), 1), 1)("cid"))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("probe", explode(nearestCentroids(col("qv"), nprobe)))
+        .select(col("query_id"), col("qv"), col("probe")("cid").as("cid")))
+    val scored = q.join(c, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.{TdeiDate, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** Specs for the training-data-pipeline operators: text analysis, dedup
+  * (exact / MinHash-LSH / SimHash), similarity search, date functions.
+  * Plans are asserted cartesian-free where the contract demands it.
+  */
+class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import org.apache.spark.sql.Row
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- text functions ---------------------------------------------------
+
+  test("tokens / tokenCount handle whitespace and empties") {
+    val df = docsDf((1L, "a  b\tc"), (2L, "   "), (3L, ""), (4L, "one"))
+    val got = df.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
+  test("ngrams windows and short-text behavior") {
+    val df = docsDf((1L, "a b c d"), (2L, "a b"))
+    val got = df.select(col("doc_id"), TextFunctions.ngrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty)
+  }
+
+  test("stopwordRatio / punctRatio / meanTokenLen / qualityScore") {
+    val df = docsDf((1L, "the cat and the hat"))
+    val r = df.select(
+      TextFunctions.stopwordRatio(col("text")).as("sw"),
+      TextFunctions.punctRatio(col("text")).as("p"),
+      TextFunctions.meanTokenLen(col("text")).as("m"),
+      TextFunctions.qualityScore(col("text")).as("q")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.6) < 1e-9) // the, and, the of 5
+    assert(r.getDouble(1) == 0.0)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-9)
+    assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    val df = docsDf((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("langId: zh by script, others by markers") {
+    val df = docsDf(
+      (1L, "the quick fox is with the dog"),
+      (2L, "el perro y la casa es de los gatos"),
+      (3L, "der hund und die katze ist mit"),
+      (4L, "le chat est avec les chiens et"),
+      (5L, "数据 处理 系统"))
+    val got = df.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  // ---- dedup ------------------------------------------------------------
+
+  test("exactGroups / exactDedup collapse canonical duplicates") {
+    val df = docsDf((1L, "same text here"), (2L, "SAME  text here"),
+      (3L, "different"), (4L, "same text here"))
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .filter(col("dup_count") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("dup_count") == 3)
+    assert(groups(0).getAs[Long]("keeper_id") == 1)
+    val kept = Dedup.exactDedup(df, "doc_id", "text").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  private def withNearDups(): DataFrame = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // plant near-duplicates: copies of 3 docs with one appended token
+    val dups = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    docs.unionByName(dups)
+  }
+
+  test("minHashNearDupPairs finds planted near-dups, no cartesian in plan") {
+    val df = withNearDups()
+    val pairs = Dedup.minHashNearDupPairs(df, "doc_id", "text", threshold = 0.8)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), "plan must not contain a cartesian product")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 10000L), (1L, 10001L), (2L, 10002L)).subsetOf(got))
+    // planted pairs have near-1 jaccard; verify values are sane
+    pairs.collect().foreach(r => assert(r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
+  }
+
+  test("minhash signature approximates jaccard") {
+    val df = withNearDups()
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text", 64)
+      .filter(col("id").isin(0L, 10000L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sigs(0L).zip(sigs(10000L)).count { case (a, b) => a == b } / 64.0
+    assert(agree > 0.7) // planted pair is >0.9-similar
+  }
+
+  test("simHashNearDupPairs: identical docs at distance 0, plan keyed") {
+    val df = docsDf(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "completely unrelated words entirely different tokens"))
+    val pairs = Dedup.simHashNearDupPairs(df, "doc_id", "text", maxDistance = 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!got.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("ngramJaccard scalar") {
+    val df = docsDf((1L, "a b c d e")).select(
+      Dedup.ngramJaccard(col("text"), lit("a b c d x"), 3).as("j"))
+    // shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter 2, union 4
+    assert(math.abs(df.collect()(0).getDouble(0) - 0.5) < 1e-9)
+  }
+
+  // ---- similarity -------------------------------------------------------
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine matches a local computation") {
+    val rows = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val local = {
+      val a = rows(0L); val b = rows(1L)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val sparkVal = emb.filter(col("vec_id") === 0).alias("a")
+      .crossJoin(emb.filter(col("vec_id") === 1).alias("b"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding"))).collect()(0).getDouble(0)
+    assert(math.abs(sparkVal - local) < 1e-9)
+  }
+
+  test("bruteForceTopK is exact, deterministic, k rows per query") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val top = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val got = top.collect()
+    assert(got.length == 15)
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshBucketedTopK and ivfTopK achieve decent recall@5 vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    def neighborSet(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getAs[Long]("neighbor_id")).toSet
+      }
+    val brute = neighborSet(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val lsh = neighborSet(Similarity.lshBucketedTopK(emb, queries, "vec_id", "embedding", 5))
+    val ivf = neighborSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, t) =>
+        approx.get(q).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / brute.size
+    assert(recall(lsh) > 0.3, s"lsh recall ${recall(lsh)}")
+    assert(recall(ivf) > 0.3, s"ivf recall ${recall(ivf)}")
+  }
+
+  // ---- dates ------------------------------------------------------------
+
+  test("TdeiDate.utc formats ISO-8601 with ms and Z; isValid") {
+    import spark.implicits._
+    val df = Seq("2024-01-02 03:04:05.678", "garbage").toDF("s")
+    val got = df.select(TdeiDate.utcFromString(col("s")).as("iso"),
+      TdeiDate.isValid(col("s")).as("v")).collect()
+    assert(got(0).getString(0) == "2024-01-02T03:04:05.678Z")
+    assert(got(0).getBoolean(1))
+    assert(got(1).getString(0) == null && !got(1).getBoolean(1))
+  }
+}
