@@ -1,13 +1,469 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeoFunctions, TdeiDate, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+import graft.query.{DynamicQuery, SqlOrder}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is one implemented operator family from
+  * SURVEY.md §2 (Q1–Q6 dynamic-query surface, A3-style aggregation, P10
+  * dates, P4/P5/P7 geometry, plus the training-data-pipeline operators:
+  * text analysis, exact/MinHash/SimHash dedup, similarity search).
+  * `oracleSql` carries the DuckDB-equivalent SQL for every
+  * SQL-expressible query; results are made order-deterministic by a
+  * trailing ORDER BY over the full projection on BOTH sides (Verify
+  * sorts the Spark result the same way before writing).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read the raw int64 (nanosAsLong) and truncate to micros —
+    * the same truncation DuckDB applies reading NANOS into its µs
+    * timestamps, so oracle comparisons stay exact. Integer `div` avoids
+    * the double-precision loss a plain `/` would introduce on ~1.7e18 ns
+    * epoch values.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def dyn(s: SparkSession, dir: String): DynamicQuery =
+    new DynamicQuery(name => t(s, dir, name))
+
+  /** documents ∪ planted exact duplicates (doc_id+100000, case/space
+    * perturbed so only canonicalization collapses them).
+    */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+    docs.unionByName(planted)
+  }
+
+  /** documents ∪ planted near-duplicates (one appended token). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    docs.unionByName(planted)
+  }
+
+  /** Synthetic GeoJSON Point features derived from lineitem numerics —
+    * lets the P5/P7 geometry pipeline be oracle-checked: the elevation
+    * the transform extracts must equal l_tax (when non-zero) and the
+    * stripped coordinates must round-trip l_quantity/l_discount exactly.
+    */
+  private def pointFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      to_json(struct(
+        lit("Feature").as("type"),
+        struct(lit("Point").as("type"),
+          array(col("l_quantity"), col("l_discount"), col("l_tax"))
+            .as("coordinates")).as("geometry"),
+        struct(lit("synthetic").as("src")).as("properties"))).as("feature"))
+
+  private def lineFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      to_json(struct(
+        lit("Feature").as("type"),
+        struct(lit("LineString").as("type"),
+          array(
+            array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            array(col("l_extendedprice"), col("l_tax"), col("l_discount")))
+            .as("coordinates")).as("geometry"),
+        struct(lit("synthetic").as("src")).as("properties"))).as("feature"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Q1–Q6: DynamicQuery builder surface ---------------------------
+
+    // Q1 select + Q4 order + Q5 pagination defaults-path (page 1, size 20)
+    "q_dyn_select" -> ((s, dir) => dyn(s, dir)
+      .buildSelect("orders", Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .buildOrder("o_orderkey", SqlOrder.ASC)
+      .buildPagination(1, 20)
+      .getQuery()),
+
+    // Q2 chained inner equi-joins (lineitem ⋈ orders ⋈ customer) + Q3 filter
+    "q_dyn_join" -> ((s, dir) => dyn(s, dir)
+      .buildSelect("lineitem",
+        Seq("l_orderkey", "l_linenumber", "c_name", "o_totalprice"))
+      .buildInnerJoinOn("orders", "l_orderkey", "o_orderkey")
+      .buildInnerJoinOn("customer", "o_custkey", "c_custkey")
+      .condition("o_totalprice > ?", 400000.0)
+      .getQuery()),
+
+    // Q3 WHERE-AND conjunction with an IN-list expansion
+    "q_dyn_where_in" -> ((s, dir) => dyn(s, dir)
+      .buildSelect("lineitem",
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+      .condition("l_returnflag IN (?)", Seq("A", "R"))
+      .condition("l_quantity >= ?", 45)
+      .getQuery()),
+
+    // Q5 pagination: page 2 → skip = (page-1)*size
+    "q_dyn_page2" -> ((s, dir) => dyn(s, dir)
+      .buildSelect("orders", Seq("o_orderkey", "o_orderstatus"))
+      .buildOrder("o_orderkey", SqlOrder.ASC)
+      .buildPagination(2, 20)
+      .getQuery()),
+
+    // Q5 pagination: size > 50 → take capped at 50, skip uses UNcapped size
+    "q_dyn_page_cap" -> ((s, dir) => dyn(s, dir)
+      .buildSelect("orders", Seq("o_orderkey", "o_totalprice"))
+      .buildOrder("o_orderkey", SqlOrder.ASC)
+      .buildPagination(3, 500)
+      .getQuery()),
+
+    // Q4 DESC ordering
+    "q_dyn_order_desc" -> ((s, dir) => dyn(s, dir)
+      .buildSelect("orders", Seq("o_orderkey", "o_orderdate"))
+      .buildOrder("o_orderkey", SqlOrder.DESC)
+      .buildPagination(1, 25)
+      .getQuery()),
+
+    // ---- A3-style aggregations (stats refresh shape) -------------------
+
+    // pricing summary: counts + exact sums (integral doubles / decimal)
+    "q1_agg" -> ((s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))),
+
+    // per-event-type stats over the stream table
+    "q_stats_events" -> ((s, dir) => events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
+
+    // ---- P10 dates ------------------------------------------------------
+
+    "q_dates" -> ((s, dir) => events(s, dir)
+      .select(col("event_id"),
+        TdeiDate.utc(col("ts")).as("iso"),
+        TdeiDate.isValid(col("props")).as("props_valid"))),
+
+    // ---- text analysis --------------------------------------------------
+
+    "q_text_stats" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"))),
+
+    "q_quality" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    "q_lang_id" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    "q_fingerprints" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // ---- dedup ----------------------------------------------------------
+
+    "q_dedup_groups" -> ((s, dir) =>
+      Dedup.exactGroups(docsWithExactDups(s, dir), "doc_id", "text")
+        .filter(col("dup_count") > 1)),
+
+    "q_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(docsWithExactDups(s, dir), "doc_id", "text")
+        .select(col("doc_id"))),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+      val b = docs.select((col("doc_id") - 1L).as("a_id"),
+        col("doc_id").as("b_id"), col("text").as("b_text"))
+      a.join(b, Seq("a_id"))
+        .select(col("a_id"), col("b_id"),
+          Dedup.ngramJaccard(col("a_text"), col("b_text"), 3).as("jac"))
+    }),
+
+    // rows-only (minhash/simhash use Spark's xxhash64 — not reproducible
+    // in DuckDB SQL; the unit suite pins their semantics instead)
+    "q_minhash_near_dup" -> ((s, dir) =>
+      Dedup.minHashNearDupPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        threshold = 0.8)),
+
+    "q_simhash_near_dup" -> ((s, dir) =>
+      Dedup.simHashNearDupPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        maxDistance = 3)),
+
+    // ---- similarity search (rows-only: float fold order is engine-
+    // specific; bruteForce vs lsh/ivf recall is unit-tested) -------------
+
+    "q_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    }),
+
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshBucketedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    }),
+
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    }),
+
+    // ---- P4/P5/P7 geometry (oracle-checked through synthetic features) --
+
+    "q_geo_point" -> ((s, dir) => pointFeatures(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        GeoFunctions.process_geometry(col("feature"), lit("nodes")).as("f"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        get_json_object(col("f"), "$.geometry.coordinates[0]")
+          .cast("double").as("x"),
+        get_json_object(col("f"), "$.geometry.coordinates[1]")
+          .cast("double").as("y"),
+        get_json_object(col("f"), "$.geometry.coordinates[2]")
+          .cast("double").as("z_after"),
+        get_json_object(col("f"), "$.properties['ext:elevation']")
+          .cast("double").as("elev"))),
+
+    "q_geo_linestring" -> ((s, dir) => lineFeatures(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        GeoFunctions.process_geometry(col("feature"), lit("edges")).as("f"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        get_json_object(col("f"), "$.geometry.coordinates[0][0]")
+          .cast("double").as("x1"),
+        get_json_object(col("f"), "$.geometry.coordinates[1][1]")
+          .cast("double").as("y2"),
+        get_json_object(col("f"), "$.geometry.coordinates[0][2]")
+          .cast("double").as("z1_after"),
+        get_json_object(col("f"), "$.properties['ext:elevation']")
+          .cast("double").as("elev")))
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private val Fp =
+    raw"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+  private val Toks =
+    raw"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (minhash/simhash xxhash64, float-fold similarity) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+
+    "q_dyn_select" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  ORDER BY o_orderkey LIMIT 20
+        |) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dyn_join" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, c_name, o_totalprice
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice > 400000.0
+        |) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dyn_where_in" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('A','R') AND l_quantity >= 45
+        |) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dyn_page2" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  ORDER BY o_orderkey LIMIT 20 OFFSET 20
+        |) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dyn_page_cap" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_orderkey LIMIT 50 OFFSET 1000
+        |) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dyn_order_desc" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  ORDER BY o_orderkey DESC LIMIT 25
+        |) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS cnt,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  min(l_shipdate) AS min_ship,
+        |  max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_stats_events" ->
+      """SELECT event_type,
+        |  count(*) AS cnt,
+        |  count(DISTINCT user_id) AS users,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dates" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso,
+        |  (TRY_CAST(props AS TIMESTAMP) IS NOT NULL) AS props_valid
+        |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(text) > 0
+         |    THEN (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+         |         / CAST(len(text) AS DOUBLE)
+         |    ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len($Toks) > 0
+         |    THEN CAST(list_sum(list_transform($Toks, x -> len(x))) AS DOUBLE)
+         |         / len($Toks)
+         |    ELSE 0.0 END AS mean_tok_len
+         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    $Toks AS toks,
+         |    CASE WHEN len(text) > 0
+         |      THEN (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+         |           / CAST(len(text) AS DOUBLE)
+         |      ELSE 0.0 END AS punct
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(toks) AS BIGINT) / 100.0, 1.0) AS len_score,
+         |    1.0 - least(punct * 5.0, 1.0) AS punct_penalty,
+         |    CASE WHEN len(toks) > 0
+         |      THEN CAST(len(list_filter(toks, x -> list_contains(
+         |             ['the','a','an','and','of','to','in','is'], x))) AS DOUBLE)
+         |           / len(toks)
+         |      ELSE 0.0 END AS swr
+         |  FROM q)
+         |SELECT doc_id,
+         |  len_score * 0.4 + punct_penalty * 0.3
+         |    + (1.0 - abs(swr - 0.15)) * 0.3 AS quality
+         |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      x -> len(x) > 0) AS lt
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS zh,
+         |    len(list_filter(lt, x -> list_contains(['the','and','of','is','with'], x))) * 10 AS en,
+         |    len(list_filter(lt, x -> list_contains(['el','la','los','las','es','y','de','con'], x))) * 10
+         |      + len(regexp_replace(text, '[^ñ¿¡]', '', 'g')) AS es,
+         |    len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','mit'], x))) * 10
+         |      + len(regexp_replace(text, '[^äöüß]', '', 'g')) AS de,
+         |    len(list_filter(lt, x -> list_contains(['le','la','les','est','et','avec','des'], x))) * 10
+         |      + len(regexp_replace(text, '[^éèêàçœ]', '', 'g')) AS fr
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN zh THEN 'zh'
+         |       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |       WHEN es >= de AND es >= fr THEN 'es'
+         |       WHEN de >= fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM sc ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_fingerprints" ->
+      s"SELECT doc_id, $Fp AS fp FROM documents ORDER BY ALL NULLS FIRST",
+
+    "q_dedup_groups" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, upper(text) || '  ' FROM documents
+         |  WHERE doc_id < 50)
+         |SELECT $Fp AS fp, count(*) AS dup_count, min(doc_id) AS keeper_id
+         |FROM all_docs GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_exact_dedup" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, upper(text) || '  ' FROM documents
+         |  WHERE doc_id < 50)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    PARTITION BY $Fp ORDER BY doc_id) AS rn
+         |  FROM all_docs) WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents),
+         |ng AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_distinct(list_transform(
+         |             generate_series(1, len(toks) - 2),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |      ELSE [] END AS g
+         |  FROM t)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+         |    THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+         |    ELSE 0.0 END AS jac
+         |FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_geo_point" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity AS x, l_discount AS y,
+        |  CAST(NULL AS DOUBLE) AS z_after,
+        |  CASE WHEN l_tax <> 0 THEN l_tax END AS elev
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_geo_linestring" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity AS x1, l_tax AS y2,
+        |  CAST(NULL AS DOUBLE) AS z1_after,
+        |  CAST(NULL AS DOUBLE) AS elev
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin
+  )
 }

@@ -16,9 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Canonical row order: every oracle ends with ORDER BY ALL NULLS
+        // FIRST (left-to-right over the projection); sort the Spark side
+        // identically so the compare is order-insensitive by construction.
+        val sorted =
+          try df.orderBy(df.columns.map(c =>
+            org.apache.spark.sql.functions.col(c).asc_nulls_first): _*)
+          catch { case _: Throwable => df } // unorderable col types
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

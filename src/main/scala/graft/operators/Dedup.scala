@@ -174,7 +174,9 @@ object Dedup {
     val right = inB.select(col("block"), col("block_val"), col("id").as("b"), col("sh").as("shb"))
     left.join(right, Seq("block", "block_val"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), bit_count(col("sha").bitwiseXOR(col("shb"))).as("distance"))
+      // bit_count yields int; the public schema is a long distance
+      .select(col("a"), col("b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("distance"))
       .distinct()
       .filter(col("distance") <= maxDistance)
   }

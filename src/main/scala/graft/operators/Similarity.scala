@@ -54,50 +54,66 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane i is a
-    * fixed hash-derived value in [-1, 1]. No RNG state — reproducible
-    * across executors and runs.
+  /** Deterministic pseudo-random hyperplane for (table, plane) sized to
+    * the vector's own length — component j is a fixed hash-derived value
+    * in [-1, 1]. No RNG state, no hard-coded dimension: works for any
+    * embedding dim and fails closed (empty plane) only if the vector
+    * itself is empty.
     */
-  private def planeExpr(i: Int, dim: Int): Column =
-    array((0 until dim).map { j =>
-      // xxhash64 of the (i, j) pair scaled into [-1, 1]
-      (hash(lit(i * 7919 + j)).cast("double") / Int.MaxValue.toDouble)
-    }: _*)
+  private def planeExpr(table: Int, i: Int, vec: Column): Column =
+    transform(sequence(lit(0), size(vec) - 1), j =>
+      hash(j * 1000003 + lit(table * 524287 + i * 7919))
+        .cast("double") / Int.MaxValue.toDouble)
 
-  /** Signature = bit pattern of sign(v · plane_i) for i < planes. */
-  private def signature(vec: Column, planes: Int, dim: Int): Column = {
+  /** Signature = bit pattern of sign(v · plane_i) for i < planes, for one
+    * hash table.
+    */
+  private def signature(vec: Column, table: Int, planes: Int): Column = {
     val vd = transform(vec, x => x.cast("double"))
     val bits = (0 until planes).map { i =>
-      val dot = aggregate(zip_with(vd, planeExpr(i, dim), (x, y) => x * y),
+      val dot = aggregate(zip_with(vd, planeExpr(table, i, vec), (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed approximate top-k: corpus hashed once into 2^planes
-    * buckets; each query probes its own bucket and all single-bit-flip
-    * neighbor buckets (multi-probe), then scores exactly within the
-    * probed set. The join is a keyed equi-join on bucket id — per-query
-    * cost is the probed-bucket population, not the corpus.
+  /** LSH-bucketed approximate top-k with L independent hash tables:
+    * the corpus is hashed once per table into 2^planes buckets; each
+    * query probes, per table, its own bucket plus all single-bit-flip
+    * neighbors (multi-probe), and candidates are unioned across tables.
+    * Recall for a pair with per-bit agreement p is
+    * 1 - (1 - p^planes - planes·p^(planes-1)(1-p))^tables — with the
+    * defaults (6 planes × 4 tables) a 0.6-agreement pair is found with
+    * p ≈ 0.65, vs ≈ 0.17 for a single 8-plane table.
+    *
+    * Plan shape: keyed equi-join on (table, bucket) — per-query cost is
+    * the probed-bucket population × tables, never the corpus; corpus-side
+    * cost is tables× the base scan. No cartesian anywhere.
     */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 8,
-      dim: Int = 64): DataFrame = {
+      idCol: String, vecCol: String, k: Int, planes: Int = 6,
+      tables: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", signature(col("cv"), planes, dim))
-    // query probes: own bucket + single-bit flips
+      .select(col("neighbor_id"), col("cv"), posexplode(
+        array((0 until tables).map(t => signature(col("cv"), t, planes)): _*)))
+      .toDF("neighbor_id", "cv", "tbl", "bucket")
+    // query probes per table: own bucket + single-bit flips
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-        .withColumn("sig", signature(col("qv"), planes, dim))
+        .select(col("query_id"), col("qv"), posexplode(
+          array((0 until tables).map(t => signature(col("qv"), t, planes)): _*)))
+        .toDF("query_id", "qv", "tbl", "sig")
         .withColumn("bucket", explode(array(
-          (col("sig") +: (0 until planes).map(i => col("sig").bitwiseXOR(lit(1L << i)))): _*)))
+          (col("sig") +: (0 until planes).map(i =>
+            col("sig").bitwiseXOR(lit(1L << i)))): _*)))
         .drop("sig"))
-    val scored = q.join(c, Seq("bucket"))
+    val scored = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct() // a neighbor can appear via several tables/probes
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
-      .distinct() // a neighbor can appear via several probed buckets
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))

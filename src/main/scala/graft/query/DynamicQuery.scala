@@ -131,7 +131,11 @@ final class DynamicQuery(resolve: String => DataFrame) {
 
   private def literal(v: Any): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
+    // Spark's SQL parser treats backslash as an escape inside string
+    // literals (non-ANSI default), so escape it FIRST, then quotes — a
+    // value ending in '\' must not swallow the closing quote.
+    case s: String =>
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString}'"
     case d: java.sql.Date => s"DATE '${d.toString}'"
     case b: Boolean => if (b) "true" else "false"
