@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -240,6 +240,30 @@ object SparkEntry {
         "vec_id", "embedding", 5)
     }),
 
+    // ---- multimodal binary columns (synthetic payloads: real magic
+    // headers + the document text as body; sniff/dims/hash oracle-checked)
+
+    "q_multimodal" -> ((s, dir) => {
+      val pngHeader = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+        0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 0x0D, 'I', 'H', 'D', 'R',
+        0, 0, 0, 64, 0, 0, 0, 32) // width 64, height 32 (BE)
+      val jpegPrefix = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+      val zipPrefix = Array[Byte]('P', 'K', 0x03, 0x04)
+      val content =
+        when(col("doc_id") % 4 === 0, concat(lit(pngHeader), col("text").cast("binary")))
+          .when(col("doc_id") % 4 === 1, concat(lit(jpegPrefix), col("text").cast("binary")))
+          .when(col("doc_id") % 4 === 2, concat(lit(zipPrefix), col("text").cast("binary")))
+          .otherwise(col("text").cast("binary"))
+      val dims = Multimodal.imageDimensions(col("content"))
+      t(s, dir, "documents").withColumn("content", content)
+        .select(col("doc_id"),
+          Multimodal.sniffContentType(col("content")).as("content_type"),
+          Multimodal.byteLength(col("content")).as("byte_len"),
+          dims("width").as("img_width"),
+          dims("height").as("img_height"),
+          md5(col("text")).as("payload_md5"))
+    }),
+
     // ---- P4/P5/P7 geometry (oracle-checked through synthetic features) --
 
     "q_geo_point" -> ((s, dir) => pointFeatures(s, dir)
@@ -451,6 +475,28 @@ object SparkEntry {
          |    ELSE 0.0 END AS jac
          |FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_multimodal" ->
+      raw"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    CASE
+         |      WHEN doc_id % 4 = 0 THEN
+         |        '\x89PNG\x0D\x0A\x1A\x0A\x00\x00\x00\x0DIHDR\x00\x00\x00\x40\x00\x00\x00\x20'::BLOB
+         |          || encode(text)
+         |      WHEN doc_id % 4 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+         |      WHEN doc_id % 4 = 2 THEN 'PK\x03\x04'::BLOB || encode(text)
+         |      ELSE encode(text) END AS content
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+         |       WHEN doc_id % 4 = 1 THEN 'image/jpeg'
+         |       WHEN doc_id % 4 = 2 THEN 'application/zip'
+         |       ELSE 'text/plain' END AS content_type,
+         |  CAST(octet_length(content) AS BIGINT) AS byte_len,
+         |  CASE WHEN doc_id % 4 = 0 THEN CAST(64 AS BIGINT) END AS img_width,
+         |  CASE WHEN doc_id % 4 = 0 THEN CAST(32 AS BIGINT) END AS img_height,
+         |  md5(text) AS payload_md5
+         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_geo_point" ->
       """SELECT l_orderkey, l_linenumber,

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators for training-data pipelines: image /
+  * audio / video payloads carried as opaque `binary` columns with typed
+  * metadata alongside.
+  *
+  * Design for 100 TB: everything metadata-shaped (type sniffing, hashes,
+  * PNG/GIF header fields) is PURE built-in expressions over byte slices
+  * — codegen'd, no UDF, no shuffle: a narrow map over the binary column
+  * that never deserializes the payload. Only genuinely imperative pieces
+  * (JPEG segment walk, the decode stub) drop to a scalar UDF /
+  * `mapPartitions`, the documented Scala analogs of a vectorized-UDF
+  * stage; both stream batch-by-batch and hold one record's payload at a
+  * time.
+  *
+  * The decode step itself (libjpeg/ffmpeg-class work) is STUBBED — the
+  * container has no media libraries — behind `decodeImageStub`: the
+  * Spark-side plumbing (schema, partitioning, batch iteration, output
+  * shape) is real and tested; the pixel math is a deterministic fake
+  * derived from the payload hash, to be swapped for a real decoder.
+  */
+object Multimodal {
+
+  // ---- content-type sniffing (magic bytes, pure expressions) -----------
+
+  /** Hex prefix of the first `n` bytes, uppercase (expression-only). */
+  private def hexPrefix(c: Column, n: Int): Column = hex(substring(c, 1, n))
+
+  /** Magic-byte content-type detection over a binary column. Pure
+    * `when/otherwise` on hex prefixes — inspects ≤ 12 bytes, codegen'd.
+    * Unknown non-empty payloads whose first bytes are printable ASCII
+    * classify as text/plain, else application/octet-stream.
+    */
+  def sniffContentType(c: Column): Column = {
+    val p4 = hexPrefix(c, 4)
+    val p3 = hexPrefix(c, 3)
+    val p2 = hexPrefix(c, 2)
+    // printable-ASCII heuristic on the first 8 bytes: every byte in
+    // [0x09,0x0D] ∪ [0x20,0x7E], decoded byte-accurately from the hex
+    // (a UTF-8 cast would mangle arbitrary binary)
+    val headHex = hex(substring(c, 1, 8))
+    val printable = forall(
+      transform(sequence(lit(0), least(length(c), lit(8)) - 1),
+        i => conv(substring(headHex, i * 2 + 1, lit(2)), 16, 10).cast("int")),
+      b => (b >= 32 && b <= 126) || (b >= 9 && b <= 13))
+    when(length(c) === 0 || c.isNull, lit(null).cast("string"))
+      .when(p4 === "89504E47", lit("image/png"))
+      .when(p3 === "FFD8FF", lit("image/jpeg"))
+      .when(p3 === "474946", lit("image/gif"))
+      .when(p4 === "25504446", lit("application/pdf"))
+      .when(p4 === "504B0304", lit("application/zip"))
+      .when(p4 === "52494646" && hex(substring(c, 9, 4)) === "57415645",
+        lit("audio/wav"))
+      .when(p4 === "52494646" && hex(substring(c, 9, 4)) === "57454250",
+        lit("image/webp"))
+      .when(p3 === "494433" || p2 === "FFFB", lit("audio/mpeg"))
+      .when(hex(substring(c, 5, 4)) === "66747970", lit("video/mp4"))
+      .when(printable, lit("text/plain"))
+      .otherwise(lit("application/octet-stream"))
+  }
+
+  // ---- header-field extraction (pure expressions) ----------------------
+
+  /** Big-endian uint32 at 1-based byte offset `off` (expression-only):
+    * hex-slice → base-16 parse.
+    */
+  private def beUInt32(c: Column, off: Int): Column =
+    conv(hex(substring(c, off, 4)), 16, 10).cast("long")
+
+  /** Little-endian uint16 at 1-based byte offset `off`. */
+  private def leUInt16(c: Column, off: Int): Column =
+    conv(concat(hex(substring(c, off + 1, 1)), hex(substring(c, off, 1))),
+      16, 10).cast("long")
+
+  /** (width, height) struct for PNG (IHDR big-endian at offset 17/21)
+    * and GIF (logical screen little-endian at 7/9) — null for other
+    * types. JPEG needs a segment walk: see `jpegDimensions`.
+    */
+  def imageDimensions(c: Column): Column = {
+    val mime = sniffContentType(c)
+    when(mime === "image/png",
+      struct(beUInt32(c, 17).as("width"), beUInt32(c, 21).as("height")))
+      .when(mime === "image/gif",
+        struct(leUInt16(c, 7).as("width"), leUInt16(c, 9).as("height")))
+      .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
+  }
+
+  /** JPEG dimensions via SOFn segment walk — inherently imperative, so a
+    * scalar UDF (runs once per file, not per row of a hot column).
+    */
+  private def jpegDims(bytes: Array[Byte]): Option[(Long, Long)] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xFF) != 0xFF) return None
+      val marker = bytes(i + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { i += 2 }
+      else {
+        val len = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (i + 8 >= bytes.length) return None
+          val h = ((bytes(i + 5) & 0xFF) << 8) | (bytes(i + 6) & 0xFF)
+          val w = ((bytes(i + 7) & 0xFF) << 8) | (bytes(i + 8) & 0xFF)
+          return Some((w.toLong, h.toLong))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private val jpegDimsUdf = udf((b: Array[Byte]) => jpegDims(b))
+
+  def jpegDimensions(c: Column): Column =
+    jpegDimsUdf(c).cast("struct<width:bigint,height:bigint>")
+
+  // ---- hashing / fingerprints (builtin, binary-native) -----------------
+
+  def contentMd5(c: Column): Column = md5(c)
+  def contentSha256(c: Column): Column = sha2(c, 256)
+  def byteLength(c: Column): Column = length(c).cast("long")
+
+  // ---- decode stub (mapPartitions plumbing, fake pixels) ---------------
+
+  /** Output row of the (stubbed) image decode stage. */
+  case class DecodedImage(
+      id: Long, width: Long, height: Long, channels: Int,
+      features: Array[Float])
+
+  /** Decode + feature-extract stage. REAL: the distributed shape —
+    * `mapPartitions` streaming (id, payload) records, one in memory at a
+    * time, emitting a typed row per image; this is where a vectorized
+    * decode (batch of payloads → batch of tensors) plugs in. STUB: the
+    * "pixels" — a real decoder is unavailable in this environment, so
+    * width/height come from the actual header bytes (PNG/GIF/JPEG) and
+    * the feature vector is a deterministic hash-derived fake with the
+    * right dtype/shape contract (`dim` floats in [0,1)).
+    */
+  def decodeImageStub(df: DataFrame, idCol: String, binCol: String,
+      dim: Int = 16): Dataset[DecodedImage] = {
+    implicit val enc = Encoders.product[DecodedImage]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val dims = headerDims(bytes).getOrElse((0L, 0L))
+          // ---- STUB pixel path: hash-derived fake features ----
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(if (bytes == null) Array.emptyByteArray else bytes)
+          val features = Array.tabulate(dim) { i =>
+            ((md(i % md.length) & 0xFF).toFloat / 256f)
+          }
+          DecodedImage(id, dims._1, dims._2, channels = 3, features)
+        }
+    }
+  }
+
+  /** Driver-free header parse used by the stub (PNG/GIF/JPEG). */
+  private def headerDims(bytes: Array[Byte]): Option[(Long, Long)] = {
+    def be32(o: Int) =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    def le16(o: Int) = ((bytes(o + 1) & 0xFFL) << 8) | (bytes(o) & 0xFFL)
+    if (bytes == null || bytes.length < 10) None
+    else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes.length >= 24)
+      Some((be32(16), be32(20)))
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      Some((le16(6), le16(8)))
+    else jpegDims(bytes).map(d => (d._1, d._2))
+  }
+
+  /** Frame-sampling plan for a video column: n deterministic, evenly
+    * spaced sample offsets in [0, durationMs) — the SELECTION is the
+    * real operator (what a frame-extract stage fans out over); actual
+    * frame decode would consume (payload, offset) pairs downstream.
+    * Returns array<bigint> of millisecond offsets.
+    */
+  def sampleFrameOffsets(durationMs: Column, n: Int): Column =
+    when(durationMs.isNull || durationMs <= 0, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), lit(n - 1)),
+        i => (i.cast("long") * durationMs.cast("long") / n).cast("bigint")))
+}

@@ -36,7 +36,7 @@ import graft.sources.GeoJsonZipSource
   * partitions, which is how the reference's transaction-rollback intent
   * is preserved at Spark scale (no cross-table ACID needed).
   */
-final class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
+class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
   import spark.implicits._
 
   val warehouse = new Warehouse(spark, warehouseRoot)

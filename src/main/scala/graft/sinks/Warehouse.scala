@@ -51,9 +51,16 @@ final class Warehouse(spark: SparkSession, val root: String) {
       .partitionBy("tdei_dataset_id")
       .parquet(tablePath(table))
 
-  /** Append-only response log (K10). */
-  def appendResponses(df: DataFrame): Unit =
+  /** Append-only response log (K10). Serialized per JVM: concurrent
+    * parquet APPENDs to one directory share the committer's
+    * `_temporary/0` staging dir, and the first job's cleanup can delete
+    * the second's in-flight task files — unlike the dynamic-overwrite
+    * writes (unique `.spark-staging-<jobId>` each), appends need the
+    * lock. Responses are single rows; the serialization cost is nil.
+    */
+  def appendResponses(df: DataFrame): Unit = Warehouse.responseLock.synchronized {
     df.write.mode(SaveMode.Append).parquet(tablePath("response"))
+  }
 
   /** Read a table with its fixed schema. A missing directory or a
     * directory with no data files (all partitions deleted) reads as an
@@ -100,6 +107,8 @@ final class Warehouse(spark: SparkSession, val root: String) {
 }
 
 object Warehouse {
+
+  private[sinks] val responseLock = new Object
 
   private def featureSchema = StructType(Seq(
     StructField("feature", StringType),

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Multimodal
+
+/** Multimodal binary-column operators: magic-byte sniffing, header
+  * dimension extraction (PNG/GIF expression-only, JPEG UDF), hashes,
+  * the decode-stub plumbing, and frame-offset sampling.
+  */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  // minimal real headers
+  private val png = b(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, // sig
+    0, 0, 0, 0x0D, 'I', 'H', 'D', 'R',
+    0, 0, 0, 64, 0, 0, 0, 32, // width 64, height 32 (BE)
+    8, 6, 0, 0, 0)
+  private val gif = b('G', 'I', 'F', '8', '9', 'a',
+    320 % 256, 320 / 256, 240 % 256, 240 / 256, 0, 0, 0) // 320x240 LE
+  private val jpeg = b(0xFF, 0xD8, // SOI
+    0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46, // APP0 len 4
+    0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x64, 0x00, 0xC8, 0x01, 0x11, 0x00, // SOF0 h=100 w=200
+    0xFF, 0xD9)
+  private val wav = "RIFF1234WAVE".getBytes("ISO-8859-1")
+  private val zip = b('P', 'K', 0x03, 0x04, 1, 2, 3)
+  private val txt = "hello plain text".getBytes("UTF-8")
+  private val junk = b(0x01, 0x02, 0x80, 0xFE, 0x00, 0x11, 0x22, 0x33, 0x44)
+
+  private def df: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, png), (2L, gif), (3L, jpeg), (4L, wav),
+      (5L, zip), (6L, txt), (7L, junk)
+    ).toDF("id", "content")
+  }
+
+  test("sniffContentType detects magic bytes, text, and binary fallback") {
+    val got = df.select(col("id"),
+      Multimodal.sniffContentType(col("content")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "image/png", 2L -> "image/gif", 3L -> "image/jpeg",
+      4L -> "audio/wav", 5L -> "application/zip", 6L -> "text/plain",
+      7L -> "application/octet-stream"))
+  }
+
+  test("imageDimensions extracts PNG/GIF header fields as expressions") {
+    val got = df.select(col("id"),
+      Multimodal.imageDimensions(col("content")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(s => (s.getLong(0), s.getLong(1))))
+      .toMap
+    assert(got(1L).contains((64L, 32L)))
+    assert(got(2L).contains((320L, 240L)))
+    assert(got(3L).isEmpty && got(6L).isEmpty)
+  }
+
+  test("jpegDimensions walks SOF segments") {
+    val got = df.filter(col("id") === 3)
+      .select(Multimodal.jpegDimensions(col("content"))).collect()(0).getStruct(0)
+    assert((got.getLong(0), got.getLong(1)) == (200L, 100L))
+  }
+
+  test("hashes and byte length are binary-native") {
+    val r = df.filter(col("id") === 6).select(
+      Multimodal.contentMd5(col("content")),
+      Multimodal.contentSha256(col("content")),
+      Multimodal.byteLength(col("content"))).collect()(0)
+    val localMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(txt).map("%02x".format(_)).mkString
+    assert(r.getString(0) == localMd5)
+    assert(r.getString(1).length == 64)
+    assert(r.getLong(2) == txt.length.toLong)
+  }
+
+  test("decodeImageStub: distributed plumbing real, dims from headers, deterministic features") {
+    val out = Multimodal.decodeImageStub(df, "id", "content", dim = 8)
+      .collect().map(d => d.id -> d).toMap
+    assert(out(1L).width == 64 && out(1L).height == 32)
+    assert(out(2L).width == 320 && out(2L).height == 240)
+    assert(out(3L).width == 200 && out(3L).height == 100)
+    assert(out(6L).width == 0) // non-image: no dims
+    assert(out.values.forall(_.features.length == 8))
+    assert(out.values.forall(_.features.forall(f => f >= 0f && f < 1f)))
+    // determinism: same input → same fake features
+    val again = Multimodal.decodeImageStub(df, "id", "content", dim = 8)
+      .collect().map(d => d.id -> d.features.toSeq).toMap
+    assert(out.map { case (k, v) => k -> v.features.toSeq } == again)
+  }
+
+  test("sampleFrameOffsets: n evenly spaced deterministic offsets") {
+    import spark.implicits._
+    val got = Seq(10000L, 0L).toDF("dur")
+      .select(Multimodal.sampleFrameOffsets(col("dur"), 4).as("o"))
+      .collect().map(_.getSeq[Long](0))
+    assert(got(0) == Seq(0L, 2500L, 5000L, 7500L))
+    assert(got(1) == Seq.empty)
+  }
+}
