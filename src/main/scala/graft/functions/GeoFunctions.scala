@@ -136,25 +136,30 @@ object GeoFunctions extends Serializable {
       val geomObj = geometry.asInstanceOf[ObjectNode]
       val isNodeOrPoint = layer == "nodes" || layer == "points"
       if (isNodeOrPoint) {
+        // Compute the FULL rewrite before the first mutation: the
+        // reference's error path keeps the original feature (:649-652),
+        // so an exception must never leave a half-rewritten tree. The
+        // sets below are plain pointer writes — they cannot throw.
         val (stripped, elevOpt) = stripZExtractElevation(coordinates)
+        val elevToSet = elevOpt.filter(_.asDouble != 0.0)
+        val propName = elevToSet.map { _ =>
+          val existing = countExistingElevationProps(feature.get("properties"))
+          if (existing == 0) "ext:elevation" else s"ext:elevation_$existing"
+        }
         geomObj.set[JsonNode]("coordinates", stripped)
-        elevOpt.foreach { elev =>
-          if (elev.asDouble != 0.0) {
-            val props = feature.get("properties") match {
-              case o: ObjectNode => o
-              case _ =>
-                val o = mapper.createObjectNode()
-                feature.set[JsonNode]("properties", o)
-                o
-            }
-            val existing = countExistingElevationProps(props)
-            val name =
-              if (existing == 0) "ext:elevation" else s"ext:elevation_$existing"
-            props.set[JsonNode](name, elev)
+        elevToSet.foreach { elev =>
+          val props = feature.get("properties") match {
+            case o: ObjectNode => o
+            case _ =>
+              val o = mapper.createObjectNode()
+              feature.set[JsonNode]("properties", o)
+              o
           }
+          props.set[JsonNode](propName.get, elev)
         }
       } else {
-        geomObj.set[JsonNode]("coordinates", stripZ(coordinates))
+        val stripped = stripZ(coordinates) // before the mutation, same reason
+        geomObj.set[JsonNode]("coordinates", stripped)
       }
       root
     } catch {

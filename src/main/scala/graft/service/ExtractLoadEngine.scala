@@ -41,6 +41,25 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
 
   val warehouse = new Warehouse(spark, warehouseRoot)
 
+  // ---- A2: per-stage wall-clock metrics ---------------------------------
+  // The reference times every stage (`console.time` at
+  // `extract-load-service.ts:301,322,327-336,360,...`); same points here:
+  // pre_clean (A1), parse_count (the one counts action), write_features
+  // (all layer writes), metadata (K8/K9), stats (A3), process_files total.
+  private val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+  /** Stage wall times (seconds) of the most recent load on this engine. */
+  def lastStageTimings: Map[String, Double] = timings.synchronized(timings.toMap)
+
+  private def timed[T](stage: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body
+    finally timings.synchronized {
+      timings(stage) =
+        timings.getOrElse(stage, 0.0) + (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   def processRequest(msg: QueueMessage): LoadResponse = {
     val result =
       try {
@@ -59,12 +78,13 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
     resp
   }
 
-  def processOswDataset(msg: QueueMessage): Unit = {
+  def processOswDataset(msg: QueueMessage): Unit = timed("process_files") {
     val datasetId = msg.data.tdei_dataset_id
     val userId = msg.data.user_id
+    timings.synchronized(timings.clear())
 
     // A1: idempotent pre-clean across every table.
-    warehouse.deleteDatasetRecords(datasetId)
+    timed("pre_clean")(warehouse.deleteDatasetRecords(datasetId))
 
     // 2. streamed source with the geometry transform fused in.
     val parsed = GeoJsonZipSource.read(spark, msg.data.file_upload_path, transform = true)
@@ -73,9 +93,9 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
       // ONE action: per-(layer, kind) counts. Presence of any header row
       // ⇔ at least one valid .geojson entry; feature counts decide which
       // layer tables get a write.
-      val counts: Map[(String, String), Long] = parsed
+      val counts: Map[(String, String), Long] = timed("parse_count")(parsed
         .groupBy($"layer", $"kind").count().collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
       if (!counts.keys.exists(_._2 == "header"))
         throw new RuntimeException("No valid .geojson files found in dataset archive.")
       val featureCount: String => Long = l => counts.getOrElse((l, "feature"), 0L)
@@ -114,7 +134,7 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
                 lit(datasetId).as("tdei_dataset_id"),
                 $"feature",
                 lit(userId).as("requested_by"))
-          warehouse.writeFeatures(layer.table, out)
+          timed("write_features")(warehouse.writeFeatures(layer.table, out))
         }
       }
 
@@ -130,7 +150,7 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
       }
       val datasetRow = spark.range(1).select(
         (metaCols :+ lit(datasetId).as("tdei_dataset_id")): _*)
-      warehouse.upsertByDataset("dataset", datasetRow)
+      timed("metadata")(warehouse.upsertByDataset("dataset", datasetRow))
 
       // 4b. extension_file rows (K9): name = basename sans extension.
       if (extEntries.nonEmpty) {
@@ -141,12 +161,12 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
         }.toSeq
         val extDf = rows.toDF("id", "name", "file_meta", "requested_by")
           .withColumn("tdei_dataset_id", lit(datasetId))
-        warehouse.upsertByDataset("extension_file", extDf)
+        timed("metadata")(warehouse.upsertByDataset("extension_file", extDf))
       }
 
       // 5. stats refresh (A3) — from the cached parse, not a table re-read.
       if (Layer.all.exists(l => featureCount(l.name) > 0))
-        updateStats(datasetId, features)
+        timed("stats")(updateStats(datasetId, features))
     } finally parsed.unpersist()
   }
 

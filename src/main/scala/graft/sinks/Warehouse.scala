@@ -62,6 +62,36 @@ final class Warehouse(spark: SparkSession, val root: String) {
     df.write.mode(SaveMode.Append).parquet(tablePath("response"))
   }
 
+  /** B1 JDBC parity sink: the reference's real load target is Postgres
+    * with 1000-row multi-VALUES INSERT batches
+    * (`extract-load-service.ts:363-384`, `BULK_INSERT_BATCH_SIZE` in
+    * `src/environment/environment.ts:26`) over a pool of ≤ 20
+    * connections (`POSTGRES_POOL_SIZE`, `:21`). Spark equivalent:
+    * `DataFrameWriter.jdbc` with `batchsize=1000` (executeBatch chunks)
+    * and `numPartitions ≤ 20` (connection bound). For Postgres, pass
+    * `reWriteBatchedInserts=true` in `props` so the driver rewrites each
+    * batch into the same multi-row INSERT the reference emits.
+    */
+  def writeFeaturesJdbc(url: String, table: String, df: DataFrame,
+      batchSize: Int = 1000, maxConnections: Int = 20,
+      writerOptions: Map[String, String] = Map.empty,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val bounded =
+      if (df.rdd.getNumPartitions > maxConnections)
+        df.coalesce(maxConnections)
+      else df
+    bounded.write
+      .mode(SaveMode.Append)
+      .option("batchsize", batchSize.toLong)
+      .options(writerOptions) // e.g. createTableColumnTypes for DDL control
+      .jdbc(url, table, props)
+  }
+
+  /** Read a JDBC table back (round-trip / verification path). */
+  def readJdbc(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
   /** Read a table with its fixed schema. A missing directory or a
     * directory with no data files (all partitions deleted) reads as an
     * empty DataFrame — parity with `SELECT * FROM t` on an empty table.

@@ -84,10 +84,12 @@ object GeoJsonZipSource {
         val fs = fsPath.getFileSystem(hconf.value)
         val in = fs.open(fsPath)
         val zin = new ZipInputStream(in)
-        // Close the archive stream when the task finishes, exhausted or not.
+        // Failure backstop: close at task end. The happy path closes
+        // eagerly below — a task that iterates many archives must not
+        // hold every file descriptor until the task finishes.
         Option(TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => zin.close()))
-        expandZipStream(p, zin, transform)
+        closeOnExhaustion(expandZipStream(p, zin, transform), zin)
       }
   }
 
@@ -231,6 +233,20 @@ object GeoJsonZipSource {
         r
       }
     }
+  }
+
+  /** Close `closeable` as soon as the iterator reports exhaustion
+    * (idempotent — the task-completion backstop may close again).
+    */
+  private def closeOnExhaustion[T](it: Iterator[T],
+      closeable: java.io.Closeable): Iterator[T] = new Iterator[T] {
+    private var closed = false
+    override def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && !closed) { closed = true; closeable.close() }
+      h
+    }
+    override def next(): T = it.next()
   }
 
   /** Jackson closes the stream it parses by default; the ZipInputStream
