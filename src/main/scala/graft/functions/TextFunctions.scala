@@ -83,20 +83,41 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** 64-bit SimHash over token hashes: bit j of the result is 1 iff the
-    * sum over tokens of ±1 (by bit j of xxhash64(token)) is positive.
-    * Pure expressions (aggregate over the token array), no shuffle.
+  /** 64-bit SimHash over token hashes: bit j of the result is 1 iff a
+    * majority of tokens have bit j set in their xxhash64. Pure
+    * expressions, no shuffle. Single hash pass: tokens are hashed ONCE
+    * into an array, then one `aggregate` accumulates all 64 bit-counts
+    * per token (zip_with against a constant index array) — the previous
+    * formulation ran 64 filter passes each re-computing xxhash64,
+    * O(64·hash) per token instead of O(hash + 64 adds).
     */
-  def simhash64(text: Column): Column = {
-    val ts = tokens(text)
-    // For each bit, count tokens with that bit set; bit is 1 in the
-    // simhash iff set-count*2 > token-count (majority).
-    val n = size(ts)
-    val bitCols = (0 until 64).map { j =>
-      val setCount = size(filter(ts, t => (shiftright(xxhash64(t), j).bitwiseAND(1)) === 1))
-      when(setCount * 2 > n, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(transform(tokens(text), t => xxhash64(t)))
+
+  /** SimHash from an already-hashed token array (`array<bigint>`). Use a
+    * projected hash column when composing several simhash-derived
+    * expressions so the hashing work is shared.
+    */
+  def simhash64FromHashes(hs: Column): Column = {
+    val bitIdx = array((0 until 64).map(lit): _*)          // [0..63]
+    val bitVal = array((0 until 64).map(j => lit(1L << j)): _*) // [2^j]
+    // One aggregate, ONE reference to `hs` (Catalyst duplicates
+    // multiply-referenced expensive expressions when collapsing
+    // projections): the accumulator carries (bit counts, token count),
+    // the finish lambda folds the majority bits into the 64-bit hash.
+    aggregate(hs,
+      struct(array_repeat(lit(0), 64).as("c"), lit(0).as("n")),
+      (acc, h) => struct(
+        zip_with(acc("c"), bitIdx,
+          // Scala's shiftright only takes a literal shift; the SQL
+          // function accepts a column operand
+          (c, j) => c + call_function("shiftright", h, j)
+            .bitwiseAND(1).cast("int")).as("c"),
+        (acc("n") + lit(1)).as("n")),
+      acc => aggregate(
+        zip_with(acc("c"), bitVal,
+          (c, p) => when(c * 2 > acc("n"), p).otherwise(lit(0L))),
+        lit(0L), (a, v) => a.bitwiseOR(v)))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

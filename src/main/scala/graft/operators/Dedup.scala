@@ -57,24 +57,36 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, `sig` = array of numHashes
-    * minima over the doc's distinct shingle hashes. One explode + one
-    * groupBy(doc) — map-side partial aggregation keeps the shuffle small
-    * (numHashes longs per doc).
+    * minima over the doc's distinct shingle hashes. SHUFFLE-FREE and
+    * SINGLE-PASS: one `aggregate` walks the shingle-hash array once,
+    * folding all numHashes minima simultaneously (zip_with against the
+    * constant (a,b) parameter array). The shingle array appears exactly
+    * once in the plan — important, because Catalyst's project collapsing
+    * happily duplicates a multiply-referenced expensive expression. (The
+    * earlier explode + 64-buffer groupBy paid a full shuffle of every
+    * shingle hash; at 100 TB the shuffle, not the arithmetic, is the
+    * bottleneck.) Docs with no shingles (< 3 tokens) keep the sentinel
+    * signature (every lane = HashPrime, unattainable for a real doc
+    * since pmod < p): a pre-filter would rebuild the shingle array just
+    * for the size check, doubling the dominant cost. Downstream,
+    * sentinel docs can only pair with each other, the bucket cap bounds
+    * them, and Jaccard verification scores them 0 — results unchanged.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64): DataFrame = {
     val params = hashParams(numHashes)
-    val shingled = docs
+    val abArr = array(params.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    docs
       .select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol)))).as("shingle"))
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(HashPrime)))
-    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("x") + lit(b), lit(HashPrime))).as(s"h$i")
-    }
-    shingled
-      .groupBy(col("id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+        aggregate(
+          transform(array_distinct(TextFunctions.shingles(col(textCol))),
+            s => pmod(xxhash64(s), lit(HashPrime))),
+          array_repeat(lit(HashPrime), numHashes),
+          (acc, x) => zip_with(acc, abArr,
+            (m, ab) => least(m, pmod(ab("a") * x + ab("b"), lit(HashPrime)))))
+          .as("sig"))
   }
 
   /** Near-duplicate pairs via banded LSH + exact-Jaccard verification.
@@ -95,11 +107,18 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes)
 
-    // band id + hashed band slice of the signature
+    // band id + hashed band slice of the signature. The transform lambda
+    // references `sig` once (an array literal of 16 slices would inline
+    // the signature aggregate 16×), and the explicit repartition on the
+    // bucket key materializes ONE Exchange that the bucket-size branch
+    // and both self-join sides all reuse — without it the signature
+    // pipeline (a pure projection since the single-pass rewrite) would
+    // be recomputed three times.
     val banded = sigs.select(col("id"), posexplode(
-      array((0 until bands).map(bnd =>
-        hash(slice(col("sig"), bnd * rows + 1, rows)).as(s"b$bnd")): _*)))
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .toDF("id", "band", "band_sig")
+      .repartition(col("band"), col("band_sig"))
 
     // cap degenerate buckets
     val bucketSizes = banded.groupBy(col("band"), col("band_sig"))
@@ -117,26 +136,22 @@ object Dedup {
     verifyJaccard(docs, idCol, textCol, candidates, threshold)
   }
 
-  /** Exact word-shingle Jaccard for the candidate pairs only (keyed joins
-    * on doc id — proportional to candidates, not to n²).
+  /** Exact word-shingle Jaccard for the candidate pairs only. The pair
+    * set is joined against the docs twice (a-side, b-side) and the
+    * Jaccard is per-pair array math — NO corpus-wide shingle explode:
+    * the earlier formulation shuffled every shingle of every doc three
+    * times (sizes, a-join, b-join); this one is two scans of the corpus
+    * with (AQE-broadcastable) joins on the small candidate set, and
+    * compute proportional to candidate pairs.
     */
   def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextFunctions.shingles(col(textCol)))).as("shingle"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-
-    // candidates → a's shingles, then match b's shingles on (b, shingle):
-    // two keyed equi-joins, cost ∝ candidate shingle volume.
-    val aSh = candidates.join(sh.withColumnRenamed("id", "a"), Seq("a"))
-    val common = aSh.join(
-        sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-
-    common
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), Seq("b"))
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+    val aDocs = docs.select(col(idCol).as("a"), col(textCol).as("__ta"))
+    val bDocs = docs.select(col(idCol).as("b"), col(textCol).as("__tb"))
+    candidates
+      .join(aDocs, Seq("a"))
+      .join(bDocs, Seq("b"))
+      .withColumn("jaccard", ngramJaccard(col("__ta"), col("__tb"), 3))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -159,12 +174,21 @@ object Dedup {
     */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"),
-      TextFunctions.simhash64(col(textCol)).as("sh"))
+    // two-step projection: hash tokens once, derive the simhash from the
+    // hash array (keeps the 64-bit-count pass off re-hashed tokens)
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), TextFunctions.simhash64FromHashes(col("hs")).as("sh"))
+    // single `sh` reference in the generator + one Exchange on the
+    // bucket key shared by the size-filter branch and both join sides
+    // (same reuse reasoning as the minhash banding above)
     val blocks = hashed.select(col("id"), col("sh"), posexplode(
-      array((0 until 4).map(i =>
-        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("sh"), i * 16)
+          .bitwiseAND(0xFFFFL))))
       .toDF("id", "sh", "block", "block_val")
+      .repartition(col("block"), col("block_val"))
 
     val bucketSizes = blocks.groupBy(col("block"), col("block_val"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1 && col("n") <= maxBucket)
