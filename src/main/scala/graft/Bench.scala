@@ -31,6 +31,14 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // Warm the session (codegen, parquet reader, shuffle machinery) so
+    // the first timed query doesn't absorb one-time JVM startup cost.
+    try {
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100)
+        .groupBy(col("l_returnflag")).count().collect()
+    } catch { case _: Throwable => () }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -54,24 +54,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane for (table, plane) sized to
-    * the vector's own length — component j is a fixed hash-derived value
-    * in [-1, 1]. No RNG state, no hard-coded dimension: works for any
-    * embedding dim and fails closed (empty plane) only if the vector
-    * itself is empty.
+  /** Deterministic pseudo-random hyperplane component for
+    * (table, plane, j): a fixed hash-derived value in [-1, 1]. No RNG
+    * state — reproducible across executors and runs.
     */
-  private def planeExpr(table: Int, i: Int, vec: Column): Column =
-    transform(sequence(lit(0), size(vec) - 1), j =>
-      hash(j * 1000003 + lit(table * 524287 + i * 7919))
-        .cast("double") / Int.MaxValue.toDouble)
+  private def planeComponent(table: Int, i: Int, j: Int): Double =
+    org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashInt(j * 1000003 + table * 524287 + i * 7919, 42)
+      .toDouble / Int.MaxValue.toDouble
 
   /** Signature = bit pattern of sign(v · plane_i) for i < planes, for one
-    * hash table.
+    * hash table. The plane is a LITERAL array (dim is sampled from the
+    * data by the caller), so the per-row work is one zip_with dot product
+    * per plane — deriving plane components per row from hash expressions
+    * cost 24 extra hash passes per vector.
     */
-  private def signature(vec: Column, table: Int, planes: Int): Column = {
+  private def signature(vec: Column, table: Int, planes: Int, dim: Int): Column = {
     val vd = transform(vec, x => x.cast("double"))
     val bits = (0 until planes).map { i =>
-      val dot = aggregate(zip_with(vd, planeExpr(table, i, vec), (x, y) => x * y),
+      val plane = array((0 until dim).map(j => lit(planeComponent(table, i, j))): _*)
+      val dot = aggregate(zip_with(vd, plane, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }
@@ -94,15 +96,23 @@ object Similarity {
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 6,
       tables: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // One driver-side peek fixes the dimension so the hyperplanes fold
+    // to literals; a mismatched vector then fails fast instead of
+    // silently hashing to bucket 0 (null-padded zip_with).
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    def checked(v: Column): Column =
+      when(size(v) === dim, v).otherwise(raise_error(concat(
+        lit(s"lshBucketedTopK: embedding dim != $dim: "), size(v).cast("string"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        checked(col(vecCol)).as("cv"))
       .select(col("neighbor_id"), col("cv"), posexplode(
-        array((0 until tables).map(t => signature(col("cv"), t, planes)): _*)))
+        array((0 until tables).map(t => signature(col("cv"), t, planes, dim)): _*)))
       .toDF("neighbor_id", "cv", "tbl", "bucket")
     // query probes per table: own bucket + single-bit flips
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      queries.select(col(idCol).as("query_id"), checked(col(vecCol)).as("qv"))
         .select(col("query_id"), col("qv"), posexplode(
-          array((0 until tables).map(t => signature(col("qv"), t, planes)): _*)))
+          array((0 until tables).map(t => signature(col("qv"), t, planes, dim)): _*)))
         .toDF("query_id", "qv", "tbl", "sig")
         .withColumn("bucket", explode(array(
           (col("sig") +: (0 until planes).map(i =>

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Dedup, Similarity}
+import graft.query.{DynamicQuery, SqlOrder}
+
+/** Physical-plan shape assertions — the scale contract, pinned so a
+  * refactor can't silently regress it: filters reach the parquet scan,
+  * projections prune the read schema, the small side of the kNN scoring
+  * broadcasts, and the dedup self-join reuses one Exchange instead of
+  * recomputing its input.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString + "\n" +
+      df.queryExecution.toString
+  }
+
+  test("DynamicQuery: predicate pushdown and column pruning reach the scan") {
+    val q = new DynamicQuery(n => spark.read.parquet(s"$sf/$n.parquet"))
+      .buildSelect("lineitem", Seq("l_orderkey", "l_quantity"))
+      .condition("l_quantity >= ?", 45)
+      .buildOrder("l_orderkey", SqlOrder.ASC)
+      .buildPagination(1, 20)
+      .getQuery()
+    val plan = formatted(q)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_quantity,45"),
+      s"filter not pushed to scan:\n$plan")
+    // scan must read only the 2 referenced columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning missing:\n$plan")
+  }
+
+  test("bruteForceTopK: query side broadcasts (no shuffle of the corpus)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested-loop scoring:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("minHashNearDupPairs: no cartesian, bucket Exchange reused across branches") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+    // collect() (not count()) so THIS QueryExecution finalizes — AQE
+    // dedupes the four identical bucket exchanges into one computed
+    // stage + ReusedExchange at runtime
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+    assert(plan.contains("ReusedExchange"),
+      s"signature pipeline must be computed once and reused:\n$plan")
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the shuffle") {
+    val q = SparkEntry.queries("q1_agg")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+}
