@@ -86,6 +86,52 @@ object SparkEntry {
             .as("coordinates")).as("geometry"),
         struct(lit("synthetic").as("src")).as("properties"))).as("feature"))
 
+  /** E2E ingest fixture: a ZIP built from the first 1000 lineitem rows
+    * (Point features in nodes.geojson, LineStrings in edges.geojson,
+    * layer headers), loaded once per (session, sfDir) through the full
+    * engine — so the streamed source, geometry transform, layer writes,
+    * metadata, and stats are all oracle-checkable from the loaded
+    * tables. Returns the warehouse root.
+    */
+  private val ingestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ingestWarehouse(s: SparkSession, dir: String): String =
+    ingestCache.computeIfAbsent(dir, { _ =>
+      val rows = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(1000).collect()
+      val zipFile = java.nio.file.Files.createTempFile("graft-ingest", ".zip").toFile
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zipFile))
+      def entry(name: String, header: String, geom: org.apache.spark.sql.Row => String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(s"""{"type":"FeatureCollection",$header,"features":[""".getBytes("UTF-8"))
+        rows.zipWithIndex.foreach { case (r, i) =>
+          val fid = s"${r.getLong(0)}-${r.getInt(1)}"
+          val sep = if (i == 0) "" else ","
+          zos.write((sep +
+            s"""{"type":"Feature","geometry":${geom(r)},"properties":{"_id":"$fid"}}""")
+            .getBytes("UTF-8"))
+        }
+        zos.write("]}".getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      entry("nodes.geojson", """"name":"ingest-fixture"""",
+        r => s"""{"type":"Point","coordinates":[${r.getDouble(2)},${r.getDouble(3)},${r.getDouble(4)}]}""")
+      entry("edges.geojson", """"source":"edges-src"""",
+        r => s"""{"type":"LineString","coordinates":[[${r.getDouble(2)},${r.getDouble(3)},${r.getDouble(4)}],[${r.getDouble(3)},${r.getDouble(4)},${r.getDouble(2)}]]}""")
+      zos.close()
+      val wh = java.nio.file.Files.createTempDirectory("graft-ingest-wh").toString
+      val resp = new graft.service.ExtractLoadEngine(s, wh).processRequest(
+        graft.model.QueueMessage("ingest|1", "wf",
+          graft.model.ExtractLoadRequest("osw", zipFile.getAbsolutePath,
+            "ingest_ds", "verifier")))
+      require(resp.success, s"ingest fixture failed: ${resp.message}")
+      wh
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -238,6 +284,38 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
+    }),
+
+    // ---- E2E ingest (S2–S7 source, P7 transform, K1–K8 writes, A3
+    // stats — all oracle-checked from the loaded warehouse tables) -----
+
+    "q_ingest_nodes" -> ((s, dir) => {
+      val wh = ingestWarehouse(s, dir)
+      new graft.sinks.Warehouse(s, wh).table("node")
+        .select(
+          get_json_object(col("feature"), "$.properties._id").as("fid"),
+          get_json_object(col("feature"), "$.geometry.coordinates[0]")
+            .cast("double").as("x"),
+          get_json_object(col("feature"), "$.geometry.coordinates[1]")
+            .cast("double").as("y"),
+          get_json_object(col("feature"), "$.geometry.coordinates[2]")
+            .cast("double").as("z_after"),
+          get_json_object(col("feature"), "$.properties['ext:elevation']")
+            .cast("double").as("elev"),
+          col("requested_by"), col("tdei_dataset_id"))
+    }),
+
+    "q_ingest_stats" -> ((s, dir) => {
+      val wh = ingestWarehouse(s, dir)
+      new graft.sinks.Warehouse(s, wh).table("stats")
+        .select(col("layer_table"), col("geometry_type"), col("feature_count"))
+    }),
+
+    "q_ingest_meta" -> ((s, dir) => {
+      val wh = ingestWarehouse(s, dir)
+      new graft.sinks.Warehouse(s, wh).table("dataset")
+        .select(col("node_info"), col("event_info"), col("zone_info"),
+          col("tdei_dataset_id"))
     }),
 
     // ---- multimodal binary columns (synthetic payloads: real magic
@@ -475,6 +553,32 @@ object SparkEntry {
          |    ELSE 0.0 END AS jac
          |FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_ingest_nodes" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000)
+        |SELECT
+        |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS fid,
+        |  l_quantity AS x, l_discount AS y,
+        |  CAST(NULL AS DOUBLE) AS z_after,
+        |  CASE WHEN l_tax <> 0 THEN l_tax END AS elev,
+        |  'verifier' AS requested_by, 'ingest_ds' AS tdei_dataset_id
+        |FROM src ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_ingest_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'node' AS layer_table, 'Point' AS geometry_type,
+        |         CAST(1000 AS BIGINT) AS feature_count
+        |  UNION ALL
+        |  SELECT 'edge', 'LineString', CAST(1000 AS BIGINT)
+        |) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_ingest_meta" ->
+      """SELECT '{"name":"ingest-fixture"}' AS node_info,
+        |  '{"source":"edges-src"}' AS event_info,
+        |  CAST(NULL AS VARCHAR) AS zone_info,
+        |  'ingest_ds' AS tdei_dataset_id""".stripMargin,
 
     "q_multimodal" ->
       raw"""WITH m AS (
