@@ -235,6 +235,16 @@ object SparkEntry {
       .select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    "q_bpe_tokens" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))),
+
+    // rows-only: winnowing uses Spark's xxhash64 (not in DuckDB)
+    "q_winnowing" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextFunctions.winnowingFingerprints(col("text")))
+          .cast("long").as("n_prints"))),
+
     // ---- dedup ----------------------------------------------------------
 
     "q_dedup_groups" -> ((s, dir) =>
@@ -267,6 +277,17 @@ object SparkEntry {
 
     // ---- similarity search (rows-only: float fold order is engine-
     // specific; bruteForce vs lsh/ivf recall is unit-tested) -------------
+
+    // rows-only: embedding near-dup via LSH candidates + cosine verify
+    "q_emb_near_dup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+      Dedup.embeddingNearDupPairs(base.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.99)
+    }),
 
     "q_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -513,6 +534,13 @@ object SparkEntry {
 
     "q_fingerprints" ->
       s"SELECT doc_id, $Fp AS fp FROM documents ORDER BY ALL NULLS FIRST",
+
+    "q_bpe_tokens" ->
+      raw"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
+         |    AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_dedup_groups" ->
       s"""WITH all_docs AS (

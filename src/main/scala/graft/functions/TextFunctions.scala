@@ -21,6 +21,19 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword token count: a GPT-2-style pre-tokenizer regex —
+    * common contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs — counted with codegen'd `regexp_count`. This is
+    * the deterministic approximation a pipeline uses to budget context
+    * length without shipping a tokenizer model; the contract is the
+    * regex, not a vocabulary.
+    */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern)).cast("long")
+
   /** Word n-grams as space-joined strings; length-N windows only (a text
     * with fewer than `n` tokens yields an empty array).
     */
@@ -122,6 +135,71 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing document fingerprints (rolling-hash selection): hash every
+    * k-char gram of the canonical text with a polynomial ROLLING hash
+    * (O(1) per position), slide a window of `w` gram hashes, keep each
+    * window's minimum, return the distinct selected hashes sorted.
+    * Standard winnowing guarantee: any shared substring of length
+    * ≥ k + w - 1 contributes at least one common fingerprint, so overlap
+    * between two docs' fingerprint sets detects local plagiarism/
+    * near-duplication where whole-doc hashes cannot.
+    *
+    * Deliberately a Scala UDF, not expressions: the rolling recurrence
+    * and the sliding minimum are inherently sequential over the text —
+    * an expression formulation re-evaluates the canonicalization per
+    * gram (O(len²); measured as a multi-minute stall at sf0.01). One
+    * narrow map per row, no shuffle; O(len) per doc.
+    */
+  private def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val canon = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val n = canon.length
+    if (n < k) return Array.emptyLongArray
+    val B = 1000003L
+    var bk = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { bk *= B; i += 1 }
+    val grams = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + canon.charAt(i); i += 1 }
+    grams(0) = h
+    i = 1
+    while (i <= n - k) {
+      h = (h - canon.charAt(i - 1) * bk) * B + canon.charAt(i + k - 1)
+      grams(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    if (grams.length < w) { out += grams.min }
+    else {
+      var j = 0
+      while (j <= grams.length - w) {
+        var m = grams(j)
+        var x = j + 1
+        while (x < j + w) { if (grams(x) < m) m = grams(x); x += 1 }
+        out += m
+        j += 1
+      }
+    }
+    out.toArray
+  }
+
+  private val winnowUdf =
+    udf((t: String, k: Int, w: Int) => winnow(t, k, w))
+
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    winnowUdf(text, lit(k), lit(w))
+
+  /** Fingerprint-set overlap ratio (|A ∩ B| / |A ∪ B|) — the winnowing
+    * comparison scalar.
+    */
+  def fingerprintOverlap(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
+  }
 
   // ---- language ID ------------------------------------------------------
 

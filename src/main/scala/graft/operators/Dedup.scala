@@ -156,6 +156,33 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH buckets generate
+    * candidates (keyed equi-join, no cartesian), exact cosine verifies.
+    * Returns (a, b, cosine) with a < b and cosine ≥ threshold. The
+    * all-pairs-within-bucket step is bounded by the same bucket-cap
+    * reasoning as the minhash path; recall follows the multi-table LSH
+    * curve (see Similarity.lshBucketedTopK).
+    */
+  def embeddingNearDupPairs(docs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 6, tables: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val bucketed = Similarity.lshBuckets(docs, idCol, vecCol, planes, tables)
+      .toDF("id", "v", "tbl", "bucket")
+    val sizes = bucketed.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+    val inB = bucketed.join(sizes, Seq("tbl", "bucket"))
+    val left = inB.select(col("tbl"), col("bucket"), col("id").as("a"), col("v").as("va"))
+    val right = inB.select(col("tbl"), col("bucket"), col("id").as("b"), col("v").as("vb"))
+    left.join(right, Seq("tbl", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb"))
+      .distinct() // a pair can collide in several tables
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
   /** N-gram (word) Jaccard similarity of two text columns — scalar
     * building block for pairwise checks.
     */

@@ -80,6 +80,24 @@ object Similarity {
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** (id, vec, table, bucket) rows — one per (vector, hash table) — the
+    * shared bucketing primitive behind lshBucketedTopK and
+    * Dedup.embeddingNearDupPairs. Dim is sampled once driver-side so the
+    * hyperplanes fold to literals; mismatched vectors fail fast.
+    */
+  private[operators] def lshBuckets(df: DataFrame, idCol: String,
+      vecCol: String, planes: Int, tables: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val checked = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"lsh: embedding dim != $dim: "), size(col(vecCol)).cast("string"))))
+    df.select(col(idCol).as("id"), checked.as("v"))
+      .select(col("id"), col("v"), posexplode(
+        array((0 until tables).map(t => signature(col("v"), t, planes, dim)): _*)))
+      .toDF("id", "v", "tbl", "bucket")
+      .repartition(col("tbl"), col("bucket"))
+  }
+
   /** LSH-bucketed approximate top-k with L independent hash tables:
     * the corpus is hashed once per table into 2^planes buckets; each
     * query probes, per table, its own bucket plus all single-bit-flip

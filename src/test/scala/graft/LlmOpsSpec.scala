@@ -136,6 +136,56 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("bpeTokenCount: contractions, words, digits, punctuation runs") {
+    val df = docsDf((1L, "don't stop"), (2L, "abc 123!?"), (3L, ""))
+    val got = df.select(col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "don" + "'t" + " stop" = 3; "abc" + " 123" + "!?" = 3
+    assert(got == Map(1L -> 3, 2L -> 3, 3L -> 0))
+  }
+
+  test("winnowing fingerprints: shared substrings produce common prints, overlap scalar") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = docsDf(
+      (1L, base),
+      (2L, base + " tail"),           // high overlap
+      (3L, "completely different words entirely unrelated content here"))
+    val fps = df.select(col("doc_id"),
+      TextFunctions.winnowingFingerprints(col("text")).as("fp"))
+    val got = fps.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L).nonEmpty && got(1L) == got(1L).sorted && got(1L).distinct == got(1L))
+    assert((got(1L).toSet & got(2L).toSet).nonEmpty)
+    val ov = fps.as("a").crossJoin(fps.as("b"))
+      .filter(col("a.doc_id") === 1 && col("b.doc_id").isin(2L, 3L))
+      .select(col("b.doc_id"),
+        TextFunctions.fingerprintOverlap(col("a.fp"), col("b.fp")).as("o"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ov(2L) > 0.7, s"near-dup overlap ${ov(2L)}")
+    assert(ov(3L) < 0.1, s"unrelated overlap ${ov(3L)}")
+    // short text degenerates gracefully
+    val short = docsDf((9L, "tiny")).select(
+      TextFunctions.winnowingFingerprints(col("text"), k = 8, w = 4)).collect()
+    assert(short(0).getSeq[Long](0).isEmpty)
+  }
+
+  test("embeddingNearDupPairs finds planted near-identical vectors") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // plant: copies of 3 vectors with a tiny perturbation on one lane
+    val planted = base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val pairs = Dedup.embeddingNearDupPairs(base.unionByName(planted),
+      "vec_id", "embedding", threshold = 0.99)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 10000L), (1L, 10001L), (2L, 10002L)).subsetOf(got),
+      s"missing planted pairs in $got")
+    pairs.collect().foreach(r => assert(r.getDouble(2) >= 0.99))
+  }
+
   test("ngramJaccard scalar") {
     val df = docsDf((1L, "a b c d e")).select(
       Dedup.ngramJaccard(col("text"), lit("a b c d x"), 3).as("j"))
