@@ -208,6 +208,17 @@ object SparkEntry {
         max(col("value")).as("max_value"),
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
 
+    // ---- event-stream analytics (batch forms; streaming variants share
+    // the same semantics and are pinned by EventAnalyticsSpec) ----------
+
+    "q_window_agg" -> ((s, dir) =>
+      graft.streaming.EventAnalytics.windowedCounts(events(s, dir), "5 minutes")
+        .select(unix_timestamp(col("window_start")).cast("long").as("window_epoch"),
+          col("event_type"), col("cnt"), col("sum_value"))),
+
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.EventAnalytics.sessionize(events(s, dir), gapSeconds = 600)),
+
     // ---- P10 dates ------------------------------------------------------
 
     "q_dates" -> ((s, dir) => events(s, dir)
@@ -463,6 +474,27 @@ object SparkEntry {
         |  max(value) AS max_value,
         |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
         |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_epoch,
+        |  event_type, count(*) AS cnt,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 600
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_dates" ->
       """SELECT event_id,
