@@ -36,14 +36,21 @@ object TextFunctions {
 
   /** Word n-grams as space-joined strings; length-N windows only (a text
     * with fewer than `n` tokens yields an empty array).
+    *
+    * Built by zip_with-folding n SHIFTED slices of the token array —
+    * each slice is a per-ROW expression evaluated once. (The obvious
+    * `transform(sequence, i => slice(ts, i+1, n))` re-evaluates the
+    * token split inside the per-window lambda: O(tokens²) per doc,
+    * measured as the dominant cost of every shingle-based operator.)
     */
   def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
     val ts = tokens(text)
-    // windows [i, i+n) for i in 0 .. size-n; sequence() is empty-safe via when()
-    when(size(ts) >= n,
-      transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val m = size(ts) - (n - 1) // window count when size >= n
+    val joined = (2 to n).foldLeft(slice(ts, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(ts, lit(k), m), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(ts) >= n, joined).otherwise(array().cast("array<string>"))
   }
 
   /** 3-word shingles — the dedup unit. */
