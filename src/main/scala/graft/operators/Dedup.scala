@@ -174,13 +174,14 @@ object Dedup {
     val inB = bucketed.join(sizes, Seq("tbl", "bucket"))
     val left = inB.select(col("tbl"), col("bucket"), col("id").as("a"), col("v").as("va"))
     val right = inB.select(col("tbl"), col("bucket"), col("id").as("b"), col("v").as("vb"))
+    // cosine before distinct: dedup then shuffles (a, b, double) rows,
+    // not embedding arrays (see lshBucketedTopK)
     left.join(right, Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb"))
-      .distinct() // a pair can collide in several tables
       .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
-      .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
+      .distinct() // a pair can collide in several tables
+      .filter(col("cosine") >= threshold)
   }
 
   /** N-gram (word) Jaccard similarity of two text columns — scalar

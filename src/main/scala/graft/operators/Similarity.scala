@@ -136,12 +136,15 @@ object Similarity {
           (col("sig") +: (0 until planes).map(i =>
             col("sig").bitwiseXOR(lit(1L << i)))): _*)))
         .drop("sig"))
+    // score BEFORE distinct: cosine is recomputed for the few multi-table
+    // collisions, but the dedup shuffle then moves (id, id, double) rows
+    // instead of embedding arrays — at 100 TB the array shuffle, not the
+    // arithmetic, is the cost
     val scored = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .distinct() // a neighbor can appear via several tables/probes
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .distinct() // a neighbor can appear via several tables/probes
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
