@@ -376,9 +376,12 @@ object SparkEntry {
 
     // ---- P4/P5/P7 geometry (oracle-checked through synthetic features) --
 
-    "q_geo_point" -> ((s, dir) => pointFeatures(s, dir)
+    "q_geo_point" -> ((s, dir) => {
+      graft.expressions.ProcessGeometryExpr.register(s)
+      pointFeatures(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
-        GeoFunctions.process_geometry(col("feature"), lit("nodes")).as("f"))
+        graft.expressions.ProcessGeometryExpr
+          .process_geometry_native(col("feature"), lit("nodes")).as("f"))
       .select(col("l_orderkey"), col("l_linenumber"),
         get_json_object(col("f"), "$.geometry.coordinates[0]")
           .cast("double").as("x"),
@@ -387,11 +390,15 @@ object SparkEntry {
         get_json_object(col("f"), "$.geometry.coordinates[2]")
           .cast("double").as("z_after"),
         get_json_object(col("f"), "$.properties['ext:elevation']")
-          .cast("double").as("elev"))),
+          .cast("double").as("elev"))
+    }),
 
-    "q_geo_linestring" -> ((s, dir) => lineFeatures(s, dir)
+    "q_geo_linestring" -> ((s, dir) => {
+      graft.expressions.ProcessGeometryExpr.register(s)
+      lineFeatures(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
-        GeoFunctions.process_geometry(col("feature"), lit("edges")).as("f"))
+        graft.expressions.ProcessGeometryExpr
+          .process_geometry_native(col("feature"), lit("edges")).as("f"))
       .select(col("l_orderkey"), col("l_linenumber"),
         get_json_object(col("f"), "$.geometry.coordinates[0][0]")
           .cast("double").as("x1"),
@@ -400,7 +407,8 @@ object SparkEntry {
         get_json_object(col("f"), "$.geometry.coordinates[0][2]")
           .cast("double").as("z1_after"),
         get_json_object(col("f"), "$.properties['ext:elevation']")
-          .cast("double").as("elev")))
+          .cast("double").as("elev"))
+    })
   )
 
   // ---- DuckDB oracles ------------------------------------------------
