@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -47,11 +46,10 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    // bounded map-side top-k: shuffles partitions x queries x k rows,
+    // not the whole scored corpus to one reducer per query (see TopK)
+    TopK.topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for
@@ -145,11 +143,7 @@ object Similarity {
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
       .distinct() // a neighbor can appear via several tables/probes
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    TopK.topKPerQuery(scored, k)
   }
 
   /** Deterministic mini k-means centroids (driver-side on a sample):
@@ -218,10 +212,8 @@ object Similarity {
     val scored = q.join(c, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .distinct() // a neighbor can appear via several probed centroids
+    TopK.topKPerQuery(scored, k)
   }
 }
