@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -32,16 +31,18 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("dup_count"), min(col("id")).as("keeper_id"))
 
-  /** Drop exact duplicates, keeping the smallest id per fingerprint.
-    * One shuffle (the window by fingerprint).
+  /** Drop exact duplicates, keeping the smallest-id row per fingerprint.
+    * One min_by aggregation — duplicates collapse during PARTIAL (map-
+    * side) aggregation, so the shuffle carries one candidate row per
+    * (fingerprint, input partition); the window-function formulation
+    * this replaces shuffled every row before ranking.
     */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    val cols = docs.columns
     docs
-      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Universal-hash parameters for minhash: h_i(x) = (a_i*x + b_i) mod p.

@@ -69,6 +69,32 @@ class NativeExprAndSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains("\"ext:elevation\":99.5"))
   }
 
+  test("GraftExtensions injects the native function via spark.sql.extensions") {
+    // spark.sql.extensions is a STATIC conf read at SparkContext
+    // creation, so it can't be exercised on the suite's shared context;
+    // builder.withExtensions applies the same class through the public
+    // API. Clear active/default so getOrCreate builds a fresh session.
+    spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.expressions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      Seq(feature).toDF("f").createOrReplaceTempView("ext_nf")
+      val out = s2.sql(
+        "SELECT process_geometry_native(f, 'nodes') AS o FROM ext_nf")
+        .collect()(0).getString(0)
+      assert(out.contains("\"ext:elevation\":99.5"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("saltedEquiJoin equals the plain join, spreads a hot key") {
     import spark.implicits._
     // hot key: 900 of 1000 rows share key 7
