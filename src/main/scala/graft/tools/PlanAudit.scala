@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev main: print the formatted physical plans of the flagship
+  * operators — the review loop behind PLANS.md. Run:
+  * `sbt "runMain graft.tools.PlanAudit"`.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def show(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n======== $name ========")
+      df.explain("formatted")
+    }
+
+    show("q_dyn_join (3-table chain + pushdown)")(
+      graft.SparkEntry.queries("q_dyn_join")(spark, sf))
+    show("q1_agg (partial agg)")(
+      graft.SparkEntry.queries("q1_agg")(spark, sf))
+    show("minhash_near_dup (keyed buckets)")(
+      graft.SparkEntry.queries("q_minhash_near_dup")(spark, sf))
+    show("knn_brute (broadcast + bounded topk)")(
+      graft.SparkEntry.queries("q_knn_brute")(spark, sf))
+    show("geo_point (native codegen expr)")(
+      graft.SparkEntry.queries("q_geo_point")(spark, sf))
+    spark.stop()
+  }
+}

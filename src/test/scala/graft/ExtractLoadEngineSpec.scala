@@ -181,6 +181,29 @@ class ExtractLoadEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!resp.success && resp.message.contains("Method not implemented."))
   }
 
+  test("source reads a directory / glob of archives, one task stream each") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-multi")
+    Seq("a", "b", "c").foreach { n =>
+      val z = zipBytes(s"${n}_nodes.geojson" ->
+        fc(Seq(point(1, 2, None, s"$n-id"))))
+      val out = new FileOutputStream(dir.resolve(s"$n.zip").toFile)
+      out.write(z); out.close()
+    }
+    // directory form
+    val recs = GeoJsonZipSource.read(spark, dir.toString).collect()
+    assert(recs.map(_.zip_path).distinct.length == 3)
+    assert(recs.count(_.kind == "feature") == 3)
+    // glob form
+    val globbed = GeoJsonZipSource.read(spark, s"$dir/*.zip").collect()
+    assert(globbed.count(_.kind == "header") == 3)
+    // missing path → FileNotFoundException (engine turns it into a
+    // failure response)
+    intercept[java.io.FileNotFoundException] {
+      GeoJsonZipSource.read(spark, s"$dir/nothing-*.zip")
+    }
+  }
+
   test("last entry per layer wins for dataset metadata") {
     val engine = mkEngine()
     val z = zipBytes(
