@@ -41,15 +41,25 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query watchdog (mirrors Verify): a hung query becomes an error
+    // marker instead of stalling the whole benchmark.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        Await.result(Future { fn(spark, sfDir).count() }, timeoutSec.seconds)
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          errors(name) = s"timeout after ${timeoutSec}s"
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-      }
+      } finally spark.sparkContext.clearJobGroup()
     }
     // A2 parity: per-stage wall times for one fixture ingest (the
     // reference's console.time points: pre_clean, parse, writes, stats).

@@ -15,20 +15,35 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: one pathological query must not hang the whole
+    // correctness dump (and zero the round) — cancel its job group after
+    // the timeout and move on.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
       try {
-        val df = fn(spark, sfDir)
-        // Canonical row order: every oracle ends with ORDER BY ALL NULLS
-        // FIRST (left-to-right over the projection); sort the Spark side
-        // identically so the compare is order-insensitive by construction.
-        val sorted =
-          try df.orderBy(df.columns.map(c =>
-            org.apache.spark.sql.functions.col(c).asc_nulls_first): _*)
-          catch { case _: Throwable => df } // unorderable col types
-        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        val work = Future {
+          val df = fn(spark, sfDir)
+          // Canonical row order: every oracle ends with ORDER BY ALL NULLS
+          // FIRST (left-to-right over the projection); sort the Spark side
+          // identically so the compare is order-insensitive by construction.
+          val sorted =
+            try df.orderBy(df.columns.map(c =>
+              org.apache.spark.sql.functions.col(c).asc_nulls_first): _*)
+            catch { case _: Throwable => df } // unorderable col types
+          sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
+        Await.result(work, timeoutSec.seconds)
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally spark.sparkContext.clearJobGroup()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
