@@ -300,6 +300,17 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.99)
     }),
 
+    // oracle-checkable kNN: integer-quantized vectors make every dot
+    // product / norm an integer-valued double (exact in any summation
+    // order), so ranks and similarities match DuckDB bit-for-bit
+    "q_knn_exact_int" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5)
+    }),
+
     "q_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -647,6 +658,30 @@ object SparkEntry {
         |  '{"source":"edges-src"}' AS event_info,
         |  CAST(NULL AS VARCHAR) AS zone_info,
         |  'ingest_ds' AS tdei_dataset_id""".stripMargin,
+
+    "q_knn_exact_int" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.v,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT * FROM (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+        |      AS INTEGER) AS rank,
+        |    neighbor_id, sim
+        |  FROM s) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_multimodal" ->
       raw"""WITH m AS (
