@@ -61,21 +61,37 @@ object Similarity {
       .hashInt(j * 1000003 + table * 524287 + i * 7919, 42)
       .toDouble / Int.MaxValue.toDouble
 
-  /** Signature = bit pattern of sign(v · plane_i) for i < planes, for one
-    * hash table. The plane is a LITERAL array (dim is sampled from the
-    * data by the caller), so the per-row work is one zip_with dot product
-    * per plane — deriving plane components per row from hash expressions
-    * cost 24 extra hash passes per vector.
+  /** All `tables` signatures in ONE pass over the vector: the plane
+    * matrix is a literal (constant-folded; dim is sampled by the
+    * caller), each element j contributes its products to all
+    * tables×planes dots via one zip_with, a single aggregate sums them
+    * element-wise, and the per-table sign-bit folding happens in the
+    * aggregate's FINISH lambda where the dots vector is a cheap bound
+    * reference. The per-plane formulation this replaces ran
+    * tables×planes separate interpreted aggregates per row (and any
+    * post-hoc slicing of a 24-dot array would re-trigger the
+    * project-collapse duplication documented on minHashSignatures).
+    * Returns array<bigint> of length `tables` (bucket id per table);
+    * dot values — hence buckets and recall — are unchanged.
     */
-  private def signature(vec: Column, table: Int, planes: Int, dim: Int): Column = {
+  private def signaturesAllTables(vec: Column, planes: Int, tables: Int,
+      dim: Int): Column = {
+    val total = planes * tables
+    val matrix = array((0 until dim).map { j =>
+      array((0 until total).map { pi =>
+        lit(planeComponent(pi / planes, pi % planes, j))
+      }: _*)
+    }: _*)
     val vd = transform(vec, x => x.cast("double"))
-    val bits = (0 until planes).map { i =>
-      val plane = array((0 until dim).map(j => lit(planeComponent(table, i, j))): _*)
-      val dot = aggregate(zip_with(vd, plane, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    val products = zip_with(vd, matrix, (x, ps) => transform(ps, p => p * x))
+    aggregate(products,
+      array_repeat(lit(0.0), total),
+      (acc, v) => zip_with(acc, v, (a, b) => a + b),
+      dots => transform(sequence(lit(0), lit(tables - 1)), t =>
+        (0 until planes).map(i =>
+          when(element_at(dots, t * planes + i + 1) >= 0, lit(1L << i))
+            .otherwise(lit(0L)))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b))))
   }
 
   /** (id, vec, table, bucket) rows — one per (vector, hash table) — the
@@ -90,8 +106,8 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"lsh: embedding dim != $dim: "), size(col(vecCol)).cast("string"))))
     df.select(col(idCol).as("id"), checked.as("v"))
-      .select(col("id"), col("v"), posexplode(
-        array((0 until tables).map(t => signature(col("v"), t, planes, dim)): _*)))
+      .select(col("id"), col("v"),
+        posexplode(signaturesAllTables(col("v"), planes, tables, dim)))
       .toDF("id", "v", "tbl", "bucket")
       .repartition(col("tbl"), col("bucket"))
   }
@@ -121,14 +137,14 @@ object Similarity {
         lit(s"lshBucketedTopK: embedding dim != $dim: "), size(v).cast("string"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         checked(col(vecCol)).as("cv"))
-      .select(col("neighbor_id"), col("cv"), posexplode(
-        array((0 until tables).map(t => signature(col("cv"), t, planes, dim)): _*)))
+      .select(col("neighbor_id"), col("cv"),
+        posexplode(signaturesAllTables(col("cv"), planes, tables, dim)))
       .toDF("neighbor_id", "cv", "tbl", "bucket")
     // query probes per table: own bucket + single-bit flips
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), checked(col(vecCol)).as("qv"))
-        .select(col("query_id"), col("qv"), posexplode(
-          array((0 until tables).map(t => signature(col("qv"), t, planes, dim)): _*)))
+        .select(col("query_id"), col("qv"),
+          posexplode(signaturesAllTables(col("qv"), planes, tables, dim)))
         .toDF("query_id", "qv", "tbl", "sig")
         .withColumn("bucket", explode(array(
           (col("sig") +: (0 until planes).map(i =>
