@@ -147,12 +147,19 @@ object Dedup {
     */
   def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, threshold: Double): DataFrame = {
-    val aDocs = docs.select(col(idCol).as("a"), col(textCol).as("__ta"))
-    val bDocs = docs.select(col(idCol).as("b"), col(textCol).as("__tb"))
+    // shingle sets are computed ONCE per doc in the join-side projections
+    // (a doc appearing in m candidate pairs would otherwise rebuild its
+    // n-grams m times); per-pair work is then pure array set math
+    val g = array_distinct(TextFunctions.shingles(col(textCol)))
+    val aDocs = docs.select(col(idCol).as("a"), g.as("__ga"))
+    val bDocs = docs.select(col(idCol).as("b"), g.as("__gb"))
+    val inter = size(array_intersect(col("__ga"), col("__gb")))
+    val union = size(col("__ga")) + size(col("__gb")) - inter
     candidates
       .join(aDocs, Seq("a"))
       .join(bDocs, Seq("b"))
-      .withColumn("jaccard", ngramJaccard(col("__ta"), col("__tb"), 3))
+      .withColumn("jaccard",
+        when(union > 0, inter.cast("double") / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
