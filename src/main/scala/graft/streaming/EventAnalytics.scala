@@ -119,8 +119,14 @@ object EventAnalytics {
             }
             open.foreach { s =>
               state.update(s)
-              // close the session `gap` after its last event (event time)
-              state.setTimeoutTimestamp(s.end.getTime + gapSeconds * 1000)
+              // close the session `gap` after its last event (event time).
+              // An event admitted within `lateness` can still leave
+              // end+gap BEHIND the current watermark — Spark rejects a
+              // timeout ≤ watermark, so clamp forward: the session then
+              // closes at the next trigger instead of killing the query.
+              val target = s.end.getTime + gapSeconds * 1000
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(target, wm + 1))
             }
             closed.result().iterator
           }
