@@ -351,7 +351,8 @@ object SparkEntry {
     "q_ingest_stats" -> ((s, dir) => {
       val wh = ingestWarehouse(s, dir)
       new graft.sinks.Warehouse(s, wh).table("stats")
-        .select(col("layer_table"), col("geometry_type"), col("feature_count"))
+        .select(col("layer_table"), col("geometry_type"), col("feature_count"),
+          col("min_lon"), col("max_lon"), col("min_lat"), col("max_lat"))
     }),
 
     "q_ingest_meta" -> ((s, dir) => {
@@ -646,11 +647,23 @@ object SparkEntry {
         |FROM src ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_ingest_stats" ->
-      """SELECT * FROM (
+      """WITH src AS (
+        |  SELECT l_quantity, l_discount FROM (
+        |    SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000)),
+        |b AS (
+        |  SELECT min(l_quantity) AS mn_lon, max(l_quantity) AS mx_lon,
+        |         min(l_discount) AS mn_lat, max(l_discount) AS mx_lat
+        |  FROM src)
+        |SELECT * FROM (
         |  SELECT 'node' AS layer_table, 'Point' AS geometry_type,
-        |         CAST(1000 AS BIGINT) AS feature_count
+        |         CAST(1000 AS BIGINT) AS feature_count,
+        |         mn_lon AS min_lon, mx_lon AS max_lon,
+        |         mn_lat AS min_lat, mx_lat AS max_lat
+        |  FROM b
         |  UNION ALL
-        |  SELECT 'edge', 'LineString', CAST(1000 AS BIGINT)
+        |  SELECT 'edge', 'LineString', CAST(1000 AS BIGINT),
+        |         mn_lon, mx_lon, mn_lat, mx_lat
+        |  FROM b
         |) ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_ingest_meta" ->

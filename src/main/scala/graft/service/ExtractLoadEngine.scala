@@ -188,20 +188,40 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
     if (dot > 0) base.substring(0, dot) else base
   }
 
+  /** Anchor position of a feature: the first (lon, lat) pair in its
+    * coordinates tree at any nesting depth — the basis for the stats
+    * bbox (SURVEY A3: count + min/max lon/lat). Regex over the
+    * coordinates JSON: skip leading '['s, capture the first two
+    * numbers.
+    */
+  private def anchor(featureJson: org.apache.spark.sql.Column) = {
+    val coords = get_json_object(featureJson, "$.geometry.coordinates")
+    val lon = regexp_extract(coords,
+      "^\\[+\\s*(-?[0-9.eE+]+)", 1).cast("double")
+    val lat = regexp_extract(coords,
+      "^\\[+\\s*-?[0-9.eE+]+\\s*,\\s*(-?[0-9.eE+]+)", 1).cast("double")
+    (lon, lat)
+  }
+
   /** A3 replacement: the reference calls an opaque stored procedure
     * (`content.tdei_update_osw_stats`); this engine's contract is a
     * per-dataset aggregation — feature counts per layer table and
-    * geometry type. One shuffle (the groupBy), partial aggregation
-    * map-side, computed from the already-cached parsed features.
+    * geometry type, plus the bounding box of feature anchor positions.
+    * One shuffle (the groupBy), partial aggregation map-side, computed
+    * from the already-cached parsed features.
     */
   private def updateStats(datasetId: String,
       features: org.apache.spark.sql.Dataset[graft.sources.ParsedRecord]): Unit = {
     val tableByLayer = typedLit(Layer.all.map(l => l.name -> l.table).toMap)
+    val (lon, lat) = anchor($"feature")
     val stats = features
       .select(element_at(tableByLayer, $"layer").as("layer_table"),
-        get_json_object($"feature", "$.geometry.type").as("geometry_type"))
+        get_json_object($"feature", "$.geometry.type").as("geometry_type"),
+        lon.as("__lon"), lat.as("__lat"))
       .groupBy($"layer_table", $"geometry_type")
-      .agg(count(lit(1)).as("feature_count"))
+      .agg(count(lit(1)).as("feature_count"),
+        min($"__lon").as("min_lon"), max($"__lon").as("max_lon"),
+        min($"__lat").as("min_lat"), max($"__lat").as("max_lat"))
       .withColumn("tdei_dataset_id", lit(datasetId))
     warehouse.upsertByDataset("stats", stats)
   }
@@ -211,17 +231,21 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
     */
   def updateStats(datasetId: String): Unit = {
     val perLayer = Layer.all.map(_.table).distinct.flatMap { t =>
-      if (warehouse.partitionExists(t, datasetId))
+      if (warehouse.partitionExists(t, datasetId)) {
+        val (lon, lat) = anchor($"feature")
         Some(spark.read.schema(warehouse.tableSchema(t)).parquet(warehouse.partitionPath(t, datasetId))
           .select(lit(t).as("layer_table"),
-            get_json_object($"feature", "$.geometry.type").as("geometry_type")))
-      else None
+            get_json_object($"feature", "$.geometry.type").as("geometry_type"),
+            lon.as("__lon"), lat.as("__lat")))
+      } else None
     }
     if (perLayer.isEmpty) return
     val all = perLayer.reduce(_ unionAll _)
     val stats = all
       .groupBy($"layer_table", $"geometry_type")
-      .agg(count(lit(1)).as("feature_count"))
+      .agg(count(lit(1)).as("feature_count"),
+        min($"__lon").as("min_lon"), max($"__lon").as("max_lon"),
+        min($"__lat").as("min_lat"), max($"__lat").as("max_lat"))
       .withColumn("tdei_dataset_id", lit(datasetId))
     warehouse.upsertByDataset("stats", stats)
   }

@@ -174,6 +174,10 @@ object Warehouse {
       StructField("layer_table", StringType),
       StructField("geometry_type", StringType),
       StructField("feature_count", LongType),
+      StructField("min_lon", DoubleType),
+      StructField("max_lon", DoubleType),
+      StructField("min_lat", DoubleType),
+      StructField("max_lat", DoubleType),
       StructField("tdei_dataset_id", StringType))),
     "response" -> StructType(Seq(
       StructField("messageId", StringType),
