@@ -196,10 +196,14 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
     */
   private def anchor(featureJson: org.apache.spark.sql.Column) = {
     val coords = get_json_object(featureJson, "$.geometry.coordinates")
+    // number class includes exponent signs ("1.0E-5"); try_cast because a
+    // geometry-less/malformed feature yields "" and ANSI cast would fail
+    // the whole stats job for one bad row
+    val num = "[-+0-9.eE]+"
     val lon = regexp_extract(coords,
-      "^\\[+\\s*(-?[0-9.eE+]+)", 1).cast("double")
+      s"^\\[+\\s*($num)", 1).try_cast("double")
     val lat = regexp_extract(coords,
-      "^\\[+\\s*-?[0-9.eE+]+\\s*,\\s*(-?[0-9.eE+]+)", 1).cast("double")
+      s"^\\[+\\s*$num\\s*,\\s*($num)", 1).try_cast("double")
     (lon, lat)
   }
 

@@ -1,0 +1,65 @@
+package graft.tools
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev main: ingest a deliberately large archive (default 1M features
+  * across two layers, ~250 MB of GeoJSON) through the full engine to
+  * demonstrate the bounded-memory streaming claim — the archive is
+  * parsed feature-by-feature off a ZipInputStream, so executor memory
+  * stays flat regardless of archive size.
+  * Run: `sbt "runMain graft.tools.ScaleSmoke [featuresPerLayer]"`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500000)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val zipFile = java.nio.file.Files.createTempFile("graft-scale", ".zip").toFile
+    val t0 = System.nanoTime()
+    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    def entry(name: String, geom: Int => String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write("""{"type":"FeatureCollection","name":"scale","features":[""".getBytes("UTF-8"))
+      var i = 0
+      while (i < n) {
+        val sep = if (i == 0) "" else ","
+        zos.write((sep +
+          s"""{"type":"Feature","geometry":${geom(i)},"properties":{"_id":"f$i","idx":$i,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}}""")
+          .getBytes("UTF-8"))
+        i += 1
+      }
+      zos.write("]}".getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("nodes.geojson",
+      i => s"""{"type":"Point","coordinates":[${i * 1e-5}, ${i * 2e-5}, ${i % 9}]}""")
+    entry("edges.geojson",
+      i => s"""{"type":"LineString","coordinates":[[${i * 1e-5},1.0,5.0],[2.0,${i * 2e-5},6.0]]}""")
+    zos.close()
+    println(f"archive: ${zipFile.length() / 1e6}%.1f MB, built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-scale-wh").toString
+    val engine = new graft.service.ExtractLoadEngine(spark, wh)
+    val t1 = System.nanoTime()
+    val resp = engine.processRequest(graft.model.QueueMessage("scale|1", "wf",
+      graft.model.ExtractLoadRequest("osw", zipFile.getAbsolutePath, "scale_ds", "smoke")))
+    val secs = (System.nanoTime() - t1) / 1e9
+    require(resp.success, resp.message)
+    val nodes = engine.warehouse.table("node").count()
+    val edges = engine.warehouse.table("edge").count()
+    val rt = Runtime.getRuntime
+    println(f"ingest: $secs%.1f s, ${2L * n / secs}%.0f features/s, " +
+      f"nodes=$nodes edges=$edges, heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    require(nodes == n && edges == n)
+    zipFile.delete()
+    spark.stop()
+  }
+}
