@@ -206,7 +206,8 @@ object SparkEntry {
         countDistinct(col("user_id")).as("users"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
+        // integer-cents sum: exact under any fold order / engine version
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))),
 
     // ---- event-stream analytics (batch forms; streaming variants share
     // the same semantics and are pinned by EventAnalyticsSpec) ----------
@@ -214,7 +215,7 @@ object SparkEntry {
     "q_window_agg" -> ((s, dir) =>
       graft.streaming.EventAnalytics.windowedCounts(events(s, dir), "5 minutes")
         .select(unix_timestamp(col("window_start")).cast("long").as("window_epoch"),
-          col("event_type"), col("cnt"), col("sum_value"))),
+          col("event_type"), col("cnt"), col("sum_value_cents"))),
 
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.EventAnalytics.sessionize(events(s, dir), gapSeconds = 600)),
@@ -492,13 +493,13 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS users,
         |  min(value) AS min_value,
         |  max(value) AS max_value,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
         |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_window_agg" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_epoch,
         |  event_type, count(*) AS cnt,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
         |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_sessionize" ->

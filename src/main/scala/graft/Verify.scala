@@ -24,8 +24,12 @@ object Verify {
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       try {
-        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         val work = Future {
+          // Job group must be set on the EXECUTING thread: Spark local
+          // properties are inherited at thread creation, so setting it on
+          // the main thread leaves pooled workers in a stale group and
+          // cancelJobGroup would miss the hung job.
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           val df = fn(spark, sfDir)
           // Canonical row order: every oracle ends with ORDER BY ALL NULLS
           // FIRST (left-to-right over the projection); sort the Spark side
@@ -35,6 +39,7 @@ object Verify {
               org.apache.spark.sql.functions.col(c).asc_nulls_first): _*)
             catch { case _: Throwable => df } // unorderable col types
           sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          spark.sparkContext.clearJobGroup()
         }
         Await.result(work, timeoutSec.seconds)
       } catch {

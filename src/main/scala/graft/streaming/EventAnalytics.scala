@@ -32,9 +32,12 @@ object EventAnalytics {
     events
       .groupBy(window(col("ts"), windowExpr).as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        // value is summed as integer cents: a long sum is exact under any
+        // fold order and any engine, where a double->decimal cast sum is
+        // engine-rounding-sensitive (divide by 100 for display)
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
       .select(col("w.start").as("window_start"), col("event_type"),
-        col("cnt"), col("sum_value"))
+        col("cnt"), col("sum_value_cents"))
 
   /** Streaming form: watermarked so state for windows older than
     * `lateness` is dropped (late events beyond it are ignored).

@@ -38,11 +38,11 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "2024-01-01 00:06:00", "view", 8.0))
     val got = EventAnalytics.windowedCounts(df, "5 minutes")
       .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
-        r.getLong(2), r.getDecimal(3).doubleValue)).toSet
+        r.getLong(2), r.getLong(3))).toSet
     assert(got == Set(
-      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
-      ("2024-01-01 00:05:00.0", "click", 1L, 4.0),
-      ("2024-01-01 00:05:00.0", "view", 1L, 8.0)))
+      ("2024-01-01 00:00:00.0", "click", 2L, 300L),
+      ("2024-01-01 00:05:00.0", "click", 1L, 400L),
+      ("2024-01-01 00:05:00.0", "view", 1L, 800L)))
   }
 
   test("batch sessionize splits on gaps, fractional seconds respected") {
