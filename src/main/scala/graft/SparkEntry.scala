@@ -277,8 +277,9 @@ object SparkEntry {
           Dedup.ngramJaccard(col("a_text"), col("b_text"), 3).as("jac"))
     }),
 
-    // rows-only (minhash/simhash use Spark's xxhash64 — not reproducible
-    // in DuckDB SQL; the unit suite pins their semantics instead)
+    // oracle-checked end-to-end: both pipelines are built on md5-derived
+    // hashes, so signature → band/block → candidates → verification is
+    // replicated verbatim in the DuckDB oracle SQL
     "q_minhash_near_dup" -> ((s, dir) =>
       Dedup.minHashNearDupPairs(docsWithNearDups(s, dir), "doc_id", "text",
         threshold = 0.8)),
@@ -431,6 +432,27 @@ object SparkEntry {
 
   private val Toks =
     raw"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"
+
+  /** DuckDB replica of TextFunctions.md5Hash60 (same 60-bit integer). */
+  private def H60(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15))::UBIGINT AS BIGINT)"
+
+  /** DuckDB replica of the docsWithNearDups fixture. */
+  private val NearDupDocs =
+    """SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' extraword' FROM documents
+      |  WHERE doc_id < 20""".stripMargin
+
+  /** The 64 minhash lanes with the SAME (a,b) universal-hash parameters
+    * the Spark pipeline uses (Dedup.hashParams is seed-fixed): per lane,
+    * min of (a*x+b) mod p over the doc's shingle hashes, sentinel p for
+    * shingle-less docs — exactly Dedup.minHashSignatures' fold.
+    */
+  private def MinhashSigLanes: String =
+    Dedup.hashParams(64).map { case (a, b) =>
+      s"coalesce(list_min(list_transform(xs, x -> ($a*x + $b) % ${Dedup.HashPrime})), ${Dedup.HashPrime})"
+    }.mkString("[\n      ", ",\n      ", "]")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -633,6 +655,83 @@ object SparkEntry {
          |         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
          |    ELSE 0.0 END AS jac
          |FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Full MinHash-LSH replica: shingle → md5-60-bit hash mod p → 64
+    // seed-fixed universal-hash minima → 16 bands of 4 → md5 band sig →
+    // capped buckets → candidate pairs → exact-Jaccard verify. Mirrors
+    // Dedup.minHashSignatures/minHashNearDupPairs lane for lane.
+    "q_minhash_near_dup" ->
+      s"""WITH all_docs AS (
+         |  $NearDupDocs),
+         |tk AS (SELECT id, $Toks AS toks FROM all_docs),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(toks) >= 3
+         |    THEN list_distinct(list_transform(
+         |           generate_series(1, len(toks) - 2),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |    ELSE [] END AS gs
+         |  FROM tk),
+         |hx AS (
+         |  SELECT id, gs,
+         |    list_transform(gs, s -> ${H60("s")} % ${Dedup.HashPrime}) AS xs
+         |  FROM sh),
+         |sig AS (SELECT id, $MinhashSigLanes AS sig FROM hx),
+         |banded AS (
+         |  SELECT id, bnd.band,
+         |    md5(array_to_string(
+         |      list_slice(sig, bnd.band * 4 + 1, bnd.band * 4 + 4), ',')) AS band_sig
+         |  FROM sig CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 15)) AS band) bnd),
+         |okb AS (
+         |  SELECT band, band_sig FROM banded GROUP BY 1, 2
+         |  HAVING count(*) > 1 AND count(*) <= 1000),
+         |inb AS (SELECT banded.* FROM banded JOIN okb USING (band, band_sig)),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS a, r.id AS b
+         |  FROM inb l JOIN inb r
+         |    ON l.band = r.band AND l.band_sig = r.band_sig AND l.id < r.id),
+         |jac AS (
+         |  SELECT cand.a, cand.b,
+         |    CASE WHEN len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) > 0
+         |      THEN CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |           / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))
+         |      ELSE 0.0 END AS jaccard
+         |  FROM cand JOIN hx ga ON ga.id = cand.a JOIN hx gb ON gb.id = cand.b)
+         |SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.8
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Full SimHash replica: token → md5-60-bit hash → per-bit majority
+    // simhash (bits 60-63 are always 0 for a 60-bit hash, so folding
+    // 0..59 equals the Spark side's 64-lane fold) → 4 16-bit pigeonhole
+    // blocks → capped buckets → bit_count-verified pairs.
+    "q_simhash_near_dup" ->
+      s"""WITH all_docs AS (
+         |  $NearDupDocs),
+         |tk AS (SELECT id, $Toks AS toks FROM all_docs),
+         |hx AS (SELECT id, list_transform(toks, t -> ${H60("t")}) AS hs FROM tk),
+         |sims AS (
+         |  SELECT id, CAST(coalesce(list_sum(list_transform(
+         |    generate_series(0, 59),
+         |    j -> CASE WHEN 2 * CAST(coalesce(
+         |           list_sum(list_transform(hs, h -> (h >> j) & 1)), 0) AS BIGINT)
+         |           > len(hs)
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS sh
+         |  FROM hx),
+         |blocks AS (
+         |  SELECT id, sh, blk.i AS block, (sh >> (blk.i * 16)) & 65535 AS block_val
+         |  FROM sims CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 3)) AS i) blk),
+         |okb AS (
+         |  SELECT block, block_val FROM blocks GROUP BY 1, 2
+         |  HAVING count(*) > 1 AND count(*) <= 1000),
+         |inb AS (SELECT blocks.* FROM blocks JOIN okb USING (block, block_val)),
+         |pairs AS (
+         |  SELECT DISTINCT l.id AS a, r.id AS b,
+         |    CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS distance
+         |  FROM inb l JOIN inb r
+         |    ON l.block = r.block AND l.block_val = r.block_val AND l.id < r.id)
+         |SELECT a, b, distance FROM pairs WHERE distance <= 3
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_ingest_nodes" ->

@@ -103,16 +103,32 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** 60-bit integer hash derived from md5: the first 15 hex digits of
+    * md5(s) parsed base-16. Used as the token/shingle hash for minhash
+    * and simhash INSTEAD of xxhash64 deliberately: the exact same value
+    * is computable in any SQL engine with an md5 function (DuckDB:
+    * `('0x' || substring(md5(s), 1, 15))::UBIGINT`), so the whole
+    * signature → band → candidate pipeline is replicable by an external
+    * oracle. md5 costs ~2-3× xxhash64 per call but stays a codegen'd
+    * narrow map — hashing is not the bottleneck of any shuffle-bound
+    * dedup stage. Always non-negative (60 bits < 2^63).
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash over token hashes: bit j of the result is 1 iff a
-    * majority of tokens have bit j set in their xxhash64. Pure
-    * expressions, no shuffle. Single hash pass: tokens are hashed ONCE
-    * into an array, then one `aggregate` accumulates all 64 bit-counts
-    * per token (zip_with against a constant index array) — the previous
-    * formulation ran 64 filter passes each re-computing xxhash64,
-    * O(64·hash) per token instead of O(hash + 64 adds).
+    * majority of tokens have bit j set in their [[md5Hash60]] (bits
+    * 60-63 are always 0, so the effective fingerprint is 60 bits —
+    * negligible for near-dup discrimination, and the hash stays
+    * oracle-replicable). Pure expressions, no shuffle. Single hash
+    * pass: tokens are hashed ONCE into an array, then one `aggregate`
+    * accumulates all 64 bit-counts per token (zip_with against a
+    * constant index array) — the previous formulation ran 64 filter
+    * passes each re-computing the hash, O(64·hash) per token instead
+    * of O(hash + 64 adds).
     */
   def simhash64(text: Column): Column =
-    simhash64FromHashes(transform(tokens(text), t => xxhash64(t)))
+    simhash64FromHashes(transform(tokens(text), t => md5Hash60(t)))
 
   /** SimHash from an already-hashed token array (`array<bigint>`). Use a
     * projected hash column when composing several simhash-derived

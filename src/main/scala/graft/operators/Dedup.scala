@@ -50,8 +50,8 @@ object Dedup {
     * hashed input are kept under 2^31 so a_i*x + b_i stays well below
     * 2^63 — no 64-bit overflow under ANSI mode.
     */
-  private val HashPrime = 2147483647L // 2^31 - 1
-  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+  private[graft] val HashPrime = 2147483647L // 2^31 - 1
+  private[graft] def hashParams(numHashes: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(numHashes)(((rnd.nextInt(Int.MaxValue - 1) + 1).toLong | 1L,
       rnd.nextInt(Int.MaxValue).toLong))
@@ -82,8 +82,10 @@ object Dedup {
     docs
       .select(col(idCol).as("id"),
         aggregate(
+          // md5-derived shingle hash (not xxhash64): replicable in any
+          // engine, so the signatures are externally oracle-checkable
           transform(array_distinct(TextFunctions.shingles(col(textCol))),
-            s => pmod(xxhash64(s), lit(HashPrime))),
+            s => pmod(TextFunctions.md5Hash60(s), lit(HashPrime))),
           array_repeat(lit(HashPrime), numHashes),
           (acc, x) => zip_with(acc, abArr,
             (m, ab) => least(m, pmod(ab("a") * x + ab("b"), lit(HashPrime)))))
@@ -115,9 +117,14 @@ object Dedup {
     // and both self-join sides all reuse — without it the signature
     // pipeline (a pure projection since the single-pass rewrite) would
     // be recomputed three times.
+    // band signature = md5 of the comma-joined signature slice (NOT
+    // Spark's murmur3 `hash`: md5-of-rendered-longs is the one band
+    // hash every engine computes identically)
     val banded = sigs.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+        b => md5(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            x => x.cast("string")))))))
       .toDF("id", "band", "band_sig")
       .repartition(col("band"), col("band_sig"))
 
@@ -214,7 +221,8 @@ object Dedup {
     // hash array (keeps the 64-bit-count pass off re-hashed tokens)
     val hashed = docs
       .select(col(idCol).as("id"),
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+        transform(TextFunctions.tokens(col(textCol)),
+          t => TextFunctions.md5Hash60(t)).as("hs"))
       .select(col("id"), TextFunctions.simhash64FromHashes(col("hs")).as("sh"))
     // single `sh` reference in the generator + one Exchange on the
     // bucket key shared by the size-filter branch and both join sides
