@@ -50,8 +50,15 @@ object Bench {
       import scala.concurrent.ExecutionContext.Implicits.global
       val t0 = System.nanoTime()
       try {
-        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        Await.result(Future { fn(spark, sfDir).count() }, timeoutSec.seconds)
+        Await.result(Future {
+          // set on the EXECUTING thread: local properties are inherited
+          // at thread creation, so a main-thread setJobGroup leaves
+          // pooled workers in a stale group and the timeout cancel
+          // below would miss the hung job
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).count()
+          finally spark.sparkContext.clearJobGroup()
+        }, timeoutSec.seconds)
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case _: java.util.concurrent.TimeoutException =>
@@ -59,7 +66,7 @@ object Bench {
           errors(name) = s"timeout after ${timeoutSec}s"
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-      } finally spark.sparkContext.clearJobGroup()
+      }
     }
     // A2 parity: per-stage wall times for one fixture ingest (the
     // reference's console.time points: pre_clean, parse, writes, stats).
@@ -77,7 +84,12 @@ object Bench {
     val st = stages.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"load_stages":$st,"sf":${jsonStr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"load_stages":$st,"sf":${jsonStr(sfDir)}}"""
+    println(line)
+    // Also persist to a file: the stdout line rides inside sbt's [info]
+    // noise and has proven fragile to parse driver-side.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), line + "\n")
     spark.stop()
   }
 

@@ -251,7 +251,8 @@ object SparkEntry {
       .select(col("doc_id"),
         TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))),
 
-    // rows-only: winnowing uses Spark's xxhash64 (not in DuckDB)
+    // oracle-checked: the polynomial rolling hash is mod-2^64 ring math,
+    // replicated positionally in DuckDB HUGEINT (see WinnowWeights)
     "q_winnowing" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
         size(TextFunctions.winnowingFingerprints(col("text")))
@@ -444,6 +445,18 @@ object SparkEntry {
       |  SELECT doc_id + 100000, text || ' extraword' FROM documents
       |  WHERE doc_id < 20""".stripMargin
 
+  /** Winnowing gram-hash polynomial weights: B^(k-1-j) mod 2^64 for
+    * k = 8 — Scala's wrapping Long arithmetic IS mod-2^64 ring math, so
+    * the rolling recurrence in TextFunctions.winnow equals this direct
+    * positional formula, replicable in DuckDB HUGEINT with an explicit
+    * mod (each term < 2^17 · 2^64 < 2^81, safely inside HUGEINT).
+    */
+  private val WinnowWeights: Seq[String] = {
+    val B = 1000003L
+    (0 until 8).map(j => java.lang.Long.toUnsignedString(
+      (0 until (7 - j)).foldLeft(1L)((acc, _) => acc * B)))
+  }
+
   /** The 64 minhash lanes with the SAME (a,b) universal-hash parameters
     * the Spark pipeline uses (Dedup.hashParams is seed-fixed): per lane,
     * min of (a*x+b) mod p over the doc's shingle hashes, sentinel p for
@@ -455,8 +468,9 @@ object SparkEntry {
     }.mkString("[\n      ", ",\n      ", "]")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (minhash/simhash xxhash64, float-fold similarity) → rows-only check.
+    * the same parquet tables. Omitted only for float-fold similarity
+    * queries (engine-specific fold order; the integer-quantized
+    * q_knn_exact_int covers the exact-kNN semantics) → rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
 
@@ -616,6 +630,38 @@ object SparkEntry {
          |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
          |    AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Winnowing replica: k=8-char gram hashes by the positional
+    // polynomial (weights = B^(k-1-j) mod 2^64; equal to the Scala
+    // rolling recurrence under wrapping arithmetic), reduced to signed
+    // BIGINT, w=4 sliding-window minima, distinct count per doc.
+    "q_winnowing" -> {
+      val terms = (0 until 8)
+        .map(j => s"cp[i+$j] * ${WinnowWeights(j)}::HUGEINT").mkString(" + ")
+      raw"""WITH canon AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c
+         |  FROM documents),
+         |cps AS (
+         |  SELECT doc_id, list_transform(string_split(c, ''), ch -> unicode(ch)) AS cp
+         |  FROM canon),
+         |grams AS (
+         |  SELECT doc_id, list_transform(
+         |    list_transform(generate_series(1, len(cp) - 7),
+         |      i -> ($terms) % 18446744073709551616),
+         |    x -> CAST(CASE WHEN x >= 9223372036854775808
+         |         THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS g
+         |  FROM cps),
+         |mins AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(g) = 0 THEN []
+         |         WHEN len(g) >= 4 THEN list_transform(
+         |           generate_series(1, len(g) - 3),
+         |           j -> list_min(list_slice(g, j, j + 3)))
+         |         ELSE [list_min(g)] END AS m
+         |  FROM grams)
+         |SELECT doc_id, CAST(len(list_distinct(m)) AS BIGINT) AS n_prints
+         |FROM mins ORDER BY ALL NULLS FIRST""".stripMargin
+    },
 
     "q_dedup_groups" ->
       s"""WITH all_docs AS (

@@ -99,9 +99,21 @@ object Similarity {
     * Dedup.embeddingNearDupPairs. Dim is sampled once driver-side so the
     * hyperplanes fold to literals; mismatched vectors fail fast.
     */
+  /** One driver-side peek at the first vector's length, with clear
+    * failures for the two degenerate corpora a bare `first()` would turn
+    * into NoSuchElement/NullPointer exceptions.
+    */
+  private def peekDim(df: DataFrame, vecCol: String, who: String): Int = {
+    val head = df.select(size(col(vecCol))).head(1)
+    require(head.nonEmpty, s"$who: empty corpus — cannot derive embedding dim")
+    require(!head(0).isNullAt(0) && head(0).getInt(0) >= 0,
+      s"$who: first row has a null $vecCol — cannot derive embedding dim")
+    head(0).getInt(0)
+  }
+
   private[operators] def lshBuckets(df: DataFrame, idCol: String,
       vecCol: String, planes: Int, tables: Int): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val dim = peekDim(df, vecCol, "lshBuckets")
     val checked = when(size(col(vecCol)) === dim, col(vecCol))
       .otherwise(raise_error(concat(
         lit(s"lsh: embedding dim != $dim: "), size(col(vecCol)).cast("string"))))
@@ -131,7 +143,7 @@ object Similarity {
     // One driver-side peek fixes the dimension so the hyperplanes fold
     // to literals; a mismatched vector then fails fast instead of
     // silently hashing to bucket 0 (null-padded zip_with).
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dim = peekDim(corpus, vecCol, "lshBucketedTopK")
     def checked(v: Column): Column =
       when(size(v) === dim, v).otherwise(raise_error(concat(
         lit(s"lshBucketedTopK: embedding dim != $dim: "), size(v).cast("string"))))

@@ -22,9 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types salting is sound for: the small side is replicated once
+    * per salt value, so any join that can emit UNMATCHED small-side rows
+    * (right/full outer) would emit each of them `salt` times.
+    */
+  private val SoundJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(SoundJoinTypes.contains(normalized),
+      s"saltedEquiJoin supports inner/left-style joins only (got '$joinType'): " +
+        "with right/full outer each unmatched small-side row is replicated " +
+        "once per salt value and would be emitted salt times")
     val bigCols = big.columns
     val salted = big.withColumn("__salt",
       pmod(hash(bigCols.map(col): _*), lit(salt)))
@@ -39,7 +51,11 @@ object SkewJoin {
     */
   def saltedEquiJoinHotKeys(big: DataFrame, small: DataFrame, key: String,
       hotKeys: Seq[Any], salt: Int, joinType: String = "inner"): DataFrame = {
-    val isHot: Column = col(key).isin(hotKeys: _*)
+    // null keys route to the COLD branch: isin() evaluates to null for a
+    // null key, so a plain !isHot filter would drop null-key rows from
+    // both branches — null-safe-compare against true keeps them (they
+    // never equi-match, but a left join must still emit them)
+    val isHot: Column = col(key).isin(hotKeys: _*) <=> lit(true)
     val hot = saltedEquiJoin(big.filter(isHot), small.filter(isHot), key,
       salt, joinType)
     val cold = big.filter(!isHot).join(small.filter(!isHot), Seq(key), joinType)

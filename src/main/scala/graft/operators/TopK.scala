@@ -52,12 +52,23 @@ object TopK {
 
   /** (query_id, rank, neighbor_id, sim) — top k of `scored`, which must
     * have columns (query_id, neighbor_id, sim).
+    *
+    * `neighbor_id` must be an INTEGRAL column (byte/short/int/long; it
+    * is widened to long in the output — the aggregator buffer is typed
+    * `Scored(sim: Double, neighbor_id: Long)`). String or other id
+    * types are rejected with a clear error rather than silently
+    * miscast; all Similarity entry points inherit this requirement.
     */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val idType = scored.schema("neighbor_id").dataType
+    require(Seq("byte", "short", "int", "integer", "bigint", "long")
+        .contains(idType.simpleString),
+      s"topKPerQuery requires an integral neighbor_id column, got " +
+        s"${idType.simpleString}; map ids to integers upstream")
     val agg = udaf(new TopKAggregator(k))
     scored
       .groupBy(col("query_id"))
-      .agg(agg(col("sim"), col("neighbor_id")).as("top"))
+      .agg(agg(col("sim"), col("neighbor_id").cast("long")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))

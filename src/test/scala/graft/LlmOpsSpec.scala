@@ -243,6 +243,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- dates ------------------------------------------------------------
 
+  test("topKPerQuery rejects non-integral ids; lsh guards degenerate corpora") {
+    import spark.implicits._
+    val bad = Seq((1L, "x", 0.5)).toDF("query_id", "neighbor_id", "sim")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TopK.topKPerQuery(bad, 5)
+    }
+    assert(e.getMessage.contains("integral neighbor_id"))
+    val empty = spark.emptyDataset[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.lshBucketedTopK(empty, empty, "vec_id", "embedding", 5)
+    }
+    assert(e2.getMessage.contains("empty corpus"))
+  }
+
   test("TdeiDate.utc formats ISO-8601 with ms and Z; isValid") {
     import spark.implicits._
     val df = Seq("2024-01-02 03:04:05.678", "garbage").toDF("s")

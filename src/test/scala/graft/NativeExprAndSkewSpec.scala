@@ -121,4 +121,22 @@ class NativeExprAndSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("__salt").distinct().count()
     assert(saltSpread > 1)
   }
+
+  test("saltedEquiJoin rejects unsound join types; hot-key variant keeps null keys") {
+    import spark.implicits._
+    val big = Seq((Option(7L), 1), (Option(8L), 2), (Option.empty[Long], 3))
+      .toDF("k", "payload")
+    val small = Seq((7L, "hot")).toDF("k", "label")
+    // right/full outer would emit unmatched small-side rows `salt` times
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(big, small, "k", salt = 4, joinType = "full_outer")
+    }
+    assert(e.getMessage.contains("inner/left-style"))
+    // a null-key row never equi-matches, but a left join must still emit
+    // it — it routes to the cold branch (a plain !isin filter dropped it)
+    val out = SkewJoin.saltedEquiJoinHotKeys(big, small, "k",
+      hotKeys = Seq(7L), salt = 4, joinType = "left")
+    assert(out.count() == 3)
+    assert(out.filter($"k".isNull).count() == 1)
+  }
 }
