@@ -75,16 +75,60 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def writeFeaturesJdbc(url: String, table: String, df: DataFrame,
       batchSize: Int = 1000, maxConnections: Int = 20,
       writerOptions: Map[String, String] = Map.empty,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    Warehouse.mapDbErrors {
+      val bounded =
+        if (df.rdd.getNumPartitions > maxConnections)
+          df.coalesce(maxConnections)
+        else df
+      bounded.write
+        .mode(SaveMode.Append)
+        .option("batchsize", batchSize.toLong)
+        .options(writerOptions) // e.g. createTableColumnTypes for DDL control
+        .jdbc(url, table, props)
+    }
+
+  /** A1 parity on the JDBC target: delete one dataset's rows from the
+    * given tables before re-appending — the reference's
+    * `delete_dataset_records_by_id($1)` pre-clean
+    * (`src/service/extract-load-service.ts:291-295`). Tables that don't
+    * exist yet (first load) are skipped. Driver-side, one connection:
+    * the delete is a single keyed statement per table, not data-volume
+    * work.
+    */
+  def deleteDatasetRecordsJdbc(url: String, datasetId: String,
+      tables: Seq[String],
+      props: java.util.Properties = new java.util.Properties): Unit =
+    Warehouse.mapDbErrors {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try tables.foreach { t =>
+        try {
+          // Spark's JDBC writer creates case-exact quoted identifiers;
+          // quote to match (standard double quotes: Derby + Postgres)
+          val st = conn.prepareStatement(
+            s"""DELETE FROM $t WHERE "tdei_dataset_id" = ?""")
+          try { st.setString(1, datasetId); st.executeUpdate() }
+          finally st.close()
+        } catch {
+          // undefined table: Derby 42X05, Postgres 42P01 — first load
+          case e: java.sql.SQLException
+              if e.getSQLState == "42X05" || e.getSQLState == "42P01" => ()
+        }
+      } finally conn.close()
+    }
+
+  /** Idempotent JDBC re-load: pre-clean the dataset's rows, then append.
+    * Running it twice with the same frame leaves the same row count —
+    * the JDBC-target equivalent of the parquet tables' dynamic partition
+    * overwrite.
+    */
+  def reloadFeaturesJdbc(url: String, table: String, df: DataFrame,
+      datasetId: String, batchSize: Int = 1000, maxConnections: Int = 20,
+      writerOptions: Map[String, String] = Map.empty,
       props: java.util.Properties = new java.util.Properties): Unit = {
-    val bounded =
-      if (df.rdd.getNumPartitions > maxConnections)
-        df.coalesce(maxConnections)
-      else df
-    bounded.write
-      .mode(SaveMode.Append)
-      .option("batchsize", batchSize.toLong)
-      .options(writerOptions) // e.g. createTableColumnTypes for DDL control
-      .jdbc(url, table, props)
+    deleteDatasetRecordsJdbc(url, datasetId, Seq(table), props)
+    writeFeaturesJdbc(url, table, df, batchSize, maxConnections,
+      writerOptions, props)
   }
 
   /** Read a JDBC table back (round-trip / verification path). */
@@ -136,9 +180,49 @@ final class Warehouse(spark: SparkSession, val root: String) {
   }
 }
 
+/** Typed constraint-violation errors — parity with the reference's
+  * `UniqueKeyDbException` / `ForeignKeyDbException` mapping of Postgres
+  * SQLSTATE 23505 / 23503 (`src/database/data-source.ts:98-105`,
+  * `src/constants/pg-error-constants.ts:211,213`). The states are
+  * SQL-standard, so Derby (tests) and Postgres (deploys) map alike.
+  */
+final class UniqueKeyDbException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+final class ForeignKeyDbException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+
 object Warehouse {
 
   private[sinks] val responseLock = new Object
+
+  /** Map constraint-violation SQLStates to typed errors. The original
+    * SQLException may sit anywhere in a SparkException cause chain or a
+    * BatchUpdateException nextException chain — walk both (bounded).
+    */
+  private[sinks] def mapDbErrors[T](body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        val seen = scala.collection.mutable.Set.empty[Throwable]
+        def walk(t: Throwable): Option[java.sql.SQLException] = {
+          if (t == null || seen.size > 50 || !seen.add(t)) return None
+          t match {
+            case s: java.sql.SQLException
+                if s.getSQLState == "23505" || s.getSQLState == "23503" =>
+              Some(s)
+            case s: java.sql.SQLException =>
+              walk(s.getNextException).orElse(walk(s.getCause))
+            case other => walk(other.getCause)
+          }
+        }
+        walk(e) match {
+          case Some(s) if s.getSQLState == "23505" =>
+            throw new UniqueKeyDbException("Duplicate", e)
+          case Some(s) =>
+            throw new ForeignKeyDbException(s.getMessage, e)
+          case None => throw e
+        }
+    }
 
   private def featureSchema = StructType(Seq(
     StructField("feature", StringType),

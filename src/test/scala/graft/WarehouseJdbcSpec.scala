@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sinks.Warehouse
+import graft.sinks.{UniqueKeyDbException, Warehouse}
 
 /** B1 JDBC sink parity: batched append through DataFrameWriter.jdbc
   * round-trips against an embedded Derby database (the same driver-level
@@ -62,5 +62,41 @@ class WarehouseJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .repartition(8)
     wh.writeFeaturesJdbc(url, "content_capped", df, maxConnections = 2)
     assert(wh.readJdbc(url, "content_capped").count() == 100)
+  }
+
+  test("reloadFeaturesJdbc is idempotent per dataset; first load skips the pre-clean") {
+    import spark.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    val ddl = Map("createTableColumnTypes" ->
+      "feature VARCHAR(2000), requested_by VARCHAR(100), tdei_dataset_id VARCHAR(100)")
+    val df = (1 to 100).map(i => (s"f$i", "u", "ds_reload"))
+      .toDF("feature", "requested_by", "tdei_dataset_id")
+    // table doesn't exist yet: the pre-clean must no-op, not fail
+    wh.reloadFeaturesJdbc(url, "content_reload", df.coalesce(1), "ds_reload",
+      writerOptions = ddl)
+    wh.reloadFeaturesJdbc(url, "content_reload", df.coalesce(1), "ds_reload")
+    assert(wh.readJdbc(url, "content_reload").count() == 100)
+    // the pre-clean is keyed: another dataset's rows survive
+    val other = (1 to 5).map(i => (s"o$i", "u", "ds_other"))
+      .toDF("feature", "requested_by", "tdei_dataset_id")
+    wh.reloadFeaturesJdbc(url, "content_reload", other.coalesce(1), "ds_other")
+    wh.reloadFeaturesJdbc(url, "content_reload", df.coalesce(1), "ds_reload")
+    assert(wh.readJdbc(url, "content_reload").count() == 105)
+  }
+
+  test("unique-key violations surface as the typed error (SQLSTATE 23505)") {
+    import spark.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE content_pk (id INT PRIMARY KEY, tdei_dataset_id VARCHAR(50))")
+    finally conn.close()
+    val dup = Seq((1, "ds"), (1, "ds")).toDF("id", "tdei_dataset_id")
+    val ex = intercept[UniqueKeyDbException] {
+      wh.writeFeaturesJdbc(url, "content_pk", dup.coalesce(1))
+    }
+    assert(ex.getMessage == "Duplicate")
   }
 }
