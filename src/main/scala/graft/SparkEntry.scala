@@ -529,13 +529,13 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS users,
         |  min(value) AS min_value,
         |  max(value) AS max_value,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_window_agg" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_epoch,
         |  event_type, count(*) AS cnt,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_sessionize" ->
