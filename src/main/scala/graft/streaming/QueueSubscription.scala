@@ -38,6 +38,14 @@ final class QueueSubscription(
     checkpointDir: String,
     maxConcurrentMessages: Int = 2) {
 
+  /** Serializes micro-batches against `drain()`. Fair, so a drain that
+    * arrived first is not starved by back-to-back batches; interruptible
+    * on the batch side, so `query.stop()`'s interrupt can release a
+    * batch that is still waiting (un-committed → replayed on restart).
+    */
+  private val batchLock = new java.util.concurrent.locks.ReentrantLock(true)
+  @volatile private var active: Option[StreamingQuery] = None
+
   /** The request stream: one row per dropped JSON file. */
   def requestStream: Dataset[QueueMessage] = {
     implicit val enc = Encoders.product[QueueMessage]
@@ -51,16 +59,40 @@ final class QueueSubscription(
     * and stops (the test/drain mode); the default processing-time
     * trigger keeps listening like the reference's live subscription.
     */
-  def start(trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    requestStream.writeStream
+  def start(trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val q = requestStream.writeStream
       .queryName("extract-load-requests")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[QueueMessage], _: Long) =>
+        batchLock.lockInterruptibly()
         // Envelope-only collect; deterministic order within the batch.
-        processAll(batch.collect().toSeq.sortBy(_.messageId))
+        try processAll(batch.collect().toSeq.sortBy(_.messageId))
+        finally batchLock.unlock()
       }
       .start()
+    active = Some(q)
+    q
+  }
+
+  /** Graceful shutdown drain (SURVEY §3.3) — parity with the reference's
+    * SIGTERM handler (`src/model/app-context.ts:28-48`): stop accepting
+    * new work, let the in-flight batch finish (its response rows are
+    * written and its offsets committed), then terminate the query.
+    *
+    * Acquiring `batchLock` waits out the batch that is mid-processing;
+    * `stop()` then interrupts the stream thread before the next batch
+    * can run. A batch that was blocked on the lock is interrupted
+    * un-committed, so the checkpoint replays it on the next `start` —
+    * at-least-once is preserved across a drain.
+    */
+  def drain(timeoutMs: Long = 60000L): Unit = active.foreach { q =>
+    batchLock.lock()
+    try q.stop()
+    finally batchLock.unlock()
+    q.awaitTermination(timeoutMs)
+    active = None
+  }
 
   /** Process a batch of requests with at most `maxConcurrentMessages`
     * in flight — the reference's `maxConcurrentCalls` bound. Individual

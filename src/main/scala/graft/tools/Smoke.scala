@@ -65,6 +65,24 @@ object Smoke {
     println(s"response: $resp")
     Seq("node", "edge", "extension", "extension_file", "dataset", "stats", "response")
       .foreach { t => println(s"== $t =="); engine.warehouse.table(t).show(false) }
+
+    // Streaming intake + graceful drain: drop a request into a watched
+    // dir, start the live subscription, wait for it to process, drain.
+    val reqDir = Files.createTempDirectory("smoke-req")
+    val sub = new graft.streaming.QueueSubscription(
+      spark, engine, reqDir.toString, s"$dir/ck")
+    val req =
+      s"""{"messageId":"m2","messageType":"workflow","data":{"data_type":"osw","file_upload_path":"$zipPath","tdei_dataset_id":"smoke-ds-2","user_id":"smoke-user"}}"""
+    val tmp = Files.createTempFile("req", ".json")
+    Files.writeString(tmp, req)
+    Files.move(tmp, reqDir.resolve("m2.json"))
+    val q = sub.start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (engine.warehouse.table("response").filter("messageId = 'm2'").isEmpty
+        && System.nanoTime() < deadline) Thread.sleep(200)
+    sub.drain()
+    println(s"drained: active=${q.isActive} exception=${q.exception}")
+    engine.warehouse.table("response").show(false)
     spark.stop()
   }
 }

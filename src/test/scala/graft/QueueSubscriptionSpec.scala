@@ -100,6 +100,42 @@ class QueueSubscriptionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(engine.warehouse.table("node").count() == 2) // ds_ok + ds_ok2
   }
 
+  test("drain: in-flight batch completes with its response row, then the query terminates") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val reqDir = Files.createTempDirectory("graft-req-drain")
+    val ckDir = Files.createTempDirectory("graft-ck-drain").toString
+    val wh = Files.createTempDirectory("graft-wh-drain").toString
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val engine = new ExtractLoadEngine(spark, wh) {
+      override def processRequest(msg: QueueMessage): LoadResponse = {
+        entered.countDown()
+        release.await(30, TimeUnit.SECONDS)
+        super.processRequest(msg)
+      }
+    }
+    val sub = new QueueSubscription(spark, engine, reqDir.toString, ckDir)
+    dropRequest(reqDir, "ds_drain", "osw", writeZip())
+    val q = sub.start()
+    assert(entered.await(30, TimeUnit.SECONDS), "batch never started")
+
+    // Drain from another thread while the batch is mid-processing: it
+    // must block until the handler finishes, not interrupt it.
+    val drainer = new Thread(() => sub.drain())
+    drainer.start()
+    Thread.sleep(300)
+    assert(q.isActive, "drain interrupted the in-flight batch")
+
+    release.countDown()
+    drainer.join(30000)
+    assert(!drainer.isAlive, "drain did not return")
+    assert(!q.isActive, "query still active after drain")
+    assert(q.exception.isEmpty, s"drain surfaced ${q.exception}")
+    val resp = engine.warehouse.table("response").collect()
+    assert(resp.length == 1 && resp(0).getAs[Boolean]("success"),
+      "in-flight batch's response row missing after drain")
+  }
+
   test("concurrency is bounded by maxConcurrentMessages") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val inFlight = new AtomicInteger(0)
