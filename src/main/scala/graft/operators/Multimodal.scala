@@ -17,11 +17,14 @@ import org.apache.spark.sql.types._
   * stage; both stream batch-by-batch and hold one record's payload at a
   * time.
   *
-  * The decode step itself (libjpeg/ffmpeg-class work) is STUBBED — the
-  * container has no media libraries — behind `decodeImageStub`: the
-  * Spark-side plumbing (schema, partitioning, batch iteration, output
-  * shape) is real and tested; the pixel math is a deterministic fake
-  * derived from the payload hash, to be swapped for a real decoder.
+  * Image decode (`decodeImage`) is REAL for the formats the JVM ships
+  * codecs for (PNG/GIF/JPEG/BMP via `javax.imageio`, no native deps):
+  * dims come from the decoded raster and the feature vector is a
+  * luminance histogram of the actual pixels. Payloads the JVM cannot
+  * decode (video, exotic codecs) fall back to header-derived dims plus
+  * a deterministic hash-derived pseudo-feature vector with the same
+  * schema — the honest stand-in for ffmpeg-class work this container
+  * can't do, clearly marked per-row by `decoded = false`.
   */
 object Multimodal {
 
@@ -127,41 +130,85 @@ object Multimodal {
   def contentSha256(c: Column): Column = sha2(c, 256)
   def byteLength(c: Column): Column = length(c).cast("long")
 
-  // ---- decode stub (mapPartitions plumbing, fake pixels) ---------------
+  // ---- image decode (mapPartitions, javax.imageio) ---------------------
 
-  /** Output row of the (stubbed) image decode stage. */
+  /** Output row of the image decode stage. `decoded` is true when the
+    * pixels were really decoded; false rows carry header-derived dims
+    * and a deterministic pseudo-feature vector (undecodable payload).
+    */
   case class DecodedImage(
       id: Long, width: Long, height: Long, channels: Int,
-      features: Array[Float])
+      features: Array[Float], decoded: Boolean)
 
-  /** Decode + feature-extract stage. REAL: the distributed shape —
-    * `mapPartitions` streaming (id, payload) records, one in memory at a
-    * time, emitting a typed row per image; this is where a vectorized
-    * decode (batch of payloads → batch of tensors) plugs in. STUB: the
-    * "pixels" — a real decoder is unavailable in this environment, so
-    * width/height come from the actual header bytes (PNG/GIF/JPEG) and
-    * the feature vector is a deterministic hash-derived fake with the
-    * right dtype/shape contract (`dim` floats in [0,1)).
+  /** Decode + feature-extract stage. `mapPartitions` streams (id,
+    * payload) records one in memory at a time — the shape a vectorized
+    * decoder (batch of payloads → batch of tensors) plugs into.
+    *
+    * Decode is `javax.imageio` (pure JVM: PNG, GIF, JPEG, BMP): dims
+    * from the decoded raster, features = `dim`-bin luminance histogram
+    * of the real pixels, normalized to [0,1]. Payloads ImageIO cannot
+    * decode keep the old deterministic fallback — header dims +
+    * md5-derived fake features in [0,1) — flagged `decoded = false`.
     */
-  def decodeImageStub(df: DataFrame, idCol: String, binCol: String,
+  def decodeImage(df: DataFrame, idCol: String, binCol: String,
       dim: Int = 16): Dataset[DecodedImage] = {
+    require(dim > 0, "dim must be positive")
     implicit val enc = Encoders.product[DecodedImage]
     df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
       (rows: Iterator[Row]) =>
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val dims = headerDims(bytes).getOrElse((0L, 0L))
-          // ---- STUB pixel path: hash-derived fake features ----
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest(if (bytes == null) Array.emptyByteArray else bytes)
-          val features = Array.tabulate(dim) { i =>
-            ((md(i % md.length) & 0xFF).toFloat / 256f)
+          realDecode(id, bytes, dim).getOrElse {
+            val dims = headerDims(bytes).getOrElse((0L, 0L))
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(if (bytes == null) Array.emptyByteArray else bytes)
+            val features = Array.tabulate(dim) { i =>
+              ((md(i % md.length) & 0xFF).toFloat / 256f)
+            }
+            DecodedImage(id, dims._1, dims._2, channels = 3, features,
+              decoded = false)
           }
-          DecodedImage(id, dims._1, dims._2, channels = 3, features)
         }
     }
   }
+
+  /** Former name of `decodeImage`, kept for source compatibility. */
+  def decodeImageStub(df: DataFrame, idCol: String, binCol: String,
+      dim: Int = 16): Dataset[DecodedImage] = decodeImage(df, idCol, binCol, dim)
+
+  /** In-JVM decode + luminance-histogram features; None when ImageIO
+    * has no codec for (or chokes on) the payload.
+    */
+  private def realDecode(id: Long, bytes: Array[Byte],
+      dim: Int): Option[DecodedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { bi =>
+        val w = bi.getWidth
+        val h = bi.getHeight
+        val hist = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            // integer Rec.601 luma in [0,255]
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum * dim / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val total = w.toLong * h
+        DecodedImage(id, w.toLong, h.toLong,
+          channels = bi.getColorModel.getNumComponents,
+          features = Array.tabulate(dim)(i => hist(i).toFloat / total),
+          decoded = true)
+      }
+    } catch { case _: Exception => None }
 
   /** Driver-free header parse used by the stub (PNG/GIF/JPEG). */
   private def headerDims(bytes: Array[Byte]): Option[(Long, Long)] = {

@@ -83,6 +83,20 @@ object Smoke {
     sub.drain()
     println(s"drained: active=${q.isActive} exception=${q.exception}")
     engine.warehouse.table("response").show(false)
+
+    // Image decode: a real PNG (ImageIO path) next to an undecodable
+    // header-only payload (fallback path).
+    val bi = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(x => bi.setRGB(x, 0, 0xFF0000))
+    (0 until 4).foreach(x => bi.setRGB(x, 1, 0x00FF00))
+    val pngBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", pngBos)
+    val fakeGif = "GIF89a".getBytes("UTF-8") ++ Array[Byte](10, 0, 20, 0)
+    graft.operators.Multimodal.decodeImage(
+      Seq((1L, pngBos.toByteArray), (2L, fakeGif)).toDF("id", "content"),
+      "id", "content", dim = 4)
+      .toDF().show(false)
     spark.stop()
   }
 }

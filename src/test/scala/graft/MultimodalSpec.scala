@@ -87,9 +87,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(2) == txt.length.toLong)
   }
 
-  test("decodeImageStub: distributed plumbing real, dims from headers, deterministic features") {
-    val out = Multimodal.decodeImageStub(df, "id", "content", dim = 8)
+  test("decodeImage fallback: undecodable payloads keep header dims + deterministic features") {
+    val out = Multimodal.decodeImage(df, "id", "content", dim = 8)
       .collect().map(d => d.id -> d).toMap
+    // fixtures are header-only bytes — ImageIO can't decode them, so
+    // every row takes the honest fallback path
+    assert(out.values.forall(!_.decoded))
     assert(out(1L).width == 64 && out(1L).height == 32)
     assert(out(2L).width == 320 && out(2L).height == 240)
     assert(out(3L).width == 200 && out(3L).height == 100)
@@ -97,9 +100,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.forall(_.features.length == 8))
     assert(out.values.forall(_.features.forall(f => f >= 0f && f < 1f)))
     // determinism: same input → same fake features
-    val again = Multimodal.decodeImageStub(df, "id", "content", dim = 8)
+    val again = Multimodal.decodeImage(df, "id", "content", dim = 8)
       .collect().map(d => d.id -> d.features.toSeq).toMap
     assert(out.map { case (k, v) => k -> v.features.toSeq } == again)
+  }
+
+  test("decodeImage: a real PNG decodes to real pixels and a luminance histogram") {
+    import spark.implicits._
+    // 2×2 checkerboard: black, white / white, black
+    val bi = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, 0x000000); bi.setRGB(1, 0, 0xFFFFFF)
+    bi.setRGB(0, 1, 0xFFFFFF); bi.setRGB(1, 1, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val png = bos.toByteArray
+
+    val d = Multimodal.decodeImage(
+      Seq((7L, png)).toDF("id", "content"), "id", "content", dim = 8)
+      .collect().head
+    assert(d.decoded, "real PNG must take the ImageIO path")
+    assert(d.width == 2 && d.height == 2 && d.channels == 3)
+    // luma 0 → bin 0, luma 255 → bin 7, two pixels each
+    assert(d.features.toSeq == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
   }
 
   test("sampleFrameOffsets: n evenly spaced deterministic offsets") {
