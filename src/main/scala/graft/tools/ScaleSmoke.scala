@@ -60,6 +60,41 @@ object ScaleSmoke {
       f"nodes=$nodes edges=$edges, heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     require(nodes == n && edges == n)
     zipFile.delete()
+
+    // --- dedup at scale: 1M synthetic docs, planted exact + near dups.
+    // Generation is a pure projection over spark.range (distributed, no
+    // driver loop). Per group of 10 docs: ids base..base+7 unique,
+    // base+8 an exact duplicate of base, base+9 a near-dup of base (last
+    // of 30 tokens changed -> word-trigram Jaccard 27/29 ~= 0.931).
+    import org.apache.spark.sql.functions._
+    val nDocs = args.lift(1).map(_.toInt).getOrElse(1000000)
+    val k = col("id") % 10
+    val base = col("id") - k
+    val tokenSeed = when(k >= 8, base).otherwise(col("id"))
+    val toks = (0 until 30).map { j =>
+      val s = if (j == 29) when(k === 9, col("id")).otherwise(tokenSeed)
+              else tokenSeed
+      substring(md5(concat_ws(":", s.cast("string"), lit(j))), 1, 8)
+    }
+    val docs = spark.range(nDocs)
+      .select(col("id"), concat_ws(" ", toks: _*).as("text"))
+    val t2 = System.nanoTime()
+    val kept = graft.operators.Dedup.exactDedup(docs, "id", "text").count()
+    val tExact = (System.nanoTime() - t2) / 1e9
+    require(kept == nDocs - nDocs / 10L, s"exactDedup kept $kept")
+    val t3 = System.nanoTime()
+    val pairs = graft.operators.Dedup
+      .minHashNearDupPairs(docs, "id", "text").count()
+    val tMh = (System.nanoTime() - t3) / 1e9
+    // 3 planted pairs per group (J=1, .931, .931); band recall at
+    // J=.931 with 16 bands x 4 rows is 1-2e-10, so demand near-all.
+    val expected = 3L * (nDocs / 10L)
+    require(pairs <= expected && pairs >= expected - 5,
+      s"minhash pairs $pairs of $expected")
+    println(f"dedup: docs=$nDocs exactKept=$kept in $tExact%.1f s " +
+      f"(${nDocs / tExact}%.0f docs/s), minhashPairs=$pairs in $tMh%.1f s " +
+      f"(${nDocs / tMh}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }
