@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{CorpusAnalysis, Dedup, Multimodal, Similarity}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -289,6 +289,27 @@ object SparkEntry {
       Dedup.simHashNearDupPairs(docsWithNearDups(s, dir), "doc_id", "text",
         maxDistance = 3)),
 
+    // near-dup pairs → connected components → per-doc cluster label
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      Dedup.nearDupClusters(docs, "doc_id",
+        Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8))
+    }),
+
+    // Gopher-style within-doc repetition fractions (2- and 3-grams)
+    "q_repetition" -> ((s, dir) =>
+      CorpusAnalysis.repetitionScores(
+        t(s, dir, "documents"), "doc_id", "text")),
+
+    // train/test decontamination: corpus docs sharing 8-grams with a
+    // benchmark slice (the planted near-dups are the true positives)
+    "q_contamination" -> ((s, dir) => {
+      val all = docsWithNearDups(s, dir)
+      CorpusAnalysis.contamination(
+        all.filter(col("doc_id") >= 20), all.filter(col("doc_id") < 20),
+        "doc_id", "text")
+    }),
+
     // ---- similarity search (rows-only: float fold order is engine-
     // specific; bruteForce vs lsh/ivf recall is unit-tested) -------------
 
@@ -466,6 +487,49 @@ object SparkEntry {
     Dedup.hashParams(64).map { case (a, b) =>
       s"coalesce(list_min(list_transform(xs, x -> ($a*x + $b) % ${Dedup.HashPrime})), ${Dedup.HashPrime})"
     }.mkString("[\n      ", ",\n      ", "]")
+
+  /** The full MinHash-LSH pair pipeline as a CTE list ending in `jac`
+    * (a, b, jaccard) — shared by the q_minhash_near_dup oracle and the
+    * clustering closure in q_dedup_clusters. Mirrors
+    * Dedup.minHashSignatures/minHashNearDupPairs lane for lane.
+    */
+  private def MinhashPairsCtes: String =
+    s"""all_docs AS (
+       |  $NearDupDocs),
+       |tk AS (SELECT id, $Toks AS toks FROM all_docs),
+       |sh AS (
+       |  SELECT id, CASE WHEN len(toks) >= 3
+       |    THEN list_distinct(list_transform(
+       |           generate_series(1, len(toks) - 2),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [] END AS gs
+       |  FROM tk),
+       |hx AS (
+       |  SELECT id, gs,
+       |    list_transform(gs, s -> ${H60("s")} % ${Dedup.HashPrime}) AS xs
+       |  FROM sh),
+       |sig AS (SELECT id, $MinhashSigLanes AS sig FROM hx),
+       |banded AS (
+       |  SELECT id, bnd.band,
+       |    md5(array_to_string(
+       |      list_slice(sig, bnd.band * 4 + 1, bnd.band * 4 + 4), ',')) AS band_sig
+       |  FROM sig CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 15)) AS band) bnd),
+       |okb AS (
+       |  SELECT band, band_sig FROM banded GROUP BY 1, 2
+       |  HAVING count(*) > 1 AND count(*) <= 1000),
+       |inb AS (SELECT banded.* FROM banded JOIN okb USING (band, band_sig)),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS a, r.id AS b
+       |  FROM inb l JOIN inb r
+       |    ON l.band = r.band AND l.band_sig = r.band_sig AND l.id < r.id),
+       |jac AS (
+       |  SELECT cand.a, cand.b,
+       |    CASE WHEN len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) > 0
+       |      THEN CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |           / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))
+       |      ELSE 0.0 END AS jaccard
+       |  FROM cand JOIN hx ga ON ga.id = cand.a JOIN hx gb ON gb.id = cand.b)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for float-fold similarity
@@ -708,43 +772,100 @@ object SparkEntry {
     // capped buckets → candidate pairs → exact-Jaccard verify. Mirrors
     // Dedup.minHashSignatures/minHashNearDupPairs lane for lane.
     "q_minhash_near_dup" ->
+      s"""WITH $MinhashPairsCtes
+         |SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.8
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // MinHash pairs (CTEs shared with q_minhash_near_dup) → symmetric
+    // edge list → recursive min-label closure: DuckDB's WITH RECURSIVE
+    // computes the same fixpoint Dedup.nearDupClusters iterates to.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |prs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT a AS s, b AS d FROM prs
+         |  UNION ALL
+         |  SELECT b, a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM all_docs
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+         |SELECT id, CAST(min(r) AS BIGINT) AS cluster
+         |FROM reach GROUP BY 1
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Gopher-style repetition fractions: per (doc, n) gram counts, then
+    // a conditional-aggregate pivot — same two keyed aggregations as
+    // CorpusAnalysis.repetitionScores.
+    "q_repetition" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |g AS (
+         |  SELECT id, 2 AS n, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END) AS gram FROM tk
+         |  UNION ALL
+         |  SELECT id, 3 AS n, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [] END) AS gram FROM tk),
+         |c AS (SELECT id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         |p AS (SELECT id, n, sum(c) AS total, max(c) AS top,
+         |        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+         |      FROM c GROUP BY 1, 2),
+         |w AS (SELECT id,
+         |  coalesce(max(CASE WHEN n = 2
+         |    THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END), 0.0) AS top2gram_frac,
+         |  coalesce(max(CASE WHEN n = 2
+         |    THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END), 0.0) AS dup2gram_frac,
+         |  coalesce(max(CASE WHEN n = 3
+         |    THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END), 0.0) AS top3gram_frac,
+         |  coalesce(max(CASE WHEN n = 3
+         |    THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END), 0.0) AS dup3gram_frac
+         |  FROM p GROUP BY 1)
+         |SELECT t.id,
+         |  coalesce(w.top2gram_frac, 0.0) AS top2gram_frac,
+         |  coalesce(w.dup2gram_frac, 0.0) AS dup2gram_frac,
+         |  coalesce(w.top3gram_frac, 0.0) AS top3gram_frac,
+         |  coalesce(w.dup3gram_frac, 0.0) AS dup3gram_frac
+         |FROM tk t LEFT JOIN w USING (id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Decontamination: distinct md5-60-bit 8-gram hashes on both sides,
+    // keyed join, per-pair counts — CorpusAnalysis.contamination's plan
+    // in SQL.
+    "q_contamination" ->
       s"""WITH all_docs AS (
          |  $NearDupDocs),
-         |tk AS (SELECT id, $Toks AS toks FROM all_docs),
-         |sh AS (
-         |  SELECT id, CASE WHEN len(toks) >= 3
-         |    THEN list_distinct(list_transform(
-         |           generate_series(1, len(toks) - 2),
-         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-         |    ELSE [] END AS gs
-         |  FROM tk),
-         |hx AS (
-         |  SELECT id, gs,
-         |    list_transform(gs, s -> ${H60("s")} % ${Dedup.HashPrime}) AS xs
-         |  FROM sh),
-         |sig AS (SELECT id, $MinhashSigLanes AS sig FROM hx),
-         |banded AS (
-         |  SELECT id, bnd.band,
-         |    md5(array_to_string(
-         |      list_slice(sig, bnd.band * 4 + 1, bnd.band * 4 + 4), ',')) AS band_sig
-         |  FROM sig CROSS JOIN
-         |    (SELECT unnest(generate_series(0, 15)) AS band) bnd),
-         |okb AS (
-         |  SELECT band, band_sig FROM banded GROUP BY 1, 2
-         |  HAVING count(*) > 1 AND count(*) <= 1000),
-         |inb AS (SELECT banded.* FROM banded JOIN okb USING (band, band_sig)),
-         |cand AS (
-         |  SELECT DISTINCT l.id AS a, r.id AS b
-         |  FROM inb l JOIN inb r
-         |    ON l.band = r.band AND l.band_sig = r.band_sig AND l.id < r.id),
-         |jac AS (
-         |  SELECT cand.a, cand.b,
-         |    CASE WHEN len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) > 0
-         |      THEN CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
-         |           / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))
-         |      ELSE 0.0 END AS jaccard
-         |  FROM cand JOIN hx ga ON ga.id = cand.a JOIN hx gb ON gb.id = cand.b)
-         |SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.8
+         |corp AS (SELECT id, $Toks AS toks FROM all_docs WHERE id >= 20),
+         |bench AS (SELECT id, $Toks AS toks FROM all_docs WHERE id < 20),
+         |cg AS (
+         |  SELECT id, unnest(list_distinct(list_transform(
+         |    CASE WHEN len(toks) >= 8
+         |      THEN list_transform(generate_series(1, len(toks) - 7),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |             toks[i+6] || ' ' || toks[i+7])
+         |      ELSE [] END,
+         |    g -> ${H60("g")}))) AS gh FROM corp),
+         |bg AS (
+         |  SELECT id AS bench_id, unnest(list_distinct(list_transform(
+         |    CASE WHEN len(toks) >= 8
+         |      THEN list_transform(generate_series(1, len(toks) - 7),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |             toks[i+6] || ' ' || toks[i+7])
+         |      ELSE [] END,
+         |    g -> ${H60("g")}))) AS gh FROM bench),
+         |tot AS (SELECT id, count(*) AS doc_ngrams FROM cg GROUP BY 1),
+         |j AS (
+         |  SELECT cg.id, bg.bench_id, count(*) AS shared_ngrams
+         |  FROM cg JOIN bg USING (gh) GROUP BY 1, 2)
+         |SELECT j.id, j.bench_id, j.shared_ngrams, tot.doc_ngrams,
+         |  CAST(j.shared_ngrams AS DOUBLE) / CAST(tot.doc_ngrams AS DOUBLE)
+         |    AS overlap_frac
+         |FROM j JOIN tot USING (id)
+         |WHERE j.shared_ngrams >= 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Full SimHash replica: token → md5-60-bit hash → per-bit majority

@@ -248,4 +248,49 @@ object Dedup {
       .distinct()
       .filter(col("distance") <= maxDistance)
   }
+
+  /** Connected components over near-dup pairs → per-doc cluster labels:
+    * the step that turns pairwise similarity into dedup DECISIONS (keep
+    * the cluster minimum, drop the rest). Returns (id, cluster) for
+    * every doc, cluster = smallest id in the doc's component (singleton
+    * docs label themselves).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min label among itself and its neighbors; rounds needed =
+    * component diameter. Near-dup components are shallow (chains longer
+    * than a few hops mean the threshold is too loose), so the bound is
+    * small in practice; `maxIter` caps the pathological case. Each round
+    * is ONE keyed shuffle (join labels to edges + min-aggregate);
+    * convergence is a bounded count action; `localCheckpoint` truncates
+    * the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    * For adversarially deep graphs swap in the large-star/small-star
+    * rounds of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" (log-diameter rounds) — same per-round shuffle shape.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").cast("long").as("s"), col("b").cast("long").as("d"))
+      .union(pairs.select(col("b").cast("long").as("s"), col("a").cast("long").as("d")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).cast("long").as("id"))
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("d"), col("cluster").as("dl")), Seq("d"))
+        .groupBy(col("s").as("id"))
+        .agg(min(col("dl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = updated.filter(col("cluster") < col("old")).isEmpty
+      labels = updated.select(col("id"), col("cluster"))
+      iter += 1
+    }
+    labels
+  }
 }
