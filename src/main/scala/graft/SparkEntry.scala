@@ -800,16 +800,16 @@ object SparkEntry {
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
          |g AS (
-         |  SELECT id, 2 AS n, unnest(CASE WHEN len(toks) >= 2
+         |  SELECT id, 2 AS n, unnest(list_transform(CASE WHEN len(toks) >= 2
          |    THEN list_transform(generate_series(1, len(toks) - 1),
          |           i -> toks[i] || ' ' || toks[i+1])
-         |    ELSE [] END) AS gram FROM tk
+         |    ELSE [] END, g -> ${H60("g")})) AS gh FROM tk
          |  UNION ALL
-         |  SELECT id, 3 AS n, unnest(CASE WHEN len(toks) >= 3
+         |  SELECT id, 3 AS n, unnest(list_transform(CASE WHEN len(toks) >= 3
          |    THEN list_transform(generate_series(1, len(toks) - 2),
          |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |    ELSE [] END) AS gram FROM tk),
-         |c AS (SELECT id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         |    ELSE [] END, g -> ${H60("g")})) AS gh FROM tk),
+         |c AS (SELECT id, n, gh, count(*) AS c FROM g GROUP BY 1, 2, 3),
          |p AS (SELECT id, n, sum(c) AS total, max(c) AS top,
          |        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
          |      FROM c GROUP BY 1, 2),

@@ -40,11 +40,23 @@ object CorpusAnalysis {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__text"))
+    // grams shuffle as 60-bit md5-derived ints, not strings: the count
+    // key is (id, n, 8-byte hash) regardless of gram length. Identity
+    // only feeds COUNTING, so a (negligible, deterministic) hash
+    // collision shifts a count identically in any engine replicating
+    // the same md5 derivation.
+    // explode_OUTER + a null filter on the generated attribute, not
+    // plain explode: InferFiltersFromGenerate would inject
+    // size(expr)>0 AND isnotnull(expr) below the Generate and predicate
+    // pushdown substitutes the full gram expression into the filter —
+    // evaluating the n-gram pipeline 3x per row. The rule skips outer
+    // generators; the cheap attribute filter restores the semantics.
     val grams = ns.map { n =>
       base.select(col("id"), lit(n).as("n"),
-        explode(TextFunctions.ngrams(col("__text"), n)).as("gram"))
-    }.reduce(_ unionByName _)
-    val counts = grams.groupBy(col("id"), col("n"), col("gram"))
+        explode_outer(transform(TextFunctions.ngrams(col("__text"), n),
+          g => TextFunctions.md5Hash60(g))).as("gh"))
+    }.reduce(_ unionByName _).filter(col("gh").isNotNull)
+    val counts = grams.groupBy(col("id"), col("n"), col("gh"))
       .agg(count(lit(1)).as("c"))
     val perN = counts.groupBy(col("id"), col("n")).agg(
       sum(col("c")).as("total"),
@@ -80,22 +92,33 @@ object CorpusAnalysis {
   def contamination(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       minShared: Int = 1): DataFrame = {
-    def gramHashes(df: DataFrame, as: String) = df
-      .select(col(idCol).cast("long").as(as),
-        explode(array_distinct(transform(
+    // doc_ngrams is a narrow per-row size() computed in the SAME scan
+    // that explodes the grams and carried through the join (8 bytes per
+    // collision row) — not a second corpus scan + groupBy + keyed join
+    // explode_OUTER everywhere (see repetitionScores): the inner-join
+    // equi-key drops the null-gh rows of gram-less docs, and the outer
+    // generator keeps InferFiltersFromGenerate from re-evaluating the
+    // full gram pipeline inside a pushed-down filter.
+    val corpusGrams = corpus
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(transform(TextFunctions.ngrams(col(textCol), n),
+          g => TextFunctions.md5Hash60(g))).as("__ghs"))
+      .select(col("id"), size(col("__ghs")).cast("long").as("doc_ngrams"),
+        explode_outer(col("__ghs")).as("gh"))
+    val benchGrams = bench
+      .select(col(idCol).cast("long").as("bench_id"),
+        explode_outer(array_distinct(transform(
           TextFunctions.ngrams(col(textCol), n),
           g => TextFunctions.md5Hash60(g)))).as("gh"))
-    val corpusGrams = gramHashes(corpus, "id")
-    val benchGrams = gramHashes(bench, "bench_id")
-    val docTotals = corpusGrams.groupBy(col("id"))
-      .agg(count(lit(1)).as("doc_ngrams"))
     corpusGrams
       .join(benchGrams, Seq("gh"))
       .groupBy(col("id"), col("bench_id"))
-      .agg(count(lit(1)).as("shared_ngrams"))
+      .agg(count(lit(1)).as("shared_ngrams"),
+        first(col("doc_ngrams")).as("doc_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
-      .join(docTotals, Seq("id"))
-      .withColumn("overlap_frac",
-        col("shared_ngrams").cast("double") / col("doc_ngrams"))
+      .select(col("id"), col("bench_id"), col("shared_ngrams"),
+        col("doc_ngrams"),
+        (col("shared_ngrams").cast("double") / col("doc_ngrams"))
+          .as("overlap_frac"))
   }
 }

@@ -269,9 +269,13 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").cast("long").as("s"), col("b").cast("long").as("d"))
-      .union(pairs.select(col("b").cast("long").as("s"), col("a").cast("long").as("d")))
-      .localCheckpoint()
+    // materialize the pair pipeline ONCE before symmetrizing — a union
+    // of two selects over un-checkpointed pairs would evaluate the
+    // (potentially expensive) candidate-generation lineage twice
+    val p = pairs.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint()
+    val edges = p.select(col("a").as("s"), col("b").as("d"))
+      .union(p.select(col("b").as("s"), col("a").as("d")))
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .withColumn("cluster", col("id"))
       .localCheckpoint()

@@ -32,6 +32,10 @@ object PlanAudit {
       graft.SparkEntry.queries("q_knn_brute")(spark, sf))
     show("geo_point (native codegen expr)")(
       graft.SparkEntry.queries("q_geo_point")(spark, sf))
+    show("repetition (hashed-gram keyed aggs)")(
+      graft.SparkEntry.queries("q_repetition")(spark, sf))
+    show("contamination (gram-hash equi-join)")(
+      graft.SparkEntry.queries("q_contamination")(spark, sf))
     spark.stop()
   }
 }
