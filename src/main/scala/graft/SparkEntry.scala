@@ -310,6 +310,29 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // deterministic hash sampling (P(keep)=0.1, salt-stable)
+    "q_sample_hash" -> ((s, dir) =>
+      CorpusAnalysis.hashSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", rate = 0.1, salt = "seed1")),
+
+    // data-mixture sampling: per-source keep rates
+    "q_sample_mix" -> ((s, dir) =>
+      CorpusAnalysis.mixtureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        rates = Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25),
+        defaultRate = 0.05, salt = "seed1")),
+
+    // corpus vocabulary: top 50 tokens, deterministic tie-break
+    "q_vocab_topk" -> ((s, dir) =>
+      CorpusAnalysis.topTokens(t(s, dir, "documents"), "text", 50)),
+
+    // sequence chunking: 16-token windows, stride 12
+    "q_chunks" -> ((s, dir) =>
+      CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 16, stride = 12)),
+
     // ---- similarity search (rows-only: float fold order is engine-
     // specific; bruteForce vs lsh/ivf recall is unit-tested) -------------
 
@@ -829,6 +852,49 @@ object SparkEntry {
          |  coalesce(w.top3gram_frac, 0.0) AS top3gram_frac,
          |  coalesce(w.dup3gram_frac, 0.0) AS dup3gram_frac
          |FROM tk t LEFT JOIN w USING (id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Deterministic hash sampling: same md5-60-bit hash, same exact
+    // integer threshold (computed once in Long space, embedded here).
+    "q_sample_hash" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${H60("'seed1:' || CAST(doc_id AS VARCHAR)")}
+         |  < ${CorpusAnalysis.rateThreshold(0.1)}
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_sample_mix" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${H60("'seed1:' || CAST(doc_id AS VARCHAR)")} <
+         |  (CASE source
+         |     WHEN 'src1' THEN ${CorpusAnalysis.rateThreshold(1.0)}
+         |     WHEN 'src2' THEN ${CorpusAnalysis.rateThreshold(0.5)}
+         |     WHEN 'src3' THEN ${CorpusAnalysis.rateThreshold(0.25)}
+         |     ELSE ${CorpusAnalysis.rateThreshold(0.05)} END)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Vocabulary top-k: LIMIT under the (cnt desc, token) order, then
+    // re-sorted by ALL for the order-insensitive compare.
+    "q_vocab_topk" ->
+      s"""SELECT token, cnt FROM (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($Toks) AS token FROM documents)
+         |  GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 50)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Sequence chunking: same window/stride formulas in list math.
+    "q_chunks" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |ch AS (
+         |  SELECT id, CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+         |    CAST(least(16, len(toks) - (u.i - 1) * 12) AS BIGINT) AS chunk_tokens,
+         |    array_to_string(
+         |      list_slice(toks, (u.i - 1) * 12 + 1, (u.i - 1) * 12 + 16),
+         |      ' ') AS chunk_text
+         |  FROM tk, unnest(CASE WHEN len(toks) = 0 THEN []
+         |    ELSE generate_series(1,
+         |      CAST(floor((greatest(len(toks) - 16, 0) + 11) / 12.0) AS INT) + 1)
+         |    END) AS u(i))
+         |SELECT id, chunk_idx, chunk_tokens, chunk_text FROM ch
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Decontamination: distinct md5-60-bit 8-gram hashes on both sides,

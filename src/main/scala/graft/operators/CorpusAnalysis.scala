@@ -121,4 +121,98 @@ object CorpusAnalysis {
         (col("shared_ngrams").cast("double") / col("doc_ngrams"))
           .as("overlap_frac"))
   }
+
+  /** Integer threshold for P(keep)=rate under a uniform 60-bit hash.
+    * Computed in exact Long space so Spark and any replicating engine
+    * compare the same integers — no float thresholds.
+    */
+  private[graft] def rateThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    if (rate >= 1.0) 1L << 60 else (rate * (1L << 60).toDouble).toLong
+  }
+
+  /** Deterministic hash sampling: keep a row iff
+    * md5-60-bit(salt:id) < rate·2^60. The workhorse of reproducible
+    * pipeline sampling — the sample is a pure function of (id, salt),
+    * stable across runs, partitionings, and engines (no RNG state, no
+    * `TABLESAMPLE` nondeterminism), and composable: different salts give
+    * independent samples. A narrow filter — no shuffle, pushes into the
+    * scan's data filters.
+    */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "graft"): DataFrame =
+    df.filter(
+      TextFunctions.md5Hash60(
+        concat(lit(salt), lit(":"), col(idCol).cast("string")))
+        < lit(rateThreshold(rate)))
+
+  /** Data-mixture sampling: per-stratum keep rates (e.g. source →
+    * weight) applied with the same deterministic hash — how a training
+    * mix ("100% books, 30% web") is materialized. Unlisted strata use
+    * `defaultRate`. Still a narrow filter; the per-row threshold is a
+    * constant-folded CASE over the stratum column.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(rateThreshold(rate)))
+          .otherwise(acc)
+    }
+    df.filter(
+      TextFunctions.md5Hash60(
+        concat(lit(salt), lit(":"), col(idCol).cast("string")))
+        < threshold)
+  }
+
+  /** Corpus vocabulary: the `k` most frequent tokens with a
+    * deterministic tie-break (count desc, token asc). Partial
+    * aggregation collapses per-partition duplicates map-side; the final
+    * top-k is a TakeOrderedAndProject — per-partition heaps of k rows,
+    * never a full sort of the vocabulary.
+    */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs
+      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Sequence chunking: split each doc into windows of `maxTokens`
+    * tokens advancing by `stride` (overlap = maxTokens - stride) — the
+    * context-packing step before tokenization. Output: (id, chunk_idx,
+    * chunk_tokens, chunk_text), no row for empty docs. A narrow map:
+    * tokens are materialized ONCE per row in a projection (an inline
+    * tokens() inside the lambda would re-split per chunk), and the
+    * windows are slices of that attribute.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 512, stride: Int = 384): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      s"need 0 < stride <= maxTokens, got maxTokens=$maxTokens stride=$stride")
+    val n = size(col("__toks"))
+    // chunk count for n>0: floor((max(n - maxTokens, 0) + stride-1)/stride) + 1
+    val nChunks = when(n <= 0, lit(0)).otherwise(
+      floor((greatest(n - maxTokens, lit(0)) + lit(stride - 1))
+        .cast("double") / stride).cast("int") + 1)
+    // guard the n=0 branch explicitly: sequence(0, -1) counts DOWN in
+    // Spark ([0,-1]), it is not empty
+    val chunks = when(n <= 0,
+      array().cast("array<struct<chunk_tokens:bigint,chunk_text:string>>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), i => struct(
+        least(lit(maxTokens), n - i * stride).cast("long").as("chunk_tokens"),
+        array_join(slice(col("__toks"), i * stride + 1, lit(maxTokens)), " ")
+          .as("chunk_text"))))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), posexplode_outer(chunks))
+      .filter(col("col").isNotNull)
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.chunk_tokens").as("chunk_tokens"),
+        col("col.chunk_text").as("chunk_text"))
+  }
 }

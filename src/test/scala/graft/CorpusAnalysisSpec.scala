@@ -59,6 +59,65 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((1.0 / 3, 0.0, 0.5, 0.0)))
   }
 
+  test("hashSample: deterministic, salt-independent samples, rate ~ proportion") {
+    import spark.implicits._
+    val docs = (0L until 2000L).toDF("doc_id")
+    val s1 = CorpusAnalysis.hashSample(docs, "doc_id", 0.2, "saltA")
+      .collect().map(_.getLong(0)).toSet
+    val s1again = CorpusAnalysis.hashSample(docs, "doc_id", 0.2, "saltA")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s1again, "same salt must give the same sample")
+    assert(math.abs(s1.size - 400) < 80, s"rate off: ${s1.size}/2000")
+    val s2 = CorpusAnalysis.hashSample(docs, "doc_id", 0.2, "saltB")
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 != s1, "different salts must give different samples")
+    // nested property: a higher-rate sample with the same salt contains
+    // the lower-rate one (threshold monotonicity)
+    val s3 = CorpusAnalysis.hashSample(docs, "doc_id", 0.5, "saltA")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("mixtureSample: per-stratum rates, rate-1.0 keeps everything, default applies") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i =>
+      (i, if (i < 100) "a" else if (i < 200) "b" else "c"))
+      .toDF("doc_id", "source")
+    val kept = CorpusAnalysis.mixtureSample(docs, "doc_id", "source",
+      Map("a" -> 1.0, "b" -> 0.3), defaultRate = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(kept.count(_._2 == "a") == 100, "rate 1.0 must keep all of a")
+    assert(kept.count(_._2 == "c") == 0, "default 0.0 must drop all of c")
+    val b = kept.count(_._2 == "b")
+    assert(b > 10 && b < 60, s"b kept $b of 100 at rate 0.3")
+  }
+
+  test("topTokens: counts and deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq("x y x", "y x z", "w w").toDF("text")
+    val got = CorpusAnalysis.topTokens(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // x:3, y:2, w:2 (w/y tie broken by token asc), z:1 cut off
+    assert(got.toSeq == Seq(("x", 3L), ("w", 2L), ("y", 2L)))
+  }
+
+  test("chunkDocs: windows, stride overlap, tails, and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5"), // 5 tokens, maxT=3 stride=2 → 2 chunks
+      (2L, "a"),              // 1 token → 1 chunk
+      (3L, " ")               // empty → no chunks
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalysis.chunkDocs(docs, "doc_id", "text",
+      maxTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 3L, "t1 t2 t3"),
+      (1L, 1L, 3L, "t3 t4 t5"),
+      (2L, 0L, 1L, "a")))
+  }
+
   test("contamination: shared 8-grams found, short docs and non-overlaps excluded") {
     import spark.implicits._
     val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
