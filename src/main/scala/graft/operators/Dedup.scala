@@ -45,6 +45,25 @@ object Dedup {
       .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
+  /** Streaming exact dedup — the live-intake form of `exactDedup`: emit
+    * each fingerprint's FIRST arrival, drop later exact duplicates.
+    * `dropDuplicatesWithinWatermark` keys the state on the canonical
+    * fingerprint and expires entries once the watermark on `tsCol`
+    * passes them — state is O(distinct fingerprints within the lateness
+    * horizon), never unbounded. A duplicate arriving after its
+    * original's state expired is re-emitted: the standard bounded-state
+    * trade (compose with a periodic batch `exactDedup` for exactness).
+    */
+  def streamingExactDedup(docs: DataFrame, textCol: String, tsCol: String,
+      lateness: String = "1 hour"): DataFrame = {
+    val cols = docs.columns
+    docs
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .select(cols.map(col): _*)
+  }
+
   /** Universal-hash parameters for minhash: h_i(x) = (a_i*x + b_i) mod p.
     * Deterministic (fixed seed), odd multipliers. Parameters and the
     * hashed input are kept under 2^31 so a_i*x + b_i stays well below

@@ -118,6 +118,31 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 0L, 1L, "a")))
   }
 
+  test("streamingExactDedup: first arrival emitted, duplicates dropped across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.operators.Dedup
+      .streamingExactDedup(df, "text", "ts", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:00"), "alpha beta"),
+        (2L, ts("2024-01-01 00:00:01"), "gamma"),
+        (3L, ts("2024-01-01 00:00:02"), "Alpha   BETA")) // canonical dup of 1
+      q.processAllAvailable()
+      // duplicate in a LATER micro-batch, still within the watermark
+      mem.addData((4L, ts("2024-01-01 00:00:03"), "alpha beta"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("contamination: shared 8-grams found, short docs and non-overlaps excluded") {
     import spark.implicits._
     val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
