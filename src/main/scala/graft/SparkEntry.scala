@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions}
-import graft.operators.{CorpusAnalysis, Dedup, Multimodal, Similarity}
+import graft.operators.{CorpusAnalysis, Dedup, Multimodal, Similarity, VectorOps}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -332,6 +332,18 @@ object SparkEntry {
     "q_chunks" -> ((s, dir) =>
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 16, stride = 12)),
+
+    // int8 embedding quantization, digested to scalars (sum/min/max/
+    // norm2 of the quantized vector pin every element exactly)
+    "q_quantize" -> ((s, dir) =>
+      VectorOps.quantizeInt8(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("q_norm2"))),
 
     // ---- similarity search (rows-only: float fold order is engine-
     // specific; bruteForce vs lsh/ivf recall is unit-tested) -------------
@@ -896,6 +908,31 @@ object SparkEntry {
          |    END) AS u(i))
          |SELECT id, chunk_idx, chunk_tokens, chunk_text FROM ch
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Int8 quantization digest: same double-precision scale and
+    // half-away-from-zero rounding, integer sums cast back to BIGINT
+    // (DuckDB widens list_sum to HUGEINT).
+    "q_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))
+        |    END AS q
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(coalesce(list_sum(q), 0) AS BIGINT) AS q_sum,
+        |  list_min(q) AS q_min,
+        |  list_max(q) AS q_max,
+        |  CAST(coalesce(list_sum(list_transform(q, x -> x * x)), 0) AS BIGINT)
+        |    AS q_norm2
+        |FROM q ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Decontamination: distinct md5-60-bit 8-gram hashes on both sides,
     // keyed join, per-pair counts — CorpusAnalysis.contamination's plan

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{CorpusAnalysis, Dedup}
+import graft.operators.{CorpusAnalysis, Dedup, VectorOps}
 
 /** Cluster labeling, repetition signals, and decontamination — the
   * corpus-level training-data operators.
@@ -116,6 +116,31 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L, 3L, "t1 t2 t3"),
       (1L, 1L, 3L, "t3 t4 t5"),
       (2L, 0L, 1L, "a")))
+  }
+
+  test("quantizeInt8: range, round-trip error bound, zero and null vectors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some(Seq(0.5f, -1.27f, 0.001f, 1.27f))),
+      (2L, Some(Seq(0f, 0f))),   // all-zero → scale 0, zeros
+      (3L, Option.empty[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val q = VectorOps.quantizeInt8(docs, "vec_id", "embedding")
+    val rows = q.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getSeq[Long](2))).toMap
+    val (s1, q1) = rows(1L)
+    assert(s1 == 1.27f.toDouble / 127.0) // float literal, widened exactly
+    assert(q1 == Seq(50L, -127L, 0L, 127L))
+    assert(rows(2L) == ((0.0, Seq(0L, 0L))))
+    assert(rows(3L)._2 == null)
+    // round-trip error ≤ scale/2 per element
+    val back = q.filter($"vec_id" === 1L)
+      .select(VectorOps.dequantizeInt8($"q", $"scale"))
+      .collect()(0).getSeq[Float](0)
+    back.zip(Seq(0.5f, -1.27f, 0.001f, 1.27f)).foreach { case (b, o) =>
+      assert(math.abs(b - o) <= 1.27 / 127.0 / 2 + 1e-9, s"$b vs $o")
+    }
   }
 
   test("streamingExactDedup: first arrival emitted, duplicates dropped across batches") {

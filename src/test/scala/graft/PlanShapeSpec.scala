@@ -78,4 +78,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // two HashAggregates (partial + final) around one Exchange
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
+
+  test("corpus operators: no HOF pipeline duplicated into an inferred filter") {
+    // InferFiltersFromGenerate + pushdown can copy an expensive generator
+    // expression into a Filter (size(expr)>0 AND isnotnull(expr)) — the
+    // n-gram pipeline would then run 2-3x per row. The operators use
+    // explode_outer + attribute null filters precisely to prevent that;
+    // pin it: no Filter condition may contain a lambda function.
+    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction => LF}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    for (name <- Seq("q_repetition", "q_contamination", "q_chunks")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val offending = df.queryExecution.optimizedPlan.collect {
+        case f: LFilter if f.condition.exists(_.isInstanceOf[LF]) => f
+      }
+      assert(offending.isEmpty,
+        s"$name: HOF expression duplicated into a Filter:\n${offending.mkString}")
+    }
+  }
 }
