@@ -333,6 +333,22 @@ object SparkEntry {
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 16, stride = 12)),
 
+    // PII redaction over planted emails/URLs/IPs/number runs
+    "q_redact" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or http://ex.org/p/"), col("doc_id"),
+          lit(" from 10.0."), col("doc_id") % 256,
+          lit(".7 id 99887766"), col("doc_id")).as("text"))
+      withPii.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("redacted"),
+        TextFunctions.piiCounts(col("text")).as("__c"))
+        .select(col("doc_id"), col("redacted"),
+          col("__c.url_count"), col("__c.email_count"),
+          col("__c.ip_count"), col("__c.num_count"))
+    }),
+
     // int8 embedding quantization, digested to scalars (sum/min/max/
     // norm2 of the quantized vector pin every element exactly)
     "q_quantize" -> ((s, dir) =>
@@ -908,6 +924,36 @@ object SparkEntry {
          |    END) AS u(i))
          |SELECT id, chunk_idx, chunk_tokens, chunk_text FROM ch
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // PII redaction: the same pattern chain in the same order ('g' =
+    // replace-all, matching Spark's regexp_replace); counts via
+    // regexp_extract_all on the stage-(i-1) text, = Spark regexp_count.
+    "q_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or http://ex.org/p/' || CAST(doc_id AS VARCHAR)
+         |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.7 id 99887766' || CAST(doc_id AS VARCHAR) AS t0
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, t0,
+         |    regexp_replace(t0, 'https?://[^\\s]+', '<URL>', 'g') AS t1,
+         |    regexp_replace(regexp_replace(t0, 'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+         |  FROM p),
+         |r2 AS (
+         |  SELECT doc_id, t0, t1, t2,
+         |    regexp_replace(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS t3
+         |  FROM r)
+         |SELECT doc_id,
+         |  regexp_replace(t3, '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t0, 'https?://[^\\s]+')) AS BIGINT) AS url_count,
+         |  CAST(len(regexp_extract_all(t1,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS email_count,
+         |  CAST(len(regexp_extract_all(t2,
+         |    '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS ip_count,
+         |  CAST(len(regexp_extract_all(t3, '[0-9]{7,}')) AS BIGINT) AS num_count
+         |FROM r2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Int8 quantization digest: same double-precision scale and
     // half-away-from-zero rounding, integer sums cast back to BIGINT

@@ -95,6 +95,40 @@ object TextFunctions {
     (lenScore * 0.4 + punctPenalty * 0.3 + swScore * 0.3)
   }
 
+  // ---- PII redaction ----------------------------------------------------
+
+  /** Redaction patterns, applied IN THIS ORDER (URLs before emails so a
+    * URL's userinfo isn't half-eaten; IPs before bare number runs). The
+    * syntax is the portable intersection of Java regex and RE2 — no
+    * backreferences, no lookaround — so any engine replicates the
+    * result byte for byte.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "[0-9]{7,}" -> "<NUM>")
+
+  /** Scrub emails, URLs, IPv4s, and long digit runs — the standard
+    * pre-training PII pass. A narrow codegen'd map (chained
+    * regexp_replace), no UDF.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** How many redactions of each kind `redactPii` performs. */
+  def piiCounts(text: Column): Column = {
+    val redacted = PiiPatterns.scanLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+    struct(PiiPatterns.zipWithIndex.map { case ((pat, repl), i) =>
+      regexp_count(redacted(i), lit(pat)).cast("long")
+        .as(repl.stripPrefix("<").stripSuffix(">").toLowerCase + "_count")
+    }: _*)
+  }
+
   // ---- fingerprints -----------------------------------------------------
 
   /** Canonical-text fingerprint: md5 of lower-cased, whitespace-collapsed

@@ -118,6 +118,28 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 0L, 1L, "a")))
   }
 
+  test("redactPii: urls, emails, ips, number runs; counts match; clean text untouched") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      "mail bob.smith+x@corp.io or see https://a.b/c?d=1 from 192.168.0.1 acct 12345678",
+      "totally clean text with short 123 numbers"
+    ).toDF("text")
+    val got = docs.select(
+      TextFunctions.redactPii($"text").as("r"),
+      TextFunctions.piiCounts($"text").as("c"))
+      .collect()
+    assert(got(0).getString(0) ==
+      "mail <EMAIL> or see <URL> from <IP> acct <NUM>")
+    val c = got(0).getStruct(1)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((1L, 1L, 1L, 1L)))
+    assert(got(1).getString(0) == "totally clean text with short 123 numbers")
+    val c1 = got(1).getStruct(1)
+    assert((c1.getLong(0), c1.getLong(1), c1.getLong(2), c1.getLong(3)) ==
+      ((0L, 0L, 0L, 0L)))
+  }
+
   test("quantizeInt8: range, round-trip error bound, zero and null vectors") {
     import spark.implicits._
     val docs = Seq(
