@@ -398,6 +398,16 @@ object SparkEntry {
         "vec_id", "embedding", 5)
     }),
 
+    // integer-exact LSH: quantized vectors + integer hyperplanes make
+    // buckets, candidates, and ranking replicable in the oracle
+    "q_knn_lsh_int" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+      Similarity.lshBucketedTopKInt(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5)
+    }),
+
     "q_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
@@ -538,6 +548,22 @@ object SparkEntry {
     Dedup.hashParams(64).map { case (a, b) =>
       s"coalesce(list_min(list_transform(xs, x -> ($a*x + $b) % ${Dedup.HashPrime})), ${Dedup.HashPrime})"
     }.mkString("[\n      ", ",\n      ", "]")
+
+  /** One table's integer-LSH bucket id in DuckDB list math: the sign
+    * bit of each of the 6 integer plane dots, folded to an int — the
+    * exact twin of Similarity.signaturesAllTablesInt for dim=64 (the
+    * testdata embedding width; plane literals come from the SAME
+    * planeComponentInt the Spark pipeline uses).
+    */
+  private def LshIntBucket(table: Int): String =
+    (0 until 6).map { i =>
+      val planes = (0 until 64)
+        .map(j => Similarity.planeComponentInt(table, i, j))
+        .mkString("[", ",", "]")
+      s"""(CASE WHEN coalesce(list_sum(list_transform(
+         |      list_zip(v, $planes), p -> p[1]*p[2])), 0) >= 0
+         |    THEN ${1L << i} ELSE 0 END)""".stripMargin
+    }.mkString("CAST(", "\n  + ", " AS BIGINT)")
 
   /** The full MinHash-LSH pair pipeline as a CTE list ending in `jac`
     * (a, b, jaccard) — shared by the q_minhash_near_dup oracle and the
@@ -1111,6 +1137,54 @@ object SparkEntry {
         |      AS INTEGER) AS rank,
         |    neighbor_id, sim
         |  FROM s) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Integer-exact LSH replica: quantize -> per-table sign-bit buckets
+    // (integer dots, same plane literals) -> multi-probe (own bucket +
+    // single-bit flips) -> distinct candidates -> integer cosine ->
+    // deterministic rank. Every stage is integer or exact-double math.
+    "q_knn_lsh_int" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, v,
+         |    [${(0 until 4).map(LshIntBucket).mkString(",\n     ")}] AS sigs
+         |  FROM e),
+         |tb AS (SELECT unnest(generate_series(0, 3)) AS tbl),
+         |cbk AS (
+         |  SELECT vec_id AS neighbor_id, tb.tbl, sigs[tb.tbl + 1] AS bucket
+         |  FROM sig CROSS JOIN tb),
+         |qpr AS (
+         |  SELECT vec_id AS query_id, tb.tbl,
+         |    unnest([sigs[tb.tbl + 1],
+         |      xor(sigs[tb.tbl + 1], 1), xor(sigs[tb.tbl + 1], 2),
+         |      xor(sigs[tb.tbl + 1], 4), xor(sigs[tb.tbl + 1], 8),
+         |      xor(sigs[tb.tbl + 1], 16), xor(sigs[tb.tbl + 1], 32)]) AS bucket
+         |  FROM sig CROSS JOIN tb WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.neighbor_id
+         |  FROM qpr q JOIN cbk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.query_id <> c.neighbor_id),
+         |s2 AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_sum(list_transform(list_zip(eq.v, ec.v),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(eq.v,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(ec.v,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+         |  FROM cand
+         |  JOIN e eq ON eq.vec_id = cand.query_id
+         |  JOIN e ec ON ec.vec_id = cand.neighbor_id)
+         |SELECT * FROM (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |      AS INTEGER) AS rank,
+         |    neighbor_id, sim
+         |  FROM s2) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_multimodal" ->
       raw"""WITH m AS (

@@ -124,6 +124,70 @@ object Similarity {
       .repartition(col("tbl"), col("bucket"))
   }
 
+  /** Integer hyperplane component: the double component scaled to an
+    * exact integer (×1000, rounded). Signs of integer dot products are
+    * exact in ANY engine — the cross-engine-verifiable variant of the
+    * LSH geometry.
+    */
+  private[graft] def planeComponentInt(table: Int, i: Int, j: Int): Long =
+    math.round(planeComponent(table, i, j) * 1000.0)
+
+  /** Integer twin of signaturesAllTables: same single-pass shape, Long
+    * plane literals, Long accumulation — for integer-quantized vectors.
+    */
+  private def signaturesAllTablesInt(vec: Column, planes: Int, tables: Int,
+      dim: Int): Column = {
+    val total = planes * tables
+    val matrix = array((0 until dim).map { j =>
+      array((0 until total).map { pi =>
+        lit(planeComponentInt(pi / planes, pi % planes, j))
+      }: _*)
+    }: _*)
+    val products = zip_with(vec, matrix, (x, ps) => transform(ps, p => p * x))
+    aggregate(products,
+      array_repeat(lit(0L), total),
+      (acc, v) => zip_with(acc, v, (a, b) => a + b),
+      dots => transform(sequence(lit(0), lit(tables - 1)), t =>
+        (0 until planes).map(i =>
+          when(element_at(dots, t * planes + i + 1) >= 0, lit(1L << i))
+            .otherwise(lit(0L)))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b))))
+  }
+
+  /** Shared probe/score/top-k core behind the two LSH variants: keyed
+    * equi-join of the broadcast multi-probe query buckets against the
+    * bucketed corpus, cosine BEFORE distinct (the dedup shuffle then
+    * moves (id, id, double) rows, not embedding arrays — at 100 TB the
+    * array shuffle, not the arithmetic, is the cost), bounded map-side
+    * top-k.
+    */
+  private def lshCore(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int, tables: Int,
+      dim: Int, who: String, sig: Column => Column): DataFrame = {
+    def checked(v: Column): Column =
+      when(size(v) === dim, v).otherwise(raise_error(concat(
+        lit(s"$who: embedding dim != $dim: "), size(v).cast("string"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        checked(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"), col("cv"), posexplode(sig(col("cv"))))
+      .toDF("neighbor_id", "cv", "tbl", "bucket")
+    // query probes per table: own bucket + single-bit flips
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), checked(col(vecCol)).as("qv"))
+        .select(col("query_id"), col("qv"), posexplode(sig(col("qv"))))
+        .toDF("query_id", "qv", "tbl", "sig")
+        .withColumn("bucket", explode(array(
+          (col("sig") +: (0 until planes).map(i =>
+            col("sig").bitwiseXOR(lit(1L << i)))): _*)))
+        .drop("sig"))
+    val scored = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .distinct() // a neighbor can appear via several tables/probes
+    TopK.topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed approximate top-k with L independent hash tables:
     * the corpus is hashed once per table into 2^planes buckets; each
     * query probes, per table, its own bucket plus all single-bit-flip
@@ -144,34 +208,24 @@ object Similarity {
     // to literals; a mismatched vector then fails fast instead of
     // silently hashing to bucket 0 (null-padded zip_with).
     val dim = peekDim(corpus, vecCol, "lshBucketedTopK")
-    def checked(v: Column): Column =
-      when(size(v) === dim, v).otherwise(raise_error(concat(
-        lit(s"lshBucketedTopK: embedding dim != $dim: "), size(v).cast("string"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        checked(col(vecCol)).as("cv"))
-      .select(col("neighbor_id"), col("cv"),
-        posexplode(signaturesAllTables(col("cv"), planes, tables, dim)))
-      .toDF("neighbor_id", "cv", "tbl", "bucket")
-    // query probes per table: own bucket + single-bit flips
-    val q = broadcast(
-      queries.select(col(idCol).as("query_id"), checked(col(vecCol)).as("qv"))
-        .select(col("query_id"), col("qv"),
-          posexplode(signaturesAllTables(col("qv"), planes, tables, dim)))
-        .toDF("query_id", "qv", "tbl", "sig")
-        .withColumn("bucket", explode(array(
-          (col("sig") +: (0 until planes).map(i =>
-            col("sig").bitwiseXOR(lit(1L << i)))): _*)))
-        .drop("sig"))
-    // score BEFORE distinct: cosine is recomputed for the few multi-table
-    // collisions, but the dedup shuffle then moves (id, id, double) rows
-    // instead of embedding arrays — at 100 TB the array shuffle, not the
-    // arithmetic, is the cost
-    val scored = q.join(c, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-      .distinct() // a neighbor can appear via several tables/probes
-    TopK.topKPerQuery(scored, k)
+    lshCore(corpus, queries, idCol, vecCol, k, planes, tables, dim,
+      "lshBucketedTopK", v => signaturesAllTables(v, planes, tables, dim))
+  }
+
+  /** Integer-exact LSH top-k for integer-quantized vectors (e.g.
+    * `round(x*1000)` or VectorOps int8 output): buckets come from signs
+    * of integer dot products and similarities from integer-valued
+    * cosine terms, so every stage — signatures, probes, candidates,
+    * ranking — is bit-identical across engines and replicable in plain
+    * SQL (see the q_knn_lsh_int oracle). Same plan shape as
+    * lshBucketedTopK.
+    */
+  def lshBucketedTopKInt(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 6,
+      tables: Int = 4): DataFrame = {
+    val dim = peekDim(corpus, vecCol, "lshBucketedTopKInt")
+    lshCore(corpus, queries, idCol, vecCol, k, planes, tables, dim,
+      "lshBucketedTopKInt", v => signaturesAllTablesInt(v, planes, tables, dim))
   }
 
   /** Deterministic mini k-means centroids (driver-side on a sample):

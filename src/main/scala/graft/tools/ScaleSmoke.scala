@@ -83,17 +83,27 @@ object ScaleSmoke {
     val tExact = (System.nanoTime() - t2) / 1e9
     require(kept == nDocs - nDocs / 10L, s"exactDedup kept $kept")
     val t3 = System.nanoTime()
-    val pairs = graft.operators.Dedup
-      .minHashNearDupPairs(docs, "id", "text").count()
+    val pairsDf = graft.operators.Dedup.minHashNearDupPairs(docs, "id", "text")
+    val pairs = pairsDf.count()
     val tMh = (System.nanoTime() - t3) / 1e9
     // 3 planted pairs per group (J=1, .931, .931); band recall at
     // J=.931 with 16 bands x 4 rows is 1-2e-10, so demand near-all.
     val expected = 3L * (nDocs / 10L)
     require(pairs <= expected && pairs >= expected - 5,
       s"minhash pairs $pairs of $expected")
+    // connected components over the pairs: each group of 10 docs holds
+    // one 3-doc component (base, base+8, base+9) + 7 singletons
+    val t4 = System.nanoTime()
+    val clusters = graft.operators.Dedup
+      .nearDupClusters(docs, "id", pairsDf)
+      .groupBy(org.apache.spark.sql.functions.col("cluster")).count().count()
+    val tCc = (System.nanoTime() - t4) / 1e9
+    val expectedClusters = 8L * (nDocs / 10L)
+    require(math.abs(clusters - expectedClusters) <= 5,
+      s"clusters $clusters of $expectedClusters")
     println(f"dedup: docs=$nDocs exactKept=$kept in $tExact%.1f s " +
       f"(${nDocs / tExact}%.0f docs/s), minhashPairs=$pairs in $tMh%.1f s " +
-      f"(${nDocs / tMh}%.0f docs/s), " +
+      f"(${nDocs / tMh}%.0f docs/s), clusters=$clusters in $tCc%.1f s, " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }

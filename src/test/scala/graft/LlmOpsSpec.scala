@@ -239,6 +239,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.sum / brute.size
     assert(recall(lsh) > 0.3, s"lsh recall ${recall(lsh)}")
     assert(recall(ivf) > 0.3, s"ivf recall ${recall(ivf)}")
+
+    // integer-exact variant: same geometry on quantized vectors — its
+    // recall vs the quantized brute force must hold up the same way
+    val qemb = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+    val qq = qemb.filter(col("vec_id") < 20)
+    val bruteInt = neighborSet(
+      Similarity.bruteForceTopK(qemb, qq, "vec_id", "embedding", 5))
+    val lshInt = neighborSet(
+      Similarity.lshBucketedTopKInt(qemb, qq, "vec_id", "embedding", 5))
+    val recallInt = bruteInt.map { case (q, t) =>
+      lshInt.get(q).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+    }.sum / bruteInt.size
+    assert(recallInt > 0.3, s"lsh-int recall $recallInt")
   }
 
   // ---- dates ------------------------------------------------------------
