@@ -99,4 +99,21 @@ class WarehouseJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage == "Duplicate")
   }
+
+  test("foreign-key violations surface as the typed error (SQLSTATE 23503)") {
+    import spark.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE parent_ds (ds_id VARCHAR(50) PRIMARY KEY)")
+      st.execute("CREATE TABLE child_feat (id INT, ds_id VARCHAR(50) " +
+        "REFERENCES parent_ds(ds_id))")
+    } finally conn.close()
+    val orphan = Seq((1, "no_such_ds")).toDF("id", "ds_id")
+    intercept[graft.sinks.ForeignKeyDbException] {
+      wh.writeFeaturesJdbc(url, "child_feat", orphan.coalesce(1))
+    }
+  }
 }
