@@ -333,6 +333,17 @@ object SparkEntry {
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 16, stride = 12)),
 
+    // NFC normalization over planted decomposed characters
+    "q_nfc" -> ((s, dir) => {
+      val withU = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" café naïve")).as("text"))
+      withU.select(col("doc_id"),
+        TextFunctions.nfcNormalize(col("text")).as("nfc"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(TextFunctions.nfcNormalize(col("text"))).cast("long")
+          .as("len_nfc"))
+    }),
+
     // PII redaction over planted emails/URLs/IPs/number runs
     "q_redact" -> ((s, dir) => {
       val withPii = t(s, dir, "documents").select(col("doc_id"),
@@ -950,6 +961,19 @@ object SparkEntry {
          |    END) AS u(i))
          |SELECT id, chunk_idx, chunk_tokens, chunk_text FROM ch
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // NFC: DuckDB's utf8proc nfc_normalize vs the JVM Normalizer — the
+    // planted combining marks (chr 769/776) compose identically; len()
+    // counts codepoints on both sides.
+    "q_nfc" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS nfc,
+        |  CAST(len(t) AS BIGINT) AS len_raw,
+        |  CAST(len(nfc_normalize(t)) AS BIGINT) AS len_nfc
+        |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // PII redaction: the same pattern chain in the same order ('g' =
     // replace-all, matching Spark's regexp_replace); counts via

@@ -95,6 +95,22 @@ object TextFunctions {
     (lenScore * 0.4 + punctPenalty * 0.3 + swScore * 0.3)
   }
 
+  // ---- unicode normalization --------------------------------------------
+
+  /** NFC Unicode normalization — canonical composition, the standard
+    * first step before fingerprinting/tokenizing multilingual text (a
+    * decomposed "é" and a precomposed "é" must dedup together). A scalar
+    * UDF is justified here like winnowing's: Spark has no builtin
+    * normalizer, `java.text.Normalizer` IS the reference implementation
+    * in-JVM, and the op stays a narrow per-row map.
+    */
+  private val nfcUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  def nfcNormalize(text: Column): Column = nfcUdf(text)
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Redaction patterns, applied IN THIS ORDER (URLs before emails so a

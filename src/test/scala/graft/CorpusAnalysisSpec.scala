@@ -118,6 +118,19 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 0L, 1L, "a")))
   }
 
+  test("nfcNormalize: decomposed marks compose, idempotent, null-safe") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val decomposed = "café naïve"
+    val composed = "café naïve"
+    val got = Seq(Some(decomposed), Some(composed), None).toDF("text")
+      .select(TextFunctions.nfcNormalize($"text").as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got(0) == composed, "decomposed must compose")
+    assert(got(1) == composed, "already-NFC text must be unchanged")
+    assert(got(2) == null)
+  }
+
   test("redactPii: urls, emails, ips, number runs; counts match; clean text untouched") {
     import spark.implicits._
     import graft.functions.TextFunctions
