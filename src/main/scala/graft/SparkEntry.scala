@@ -333,6 +333,10 @@ object SparkEntry {
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 16, stride = 12)),
 
+    // composed quality gate: per-doc keep/drop verdict with reason
+    "q_filter" -> ((s, dir) =>
+      CorpusAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text")),
+
     // NFC normalization over planted decomposed characters
     "q_nfc" -> ((s, dir) => {
       val withU = t(s, dir, "documents").select(col("doc_id"),
@@ -772,6 +776,62 @@ object SparkEntry {
          |       WHEN de >= fr THEN 'de'
          |       ELSE 'fr' END AS lang_pred
          |FROM sc ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Composed gate: the q_lang_id and q_quality replicas as CTEs + the
+    // same first-failure CASE order as CorpusAnalysis.qualityGate.
+    "q_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      x -> len(x) > 0) AS lt
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS zh,
+         |    len(list_filter(lt, x -> list_contains(['the','and','of','is','with'], x))) * 10 AS en,
+         |    len(list_filter(lt, x -> list_contains(['el','la','los','las','es','y','de','con'], x))) * 10
+         |      + len(regexp_replace(text, '[^ñ¿¡]', '', 'g')) AS es,
+         |    len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','mit'], x))) * 10
+         |      + len(regexp_replace(text, '[^äöüß]', '', 'g')) AS de,
+         |    len(list_filter(lt, x -> list_contains(['le','la','les','est','et','avec','des'], x))) * 10
+         |      + len(regexp_replace(text, '[^éèêàçœ]', '', 'g')) AS fr
+         |  FROM t),
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN zh THEN 'zh'
+         |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |         WHEN es >= de AND es >= fr THEN 'es'
+         |         WHEN de >= fr THEN 'de'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM sc),
+         |q AS (
+         |  SELECT doc_id,
+         |    $Toks AS toks,
+         |    CASE WHEN len(text) > 0
+         |      THEN (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+         |           / CAST(len(text) AS DOUBLE)
+         |      ELSE 0.0 END AS punct
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(toks) AS ntoks,
+         |    least(CAST(len(toks) AS BIGINT) / 100.0, 1.0) AS len_score,
+         |    1.0 - least(punct * 5.0, 1.0) AS punct_penalty,
+         |    CASE WHEN len(toks) > 0
+         |      THEN CAST(len(list_filter(toks, x -> list_contains(
+         |             ['the','a','an','and','of','to','in','is'], x))) AS DOUBLE)
+         |           / len(toks)
+         |      ELSE 0.0 END AS swr
+         |  FROM q),
+         |v AS (
+         |  SELECT s.doc_id,
+         |    CASE WHEN s.ntoks < 15 THEN 'too_short'
+         |         WHEN lang.lang_pred <> 'en' THEN 'lang'
+         |         WHEN s.len_score * 0.4 + s.punct_penalty * 0.3
+         |              + (1.0 - abs(s.swr - 0.15)) * 0.3 < 0.75 THEN 'low_quality'
+         |         ELSE 'keep' END AS verdict
+         |  FROM s JOIN lang ON lang.doc_id = s.doc_id)
+         |SELECT doc_id, verdict, verdict = 'keep' AS keep
+         |FROM v ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_fingerprints" ->
       s"SELECT doc_id, $Fp AS fp FROM documents ORDER BY ALL NULLS FIRST",

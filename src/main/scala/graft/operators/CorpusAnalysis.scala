@@ -122,6 +122,27 @@ object CorpusAnalysis {
           .as("overlap_frac"))
   }
 
+  /** Composed quality gate — the keep/drop decision a filtering
+    * pipeline actually ships, with the REASON recorded per doc (the
+    * per-reason report is what lets a pipeline owner see which filter
+    * is eating their corpus). First failing check wins, in the fixed
+    * order cheap→expensive: token count, language, quality score. All
+    * three signals are pure codegen'd expressions — the gate is a
+    * narrow map, no shuffle.
+    */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 15, wantedLang: String = "en",
+      minQuality: Double = 0.75): DataFrame = {
+    val text = col(textCol)
+    val verdict =
+      when(TextFunctions.tokenCount(text) < minTokens, "too_short")
+        .when(TextFunctions.langId(text) =!= wantedLang, "lang")
+        .when(TextFunctions.qualityScore(text) < minQuality, "low_quality")
+        .otherwise("keep")
+    docs.select(col(idCol), verdict.as("verdict"),
+      (verdict === "keep").as("keep"))
+  }
+
   /** Integer threshold for P(keep)=rate under a uniform 60-bit hash.
     * Computed in exact Long space so Spark and any replicating engine
     * compare the same integers — no float thresholds.

@@ -118,6 +118,23 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 0L, 1L, "a")))
   }
 
+  test("qualityGate: first failing reason wins, keep flag consistent") {
+    import spark.implicits._
+    // 100 tokens, 15% stopwords, no punctuation → quality = 1.0
+    val good = ((1 to 85).map(i => s"w$i") ++ Seq.fill(15)("the")).mkString(" ")
+    val docs = Seq(
+      (1L, good),                      // long, en, high quality
+      (2L, "too short"),               // fails token count first
+      (3L, "le la les est et avec des le la les est et avec des xx yy") // lang
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalysis.qualityGate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(got(1L) == (("keep", true)), s"got ${got(1L)}")
+    assert(got(2L) == (("too_short", false)))
+    assert(got(3L) == (("lang", false)))
+  }
+
   test("nfcNormalize: decomposed marks compose, idempotent, null-safe") {
     import spark.implicits._
     import graft.functions.TextFunctions
