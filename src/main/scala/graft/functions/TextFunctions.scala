@@ -209,7 +209,8 @@ object TextFunctions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Winnowing document fingerprints (rolling-hash selection): hash every
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
     * k-char gram of the canonical text with a polynomial ROLLING hash
     * (O(1) per position), slide a window of `w` gram hashes, keep each
     * window's minimum, return the distinct selected hashes sorted.

@@ -11,11 +11,14 @@ import graft.functions.TextFunctions
   *
   * - exact: hash-groupBy on a canonical fingerprint.
   * - minHashLsh: shingle → minhash signature → banded LSH buckets →
-  *   candidate pairs from same-bucket docs only → exact-Jaccard verify.
+  *   candidate pairs from same-bucket docs only → exact-Jaccard verify
+  *   (Broder 1997, "On the resemblance and containment of documents";
+  *   banding per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
   *   False positives are eliminated by verification; false-negative rate
   *   is the standard (1 - s^r)^b curve — with 64 hashes as 16 bands × 4
   *   rows, a 0.9-similar pair is missed with p < 1e-8.
-  * - simHash: 64-bit simhash; near-dup candidates via block-match
+  * - simHash: 64-bit simhash (Charikar 2002, "Similarity estimation
+  *   techniques from rounding algorithms"); near-dup candidates via block-match
   *   (Hamming-distance pigeonhole: any pair within distance d ≤ 3 shares
   *   at least one of 4 identical 16-bit blocks), verified by bit_count.
   */
