@@ -105,6 +105,26 @@ object ScaleSmoke {
       f"(${nDocs / tExact}%.0f docs/s), minhashPairs=$pairs in $tMh%.1f s " +
       f"(${nDocs / tMh}%.0f docs/s), clusters=$clusters in $tCc%.1f s, " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // decontamination: bench = the base doc of the first 1000 groups,
+    // corpus = all dup/near-dup docs — each bench doc must be hit by
+    // exactly its own 2 partners (23/23 and 22/23 shared 8-grams; no
+    // cross-group 8-gram can match, tokens are seed-unique)
+    val benchN = math.min(nDocs, 10000)
+    val t5 = System.nanoTime()
+    val contam = graft.operators.CorpusAnalysis.contamination(
+      docs.filter(col("id") % 10 >= 8), docs.filter(col("id") % 10 === 0
+        && col("id") < benchN), "id", "text").count()
+    val tCt = (System.nanoTime() - t5) / 1e9
+    require(contam == 2L * (benchN / 10), s"contamination pairs $contam")
+    // chunking: 30 tokens at maxTokens=16/stride=12 → exactly 3 windows
+    val t6 = System.nanoTime()
+    val chunks = graft.operators.CorpusAnalysis
+      .chunkDocs(docs, "id", "text", maxTokens = 16, stride = 12).count()
+    val tCh = (System.nanoTime() - t6) / 1e9
+    require(chunks == 3L * nDocs, s"chunks $chunks")
+    println(f"corpus: contamPairs=$contam in $tCt%.1f s, " +
+      f"chunks=$chunks in $tCh%.1f s (${nDocs / tCh}%.0f docs/s)")
     spark.stop()
   }
 }
