@@ -296,6 +296,13 @@ object SparkEntry {
         Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8))
     }),
 
+    // near-dedup: the deduplicated corpus (one keeper per cluster)
+    "q_near_dedup" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      Dedup.nearDedup(docs.select(col("doc_id")), "doc_id",
+        Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8))
+    }),
+
     // Gopher-style within-doc repetition fractions (2- and 3-grams)
     "q_repetition" -> ((s, dir) =>
       CorpusAnalysis.repetitionScores(
@@ -941,6 +948,21 @@ object SparkEntry {
          |SELECT id, CAST(min(r) AS BIGINT) AS cluster
          |FROM reach GROUP BY 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Near-dedup = the clusters closure keeping only self-labeled docs.
+    "q_near_dedup" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |prs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT a AS s, b AS d FROM prs
+         |  UNION ALL
+         |  SELECT b, a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM all_docs
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+         |SELECT id AS doc_id FROM reach GROUP BY id
+         |HAVING id = min(r) ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Gopher-style repetition fractions: per (doc, n) gram counts, then
     // a conditional-aggregate pivot — same two keyed aggregations as

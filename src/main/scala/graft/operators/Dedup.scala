@@ -289,6 +289,19 @@ object Dedup {
     * rounds of Kiveris et al., "Connected Components in MapReduce and
     * Beyond" (log-diameter rounds) — same per-round shuffle shape.
     */
+  /** Near-dup dedup decision: keep exactly one doc per cluster — the
+    * cluster label itself (= smallest id in the component). The final
+    * step of the pairs → clusters → corpus pipeline; rows of `docs`
+    * whose id equals their cluster label survive.
+    */
+  def nearDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val keepers = nearDupClusters(docs, idCol, pairs, maxIter)
+      .filter(col("id") === col("cluster"))
+      .select(col("id"))
+    docs.join(keepers, docs(idCol) === keepers("id"), "leftsemi")
+  }
+
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // materialize the pair pipeline ONCE before symmetrizing — a union

@@ -32,6 +32,15 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       11L -> 10L, 20L -> 20L))
   }
 
+  test("nearDedup keeps exactly the cluster representatives") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = Dedup.nearDedup(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L))
+  }
+
   test("nearDupClusters: a long chain converges (multi-iteration propagation)") {
     import spark.implicits._
     // 0-1-2-...-9: diameter 9 forces several propagation rounds
