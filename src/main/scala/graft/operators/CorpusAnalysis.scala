@@ -139,8 +139,12 @@ object CorpusAnalysis {
         .when(TextFunctions.langId(text) =!= wantedLang, "lang")
         .when(TextFunctions.qualityScore(text) < minQuality, "low_quality")
         .otherwise("keep")
-    docs.select(col(idCol), verdict.as("verdict"),
-      (verdict === "keep").as("keep"))
+    // project the CASE once, then derive `keep` from the materialized
+    // attribute — referencing `verdict` twice in one projection would
+    // duplicate the tokenCount/langId/qualityScore trees per row (the
+    // project-collapse trap; see PLANS.md)
+    docs.select(col(idCol), verdict.as("verdict"))
+      .select(col(idCol), col("verdict"), (col("verdict") === "keep").as("keep"))
   }
 
   /** Integer threshold for P(keep)=rate under a uniform 60-bit hash.

@@ -330,6 +330,12 @@ object Dedup {
       labels = updated.select(col("id"), col("cluster"))
       iter += 1
     }
+    // exiting via the iteration cap means the labels are NOT fixpoint —
+    // a silent return would let nearDedup keep >1 doc per component
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter rounds — component " +
+          "diameter exceeds the cap; raise maxIter or tighten the pair threshold")
     labels
   }
 }

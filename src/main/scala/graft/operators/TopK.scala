@@ -60,9 +60,11 @@ object TopK {
     * miscast; all Similarity entry points inherit this requirement.
     */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
     val idType = scored.schema("neighbor_id").dataType
-    require(Seq("byte", "short", "int", "integer", "bigint", "long")
-        .contains(idType.simpleString),
+    // match on DataType instances, not simpleString names (byte/short
+    // render as tinyint/smallint — name lists rot)
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"topKPerQuery requires an integral neighbor_id column, got " +
         s"${idType.simpleString}; map ids to integers upstream")
     val agg = udaf(new TopKAggregator(k))

@@ -29,6 +29,8 @@ import graft.model.Layer
   */
 final class Warehouse(spark: SparkSession, val root: String) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def tablePath(table: String): String = s"$root/content_$table"
 
   def tableSchema(name: String): StructType = Warehouse.schemas(name)
@@ -102,20 +104,35 @@ final class Warehouse(spark: SparkSession, val root: String) {
     Warehouse.mapDbErrors {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try tables.foreach { t =>
-        try {
+        // Only a table that genuinely doesn't exist yet (first load) may
+        // be skipped; probing DatabaseMetaData first — instead of
+        // swallowing undefined-table SQLStates around the DELETE — keeps a
+        // typo'd or case-folded name from turning the pre-clean into a
+        // silent no-op (the reload would quietly duplicate rows).
+        if (jdbcTableExists(conn, t)) {
           // Spark's JDBC writer creates case-exact quoted identifiers;
           // quote to match (standard double quotes: Derby + Postgres)
           val st = conn.prepareStatement(
             s"""DELETE FROM $t WHERE "tdei_dataset_id" = ?""")
           try { st.setString(1, datasetId); st.executeUpdate() }
           finally st.close()
-        } catch {
-          // undefined table: Derby 42X05, Postgres 42P01 — first load
-          case e: java.sql.SQLException
-              if e.getSQLState == "42X05" || e.getSQLState == "42P01" => ()
-        }
+        } else
+          log.info(s"pre-clean: table $t does not exist yet, skipping")
       } finally conn.close()
     }
+
+  /** True if `name` resolves to an existing table: checks the exact
+    * (quoted-identifier) spelling plus both case foldings, matching how
+    * Derby (upper) and Postgres (lower) fold unquoted DDL names.
+    */
+  private def jdbcTableExists(conn: java.sql.Connection, name: String): Boolean = {
+    val md = conn.getMetaData
+    Seq(name, name.toUpperCase(java.util.Locale.ROOT),
+        name.toLowerCase(java.util.Locale.ROOT)).distinct.exists { n =>
+      val rs = md.getTables(null, null, n, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+  }
 
   /** Idempotent JDBC re-load: pre-clean the dataset's rows, then append.
     * Running it twice with the same frame leaves the same row count —

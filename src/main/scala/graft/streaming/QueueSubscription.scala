@@ -90,7 +90,11 @@ final class QueueSubscription(
     batchLock.lock()
     try q.stop()
     finally batchLock.unlock()
-    q.awaitTermination(timeoutMs)
+    // awaitTermination returns false on timeout — a query still winding
+    // down must not be reported (and de-tracked) as drained
+    if (!q.awaitTermination(timeoutMs))
+      throw new java.util.concurrent.TimeoutException(
+        s"drain: query ${q.id} did not terminate within ${timeoutMs}ms")
     active = None
   }
 

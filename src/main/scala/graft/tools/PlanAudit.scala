@@ -36,6 +36,8 @@ object PlanAudit {
       graft.SparkEntry.queries("q_repetition")(spark, sf))
     show("contamination (gram-hash equi-join)")(
       graft.SparkEntry.queries("q_contamination")(spark, sf))
+    show("quality gate (verdict CASE must appear once)")(
+      graft.SparkEntry.queries("q_filter")(spark, sf))
     spark.stop()
   }
 }

@@ -51,6 +51,16 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("nearDupClusters: hitting the iteration cap throws instead of returning bad labels") {
+    import spark.implicits._
+    val docs = (0L to 9L).toDF("doc_id")
+    val pairs = (0L to 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.nearDupClusters(docs, "doc_id", pairs, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("repetitionScores: hand-computed fractions, short docs score zero") {
     import spark.implicits._
     val docs = Seq(

@@ -265,6 +265,11 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.operators.TopK.topKPerQuery(bad, 5)
     }
     assert(e.getMessage.contains("integral neighbor_id"))
+    // byte/short ids are accepted and widened to long (regression: the
+    // old name-list check rejected them)
+    val short = Seq((1L, 7.toShort, 0.5)).toDF("query_id", "neighbor_id", "sim")
+    val ok = graft.operators.TopK.topKPerQuery(short, 5).collect()
+    assert(ok.length == 1 && ok(0).getAs[Long]("neighbor_id") == 7L)
     val empty = spark.emptyDataset[(Long, Array[Float])]
       .toDF("vec_id", "embedding")
     val e2 = intercept[IllegalArgumentException] {
