@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ProcessGeometryExpr].getName,
         "process_geometry_native"),
       exprs => ProcessGeometryExpr(exprs(0), exprs(1))))
+    TextHashExprs.injectInto(ext)
   }
 }

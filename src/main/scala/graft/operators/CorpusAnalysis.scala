@@ -99,17 +99,20 @@ object CorpusAnalysis {
     // equi-key drops the null-gh rows of gram-less docs, and the outer
     // generator keeps InferFiltersFromGenerate from re-evaluating the
     // full gram pipeline inside a pushed-down filter.
+    // distinct gram hashes come from the native kernel (tokenize →
+    // n-gram → md5-60 → first-occurrence dedup in one codegen'd pass;
+    // null text → empty like the HOF when/otherwise form it replaced)
+    graft.expressions.TextHashExprs.register(corpus.sparkSession)
+    def ghs(c: org.apache.spark.sql.Column) = coalesce(
+      graft.expressions.TextHashExprs.ngramHashes(c, n, distinct = true),
+      array().cast("array<bigint>"))
     val corpusGrams = corpus
-      .select(col(idCol).cast("long").as("id"),
-        array_distinct(transform(TextFunctions.ngrams(col(textCol), n),
-          g => TextFunctions.md5Hash60(g))).as("__ghs"))
+      .select(col(idCol).cast("long").as("id"), ghs(col(textCol)).as("__ghs"))
       .select(col("id"), size(col("__ghs")).cast("long").as("doc_ngrams"),
         explode_outer(col("__ghs")).as("gh"))
     val benchGrams = bench
       .select(col(idCol).cast("long").as("bench_id"),
-        explode_outer(array_distinct(transform(
-          TextFunctions.ngrams(col(textCol), n),
-          g => TextFunctions.md5Hash60(g)))).as("gh"))
+        explode_outer(ghs(col(textCol))).as("gh"))
     corpusGrams
       .join(benchGrams, Seq("gh"))
       .groupBy(col("id"), col("bench_id"))

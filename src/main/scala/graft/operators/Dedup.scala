@@ -70,48 +70,39 @@ object Dedup {
   /** Universal-hash parameters for minhash: h_i(x) = (a_i*x + b_i) mod p.
     * Deterministic (fixed seed), odd multipliers. Parameters and the
     * hashed input are kept under 2^31 so a_i*x + b_i stays well below
-    * 2^63 — no 64-bit overflow under ANSI mode.
+    * 2^63 — no 64-bit overflow under ANSI mode. Canonical generator
+    * lives in [[graft.expressions.TextKernels]] (the native kernel and
+    * this module must agree).
     */
-  private[graft] val HashPrime = 2147483647L // 2^31 - 1
-  private[graft] def hashParams(numHashes: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(numHashes)(((rnd.nextInt(Int.MaxValue - 1) + 1).toLong | 1L,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
+  private[graft] val HashPrime = graft.expressions.TextKernels.HashPrime
+  private[graft] def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    graft.expressions.TextKernels.hashParams(numHashes)
 
   /** MinHash signatures: one row per doc, `sig` = array of numHashes
-    * minima over the doc's distinct shingle hashes. SHUFFLE-FREE and
-    * SINGLE-PASS: one `aggregate` walks the shingle-hash array once,
-    * folding all numHashes minima simultaneously (zip_with against the
-    * constant (a,b) parameter array). The shingle array appears exactly
-    * once in the plan — important, because Catalyst's project collapsing
-    * happily duplicates a multiply-referenced expensive expression. (The
-    * earlier explode + 64-buffer groupBy paid a full shuffle of every
-    * shingle hash; at 100 TB the shuffle, not the arithmetic, is the
-    * bottleneck.) Docs with no shingles (< 3 tokens) keep the sentinel
-    * signature (every lane = HashPrime, unattainable for a real doc
-    * since pmod < p): a pre-filter would rebuild the shingle array just
-    * for the size check, doubling the dominant cost. Downstream,
+    * minima over the doc's shingle hashes. SHUFFLE-FREE, SINGLE-PASS,
+    * and CODEGEN'D: the tokenize → shingle → md5-60 → 64-lane min fold
+    * runs as one native kernel expression per row
+    * ([[graft.expressions.MinHashSigExpr]]) — the earlier `aggregate` +
+    * `zip_with` HOF fold computed the same values but interpreted every
+    * lambda application (measured as the dominant cost of the pipeline),
+    * and the explode + 64-buffer groupBy before THAT paid a full shuffle
+    * of every shingle hash; at 100 TB the shuffle, then the lambda
+    * interpretation, were the bottlenecks. The hash stays md5-derived
+    * (not xxhash64) so signatures remain replicable by any engine —
+    * externally oracle-checkable. Docs with no shingles (< 3 tokens,
+    * or null text) keep the sentinel signature (every lane = HashPrime,
+    * unattainable for a real doc since the fold's mod p < p): downstream,
     * sentinel docs can only pair with each other, the bucket cap bounds
     * them, and Jaccard verification scores them 0 — results unchanged.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64): DataFrame = {
-    val params = hashParams(numHashes)
-    val abArr = array(params.map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
     docs
       .select(col(idCol).as("id"),
-        aggregate(
-          // md5-derived shingle hash (not xxhash64): replicable in any
-          // engine, so the signatures are externally oracle-checkable
-          transform(array_distinct(TextFunctions.shingles(col(textCol))),
-            s => pmod(TextFunctions.md5Hash60(s), lit(HashPrime))),
-          array_repeat(lit(HashPrime), numHashes),
-          (acc, x) => zip_with(acc, abArr,
-            (m, ab) => least(m, pmod(ab("a") * x + ab("b"), lit(HashPrime)))))
-          .as("sig"))
+        coalesce(
+          graft.expressions.TextHashExprs.minhashSig(col(textCol), numHashes),
+          array_repeat(lit(HashPrime), numHashes)).as("sig"))
   }
 
   /** Near-duplicate pairs via banded LSH + exact-Jaccard verification.
@@ -178,8 +169,13 @@ object Dedup {
       candidates: DataFrame, threshold: Double): DataFrame = {
     // shingle sets are computed ONCE per doc in the join-side projections
     // (a doc appearing in m candidate pairs would otherwise rebuild its
-    // n-grams m times); per-pair work is then pure array set math
-    val g = array_distinct(TextFunctions.shingles(col(textCol)))
+    // n-grams m times); per-pair work is then pure array set math. The
+    // gram construction is the native kernel (null text → empty set,
+    // matching the HOF form's when/otherwise)
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
+    val g = array_distinct(coalesce(
+      graft.expressions.TextHashExprs.ngramsNative(col(textCol), 3),
+      array().cast("array<string>")))
     val aDocs = docs.select(col(idCol).as("a"), g.as("__ga"))
     val bDocs = docs.select(col(idCol).as("b"), g.as("__gb"))
     val inter = size(array_intersect(col("__ga"), col("__gb")))
@@ -239,13 +235,13 @@ object Dedup {
     */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    // two-step projection: hash tokens once, derive the simhash from the
-    // hash array (keeps the 64-bit-count pass off re-hashed tokens)
+    // one native kernel per row: tokenize → md5-60 → 64 bit-counts →
+    // majority fold (the HOF aggregate computed the same hash but
+    // interpreted; null text → null simhash either way)
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
     val hashed = docs
       .select(col(idCol).as("id"),
-        transform(TextFunctions.tokens(col(textCol)),
-          t => TextFunctions.md5Hash60(t)).as("hs"))
-      .select(col("id"), TextFunctions.simhash64FromHashes(col("hs")).as("sh"))
+        graft.expressions.TextHashExprs.simhash64Native(col(textCol)).as("sh"))
     // single `sh` reference in the generator + one Exchange on the
     // bucket key shared by the size-filter branch and both join sides
     // (same reuse reasoning as the minhash banding above)

@@ -97,6 +97,28 @@ object Smoke {
       Seq((1L, pngBos.toByteArray), (2L, fakeGif)).toDF("id", "content"),
       "id", "content", dim = 4)
       .toDF().show(false)
+
+    // Native text-hash kernels: the SQL-function surface, then the dedup
+    // operators that consume them, over the real documents table.
+    graft.expressions.TextHashExprs.register(spark)
+    spark.sql(
+      """SELECT simhash64_native('the quick brown fox') AS sh,
+        |       minhash_sig_native('one two three four', 4) AS sig4,
+        |       ngram_hashes_native('a b c d', 3, true) AS ghs,
+        |       ngrams_native('a b c d', 2) AS grams,
+        |       simhash64_native(NULL) AS sh_null
+        |""".stripMargin).show(false)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    println("== minhash near-dup pairs (sf0.001) ==")
+    graft.operators.Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+      .orderBy("a", "b").show(5, false)
+    println("== simhash near-dup pairs (sf0.001) ==")
+    graft.operators.Dedup.simHashNearDupPairs(docs, "doc_id", "text")
+      .orderBy("a", "b").show(5, false)
+    println("== contamination vs bench sample (sf0.001) ==")
+    graft.operators.CorpusAnalysis.contamination(
+      docs, docs.filter($"doc_id" % 97 === 0), "doc_id", "text")
+      .orderBy("id", "bench_id").show(5, false)
     spark.stop()
   }
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.expressions.TextHashExprs
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Bit-exact parity between the native text-hash kernels
+  * (`TextKernels` / `TextHashExprs`) and the composable HOF forms they
+  * replaced in the dedup/contamination hot paths. The kernel outputs
+  * feed oracle-checked queries (q_minhash_near_dup, q_simhash_near_dup,
+  * q_contamination, q_near_dedup), so ANY deviation — null contract,
+  * token splitting, hash truncation, fold order — breaks hash-exact
+  * correctness, not just this spec.
+  *
+  * Two eval paths are exercised: a local Seq (interpreted
+  * `nullSafeEval`) and a parquet scan (whole-stage codegen via the
+  * static `TextKernels` call).
+  */
+class NativeKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    TextHashExprs.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Token-splitting / null-contract / unicode edge cases. */
+  private val edgeTexts: Seq[String] = Seq(
+    null, "", " ", "   ", "\t\n ", "\ta b", "one", "one two",
+    "one two three", "a b c d e f g h i j", "a a a a a",
+    "tabs\there\tand\nnewlines mixed  double  spaces",
+    " leading and trailing ", "caFÉ déjà vu naïve 中文 字 and ©µ½",
+    "nbsp stays one-token here", "punct!!! ??? ,,, a,b,c d;e",
+    "x 'quoted' \"strings\" and\r\ncarriage returns")
+
+  private def edgeDf: DataFrame = {
+    import spark.implicits._
+    edgeTexts.toDF("t")
+  }
+
+  private def docsDf: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("t"))
+
+  /** The HOF minhash fold exactly as `Dedup.minHashSignatures` computed
+    * it before the kernel (single-pass aggregate over distinct shingle
+    * hashes, 64 lanes via zip_with against the constant (a,b) array).
+    */
+  private def hofMinhashSig(text: Column, numHashes: Int): Column = {
+    val p = Dedup.HashPrime
+    val abArr = array(Dedup.hashParams(numHashes).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    aggregate(
+      transform(array_distinct(TextFunctions.shingles(text)),
+        s => pmod(TextFunctions.md5Hash60(s), lit(p))),
+      array_repeat(lit(p), numHashes),
+      (acc, x) => zip_with(acc, abArr,
+        (m, ab) => least(m, pmod(ab("a") * x + ab("b"), lit(p)))))
+  }
+
+  /** Collects (native, hof) pairs and asserts value equality per row. */
+  private def assertParity(df: DataFrame, native: Column, hof: Column,
+      clue: String): Unit = {
+    val rows = df.select(native.as("native"), hof.as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.get(0) == r.get(1),
+        s"$clue row $i: native=${r.get(0)} hof=${r.get(1)}")
+    }
+  }
+
+  private def allParityChecks(df: DataFrame): Unit = {
+    // ngrams: null text → empty array in the HOF's when/otherwise;
+    // kernel is null-in→null-out, callers coalesce — compare as wrapped
+    for (n <- Seq(1, 3, 8)) {
+      assertParity(df,
+        coalesce(TextHashExprs.ngramsNative(col("t"), n),
+          array().cast("array<string>")),
+        TextFunctions.ngrams(col("t"), n), s"ngrams n=$n")
+      assertParity(df,
+        coalesce(TextHashExprs.ngramHashes(col("t"), n, distinct = true),
+          array().cast("array<bigint>")),
+        array_distinct(transform(TextFunctions.ngrams(col("t"), n),
+          g => TextFunctions.md5Hash60(g))), s"ngramHashes distinct n=$n")
+    }
+    assertParity(df,
+      coalesce(TextHashExprs.ngramHashes(col("t"), 3, distinct = false),
+        array().cast("array<bigint>")),
+      transform(TextFunctions.ngrams(col("t"), 3),
+        g => TextFunctions.md5Hash60(g)), "ngramHashes keep-dups n=3")
+    for (nh <- Seq(16, 64)) {
+      assertParity(df,
+        coalesce(TextHashExprs.minhashSig(col("t"), nh),
+          array_repeat(lit(Dedup.HashPrime), nh)),
+        hofMinhashSig(col("t"), nh), s"minhashSig numHashes=$nh")
+    }
+    // simhash is null-in→null-out on BOTH sides (tokens(null) = null
+    // propagates through the HOF aggregate) — no coalesce
+    assertParity(df, TextHashExprs.simhash64Native(col("t")),
+      TextFunctions.simhash64(col("t")), "simhash64")
+  }
+
+  test("kernels match HOF forms on edge cases (interpreted eval path)") {
+    allParityChecks(edgeDf)
+  }
+
+  test("kernels match HOF forms on the documents table (codegen path)") {
+    allParityChecks(docsDf)
+  }
+
+  test("short/null docs: sentinel + null contracts") {
+    import spark.implicits._
+    val rows = Seq("one two", null).toDF("t").select(
+      coalesce(TextHashExprs.minhashSig(col("t"), 8),
+        array_repeat(lit(Dedup.HashPrime), 8)).as("sig"),
+      TextHashExprs.simhash64Native(col("t")).as("sh")).collect()
+    // < 3 tokens → every lane holds the sentinel (unattainable for a
+    // real doc: the fold's mod p is always < p)
+    assert(rows(0).getSeq[Long](0) == Seq.fill(8)(Dedup.HashPrime))
+    assert(!rows(0).isNullAt(1)) // short-but-present text still simhashes
+    assert(rows(1).getSeq[Long](0) == Seq.fill(8)(Dedup.HashPrime))
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("SQL surface accepts an untyped NULL (implicit cast, like builtins)") {
+    val r = spark.sql(
+      """SELECT simhash64_native(NULL) AS sh,
+        |       minhash_sig_native(NULL, 4) AS sig,
+        |       ngrams_native(NULL, 2) AS g,
+        |       ngram_hashes_native(NULL, 3, true) AS gh""".stripMargin)
+      .collect()(0)
+    (0 until 4).foreach(i => assert(r.isNullAt(i)))
+  }
+
+  test("kernel expressions stay inside WholeStageCodegen") {
+    val df = docsDf.select(
+      TextHashExprs.minhashSig(col("t"), 64).as("sig"),
+      TextHashExprs.simhash64Native(col("t")).as("sh"),
+      TextHashExprs.ngramHashes(col("t"), 8, distinct = true).as("ghs"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [minhash_sig_native"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(df.count() > 0) // generated code compiles + runs
+  }
+}
