@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "process_geometry_native"),
       exprs => ProcessGeometryExpr(exprs(0), exprs(1))))
     TextHashExprs.injectInto(ext)
+    VectorHashExprs.injectInto(ext)
   }
 }

@@ -211,7 +211,7 @@ object Dedup {
     // not embedding arrays (see lshBucketedTopK)
     left.join(right, Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", Similarity.cosineNative(col("va"), col("vb")))
       .select(col("a"), col("b"), col("cosine"))
       .distinct() // a pair can collide in several tables
       .filter(col("cosine") >= threshold)

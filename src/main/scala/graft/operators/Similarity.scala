@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float|double> columns, computed in
-    * double precision with a fixed left-to-right order (deterministic).
+  /** Cosine similarity of two array<float|double|int|long> columns,
+    * computed in double precision with a fixed left-to-right order
+    * (deterministic). This is the portable HOF REFERENCE form — the
+    * operators below use the bit-identical native kernel
+    * ([[graft.expressions.CosineSimExpr]], parity pinned by
+    * `VectorKernelParitySpec`), which needs per-session registration
+    * the reference form doesn't.
     */
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
@@ -35,6 +40,14 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** The native-kernel cosine the operators score candidates with —
+    * evaluated once per candidate PAIR, the hottest expression in this
+    * family. Callers must have run `VectorHashExprs.register` on the
+    * session (every operator entry point here does).
+    */
+  private[graft] def cosineNative(a: Column, b: Column): Column =
+    graft.expressions.VectorHashExprs.cosineSim(a, b)
+
   /** Exact top-k neighbors for each query vector. `queries` and `corpus`
     * both need (idCol, vecCol); queries are assumed small (broadcast).
     * Self-matches (same id) are excluded. Ties broken by corpus id so
@@ -42,10 +55,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.expressions.VectorHashExprs.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     // bounded map-side top-k: shuffles partitions x queries x k rows,
     // not the whole scored corpus to one reducer per query (see TopK)
@@ -54,45 +68,26 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for
     * (table, plane, j): a fixed hash-derived value in [-1, 1]. No RNG
-    * state — reproducible across executors and runs.
+    * state — reproducible across executors and runs. Canonical
+    * generator lives in [[graft.expressions.VectorKernels]] (the native
+    * signature kernel and the oracle-SQL builder must agree).
     */
-  private def planeComponent(table: Int, i: Int, j: Int): Double =
-    org.apache.spark.unsafe.hash.Murmur3_x86_32
-      .hashInt(j * 1000003 + table * 524287 + i * 7919, 42)
-      .toDouble / Int.MaxValue.toDouble
+  private[graft] def planeComponent(table: Int, i: Int, j: Int): Double =
+    graft.expressions.VectorKernels.planeComponent(table, i, j)
 
-  /** All `tables` signatures in ONE pass over the vector: the plane
-    * matrix is a literal (constant-folded; dim is sampled by the
-    * caller), each element j contributes its products to all
-    * tables×planes dots via one zip_with, a single aggregate sums them
-    * element-wise, and the per-table sign-bit folding happens in the
-    * aggregate's FINISH lambda where the dots vector is a cheap bound
-    * reference. The per-plane formulation this replaces ran
-    * tables×planes separate interpreted aggregates per row (and any
-    * post-hoc slicing of a 24-dot array would re-trigger the
-    * project-collapse duplication documented on minHashSignatures).
-    * Returns array<bigint> of length `tables` (bucket id per table);
-    * dot values — hence buckets and recall — are unchanged.
+  /** All `tables` signatures in ONE pass over the vector, as a native
+    * codegen'd kernel ([[graft.expressions.LshSigExpr]]): dots(p) =
+    * Σ_j v_j·m(j)(p), bucket_t = sign-bit fold — one tight loop per
+    * row. The HOF aggregate this replaces computed the same dots but
+    * interpreted dim × (planes·tables) lambda applications per vector
+    * (and carried the whole plane matrix as a literal tree in the
+    * plan). Returns array<bigint> of length `tables` (bucket id per
+    * table); dot values — hence buckets and recall — are unchanged
+    * (parity pinned by `VectorKernelParitySpec`).
     */
   private def signaturesAllTables(vec: Column, planes: Int, tables: Int,
-      dim: Int): Column = {
-    val total = planes * tables
-    val matrix = array((0 until dim).map { j =>
-      array((0 until total).map { pi =>
-        lit(planeComponent(pi / planes, pi % planes, j))
-      }: _*)
-    }: _*)
-    val vd = transform(vec, x => x.cast("double"))
-    val products = zip_with(vd, matrix, (x, ps) => transform(ps, p => p * x))
-    aggregate(products,
-      array_repeat(lit(0.0), total),
-      (acc, v) => zip_with(acc, v, (a, b) => a + b),
-      dots => transform(sequence(lit(0), lit(tables - 1)), t =>
-        (0 until planes).map(i =>
-          when(element_at(dots, t * planes + i + 1) >= 0, lit(1L << i))
-            .otherwise(lit(0L)))
-          .reduce((a: Column, b: Column) => a.bitwiseOR(b))))
-  }
+      dim: Int): Column =
+    graft.expressions.VectorHashExprs.lshSigNative(vec, planes, tables, dim)
 
   /** (id, vec, table, bucket) rows — one per (vector, hash table) — the
     * shared bucketing primitive behind lshBucketedTopK and
@@ -113,6 +108,7 @@ object Similarity {
 
   private[operators] def lshBuckets(df: DataFrame, idCol: String,
       vecCol: String, planes: Int, tables: Int): DataFrame = {
+    graft.expressions.VectorHashExprs.register(df.sparkSession)
     val dim = peekDim(df, vecCol, "lshBuckets")
     val checked = when(size(col(vecCol)) === dim, col(vecCol))
       .otherwise(raise_error(concat(
@@ -130,29 +126,14 @@ object Similarity {
     * LSH geometry.
     */
   private[graft] def planeComponentInt(table: Int, i: Int, j: Int): Long =
-    math.round(planeComponent(table, i, j) * 1000.0)
+    graft.expressions.VectorKernels.planeComponentInt(table, i, j)
 
-  /** Integer twin of signaturesAllTables: same single-pass shape, Long
-    * plane literals, Long accumulation — for integer-quantized vectors.
+  /** Integer twin of signaturesAllTables: Long plane components, Long
+    * accumulation — exact signs for integer-quantized vectors.
     */
   private def signaturesAllTablesInt(vec: Column, planes: Int, tables: Int,
-      dim: Int): Column = {
-    val total = planes * tables
-    val matrix = array((0 until dim).map { j =>
-      array((0 until total).map { pi =>
-        lit(planeComponentInt(pi / planes, pi % planes, j))
-      }: _*)
-    }: _*)
-    val products = zip_with(vec, matrix, (x, ps) => transform(ps, p => p * x))
-    aggregate(products,
-      array_repeat(lit(0L), total),
-      (acc, v) => zip_with(acc, v, (a, b) => a + b),
-      dots => transform(sequence(lit(0), lit(tables - 1)), t =>
-        (0 until planes).map(i =>
-          when(element_at(dots, t * planes + i + 1) >= 0, lit(1L << i))
-            .otherwise(lit(0L)))
-          .reduce((a: Column, b: Column) => a.bitwiseOR(b))))
-  }
+      dim: Int): Column =
+    graft.expressions.VectorHashExprs.lshSigIntNative(vec, planes, tables, dim)
 
   /** Shared probe/score/top-k core behind the two LSH variants: keyed
     * equi-join of the broadcast multi-probe query buckets against the
@@ -164,6 +145,7 @@ object Similarity {
   private def lshCore(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int, tables: Int,
       dim: Int, who: String, sig: Column => Column): DataFrame = {
+    graft.expressions.VectorHashExprs.register(corpus.sparkSession)
     def checked(v: Column): Column =
       when(size(v) === dim, v).otherwise(raise_error(concat(
         lit(s"$who: embedding dim != $dim: "), size(v).cast("string"))))
@@ -182,7 +164,7 @@ object Similarity {
         .drop("sig"))
     val scored = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
       .distinct() // a neighbor can appear via several tables/probes
     TopK.topKPerQuery(scored, k)
@@ -271,16 +253,20 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.expressions.VectorHashExprs.register(corpus.sparkSession)
     val cents = kmeansCentroids(corpus, idCol, vecCol, numCentroids)
     val centArr = array(cents.map { case (i, v) =>
       struct(lit(i).as("cid"), array(v.map(lit): _*).as("cv"))
     }: _*)
 
     def nearestCentroids(vec: Column, n: Int): Column = {
-      val vd = transform(vec, x => x.cast("double"))
+      // native per-centroid distance: the lambda body is one kernel
+      // call over the RAW vector attribute (passing a cast array here
+      // would re-evaluate the cast per centroid — the per-element
+      // re-eval trap); numCentroids interpreted lambda applications
+      // per row remain, each now O(1) expression nodes
       val scored = transform(centArr, c => struct(
-        aggregate(zip_with(vd, c("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v).as("d"),
+        graft.expressions.VectorHashExprs.sqDistNative(vec, c("cv")).as("d"),
         c("cid").as("cid")))
       slice(array_sort(scored), 1, n)
     }
@@ -293,7 +279,7 @@ object Similarity {
         .select(col("query_id"), col("qv"), col("probe")("cid").as("cid")))
     val scored = q.join(c, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
       .distinct() // a neighbor can appear via several probed centroids
     TopK.topKPerQuery(scored, k)

@@ -119,6 +119,28 @@ object Smoke {
     graft.operators.CorpusAnalysis.contamination(
       docs, docs.filter($"doc_id" % 97 === 0), "doc_id", "text")
       .orderBy("id", "bench_id").show(5, false)
+
+    // Vector kernels: SQL surface, then the ANN operators end-to-end.
+    graft.expressions.VectorHashExprs.register(spark)
+    spark.sql(
+      """SELECT cosine_sim_native(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS colinear,
+        |       sq_dist_native(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d25,
+        |       lsh_sig_int_native(array(5L, -3L), 4, 2, 2) AS sig
+        |""".stripMargin).show(false)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    println("== kNN brute force (sf0.001) ==")
+    graft.operators.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank").show(9, false)
+    println("== kNN LSH (sf0.001) ==")
+    graft.operators.Similarity.lshBucketedTopK(emb, queries, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank").show(9, false)
+    println("== kNN IVF (sf0.001) ==")
+    graft.operators.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank").show(9, false)
+    println("== embedding near-dup pairs (sf0.001) ==")
+    graft.operators.Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.9)
+      .orderBy("a", "b").show(5, false)
     spark.stop()
   }
 }
