@@ -340,6 +340,11 @@ object SparkEntry {
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 16, stride = 12)),
 
+    // greedy token-budget sequence packing (16 deterministic shards)
+    "q_pack" -> ((s, dir) =>
+      CorpusAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 128, shards = 16)),
+
     // composed quality gate: per-doc keep/drop verdict with reason
     "q_filter" -> ((s, dir) =>
       CorpusAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text")),
@@ -1042,6 +1047,36 @@ object SparkEntry {
          |      CAST(floor((greatest(len(toks) - 16, 0) + 11) / 12.0) AS INT) + 1)
          |    END) AS u(i))
          |SELECT id, chunk_idx, chunk_tokens, chunk_text FROM ch
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Sequence packing: the greedy capacity-reset scan is inherently
+    // recursive (each pack decision depends on the accumulated state),
+    // so the replica is a recursive CTE stepping one doc per shard per
+    // iteration — same shard hash, same token counts, same first-fit
+    // rule.
+    "q_pack" ->
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id AS id,
+         |    CAST(coalesce(len($Toks), 0) AS BIGINT) AS doc_tokens,
+         |    CAST(${H60("'pack:' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS shard
+         |  FROM documents),
+         |ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+         |        FROM tk),
+         |packed AS (
+         |  SELECT shard, rn, id, doc_tokens,
+         |    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos,
+         |    doc_tokens AS acc
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.id, o.doc_tokens,
+         |    CASE WHEN p.acc + o.doc_tokens > 128 THEN p.pack_id + 1
+         |         ELSE p.pack_id END,
+         |    CASE WHEN p.acc + o.doc_tokens > 128 THEN CAST(0 AS BIGINT)
+         |         ELSE p.pack_pos + 1 END,
+         |    CASE WHEN p.acc + o.doc_tokens > 128 THEN o.doc_tokens
+         |         ELSE p.acc + o.doc_tokens END
+         |  FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+         |SELECT id, shard, doc_tokens, pack_id, pack_pos FROM packed
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // NFC: DuckDB's utf8proc nfc_normalize vs the JVM Normalizer — the

@@ -243,4 +243,72 @@ object CorpusAnalysis {
         col("col.chunk_tokens").as("chunk_tokens"),
         col("col.chunk_text").as("chunk_text"))
   }
+
+  /** Greedy token-budget sequence packing — the step between chunking
+    * and batch assembly in a pretraining pipeline: documents are packed
+    * into training sequences of at most `maxTokens` tokens, in a way
+    * that is a pure function of the corpus (stable across runs,
+    * partitionings, and engines — a rerun reproduces the exact same
+    * training batches).
+    *
+    * Semantics: each doc is assigned a shard by deterministic hash
+    * (md5-60("pack:" + id) mod `shards`); within a shard, docs are
+    * visited in ascending id order and packed first-fit-in-order — a
+    * doc joins the current pack unless that would exceed `maxTokens`,
+    * in which case it starts the next pack. A doc longer than
+    * `maxTokens` therefore occupies a pack of its own (truncation is
+    * `chunkDocs`' job, upstream). Output: one row per doc —
+    * (id, shard, doc_tokens, pack_id, pack_pos), pack ids contiguous
+    * from 0 per shard, pack_pos the doc's position within its pack.
+    *
+    * 100 TB shape: token counts are computed in the scan's narrow map,
+    * so the ONE keyed shuffle moves (id, tokens, shard) scalars — no
+    * text. Packing itself is inherently sequential PER SHARD (each
+    * pack decision depends on the previous accumulation), so the shard
+    * is the unit of parallelism: size `shards` to ≳ the cluster's
+    * cores (hash-uniform, no skew) and each task streams its shard
+    * with O(1) state. The greedy scan is a `mapPartitions` over rows
+    * sorted (shard, id) within hash-partitioned shards — deterministic
+    * because the sort, not arrival order, fixes the sequence.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 2048, shards: Int = 16): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val prepared = docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("doc_tokens"),
+        pmod(TextFunctions.md5Hash60(
+            concat(lit("pack:"), col(idCol).cast("long").cast("string"))),
+          lit(shards.toLong)).cast("int").as("shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("shard", IntegerType, nullable = false),
+      StructField("doc_tokens", LongType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_pos", LongType, nullable = false)))
+    prepared.mapPartitions { it =>
+      // a partition holds whole shards (hash-partitioned on shard) in
+      // (shard, id) order; reset the greedy state at shard boundaries
+      var curShard = Integer.MIN_VALUE
+      var pack = -1L
+      var pos = 0L
+      var acc = 0L
+      it.map { r =>
+        val id = r.getLong(0)
+        val tc = r.getLong(1)
+        val shard = r.getInt(2)
+        if (shard != curShard) { curShard = shard; pack = -1L; acc = 0L }
+        if (pack < 0L || acc + tc > maxTokens) { pack += 1L; acc = 0L; pos = 0L }
+        else pos += 1L
+        acc += tc
+        Row(id, shard, tc, pack, pos)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -141,6 +141,13 @@ object Smoke {
     println("== embedding near-dup pairs (sf0.001) ==")
     graft.operators.Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.9)
       .orderBy("a", "b").show(5, false)
+    println("== sequence packing (sf0.001, maxTokens=128) ==")
+    val packed = graft.operators.CorpusAnalysis.packSequences(
+      docs, "doc_id", "text", maxTokens = 128, shards = 4)
+    packed.orderBy("shard", "pack_id", "pack_pos").show(8, false)
+    packed.groupBy("shard", "pack_id").agg(sum("doc_tokens").as("pack_tokens"))
+      .groupBy().agg(count(lit(1)).as("packs"), max("pack_tokens").as("max_fill"),
+        avg("pack_tokens").as("avg_fill")).show(false)
     spark.stop()
   }
 }

@@ -257,4 +257,64 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("doc_ngrams") == 2L) // "lead t1..t7" and "t1..t8"
     assert(r.getAs[Double]("overlap_frac") == 0.5)
   }
+
+  test("packSequences: first-fit-in-order within one shard, hand-checked") {
+    import spark.implicits._
+    // one shard so the packing order is just ascending id; token counts
+    // 3,4,5,9,2,1 with maxTokens=8: [3,4] [5] [9] [2,1]
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
+      (4L, "a b c d e f g h i"), (5L, "a b"), (6L, "a")
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalysis.packSequences(docs, "doc_id", "text",
+      maxTokens = 8, shards = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("pack_pos")))
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 0L),
+      (4L, 2L, 0L), (5L, 3L, 0L), (6L, 3L, 1L)))
+  }
+
+  test("packSequences invariants on the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val maxTokens = 128
+    val packed = CorpusAnalysis.packSequences(docs, "doc_id", "text",
+      maxTokens = maxTokens, shards = 16).cache()
+    try {
+      // every doc exactly once
+      assert(packed.count() == docs.count())
+      assert(packed.select("id").distinct().count() == docs.count())
+      // no pack over budget unless it is a single oversized doc
+      val over = packed.groupBy("shard", "pack_id")
+        .agg(sum("doc_tokens").as("tok"), count(lit(1)).as("n"))
+        .filter(col("tok") > maxTokens && col("n") > 1)
+      assert(over.isEmpty, over.collect().mkString)
+      // greedy means no pack could absorb its successor's FIRST doc:
+      // head-of-pack token count + previous pack total must exceed budget
+      val packTotals = packed.groupBy("shard", "pack_id")
+        .agg(sum("doc_tokens").as("tot"))
+      val heads = packed.filter(col("pack_pos") === 0)
+        .select(col("shard"), col("pack_id"), col("doc_tokens").as("head_tok"))
+      val mergeable = packTotals.alias("p")
+        .join(heads.alias("h"), col("p.shard") === col("h.shard") &&
+          col("h.pack_id") === col("p.pack_id") + 1)
+        .filter(col("p.tot") + col("h.head_tok") <= maxTokens)
+      assert(mergeable.isEmpty, mergeable.collect().mkString)
+      // pack ids contiguous from 0 per shard
+      val ids = packed.groupBy("shard")
+        .agg(min("pack_id").as("lo"), max("pack_id").as("hi"),
+          countDistinct("pack_id").as("n"))
+        .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+      assert(ids.isEmpty, ids.collect().mkString)
+    } finally packed.unpersist()
+  }
+
+  test("packSequences is deterministic under input repartitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusAnalysis.packSequences(d, "doc_id", "text",
+        maxTokens = 128, shards = 16)
+        .collect().map(_.toSeq).toSet
+    assert(run(docs) == run(docs.repartition(7)))
+  }
 }
