@@ -228,6 +228,23 @@ object Dedup {
     when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
   }
 
+  /** [[ngramJaccard]] with the gram sets built by the native kernel
+    * (string grams — NOT hashes, so intersections are byte-identical to
+    * the HOF/oracle semantics, collision-free by construction). Needs
+    * `TextHashExprs.register` on the session; the HOF form above stays
+    * the registration-free portable reference.
+    */
+  private[graft] def ngramJaccardNative(a: Column, b: Column, n: Int = 3): Column = {
+    def g(c: Column) = array_distinct(coalesce(
+      graft.expressions.TextHashExprs.ngramsNative(c, n),
+      array().cast("array<string>")))
+    val sa = g(a)
+    val sb = g(b)
+    val inter = size(array_intersect(sa, sb))
+    val union = size(sa) + size(sb) - inter
+    when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
+  }
+
   /** SimHash near-dup pairs: pigeonhole on 4 16-bit blocks (pairs within
     * Hamming distance ≤ maxDistance share ≥ 1 identical block when
     * maxDistance ≤ 3), verified with bit_count. Keyed join on

@@ -148,6 +148,13 @@ object Smoke {
     packed.groupBy("shard", "pack_id").agg(sum("doc_tokens").as("pack_tokens"))
       .groupBy().agg(count(lit(1)).as("packs"), max("pack_tokens").as("max_fill"),
         avg("pack_tokens").as("avg_fill")).show(false)
+    println("== URL canonicalization ==")
+    Seq("HTTP://WWW.Example.COM:80/A/9?utm_source=x&b=2&a=1#f",
+      "http://U:P@Example.org:8080/x%20y?z=1&gclid=g", "nonsense")
+      .toDF("url")
+      .select(col("url"), graft.functions.UrlFunctions.normalizeUrl(col("url"))
+        .as("url_norm"), graft.functions.UrlFunctions.domain(col("url")).as("domain"))
+      .show(false)
     spark.stop()
   }
 }

@@ -135,6 +135,15 @@ class NativeKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).isNullAt(1))
   }
 
+  test("ngramJaccardNative matches the HOF form on shifted doc pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.select(col("doc_id").as("k"), col("text").as("ta"))
+    val b = docs.select((col("doc_id") - 1).as("k"), col("text").as("tb"))
+    assertParity(a.join(b, Seq("k")),
+      Dedup.ngramJaccardNative(col("ta"), col("tb")),
+      Dedup.ngramJaccard(col("ta"), col("tb")), "ngramJaccard")
+  }
+
   test("SQL surface accepts an untyped NULL (implicit cast, like builtins)") {
     val r = spark.sql(
       """SELECT simhash64_native(NULL) AS sh,
