@@ -295,9 +295,13 @@ object Dedup {
     * component diameter. Near-dup components are shallow (chains longer
     * than a few hops mean the threshold is too loose), so the bound is
     * small in practice; `maxIter` caps the pathological case. Each round
-    * is ONE keyed shuffle (join labels to edges + min-aggregate);
-    * convergence is a bounded count action; `localCheckpoint` truncates
-    * the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    * is ONE keyed shuffle (join labels to edges + min-aggregate) over a
+    * GRAPH-sized label table — only edge-touched docs propagate (pairs
+    * are assumed drawn from `docs`, as every producer here does);
+    * singletons, the overwhelming majority of a real corpus, join back
+    * once at the end. Convergence is a bounded count action;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1.
     * For adversarially deep graphs swap in the large-star/small-star
     * rounds of Kiveris et al., "Connected Components in MapReduce and
     * Beyond" (log-diameter rounds) — same per-round shuffle shape.
@@ -324,7 +328,13 @@ object Dedup {
       col("b").cast("long").as("b")).localCheckpoint()
     val edges = p.select(col("a").as("s"), col("b").as("d"))
       .union(p.select(col("b").as("s"), col("a").as("d")))
-    var labels = docs.select(col(idCol).cast("long").as("id"))
+    // propagate ONLY over docs touched by an edge: everything else is a
+    // singleton whose label can never change. At scale this is the
+    // difference between shuffling O(|graph nodes|) and O(|corpus|)
+    // labels per round — near-dup graphs are a small fraction of the
+    // corpus, the propagation table should be sized to the graph.
+    // Singletons rejoin at the end (left join, null → own id).
+    var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
     var converged = false
@@ -349,6 +359,10 @@ object Dedup {
       throw new IllegalStateException(
         s"nearDupClusters did not converge in $maxIter rounds — component " +
           "diameter exceeds the cap; raise maxIter or tighten the pair threshold")
-    labels
+    // singletons (no edges) label themselves; the propagated table is
+    // graph-sized, so AQE broadcasts it against the corpus
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(labels.select(col("id"), col("cluster").as("__cl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__cl"), col("id")).as("cluster"))
   }
 }

@@ -3,7 +3,7 @@ package graft.tools
 import java.io.FileOutputStream
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 
 /** Dev main: ingest a deliberately large archive (default 1M features
   * across two layers, ~250 MB of GeoJSON) through the full engine to
@@ -125,6 +125,70 @@ object ScaleSmoke {
     require(chunks == 3L * nDocs, s"chunks $chunks")
     println(f"corpus: contamPairs=$contam in $tCt%.1f s, " +
       f"chunks=$chunks in $tCh%.1f s (${nDocs / tCh}%.0f docs/s)")
+
+    // --- vectors at scale: 1M synthetic 64-dim embeddings with planted
+    // near-dups (per group of 10: id base+9 = base's vector with dim 0
+    // shifted 0.05 → cosine ≈ 0.9999). Components are pure xxhash64
+    // projections — distributed, deterministic, no RNG state. At 1M
+    // vectors the default 6-plane geometry would put ~16k vectors in
+    // every bucket (all capped away); 16 planes → 65k buckets → ~15
+    // per bucket, which is the point: planes must scale with log(n).
+    val nVec = args.lift(2).map(_.toInt).getOrElse(1000000)
+    val vk = col("id") % 10
+    val vseed = when(vk === 9, col("id") - vk).otherwise(col("id"))
+    def comp(j: Int): Column = {
+      val b = (xxhash64(vseed.cast("string"), lit(j)) % 100000L)
+        .cast("double") / 100000.0
+      if (j == 0) when(vk === 9, b + 0.05).otherwise(b) else b
+    }
+    val vecs = spark.range(nVec).select(col("id"),
+      array((0 until 64).map(comp): _*).cast("array<float>").as("v"))
+    val t7 = System.nanoTime()
+    val vPairs = graft.operators.Dedup.embeddingNearDupPairs(
+      vecs, "id", "v", threshold = 0.95, planes = 16, tables = 4).count()
+    val tVp = (System.nanoTime() - t7) / 1e9
+    val expPairs = nVec / 10L
+    // a planted pair is missed only if >= 2 of 16 signs flip in EVERY
+    // table; random pairs can't reach cosine 0.95 — demand near-all
+    require(vPairs <= expPairs && vPairs >= expPairs - 20,
+      s"embedding pairs $vPairs of $expPairs")
+    // ANN: 100 queries (group bases); the planted partner must be the
+    // top-1 neighbor for every query (multi-probe covers 1-bit flips)
+    val queries = vecs.filter(col("id") % 10 === 0 && col("id") < 1000)
+    val t8 = System.nanoTime()
+    val top1 = graft.operators.Similarity.lshBucketedTopK(
+      vecs, queries, "id", "v", k = 3, planes = 16, tables = 4)
+      .filter(col("rank") === 1).collect()
+    val tKnn = (System.nanoTime() - t8) / 1e9
+    require(top1.length == 100, s"got ${top1.length} queries back")
+    top1.foreach { r =>
+      require(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") + 9,
+        s"wrong top-1: $r")
+    }
+    println(f"vectors: nearDupPairs=$vPairs in $tVp%.1f s " +
+      f"(${nVec / tVp}%.0f vecs/s), knnTop1=100/100 planted in $tKnn%.1f s, " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- sequence packing at scale: every doc is exactly 30 tokens, so
+    // each 2048-token pack holds exactly 68 docs and the pack count per
+    // shard is ceil(count/68) — assert the packing exactly.
+    val t9 = System.nanoTime()
+    val packed = graft.operators.CorpusAnalysis.packSequences(
+      docs, "id", "text", maxTokens = 2048, shards = 64)
+    val packAgg = packed.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("doc_tokens")).as("tok"), count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("packs"), max(col("tok")).as("maxTok"),
+        sum(col("n")).as("docs")).collect()(0)
+    val tPk = (System.nanoTime() - t9) / 1e9
+    val shardCounts = packed.groupBy(col("shard")).count().collect()
+      .map(_.getLong(1))
+    val expPacks = shardCounts.map(c => (c + 67) / 68).sum
+    require(packAgg.getAs[Long]("docs") == nDocs, s"pack rows $packAgg")
+    require(packAgg.getAs[Long]("maxTok") <= 2048, s"overfull pack $packAgg")
+    require(packAgg.getAs[Long]("packs") == expPacks,
+      s"packs ${packAgg.getAs[Long]("packs")} of $expPacks")
+    println(f"packing: docs=$nDocs packs=$expPacks in $tPk%.1f s " +
+      f"(${nDocs / tPk}%.0f docs/s)")
     spark.stop()
   }
 }
