@@ -1174,7 +1174,7 @@ object SparkEntry {
          |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')) AS hp,
          |    regexp_extract(url,
          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
-         |    regexp_extract(url, '\\?([^#]*)', 1) AS qs
+         |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS qs
          |  FROM u),
          |parts2 AS (
          |  SELECT doc_id, url, sch, pth,

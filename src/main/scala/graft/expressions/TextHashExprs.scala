@@ -70,18 +70,25 @@ object TextKernels {
     (v << 4) | ((h(7) >> 4) & 0xFL)
   }
 
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** Whitespace tokens — parity with
     * `filter(split(trim(text), "\\s+"), t => length(t) > 0)`:
     * UTF8String.trim() strips exactly ASCII 0x20 like SQL trim; the
-    * regex split matches Spark's StringSplit; empties are dropped.
+    * regex split matches Spark's StringSplit; empties are dropped. The
+    * Pattern is compiled once (String.split would recompile per row —
+    * measurable in this, the hottest kernel loop).
     */
   def tokens(text: UTF8String): Array[String] = {
     val s = text.trim().toString
     if (s.isEmpty) return Array.empty
-    s.split("\\s+").filter(_.nonEmpty)
+    WS.split(s).filter(_.nonEmpty)
   }
 
-  private def gramBytes(ts: Array[String], start: Int, n: Int): Array[Byte] = {
+  /** Space-joined gram over ts(start .. start+n-1) — the ONE place the
+    * gram string is built (string and hash kernels must agree).
+    */
+  private def gramString(ts: Array[String], start: Int, n: Int): String = {
     val sb = new java.lang.StringBuilder
     var k = 0
     while (k < n) {
@@ -89,8 +96,11 @@ object TextKernels {
       sb.append(ts(start + k))
       k += 1
     }
-    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    sb.toString
   }
+
+  private def gramBytes(ts: Array[String], start: Int, n: Int): Array[Byte] =
+    gramString(ts, start, n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   /** Space-joined word n-grams, in order, with duplicates — parity with
     * `TextFunctions.ngrams` for non-null text (< n tokens → empty).
@@ -101,14 +111,7 @@ object TextKernels {
     val out = new Array[Any](ts.length - n + 1)
     var i = 0
     while (i < out.length) {
-      val sb = new java.lang.StringBuilder
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(ts(i + k))
-        k += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = UTF8String.fromString(gramString(ts, i, n))
       i += 1
     }
     new GenericArrayData(out)

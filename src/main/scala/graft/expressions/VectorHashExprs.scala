@@ -74,8 +74,12 @@ object VectorKernels {
   /** Cosine similarity, double precision, left-to-right fold — parity
     * with `Similarity.cosine`'s aggregate form. Boxed return: null for
     * length mismatch / null elements (the HOF's null-padded zip_with).
+    * `failOnError` mirrors the session's ANSI flag, captured at plan
+    * time like Spark's own Divide: zero-norm throws under ANSI, yields
+    * null otherwise — exactly what the HOF's `/` did in each mode.
     */
-  def cosineSim(a: ArrayData, b: ArrayData, ac: Int, bc: Int): java.lang.Double = {
+  def cosineSim(a: ArrayData, b: ArrayData, ac: Int, bc: Int,
+      failOnError: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0
@@ -92,9 +96,12 @@ object VectorKernels {
       i += 1
     }
     val den = math.sqrt(na) * math.sqrt(nb)
-    if (den == 0.0) throw new ArithmeticException(
-      "[DIVIDE_BY_ZERO] cosine_sim_native: zero-norm vector " +
-        "(ANSI divide-by-zero parity). Filter zero vectors out first.")
+    if (den == 0.0) {
+      if (failOnError) throw new ArithmeticException(
+        "[DIVIDE_BY_ZERO] cosine_sim_native: zero-norm vector " +
+          "(ANSI divide-by-zero parity). Filter zero vectors out first.")
+      return null
+    }
     java.lang.Double.valueOf(dot / den)
   }
 
@@ -151,6 +158,12 @@ object VectorKernels {
       Array.tabulate(d * total)(x => planeComponentInt((x % total) / p, (x % total) % p, x / total))
     })
 
+  /** Spark/DuckDB comparison semantics order NaN above every value, so
+    * `dots(p) >= 0` must be TRUE for NaN (Java's `>=` is false) — the
+    * parity spec pins this on a planted-NaN vector.
+    */
+  private def signGeqZero(d: Double): Boolean = d >= 0 || java.lang.Double.isNaN(d)
+
   private def foldBuckets(sign: Int => Boolean, planes: Int, tables: Int): ArrayData = {
     val out = new Array[Long](tables)
     var t = 0
@@ -193,7 +206,7 @@ object VectorKernels {
       }
       j += 1
     }
-    foldBuckets(dots(_) >= 0, planes, tables)
+    foldBuckets(p => signGeqZero(dots(p)), planes, tables)
   }
 
   /** Integer twin of [[lshSig]] (Long plane components, Long dots). */
@@ -247,12 +260,17 @@ sealed abstract class VectorPairExpr extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  /** Extra trailing argument(s) for the kernel call, e.g. the captured
+    * ANSI flag — empty for kernels that don't need any.
+    */
+  protected def extraArgs: String = ""
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val boxed = ctx.freshName("boxed")
       s"""
          |java.lang.Double $boxed =
-         |  graft.expressions.VectorKernels.$kernelName($a, $b, $aCode, $bCode);
+         |  graft.expressions.VectorKernels.$kernelName($a, $b, $aCode, $bCode$extraArgs);
          |if ($boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $boxed.doubleValue(); }
        """.stripMargin
@@ -261,10 +279,15 @@ sealed abstract class VectorPairExpr extends BinaryExpression {
 
 case class CosineSimExpr(left: Expression, right: Expression)
     extends VectorPairExpr {
+  // captured from the session at plan time, exactly like Spark's Divide:
+  // zero-norm throws under ANSI, yields null otherwise
+  private val failOnError: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
   override def prettyName: String = "cosine_sim_native"
   override protected def kernelName: String = "cosineSim"
+  override protected def extraArgs: String = s", $failOnError"
   override protected def compute(a: ArrayData, b: ArrayData): java.lang.Double =
-    VectorKernels.cosineSim(a, b, aCode, bCode)
+    VectorKernels.cosineSim(a, b, aCode, bCode, failOnError)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)
 }

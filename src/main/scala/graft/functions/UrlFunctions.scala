@@ -36,7 +36,9 @@ object UrlFunctions {
   private val SchemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val AuthorityPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val PathPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-  private val QueryPat = "\\?([^#]*)"
+  // the query starts at the first '?' BEFORE any '#': a '?' inside the
+  // fragment is fragment content and must be dropped with it
+  private val QueryPat = "^[^#?]*\\?([^#]*)"
 
   def scheme(url: Column): Column = lower(regexp_extract(url, SchemePat, 1))
 

@@ -300,6 +300,10 @@ object CorpusAnalysis {
       var pos = 0L
       var acc = 0L
       it.map { r =>
+        // a null id (or an idCol value cast('long') nulls out) would
+        // otherwise surface as an opaque NPE from the positional reads
+        require(!r.isNullAt(0),
+          s"packSequences: null or non-castable $idCol — ids must be long-castable and non-null")
         val id = r.getLong(0)
         val tc = r.getLong(1)
         val shard = r.getInt(2)

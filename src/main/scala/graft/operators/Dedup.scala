@@ -333,8 +333,13 @@ object Dedup {
     // difference between shuffling O(|graph nodes|) and O(|corpus|)
     // labels per round — near-dup graphs are a small fraction of the
     // corpus, the propagation table should be sized to the graph.
-    // Singletons rejoin at the end (left join, null → own id).
+    // Singletons rejoin at the end (left join, null → own id). The
+    // leftsemi against docs keeps pair ids that are NOT in docs out of
+    // the label space (they could otherwise become a component's min
+    // label and orphan the component) — same semantics as when the
+    // label table was seeded from docs directly.
     var labels = edges.select(col("s").as("id")).distinct()
+      .join(docs.select(col(idCol).cast("long").as("id")), Seq("id"), "leftsemi")
       .withColumn("cluster", col("id"))
       .localCheckpoint()
     var converged = false

@@ -173,8 +173,10 @@ object ScaleSmoke {
     // each 2048-token pack holds exactly 68 docs and the pack count per
     // shard is ceil(count/68) — assert the packing exactly.
     val t9 = System.nanoTime()
+    // cache: two actions below (pack aggregate + shard counts) must not
+    // re-run the tokenize+shuffle+sort pipeline twice
     val packed = graft.operators.CorpusAnalysis.packSequences(
-      docs, "id", "text", maxTokens = 2048, shards = 64)
+      docs, "id", "text", maxTokens = 2048, shards = 64).cache()
     val packAgg = packed.groupBy(col("shard"), col("pack_id"))
       .agg(sum(col("doc_tokens")).as("tok"), count(lit(1)).as("n"))
       .agg(count(lit(1)).as("packs"), max(col("tok")).as("maxTok"),

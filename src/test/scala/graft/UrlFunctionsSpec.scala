@@ -50,6 +50,11 @@ class UrlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b == "https://example.net/p")
   }
 
+  test("a ? inside the fragment is fragment content, not a query") {
+    val Seq((a, _)) = norm("http://h.io/p#frag?x=1")
+    assert(a == "http://h.io/p")
+  }
+
   test("non-http schemes normalize; non-URLs map to null") {
     val Seq((a, _), (b, bd)) = norm(
       "ftp://Files.example.io/pub/f#sec", "not a url at all")

@@ -167,6 +167,19 @@ class VectorKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       hofLshSig(col("v"), 6, 4, dim, integer = true), "lshSig/int")
   }
 
+  test("NaN element: dots go NaN, and NaN >= 0 is TRUE in engine semantics") {
+    val df = nullableArrayDf(Seq("v"),
+      Seq(Row(Seq(Double.NaN, 1.0, 2.0))))
+    val rows = df.select(
+      VectorHashExprs.lshSigNative(col("v"), 4, 2, 3).as("n"),
+      hofLshSig(col("v"), 4, 2, 3, integer = false).as("h")).collect()
+    // every dot is NaN → every plane bit SET (Spark/DuckDB order NaN
+    // above all values; Java's >= would say false — the kernel must
+    // follow the engine)
+    assert(rows(0).getSeq[Long](0) == Seq(15L, 15L), rows(0).toString)
+    assert(rows(0).get(0) == rows(0).get(1), rows(0).toString)
+  }
+
   test("LSH degenerate inputs: wrong length / null element → all-zero buckets") {
     val df = nullableArrayDf(Seq("v"), Seq(
       Row(Seq(1.0, 2.0)),          // len 2, dim expects 3
