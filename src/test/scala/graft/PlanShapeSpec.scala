@@ -79,6 +79,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("hot-path queries are wired to the native kernels, not the HOF forms") {
+    // the kernels' VALUE parity is pinned by the parity specs; this
+    // pins the WIRING — an operator quietly reverted to the interpreted
+    // aggregate/zip_with fold would still pass correctness
+    val expect = Seq(
+      "q_minhash_near_dup" -> "minhash_sig_native",
+      "q_simhash_near_dup" -> "simhash64_native",
+      "q_contamination" -> "ngram_hashes_native",
+      "q_ngram_jaccard" -> "ngrams_native",
+      "q_knn_brute" -> "cosine_sim_native",
+      "q_knn_lsh" -> "lsh_sig_native",
+      "q_knn_lsh_int" -> "lsh_sig_int_native",
+      "q_knn_ivf" -> "sq_dist_native")
+    for ((name, kernel) <- expect) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains(kernel), s"$name lost its $kernel wiring")
+    }
+  }
+
   test("corpus operators: no HOF pipeline duplicated into an inferred filter") {
     // InferFiltersFromGenerate + pushdown can copy an expensive generator
     // expression into a Filter (size(expr)>0 AND isnotnull(expr)) — the
