@@ -346,6 +346,11 @@ object SparkEntry {
       CorpusAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 128, shards = 16)),
 
+    // batch assembly: the packed training sequences themselves
+    "q_pack_text" -> ((s, dir) =>
+      CorpusAnalysis.packTexts(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 128, shards = 16)),
+
     // composed quality gate: per-doc keep/drop verdict with reason
     "q_filter" -> ((s, dir) =>
       CorpusAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text")),
@@ -565,6 +570,35 @@ object SparkEntry {
 
   private val Toks =
     raw"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"
+
+  /** Shared recursive-CTE replica of `CorpusAnalysis.packSequences`
+    * (maxTokens=128, shards=16): same shard hash, same token counts,
+    * same first-fit capacity-reset rule, one doc per shard per step.
+    * Yields the `packed(shard, rn, id, doc_tokens, pack_id, pack_pos,
+    * acc)` relation for q_pack and q_pack_text to project from.
+    */
+  private lazy val PackCte: String =
+    s"""WITH RECURSIVE tk AS (
+       |  SELECT doc_id AS id,
+       |    CAST(coalesce(len($Toks), 0) AS BIGINT) AS doc_tokens,
+       |    CAST(${H60("'pack:' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS shard
+       |  FROM documents),
+       |ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+       |        FROM tk),
+       |packed AS (
+       |  SELECT shard, rn, id, doc_tokens,
+       |    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos,
+       |    doc_tokens AS acc
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.shard, o.rn, o.id, o.doc_tokens,
+       |    CASE WHEN p.acc + o.doc_tokens > 128 THEN p.pack_id + 1
+       |         ELSE p.pack_id END,
+       |    CASE WHEN p.acc + o.doc_tokens > 128 THEN CAST(0 AS BIGINT)
+       |         ELSE p.pack_pos + 1 END,
+       |    CASE WHEN p.acc + o.doc_tokens > 128 THEN o.doc_tokens
+       |         ELSE p.acc + o.doc_tokens END
+       |  FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)""".stripMargin
 
   /** DuckDB replica of TextFunctions.md5Hash60 (same 60-bit integer). */
   private def H60(e: String): String =
@@ -1078,28 +1112,21 @@ object SparkEntry {
     // iteration — same shard hash, same token counts, same first-fit
     // rule.
     "q_pack" ->
-      s"""WITH RECURSIVE tk AS (
-         |  SELECT doc_id AS id,
-         |    CAST(coalesce(len($Toks), 0) AS BIGINT) AS doc_tokens,
-         |    CAST(${H60("'pack:' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS shard
-         |  FROM documents),
-         |ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
-         |        FROM tk),
-         |packed AS (
-         |  SELECT shard, rn, id, doc_tokens,
-         |    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos,
-         |    doc_tokens AS acc
-         |  FROM ord WHERE rn = 1
-         |  UNION ALL
-         |  SELECT o.shard, o.rn, o.id, o.doc_tokens,
-         |    CASE WHEN p.acc + o.doc_tokens > 128 THEN p.pack_id + 1
-         |         ELSE p.pack_id END,
-         |    CASE WHEN p.acc + o.doc_tokens > 128 THEN CAST(0 AS BIGINT)
-         |         ELSE p.pack_pos + 1 END,
-         |    CASE WHEN p.acc + o.doc_tokens > 128 THEN o.doc_tokens
-         |         ELSE p.acc + o.doc_tokens END
-         |  FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      s"""$PackCte
          |SELECT id, shard, doc_tokens, pack_id, pack_pos FROM packed
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Batch assembly: the packed sequences themselves — ordered
+    // string_agg over the same recursive packing; integer sums cast
+    // back to BIGINT (DuckDB widens to HUGEINT).
+    "q_pack_text" ->
+      s"""$PackCte
+         |SELECT p.shard, p.pack_id,
+         |  CAST(sum(p.doc_tokens) AS BIGINT) AS pack_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  string_agg(d.text, ' ' ORDER BY p.pack_pos) AS pack_text
+         |FROM packed p JOIN documents d ON d.doc_id = p.id
+         |GROUP BY p.shard, p.pack_id
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // NFC: DuckDB's utf8proc nfc_normalize vs the JVM Normalizer — the

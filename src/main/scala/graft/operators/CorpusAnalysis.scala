@@ -315,4 +315,28 @@ object CorpusAnalysis {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Batch assembly on top of [[packSequences]]: the actual training
+    * sequences — one row per pack with the member docs' texts joined in
+    * pack order by `sep`. Deterministic like the packing itself
+    * (`sort_array` of (pos, text) structs fixes the order inside the
+    * unordered `collect_list`). One keyed shuffle moves each doc's text
+    * exactly once; pack sizes are bounded by maxTokens, so the per-group
+    * state `collect_list` holds is bounded too.
+    */
+  def packTexts(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 2048, shards: Int = 16,
+      sep: String = " "): DataFrame = {
+    val assignments = packSequences(docs, idCol, textCol, maxTokens, shards)
+    assignments
+      .join(docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__text")), Seq("id"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        sum(col("doc_tokens")).as("pack_tokens"),
+        count(lit(1)).as("n_docs"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pack_pos"), col("__text")))),
+          s => s("__text")), sep).as("pack_text"))
+  }
 }

@@ -148,6 +148,13 @@ object Smoke {
     packed.groupBy("shard", "pack_id").agg(sum("doc_tokens").as("pack_tokens"))
       .groupBy().agg(count(lit(1)).as("packs"), max("pack_tokens").as("max_fill"),
         avg("pack_tokens").as("avg_fill")).show(false)
+    println("== packed training sequences (one pack) ==")
+    graft.operators.CorpusAnalysis.packTexts(
+      docs, "doc_id", "text", maxTokens = 128, shards = 4)
+      .orderBy("shard", "pack_id")
+      .select(col("shard"), col("pack_id"), col("pack_tokens"), col("n_docs"),
+        substring(col("pack_text"), 1, 60).as("pack_text_head"))
+      .show(3, false)
     println("== URL canonicalization ==")
     Seq("HTTP://WWW.Example.COM:80/A/9?utm_source=x&b=2&a=1#f",
       "http://U:P@Example.org:8080/x%20y?z=1&gclid=g", "nonsense")

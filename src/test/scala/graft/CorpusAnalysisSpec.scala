@@ -32,6 +32,17 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       11L -> 10L, 20L -> 20L))
   }
 
+  test("nearDupClusters: pair ids absent from docs never become labels") {
+    import spark.implicits._
+    val docs = Seq(5L, 6L, 20L).toDF("doc_id")
+    // id 1 is not in docs: the edge may not pull label 1 into the
+    // component, or nearDedup would keep zero docs from it
+    val pairs = Seq((1L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 6L -> 5L, 20L -> 20L))
+  }
+
   test("nearDedup keeps exactly the cluster representatives") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
@@ -307,6 +318,20 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
       assert(ids.isEmpty, ids.collect().mkString)
     } finally packed.unpersist()
+  }
+
+  test("packTexts assembles pack members in pack order") {
+    import spark.implicits._
+    // maxTokens=8 over counts 3,4,5: packs [d1 d2], [d3]
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"))
+      .toDF("doc_id", "text")
+    val got = CorpusAnalysis.packTexts(docs, "doc_id", "text",
+      maxTokens = 8, shards = 1)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_tokens"),
+        r.getAs[Long]("n_docs"), r.getAs[String]("pack_text")))
+    assert(got.toSeq == Seq((0L, 7L, 2L, "a b c d e f g"),
+      (1L, 5L, 1L, "h i j k l")))
   }
 
   test("packSequences is deterministic under input repartitioning") {
