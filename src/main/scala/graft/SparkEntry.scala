@@ -351,6 +351,16 @@ object SparkEntry {
       CorpusAnalysis.packTexts(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 128, shards = 16)),
 
+    // the composed curation pipeline: gate → exact dedup → near dedup →
+    // decontaminate (vs a bench sample) → hash sample, reported as
+    // per-stage attrition counts
+    "q_curate" -> ((s, dir) =>
+      CorpusAnalysis.curate(
+        docsWithNearDups(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", sampleRate = 0.5, salt = "cur1")),
+
     // composed quality gate: per-doc keep/drop verdict with reason
     "q_filter" -> ((s, dir) =>
       CorpusAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text")),
@@ -654,9 +664,85 @@ object SparkEntry {
     * clustering closure in q_dedup_clusters. Mirrors
     * Dedup.minHashSignatures/minHashNearDupPairs lane for lane.
     */
-  private def MinhashPairsCtes: String =
+  /** Quality-gate CTE chain over relation `src(id, text)` — the exact
+    * qualityGate verdict formula (token count → language → quality
+    * score, first failure wins); ends in `g_v(id, verdict)`.
+    * Parameterized for reuse by q_filter and the composed q_curate.
+    */
+  private def GateCtes(src: String): String =
+    s"""g_t AS (
+       |  SELECT id, text,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> len(x) > 0) AS lt
+       |  FROM $src),
+       |g_sc AS (
+       |  SELECT id,
+       |    len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS zh,
+       |    len(list_filter(lt, x -> list_contains(['the','and','of','is','with'], x))) * 10 AS en,
+       |    len(list_filter(lt, x -> list_contains(['el','la','los','las','es','y','de','con'], x))) * 10
+       |      + len(regexp_replace(text, '[^ñ¿¡]', '', 'g')) AS es,
+       |    len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','mit'], x))) * 10
+       |      + len(regexp_replace(text, '[^äöüß]', '', 'g')) AS de,
+       |    len(list_filter(lt, x -> list_contains(['le','la','les','est','et','avec','des'], x))) * 10
+       |      + len(regexp_replace(text, '[^éèêàçœ]', '', 'g')) AS fr
+       |  FROM g_t),
+       |g_lang AS (
+       |  SELECT id,
+       |    CASE WHEN zh THEN 'zh'
+       |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       |         WHEN es >= de AND es >= fr THEN 'es'
+       |         WHEN de >= fr THEN 'de'
+       |         ELSE 'fr' END AS lang_pred
+       |  FROM g_sc),
+       |g_q AS (
+       |  SELECT id,
+       |    $Toks AS toks,
+       |    CASE WHEN len(text) > 0
+       |      THEN (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+       |           / CAST(len(text) AS DOUBLE)
+       |      ELSE 0.0 END AS punct
+       |  FROM $src),
+       |g_s AS (
+       |  SELECT id, len(toks) AS ntoks,
+       |    least(CAST(len(toks) AS BIGINT) / 100.0, 1.0) AS len_score,
+       |    1.0 - least(punct * 5.0, 1.0) AS punct_penalty,
+       |    CASE WHEN len(toks) > 0
+       |      THEN CAST(len(list_filter(toks, x -> list_contains(
+       |             ['the','a','an','and','of','to','in','is'], x))) AS DOUBLE)
+       |           / len(toks)
+       |      ELSE 0.0 END AS swr
+       |  FROM g_q),
+       |g_v AS (
+       |  SELECT g_s.id,
+       |    CASE WHEN g_s.ntoks < 15 THEN 'too_short'
+       |         WHEN g_lang.lang_pred <> 'en' THEN 'lang'
+       |         WHEN g_s.len_score * 0.4 + g_s.punct_penalty * 0.3
+       |              + (1.0 - abs(g_s.swr - 0.15)) * 0.3 < 0.75 THEN 'low_quality'
+       |         ELSE 'keep' END AS verdict
+       |  FROM g_s JOIN g_lang ON g_lang.id = g_s.id)""".stripMargin
+
+  /** Distinct 8-gram md5-60 hashes of relation `src(id, toks)`,
+    * unnested one per row as (`$outId`, gh) — the decontamination gram
+    * side, parameterized for q_contamination and q_curate.
+    */
+  private def Contam8Cte(outId: String, src: String): String =
+    s"""SELECT id AS $outId, unnest(list_distinct(list_transform(
+       |    CASE WHEN len(toks) >= 8
+       |      THEN list_transform(generate_series(1, len(toks) - 7),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+       |             toks[i+6] || ' ' || toks[i+7])
+       |      ELSE [] END,
+       |    g -> ${H60("g")}))) AS gh FROM $src""".stripMargin
+
+  /** MinHash candidate+verify CTE chain over `docsSql` (must yield
+    * (id, text)); ends in `jac(a, b, jaccard)`. Parameterized so the
+    * composed pipelines (q_curate) can run it over an intermediate
+    * stage instead of the planted fixture.
+    */
+  private def MinhashPairsCtes(docsSql: String): String =
     s"""all_docs AS (
-       |  $NearDupDocs),
+       |  $docsSql),
        |tk AS (SELECT id, $Toks AS toks FROM all_docs),
        |sh AS (
        |  SELECT id, CASE WHEN len(toks) >= 3
@@ -849,58 +935,10 @@ object SparkEntry {
     // Composed gate: the q_lang_id and q_quality replicas as CTEs + the
     // same first-failure CASE order as CorpusAnalysis.qualityGate.
     "q_filter" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-         |      x -> len(x) > 0) AS lt
-         |  FROM documents),
-         |sc AS (
-         |  SELECT doc_id,
-         |    len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS zh,
-         |    len(list_filter(lt, x -> list_contains(['the','and','of','is','with'], x))) * 10 AS en,
-         |    len(list_filter(lt, x -> list_contains(['el','la','los','las','es','y','de','con'], x))) * 10
-         |      + len(regexp_replace(text, '[^ñ¿¡]', '', 'g')) AS es,
-         |    len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','mit'], x))) * 10
-         |      + len(regexp_replace(text, '[^äöüß]', '', 'g')) AS de,
-         |    len(list_filter(lt, x -> list_contains(['le','la','les','est','et','avec','des'], x))) * 10
-         |      + len(regexp_replace(text, '[^éèêàçœ]', '', 'g')) AS fr
-         |  FROM t),
-         |lang AS (
-         |  SELECT doc_id,
-         |    CASE WHEN zh THEN 'zh'
-         |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
-         |         WHEN es >= de AND es >= fr THEN 'es'
-         |         WHEN de >= fr THEN 'de'
-         |         ELSE 'fr' END AS lang_pred
-         |  FROM sc),
-         |q AS (
-         |  SELECT doc_id,
-         |    $Toks AS toks,
-         |    CASE WHEN len(text) > 0
-         |      THEN (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
-         |           / CAST(len(text) AS DOUBLE)
-         |      ELSE 0.0 END AS punct
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, len(toks) AS ntoks,
-         |    least(CAST(len(toks) AS BIGINT) / 100.0, 1.0) AS len_score,
-         |    1.0 - least(punct * 5.0, 1.0) AS punct_penalty,
-         |    CASE WHEN len(toks) > 0
-         |      THEN CAST(len(list_filter(toks, x -> list_contains(
-         |             ['the','a','an','and','of','to','in','is'], x))) AS DOUBLE)
-         |           / len(toks)
-         |      ELSE 0.0 END AS swr
-         |  FROM q),
-         |v AS (
-         |  SELECT s.doc_id,
-         |    CASE WHEN s.ntoks < 15 THEN 'too_short'
-         |         WHEN lang.lang_pred <> 'en' THEN 'lang'
-         |         WHEN s.len_score * 0.4 + s.punct_penalty * 0.3
-         |              + (1.0 - abs(s.swr - 0.15)) * 0.3 < 0.75 THEN 'low_quality'
-         |         ELSE 'keep' END AS verdict
-         |  FROM s JOIN lang ON lang.doc_id = s.doc_id)
-         |SELECT doc_id, verdict, verdict = 'keep' AS keep
-         |FROM v ORDER BY ALL NULLS FIRST""".stripMargin,
+      s"""WITH gsrc AS (SELECT doc_id AS id, text FROM documents),
+         |${GateCtes("gsrc")}
+         |SELECT id AS doc_id, verdict, verdict = 'keep' AS keep
+         |FROM g_v ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_fingerprints" ->
       s"SELECT doc_id, $Fp AS fp FROM documents ORDER BY ALL NULLS FIRST",
@@ -989,7 +1027,7 @@ object SparkEntry {
     // capped buckets → candidate pairs → exact-Jaccard verify. Mirrors
     // Dedup.minHashSignatures/minHashNearDupPairs lane for lane.
     "q_minhash_near_dup" ->
-      s"""WITH $MinhashPairsCtes
+      s"""WITH ${MinhashPairsCtes(NearDupDocs)}
          |SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.8
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
@@ -997,7 +1035,7 @@ object SparkEntry {
     // edge list → recursive min-label closure: DuckDB's WITH RECURSIVE
     // computes the same fixpoint Dedup.nearDupClusters iterates to.
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $MinhashPairsCtes,
+      s"""WITH RECURSIVE ${MinhashPairsCtes(NearDupDocs)},
          |prs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
          |edges AS (
          |  SELECT a AS s, b AS d FROM prs
@@ -1013,7 +1051,7 @@ object SparkEntry {
 
     // Near-dedup = the clusters closure keeping only self-labeled docs.
     "q_near_dedup" ->
-      s"""WITH RECURSIVE $MinhashPairsCtes,
+      s"""WITH RECURSIVE ${MinhashPairsCtes(NearDupDocs)},
          |prs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
          |edges AS (
          |  SELECT a AS s, b AS d FROM prs
@@ -1172,6 +1210,59 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(t3, '[0-9]{7,}')) AS BIGINT) AS num_count
          |FROM r2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // Composed curation pipeline: every stage is an already-proven
+    // oracle fragment (gate CTEs, fingerprint keeper, MinHash chain,
+    // recursive closure, 8-gram decontamination, hash-sample
+    // threshold) chained over intermediate relations; the result is
+    // the 5-row attrition report.
+    "q_curate" ->
+      s"""WITH RECURSIVE gsrc AS (
+         |  $NearDupDocs),
+         |${GateCtes("gsrc")},
+         |d1 AS (SELECT gsrc.id, gsrc.text FROM gsrc
+         |       JOIN g_v ON g_v.id = gsrc.id WHERE g_v.verdict = 'keep'),
+         |d2 AS (SELECT id, text FROM (
+         |    SELECT id, text, row_number() OVER (
+         |      PARTITION BY $Fp ORDER BY id) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |${MinhashPairsCtes("SELECT id, text FROM d2")},
+         |prs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT a AS s, b AS d FROM prs
+         |  UNION ALL
+         |  SELECT b, a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM all_docs
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+         |d3 AS (SELECT d2.id, d2.text FROM d2 JOIN (
+         |    SELECT id FROM reach GROUP BY id HAVING id = min(r)) keepers
+         |  USING (id)),
+         |corp AS (SELECT id, $Toks AS toks FROM d3),
+         |benchsrc AS (SELECT doc_id AS id, text FROM documents
+         |             WHERE doc_id % 97 = 0),
+         |bencht AS (SELECT id, $Toks AS toks FROM benchsrc),
+         |cg AS (${Contam8Cte("id", "corp")}),
+         |bg AS (${Contam8Cte("bench_id", "bencht")}),
+         |contam AS (SELECT DISTINCT cg.id FROM cg JOIN bg USING (gh)),
+         |d4 AS (SELECT * FROM d3 WHERE id NOT IN (SELECT id FROM contam)),
+         |d5 AS (SELECT * FROM d4
+         |  WHERE ${H60("'cur1:' || CAST(id AS VARCHAR)")}
+         |    < ${CorpusAnalysis.rateThreshold(0.5)})
+         |SELECT * FROM (
+         |  SELECT '1_gate' AS stage,
+         |    (SELECT count(*) FROM gsrc) AS docs_in,
+         |    (SELECT count(*) FROM d1) AS docs_out
+         |  UNION ALL SELECT '2_exact_dedup',
+         |    (SELECT count(*) FROM d1), (SELECT count(*) FROM d2)
+         |  UNION ALL SELECT '3_near_dedup',
+         |    (SELECT count(*) FROM d2), (SELECT count(*) FROM d3)
+         |  UNION ALL SELECT '4_decontaminate',
+         |    (SELECT count(*) FROM d3), (SELECT count(*) FROM d4)
+         |  UNION ALL SELECT '5_sample',
+         |    (SELECT count(*) FROM d4), (SELECT count(*) FROM d5))
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     // URL canonicalization: identical regex parts (portable Java∩RE2
     // subset), identical tracking-filter + byte-order param sort.
     // DuckDB quirks relied on: regexp_extract returns '' on no match
@@ -1259,24 +1350,8 @@ object SparkEntry {
          |  $NearDupDocs),
          |corp AS (SELECT id, $Toks AS toks FROM all_docs WHERE id >= 20),
          |bench AS (SELECT id, $Toks AS toks FROM all_docs WHERE id < 20),
-         |cg AS (
-         |  SELECT id, unnest(list_distinct(list_transform(
-         |    CASE WHEN len(toks) >= 8
-         |      THEN list_transform(generate_series(1, len(toks) - 7),
-         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-         |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
-         |             toks[i+6] || ' ' || toks[i+7])
-         |      ELSE [] END,
-         |    g -> ${H60("g")}))) AS gh FROM corp),
-         |bg AS (
-         |  SELECT id AS bench_id, unnest(list_distinct(list_transform(
-         |    CASE WHEN len(toks) >= 8
-         |      THEN list_transform(generate_series(1, len(toks) - 7),
-         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-         |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
-         |             toks[i+6] || ' ' || toks[i+7])
-         |      ELSE [] END,
-         |    g -> ${H60("g")}))) AS gh FROM bench),
+         |cg AS (${Contam8Cte("id", "corp")}),
+         |bg AS (${Contam8Cte("bench_id", "bench")}),
          |tot AS (SELECT id, count(*) AS doc_ngrams FROM cg GROUP BY 1),
          |j AS (
          |  SELECT cg.id, bg.bench_id, count(*) AS shared_ngrams

@@ -316,6 +316,63 @@ object CorpusAnalysis {
     }(Encoders.row(outSchema))
   }
 
+  /** The end-to-end curation pipeline a training-data owner actually
+    * runs, composed from the operators in this library, with the
+    * per-stage attrition REPORT as the result — the number every
+    * pipeline review asks for ("where did my corpus go?"):
+    *
+    *   1. quality gate (token count → language → quality score)
+    *   2. exact dedup (canonical fingerprint, min-id keeper)
+    *   3. near dedup (MinHash-LSH pairs → connected components →
+    *      cluster-representative keeper)
+    *   4. decontamination (drop docs sharing ≥ `contamMinShared`
+    *      distinct `contamN`-grams with the benchmark set)
+    *   5. deterministic hash sampling at `sampleRate`
+    *
+    * Returns (stage, docs_in, docs_out) — 5 rows. Every stage is the
+    * library operator itself, so the whole report is replicable in
+    * external SQL (oracle `q_curate`) and deterministic across runs
+    * and partitionings.
+    *
+    * Each intermediate corpus is localCheckpoint'ed: the report reads
+    * every stage twice (as `docs_out` and the next `docs_in`) and later
+    * stages build on earlier ones — without the checkpoint the MinHash
+    * candidate pipeline would re-execute per reference. A 100 TB
+    * deployment would persist stage outputs to storage instead; the
+    * stage structure is identical.
+    */
+  def curate(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minTokens: Int = 15, wantedLang: String = "en",
+      minQuality: Double = 0.75, nearDupThreshold: Double = 0.8,
+      contamN: Int = 8, contamMinShared: Int = 1,
+      sampleRate: Double = 0.5, salt: String = "curate"): DataFrame = {
+    val d0 = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text")).localCheckpoint()
+    val b0 = bench.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    val d1 = d0.join(
+      qualityGate(d0, "id", "text", minTokens, wantedLang, minQuality)
+        .filter(col("keep")).select("id"), Seq("id")).localCheckpoint()
+    val d2 = Dedup.exactDedup(d1, "id", "text").localCheckpoint()
+    val d3 = Dedup.nearDedup(d2, "id",
+      Dedup.minHashNearDupPairs(d2, "id", "text",
+        threshold = nearDupThreshold)).localCheckpoint()
+    val d4 = d3.join(
+      contamination(d3, b0, "id", "text", contamN, contamMinShared)
+        .select(col("id")).distinct(), Seq("id"), "left_anti")
+      .localCheckpoint()
+    val d5 = hashSample(d4, "id", sampleRate, salt)
+    def stage(name: String, in: DataFrame, out: DataFrame): DataFrame =
+      in.agg(count(lit(1)).as("docs_in"))
+        .crossJoin(out.agg(count(lit(1)).as("docs_out")))
+        .select(lit(name).as("stage"), col("docs_in"), col("docs_out"))
+    stage("1_gate", d0, d1)
+      .unionByName(stage("2_exact_dedup", d1, d2))
+      .unionByName(stage("3_near_dedup", d2, d3))
+      .unionByName(stage("4_decontaminate", d3, d4))
+      .unionByName(stage("5_sample", d4, d5))
+  }
+
   /** Batch assembly on top of [[packSequences]]: the actual training
     * sequences — one row per pack with the member docs' texts joined in
     * pack order by `sep`. Deterministic like the packing itself

@@ -155,6 +155,10 @@ object Smoke {
       .select(col("shard"), col("pack_id"), col("pack_tokens"), col("n_docs"),
         substring(col("pack_text"), 1, 60).as("pack_text_head"))
       .show(3, false)
+    println("== curation pipeline report (sf0.001) ==")
+    graft.operators.CorpusAnalysis.curate(
+      docs, docs.filter($"doc_id" % 97 === 0), "doc_id", "text")
+      .orderBy("stage").show(false)
     println("== URL canonicalization ==")
     Seq("HTTP://WWW.Example.COM:80/A/9?utm_source=x&b=2&a=1#f",
       "http://U:P@Example.org:8080/x%20y?z=1&gclid=g", "nonsense")

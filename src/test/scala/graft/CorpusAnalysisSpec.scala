@@ -334,6 +334,29 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 5L, 1L, "h i j k l")))
   }
 
+  test("curate: stages chain, attrition is monotone, report is stable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    def run() = CorpusAnalysis.curate(docs, bench, "doc_id", "text")
+      .collect().sortBy(_.getString(0))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val report = run()
+    assert(report.map(_._1).toSeq == Seq("1_gate", "2_exact_dedup",
+      "3_near_dedup", "4_decontaminate", "5_sample"))
+    // each stage consumes exactly what the previous produced, and never
+    // grows the corpus
+    report.sliding(2).foreach { case Array(prev, next) =>
+      assert(next._2 == prev._3, s"chain break: $prev -> $next")
+    }
+    report.foreach { case (s, in, out) =>
+      assert(out <= in && out >= 0, s"stage $s grew: $in -> $out")
+    }
+    assert(report.head._2 == docs.count())
+    // deterministic: the report is a pure function of the corpus
+    assert(run().toSeq == report.toSeq)
+  }
+
   test("packSequences is deterministic under input repartitioning") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(d: org.apache.spark.sql.DataFrame) =
