@@ -346,8 +346,11 @@ object CorpusAnalysis {
       minQuality: Double = 0.75, nearDupThreshold: Double = 0.8,
       contamN: Int = 8, contamMinShared: Int = 1,
       sampleRate: Double = 0.5, salt: String = "curate"): DataFrame = {
+    // d0 is NOT checkpointed: it is a bare column-pruned scan — cheaper
+    // to re-read than to materialize (the checkpoints below guard the
+    // expensive derived stages, not the source)
     val d0 = docs.select(col(idCol).cast("long").as("id"),
-      col(textCol).as("text")).localCheckpoint()
+      col(textCol).as("text"))
     val b0 = bench.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
     val d1 = d0.join(
