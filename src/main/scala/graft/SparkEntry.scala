@@ -440,6 +440,22 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.99)
     }),
 
+    // integer-exact twin of q_emb_near_dup: quantized vectors, integer
+    // hyperplane buckets, integer-valued cosine — the whole pipeline
+    // replicable (and replicated) in DuckDB
+    "q_emb_near_dup_int" -> ((s, dir) => {
+      def q(c: Column): Column =
+        transform(c, x => round(x.cast("double") * 1000).cast("long"))
+      val emb = t(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"), q(col("embedding")).as("embedding"))
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          q(transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.001f)).otherwise(x))).as("embedding"))
+      Dedup.embeddingNearDupPairs(base.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.99, integer = true)
+    }),
+
     // oracle-checkable kNN: integer-quantized vectors make every dot
     // product / norm an integer-valued double (exact in any summation
     // order), so ranks and similarities match DuckDB bit-for-bit
@@ -1505,6 +1521,52 @@ object SparkEntry {
          |      AS INTEGER) AS rank,
          |    neighbor_id, sim
          |  FROM s2) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Integer-exact embedding near-dup: same quantization, the same
+    // integer plane constants as q_knn_lsh_int (LshIntBucket), bucket
+    // cap, within-bucket self-join, integer-valued cosine.
+    "q_emb_near_dup_int" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(embedding, (x, i) ->
+         |      CASE WHEN i = 1 THEN x + 0.001::FLOAT ELSE x END)
+         |  FROM embeddings WHERE vec_id < 10),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM base),
+         |sig AS (
+         |  SELECT vec_id, v,
+         |    [${(0 until 4).map(LshIntBucket).mkString(",\n     ")}] AS sigs
+         |  FROM e),
+         |tb AS (SELECT unnest(generate_series(0, 3)) AS tbl),
+         |bk AS (
+         |  SELECT vec_id, tb.tbl, sigs[tb.tbl + 1] AS bucket
+         |  FROM sig CROSS JOIN tb),
+         |ok AS (
+         |  SELECT tbl, bucket FROM bk GROUP BY 1, 2
+         |  HAVING count(*) > 1 AND count(*) <= 1000),
+         |inb AS (SELECT bk.* FROM bk JOIN ok USING (tbl, bucket)),
+         |pr AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM inb l JOIN inb r
+         |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |sc AS (
+         |  SELECT pr.a, pr.b,
+         |    list_sum(list_transform(list_zip(ea.v, eb.v),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(ea.v,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(eb.v,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+         |  FROM pr
+         |  JOIN e ea ON ea.vec_id = pr.a
+         |  JOIN e eb ON eb.vec_id = pr.b)
+         |SELECT a, b, cosine FROM sc WHERE cosine >= 0.99
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_multimodal" ->
       raw"""WITH m AS (

@@ -196,10 +196,17 @@ object Dedup {
     * reasoning as the minhash path; recall follows the multi-table LSH
     * curve (see Similarity.lshBucketedTopK).
     */
+  /** `integer = true` buckets on exact integer hyperplane dots (for
+    * integer-quantized vectors): signatures, candidates, and the
+    * integer-valued cosine are then bit-identical across engines —
+    * the externally oracle-checkable twin (q_emb_near_dup_int) of the
+    * float path, same plan shape.
+    */
   def embeddingNearDupPairs(docs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 6, tables: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
-    val bucketed = Similarity.lshBuckets(docs, idCol, vecCol, planes, tables)
+      maxBucket: Int = 1000, integer: Boolean = false): DataFrame = {
+    val bucketed = Similarity.lshBuckets(docs, idCol, vecCol, planes, tables,
+        integer)
       .toDF("id", "v", "tbl", "bucket")
     val sizes = bucketed.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("n"))

@@ -107,15 +107,18 @@ object Similarity {
   }
 
   private[operators] def lshBuckets(df: DataFrame, idCol: String,
-      vecCol: String, planes: Int, tables: Int): DataFrame = {
+      vecCol: String, planes: Int, tables: Int,
+      integer: Boolean = false): DataFrame = {
     graft.expressions.VectorHashExprs.register(df.sparkSession)
     val dim = peekDim(df, vecCol, "lshBuckets")
     val checked = when(size(col(vecCol)) === dim, col(vecCol))
       .otherwise(raise_error(concat(
         lit(s"lsh: embedding dim != $dim: "), size(col(vecCol)).cast("string"))))
+    val sig =
+      if (integer) signaturesAllTablesInt(col("v"), planes, tables, dim)
+      else signaturesAllTables(col("v"), planes, tables, dim)
     df.select(col(idCol).as("id"), checked.as("v"))
-      .select(col("id"), col("v"),
-        posexplode(signaturesAllTables(col("v"), planes, tables, dim)))
+      .select(col("id"), col("v"), posexplode(sig))
       .toDF("id", "v", "tbl", "bucket")
       .repartition(col("tbl"), col("bucket"))
   }
