@@ -108,13 +108,20 @@ object Dedup {
   /** Near-duplicate pairs via banded LSH + exact-Jaccard verification.
     * Returns (a, b, jaccard) with a < b and jaccard ≥ threshold.
     *
-    * Plan shape: explode bands → groupBy-free self-join on (band,
-    * band_sig) — a keyed equi-join, never cartesian — then distinct
-    * candidate pairs, then one more keyed join against exploded shingle
-    * sets to count intersections. Skew guard: buckets larger than
-    * `maxBucket` docs are dropped (a degenerate bucket means the band
-    * hash collapsed, e.g. all-identical boilerplate; real systems cap
-    * exactly like this to bound the quadratic within-bucket blowup).
+    * Plan shape: explode bands → ONE groupBy on (band, band_sig)
+    * collecting the bucket's doc ids (bounded by `maxBucket`, so the
+    * list is a capped scalar array, never corpus-sized) → pair
+    * expansion by double-explode → distinct → Jaccard verify. One
+    * keyed shuffle builds the buckets and one dedups the pairs — the
+    * earlier size-filter-branch + self-join formulation computed the
+    * same candidate set but paid two extra shuffle stages (join back
+    * to the size filter, then the self-join) per query; at 100 TB
+    * those are two full passes of the banded table over the network.
+    * Skew guard: buckets larger than `maxBucket` docs are dropped (a
+    * degenerate bucket means the band hash collapsed, e.g.
+    * all-identical boilerplate; real systems cap exactly like this to
+    * bound the quadratic within-bucket blowup — and here the cap also
+    * bounds the collected array).
     */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
@@ -125,11 +132,7 @@ object Dedup {
 
     // band id + hashed band slice of the signature. The transform lambda
     // references `sig` once (an array literal of 16 slices would inline
-    // the signature aggregate 16×), and the explicit repartition on the
-    // bucket key materializes ONE Exchange that the bucket-size branch
-    // and both self-join sides all reuse — without it the signature
-    // pipeline (a pure projection since the single-pass rewrite) would
-    // be recomputed three times.
+    // the signature aggregate 16×).
     // band signature = md5 of the comma-joined signature slice (NOT
     // Spark's murmur3 `hash`: md5-of-rendered-longs is the one band
     // hash every engine computes identically)
@@ -139,19 +142,17 @@ object Dedup {
           transform(slice(col("sig"), b * rows + 1, lit(rows)),
             x => x.cast("string")))))))
       .toDF("id", "band", "band_sig")
-      .repartition(col("band"), col("band_sig"))
 
-    // cap degenerate buckets
-    val bucketSizes = banded.groupBy(col("band"), col("band_sig"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
-    val inBuckets = banded.join(bucketSizes, Seq("band", "band_sig"))
-
-    val left = inBuckets.select(col("band"), col("band_sig"), col("id").as("a"))
-    val right = inBuckets.select(col("band"), col("band_sig"), col("id").as("b"))
-    val candidates = left.join(right, Seq("band", "band_sig"))
+    // one shuffle builds the buckets; the size filter caps degenerate
+    // buckets AND bounds the collected array; the double explode then
+    // expands each bucket's ordered pairs with no further join
+    val buckets = banded.groupBy(col("band"), col("band_sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    val candidates = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
       .distinct()
 
     verifyJaccard(docs, idCol, textCol, candidates, threshold)
@@ -208,18 +209,21 @@ object Dedup {
     val bucketed = Similarity.lshBuckets(docs, idCol, vecCol, planes, tables,
         integer)
       .toDF("id", "v", "tbl", "bucket")
-    val sizes = bucketed.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
-    val inB = bucketed.join(sizes, Seq("tbl", "bucket"))
-    val left = inB.select(col("tbl"), col("bucket"), col("id").as("a"), col("v").as("va"))
-    val right = inB.select(col("tbl"), col("bucket"), col("id").as("b"), col("v").as("vb"))
-    // cosine before distinct: dedup then shuffles (a, b, double) rows,
-    // not embedding arrays (see lshBucketedTopK)
-    left.join(right, Seq("tbl", "bucket"))
-      .filter(col("a") < col("b"))
-      .withColumn("cosine", Similarity.cosineNative(col("va"), col("vb")))
-      .select(col("a"), col("b"), col("cosine"))
+    // one shuffle builds the capped buckets (members carry their
+    // vector: maxBucket × dim floats per degenerate bucket row, bounded
+    // by the cap), then the double explode expands ordered pairs —
+    // same shape as the minhash path, two fewer shuffles than a
+    // size-branch + self-join. Cosine before distinct: dedup shuffles
+    // (a, b, double) rows, not embedding arrays (see lshBucketedTopK)
+    val buckets = bucketed.groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    buckets
+      .select(explode(col("ms")).as("m1"), col("ms"))
+      .select(col("m1"), explode(col("ms")).as("m2"))
+      .filter(col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("a"), col("m2.id").as("b"),
+        Similarity.cosineNative(col("m1.v"), col("m2.v")).as("cosine"))
       .distinct() // a pair can collide in several tables
       .filter(col("cosine") >= threshold)
   }
@@ -266,27 +270,27 @@ object Dedup {
     val hashed = docs
       .select(col(idCol).as("id"),
         graft.expressions.TextHashExprs.simhash64Native(col(textCol)).as("sh"))
-    // single `sh` reference in the generator + one Exchange on the
-    // bucket key shared by the size-filter branch and both join sides
-    // (same reuse reasoning as the minhash banding above)
+    // single `sh` reference in the generator; one shuffle builds the
+    // (block, block_val) buckets collecting capped (id, sh) members,
+    // then the double explode expands ordered pairs — same
+    // bucket-then-pairs shape as the minhash path, two fewer shuffle
+    // stages than the size-filter-branch + self-join formulation
     val blocks = hashed.select(col("id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(3)),
         i => call_function("shiftright", col("sh"), i * 16)
           .bitwiseAND(0xFFFFL))))
       .toDF("id", "sh", "block", "block_val")
-      .repartition(col("block"), col("block_val"))
 
-    val bucketSizes = blocks.groupBy(col("block"), col("block_val"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1 && col("n") <= maxBucket)
-    val inB = blocks.join(bucketSizes, Seq("block", "block_val"))
-
-    val left = inB.select(col("block"), col("block_val"), col("id").as("a"), col("sh").as("sha"))
-    val right = inB.select(col("block"), col("block_val"), col("id").as("b"), col("sh").as("shb"))
-    left.join(right, Seq("block", "block_val"))
-      .filter(col("a") < col("b"))
+    val buckets = blocks.groupBy(col("block"), col("block_val"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    buckets
+      .select(explode(col("ms")).as("m1"), col("ms"))
+      .select(col("m1"), explode(col("ms")).as("m2"))
+      .filter(col("m1.id") < col("m2.id"))
       // bit_count yields int; the public schema is a long distance
-      .select(col("a"), col("b"),
-        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("distance"))
+      .select(col("m1.id").as("a"), col("m2.id").as("b"),
+        bit_count(col("m1.sh").bitwiseXOR(col("m2.sh"))).cast("long").as("distance"))
       .distinct()
       .filter(col("distance") <= maxDistance)
   }

@@ -58,18 +58,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("minHashNearDupPairs: no cartesian, bucket Exchange reused across branches") {
+  test("minHashNearDupPairs: no cartesian, one bucket shuffle feeds pair expansion") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
     val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
-    // collect() (not count()) so THIS QueryExecution finalizes — AQE
-    // dedupes the four identical bucket exchanges into one computed
-    // stage + ReusedExchange at runtime
+    // collect() (not count()) so THIS QueryExecution finalizes under AQE
     pairs.collect()
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"))
-    assert(plan.contains("ReusedExchange"),
-      s"signature pipeline must be computed once and reused:\n$plan")
+    // candidate generation is groupBy(collect_list) + double explode —
+    // no join on the bucket key (the old size-branch + self-join shape
+    // paid two extra shuffle stages per query)
+    assert(plan.contains("collect_list"),
+      s"bucket collection missing — self-join shape crept back:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 4,
+      s"candidate generation should need ~2 keyed shuffles (buckets, " +
+        s"pair-distinct), saw $shuffles:\n$plan")
   }
 
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
