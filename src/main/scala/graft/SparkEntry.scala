@@ -365,6 +365,43 @@ object SparkEntry {
     "q_filter" -> ((s, dir) =>
       CorpusAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text")),
 
+    // span-level (sub-document) duplication: per-doc fraction of
+    // 12-token windows whose hash repeats anywhere in the corpus —
+    // the planted near-dups are guaranteed hits
+    "q_dup_spans" -> ((s, dir) =>
+      CorpusAnalysis.dupSpans(docsWithNearDups(s, dir), "doc_id", "text",
+        n = 12)),
+
+    // snapshot-vs-corpus incremental dedup (bloom pre-filter + exact
+    // anti-join): 60 re-crawled perturbed dups dropped, 60 updated
+    // docs kept
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snap = docs.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"))
+        .unionByName(docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" updated v2")).as("text")))
+      Dedup.incrementalDedup(snap, docs, "doc_id", "text")
+    }),
+
+    // adjacent-token-pair frequencies (one BPE merge step's statistic)
+    "q_bpe_pairs" -> ((s, dir) =>
+      CorpusAnalysis.bpePairs(t(s, dir, "documents"), "text", k = 50)),
+
+    // exact-N deterministic per-stratum sample via the bounded
+    // smallest-k aggregation (no per-stratum window sort)
+    "q_stratified_sample" -> ((s, dir) =>
+      CorpusAnalysis.stratifiedSampleN(t(s, dir, "documents"), "doc_id",
+        "lang", n = 10, salt = "strat1")),
+
+    // deterministic epoch shuffle: (shard, position) as a pure
+    // function of (id, epoch)
+    "q_epoch_shuffle" -> ((s, dir) =>
+      CorpusAnalysis.epochShuffle(t(s, dir, "documents"), "doc_id",
+        epoch = 1, shards = 8)),
+
     // NFC normalization over planted decomposed characters
     "q_nfc" -> ((s, dir) => {
       val withU = t(s, dir, "documents").select(col("doc_id"),
@@ -958,6 +995,73 @@ object SparkEntry {
 
     "q_fingerprints" ->
       s"SELECT doc_id, $Fp AS fp FROM documents ORDER BY ALL NULLS FIRST",
+
+    // span-level duplication: every 12-token window hash WITH
+    // multiplicity; a span is duplicated iff its hash occurs >= 2
+    // times corpus-wide; span-less docs score 0
+    "q_dup_spans" ->
+      s"""WITH src AS ($NearDupDocs),
+         |tk AS (SELECT id, $Toks AS toks FROM src),
+         |g AS (SELECT id, unnest(list_transform(
+         |    CASE WHEN len(toks) >= 12
+         |      THEN list_transform(generate_series(1, len(toks) - 11),
+         |        i -> ${H60("array_to_string(toks[i:i+11], ' ')")})
+         |      ELSE [] END, x -> x)) AS gh FROM tk),
+         |c AS (SELECT gh, count(*) AS occ FROM g GROUP BY gh
+         |      HAVING count(*) >= 2),
+         |d AS (SELECT g.id, count(*) AS total_spans, count(c.occ) AS dup_spans
+         |      FROM g LEFT JOIN c USING (gh) GROUP BY g.id)
+         |SELECT s.id, coalesce(d.total_spans, 0) AS total_spans,
+         |  coalesce(d.dup_spans, 0) AS dup_spans,
+         |  CASE WHEN coalesce(d.total_spans, 0) > 0
+         |    THEN CAST(d.dup_spans AS DOUBLE) / d.total_spans
+         |    ELSE 0.0 END AS dup_frac
+         |FROM src s LEFT JOIN d USING (id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // incremental dedup: the bloom stage is an internal pre-filter
+    // with exact verification, so the oracle is bloom-free NOT EXISTS
+    // (NOT IN would go empty on a null fingerprint)
+    "q_incremental_dedup" ->
+      s"""WITH snap AS (
+         |  SELECT doc_id + 200000 AS doc_id, upper(text) || '  ' AS text
+         |  FROM documents WHERE doc_id < 60
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' updated v2'
+         |  FROM documents WHERE doc_id >= 60 AND doc_id < 120),
+         |sf AS (SELECT doc_id, text, $Fp AS fp FROM snap),
+         |ef AS (SELECT $Fp AS fp FROM documents)
+         |SELECT doc_id, text FROM sf n
+         |WHERE NOT EXISTS (SELECT 1 FROM ef o WHERE o.fp = n.fp)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH tk AS (SELECT $Toks AS toks FROM documents),
+         |p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS pair FROM tk)
+         |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // exact-N per-stratum sample: the window formulation is the
+    // ORACLE of the bounded smallest-k aggregation (same total order
+    // h ASC, id ASC — bit-identical selection and ranks)
+    "q_stratified_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id AS id,
+         |    ${H60("'strat1:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |r AS (SELECT lang, id, h,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, id)
+         |      AS INTEGER) AS rank FROM h)
+         |SELECT lang, rank, id FROM r WHERE rank <= 10
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id AS id,
+         |    ${H60("'epoch1:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT id, CAST(h % 8 AS INTEGER) AS shard,
+         |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, id) AS position
+         |FROM h ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_bpe_tokens" ->
       raw"""SELECT doc_id,

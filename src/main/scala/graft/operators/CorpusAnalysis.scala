@@ -399,4 +399,120 @@ object CorpusAnalysis {
           sort_array(collect_list(struct(col("pack_pos"), col("__text")))),
           s => s("__text")), sep).as("pack_text"))
   }
+
+  /** Cross-document duplicated-span analysis — the SPAN-level form of
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", §3 ExactSubstr): a span is `n`
+    * consecutive tokens; a span whose hash occurs ≥ 2 times in the
+    * corpus (other docs OR repeated within the same doc) is duplicated
+    * text that document-level exact/near dedup cannot see (boilerplate
+    * headers, quoted paragraphs, licence blocks). Returns per-doc
+    * (id, total_spans, dup_spans, dup_frac) — the score a span-removal
+    * or doc-drop policy thresholds on.
+    *
+    * Plan: one corpus scan explodes every window hash WITH multiplicity
+    * (the native kernel computes tokenize → n-window → md5-60 in one
+    * codegen'd pass); one keyed shuffle counts occurrences per hash;
+    * the count table is FILTERED to duplicated hashes before joining
+    * back — on a real corpus duplicated spans are a small fraction, so
+    * the join's build side is collision-sized (AQE-broadcastable), not
+    * gram-table-sized; a left join + per-doc aggregate then scores each
+    * doc. Span-less docs (< n tokens) survive via explode_outer with
+    * zero counts.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 12): DataFrame = {
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode_outer(coalesce(
+          graft.expressions.TextHashExprs.ngramHashes(col(textCol), n,
+            distinct = false),
+          array().cast("array<bigint>"))).as("gh"))
+    val dupCounts = grams
+      .filter(col("gh").isNotNull)
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    grams
+      .join(dupCounts, Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("gh")).as("total_spans"),
+        count(col("occ")).as("dup_spans"))
+      .select(col("id"), col("total_spans"), col("dup_spans"),
+        when(col("total_spans") > 0,
+          col("dup_spans").cast("double") / col("total_spans"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Adjacent-token-pair frequencies — the statistic of one BPE merge
+    * step (Sennrich et al. 2016, "Neural Machine Translation of Rare
+    * Words with Subword Units": each merge promotes the most frequent
+    * adjacent pair): the `k` most frequent pairs with a deterministic
+    * tie-break (count DESC, pair ASC). Pairs are built with two
+    * codegen'd array slices zipped positionally — no lambda in the
+    * per-row hot path; the aggregation is partial (map-side pair
+    * collapse) and the final top-k is a TakeOrderedAndProject
+    * (per-partition k-row heaps, never a full sort of the pair
+    * vocabulary).
+    */
+  def bpePairs(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .select(toks.as("__t"))
+      .select(explode_outer(arrays_zip(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0)))))
+        .as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(concat(col("__p.0"), lit(" "), col("__p.1")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Exact-N deterministic stratified sample: the `n` rows per stratum
+    * with the smallest md5-60(salt:id) — reservoir-style "N docs per
+    * language/source" selection, but a pure function of (id, salt):
+    * stable across runs, partitionings, and engines, and refreshable
+    * incrementally (a new corpus snapshot re-selects the same winners
+    * unless displaced by smaller hashes). Selection runs through the
+    * bounded [[TopK.smallestKPerGroup]] aggregation — map-side ≤n
+    * buffers per stratum, never a full per-stratum window sort.
+    * Returns (stratum, rank, id); join back on id for full rows.
+    */
+  def stratifiedSampleN(df: DataFrame, idCol: String, stratumCol: String,
+      n: Int, salt: String = "graft"): DataFrame =
+    TopK.smallestKPerGroup(
+      df.select(col(stratumCol).as("group"),
+        TextFunctions.md5Hash60(
+          concat(lit(salt), lit(":"), col(idCol).cast("string"))).as("h"),
+        col(idCol).cast("long").as("id")), n)
+      .select(col("group").as(stratumCol), col("rank"), col("id"))
+
+  /** Deterministic epoch shuffle — the global reordering a training run
+    * needs per epoch, as data: assign every doc a (shard, position)
+    * that is a pure function of (id, epoch, shards). Docs are spread
+    * across `shards` by one 60-bit hash and ordered INSIDE each shard
+    * by a second — no RNG state, so any worker can recompute its
+    * shard's order independently and two engines agree byte-for-byte.
+    * The per-shard ordering is a window sort: `shards` is exactly the
+    * knob that bounds one reducer's sort to corpus/shards rows (pick
+    * shards ≈ executors at scale); the shard assignment itself is a
+    * narrow map.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
+      shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.md5Hash60(
+      concat(lit(s"epoch$epoch:"), col(idCol).cast("string")))
+    docs
+      .select(col(idCol).cast("long").as("id"), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)).cast("int"))
+      .withColumn("position", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col("id")))
+        .cast("long"))
+      .select(col("id"), col("shard"), col("position"))
+  }
 }

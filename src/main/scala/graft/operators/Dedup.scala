@@ -295,6 +295,63 @@ object Dedup {
       .filter(col("distance") <= maxDistance)
   }
 
+  private val incViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Incremental (snapshot-vs-corpus) exact dedup: keep the rows of
+    * `snapshot` whose canonical fingerprint does NOT already occur in
+    * `existing` — the recurring-crawl form of dedup, where a new batch
+    * is admitted against a corpus that is orders of magnitude larger.
+    *
+    * Scale shape: the naive plan is one left-anti join, which shuffles
+    * the ENTIRE snapshot and the entire corpus fingerprint set. This
+    * operator puts Spark's own bloom-filter sketch in front (the
+    * runtime-filter machinery, registered explicitly — see
+    * [[graft.expressions.BloomExprs]]): executors build partial sketches
+    * over the corpus fingerprints, the merged filter is broadcast as a
+    * scalar-subquery constant, and the snapshot probes it in a narrow
+    * codegen'd filter. Rows the filter rejects are DEFINITELY new (bloom
+    * filters have no false negatives) and skip the join entirely; only
+    * the hit subset — true duplicates plus the ~fpp false positives —
+    * pays the exact anti-join shuffle. Result is identical to the plain
+    * anti-join (false positives are resolved exactly), so the oracle is
+    * bloom-free SQL. Within-snapshot duplicates are out of scope —
+    * compose with [[exactDedup]] for those.
+    *
+    * `numBits` sizes the sketch (default 8M bits ≈ 1% fpp at 1M corpus
+    * fingerprints; at 10^10 docs size accordingly — the sketch is still
+    * thousands of times smaller than the fingerprint set it summarizes).
+    */
+  def incrementalDedup(snapshot: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    val spark = snapshot.sparkSession
+    graft.expressions.BloomExprs.register(spark)
+    val cols = snapshot.columns
+    val snapFp = snapshot.withColumn("__fp",
+      TextFunctions.fingerprint(col(textCol)))
+    val oldFp = existing
+      .select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    val seq = incViewSeq.incrementAndGet()
+    val snapView = s"__graft_inc_snap_$seq"
+    val oldView = s"__graft_inc_old_$seq"
+    snapFp.createOrReplaceTempView(snapView)
+    oldFp.createOrReplaceTempView(oldView)
+    // might_contain(null, x) is null (empty corpus → no sketch row
+    // semantics differ per aggregate impl); coalesce to false so an
+    // empty `existing` admits the whole snapshot
+    val probed = spark.sql(
+      s"""SELECT *, coalesce(might_contain_graft(
+         |    (SELECT bloom_filter_agg_graft(xxhash64(__fp),
+         |       CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))
+         |     FROM $oldView),
+         |    xxhash64(__fp)), false) AS __maybe
+         |FROM $snapView""".stripMargin)
+    val definitelyNew = probed.filter(!col("__maybe"))
+    val verifiedNew = probed.filter(col("__maybe"))
+      .join(oldFp, Seq("__fp"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).select(cols.map(col): _*)
+  }
+
   /** Connected components over near-dup pairs → per-doc cluster labels:
     * the step that turns pairwise similarity into dedup DECISIONS (keep
     * the cluster minimum, drop the rest). Returns (id, cluster) for

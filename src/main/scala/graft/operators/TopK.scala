@@ -75,4 +75,64 @@ object TopK {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
   }
+
+  /** One (hash, id) candidate for bounded smallest-k selection. */
+  final case class HashId(h: Long, id: Long)
+
+  private def smaller(a: HashId, b: HashId): Boolean =
+    a.h < b.h || (a.h == b.h && a.id < b.id)
+
+  private def insertAsc(buf: Vector[HashId], v: HashId, k: Int): Vector[HashId] = {
+    if (buf.length >= k && smaller(buf.last, v)) return buf
+    val i = buf.indexWhere(b => smaller(v, b)) match {
+      case -1 => buf.length
+      case x  => x
+    }
+    val out = (buf.take(i) :+ v) ++ buf.drop(i)
+    if (out.length > k) out.take(k) else out
+  }
+
+  /** Bounded k-smallest by EXACT Long ordering (h ASC, id ASC) — the
+    * integer twin of [[TopKAggregator]]: keeps 60-bit hash keys in Long
+    * space end-to-end, so the selected set and ranks are replicable
+    * bit-for-bit by any engine ordering the same integers (a
+    * double-typed score would round away hash bits above 2^53).
+    */
+  final class SmallestKAggregator(k: Int)
+      extends Aggregator[HashId, Vector[HashId], Seq[HashId]] {
+    override def zero: Vector[HashId] = Vector.empty
+    override def reduce(b: Vector[HashId], a: HashId): Vector[HashId] =
+      insertAsc(b, a, k)
+    override def merge(b1: Vector[HashId], b2: Vector[HashId]): Vector[HashId] =
+      b2.foldLeft(b1)((acc, v) => insertAsc(acc, v, k))
+    override def finish(r: Vector[HashId]): Seq[HashId] = r
+    override def bufferEncoder: Encoder[Vector[HashId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[HashId]]()
+    override def outputEncoder: Encoder[Seq[HashId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashId]]()
+  }
+
+  /** (group, rank, id) — the k rows with the smallest (h, id) per
+    * group, exact Long ordering. The scale-correct replacement for
+    * `row_number().over(Window.partitionBy(group).orderBy(h, id))`:
+    * the window shuffles every row into one reducer per group (a
+    * stratum of a 100 TB corpus in ONE task), this aggregation keeps a
+    * ≤k buffer map-side so the shuffle carries at most
+    * partitions × groups × k rows. `keyed` must have columns
+    * (group, h, id) with integral h and id.
+    */
+  def smallestKPerGroup(keyed: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    for (c <- Seq("h", "id")) {
+      val t = keyed.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"smallestKPerGroup requires integral $c, got ${t.simpleString}")
+    }
+    val agg = udaf(new SmallestKAggregator(k))
+    keyed
+      .groupBy(col("group"))
+      .agg(agg(col("h").cast("long"), col("id").cast("long")).as("top"))
+      .select(col("group"), posexplode(col("top")))
+      .select(col("group"), (col("pos") + 1).as("rank"), col("col.id").as("id"))
+  }
 }

@@ -365,4 +365,73 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  test("dupSpans: cross-doc and within-doc repeats count, short docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),     // 3 3-token spans, all shared with doc 2
+      (2L, "a b c d e"),     // exact copy
+      (3L, "x y z x y z x"), // within-doc repeats: spans at pos 1/4 ("x y z")
+                             // and 2/5 ("y z x") repeat; 5 spans, 4 dup
+      (4L, "q r"),           // < n tokens: no spans
+      (5L, "u v w u u u u")  // unique spans only... (none repeat)
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalysis.dupSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((5L, 4L, 0.8)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    // doc 5: "u u u" occurs at positions 4 and 5 — a within-doc repeat
+    assert(got(5L) == ((5L, 2L, 0.4)))
+  }
+
+  test("bpePairs: exact counts with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "a b c", "", "z").toDF("text")
+    val got = CorpusAnalysis.bpePairs(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b" ×3, then ties at 1 broken alphabetically: "b a" < "b c"
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("stratifiedSampleN: matches the window-rank reference and bounds k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got = CorpusAnalysis.stratifiedSampleN(docs, "doc_id", "lang", 7,
+      salt = "s1").collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val h = graft.functions.TextFunctions.md5Hash60(
+      concat(lit("s1"), lit(":"), col("doc_id").cast("string")))
+    val ref = docs.select(col("lang"), col("doc_id"), h.as("h"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+    assert(got == ref)
+    assert(got.size == 14)
+    // selection is stable under repartitioning (pure function of id)
+    val again = CorpusAnalysis.stratifiedSampleN(docs.repartition(13),
+      "doc_id", "lang", 7, salt = "s1").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
+
+  test("epochShuffle: a permutation with contiguous per-shard positions, epoch-dependent") {
+    import spark.implicits._
+    val docs = (1L to 100L).toDF("doc_id")
+    val e1 = CorpusAnalysis.epochShuffle(docs, "doc_id", 1, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e1.map(_._1).toSet == (1L to 100L).toSet)
+    // positions are 1..count(shard) with no gaps
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val e2 = CorpusAnalysis.epochShuffle(docs, "doc_id", 2, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e1.toSet != e2.toSet, "epochs must produce different orders")
+  }
 }

@@ -287,4 +287,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).getBoolean(1))
     assert(got(1).getString(0) == null && !got(1).getBoolean(1))
   }
+
+  test("incrementalDedup: bloom pre-filter + anti-join equals plain anti-join") {
+    val existing = docsDf(1L -> "alpha beta", 2L -> "gamma delta",
+      3L -> "epsilon zeta")
+    val snap = docsDf(
+      10L -> "  ALPHA   beta ", // canonical dup of 1 → dropped
+      11L -> "gamma delta",     // exact dup of 2 → dropped
+      12L -> "brand new doc",   // kept
+      13L -> "another new one") // kept
+    val got = Dedup.incrementalDedup(snap, existing, "doc_id", "text")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(12L, 13L))
+    // the bloom stage must actually be in the plan (not silently a
+    // plain anti-join), and the sketch aggregation feeds a scalar
+    // subquery the probe folds to a constant
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    assert(plan.contains("bloom_filter_agg"), s"bloom build missing:\n$plan")
+  }
+
+  test("incrementalDedup: empty corpus admits the whole snapshot") {
+    val existing = docsDf().limit(0)
+    val snap = docsDf(1L -> "a", 2L -> "b")
+    assert(Dedup.incrementalDedup(snap, existing, "doc_id", "text")
+      .count() == 2)
+  }
 }
