@@ -126,6 +126,54 @@ object ScaleSmoke {
     println(f"corpus: contamPairs=$contam in $tCt%.1f s, " +
       f"chunks=$chunks in $tCh%.1f s (${nDocs / tCh}%.0f docs/s)")
 
+    // span-level duplication: 30-token docs, n=12 → 19 windows/doc.
+    // Per group of 10: base and its exact copy (+8) share all 19
+    // windows; the near-dup (+9, last token changed) shares 18 and owns
+    // 1 unique; the 7 unique docs (md5 tokens, position-distinct) have
+    // zero repeated windows. Exact expectations: 3 dup docs per group,
+    // sum(dup_spans) = 19+19+18 = 56 per group.
+    val t6b = System.nanoTime()
+    val spans = graft.operators.CorpusAnalysis
+      .dupSpans(docs, "id", "text", n = 12)
+      .agg(count(lit(1)), sum(when(col("dup_spans") > 0, 1L).otherwise(0L)),
+        sum(col("dup_spans")))
+      .collect()(0)
+    val tDs = (System.nanoTime() - t6b) / 1e9
+    require(spans.getLong(0) == nDocs, s"dupSpans rows ${spans.getLong(0)}")
+    require(spans.getLong(1) == 3L * (nDocs / 10),
+      s"dup docs ${spans.getLong(1)}")
+    require(spans.getLong(2) == 56L * (nDocs / 10),
+      s"dup spans ${spans.getLong(2)}")
+    println(f"spans: dupDocs=${spans.getLong(1)} dupSpans=${spans.getLong(2)} " +
+      f"in $tDs%.1f s (${nDocs / tDs}%.0f docs/s)")
+
+    // incremental dedup: corpus = the 8 unique docs per group (800k),
+    // snapshot = the exact copy + near-dup (200k) → exactly the 100k
+    // near-dups are admitted (exact copies collapse on fingerprint)
+    val t6c = System.nanoTime()
+    val admitted = graft.operators.Dedup.incrementalDedup(
+      docs.filter(col("id") % 10 >= 8), docs.filter(col("id") % 10 < 8),
+      "id", "text", expectedItems = nDocs.toLong, numBits = 8L * nDocs)
+      .count()
+    val tInc = (System.nanoTime() - t6c) / 1e9
+    require(admitted == nDocs / 10L, s"incremental admitted $admitted")
+    println(f"incremental: admitted=$admitted of ${2L * (nDocs / 10)} " +
+      f"in $tInc%.1f s (${2L * (nDocs / 10) / tInc}%.0f docs/s)")
+
+    // exact-N stratified sample over 16 synthetic strata: the bounded
+    // smallest-k aggregation must return exactly n rows per stratum
+    val t6d = System.nanoTime()
+    val strat = graft.operators.CorpusAnalysis.stratifiedSampleN(
+      docs.withColumn("src", (col("id") % 16).cast("string")),
+      "id", "src", n = 1000, salt = "smoke")
+      .groupBy(col("src")).count().agg(count(lit(1)), min(col("count")),
+        max(col("count"))).collect()(0)
+    val tSt = (System.nanoTime() - t6d) / 1e9
+    require(strat.getLong(0) == 16 && strat.getLong(1) == 1000L &&
+      strat.getLong(2) == 1000L, s"stratified $strat")
+    println(f"stratified: 16 strata x 1000 in $tSt%.1f s " +
+      f"(${nDocs / tSt}%.0f docs/s)")
+
     // --- vectors at scale: 1M synthetic 64-dim embeddings with planted
     // near-dups (per group of 10: id base+9 = base's vector with dim 0
     // shifted 0.05 → cosine ≈ 0.9999). Components are pure xxhash64
