@@ -390,6 +390,13 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       CorpusAnalysis.bpePairs(t(s, dir, "documents"), "text", k = 50)),
 
+    // corpus-frequency scoring (integer-exact LM-quality surrogate):
+    // vocabSize=20 of the 31-token synthetic vocabulary so OOV is
+    // exercised
+    "q_token_freq" -> ((s, dir) =>
+      CorpusAnalysis.tokenFrequencyStats(t(s, dir, "documents"), "doc_id",
+        "text", vocabSize = 20)),
+
     // exact-N deterministic per-stratum sample via the bounded
     // smallest-k aggregation (no per-stratum window sort)
     "q_stratified_sample" -> ((s, dir) =>
@@ -1041,6 +1048,28 @@ object SparkEntry {
          |    i -> toks[i] || ' ' || toks[i+1])) AS pair FROM tk)
          |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
          |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // integer-exact frequency scoring: every intermediate is a bigint;
+    // doubles appear only in the two final divisions
+    "q_token_freq" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |tok AS (SELECT id, unnest(toks) AS tok FROM tk),
+         |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |v AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20),
+         |d AS (SELECT t.id, count(t.tok) AS n_tokens,
+         |        count(v.cnt) AS in_vocab,
+         |        coalesce(sum(v.cnt), 0) AS freq_mass
+         |      FROM tok t LEFT JOIN v USING (tok) GROUP BY t.id)
+         |SELECT tk.id, coalesce(d.n_tokens, 0) AS n_tokens,
+         |  coalesce(d.n_tokens - d.in_vocab, 0) AS oov_tokens,
+         |  CASE WHEN coalesce(d.n_tokens, 0) > 0
+         |    THEN CAST(d.n_tokens - d.in_vocab AS DOUBLE) / d.n_tokens
+         |    ELSE 0.0 END AS oov_frac,
+         |  CASE WHEN coalesce(d.in_vocab, 0) > 0
+         |    THEN CAST(d.freq_mass AS DOUBLE) / d.in_vocab
+         |    ELSE 0.0 END AS mean_freq
+         |FROM tk LEFT JOIN d USING (id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // exact-N per-stratum sample: the window formulation is the
     // ORACLE of the bounded smallest-k aggregation (same total order

@@ -445,6 +445,49 @@ object CorpusAnalysis {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Corpus-frequency document scoring — the oracle-exact core of
+    * LM-likelihood quality filtering (CCNet, Wenzek et al. 2020, filters
+    * on language-model perplexity; this frequency surrogate keeps every
+    * intermediate an exact integer, so scores replicate bit-for-bit on
+    * any engine — no platform log/exp): per doc, the OOV rate against
+    * the corpus's top-`vocabSize` vocabulary and the mean corpus
+    * frequency of its in-vocab tokens. Gibberish scores high-OOV /
+    * low-frequency; boilerplate scores the opposite extreme.
+    *
+    * Plan: one shuffle counts unigrams; the top-`vocabSize` vocabulary
+    * is a TakeOrderedAndProject (deterministic tie-break cnt DESC,
+    * token ASC) and is BROADCAST to the per-doc scoring join — vocab
+    * size is the bound that keeps the join shuffle-free; one keyed
+    * shuffle aggregates per doc. Empty docs survive via explode_outer.
+    */
+  def tokenFrequencyStats(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 10000): DataFrame = {
+    val toksTbl = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode_outer(col("__t")).as("tok"))
+    val vocab = toksTbl
+      .filter(col("tok").isNotNull)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+    toksTbl
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("tok")).as("n_tokens"),
+        count(col("cnt")).as("__in_vocab"),
+        coalesce(sum(col("cnt")), lit(0L)).as("__freq_mass"))
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - col("__in_vocab")).as("oov_tokens"),
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("__in_vocab")).cast("double") /
+            col("n_tokens")).otherwise(lit(0.0)).as("oov_frac"),
+        when(col("__in_vocab") > 0,
+          col("__freq_mass").cast("double") / col("__in_vocab"))
+          .otherwise(lit(0.0)).as("mean_freq"))
+  }
+
   /** Adjacent-token-pair frequencies — the statistic of one BPE merge
     * step (Sennrich et al. 2016, "Neural Machine Translation of Rare
     * Words with Subword Units": each merge promotes the most frequent

@@ -420,6 +420,21 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == got)
   }
 
+  test("tokenFrequencyStats: hand-computed OOV and mean frequency") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, ""), (4L, "d d d"))
+      .toDF("doc_id", "text")
+    // counts: a=3 b=1 c=1 d=3; vocabSize=2 → {a, d} (cnt desc, tok asc)
+    val got = CorpusAnalysis.tokenFrequencyStats(docs, "doc_id", "text",
+      vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3, 3.0)))
+    assert(got(2L) == ((2L, 1L, 0.5, 3.0)))
+    assert(got(3L) == ((0L, 0L, 0.0, 0.0)))
+    assert(got(4L) == ((3L, 0L, 0.0, 3.0)))
+  }
+
   test("epochShuffle: a permutation with contiguous per-shard positions, epoch-dependent") {
     import spark.implicits._
     val docs = (1L to 100L).toDF("doc_id")

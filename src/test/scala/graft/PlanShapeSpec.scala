@@ -112,7 +112,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pin it: no Filter condition may contain a lambda function.
     import org.apache.spark.sql.catalyst.expressions.{LambdaFunction => LF}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-    for (name <- Seq("q_repetition", "q_contamination", "q_chunks")) {
+    for (name <- Seq("q_repetition", "q_contamination", "q_chunks",
+        "q_dup_spans", "q_bpe_pairs")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val offending = df.queryExecution.optimizedPlan.collect {
         case f: LFilter if f.condition.exists(_.isInstanceOf[LF]) => f
