@@ -500,6 +500,39 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.99, integer = true)
     }),
 
+    // SemDeDup: cluster-scoped semantic near-dup pairs (float k-means
+    // — rows-only, like the other float-fold similarity forms)
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+      Dedup.semanticDupPairs(
+        emb.select(col("vec_id"), col("embedding")).unionByName(planted),
+        "vec_id", "embedding", threshold = 0.99, numCentroids = 8)
+    }),
+
+    // integer-exact SemDeDup twin: explicit integer centroids (the
+    // quantized vectors of vec_id 0..3) make assignment argmin,
+    // clusters, and cosine bit-replicable in DuckDB
+    "q_semantic_dedup_int" -> ((s, dir) => {
+      def q(c: Column): Column =
+        transform(c, x => round(x.cast("double") * 1000).cast("long"))
+      val emb = t(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"), q(col("embedding")).as("embedding"))
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          q(transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.001f)).otherwise(x))).as("embedding"))
+      val cents = base.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Long](1).map(_.toDouble).toArray))
+      Dedup.semanticDupPairs(base.unionByName(planted), "vec_id",
+        "embedding", threshold = 0.99, centroids = cents)
+    }),
+
     // oracle-checkable kNN: integer-quantized vectors make every dot
     // product / norm an integer-valued double (exact in any summation
     // order), so ranks and similarities match DuckDB bit-for-bit
@@ -1698,6 +1731,54 @@ object SparkEntry {
          |  FROM pr
          |  JOIN e ea ON ea.vec_id = pr.a
          |  JOIN e eb ON eb.vec_id = pr.b)
+         |SELECT a, b, cosine FROM sc WHERE cosine >= 0.99
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // SemDeDup int twin: integer centroid argmin (exact distances,
+    // (dist, cid) tie-break), capped clusters, within-cluster pairs,
+    // integer-exact cosine — the full pipeline in DuckDB list math
+    "q_semantic_dedup_int" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(embedding, (x, i) ->
+         |      CASE WHEN i = 1 THEN x + 0.001::FLOAT ELSE x END)
+         |  FROM embeddings WHERE vec_id < 10),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM base),
+         |cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+         |         FROM e WHERE vec_id < 4),
+         |dst AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    list_sum(list_transform(list_zip(e.v, c.cv),
+         |      p -> CAST(p[1] - p[2] AS DOUBLE) * CAST(p[1] - p[2] AS DOUBLE)))
+         |      AS dist
+         |  FROM e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+         |        AS rn
+         |    FROM dst) WHERE rn = 1),
+         |ok AS (SELECT cid FROM asg GROUP BY cid
+         |       HAVING count(*) > 1 AND count(*) <= 1000),
+         |inb AS (SELECT asg.* FROM asg JOIN ok USING (cid)),
+         |pr AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb
+         |  FROM inb l JOIN inb r
+         |    ON l.cid = r.cid AND l.vec_id < r.vec_id),
+         |sc AS (
+         |  SELECT a, b,
+         |    list_sum(list_transform(list_zip(va, vb),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(va,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(vb,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+         |  FROM pr)
          |SELECT a, b, cosine FROM sc WHERE cosine >= 0.99
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -295,6 +295,52 @@ object Dedup {
       .filter(col("distance") <= maxDistance)
   }
 
+  /** Semantic near-duplicate pairs via embedding clustering — SemDeDup
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): k-means clusters bound the
+    * candidate space (pairs are generated WITHIN a cluster only), exact
+    * cosine verifies; compose with [[nearDedup]] to keep one
+    * representative per semantic-duplicate component. Returns
+    * (a, b, cosine) with a < b and cosine ≥ threshold.
+    *
+    * `centroids` defaults to the deterministic mini k-means of
+    * [[Similarity.kmeansCentroids]]; passing EXPLICIT integer-valued
+    * centroids with integer-quantized vectors makes every stage —
+    * assignment argmin (exact integer distances, (d, cid) tie-break),
+    * candidate set, cosine — bit-replicable by an external engine
+    * (the q_semantic_dedup_int oracle twin).
+    *
+    * Scale shape: assignment is a narrow map against the broadcast
+    * centroid array; one keyed shuffle builds the capped clusters; the
+    * double explode expands ordered pairs — identical to the other
+    * candidate generators. At corpus scale pick numCentroids ≈ √N so
+    * expected cluster size is √N, and `maxCluster` caps the degenerate
+    * ones.
+    */
+  def semanticDupPairs(docs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numCentroids: Int = 8,
+      maxCluster: Int = 1000,
+      centroids: Array[(Int, Array[Double])] = null): DataFrame = {
+    graft.expressions.VectorHashExprs.register(docs.sparkSession)
+    val cents = if (centroids != null) centroids
+      else Similarity.kmeansCentroids(docs, idCol, vecCol, numCentroids)
+    val centArr = Similarity.centroidArray(cents)
+    val assigned = docs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cid",
+        element_at(Similarity.nearestCentroids(centArr, col("v"), 1), 1)("cid"))
+    val clusters = assigned.groupBy(col("cid"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxCluster)
+    clusters
+      .select(explode(col("ms")).as("m1"), col("ms"))
+      .select(col("m1"), explode(col("ms")).as("m2"))
+      .filter(col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("a"), col("m2.id").as("b"),
+        Similarity.cosineNative(col("m1.v"), col("m2.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   private val incViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Incremental (snapshot-vs-corpus) exact dedup: keep the rows of

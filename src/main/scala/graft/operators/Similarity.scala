@@ -250,6 +250,28 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
   }
 
+  /** Centroid list as a broadcast-safe array-of-structs literal. */
+  private[operators] def centroidArray(
+      cents: Array[(Int, Array[Double])]): Column =
+    array(cents.map { case (i, v) =>
+      struct(lit(i).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+
+  /** The `n` nearest centroids of `vec` as (d, cid) structs, exact
+    * deterministic tie-break (d ASC, cid ASC). The lambda body is one
+    * native kernel call over the RAW vector attribute (passing a cast
+    * array here would re-evaluate the cast per centroid — the
+    * per-element re-eval trap); numCentroids interpreted lambda
+    * applications per row remain, each O(1) expression nodes.
+    */
+  private[operators] def nearestCentroids(centArr: Column, vec: Column,
+      n: Int): Column = {
+    val scored = transform(centArr, c => struct(
+      graft.expressions.VectorHashExprs.sqDistNative(vec, c("cv")).as("d"),
+      c("cid").as("cid")))
+    slice(array_sort(scored), 1, n)
+  }
+
   /** IVF top-k: corpus partitioned by nearest centroid (broadcast
     * centroid list, expression argmin); queries probe the `nprobe`
     * nearest centroids. Keyed equi-join on centroid id.
@@ -258,21 +280,10 @@ object Similarity {
       vecCol: String, k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     graft.expressions.VectorHashExprs.register(corpus.sparkSession)
     val cents = kmeansCentroids(corpus, idCol, vecCol, numCentroids)
-    val centArr = array(cents.map { case (i, v) =>
-      struct(lit(i).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
+    val centArr = centroidArray(cents)
 
-    def nearestCentroids(vec: Column, n: Int): Column = {
-      // native per-centroid distance: the lambda body is one kernel
-      // call over the RAW vector attribute (passing a cast array here
-      // would re-evaluate the cast per centroid — the per-element
-      // re-eval trap); numCentroids interpreted lambda applications
-      // per row remain, each now O(1) expression nodes
-      val scored = transform(centArr, c => struct(
-        graft.expressions.VectorHashExprs.sqDistNative(vec, c("cv")).as("d"),
-        c("cid").as("cid")))
-      slice(array_sort(scored), 1, n)
-    }
+    def nearestCentroids(vec: Column, n: Int): Column =
+      Similarity.nearestCentroids(centArr, vec, n)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cid", element_at(nearestCentroids(col("cv"), 1), 1)("cid"))

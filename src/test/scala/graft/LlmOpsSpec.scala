@@ -288,6 +288,28 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1).getString(0) == null && !got(1).getBoolean(1))
   }
 
+  test("semanticDupPairs: k-means clusters scope the pairs, cosine verifies") {
+    import spark.implicits._
+    // 3 near-identical vectors per orthogonal direction; ids interleaved
+    // so k-means init (first k by id) seeds one centroid per group
+    val dim = 8
+    val rows = for (g <- 0 until 3; j <- 0 until 3) yield {
+      val v = Array.fill(dim)(0.001f * (j + 1))
+      v(g * 2) = 1.0f
+      (1L + g + 3L * j, v.toSeq)
+    }
+    val docs = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDupPairs(docs, "vec_id", "embedding",
+      threshold = 0.99, numCentroids = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly the 3 in-group pairs per group (ids g+1, g+4, g+7)
+    val expected = (0 until 3).flatMap { g =>
+      val ids = Seq(1L + g, 4L + g, 7L + g)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(pairs == expected, s"got $pairs")
+  }
+
   test("incrementalDedup: bloom pre-filter + anti-join equals plain anti-join") {
     val existing = docsDf(1L -> "alpha beta", 2L -> "gamma delta",
       3L -> "epsilon zeta")
