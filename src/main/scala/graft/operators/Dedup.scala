@@ -416,9 +416,9 @@ object Dedup {
     * once at the end. Convergence is a bounded count action;
     * `localCheckpoint` truncates the growing lineage so round N's plan
     * doesn't replay rounds 1..N-1.
-    * For adversarially deep graphs swap in the large-star/small-star
-    * rounds of Kiveris et al., "Connected Components in MapReduce and
-    * Beyond" (log-diameter rounds) — same per-round shuffle shape.
+    * For adversarially deep graphs use [[nearDupClustersStar]] — the
+    * implemented large-star/small-star alternation (log-diameter
+    * rounds, same per-round shuffle shape).
     */
   /** Near-dup dedup decision: keep exactly one doc per cluster — the
     * cluster label itself (= smallest id in the component). The final
@@ -481,6 +481,78 @@ object Dedup {
     // singletons (no edges) label themselves; the propagated table is
     // graph-sized, so AQE broadcasts it against the corpus
     docs.select(col(idCol).cast("long").as("id"))
+      .join(labels.select(col("id"), col("cluster").as("__cl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__cl"), col("id")).as("cluster"))
+  }
+
+  /** Connected components in O(log diameter) rounds — the
+    * large-star/small-star alternation of Kiveris et al. 2014
+    * ("Connected Components in MapReduce and Beyond", §3): the swap-in
+    * for [[nearDupClusters]] when components may be DEEP (min-label
+    * propagation needs diameter rounds — a 300-hop chain exhausts any
+    * sane cap; star rounds contract geometrically). Same contract:
+    * (id, cluster) for every doc, cluster = component minimum,
+    * singletons label themselves; pair ids outside `docs` are excluded
+    * from the label space.
+    *
+    * Per round: large-star hangs every neighbor LARGER than a node onto
+    * that node's minimum (one keyed groupBy + join), small-star hangs
+    * the smaller neighbors onto the minimum (same shape on the larger
+    * endpoint). Both are graph-sized keyed shuffles — no corpus-sized
+    * state; convergence (edge set unchanged) is a bounded two-sided
+    * anti-join check on checkpointed graph-sized frames.
+    */
+  def nearDupClustersStar(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    // canonical u < v, endpoints restricted to the doc label space
+    var edges = pairs
+      .select(least(col("a").cast("long"), col("b").cast("long")).as("u"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .join(ids.select(col("id").as("u")), Seq("u"), "leftsemi")
+      .join(ids.select(col("id").as("v")), Seq("v"), "leftsemi")
+      .select(col("u"), col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: per node s (over the symmetric neighbor view),
+      // m = min(N(s) ∪ {s}); every neighbor d > s re-attaches to m
+      val nb = edges.select(col("u").as("s"), col("v").as("d"))
+        .union(edges.select(col("v").as("s"), col("u").as("d")))
+      val mLarge = nb.groupBy(col("s"))
+        .agg(min(col("d")).as("__mind"))
+        .select(col("s"), least(col("__mind"), col("s")).as("m"))
+      val afterLarge = nb
+        .filter(col("d") > col("s"))
+        .join(mLarge, Seq("s"))
+        .select(col("m").as("u"), col("d").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: per larger endpoint v, m = min of its smaller
+      // neighbors; all of N(v) ∪ {v} except m attach to m
+      val mSmall = afterLarge.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val next = afterLarge.join(mSmall, Seq("v"))
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .union(mSmall.select(col("m").as("u"), col("v")))
+        .distinct()
+        .localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty &&
+        edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClustersStar did not converge in $maxIter rounds")
+    // fixpoint is a star forest: (min, member) edges
+    val labels = edges.select(col("v").as("id"), col("u").as("cluster"))
+      .union(edges.select(col("u").as("id"), col("u").as("cluster")))
+      .distinct()
+    ids
       .join(labels.select(col("id"), col("cluster").as("__cl")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__cl"), col("id")).as("cluster"))
   }

@@ -32,6 +32,34 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       11L -> 10L, 20L -> 20L))
   }
 
+  test("nearDupClustersStar: equals min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val docs = (1L to n).toDF("doc_id")
+      val pairs = Seq.fill(25)(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter(p => p._1 != p._2).toDF("a", "b")
+      val star = Dedup.nearDupClustersStar(docs, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.nearDupClusters(docs, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop)
+    }
+  }
+
+  test("nearDupClustersStar: a 300-hop chain converges in log rounds") {
+    import spark.implicits._
+    // min-label propagation needs ~300 rounds here (its cap would
+    // throw); the star alternation contracts geometrically
+    val docs = (1L to 300L).toDF("doc_id")
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.nearDupClustersStar(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 300 && got.values.forall(_ == 1L))
+  }
+
   test("nearDupClusters: pair ids absent from docs never become labels") {
     import spark.implicits._
     val docs = Seq(5L, 6L, 20L).toDF("doc_id")
