@@ -503,6 +503,10 @@ object CorpusAnalysis {
     val toks = TextFunctions.tokens(col(textCol))
     docs
       .select(toks.as("__t"))
+      // explode_OUTER although the nulls are filtered right after: a
+      // plain explode lets InferFiltersFromGenerate copy the zipped
+      // slice expression into a pushed-down size()>0 filter (the
+      // duplicated-HOF trap pinned in PlanShapeSpec)
       .select(explode_outer(arrays_zip(
         slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
         slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0)))))

@@ -143,11 +143,18 @@ object Dedup {
             x => x.cast("string")))))))
       .toDF("id", "band", "band_sig")
 
-    // one shuffle builds the buckets; the size filter caps degenerate
-    // buckets AND bounds the collected array; the double explode then
-    // expands each bucket's ordered pairs with no further join
+    // one shuffle builds the buckets via BOUNDED collect (buffer is
+    // O(maxBucket) even for a degenerate bucket — a plain collect_list
+    // would materialize the whole bucket before the size filter); the
+    // size filter then drops oversized (truncated) buckets, and the
+    // double explode expands each bucket's ordered pairs with no
+    // further join. Ids ride as longs (integral-id contract shared
+    // with nearDupClusters/TopK).
+    val bounded = udaf(new TopK.BoundedCollect[Long](maxBucket)(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[Long]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()))
     val buckets = banded.groupBy(col("band"), col("band_sig"))
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(bounded(col("id").cast("long")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     val candidates = buckets
       .select(explode(col("ids")).as("a"), col("ids"))
@@ -209,21 +216,28 @@ object Dedup {
     val bucketed = Similarity.lshBuckets(docs, idCol, vecCol, planes, tables,
         integer)
       .toDF("id", "v", "tbl", "bucket")
-    // one shuffle builds the capped buckets (members carry their
-    // vector: maxBucket × dim floats per degenerate bucket row, bounded
-    // by the cap), then the double explode expands ordered pairs —
-    // same shape as the minhash path, two fewer shuffles than a
-    // size-branch + self-join. Cosine before distinct: dedup shuffles
-    // (a, b, double) rows, not embedding arrays (see lshBucketedTopK)
+    // one shuffle builds the capped buckets via BOUNDED collect (the
+    // buffer holds at most maxBucket+1 members — with vectors, a
+    // degenerate bucket under plain collect_list would hold every
+    // member's embedding before the size filter), then the double
+    // explode expands ordered pairs — same shape as the minhash path,
+    // two fewer shuffles than a size-branch + self-join. Vectors are
+    // widened to double (exact for float and for quantized longs), so
+    // the cosine values are unchanged. Cosine before distinct: dedup
+    // shuffles (a, b, double) rows, not embedding arrays.
+    val bounded = udaf(new TopK.BoundedCollect[(Long, Seq[Double])](maxBucket)(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Long, Seq[Double])]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Seq[Double])]]()))
     val buckets = bucketed.groupBy(col("tbl"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
+      .agg(bounded(col("id").cast("long"),
+        col("v").cast("array<double>")).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     buckets
       .select(explode(col("ms")).as("m1"), col("ms"))
       .select(col("m1"), explode(col("ms")).as("m2"))
-      .filter(col("m1.id") < col("m2.id"))
-      .select(col("m1.id").as("a"), col("m2.id").as("b"),
-        Similarity.cosineNative(col("m1.v"), col("m2.v")).as("cosine"))
+      .filter(col("m1._1") < col("m2._1"))
+      .select(col("m1._1").as("a"), col("m2._1").as("b"),
+        Similarity.cosineNative(col("m1._2"), col("m2._2")).as("cosine"))
       .distinct() // a pair can collide in several tables
       .filter(col("cosine") >= threshold)
   }
@@ -281,16 +295,19 @@ object Dedup {
           .bitwiseAND(0xFFFFL))))
       .toDF("id", "sh", "block", "block_val")
 
+    val bounded = udaf(new TopK.BoundedCollect[(Long, Long)](maxBucket)(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Long, Long)]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()))
     val buckets = blocks.groupBy(col("block"), col("block_val"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .agg(bounded(col("id").cast("long"), col("sh")).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     buckets
       .select(explode(col("ms")).as("m1"), col("ms"))
       .select(col("m1"), explode(col("ms")).as("m2"))
-      .filter(col("m1.id") < col("m2.id"))
+      .filter(col("m1._1") < col("m2._1"))
       // bit_count yields int; the public schema is a long distance
-      .select(col("m1.id").as("a"), col("m2.id").as("b"),
-        bit_count(col("m1.sh").bitwiseXOR(col("m2.sh"))).cast("long").as("distance"))
+      .select(col("m1._1").as("a"), col("m2._1").as("b"),
+        bit_count(col("m1._2").bitwiseXOR(col("m2._2"))).cast("long").as("distance"))
       .distinct()
       .filter(col("distance") <= maxDistance)
   }
@@ -311,11 +328,16 @@ object Dedup {
     * (the q_semantic_dedup_int oracle twin).
     *
     * Scale shape: assignment is a narrow map against the broadcast
-    * centroid array; one keyed shuffle builds the capped clusters; the
+    * centroid array; one keyed shuffle builds the capped clusters
+    * (bounded collect — a degenerate cluster never materializes); the
     * double explode expands ordered pairs — identical to the other
-    * candidate generators. At corpus scale pick numCentroids ≈ √N so
-    * expected cluster size is √N, and `maxCluster` caps the degenerate
-    * ones.
+    * candidate generators. The centroid array is an expression
+    * LITERAL scored by an interpreted lambda per row, which is the
+    * right plan up to O(100s) of centroids; for the √N centroid counts
+    * a web-scale SemDeDup run wants, cluster HIERARCHICALLY (coarse
+    * centroids here, then recurse within each coarse cluster) or swap
+    * the assignment for a broadcast join + min_by aggregation — the
+    * rest of the pipeline is unchanged either way.
     */
   def semanticDupPairs(docs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numCentroids: Int = 8,
@@ -329,15 +351,19 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cid",
         element_at(Similarity.nearestCentroids(centArr, col("v"), 1), 1)("cid"))
+    val bounded = udaf(new TopK.BoundedCollect[(Long, Seq[Double])](maxCluster)(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Long, Seq[Double])]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Seq[Double])]]()))
     val clusters = assigned.groupBy(col("cid"))
-      .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
+      .agg(bounded(col("id").cast("long"),
+        col("v").cast("array<double>")).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxCluster)
     clusters
       .select(explode(col("ms")).as("m1"), col("ms"))
       .select(col("m1"), explode(col("ms")).as("m2"))
-      .filter(col("m1.id") < col("m2.id"))
-      .select(col("m1.id").as("a"), col("m2.id").as("b"),
-        Similarity.cosineNative(col("m1.v"), col("m2.v")).as("cosine"))
+      .filter(col("m1._1") < col("m2._1"))
+      .select(col("m1._1").as("a"), col("m2._1").as("b"),
+        Similarity.cosineNative(col("m1._2"), col("m2._2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -392,6 +418,18 @@ object Dedup {
          |     FROM $oldView),
          |    xxhash64(__fp)), false) AS __maybe
          |FROM $snapView""".stripMargin)
+    // force analysis (resolving the view references into the plan),
+    // then drop the views — a recurring-crawl loop would otherwise
+    // leak two catalog entries per invocation
+    probed.queryExecution.analyzed
+    spark.catalog.dropTempView(snapView)
+    spark.catalog.dropTempView(oldView)
+    // the union's two branches each scan the snapshot once (the bloom
+    // build subquery is shared via ReuseSubquery): two NARROW passes is
+    // the deliberate trade — materializing the probed snapshot to skip
+    // the second pass would cost a full write of the snapshot, which at
+    // scale is worse than re-reading it, and the expensive part (the
+    // anti-join shuffle) still sees only the bloom-hit subset
     val definitelyNew = probed.filter(!col("__maybe"))
     val verifiedNew = probed.filter(col("__maybe"))
       .join(oldFp, Seq("__fp"), "left_anti")
@@ -540,8 +578,11 @@ object Dedup {
         .union(mSmall.select(col("m").as("u"), col("v")))
         .distinct()
         .localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty &&
-        edges.exceptAll(next).isEmpty
+      // both sets are distinct, so equal counts + one-sided containment
+      // imply equality — counts on checkpointed frames are cheap, and
+      // this halves the per-round exceptAll shuffles
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
       edges = next
       iter += 1
     }

@@ -76,6 +76,37 @@ object TopK {
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
   }
 
+  /** Bounded collect: accumulates at most `cap`+1 members per group, so
+    * a degenerate group's aggregation buffer is O(cap) — never
+    * group-sized. The memory-safe building block for capped LSH/cluster
+    * buckets: a group exceeding `cap` yields a truncated cap+1 list,
+    * which the caller's size filter drops (members of oversized groups
+    * are never needed — that is what the cap MEANS). A plain
+    * `collect_list` + size filter computes the same result but
+    * materializes the whole degenerate group first: >cap identical
+    * boilerplate docs — or sentinel-signature short docs — in one
+    * bucket would hold every member (vectors included) in a single
+    * buffer before the filter discards it.
+    */
+  final class BoundedCollect[T](cap: Int)(
+      implicit bufEnc: Encoder[Vector[T]], outEnc: Encoder[Seq[T]])
+      extends Aggregator[T, Vector[T], Seq[T]] {
+    override def zero: Vector[T] = Vector.empty
+    override def reduce(b: Vector[T], a: T): Vector[T] =
+      if (b.length > cap) b else b :+ a
+    override def merge(b1: Vector[T], b2: Vector[T]): Vector[T] = {
+      if (b1.length > cap) b1
+      else if (b2.length > cap) b2
+      else {
+        val c = b1 ++ b2
+        if (c.length > cap + 1) c.take(cap + 1) else c
+      }
+    }
+    override def finish(r: Vector[T]): Seq[T] = r
+    override def bufferEncoder: Encoder[Vector[T]] = bufEnc
+    override def outputEncoder: Encoder[Seq[T]] = outEnc
+  }
+
   /** One (hash, id) candidate for bounded smallest-k selection. */
   final case class HashId(h: Long, id: Long)
 

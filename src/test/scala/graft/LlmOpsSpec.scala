@@ -288,6 +288,18 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1).getString(0) == null && !got(1).getBoolean(1))
   }
 
+  test("minHashNearDupPairs: maxBucket drops degenerate buckets (bounded collect)") {
+    // 20 identical docs: every band bucket holds all 20
+    val docs = docsDf((1L to 20L).map(i =>
+      i -> "the same boilerplate text repeated in every document"): _*)
+    val capped = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.8, maxBucket = 10)
+    assert(capped.count() == 0, "oversized buckets must be dropped")
+    val uncapped = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.8, maxBucket = 25)
+    assert(uncapped.count() == 20L * 19 / 2, "all pairs under the cap")
+  }
+
   test("semanticDupPairs: k-means clusters scope the pairs, cosine verifies") {
     import spark.implicits._
     // 3 near-identical vectors per orthogonal direction; ids interleaved

@@ -66,11 +66,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     pairs.collect()
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"))
-    // candidate generation is groupBy(collect_list) + double explode —
+    // candidate generation is groupBy(BoundedCollect) + double explode —
     // no join on the bucket key (the old size-branch + self-join shape
-    // paid two extra shuffle stages per query)
-    assert(plan.contains("collect_list"),
-      s"bucket collection missing — self-join shape crept back:\n$plan")
+    // paid two extra shuffle stages per query), and the bounded
+    // aggregator (not a bare collect_list) keeps degenerate buckets
+    // from materializing
+    assert(plan.toLowerCase.contains("boundedcollect"),
+      s"bounded bucket collection missing — self-join shape or bare " +
+        s"collect_list crept back:\n$plan")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles <= 4,
       s"candidate generation should need ~2 keyed shuffles (buckets, " +
