@@ -177,6 +177,60 @@ object Multimodal {
   def decodeImageStub(df: DataFrame, idCol: String, binCol: String,
       dim: Int = 16): Dataset[DecodedImage] = decodeImage(df, idCol, binCol, dim)
 
+  /** Output row of the resize stage. `resized` is false for payloads
+    * no codec could decode — those pass through byte-identical.
+    */
+  case class ResizedImage(id: Long, width: Long, height: Long,
+      content: Array[Byte], resized: Boolean)
+
+  /** Resize stage: decode (`javax.imageio`) → bilinear scale to
+    * (targetW, targetH) on a headless `BufferedImage` → re-encode PNG
+    * (deterministic: PNG is lossless and ImageIO's encoder is
+    * configuration-free). Undecodable payloads pass through unchanged
+    * with `resized = false` — the honest fallback, mirroring
+    * [[decodeImage]]. Same `mapPartitions` one-payload-in-memory shape;
+    * a vectorized decoder drops into the same stage.
+    */
+  def resizeImage(df: DataFrame, idCol: String, binCol: String,
+      targetW: Int = 64, targetH: Int = 64): Dataset[ResizedImage] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    implicit val enc = Encoders.product[ResizedImage]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val decoded =
+            if (bytes == null || bytes.isEmpty) None
+            else try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+            } catch { case _: Exception => None }
+          decoded match {
+            case Some(src) =>
+              val dst = new java.awt.image.BufferedImage(targetW, targetH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, targetW, targetH, null)
+              } finally g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              ResizedImage(id, targetW.toLong, targetH.toLong,
+                out.toByteArray, resized = true)
+            case None =>
+              val dims = headerDims(bytes).getOrElse((0L, 0L))
+              ResizedImage(id, dims._1, dims._2,
+                if (bytes == null) Array.emptyByteArray else bytes,
+                resized = false)
+          }
+        }
+    }
+  }
+
   /** In-JVM decode + luminance-histogram features; None when ImageIO
     * has no codec for (or chokes on) the payload.
     */

@@ -125,6 +125,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.features.toSeq == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
   }
 
+  test("resizeImage: real PNG scales and re-decodes; garbage passes through") {
+    import spark.implicits._
+    val bi = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4)
+      bi.setRGB(x, y, if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val garbage = Array[Byte](1, 2, 3, 4)
+    val got = Multimodal.resizeImage(
+      Seq((1L, bos.toByteArray), (2L, garbage)).toDF("id", "content"),
+      "id", "content", targetW = 2, targetH = 2)
+      .collect().map(r => r.id -> r).toMap
+    val ok = got(1L)
+    assert(ok.resized && ok.width == 2 && ok.height == 2)
+    // the emitted PNG must itself decode to the target dims
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ok.content))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    val pass = got(2L)
+    assert(!pass.resized && pass.content.toSeq == garbage.toSeq)
+  }
+
   test("sampleFrameOffsets: n evenly spaced deterministic offsets") {
     import spark.implicits._
     val got = Seq(10000L, 0L).toDF("dur")
