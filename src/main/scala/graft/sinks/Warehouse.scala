@@ -195,6 +195,29 @@ final class Warehouse(spark: SparkSession, val root: String) {
       if (fs.exists(dir)) fs.delete(dir, true)
     }
   }
+
+  /** Persist a relation as a BUCKETED, bucket-sorted managed table:
+    * every future equi-join or aggregation on `keys` against another
+    * table bucketed the same way is CO-LOCATED — both sides scan their
+    * pre-hashed files and the join runs with ZERO Exchange (proved by
+    * `BucketedJoinSpec`: SortMergeJoin, no shuffle in the plan).
+    *
+    * This is the 100 TB answer for repeatedly-joined fact tables:
+    * one bucketed write amortizes the fact-table shuffle across every
+    * downstream join — the shuffle happens once, at write time, instead
+    * of per query. Pick `numBuckets` ≈ cluster cores so one bucket is
+    * one task.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit = {
+    require(keys.nonEmpty, "need at least one bucket key")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
 }
 
 /** Typed constraint-violation errors — parity with the reference's
