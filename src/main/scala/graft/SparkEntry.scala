@@ -297,6 +297,14 @@ object SparkEntry {
         Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8))
     }),
 
+    // the log-diameter CC variant over the SAME pairs — cross-validated
+    // against the identical recursive-CTE closure oracle
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      Dedup.nearDupClustersStar(docs, "doc_id",
+        Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8))
+    }),
+
     // near-dedup: the deduplicated corpus (one keeper per cluster)
     "q_near_dedup" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
@@ -1217,6 +1225,23 @@ object SparkEntry {
     // edge list → recursive min-label closure: DuckDB's WITH RECURSIVE
     // computes the same fixpoint Dedup.nearDupClusters iterates to.
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${MinhashPairsCtes(NearDupDocs)},
+         |prs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT a AS s, b AS d FROM prs
+         |  UNION ALL
+         |  SELECT b, a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM all_docs
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+         |SELECT id, CAST(min(r) AS BIGINT) AS cluster
+         |FROM reach GROUP BY 1
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // the star-CC variant computes the same fixpoint labels, so the
+    // oracle is the same transitive closure
+    "q_dedup_clusters_star" ->
       s"""WITH RECURSIVE ${MinhashPairsCtes(NearDupDocs)},
          |prs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
          |edges AS (
