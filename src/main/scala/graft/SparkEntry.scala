@@ -394,6 +394,21 @@ object SparkEntry {
       Dedup.incrementalDedup(snap, docs, "doc_id", "text")
     }),
 
+    // snapshot-vs-corpus NEAR-dedup: 30 one-token-perturbed re-crawls
+    // dropped (trigram Jaccard ≈ 0.9), 30 token-disjoint fresh docs kept
+    "q_incremental_near_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snap = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" extraword")).as("text"))
+        .unionByName(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(lit("fresh doc "), md5(col("doc_id").cast("string")))
+              .as("text")))
+      Dedup.incrementalNearDedup(snap, docs, "doc_id", "text",
+        threshold = 0.8)
+    }),
+
     // adjacent-token-pair frequencies (one BPE merge step's statistic)
     "q_bpe_pairs" -> ((s, dir) =>
       CorpusAnalysis.bpePairs(t(s, dir, "documents"), "text", k = 50)),
@@ -1081,6 +1096,26 @@ object SparkEntry {
          |ef AS (SELECT $Fp AS fp FROM documents)
          |SELECT doc_id, text FROM sf n
          |WHERE NOT EXISTS (SELECT 1 FROM ef o WHERE o.fp = n.fp)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // incremental near-dedup: the union-with-offset runs the SAME pair
+    // pipeline; cross-side pairs are a < 300000 <= b, and the survivors
+    // are the snapshot rows with no matched partner
+    "q_incremental_near_dedup" ->
+      s"""WITH snapsrc AS (
+         |  SELECT doc_id + 300000 AS id, text || ' extraword' AS text
+         |  FROM documents WHERE doc_id < 30
+         |  UNION ALL
+         |  SELECT doc_id + 300000,
+         |    'fresh doc ' || md5(CAST(doc_id AS VARCHAR))
+         |  FROM documents WHERE doc_id >= 30 AND doc_id < 60),
+         |${MinhashPairsCtes(
+          "SELECT doc_id AS id, text FROM documents UNION ALL SELECT id, text FROM snapsrc")},
+         |matched AS (
+         |  SELECT DISTINCT b AS id FROM jac
+         |  WHERE jaccard >= 0.8 AND a < 300000 AND b >= 300000)
+         |SELECT id AS doc_id, text FROM snapsrc
+         |WHERE id NOT IN (SELECT id FROM matched)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_bpe_pairs" ->

@@ -123,6 +123,19 @@ object Dedup {
     * bound the quadratic within-bucket blowup — and here the cap also
     * bounds the collected array).
     */
+  /** The per-band bucket keys of a minhash signature: band id →
+    * md5 of the comma-joined signature slice (NOT Spark's murmur3
+    * `hash`: md5-of-rendered-longs is the one band hash every engine
+    * computes identically). The transform lambda references `sig` once
+    * — an array literal of `bands` slices would inline the signature
+    * pipeline `bands` times.
+    */
+  private def bandSigs(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",",
+        transform(slice(sig, b * rows + 1, lit(rows)),
+          x => x.cast("string")))))
+
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
@@ -130,17 +143,8 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes)
 
-    // band id + hashed band slice of the signature. The transform lambda
-    // references `sig` once (an array literal of 16 slices would inline
-    // the signature aggregate 16×).
-    // band signature = md5 of the comma-joined signature slice (NOT
-    // Spark's murmur3 `hash`: md5-of-rendered-longs is the one band
-    // hash every engine computes identically)
-    val banded = sigs.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            x => x.cast("string")))))))
+    val banded = sigs.select(col("id"), posexplode(bandSigs(col("sig"),
+        bands, rows)))
       .toDF("id", "band", "band_sig")
 
     // one shuffle builds the buckets via BOUNDED collect (buffer is
@@ -434,6 +438,64 @@ object Dedup {
     val verifiedNew = probed.filter(col("__maybe"))
       .join(oldFp, Seq("__fp"), "left_anti")
     definitelyNew.unionByName(verifiedNew).select(cols.map(col): _*)
+  }
+
+  /** Incremental NEAR-dedup: drop the rows of `snapshot` that are
+    * MinHash-near-duplicates (word-trigram Jaccard ≥ `threshold`) of
+    * any doc in `existing` — the daily-crawl companion of
+    * [[incrementalDedup]] for boilerplate that re-crawls with
+    * timestamps/counters changed, where the exact fingerprint misses.
+    *
+    * Scale shape: both sides run the single-pass signature kernel and
+    * band into ONE bucket table tagged by side; candidate pairs are
+    * generated CROSS-SIDE ONLY (a corpus self-join would enumerate the
+    * corpus's own near-dup pairs — at 100 TB that is almost all the
+    * work — only to discard them; here a bucket with no snapshot
+    * member contributes nothing), verification is per candidate pair,
+    * and the survivors come from one left-anti join on the matched
+    * snapshot ids. Bucket caps and bounded collection as in
+    * [[minHashNearDupPairs]]. Ids must be integral and disjoint across
+    * the two inputs. Within-snapshot near-dups are out of scope —
+    * compose with [[nearDedup]].
+    */
+  def incrementalNearDedup(snapshot: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    graft.expressions.TextHashExprs.register(snapshot.sparkSession)
+    val tagged = existing
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+        lit(0L).as("side"))
+      .unionByName(snapshot
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+          lit(1L).as("side")))
+    val sigs = tagged.select(col("id"), col("side"),
+      coalesce(
+        graft.expressions.TextHashExprs.minhashSig(col("text"), numHashes),
+        array_repeat(lit(HashPrime), numHashes)).as("sig"))
+    val banded = sigs.select(col("id"), col("side"),
+        posexplode(bandSigs(col("sig"), bands, rows)))
+      .toDF("id", "side", "band", "band_sig")
+    val bounded = udaf(new TopK.BoundedCollect[(Long, Long)](maxBucket)(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Long, Long)]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()))
+    val buckets = banded.groupBy(col("band"), col("band_sig"))
+      .agg(bounded(col("id"), col("side")).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    // cross-side pairs only: corpus member × snapshot member
+    val candidates = buckets
+      .select(explode(col("ms")).as("m1"), col("ms"))
+      .filter(col("m1._2") === 0L)
+      .select(col("m1"), explode(col("ms")).as("m2"))
+      .filter(col("m2._2") === 1L)
+      .select(col("m1._1").as("a"), col("m2._1").as("b"))
+      .distinct()
+    val matched = verifyJaccard(tagged, "id", "text", candidates, threshold)
+      .select(col("b").as("__mid"))
+      .distinct()
+    snapshot.join(matched, snapshot(idCol) === matched("__mid"), "left_anti")
   }
 
   /** Connected components over near-dup pairs → per-doc cluster labels:

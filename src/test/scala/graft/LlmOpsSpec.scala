@@ -340,6 +340,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("bloom_filter_agg"), s"bloom build missing:\n$plan")
   }
 
+  test("incrementalNearDedup: perturbed re-crawls drop, disjoint docs survive") {
+    val existing = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight nine")
+    val snap = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta extra", // near-dup of 1
+      11L -> "totally different words with no shared trigrams at all")
+    val got = Dedup.incrementalNearDedup(snap, existing, "doc_id", "text",
+      threshold = 0.8)
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(11L))
+    // empty corpus admits everything
+    assert(Dedup.incrementalNearDedup(snap, docsDf(), "doc_id", "text")
+      .count() == 2)
+  }
+
   test("incrementalDedup: empty corpus admits the whole snapshot") {
     val existing = docsDf().limit(0)
     val snap = docsDf(1L -> "a", 2L -> "b")
