@@ -160,6 +160,25 @@ object ScaleSmoke {
     println(f"incremental: admitted=$admitted of ${2L * (nDocs / 10)} " +
       f"in $tInc%.1f s (${2L * (nDocs / 10) / tInc}%.0f docs/s)")
 
+    // incremental NEAR-dedup: corpus = the 8 unique docs per group
+    // (800k); snapshot = the 100k near-dups (trigram J=0.931 vs their
+    // base, all dropped) + 100k token-disjoint fresh docs (kept).
+    // Exactly the fresh half must survive.
+    val freshToks = (0 until 30).map(j =>
+      substring(md5(concat_ws(":", lit("fresh"), col("id").cast("string"),
+        lit(j))), 1, 8))
+    val snapNear = docs.filter(col("id") % 10 === 9)
+    val snapFresh = spark.range(nDocs, nDocs + nDocs / 10L)
+      .select(col("id"), concat_ws(" ", freshToks: _*).as("text"))
+    val t6e = System.nanoTime()
+    val nearAdmitted = graft.operators.Dedup.incrementalNearDedup(
+      snapNear.unionByName(snapFresh), docs.filter(col("id") % 10 < 8),
+      "id", "text").count()
+    val tNInc = (System.nanoTime() - t6e) / 1e9
+    require(nearAdmitted == nDocs / 10L, s"near admitted $nearAdmitted")
+    println(f"incrementalNear: admitted=$nearAdmitted of ${2L * (nDocs / 10)} " +
+      f"in $tNInc%.1f s (${2L * (nDocs / 10) / tNInc}%.0f docs/s)")
+
     // exact-N stratified sample over 16 synthetic strata: the bounded
     // smallest-k aggregation must return exactly n rows per stratum
     val t6d = System.nanoTime()
