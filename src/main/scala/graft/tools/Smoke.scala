@@ -166,6 +166,31 @@ object Smoke {
       .select(col("url"), graft.functions.UrlFunctions.normalizeUrl(col("url"))
         .as("url_norm"), graft.functions.UrlFunctions.domain(col("url")).as("domain"))
       .show(false)
+    println("== span-level duplication (top docs) ==")
+    graft.operators.CorpusAnalysis.dupSpans(docs, "doc_id", "text", n = 12)
+      .orderBy(desc("dup_frac"), col("id")).show(5, false)
+    println("== incremental dedup (exact + near) ==")
+    // exact catches canonical dups (case/space noise); near catches
+    // re-crawls with a few changed tokens that exact misses
+    val snapExact = docs.filter($"doc_id" < 5)
+      .select(($"doc_id" + 900000L).as("doc_id"),
+        concat(upper($"text"), lit(" ")).as("text"))
+    val snapNear = docs.filter($"doc_id" < 5)
+      .select(($"doc_id" + 900000L).as("doc_id"),
+        concat($"text", lit(" trailingword")).as("text"))
+    val fresh = docs.filter($"doc_id" >= 5 && $"doc_id" < 8)
+      .select(($"doc_id" + 900000L).as("doc_id"),
+        concat(lit("fresh "), md5($"doc_id".cast("string"))).as("text"))
+    println("exact kept (expect 3 fresh): " + graft.operators.Dedup
+      .incrementalDedup(snapExact.unionByName(fresh), docs, "doc_id", "text")
+      .count())
+    println("near kept (expect 3 fresh): " + graft.operators.Dedup
+      .incrementalNearDedup(snapNear.unionByName(fresh), docs, "doc_id", "text")
+      .count())
+    println("== token-frequency scoring ==")
+    graft.operators.CorpusAnalysis
+      .tokenFrequencyStats(docs, "doc_id", "text", vocabSize = 20)
+      .orderBy(desc("oov_frac")).show(5, false)
     spark.stop()
   }
 }
