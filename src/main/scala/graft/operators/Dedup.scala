@@ -121,7 +121,9 @@ object Dedup {
     * degenerate bucket means the band hash collapsed, e.g.
     * all-identical boilerplate; real systems cap exactly like this to
     * bound the quadratic within-bucket blowup — and here the cap also
-    * bounds the collected array).
+    * bounds the collected array). Ids must be INTEGRAL (they ride the
+    * bounded buckets as longs — the contract shared with
+    * nearDupClusters and TopK; map string ids to integers upstream).
     */
   /** The per-band bucket keys of a minhash signature: band id →
     * md5 of the comma-joined signature slice (NOT Spark's murmur3
@@ -154,9 +156,7 @@ object Dedup {
     // double explode expands each bucket's ordered pairs with no
     // further join. Ids ride as longs (integral-id contract shared
     // with nearDupClusters/TopK).
-    val bounded = udaf(new TopK.BoundedCollect[Long](maxBucket)(
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[Long]](),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()))
+    val bounded = TopK.boundedCollect[Long](maxBucket)
     val buckets = banded.groupBy(col("band"), col("band_sig"))
       .agg(bounded(col("id").cast("long")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -178,18 +178,28 @@ object Dedup {
     * compute proportional to candidate pairs.
     */
   def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
-      candidates: DataFrame, threshold: Double): DataFrame = {
+      candidates: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardSides(docs, docs, idCol, textCol, candidates, threshold)
+
+  /** [[verifyJaccard]] with distinct relations for the two pair sides —
+    * when candidates are cross-side by construction (snapshot vs
+    * corpus), building the b-side gram projection from the full union
+    * would run the most expensive per-doc computation over docs that
+    * can never appear on that side.
+    */
+  def verifyJaccardSides(aSrc: DataFrame, bSrc: DataFrame, idCol: String,
+      textCol: String, candidates: DataFrame, threshold: Double): DataFrame = {
     // shingle sets are computed ONCE per doc in the join-side projections
     // (a doc appearing in m candidate pairs would otherwise rebuild its
     // n-grams m times); per-pair work is then pure array set math. The
     // gram construction is the native kernel (null text → empty set,
     // matching the HOF form's when/otherwise)
-    graft.expressions.TextHashExprs.register(docs.sparkSession)
+    graft.expressions.TextHashExprs.register(aSrc.sparkSession)
     val g = array_distinct(coalesce(
       graft.expressions.TextHashExprs.ngramsNative(col(textCol), 3),
       array().cast("array<string>")))
-    val aDocs = docs.select(col(idCol).as("a"), g.as("__ga"))
-    val bDocs = docs.select(col(idCol).as("b"), g.as("__gb"))
+    val aDocs = aSrc.select(col(idCol).as("a"), g.as("__ga"))
+    val bDocs = bSrc.select(col(idCol).as("b"), g.as("__gb"))
     val inter = size(array_intersect(col("__ga"), col("__gb")))
     val union = size(col("__ga")) + size(col("__gb")) - inter
     candidates
@@ -229,9 +239,7 @@ object Dedup {
     // widened to double (exact for float and for quantized longs), so
     // the cosine values are unchanged. Cosine before distinct: dedup
     // shuffles (a, b, double) rows, not embedding arrays.
-    val bounded = udaf(new TopK.BoundedCollect[(Long, Seq[Double])](maxBucket)(
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Long, Seq[Double])]](),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Seq[Double])]]()))
+    val bounded = TopK.boundedCollect[(Long, Seq[Double])](maxBucket)
     val buckets = bucketed.groupBy(col("tbl"), col("bucket"))
       .agg(bounded(col("id").cast("long"),
         col("v").cast("array<double>")).as("ms"))
@@ -299,9 +307,7 @@ object Dedup {
           .bitwiseAND(0xFFFFL))))
       .toDF("id", "sh", "block", "block_val")
 
-    val bounded = udaf(new TopK.BoundedCollect[(Long, Long)](maxBucket)(
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Long, Long)]](),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()))
+    val bounded = TopK.boundedCollect[(Long, Long)](maxBucket)
     val buckets = blocks.groupBy(col("block"), col("block_val"))
       .agg(bounded(col("id").cast("long"), col("sh")).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
@@ -355,9 +361,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cid",
         element_at(Similarity.nearestCentroids(centArr, col("v"), 1), 1)("cid"))
-    val bounded = udaf(new TopK.BoundedCollect[(Long, Seq[Double])](maxCluster)(
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Long, Seq[Double])]](),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Seq[Double])]]()))
+    val bounded = TopK.boundedCollect[(Long, Seq[Double])](maxCluster)
     val clusters = assigned.groupBy(col("cid"))
       .agg(bounded(col("id").cast("long"),
         col("v").cast("array<double>")).as("ms"))
@@ -465,12 +469,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     graft.expressions.TextHashExprs.register(snapshot.sparkSession)
-    val tagged = existing
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
-        lit(0L).as("side"))
-      .unionByName(snapshot
-        .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
-          lit(1L).as("side")))
+    val existingD = existing
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val snapshotD = snapshot
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val tagged = existingD.withColumn("side", lit(0L))
+      .unionByName(snapshotD.withColumn("side", lit(1L)))
     val sigs = tagged.select(col("id"), col("side"),
       coalesce(
         graft.expressions.TextHashExprs.minhashSig(col("text"), numHashes),
@@ -478,9 +482,7 @@ object Dedup {
     val banded = sigs.select(col("id"), col("side"),
         posexplode(bandSigs(col("sig"), bands, rows)))
       .toDF("id", "side", "band", "band_sig")
-    val bounded = udaf(new TopK.BoundedCollect[(Long, Long)](maxBucket)(
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Long, Long)]](),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()))
+    val bounded = TopK.boundedCollect[(Long, Long)](maxBucket)
     val buckets = banded.groupBy(col("band"), col("band_sig"))
       .agg(bounded(col("id"), col("side")).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
@@ -492,7 +494,11 @@ object Dedup {
       .filter(col("m2._2") === 1L)
       .select(col("m1._1").as("a"), col("m2._1").as("b"))
       .distinct()
-    val matched = verifyJaccard(tagged, "id", "text", candidates, threshold)
+    // verify with side-specific sources: candidates are (corpus a,
+    // snapshot b) by construction, so the corpus never pays the b-side
+    // gram projection (and vice versa)
+    val matched = verifyJaccardSides(existingD, snapshotD,
+      "id", "text", candidates, threshold)
       .select(col("b").as("__mid"))
       .distinct()
     snapshot.join(matched, snapshot(idCol) === matched("__mid"), "left_anti")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -106,6 +108,17 @@ object TopK {
     override def bufferEncoder: Encoder[Vector[T]] = bufEnc
     override def outputEncoder: Encoder[Seq[T]] = outEnc
   }
+
+  /** The [[BoundedCollect]] aggregator as a ready-to-apply column
+    * function — one entry point so call sites don't repeat the
+    * encoder plumbing.
+    */
+  def boundedCollect[T](cap: Int)(implicit tt: TypeTag[T],
+      vt: TypeTag[Vector[T]], st: TypeTag[Seq[T]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new BoundedCollect[T](cap)(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[T]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[T]]()))
 
   /** One (hash, id) candidate for bounded smallest-k selection. */
   final case class HashId(h: Long, id: Long)

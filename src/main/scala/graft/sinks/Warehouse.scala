@@ -214,6 +214,10 @@ final class Warehouse(spark: SparkSession, val root: String) {
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
+      // external table AT THE WAREHOUSE ROOT — every other writer in
+      // this class lands under tablePath; only the bucket metadata
+      // lives in the session catalog
+      .option("path", tablePath(table))
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)

@@ -175,7 +175,10 @@ object ScaleSmoke {
       snapNear.unionByName(snapFresh), docs.filter(col("id") % 10 < 8),
       "id", "text").count()
     val tNInc = (System.nanoTime() - t6e) / 1e9
-    require(nearAdmitted == nDocs / 10L, s"near admitted $nearAdmitted")
+    // >= with slack: a missed near-dup (LSH band miss, p ~ 2e-10/doc)
+    // would ADMIT extra rows — same tolerance as the pairs check above
+    require(nearAdmitted >= nDocs / 10L && nearAdmitted <= nDocs / 10L + 5,
+      s"near admitted $nearAdmitted")
     println(f"incrementalNear: admitted=$nearAdmitted of ${2L * (nDocs / 10)} " +
       f"in $tNInc%.1f s (${2L * (nDocs / 10) / tNInc}%.0f docs/s)")
 
