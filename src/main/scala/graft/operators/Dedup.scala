@@ -444,6 +444,28 @@ object Dedup {
     definitelyNew.unionByName(verifiedNew).select(cols.map(col): _*)
   }
 
+  /** Streaming form of [[incrementalDedup]]: a live intake stream
+    * admitted against a STATIC corpus — each micro-batch left-anti
+    * joins its canonical fingerprints against the corpus fingerprint
+    * set (the stream-static join Spark supports natively; keep the
+    * fingerprint set as a compact parquet/bucketed table so the
+    * per-batch static side is a cheap scan). No bloom stage here: the
+    * runtime re-plans the static side per batch, and a per-batch
+    * sketch rebuild would cost more than the anti-join it saves —
+    * pre-compute the sketch out of band if batches are huge. Compose
+    * with [[streamingExactDedup]] for within-stream duplicates.
+    */
+  def streamingIncrementalDedup(stream: DataFrame, existing: DataFrame,
+      textCol: String): DataFrame = {
+    val cols = stream.columns
+    val oldFp = existing
+      .select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    stream
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .join(oldFp, Seq("__fp"), "left_anti")
+      .select(cols.map(col): _*)
+  }
+
   /** Incremental NEAR-dedup: drop the rows of `snapshot` that are
     * MinHash-near-duplicates (word-trigram Jaccard ≥ `threshold`) of
     * any doc in `existing` — the daily-crawl companion of

@@ -278,6 +278,28 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingIncrementalDedup: stream rows admitted against the static corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((100L, "known doc one"), (101L, "known doc two"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = graft.operators.Dedup
+      .streamingIncrementalDedup(df, corpus, "text")
+      .writeStream.format("memory").queryName("stream_inc")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "  KNOWN doc one "), (2L, "brand new"))
+      q.processAllAvailable()
+      mem.addData((3L, "known doc two"), (4L, "also new"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_inc").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("contamination: shared 8-grams found, short docs and non-overlaps excluded") {
     import spark.implicits._
     val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
