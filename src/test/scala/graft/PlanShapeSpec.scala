@@ -93,6 +93,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // aggregate/zip_with fold would still pass correctness
     val expect = Seq(
       "q_minhash_near_dup" -> "minhash_sig_native",
+      "q_incremental_near_dedup" -> "minhash_sig_native",
+      "q_dup_spans" -> "ngram_hashes_native",
       "q_simhash_near_dup" -> "simhash64_native",
       "q_contamination" -> "ngram_hashes_native",
       "q_ngram_jaccard" -> "ngrams_native",
