@@ -105,6 +105,19 @@ object Dedup {
           array_repeat(lit(HashPrime), numHashes)).as("sig"))
   }
 
+  /** The per-band bucket keys of a minhash signature: band id →
+    * md5 of the comma-joined signature slice (NOT Spark's murmur3
+    * `hash`: md5-of-rendered-longs is the one band hash every engine
+    * computes identically). The transform lambda references `sig` once
+    * — an array literal of `bands` slices would inline the signature
+    * pipeline `bands` times.
+    */
+  private def bandSigs(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",",
+        transform(slice(sig, b * rows + 1, lit(rows)),
+          x => x.cast("string")))))
+
   /** Near-duplicate pairs via banded LSH + exact-Jaccard verification.
     * Returns (a, b, jaccard) with a < b and jaccard ≥ threshold.
     *
@@ -123,25 +136,14 @@ object Dedup {
     * bound the quadratic within-bucket blowup — and here the cap also
     * bounds the collected array). Ids must be INTEGRAL (they ride the
     * bounded buckets as longs — the contract shared with
-    * nearDupClusters and TopK; map string ids to integers upstream).
+    * nearDupClusters and TopK; map string ids to integers upstream,
+    * enforced fail-loud via [[TopK.requireIntegral]]).
     */
-  /** The per-band bucket keys of a minhash signature: band id →
-    * md5 of the comma-joined signature slice (NOT Spark's murmur3
-    * `hash`: md5-of-rendered-longs is the one band hash every engine
-    * computes identically). The transform lambda references `sig` once
-    * — an array literal of `bands` slices would inline the signature
-    * pipeline `bands` times.
-    */
-  private def bandSigs(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws(",",
-        transform(slice(sig, b * rows + 1, lit(rows)),
-          x => x.cast("string")))))
-
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    TopK.requireIntegral(docs, idCol, "minHashNearDupPairs")
     val rows = numHashes / bands
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes)
 
@@ -227,6 +229,7 @@ object Dedup {
   def embeddingNearDupPairs(docs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 6, tables: Int = 4,
       maxBucket: Int = 1000, integer: Boolean = false): DataFrame = {
+    TopK.requireIntegral(docs, idCol, "embeddingNearDupPairs")
     val bucketed = Similarity.lshBuckets(docs, idCol, vecCol, planes, tables,
         integer)
       .toDF("id", "v", "tbl", "bucket")
@@ -289,6 +292,7 @@ object Dedup {
     */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    TopK.requireIntegral(docs, idCol, "simHashNearDupPairs")
     // one native kernel per row: tokenize → md5-60 → 64 bit-counts →
     // majority fold (the HOF aggregate computed the same hash but
     // interpreted; null text → null simhash either way)
@@ -353,6 +357,7 @@ object Dedup {
       threshold: Double = 0.95, numCentroids: Int = 8,
       maxCluster: Int = 1000,
       centroids: Array[(Int, Array[Double])] = null): DataFrame = {
+    TopK.requireIntegral(docs, idCol, "semanticDupPairs")
     graft.expressions.VectorHashExprs.register(docs.sparkSession)
     val cents = if (centroids != null) centroids
       else Similarity.kmeansCentroids(docs, idCol, vecCol, numCentroids)
@@ -400,12 +405,30 @@ object Dedup {
     * `numBits` sizes the sketch (default 8M bits ≈ 1% fpp at 1M corpus
     * fingerprints; at 10^10 docs size accordingly — the sketch is still
     * thousands of times smaller than the fingerprint set it summarizes).
+    * NOTE: the underlying BloomFilterAggregate clamps its arguments to
+    * the session confs `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems`/`.maxNumBits` (defaults 4M items / 67M bits) and
+    * fails at analysis above them — oversized arguments are validated
+    * here so a 10^10-doc sizing fails with the conf names to raise
+    * instead of a deep analyzer error.
     */
   def incrementalDedup(snapshot: DataFrame, existing: DataFrame,
       idCol: String, textCol: String, expectedItems: Long = 1000000L,
       numBits: Long = 8388608L): DataFrame = {
     val spark = snapshot.sparkSession
     graft.expressions.BloomExprs.register(spark)
+    // fail actionably, not at analysis: the aggregate enforces these
+    // session caps on its (items, bits) arguments
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"incrementalDedup sketch size (expectedItems=$expectedItems, " +
+        s"numBits=$numBits) exceeds the session caps " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems / " +
+        s"maxNumBits=$maxBits — raise those confs to size the sketch for " +
+        "larger corpora")
     val cols = snapshot.columns
     val snapFp = snapshot.withColumn("__fp",
       TextFunctions.fingerprint(col(textCol)))
@@ -489,6 +512,8 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    TopK.requireIntegral(snapshot, idCol, "incrementalNearDedup(snapshot)")
+    TopK.requireIntegral(existing, idCol, "incrementalNearDedup(existing)")
     val rows = numHashes / bands
     graft.expressions.TextHashExprs.register(snapshot.sparkSession)
     val existingD = existing

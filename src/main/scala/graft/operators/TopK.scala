@@ -61,14 +61,24 @@ object TopK {
     * types are rejected with a clear error rather than silently
     * miscast; all Similarity entry points inherit this requirement.
     */
-  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  /** Fail-loud guard for the integral-id contract every bounded
+    * aggregator here shares: ids ride the capped buffers as longs, so a
+    * string id would silently cast to null, null pairs would fall to
+    * the `a < b` filters, and an operator would return an EMPTY result
+    * with no error. Matches on DataType instances, not simpleString
+    * names (byte/short render as tinyint/smallint — name lists rot).
+    */
+  private[operators] def requireIntegral(df: DataFrame, colName: String,
+      who: String): Unit = {
     import org.apache.spark.sql.types._
-    val idType = scored.schema("neighbor_id").dataType
-    // match on DataType instances, not simpleString names (byte/short
-    // render as tinyint/smallint — name lists rot)
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
-      s"topKPerQuery requires an integral neighbor_id column, got " +
-        s"${idType.simpleString}; map ids to integers upstream")
+    val t = df.schema(colName).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$who requires an integral '$colName' column, got " +
+        s"${t.simpleString}; map ids to integers upstream")
+  }
+
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    requireIntegral(scored, "neighbor_id", "topKPerQuery")
     val agg = udaf(new TopKAggregator(k))
     scored
       .groupBy(col("query_id"))
@@ -166,12 +176,7 @@ object TopK {
     * (group, h, id) with integral h and id.
     */
   def smallestKPerGroup(keyed: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.types._
-    for (c <- Seq("h", "id")) {
-      val t = keyed.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
-        s"smallestKPerGroup requires integral $c, got ${t.simpleString}")
-    }
+    for (c <- Seq("h", "id")) requireIntegral(keyed, c, "smallestKPerGroup")
     val agg = udaf(new SmallestKAggregator(k))
     keyed
       .groupBy(col("group"))

@@ -127,10 +127,28 @@ final class Warehouse(spark: SparkSession, val root: String) {
     */
   private def jdbcTableExists(conn: java.sql.Connection, name: String): Boolean = {
     val md = conn.getMetaData
+    // '_' and '%' are LIKE wildcards in DatabaseMetaData patterns — a raw
+    // probe for content_docs would also match a sibling contentXdocs,
+    // false-positive the existence check, and send the DELETE at a table
+    // that isn't there. Escape with the driver's own escape string, and
+    // require an exact TABLE_NAME match on whatever rows come back.
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def escaped(n: String): String = {
+      val b = new StringBuilder
+      n.foreach { c =>
+        if (c == '_' || c == '%' || esc.contains(c)) b.append(esc)
+        b.append(c)
+      }
+      b.toString
+    }
     Seq(name, name.toUpperCase(java.util.Locale.ROOT),
         name.toLowerCase(java.util.Locale.ROOT)).distinct.exists { n =>
-      val rs = md.getTables(null, null, n, Array("TABLE"))
-      try rs.next() finally rs.close()
+      val rs = md.getTables(null, null, escaped(n), Array("TABLE"))
+      try {
+        var found = false
+        while (!found && rs.next()) found = rs.getString("TABLE_NAME") == n
+        found
+      } finally rs.close()
     }
   }
 

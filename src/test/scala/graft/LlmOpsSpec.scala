@@ -114,6 +114,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     pairs.collect().foreach(r => assert(r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
   }
 
+  test("bounded-collect dedup ops reject non-integral ids loudly") {
+    // string ids would silently cast to null inside the bounded buckets
+    // (null pairs then vanish in the a<b filters) — the guard turns the
+    // empty-result trap into an immediate error
+    import spark.implicits._
+    val strDocs = Seq(("a", "some text here"), ("b", "other text"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.minHashNearDupPairs(strDocs, "doc_id", "text"))
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException](
+      Dedup.simHashNearDupPairs(strDocs, "doc_id", "text"))
+    val strVecs = Seq(("a", Array(1.0, 0.0))).toDF("doc_id", "v")
+    intercept[IllegalArgumentException](
+      Dedup.embeddingNearDupPairs(strVecs, "doc_id", "v"))
+    intercept[IllegalArgumentException](
+      Dedup.semanticDupPairs(strVecs, "doc_id", "v",
+        centroids = Array((0, Array(1.0, 0.0)))))
+    intercept[IllegalArgumentException](
+      Dedup.incrementalNearDedup(strDocs, docsDf((1L, "x")), "doc_id", "text"))
+  }
+
+  test("incrementalDedup rejects sketch sizes above the session bloom caps") {
+    val docs = docsDf((1L, "x"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.incrementalDedup(docs, docs, "doc_id", "text",
+        expectedItems = 5000000000L))
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
   test("minhash signature approximates jaccard") {
     val df = withNearDups()
     val sigs = Dedup.minHashSignatures(df, "doc_id", "text", 64)
@@ -264,7 +294,7 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException] {
       graft.operators.TopK.topKPerQuery(bad, 5)
     }
-    assert(e.getMessage.contains("integral neighbor_id"))
+    assert(e.getMessage.contains("integral 'neighbor_id'"))
     // byte/short ids are accepted and widened to long (regression: the
     // old name-list check rejected them)
     val short = Seq((1L, 7.toShort, 0.5)).toDF("query_id", "neighbor_id", "sim")
