@@ -595,6 +595,22 @@ object SparkEntry {
         "vec_id", "embedding", 5)
     }),
 
+    // integer-exact IVF twin: explicit integer centroids (the quantized
+    // vectors of vec_id 0..3) make assignment argmin, the nprobe=2
+    // probe set, candidates, cosine, and ranking bit-replicable in
+    // DuckDB — the oracle-checked shadow of q_knn_ivf's float k-means
+    "q_knn_ivf_int" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+      val cents = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Long](1).map(_.toDouble).toArray))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, nprobe = 2, centroids = cents)
+    }),
+
     // ---- E2E ingest (S2–S7 source, P7 transform, K1–K8 writes, A3
     // stats — all oracle-checked from the loaded warehouse tables) -----
 
@@ -1747,6 +1763,56 @@ object SparkEntry {
          |      AS INTEGER) AS rank,
          |    neighbor_id, sim
          |  FROM s2) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Integer-exact IVF replica: quantize → centroid argmin (exact
+    // integer-valued distances, (dist, cid) tie-break — same assignment
+    // CTE shape as q_semantic_dedup_int) for the corpus, nprobe=2
+    // nearest centroids for the queries → candidates via equi-join on
+    // cid → distinct → integer cosine → deterministic rank.
+    "q_knn_ivf_int" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+        |         FROM e WHERE vec_id < 4),
+        |dst AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    list_sum(list_transform(list_zip(e.v, c.cv),
+        |      p -> CAST(p[1] - p[2] AS DOUBLE) * CAST(p[1] - p[2] AS DOUBLE)))
+        |      AS dist
+        |  FROM e CROSS JOIN cent c),
+        |rn AS (
+        |  SELECT vec_id, v, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM dst),
+        |asg AS (SELECT vec_id AS neighbor_id, v AS cv, cid FROM rn
+        |        WHERE rn = 1),
+        |qpr AS (SELECT vec_id AS query_id, v AS qv, cid FROM rn
+        |        WHERE vec_id < 5 AND rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, a.neighbor_id
+        |  FROM qpr q JOIN asg a ON q.cid = a.cid
+        |  WHERE q.query_id <> a.neighbor_id),
+        |s2 AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_sum(list_transform(list_zip(eq.v, ec.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(eq.v,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(ec.v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM cand
+        |  JOIN e eq ON eq.vec_id = cand.query_id
+        |  JOIN e ec ON ec.vec_id = cand.neighbor_id)
+        |SELECT * FROM (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+        |      AS INTEGER) AS rank,
+        |    neighbor_id, sim
+        |  FROM s2) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Integer-exact embedding near-dup: same quantization, the same
     // integer plane constants as q_knn_lsh_int (LshIntBucket), bucket

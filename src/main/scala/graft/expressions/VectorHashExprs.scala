@@ -209,6 +209,96 @@ object VectorKernels {
     foldBuckets(p => signGeqZero(dots(p)), planes, tables)
   }
 
+  /** The `n` nearest centroids of `v` by squared L2 distance, exact
+    * (d ASC, cid ASC) tie-break — the kernel behind
+    * `Similarity.nearestCentroids`. `flat` is the row-major centroid
+    * matrix (k × dim), `cids` the centroid ids in STRICTLY INCREASING
+    * order. One tight loop per row over k·dim multiply-adds; the
+    * interpreted-lambda + literal-array formulation this replaces both
+    * walked an expression tree per (row, centroid) AND carried
+    * k·(dim+1) literal nodes in the plan — at the √N centroid counts a
+    * web-scale SemDeDup run wants (thousands+), the plan alone became
+    * the bottleneck. Here the matrix is one opaque reference object in
+    * the generated class, shipped with the (broadcast) task binary.
+    *
+    * Distance fold order is ascending j — identical to the HOF
+    * `aggregate(zip_with(...))` — so double results are bit-exact with
+    * the formulation it replaces (parity pinned by
+    * `VectorKernelParitySpec`). Degenerate vectors (wrong length or a
+    * null element — uniform across centroids since all centroids share
+    * `dim`) yield null distances: output is the first n cids ascending
+    * with null `d`, matching the old array_sort of all-null-d structs.
+    * NaN elements make every distance NaN: compared via
+    * `Double.compare` (all equal), so the cid tie-break decides —
+    * Spark's own NaN-consistent ordering.
+    */
+  def nearestCentroids(v: ArrayData, flat: Array[Double], cids: Array[Int],
+      dim: Int, n: Int, code: Int): ArrayData = {
+    val k = cids.length
+    val nn = math.min(n, k)
+    var degenerate = v.numElements() != dim
+    if (!degenerate) {
+      var j = 0
+      while (j < dim && !degenerate) {
+        if (v.isNullAt(j)) degenerate = true
+        j += 1
+      }
+    }
+    val out = new Array[Any](nn)
+    if (degenerate) {
+      var i = 0
+      while (i < nn) {
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(null, cids(i))
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val vv = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { vv(j) = readD(v, j, code); j += 1 }
+    // bounded insertion sort over (d, cid): O(k·nn) worst case, with an
+    // O(1) reject against the current nn-th — nn is 1 (assignment) or
+    // nprobe (single digits), so this is effectively one compare per
+    // centroid after the top fills
+    val bestD = new Array[Double](nn)
+    val bestC = new Array[Int](nn)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      val base = c * dim
+      var i = 0
+      while (i < dim) {
+        val d = vv(i) - flat(base + i)
+        s += d * d
+        i += 1
+      }
+      val cid = cids(c)
+      if (filled < nn ||
+          java.lang.Double.compare(s, bestD(filled - 1)) < 0 ||
+          (java.lang.Double.compare(s, bestD(filled - 1)) == 0 && cid < bestC(filled - 1))) {
+        var pos = if (filled < nn) filled else nn - 1
+        while (pos > 0 &&
+            (java.lang.Double.compare(s, bestD(pos - 1)) < 0 ||
+             (java.lang.Double.compare(s, bestD(pos - 1)) == 0 && cid < bestC(pos - 1)))) {
+          bestD(pos) = bestD(pos - 1)
+          bestC(pos) = bestC(pos - 1)
+          pos -= 1
+        }
+        bestD(pos) = s
+        bestC(pos) = cid
+        if (filled < nn) filled += 1
+      }
+      c += 1
+    }
+    var i = 0
+    while (i < nn) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(bestD(i), bestC(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Integer twin of [[lshSig]] (Long plane components, Long dots). */
   def lshSigInt(v: ArrayData, planes: Int, tables: Int, dim: Int, code: Int): ArrayData = {
     val total = planes * tables
@@ -340,6 +430,52 @@ case class LshSigExpr(child: Expression, planes: Int, tables: Int, dim: Int,
     copy(child = c)
 }
 
+/** Nearest-centroid kernel: array<numeric> → array<struct<d,cid>> of
+  * the `n` nearest centroids, (d ASC, cid ASC). The centroid matrix is
+  * an OPAQUE constructor parameter — one reference object in the
+  * generated class (via `addReferenceObj`), NOT a literal tree — so
+  * thousands of centroids add zero plan nodes and ship once with the
+  * broadcast task binary.
+  */
+case class NearestCentroidsExpr(child: Expression, flat: Array[Double],
+    cids: Array[Int], dim: Int, n: Int) extends UnaryExpression {
+  require(cids.length >= 1 && flat.length == cids.length * dim,
+    s"centroid matrix shape mismatch: ${flat.length} values for " +
+      s"${cids.length} centroids × dim $dim")
+  require(n >= 1, s"need n >= 1, got $n")
+  require((1 until cids.length).forall(i => cids(i - 1) < cids(i)),
+    "centroid ids must be strictly increasing (sort by cid first)")
+
+  override def prettyName: String = "nearest_centroids_native"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", DoubleType, nullable = true),
+    StructField("cid", IntegerType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType | LongType | IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric-array argument, got ${other.simpleString}")
+  }
+
+  @transient private lazy val code: Int = VectorKernels.typeCode(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroids(v.asInstanceOf[ArrayData], flat, cids,
+      dim, n, code)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
+    val cidsRef = ctx.addReferenceObj("centCids", cids, "int[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.VectorKernels.nearestCentroids($v, $flatRef, " +
+        s"$cidsRef, $dim, $n, $code)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =
+    copy(child = c)
+}
+
 /** Column API + per-session registration, mirroring [[TextHashExprs]].
   * The scalar literal args of the SQL forms are fixed at resolution
   * time (function builders read them as literals).
@@ -350,6 +486,27 @@ object VectorHashExprs {
     e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
       .value.asInstanceOf[Number].intValue
 
+  // the centroid matrix / id args arrive as SINGLE Literal nodes
+  // (typedlit of a nested array) and are folded into the expression's
+  // opaque constructor params at resolution — they never live in the
+  // resolved plan tree
+  private def doubleMatrixLit(e: Expression): Array[Array[Double]] = e match {
+    case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+      val ad = l.value.asInstanceOf[ArrayData]
+      Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    case other => throw new IllegalArgumentException(
+      s"nearest_centroids_native: expected a literal array<array<double>> " +
+        s"centroid matrix, got ${other.sql}")
+  }
+
+  private def intArrayLit(e: Expression): Array[Int] = e match {
+    case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+      l.value.asInstanceOf[ArrayData].toIntArray()
+    case other => throw new IllegalArgumentException(
+      s"nearest_centroids_native: expected a literal array<int> of " +
+        s"centroid ids, got ${other.sql}")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim_native" -> (es => CosineSimExpr(es(0), es(1))),
     "sq_dist_native" -> (es => SqDistExpr(es(0), es(1))),
@@ -357,6 +514,12 @@ object VectorHashExprs {
       LshSigExpr(es(0), intLit(es(1)), intLit(es(2)), intLit(es(3)), integer = false)),
     "lsh_sig_int_native" -> (es =>
       LshSigExpr(es(0), intLit(es(1)), intLit(es(2)), intLit(es(3)), integer = true)),
+    "nearest_centroids_native" -> (es => {
+      val m = doubleMatrixLit(es(1))
+      val dim = if (m.isEmpty) 0 else m(0).length
+      NearestCentroidsExpr(es(0), m.flatten, intArrayLit(es(2)), dim,
+        intLit(es(3)))
+    }),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -386,4 +549,18 @@ object VectorHashExprs {
     call_function("lsh_sig_native", v, slit(planes), slit(tables), slit(dim))
   def lshSigIntNative(v: Column, planes: Int, tables: Int, dim: Int): Column =
     call_function("lsh_sig_int_native", v, slit(planes), slit(tables), slit(dim))
+
+  /** The `n` nearest of `cents` (as (cid, centroid) pairs, any order —
+    * sorted by cid here to satisfy the kernel's ordering contract) for
+    * each vector, as array<struct<d double, cid int>> in (d ASC, cid
+    * ASC) order.
+    */
+  def nearestCentroidsNative(v: Column,
+      cents: Array[(Int, Array[Double])], n: Int): Column = {
+    val sorted = cents.sortBy(_._1)
+    call_function("nearest_centroids_native", v,
+      org.apache.spark.sql.functions.typedlit(sorted.map(_._2)),
+      org.apache.spark.sql.functions.typedlit(sorted.map(_._1)),
+      slit(n))
+  }
 }

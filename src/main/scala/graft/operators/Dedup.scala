@@ -341,17 +341,21 @@ object Dedup {
     * candidate set, cosine — bit-replicable by an external engine
     * (the q_semantic_dedup_int oracle twin).
     *
-    * Scale shape: assignment is a narrow map against the broadcast
-    * centroid array; one keyed shuffle builds the capped clusters
-    * (bounded collect — a degenerate cluster never materializes); the
-    * double explode expands ordered pairs — identical to the other
-    * candidate generators. The centroid array is an expression
-    * LITERAL scored by an interpreted lambda per row, which is the
-    * right plan up to O(100s) of centroids; for the √N centroid counts
-    * a web-scale SemDeDup run wants, cluster HIERARCHICALLY (coarse
-    * centroids here, then recurse within each coarse cluster) or swap
-    * the assignment for a broadcast join + min_by aggregation — the
-    * rest of the pipeline is unchanged either way.
+    * Scale shape: assignment is a NARROW map — one native codegen'd
+    * kernel call per row ([[graft.expressions.NearestCentroidsExpr]]);
+    * the centroid matrix rides the generated class as a single opaque
+    * reference object shipped with the broadcast task binary, so the
+    * √N centroid counts a web-scale SemDeDup run wants (thousands+)
+    * add zero plan nodes and no per-row interpretation (pinned at 1024
+    * centroids by `ScaleSmoke`). One keyed shuffle then builds the
+    * capped clusters (bounded collect — a degenerate cluster never
+    * materializes); the double explode expands ordered pairs —
+    * identical to the other candidate generators. For centroid sets
+    * too large even for the closure (≳10^5), swap the assignment for
+    * [[Similarity.assignCentroidsJoin]] (broadcast join + min_by, one
+    * extra corpus-keyed shuffle) — the rest of the pipeline is
+    * unchanged; fit corpus-scale centroids with
+    * [[Similarity.kmeansCentroidsDistributed]].
     */
   def semanticDupPairs(docs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numCentroids: Int = 8,
@@ -361,11 +365,10 @@ object Dedup {
     graft.expressions.VectorHashExprs.register(docs.sparkSession)
     val cents = if (centroids != null) centroids
       else Similarity.kmeansCentroids(docs, idCol, vecCol, numCentroids)
-    val centArr = Similarity.centroidArray(cents)
     val assigned = docs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cid",
-        element_at(Similarity.nearestCentroids(centArr, col("v"), 1), 1)("cid"))
+        element_at(Similarity.nearestCentroids(cents, col("v"), 1), 1)("cid"))
     val bounded = TopK.boundedCollect[(Long, Seq[Double])](maxCluster)
     val clusters = assigned.groupBy(col("cid"))
       .agg(bounded(col("id").cast("long"),

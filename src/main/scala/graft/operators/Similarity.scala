@@ -250,21 +250,89 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
   }
 
-  /** Centroid list as a broadcast-safe array-of-structs literal. */
-  private[operators] def centroidArray(
+  /** Elementwise vector sum — the keyed-aggregation building block for
+    * distributed Lloyd's. Partial-aggregates map-side (each partition
+    * reduces to one k·dim buffer per present cid), so the shuffle
+    * carries partitions × k dim-length arrays, never corpus rows.
+    */
+  private final class VecSumAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.emptyDoubleArray
+    private def add(b: Array[Double], a: Seq[Double]): Array[Double] = {
+      var i = 0
+      while (i < b.length) { b(i) += a(i); i += 1 }
+      b
+    }
+    override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =
+      if (b.isEmpty) a.toArray else add(b, a)
+    override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+      if (b1.isEmpty) b2 else if (b2.isEmpty) b1 else add(b1, b2)
+    override def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** DataFrame-native Lloyd's over the FULL corpus — the scale path for
+    * centroid fitting ([[kmeansCentroids]] iterates driver-side over a
+    * bounded sample; fine for initialization, blind to everything
+    * outside the sample). Per iteration: assignment is the NARROW
+    * closure-matrix kernel ([[nearestCentroids]], no shuffle), and the
+    * centroid update is ONE keyed aggregation (elementwise vector sum +
+    * count per cid) whose result is k rows — driver memory stays
+    * O(k·dim) at any corpus size (1M × k=256 pinned flat by
+    * `ScaleSmoke`). Init = first k vectors by id, same determinism
+    * contract as [[kmeansCentroids]]; empty clusters keep their
+    * previous centroid. Double sums reassociate across partitions, so
+    * centroid values are reproducible only up to summation order —
+    * pass EXPLICIT centroids for bit-exact cross-engine pipelines (the
+    * `*_int` oracle pattern).
+    */
+  def kmeansCentroidsDistributed(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
+    graft.expressions.VectorHashExprs.register(corpus.sparkSession)
+    val vecs = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val init = vecs.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(init.length >= k, s"need at least $k vectors")
+    var cents = init.zipWithIndex.map { case (v, i) => (i, v) }
+    val vecSum = udaf(new VecSumAggregator)
+    for (_ <- 0 until iters) {
+      val sums = vecs
+        .select(element_at(nearestCentroids(cents, col("v"), 1), 1)("cid").as("cid"),
+          col("v"))
+        .groupBy(col("cid"))
+        .agg(vecSum(col("v")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Double](1).map(_ / r.getLong(2)).toArray)
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** Centroid list as an array-of-structs literal tree — input of the
+    * HOF REFERENCE form below. k·(dim+1) literal nodes: fine for the
+    * handful of centroids the parity spec uses, the reason the
+    * operators don't use it (see [[nearestCentroids]]).
+    */
+  private[graft] def centroidArray(
       cents: Array[(Int, Array[Double])]): Column =
     array(cents.map { case (i, v) =>
       struct(lit(i).as("cid"), array(v.map(lit): _*).as("cv"))
     }: _*)
 
-  /** The `n` nearest centroids of `vec` as (d, cid) structs, exact
-    * deterministic tie-break (d ASC, cid ASC). The lambda body is one
-    * native kernel call over the RAW vector attribute (passing a cast
-    * array here would re-evaluate the cast per centroid — the
-    * per-element re-eval trap); numCentroids interpreted lambda
-    * applications per row remain, each O(1) expression nodes.
+  /** HOF reference form of [[nearestCentroids]]: per-centroid
+    * interpreted lambda over a literal centroid array, array_sort on
+    * (d, cid). Kept ONLY to pin the native kernel's values/tie-break in
+    * `VectorKernelParitySpec` — k·(dim+1) plan nodes and k tree-walks
+    * per row make it the wrong plan beyond O(100) centroids.
     */
-  private[operators] def nearestCentroids(centArr: Column, vec: Column,
+  private[graft] def nearestCentroidsHof(centArr: Column, vec: Column,
       n: Int): Column = {
     val scored = transform(centArr, c => struct(
       graft.expressions.VectorHashExprs.sqDistNative(vec, c("cv")).as("d"),
@@ -272,18 +340,70 @@ object Similarity {
     slice(array_sort(scored), 1, n)
   }
 
-  /** IVF top-k: corpus partitioned by nearest centroid (broadcast
-    * centroid list, expression argmin); queries probe the `nprobe`
-    * nearest centroids. Keyed equi-join on centroid id.
+  /** The `n` nearest centroids of `vec` as (d, cid) structs, exact
+    * deterministic tie-break (d ASC, cid ASC) — one native codegen'd
+    * kernel call per row ([[graft.expressions.NearestCentroidsExpr]]).
+    * The centroid matrix rides the generated class as ONE opaque
+    * reference object (shipped with the broadcast task binary), so
+    * thousands of centroids — the √N counts a web-scale SemDeDup run
+    * wants — add zero plan nodes and zero per-row interpretation;
+    * assignment stays a NARROW map, no shuffle. Beyond closure-sized
+    * matrices (≳10^5 centroids) use [[assignCentroidsJoin]].
+    */
+  private[operators] def nearestCentroids(cents: Array[(Int, Array[Double])],
+      vec: Column, n: Int): Column =
+    graft.expressions.VectorHashExprs.nearestCentroidsNative(vec, cents, n)
+
+  /** Nearest-centroid assignment as a broadcast join + `min_by` — the
+    * DataFrame-native twin of [[nearestCentroids]] for centroid sets
+    * that are themselves distributed data (e.g. the output of a huge
+    * clustering job) and too large to serialize into the task closure.
+    * `centroids` must have columns (cid int, cv array<double>).
+    * Returns (id, cid).
+    *
+    * Plan shape: broadcast nested-loop join replicates each doc row
+    * k× WITHIN its partition; the `min_by` partial aggregation
+    * collapses those k rows back to one per doc map-side (same task),
+    * so the final shuffle carries ONE (id, cid) row per doc. That
+    * one corpus-keyed shuffle is the price over the closure-matrix
+    * kernel (narrow) — pay it only when the matrix genuinely cannot
+    * ride the closure. Tie-break parity: `min_by` on struct(d, cid)
+    * orders lexicographically = (d ASC, cid ASC), identical to the
+    * kernel (pinned by spec).
+    */
+  def assignCentroidsJoin(docs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    graft.expressions.VectorHashExprs.register(docs.sparkSession)
+    val c = broadcast(centroids.select(col("cid"), col("cv")))
+    docs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(c)
+      .groupBy(col("id"))
+      .agg(min_by(col("cid"), struct(
+        graft.expressions.VectorHashExprs.sqDistNative(col("v"), col("cv")).as("d"),
+        col("cid").as("cid"))).as("cid"))
+  }
+
+  /** IVF top-k: corpus partitioned by nearest centroid (native
+    * closure-matrix kernel argmin — narrow, scales to thousands of
+    * centroids); queries probe the `nprobe` nearest centroids. Keyed
+    * equi-join on centroid id.
+    *
+    * `centroids` overrides the deterministic mini k-means — passing
+    * EXPLICIT integer-valued centroids with integer-quantized vectors
+    * makes every stage (assignment argmin, probes, cosine, ranking)
+    * bit-replicable by an external engine (the q_knn_ivf_int oracle
+    * twin); use [[kmeansCentroidsDistributed]] for corpus-scale
+    * centroid fitting.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, numCentroids: Int = 16, nprobe: Int = 4,
+      centroids: Array[(Int, Array[Double])] = null): DataFrame = {
     graft.expressions.VectorHashExprs.register(corpus.sparkSession)
-    val cents = kmeansCentroids(corpus, idCol, vecCol, numCentroids)
-    val centArr = centroidArray(cents)
+    val cents = if (centroids != null) centroids
+      else kmeansCentroids(corpus, idCol, vecCol, numCentroids)
 
     def nearestCentroids(vec: Column, n: Int): Column =
-      Similarity.nearestCentroids(centArr, vec, n)
+      Similarity.nearestCentroids(cents, vec, n)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cid", element_at(nearestCentroids(col("cv"), 1), 1)("cid"))

@@ -239,6 +239,53 @@ object ScaleSmoke {
       f"(${nVec / tVp}%.0f vecs/s), knnTop1=100/100 planted in $tKnn%.1f s, " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
 
+    // --- centroid assignment at scale: 1024 centroids (the √N counts a
+    // web-scale SemDeDup run wants) over 1M vectors with PLANTED cluster
+    // structure. Centers are xxhash64-derived (computed once through
+    // Spark, collected — 1024 × 64 doubles), each vector = its group's
+    // center + jitter ≤ 0.004, far below inter-center distances; the
+    // closure-matrix kernel assignment must recover every group exactly,
+    // as a NARROW map (no shuffle, no plan bloat — the old literal-array
+    // lambda carried 1024×65 literal nodes and walked an expression tree
+    // per (row, centroid)).
+    graft.expressions.VectorHashExprs.register(spark)
+    val nCent = 1024
+    def centerComp(g: Column, j: Int): Column =
+      (xxhash64(g.cast("string"), lit(j), lit("c")) % 1000L)
+        .cast("double") / 100.0
+    val centers = spark.range(nCent)
+      .select(col("id"), array((0 until 64).map(j => centerComp(col("id"), j)): _*))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+    val g = col("id") % nCent
+    val cvecs = spark.range(nVec).select(col("id"),
+      array((0 until 64).map(j =>
+        centerComp(g, j) + (col("id") % 5).cast("double") * 0.001): _*).as("v"))
+    val t10 = System.nanoTime()
+    val mismatched = cvecs
+      .select(g.cast("int").as("g"),
+        element_at(graft.expressions.VectorHashExprs.nearestCentroidsNative(
+          col("v"), centers, 1), 1)("cid").as("cid"))
+      .filter(col("g") =!= col("cid")).count()
+    val tAssign = (System.nanoTime() - t10) / 1e9
+    require(mismatched == 0, s"$mismatched of $nVec misassigned at $nCent centroids")
+    println(f"centroids: $nCent centroids x $nVec vecs, 0 misassigned " +
+      f"in $tAssign%.1f s (${nVec / tAssign}%.0f vecs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // distributed k-means: full-corpus Lloyd's at k=256 — per iteration
+    // one narrow assignment pass + one k-row keyed aggregation; driver
+    // holds only the k x dim centroid matrix (flat heap regardless of
+    // corpus size)
+    val t11 = System.nanoTime()
+    val km = graft.operators.Similarity.kmeansCentroidsDistributed(
+      vecs, "id", "v", k = 256, iters = 2)
+    val tKm = (System.nanoTime() - t11) / 1e9
+    require(km.length == 256 && km.forall(_._2.length == 64),
+      s"kmeans returned ${km.length}")
+    println(f"kmeansDistributed: k=256 x 2 iters over $nVec vecs " +
+      f"in $tKm%.1f s, heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
     // --- sequence packing at scale: every doc is exactly 30 tokens, so
     // each 2048-token pack holds exactly 68 docs and the pack count per
     // shard is ceil(count/68) — assert the packing exactly.

@@ -288,6 +288,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- dates ------------------------------------------------------------
 
+  test("kmeansCentroidsDistributed recovers planted clusters") {
+    import spark.implicits._
+    graft.expressions.VectorHashExprs.register(spark)
+    val centers = Seq(Array(10.0, 0.0, 0.0), Array(0.0, 10.0, 0.0),
+      Array(0.0, 0.0, 10.0))
+    // 300 vectors, 100 per center, deterministic small jitter
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => x + (i % 7) * 0.01).toSeq)
+    }
+    val df = rows.toDF("id", "v")
+    val cents = Similarity.kmeansCentroidsDistributed(df, "id", "v", 3, iters = 5)
+    assert(cents.length == 3)
+    // every planted vector must assign to the one centroid near its
+    // center — three residue classes, three distinct cluster ids
+    val assigned = df.select(col("id"),
+      element_at(graft.expressions.VectorHashExprs.nearestCentroidsNative(
+        col("v"), cents, 1), 1)("cid").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val byCenter = assigned.groupBy(_._1 % 3)
+      .map { case (m, xs) => m -> xs.map(_._2).toSet }
+    assert(byCenter.values.forall(_.size == 1), byCenter.toString)
+    assert(byCenter.values.flatten.toSet.size == 3, byCenter.toString)
+  }
+
   test("topKPerQuery rejects non-integral ids; lsh guards degenerate corpora") {
     import spark.implicits._
     val bad = Seq((1L, "x", 0.5)).toDF("query_id", "neighbor_id", "sim")

@@ -101,7 +101,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_knn_brute" -> "cosine_sim_native",
       "q_knn_lsh" -> "lsh_sig_native",
       "q_knn_lsh_int" -> "lsh_sig_int_native",
-      "q_knn_ivf" -> "sq_dist_native")
+      "q_knn_ivf" -> "nearest_centroids_native",
+      "q_knn_ivf_int" -> "nearest_centroids_native",
+      "q_semantic_dedup_int" -> "nearest_centroids_native")
     for ((name, kernel) <- expect) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.optimizedPlan.toString

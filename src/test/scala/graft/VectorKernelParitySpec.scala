@@ -194,13 +194,70 @@ class VectorKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nearestCentroids kernel matches the HOF literal-array form, ties included") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents0 = e.filter(col("vec_id") < 7).orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0).toInt ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    // a duplicate centroid under a larger cid forces equal-distance
+    // ties — both forms must break them cid-ascending
+    val cents = cents0 :+ (99 -> cents0(0)._2)
+    val centArr = Similarity.centroidArray(cents)
+    for (n <- Seq(1, 3)) {
+      assertParity(e,
+        VectorHashExprs.nearestCentroidsNative(col("embedding"), cents, n),
+        Similarity.nearestCentroidsHof(centArr, col("embedding"), n),
+        s"nearestCentroids n=$n")
+    }
+  }
+
+  test("nearestCentroids degenerate vectors: null distances, cid-ascending") {
+    val cents = Array(0 -> Array(1.0, 2.0, 3.0), 1 -> Array(4.0, 5.0, 6.0))
+    val df = nullableArrayDf(Seq("v"), Seq(
+      Row(Seq(1.0, 2.0)),            // wrong length
+      Row(Seq[Any](1.0, null, 3.0)), // null element
+      Row(null)))                    // whole-vector null
+    val rows = df.select(
+      VectorHashExprs.nearestCentroidsNative(col("v"), cents, 2).as("n"))
+      .collect()
+    for (i <- 0 to 1) {
+      val s = rows(i).getSeq[Row](0)
+      assert(s.map(_.get(0)) == Seq(null, null), s"row $i: $s")
+      assert(s.map(_.getInt(1)) == Seq(0, 1), s"row $i: $s")
+    }
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("assignCentroidsJoin matches the kernel argmin assignment") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0).toInt ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    val viaKernel = e.select(col("vec_id").as("id"),
+      element_at(VectorHashExprs.nearestCentroidsNative(
+        col("embedding"), cents, 1), 1)("cid").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val centsDf = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val viaJoin = Similarity
+      .assignCentroidsJoin(e, "vec_id", "embedding", centsDf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaKernel == viaJoin)
+  }
+
   test("kernels stay inside WholeStageCodegen") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = e.select(
       VectorHashExprs.lshSigNative(col("embedding"), 6, 4, 64).as("sig"),
-      VectorHashExprs.cosineSim(col("embedding"), col("embedding")).as("self"))
+      VectorHashExprs.cosineSim(col("embedding"), col("embedding")).as("self"),
+      VectorHashExprs.nearestCentroidsNative(col("embedding"),
+        Array(0 -> Array.fill(64)(0.5)), 1).as("nc"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [lsh_sig_native"), plan)
+    assert(plan.contains("nearest_centroids_native"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
     assert(df.count() > 0)
   }
