@@ -504,7 +504,7 @@ object SparkEntry {
           transform(col("embedding"), (x, i) =>
             when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
       Dedup.embeddingNearDupPairs(base.unionByName(planted),
-        "vec_id", "embedding", threshold = 0.99)
+        "vec_id", "embedding", threshold = 0.99, planes = 6)
     }),
 
     // integer-exact twin of q_emb_near_dup: quantized vectors, integer
@@ -520,7 +520,7 @@ object SparkEntry {
           q(transform(col("embedding"), (x, i) =>
             when(i === 0, x + lit(0.001f)).otherwise(x))).as("embedding"))
       Dedup.embeddingNearDupPairs(base.unionByName(planted),
-        "vec_id", "embedding", threshold = 0.99, integer = true)
+        "vec_id", "embedding", threshold = 0.99, planes = 6, integer = true)
     }),
 
     // SemDeDup: cluster-scoped semantic near-dup pairs (float k-means
@@ -576,7 +576,7 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshBucketedTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5)
+        "vec_id", "embedding", 5, planes = 6)
     }),
 
     // integer-exact LSH: quantized vectors + integer hyperplanes make
@@ -586,7 +586,7 @@ object SparkEntry {
         transform(col("embedding"),
           x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
       Similarity.lshBucketedTopKInt(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", 5)
+        "vec_id", "embedding", 5, planes = 6)
     }),
 
     "q_knn_ivf" -> ((s, dir) => {

@@ -24,6 +24,54 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** One bucket-table observation per generator invocation (names must
+    * be unique within a query — a pipeline composing several
+    * generators carries several CollectMetrics nodes).
+    */
+  private val bucketObsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Observed bucket-table health of one capped candidate generator:
+    * how many buckets the grouping produced and how many exceeded the
+    * cap and were DROPPED (each dropped bucket held MORE than the cap's
+    * worth of members — the bounded collect truncates at cap+1, so the
+    * true population is unknowable by design). Without this, a
+    * production run cannot distinguish "no near-dups" from "all my
+    * near-dups sat in dropped buckets" (the 1M-vector 6-plane trap
+    * `ScaleSmoke` demonstrates).
+    */
+  final case class BucketStats(operator: String, bucketsTotal: Long,
+      bucketsDropped: Long)
+
+  /** Attach the dropped-bucket observation to a bucket table (rows =
+    * one bucket, `sizeCol` = collected-member count) — a CollectMetrics
+    * node, evaluated for free by whatever action the caller eventually
+    * runs; no extra pass, no shuffle.
+    */
+  private def observeBuckets(buckets: DataFrame, op: String,
+      sizeCol: Column, cap: Int): DataFrame =
+    buckets.observe(s"graft_buckets_${op}_${bucketObsSeq.incrementAndGet()}",
+      coalesce(count(lit(1)), lit(0L)).as("buckets_total"),
+      coalesce(sum(when(sizeCol > cap, 1L).otherwise(0L)), lit(0L))
+        .as("buckets_dropped"))
+
+  /** Read back the [[BucketStats]] of every capped generator in `df`'s
+    * plan. Valid AFTER an action has executed `df`'s own query
+    * (collect / write / foreach). NOTE: `df.count()` runs a SEPARATE
+    * counting query — its metrics land on that execution, and this
+    * helper (reading `df.queryExecution`) reports zeros; frames built
+    * on top of `df` likewise carry the metrics on their own execution
+    * (read them there, or via a QueryExecutionListener). Returns zeros
+    * if nothing has executed yet, empty if the plan has no generator.
+    */
+  def bucketStats(df: DataFrame): Seq[BucketStats] =
+    df.queryExecution.observedMetrics.toSeq.collect {
+      case (name, row) if name.startsWith("graft_buckets_") =>
+        BucketStats(name.stripPrefix("graft_buckets_")
+          .replaceAll("_\\d+$", ""),
+          row.getAs[Long]("buckets_total"),
+          row.getAs[Long]("buckets_dropped"))
+    }.sortBy(_.operator)
+
   /** Exact duplicate groups by canonical fingerprint. Returns one row per
     * duplicated fingerprint: (fingerprint, dup_count, keeper_id) where
     * keeper is the smallest id — the row a dedup pass would retain.
@@ -159,8 +207,10 @@ object Dedup {
     // further join. Ids ride as longs (integral-id contract shared
     // with nearDupClusters/TopK).
     val bounded = TopK.boundedCollect[Long](maxBucket)
-    val buckets = banded.groupBy(col("band"), col("band_sig"))
-      .agg(bounded(col("id").cast("long")).as("ids"))
+    val buckets = observeBuckets(
+      banded.groupBy(col("band"), col("band_sig"))
+        .agg(bounded(col("id").cast("long")).as("ids")),
+      "minhash", size(col("ids")), maxBucket)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     val candidates = buckets
       .select(explode(col("ids")).as("a"), col("ids"))
@@ -227,10 +277,18 @@ object Dedup {
     * float path, same plan shape.
     */
   def embeddingNearDupPairs(docs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 6, tables: Int = 4,
+      threshold: Double = 0.95, planes: Int = 0, tables: Int = 4,
       maxBucket: Int = 1000, integer: Boolean = false): DataFrame = {
     TopK.requireIntegral(docs, idCol, "embeddingNearDupPairs")
-    val bucketed = Similarity.lshBuckets(docs, idCol, vecCol, planes, tables,
+    // planes = 0 auto-sizes the geometry from a corpus count (one
+    // count() action) — a fixed plane count is the silent recall
+    // collapse Similarity.autoPlanes documents: at 1M vectors the old
+    // 6-plane default put EVERY vector in an over-cap bucket and
+    // returned zero pairs with no error
+    val p = if (planes == 0)
+      Similarity.autoPlanes(docs.count(), math.max(16L, maxBucket / 4L))
+    else planes
+    val bucketed = Similarity.lshBuckets(docs, idCol, vecCol, p, tables,
         integer)
       .toDF("id", "v", "tbl", "bucket")
     // one shuffle builds the capped buckets via BOUNDED collect (the
@@ -243,9 +301,11 @@ object Dedup {
     // the cosine values are unchanged. Cosine before distinct: dedup
     // shuffles (a, b, double) rows, not embedding arrays.
     val bounded = TopK.boundedCollect[(Long, Seq[Double])](maxBucket)
-    val buckets = bucketed.groupBy(col("tbl"), col("bucket"))
-      .agg(bounded(col("id").cast("long"),
-        col("v").cast("array<double>")).as("ms"))
+    val buckets = observeBuckets(
+      bucketed.groupBy(col("tbl"), col("bucket"))
+        .agg(bounded(col("id").cast("long"),
+          col("v").cast("array<double>")).as("ms")),
+      "embedding", size(col("ms")), maxBucket)
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     buckets
       .select(explode(col("ms")).as("m1"), col("ms"))
@@ -312,8 +372,10 @@ object Dedup {
       .toDF("id", "sh", "block", "block_val")
 
     val bounded = TopK.boundedCollect[(Long, Long)](maxBucket)
-    val buckets = blocks.groupBy(col("block"), col("block_val"))
-      .agg(bounded(col("id").cast("long"), col("sh")).as("ms"))
+    val buckets = observeBuckets(
+      blocks.groupBy(col("block"), col("block_val"))
+        .agg(bounded(col("id").cast("long"), col("sh")).as("ms")),
+      "simhash", size(col("ms")), maxBucket)
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     buckets
       .select(explode(col("ms")).as("m1"), col("ms"))
@@ -370,9 +432,11 @@ object Dedup {
       .withColumn("cid",
         element_at(Similarity.nearestCentroids(cents, col("v"), 1), 1)("cid"))
     val bounded = TopK.boundedCollect[(Long, Seq[Double])](maxCluster)
-    val clusters = assigned.groupBy(col("cid"))
-      .agg(bounded(col("id").cast("long"),
-        col("v").cast("array<double>")).as("ms"))
+    val clusters = observeBuckets(
+      assigned.groupBy(col("cid"))
+        .agg(bounded(col("id").cast("long"),
+          col("v").cast("array<double>")).as("ms")),
+      "semantic", size(col("ms")), maxCluster)
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxCluster)
     clusters
       .select(explode(col("ms")).as("m1"), col("ms"))
@@ -533,8 +597,10 @@ object Dedup {
         posexplode(bandSigs(col("sig"), bands, rows)))
       .toDF("id", "side", "band", "band_sig")
     val bounded = TopK.boundedCollect[(Long, Long)](maxBucket)
-    val buckets = banded.groupBy(col("band"), col("band_sig"))
-      .agg(bounded(col("id"), col("side")).as("ms"))
+    val buckets = observeBuckets(
+      banded.groupBy(col("band"), col("band_sig"))
+        .agg(bounded(col("id"), col("side")).as("ms")),
+      "incremental_near", size(col("ms")), maxBucket)
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     // cross-side pairs only: corpus member × snapshot member
     val candidates = buckets

@@ -173,28 +173,53 @@ object Similarity {
     TopK.topKPerQuery(scored, k)
   }
 
+  /** LSH geometry auto-sizing: planes ≈ log2(n / target), clamped to
+    * [4, 24] — the bucket count 2^planes that keeps the EXPECTED bucket
+    * population near `target` at corpus size n. A FIXED plane count is
+    * the silent scale trap this replaces: 6 planes put ~16k vectors in
+    * every bucket at n = 1M, so a capped generator drops every bucket
+    * and returns zero pairs with no error, and an uncapped probe pays
+    * 16k-candidate buckets per query. Planes must grow with log(n);
+    * pinned at 1M vectors by `ScaleSmoke` (auto default finds the
+    * planted pairs the fixed default loses) and at 20k by
+    * `LlmOpsSpec`.
+    */
+  private[operators] def autoPlanes(n: Long, target: Long): Int = {
+    val p = math.ceil(
+      math.log(math.max(1.0, n.toDouble / target)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, p))
+  }
+
   /** LSH-bucketed approximate top-k with L independent hash tables:
     * the corpus is hashed once per table into 2^planes buckets; each
     * query probes, per table, its own bucket plus all single-bit-flip
     * neighbors (multi-probe), and candidates are unioned across tables.
     * Recall for a pair with per-bit agreement p is
-    * 1 - (1 - p^planes - planes·p^(planes-1)(1-p))^tables — with the
-    * defaults (6 planes × 4 tables) a 0.6-agreement pair is found with
-    * p ≈ 0.65, vs ≈ 0.17 for a single 8-plane table.
+    * 1 - (1 - p^planes - planes·p^(planes-1)(1-p))^tables — with 6
+    * planes × 4 tables a 0.6-agreement pair is found with p ≈ 0.65,
+    * vs ≈ 0.17 for a single 8-plane table.
+    *
+    * `planes = 0` (the default) AUTO-SIZES the geometry from the corpus
+    * count — one count() action over the corpus, the price of not
+    * handing a 1M-vector run the 6-plane geometry that melts into
+    * 16k-member buckets (see [[autoPlanes]]); pass an explicit plane
+    * count to pin the geometry (and skip the count) instead.
     *
     * Plan shape: keyed equi-join on (table, bucket) — per-query cost is
     * the probed-bucket population × tables, never the corpus; corpus-side
     * cost is tables× the base scan. No cartesian anywhere.
     */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 6,
+      idCol: String, vecCol: String, k: Int, planes: Int = 0,
       tables: Int = 4): DataFrame = {
     // One driver-side peek fixes the dimension so the hyperplanes fold
     // to literals; a mismatched vector then fails fast instead of
     // silently hashing to bucket 0 (null-padded zip_with).
     val dim = peekDim(corpus, vecCol, "lshBucketedTopK")
-    lshCore(corpus, queries, idCol, vecCol, k, planes, tables, dim,
-      "lshBucketedTopK", v => signaturesAllTables(v, planes, tables, dim))
+    val p = if (planes == 0)
+      autoPlanes(corpus.count(), math.max(64L, 8L * k)) else planes
+    lshCore(corpus, queries, idCol, vecCol, k, p, tables, dim,
+      "lshBucketedTopK", v => signaturesAllTables(v, p, tables, dim))
   }
 
   /** Integer-exact LSH top-k for integer-quantized vectors (e.g.
@@ -206,11 +231,13 @@ object Similarity {
     * lshBucketedTopK.
     */
   def lshBucketedTopKInt(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 6,
+      idCol: String, vecCol: String, k: Int, planes: Int = 0,
       tables: Int = 4): DataFrame = {
     val dim = peekDim(corpus, vecCol, "lshBucketedTopKInt")
-    lshCore(corpus, queries, idCol, vecCol, k, planes, tables, dim,
-      "lshBucketedTopKInt", v => signaturesAllTablesInt(v, planes, tables, dim))
+    val p = if (planes == 0)
+      autoPlanes(corpus.count(), math.max(64L, 8L * k)) else planes
+    lshCore(corpus, queries, idCol, vecCol, k, p, tables, dim,
+      "lshBucketedTopKInt", v => signaturesAllTablesInt(v, p, tables, dim))
   }
 
   /** Deterministic mini k-means centroids (driver-side on a sample):

@@ -222,6 +222,17 @@ object ScaleSmoke {
     // table; random pairs can't reach cosine 0.95 — demand near-all
     require(vPairs <= expPairs && vPairs >= expPairs - 20,
       s"embedding pairs $vPairs of $expPairs")
+    // the AUTO default (planes = log2(n/target) = 12 at 1M) must land
+    // the same recall — this exact run returned ZERO pairs when the
+    // default was a fixed 6 planes (every bucket over the cap)
+    val t7b = System.nanoTime()
+    val vAuto = graft.operators.Dedup.embeddingNearDupPairs(
+      vecs, "id", "v", threshold = 0.95).count()
+    val tVa = (System.nanoTime() - t7b) / 1e9
+    require(vAuto <= expPairs && vAuto >= expPairs - 20,
+      s"auto-plane pairs $vAuto of $expPairs")
+    println(f"vectors-auto: nearDupPairs=$vAuto in $tVa%.1f s " +
+      f"(auto-sized geometry at n=$nVec)")
     // ANN: 100 queries (group bases); the planted partner must be the
     // top-1 neighbor for every query (multi-probe covers 1-bit flips)
     val queries = vecs.filter(col("id") % 10 === 0 && col("id") < 1000)

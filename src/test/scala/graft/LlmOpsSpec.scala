@@ -288,6 +288,53 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- dates ------------------------------------------------------------
 
+  test("auto-sized LSH planes rescue the fixed-geometry collapse; dropped buckets observable") {
+    graft.expressions.VectorHashExprs.register(spark)
+    val n = 20000
+    // pmod, not % — a signed remainder would center components at -1
+    // (one orthant), collapsing the hyperplane signs into a few
+    // degenerate buckets regardless of geometry
+    def comp(j: Int): org.apache.spark.sql.Column =
+      pmod(xxhash64(col("id").cast("string"), lit(j)), lit(1000L))
+        .cast("double") / 500.0 - 1.0
+    val base = spark.range(n).select(col("id"),
+      array((0 until 8).map(comp): _*).as("v"))
+    val planted = base.filter(col("id") < 50)
+      .select((col("id") + 100000L).as("id"), col("v"))
+    val df = base.unionByName(planted)
+
+    // the trap the old fixed default set: 6 planes = 64 buckets/table
+    // for 20k vectors → ~312 members per bucket, nearly all over the
+    // 100 cap → nearly every planted pair silently lost (at 1M vectors
+    // the collapse is total — ScaleSmoke pins that case)
+    val fixed = Dedup.embeddingNearDupPairs(df, "id", "v",
+      threshold = 0.9999, planes = 6, maxBucket = 100)
+    // collect(), not count(): count() runs a separate counting query,
+    // and the observation rides the frame's OWN execution
+    assert(fixed.collect().length < 25,
+      "expected the fixed geometry to lose most planted pairs")
+    // ... but no longer silently: the observation distinguishes "no
+    // near-dups" from "my near-dups sat in dropped buckets"
+    val fixedStats = Dedup.bucketStats(fixed)
+    assert(fixedStats.nonEmpty && fixedStats.head.bucketsDropped > 0,
+      fixedStats.toString)
+
+    // auto geometry (planes ≈ log2(n/target) = 10 here): nearly every
+    // planted pair recovered (8-dim LSH cells are long-tailed, so a
+    // couple of buckets can still top the cap — and the observation
+    // reports them; the 1M total-collapse case is ScaleSmoke's)
+    val auto = Dedup.embeddingNearDupPairs(df, "id", "v",
+      threshold = 0.9999, maxBucket = 100)
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedPairs = (0L until 50L).map(i => (i, i + 100000L)).toSet
+    val found = (plantedPairs & got).size
+    assert(found >= 45, s"auto geometry found only $found of 50 planted pairs")
+    val autoStats = Dedup.bucketStats(auto)
+    assert(autoStats.nonEmpty &&
+      autoStats.head.bucketsTotal > fixedStats.head.bucketsTotal,
+      s"auto=$autoStats fixed=$fixedStats")
+  }
+
   test("kmeansCentroidsDistributed recovers planted clusters") {
     import spark.implicits._
     graft.expressions.VectorHashExprs.register(spark)
