@@ -620,6 +620,89 @@ object Dedup {
     snapshot.join(matched, snapshot(idCol) === matched("__mid"), "left_anti")
   }
 
+  /** Streaming NEAR-dedup: admit a live intake stream against a STATIC
+    * corpus — the streaming twin of [[incrementalNearDedup]], for the
+    * boilerplate re-crawls (timestamps/counters changed, fingerprint
+    * misses) that arrive on a live feed. A stream doc is dropped when
+    * its word-trigram Jaccard against ANY corpus doc sharing a MinHash
+    * band bucket reaches `threshold`; every other doc is emitted once
+    * the watermark on `tsCol` passes its event time.
+    *
+    * Plan shape per micro-batch: the stream side runs the single-pass
+    * signature kernel and explodes its `bands` bucket keys, then
+    * LEFT-joins two STATIC relations — the capped corpus bucket
+    * membership (band, band_sig, cid) and the corpus gram projection
+    * (cid, grams) — both stream-static equi-joins Spark supports
+    * natively and re-plans per batch as static scans (persist
+    * `existing` or point it at a materialized parquet/bucketed table so
+    * the re-plan stays cheap). Jaccard verification is per collided
+    * row; a per-doc max(matched) streaming aggregation (keyed by the
+    * doc's columns, expired by the watermark) turns row-level matches
+    * into the keep/drop decision — the in-plan substitute for the
+    * stream-stream anti-join Spark doesn't support. State is one
+    * counter per in-flight doc; emission waits for the watermark (the
+    * append-mode trade every watermarked aggregation makes). Corpus
+    * buckets over `maxBucket` members are degenerate boilerplate and
+    * dropped at index build, as in [[minHashNearDupPairs]]; note the
+    * cap here bounds the CORPUS side only — the stream side never
+    * aggregates into buckets. Within-stream near-dups are out of scope
+    * — compose with [[streamingExactDedup]] and a periodic batch
+    * [[nearDedup]].
+    */
+  def streamingNearDedup(stream: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      lateness: String = "1 hour", numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    graft.expressions.TextHashExprs.register(stream.sparkSession)
+    def grams(c: Column): Column = array_distinct(coalesce(
+      graft.expressions.TextHashExprs.ngramsNative(c, 3),
+      array().cast("array<string>")))
+    def sig(c: Column): Column = coalesce(
+      graft.expressions.TextHashExprs.minhashSig(c, numHashes),
+      array_repeat(lit(HashPrime), numHashes))
+    // static index: capped bucket membership + gram projection. A
+    // single-member corpus bucket still matters (candidates are
+    // cross-side by construction), so only OVERSIZED buckets drop.
+    val bounded = TopK.boundedCollect[Long](maxBucket)
+    val corpusBuckets = existing
+      .select(col(idCol).cast("long").as("cid"), sig(col(textCol)).as("sig"))
+      .select(col("cid"), posexplode(bandSigs(col("sig"), bands, rows)))
+      .toDF("cid", "band", "band_sig")
+      .groupBy(col("band"), col("band_sig"))
+      .agg(bounded(col("cid")).as("cids"))
+      .filter(size(col("cids")) <= maxBucket)
+      .select(col("band"), col("band_sig"), explode(col("cids")).as("cid"))
+    val corpusGrams = existing
+      .select(col(idCol).cast("long").as("cid"), grams(col(textCol)).as("__cg"))
+    // stream side: watermark first (canonical order for the stateful
+    // agg downstream), then bucket keys — the doc's own columns ride
+    // every exploded row so the final projection needs no join back
+    val streamCols = stream.columns
+    val banded = stream
+      .withWatermark(tsCol, lateness)
+      .withColumn("__g", grams(col(textCol)))
+      .withColumn("__sig", sig(col(textCol)))
+      .select(streamCols.map(col) :+ col("__g")
+        :+ posexplode(bandSigs(col("__sig"), bands, rows)): _*)
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val collided = banded
+      .join(corpusBuckets, Seq("band", "band_sig"), "left")
+      .join(corpusGrams, Seq("cid"), "left")
+    val inter = size(array_intersect(col("__g"), col("__cg")))
+    val union = size(col("__g")) + size(col("__cg")) - inter
+    val matched = when(col("cid").isNotNull && union > 0 &&
+      inter.cast("double") / union >= threshold, 1).otherwise(0)
+    collided
+      .withColumn("__m", matched)
+      .groupBy(streamCols.map(col): _*)
+      .agg(max(col("__m")).as("__mx"))
+      .filter(col("__mx") === 0)
+      .select(streamCols.map(col): _*)
+  }
+
   /** Connected components over near-dup pairs → per-doc cluster labels:
     * the step that turns pairwise similarity into dedup DECISIONS (keep
     * the cluster minimum, drop the rest). Returns (id, cluster) for

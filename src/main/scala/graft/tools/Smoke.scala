@@ -191,6 +191,41 @@ object Smoke {
     graft.operators.CorpusAnalysis
       .tokenFrequencyStats(docs, "doc_id", "text", vocabSize = 20)
       .orderBy(desc("oov_frac")).show(5, false)
+
+    println("== streaming near-dedup (MemoryStream vs static documents) ==")
+    // live intake: 3 perturbed re-crawls of real corpus docs (one token
+    // appended — exact fingerprint misses, trigram Jaccard ≥ 0.8 hits)
+    // across two micro-batches + 2 fresh docs; only the fresh survive
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val sdf = mem.toDF().toDF("doc_id", "ts", "text")
+      val sq2 = graft.operators.Dedup
+        .streamingNearDedup(sdf, docs, "doc_id", "text", "ts",
+          lateness = "5 minutes")
+        .writeStream.format("memory").queryName("smoke_stream_near")
+        .outputMode("append").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val recrawl = docs.filter($"doc_id" < 3)
+        .select($"doc_id" + 900100L, $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1) + " trailingword"))
+      mem.addData((recrawl(0)._1, ts("2024-01-01 00:00:00"), recrawl(0)._2),
+        (900201L, ts("2024-01-01 00:00:01"), "wholly fresh streaming doc one"))
+      sq2.processAllAvailable()
+      mem.addData((recrawl(1)._1, ts("2024-01-01 00:00:02"), recrawl(1)._2),
+        (recrawl(2)._1, ts("2024-01-01 00:00:03"), recrawl(2)._2),
+        (900202L, ts("2024-01-01 00:00:04"), "wholly fresh streaming doc two"))
+      sq2.processAllAvailable()
+      // two watermark-advancing triggers so the append-mode agg emits
+      mem.addData((900900L, ts("2024-01-01 01:00:00"), "watermark pusher a"))
+      sq2.processAllAvailable()
+      mem.addData((900901L, ts("2024-01-01 01:00:01"), "watermark pusher b"))
+      sq2.processAllAvailable()
+      spark.table("smoke_stream_near").orderBy("doc_id")
+        .select($"doc_id", substring($"text", 1, 40).as("text_head")).show(false)
+      sq2.stop()
+    }
     spark.stop()
   }
 }

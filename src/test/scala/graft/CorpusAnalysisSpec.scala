@@ -300,6 +300,47 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingNearDedup: perturbed re-crawls dropped across batches, disjoint survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // 30 distinct tokens per doc; changing the LAST token alters one of
+    // 28 trigrams → J = 27/29 ≈ 0.931 ≥ 0.8 (same shape as the batch
+    // incrementalNearDedup spec and the ScaleSmoke planted near-dups)
+    def doc(seed: String): String = (0 until 30).map(j => s"$seed$j").mkString(" ")
+    val corpus = Seq((100L, doc("qa")), (101L, doc("qb"))).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.operators.Dedup
+      .streamingNearDedup(df, corpus, "doc_id", "text", "ts",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("stream_near")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: a near-dup of corpus doc qa (last token changed) and a
+      // token-disjoint fresh doc
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:00"), doc("qa").replaceAll("qa29$", "zz")),
+        (2L, ts("2024-01-01 00:00:01"), doc("qf")))
+      q.processAllAvailable()
+      // batch 2: near-dup of qb, another fresh doc
+      mem.addData(
+        (3L, ts("2024-01-01 00:00:02"), doc("qb").replaceAll("qb29$", "yy")),
+        (4L, ts("2024-01-01 00:00:03"), doc("qg")))
+      q.processAllAvailable()
+      // advance the watermark past the rows above so the append-mode
+      // aggregation emits its decisions (two triggers: one carries the
+      // new max event time, the next emits below the new watermark)
+      mem.addData((99L, ts("2024-01-01 01:00:00"), doc("qh")))
+      q.processAllAvailable()
+      mem.addData((98L, ts("2024-01-01 01:00:01"), doc("qi")))
+      q.processAllAvailable()
+      val ids = spark.table("stream_near").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("contamination: shared 8-grams found, short docs and non-overlaps excluded") {
     import spark.implicits._
     val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
