@@ -341,6 +341,36 @@ object CorpusAnalysis {
     * deployment would persist stage outputs to storage instead; the
     * stage structure is identical.
     */
+  /** The five curation stages as (name, prev-corpus → next-corpus)
+    * closures — ONE definition shared by [[curate]] (localCheckpoint
+    * materialization) and [[curatePersisted]] (storage
+    * materialization), so the two variants cannot drift.
+    */
+  private def curateStageFns(b0: DataFrame, minTokens: Int,
+      wantedLang: String, minQuality: Double, nearDupThreshold: Double,
+      contamN: Int, contamMinShared: Int, sampleRate: Double,
+      salt: String): Seq[(String, DataFrame => DataFrame)] = Seq(
+    "1_gate" -> ((d: DataFrame) => d.join(
+      qualityGate(d, "id", "text", minTokens, wantedLang, minQuality)
+        .filter(col("keep")).select("id"), Seq("id"))),
+    "2_exact_dedup" -> ((d: DataFrame) => Dedup.exactDedup(d, "id", "text")),
+    "3_near_dedup" -> ((d: DataFrame) => Dedup.nearDedup(d, "id",
+      Dedup.minHashNearDupPairs(d, "id", "text",
+        threshold = nearDupThreshold))),
+    "4_decontaminate" -> ((d: DataFrame) => d.join(
+      contamination(d, b0, "id", "text", contamN, contamMinShared)
+        .select(col("id")).distinct(), Seq("id"), "left_anti")),
+    "5_sample" -> ((d: DataFrame) => hashSample(d, "id", sampleRate, salt)))
+
+  /** (stage, docs_in, docs_out) rows from the materialized stage chain. */
+  private def attritionReport(
+      stages: Seq[(String, DataFrame, DataFrame)]): DataFrame =
+    stages.map { case (name, in, out) =>
+      in.agg(count(lit(1)).as("docs_in"))
+        .crossJoin(out.agg(count(lit(1)).as("docs_out")))
+        .select(lit(name).as("stage"), col("docs_in"), col("docs_out"))
+    }.reduce(_.unionByName(_))
+
   def curate(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, minTokens: Int = 15, wantedLang: String = "en",
       minQuality: Double = 0.75, nearDupThreshold: Double = 0.8,
@@ -353,27 +383,65 @@ object CorpusAnalysis {
       col(textCol).as("text"))
     val b0 = bench.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
-    val d1 = d0.join(
-      qualityGate(d0, "id", "text", minTokens, wantedLang, minQuality)
-        .filter(col("keep")).select("id"), Seq("id")).localCheckpoint()
-    val d2 = Dedup.exactDedup(d1, "id", "text").localCheckpoint()
-    val d3 = Dedup.nearDedup(d2, "id",
-      Dedup.minHashNearDupPairs(d2, "id", "text",
-        threshold = nearDupThreshold)).localCheckpoint()
-    val d4 = d3.join(
-      contamination(d3, b0, "id", "text", contamN, contamMinShared)
-        .select(col("id")).distinct(), Seq("id"), "left_anti")
-      .localCheckpoint()
-    val d5 = hashSample(d4, "id", sampleRate, salt)
-    def stage(name: String, in: DataFrame, out: DataFrame): DataFrame =
-      in.agg(count(lit(1)).as("docs_in"))
-        .crossJoin(out.agg(count(lit(1)).as("docs_out")))
-        .select(lit(name).as("stage"), col("docs_in"), col("docs_out"))
-    stage("1_gate", d0, d1)
-      .unionByName(stage("2_exact_dedup", d1, d2))
-      .unionByName(stage("3_near_dedup", d2, d3))
-      .unionByName(stage("4_decontaminate", d3, d4))
-      .unionByName(stage("5_sample", d4, d5))
+    val fns = curateStageFns(b0, minTokens, wantedLang, minQuality,
+      nearDupThreshold, contamN, contamMinShared, sampleRate, salt)
+    var cur = d0
+    val stages = fns.map { case (name, fn) =>
+      // the last stage is read once (by the report) — no checkpoint
+      val out = if (name == fns.last._1) fn(cur) else fn(cur).localCheckpoint()
+      val row = (name, cur, out)
+      cur = out
+      row
+    }
+    attritionReport(stages)
+  }
+
+  /** [[curate]] with every stage PERSISTED to `stageDir` — the 100 TB
+    * form the curate scaladoc promises: stage corpora land as parquet
+    * (`<stageDir>/0_source` … `5_sample`) plus the attrition report
+    * (`<stageDir>/report`), and a re-run SKIPS every stage whose output
+    * already exists (completed writes only — Spark's `_SUCCESS` marker
+    * gates the skip, so a write killed mid-flight recomputes), making a
+    * multi-day pipeline resumable after the last finished stage instead
+    * of restarting from scratch. Delete a stage directory to force its
+    * recomputation — downstream stage directories must be deleted too,
+    * they derive from it. The SOURCE projection is persisted as stage 0:
+    * one extra corpus-sized write that freezes the input against
+    * concurrent mutation for the run's lifetime and keeps the resumed
+    * report's `1_gate` row honest without re-touching the source.
+    * Returns the report read back from storage; stage params must match
+    * across resume calls (they are not validated against the persisted
+    * outputs).
+    */
+  def curatePersisted(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, stageDir: String, minTokens: Int = 15,
+      wantedLang: String = "en", minQuality: Double = 0.75,
+      nearDupThreshold: Double = 0.8, contamN: Int = 8,
+      contamMinShared: Int = 1, sampleRate: Double = 0.5,
+      salt: String = "curate"): DataFrame = {
+    val spark = docs.sparkSession
+    def persisted(name: String, compute: => DataFrame): DataFrame = {
+      val path = s"$stageDir/$name"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        compute.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val b0 = bench.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    val fns = curateStageFns(b0, minTokens, wantedLang, minQuality,
+      nearDupThreshold, contamN, contamMinShared, sampleRate, salt)
+    var cur = persisted("0_source",
+      docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text")))
+    val stages = fns.map { case (name, fn) =>
+      val out = persisted(name, fn(cur))
+      val row = (name, cur, out)
+      cur = out
+      row
+    }
+    persisted("report", attritionReport(stages))
   }
 
   /** Batch assembly on top of [[packSequences]]: the actual training

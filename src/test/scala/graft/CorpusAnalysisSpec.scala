@@ -448,6 +448,39 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run().toSeq == report.toSeq)
   }
 
+  test("curatePersisted: report matches curate; resume skips completed stages") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().sortBy(_.getString(0))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val persistedReport = rows(
+      CorpusAnalysis.curatePersisted(docs, bench, "doc_id", "text", dir))
+    val liveReport = rows(CorpusAnalysis.curate(docs, bench, "doc_id", "text"))
+    assert(persistedReport == liveReport)
+    // every stage + the report landed as completed parquet
+    for (n <- Seq("0_source", "1_gate", "2_exact_dedup", "3_near_dedup",
+        "4_decontaminate", "5_sample", "report"))
+      assert(new java.io.File(s"$dir/$n/_SUCCESS").exists(), n)
+
+    // resume: delete ONLY the last stage + report, hand the resumed run
+    // an EMPTY source — if any earlier stage recomputed (instead of
+    // reading its persisted output) every count would collapse to 0;
+    // an identical report proves stages 0-4 were skipped and only
+    // 5_sample + report re-ran from storage
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    for (n <- Seq("5_sample", "report"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), true)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val resumed = rows(
+      CorpusAnalysis.curatePersisted(emptyDocs, bench, "doc_id", "text", dir))
+    assert(resumed == persistedReport)
+  }
+
   test("packSequences is deterministic under input repartitioning") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(d: org.apache.spark.sql.DataFrame) =
