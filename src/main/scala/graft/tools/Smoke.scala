@@ -192,6 +192,9 @@ object Smoke {
       .tokenFrequencyStats(docs, "doc_id", "text", vocabSize = 20)
       .orderBy(desc("oov_frac")).show(5, false)
 
+    println("== health ping (reference body on a live session) ==")
+    println(graft.service.Health.ping(spark))
+
     println("== streaming near-dedup (MemoryStream vs static documents) ==")
     // live intake: 3 perturbed re-crawls of real corpus docs (one token
     // appended — exact fingerprint misses, trigram Jaccard ≥ 0.8 hits)

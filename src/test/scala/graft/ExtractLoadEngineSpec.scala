@@ -181,6 +181,12 @@ class ExtractLoadEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!resp.success && resp.message.contains("Method not implemented."))
   }
 
+  test("health ping answers the reference's exact body on a live session") {
+    // health-controller.ts:12-21 parity: the probe proves the scheduler
+    // still answers and returns the verbatim body
+    assert(graft.service.Health.ping(spark) == "I'm healthy !!")
+  }
+
   test("source reads a directory / glob of archives, one task stream each") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-multi")
