@@ -44,7 +44,13 @@ object Bench {
     // Per-query watchdog (mirrors Verify): a hung query becomes an error
     // marker instead of stalling the whole benchmark.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // One guarded runner for BOTH passes (first timing and budget
+    // reruns): watchdog + job group + error capture — a rerun must not
+    // lose the cancel path the first pass has. Returns Right(seconds)
+    // or Left(error).
+    def timedRun(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -59,13 +65,19 @@ object Bench {
           try fn(spark, sfDir).count()
           finally spark.sparkContext.clearJobGroup()
         }, timeoutSec.seconds)
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
-          errors(name) = s"timeout after ${timeoutSec}s"
+          Left(s"timeout after ${timeoutSec}s")
         case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      timedRun(name, fn) match {
+        case Right(t) => timings(name) = t
+        case Left(err) => errors(name) = err
       }
     }
     // Regression budget: per-query wall-clock ceilings (prior round's
@@ -76,25 +88,38 @@ object Bench {
     // in the JSON line — without corrupting the metric format the
     // driver parses. Queries without a budget row (new this round) are
     // exempt until the next budget refresh.
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BUDGET", "BENCH_BUDGET.json")
     val budget: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_BUDGET.json")), "UTF-8")
+          java.nio.file.Paths.get(budgetPath)), "UTF-8")
         "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      } catch { case e: Throwable =>
+        // an inactive gate must be VISIBLE — a missing/corrupt file
+        // silently disabling every check is how regressions ship
+        System.err.println(s"BENCH BUDGET INACTIVE: $budgetPath " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+        Map.empty
+      }
     val overBudget = scala.collection.mutable.LinkedHashMap[String, Double]()
     for ((name, first) <- timings.toSeq
          if budget.get(name).exists(first > _)) {
-      val fn = SparkEntry.queries(name)
-      val reruns = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+      // a failing rerun contributes +∞, never a bogus time-to-failure:
+      // the median then rests on the valid samples, the query stays
+      // over budget, and the error is recorded — a broken query must
+      // never masquerade as a fast one
+      val reruns = (1 to 2).map { i =>
+        timedRun(name, SparkEntry.queries(name)) match {
+          case Right(t) => t
+          case Left(err) =>
+            errors(s"${name}_rerun$i") = err
+            Double.PositiveInfinity
+        }
       }
       val median = (first +: reruns).sorted.apply(1)
-      timings(name) = median
-      if (median > budget(name)) overBudget(name) = median
+      timings(name) = if (median.isInfinity) first else median
+      if (median > budget(name)) overBudget(name) = timings(name)
     }
     if (overBudget.nonEmpty)
       System.err.println("BENCH BUDGET EXCEEDED: " + overBudget.map {

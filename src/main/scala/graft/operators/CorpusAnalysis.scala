@@ -424,9 +424,31 @@ object CorpusAnalysis {
       val path = s"$stageDir/$name"
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        compute.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+      // A stage that filters EVERYTHING writes zero part files (AQE
+      // empty-relation propagation) — only _SUCCESS — and a bare
+      // read-back cannot infer a schema. The schema rides a sidecar
+      // written AFTER the parquet commit; the sidecar (not _SUCCESS)
+      // gates the resume skip, so a run killed between the two writes
+      // recomputes instead of resuming onto an unreadable stage.
+      val schemaFile = new org.apache.hadoop.fs.Path(p, "_graft_schema.json")
+      if (!fs.exists(schemaFile) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+        val df = compute
+        df.write.mode("overwrite").parquet(path)
+        val out = fs.create(schemaFile, true)
+        try out.write(df.schema.json.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      val schemaJson = {
+        val in = fs.open(schemaFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.read.schema(schema).parquet(path)
     }
     val b0 = bench.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))

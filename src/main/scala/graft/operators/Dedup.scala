@@ -654,6 +654,9 @@ object Dedup {
       lateness: String = "1 hour", numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // same integral-id contract as every batch generator: a string id
+    // would cast to null corpus cids and silently admit near-dups
+    TopK.requireIntegral(existing, idCol, "streamingNearDedup(existing)")
     val rows = numHashes / bands
     graft.expressions.TextHashExprs.register(stream.sparkSession)
     def grams(c: Column): Column = array_distinct(coalesce(
@@ -665,17 +668,20 @@ object Dedup {
     // static index: capped bucket membership + gram projection. A
     // single-member corpus bucket still matters (candidates are
     // cross-side by construction), so only OVERSIZED buckets drop.
+    // Internal columns wear the "__" prefix so a stream schema with
+    // its own "band"/"cid" column cannot collide in the using-joins.
     val bounded = TopK.boundedCollect[Long](maxBucket)
     val corpusBuckets = existing
-      .select(col(idCol).cast("long").as("cid"), sig(col(textCol)).as("sig"))
-      .select(col("cid"), posexplode(bandSigs(col("sig"), bands, rows)))
-      .toDF("cid", "band", "band_sig")
-      .groupBy(col("band"), col("band_sig"))
-      .agg(bounded(col("cid")).as("cids"))
-      .filter(size(col("cids")) <= maxBucket)
-      .select(col("band"), col("band_sig"), explode(col("cids")).as("cid"))
+      .select(col(idCol).cast("long").as("__cid"), sig(col(textCol)).as("__sig"))
+      .select(col("__cid"), posexplode(bandSigs(col("__sig"), bands, rows)))
+      .toDF("__cid", "__band", "__band_sig")
+      .groupBy(col("__band"), col("__band_sig"))
+      .agg(bounded(col("__cid")).as("__cids"))
+      .filter(size(col("__cids")) <= maxBucket)
+      .select(col("__band"), col("__band_sig"),
+        explode(col("__cids")).as("__cid"))
     val corpusGrams = existing
-      .select(col(idCol).cast("long").as("cid"), grams(col(textCol)).as("__cg"))
+      .select(col(idCol).cast("long").as("__cid"), grams(col(textCol)).as("__cg"))
     // stream side: watermark first (canonical order for the stateful
     // agg downstream), then bucket keys — the doc's own columns ride
     // every exploded row so the final projection needs no join back
@@ -686,14 +692,14 @@ object Dedup {
       .withColumn("__sig", sig(col(textCol)))
       .select(streamCols.map(col) :+ col("__g")
         :+ posexplode(bandSigs(col("__sig"), bands, rows)): _*)
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_sig")
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__band_sig")
     val collided = banded
-      .join(corpusBuckets, Seq("band", "band_sig"), "left")
-      .join(corpusGrams, Seq("cid"), "left")
+      .join(corpusBuckets, Seq("__band", "__band_sig"), "left")
+      .join(corpusGrams, Seq("__cid"), "left")
     val inter = size(array_intersect(col("__g"), col("__cg")))
     val union = size(col("__g")) + size(col("__cg")) - inter
-    val matched = when(col("cid").isNotNull && union > 0 &&
+    val matched = when(col("__cid").isNotNull && union > 0 &&
       inter.cast("double") / union >= threshold, 1).otherwise(0)
     collided
       .withColumn("__m", matched)

@@ -287,6 +287,11 @@ object Similarity {
         Seq[Double], Array[Double], Seq[Double]] {
     override def zero: Array[Double] = Array.emptyDoubleArray
     private def add(b: Array[Double], a: Seq[Double]): Array[Double] = {
+      // fail loudly: one wrong-dimension vector would otherwise
+      // silently truncate (or ignore the tail of) every vector summed
+      // after it and corrupt the centroid mean
+      require(a.length == b.length,
+        s"vector dim mismatch in centroid update: ${a.length} vs ${b.length}")
       var i = 0
       while (i < b.length) { b(i) += a(i); i += 1 }
       b

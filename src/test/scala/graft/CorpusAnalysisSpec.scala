@@ -479,6 +479,17 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     val resumed = rows(
       CorpusAnalysis.curatePersisted(emptyDocs, bench, "doc_id", "text", dir))
     assert(resumed == persistedReport)
+
+    // an EMPTY corpus must persist and resume too: an all-filtered
+    // stage writes zero part files (only _SUCCESS), and the schema
+    // sidecar keeps the read-back — and every later resume — alive
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-curate-e").toString
+    val emptyRun = rows(
+      CorpusAnalysis.curatePersisted(emptyDocs, bench, "doc_id", "text", dir2))
+    assert(emptyRun.forall(r => r._2 == 0 && r._3 == 0), emptyRun.toString)
+    val emptyResume = rows(
+      CorpusAnalysis.curatePersisted(emptyDocs, bench, "doc_id", "text", dir2))
+    assert(emptyResume == emptyRun)
   }
 
   test("packSequences is deterministic under input repartitioning") {
