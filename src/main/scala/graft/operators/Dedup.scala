@@ -431,6 +431,16 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cid",
         element_at(Similarity.nearestCentroids(cents, col("v"), 1), 1)("cid"))
+    clusterPairs(assigned, threshold, maxCluster)
+  }
+
+  /** The shared SemDeDup tail: (id, v, cid) → capped within-cluster
+    * ordered pairs → exact cosine ≥ threshold. One keyed shuffle
+    * (bounded collect, cluster never materializes past the cap), the
+    * same observe/double-explode shape as every candidate generator.
+    */
+  private def clusterPairs(assigned: DataFrame, threshold: Double,
+      maxCluster: Int): DataFrame = {
     val bounded = TopK.boundedCollect[(Long, Seq[Double])](maxCluster)
     val clusters = observeBuckets(
       assigned.groupBy(col("cid"))
@@ -445,6 +455,26 @@ object Dedup {
       .select(col("m1._1").as("a"), col("m2._1").as("b"),
         Similarity.cosineNative(col("m1._2"), col("m2._2")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** [[semanticDupPairs]] with DATAFRAME centroids, assigned via
+    * [[Similarity.assignCentroidsJoin]] — the form for centroid sets
+    * too large for the task closure (≳10^5 centroids, e.g. the output
+    * of a corpus-scale clustering job). `centroids` must have columns
+    * (cid int, cv array<double>). Identical candidate/verify tail;
+    * the price over the closure-matrix kernel is the one corpus-keyed
+    * shuffle documented on assignCentroidsJoin (the doc vector rides
+    * that aggregation, so there is no second join-back shuffle).
+    * Assignment parity with the kernel path is spec-pinned.
+    */
+  def semanticDupPairsJoin(docs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double = 0.95,
+      maxCluster: Int = 1000): DataFrame = {
+    TopK.requireIntegral(docs, idCol, "semanticDupPairsJoin")
+    graft.expressions.VectorHashExprs.register(docs.sparkSession)
+    val assigned = Similarity.assignCentroidsJoin(docs, idCol, vecCol,
+      centroids, keepVec = true)
+    clusterPairs(assigned, threshold, maxCluster)
   }
 
   private val incViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)

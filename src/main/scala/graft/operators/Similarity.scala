@@ -404,15 +404,20 @@ object Similarity {
     * kernel (pinned by spec).
     */
   def assignCentroidsJoin(docs: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, keepVec: Boolean = false): DataFrame = {
     graft.expressions.VectorHashExprs.register(docs.sparkSession)
     val c = broadcast(centroids.select(col("cid"), col("cv")))
-    docs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val minCid = min_by(col("cid"), struct(
+      graft.expressions.VectorHashExprs.sqDistNative(col("v"), col("cv")).as("d"),
+      col("cid").as("cid"))).as("cid")
+    val grouped = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(c)
       .groupBy(col("id"))
-      .agg(min_by(col("cid"), struct(
-        graft.expressions.VectorHashExprs.sqDistNative(col("v"), col("cv")).as("d"),
-        col("cid").as("cid"))).as("cid"))
+    // keepVec rides the doc's vector through the same aggregation
+    // (every row of a group carries the identical v) — the downstream
+    // cluster stage then needs no corpus-sized join-back
+    if (keepVec) grouped.agg(minCid, first(col("v")).as("v"))
+    else grouped.agg(minCid)
   }
 
   /** IVF top-k: corpus partitioned by nearest centroid (native

@@ -335,6 +335,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"auto=$autoStats fixed=$fixedStats")
   }
 
+  test("semanticDupPairsJoin matches the kernel-assignment path exactly") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val df = emb.unionByName(planted)
+    val cents = emb.filter(col("vec_id") < 4).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def pairSet(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaKernel = pairSet(Dedup.semanticDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, centroids = cents))
+    val centsDf = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val viaJoin = pairSet(Dedup.semanticDupPairsJoin(df, "vec_id", "embedding",
+      centsDf, threshold = 0.99))
+    assert(viaKernel.nonEmpty && viaKernel == viaJoin)
+  }
+
   test("kmeansCentroidsDistributed recovers planted clusters") {
     import spark.implicits._
     graft.expressions.VectorHashExprs.register(spark)
