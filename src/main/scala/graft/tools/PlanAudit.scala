@@ -38,6 +38,10 @@ object PlanAudit {
       graft.SparkEntry.queries("q_contamination")(spark, sf))
     show("quality gate (verdict CASE must appear once)")(
       graft.SparkEntry.queries("q_filter")(spark, sf))
+    show("knn_ivf (closure-matrix centroid kernel, narrow assignment)")(
+      graft.SparkEntry.queries("q_knn_ivf")(spark, sf))
+    show("semantic_dedup_int (kernel argmin + capped clusters + observe)")(
+      graft.SparkEntry.queries("q_semantic_dedup_int")(spark, sf))
     spark.stop()
   }
 }
