@@ -471,7 +471,8 @@ object Dedup {
       centroids: DataFrame, threshold: Double = 0.95,
       maxCluster: Int = 1000): DataFrame = {
     TopK.requireIntegral(docs, idCol, "semanticDupPairsJoin")
-    graft.expressions.VectorHashExprs.register(docs.sparkSession)
+    // assignCentroidsJoin registers the vector kernels (clusterPairs'
+    // cosine rides the same session registration)
     val assigned = Similarity.assignCentroidsJoin(docs, idCol, vecCol,
       centroids, keepVec = true)
     clusterPairs(assigned, threshold, maxCluster)

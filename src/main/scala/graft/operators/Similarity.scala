@@ -401,23 +401,42 @@ object Similarity {
     * kernel (narrow) — pay it only when the matrix genuinely cannot
     * ride the closure. Tie-break parity: `min_by` on struct(d, cid)
     * orders lexicographically = (d ASC, cid ASC), identical to the
-    * kernel (pinned by spec).
+    * kernel (pinned by spec). Degenerate docs (null vector, wrong
+    * dim, null element → null distance against every centroid) get NO
+    * output row — without the null-distance filter, Spark's
+    * nulls-first struct ordering would dump every degenerate doc into
+    * the lowest-cid REAL cluster (and a capped consumer would then
+    * drop that cluster wholesale); the kernel path parks them in the
+    * null cluster, where verification discards them — no pairs either
+    * way. Ids must be UNIQUE — the contract of every id-keyed operator
+    * here; duplicate ids collapse to one (deterministically chosen)
+    * vector.
     */
   def assignCentroidsJoin(docs: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, keepVec: Boolean = false): DataFrame = {
     graft.expressions.VectorHashExprs.register(docs.sparkSession)
+    // an empty centroid set would silently assign nothing and a
+    // downstream dedup would "succeed" having deduplicated nothing —
+    // the kernel path throws on construction; match it
+    require(!centroids.isEmpty,
+      "assignCentroidsJoin: empty centroid set — nothing to assign to")
     val c = broadcast(centroids.select(col("cid"), col("cv")))
-    val minCid = min_by(col("cid"), struct(
-      graft.expressions.VectorHashExprs.sqDistNative(col("v"), col("cv")).as("d"),
-      col("cid").as("cid"))).as("cid")
+    val key = struct(col("__d"), col("cid"))
     val grouped = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(c)
+      .select(col("id"), col("v"), col("cid"),
+        graft.expressions.VectorHashExprs.sqDistNative(col("v"), col("cv"))
+          .as("__d"))
+      .filter(col("__d").isNotNull)
       .groupBy(col("id"))
     // keepVec rides the doc's vector through the same aggregation
-    // (every row of a group carries the identical v) — the downstream
-    // cluster stage then needs no corpus-sized join-back
-    if (keepVec) grouped.agg(minCid, first(col("v")).as("v"))
-    else grouped.agg(minCid)
+    // (one v per id under the unique-id contract; min_by keeps the
+    // pick deterministic even on contract-breaking input) — the
+    // downstream cluster stage then needs no corpus-sized join-back
+    if (keepVec)
+      grouped.agg(min_by(col("cid"), key).as("cid"),
+        min_by(col("v"), key).as("v"))
+    else grouped.agg(min_by(col("cid"), key).as("cid"))
   }
 
   /** IVF top-k: corpus partitioned by nearest centroid (native

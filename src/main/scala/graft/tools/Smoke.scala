@@ -192,6 +192,20 @@ object Smoke {
       .tokenFrequencyStats(docs, "doc_id", "text", vocabSize = 20)
       .orderBy(desc("oov_frac")).show(5, false)
 
+    println("== semantic dedup, DataFrame-centroid join path (sf0.001) ==")
+    // centroids as a DataFrame (the beyond-closure form): first 4 real
+    // vectors; planted near-identical copies must pair with their base
+    val centsDf = emb.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("cid"),
+        transform($"embedding", x => x.cast("double")).as("cv"))
+    val embPlanted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" < 5).select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding")))
+    graft.operators.Dedup.semanticDupPairsJoin(
+      embPlanted, "vec_id", "embedding", centsDf, threshold = 0.99)
+      .orderBy("a", "b").show(6, false)
+
     println("== health ping (reference body on a live session) ==")
     println(graft.service.Health.ping(spark))
 
