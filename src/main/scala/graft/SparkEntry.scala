@@ -340,6 +340,14 @@ object SparkEntry {
         rates = Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25),
         defaultRate = 0.05, salt = "seed1")),
 
+    // temperature-weighted mixture: rates derived from per-source
+    // counts (alpha = 1/2 smoothing, half the corpus as target)
+    "q_temperature_sample" -> ((s, dir) =>
+      CorpusAnalysis.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", temperature = 2.0, targetFraction = 0.5,
+        salt = "seedT")),
+
     // corpus vocabulary: top 50 tokens, deterministic tie-break
     "q_vocab_topk" -> ((s, dir) =>
       CorpusAnalysis.topTokens(t(s, dir, "documents"), "text", 50)),
@@ -1375,6 +1383,29 @@ object SparkEntry {
          |     WHEN 'src2' THEN ${CorpusAnalysis.rateThreshold(0.5)}
          |     WHEN 'src3' THEN ${CorpusAnalysis.rateThreshold(0.25)}
          |     ELSE ${CorpusAnalysis.rateThreshold(0.05)} END)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Temperature mixture: the rate derivation (per-source counts →
+    // alpha-smoothed weights → capped keep rates) replicated in SQL
+    // with the SAME arithmetic order as temperatureMixtureRates
+    // (targetN * (w / sumW) / n), the same trunc-to-long threshold as
+    // rateThreshold, and the same md5-60 predicate. alpha = 0.5 keeps
+    // pow() in correctly-rounded sqrt territory; output columns are
+    // exact integers/strings, so ULP drift in a rate only matters if a
+    // hash lands within a few ULP of the threshold (p ~ 2^-50/row).
+    "q_temperature_sample" ->
+      s"""WITH n AS (
+         |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(pow(n, 0.5)) AS sw, sum(n) AS sn FROM n),
+         |r AS (
+         |  SELECT source,
+         |    least(1.0, (0.5 * t.sn) * (pow(n.n, 0.5) / t.sw) / n.n) AS rate
+         |  FROM n, t)
+         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+         |WHERE ${H60("'seedT:' || CAST(doc_id AS VARCHAR)")} <
+         |  CASE WHEN rate >= 1.0 THEN 1152921504606846976
+         |       ELSE CAST(trunc(rate * 1152921504606846976.0) AS BIGINT) END
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Vocabulary top-k: LIMIT under the (cnt desc, token) order, then

@@ -194,6 +194,52 @@ object CorpusAnalysis {
         < threshold)
   }
 
+  /** Temperature-weighted mixture rates — the standard multi-source
+    * rebalancing (exponential smoothing, e.g. the multilingual-LM
+    * α-sampling recipe with α = 1/temperature): the sampled corpus's
+    * share of source s approaches n_s^(1/T) / Σ n_t^(1/T). T = 1 keeps
+    * natural proportions; T → ∞ approaches uniform across sources —
+    * the knob that keeps head sources from drowning the tail. Returns
+    * per-source keep rates with expected output ≈ targetFraction × N.
+    * Rates cap at 1 (upsampling past a source's size needs epoch-level
+    * replication — compose with [[epochShuffle]]); capped mass is NOT
+    * redistributed, so the realized output is smaller when a tail
+    * source saturates — the standard behavior. ONE count aggregation
+    * (k rows to the driver); sources are folded in sorted order so the
+    * rates are a pure function of the corpus.
+    */
+  def temperatureMixtureRates(df: DataFrame, stratumCol: String,
+      temperature: Double, targetFraction: Double = 1.0): Map[String, Double] = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .flatMap(r => if (r.isNullAt(0)) None
+        else Some(r.getString(0) -> r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMixtureRates: no non-null strata")
+    val alpha = 1.0 / temperature
+    val weights = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }
+    val sumW = weights.sum
+    val targetN = targetFraction * counts.map(_._2).sum.toDouble
+    counts.zip(weights).map { case ((s, n), w) =>
+      s -> math.min(1.0, targetN * (w / sumW) / n)
+    }.toMap
+  }
+
+  /** [[mixtureSample]] with rates derived by [[temperatureMixtureRates]]
+    * — rebalance and sample in one call. Rows with a null stratum are
+    * dropped (no rate exists for them). Deterministic: the same
+    * (corpus, salt) always yields the same sample.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      temperature: Double, targetFraction: Double = 1.0,
+      salt: String = "graft"): DataFrame =
+    mixtureSample(df, idCol, stratumCol,
+      temperatureMixtureRates(df, stratumCol, temperature, targetFraction),
+      defaultRate = 0.0, salt = salt)
+
   /** Corpus vocabulary: the `k` most frequent tokens with a
     * deterministic tie-break (count desc, token asc). Partial
     * aggregation collapses per-partition duplicates map-side; the final

@@ -425,6 +425,42 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 5L, 1L, "h i j k l")))
   }
 
+  test("temperatureMixtureRates: alpha smoothing, cap, and expected size") {
+    import spark.implicits._
+    // planted counts 100 / 400: T=2 → weights 10 / 20 → target shares
+    // 1/3 / 2/3
+    val df = ((0 until 100).map(i => (i.toLong, "small")) ++
+      (0 until 400).map(i => (1000L + i, "big"))).toDF("doc_id", "source")
+    val r = CorpusAnalysis.temperatureMixtureRates(df, "source",
+      temperature = 2.0, targetFraction = 0.5)
+    // targetN = 250: small keeps 250·(1/3)/100, big 250·(2/3)/400
+    assert(math.abs(r("small") - 250.0 / 3 / 100) < 1e-12, r.toString)
+    assert(math.abs(r("big") - 500.0 / 3 / 400) < 1e-12, r.toString)
+    // low-resource source's keep rate must EXCEED its natural share —
+    // that is what the temperature is for
+    assert(r("small") > r("big"))
+    // saturation: at targetFraction 1.0 the small source would need
+    // rate 5/3 — capped at 1, big stays below
+    val full = CorpusAnalysis.temperatureMixtureRates(df, "source",
+      temperature = 2.0, targetFraction = 1.0)
+    assert(full("small") == 1.0 && full("big") < 1.0, full.toString)
+    // T=1 is natural proportions: every rate = targetFraction
+    val nat = CorpusAnalysis.temperatureMixtureRates(df, "source",
+      temperature = 1.0, targetFraction = 0.5)
+    assert(nat.values.forall(v => math.abs(v - 0.5) < 1e-12), nat.toString)
+    // end-to-end: deterministic, and null strata are dropped
+    val withNull = df.unionByName(
+      Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    val s1 = CorpusAnalysis.temperatureSample(withNull, "doc_id", "source",
+      temperature = 2.0, targetFraction = 0.5, salt = "t").collect()
+    val s2 = CorpusAnalysis.temperatureSample(withNull, "doc_id", "source",
+      temperature = 2.0, targetFraction = 0.5, salt = "t").collect()
+    assert(s1.map(_.getLong(0)).toSet == s2.map(_.getLong(0)).toSet)
+    assert(!s1.exists(_.getLong(0) == 9999L))
+    // realized size is near the 250-doc target (hash sampling variance)
+    assert(s1.length > 200 && s1.length < 300, s1.length.toString)
+  }
+
   test("curate: stages chain, attrition is monotone, report is stable") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
