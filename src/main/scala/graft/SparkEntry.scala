@@ -340,6 +340,18 @@ object SparkEntry {
         rates = Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25),
         defaultRate = 0.05, salt = "seed1")),
 
+    // C4-style line-level boilerplate scrub: every doc gets a shared
+    // footer (banned at minCount=3) and a unique line (kept); the base
+    // text line is banned exactly when the doc is an exact duplicate
+    // occurring >= 3 times
+    "q_dedup_lines" -> ((s, dir) =>
+      CorpusAnalysis.removeRepeatedLines(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", col("text"), lit("BOILERPLATE FOOTER"),
+            concat(lit("unique line "), col("doc_id").cast("string")))
+            .as("text")),
+        "doc_id", "text", minCount = 3)),
+
     // temperature-weighted mixture: rates derived from per-source
     // counts (alpha = 1/2 smoothing, half the corpus as target)
     "q_temperature_sample" -> ((s, dir) =>
@@ -1384,6 +1396,30 @@ object SparkEntry {
          |     WHEN 'src3' THEN ${CorpusAnalysis.rateThreshold(0.25)}
          |     ELSE ${CorpusAnalysis.rateThreshold(0.05)} END)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Line-level dedup: same planted construction, same count → ban →
+    // anti-join → ordered reassembly pipeline in SQL (concat_ws skips
+    // NULL args in both engines; string_split keeps empties; blank
+    // lines exempt via the same space-trim).
+    "q_dedup_lines" ->
+      """WITH src AS (
+        |  SELECT doc_id, concat_ws(chr(10), text, 'BOILERPLATE FOOTER',
+        |    'unique line ' || CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, u.i AS pos, ls[u.i] AS line FROM (
+        |    SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        |    FROM src) t,
+        |    unnest(generate_series(1, len(t.ls))) AS u(i)),
+        |b AS (SELECT line FROM l WHERE trim(line) <> ''
+        |      GROUP BY 1 HAVING count(*) >= 3),
+        |k AS (SELECT * FROM l
+        |      WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.line = l.line)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |        FROM k GROUP BY 1)
+        |SELECT s.doc_id, coalesce(agg.text, '') AS text
+        |FROM src s LEFT JOIN agg USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Temperature mixture: the rate derivation (per-source counts →
     // alpha-smoothed weights → capped keep rates) replicated in SQL

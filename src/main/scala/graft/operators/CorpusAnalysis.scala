@@ -240,6 +240,47 @@ object CorpusAnalysis {
       temperatureMixtureRates(df, stratumCol, temperature, targetFraction),
       defaultRate = 0.0, salt = salt)
 
+  /** Corpus-wide repeated-LINE removal — the C4/RefinedWeb-style
+    * boilerplate scrub at line granularity: any line occurring at
+    * least `minCount` times across the corpus (within-doc repeats
+    * included) is deleted from every doc; remaining lines keep their
+    * original order. Blank lines (empty after space-trim) are exempt —
+    * they occur everywhere and removing them would collapse paragraph
+    * structure, not boilerplate. Returns (idCol, textCol) — one row
+    * per input doc, empty string when every line was removed or the
+    * text was null.
+    *
+    * Scale shape: one keyed count over exploded lines builds the
+    * banned set (lines at ≥ minCount — far smaller than the corpus,
+    * AQE broadcasts it when it fits), one anti-join filters instances,
+    * one per-doc aggregation reassembles (collect_list is bounded by
+    * the doc's own line count). No corpus-sized window, no cartesian.
+    */
+  def removeRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 3): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val ids = docs.select(col(idCol).as("id"))
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)))
+      .toDF("id", "pos", "line")
+    val banned = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy(col("line")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("line"))
+    val rebuilt = lines.join(banned, Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("line")))),
+        s => s("line")), "\n").as("__text"))
+    // docs whose every line was banned vanish from the reassembly —
+    // rejoin so every input doc keeps a row
+    ids.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with a
     * deterministic tie-break (count desc, token asc). Partial
     * aggregation collapses per-partition duplicates map-side; the final

@@ -425,6 +425,24 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 5L, 1L, "h i j k l")))
   }
 
+  test("removeRepeatedLines: frequent lines removed, order and blanks kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nFOOTER\n\nbody one"),
+      (2L, "beta\nFOOTER\nbody two"),
+      (3L, "gamma\nFOOTER\nbody three"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CorpusAnalysis.removeRepeatedLines(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // FOOTER occurs 3x -> removed everywhere; the blank line is exempt;
+    // order preserved; null text -> empty doc row survives
+    assert(got(1L) == "alpha\n\nbody one", got(1L))
+    assert(got(2L) == "beta\nbody two")
+    assert(got(3L) == "gamma\nbody three")
+    assert(got(4L) == "")
+    assert(got.size == 4)
+  }
+
   test("temperatureMixtureRates: alpha smoothing, cap, and expected size") {
     import spark.implicits._
     // planted counts 100 / 400: T=2 → weights 10 / 20 → target shares
