@@ -250,6 +250,24 @@ object ScaleSmoke {
       f"(${nVec / tVp}%.0f vecs/s), knnTop1=100/100 planted in $tKnn%.1f s, " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
 
+    // --- line-level boilerplate scrub at 1M docs: every doc gets a
+    // shared FOOTER line (1M occurrences → banned) and a unique line
+    // (kept); base text lines occur at most twice per group (base +
+    // exact copy) < minCount 3 → kept. Exact truth: 2 lines per doc out.
+    val t12 = System.nanoTime()
+    val scrubbed = graft.operators.CorpusAnalysis.removeRepeatedLines(
+      docs.select(col("id"), concat_ws("\n", col("text"), lit("FOOTER"),
+        concat(lit("u"), col("id").cast("string"))).as("text")),
+      "id", "text")
+    val lineAgg = scrubbed
+      .select(size(split(col("text"), "\n", -1)).cast("long").as("n"))
+      .agg(count(lit(1)).as("docs"), sum(col("n")).as("lines")).collect()(0)
+    val tLines = (System.nanoTime() - t12) / 1e9
+    require(lineAgg.getLong(0) == nDocs, s"scrub docs ${lineAgg.getLong(0)}")
+    require(lineAgg.getLong(1) == 2L * nDocs, s"scrub lines ${lineAgg.getLong(1)}")
+    println(f"lineScrub: $nDocs docs, footer banned, ${lineAgg.getLong(1)} " +
+      f"lines kept in $tLines%.1f s (${nDocs / tLines}%.0f docs/s)")
+
     // --- centroid assignment at scale: 1024 centroids (the √N counts a
     // web-scale SemDeDup run wants) over 1M vectors with PLANTED cluster
     // structure. Centers are xxhash64-derived (computed once through
