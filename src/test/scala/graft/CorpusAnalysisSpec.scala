@@ -441,6 +441,13 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == "gamma\nbody three")
     assert(got(4L) == "")
     assert(got.size == 4)
+    // within-doc repeats count toward the corpus threshold: a single
+    // doc repeating one line 3x bans that line everywhere
+    val solo = Seq((1L, "echo\necho\necho\nkeep me"), (2L, "echo\nother"))
+      .toDF("doc_id", "text")
+    val got2 = CorpusAnalysis.removeRepeatedLines(solo, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(1L) == "keep me" && got2(2L) == "other", got2.toString)
   }
 
   test("temperatureMixtureRates: alpha smoothing, cap, and expected size") {
