@@ -5,9 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},
-  *   "errors":{...},"sf":...}`.
-  * A failing query is recorded under "errors" (and excluded from
-  * "queries"/total) — a broken query must never masquerade as a fast one.
+  *   "errors":{...},"rerun_errors":{...},"over_budget":{...},
+  *   "load_stages":{...},"sf":...}` (also written to
+  * target/bench.json). Keys of "queries"/"errors" are EXACTLY the
+  * SparkEntry query names; rerun failures (median or budget passes)
+  * live only under "rerun_errors". A failing query is recorded under
+  * "errors" (and excluded from "queries"/total) — a broken query must
+  * never masquerade as a fast one. Sub-second queries report the
+  * median of three runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -80,6 +85,24 @@ object Bench {
         case Left(err) => errors(name) = err
       }
     }
+    // Sub-second queries swing up to 2× run-to-run (round-6 data:
+    // q_nfc 0.17↔0.41 s on identical code) — noise bigger than the
+    // signal. Report the MEDIAN of three for them so the checked-in
+    // budgets can sit close to the true cost instead of 2× above it.
+    // Reruns that fail keep the first timing and are recorded under
+    // rerun_errors (never as fake query names).
+    val rerunErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+    for ((name, first) <- timings.toSeq if first < 1.0) {
+      val extra = (1 to 2).flatMap { i =>
+        timedRun(name, SparkEntry.queries(name)) match {
+          case Right(t) => Some(t)
+          case Left(err) =>
+            rerunErrors(s"$name#median$i") = err
+            None
+        }
+      }
+      if (extra.size == 2) timings(name) = (first +: extra).sorted.apply(1)
+    }
     // Regression budget: per-query wall-clock ceilings (prior round's
     // time × 1.5, floored at 0.5 s) checked in as BENCH_BUDGET.json.
     // Single runs swing ±30% (PLANS.md), so a query over its ceiling is
@@ -113,7 +136,9 @@ object Bench {
         timedRun(name, SparkEntry.queries(name)) match {
           case Right(t) => t
           case Left(err) =>
-            errors(s"${name}_rerun$i") = err
+            // separate map: a driver that treats error keys as query
+            // names must never see synthetic "<query>_rerunN" entries
+            rerunErrors(s"$name#budget$i") = err
             Double.PositiveInfinity
         }
       }
@@ -135,16 +160,23 @@ object Bench {
         Map.empty
       }
 
-    val qs = timings.map { case (k, v) => s"${jsonStr(k)}:$v" }
+    // 3-decimal timings: ms resolution is below run-to-run noise, and
+    // the compact line must fit the driver's bounded stdout tail
+    // capture in one piece (round 6's full-precision line got its
+    // first four queries truncated away)
+    def num(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => s"${jsonStr(k)}:${num(v)}" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
       .mkString("{", ",", "}")
+    val re = rerunErrors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}")
     val st = stages.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
-    val ob = overBudget.map { case (k, v) => s"${jsonStr(k)}:$v" }
+      .map { case (k, v) => s"${jsonStr(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val ob = overBudget.map { case (k, v) => s"${jsonStr(k)}:${num(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"over_budget":$ob,"load_stages":$st,"sf":${jsonStr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$es,"rerun_errors":$re,"over_budget":$ob,"load_stages":$st,"sf":${jsonStr(sfDir)}}"""
     println(line)
     // Also persist to a file: the stdout line rides inside sbt's [info]
     // noise and has proven fragile to parse driver-side.

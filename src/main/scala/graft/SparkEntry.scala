@@ -1397,24 +1397,27 @@ object SparkEntry {
          |     ELSE ${CorpusAnalysis.rateThreshold(0.05)} END)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
-    // Line-level dedup: same planted construction, same count → ban →
-    // anti-join → ordered reassembly pipeline in SQL (concat_ws skips
-    // NULL args in both engines; string_split keeps empties; blank
-    // lines exempt via the same space-trim).
+    // Line-level dedup: same planted construction, same hash-keyed
+    // count → ban → semi-join pipeline in SQL (concat_ws skips NULL
+    // args in both engines; string_split keeps empties; blank lines
+    // exempt via the same space-trim; the ban set keys on the SAME
+    // md5-60 the engine shuffles on, so a hash collision would change
+    // both sides identically).
     "q_dedup_lines" ->
-      """WITH src AS (
+      s"""WITH src AS (
         |  SELECT doc_id, concat_ws(chr(10), text, 'BOILERPLATE FOOTER',
         |    'unique line ' || CAST(doc_id AS VARCHAR)) AS text
         |  FROM documents),
         |l AS (
-        |  SELECT doc_id, u.i AS pos, ls[u.i] AS line FROM (
+        |  SELECT doc_id, u.i AS pos, ls[u.i] AS line,
+        |    ${H60("ls[u.i]")} AS h FROM (
         |    SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
         |    FROM src) t,
         |    unnest(generate_series(1, len(t.ls))) AS u(i)),
-        |b AS (SELECT line FROM l WHERE trim(line) <> ''
+        |b AS (SELECT h FROM l WHERE trim(line) <> ''
         |      GROUP BY 1 HAVING count(*) >= 3),
         |k AS (SELECT * FROM l
-        |      WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.line = l.line)),
+        |      WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.h = l.h)),
         |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |        FROM k GROUP BY 1)
         |SELECT s.doc_id, coalesce(agg.text, '') AS text

@@ -226,8 +226,11 @@ object VectorKernels {
     * the formulation it replaces (parity pinned by
     * `VectorKernelParitySpec`). Degenerate vectors (wrong length or a
     * null element — uniform across centroids since all centroids share
-    * `dim`) yield null distances: output is the first n cids ascending
-    * with null `d`, matching the old array_sort of all-null-d structs.
+    * `dim`) return NULL (the whole result, not null-d structs): the
+    * consumer's `element_at(..., 1)('cid')` then lands them in the
+    * null cluster exactly like whole-null vectors, and
+    * `assignCentroidsJoin` parity holds (its null-distance filter
+    * emits no row for them either — no pairs on either path).
     * NaN elements make every distance NaN: compared via
     * `Double.compare` (all equal), so the cid tie-break decides —
     * Spark's own NaN-consistent ordering.
@@ -244,15 +247,8 @@ object VectorKernels {
         j += 1
       }
     }
+    if (degenerate) return null
     val out = new Array[Any](nn)
-    if (degenerate) {
-      var i = 0
-      while (i < nn) {
-        out(i) = org.apache.spark.sql.catalyst.InternalRow(null, cids(i))
-        i += 1
-      }
-      return new GenericArrayData(out)
-    }
     val vv = new Array[Double](dim)
     var j = 0
     while (j < dim) { vv(j) = readD(v, j, code); j += 1 }
@@ -447,6 +443,11 @@ case class NearestCentroidsExpr(child: Expression, flat: Array[Double],
     "centroid ids must be strictly increasing (sort by cid first)")
 
   override def prettyName: String = "nearest_centroids_native"
+  // nullable even over a non-null child: degenerate vectors (wrong dim
+  // or a null element) yield a NULL result — see VectorKernels
+  // .nearestCentroids — so they group with whole-null vectors instead
+  // of being mis-assigned to the lowest real cid
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("d", DoubleType, nullable = true),
     StructField("cid", IntegerType, nullable = false))), containsNull = false)
@@ -467,9 +468,16 @@ case class NearestCentroidsExpr(child: Expression, flat: Array[Double],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
     val cidsRef = ctx.addReferenceObj("centCids", cids, "int[]")
-    defineCodeGen(ctx, ev, v =>
-      s"graft.expressions.VectorKernels.nearestCentroids($v, $flatRef, " +
-        s"$cidsRef, $dim, $n, $code)")
+    nullSafeCodeGen(ctx, ev, v => {
+      val res = ctx.freshName("nearest")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.expressions.VectorKernels.nearestCentroids($v, $flatRef,
+         |    $cidsRef, $dim, $n, $code);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =

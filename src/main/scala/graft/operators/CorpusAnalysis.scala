@@ -183,10 +183,13 @@ object CorpusAnalysis {
   def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = "graft"): DataFrame = {
+    // compare on the string form so a non-string stratum column (int
+    // source ids are common) matches the string-keyed rates map — the
+    // same canonicalization temperatureMixtureRates uses
     val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
       case (acc, (stratum, rate)) =>
-        when(col(stratumCol) === stratum, lit(rateThreshold(rate)))
-          .otherwise(acc)
+        when(col(stratumCol).cast("string") === stratum,
+          lit(rateThreshold(rate))).otherwise(acc)
     }
     df.filter(
       TextFunctions.md5Hash60(
@@ -213,7 +216,11 @@ object CorpusAnalysis {
     require(temperature > 0.0, s"temperature must be > 0, got $temperature")
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       s"targetFraction must be in (0, 1], got $targetFraction")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    // group on the STRING form of the stratum: integer/date source ids
+    // work instead of throwing ClassCastException at getString, and the
+    // returned map keys match mixtureSample's string comparison
+    val counts = df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("n"))
       .collect()
       .flatMap(r => if (r.isNullAt(0)) None
         else Some(r.getString(0) -> r.getLong(1)))
@@ -250,35 +257,55 @@ object CorpusAnalysis {
     * per input doc, empty string when every line was removed or the
     * text was null.
     *
-    * Scale shape: one keyed count over exploded lines builds the
-    * banned set (lines at ≥ minCount — far smaller than the corpus,
-    * AQE broadcasts it when it fits), one anti-join filters instances,
-    * one per-doc aggregation reassembles (collect_list is bounded by
-    * the doc's own line count). No corpus-sized window, no cartesian.
+    * Scale shape — every wide step keys on the 8-byte [[TextFunctions
+    * .md5Hash60]] of the line, NEVER the raw string (the same
+    * derivation [[repetitionScores]]/[[dupSpans]] use), and line TEXT
+    * never rides a shuffle:
+    *   1. ban count: groupBy(hash) over exploded lines — map-side
+    *      partial agg, shuffle = distinct 8-byte hashes + counts;
+    *   2. banned-instance positions: semi-join of (id, pos, hash)
+    *      against the banned hash set (far smaller than the corpus —
+    *      AQE broadcasts it when it fits), then a per-doc
+    *      collect_list(pos) whose shuffle carries only the BANNED
+    *      instances' (id, pos) pairs;
+    *   3. reassembly: the original doc row joins its banned-position
+    *      array (one small row per AFFECTED doc — broadcast-sized in
+    *      any real corpus) and drops those positions with a narrow
+    *      array filter over its own text — no re-shuffle of lines,
+    *      no per-line collect.
+    * No corpus-sized window, no cartesian; worst case (banned set
+    * and position table both over broadcast threshold) is ONE
+    * corpus-text shuffle keyed by doc id, versus the three raw-string
+    * line shuffles of the naive count→anti-join→regroup plan.
+    * 60-bit hash keying: a collision would ban a unique line alongside
+    * a genuinely repeated one — at P ≈ 2^-60 per pair, noise far below
+    * any corpus signal (and the DuckDB oracle replicates the identical
+    * hash, so the gate stays bit-exact).
     */
   def removeRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
       minCount: Int = 3): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val ids = docs.select(col(idCol).as("id"))
-    val lines = docs
-      .select(col(idCol).as("id"),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t0"))
+    val lines = base
+      .select(col("id"), posexplode(split(coalesce(col("__t0"), lit("")), "\n", -1)))
       .toDF("id", "pos", "line")
+      .select(col("id"), col("pos"), trim(col("line")).as("__trim"),
+        TextFunctions.md5Hash60(col("line")).as("__h"))
     val banned = lines
-      .filter(trim(col("line")) =!= "")
-      .groupBy(col("line")).agg(count(lit(1)).as("n"))
+      .filter(col("__trim") =!= "")
+      .groupBy(col("__h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .select(col("line"))
-    val rebuilt = lines.join(banned, Seq("line"), "left_anti")
+      .select(col("__h"))
+    val bannedPos = lines
+      .join(banned, Seq("__h"), "left_semi")
       .groupBy(col("id"))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("pos"), col("line")))),
-        s => s("line")), "\n").as("__text"))
-    // docs whose every line was banned vanish from the reassembly —
-    // rejoin so every input doc keeps a row
-    ids.join(rebuilt, Seq("id"), "left")
+      .agg(collect_list(col("pos")).as("__bp"))
+    base.join(bannedPos, Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("__text"), lit("")).as(textCol))
+        array_join(
+          filter(split(coalesce(col("__t0"), lit("")), "\n", -1),
+            (_, i) => !coalesce(array_contains(col("__bp"), i), lit(false))),
+          "\n").as(textCol))
   }
 
   /** Corpus vocabulary: the `k` most frequent tokens with a

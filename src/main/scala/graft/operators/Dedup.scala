@@ -671,8 +671,13 @@ object Dedup {
     * doc's columns, expired by the watermark) turns row-level matches
     * into the keep/drop decision — the in-plan substitute for the
     * stream-stream anti-join Spark doesn't support. State is one
-    * counter per in-flight doc; emission waits for the watermark (the
-    * append-mode trade every watermarked aggregation makes). Corpus
+    * counter per in-flight doc, KEYED BY THE FULL STREAM ROW — text
+    * included — so per-doc state is O(doc size) until the watermark
+    * expires it; acceptable for in-flight docs (state holds only the
+    * un-emitted window), but a very-long-doc feed can key on
+    * (id, hash(text)) upstream and join text back after. Emission
+    * waits for the watermark (the append-mode trade every watermarked
+    * aggregation makes). Corpus
     * buckets over `maxBucket` members are degenerate boilerplate and
     * dropped at index build, as in [[minHashNearDupPairs]]; note the
     * cap here bounds the CORPUS side only — the stream side never
@@ -722,9 +727,8 @@ object Dedup {
       .withColumn("__g", grams(col(textCol)))
       .withColumn("__sig", sig(col(textCol)))
       .select(streamCols.map(col) :+ col("__g")
-        :+ posexplode(bandSigs(col("__sig"), bands, rows)): _*)
-      .withColumnRenamed("pos", "__band")
-      .withColumnRenamed("col", "__band_sig")
+        :+ posexplode(bandSigs(col("__sig"), bands, rows))
+          .as(Seq("__band", "__band_sig")): _*)
     val collided = banded
       .join(corpusBuckets, Seq("__band", "__band_sig"), "left")
       .join(corpusGrams, Seq("__cid"), "left")

@@ -321,21 +321,30 @@ object Similarity {
     * centroid values are reproducible only up to summation order —
     * pass EXPLICIT centroids for bit-exact cross-engine pipelines (the
     * `*_int` oracle pattern).
+    *
+    * Degenerate rows — null vector or a null element — are filtered
+    * before init AND before each assignment pass, so a dirty corpus
+    * fits on its clean subset instead of dying in an opaque NPE
+    * (aggregator `a.toArray` / `getInt` on a null cid). Wrong-dim
+    * vectors that survive that filter get a null cid from the kernel
+    * and drop out at the same assignment filter.
     */
   def kmeansCentroidsDistributed(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
     graft.expressions.VectorHashExprs.register(corpus.sparkSession)
     val vecs = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
     val init = vecs.orderBy(col("id")).limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
-    require(init.length >= k, s"need at least $k vectors")
+    require(init.length >= k, s"need at least $k non-degenerate vectors")
     var cents = init.zipWithIndex.map { case (v, i) => (i, v) }
     val vecSum = udaf(new VecSumAggregator)
     for (_ <- 0 until iters) {
       val sums = vecs
         .select(element_at(nearestCentroids(cents, col("v"), 1), 1)("cid").as("cid"),
           col("v"))
+        .filter(col("cid").isNotNull) // wrong-dim rows: kernel → null cid
         .groupBy(col("cid"))
         .agg(vecSum(col("v")).as("sum"), count(lit(1)).as("n"))
         .collect()

@@ -486,6 +486,26 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.length > 200 && s1.length < 300, s1.length.toString)
   }
 
+  test("temperatureMixtureRates: non-string stratum columns work (string-canonicalized)") {
+    import spark.implicits._
+    // integer source ids — the groupBy casts to string instead of
+    // throwing ClassCastException at getString, and the returned keys
+    // are the string forms mixtureSample compares against
+    val df = ((0 until 100).map(i => (i.toLong, 7)) ++
+      (0 until 400).map(i => (1000L + i, 42))).toDF("doc_id", "source")
+    val r = CorpusAnalysis.temperatureMixtureRates(df, "source",
+      temperature = 2.0, targetFraction = 0.5)
+    assert(r.keySet == Set("7", "42"), r.toString)
+    assert(math.abs(r("7") - 250.0 / 3 / 100) < 1e-12, r.toString)
+    // end-to-end: the sample draws from BOTH integer strata (the CASE
+    // comparison canonicalizes the column the same way)
+    val s = CorpusAnalysis.temperatureSample(df, "doc_id", "source",
+      temperature = 2.0, targetFraction = 0.5, salt = "t").collect()
+    val bySrc = s.map(_.getInt(1)).groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(bySrc.keySet == Set(7, 42) && s.length > 200 && s.length < 300,
+      s"${bySrc.toString} n=${s.length}")
+  }
+
   test("curate: stages chain, attrition is monotone, report is stable") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))

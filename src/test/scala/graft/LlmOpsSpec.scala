@@ -343,12 +343,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
-    // a whole-null vector must yield no pairs on EITHER path (kernel:
-    // null cluster, verification discards; join: null distances
-    // filtered before assignment) — and must not pollute a real cluster
-    val withNull = emb.unionByName(planted).unionByName(
-      emb.limit(1).select(lit(200000L).as("vec_id"),
+    // degenerate vectors — whole-null, wrong-dim, null-element — must
+    // yield no pairs on EITHER path (kernel: null result → null
+    // cluster, verification discards; join: null distances filtered
+    // before assignment) and must not pollute a real cluster or push
+    // one over maxCluster
+    val withNull = emb.unionByName(planted)
+      .unionByName(emb.limit(1).select(lit(200000L).as("vec_id"),
         lit(null).cast("array<float>").as("embedding")))
+      .unionByName(emb.limit(1).select(lit(200001L).as("vec_id"),
+        array(lit(1.0f), lit(2.0f)).as("embedding")))
+      .unionByName(emb.limit(1).select(lit(200002L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, lit(null).cast("float")).otherwise(x)).as("embedding")))
     val df = withNull
     val cents = emb.filter(col("vec_id") < 4).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0).toInt,
@@ -362,7 +369,8 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaJoin = pairSet(Dedup.semanticDupPairsJoin(df, "vec_id", "embedding",
       centsDf, threshold = 0.99))
     assert(viaKernel.nonEmpty && viaKernel == viaJoin)
-    assert(!viaJoin.exists(p => p._1 == 200000L || p._2 == 200000L))
+    assert(!viaJoin.exists(p => p._1 >= 200000L || p._2 >= 200000L))
+    assert(!viaKernel.exists(p => p._1 >= 200000L || p._2 >= 200000L))
     // an empty centroid set fails loudly on both paths
     intercept[IllegalArgumentException](Dedup.semanticDupPairsJoin(
       df, "vec_id", "embedding", centsDf.limit(0), threshold = 0.99))

@@ -212,21 +212,25 @@ class VectorKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("nearestCentroids degenerate vectors: null distances, cid-ascending") {
+  test("nearestCentroids degenerate vectors: NULL result, like whole-null input") {
     val cents = Array(0 -> Array(1.0, 2.0, 3.0), 1 -> Array(4.0, 5.0, 6.0))
     val df = nullableArrayDf(Seq("v"), Seq(
       Row(Seq(1.0, 2.0)),            // wrong length
       Row(Seq[Any](1.0, null, 3.0)), // null element
       Row(null)))                    // whole-vector null
+    // all three degenerate shapes collapse to a null result, so
+    // element_at(..., 1)('cid') parks every one of them in the NULL
+    // cluster — never the lowest real cid (regression: null-d structs
+    // used to carry real cids)
     val rows = df.select(
-      VectorHashExprs.nearestCentroidsNative(col("v"), cents, 2).as("n"))
+      VectorHashExprs.nearestCentroidsNative(col("v"), cents, 2).as("n"),
+      element_at(VectorHashExprs.nearestCentroidsNative(col("v"), cents, 1),
+        1)("cid").as("cid"))
       .collect()
-    for (i <- 0 to 1) {
-      val s = rows(i).getSeq[Row](0)
-      assert(s.map(_.get(0)) == Seq(null, null), s"row $i: $s")
-      assert(s.map(_.getInt(1)) == Seq(0, 1), s"row $i: $s")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0), s"row $i: ${r.get(0)}")
+      assert(r.isNullAt(1), s"row $i cid: ${r.get(1)}")
     }
-    assert(rows(2).isNullAt(0))
   }
 
   test("assignCentroidsJoin matches the kernel argmin assignment") {
@@ -236,14 +240,30 @@ class VectorKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val cents = e.filter(col("vec_id") < 8).orderBy(col("vec_id")).collect()
       .map(r => r.getLong(0).toInt ->
         r.getSeq[Float](1).map(_.toDouble).toArray)
-    val viaKernel = e.select(col("vec_id").as("id"),
+    // degenerate rows (wrong dim / null element / whole-null): kernel
+    // path gives null cid, join path gives no row — equivalent "no
+    // assignment" on both, so the maps below (null-cid rows dropped)
+    // must still agree
+    val degenerate = nullableArrayDf(Seq("emb"), Seq(
+      Row(Seq(1.0, 2.0)),
+      Row(Seq[Any](1.0, null) ++ Seq.fill(62)(0.5)),
+      Row(null)))
+      .select(monotonically_increasing_id() + 900000L, col("emb"))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    val all = e.unionByName(degenerate)
+    val kernelRows = all.select(col("vec_id").as("id"),
       element_at(VectorHashExprs.nearestCentroidsNative(
         col("embedding"), cents, 1), 1)("cid").as("cid"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect()
+    assert(kernelRows.count(r => r.isNullAt(1)) == 3, "expected 3 null-cid rows")
+    val viaKernel = kernelRows.filterNot(_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val centsDf = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
     val viaJoin = Similarity
-      .assignCentroidsJoin(e, "vec_id", "embedding", centsDf)
+      .assignCentroidsJoin(all, "vec_id", "embedding", centsDf)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(viaKernel == viaJoin)
   }
