@@ -400,6 +400,13 @@ object SparkEntry {
       CorpusAnalysis.dupSpans(docsWithNearDups(s, dir), "doc_id", "text",
         n = 12)),
 
+    // span REMOVAL (ExactSubstr's second half): tokens covered by any
+    // corpus-duplicated 12-token window are dropped from every doc;
+    // the planted near-dups lose everything but their divergent tail
+    "q_dedup_spans_rm" -> ((s, dir) =>
+      CorpusAnalysis.removeDupSpans(docsWithNearDups(s, dir), "doc_id",
+        "text", n = 12)),
+
     // snapshot-vs-corpus incremental dedup (bloom pre-filter + exact
     // anti-join): 60 re-crawled perturbed dups dropped, 60 updated
     // docs kept
@@ -607,6 +614,19 @@ object SparkEntry {
           x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
       Similarity.lshBucketedTopKInt(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 5, planes = 6)
+    }),
+
+    // ANN recall report over the SAME integer-exact LSH run as
+    // q_knn_lsh_int, judged against integer-exact brute force — both
+    // sides bit-replicable, so per-query recall is too
+    "q_recall_lsh_int" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+      val q = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.lshBucketedTopKInt(emb, q,
+        "vec_id", "embedding", 5, planes = 6)
+      Similarity.recallAtK(emb, q, "vec_id", "embedding", 5, approx)
     }),
 
     "q_knn_ivf" -> ((s, dir) => {
@@ -1116,6 +1136,30 @@ object SparkEntry {
          |    THEN CAST(d.dup_spans AS DOUBLE) / d.total_spans
          |    ELSE 0.0 END AS dup_frac
          |FROM src s LEFT JOIN d USING (id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Span removal: same window-hash ban set as q_dup_spans (>= 2
+    // occurrences corpus-wide), then a token is kept iff NO banned
+    // window starting at w in [i-11, i] covers it; reassembly is the
+    // space-joined kept tokens in order — the same token-canonical
+    // output the Spark side produces.
+    "q_dedup_spans_rm" ->
+      s"""WITH src AS ($NearDupDocs),
+         |tk AS (SELECT id, coalesce($Toks, []) AS toks FROM src),
+         |g AS (SELECT id, u.i - 1 AS w,
+         |    ${H60("array_to_string(toks[u.i:u.i+11], ' ')")} AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - 11)) AS u(i)),
+         |b AS (SELECT gh FROM g GROUP BY 1 HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT g.id, u.p
+         |  FROM g JOIN b USING (gh),
+         |    unnest(generate_series(g.w, g.w + 11)) AS u(p)),
+         |tok AS (SELECT id, u.i - 1 AS p, toks[u.i] AS tok
+         |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
+         |kept AS (SELECT tok.id, string_agg(tok.tok, ' ' ORDER BY tok.p) AS text
+         |  FROM tok LEFT JOIN cov ON cov.id = tok.id AND cov.p = tok.p
+         |  WHERE cov.p IS NULL GROUP BY tok.id)
+         |SELECT s.id AS doc_id, coalesce(kept.text, '') AS text
+         |FROM src s LEFT JOIN kept ON kept.id = s.id
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // incremental dedup: the bloom stage is an internal pre-filter
@@ -1833,6 +1877,76 @@ object SparkEntry {
          |      AS INTEGER) AS rank,
          |    neighbor_id, sim
          |  FROM s2) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Recall@5 of the q_knn_lsh_int pipeline against the
+    // q_knn_exact_int brute force — both CTE chains verbatim, joined on
+    // (query_id, neighbor_id); integer-exact both sides, so hits and
+    // recall are bit-exact.
+    "q_recall_lsh_int" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |ts AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(list_zip(q.v, c.v),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(q.v,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(c.v,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |    FROM ts) WHERE rank <= 5),
+         |sig AS (
+         |  SELECT vec_id, v,
+         |    [${(0 until 4).map(LshIntBucket).mkString(",\n     ")}] AS sigs
+         |  FROM e),
+         |tb AS (SELECT unnest(generate_series(0, 3)) AS tbl),
+         |cbk AS (
+         |  SELECT vec_id AS neighbor_id, tb.tbl, sigs[tb.tbl + 1] AS bucket
+         |  FROM sig CROSS JOIN tb),
+         |qpr AS (
+         |  SELECT vec_id AS query_id, tb.tbl,
+         |    unnest([sigs[tb.tbl + 1],
+         |      xor(sigs[tb.tbl + 1], 1), xor(sigs[tb.tbl + 1], 2),
+         |      xor(sigs[tb.tbl + 1], 4), xor(sigs[tb.tbl + 1], 8),
+         |      xor(sigs[tb.tbl + 1], 16), xor(sigs[tb.tbl + 1], 32)]) AS bucket
+         |  FROM sig CROSS JOIN tb WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.neighbor_id
+         |  FROM qpr q JOIN cbk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.query_id <> c.neighbor_id),
+         |s2 AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_sum(list_transform(list_zip(eq.v, ec.v),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(eq.v,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(ec.v,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+         |  FROM cand
+         |  JOIN e eq ON eq.vec_id = cand.query_id
+         |  JOIN e ec ON ec.vec_id = cand.neighbor_id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |    FROM s2) WHERE rank <= 5)
+         |SELECT t.query_id, count(*) AS truth_k,
+         |  count(a.neighbor_id) AS hits,
+         |  CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+         |FROM truth t LEFT JOIN approx a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Integer-exact IVF replica: quantize → centroid argmin (exact
     // integer-valued distances, (dist, cid) tie-break — same assignment

@@ -649,6 +649,66 @@ object CorpusAnalysis {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Span-level duplicate REMOVAL — the second half of ExactSubstr
+    * (Lee et al. 2022 §3; [[dupSpans]] is the scoring half): drop every
+    * token covered by an `n`-token window whose hash occurs at least
+    * `minCount` times corpus-wide (within-doc repeats count, as in
+    * [[removeRepeatedLines]]), from ALL occurrences — the policy for
+    * boilerplate/licence blocks that doc-level dedup cannot see and
+    * line-level scrubbing misses when the repeat isn't line-aligned.
+    * Returns (idCol, textCol), one row per input doc; the output text
+    * is the SPACE-JOINED kept tokens (token-pipeline canonical form —
+    * original whitespace does not survive tokenization, same contract
+    * as [[packTexts]] consumers expect).
+    *
+    * Scale shape mirrors [[removeRepeatedLines]] — wide steps key on
+    * the 8-byte window hash, token text never rides a shuffle:
+    *   1. ban count: groupBy over every window hash WITH multiplicity
+    *      (the native tokenize→window→md5-60 kernel, one codegen'd
+    *      pass; map-side partial agg, 8-byte shuffle keys);
+    *   2. banned-window positions: semi-join (id, w, hash) against the
+    *      banned set (duplicated spans are a small fraction of a real
+    *      corpus — AQE broadcasts), then per-doc collect_list of the
+    *      BANNED window starts only;
+    *   3. removal: the original doc row joins its banned-start array
+    *      (one small row per affected doc) and drops token i iff some
+    *      banned window w covers it (w ≤ i < w+n) — a narrow array
+    *      filter, no re-shuffle of text, no per-token explode-regroup.
+    * Cost of the cover test is |tokens|·|banned starts| per doc —
+    * proportional to the duplication actually present, bounded by
+    * chunked doc sizes; a fully-duplicated doc degrades to quadratic
+    * in ITS OWN length only.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 12, minCount: Int = 2): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t0"))
+    val wins = base
+      .select(col("id"), posexplode(coalesce(
+        graft.expressions.TextHashExprs.ngramHashes(col("__t0"), n,
+          distinct = false),
+        array().cast("array<bigint>")).as("__gh")))
+      .toDF("id", "w", "gh")
+    val banned = wins
+      .groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minCount)
+      .select(col("gh"))
+    val bannedStarts = wins
+      .join(banned, Seq("gh"), "left_semi")
+      .groupBy(col("id"))
+      .agg(collect_list(col("w")).as("__bw"))
+    base.join(bannedStarts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        array_join(
+          filter(coalesce(TextFunctions.tokens(col("__t0")),
+            array().cast("array<string>")),
+            (_, i) => !coalesce(
+              exists(col("__bw"), w => w <= i && i < w + n), lit(false))),
+          " ").as(textCol))
+  }
+
   /** Corpus-frequency document scoring — the oracle-exact core of
     * LM-likelihood quality filtering (CCNet, Wenzek et al. 2020, filters
     * on language-model perplexity; this frequency surrogate keeps every

@@ -356,6 +356,52 @@ object Similarity {
     cents
   }
 
+  /** ANN recall report — the number an approximate-index owner must
+    * monitor at scale (wall time tells you nothing about silently-lost
+    * neighbors): per-query recall@k of an approximate result set
+    * against the exact [[bruteForceTopK]] ground truth on the SAME
+    * (corpus, queries, k). `approx` is any (query_id, neighbor_id)
+    * result — [[lshBucketedTopK]], [[ivfTopK]], their integer twins, or
+    * an external index dump. Returns (query_id, truth_k, hits, recall):
+    * truth_k ≤ k when the corpus has fewer than k non-self neighbors;
+    * recall = hits / truth_k. Queries with NO possible neighbor (corpus
+    * holds only the query itself) have no truth rows and are absent —
+    * recall is undefined for them, not 0. Equal-similarity ties follow
+    * the deterministic (sim DESC, neighbor_id ASC) contract every top-k
+    * here uses, so an approximate method returning a tied-but-different
+    * neighbor counts as a miss in BOTH engines identically (the
+    * q_recall_lsh_int oracle is bit-exact end to end).
+    *
+    * Cost is the brute-force truth itself — which is why recall is
+    * measured on a query SAMPLE (hundreds of queries: Q·N scores, a
+    * broadcast scan that parallelizes linearly) and never the full
+    * query log; the compare/aggregate joins move only Q·k id pairs.
+    */
+  def recallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, approx: DataFrame): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .distinct().withColumn("__hit", lit(1))
+    truth.join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("truth_k"), count(col("__hit")).as("hits"))
+      .select(col("query_id"), col("truth_k"), col("hits"),
+        (col("hits").cast("double") / col("truth_k")).as("recall"))
+  }
+
+  /** One-row aggregate of [[recallAtK]]'s output: (n_queries,
+    * macro_recall = mean of per-query recalls, micro_recall = total
+    * hits / total truth rows). Macro weights every query equally;
+    * micro weights by truth size — report both, they diverge exactly
+    * when recall loss concentrates in a few queries.
+    */
+  def recallReport(perQuery: DataFrame): DataFrame =
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      avg(col("recall")).as("macro_recall"),
+      (sum(col("hits")).cast("double") / sum(col("truth_k")))
+        .as("micro_recall"))
+
   /** Centroid list as an array-of-structs literal tree — input of the
     * HOF REFERENCE form below. k·(dim+1) literal nodes: fine for the
     * handful of centroids the parity spec uses, the reason the

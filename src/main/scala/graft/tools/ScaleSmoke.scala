@@ -268,6 +268,26 @@ object ScaleSmoke {
     println(f"lineScrub: $nDocs docs, footer banned, ${lineAgg.getLong(1)} " +
       f"lines kept in $tLines%.1f s (${nDocs / tLines}%.0f docs/s)")
 
+    // --- span removal (ExactSubstr second half) at 1M docs, exact
+    // planted truth per 10-doc group (30-token docs, n=12 → 19 windows):
+    // base and base+8 are identical → all 19 windows banned → both
+    // scrub to EMPTY; base+9 differs only in token 29 → windows 0..17
+    // banned → exactly 1 token survives; the 7 unique docs keep all 30.
+    // Kept tokens per group = 0 + 0 + 1 + 7·30 = 211.
+    val t13 = System.nanoTime()
+    val spansRm = graft.operators.CorpusAnalysis.removeDupSpans(
+      docs, "id", "text", n = 12)
+    val spanAgg = spansRm
+      .select(when(col("text") === "", lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast("long")).as("n"))
+      .agg(count(lit(1)).as("docs"), sum(col("n")).as("toks")).collect()(0)
+    val tSpans = (System.nanoTime() - t13) / 1e9
+    require(spanAgg.getLong(0) == nDocs, s"spanRm docs ${spanAgg.getLong(0)}")
+    require(spanAgg.getLong(1) == 211L * nDocs / 10,
+      s"spanRm kept tokens ${spanAgg.getLong(1)} of ${211L * nDocs / 10}")
+    println(f"spanRemoval: $nDocs docs, ${spanAgg.getLong(1)} tokens kept " +
+      f"in $tSpans%.1f s (${nDocs / tSpans}%.0f docs/s)")
+
     // --- centroid assignment at scale: 1024 centroids (the √N counts a
     // web-scale SemDeDup run wants) over 1M vectors with PLANTED cluster
     // structure. Centers are xxhash64-derived (computed once through

@@ -450,6 +450,40 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2(1L) == "keep me" && got2(2L) == "other", got2.toString)
   }
 
+  test("removeDupSpans: covered tokens dropped everywhere, short docs intact") {
+    import spark.implicits._
+    // docs 1 and 2 share a 4-token block (SPAN a b c) embedded in
+    // otherwise-unique text; n=3 bans the 2 windows inside the block
+    // plus the boundary windows that also repeat — here the shared
+    // region is exactly tokens 1..4 in doc1 and 0..3 in doc2
+    val docs = Seq(
+      (1L, "pre SPAN a b c post1 tail1"),
+      (2L, "SPAN a b c post2 tail2"),
+      (3L, "totally unrelated words here"),
+      (4L, "tiny doc"), // < n tokens: no windows, tokens all kept
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CorpusAnalysis.removeDupSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // shared windows: (SPAN a b) and (a b c) occur twice each → banned;
+    // they cover tokens SPAN/a/b/c in both docs; neighbors survive
+    assert(got(1L) == "pre post1 tail1", got(1L))
+    assert(got(2L) == "post2 tail2", got(2L))
+    assert(got(3L) == "totally unrelated words here")
+    assert(got(4L) == "tiny doc")
+    assert(got(5L) == "")
+    assert(got.size == 5)
+    // within-doc repetition reaches the ban threshold on its own
+    val solo = Seq(
+      (1L, "x y z mid x y z"),
+      (2L, "x y q other stuff")).toDF("doc_id", "text")
+    val got2 = CorpusAnalysis.removeDupSpans(solo, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // (x y z) occurs twice IN doc 1 → banned; covers tokens 0-2 and
+    // 4-6, leaving "mid"; doc 2 shares no full 3-token window
+    assert(got2(1L) == "mid", got2(1L))
+    assert(got2(2L) == "x y q other stuff")
+  }
+
   test("temperatureMixtureRates: alpha smoothing, cap, and expected size") {
     import spark.implicits._
     // planted counts 100 / 400: T=2 → weights 10 / 20 → target shares

@@ -335,6 +335,54 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"auto=$autoStats fixed=$fixedStats")
   }
 
+  test("recallAtK: exact on planted partners, exposes an oversized-geometry collapse") {
+    graft.expressions.VectorHashExprs.register(spark)
+    val n = 20000
+    // 64-dim so 20k RANDOM vectors stay well-separated (max random
+    // cosine ≈ 0.5) while the planted partner sits at cosine ≈ 0.89 —
+    // unambiguous top-1 truth, but far enough to make plane count
+    // matter
+    def comp(j: Int, salt: String): org.apache.spark.sql.Column =
+      pmod(xxhash64(col("id").cast("string"), lit(j), lit(salt)), lit(1000L))
+        .cast("double") / 500.0 - 1.0
+    val base = spark.range(n).select(col("id"),
+      array((0 until 64).map(j => comp(j, "b")): _*).as("v"))
+    // partners are NEAR-duplicates (every component jittered by ±0.5
+    // uniform — per-plane sign-flip probability ≈ 0.15), not exact
+    // copies: exactly the regime where plane count trades recall
+    // against bucket size and multi-probe stops bailing the geometry
+    // out
+    val planted = base.filter(col("id") < 50)
+      .select((col("id") + 100000L).as("id"),
+        array((0 until 64).map(j =>
+          element_at(col("v"), j + 1) + comp(j, "d") * 0.5): _*).as("v"))
+    val df = base.unionByName(planted)
+    val queries = df.filter(col("id") >= 100000L)
+    def recallOf(planes: Int): Double = {
+      val approx = Similarity.lshBucketedTopK(df, queries, "id", "v",
+        k = 1, planes = planes)
+      val rep = Similarity.recallReport(
+        Similarity.recallAtK(df, queries, "id", "v", 1, approx)).collect()(0)
+      assert(rep.getLong(0) == 50, s"expected 50 queries, got $rep")
+      rep.getDouble(2)
+    }
+    // auto geometry (planes=0 → ~log2(20k/64) ≈ 9): near-total recall
+    // of the planted top-1 partners at bucket sizes a capped consumer
+    // tolerates (the capped-generator side of the same trade is pinned
+    // by the auto-vs-fixed embeddingNearDupPairs test above — fixed-6
+    // buckets hold ~312 members there and get dropped wholesale)
+    val auto = recallOf(0)
+    assert(auto >= 0.9, s"auto-geometry recall $auto")
+    // the OTHER failure mode recall monitoring exists to catch: a
+    // too-fine 24-plane geometry (16M buckets for 20k vectors)
+    // scatters near-dup partners across buckets and recall collapses —
+    // wall time looks great, the index is useless; only a recall
+    // report sees it
+    val oversized = recallOf(24)
+    assert(oversized < auto, s"oversized=$oversized auto=$auto")
+    assert(oversized <= 0.6, s"expected a recall collapse, got $oversized")
+  }
+
   test("semanticDupPairsJoin matches the kernel-assignment path exactly") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
