@@ -463,14 +463,27 @@ object CorpusAnalysis {
   private def curateStageFns(b0: DataFrame, minTokens: Int,
       wantedLang: String, minQuality: Double, nearDupThreshold: Double,
       contamN: Int, contamMinShared: Int, sampleRate: Double,
-      salt: String): Seq[(String, DataFrame => DataFrame)] = Seq(
+      salt: String, nearDupMaxBucket: Int,
+      onStats: (String, Seq[Dedup.BucketStats]) => Unit = (_, _) => ())
+      : Seq[(String, DataFrame => DataFrame)] = Seq(
     "1_gate" -> ((d: DataFrame) => d.join(
       qualityGate(d, "id", "text", minTokens, wantedLang, minQuality)
         .filter(col("keep")).select("id"), Seq("id"))),
     "2_exact_dedup" -> ((d: DataFrame) => Dedup.exactDedup(d, "id", "text")),
-    "3_near_dedup" -> ((d: DataFrame) => Dedup.nearDedup(d, "id",
-      Dedup.minHashNearDupPairs(d, "id", "text",
-        threshold = nearDupThreshold))),
+    "3_near_dedup" -> ((d: DataFrame) => {
+      // The clustering loop consumes the pairs via its own internal
+      // checkpoints, which silently discards the generator's observe
+      // metrics — so the pairs are cached and flushed through ONE
+      // listener-visible count first (the cache-populating action;
+      // the loop then reads the cache, so the generator still runs
+      // once), and the stats reach the caller through the callback.
+      val pairs = Dedup.minHashNearDupPairs(d, "id", "text",
+        threshold = nearDupThreshold, maxBucket = nearDupMaxBucket).cache()
+      try {
+        onStats("3_near_dedup", Dedup.bucketStatsViaAction(pairs))
+        Dedup.nearDedup(d, "id", pairs)
+      } finally pairs.unpersist(false)
+    }),
     "4_decontaminate" -> ((d: DataFrame) => d.join(
       contamination(d, b0, "id", "text", contamN, contamMinShared)
         .select(col("id")).distinct(), Seq("id"), "left_anti")),
@@ -485,11 +498,37 @@ object CorpusAnalysis {
         .select(lit(name).as("stage"), col("docs_in"), col("docs_out"))
     }.reduce(_.unionByName(_))
 
+  /** [[curate]]'s report plus the [[Dedup.BucketStats]] of every capped
+    * candidate generator that ran inside a stage, tagged by stage name —
+    * the observability the attrition table alone lacks: a near-dedup
+    * stage whose buckets were dropped UNDER-deduplicates silently
+    * (docs_out looks plausibly high), and only buckets_dropped > 0
+    * distinguishes that from a genuinely low-duplication corpus.
+    */
+  final case class CurateResult(report: DataFrame,
+      bucketStats: Seq[(String, Dedup.BucketStats)])
+
   def curate(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, minTokens: Int = 15, wantedLang: String = "en",
       minQuality: Double = 0.75, nearDupThreshold: Double = 0.8,
       contamN: Int = 8, contamMinShared: Int = 1,
-      sampleRate: Double = 0.5, salt: String = "curate"): DataFrame = {
+      sampleRate: Double = 0.5, salt: String = "curate",
+      nearDupMaxBucket: Int = 1000): DataFrame =
+    curateWithStats(docs, bench, idCol, textCol, minTokens, wantedLang,
+      minQuality, nearDupThreshold, contamN, contamMinShared, sampleRate,
+      salt, nearDupMaxBucket).report
+
+  /** [[curate]] returning the report AND per-stage bucket stats (see
+    * [[CurateResult]]). Stats are read after each stage's checkpoint
+    * materializes it, so they reflect the execution that produced the
+    * stage corpus.
+    */
+  def curateWithStats(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minTokens: Int = 15, wantedLang: String = "en",
+      minQuality: Double = 0.75, nearDupThreshold: Double = 0.8,
+      contamN: Int = 8, contamMinShared: Int = 1,
+      sampleRate: Double = 0.5, salt: String = "curate",
+      nearDupMaxBucket: Int = 1000): CurateResult = {
     // d0 is NOT checkpointed: it is a bare column-pruned scan — cheaper
     // to re-read than to materialize (the checkpoints below guard the
     // expensive derived stages, not the source)
@@ -497,8 +536,10 @@ object CorpusAnalysis {
       col(textCol).as("text"))
     val b0 = bench.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
+    val stats = Seq.newBuilder[(String, Dedup.BucketStats)]
     val fns = curateStageFns(b0, minTokens, wantedLang, minQuality,
-      nearDupThreshold, contamN, contamMinShared, sampleRate, salt)
+      nearDupThreshold, contamN, contamMinShared, sampleRate, salt,
+      nearDupMaxBucket, (stage, st) => stats ++= st.map(stage -> _))
     var cur = d0
     val stages = fns.map { case (name, fn) =>
       // the last stage is read once (by the report) — no checkpoint
@@ -507,7 +548,7 @@ object CorpusAnalysis {
       cur = out
       row
     }
-    attritionReport(stages)
+    CurateResult(attritionReport(stages), stats.result())
   }
 
   /** [[curate]] with every stage PERSISTED to `stageDir` — the 100 TB
@@ -523,21 +564,85 @@ object CorpusAnalysis {
     * one extra corpus-sized write that freezes the input against
     * concurrent mutation for the run's lifetime and keeps the resumed
     * report's `1_gate` row honest without re-touching the source.
-    * Returns the report read back from storage; stage params must match
-    * across resume calls (they are not validated against the persisted
-    * outputs).
+    * Returns the report read back from storage.
+    *
+    * Stage parameters are persisted to `<stageDir>/_graft_params.json`
+    * on the first run and VALIDATED on every resume: resuming with any
+    * parameter changed fails loudly (persisted stage outputs embody the
+    * old parameters — silently mixing regimes across stages is the
+    * worst failure mode a restartable pipeline can have). Delete the
+    * stage directory to rerun under new parameters. Each stage also
+    * persists its capped-generator [[Dedup.BucketStats]] next to its
+    * schema sidecar, so a RESUMED run still reports the drop counts of
+    * stages it skipped (see [[curatePersistedWithStats]]).
     */
   def curatePersisted(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, stageDir: String, minTokens: Int = 15,
       wantedLang: String = "en", minQuality: Double = 0.75,
       nearDupThreshold: Double = 0.8, contamN: Int = 8,
       contamMinShared: Int = 1, sampleRate: Double = 0.5,
-      salt: String = "curate"): DataFrame = {
+      salt: String = "curate", nearDupMaxBucket: Int = 1000): DataFrame =
+    curatePersistedWithStats(docs, bench, idCol, textCol, stageDir,
+      minTokens, wantedLang, minQuality, nearDupThreshold, contamN,
+      contamMinShared, sampleRate, salt, nearDupMaxBucket).report
+
+  /** [[curatePersisted]] returning the report AND per-stage bucket
+    * stats. Computed stages read the stats off their own execution;
+    * skipped (resumed) stages read the `_graft_buckets.json` sidecar
+    * their original run persisted — the drop counts survive restarts
+    * along with the data.
+    */
+  def curatePersistedWithStats(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, stageDir: String, minTokens: Int = 15,
+      wantedLang: String = "en", minQuality: Double = 0.75,
+      nearDupThreshold: Double = 0.8, contamN: Int = 8,
+      contamMinShared: Int = 1, sampleRate: Double = 0.5,
+      salt: String = "curate", nearDupMaxBucket: Int = 1000): CurateResult = {
     val spark = docs.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    def writeFile(p: org.apache.hadoop.fs.Path, content: String): Unit = {
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def readFile(p: org.apache.hadoop.fs.Path): String = {
+      val in = p.getFileSystem(conf).open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // ---- params sidecar: write once, fail-loud compare on resume ----
+    val params = Seq(
+      "idCol" -> idCol, "textCol" -> textCol,
+      "minTokens" -> minTokens.toString, "wantedLang" -> wantedLang,
+      "minQuality" -> minQuality.toString,
+      "nearDupThreshold" -> nearDupThreshold.toString,
+      "contamN" -> contamN.toString,
+      "contamMinShared" -> contamMinShared.toString,
+      "sampleRate" -> sampleRate.toString, "salt" -> salt,
+      "nearDupMaxBucket" -> nearDupMaxBucket.toString)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val paramsFile = new org.apache.hadoop.fs.Path(stageDir, "_graft_params.json")
+    val paramsFs = paramsFile.getFileSystem(conf)
+    if (paramsFs.exists(paramsFile)) {
+      val persistedParams = readFile(paramsFile)
+      require(persistedParams == params,
+        s"curatePersisted: resume with DIFFERENT parameters than the " +
+          s"persisted stages were built with.\n  persisted: " +
+          s"$persistedParams\n  current:   $params\nDelete $stageDir to " +
+          s"rerun under the new parameters.")
+    } else writeFile(paramsFile, params)
+
+    val stats = Seq.newBuilder[(String, Dedup.BucketStats)]
+    // per-stage stats arrive via the stage-fn callback (the generator
+    // flush runs inside the stage, before its consumers); this map
+    // routes them to the stage's sidecar write below
+    val pendingStats =
+      scala.collection.mutable.Map[String, Seq[Dedup.BucketStats]]()
     def persisted(name: String, compute: => DataFrame): DataFrame = {
       val path = s"$stageDir/$name"
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = p.getFileSystem(conf)
       // A stage that filters EVERYTHING writes zero part files (AQE
       // empty-relation propagation) — only _SUCCESS — and a bare
       // read-back cannot infer a schema. The schema rides a sidecar
@@ -545,29 +650,39 @@ object CorpusAnalysis {
       // gates the resume skip, so a run killed between the two writes
       // recomputes instead of resuming onto an unreadable stage.
       val schemaFile = new org.apache.hadoop.fs.Path(p, "_graft_schema.json")
+      val bucketsFile = new org.apache.hadoop.fs.Path(p, "_graft_buckets.json")
       if (!fs.exists(schemaFile) ||
           !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
         val df = compute
         df.write.mode("overwrite").parquet(path)
-        val out = fs.create(schemaFile, true)
-        try out.write(df.schema.json.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        // persist the stage's generator stats (captured by the
+        // callback while compute was forced) BEFORE the schema sidecar
+        // (the resume gate), so a resumable stage always has them
+        val st = pendingStats.getOrElse(name, Nil)
+        writeFile(bucketsFile, st.map(s =>
+          s"""{"operator":"${s.operator}","buckets_total":${s.bucketsTotal},""" +
+            s""""buckets_dropped":${s.bucketsDropped}}""").mkString("[", ",", "]"))
+        stats ++= st.map(name -> _)
+        writeFile(schemaFile, df.schema.json)
+      } else {
+        // skipped stage: stats come from the sidecar its run persisted
+        val re = ("""\{"operator":"([^"]+)","buckets_total":(\d+),""" +
+          """"buckets_dropped":(\d+)\}""").r
+        if (fs.exists(bucketsFile))
+          stats ++= re.findAllMatchIn(readFile(bucketsFile)).map(m =>
+            name -> Dedup.BucketStats(m.group(1), m.group(2).toLong,
+              m.group(3).toLong))
       }
-      val schemaJson = {
-        val in = fs.open(schemaFile)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      }
-      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        readFile(schemaFile))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.read.schema(schema).parquet(path)
     }
     val b0 = bench.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
     val fns = curateStageFns(b0, minTokens, wantedLang, minQuality,
-      nearDupThreshold, contamN, contamMinShared, sampleRate, salt)
+      nearDupThreshold, contamN, contamMinShared, sampleRate, salt,
+      nearDupMaxBucket, (stage, st) => pendingStats(stage) = st)
     var cur = persisted("0_source",
       docs.select(col(idCol).cast("long").as("id"),
         col(textCol).as("text")))
@@ -577,7 +692,7 @@ object CorpusAnalysis {
       cur = out
       row
     }
-    persisted("report", attritionReport(stages))
+    CurateResult(persisted("report", attritionReport(stages)), stats.result())
   }
 
   /** Batch assembly on top of [[packSequences]]: the actual training

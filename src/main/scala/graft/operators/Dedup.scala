@@ -72,6 +72,73 @@ object Dedup {
           row.getAs[Long]("buckets_dropped"))
     }.sortBy(_.operator)
 
+  /** Materialize `df` with ONE count action and return the
+    * [[BucketStats]] that execution observed — the capture path for
+    * pipelines that consume a generator's output INTERNALLY (e.g.
+    * [[nearDedup]]'s clustering loop checkpoints the edge table, which
+    * materializes the pairs plan outside any listener-visible action
+    * and discards the metrics with it — empirically, both
+    * `localCheckpoint` and collects on downstream-of-checkpoint frames
+    * read back EMPTY, not zeros).
+    * Cache `df` first when the caller will reuse it: this count is then
+    * the cache-populating action, and later consumers read the cache.
+    * Must run BEFORE any other action/caching has materialized `df` —
+    * a cache hit skips the generator and observes nothing. Metric
+    * delivery is asynchronous (QueryExecutionListener); the bounded
+    * wait below is keyed on the metric names present in the analyzed
+    * plan, so a generator-free frame returns immediately after its
+    * count.
+    */
+  def bucketStatsViaAction(df: DataFrame): Seq[BucketStats] = {
+    if (!df.queryExecution.analyzed.exists {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics =>
+        c.name.startsWith("graft_buckets_")
+      case _ => false
+    }) { df.count(); return Nil }
+    // The flush is an explicit count Dataset so ITS QueryExecution can
+    // be reference-matched in the listener: whatever bucket metrics
+    // that execution observed are harvested, and the wait ends when the
+    // event for THIS action arrives — never a deadline stall, even when
+    // a degenerate pipeline constant-folded the observed subtree away
+    // (the event then simply carries no graft metrics). This sidesteps
+    // plan introspection entirely — cached frames (InMemoryRelation
+    // wrapping an adaptive plan) report through the same event.
+    val cnt = df.groupBy().count()
+    val targetQe = cnt.queryExecution
+    val captured =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    @volatile var delivered = false
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (qe eq targetQe) {
+          qe.observedMetrics.foreach { case (n, r) =>
+            if (n.startsWith("graft_buckets_"))
+              captured.put(n, (r.getAs[Long]("buckets_total"),
+                r.getAs[Long]("buckets_dropped")))
+          }
+          delivered = true
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit =
+        if (qe eq targetQe) delivered = true
+    }
+    val spark = df.sparkSession
+    spark.listenerManager.register(listener)
+    try {
+      cnt.collect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!delivered && System.nanoTime() < deadline) Thread.sleep(20)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    captured.asScala.toSeq.sortBy(_._1).map { case (n, (total, dropped)) =>
+      BucketStats(n.stripPrefix("graft_buckets_").replaceAll("_\\d+$", ""),
+        total, dropped)
+    }
+  }
+
   /** Exact duplicate groups by canonical fingerprint. Returns one row per
     * duplicated fingerprint: (fingerprint, dup_count, keeper_id) where
     * keeper is the smallest id — the row a dedup pass would retain.

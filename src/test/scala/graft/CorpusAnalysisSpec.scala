@@ -607,6 +607,64 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emptyResume == emptyRun)
   }
 
+  test("curatePersisted: params sidecar blocks a changed-parameter resume") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-p").toString
+    CorpusAnalysis.curatePersisted(docs, bench, "doc_id", "text", dir,
+      sampleRate = 0.5)
+    // resume with a DIFFERENT sampleRate: the persisted 5_sample stage
+    // embodies 0.5 — recomputing nothing and relabeling it 0.25 would
+    // silently mix regimes; the sidecar fails the run instead
+    val e = intercept[IllegalArgumentException] {
+      CorpusAnalysis.curatePersisted(docs, bench, "doc_id", "text", dir,
+        sampleRate = 0.25)
+    }
+    assert(e.getMessage.contains("DIFFERENT parameters") &&
+      e.getMessage.contains("sampleRate"), e.getMessage)
+    // matching params resume cleanly
+    val again = CorpusAnalysis.curatePersisted(docs, bench, "doc_id",
+      "text", dir, sampleRate = 0.5)
+    assert(again.count() == 5)
+  }
+
+  test("curate bucket stats: forced drops reported, and survive a persisted resume") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // TWO planted near-copies per doc → 3-member minhash buckets, which
+    // nearDupMaxBucket = 2 drops. (maxBucket = 1 would be degenerate:
+    // the pair filter `size > 1 && size <= 1` constant-folds the whole
+    // pipeline — observe node included — to an empty relation, and
+    // there is nothing left to observe.)
+    val docs = base
+      .unionByName(base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" extraword")).as("text")))
+      .unionByName(base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" otherword")).as("text")))
+    val bench = base.filter(col("doc_id") % 97 === 0)
+    val res = CorpusAnalysis.curateWithStats(docs, bench, "doc_id", "text",
+      nearDupMaxBucket = 2)
+    res.report.collect()
+    val st = res.bucketStats.filter(_._1 == "3_near_dedup").map(_._2)
+    assert(st.nonEmpty, res.bucketStats.toString)
+    assert(st.exists(_.bucketsDropped > 0), st.toString)
+
+    // persisted: the same drops land in the _graft_buckets.json sidecar
+    // and are still reported by a resume that SKIPS the stage entirely
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-b").toString
+    val p1 = CorpusAnalysis.curatePersistedWithStats(docs, bench, "doc_id",
+      "text", dir, nearDupMaxBucket = 2)
+    val pst = p1.bucketStats.filter(_._1 == "3_near_dedup").map(_._2)
+    assert(pst.exists(_.bucketsDropped > 0), p1.bucketStats.toString)
+    val p2 = CorpusAnalysis.curatePersistedWithStats(docs, bench, "doc_id",
+      "text", dir, nearDupMaxBucket = 2)
+    assert(p2.bucketStats.filter(_._1 == "3_near_dedup").map(_._2) == pst,
+      p2.bucketStats.toString)
+  }
+
   test("packSequences is deterministic under input repartitioning") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(d: org.apache.spark.sql.DataFrame) =
