@@ -80,6 +80,31 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"pair-distinct), saw $shuffles:\n$plan")
   }
 
+  test("removeRepeatedLines / removeDupSpans: no shuffle keys on raw text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for ((name, out) <- Seq(
+      "lines" -> graft.operators.CorpusAnalysis
+        .removeRepeatedLines(docs, "doc_id", "text", 3),
+      "spans" -> graft.operators.CorpusAnalysis
+        .removeDupSpans(docs, "doc_id", "text", 12))) {
+      out.collect() // finalize under AQE so the real exchanges are pinned
+      val plan = out.queryExecution.executedPlan.toString
+      // every hash-partitioned exchange must key on the 8-byte hash or
+      // the doc id — a raw line/token/text shuffle key is the round-6
+      // plan this replaced (3 corpus-text shuffles)
+      val keyAttrs = "hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).flatMap(m =>
+          "([A-Za-z_][A-Za-z0-9_]*)#".r.findAllMatchIn(m.group(1))
+            .map(_.group(1))).toSet
+      val textish = Set("line", "text", "tok", "__t0", "__trim")
+      assert(keyAttrs.intersect(textish).isEmpty,
+        s"$name: raw text rides a shuffle key ($keyAttrs):\n$plan")
+      assert(keyAttrs.exists(Set("__h", "gh").contains),
+        s"$name: expected a hash-keyed ban-count shuffle ($keyAttrs):\n$plan")
+    }
+  }
+
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
     val q = SparkEntry.queries("q1_agg")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
