@@ -464,25 +464,32 @@ object CorpusAnalysis {
       wantedLang: String, minQuality: Double, nearDupThreshold: Double,
       contamN: Int, contamMinShared: Int, sampleRate: Double,
       salt: String, nearDupMaxBucket: Int,
-      onStats: (String, Seq[Dedup.BucketStats]) => Unit = (_, _) => ())
+      onStats: Option[(String, Seq[Dedup.BucketStats]) => Unit] = None)
       : Seq[(String, DataFrame => DataFrame)] = Seq(
     "1_gate" -> ((d: DataFrame) => d.join(
       qualityGate(d, "id", "text", minTokens, wantedLang, minQuality)
         .filter(col("keep")).select("id"), Seq("id"))),
     "2_exact_dedup" -> ((d: DataFrame) => Dedup.exactDedup(d, "id", "text")),
     "3_near_dedup" -> ((d: DataFrame) => {
-      // The clustering loop consumes the pairs via its own internal
-      // checkpoints, which silently discards the generator's observe
-      // metrics — so the pairs are cached and flushed through ONE
-      // listener-visible count first (the cache-populating action;
-      // the loop then reads the cache, so the generator still runs
-      // once), and the stats reach the caller through the callback.
-      val pairs = Dedup.minHashNearDupPairs(d, "id", "text",
-        threshold = nearDupThreshold, maxBucket = nearDupMaxBucket).cache()
-      try {
-        onStats("3_near_dedup", Dedup.bucketStatsViaAction(pairs))
-        Dedup.nearDedup(d, "id", pairs)
-      } finally pairs.unpersist(false)
+      def pairs = Dedup.minHashNearDupPairs(d, "id", "text",
+        threshold = nearDupThreshold, maxBucket = nearDupMaxBucket)
+      onStats match {
+        // Stats requested: the clustering loop consumes the pairs via
+        // its own internal checkpoints, which silently discards the
+        // generator's observe metrics — so the pairs are cached and
+        // flushed through ONE listener-visible count first (the
+        // cache-populating action; the loop then reads the cache, so
+        // the generator still runs once), and the stats reach the
+        // caller through the callback. The flush costs ~1.5 s at
+        // sf0.1 — paid only on the *WithStats paths.
+        case Some(cb) =>
+          val cached = pairs.cache()
+          try {
+            cb("3_near_dedup", Dedup.bucketStatsViaAction(cached))
+            Dedup.nearDedup(d, "id", cached)
+          } finally cached.unpersist(false)
+        case None => Dedup.nearDedup(d, "id", pairs)
+      }
     }),
     "4_decontaminate" -> ((d: DataFrame) => d.join(
       contamination(d, b0, "id", "text", contamN, contamMinShared)
@@ -514,21 +521,31 @@ object CorpusAnalysis {
       contamN: Int = 8, contamMinShared: Int = 1,
       sampleRate: Double = 0.5, salt: String = "curate",
       nearDupMaxBucket: Int = 1000): DataFrame =
-    curateWithStats(docs, bench, idCol, textCol, minTokens, wantedLang,
+    curateImpl(docs, bench, idCol, textCol, minTokens, wantedLang,
       minQuality, nearDupThreshold, contamN, contamMinShared, sampleRate,
-      salt, nearDupMaxBucket).report
+      salt, nearDupMaxBucket, collectStats = false).report
 
   /** [[curate]] returning the report AND per-stage bucket stats (see
-    * [[CurateResult]]). Stats are read after each stage's checkpoint
-    * materializes it, so they reflect the execution that produced the
-    * stage corpus.
+    * [[CurateResult]]). Stats are flushed inside the stage, before its
+    * consumers, so they reflect the execution that produced the stage
+    * corpus; the flush's extra action is paid only on this path —
+    * plain [[curate]] keeps the single-consumption plan.
     */
   def curateWithStats(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, minTokens: Int = 15, wantedLang: String = "en",
       minQuality: Double = 0.75, nearDupThreshold: Double = 0.8,
       contamN: Int = 8, contamMinShared: Int = 1,
       sampleRate: Double = 0.5, salt: String = "curate",
-      nearDupMaxBucket: Int = 1000): CurateResult = {
+      nearDupMaxBucket: Int = 1000): CurateResult =
+    curateImpl(docs, bench, idCol, textCol, minTokens, wantedLang,
+      minQuality, nearDupThreshold, contamN, contamMinShared, sampleRate,
+      salt, nearDupMaxBucket, collectStats = true)
+
+  private def curateImpl(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minTokens: Int, wantedLang: String,
+      minQuality: Double, nearDupThreshold: Double, contamN: Int,
+      contamMinShared: Int, sampleRate: Double, salt: String,
+      nearDupMaxBucket: Int, collectStats: Boolean): CurateResult = {
     // d0 is NOT checkpointed: it is a bare column-pruned scan — cheaper
     // to re-read than to materialize (the checkpoints below guard the
     // expensive derived stages, not the source)
@@ -537,9 +554,12 @@ object CorpusAnalysis {
     val b0 = bench.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
     val stats = Seq.newBuilder[(String, Dedup.BucketStats)]
+    val onStats: Option[(String, Seq[Dedup.BucketStats]) => Unit] =
+      if (collectStats) Some((stage, st) => stats ++= st.map(stage -> _))
+      else None
     val fns = curateStageFns(b0, minTokens, wantedLang, minQuality,
       nearDupThreshold, contamN, contamMinShared, sampleRate, salt,
-      nearDupMaxBucket, (stage, st) => stats ++= st.map(stage -> _))
+      nearDupMaxBucket, onStats)
     var cur = d0
     val stages = fns.map { case (name, fn) =>
       // the last stage is read once (by the report) — no checkpoint
@@ -682,7 +702,7 @@ object CorpusAnalysis {
       col(textCol).as("text"))
     val fns = curateStageFns(b0, minTokens, wantedLang, minQuality,
       nearDupThreshold, contamN, contamMinShared, sampleRate, salt,
-      nearDupMaxBucket, (stage, st) => pendingStats(stage) = st)
+      nearDupMaxBucket, Some((stage, st) => pendingStats(stage) = st))
     var cur = persisted("0_source",
       docs.select(col(idCol).cast("long").as("id"),
         col(textCol).as("text")))
