@@ -163,8 +163,10 @@ object Bench {
     // 3-decimal timings: ms resolution is below run-to-run noise, and
     // the compact line must fit the driver's bounded stdout tail
     // capture in one piece (round 6's full-precision line got its
-    // first four queries truncated away)
-    def num(v: Double): String = f"$v%.3f"
+    // first four queries truncated away). Locale.ROOT: a comma-decimal
+    // default locale would render 1,576 and corrupt the JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s"${jsonStr(k)}:${num(v)}" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }

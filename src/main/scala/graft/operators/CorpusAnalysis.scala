@@ -481,7 +481,10 @@ object CorpusAnalysis {
         // cache-populating action; the loop then reads the cache, so
         // the generator still runs once), and the stats reach the
         // caller through the callback. The flush costs ~1.5 s at
-        // sf0.1 — paid only on the *WithStats paths.
+        // sf0.1 — paid on the *WithStats paths and on every computed
+        // curatePersisted stage (its bucket sidecar is part of the
+        // persisted layout, so resumes can report skipped stages);
+        // plain curate keeps the single-consumption plan.
         case Some(cb) =>
           val cached = pairs.cache()
           try {

@@ -322,19 +322,33 @@ object Similarity {
     * pass EXPLICIT centroids for bit-exact cross-engine pipelines (the
     * `*_int` oracle pattern).
     *
-    * Degenerate rows — null vector or a null element — are filtered
-    * before init AND before each assignment pass, so a dirty corpus
-    * fits on its clean subset instead of dying in an opaque NPE
-    * (aggregator `a.toArray` / `getInt` on a null cid). Wrong-dim
-    * vectors that survive that filter get a null cid from the kernel
-    * and drop out at the same assignment filter.
+    * Degenerate rows — null vector, null element, or a length that
+    * differs from the MAJORITY length (the corpus dim, chosen by a
+    * one-pass count over distinct lengths with a deterministic
+    * tie-break) — are filtered before init AND before each assignment
+    * pass, so a dirty corpus fits on its clean subset instead of dying
+    * in an opaque NPE (aggregator `a.toArray` / `getInt` on a null
+    * cid) or poisoning the init centroids with a wrong-dim vector the
+    * kernel would reject at construction.
     */
   def kmeansCentroidsDistributed(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
     graft.expressions.VectorHashExprs.register(corpus.sparkSession)
-    val vecs = corpus.select(col(idCol).as("id"),
+    val nonNull = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    // corpus dim by MAJORITY, not first-row peek: a wrong-dim vector
+    // that happens to sort first would otherwise define the dim and
+    // silently filter the entire real corpus out. One aggregation over
+    // a handful of distinct lengths; count desc + size asc tie-break
+    // keeps the choice deterministic.
+    val dims = nonNull.groupBy(size(col("v")).as("__d"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("__d").asc).head(1)
+    require(dims.nonEmpty,
+      "kmeansCentroidsDistributed: no non-degenerate vectors")
+    val dim = dims(0).getInt(0)
+    val vecs = nonNull.filter(size(col("v")) === dim)
     val init = vecs.orderBy(col("id")).limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
     require(init.length >= k, s"need at least $k non-degenerate vectors")

@@ -434,9 +434,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val c = centers((i % 3).toInt)
       (i, c.map(x => x + (i % 7) * 0.01).toSeq)
     }
+    // degenerate rows at LOW ids — the init window — must not poison
+    // the fit: a null vector, a null-element vector, and a WRONG-DIM
+    // vector (2 elements; would previously become an init centroid and
+    // crash the kernel's shape require) are all filtered; the fit runs
+    // on the clean 300
+    val dirty = Seq[(Long, Seq[java.lang.Double])](
+      (-3L, null),
+      (-2L, Seq[java.lang.Double](1.0, null, 3.0)),
+      (-1L, Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
     val df = rows.toDF("id", "v")
-    val cents = Similarity.kmeansCentroidsDistributed(df, "id", "v", 3, iters = 5)
-    assert(cents.length == 3)
+    val cents = Similarity.kmeansCentroidsDistributed(
+      df.unionByName(dirty), "id", "v", 3, iters = 5)
+    assert(cents.length == 3 && cents.forall(_._2.length == 3))
     // every planted vector must assign to the one centroid near its
     // center — three residue classes, three distinct cluster ids
     val assigned = df.select(col("id"),

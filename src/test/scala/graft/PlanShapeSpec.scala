@@ -93,10 +93,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       // every hash-partitioned exchange must key on the 8-byte hash or
       // the doc id — a raw line/token/text shuffle key is the round-6
       // plan this replaced (3 corpus-text shuffles)
-      val keyAttrs = "hashpartitioning\\(([^)]*)\\)".r
-        .findAllMatchIn(plan).flatMap(m =>
-          "([A-Za-z_][A-Za-z0-9_]*)#".r.findAllMatchIn(m.group(1))
-            .map(_.group(1))).toSet
+      // line-based, not a paren-matching regex: a partitioning
+      // EXPRESSION (nested parens) must still surface its attributes —
+      // over-capturing the rest of the exchange line is conservative
+      // (extra non-# tokens carry no attribute names)
+      val keyAttrs = plan.linesIterator
+        .filter(_.contains("hashpartitioning("))
+        .flatMap(l => "([A-Za-z_][A-Za-z0-9_]*)#".r
+          .findAllMatchIn(l.substring(l.indexOf("hashpartitioning(")))
+          .map(_.group(1))).toSet
       val textish = Set("line", "text", "tok", "__t0", "__trim")
       assert(keyAttrs.intersect(textish).isEmpty,
         s"$name: raw text rides a shuffle key ($keyAttrs):\n$plan")
