@@ -651,6 +651,24 @@ object SparkEntry {
         "vec_id", "embedding", 5, nprobe = 2, centroids = cents)
     }),
 
+    // recall of the q_knn_ivf_int run vs integer-exact brute force —
+    // the IVF twin of q_recall_lsh_int (nprobe=2 of 4 centroids is a
+    // partial probe; whether it costs recall at a given SF is exactly
+    // what the report measures, bit-exactly on both engines)
+    "q_recall_ivf_int" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+      val cents = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Long](1).map(_.toDouble).toArray))
+      val q = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+        nprobe = 2, centroids = cents)
+      Similarity.recallAtK(emb, q, "vec_id", "embedding", 5, approx)
+    }),
+
     // ---- E2E ingest (S2–S7 source, P7 transform, K1–K8 writes, A3
     // stats — all oracle-checked from the loaded warehouse tables) -----
 
@@ -1997,6 +2015,75 @@ object SparkEntry {
         |      AS INTEGER) AS rank,
         |    neighbor_id, sim
         |  FROM s2) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Recall@5 of the q_knn_ivf_int pipeline vs the q_knn_exact_int
+    // brute force — same composition shape as q_recall_lsh_int.
+    "q_recall_ivf_int" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ts AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.v,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (
+        |        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM ts) WHERE rank <= 5),
+        |cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+        |         FROM e WHERE vec_id < 4),
+        |dst AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    list_sum(list_transform(list_zip(e.v, c.cv),
+        |      p -> CAST(p[1] - p[2] AS DOUBLE) * CAST(p[1] - p[2] AS DOUBLE)))
+        |      AS dist
+        |  FROM e CROSS JOIN cent c),
+        |rn AS (
+        |  SELECT vec_id, v, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM dst),
+        |asg AS (SELECT vec_id AS neighbor_id, v AS cv, cid FROM rn
+        |        WHERE rn = 1),
+        |qpr AS (SELECT vec_id AS query_id, v AS qv, cid FROM rn
+        |        WHERE vec_id < 5 AND rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, a.neighbor_id
+        |  FROM qpr q JOIN asg a ON q.cid = a.cid
+        |  WHERE q.query_id <> a.neighbor_id),
+        |s2 AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_sum(list_transform(list_zip(eq.v, ec.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(eq.v,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(ec.v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM cand
+        |  JOIN e eq ON eq.vec_id = cand.query_id
+        |  JOIN e ec ON ec.vec_id = cand.neighbor_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (
+        |        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM s2) WHERE rank <= 5)
+        |SELECT t.query_id, count(*) AS truth_k,
+        |  count(a.neighbor_id) AS hits,
+        |  CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+        |FROM truth t LEFT JOIN approx a
+        |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        |GROUP BY t.query_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Integer-exact embedding near-dup: same quantization, the same
     // integer plane constants as q_knn_lsh_int (LshIntBucket), bucket
