@@ -407,6 +407,13 @@ object SparkEntry {
       CorpusAnalysis.removeDupSpans(docsWithNearDups(s, dir), "doc_id",
         "text", n = 12)),
 
+    // keep-first form: the canonical first occurrence (smallest
+    // (id, start)) of each duplicated window survives — originals keep
+    // their text, the planted re-crawls lose the shared spans
+    "q_dedup_spans_keep" -> ((s, dir) =>
+      CorpusAnalysis.removeDupSpans(docsWithNearDups(s, dir), "doc_id",
+        "text", n = 12, keepFirst = true)),
+
     // snapshot-vs-corpus incremental dedup (bloom pre-filter + exact
     // anti-join): 60 re-crawled perturbed dups dropped, 60 updated
     // docs kept
@@ -1171,6 +1178,31 @@ object SparkEntry {
          |cov AS (SELECT DISTINCT g.id, u.p
          |  FROM g JOIN b USING (gh),
          |    unnest(generate_series(g.w, g.w + 11)) AS u(p)),
+         |tok AS (SELECT id, u.i - 1 AS p, toks[u.i] AS tok
+         |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
+         |kept AS (SELECT tok.id, string_agg(tok.tok, ' ' ORDER BY tok.p) AS text
+         |  FROM tok LEFT JOIN cov ON cov.id = tok.id AND cov.p = tok.p
+         |  WHERE cov.p IS NULL GROUP BY tok.id)
+         |SELECT s.id AS doc_id, coalesce(kept.text, '') AS text
+         |FROM src s LEFT JOIN kept ON kept.id = s.id
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Keep-first span removal: identical ban set, but the window
+    // instance ranked first by (id, start) per hash is exempt — the
+    // window-function formulation of the Spark side's min(struct) keeper.
+    "q_dedup_spans_keep" ->
+      s"""WITH src AS ($NearDupDocs),
+         |tk AS (SELECT id, coalesce($Toks, []) AS toks FROM src),
+         |g AS (SELECT id, u.i - 1 AS w,
+         |    ${H60("array_to_string(toks[u.i:u.i+11], ' ')")} AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - 11)) AS u(i)),
+         |bk AS (SELECT id, w,
+         |    row_number() OVER (PARTITION BY gh ORDER BY id, w) AS rn,
+         |    count(*) OVER (PARTITION BY gh) AS occ
+         |  FROM g),
+         |cov AS (SELECT DISTINCT bk.id, u.p
+         |  FROM bk, unnest(generate_series(bk.w, bk.w + 11)) AS u(p)
+         |  WHERE bk.occ >= 2 AND bk.rn > 1),
          |tok AS (SELECT id, u.i - 1 AS p, toks[u.i] AS tok
          |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
          |kept AS (SELECT tok.id, string_agg(tok.tok, ' ' ORDER BY tok.p) AS text

@@ -816,9 +816,20 @@ object CorpusAnalysis {
     * proportional to the duplication actually present, bounded by
     * chunked doc sizes; a fully-duplicated doc degrades to quadratic
     * in ITS OWN length only.
+    *
+    * `keepFirst = true` exempts the canonical FIRST occurrence of each
+    * banned window — smallest (id, start) — from removal, so exactly
+    * one copy of duplicated text survives the scrub (the policy Lee et
+    * al. apply; the default drops ALL copies, the C4-line-scrub
+    * convention). The exemption is per-window: where DISTINCT
+    * duplicated windows overlap, a token of a kept copy can still be
+    * covered by another window whose first occurrence lies elsewhere —
+    * the fixed-window approximation of the paper's suffix-range
+    * removal. The ban aggregation then carries one 12-byte keeper per
+    * banned hash; shuffle shape is otherwise identical.
     */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 12, minCount: Int = 2): DataFrame = {
+      n: Int = 12, minCount: Int = 2, keepFirst: Boolean = false): DataFrame = {
     require(n >= 1, s"span width must be >= 1, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     graft.expressions.TextHashExprs.register(docs.sparkSession)
@@ -829,12 +840,25 @@ object CorpusAnalysis {
           distinct = false),
         array().cast("array<bigint>")).as("__gh")))
       .toDF("id", "w", "gh")
-    val banned = wins
-      .groupBy(col("gh")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minCount)
-      .select(col("gh"))
-    val bannedStarts = wins
-      .join(banned, Seq("gh"), "left_semi")
+    val bannedInstances =
+      if (keepFirst) {
+        val banned = wins
+          .groupBy(col("gh"))
+          .agg(count(lit(1)).as("occ"),
+            min(struct(col("id"), col("w"))).as("__k"))
+          .filter(col("occ") >= minCount)
+          .select(col("gh"), col("__k"))
+        wins.join(banned, Seq("gh"))
+          .filter(!(col("id") === col("__k")("id") &&
+            col("w") === col("__k")("w")))
+      } else {
+        val banned = wins
+          .groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= minCount)
+          .select(col("gh"))
+        wins.join(banned, Seq("gh"), "left_semi")
+      }
+    val bannedStarts = bannedInstances
       .groupBy(col("id"))
       .agg(collect_list(col("w")).as("__bw"))
     base.join(bannedStarts, Seq("id"), "left")

@@ -482,6 +482,23 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 4-6, leaving "mid"; doc 2 shares no full 3-token window
     assert(got2(1L) == "mid", got2(1L))
     assert(got2(2L) == "x y q other stuff")
+
+    // keepFirst: the canonical first occurrence — smallest (id, start)
+    // — survives; later copies still drop
+    val kf = CorpusAnalysis.removeDupSpans(docs, "doc_id", "text", n = 3,
+      keepFirst = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the first occurrence of both banned windows → intact
+    // (token-canonical whitespace); doc 2's copies drop as before
+    assert(kf(1L) == "pre SPAN a b c post1 tail1", kf(1L))
+    assert(kf(2L) == "post2 tail2", kf(2L))
+    val kf2 = CorpusAnalysis.removeDupSpans(solo, "doc_id", "text", n = 3,
+      keepFirst = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // within-doc: first (x y z) at position 0 kept, the repeat at 4-6
+    // dropped
+    assert(kf2(1L) == "x y z mid", kf2(1L))
+    assert(kf2(2L) == "x y q other stuff")
   }
 
   test("temperatureMixtureRates: alpha smoothing, cap, and expected size") {
