@@ -288,6 +288,21 @@ object ScaleSmoke {
     println(f"spanRemoval: $nDocs docs, ${spanAgg.getLong(1)} tokens kept " +
       f"in $tSpans%.1f s (${nDocs / tSpans}%.0f docs/s)")
 
+    // keep-first variant: base is the canonical first occurrence of
+    // every shared window → intact (30); base+8 loses all; base+9
+    // keeps 1; uniques keep 30. 30 + 0 + 1 + 7·30 = 241 per group.
+    val t14 = System.nanoTime()
+    val spanKeep = graft.operators.CorpusAnalysis.removeDupSpans(
+      docs, "id", "text", n = 12, keepFirst = true)
+      .select(when(col("text") === "", lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast("long")).as("n"))
+      .agg(sum(col("n")).as("toks")).collect()(0)
+    val tKeep = (System.nanoTime() - t14) / 1e9
+    require(spanKeep.getLong(0) == 241L * nDocs / 10,
+      s"spanRm keepFirst kept ${spanKeep.getLong(0)} of ${241L * nDocs / 10}")
+    println(f"spanRemovalKeepFirst: ${spanKeep.getLong(0)} tokens kept " +
+      f"in $tKeep%.1f s")
+
     // --- centroid assignment at scale: 1024 centroids (the √N counts a
     // web-scale SemDeDup run wants) over 1M vectors with PLANTED cluster
     // structure. Centers are xxhash64-derived (computed once through
