@@ -20,6 +20,21 @@ import graft.functions.TextFunctions
   */
 object CorpusAnalysis {
 
+  /** JSON string literal (quote + escape) for the sidecar files this
+    * object writes — same escaping as the Bench output line, so the
+    * sidecars stay parseable by external tooling whatever the caller
+    * puts in `salt`/column names.
+    */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Within-doc repetition fractions per n-gram size: for each doc and
     * each n in `ns`,
     *   - top-n-gram fraction: occurrences of the most frequent n-gram /
@@ -179,6 +194,14 @@ object CorpusAnalysis {
     * mix ("100% books, 30% web") is materialized. Unlisted strata use
     * `defaultRate`. Still a narrow filter; the per-row threshold is a
     * constant-folded CASE over the stratum column.
+    *
+    * Rate keys match on the STRING RENDERING of the stratum value
+    * (Spark's cast-to-string): an integer column's value 7 is `"7"`,
+    * but a DOUBLE column's 7.0 renders `"7.0"` — a key of `"7"` would
+    * NOT match it and those rows fall back to `defaultRate`. Maps
+    * produced by [[temperatureMixtureRates]] are always consistent
+    * (same cast); hand-written maps over fractional-typed strata must
+    * use the rendered form.
     */
   def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
@@ -635,6 +658,10 @@ object CorpusAnalysis {
       finally in.close()
     }
     // ---- params sidecar: write once, fail-loud compare on resume ----
+    // values are JSON-escaped so a quote/backslash/newline in salt or a
+    // column name still yields a parseable sidecar (the resume compare
+    // is on the escaped form either way, and escaping is the identity
+    // on ordinary values, so pre-escape sidecars keep resuming)
     val params = Seq(
       "idCol" -> idCol, "textCol" -> textCol,
       "minTokens" -> minTokens.toString, "wantedLang" -> wantedLang,
@@ -644,7 +671,8 @@ object CorpusAnalysis {
       "contamMinShared" -> contamMinShared.toString,
       "sampleRate" -> sampleRate.toString, "salt" -> salt,
       "nearDupMaxBucket" -> nearDupMaxBucket.toString)
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}")
     val paramsFile = new org.apache.hadoop.fs.Path(stageDir, "_graft_params.json")
     val paramsFs = paramsFile.getFileSystem(conf)
     if (paramsFs.exists(paramsFile)) {
@@ -654,7 +682,21 @@ object CorpusAnalysis {
           s"persisted stages were built with.\n  persisted: " +
           s"$persistedParams\n  current:   $params\nDelete $stageDir to " +
           s"rerun under the new parameters.")
-    } else writeFile(paramsFile, params)
+    } else {
+      // no params sidecar: only safe when there are no persisted stages
+      // yet. Stage 0 is always the first resumable write, so its schema
+      // sidecar existing without a params file means the stages predate
+      // params tracking (or the sidecar was deleted) — the parameters
+      // they embody are UNKNOWN; adopting the current ones would be the
+      // exact regime-mixing the gate exists to block.
+      require(!paramsFs.exists(new org.apache.hadoop.fs.Path(
+          s"$stageDir/0_source/_graft_schema.json")),
+        s"curatePersisted: $stageDir holds persisted stages but no " +
+          s"_graft_params.json — the parameters they were built under " +
+          s"are unknown, so a resume cannot be validated. Delete " +
+          s"$stageDir to rebuild under the current parameters.")
+      writeFile(paramsFile, params)
+    }
 
     val stats = Seq.newBuilder[(String, Dedup.BucketStats)]
     // per-stage stats arrive via the stage-fn callback (the generator
@@ -683,7 +725,7 @@ object CorpusAnalysis {
         // (the resume gate), so a resumable stage always has them
         val st = pendingStats.getOrElse(name, Nil)
         writeFile(bucketsFile, st.map(s =>
-          s"""{"operator":"${s.operator}","buckets_total":${s.bucketsTotal},""" +
+          s"""{"operator":${jsonStr(s.operator)},"buckets_total":${s.bucketsTotal},""" +
             s""""buckets_dropped":${s.bucketsDropped}}""").mkString("[", ",", "]"))
         stats ++= st.map(name -> _)
         writeFile(schemaFile, df.schema.json)
@@ -833,7 +875,18 @@ object CorpusAnalysis {
     require(n >= 1, s"span width must be >= 1, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     graft.expressions.TextHashExprs.register(docs.sparkSession)
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t0"))
+    // fail loudly on a null doc id: the banned-position join back keys
+    // on id, so a null-id doc would silently skip the scrub entirely —
+    // and under keepFirst the keeper min(struct(id, w)) would elect the
+    // null-id instance (struct ordering sorts null first), diverging
+    // from any NULLS LAST engine. A per-row codegen'd branch, no plan
+    // change.
+    val base = docs.select(
+      when(col(idCol).isNotNull, col(idCol)).otherwise(raise_error(lit(
+        s"removeDupSpans: null value in id column '$idCol' — doc ids " +
+          "must be non-null (a null id cannot join its banned spans " +
+          "back, nor serve as a keepFirst keeper)"))).as("id"),
+      col(textCol).as("__t0"))
     val wins = base
       .select(col("id"), posexplode(coalesce(
         graft.expressions.TextHashExprs.ngramHashes(col("__t0"), n,

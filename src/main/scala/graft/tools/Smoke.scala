@@ -209,6 +209,46 @@ object Smoke {
     println("== health ping (reference body on a live session) ==")
     println(graft.service.Health.ping(spark))
 
+    println("== curatePersisted sidecar: JSON-escaped params, pre-params guard ==")
+    locally {
+      val pDir = Files.createTempDirectory("smoke-curate").toString
+      val small = docs.limit(30)
+      graft.operators.CorpusAnalysis.curatePersisted(small,
+        small.filter($"doc_id" % 7 === 0), "doc_id", "text", pDir,
+        salt = "we\"ird\\salt")
+      val sidecar = Files.readString(
+        java.nio.file.Path.of(pDir, "_graft_params.json"))
+      println(s"sidecar: $sidecar")
+      val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(sidecar)
+      println(s"parsed salt round-trips: ${parsed.get("salt").asText()}")
+      // pre-params stages: delete the sidecar, resume must refuse
+      Files.delete(java.nio.file.Path.of(pDir, "_graft_params.json"))
+      val guard = try {
+        graft.operators.CorpusAnalysis.curatePersisted(small,
+          small.filter($"doc_id" % 7 === 0), "doc_id", "text", pDir,
+          salt = "we\"ird\\salt"); "NOT BLOCKED (bug)"
+      } catch { case e: IllegalArgumentException =>
+        s"blocked: ${e.getMessage.linesIterator.next()}" }
+      println(guard)
+    }
+
+    println("== removeDupSpans: null doc id fails loudly ==")
+    locally {
+      val nullId = Seq((java.lang.Long.valueOf(1L), "x y z mid x y z"),
+        (null.asInstanceOf[java.lang.Long], "x y z other"))
+        .toDF("doc_id", "text")
+      val msg = try {
+        graft.operators.CorpusAnalysis.removeDupSpans(
+          nullId, "doc_id", "text", n = 3, keepFirst = true).collect()
+        "NOT RAISED (bug)"
+      } catch { case e: Exception =>
+        def root(t: Throwable): Throwable =
+          if (t.getCause == null) t else root(t.getCause)
+        root(e).getMessage.linesIterator.next() }
+      println(s"null-id: $msg")
+    }
+
     println("== streaming near-dedup (MemoryStream vs static documents) ==")
     // live intake: 3 perturbed re-crawls of real corpus docs (one token
     // appended — exact fingerprint misses, trigram Jaccard ≥ 0.8 hits)

@@ -499,6 +499,24 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dropped
     assert(kf2(1L) == "x y z mid", kf2(1L))
     assert(kf2(2L) == "x y q other stuff")
+
+    // a null doc id fails loudly instead of silently escaping the scrub
+    // (the banned-position join keys on id) or electing a null keeper
+    // under keepFirst (struct min sorts null first — NULLS LAST engines
+    // diverge)
+    val nullId = Seq(
+      (java.lang.Long.valueOf(1L), "x y z mid x y z"),
+      (null.asInstanceOf[java.lang.Long], "x y z other")).toDF("doc_id", "text")
+    for (kf <- Seq(false, true)) {
+      val e = intercept[Exception] {
+        CorpusAnalysis.removeDupSpans(nullId, "doc_id", "text", n = 3,
+          keepFirst = kf).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("null value in id column")),
+        e.toString)
+    }
   }
 
   test("temperatureMixtureRates: alpha smoothing, cap, and expected size") {
@@ -644,6 +662,18 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = CorpusAnalysis.curatePersisted(docs, bench, "doc_id",
       "text", dir, sampleRate = 0.5)
     assert(again.count() == 5)
+
+    // stages persisted WITHOUT a params sidecar (pre-tracking dirs, or
+    // a deleted sidecar) must not be silently adopted under the current
+    // parameters — the parameters they embody are unknown
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_params.json"), false)
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusAnalysis.curatePersisted(docs, bench, "doc_id", "text", dir,
+        sampleRate = 0.5)
+    }
+    assert(e2.getMessage.contains("no _graft_params.json"), e2.getMessage)
   }
 
   test("curate bucket stats: forced drops reported, and survive a persisted resume") {
