@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -151,19 +151,27 @@ object CorpusAnalysis {
   def qualityGate(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 15, wantedLang: String = "en",
       minQuality: Double = 0.75): DataFrame = {
-    val text = col(textCol)
-    val verdict =
-      when(TextFunctions.tokenCount(text) < minTokens, "too_short")
-        .when(TextFunctions.langId(text) =!= wantedLang, "lang")
-        .when(TextFunctions.qualityScore(text) < minQuality, "low_quality")
-        .otherwise("keep")
     // project the CASE once, then derive `keep` from the materialized
     // attribute — referencing `verdict` twice in one projection would
     // duplicate the tokenCount/langId/qualityScore trees per row (the
     // project-collapse trap; see PLANS.md)
-    docs.select(col(idCol), verdict.as("verdict"))
+    docs.select(col(idCol),
+      qualityVerdict(col(textCol), minTokens, wantedLang, minQuality)
+        .as("verdict"))
       .select(col(idCol), col("verdict"), (col("verdict") === "keep").as("keep"))
   }
+
+  /** The gate's verdict as a bare Column — lets a pipeline FILTER on it
+    * directly (one narrow pass over the corpus) instead of joining back
+    * against [[qualityGate]]'s id table, which plans as a corpus-wide
+    * self-join. The curate `1_gate` stage uses exactly this.
+    */
+  private[graft] def qualityVerdict(text: Column, minTokens: Int,
+      wantedLang: String, minQuality: Double): Column =
+    when(TextFunctions.tokenCount(text) < minTokens, "too_short")
+      .when(TextFunctions.langId(text) =!= wantedLang, "lang")
+      .when(TextFunctions.qualityScore(text) < minQuality, "low_quality")
+      .otherwise("keep")
 
   /** Integer threshold for P(keep)=rate under a uniform 60-bit hash.
     * Computed in exact Long space so Spark and any replicating engine
@@ -489,9 +497,13 @@ object CorpusAnalysis {
       salt: String, nearDupMaxBucket: Int,
       onStats: Option[(String, Seq[Dedup.BucketStats]) => Unit] = None)
       : Seq[(String, DataFrame => DataFrame)] = Seq(
-    "1_gate" -> ((d: DataFrame) => d.join(
-      qualityGate(d, "id", "text", minTokens, wantedLang, minQuality)
-        .filter(col("keep")).select("id"), Seq("id"))),
+    // a direct narrow filter on the verdict — NOT a join back against
+    // qualityGate's id table, which would shuffle the whole corpus
+    // twice (both join sides) to re-select rows the verdict already
+    // identifies in place
+    "1_gate" -> ((d: DataFrame) => d.filter(
+      qualityVerdict(col("text"), minTokens, wantedLang, minQuality)
+        === "keep")),
     "2_exact_dedup" -> ((d: DataFrame) => Dedup.exactDedup(d, "id", "text")),
     "3_near_dedup" -> ((d: DataFrame) => {
       def pairs = Dedup.minHashNearDupPairs(d, "id", "text",
@@ -521,6 +533,13 @@ object CorpusAnalysis {
       contamination(d, b0, "id", "text", contamN, contamMinShared)
         .select(col("id")).distinct(), Seq("id"), "left_anti")),
     "5_sample" -> ((d: DataFrame) => hashSample(d, "id", sampleRate, salt)))
+
+  /** [[curateStageFns]] with defaults, for the dev profiling scratch
+    * ([[graft.tools.CurateProfile]]) — times stages in isolation.
+    */
+  private[graft] def curateStageFnsForProfiling(b0: DataFrame,
+      sampleRate: Double, salt: String): Seq[(String, DataFrame => DataFrame)] =
+    curateStageFns(b0, 15, "en", 0.75, 0.8, 8, 1, sampleRate, salt, 1000)
 
   /** (stage, docs_in, docs_out) rows from the materialized stage chain. */
   private def attritionReport(
