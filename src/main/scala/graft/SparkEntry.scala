@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{CorpusAnalysis, Dedup, Multimodal, Similarity, VectorOps}
+import graft.operators.{CorpusAnalysis, Dedup, Multimodal, Retrieval, Similarity, VectorOps}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -453,6 +453,39 @@ object SparkEntry {
     "q_token_freq" -> ((s, dir) =>
       CorpusAnalysis.tokenFrequencyStats(t(s, dir, "documents"), "doc_id",
         "text", vocabSize = 20)),
+
+    // inverted index as data: (term, id, tf) — the retrieval substrate
+    "q_inverted_index" -> ((s, dir) =>
+      Retrieval.invertedIndex(t(s, dir, "documents"), "doc_id", "text")),
+
+    // per-term corpus stats off the index: (term, df, cf)
+    "q_term_stats" -> ((s, dir) =>
+      Retrieval.termStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // BM25 top-k retrieval, bit-reproducible rational-idf twin (the
+    // oracle-exact form); queries = first 8 tokens of docs 0-4
+    "q_bm25_rational" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+            .as("qtext"))
+      Retrieval.bm25TopK(docs, q, "doc_id", "text", "query_id", "qtext",
+        k = 5, rationalIdf = true)
+    }),
+
+    // production ln-idf BM25 (platform log differs by 1 ULP on some df
+    // values → rows-only check; the rational twin above pins the full
+    // pipeline bit-exactly)
+    "q_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+            .as("qtext"))
+      Retrieval.bm25TopK(docs, q, "doc_id", "text", "query_id", "qtext",
+        k = 5)
+    }),
 
     // exact-N deterministic per-stratum sample via the bounded
     // smallest-k aggregation (no per-stratum window sort)
@@ -1275,6 +1308,64 @@ object SparkEntry {
          |    THEN CAST(d.freq_mass AS DOUBLE) / d.in_vocab
          |    ELSE 0.0 END AS mean_freq
          |FROM tk LEFT JOIN d USING (id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_inverted_index" ->
+      s"""SELECT tok AS term, id, count(*) AS tf
+         |FROM (SELECT doc_id AS id, unnest($Toks) AS tok FROM documents)
+         |GROUP BY tok, id
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_term_stats" ->
+      s"""WITH p AS (
+         |  SELECT tok, id, count(*) AS tf
+         |  FROM (SELECT doc_id AS id, unnest($Toks) AS tok FROM documents)
+         |  GROUP BY tok, id)
+         |SELECT tok AS term, count(*) AS df,
+         |  CAST(sum(tf) AS BIGINT) AS cf FROM p
+         |GROUP BY tok
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // BM25 (rational idf): the FULL scoring pipeline replicated with
+    // matched arithmetic order — every op is a correctly-rounded IEEE
+    // double op, term scores fold in (gh, score) order via list_reduce
+    // (= Spark's aggregate over sort_array), so scores and ranks are
+    // bit-identical. Double literals interpolate from the same Scala
+    // expressions the operator evaluates (k1+1 etc.) and carry an e0
+    // exponent so DuckDB types them DOUBLE, not DECIMAL.
+    "q_bm25_rational" ->
+      s"""WITH d AS (SELECT doc_id AS id, $Toks AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, coalesce(sum(len(tk)), 0) AS sdl FROM d),
+         |post AS (
+         |  SELECT id, dl, gh, count(*) AS tf FROM (
+         |    SELECT id, len(tk) AS dl, ${H60("tok")} AS gh FROM (
+         |      SELECT id, tk, unnest(tk) AS tok FROM d))
+         |  GROUP BY id, dl, gh),
+         |dfq AS (SELECT gh, count(*) AS df FROM post GROUP BY gh),
+         |q AS (SELECT DISTINCT query_id, ${H60("tok")} AS gh FROM (
+         |    SELECT doc_id AS query_id, unnest(tk[1:8]) AS tok
+         |    FROM (SELECT doc_id, $Toks AS tk FROM documents
+         |          WHERE doc_id < 5))),
+         |qi AS (SELECT query_id, gh,
+         |    (CAST(n - df AS DOUBLE) + ${0.5}e0)
+         |      / (CAST(df AS DOUBLE) + ${0.5}e0) AS idf
+         |  FROM q JOIN dfq USING (gh) CROSS JOIN st),
+         |ts AS (SELECT query_id, id, gh,
+         |    idf * ((CAST(tf AS DOUBLE) * ${1.2 + 1.0}e0) /
+         |      (CAST(tf AS DOUBLE) + ${1.2}e0 * (${1.0 - 0.75}e0 +
+         |        ${0.75}e0 * (CAST(dl AS DOUBLE) /
+         |          (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS sc
+         |  FROM post JOIN qi USING (gh) CROSS JOIN st),
+         |agg AS (SELECT query_id, id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(sc ORDER BY gh, sc)), (a, x) -> a + x) AS sim
+         |  FROM ts GROUP BY query_id, id),
+         |r AS (SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, id) AS INTEGER) AS rank,
+         |    id AS neighbor_id, sim
+         |  FROM agg)
+         |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // exact-N per-stratum sample: the window formulation is the

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical retrieval over a document corpus: inverted-index
+  * construction and BM25 top-k scoring (Robertson & Zaragoza 2009,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond") — the
+  * retrieval primitive a training-data pipeline uses for hard-negative
+  * mining, nearest-text lookup, and benchmark decontamination beyond
+  * n-gram overlap. Reference: N/A (beyond the reference's surface —
+  * LLM-pipeline brief).
+  *
+  * Scale shape (the 100 TB contract):
+  *   - postings/df build is ONE corpus scan + keyed aggregations whose
+  *     shuffle keys are the 8-byte [[TextFunctions.md5Hash60]] of the
+  *     term (the repo-wide convention — raw term strings never key a
+  *     corpus-sized shuffle; the inverted-INDEX builder, whose OUTPUT
+  *     is the term string, is the one deliberate exception);
+  *   - the query side is assumed interactively small (a benchmark, a
+  *     probe set — thousands, not billions) and is BROADCAST against
+  *     the postings table, so the corpus never re-shuffles per query
+  *     batch;
+  *   - per-(query, doc) scores aggregate with a deterministic ordered
+  *     fold, and the final top-k runs through the bounded
+  *     [[TopK.topKPerQuery]] aggregator — map-side ≤k buffers, never a
+  *     per-query window sort of all scored docs.
+  *
+  * Determinism: every arithmetic step is a correctly-rounded IEEE-754
+  * double op evaluated in a FIXED order (term scores fold in term-hash
+  * order), so scores — and therefore ranks, with the (score DESC, id
+  * ASC) tie-break — replicate bit-for-bit on any engine... except the
+  * default `ln`-based idf: platform `log` implementations differ by
+  * 1 ULP on some inputs (measured: 2/5020 df values vs this box's
+  * DuckDB), so the oracle-exact twin uses `rationalIdf = true`, which
+  * drops the `ln` (idf = (N-df+0.5)/(df+0.5), the same monotone
+  * ordering per term) and keeps every bit reproducible.
+  */
+object Retrieval {
+
+  /** The inverted index as data: one row per (term, doc) with the
+    * within-doc term frequency — (term, id, tf). Within-doc repeats
+    * collapse map-side, so the shuffle carries distinct (doc, term)
+    * pairs. The term STRING is the row's payload here (this is the
+    * index a consumer reads), so it rides the one aggregation shuffle;
+    * [[bm25TopK]] never builds this string-keyed form — it keys on the
+    * 60-bit term hash end-to-end.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        // explode_outer + null filter: a plain explode lets
+        // InferFiltersFromGenerate duplicate the tokenize tree into a
+        // pushed-down size() filter (the trap pinned in PlanShapeSpec)
+        explode_outer(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term corpus statistics off the inverted index: document
+    * frequency and collection frequency — (term, df, cf).
+    */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    invertedIndex(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+
+  /** BM25 top-k retrieval: for each query row, the `k` highest-scoring
+    * corpus docs as (query_id, rank, neighbor_id, sim), rank 1-based,
+    * ties broken (sim DESC, neighbor_id ASC) — identical contract to
+    * the kNN operators in [[Similarity]].
+    *
+    * score(q, d) = Σ_{t ∈ distinct terms(q)} idf(t) ·
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene
+    * always-positive form), or the rational (N − df + 0.5)/(df + 0.5)
+    * under `rationalIdf` (bit-reproducible across engines; see the
+    * object scaladoc). Query terms are DISTINCT (unweighted short-query
+    * form); terms absent from the corpus contribute nothing.
+    *
+    * Plan: one corpus scan builds hash-keyed postings carrying the doc
+    * length; the df table joins the (broadcast) distinct query terms,
+    * and the resulting per-(query, term) idf table — query-sized —
+    * broadcasts against the postings; per-(query, doc) term scores fold
+    * in term-hash order; [[TopK.topKPerQuery]] bounds the final
+    * selection. Corpus count and total length are ONE bounded
+    * 2-scalar aggregate (the same driver envelope
+    * `temperatureMixtureRates` uses).
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, queryIdCol: String, queryTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      rationalIdf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
+    TopK.requireIntegral(corpus, idCol, "bm25TopK")
+    TopK.requireIntegral(queries, queryIdCol, "bm25TopK")
+
+    val docToks = corpus.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+
+    // corpus envelope: N docs, total token count — 2 scalars, bounded
+    val stat = docToks
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("__t"))), lit(0L)).as("sdl")).head()
+    val nDocs = stat.getLong(0)
+    val sumDl = stat.getLong(1)
+    require(nDocs > 0, "bm25TopK: empty corpus")
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+
+    // postings keyed by the 60-bit term hash, doc length riding along
+    // (dl is id-functional — it widens the aggregation key by 8 bytes,
+    // not the shuffle by a join)
+    val posts = docToks
+      .select(col("id"), size(col("__t")).as("dl"),
+        explode_outer(col("__t")).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .groupBy(col("id"), col("dl"),
+        TextFunctions.md5Hash60(col("__tok")).as("gh"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = posts.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+
+    // distinct query terms, hashed the same way; the df join broadcasts
+    // the query side (tiny) against the vocabulary-sized df table, and
+    // its query-sized RESULT broadcasts against the corpus postings
+    val qTerms = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        explode_outer(array_distinct(
+          TextFunctions.tokens(col(queryTextCol)))).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .select(col("query_id"), TextFunctions.md5Hash60(col("__tok")).as("gh"))
+    val rational = (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val idf = if (rationalIdf) rational else log(lit(1.0) + rational)
+    val qIdf = dfTbl.join(broadcast(qTerms), Seq("gh"))
+      .select(col("query_id"), col("gh"), idf.as("__idf"))
+
+    // per-(query, doc, term) score — every op correctly rounded, fixed
+    // order, so the fold below is bit-reproducible
+    val termScore = col("__idf") *
+      ((col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))))
+    val scored = posts.join(broadcast(qIdf), Seq("gh"))
+      .select(col("query_id"), col("id"), col("gh"), termScore.as("__sc"))
+      .groupBy(col("query_id"), col("id"))
+      // deterministic ordered fold: term scores sum in (gh, score)
+      // order — a bare sum() would fold in partition arrival order and
+      // scores would drift by ULPs between runs and engines
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("gh"), col("__sc")))),
+        lit(0.0), (acc, x) => acc + x("__sc")).as("sim"))
+    TopK.topKPerQuery(
+      scored.select(col("query_id"), col("id").as("neighbor_id"), col("sim")), k)
+  }
+}
