@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{CorpusAnalysis, Dedup, Multimodal, Retrieval, Similarity, VectorOps}
+import graft.operators.{CorpusAnalysis, Dedup, Multimodal, ProductQuantization, Retrieval, Similarity, VectorOps}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -707,6 +707,32 @@ object SparkEntry {
       val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
         nprobe = 2, centroids = cents)
       Similarity.recallAtK(emb, q, "vec_id", "embedding", 5, approx)
+    }),
+
+    // product quantization, integer-exact twin: deterministic sampled
+    // codebook (8 subspaces x 8 sub-centroids over the 64-dim
+    // integer-quantized vectors), codegen'd encode, ADC distances —
+    // every distance an exactly-representable integer, so codes, ADC
+    // sums, and ranks replicate bit-for-bit in the oracle
+    "q_pq_int" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+      val cb = ProductQuantization.sampledCodebook(emb, "vec_id",
+        "embedding", m = 8, k = 8)
+      ProductQuantization.adcTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, cb)
+    }),
+
+    // production float PQ: per-subspace Lloyd codebook (float means →
+    // platform-dependent ULPs → rows-only check; the integer twin above
+    // pins the full encode/ADC/rank pipeline)
+    "q_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = ProductQuantization.fitCodebook(emb, "vec_id", "embedding",
+        m = 8, k = 8)
+      ProductQuantization.adcTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, cb)
     }),
 
     // ---- E2E ingest (S2–S7 source, P7 transform, K1–K8 writes, A3
@@ -2207,6 +2233,55 @@ object SparkEntry {
         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
         |GROUP BY t.query_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Product quantization, integer-exact: deterministic sampled
+    // codebook (the 8 vectors with the smallest md5-60('pqcb:'||id),
+    // sub-sliced 8x8), argmin encode with (dist, cid) tie-break, ADC
+    // = sum of 8 per-subspace squared distances — all exactly
+    // representable integers, so codes, distances, and ranks replicate
+    // bit-for-bit.
+    "q_pq_int" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |cbrows AS (
+         |  SELECT v,
+         |    CAST(row_number() OVER (ORDER BY h, sid) AS INTEGER) - 1 AS cid
+         |  FROM (SELECT v, ${H60("'pqcb:' || CAST(vec_id AS VARCHAR)")} AS h,
+         |          CAST(vec_id AS VARCHAR) AS sid FROM e)),
+         |sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |cb AS (
+         |  SELECT cid, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS cv
+         |  FROM cbrows CROSS JOIN sub WHERE cid < 8),
+         |encd AS (
+         |  SELECT e.vec_id, cb.s, cb.cid,
+         |    list_sum(list_transform(
+         |      list_zip(list_slice(e.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+         |      p -> CAST(p[1] - p[2] AS DOUBLE) * CAST(p[1] - p[2] AS DOUBLE)))
+         |      AS d
+         |  FROM e CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+         |    FROM encd) WHERE rn = 1),
+         |qd AS (
+         |  SELECT vec_id AS query_id, s, cid, d FROM encd WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT qd.query_id, enc.vec_id AS neighbor_id,
+         |    CAST(sum(qd.d) AS DOUBLE) AS dist
+         |  FROM enc JOIN qd ON qd.s = enc.s AND qd.cid = enc.code
+         |  WHERE enc.vec_id <> qd.query_id
+         |  GROUP BY qd.query_id, enc.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist, neighbor_id)
+         |      AS INTEGER) AS rank,
+         |    neighbor_id, dist
+         |  FROM sc) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Integer-exact embedding near-dup: same quantization, the same
     // integer plane constants as q_knn_lsh_int (LshIntBucket), bucket

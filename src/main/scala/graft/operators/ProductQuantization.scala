@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Product quantization for approximate nearest neighbor at corpus
+  * scale (Jégou, Douze & Schmid 2011, "Product Quantization for
+  * Nearest Neighbor Search"): vectors split into `m` subspaces, each
+  * sub-vector quantized to its nearest sub-centroid, so a dim-D float
+  * vector compresses to `m` small codes and query distance becomes `m`
+  * table lookups (ADC — asymmetric distance computation) instead of a
+  * D-term dot product. THE memory lever for 100 TB ANN: a 64-dim
+  * float corpus (256 B/vec) stores as 8 one-byte codes (32× smaller),
+  * small enough to keep the whole index in executor memory where the
+  * raw vectors never were. Reference: N/A (beyond the reference's
+  * surface — LLM-pipeline brief).
+  *
+  * Scale shape:
+  *   - the codebook is tiny (m·k·(dim/m) doubles — 4 KB at the
+  *     defaults) and rides the task closure through the same
+  *     codegen'd closure-matrix kernel centroid assignment uses
+  *     ([[graft.expressions.NearestCentroidsExpr]]); encoding is a
+  *     NARROW map — one kernel call per subspace per row, no shuffle;
+  *   - queries (small, interactive) precompute their m×k distance
+  *     tables once per query row and BROADCAST; scoring a candidate
+  *     is m array lookups folded in subspace order — deterministic
+  *     summation, bit-reproducible;
+  *   - the final top-k is the bounded [[TopK.topKPerQuery]]
+  *     aggregator. The scan over encoded candidates is the brute
+  *     [[Similarity.bruteForceTopK]] plan shape at 1/32 the bytes and
+  *     ~1/8 the per-pair arithmetic; compose with an IVF-style
+  *     candidate filter when even the code scan is too wide.
+  *
+  * Codebooks: [[fitCodebook]] runs per-subspace Lloyd's on a bounded
+  * sample (the production path); [[sampledCodebook]] picks the `k`
+  * corpus vectors with the smallest md5-60(salt:id) and uses their
+  * sub-vectors verbatim — fully deterministic and engine-replicable,
+  * the form the integer oracle twin (`q_pq_int`) pins bit-exactly.
+  */
+object ProductQuantization {
+
+  /** m × k × (dim/m) sub-centroid matrix. `codebook(s)(c)` is
+    * sub-centroid `c` of subspace `s`.
+    */
+  type Codebook = Array[Array[Array[Double]]]
+
+  private def checkCodebook(cb: Codebook): (Int, Int, Int) = {
+    require(cb.nonEmpty && cb(0).nonEmpty && cb(0)(0).nonEmpty,
+      "empty codebook")
+    val (m, k, sd) = (cb.length, cb(0).length, cb(0)(0).length)
+    require(cb.forall(s => s.length == k && s.forall(_.length == sd)),
+      s"ragged codebook: expected $m x $k x $sd")
+    (m, k, sd)
+  }
+
+  /** Deterministic sampled codebook: the sub-vectors of the `k` corpus
+    * rows with the smallest (md5-60(salt:id), id) — a pure function of
+    * the corpus, replicable by any engine (the same selection rule as
+    * [[CorpusAnalysis.stratifiedSampleN]]). Codebook quality is that
+    * of a random sample — fine for planted-duplicate discrimination
+    * and oracle pinning; use [[fitCodebook]] when quantization error
+    * matters.
+    */
+  def sampledCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, salt: String = "pqcb"): Codebook = {
+    require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
+    val rows = corpus
+      .select(
+        TextFunctions.md5Hash60(concat(lit(salt), lit(":"),
+          col(idCol).cast("string"))).as("h"),
+        col(idCol).cast("string").as("sid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("h"), col("sid"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](2).toArray)
+    require(rows.length == k,
+      s"sampledCodebook: corpus has only ${rows.length} usable vectors, need $k")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(rows.forall(_.length == dim),
+      "sampledCodebook: mixed vector dimensions in the sample")
+    val sd = dim / m
+    Array.tabulate(m)(s => rows.map(_.slice(s * sd, (s + 1) * sd)))
+  }
+
+  /** Per-subspace Lloyd's on a bounded sample — the production
+    * codebook. `m` driver-side fits over the SAME bounded sample
+    * [[Similarity.kmeansCentroids]] draws (one collect, reused), so
+    * fitting cost is independent of corpus size.
+    */
+  def fitCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 3, sampleSize: Int = 10000): Codebook = {
+    require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
+    val sample = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("id")).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k,
+      s"fitCodebook: need at least $k vectors, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(_.slice(s * sd, (s + 1) * sd))
+      lloyd(sub, k, iters)
+    }
+  }
+
+  /** Plain Lloyd's over an in-memory sample (same loop as
+    * [[Similarity.kmeansCentroids]], reused here per subspace).
+    */
+  private def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids = sample.take(k).map(_.clone())
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) { val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Encode vectors to PQ codes: (id, codes array<int>), `codes(s)` =
+    * nearest sub-centroid of subspace `s`, tie-break (distance ASC,
+    * cid ASC) — the codegen'd kernel's pinned contract. A NARROW map:
+    * the codebook rides the task closure, nothing shuffles. Rows whose
+    * vector is null/mis-sized/null-element get a null code in every
+    * affected subspace (the kernel's null-cluster convention);
+    * [[adcTopK]] filters them out of scoring.
+    */
+  def encode(vectors: DataFrame, idCol: String, vecCol: String,
+      cb: Codebook): DataFrame = {
+    val (m, _, sd) = checkCodebook(cb)
+    graft.expressions.VectorHashExprs.register(vectors.sparkSession)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val codes = array((0 until m).map { s =>
+      element_at(Similarity.nearestCentroids(
+        cb(s).zipWithIndex.map { case (c, i) => (i, c) },
+        slice(v, s * sd + 1, sd), 1), 1)("cid")
+    }: _*)
+    vectors.select(col(idCol).as("id"), codes.as("codes"))
+  }
+
+  /** ADC top-k: for each query row the `k` encoded corpus rows with
+    * the smallest approximate distance, as (query_id, rank,
+    * neighbor_id, dist) — rank 1-based, ties (dist ASC, neighbor_id
+    * ASC). Each query precomputes its m×k sub-distance tables ONCE
+    * (broadcast with the query row); each candidate then costs m
+    * lookups folded in subspace order — deterministic summation, so
+    * distances replicate bit-for-bit (exactly integer-valued on
+    * integer-quantized inputs — the q_pq_int oracle). Self-matches
+    * (same id) are excluded, as in the other kNN operators; degenerate
+    * corpus rows (null codes) and queries (null/mis-sized vectors)
+    * are dropped from scoring.
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cb: Codebook): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    TopK.requireIntegral(corpus, idCol, "adcTopK")
+    TopK.requireIntegral(queries, idCol, "adcTopK")
+    val (m, _, sd) = checkCodebook(cb)
+    graft.expressions.VectorHashExprs.register(corpus.sparkSession)
+    val enc = encode(corpus, idCol, vecCol, cb)
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .filter(!exists(col("codes"), c => c.isNull))
+    val qv = transform(col(vecCol), x => x.cast("double"))
+    val tables = array((0 until m).map { s =>
+      array(cb(s).map { c =>
+        graft.expressions.VectorHashExprs.sqDistNative(
+          slice(col("qv"), s * sd + 1, sd),
+          typedlit(c))
+      }: _*)
+    }: _*)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), qv.as("qv"))
+      .filter(size(col("qv")) === m * sd)
+      .select(col("query_id"), tables.as("tables")))
+    val scored = q.join(enc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // m table lookups, folded s = 0..m-1 — fixed order
+        aggregate(
+          zip_with(col("tables"), col("codes"),
+            (t, c) => element_at(t, c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("dist"))
+    TopK.topKPerQuery(
+      scored.select(col("query_id"), col("neighbor_id"),
+        negate(col("dist")).as("sim")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        negate(col("sim")).as("dist"))
+  }
+}
