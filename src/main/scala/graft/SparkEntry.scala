@@ -724,6 +724,24 @@ object SparkEntry {
         "vec_id", "embedding", 5, cb)
     }),
 
+    // IVF-PQ, integer-exact: the q_knn_ivf_int coarse quantizer
+    // (explicit integer centroids, nprobe=2) pruning candidates for
+    // the q_pq_int ADC scorer — the composed 100 TB index layout,
+    // bit-exact end to end
+    "q_ivfpq_int" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+      val cb = ProductQuantization.sampledCodebook(emb, "vec_id",
+        "embedding", m = 8, k = 8)
+      val cents = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Long](1).map(_.toDouble).toArray))
+      ProductQuantization.ivfpqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, cb, nprobe = 2, coarse = cents)
+    }),
+
     // production float PQ: per-subspace Lloyd codebook (float means →
     // platform-dependent ULPs → rows-only check; the integer twin above
     // pins the full encode/ADC/rank pipeline)
@@ -2273,6 +2291,69 @@ object SparkEntry {
          |  SELECT qd.query_id, enc.vec_id AS neighbor_id,
          |    CAST(sum(qd.d) AS DOUBLE) AS dist
          |  FROM enc JOIN qd ON qd.s = enc.s AND qd.cid = enc.code
+         |  WHERE enc.vec_id <> qd.query_id
+         |  GROUP BY qd.query_id, enc.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist, neighbor_id)
+         |      AS INTEGER) AS rank,
+         |    neighbor_id, dist
+         |  FROM sc) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // IVF-PQ, integer-exact: q_knn_ivf_int's coarse assignment/probes
+    // composed with q_pq_int's encode + ADC — candidates restricted to
+    // rows sharing a probed inverted list.
+    "q_ivfpq_int" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |cbrows AS (
+         |  SELECT v,
+         |    CAST(row_number() OVER (ORDER BY h, sid) AS INTEGER) - 1 AS cid
+         |  FROM (SELECT v, ${H60("'pqcb:' || CAST(vec_id AS VARCHAR)")} AS h,
+         |          CAST(vec_id AS VARCHAR) AS sid FROM e)),
+         |sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |cb AS (
+         |  SELECT cid, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS cv
+         |  FROM cbrows CROSS JOIN sub WHERE cid < 8),
+         |encd AS (
+         |  SELECT e.vec_id, cb.s, cb.cid,
+         |    list_sum(list_transform(
+         |      list_zip(list_slice(e.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+         |      p -> CAST(p[1] - p[2] AS DOUBLE) * CAST(p[1] - p[2] AS DOUBLE)))
+         |      AS d
+         |  FROM e CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+         |    FROM encd) WHERE rn = 1),
+         |cent AS (SELECT CAST(vec_id AS INTEGER) AS ccid, v AS ccv
+         |         FROM e WHERE vec_id < 4),
+         |cdst AS (
+         |  SELECT e.vec_id, c.ccid,
+         |    list_sum(list_transform(list_zip(e.v, c.ccv),
+         |      p -> CAST(p[1] - p[2] AS DOUBLE) * CAST(p[1] - p[2] AS DOUBLE)))
+         |      AS cd
+         |  FROM e CROSS JOIN cent c),
+         |crn AS (
+         |  SELECT vec_id, ccid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cd, ccid) AS rn
+         |  FROM cdst),
+         |asg AS (SELECT vec_id AS neighbor_id, ccid FROM crn WHERE rn = 1),
+         |qpr AS (SELECT vec_id AS query_id, ccid FROM crn
+         |        WHERE vec_id < 5 AND rn <= 2),
+         |qd AS (
+         |  SELECT vec_id AS query_id, s, cid, d FROM encd WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT qd.query_id, enc.vec_id AS neighbor_id,
+         |    CAST(sum(qd.d) AS DOUBLE) AS dist
+         |  FROM enc JOIN qd ON qd.s = enc.s AND qd.cid = enc.code
+         |  JOIN asg ON asg.neighbor_id = enc.vec_id
+         |  JOIN qpr ON qpr.query_id = qd.query_id AND qpr.ccid = asg.ccid
          |  WHERE enc.vec_id <> qd.query_id
          |  GROUP BY qd.query_id, enc.vec_id)
          |SELECT * FROM (

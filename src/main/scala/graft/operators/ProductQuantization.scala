@@ -153,15 +153,26 @@ object ProductQuantization {
     */
   def encode(vectors: DataFrame, idCol: String, vecCol: String,
       cb: Codebook): DataFrame = {
-    val (m, _, sd) = checkCodebook(cb)
     graft.expressions.VectorHashExprs.register(vectors.sparkSession)
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val codes = array((0 until m).map { s =>
+    vectors.select(col(idCol).as("id"),
+      codesCol(transform(col(vecCol), x => x.cast("double")), cb)
+        .as("codes"))
+  }
+
+  /** The PQ code array as a bare column over a double-array vector
+    * column — one closure-matrix kernel call per subspace, all in a
+    * single narrow projection (shared by [[encode]] and the IVF-PQ
+    * corpus build, which adds the coarse cid in the SAME projection
+    * rather than joining two corpus-wide frames).
+    */
+  private def codesCol(v: org.apache.spark.sql.Column,
+      cb: Codebook): org.apache.spark.sql.Column = {
+    val (m, _, sd) = checkCodebook(cb)
+    array((0 until m).map { s =>
       element_at(Similarity.nearestCentroids(
         cb(s).zipWithIndex.map { case (c, i) => (i, c) },
         slice(v, s * sd + 1, sd), 1), 1)("cid")
     }: _*)
-    vectors.select(col(idCol).as("id"), codes.as("codes"))
   }
 
   /** ADC top-k: for each query row the `k` encoded corpus rows with
@@ -186,6 +197,73 @@ object ProductQuantization {
     val enc = encode(corpus, idCol, vecCol, cb)
       .select(col("id").as("neighbor_id"), col("codes"))
       .filter(!exists(col("codes"), c => c.isNull))
+    val q = broadcast(
+      queryTables(queries, idCol, vecCol, cb)
+        .select(col("query_id"), col("tables")))
+    rankAdc(q.join(enc, col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** IVF-PQ: the composition that makes PQ a full 100 TB index — a
+    * coarse quantizer (the same centroid set [[Similarity.ivfTopK]]
+    * uses) prunes candidates to the `nprobe` nearest inverted lists
+    * BEFORE ADC scoring, so a query touches |corpus|·nprobe/numCoarse
+    * codes instead of every code (and the per-candidate cost is
+    * already m lookups). The join is keyed on the coarse cid — a
+    * broadcast hash join of the probe table against the encoded
+    * corpus, never the all-pairs scan [[adcTopK]] degrades to.
+    *
+    * This is the IVFADC layout of Jégou et al. 2011 §IV with one
+    * documented simplification: codes quantize the RAW vector, not the
+    * residual (v − coarse centroid) — candidate pruning and memory
+    * compression are identical, per-cell quantization error is
+    * slightly higher, and codes stay independent of the coarse
+    * assignment (an encoded corpus can be re-sharded without
+    * re-encoding). Same output contract and determinism as
+    * [[adcTopK]].
+    */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cb: Codebook, numCoarse: Int = 16,
+      nprobe: Int = 4,
+      coarse: Array[(Int, Array[Double])] = null): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    TopK.requireIntegral(corpus, idCol, "ivfpqTopK")
+    TopK.requireIntegral(queries, idCol, "ivfpqTopK")
+    val (m, _, sd) = checkCodebook(cb)
+    graft.expressions.VectorHashExprs.register(corpus.sparkSession)
+    val cents = if (coarse != null) coarse
+      else Similarity.kmeansCentroids(corpus, idCol, vecCol, numCoarse)
+    // ONE narrow projection computes the coarse cid AND the m codes —
+    // all closure-matrix kernel calls over the same row, no join, no
+    // shuffle for the whole index build
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("neighbor_id"),
+        element_at(Similarity.nearestCentroids(cents, col("v"), 1), 1)("cid")
+          .as("cid"),
+        codesCol(col("v"), cb).as("codes"))
+      .filter(col("cid").isNotNull &&
+        !exists(col("codes"), c => c.isNull))
+    val q = broadcast(
+      queryTables(queries, idCol, vecCol, cb)
+        .withColumn("probe",
+          explode(Similarity.nearestCentroids(cents, col("qv"), nprobe)))
+        .select(col("query_id"), col("tables"), col("probe")("cid").as("cid")))
+    // each corpus row lives in exactly ONE inverted list and probes are
+    // distinct centroids, so a (query, neighbor) pair appears at most
+    // once — no dedup needed
+    rankAdc(q.join(enc, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** (query_id, qv, tables): per-query m×k sub-distance tables,
+    * computed once per query row. Degenerate queries (null/mis-sized
+    * vectors) are dropped.
+    */
+  private def queryTables(queries: DataFrame, idCol: String,
+      vecCol: String, cb: Codebook): DataFrame = {
+    val (m, _, sd) = checkCodebook(cb)
     val qv = transform(col(vecCol), x => x.cast("double"))
     val tables = array((0 until m).map { s =>
       array(cb(s).map { c =>
@@ -194,11 +272,17 @@ object ProductQuantization {
           typedlit(c))
       }: _*)
     }: _*)
-    val q = broadcast(queries
+    queries
       .select(col(idCol).as("query_id"), qv.as("qv"))
       .filter(size(col("qv")) === m * sd)
-      .select(col("query_id"), tables.as("tables")))
-    val scored = q.join(enc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), tables.as("tables"))
+  }
+
+  /** ADC fold + bounded top-k over (query_id, tables, neighbor_id,
+    * codes) candidate rows.
+    */
+  private def rankAdc(cands: DataFrame, k: Int): DataFrame = {
+    val scored = cands
       .select(col("query_id"), col("neighbor_id"),
         // m table lookups, folded s = 0..m-1 — fixed order
         aggregate(

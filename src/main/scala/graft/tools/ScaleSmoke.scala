@@ -372,6 +372,56 @@ object ScaleSmoke {
       s"packs ${packAgg.getAs[Long]("packs")} of $expPacks")
     println(f"packing: docs=$nDocs packs=$expPacks in $tPk%.1f s " +
       f"(${nDocs / tPk}%.0f docs/s)")
+
+    // --- PQ at scale: encode the 1M synthetic vectors (narrow kernel,
+    // no shuffle) with a fitted 8x16 codebook, then ADC top-1 for 100
+    // group-base queries. Planted truth: the near-identical partner
+    // (id+9, dim 0 shifted 0.05) is top-1 unless it straddles a
+    // subspace-0 centroid boundary AND a random vector lands closer in
+    // code space — demand >= 95/100 and exact-identical self codes.
+    val t16 = System.nanoTime()
+    val pqCb = graft.operators.ProductQuantization.fitCodebook(
+      vecs, "id", "v", m = 8, k = 16)
+    val encoded = graft.operators.ProductQuantization.encode(
+      vecs, "id", "v", pqCb)
+    val encCount = encoded.filter(!exists(col("codes"), c => c.isNull)).count()
+    val tEnc = (System.nanoTime() - t16) / 1e9
+    require(encCount == nVec, s"encoded $encCount of $nVec")
+    val t17 = System.nanoTime()
+    val pqTop1 = graft.operators.ProductQuantization.adcTopK(
+      vecs, queries, "id", "v", k = 1, pqCb)
+      .filter(col("rank") === 1).collect()
+    val tAdc = (System.nanoTime() - t17) / 1e9
+    require(pqTop1.length == 100, s"got ${pqTop1.length} PQ queries back")
+    val pqHits = pqTop1.count(r =>
+      r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") + 9)
+    require(pqHits >= 95, s"PQ planted top-1: $pqHits/100")
+    println(f"pq: encode $nVec vecs in $tEnc%.1f s " +
+      f"(${nVec / tEnc}%.0f vecs/s), adcTop1=$pqHits/100 planted " +
+      f"in $tAdc%.1f s, heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- BM25 at scale: postings over 1M 30-token docs (~30M token
+    // instances, hash-keyed), 100 group-base doc texts as queries.
+    // Exact truth: a base query's text exists verbatim in docs base and
+    // base+8 (exact duplicate) — identical scores, tie-break id ASC —
+    // and base+9 shares 29/30 tokens: top-3 = (base, base+8, base+9).
+    val t15 = System.nanoTime()
+    val bmQueries = docs.filter(col("id") % 10 === 0 && col("id") < 1000)
+      .select(col("id").as("query_id"), col("text").as("qtext"))
+    val bm = graft.operators.Retrieval.bm25TopK(docs, bmQueries, "id",
+      "text", "query_id", "qtext", k = 3)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    val tBm = (System.nanoTime() - t15) / 1e9
+    require(bm.size == 100, s"got ${bm.size} BM25 queries back")
+    bm.foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("neighbor_id")).toSeq
+      require(byRank == Seq(q, q + 8, q + 9),
+        s"BM25 top-3 for $q: $byRank")
+    }
+    println(f"bm25: ${nDocs}%d docs indexed + 100 queries in $tBm%.1f s " +
+      f"(${nDocs / tBm}%.0f docs/s), top-3 exact for 100/100, " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }

@@ -82,6 +82,39 @@ class ProductQuantizationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivfpqTopK: nprobe = all lists reproduces adcTopK; pruning only narrows") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+    val cbq = PQ.sampledCodebook(emb, "vec_id", "embedding", m = 8, k = 8)
+    val cents = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).map(_.toDouble).toArray))
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    // probing every inverted list = no pruning = exactly the flat ADC scan
+    val full = rows(PQ.ivfpqTopK(emb, queries, "vec_id", "embedding", 5,
+      cbq, nprobe = 4, coarse = cents))
+    val flat = rows(PQ.adcTopK(emb, queries, "vec_id", "embedding", 5, cbq))
+    assert(full == flat)
+    // partial probes return a subset of lists: every result must come
+    // from a probed list, and per-query candidates can only shrink
+    val pruned = PQ.ivfpqTopK(emb, queries, "vec_id", "embedding", 5,
+      cbq, nprobe = 1, coarse = cents)
+    assert(pruned.count() <= 25 && pruned.count() > 0)
+    // plan: the index build (cid + codes) is ONE narrow projection —
+    // the candidate join is a broadcast HASH join on the list id,
+    // never a sort-merge (which would mean the corpus shuffled)
+    val plan = PQ.ivfpqTopK(emb, queries, "vec_id", "embedding", 5,
+      cbq, nprobe = 2, coarse = cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("recall on real embeddings: planted near-copies recovered at rank 1") {
     // PQ is lossy, but a near-identical copy encodes to the SAME codes
     // as its base → ADC distance 0 → rank 1
