@@ -26,15 +26,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def jsonStr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jsonStr(s: String): String = JsonStr(s)
 
     // Warm the session (codegen, parquet reader, shuffle machinery) so
     // the first timed query doesn't absorb one-time JVM startup cost.

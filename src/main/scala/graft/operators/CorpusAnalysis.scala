@@ -20,20 +20,12 @@ import graft.functions.TextFunctions
   */
 object CorpusAnalysis {
 
-  /** JSON string literal (quote + escape) for the sidecar files this
-    * object writes — same escaping as the Bench output line, so the
-    * sidecars stay parseable by external tooling whatever the caller
-    * puts in `salt`/column names.
+  /** JSON string literal for the sidecar files this object writes —
+    * the shared [[graft.JsonStr]] escaping, so sidecars stay parseable
+    * by external tooling whatever the caller puts in `salt`/column
+    * names, and cannot drift from the Bench line format.
     */
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jsonStr(s: String): String = graft.JsonStr(s)
 
   /** Within-doc repetition fractions per n-gram size: for each doc and
     * each n in `ns`,
@@ -500,10 +492,14 @@ object CorpusAnalysis {
     // a direct narrow filter on the verdict — NOT a join back against
     // qualityGate's id table, which would shuffle the whole corpus
     // twice (both join sides) to re-select rows the verdict already
-    // identifies in place
+    // identifies in place. The explicit id.isNotNull preserves the
+    // join form's null-id drop (null never equi-joins): without it a
+    // null-id doc would reach exactDedup, whose min_by keeper skips
+    // null ordering values and emits an all-NULL row.
     "1_gate" -> ((d: DataFrame) => d.filter(
-      qualityVerdict(col("text"), minTokens, wantedLang, minQuality)
-        === "keep")),
+      col("id").isNotNull &&
+        qualityVerdict(col("text"), minTokens, wantedLang, minQuality)
+          === "keep")),
     "2_exact_dedup" -> ((d: DataFrame) => Dedup.exactDedup(d, "id", "text")),
     "3_near_dedup" -> ((d: DataFrame) => {
       def pairs = Dedup.minHashNearDupPairs(d, "id", "text",

@@ -72,7 +72,7 @@ object ProductQuantization {
           col(idCol).cast("string"))).as("h"),
         col(idCol).cast("string").as("sid"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !exists(col("v"), e => e.isNull))
       .orderBy(col("h"), col("sid"))
       .limit(k)
       .collect()
@@ -88,68 +88,41 @@ object ProductQuantization {
   }
 
   /** Per-subspace Lloyd's on a bounded sample — the production
-    * codebook. `m` driver-side fits over the SAME bounded sample
-    * [[Similarity.kmeansCentroids]] draws (one collect, reused), so
-    * fitting cost is independent of corpus size.
+    * codebook: ONE driver-side collect through the shared
+    * [[Similarity.vectorSample]] envelope, then `m` in-memory
+    * [[Similarity.lloydInMemory]] fits over the sub-sliced sample, so
+    * fitting cost is independent of corpus size. Degenerate rows
+    * (null vector, null element) are filtered before sampling; a
+    * mixed-dimension sample fails loudly.
     */
   def fitCodebook(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int = 3, sampleSize: Int = 10000): Codebook = {
     require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
-    val sample = corpus
-      .select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .filter(col("v").isNotNull)
-      .orderBy(col("id")).limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+    val sample = Similarity.vectorSample(
+      corpus.filter(col(vecCol).isNotNull &&
+        !exists(col(vecCol), e => e.isNull)),
+      idCol, vecCol, sampleSize)
     require(sample.length >= k,
       s"fitCodebook: need at least $k vectors, got ${sample.length}")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(sample.forall(_.length == dim),
+      "fitCodebook: mixed vector dimensions in the sample")
     val sd = dim / m
     Array.tabulate(m) { s =>
       val sub = sample.map(_.slice(s * sd, (s + 1) * sd))
-      lloyd(sub, k, iters)
+      Similarity.lloydInMemory(sub, k, iters)
     }
-  }
-
-  /** Plain Lloyd's over an in-memory sample (same loop as
-    * [[Similarity.kmeansCentroids]], reused here per subspace).
-    */
-  private def lloyd(sample: Array[Array[Double]], k: Int,
-      iters: Int): Array[Array[Double]] = {
-    var centroids = sample.take(k).map(_.clone())
-    def dist2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](sample.head.length))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bd = Double.MaxValue
-        var c = 0
-        while (c < k) { val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
-        counts(best) += 1
-        var i = 0
-        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
-      }
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old
-        else sums(c).map(_ / counts(c))
-      }
-    }
-    centroids
   }
 
   /** Encode vectors to PQ codes: (id, codes array<int>), `codes(s)` =
     * nearest sub-centroid of subspace `s`, tie-break (distance ASC,
     * cid ASC) — the codegen'd kernel's pinned contract. A NARROW map:
     * the codebook rides the task closure, nothing shuffles. Rows whose
-    * vector is null/mis-sized/null-element get a null code in every
-    * affected subspace (the kernel's null-cluster convention);
-    * [[adcTopK]] filters them out of scoring.
+    * vector is null or mis-sized (shorter OR longer than m·sd) get a
+    * null code ARRAY; a null element nulls its own subspace's code
+    * (the kernel's null-cluster convention). [[adcTopK]] and
+    * [[ivfpqTopK]] filter both shapes out of scoring.
     */
   def encode(vectors: DataFrame, idCol: String, vecCol: String,
       cb: Codebook): DataFrame = {
@@ -163,16 +136,23 @@ object ProductQuantization {
     * column — one closure-matrix kernel call per subspace, all in a
     * single narrow projection (shared by [[encode]] and the IVF-PQ
     * corpus build, which adds the coarse cid in the SAME projection
-    * rather than joining two corpus-wide frames).
+    * rather than joining two corpus-wide frames). Vectors whose size
+    * is not EXACTLY m·sd get a null code array — without the size
+    * guard, a LONGER vector would silently encode from its prefix
+    * (every slice is full) and score in [[adcTopK]] while the coarse
+    * quantizer of [[ivfpqTopK]] drops it, breaking the
+    * nprobe-ALL ≡ flat-ADC equivalence the spec pins.
     */
   private def codesCol(v: org.apache.spark.sql.Column,
       cb: Codebook): org.apache.spark.sql.Column = {
     val (m, _, sd) = checkCodebook(cb)
-    array((0 until m).map { s =>
-      element_at(Similarity.nearestCentroids(
-        cb(s).zipWithIndex.map { case (c, i) => (i, c) },
-        slice(v, s * sd + 1, sd), 1), 1)("cid")
-    }: _*)
+    when(size(v) === m * sd,
+      array((0 until m).map { s =>
+        element_at(Similarity.nearestCentroids(
+          cb(s).zipWithIndex.map { case (c, i) => (i, c) },
+          slice(v, s * sd + 1, sd), 1), 1)("cid")
+      }: _*))
+      .otherwise(lit(null).cast("array<int>"))
   }
 
   /** ADC top-k: for each query row the `k` encoded corpus rows with
@@ -196,7 +176,8 @@ object ProductQuantization {
     graft.expressions.VectorHashExprs.register(corpus.sparkSession)
     val enc = encode(corpus, idCol, vecCol, cb)
       .select(col("id").as("neighbor_id"), col("codes"))
-      .filter(!exists(col("codes"), c => c.isNull))
+      .filter(col("codes").isNotNull &&
+        !exists(col("codes"), c => c.isNull))
     val q = broadcast(
       queryTables(queries, idCol, vecCol, cb)
         .select(col("query_id"), col("tables")))
@@ -243,7 +224,7 @@ object ProductQuantization {
         element_at(Similarity.nearestCentroids(cents, col("v"), 1), 1)("cid")
           .as("cid"),
         codesCol(col("v"), cb).as("codes"))
-      .filter(col("cid").isNotNull &&
+      .filter(col("cid").isNotNull && col("codes").isNotNull &&
         !exists(col("codes"), c => c.isNull))
     val q = broadcast(
       queryTables(queries, idCol, vecCol, cb)

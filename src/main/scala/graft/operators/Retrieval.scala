@@ -48,7 +48,8 @@ object Retrieval {
     * [[bm25TopK]] never builds this string-keyed form — it keys on the
     * 60-bit term hash end-to-end.
     */
-  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    TopK.requireIntegral(docs, idCol, "invertedIndex")
     docs
       .select(col(idCol).cast("long").as("id"),
         // explode_outer + null filter: a plain explode lets
@@ -58,6 +59,7 @@ object Retrieval {
       .filter(col("term").isNotNull)
       .groupBy(col("term"), col("id"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** Per-term corpus statistics off the inverted index: document
     * frequency and collection frequency — (term, df, cf).

@@ -246,12 +246,35 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, sampleSize: Int = 10000): Array[(Int, Array[Double])] = {
-    val sample = corpus
-      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+    val sample = vectorSample(corpus, idCol, vecCol, sampleSize)
+    require(sample.length >= k, s"need at least $k vectors")
+    lloydInMemory(sample, k, iters).zipWithIndex.map { case (c, i) => (i, c) }
+  }
+
+  /** The bounded deterministic driver-side sample every in-memory fit
+    * here draws: the first `sampleSize` rows by id, vectors cast to
+    * double. Shared by [[kmeansCentroids]] and
+    * [[ProductQuantization.fitCodebook]] so the sampling rule cannot
+    * drift between them. Null vectors/elements fail on collect — a
+    * caller expecting them filters upstream (fitCodebook does).
+    */
+  private[operators] def vectorSample(corpus: DataFrame, idCol: String,
+      vecCol: String, sampleSize: Int): Array[Array[Double]] =
+    corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
       .orderBy(col("id")).limit(sampleSize)
       .collect()
       .map(r => r.getSeq[Double](1).toArray)
-    require(sample.length >= k, s"need at least $k vectors")
+
+  /** In-memory Lloyd's: init = the first `k` sample vectors, `iters`
+    * rounds, an empty cluster keeps its previous centroid. ONE
+    * implementation shared by [[kmeansCentroids]] and the per-subspace
+    * fits in [[ProductQuantization.fitCodebook]] — a tie-break or
+    * empty-cluster change lands in both or neither.
+    */
+  private[operators] def lloydInMemory(sample: Array[Array[Double]],
+      k: Int, iters: Int): Array[Array[Double]] = {
     var centroids = sample.take(k).map(_.clone())
     def dist2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -274,7 +297,7 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+    centroids
   }
 
   /** Elementwise vector sum — the keyed-aggregation building block for

@@ -596,6 +596,22 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(report.head._2 == docs.count())
     // deterministic: the report is a pure function of the corpus
     assert(run().toSeq == report.toSeq)
+
+    // a null-id doc is DROPPED by the gate (the old id equi-join form
+    // dropped it implicitly; the filter form must keep that contract —
+    // otherwise it reaches exactDedup, whose min_by keeper skips null
+    // ordering values and emits an all-NULL row)
+    import spark.implicits._
+    val withNull = docs.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long],
+        "a perfectly keepable english document with the and of is " +
+          "with many more words to pass the token gate easily today"))
+        .toDF("doc_id", "text"))
+    val rep2 = CorpusAnalysis.curate(withNull, bench, "doc_id", "text")
+      .collect().sortBy(_.getString(0))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep2.head._2 == docs.count() + 1)
+    assert(rep2.head._3 == report.head._3, s"${rep2.head} vs ${report.head}")
   }
 
   test("curatePersisted: report matches curate; resume skips completed stages") {

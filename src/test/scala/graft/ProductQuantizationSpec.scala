@@ -39,16 +39,22 @@ class ProductQuantizationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, Seq(1.0, 1.0, 0.0, 4.0)),   // sub0 -> 0, sub1 -> 0
       (2L, Seq(9.0, 9.0, 4.0, 1.0)),   // sub0 -> 1, sub1 -> 1
       (3L, Seq(5.0, 5.0, 2.5, 2.5)),   // both ties -> cid 0 wins
-      (4L, Seq(1.0, 2.0)),             // wrong dim -> null codes
-      (5L, null.asInstanceOf[Seq[Double]]))
+      (4L, Seq(1.0, 2.0)),             // too short -> null code array
+      (5L, null.asInstanceOf[Seq[Double]]),
+      // too LONG: without the size guard every slice would be full and
+      // the row would silently encode from its 4-dim prefix (scored by
+      // adcTopK but dropped by ivfpqTopK's coarse quantizer — breaking
+      // their pinned equivalence)
+      (6L, Seq(1.0, 1.0, 0.0, 4.0, 7.0, 7.0)))
     val got = PQ.encode(df, "vec_id", "embedding", cb)
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) null else r.getSeq[Any](1).toList)).toMap
     assert(got(1L) == List(0, 0), got.toString)
     assert(got(2L) == List(1, 1), got.toString)
     assert(got(3L) == List(0, 0), got.toString)
-    assert(got(4L).contains(null) || got(4L).forall(_ == null), got.toString)
-    assert(got(5L) == List(null, null) || got(5L).contains(null), got.toString)
+    assert(got(4L) == null, got.toString)
+    assert(got(5L) == null, got.toString)
+    assert(got(6L) == null, got.toString)
   }
 
   test("adcTopK: distances are exact table sums; self and degenerates excluded") {
@@ -56,7 +62,8 @@ class ProductQuantizationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, Seq(1.0, 1.0, 0.0, 4.0)),
       (2L, Seq(9.0, 9.0, 4.0, 1.0)),
       (3L, Seq(0.0, 0.0, 0.0, 5.0)),
-      (4L, Seq(1.0, 2.0))) // degenerate: never scored
+      (4L, Seq(1.0, 2.0)),                      // too short: never scored
+      (5L, Seq(1.0, 1.0, 0.0, 4.0, 7.0, 7.0))) // too long: never scored
     val queries = vecs((1L, Seq(1.0, 1.0, 0.0, 4.0)))
     val got = PQ.adcTopK(df, queries, "vec_id", "embedding", 3, cb)
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
@@ -65,7 +72,8 @@ class ProductQuantizationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 2 codes (1,1) -> 162+41=203; doc 3 codes (0,0) -> 2+1=3
     assert(got.map(_._2).toSeq == Seq(3L, 2L), got.toSeq.toString)
     assert(got.map(_._3).toSeq == Seq(3.0, 203.0), got.toSeq.toString)
-    assert(!got.exists(_._2 == 1L) && !got.exists(_._2 == 4L))
+    assert(!got.exists(_._2 == 1L) && !got.exists(_._2 == 4L) &&
+      !got.exists(_._2 == 5L))
   }
 
   test("codebook guards: ragged shape, k > corpus, indivisible dim") {

@@ -81,7 +81,7 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
               (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
           }
         }.sum
-        if (score > 0.0) Some(id -> score) else Some(id -> score)
+        Some(id -> score)
       }
     }
   }
