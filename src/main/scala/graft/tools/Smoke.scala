@@ -206,6 +206,29 @@ object Smoke {
       embPlanted, "vec_id", "embedding", centsDf, threshold = 0.99)
       .orderBy("a", "b").show(6, false)
 
+    println("== BM25 retrieval (sf0.001): query = doc 0's first 8 tokens ==")
+    val bmQ = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(graft.functions.TextFunctions.tokens($"text"), 1, 8),
+          " ").as("qtext"))
+    graft.operators.Retrieval.bm25TopK(docs, bmQ, "doc_id", "text",
+      "query_id", "qtext", k = 3).orderBy("query_id", "rank").show(9, false)
+    println("== inverted index head / term stats ==")
+    graft.operators.Retrieval.termStats(docs, "doc_id", "text")
+      .orderBy(desc("df"), col("term")).show(5, false)
+
+    println("== product quantization (sf0.001): fitted codebook, ADC top-3 ==")
+    val pqCb = graft.operators.ProductQuantization.fitCodebook(
+      emb, "vec_id", "embedding", m = 8, k = 8)
+    graft.operators.ProductQuantization.adcTopK(
+      emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", 3, pqCb)
+      .orderBy("query_id", "rank").show(9, false)
+    println("== IVF-PQ (same codebook, kmeans coarse, nprobe=2) ==")
+    graft.operators.ProductQuantization.ivfpqTopK(
+      emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", 3, pqCb,
+      numCoarse = 8, nprobe = 2)
+      .orderBy("query_id", "rank").show(9, false)
+
     println("== health ping (reference body on a live session) ==")
     println(graft.service.Health.ping(spark))
 
