@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{CorpusAnalysis, Dedup, Multimodal, ProductQuantization, Retrieval, Similarity, VectorOps}
+import graft.operators.{CorpusAnalysis, DataSelection, Dedup, Multimodal, ProductQuantization, Retrieval, Similarity, VectorOps}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -485,6 +485,39 @@ object SparkEntry {
             .as("qtext"))
       Retrieval.bm25TopK(docs, q, "doc_id", "text", "query_id", "qtext",
         k = 5)
+    }),
+
+    // DSIR hashed n-gram features (the integer substrate of importance
+    // resampling): unigram+bigram md5-60 hashes mod 1000 buckets
+    "q_dsir_feats" -> ((s, dir) =>
+      DataSelection.hashedNgramFeatures(t(s, dir, "documents"), "doc_id",
+        "text", buckets = 1000)),
+
+    // full DSIR selection toward a planted target (every 7th doc):
+    // log-ratio weights + deterministic hash-Gumbel top-N. ln() makes
+    // weights platform-ULP-dependent -> rows-only; the feature
+    // substrate above is the oracle-exact twin, and the spec pins
+    // selection behavior against an in-memory reference
+    "q_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DataSelection.dsirResample(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        keepN = 100, buckets = 1000)
+    }),
+
+    // vocabulary-mapped token ids (the trainer-facing form): top-20
+    // vocab with deterministic ids, OOV -> 0; ids joined to a string
+    // so the oracle compare is representation-safe
+    "q_token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = CorpusAnalysis.topTokens(docs, "text", 20)
+        .withColumn("token_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("token").asc)))
+      Retrieval.tokensToIds(docs, "doc_id", "text", vocab, oovId = 0)
+        .select(col("id"), col("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), ",")
+            .as("token_ids_str"))
     }),
 
     // exact-N deterministic per-stratum sample via the bounded
@@ -1410,6 +1443,44 @@ object SparkEntry {
          |    id AS neighbor_id, sim
          |  FROM agg)
          |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // DSIR hashed n-gram features: unigram (the token itself) and
+    // bigram (space-joined pair) md5-60 hashes mod 1000 — the same
+    // derivation the q_dup_spans oracle replicates at n=12
+    "q_dsir_feats" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |g AS (SELECT id, unnest(
+         |    (CASE WHEN len(toks) >= 1
+         |       THEN list_transform(generate_series(1, len(toks)),
+         |         i -> ${H60("toks[i]")})
+         |       ELSE [] END) ||
+         |    (CASE WHEN len(toks) >= 2
+         |       THEN list_transform(generate_series(1, len(toks) - 1),
+         |         i -> ${H60("toks[i] || ' ' || toks[i+1]")})
+         |       ELSE [] END)) AS gh FROM tk)
+         |SELECT id, CAST(gh % 1000 AS INTEGER) AS bucket, count(*) AS cnt
+         |FROM g GROUP BY id, bucket
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // vocabulary-mapped token ids: same deterministic top-20 vocab
+    // (cnt DESC, token ASC), OOV -> 0, order preserved; DuckDB maps
+    // each token through a MAP literal built from the vocab CTE
+    "q_token_ids" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt
+         |      FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok),
+         |v AS (SELECT tok,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS tid
+         |  FROM (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20)),
+         |vm AS (SELECT map(list(tok ORDER BY tid), list(tid ORDER BY tid))
+         |         AS m FROM v)
+         |SELECT id,
+         |  CAST(coalesce(len(toks), 0) AS BIGINT) AS n_tokens,
+         |  coalesce(array_to_string(
+         |    list_transform(toks, t -> coalesce(m[t][1], 0)), ','), '')
+         |    AS token_ids_str
+         |FROM tk CROSS JOIN vm
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // exact-N per-stratum sample: the window formulation is the

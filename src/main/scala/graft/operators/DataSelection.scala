@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Importance-based data selection — DSIR (Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling"): pick the
+  * raw-corpus docs whose hashed n-gram profile looks like a TARGET
+  * corpus (the "give me more data like my high-quality set" operator).
+  * Reference: N/A (beyond the reference's surface — LLM-pipeline
+  * brief).
+  *
+  * Pipeline: docs featurize into `buckets` hashed unigram+bigram
+  * counts; bucket distributions are estimated on the target (p) and
+  * raw (q) corpora with add-`alpha` smoothing; each raw doc scores
+  * log w = Σ_b c_b·(ln p_b − ln q_b); resampling keeps the `keepN`
+  * docs with the largest log w + Gumbel noise — Gumbel-top-k IS
+  * sampling without replacement ∝ w, and the noise here is a pure
+  * hash function of (salt, id), so the selection is deterministic
+  * across runs, partitionings, and engines up to float `ln` ULPs.
+  *
+  * Scale shape:
+  *   - featurize: one narrow kernel pass (tokenize → n-gram → md5-60,
+  *     the same codegen'd kernel the dedup family uses) + ONE keyed
+  *     aggregation whose shuffle key is (id, int bucket);
+  *   - distributions: one `buckets`-row aggregation per corpus —
+  *     bounded by construction, broadcast back;
+  *   - weights: features ⋈ broadcast(ratio table) + per-doc ordered
+  *     fold (deterministic summation);
+  *   - selection: NO global sort-limit (`orderBy().limit(keepN)`
+  *     funnels keepN rows into one task) — a histogram threshold
+  *     (bounded bin aggregation to the driver) keeps everything above
+  *     the cut bin and resolves ONLY the boundary bin with a bounded
+  *     top-j aggregation. With `histBins` bins over a continuous
+  *     score the boundary bin holds ~keepN/histBins docs; the
+  *     degenerate case (mass concentration in one bin — e.g. a
+  *     near-constant score) pays a top-j buffer of that bin's size.
+  */
+object DataSelection {
+
+  /** (id, bucket, cnt): hashed unigram+bigram counts, bucket =
+    * md5-60(n-gram) mod `buckets`. Deterministic and engine-replicable
+    * (the q_dsir_feats oracle recomputes it in SQL). Docs with no
+    * tokens produce no rows.
+    */
+  def hashedNgramFeatures(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10000): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    TopK.requireIntegral(docs, idCol, "hashedNgramFeatures")
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
+    def grams(n: Int) = coalesce(
+      graft.expressions.TextHashExprs.ngramHashes(col(textCol), n,
+        distinct = false),
+      array().cast("array<bigint>"))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        explode_outer(concat(grams(1), grams(2))).as("gh"))
+      .filter(col("gh").isNotNull)
+      .groupBy(col("id"), pmod(col("gh"), lit(buckets.toLong)).cast("int")
+        .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-bucket smoothed log importance ratios ln(p_b) − ln(q_b):
+    * p from `target`, q from `raw`, add-`alpha` smoothing so unseen
+    * buckets stay finite. At most `buckets` rows — broadcast-sized by
+    * construction.
+    */
+  def importanceLogRatios(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 10000,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    def dist(docs: DataFrame, cntName: String) =
+      hashedNgramFeatures(docs, idCol, textCol, buckets)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as(cntName))
+    val p = dist(target, "p_cnt")
+    val q = dist(raw, "q_cnt")
+    // totals ride a 1-row cross join (computed once, not per row)
+    val totals = p.agg(coalesce(sum(col("p_cnt")), lit(0L)).as("p_total"))
+      .crossJoin(q.agg(coalesce(sum(col("q_cnt")), lit(0L)).as("q_total")))
+    p.join(q, Seq("bucket"), "full")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("p_cnt"), lit(0L)) + lit(alpha)) /
+            (col("p_total") + lit(alpha * buckets))) -
+          log((coalesce(col("q_cnt"), lit(0L)) + lit(alpha)) /
+            (col("q_total") + lit(alpha * buckets)))).as("log_ratio"))
+  }
+
+  /** Per-raw-doc log importance weight: Σ_b c_b·log_ratio_b, folded in
+    * bucket order (deterministic summation). Docs with NO features
+    * (empty/null text) have no profile to compare and are EXCLUDED —
+    * reattaching them with weight 0 would cost a corpus-wide join for
+    * rows a selection toward any real target should drop anyway.
+    */
+  def importanceLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 10000,
+      alpha: Double = 1.0): DataFrame = {
+    val ratios = importanceLogRatios(raw, target, idCol, textCol, buckets,
+      alpha)
+    hashedNgramFeatures(raw, idCol, textCol, buckets)
+      .join(broadcast(ratios), Seq("bucket"))
+      .select(col("id"), col("bucket"),
+        (col("cnt") * col("log_ratio")).as("__w"))
+      .groupBy(col("id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("bucket"), col("__w")))),
+        lit(0.0), (acc, x) => acc + x("__w")).as("log_weight"))
+  }
+
+  /** Gumbel-top-`keepN` resample of the raw corpus toward the target
+    * distribution: returns the selected (id, log_weight, score) rows,
+    * score = log_weight + Gumbel(md5-60(salt:id)). Ties and the
+    * histogram boundary resolve on (score DESC, id ASC), so the
+    * selected SET is a pure function of (corpora, salt).
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, keepN: Int, buckets: Int = 10000,
+      alpha: Double = 1.0, salt: String = "dsir",
+      histBins: Int = 100000): DataFrame = {
+    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
+    require(histBins >= 1, s"histBins must be >= 1, got $histBins")
+    val weights = importanceLogWeights(raw, target, idCol, textCol,
+      buckets, alpha)
+    // u in (0,1) strictly: (h + 0.5) / 2^60 — never 0 or 1, so the
+    // double Gumbel transform stays finite
+    val u = (TextFunctions.md5Hash60(
+      concat(lit(salt), lit(":"), col("id").cast("string")))
+      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 60))
+    val scored = weights.select(col("id"), col("log_weight"),
+      (col("log_weight") - log(-log(u))).as("score"))
+    selectTopNByScore(scored, keepN, histBins)
+  }
+
+  /** The scale-correct global top-N: histogram-threshold selection.
+    * One min/max pass, one bounded `histBins`-row histogram to the
+    * driver, keep every row STRICTLY above the boundary bin, and
+    * resolve the boundary bin alone with a bounded top-j aggregation
+    * (j = what remains of `keepN`). Never a global sort, never a
+    * single-task `limit(keepN)`. Input needs (id, score) columns; ties
+    * resolve (score DESC, id ASC). Returns all input columns of the
+    * selected rows.
+    */
+  private[graft] def selectTopNByScore(scored: DataFrame, keepN: Int,
+      histBins: Int): DataFrame = {
+    val total = scored.count()
+    if (total <= keepN) return scored
+    val Array(mn, mx) = scored.agg(min(col("score")), max(col("score")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    // degenerate range: every score identical — all ties, resolve by id
+    val width = if (mx > mn) (mx - mn) / histBins else 1.0
+    val bin = least(
+      floor((col("score") - lit(mn)) / lit(width)).cast("int"),
+      lit(histBins - 1))
+    val withBin = scored.withColumn("__bin", bin)
+    val hist = withBin.groupBy(col("__bin")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // walk bins from the top until keepN is covered
+    var above = 0L
+    var cut = histBins - 1
+    while (cut >= 0 && above + hist.getOrElse(cut, 0L) < keepN) {
+      above += hist.getOrElse(cut, 0L)
+      cut -= 1
+    }
+    val needFromCut = (keepN - above).toInt
+    val kept = withBin.filter(col("__bin") > cut)
+    // boundary bin: bounded top-j on (score DESC, id ASC)
+    val boundary = withBin.filter(col("__bin") === cut)
+    val boundaryIds = TopK.topKPerQuery(
+      boundary.select(lit(0L).as("query_id"), col("id").as("neighbor_id"),
+        col("score").as("sim")), needFromCut)
+      .select(col("neighbor_id").as("id"))
+    kept.unionByName(boundary.join(boundaryIds, Seq("id"), "left_semi"))
+      .drop("__bin")
+  }
+}

@@ -69,6 +69,44 @@ object Retrieval {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
 
+  /** Vocabulary-mapped token ids — the step that turns curated text
+    * into what a trainer actually consumes: each doc's tokens become
+    * int ids via a (token, token_id) vocabulary TABLE, OOV tokens
+    * become `oovId`, original order preserved. Returns
+    * (id, n_tokens, token_ids array<int>); empty/null docs yield an
+    * empty array. Compose with [[CorpusAnalysis.packSequences]] /
+    * `packTexts` for packed id sequences.
+    *
+    * Plan: posexplode → broadcast vocab join (the vocabulary is
+    * id-mapping-sized, not corpus-sized) → one regroup keyed by doc id
+    * whose shuffle carries (doc, pos, int id) rows — the token STRINGS
+    * are dropped at the join, so the wide step moves 12-byte rows;
+    * order is restored exactly via sort_array over (pos, id) structs,
+    * never assumed from collect_list.
+    */
+  def tokensToIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovId: Int = 0): DataFrame = {
+    TopK.requireIntegral(docs, idCol, "tokensToIds")
+    val v = broadcast(vocab.select(col("token").as("__tok"),
+      col("token_id").cast("int").as("__tid")))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode_outer(TextFunctions.tokens(col(textCol))))
+      .toDF("id", "pos", "__tok")
+      .join(v, Seq("__tok"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(col("pos")).cast("long").as("n_tokens"),
+        transform(
+          // when() guards the empty/null-doc row posexplode_outer
+          // emits (null pos): collect_list skips nulls, so those docs
+          // get an empty array instead of a phantom [oovId]
+          sort_array(collect_list(when(col("pos").isNotNull,
+            struct(col("pos"),
+              coalesce(col("__tid"), lit(oovId)).as("tid"))))),
+          s => s("tid")).as("token_ids"))
+  }
+
   /** BM25 top-k retrieval: for each query row, the `k` highest-scoring
     * corpus docs as (query_id, rank, neighbor_id, sim), rank 1-based,
     * ties broken (sim DESC, neighbor_id ASC) — identical contract to

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.DataSelection
+
+/** Specs for DSIR importance resampling: weights against an
+  * independent in-memory reference, selection behavior on a planted
+  * two-style corpus, and the histogram top-N selector's exactness.
+  */
+class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Independent reference: plain Scala maps, same formula, NO hashing
+    * (token-level buckets via the same md5-60 mod derivation computed
+    * through Spark once, so the reference shares only the bucket ids,
+    * not the aggregation code path).
+    */
+  test("importanceLogWeights matches an in-memory reference") {
+    val raw = docsDf(
+      (1L, "alpha beta alpha"),
+      (2L, "gamma delta"),
+      (3L, "alpha gamma"))
+    val target = docsDf((10L, "alpha beta"), (11L, "alpha alpha"))
+    val buckets = 50
+    val alpha = 1.0
+    def feats(df: DataFrame): Map[Long, Map[Int, Long]] =
+      DataSelection.hashedNgramFeatures(df, "doc_id", "text", buckets)
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    val fRaw = feats(raw)
+    val fTgt = feats(target)
+    val qTot = fRaw.values.flatMap(_.values).sum.toDouble
+    val pTot = fTgt.values.flatMap(_.values).sum.toDouble
+    def pCnt(b: Int) = fTgt.values.map(_.getOrElse(b, 0L)).sum.toDouble
+    def qCnt(b: Int) = fRaw.values.map(_.getOrElse(b, 0L)).sum.toDouble
+    val expected = fRaw.map { case (id, f) =>
+      id -> f.toSeq.sortBy(_._1).map { case (b, c) =>
+        c * (math.log((pCnt(b) + alpha) / (pTot + alpha * buckets)) -
+          math.log((qCnt(b) + alpha) / (qTot + alpha * buckets)))
+      }.sum
+    }
+    val got = DataSelection.importanceLogWeights(raw, target, "doc_id",
+      "text", buckets, alpha)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, w) <- expected)
+      assert(math.abs(got(id) - w) < 1e-12, s"doc $id: ${got(id)} vs $w")
+    // docs resembling the target (alpha-heavy) must outweigh the rest
+    assert(got(1L) > got(2L), got.toString)
+  }
+
+  test("dsirResample prefers target-style docs; deterministic across runs") {
+    import spark.implicits._
+    // two disjoint styles: docs 0-199 are "code", 200-399 are "prose";
+    // the target is a small prose sample — selection should be
+    // dominated by prose docs
+    val style = (id: Column) =>
+      when(id < 200, concat_ws(" ",
+        lit("def"), lit("return"), lit("class"), md5(id.cast("string")),
+        lit("import"), lit("lambda")))
+      .otherwise(concat_ws(" ",
+        lit("the"), lit("quick"), lit("brown"), md5(id.cast("string")),
+        lit("jumps"), lit("over")))
+    val raw = spark.range(400).select(col("id").as("doc_id"),
+      style(col("id")).as("text"))
+    val target = spark.range(500, 550).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("the"), lit("quick"), lit("brown"),
+        md5(col("id").cast("string")), lit("jumps"), lit("over")).as("text"))
+    val sel = DataSelection.dsirResample(raw, target, "doc_id", "text",
+      keepN = 100, buckets = 500)
+    val ids = sel.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 100, s"selected ${ids.size}")
+    val prose = ids.count(_ >= 200)
+    assert(prose >= 90, s"only $prose/100 selected docs are target-style")
+    // pure function of (corpora, salt): same selection on a rerun and
+    // under repartitioning
+    val again = DataSelection.dsirResample(raw.repartition(13), target,
+      "doc_id", "text", keepN = 100, buckets = 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
+  test("selectTopNByScore: exact vs sort-limit, including boundary-bin ties") {
+    import spark.implicits._
+    // scores with heavy ties so the boundary bin must split on id
+    val scored = spark.range(1000).select(col("id"),
+      (col("id") % 10).cast("double").as("score"))
+    val got = DataSelection.selectTopNByScore(scored, 250, histBins = 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = scored.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.take(250).toSet
+    assert(got == want)
+    // n >= corpus: everything returned
+    assert(DataSelection.selectTopNByScore(scored, 5000, 7).count() == 1000)
+    // all-identical scores: pure id tie-break, still exact
+    val flat = spark.range(100).select(col("id"), lit(1.0).as("score"))
+    val gotFlat = DataSelection.selectTopNByScore(flat, 10, 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotFlat == (0L until 10L).toSet, gotFlat.toString)
+  }
+}

@@ -49,6 +49,27 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.toString)
   }
 
+  test("tokensToIds: order preserved, OOV mapped, empty docs get empty arrays") {
+    import spark.implicits._
+    val docs = docsDf(
+      (1L, "b a zz a"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]))
+    val vocab = Seq(("a", 1), ("b", 2)).toDF("token", "token_id")
+    val got = Retrieval.tokensToIds(docs, "doc_id", "text", vocab, oovId = 0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toList)))
+      .toMap
+    assert(got(1L) == (4L, List(2, 1, 0, 1)), got.toString) // order kept
+    assert(got(2L) == (0L, Nil), got.toString)
+    assert(got(3L) == (0L, Nil), got.toString)
+    // repartitioning must not change the order inside any doc
+    val re = Retrieval.tokensToIds(docs.repartition(7), "doc_id", "text",
+      vocab).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2).toList).toMap
+    assert(re(1L) == List(2, 1, 0, 1))
+  }
+
   /** Independent BM25 reference: plain Scala over token maps, same
     * formula — NOT the operator's code path (no hashing, no DataFrame).
     * Sums term scores in token-string order; assertions use a tolerance
