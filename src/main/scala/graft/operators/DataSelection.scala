@@ -145,16 +145,26 @@ object DataSelection {
     */
   private[graft] def selectTopNByScore(scored: DataFrame, keepN: Int,
       histBins: Int): DataFrame = {
-    val total = scored.count()
-    if (total <= keepN) return scored
-    val Array(mn, mx) = scored.agg(min(col("score")), max(col("score")))
-      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    // The selector makes several passes (stats, histogram, two filters);
+    // without a cache each pass recomputes the caller's ENTIRE upstream
+    // pipeline (for dsirResample: featurize + two joins + fold — 6×
+    // measured at sf0.1). The cached frame is only the caller's
+    // (id, score, ...) projection — narrow rows, spilling to disk past
+    // memory — so this holds at corpus scale.
+    val cached = scored.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pass for all three scalars, not a count() plus a min/max agg
+    val stats = cached
+      .agg(count(lit(1)), min(col("score")), max(col("score"))).collect()(0)
+    val total = stats.getLong(0)
+    if (total <= keepN) return cached
+    val (mn, mx) = (stats.getDouble(1), stats.getDouble(2))
     // degenerate range: every score identical — all ties, resolve by id
     val width = if (mx > mn) (mx - mn) / histBins else 1.0
     val bin = least(
       floor((col("score") - lit(mn)) / lit(width)).cast("int"),
       lit(histBins - 1))
-    val withBin = scored.withColumn("__bin", bin)
+    val withBin = cached.withColumn("__bin", bin)
     val hist = withBin.groupBy(col("__bin")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // walk bins from the top until keepN is covered

@@ -422,6 +422,69 @@ object ScaleSmoke {
     println(f"bm25: ${nDocs}%d docs indexed + 100 queries in $tBm%.1f s " +
       f"(${nDocs / tBm}%.0f docs/s), top-3 exact for 100/100, " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- DSIR importance resampling at 1M docs with planted styles:
+    // even ids are "code" (shared code tokens), odd ids are "prose"
+    // (shared prose tokens); each doc also carries a unique md5 token so
+    // texts are distinct. The target is 50k fresh prose docs. Selecting
+    // 250k from the 500k prose + 500k code pool must come ≥99% from
+    // prose — and the whole pipeline is bounded aggregations (the
+    // histogram selector never global-sorts 1M rows into one task).
+    val nSel = nDocs
+    val uniq = substring(md5(concat_ws(":", lit("dsir"),
+      col("id").cast("string"))), 1, 8)
+    def styled(isProse: Column) = concat_ws(" ",
+      when(isProse, lit("the")).otherwise(lit("def")),
+      when(isProse, lit("quick")).otherwise(lit("return")),
+      when(isProse, lit("brown")).otherwise(lit("class")),
+      uniq,
+      when(isProse, lit("jumps")).otherwise(lit("import")),
+      when(isProse, lit("over")).otherwise(lit("lambda")))
+    val dsirRaw = spark.range(nSel).select(col("id"),
+      styled(col("id") % 2 === 1).as("text"))
+    val dsirTarget = spark.range(nSel, nSel + nSel / 20L)
+      .select(col("id"), styled(lit(true)).as("text"))
+    val t18 = System.nanoTime()
+    val dsirSel = graft.operators.DataSelection.dsirResample(
+      dsirRaw, dsirTarget, "id", "text", keepN = nSel / 4, buckets = 10000)
+      .agg(count(lit(1)), sum((col("id") % 2).cast("long"))).collect()(0)
+    val tDsir = (System.nanoTime() - t18) / 1e9
+    require(dsirSel.getLong(0) == nSel / 4L,
+      s"dsir selected ${dsirSel.getLong(0)} of ${nSel / 4}")
+    require(dsirSel.getLong(1) >= nSel / 4L * 99 / 100,
+      s"dsir prose share ${dsirSel.getLong(1)}/${nSel / 4}")
+    println(f"dsir: selected ${dsirSel.getLong(0)} of $nSel " +
+      f"(${dsirSel.getLong(1)} prose) in $tDsir%.1f s " +
+      f"(${nSel / tDsir}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- token-id mapping at 1M docs: vocab = doc 0's 30 tokens with
+    // ids 1..30. Docs 0 and its exact copy (+8) map fully (60 non-OOV
+    // ids), the near-dup (+9) maps 29; every other token is an md5-hex
+    // 8-char string — 8-hex-char prefix collisions with the 30 vocab
+    // tokens are possible across 30M tokens (p ≈ 0.2 total), so the
+    // bound is [89, 89+slack] rather than exact. Order preservation is
+    // pinned exactly by the spec; here the invariant is corpus-scale
+    // token conservation: Σ n_tokens = 30M over exactly nDocs rows.
+    val vocab = docs.filter(col("id") === 0)
+      .select(posexplode(graft.functions.TextFunctions.tokens(col("text"))))
+      .select(col("col").as("token"), (col("pos") + 1).cast("int").as("token_id"))
+    val t19 = System.nanoTime()
+    val tokAgg = graft.operators.Retrieval.tokensToIds(
+        docs, "id", "text", vocab, oovId = 0)
+      .agg(count(lit(1)), sum(col("n_tokens")),
+        sum(size(filter(col("token_ids"), i => i =!= 0)).cast("long")))
+      .collect()(0)
+    val tTok = (System.nanoTime() - t19) / 1e9
+    require(tokAgg.getLong(0) == nDocs, s"tokenIds rows ${tokAgg.getLong(0)}")
+    require(tokAgg.getLong(1) == 30L * nDocs,
+      s"tokenIds total ${tokAgg.getLong(1)}")
+    require(tokAgg.getLong(2) >= 89 && tokAgg.getLong(2) <= 99,
+      s"tokenIds mapped ${tokAgg.getLong(2)} not in [89,99]")
+    println(f"tokenIds: $nDocs docs, ${tokAgg.getLong(1)} tokens, " +
+      f"${tokAgg.getLong(2)} vocab-mapped in $tTok%.1f s " +
+      f"(${nDocs / tTok}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }
