@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{CorpusAnalysis, DataSelection, Dedup, Multimodal, ProductQuantization, Retrieval, Similarity, VectorOps}
+import graft.operators.{CorpusAnalysis, DataSelection, Dedup, LanguageModel, Multimodal, ProductQuantization, Retrieval, Similarity, VectorOps}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -503,6 +503,18 @@ object SparkEntry {
       DataSelection.dsirResample(docs,
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
         keepN = 100, buckets = 1000)
+    }),
+
+    // CCNet-style bigram LM scoring toward a planted target (every 7th
+    // doc): the oracle columns are the {+,*,/}-only probability sums
+    // (bit-exact cross-engine); log_ppl (transcendental) is exposed by
+    // the operator but excluded here
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.bigramLmScores(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+        .select(col("id"), col("n_bigrams"), col("sum_prob"),
+          col("avg_prob"))
     }),
 
     // vocabulary-mapped token ids (the trainer-facing form): top-20
@@ -1461,6 +1473,36 @@ object SparkEntry {
          |       ELSE [] END)) AS gh FROM tk)
          |SELECT id, CAST(gh % 1000 AS INTEGER) AS bucket, count(*) AS cnt
          |FROM g GROUP BY id, bucket
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // CCNet bigram LM: counts from the target slice (id % 7 = 0),
+    // p(w|c) = (c(cw)+1)/(c(c·)+V) over md5-60 hash keys, summed per
+    // doc in position order — {+,*,/} on integer-exact doubles, so
+    // bit-exact vs Spark (same fixed fold order)
+    "q_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |g AS (SELECT id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'pos': i, 'ch': ${H60("toks[i]")},
+         |            'bh': ${H60("toks[i] || ' ' || toks[i+1]")}})
+         |    ELSE [] END) AS u FROM tk),
+         |r AS (SELECT id, u.pos AS pos, u.ch AS ch, u.bh AS bh FROM g),
+         |cb AS (SELECT bh, ch, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM r WHERE id % 7 = 0 GROUP BY bh, ch),
+         |cc AS (SELECT ch, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         |       FROM cb GROUP BY ch),
+         |v AS (SELECT greatest(1, count(DISTINCT tok)) AS vc FROM
+         |      (SELECT unnest(toks) AS tok FROM tk WHERE id % 7 = 0)),
+         |p AS (SELECT r.id, r.pos,
+         |      (coalesce(cb.cnt, 0) + 1.0e0) /
+         |        (coalesce(cc.ctx_cnt, 0) + 1.0e0 * vc) AS p
+         |      FROM r LEFT JOIN cb ON r.bh = cb.bh AND r.ch = cb.ch
+         |             LEFT JOIN cc ON r.ch = cc.ch CROSS JOIN v)
+         |SELECT id, n_bigrams, sum_prob, sum_prob / n_bigrams AS avg_prob
+         |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(p ORDER BY pos, p)), (a, b) -> a + b) AS sum_prob
+         |      FROM p GROUP BY id)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // vocabulary-mapped token ids: same deterministic top-20 vocab

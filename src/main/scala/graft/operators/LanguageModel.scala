@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** N-gram language-model scoring — the CCNet-style quality signal
+  * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data"): train a smoothed bigram LM on a
+  * high-quality TARGET corpus, score every raw doc by how probable its
+  * text is under that model, keep the head of the distribution.
+  * Implemented from the published math (add-α conditional estimates);
+  * reference: N/A (beyond the reference's surface — LLM-pipeline
+  * brief).
+  *
+  * Two score forms per doc:
+  *   - `sum_prob` / `avg_prob` — the per-bigram conditional
+  *     probabilities summed in position order. Pure {+,*,/} over
+  *     integer-exact counts: correctly-rounded IEEE ops in fixed order,
+  *     so the value is BIT-EXACT across engines (the q_lm_score oracle
+  *     replicates it in DuckDB).
+  *   - `log_ppl` — the conventional log-perplexity
+  *     −Σ ln p / n. `ln` is transcendental (1-ULP divergence across
+  *     engines), so this column is for users, not the oracle.
+  *
+  * Scale shape (everything keyed by 8-byte md5-60 hashes, never by
+  * token strings):
+  *   - train: one bigram explode over the target + two keyed counts
+  *     (bigram table, context table) — vocabulary-sized, not
+  *     corpus-sized; plus one distinct-unigram count for V;
+  *   - score: doc bigram rows left-join the two count tables on their
+  *     hashes (AQE broadcasts them when the target is small; a shuffle
+  *     join when it is not — both shuffles move 8-byte keys), then ONE
+  *     per-doc fold in position order;
+  *   - no collect anywhere except the single V scalar.
+  */
+object LanguageModel {
+
+  /** Per-row bigram projection: (id, pos, ctx_hash, big_hash) — pos is
+    * 1-based, ctx_hash = md5-60(w_{i-1}), big_hash =
+    * md5-60(w_{i-1} + " " + w_i). Docs with fewer than two tokens
+    * produce no rows. Narrow (no shuffle).
+    */
+  private def bigramRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (c, w) => struct(c.as("c"), w.as("w")))))
+      .select(col("id"), (col("pos") + 1).as("pos"),
+        TextFunctions.md5Hash60(col("col.c")).as("ctx_hash"),
+        TextFunctions.md5Hash60(
+          concat(col("col.c"), lit(" "), col("col.w"))).as("big_hash"))
+  }
+
+  /** Bigram count table from the target corpus:
+    * (big_hash, ctx_hash, cnt). */
+  def bigramCounts(target: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    bigramRows(target, idCol, textCol)
+      .groupBy(col("big_hash"), col("ctx_hash"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Score each raw doc under a bigram LM trained on `target`:
+    * p(w|c) = (c(cw) + α) / (c(c·) + α·V) with c(c·) = Σ_w c(cw) (the
+    * model is self-consistent: probabilities over seen continuations
+    * plus smoothing mass sum to one) and V = distinct target unigrams.
+    * Unseen context ⇒ p = 1/V. Returns (id, n_bigrams, sum_prob,
+    * avg_prob, log_ppl); docs with fewer than two tokens have no
+    * bigrams to score and are EXCLUDED (same contract as
+    * [[DataSelection.importanceLogWeights]] — reattaching them would
+    * cost a corpus-wide join for rows with no signal).
+    */
+  def bigramLmScores(docs: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    TopK.requireIntegral(docs, idCol, "bigramLmScores")
+    val bigrams = bigramCounts(target, idCol, textCol)
+    val contexts = bigrams.groupBy(col("ctx_hash"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    // V: one scalar to the driver — the only collect in the pipeline.
+    // max(1) keeps an empty target finite (every p becomes α/(α·1)=1).
+    val vocab = math.max(1L,
+      target.select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+        .agg(countDistinct(col("t"))).collect()(0).getLong(0))
+    val alphaV = alpha * vocab
+    // p is {+,/} over integer-exact doubles (counts < 2^53): correctly
+    // rounded, fixed order — bit-exact across engines
+    val p = (coalesce(col("cnt"), lit(0L)) + lit(alpha)) /
+      (coalesce(col("ctx_cnt"), lit(0L)) + lit(alphaV))
+    bigramRows(docs, idCol, textCol)
+      .join(bigrams, Seq("big_hash", "ctx_hash"), "left")
+      .join(contexts, Seq("ctx_hash"), "left")
+      .select(col("id"), col("pos"), p.as("p"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x("p")).as("sum_prob"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc - log(x("p"))).as("__nll"))
+      .select(col("id"), col("n_bigrams"), col("sum_prob"),
+        (col("sum_prob") / col("n_bigrams")).as("avg_prob"),
+        (col("__nll") / col("n_bigrams")).as("log_ppl"))
+  }
+}

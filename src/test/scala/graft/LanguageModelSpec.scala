@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.LanguageModel
+
+/** Specs for the CCNet-style bigram LM scorer: scores against an
+  * independent in-memory reference (plain Scala string-bigram maps —
+  * no hashing, no DataFrame code path), edge cases, and the
+  * quality-signal direction on a planted corpus.
+  */
+class LanguageModelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bigramLmScores matches an in-memory reference") {
+    val target = docsDf(
+      (10L, "the quick brown fox jumps"),
+      (11L, "the quick red fox sleeps"),
+      (12L, "a quick brown dog"))
+    val raw = docsDf(
+      (1L, "the quick brown fox"),   // all bigrams seen
+      (2L, "the quick green fox"),   // one unseen continuation
+      (3L, "zebra quagga"),          // unseen context
+      (4L, "single"),                // < 2 tokens: excluded
+      (5L, ""))                      // empty: excluded
+    val alpha = 1.0
+    // reference on token STRINGS (md5-60 is injective on this fixture)
+    def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val tgtBigrams = Seq("the quick brown fox jumps",
+      "the quick red fox sleeps", "a quick brown dog")
+      .flatMap(t => toks(t).sliding(2).map(p => (p(0), p(1))))
+    val cBig = tgtBigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cCtx = tgtBigrams.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val v = Seq("the quick brown fox jumps", "the quick red fox sleeps",
+      "a quick brown dog").flatMap(toks).toSet.size // distinct target unigrams
+    def p(c: String, w: String) =
+      (cBig.getOrElse((c, w), 0) + alpha) /
+        (cCtx.getOrElse(c, 0) + alpha * v)
+    val expected = Map(
+      1L -> toks("the quick brown fox").sliding(2).map(x => p(x(0), x(1))).sum,
+      2L -> toks("the quick green fox").sliding(2).map(x => p(x(0), x(1))).sum,
+      3L -> toks("zebra quagga").sliding(2).map(x => p(x(0), x(1))).sum)
+    val got = LanguageModel.bigramLmScores(raw, target, "doc_id", "text",
+      alpha).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got.keySet.toString)
+    for ((id, want) <- expected) {
+      val (n, sum, avg, ppl) = got(id)
+      assert(math.abs(sum - want) < 1e-12, s"doc $id: $sum vs $want")
+      assert(math.abs(avg - want / n) < 1e-12)
+      assert(ppl > 0.0) // −Σ ln p / n with every p < 1
+    }
+    // unseen context scores exactly 1/V per bigram (one bigram here)
+    assert(math.abs(got(3L)._2 - 1.0 / v) < 1e-12, got(3L).toString)
+    // in-domain text must out-score out-of-domain text
+    assert(got(1L)._4 < got(3L)._4, s"ppl ordering: ${got(1L)} vs ${got(3L)}")
+  }
+
+  test("bigramLmScores: empty target stays finite, deterministic across partitionings") {
+    val raw = docsDf((1L, "a b c"), (2L, "x y"))
+    val empty = docsDf()
+    val got = LanguageModel.bigramLmScores(raw, empty, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // V clamps to 1, every p = α/(α·1) = 1 → avg_prob 1, log_ppl 0
+    assert(got == Map(1L -> 1.0, 2L -> 1.0), got.toString)
+
+    val target = docsDf((10L, "a b c a b"), (11L, "c a b"))
+    val base = LanguageModel.bigramLmScores(raw, target, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val re = LanguageModel.bigramLmScores(raw.repartition(7),
+      target.repartition(5), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(base == re) // bit-exact under repartitioning (ordered fold)
+  }
+}
