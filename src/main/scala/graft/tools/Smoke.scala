@@ -272,6 +272,36 @@ object Smoke {
       println(s"null-id: $msg")
     }
 
+    println("== DSIR: select 20 docs most like the %7 target slice ==")
+    locally {
+      val sel = graft.operators.DataSelection.dsirResample(docs,
+        docs.filter($"doc_id" % 7 === 0), "doc_id", "text",
+        keepN = 20, buckets = 1000)
+      sel.orderBy($"score".desc).limit(5).show(false)
+      println(s"selected=${sel.count()} " +
+        s"targetStyle=${sel.filter($"id" % 7 === 0).count()}")
+    }
+
+    println("== tokensToIds: top-10 vocab over documents ==")
+    locally {
+      val vocab = graft.operators.CorpusAnalysis.topTokens(docs, "text", 10)
+        .withColumn("token_id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"cnt".desc, $"token".asc)))
+      graft.operators.Retrieval.tokensToIds(docs, "doc_id", "text", vocab)
+        .orderBy($"id").limit(3)
+        .select($"id", $"n_tokens",
+          slice($"token_ids", 1, 12).as("token_ids_head")).show(false)
+    }
+
+    println("== bigram LM: ppl of docs under the %7-slice model ==")
+    locally {
+      val lm = graft.operators.LanguageModel.bigramLmScores(docs,
+        docs.filter($"doc_id" % 7 === 0), "doc_id", "text")
+      lm.orderBy($"log_ppl".asc).limit(3).show(false)
+      lm.agg(min($"log_ppl"), avg($"log_ppl"), max($"log_ppl")).show(false)
+    }
+
     println("== streaming near-dedup (MemoryStream vs static documents) ==")
     // live intake: 3 perturbed re-crawls of real corpus docs (one token
     // appended — exact fingerprint misses, trigram Jaccard ≥ 0.8 hits)
