@@ -505,6 +505,12 @@ object SparkEntry {
         keepN = 100, buckets = 1000)
     }),
 
+    // Gopher rule filter (Rae et al. 2021 A1.1): every measurement is a
+    // count or one exact-integer division — the full row including the
+    // composed pass verdict replicates bit-exactly in DuckDB
+    "q_gopher" -> ((s, dir) =>
+      CorpusAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+
     // CCNet-style bigram LM scoring toward a planted target (every 7th
     // doc): the oracle columns are the {+,*,/}-only probability sums
     // (bit-exact cross-engine); log_ppl (transcendental) is exposed by
@@ -1474,6 +1480,61 @@ object SparkEntry {
          |SELECT id, CAST(gh % 1000 AS INTEGER) AS bucket, count(*) AS cnt
          |FROM g GROUP BY id, bucket
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Gopher rules: same tokenization, plain-replace symbol counts
+    // (leftmost non-overlapping in both engines), space-only ltrim/rtrim
+    // line trims, exact-integer ratios; thresholds are the paper's
+    "q_gopher" ->
+      s"""WITH d AS (SELECT doc_id AS id, coalesce(text, '') AS text
+         |           FROM documents),
+         |m AS (SELECT id, $Toks AS toks,
+         |        string_split(text, chr(10)) AS lines,
+         |        (len(text) - len(replace(text, '#', ''))) +
+         |        (len(text) - len(replace(text, '…', ''))) +
+         |        CAST((len(replace(text, '…', '')) -
+         |              len(replace(replace(text, '…', ''), '...', ''))) / 3
+         |          AS BIGINT) AS symbols
+         |      FROM d),
+         |r AS (SELECT id,
+         |        CAST(len(toks) AS BIGINT) AS n_words,
+         |        CASE WHEN len(toks) > 0 THEN
+         |          CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+         |            / CAST(len(toks) AS BIGINT)
+         |          ELSE 0e0 END AS mean_word_len,
+         |        CASE WHEN len(toks) > 0 THEN
+         |          CAST(symbols AS DOUBLE) / CAST(len(toks) AS BIGINT)
+         |          ELSE 0e0 END AS symbol_ratio,
+         |        CAST(len(list_filter(lines, l ->
+         |            starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '-')
+         |            OR starts_with(ltrim(l), '*'))) AS DOUBLE)
+         |          / CAST(len(lines) AS BIGINT) AS bullet_frac,
+         |        CAST(len(list_filter(lines, l ->
+         |            ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+         |            AS DOUBLE)
+         |          / CAST(len(lines) AS BIGINT) AS ellipsis_frac,
+         |        CASE WHEN len(toks) > 0 THEN
+         |          CAST(len(list_filter(toks, w ->
+         |            regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |            / CAST(len(toks) AS BIGINT)
+         |          ELSE 0e0 END AS alpha_frac,
+         |        CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+         |          + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+         |          + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+         |          + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+         |          + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+         |          + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+         |          + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+         |          + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+         |          AS INTEGER) AS stopword_hits
+         |      FROM m)
+         |SELECT id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         |  ellipsis_frac, alpha_frac, stopword_hits,
+         |  (n_words >= 50 AND n_words <= 100000
+         |   AND mean_word_len >= 3.0e0 AND mean_word_len <= 10.0e0
+         |   AND symbol_ratio <= 0.1e0 AND bullet_frac <= 0.9e0
+         |   AND ellipsis_frac <= 0.3e0 AND alpha_frac >= 0.8e0
+         |   AND stopword_hits >= 2) AS pass
+         |FROM r ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // CCNet bigram LM: counts from the target slice (id % 7 = 0),
     // p(w|c) = (c(cw)+1)/(c(c·)+V) over md5-60 hash keys, summed per

@@ -153,6 +153,87 @@ object CorpusAnalysis {
       .select(col(idCol), col("verdict"), (col("verdict") === "keep").as("keep"))
   }
 
+  /** Gopher-style rule filtering (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1) — the discrete rule list a web-corpus pass applies
+    * BEFORE model-based quality signals. Returns one row per doc with
+    * every rule's measurement plus the composed `pass` verdict, so a
+    * pipeline owner sees WHICH rule is eating the corpus (the same
+    * reporting contract as [[qualityGate]]).
+    *
+    * Rules (defaults = the paper's):
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [minMeanLen, maxMeanLen]
+    *   - symbol-to-word ratio (`#`, `…`, literal `...`) ≤ maxSymbolRatio
+    *   - fraction of lines starting with a bullet (•, -, *) ≤
+    *     maxBulletFrac (the paper removes docs where >90% of lines are
+    *     bullets)
+    *   - fraction of lines ending in an ellipsis ≤ maxEllipsisFrac
+    *   - fraction of words containing ≥1 alphabetic char ≥ minAlphaFrac
+    *   - ≥ minStopwordHits distinct hits from the paper's 8-word list
+    *     (the, be, to, of, and, that, have, with)
+    *
+    * Every measurement is a count or a single division of exact
+    * integers — correctly-rounded IEEE, so the whole row replicates
+    * bit-exactly in an external engine (the q_gopher oracle). Pure
+    * codegen'd expressions: a narrow map, no shuffle, no UDF. Symbol
+    * and ellipsis counts use plain string `replace` arithmetic (never
+    * regex) so leftmost non-overlapping semantics match everywhere.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwordHits: Int = 2): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val words = TextFunctions.tokens(text)
+    val nWords = size(words).cast("long")
+    val meanLen = when(nWords > 0,
+      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
+        nWords).otherwise(lit(0.0))
+    def occurrences(hay: Column, needle: String): Column =
+      ((length(hay) - length(replace(hay, lit(needle), lit("")))) /
+        needle.length).cast("long")
+    val symbols = occurrences(text, "#") + occurrences(text, "…") +
+      occurrences(replace(text, lit("…"), lit("")), "...")
+    val symbolRatio = when(nWords > 0,
+      symbols.cast("double") / nWords).otherwise(lit(0.0))
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("long")
+    def frac(n: Column): Column =
+      when(nLines > 0, n.cast("double") / nLines).otherwise(lit(0.0))
+    val bulletFrac = frac(size(filter(lines, l => {
+      val t = ltrim(l)
+      t.startsWith("•") || t.startsWith("-") || t.startsWith("*")
+    })).cast("long"))
+    val ellipsisFrac = frac(size(filter(lines, l => {
+      val t = rtrim(l)
+      t.endsWith("...") || t.endsWith("…")
+    })).cast("long"))
+    val alphaFrac = when(nWords > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val stopHits = gopherStops.map(s =>
+      when(array_contains(words, s), 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    docs.select(col(idCol).cast("long").as("id"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_frac"), stopHits.as("stopword_hits"))
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanLen &&
+        col("mean_word_len") <= maxMeanLen &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_frac") <= maxBulletFrac &&
+        col("ellipsis_frac") <= maxEllipsisFrac &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("stopword_hits") >= minStopwordHits)
+  }
+
   /** The gate's verdict as a bare Column — lets a pipeline FILTER on it
     * directly (one narrow pass over the corpus) instead of joining back
     * against [[qualityGate]]'s id table, which plans as a corpus-wide

@@ -294,6 +294,17 @@ object Smoke {
           slice($"token_ids", 1, 12).as("token_ids_head")).show(false)
     }
 
+    println("== gopher rules: per-rule attrition over documents ==")
+    locally {
+      val g = graft.operators.CorpusAnalysis.gopherRules(docs, "doc_id", "text")
+      g.agg(count(lit(1)).as("docs"),
+        sum(when($"pass", 1).otherwise(0)).as("passed"),
+        sum(when($"n_words" < 50, 1).otherwise(0)).as("too_short"),
+        sum(when($"stopword_hits" < 2, 1).otherwise(0)).as("few_stops"),
+        sum(when($"alpha_frac" < 0.8, 1).otherwise(0)).as("low_alpha"))
+        .show(false)
+    }
+
     println("== bigram LM: ppl of docs under the %7-slice model ==")
     locally {
       val lm = graft.operators.LanguageModel.bigramLmScores(docs,
