@@ -110,6 +110,63 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-8 operators: broadcasts present, no global sort, no text shuffle keys") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // tokensToIds: the vocab join must broadcast and the per-doc
+    // regroup must key on the doc id — token strings drop at the join
+    import spark.implicits._
+    val vocab = Seq(("a", 1), ("b", 2)).toDF("token", "token_id")
+    val tok = graft.operators.Retrieval
+      .tokensToIds(docs, "doc_id", "text", vocab)
+    tok.collect()
+    val tokPlan = tok.queryExecution.executedPlan.toString
+    assert(tokPlan.contains("BroadcastHashJoin"), tokPlan)
+    val tokKeys = tokPlan.linesIterator
+      .filter(_.contains("hashpartitioning("))
+      .flatMap(l => "([A-Za-z_][A-Za-z0-9_]*)#".r
+        .findAllMatchIn(l.substring(l.indexOf("hashpartitioning(")))
+        .map(_.group(1))).toSet
+    assert(!tokKeys.contains("__tok") && !tokKeys.contains("text"),
+      s"token strings ride a shuffle key: $tokKeys\n$tokPlan")
+
+    // dsirResample: selection must never plan a GLOBAL sort (the
+    // histogram selector replaces orderBy().limit()); the ratio join
+    // must broadcast
+    val sel = graft.operators.DataSelection.dsirResample(docs,
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+      keepN = 20, buckets = 1000)
+    sel.collect()
+    val selPlan = sel.queryExecution.executedPlan.toString
+    assert(!selPlan.contains("rangepartitioning"),
+      s"global sort in the DSIR selection plan:\n$selPlan")
+    assert(selPlan.contains("BroadcastHashJoin") ||
+      selPlan.contains("BroadcastNestedLoopJoin"), selPlan)
+
+    // bigramLmScores: no cartesian product; no raw-text/token shuffle
+    // keys (everything rides md5-60 hashes or the doc id)
+    val lm = graft.operators.LanguageModel.bigramLmScores(docs,
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    lm.collect()
+    val lmPlan = lm.queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("CartesianProduct"), lmPlan)
+    val lmKeys = lmPlan.linesIterator
+      .filter(_.contains("hashpartitioning("))
+      .flatMap(l => "([A-Za-z_][A-Za-z0-9_]*)#".r
+        .findAllMatchIn(l.substring(l.indexOf("hashpartitioning(")))
+        .map(_.group(1))).toSet
+    assert(lmKeys.intersect(Set("text", "c", "w", "col")).isEmpty,
+      s"raw text rides an LM shuffle key: $lmKeys\n$lmPlan")
+
+    // gopherRules: a single narrow projection — zero exchanges
+    val g = graft.operators.CorpusAnalysis.gopherRules(docs, "doc_id", "text")
+    g.collect()
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("Exchange"),
+      s"gopherRules should be shuffle-free:\n$gPlan")
+  }
+
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
     val q = SparkEntry.queries("q1_agg")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
