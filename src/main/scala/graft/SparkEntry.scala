@@ -505,6 +505,19 @@ object SparkEntry {
         keepN = 100, buckets = 1000)
     }),
 
+    // the histogram-threshold selector under oracle: integer-derived
+    // scores (pmod of md5-60, exact as doubles) with deliberate ties —
+    // the selected SET incl. boundary-bin resolution must equal the
+    // engine-independent (score DESC, id ASC) top-500
+    "q_select_topn" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("id"),
+        pmod(graft.functions.TextFunctions.md5Hash60(
+          concat(lit("sel:"), col("doc_id").cast("string"))), lit(1000L))
+          .cast("double").as("score"))
+      DataSelection.selectTopNByScore(scored, 500, histBins = 64)
+    }),
+
     // Gopher rule filter (Rae et al. 2021 A1.1): every measurement is a
     // count or one exact-integer division — the full row including the
     // composed pass verdict replicates bit-exactly in DuckDB
@@ -1479,6 +1492,19 @@ object SparkEntry {
          |       ELSE [] END)) AS gh FROM tk)
          |SELECT id, CAST(gh % 1000 AS INTEGER) AS bucket, count(*) AS cnt
          |FROM g GROUP BY id, bucket
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // selector oracle: the engine-independent definition of the same
+    // selection — a (score DESC, id ASC) window top-500 over the same
+    // integer-derived scores (1000 distinct values over 5000 docs →
+    // heavy ties, so the boundary-bin id tie-break is exercised)
+    "q_select_topn" ->
+      s"""WITH s AS (SELECT doc_id AS id,
+         |    CAST(${H60("'sel:' || CAST(doc_id AS VARCHAR)")} % 1000
+         |      AS DOUBLE) AS score FROM documents),
+         |r AS (SELECT id, score,
+         |    row_number() OVER (ORDER BY score DESC, id) AS rn FROM s)
+         |SELECT id, score FROM r WHERE rn <= 500
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Gopher rules: same tokenization, plain-replace symbol counts

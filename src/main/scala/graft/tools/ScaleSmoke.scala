@@ -423,6 +423,36 @@ object ScaleSmoke {
       f"(${nDocs / tBm}%.0f docs/s), top-3 exact for 100/100, " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
 
+    // --- bigram LM scoring at 1M docs: model trained on the id%10==0
+    // slice (100k docs). Planted truth: an exact copy (id%10==8) has
+    // the same text as its base → IDENTICAL sum_prob bit-for-bit; a
+    // base doc's 29 bigrams are all in the model (each context seen
+    // once) → p = 2/(1+V) per bigram, while the 7 unique docs score
+    // 1/V per bigram — so every base strictly out-scores its group's
+    // unique docs. Assert copy-equality exactly for 1000 groups and
+    // the ordering corpus-wide via averages.
+    val t20 = System.nanoTime()
+    val lmScores = graft.operators.LanguageModel.bigramLmScores(
+      docs, docs.filter(col("id") % 10 === 0), "id", "text").cache()
+    val lmAgg = lmScores.agg(count(lit(1)),
+      avg(when(col("id") % 10 === 0, col("avg_prob"))),
+      avg(when(col("id") % 10 < 8, when(col("id") % 10 > 0, col("avg_prob")))))
+      .collect()(0)
+    val tLm = (System.nanoTime() - t20) / 1e9
+    require(lmAgg.getLong(0) == nDocs, s"lm rows ${lmAgg.getLong(0)}")
+    require(lmAgg.getDouble(1) > lmAgg.getDouble(2),
+      s"in-model docs must out-score unique docs: $lmAgg")
+    val copyMismatch = lmScores.filter(col("id") % 10 === 0)
+      .filter(col("id") < 10000)
+      .select((col("id") + 8).as("id"), col("sum_prob").as("base_sum"))
+      .join(lmScores, Seq("id"))
+      .filter(col("sum_prob") =!= col("base_sum")).count()
+    require(copyMismatch == 0, s"$copyMismatch exact copies scored differently")
+    lmScores.unpersist()
+    println(f"bigramLm: $nDocs docs scored against a 100k-doc model " +
+      f"in $tLm%.1f s (${nDocs / tLm}%.0f docs/s), 1000 copy-pairs bit-equal, " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
     // --- DSIR importance resampling at 1M docs with planted styles:
     // even ids are "code" (shared code tokens), odd ids are "prose"
     // (shared prose tokens); each doc also carries a unique md5 token so
