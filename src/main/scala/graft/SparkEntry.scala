@@ -505,6 +505,23 @@ object SparkEntry {
         keepN = 100, buckets = 1000)
     }),
 
+    // trainer-ready packed int sequences: greedy token-budget packing
+    // composed with the top-20 vocab id mapping; input_ids rendered as
+    // a comma string for a representation-safe compare
+    "q_pack_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = CorpusAnalysis.topTokens(docs, "text", 20)
+        .withColumn("token_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("token").asc)))
+      Retrieval.packTokenIds(docs, "doc_id", "text", vocab,
+          maxTokens = 128, shards = 16)
+        .select(col("shard"), col("pack_id"), col("n_docs"),
+          col("n_tokens"),
+          array_join(transform(col("input_ids"), i => i.cast("string")), ",")
+            .as("input_ids_str"))
+    }),
+
     // the histogram-threshold selector under oracle: integer-derived
     // scores (pmod of md5-60, exact as doubles) with deliberate ties —
     // the selected SET incl. boundary-bin resolution must equal the
@@ -1492,6 +1509,35 @@ object SparkEntry {
          |       ELSE [] END)) AS gh FROM tk)
          |SELECT id, CAST(gh % 1000 AS INTEGER) AS bucket, count(*) AS cnt
          |FROM g GROUP BY id, bucket
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // packed int sequences: the PackCte packing joined with the same
+    // deterministic top-20 vocab map as q_token_ids; per-pack ids
+    // concatenate in pack_pos order via flatten(list(ORDER BY)) —
+    // empty docs contribute empty lists that vanish in the flatten,
+    // exactly like Spark's flatten of empty arrays
+    "q_pack_ids" ->
+      s"""$PackCte,
+         |tk2 AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt
+         |      FROM (SELECT unnest(toks) AS tok FROM tk2) GROUP BY tok),
+         |v AS (SELECT tok,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS tid
+         |  FROM (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20)),
+         |vm AS (SELECT map(list(tok ORDER BY tid), list(tid ORDER BY tid))
+         |         AS m FROM v),
+         |ids AS (SELECT id,
+         |    coalesce(list_transform(toks, t -> coalesce(m[t][1], 0)), [])
+         |      AS tids
+         |  FROM tk2 CROSS JOIN vm)
+         |SELECT p.shard, p.pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(p.doc_tokens) AS BIGINT) AS n_tokens,
+         |  coalesce(array_to_string(
+         |    flatten(list(i.tids ORDER BY p.pack_pos)), ','), '')
+         |    AS input_ids_str
+         |FROM packed p JOIN ids i ON p.id = i.id
+         |GROUP BY p.shard, p.pack_id
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // selector oracle: the engine-independent definition of the same

@@ -107,6 +107,36 @@ object Retrieval {
           s => s("tid")).as("token_ids"))
   }
 
+  /** Trainer-ready packed sequences: [[CorpusAnalysis.packSequences]]'s
+    * greedy token-budget packing composed with [[tokensToIds]] — one
+    * row per (shard, pack) carrying the concatenated int token ids of
+    * its docs in pack order, i.e. the `input_ids` a training loader
+    * consumes. Returns (shard, pack_id, n_docs, n_tokens, input_ids).
+    *
+    * Plan: the packing assignment (narrow per-shard scan) joins the
+    * token-id table on the LONG doc id — fixed-width keys, the doc
+    * TEXT never enters this pipeline's shuffles (it is dropped inside
+    * both inputs) — then ONE regroup per (shard, pack_id) whose rows
+    * are already int arrays; pack order is restored by sort_array over
+    * (pack_pos, ids), never assumed from collect_list arrival.
+    */
+  def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxTokens: Int = 2048, shards: Int = 16,
+      oovId: Int = 0): DataFrame = {
+    val ids = tokensToIds(docs, idCol, textCol, vocab, oovId)
+      .select(col("id"), col("token_ids"))
+    CorpusAnalysis.packSequences(docs, idCol, textCol, maxTokens, shards)
+      .join(ids, Seq("id"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_tokens")).as("n_tokens"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("pack_pos"),
+            col("token_ids").as("tids")))),
+          s => s("tids"))).as("input_ids"))
+  }
+
   /** BM25 top-k retrieval: for each query row, the `k` highest-scoring
     * corpus docs as (query_id, rank, neighbor_id, sim), rank 1-based,
     * ties broken (sim DESC, neighbor_id ASC) — identical contract to

@@ -70,6 +70,48 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re(1L) == List(2, 1, 0, 1))
   }
 
+  test("packTokenIds: conservation, pack-order concatenation, determinism") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until (i % 5).toInt + 1).map(j => s"w${(i + j) % 7}")
+        .mkString(" "))).toDF("doc_id", "text")
+    val vocab = (0 until 7).map(j => (s"w$j", j + 1)).toDF("token", "token_id")
+    val got = Retrieval.packTokenIds(docs, "doc_id", "text", vocab,
+      maxTokens = 6, shards = 4)
+    val rows = got.collect()
+    // every token lands in exactly one pack: total ids == total tokens
+    val totalTokens = docs.select(
+      org.apache.spark.sql.functions.sum(
+        graft.functions.TextFunctions.tokenCount($"text"))).collect()(0).getLong(0)
+    assert(rows.map(r => r.getSeq[Int](r.fieldIndex("input_ids")).size).sum == totalTokens)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    // no pack exceeds the budget; vocab of size 7 covers all → no OOV
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= 6, r.toString)
+      assert(!r.getSeq[Int](r.fieldIndex("input_ids")).contains(0), r.toString)
+    }
+    // driver-side composition of the two independently-specced parts
+    val ids = Retrieval.tokensToIds(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val packs = graft.operators.CorpusAnalysis
+      .packSequences(docs, "doc_id", "text", maxTokens = 6, shards = 4)
+      .collect()
+      .groupBy(r => (r.getAs[Int]("shard"), r.getAs[Long]("pack_id")))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getAs[Long]("pack_pos"))
+          .flatMap(r => ids(r.getAs[Long]("id"))).toList }
+    val gotMap = rows.map(r =>
+      (r.getAs[Int]("shard"), r.getAs[Long]("pack_id")) ->
+        r.getSeq[Int](r.fieldIndex("input_ids")).toList).toMap
+    assert(gotMap == packs)
+    // stable under input repartitioning
+    val re = Retrieval.packTokenIds(docs.repartition(9), "doc_id", "text",
+      vocab, maxTokens = 6, shards = 4).collect().map(r =>
+      (r.getAs[Int]("shard"), r.getAs[Long]("pack_id")) ->
+        r.getSeq[Int](r.fieldIndex("input_ids")).toList).toMap
+    assert(re == gotMap)
+  }
+
   /** Independent BM25 reference: plain Scala over token maps, same
     * formula — NOT the operator's code path (no hashing, no DataFrame).
     * Sums term scores in token-string order; assertions use a tolerance
