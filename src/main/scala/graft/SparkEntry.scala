@@ -510,10 +510,7 @@ object SparkEntry {
     // a comma string for a representation-safe compare
     "q_pack_ids" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val vocab = CorpusAnalysis.topTokens(docs, "text", 20)
-        .withColumn("token_id",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("cnt").desc, col("token").asc)))
+      val vocab = CorpusAnalysis.topVocab(docs, "text", 20)
       Retrieval.packTokenIds(docs, "doc_id", "text", vocab,
           maxTokens = 128, shards = 16)
         .select(col("shard"), col("pack_id"), col("n_docs"),
@@ -558,10 +555,7 @@ object SparkEntry {
     // so the oracle compare is representation-safe
     "q_token_ids" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val vocab = CorpusAnalysis.topTokens(docs, "text", 20)
-        .withColumn("token_id",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("cnt").desc, col("token").asc)))
+      val vocab = CorpusAnalysis.topVocab(docs, "text", 20)
       Retrieval.tokensToIds(docs, "doc_id", "text", vocab, oovId = 0)
         .select(col("id"), col("n_tokens"),
           array_join(transform(col("token_ids"), i => i.cast("string")), ",")

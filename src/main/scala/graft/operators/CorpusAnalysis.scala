@@ -427,6 +427,19 @@ object CorpusAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** [[topTokens]] with deterministic 1-based ids assigned in
+    * (cnt DESC, token ASC) order — the vocabulary TABLE
+    * [[Retrieval.tokensToIds]] / `packTokenIds` consume. The id window
+    * runs over the already-limited k rows (a single tiny partition),
+    * not the corpus. One definition so every call site (and every
+    * oracle replicating the derivation) shares the same tie-break.
+    */
+  def topVocab(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    topTokens(docs, textCol, k)
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token").asc)))
+
   /** Sequence chunking: split each doc into windows of `maxTokens`
     * tokens advancing by `stride` (overlap = maxTokens - stride) — the
     * context-packing step before tokenization. Output: (id, chunk_idx,

@@ -56,37 +56,56 @@ object DataSelection {
       array().cast("array<bigint>"))
     docs
       .select(col(idCol).cast("long").as("id"),
-        explode_outer(concat(grams(1), grams(2))).as("gh"))
-      .filter(col("gh").isNotNull)
+        explode(concat(grams(1), grams(2))).as("gh"))
       .groupBy(col("id"), pmod(col("gh"), lit(buckets.toLong)).cast("int")
         .as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Collected per-bucket gram counts for one corpus: ≤ `buckets` rows
+    * to the driver (one featurize pass). The bound makes the collect
+    * legal; the guard keeps a mis-sized `buckets` from becoming an
+    * opaque driver OOM.
+    */
+  private def bucketDist(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): Map[Int, Long] = {
+    require(buckets <= (1 << 22),
+      s"buckets=$buckets: the distribution tables are collected " +
+        "(bounded by construction); keep buckets <= 2^22 or shard the " +
+        "feature space")
+    hashedNgramFeatures(docs, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
   /** Per-bucket smoothed log importance ratios ln(p_b) − ln(q_b):
     * p from `target`, q from `raw`, add-`alpha` smoothing so unseen
-    * buckets stay finite. At most `buckets` rows — broadcast-sized by
-    * construction.
+    * buckets stay finite. At most `buckets` rows. EAGER: both bounded
+    * distributions collect once and the ratios compute driver-side —
+    * leaving them as lazy aggregation subtrees re-ran the full
+    * corpus featurize pass per reference (5 tokenize passes per
+    * dsirResample run, measured; now 3: target once, raw twice —
+    * the per-doc feature join below is the irreducible second).
     */
   def importanceLogRatios(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 10000,
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
-    def dist(docs: DataFrame, cntName: String) =
-      hashedNgramFeatures(docs, idCol, textCol, buckets)
-        .groupBy(col("bucket")).agg(sum(col("cnt")).as(cntName))
-    val p = dist(target, "p_cnt")
-    val q = dist(raw, "q_cnt")
-    // totals ride a 1-row cross join (computed once, not per row)
-    val totals = p.agg(coalesce(sum(col("p_cnt")), lit(0L)).as("p_total"))
-      .crossJoin(q.agg(coalesce(sum(col("q_cnt")), lit(0L)).as("q_total")))
-    p.join(q, Seq("bucket"), "full")
-      .crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        (log((coalesce(col("p_cnt"), lit(0L)) + lit(alpha)) /
-            (col("p_total") + lit(alpha * buckets))) -
-          log((coalesce(col("q_cnt"), lit(0L)) + lit(alpha)) /
-            (col("q_total") + lit(alpha * buckets)))).as("log_ratio"))
+    val p = bucketDist(target, idCol, textCol, buckets)
+    val q = bucketDist(raw, idCol, textCol, buckets)
+    val pTot = p.values.sum.toDouble
+    val qTot = q.values.sum.toDouble
+    // same IEEE op order as the previous distributed form: (cnt+α) /
+    // (total+α·B) per side, ln via the JVM's Math.log — the identical
+    // function Spark's log expression evaluates on executors
+    val rows = (p.keySet ++ q.keySet).toSeq.sorted.map { b =>
+      (b,
+        math.log((p.getOrElse(b, 0L) + alpha) / (pTot + alpha * buckets)) -
+        math.log((q.getOrElse(b, 0L) + alpha) / (qTot + alpha * buckets)))
+    }
+    val spark = raw.sparkSession
+    import spark.implicits._
+    rows.toDF("bucket", "log_ratio")
   }
 
   /** Per-raw-doc log importance weight: Σ_b c_b·log_ratio_b, folded in
@@ -146,13 +165,15 @@ object DataSelection {
   private[graft] def selectTopNByScore(scored: DataFrame, keepN: Int,
       histBins: Int): DataFrame = {
     // The selector makes several passes (stats, histogram, two filters);
-    // without a cache each pass recomputes the caller's ENTIRE upstream
-    // pipeline (for dsirResample: featurize + two joins + fold — 6×
-    // measured at sf0.1). The cached frame is only the caller's
-    // (id, score, ...) projection — narrow rows, spilling to disk past
-    // memory — so this holds at corpus scale.
-    val cached = scored.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // without materialization each pass recomputes the caller's ENTIRE
+    // upstream pipeline (for dsirResample: featurize + joins + fold —
+    // 6× measured at sf0.1). localCheckpoint rather than persist: the
+    // materialized copy is GC-cleaned once the returned frame is
+    // unreferenced (a persist here leaks one corpus-wide cache entry
+    // per call — CacheManager pins it for the session). The frame is
+    // only the caller's (id, score, ...) projection — narrow rows,
+    // MEMORY_AND_DISK by default — so this holds at corpus scale.
+    val cached = scored.localCheckpoint(true)
     // one pass for all three scalars, not a count() plus a min/max agg
     val stats = cached
       .agg(count(lit(1)), min(col("score")), max(col("score"))).collect()(0)

@@ -97,12 +97,16 @@ object LanguageModel {
       .join(contexts, Seq("ctx_hash"), "left")
       .select(col("id"), col("pos"), p.as("p"))
       .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
-          lit(0.0), (acc, x) => acc + x("p")).as("sum_prob"),
-        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
-          lit(0.0), (acc, x) => acc - log(x("p"))).as("__nll"))
+      // collect+sort the (pos, p) list ONCE — Catalyst does not dedupe
+      // two identical collect_list aggregates, so folding both scores
+      // inside the agg would buffer and sort every doc's list twice
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("__pp"))
+      .select(col("id"), col("n_bigrams"),
+        aggregate(col("__pp"), lit(0.0), (acc, x) => acc + x("p"))
+          .as("sum_prob"),
+        aggregate(col("__pp"), lit(0.0), (acc, x) => acc - log(x("p")))
+          .as("__nll"))
       .select(col("id"), col("n_bigrams"), col("sum_prob"),
         (col("sum_prob") / col("n_bigrams")).as("avg_prob"),
         (col("__nll") / col("n_bigrams")).as("log_ppl"))

@@ -284,10 +284,7 @@ object Smoke {
 
     println("== tokensToIds: top-10 vocab over documents ==")
     locally {
-      val vocab = graft.operators.CorpusAnalysis.topTokens(docs, "text", 10)
-        .withColumn("token_id", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy($"cnt".desc, $"token".asc)))
+      val vocab = graft.operators.CorpusAnalysis.topVocab(docs, "text", 10)
       graft.operators.Retrieval.tokensToIds(docs, "doc_id", "text", vocab)
         .orderBy($"id").limit(3)
         .select($"id", $"n_tokens",
