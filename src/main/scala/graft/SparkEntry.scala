@@ -519,6 +519,13 @@ object SparkEntry {
             .as("input_ids_str"))
     }),
 
+    // deterministic token-budget sample: keep docs in hash order until
+    // 10k tokens — the histogram walk + boundary window must equal the
+    // oracle's global cumulative-sum rule exactly
+    "q_token_budget" -> ((s, dir) =>
+      DataSelection.sampleTokenBudget(t(s, dir, "documents"), "doc_id",
+        "text", budgetTokens = 10000)),
+
     // the histogram-threshold selector under oracle: integer-derived
     // scores (pmod of md5-60, exact as doubles) with deliberate ties —
     // the selected SET incl. boundary-bin resolution must equal the
@@ -1532,6 +1539,19 @@ object SparkEntry {
          |    AS input_ids_str
          |FROM packed p JOIN ids i ON p.id = i.id
          |GROUP BY p.shard, p.pack_id
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // token-budget sample: the engine-independent statement of the rule
+    // — inclusive running token total in (hash, id) order stays ≤ 10k
+    "q_token_budget" ->
+      s"""WITH b AS (SELECT doc_id AS id,
+         |    CAST(coalesce(len($Toks), 0) AS BIGINT) AS n_tokens,
+         |    ${H60("'budget:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (SELECT id, n_tokens, h,
+         |    sum(n_tokens) OVER (ORDER BY h, id ROWS UNBOUNDED PRECEDING)
+         |      AS cum FROM b)
+         |SELECT id, n_tokens, h FROM c WHERE cum <= 10000
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // selector oracle: the engine-independent definition of the same

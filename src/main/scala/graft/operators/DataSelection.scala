@@ -153,6 +153,74 @@ object DataSelection {
     selectTopNByScore(scored, keepN, histBins)
   }
 
+  /** Deterministic token-budget sampling: keep docs in md5-60 hash
+    * order until the corpus-wide running token total would exceed
+    * `budgetTokens` — the "give me ~10B tokens of this corpus,
+    * reproducibly" operator a mixture builder calls per source. A doc
+    * is kept iff its INCLUSIVE running total (ordered by (hash, id))
+    * is ≤ the budget, which is exactly the window-cumulative-sum rule
+    * the q_token_budget oracle states — but computed WITHOUT a global
+    * sort or a corpus-wide window:
+    *
+    *   - bin = hash >> (60 − log2 histBins): pure integer math, so the
+    *     bin boundary is engine-exact;
+    *   - ONE histogram aggregation → (bin, token sum, docs) to the
+    *     driver (bounded `histBins` rows); the driver walks bins in
+    *     hash order accumulating tokens until the budget;
+    *   - bins strictly below the cut are kept by a narrow filter —
+    *     every doc there provably satisfies the inclusive-cumsum rule;
+    *   - ONLY the boundary bin (≈ corpus/histBins docs) pays a real
+    *     cumulative window, partitioned to a single tiny frame.
+    *
+    * Zero-token docs never consume budget and are kept wherever their
+    * position lands — same under both formulations. Returns
+    * (id, n_tokens, h).
+    */
+  def sampleTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, salt: String = "budget",
+      log2Bins: Int = 16): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(log2Bins >= 1 && log2Bins <= 30, s"log2Bins in [1,30], got $log2Bins")
+    TopK.requireIntegral(docs, idCol, "sampleTokenBudget")
+    // three consumers (histogram action, kept filter, boundary window);
+    // checkpoint the narrow (id, tokens, hash) projection so the text
+    // column is tokenized once, not per consumer — GC-cleaned like the
+    // selector's frame
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
+        .as("n_tokens"),
+      TextFunctions.md5Hash60(
+        concat(lit(salt), lit(":"), col(idCol).cast("long").cast("string")))
+        .as("h"))
+      .withColumn("__bin", shiftright(col("h"), 60 - log2Bins))
+      .localCheckpoint(true)
+    val hist = base.groupBy(col("__bin"))
+      .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // walk bins in hash order; cut = first bin whose full inclusion
+    // would exceed the budget
+    var acc = 0L
+    var cut = 0L
+    val nBins = 1L << log2Bins
+    while (cut < nBins && acc + hist.getOrElse(cut, 0L) <= budgetTokens) {
+      acc += hist.getOrElse(cut, 0L)
+      cut += 1
+    }
+    val kept = base.filter(col("__bin") < cut)
+    if (cut >= nBins) return kept.drop("__bin") // whole corpus fits
+    val left = budgetTokens - acc
+    // boundary bin: a real cumulative window over ~corpus/2^log2Bins
+    // rows — single tiny partition by construction, ordered (h, id)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val boundary = base.filter(col("__bin") === cut)
+      .withColumn("__c", sum(col("n_tokens")).over(w))
+      .filter(col("__c") <= left)
+      .drop("__c")
+    kept.unionByName(boundary).drop("__bin")
+  }
+
   /** The scale-correct global top-N: histogram-threshold selection.
     * One min/max pass, one bounded `histBins`-row histogram to the
     * driver, keep every row STRICTLY above the boundary bin, and

@@ -98,6 +98,47 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == ids)
   }
 
+  test("sampleTokenBudget: exact vs global cumulative sum; edges") {
+    import spark.implicits._
+    // varied token counts incl. zero-token docs sprinkled through
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      when(col("id") % 7 === 0, lit(""))
+        .otherwise(concat_ws(" ", (0 until 12).map(j =>
+          when(col("id") % (j + 2) === 0, md5(concat_ws(":",
+            col("id").cast("string"), lit(j)))).otherwise(lit(null))): _*))
+        .as("text"))
+    // independent reference: sort by (h, id), inclusive cumsum <= budget
+    val base = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("n"),
+      graft.functions.TextFunctions.md5Hash60(
+        concat(lit("budget:"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, h) => (h, id) }
+    for (budget <- Seq(0L, 1L, 500L, 2000L, 1000000L)) {
+      // the rule: inclusive running total (over ALL docs in (h, id)
+      // order, kept or not) stays <= budget — cum is monotone, so this
+      // is a clean prefix
+      var cum = 0L
+      val want = base.flatMap { case (id, n, _) =>
+        cum += n
+        if (cum <= budget) Some(id) else None
+      }.toSet
+      val got = graft.operators.DataSelection.sampleTokenBudget(
+        docs, "doc_id", "text", budget, log2Bins = 6)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"budget=$budget: ${got.size} vs ${want.size}")
+    }
+    // stability under repartitioning
+    val a = graft.operators.DataSelection.sampleTokenBudget(
+      docs, "doc_id", "text", 900, log2Bins = 6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.DataSelection.sampleTokenBudget(
+      docs.repartition(11), "doc_id", "text", 900, log2Bins = 6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("selectTopNByScore: exact vs sort-limit, including boundary-bin ties") {
     import spark.implicits._
     // scores with heavy ties so the boundary bin must split on id
