@@ -519,6 +519,16 @@ object SparkEntry {
             .as("input_ids_str"))
     }),
 
+    // priority-ordered multi-corpus merge: the %3 slice outranks the
+    // full corpus — cross-source exact dups must collapse to the
+    // high-priority copy, everything else to the full-corpus copy
+    "q_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.mergeCorpora(
+        Seq(docs.filter(col("doc_id") % 3 === 0), docs),
+        "doc_id", "text")
+    }),
+
     // deterministic token-budget sample: keep docs in hash order until
     // 10k tokens — the histogram walk + boundary window must equal the
     // oracle's global cumulative-sum rule exactly
@@ -1539,6 +1549,22 @@ object SparkEntry {
          |    AS input_ids_str
          |FROM packed p JOIN ids i ON p.id = i.id
          |GROUP BY p.shard, p.pack_id
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // multi-corpus merge: same canonical fingerprint, keeper = first
+    // row in (source, id) order per fingerprint group
+    "q_merge" ->
+      s"""WITH u AS (
+         |  SELECT 0 AS source, doc_id AS id, text FROM documents
+         |  WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT 1, doc_id, text FROM documents),
+         |f AS (SELECT source, id, text, $Fp AS fp FROM u)
+         |SELECT source, id, text FROM (
+         |  SELECT source, id, text,
+         |    row_number() OVER (PARTITION BY fp ORDER BY source, id) AS rn
+         |  FROM f)
+         |WHERE rn = 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // token-budget sample: the engine-independent statement of the rule

@@ -163,6 +163,35 @@ object Dedup {
       .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
+  /** Priority-ordered multi-corpus merge: union the sources (position =
+    * priority, 0 highest — curated sets first, crawls last) and
+    * collapse exact duplicates ACROSS sources to the single copy from
+    * the highest-priority source (ties within a source: smallest id) —
+    * the standard "curated-over-crawl" rule when assembling a training
+    * mixture from overlapping corpora. Returns (source, id, text);
+    * `source` is the winning corpus' position.
+    *
+    * Same plan shape as [[exactDedup]]: ONE min_by aggregation on the
+    * canonical fingerprint, keeper chosen by the (source, id) struct
+    * order, duplicates collapsing map-side — the union is a zero-cost
+    * plan node, never a shuffle of its own.
+    */
+  def mergeCorpora(sources: Seq[DataFrame], idCol: String,
+      textCol: String): DataFrame = {
+    require(sources.nonEmpty, "mergeCorpora needs at least one source")
+    sources.foreach(TopK.requireIntegral(_, idCol, "mergeCorpora"))
+    val tagged = sources.zipWithIndex.map { case (df, i) =>
+      df.select(lit(i).as("source"), col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+    }.reduce(_ unionByName _)
+    tagged
+      .groupBy(TextFunctions.fingerprint(col("text")).as("__fp"))
+      .agg(min_by(struct(col("source"), col("id"), col("text")),
+        struct(col("source"), col("id"))).as("__row"))
+      .select(col("__row.source").as("source"), col("__row.id").as("id"),
+        col("__row.text").as("text"))
+  }
+
   /** Streaming exact dedup — the live-intake form of `exactDedup`: emit
     * each fingerprint's FIRST arrival, drop later exact duplicates.
     * `dropDuplicatesWithinWatermark` keys the state on the canonical

@@ -93,6 +93,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("mergeCorpora: highest-priority source wins cross-source dups") {
+    val curated = docsDf((1L, "x"), (3L, "x"), (2L, "y"))
+    val crawlA = docsDf((10L, "x "), (11L, "z"), (12L, "y"))
+    val crawlB = docsDf((20L, "w"), (21L, "X"))
+    val got = Dedup.mergeCorpora(Seq(curated, crawlA, crawlB),
+      "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    // "x" (canonically equal to "x ", "X"): curated id 1 beats curated
+    // id 3 beats both crawls; "y": curated; "z"/"w": only owners
+    assert(got == Set((0, 1L, "x"), (0, 2L, "y"), (1, 11L, "z"),
+      (2, 20L, "w")), got.toString)
+    // single source degrades to exactDedup's keeper rule
+    val single = Dedup.mergeCorpora(Seq(curated), "doc_id", "text")
+      .collect().map(_.getLong(1)).sorted
+    assert(single.toSeq == Seq(1L, 2L))
+  }
+
   private def withNearDups(): DataFrame = {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
