@@ -453,6 +453,39 @@ object ScaleSmoke {
       f"in $tLm%.1f s (${nDocs / tLm}%.0f docs/s), 1000 copy-pairs bit-equal, " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
 
+    // --- token-budget sample at 1M docs: every doc is exactly 30
+    // tokens, so a 15M-token budget keeps EXACTLY 500k docs summing to
+    // exactly 15M — the histogram walk + boundary window must land the
+    // precise prefix.
+    val t21 = System.nanoTime()
+    val tb = graft.operators.DataSelection.sampleTokenBudget(
+      docs, "id", "text", budgetTokens = 15000000L)
+      .agg(count(lit(1)), sum(col("n_tokens"))).collect()(0)
+    val tTb = (System.nanoTime() - t21) / 1e9
+    require(tb.getLong(0) == nDocs / 2L, s"budget kept ${tb.getLong(0)}")
+    require(tb.getLong(1) == 15000000L, s"budget tokens ${tb.getLong(1)}")
+    println(f"tokenBudget: kept ${tb.getLong(0)} docs = ${tb.getLong(1)} " +
+      f"tokens in $tTb%.1f s (${nDocs / tTb}%.0f docs/s)")
+
+    // --- multi-corpus merge at 1M docs: curated = the 800k unique docs
+    // (id%10<8), crawl = the full 1M (re-containing all curated texts +
+    // 100k exact copies + 100k near-dups). Exact truth: 900k distinct
+    // fingerprints — 800k keep the curated copy, 100k (the near-dups,
+    // textually distinct) keep the crawl copy.
+    val t22 = System.nanoTime()
+    val mg = graft.operators.Dedup.mergeCorpora(
+      Seq(docs.filter(col("id") % 10 < 8), docs), "id", "text")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tMg = (System.nanoTime() - t22) / 1e9
+    require(mg == Map(0 -> 800000L * (nDocs / 1000000L),
+        1 -> 100000L * (nDocs / 1000000L)) ||
+      (nDocs != 1000000 && mg.values.sum == 9L * nDocs / 10),
+      s"merge counts $mg")
+    println(f"mergeCorpora: ${mg.values.sum} kept (${mg.getOrElse(0, 0L)} " +
+      f"curated, ${mg.getOrElse(1, 0L)} crawl-only) in $tMg%.1f s " +
+      f"(${2L * nDocs / tMg}%.0f docs/s over both sources)")
+
     // --- DSIR importance resampling at 1M docs with planted styles:
     // even ids are "code" (shared code tokens), odd ids are "prose"
     // (shared prose tokens); each doc also carries a unique md5 token so
