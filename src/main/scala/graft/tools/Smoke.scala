@@ -291,6 +291,20 @@ object Smoke {
           slice($"token_ids", 1, 12).as("token_ids_head")).show(false)
     }
 
+    println("== token-budget sample: ~10k tokens of documents ==")
+    locally {
+      val tb = graft.operators.DataSelection.sampleTokenBudget(
+        docs, "doc_id", "text", budgetTokens = 10000)
+      tb.agg(count(lit(1)).as("docs"), sum($"n_tokens").as("tokens")).show(false)
+    }
+
+    println("== multi-corpus merge: %3 slice outranks the full corpus ==")
+    locally {
+      graft.operators.Dedup.mergeCorpora(
+        Seq(docs.filter($"doc_id" % 3 === 0), docs), "doc_id", "text")
+        .groupBy($"source").count().orderBy($"source").show(false)
+    }
+
     println("== gopher rules: per-rule attrition over documents ==")
     locally {
       val g = graft.operators.CorpusAnalysis.gopherRules(docs, "doc_id", "text")
