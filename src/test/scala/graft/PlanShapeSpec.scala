@@ -165,6 +165,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gPlan = g.queryExecution.executedPlan.toString
     assert(!gPlan.contains("Exchange"),
       s"gopherRules should be shuffle-free:\n$gPlan")
+
+    // sampleTokenBudget: no global sort of the corpus — the only
+    // single-partition funnel allowed is the boundary-bin window
+    val tb = graft.operators.DataSelection.sampleTokenBudget(
+      docs, "doc_id", "text", budgetTokens = 10000)
+    tb.collect()
+    // AdaptiveSparkPlan.toString prints final AND initial plans —
+    // count nodes only in the final section or everything doubles
+    val tbFull = tb.queryExecution.executedPlan.toString
+    val tbPlan = tbFull.split("== Initial Plan ==")(0)
+    assert(!tbPlan.contains("rangepartitioning"),
+      s"global sort in the token-budget plan:\n$tbPlan")
+    assert("Exchange SinglePartition".r.findAllIn(tbPlan).size <= 1,
+      s"more than the boundary-bin funnel:\n$tbPlan")
+
+    // mergeCorpora: union feeds ONE fingerprint-keyed aggregation with
+    // a map-side partial (duplicates collapse before the shuffle)
+    val mg = graft.operators.Dedup.mergeCorpora(
+      Seq(docs.filter(col("doc_id") % 3 === 0), docs), "doc_id", "text")
+    mg.collect()
+    val mgPlan = mg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(mgPlan.contains("Union"), mgPlan)
+    assert(!mgPlan.contains("Join"), s"merge must not plan a join:\n$mgPlan")
+    val mgExchanges = mgPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(mgExchanges == 1, s"expected one keyed shuffle, got $mgExchanges:\n$mgPlan")
   }
 
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
