@@ -567,6 +567,15 @@ object SparkEntry {
           col("avg_prob"))
     }),
 
+    // stupid-backoff scoring toward the same %7 target: f(cw)/f(c) or
+    // 0.4 x smoothed unigram frequency — no transcendental anywhere,
+    // the ENTIRE row is oracle-exact
+    "q_sb_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.stupidBackoffScores(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    }),
+
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
     // so the oracle compare is representation-safe
@@ -1675,6 +1684,45 @@ object SparkEntry {
          |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |          list(p ORDER BY pos, p)), (a, b) -> a + b) AS sum_prob
+         |      FROM p GROUP BY id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // stupid-backoff: seen bigrams score f(cw)/f(c) exactly; unseen
+    // back off to 0.4 x (f(w)+1)/(N+V) — all {+,*,/} on exact counts,
+    // same fold order as Spark
+    "q_sb_score" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |g AS (SELECT id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'pos': i, 'ch': ${H60("toks[i]")},
+         |            'bh': ${H60("toks[i] || ' ' || toks[i+1]")},
+         |            'wh': ${H60("toks[i+1]")}})
+         |    ELSE [] END) AS u FROM tk),
+         |r AS (SELECT id, u.pos AS pos, u.ch AS ch, u.bh AS bh,
+         |             u.wh AS wh FROM g),
+         |cb AS (SELECT bh, ch, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM r WHERE id % 7 = 0 GROUP BY bh, ch),
+         |cc AS (SELECT ch, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         |       FROM cb GROUP BY ch),
+         |un AS (SELECT ${H60("tok")} AS wh, CAST(count(*) AS BIGINT) AS u_cnt
+         |       FROM (SELECT unnest(toks) AS tok FROM tk WHERE id % 7 = 0)
+         |       GROUP BY wh),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |              greatest(1, count(DISTINCT tok)) AS vc
+         |       FROM (SELECT unnest(toks) AS tok FROM tk WHERE id % 7 = 0)),
+         |p AS (SELECT r.id, r.pos,
+         |      CASE WHEN cb.cnt IS NOT NULL
+         |        THEN CAST(cb.cnt AS DOUBLE) / cc.ctx_cnt
+         |        ELSE 0.4e0 * ((coalesce(un.u_cnt, 0) + 1.0e0) /
+         |          (CAST(nn AS DOUBLE) + 1.0e0 * vc)) END AS s
+         |      FROM r LEFT JOIN cb ON r.bh = cb.bh AND r.ch = cb.ch
+         |             LEFT JOIN cc ON r.ch = cc.ch
+         |             LEFT JOIN un ON r.wh = un.wh
+         |             CROSS JOIN nv)
+         |SELECT id, n_bigrams, sum_score, sum_score / n_bigrams AS avg_score
+         |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(s ORDER BY pos, s)), (a, b) -> a + b) AS sum_score
          |      FROM p GROUP BY id)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -54,7 +54,8 @@ object LanguageModel {
       .select(col("id"), (col("pos") + 1).as("pos"),
         TextFunctions.md5Hash60(col("col.c")).as("ctx_hash"),
         TextFunctions.md5Hash60(
-          concat(col("col.c"), lit(" "), col("col.w"))).as("big_hash"))
+          concat(col("col.c"), lit(" "), col("col.w"))).as("big_hash"),
+        TextFunctions.md5Hash60(col("col.w")).as("w_hash"))
   }
 
   /** Bigram count table from the target corpus:
@@ -64,6 +65,59 @@ object LanguageModel {
     bigramRows(target, idCol, textCol)
       .groupBy(col("big_hash"), col("ctx_hash"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Stupid-backoff scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" §4): the web-scale alternative to
+    * normalized smoothing — S(w|c) = f(cw)/f(c) when the bigram was
+    * seen, else `backoff` · (f(w)+α)/(N+α·V) (the relative unigram
+    * frequency, add-α so unseen words stay finite). Scores are NOT
+    * probabilities (the paper's point: skipping normalization is what
+    * makes the estimator one counting pass per order), so there is no
+    * perplexity column; higher = more target-like. Every value is
+    * {+,*,/} over integer-exact counts — the ENTIRE output row is
+    * bit-exact cross-engine (q_sb_score), no transcendental anywhere.
+    *
+    * Same scale shape as [[bigramLmScores]] plus one vocabulary-sized
+    * unigram count table joined on the 8-byte word hash. Docs with
+    * fewer than two tokens are excluded (same contract).
+    */
+  def stupidBackoffScores(docs: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, backoff: Double = 0.4,
+      alpha: Double = 1.0): DataFrame = {
+    require(backoff > 0.0 && backoff <= 1.0,
+      s"backoff in (0,1], got $backoff")
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    TopK.requireIntegral(docs, idCol, "stupidBackoffScores")
+    val bigrams = bigramCounts(target, idCol, textCol)
+    val contexts = bigrams.groupBy(col("ctx_hash"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    val unigrams = target
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(TextFunctions.md5Hash60(col("t")).as("w_hash"))
+      .agg(count(lit(1)).as("u_cnt"))
+    // N and V in one pass — the single collect of the pipeline
+    val nv = target
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .agg(count(lit(1)), countDistinct(col("t"))).collect()(0)
+    val nTok = nv.getLong(0)
+    val vocab = math.max(1L, nv.getLong(1))
+    val uniDenom = nTok.toDouble + alpha * vocab
+    val s = when(col("cnt").isNotNull,
+      col("cnt") / col("ctx_cnt"))
+      .otherwise(lit(backoff) *
+        ((coalesce(col("u_cnt"), lit(0L)) + lit(alpha)) / lit(uniDenom)))
+    bigramRows(docs, idCol, textCol)
+      .join(bigrams, Seq("big_hash", "ctx_hash"), "left")
+      .join(contexts, Seq("ctx_hash"), "left")
+      .join(unigrams, Seq("w_hash"), "left")
+      .select(col("id"), col("pos"), s.as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("s")))),
+          lit(0.0), (acc, x) => acc + x("s")).as("sum_score"))
+      .select(col("id"), col("n_bigrams"), col("sum_score"),
+        (col("sum_score") / col("n_bigrams")).as("avg_score"))
+  }
 
   /** Score each raw doc under a bigram LM trained on `target`:
     * p(w|c) = (c(cw) + α) / (c(c·) + α·V) with c(c·) = Σ_w c(cw) (the

@@ -72,6 +72,47 @@ class LanguageModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._4 < got(3L)._4, s"ppl ordering: ${got(1L)} vs ${got(3L)}")
   }
 
+  test("stupidBackoffScores matches an in-memory reference") {
+    val target = docsDf(
+      (10L, "the quick brown fox jumps"),
+      (11L, "the quick red fox sleeps"))
+    val raw = docsDf(
+      (1L, "the quick brown fox"), // all bigrams seen
+      (2L, "the quick green fox"), // "quick green": backoff to f(green)=0
+      (3L, "zebra fox"))           // unseen context, seen word
+    def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val tgt = Seq("the quick brown fox jumps", "the quick red fox sleeps")
+    val bi = tgt.flatMap(t => toks(t).sliding(2).map(p => (p(0), p(1))))
+    val cBig = bi.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cCtx = bi.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val uni = tgt.flatMap(toks).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val n = tgt.flatMap(toks).size
+    val v = tgt.flatMap(toks).toSet.size
+    def s(c: String, w: String) =
+      if (cBig.getOrElse((c, w), 0) > 0)
+        cBig((c, w)).toDouble / cCtx(c)
+      else 0.4 * ((uni.getOrElse(w, 0) + 1.0) / (n.toDouble + 1.0 * v))
+    val expected = Map(
+      1L -> Seq(("the", "quick"), ("quick", "brown"), ("brown", "fox"))
+        .map((s _).tupled).sum,
+      2L -> Seq(("the", "quick"), ("quick", "green"), ("green", "fox"))
+        .map((s _).tupled).sum,
+      3L -> Seq(("zebra", "fox")).map((s _).tupled).sum)
+    val got = LanguageModel.stupidBackoffScores(raw, target, "doc_id",
+      "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, want) <- expected)
+      assert(math.abs(got(id)._2 - want) < 1e-12,
+        s"doc $id: ${got(id)._2} vs $want")
+    // seen-bigram scores are pure count ratios: doc 1 = 1 + 1/2 + 1
+    assert(math.abs(got(1L)._2 - 2.5) < 1e-12, got(1L).toString)
+    // in-domain text out-scores backoff-heavy text
+    assert(got(1L)._3 > got(3L)._3)
+  }
+
   test("bigramLmScores: empty target stays finite, deterministic across partitionings") {
     val raw = docsDf((1L, "a b c"), (2L, "x y"))
     val empty = docsDf()
