@@ -414,6 +414,17 @@ object SparkEntry {
       CorpusAnalysis.removeDupSpans(docsWithNearDups(s, dir), "doc_id",
         "text", n = 12, keepFirst = true)),
 
+    // span-level benchmark decontamination: same corpus/bench split as
+    // q_contamination, but tokens covered by any 12-token benchmark
+    // window are surgically dropped (the planted 100020+ re-crawls of
+    // bench docs lose everything but their divergent tail)
+    "q_contam_spans" -> ((s, dir) => {
+      val all = docsWithNearDups(s, dir)
+      CorpusAnalysis.removeContaminatedSpans(
+        all.filter(col("doc_id") >= 20), all.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 12)
+    }),
+
     // snapshot-vs-corpus incremental dedup (bloom pre-filter + exact
     // anti-join): 60 re-crawled perturbed dups dropped, 60 updated
     // docs kept
@@ -1388,6 +1399,34 @@ object SparkEntry {
          |  WHERE cov.p IS NULL GROUP BY tok.id)
          |SELECT s.id AS doc_id, coalesce(kept.text, '') AS text
          |FROM src s LEFT JOIN kept ON kept.id = s.id
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // span-level decontamination: ban set = DISTINCT 12-token window
+    // hashes of the bench side (id < 20); corpus tokens covered by a
+    // banned window are dropped — same cover/kept template as the
+    // dup-span scrubs
+    "q_contam_spans" ->
+      s"""WITH src AS ($NearDupDocs),
+         |corp AS (SELECT id, coalesce($Toks, []) AS toks FROM src
+         |  WHERE id >= 20),
+         |bt AS (SELECT id, coalesce($Toks, []) AS toks FROM src
+         |  WHERE id < 20),
+         |b AS (SELECT DISTINCT
+         |    ${H60("array_to_string(toks[u.i:u.i+11], ' ')")} AS gh
+         |  FROM bt, unnest(generate_series(1, len(toks) - 11)) AS u(i)),
+         |g AS (SELECT id, u.i - 1 AS w,
+         |    ${H60("array_to_string(toks[u.i:u.i+11], ' ')")} AS gh
+         |  FROM corp, unnest(generate_series(1, len(toks) - 11)) AS u(i)),
+         |cov AS (SELECT DISTINCT g.id, u.p
+         |  FROM g JOIN b USING (gh),
+         |    unnest(generate_series(g.w, g.w + 11)) AS u(p)),
+         |tok AS (SELECT id, u.i - 1 AS p, toks[u.i] AS tok
+         |  FROM corp, unnest(generate_series(1, len(toks))) AS u(i)),
+         |kept AS (SELECT tok.id, string_agg(tok.tok, ' ' ORDER BY tok.p) AS text
+         |  FROM tok LEFT JOIN cov ON cov.id = tok.id AND cov.p = tok.p
+         |  WHERE cov.p IS NULL GROUP BY tok.id)
+         |SELECT c.id AS doc_id, coalesce(kept.text, '') AS text
+         |FROM corp c LEFT JOIN kept ON kept.id = c.id
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // incremental dedup: the bloom stage is an internal pre-filter

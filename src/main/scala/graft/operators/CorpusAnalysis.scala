@@ -983,25 +983,8 @@ object CorpusAnalysis {
       n: Int = 12, minCount: Int = 2, keepFirst: Boolean = false): DataFrame = {
     require(n >= 1, s"span width must be >= 1, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    graft.expressions.TextHashExprs.register(docs.sparkSession)
-    // fail loudly on a null doc id: the banned-position join back keys
-    // on id, so a null-id doc would silently skip the scrub entirely —
-    // and under keepFirst the keeper min(struct(id, w)) would elect the
-    // null-id instance (struct ordering sorts null first), diverging
-    // from any NULLS LAST engine. A per-row codegen'd branch, no plan
-    // change.
-    val base = docs.select(
-      when(col(idCol).isNotNull, col(idCol)).otherwise(raise_error(lit(
-        s"removeDupSpans: null value in id column '$idCol' — doc ids " +
-          "must be non-null (a null id cannot join its banned spans " +
-          "back, nor serve as a keepFirst keeper)"))).as("id"),
-      col(textCol).as("__t0"))
-    val wins = base
-      .select(col("id"), posexplode(coalesce(
-        graft.expressions.TextHashExprs.ngramHashes(col("__t0"), n,
-          distinct = false),
-        array().cast("array<bigint>")).as("__gh")))
-      .toDF("id", "w", "gh")
+    val base = spanScrubBase(docs, idCol, "removeDupSpans", textCol)
+    val wins = spanWindows(base, n)
     val bannedInstances =
       if (keepFirst) {
         val banned = wins
@@ -1020,6 +1003,44 @@ object CorpusAnalysis {
           .select(col("gh"))
         wins.join(banned, Seq("gh"), "left_semi")
       }
+    dropCoveredTokens(base, bannedInstances, idCol, textCol, n)
+  }
+
+  /** (id, __t0) projection shared by the span scrubs, failing loudly on
+    * a null doc id: the banned-position join back keys on id, so a
+    * null-id doc would silently skip the scrub entirely — and a keeper
+    * min(struct(id, w)) would elect the null-id instance (struct
+    * ordering sorts null first), diverging from any NULLS LAST engine.
+    * A per-row codegen'd branch, no plan change.
+    */
+  private def spanScrubBase(docs: DataFrame, idCol: String, op: String,
+      textCol: String): DataFrame = {
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
+    docs.select(
+      when(col(idCol).isNotNull, col(idCol)).otherwise(raise_error(lit(
+        s"$op: null value in id column '$idCol' — doc ids must be " +
+          "non-null (a null id cannot join its banned spans back, nor " +
+          "serve as a keepFirst keeper)"))).as("id"),
+      col(textCol).as("__t0"))
+  }
+
+  /** Every n-token window of every doc as (id, w, gh) — the native
+    * tokenize→window→md5-60 kernel, one codegen'd pass per row. */
+  private def spanWindows(base: DataFrame, n: Int): DataFrame = base
+    .select(col("id"), posexplode(coalesce(
+      graft.expressions.TextHashExprs.ngramHashes(col("__t0"), n,
+        distinct = false),
+      array().cast("array<bigint>")).as("__gh")))
+    .toDF("id", "w", "gh")
+
+  /** Steps 2–3 of the span scrubs: per-doc banned window starts
+    * (collect_list over a duplication-proportional instance set), then
+    * the narrow cover filter — token i of a doc is dropped iff some
+    * banned window start w of THAT doc satisfies w ≤ i < w+n. Text
+    * never rides a shuffle; the only wide step here keys on the doc id.
+    */
+  private def dropCoveredTokens(base: DataFrame, bannedInstances: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
     val bannedStarts = bannedInstances
       .groupBy(col("id"))
       .agg(collect_list(col("w")).as("__bw"))
@@ -1031,6 +1052,44 @@ object CorpusAnalysis {
             (_, i) => !coalesce(
               exists(col("__bw"), w => w <= i && i < w + n), lit(false))),
           " ").as(textCol))
+  }
+
+  /** Span-level benchmark DECONTAMINATION — [[contamination]]'s
+    * surgical form: instead of flagging (and dropping) a whole document
+    * whose n-gram overlap with a benchmark set crosses a threshold,
+    * drop exactly the tokens covered by an `n`-token window that occurs
+    * ANYWHERE in `bench` (Lee et al. 2022 §3 removal applied against an
+    * external ban corpus; the eval-overlap policy of Brown et al. 2020
+    * App. C, at span rather than doc granularity). A doc quoting one
+    * benchmark question loses that span and keeps the rest — no
+    * threshold to tune, nothing below n tokens is touched. Returns
+    * (idCol, textCol) with the space-joined kept tokens, one row per
+    * input doc (same contract as [[removeDupSpans]]).
+    *
+    * Scale shape: the ban set is BENCHMARK-sized (distinct window
+    * hashes of the eval suites — millions of 8-byte keys, not
+    * corpus-scale), so the instance semi-join broadcasts under AQE and
+    * the corpus text never rides a shuffle; the only corpus-keyed wide
+    * step is the per-doc banned-start collect, proportional to the
+    * contamination actually present. `bench` may use any id scheme
+    * (only its `textCol` is read); `docs` ids must be non-null.
+    */
+  def removeContaminatedSpans(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 12): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    val base = spanScrubBase(docs, idCol, "removeContaminatedSpans", textCol)
+    graft.expressions.TextHashExprs.register(bench.sparkSession)
+    // distinct window hashes of the benchmark side — distinct per row
+    // in the kernel, across rows by aggregation (8-byte keys)
+    val banned = bench
+      .select(explode(coalesce(
+        graft.expressions.TextHashExprs.ngramHashes(col(textCol), n,
+          distinct = true),
+        array().cast("array<bigint>"))).as("gh"))
+      .distinct()
+    val bannedInstances =
+      spanWindows(base, n).join(banned, Seq("gh"), "left_semi")
+    dropCoveredTokens(base, bannedInstances, idCol, textCol, n)
   }
 
   /** Corpus-frequency document scoring — the oracle-exact core of

@@ -519,6 +519,47 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("removeContaminatedSpans: only benchmark-covered tokens drop") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "what is the capital of france"),
+      (101L, "short"), // < n tokens: contributes no windows
+      (102L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val docs = Seq(
+      // quotes a full bench 3-gram run → the quoted span drops
+      (1L, "quiz asks what is the capital of france answer paris"),
+      // shares only a 2-token fragment ("the capital") — below n, kept
+      (2L, "the capital markets rallied today"),
+      // internal duplication is NOT banned here (no self-dedup)
+      (3L, "rep rep rep rep rep"),
+      (4L, "no overlap at all"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CorpusAnalysis.removeContaminatedSpans(docs, bench,
+      "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // banned windows of doc 1: every 3-gram inside "what is the
+    // capital of france" → tokens 2..7 covered; neighbors survive
+    assert(got(1L) == "quiz asks answer paris", got(1L))
+    assert(got(2L) == "the capital markets rallied today")
+    assert(got(3L) == "rep rep rep rep rep")
+    assert(got(4L) == "no overlap at all")
+    assert(got(5L) == "")
+    assert(got.size == 5)
+    // a null corpus id fails loudly (same contract as removeDupSpans);
+    // null BENCH rows are fine (only their text is read)
+    val nullId = Seq(
+      (java.lang.Long.valueOf(1L), "x y z"),
+      (null.asInstanceOf[java.lang.Long], "x y z")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      CorpusAnalysis.removeContaminatedSpans(nullId, bench, "doc_id",
+        "text", n = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null value in id column")),
+      e.toString)
+  }
+
   test("temperatureMixtureRates: alpha smoothing, cap, and expected size") {
     import spark.implicits._
     // planted counts 100 / 400: T=2 → weights 10 / 20 → target shares

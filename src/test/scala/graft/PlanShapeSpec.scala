@@ -87,7 +87,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lines" -> graft.operators.CorpusAnalysis
         .removeRepeatedLines(docs, "doc_id", "text", 3),
       "spans" -> graft.operators.CorpusAnalysis
-        .removeDupSpans(docs, "doc_id", "text", 12))) {
+        .removeDupSpans(docs, "doc_id", "text", 12),
+      "contam_spans" -> graft.operators.CorpusAnalysis
+        .removeContaminatedSpans(docs,
+          docs.filter(col("doc_id") % 13 === 0), "doc_id", "text", 12))) {
       out.collect() // finalize under AQE so the real exchanges are pinned
       val plan = out.queryExecution.executedPlan.toString
       // every hash-partitioned exchange must key on the 8-byte hash or
