@@ -364,6 +364,23 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, dir) =>
       CorpusAnalysis.topTokens(t(s, dir, "documents"), "text", 50)),
 
+    // cross-corpus unigram drift (src1 vs src2, top-50 union + ''
+    // residual row): counts and single-division frequencies only
+    "q_vocab_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusAnalysis.vocabDrift(docs.filter(col("source") === "src1"),
+        docs.filter(col("source") === "src2"), "text", topK = 50)
+    }),
+
+    // one-row drift summary: token-ordered folds make TVD and the
+    // symmetric chi-square bit-exact
+    "q_drift_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusAnalysis.driftReport(
+        CorpusAnalysis.vocabDrift(docs.filter(col("source") === "src1"),
+          docs.filter(col("source") === "src2"), "text", topK = 50))
+    }),
+
     // sequence chunking: 16-token windows, stride 12
     "q_chunks" -> ((s, dir) =>
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
@@ -1006,6 +1023,42 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 100000, text || ' extraword' FROM documents
       |  WHERE doc_id < 20""".stripMargin
+
+  /** DuckDB replica of `CorpusAnalysis.vocabDrift(src1, src2, topK=50)`
+    * up to the `drift` CTE: per-corpus unigram counts, top-50 union
+    * with the (cnt DESC, token ASC) tie-break, `''` residual row
+    * closing each side's mass, totals floored at 1 for the
+    * frequencies.
+    */
+  private val VocabDriftCtes =
+    s"""WITH ca AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($Toks) AS token FROM documents
+       |        WHERE source = 'src1') GROUP BY 1),
+       |cb AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($Toks) AS token FROM documents
+       |        WHERE source = 'src2') GROUP BY 1),
+       |ta AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tot FROM ca),
+       |tb AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tot FROM cb),
+       |keep AS (
+       |  SELECT token FROM
+       |    (SELECT token FROM ca ORDER BY cnt DESC, token ASC LIMIT 50)
+       |  UNION
+       |  SELECT token FROM
+       |    (SELECT token FROM cb ORDER BY cnt DESC, token ASC LIMIT 50)),
+       |kept AS (SELECT keep.token, coalesce(ca.cnt, 0) AS cnt_a,
+       |    coalesce(cb.cnt, 0) AS cnt_b
+       |  FROM keep LEFT JOIN ca USING (token) LEFT JOIN cb USING (token)),
+       |oth AS (SELECT '' AS token,
+       |    (SELECT tot FROM ta) - CAST(coalesce(sum(cnt_a), 0) AS BIGINT)
+       |      AS cnt_a,
+       |    (SELECT tot FROM tb) - CAST(coalesce(sum(cnt_b), 0) AS BIGINT)
+       |      AS cnt_b
+       |  FROM kept),
+       |allr AS (SELECT * FROM kept UNION ALL SELECT * FROM oth),
+       |drift AS (SELECT token, cnt_a, cnt_b,
+       |    CAST(cnt_a AS DOUBLE) / greatest((SELECT tot FROM ta), 1) AS p_a,
+       |    CAST(cnt_b AS DOUBLE) / greatest((SELECT tot FROM tb), 1) AS p_b
+       |  FROM allr)""".stripMargin
 
   /** Winnowing gram-hash polynomial weights: B^(k-1-j) mod 2^64 for
     * k = 8 — Scala's wrapping Long arithmetic IS mod-2^64 ring math, so
@@ -2057,6 +2110,34 @@ object SparkEntry {
          |  FROM (SELECT unnest($Toks) AS token FROM documents)
          |  GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 50)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // cross-corpus drift table: top-50 union + '' residual row;
+    // frequencies are one count/total division each (totals floored at
+    // 1 like the Spark side)
+    "q_vocab_drift" ->
+      s"""$VocabDriftCtes
+         |SELECT token, cnt_a, cnt_b, p_a, p_b FROM drift
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // drift summary: both folds walk the SAME token-ordered list the
+    // Spark side collects once — fixed double accumulation order
+    "q_drift_report" ->
+      s"""$VocabDriftCtes,
+         |dv AS (SELECT token, abs(p_a - p_b) AS d,
+         |    CASE WHEN p_a + p_b > 0
+         |      THEN (p_a - p_b) * (p_a - p_b) / (p_a + p_b)
+         |      ELSE 0e0 END AS c
+         |  FROM drift)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM drift) AS vocab_rows,
+         |  (SELECT CAST(coalesce(sum(cnt_a), 0) AS BIGINT) FROM drift)
+         |    AS n_tokens_a,
+         |  (SELECT CAST(coalesce(sum(cnt_b), 0) AS BIGINT) FROM drift)
+         |    AS n_tokens_b,
+         |  0.5e0 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(d ORDER BY token, d)), (a, b) -> a + b) AS tvd,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(c ORDER BY token, c)), (a, b) -> a + b) AS chi2_sym
+         |FROM dv""".stripMargin,
 
     // Sequence chunking: same window/stride formulas in list math.
     "q_chunks" ->

@@ -440,6 +440,94 @@ object CorpusAnalysis {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("token").asc)))
 
+  /** Cross-corpus unigram drift table — the distribution-shift monitor
+    * a mixture owner watches between snapshots/sources (is the new
+    * crawl the same language as the old one?): per token in the UNION
+    * of each corpus's top-`topK` vocabularies, both raw counts and
+    * relative frequencies, plus one `''`-token row carrying the
+    * residual ("everything outside the compared vocabulary") mass so
+    * each side's frequencies sum to exactly 1. `''` cannot collide —
+    * tokens are non-empty whitespace splits. Every value is a count or
+    * a single count/total division — bit-exact cross-engine.
+    *
+    * Plan: one tokenize+count pass per corpus (map-side partial agg,
+    * vocab-sized shuffle; the count table is locally checkpointed —
+    * it feeds the total, the top-K, and the compare, and must not
+    * re-scan the corpus three times); top-K is a
+    * TakeOrderedAndProject (cnt DESC, token ASC tie-break, same as
+    * [[topVocab]]); the ≤2·topK union is BROADCAST into semi-joins
+    * against the count tables, so nothing vocab-sized ever re-shuffles
+    * for the compare. Output is ≤ 2·topK+1 rows.
+    */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int = 10000): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    def top(c: DataFrame): DataFrame = c
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK).select(col("token"))
+    val ca = counts(a)
+    val cb = counts(b)
+    // two bounded driver reads (one long each) — the totals that turn
+    // counts into frequencies
+    def total(c: DataFrame): Long =
+      c.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+    val (totA, totB) = (total(ca), total(cb))
+    val keep = top(ca).union(top(cb)).distinct()
+    def kept(c: DataFrame, cntName: String): DataFrame = c
+      .join(broadcast(keep), Seq("token"), "left_semi")
+      .select(col("token"), col("cnt").as(cntName))
+    val j = kept(ca, "cnt_a")
+      .join(kept(cb, "cnt_b"), Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    // the residual mass: totals minus the compared rows' sums (a
+    // ≤2·topK aggregation), as one '' row
+    val other = j
+      .agg(coalesce(sum(col("cnt_a")), lit(0L)).as("ka"),
+        coalesce(sum(col("cnt_b")), lit(0L)).as("kb"))
+      .select(lit("").as("token"), (lit(totA) - col("ka")).as("cnt_a"),
+        (lit(totB) - col("kb")).as("cnt_b"))
+    val (da, db) = (math.max(totA, 1L).toDouble, math.max(totB, 1L).toDouble)
+    j.union(other)
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a").cast("double") / lit(da)).as("p_a"),
+        (col("cnt_b").cast("double") / lit(db)).as("p_b"))
+  }
+
+  /** One-row summary of a [[vocabDrift]] table: token totals per side
+    * (the counts sum back to them — the `''` row closes the mass),
+    * compared-row count, total variation distance
+    * 0.5·Σ|p_a−p_b| and the symmetric chi-square divergence
+    * Σ (p_a−p_b)²/(p_a+p_b) (zero-mass rows contribute 0). Both folds
+    * run in token order over ONE collected ≤2·topK+1 array (Catalyst
+    * does not dedupe twin collect_lists), so the doubles accumulate in
+    * a fixed order — the whole row is bit-exact cross-engine, no
+    * transcendental anywhere.
+    */
+  def driftReport(drift: DataFrame): DataFrame =
+    drift
+      .agg(count(lit(1)).as("vocab_rows"),
+        coalesce(sum(col("cnt_a")), lit(0L)).as("n_tokens_a"),
+        coalesce(sum(col("cnt_b")), lit(0L)).as("n_tokens_b"),
+        aggregate(
+          sort_array(collect_list(struct(col("token"),
+            abs(col("p_a") - col("p_b")).as("dv"),
+            when(col("p_a") + col("p_b") > 0,
+              (col("p_a") - col("p_b")) * (col("p_a") - col("p_b")) /
+                (col("p_a") + col("p_b"))).otherwise(lit(0.0)).as("cv")))),
+          struct(lit(0.0).as("d"), lit(0.0).as("c")),
+          (acc, x) => struct((acc("d") + x("dv")).as("d"),
+            (acc("c") + x("cv")).as("c"))).as("__f"))
+      .select(col("vocab_rows"), col("n_tokens_a"), col("n_tokens_b"),
+        (lit(0.5) * col("__f")("d")).as("tvd"),
+        col("__f")("c").as("chi2_sym"))
+
   /** Sequence chunking: split each doc into windows of `maxTokens`
     * tokens advancing by `stride` (overlap = maxTokens - stride) — the
     * context-packing step before tokenization. Output: (id, chunk_idx,

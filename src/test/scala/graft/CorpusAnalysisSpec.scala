@@ -150,6 +150,37 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b > 10 && b < 60, s"b kept $b of 100 at rate 0.3")
   }
 
+  test("vocabDrift + driftReport: hand-computed distributions") {
+    import spark.implicits._
+    val a = Seq((1L, "x x y"), (2L, "z")).toDF("doc_id", "text")
+    val b = Seq((3L, "x y y w")).toDF("doc_id", "text")
+    // topK=2: top-A = {x, y} (cnt desc, token asc tie-break on y vs z),
+    // top-B = {y, w} (w beats x alphabetically at cnt 1) → union
+    // {x, y, w}; residual '' row carries z's mass on the A side
+    val drift = CorpusAnalysis.vocabDrift(a, b, "text", topK = 2)
+    val rows = drift.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.keySet == Set("x", "y", "w", ""))
+    assert(rows("x") == ((2L, 1L, 0.5, 0.25)))
+    assert(rows("y") == ((1L, 2L, 0.25, 0.5)))
+    assert(rows("w") == ((0L, 1L, 0.0, 0.25)))
+    assert(rows("") == ((1L, 0L, 0.25, 0.0)))
+    val rep = CorpusAnalysis.driftReport(drift).collect()(0)
+    assert(rep.getLong(0) == 4L && rep.getLong(1) == 4L &&
+      rep.getLong(2) == 4L)
+    // TVD = 0.5 * (0.25 * 4); chi2 = 2*(0.0625/0.75) + 2*(0.0625/0.25)
+    assert(math.abs(rep.getDouble(3) - 0.5) < 1e-15, rep.toString)
+    assert(math.abs(rep.getDouble(4) - (2 * (0.0625 / 0.75) + 0.5)) < 1e-15,
+      rep.toString)
+    // an empty side stays finite: every B frequency 0, mass closed
+    val repE = CorpusAnalysis.driftReport(
+      CorpusAnalysis.vocabDrift(a, b.filter(lit(false)), "text", topK = 2))
+      .collect()(0)
+    assert(repE.getLong(2) == 0L)
+    assert(math.abs(repE.getDouble(3) - 0.5) < 1e-15, repE.toString)
+  }
+
   test("topTokens: counts and deterministic tie-break") {
     import spark.implicits._
     val docs = Seq("x y x", "y x z", "w w").toDF("text")
