@@ -364,6 +364,14 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, dir) =>
       CorpusAnalysis.topTokens(t(s, dir, "documents"), "text", 50)),
 
+    // one-row corpus data card: counts + one division
+    "q_corpus_report" -> ((s, dir) =>
+      CorpusAnalysis.corpusReport(t(s, dir, "documents"), "text")),
+
+    // power-of-two doc-length histogram (integer bucket math)
+    "q_len_hist" -> ((s, dir) =>
+      CorpusAnalysis.docLengthHistogram(t(s, dir, "documents"), "text")),
+
     // cross-corpus unigram drift (src1 vs src2, top-50 union + ''
     // residual row): counts and single-division frequencies only
     "q_vocab_drift" -> ((s, dir) => {
@@ -2109,6 +2117,40 @@ object SparkEntry {
          |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT unnest($Toks) AS token FROM documents)
          |  GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 50)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // corpus data card: counting + one sum/count division
+    "q_corpus_report" ->
+      s"""WITH tk AS (SELECT coalesce($Toks, []) AS toks FROM documents),
+         |n AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM tk),
+         |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_empty_docs,
+         |    CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(min(n), 0) AS BIGINT) AS min_doc_tokens,
+         |    CAST(coalesce(max(n), 0) AS BIGINT) AS max_doc_tokens
+         |  FROM n),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+         |    AS n_distinct_tokens
+         |  FROM (SELECT unnest(toks) AS tok FROM tk))
+         |SELECT n_docs, n_empty_docs, n_tokens, n_distinct_tokens,
+         |  min_doc_tokens, max_doc_tokens,
+         |  CAST(n_tokens AS DOUBLE) / greatest(n_docs, 1)
+         |    AS mean_doc_tokens
+         |FROM ds CROSS JOIN v""".stripMargin,
+
+    // doc-length histogram: bucket = binary digit count - 1 (exact
+    // integer log2), empty docs at -1
+    "q_len_hist" ->
+      s"""WITH tk AS (SELECT coalesce($Toks, []) AS toks FROM documents),
+         |n AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM tk)
+         |SELECT CASE WHEN n = 0 THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(length(bin(n)) - 1 AS BIGINT) END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(min(n) AS BIGINT) AS min_tokens,
+         |  CAST(max(n) AS BIGINT) AS max_tokens
+         |FROM n GROUP BY 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // cross-corpus drift table: top-50 union + '' residual row;

@@ -440,6 +440,58 @@ object CorpusAnalysis {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("token").asc)))
 
+  /** One-row corpus "data card" — the first thing a pipeline owner
+    * asks of a new snapshot: doc/token totals, empty-doc count, exact
+    * distinct-token count, min/max/mean doc length. Counts and one
+    * sum/count division only — bit-exact cross-engine.
+    *
+    * Plan: two corpus scans — a narrow per-doc token count folded into
+    * a single global aggregate, and the tokenize→distinct-count pass
+    * (the distinct is the one vocab-sized shuffle; it is the exact
+    * form — swap `approx_count_distinct` in a monitoring loop where a
+    * 2% estimate is enough and the shuffle must go).
+    */
+  def corpusReport(docs: DataFrame, textCol: String): DataFrame = {
+    val perDoc = docs.select(size(coalesce(
+      TextFunctions.tokens(col(textCol)),
+      array().cast("array<string>"))).cast("long").as("n"))
+    val docStats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(when(col("n") === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_empty_docs"),
+      coalesce(sum(col("n")), lit(0L)).as("n_tokens"),
+      coalesce(min(col("n")), lit(0L)).as("min_doc_tokens"),
+      coalesce(max(col("n")), lit(0L)).as("max_doc_tokens"))
+    val vocab = docs
+      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("t"))
+      .filter(col("t").isNotNull)
+      .agg(count_distinct(col("t")).as("n_distinct_tokens"))
+    docStats.crossJoin(vocab) // 1×1
+      .select(col("n_docs"), col("n_empty_docs"), col("n_tokens"),
+        col("n_distinct_tokens"), col("min_doc_tokens"),
+        col("max_doc_tokens"),
+        (col("n_tokens").cast("double") /
+          greatest(col("n_docs"), lit(1L))).as("mean_doc_tokens"))
+  }
+
+  /** Doc-length histogram on power-of-two buckets: bucket b holds docs
+    * with 2^b ≤ tokens < 2^(b+1) (empty docs land in bucket −1) — the
+    * shape report behind chunking/packing parameter choices. The
+    * bucket is integer math (binary-digit count, no log), so the table
+    * is exact on any engine; ≤65 output rows, one narrow pass + a
+    * bucket-keyed aggregation.
+    */
+  def docLengthHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(size(coalesce(TextFunctions.tokens(col(textCol)),
+        array().cast("array<string>"))).cast("long").as("n"))
+      .groupBy(when(col("n") === 0, lit(-1L))
+        .otherwise((length(bin(col("n"))) - 1).cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+
   /** Cross-corpus unigram drift table — the distribution-shift monitor
     * a mixture owner watches between snapshots/sources (is the new
     * crawl the same language as the old one?): per token in the UNION

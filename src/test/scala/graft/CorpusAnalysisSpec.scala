@@ -150,6 +150,38 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b > 10 && b < 60, s"b kept $b of 100 at rate 0.3")
   }
 
+  test("corpusReport + docLengthHistogram: hand-computed card") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens → bucket 1
+      (2L, "a a a a"),          // 4 tokens → bucket 2
+      (3L, ""),                 // empty → bucket -1
+      (4L, null.asInstanceOf[String]), // empty → bucket -1
+      (5L, "x")).toDF("doc_id", "text") // 1 token → bucket 0
+    val rep = CorpusAnalysis.corpusReport(docs, "text").collect()(0)
+    assert(rep.getLong(0) == 5L, "n_docs")
+    assert(rep.getLong(1) == 2L, "n_empty_docs")
+    assert(rep.getLong(2) == 8L, "n_tokens")
+    assert(rep.getLong(3) == 4L, "n_distinct_tokens") // a b c x
+    assert(rep.getLong(4) == 0L && rep.getLong(5) == 4L, "min/max")
+    assert(rep.getDouble(6) == 8.0 / 5, "mean")
+    val hist = CorpusAnalysis.docLengthHistogram(docs, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(hist == Map(
+      -1L -> ((2L, 0L, 0L, 0L)),
+      0L -> ((1L, 1L, 1L, 1L)),
+      1L -> ((1L, 3L, 3L, 3L)),
+      2L -> ((1L, 4L, 4L, 4L))), hist.toString)
+    // empty corpus: one all-zero card row, empty histogram
+    val e = CorpusAnalysis.corpusReport(docs.filter(lit(false)), "text")
+      .collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(2) == 0L &&
+      e.getDouble(6) == 0.0, e.toString)
+    assert(CorpusAnalysis.docLengthHistogram(
+      docs.filter(lit(false)), "text").collect().isEmpty)
+  }
+
   test("vocabDrift + driftReport: hand-computed distributions") {
     import spark.implicits._
     val a = Seq((1L, "x x y"), (2L, "z")).toDF("doc_id", "text")
