@@ -59,6 +59,17 @@ object SparkEntry {
     docs.unionByName(planted)
   }
 
+  /** Simulated re-crawl for the snapshot-delta queries: %7 ids vanish,
+    * %5 texts gain an edit marker, 30 fresh ids appear. */
+  private def recrawl(docs: DataFrame): DataFrame = docs
+    .filter(col("doc_id") % 7 =!= 0)
+    .select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" upd")))
+        .otherwise(col("text")).as("text"))
+    .unionByName(docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("fresh "), col("doc_id").cast("string")).as("text")))
+
   /** Synthetic GeoJSON Point features derived from lineitem numerics —
     * lets the P5/P7 geometry pipeline be oracle-checked: the elevation
     * the transform extracts must equal l_tax (when non-zero) and the
@@ -565,6 +576,20 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // snapshot delta: re-crawl drops %7 ids, edits %5 texts, adds 30
+    // fresh ids — per-doc status by id + canonical fingerprint
+    "q_snapshot_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.snapshotDelta(docs, recrawl(docs), "doc_id", "text")
+    }),
+
+    // one-row rollup of the same delta
+    "q_snapshot_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.snapshotDeltaReport(
+        Dedup.snapshotDelta(docs, recrawl(docs), "doc_id", "text"))
+    }),
+
     // deterministic token-budget sample: keep docs in hash order until
     // 10k tokens — the histogram walk + boundary window must equal the
     // oracle's global cumulative-sum rule exactly
@@ -1031,6 +1056,27 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 100000, text || ' extraword' FROM documents
       |  WHERE doc_id < 20""".stripMargin
+
+  /** DuckDB replica of the recrawl fixture + `Dedup.snapshotDelta` up
+    * to the per-doc `st(id, status)` CTE: presence via join-side id
+    * markers, change via null-safe fingerprint compare. */
+  private val SnapshotDeltaCtes =
+    s"""WITH oldv AS (SELECT doc_id AS id, $Fp AS fp FROM documents),
+       |cur0 AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END
+       |      AS text
+       |  FROM documents WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, 'fresh ' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id < 30),
+       |curv AS (SELECT id, $Fp AS fp FROM cur0),
+       |st AS (SELECT coalesce(o.id, c.id) AS id,
+       |    CASE WHEN o.id IS NULL THEN 'added'
+       |      WHEN c.id IS NULL THEN 'removed'
+       |      WHEN o.fp IS NOT DISTINCT FROM c.fp THEN 'unchanged'
+       |      ELSE 'changed' END AS status
+       |  FROM oldv o FULL OUTER JOIN curv c ON o.id = c.id)""".stripMargin
 
   /** DuckDB replica of `CorpusAnalysis.vocabDrift(src1, src2, topK=50)`
     * up to the `drift` CTE: per-corpus unigram counts, top-50 union
@@ -1675,6 +1721,26 @@ object SparkEntry {
          |  FROM f)
          |WHERE rn = 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // snapshot delta: presence by id, change by null-safe canonical
+    // fingerprint compare
+    "q_snapshot_delta" ->
+      s"""$SnapshotDeltaCtes
+         |SELECT id, status FROM st
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_snapshot_report" ->
+      s"""$SnapshotDeltaCtes
+         |SELECT
+         |  CAST(coalesce(sum(CASE WHEN status = 'added' THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) AS n_added,
+         |  CAST(coalesce(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) AS n_removed,
+         |  CAST(coalesce(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) AS n_changed,
+         |  CAST(coalesce(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) AS n_unchanged
+         |FROM st""".stripMargin,
 
     // token-budget sample: the engine-independent statement of the rule
     // — inclusive running token total in (hash, id) order stays ≤ 10k

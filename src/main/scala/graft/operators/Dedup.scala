@@ -192,6 +192,46 @@ object Dedup {
         col("__row.text").as("text"))
   }
 
+  /** Snapshot delta — what a re-crawl changed, keyed by the document id
+    * (the crawl's stable key): per-doc status `added` (id only in
+    * `cur`), `removed` (only in `old`), `changed` (both, canonical
+    * fingerprints differ), `unchanged`. Presence is tracked by marker
+    * columns, NOT fingerprint nullness, so null-text docs classify
+    * correctly (their null fingerprints compare null-safely). Ids must
+    * be unique within each snapshot — the join key IS the identity; run
+    * [[exactDedup]] first if a snapshot can carry internal duplicates.
+    *
+    * Scale shape: each side is projected to (id, 16-byte fingerprint)
+    * narrowly before the one id-keyed full-outer join — document text
+    * never rides the shuffle, and the join carries fixed-width rows
+    * only.
+    */
+  def snapshotDelta(old: DataFrame, cur: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    TopK.requireIntegral(old, idCol, "snapshotDelta")
+    TopK.requireIntegral(cur, idCol, "snapshotDelta")
+    def side(df: DataFrame, fp: String, mark: String): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+        TextFunctions.fingerprint(col(textCol)).as(fp),
+        lit(true).as(mark))
+    side(old, "__fp_old", "__in_old")
+      .join(side(cur, "__fp_new", "__in_new"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__fp_old") <=> col("__fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** One-row rollup of [[snapshotDelta]]: the four status counts — the
+    * crawl-health number an operator alerts on (a crawl that "changed"
+    * 90% of the web didn't; the pipeline did). */
+  def snapshotDeltaReport(delta: DataFrame): DataFrame = {
+    def n(s: String) = coalesce(sum(when(col("status") === s, 1L)
+      .otherwise(0L)), lit(0L)).as(s"n_$s")
+    delta.agg(n("added"), n("removed"), n("changed"), n("unchanged"))
+  }
+
   /** Streaming exact dedup — the live-intake form of `exactDedup`: emit
     * each fingerprint's FIRST arrival, drop later exact duplicates.
     * `dropDuplicatesWithinWatermark` keys the state on the canonical

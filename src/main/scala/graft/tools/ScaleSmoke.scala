@@ -548,6 +548,86 @@ object ScaleSmoke {
       f"${tokAgg.getLong(2)} vocab-mapped in $tTok%.1f s " +
       f"(${nDocs / tTok}%.0f docs/s), " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- span-level decontamination at 1M docs: bench = the base docs
+    // of the first 1000 groups; corpus = every group's +8/+9 partners.
+    // In a bench group the exact copy (+8) shares all 19 12-token
+    // windows (30 tokens covered → 0 kept) and the near-dup (+9)
+    // shares windows 0..17 (tokens 0..28 covered → 1 kept); outside
+    // bench nothing matches (tokens are seed-unique) → 60 kept/group.
+    val benchG = benchN / 10
+    val t23 = System.nanoTime()
+    val decon = graft.operators.CorpusAnalysis.removeContaminatedSpans(
+      docs.filter(col("id") % 10 >= 8),
+      docs.filter(col("id") % 10 === 0 && col("id") < benchN),
+      "id", "text", n = 12)
+      .agg(count(lit(1)), coalesce(sum(size(graft.functions.TextFunctions
+        .tokens(col("text")))), lit(0L)).cast("long")).collect()(0)
+    val tDecon = (System.nanoTime() - t23) / 1e9
+    require(decon.getLong(0) == 2L * (nDocs / 10),
+      s"decon rows ${decon.getLong(0)}")
+    val wantKept = 1L * benchG + 60L * (nDocs / 10 - benchG)
+    require(decon.getLong(1) == wantKept,
+      s"decon kept tokens ${decon.getLong(1)} != $wantKept")
+    println(f"contamSpans: ${decon.getLong(0)} docs scrubbed against " +
+      f"$benchG bench docs, ${decon.getLong(1)} tokens kept (exact) " +
+      f"in $tDecon%.1f s (${2L * nDocs / 10 / tDecon}%.0f docs/s)")
+
+    // --- vocabulary drift at 1M docs/side: A = "alpha beta <uniq>",
+    // B = "alpha gamma <uniq>" — 1M+2 distinct tokens per side
+    // (vocab-sized count shuffle exercised), top-2 union =
+    // {alpha, beta, gamma}, residual = the unique tail. Exact truth:
+    // each side 3M tokens; p_a = (1/3, 1/3, 0, 1/3),
+    // p_b = (1/3, 0, 1/3, 1/3) → TVD = 1/3, chi2 = 2/3.
+    def driftSide(word: String): org.apache.spark.sql.DataFrame =
+      spark.range(nDocs)
+      .select(concat_ws(" ", lit("alpha"), lit(word),
+        substring(md5(concat_ws(":", lit(word), col("id").cast("string"))),
+          1, 12)).as("text"))
+    val t24 = System.nanoTime()
+    val drift = graft.operators.CorpusAnalysis.driftReport(
+      graft.operators.CorpusAnalysis.vocabDrift(
+        driftSide("beta"), driftSide("gamma"), "text", topK = 2))
+      .collect()(0)
+    val tDrift = (System.nanoTime() - t24) / 1e9
+    require(drift.getLong(0) == 4L, s"drift rows ${drift.getLong(0)}")
+    require(drift.getLong(1) == 3L * nDocs && drift.getLong(2) == 3L * nDocs,
+      s"drift totals $drift")
+    val third = nDocs.toDouble / (3L * nDocs)
+    require(math.abs(drift.getDouble(3) - third) < 1e-12,
+      s"tvd ${drift.getDouble(3)}")
+    require(math.abs(drift.getDouble(4) - 2 * (third * third / third)) < 1e-12,
+      s"chi2 ${drift.getDouble(4)}")
+    println(f"vocabDrift: 2 x $nDocs docs (${2L * (nDocs + 2)} distinct " +
+      f"tokens), tvd=${drift.getDouble(3)}%.4f chi2=${drift.getDouble(4)}%.4f " +
+      f"in $tDrift%.1f s (${2L * nDocs / tDrift}%.0f docs/s)")
+
+    // --- corpus data card at 1M docs: every field exact except the
+    // distinct-token count (8-hex-char md5 prefixes collide across
+    // ~24.1M distinct seeds — allow the birthday dent), histogram =
+    // one bucket-4 row (16 <= 30 < 32).
+    val t25 = System.nanoTime()
+    val card = graft.operators.CorpusAnalysis.corpusReport(docs, "text")
+      .collect()(0)
+    val tCard = (System.nanoTime() - t25) / 1e9
+    require(card.getLong(0) == nDocs && card.getLong(1) == 0L &&
+      card.getLong(2) == 30L * nDocs, s"card $card")
+    require(card.getLong(4) == 30L && card.getLong(5) == 30L &&
+      card.getDouble(6) == 30.0, s"card min/max/mean $card")
+    // distinct seeds: 30 per unique doc (incl base) + 1 near-dup token
+    val distinctSeeds = 30L * (8L * nDocs / 10) + nDocs / 10
+    require(card.getLong(3) <= distinctSeeds &&
+      card.getLong(3) >= distinctSeeds - distinctSeeds / 100,
+      s"distinct tokens ${card.getLong(3)} vs ~$distinctSeeds")
+    val hist = graft.operators.CorpusAnalysis
+      .docLengthHistogram(docs, "text").collect()
+    require(hist.length == 1 && hist(0).getLong(0) == 4L &&
+      hist(0).getLong(1) == nDocs && hist(0).getLong(2) == 30L * nDocs,
+      s"hist ${hist.mkString(",")}")
+    println(f"corpusCard: $nDocs docs, ${card.getLong(3)} distinct of " +
+      f"~$distinctSeeds seeds, one bucket-4 histogram row in $tCard%.1f s " +
+      f"(${nDocs / tCard}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }

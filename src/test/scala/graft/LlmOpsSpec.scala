@@ -110,6 +110,28 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.toSeq == Seq(1L, 2L))
   }
 
+  test("snapshotDelta: added/removed/changed/unchanged by id + fingerprint") {
+    val old = docsDf((1L, "same text"), (2L, "will change"),
+      (3L, "goes away"), (5L, null.asInstanceOf[String]))
+    val cur = docsDf((1L, "same  TEXT "), // canonically equal → unchanged
+      (2L, "has changed"),
+      (4L, "brand new"),
+      (5L, null.asInstanceOf[String])) // null on both sides → unchanged
+    val got = Dedup.snapshotDelta(old, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"), got.toString)
+    val rep = Dedup.snapshotDeltaReport(
+      Dedup.snapshotDelta(old, cur, "doc_id", "text")).collect()(0)
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2),
+      rep.getLong(3)) == ((1L, 1L, 1L, 2L)), rep.toString)
+    // null → non-null text on a present id is a change, not unchanged
+    val cur2 = docsDf((5L, "now present"))
+    val got2 = Dedup.snapshotDelta(old.filter(col("doc_id") === 5), cur2,
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got2.toSeq == Seq(5L -> "changed"), got2.toString)
+  }
+
   private def withNearDups(): DataFrame = {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
