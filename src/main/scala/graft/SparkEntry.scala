@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{CorpusAnalysis, DataSelection, Dedup, LanguageModel, Multimodal, ProductQuantization, Retrieval, Similarity, VectorOps}
+import graft.operators.{CorpusAnalysis, DataSelection, Dedup, LanguageModel, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, VectorOps}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -635,6 +635,46 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       LanguageModel.stupidBackoffScores(docs,
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    }),
+
+    // classifier-based quality filter (NB log-odds): positive = the %7
+    // planted target, negative = the rest; the oracle columns are the
+    // {+,*,/}-only likelihood-ratio sums (bit-exact cross-engine);
+    // log_odds / is_positive (transcendental ln) are spec-pinned
+    "q_nb_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      QualityClassifier.nbQualityScores(docs,
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+        .select(col("id"), col("n_tokens"), col("sum_ratio"),
+          col("avg_ratio"))
+    }),
+
+    // the exact rank-bucket partitioner under oracle: integer-derived
+    // scores (pmod of md5-60, exact as doubles) with deliberate ties —
+    // bucket boundaries, tie resolution by id, and the ceil(rank·B/n)
+    // sizing must equal the engine-independent window formulation
+    "q_rank_buckets" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("id"),
+        pmod(graft.functions.TextFunctions.md5Hash60(
+          concat(lit("rkb:"), col("doc_id").cast("string"))), lit(1000L))
+          .cast("double").as("score"))
+      DataSelection.rankBuckets(scored, "id", "score", 5,
+        ascending = true, histBins = 64)
+    }),
+
+    // embedding-level benchmark decontamination, integer-exact form:
+    // quantized vectors make every dot/norm an integer-valued double
+    // and sqrt is correctly rounded IEEE, so the whole row — argmax
+    // bench_id and threshold verdict included — replicates in DuckDB
+    "q_contam_sem_int" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+      Similarity.semanticContamination(emb.filter(col("vec_id") >= 5),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        threshold = 0.2)
     }),
 
     // vocabulary-mapped token ids (the trainer-facing form): top-20
@@ -1891,6 +1931,85 @@ object SparkEntry {
          |          list(s ORDER BY pos, s)), (a, b) -> a + b) AS sum_score
          |      FROM p GROUP BY id)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // NB quality classifier: per-class counts keyed by the SAME md5-60
+    // hash (identical collision behavior), V = distinct token STRINGS
+    // over both classes (as Spark counts it); r_t is two smoothed
+    // estimates and one ratio in the same IEEE op order, folded per doc
+    // in position order — bit-exact
+    "q_nb_quality" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |g AS (SELECT id, unnest(list_transform(
+         |        generate_series(1, len(toks)),
+         |        i -> {'pos': i, 'wh': ${H60("toks[i]")}})) AS u FROM tk),
+         |r AS (SELECT id, u.pos AS pos, u.wh AS wh FROM g),
+         |cp AS (SELECT wh, CAST(count(*) AS BIGINT) AS p_cnt
+         |       FROM r WHERE id % 7 = 0 GROUP BY wh),
+         |cn AS (SELECT wh, CAST(count(*) AS BIGINT) AS n_cnt
+         |       FROM r WHERE id % 7 <> 0 GROUP BY wh),
+         |nv AS (SELECT
+         |    CAST(sum(CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS np,
+         |    CAST(sum(CASE WHEN id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nn,
+         |    greatest(1, count(DISTINCT tok)) AS vc
+         |  FROM (SELECT id, unnest(toks) AS tok FROM tk)),
+         |p AS (SELECT r.id, r.pos,
+         |      ((coalesce(cp.p_cnt, 0) + 1.0e0) /
+         |         (CAST(np AS DOUBLE) + 1.0e0 * vc)) /
+         |      ((coalesce(cn.n_cnt, 0) + 1.0e0) /
+         |         (CAST(nn AS DOUBLE) + 1.0e0 * vc)) AS rr
+         |      FROM r LEFT JOIN cp ON r.wh = cp.wh
+         |             LEFT JOIN cn ON r.wh = cn.wh
+         |             CROSS JOIN nv)
+         |SELECT id, n_tokens, sum_ratio, sum_ratio / n_tokens AS avg_ratio
+         |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(rr ORDER BY pos, rr)), (a, b) -> a + b) AS sum_ratio
+         |      FROM p GROUP BY id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // rank buckets: the histogram-boundary partitioner's contract IS
+    // the window formulation bucket = ceil(rank·B/n) over
+    // (score ASC, id ASC) — integer-derived scores with deliberate
+    // ties, so tie resolution by id is exercised
+    "q_rank_buckets" ->
+      s"""WITH s AS (SELECT doc_id AS id,
+         |    CAST(${H60("'rkb:' || CAST(doc_id AS VARCHAR)")} % 1000
+         |      AS DOUBLE) AS score FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM s),
+         |r AS (SELECT id, score,
+         |    row_number() OVER (ORDER BY score, id) AS rk FROM s)
+         |SELECT id, score,
+         |  CAST((rk * 5 + cnt - 1) // cnt AS INTEGER) AS bucket
+         |FROM r CROSS JOIN n
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // semantic decontamination, integer-exact: quantized dots/norms are
+    // integer-valued doubles, sqrt correctly rounded — argmax bench_id
+    // (ties -> smallest id) and the >= 0.2 verdict replicate exactly
+    "q_contam_sem_int" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT c.vec_id AS id, b.vec_id AS bench_id,
+        |    list_sum(list_transform(list_zip(c.v, b.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(c.v,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM e c, e b
+        |  WHERE c.vec_id >= 5 AND b.vec_id < 5),
+        |r AS (SELECT id, bench_id, sim,
+        |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, bench_id)
+        |      AS rk FROM s)
+        |SELECT id, bench_id, sim AS max_sim, sim >= 0.2e0 AS contaminated
+        |FROM r WHERE rk = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // vocabulary-mapped token ids: same deterministic top-20 vocab
     // (cnt DESC, token ASC), OOV -> 0, order preserved; DuckDB maps

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -219,6 +219,95 @@ object DataSelection {
       .filter(col("__c") <= left)
       .drop("__c")
     kept.unionByName(boundary).drop("__bin")
+  }
+
+  /** Exact global-rank quantile partitioning — the CCNet
+    * head/middle/tail split (Wenzek et al. 2020 §4.4: order docs by a
+    * quality score, cut the corpus into equal thirds) generalized to
+    * `nBuckets`. Every row gets `bucket` ∈ [1, nBuckets], where bucket
+    * b holds ranks (⌊(b−1)·n/B⌋, ⌊b·n/B⌋] of the total order
+    * (score ASC then id ASC when `ascending`, score DESC then id ASC
+    * otherwise) — equivalently bucket = ⌈rank·B/n⌉, the formulation the
+    * q_rank_buckets oracle states as a window. Computed WITHOUT a
+    * global sort or corpus-wide window:
+    *
+    *   - one stats pass (n, min, max) and ONE bounded `histBins`-row
+    *     histogram to the driver;
+    *   - each of the B−1 boundary ranks lands in one histogram bin;
+    *     only those bins (≈ n/histBins rows each; ties can widen one)
+    *     pay a bounded smallest-j aggregation to resolve the exact
+    *     boundary (score, id) element;
+    *   - assignment is then a NARROW comparison of each row against
+    *     B−1 literal boundary structs — no shuffle.
+    *
+    * Ties share a score but never a (score, id) pair, so buckets are
+    * exact-sized and deterministic across runs, partitionings, and
+    * engines. `scored` needs (idCol integral, scoreCol numeric,
+    * NaN-free); it is materialized once (localCheckpoint — same
+    * rationale as [[selectTopNByScore]]), so pass a narrow projection.
+    * Returns all input columns plus `bucket`.
+    */
+  def rankBuckets(scored: DataFrame, idCol: String, scoreCol: String,
+      nBuckets: Int, ascending: Boolean = true,
+      histBins: Int = 100000): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(histBins >= 1, s"histBins must be >= 1, got $histBins")
+    TopK.requireIntegral(scored, idCol, "rankBuckets")
+    val cached = scored.localCheckpoint(true)
+    // internal order key: ascending ranks on (s ASC, id ASC); the
+    // descending form negates the score so ties still break id ASC
+    def s(c: Column): Column =
+      if (ascending) c.cast("double") else -c.cast("double")
+    val stats = cached
+      .agg(count(lit(1)), min(s(col(scoreCol))), max(s(col(scoreCol))))
+      .collect()(0)
+    val total = stats.getLong(0)
+    if (total == 0L) return cached.withColumn("bucket", lit(1))
+    val (mn, mx) = (stats.getDouble(1), stats.getDouble(2))
+    val width = if (mx > mn) (mx - mn) / histBins else 1.0
+    val binOf = least(floor((s(col(scoreCol)) - lit(mn)) / lit(width))
+      .cast("int"), lit(histBins - 1))
+    val hist = cached.groupBy(binOf.as("__bin")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (0 until histBins).scanLeft(0L)((a, b) =>
+      a + hist.getOrElse(b, 0L)) // cum(i) = rows in bins < i
+    // boundary rank of bucket b (its LAST rank); rank 0 = empty bucket
+    val ranks = (1 until nBuckets).map(b => b * total / nBuckets)
+    // resolve each nonzero boundary rank to its bin and local rank j
+    val need = ranks.zipWithIndex.collect { case (r, i) if r >= 1 =>
+      val bin = cum.lastIndexWhere(_ < r) // 0-based bin holding rank r
+      (i.toLong, bin, (r - cum(bin)).toInt)
+    }
+    val resolved: Map[Long, (Double, Long)] = if (need.isEmpty) Map.empty
+    else {
+      val maxJ = need.map(_._3).max
+      val wanted = need.map { case (i, bin, _) => (i, bin) }
+      val spark = cached.sparkSession
+      import spark.implicits._
+      val tags = broadcast(wanted.toDF("__q", "__bin"))
+      // j-th smallest on (s ASC, id ASC) == rank-j of the bounded
+      // top-k on (sim = −s DESC, id ASC) — TopK's exact tie contract
+      val boundaryRows = cached
+        .select(binOf.as("__bin"), col(idCol).cast("long").as("neighbor_id"),
+          (-s(col(scoreCol))).as("sim"))
+        .join(tags, Seq("__bin"))
+        .select(col("__q").as("query_id"), col("neighbor_id"), col("sim"))
+      val jOf = need.map { case (i, _, j) => i -> j }.toMap
+      TopK.topKPerQuery(boundaryRows, maxJ).collect()
+        .filter(r => r.getInt(1) == jOf(r.getLong(0)))
+        .map(r => r.getLong(0) -> (-r.getDouble(3), r.getLong(2))).toMap
+    }
+    // bucket = 1 + #(boundaries strictly below this row's (s, id));
+    // an empty bucket's absent boundary sorts below everything
+    val rowKey = struct(s(col(scoreCol)), col(idCol).cast("long"))
+    val bucket = ranks.indices.foldLeft(lit(1)) { (acc, i) =>
+      val cmp = resolved.get(i.toLong) match {
+        case Some((bs, bid)) => rowKey > struct(lit(bs), lit(bid))
+        case None            => lit(true) // rank 0: bucket i+1 is empty
+      }
+      acc + cmp.cast("int")
+    }
+    cached.withColumn("bucket", bucket)
   }
 
   /** The scale-correct global top-N: histogram-threshold selection.

@@ -66,6 +66,51 @@ object Similarity {
     TopK.topKPerQuery(scored, k)
   }
 
+  /** Embedding-level benchmark decontamination: flag every corpus doc
+    * whose embedding is within cosine `threshold` of ANY benchmark
+    * item — the semantic complement of the n-gram overlap check
+    * ([[CorpusAnalysis.contaminationScores]]): a paraphrased test
+    * question shares no 8-gram with the source but still sits next to
+    * it in embedding space. Returns one row per corpus doc:
+    * (id, bench_id, max_sim, contaminated) with bench_id the
+    * argmax-similarity benchmark item (ties → smallest bench_id);
+    * filter `contaminated` and anti-join upstream to scrub.
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval suites
+    * are 10^3–10^5 items) and is broadcast — the corpus never
+    * shuffles; scoring is a broadcast nested-loop scan (corpus ×
+    * bench pairs, embarrassingly parallel) and the per-doc argmax is
+    * the bounded k=1 aggregation, whose map-side combine collapses
+    * each partition's pairs before the only (narrow, corpus-row-sized)
+    * shuffle. Exact by construction — no LSH recall question — at the
+    * price of the |bench| factor in the scan; prefilter the corpus (or
+    * shrink the benchmark set) if |bench| grows past ~10^5.
+    *
+    * With integer-quantized embeddings every dot/norm is an
+    * integer-valued double and sqrt is correctly rounded IEEE, so the
+    * WHOLE row — verdict included — replicates bit-exactly in the
+    * q_contam_sem_int oracle.
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"threshold must be in (-1, 1], got $threshold")
+    TopK.requireIntegral(corpus, idCol, "semanticContamination")
+    TopK.requireIntegral(bench, idCol, "semanticContamination(bench)")
+    graft.expressions.VectorHashExprs.register(corpus.sparkSession)
+    val b = broadcast(bench.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("bv")))
+    val scored = corpus
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("cv"))
+      .crossJoin(b)
+      .withColumn("sim", cosineNative(col("cv"), col("bv")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    TopK.topKPerQuery(scored, 1)
+      .select(col("query_id").as("id"), col("neighbor_id").as("bench_id"),
+        col("sim").as("max_sim"),
+        (col("sim") >= threshold).as("contaminated"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for
     * (table, plane, j): a fixed hash-derived value in [-1, 1]. No RNG
     * state — reproducible across executors and runs. Canonical

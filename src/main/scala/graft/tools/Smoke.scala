@@ -324,6 +324,40 @@ object Smoke {
       lm.agg(min($"log_ppl"), avg($"log_ppl"), max($"log_ppl")).show(false)
     }
 
+    println("== NB quality classifier: %7 slice vs rest ==")
+    locally {
+      val nb = graft.operators.QualityClassifier.nbQualityScores(docs,
+        docs.filter($"doc_id" % 7 === 0), docs.filter($"doc_id" % 7 =!= 0),
+        "doc_id", "text")
+      nb.agg(count(lit(1)).as("docs"),
+        sum(when($"is_positive", 1).otherwise(0)).as("flagged_positive"),
+        min($"avg_log_odds"), avg($"avg_log_odds"), max($"avg_log_odds"))
+        .show(false)
+      nb.orderBy($"avg_log_odds".desc).limit(3)
+        .select($"id", $"n_tokens", $"avg_log_odds", $"is_positive").show(false)
+    }
+
+    println("== CCNet perplexity buckets: head/middle/tail of the corpus ==")
+    locally {
+      val pb = graft.operators.QualityClassifier.perplexityBuckets(docs,
+        docs.filter($"doc_id" % 7 === 0), "doc_id", "text")
+      pb.groupBy($"bucket").agg(count(lit(1)).as("docs"),
+        min($"log_ppl").as("min_ppl"), max($"log_ppl").as("max_ppl"))
+        .orderBy($"bucket").show(false)
+    }
+
+    println("== semantic decontamination: corpus vs 5-vector bench ==")
+    locally {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val sc2 = graft.operators.Similarity.semanticContamination(
+        emb.filter($"vec_id" >= 5), emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", threshold = 0.2)
+      sc2.agg(count(lit(1)).as("docs"),
+        sum(when($"contaminated", 1).otherwise(0)).as("contaminated"),
+        max($"max_sim")).show(false)
+      sc2.orderBy($"max_sim".desc).limit(3).show(false)
+    }
+
     println("== streaming near-dedup (MemoryStream vs static documents) ==")
     // live intake: 3 perturbed re-crawls of real corpus docs (one token
     // appended — exact fingerprint misses, trigram Jaccard ≥ 0.8 hits)
