@@ -677,6 +677,30 @@ object SparkEntry {
         threshold = 0.2)
     }),
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): 8 corpus-weighted
+    // merges learned on the word-frequency table; winners, tie-breaks,
+    // and the greedy non-overlapping rewrite replicate in the chained
+    // 8-stage oracle CTE
+    "q_bpe_train" -> ((s, dir) =>
+      operators.BpeTokenizer.trainBpeMerges(t(s, dir, "documents"),
+        "text", numMerges = 8)
+        .select(col("rank").as("mrank"), col("left").as("ml"),
+          col("right").as("mr"), col("cnt"))),
+
+    // encoding under the same 8 learned merges — vocabulary-side merge
+    // + one hash join; subword sequences joined to strings so the
+    // compare is representation-safe
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = operators.BpeTokenizer
+        .trainBpeMerges(docs, "text", numMerges = 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.BpeTokenizer.applyBpeMerges(docs, "doc_id", "text", merges)
+        .select(col("id"), col("n_words"), col("n_subwords"),
+          array_join(col("bpe_tokens"), " ").as("bpe_str"))
+    }),
+
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
     // so the oracle compare is representation-safe
@@ -1085,6 +1109,57 @@ object SparkEntry {
        |    CASE WHEN p.acc + o.doc_tokens > 128 THEN o.doc_tokens
        |         ELSE p.acc + o.doc_tokens END
        |  FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)""".stripMargin
+
+  /** Chained-CTE replica of `n` BPE training iterations
+    * (BpeTokenizer.trainBpeMerges over the documents table): w0 is the
+    * char+</w> word-frequency table; each stage picks the best pair
+    * (c DESC, l, r — DuckDB LIMIT 1 = Spark's orderBy.limit(1)) and
+    * rewrites the symbol arrays with the GREEDY left-to-right
+    * non-overlapping rule, expressed as gaps-and-islands windows:
+    * a match position is taken iff its rank inside a run of
+    * consecutive matches is odd ([a,a,a,a] → [aa,aa], exactly the
+    * operator's fold). Yields b1..bn (the winners) and wn (the final
+    * word → subwords mapping).
+    */
+  private def BpeCte(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |    list_append(list_transform(generate_series(1, len(word)),
+       |      j -> substring(word, j, 1)), '</w>') AS syms
+       |  FROM (SELECT unnest($Toks) AS word FROM documents)
+       |  GROUP BY word)""".stripMargin
+    for (s <- 1 to n) {
+      val p = s - 1
+      sb ++= s""",
+         |b$s AS (SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest(list_transform(
+         |      generate_series(1, len(syms) - 1),
+         |      j -> {'l': syms[j], 'r': syms[j + 1]})) AS u FROM w$p)
+         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+         |e$s AS (SELECT word, cnt, u.i AS i, u.sym AS sym
+         |  FROM (SELECT word, cnt, unnest(list_transform(
+         |      generate_series(1, len(syms)),
+         |      j -> {'i': j, 'sym': syms[j]})) AS u FROM w$p)),
+         |mk$s AS (SELECT e.*, b.l AS bl, b.r AS br,
+         |    CASE WHEN sym = b.l AND
+         |      lead(sym) OVER (PARTITION BY word ORDER BY i) = b.r
+         |      THEN 1 ELSE 0 END AS mt
+         |  FROM e$s e CROSS JOIN b$s b),
+         |g$s AS (SELECT *, i - row_number()
+         |    OVER (PARTITION BY word, mt ORDER BY i) AS grp FROM mk$s),
+         |tk$s AS (SELECT *, CASE WHEN mt = 1 AND (row_number()
+         |      OVER (PARTITION BY word, mt, grp ORDER BY i)) % 2 = 1
+         |    THEN 1 ELSE 0 END AS taken FROM g$s),
+         |f$s AS (SELECT *, coalesce(lag(taken)
+         |    OVER (PARTITION BY word ORDER BY i), 0) AS prev_taken
+         |  FROM tk$s),
+         |w$s AS (SELECT word, cnt,
+         |    list(CASE WHEN taken = 1 THEN bl || br ELSE sym END ORDER BY i)
+         |      AS syms
+         |  FROM f$s WHERE prev_taken = 0 GROUP BY word, cnt)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** DuckDB replica of TextFunctions.md5Hash60 (same 60-bit integer). */
   private def H60(e: String): String =
@@ -2010,6 +2085,37 @@ object SparkEntry {
         |SELECT id, bench_id, sim AS max_sim, sim >= 0.2e0 AS contaminated
         |FROM r WHERE rk = 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // BPE training: the 8 chained stages replay the operator's
+    // iterations exactly — pair winners (c DESC, l, r), greedy
+    // non-overlapping rewrite via gaps-and-islands windows
+    "q_bpe_train" ->
+      s"""${BpeCte(8)}
+         |SELECT * FROM (
+         |  ${(1 to 8).map(s =>
+              s"SELECT $s AS mrank, l AS ml, r AS mr, c AS cnt FROM b$s")
+              .mkString("\n  UNION ALL ")}
+         |)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // BPE encoding: w8 is the finished word -> subwords mapping; docs
+    // tokens join it and reassemble positionally
+    "q_bpe_encode" ->
+      s"""${BpeCte(8)},
+         |tkd AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |dt AS (SELECT id, u.pos AS pos, u.w AS w
+         |  FROM (SELECT id, unnest(list_transform(
+         |      generate_series(1, len(toks)),
+         |      j -> {'pos': j, 'w': toks[j]})) AS u FROM tkd)),
+         |jn AS (SELECT dt.id, dt.pos, w8.syms
+         |  FROM dt JOIN w8 ON dt.w = w8.word)
+         |SELECT id, n_words, n_subwords,
+         |  array_to_string(toklists, ' ') AS bpe_str
+         |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+         |    flatten(list(syms ORDER BY pos)) AS toklists
+         |  FROM jn GROUP BY id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // vocabulary-mapped token ids: same deterministic top-20 vocab
     // (cnt DESC, token ASC), OOV -> 0, order preserved; DuckDB maps

@@ -628,6 +628,91 @@ object ScaleSmoke {
       f"~$distinctSeeds seeds, one bucket-4 histogram row in $tCard%.1f s " +
       f"(${nDocs / tCard}%.0f docs/s), " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- rank buckets at 1M docs with 1000-wide tie groups: score =
+    // id % 1000, so every score value ties nDocs/1000 rows and several
+    // bucket boundaries land INSIDE a tie run — the closed-form rank is
+    // (id%1000)·(nDocs/1000) + id/1000 + 1, so the expected bucket
+    // ceil(rank·4/n) is computable per row and the whole 1M-row
+    // assignment must match it exactly (and quarter the corpus).
+    if (nDocs % 4000 == 0) {
+      val t26 = System.nanoTime()
+      val rb = graft.operators.DataSelection.rankBuckets(
+        docs.select(col("id"), (col("id") % 1000).cast("double").as("score")),
+        "id", "score", nBuckets = 4)
+      val perGroup = lit(nDocs.toLong / 1000L)
+      val rank = (col("id") % 1000L) * perGroup +
+        floor(col("id") / 1000L) + lit(1L)
+      val expected = floor((rank * 4L + nDocs.toLong - 1L) / nDocs.toLong)
+        .cast("int")
+      val rbAgg = rb.agg(count(lit(1)),
+        sum(when(col("bucket") =!= expected, 1L).otherwise(0L)),
+        countDistinct(col("bucket"))).collect()(0)
+      val tRb = (System.nanoTime() - t26) / 1e9
+      require(rbAgg.getLong(0) == nDocs, s"rankBuckets rows ${rbAgg.getLong(0)}")
+      require(rbAgg.getLong(1) == 0L,
+        s"${rbAgg.getLong(1)} rows off the closed-form bucket")
+      require(rbAgg.getLong(2) == 4L, s"buckets ${rbAgg.getLong(2)}")
+      println(f"rankBuckets: $nDocs docs, 4 exact quarter buckets through " +
+        f"1000-wide ties in $tRb%.1f s (${nDocs / tRb}%.0f docs/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- NB quality classifier at 1M docs: positive = the 100k k=0
+    // bases, negative = the 700k k∈1..7 uniques; k=8/9 (trained on
+    // NEITHER class) carry base tokens. Planted truth: base tokens sit
+    // only in the positive counts (r > 1), negative tokens only in the
+    // negative counts (r = denomN/(2·denomP) < 1 since nNeg/nPos = 7),
+    // so the verdict is exactly k ∈ {0,8,9} — 3·n/10 docs — and the
+    // k=8 exact copies score bit-identically to their base.
+    val t27 = System.nanoTime()
+    val nb = graft.operators.QualityClassifier.nbQualityScores(
+      docs, docs.filter(col("id") % 10 === 0),
+      docs.filter(col("id") % 10 >= 1 && col("id") % 10 <= 7),
+      "id", "text").cache()
+    val nbAgg = nb.agg(count(lit(1)),
+      sum(when(col("is_positive"), 1L).otherwise(0L)),
+      sum(when(col("is_positive") =!= (col("id") % 10 === 0 ||
+        col("id") % 10 >= 8), 1L).otherwise(0L))).collect()(0)
+    val tNb = (System.nanoTime() - t27) / 1e9
+    require(nbAgg.getLong(0) == nDocs, s"nb rows ${nbAgg.getLong(0)}")
+    require(nbAgg.getLong(2) == 0L,
+      s"${nbAgg.getLong(2)} verdicts off the planted classes")
+    require(nbAgg.getLong(1) == 3L * nDocs / 10, s"flagged ${nbAgg.getLong(1)}")
+    val nbCopyMismatch = nb.filter(col("id") % 10 === 0)
+      .filter(col("id") < 10000)
+      .select((col("id") + 8).as("id"), col("sum_ratio").as("base_sum"))
+      .join(nb, Seq("id"))
+      .filter(col("sum_ratio") =!= col("base_sum")).count()
+    require(nbCopyMismatch == 0,
+      s"$nbCopyMismatch exact copies scored differently")
+    nb.unpersist()
+    println(f"nbQuality: $nDocs docs vs 100k/700k classes, verdict exactly " +
+      f"the planted 3/10 split, 1000 copy-pairs bit-equal, in $tNb%.1f s " +
+      f"(${nDocs / tNb}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- semantic decontamination at 1M vectors x 100-vector bench
+    // (the brute-force broadcast scan: 100M scored pairs). Planted
+    // truth at τ=0.8: the 100 bench members themselves (cos 1) and
+    // their 100 k=9 partners (dim-0 shift 0.05, cos ≈ 1) — random
+    // 64-dim cosines sit ~6σ below the threshold, so the flagged set
+    // is EXACTLY those 200 and every argmax is the group base.
+    val t28 = System.nanoTime()
+    val scFlag = graft.operators.Similarity.semanticContamination(
+      vecs, queries.select(col("id"), col("v")), "id", "v", threshold = 0.8)
+      .filter(col("contaminated"))
+    val scAgg = scFlag.agg(count(lit(1)),
+      sum(when(col("bench_id") =!= col("id") - (col("id") % 10), 1L)
+        .otherwise(0L))).collect()(0)
+    val tSc = (System.nanoTime() - t28) / 1e9
+    require(scAgg.getLong(0) == 200L, s"flagged ${scAgg.getLong(0)} of 200")
+    require(scAgg.getLong(1) == 0L,
+      s"${scAgg.getLong(1)} flagged docs with a non-base argmax")
+    println(f"semanticContamination: $nVec vecs x 100 bench = " +
+      f"${nVec / 10000}%dM pairs, exactly 200 planted flags, argmax all " +
+      f"group bases, in $tSc%.1f s (${nVec / tSc}%.0f vecs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }

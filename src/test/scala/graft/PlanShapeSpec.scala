@@ -197,6 +197,55 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mgExchanges == 1, s"expected one keyed shuffle, got $mgExchanges:\n$mgPlan")
   }
 
+  test("quality/bucket/decontam operators: no text keys, no global sort, bench broadcasts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // nbQualityScores: no cartesian; no raw-text/token shuffle keys —
+    // the class-count joins ride md5-60 hashes, the regroup the doc id
+    val nb = graft.operators.QualityClassifier.nbQualityScores(docs,
+      docs.filter(col("doc_id") % 7 === 0),
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+    nb.collect()
+    val nbPlan = nb.queryExecution.executedPlan.toString
+    assert(!nbPlan.contains("CartesianProduct"), nbPlan)
+    val nbKeys = nbPlan.linesIterator
+      .filter(_.contains("hashpartitioning("))
+      .flatMap(l => "([A-Za-z_][A-Za-z0-9_]*)#".r
+        .findAllMatchIn(l.substring(l.indexOf("hashpartitioning(")))
+        .map(_.group(1))).toSet
+    assert(nbKeys.intersect(Set("text", "t", "col")).isEmpty,
+      s"raw text rides an NB shuffle key: $nbKeys\n$nbPlan")
+
+    // rankBuckets: assignment is narrow — no rangepartitioning (global
+    // sort) and no corpus-wide window; the only shuffles are the stats/
+    // histogram/boundary aggregations
+    val rb = graft.operators.DataSelection.rankBuckets(
+      docs.select(col("doc_id").as("id"),
+        (col("doc_id") % 97).cast("double").as("score")),
+      "id", "score", nBuckets = 3, histBins = 64)
+    rb.collect()
+    val rbPlan = rb.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!rbPlan.contains("rangepartitioning"),
+      s"global sort in the rank-bucket plan:\n$rbPlan")
+    assert(!rbPlan.contains("Window"),
+      s"corpus-wide window in the rank-bucket plan:\n$rbPlan")
+
+    // semanticContamination: bench side broadcasts (nested-loop scan),
+    // never a cartesian; the corpus is not range/sort-shuffled
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sc = graft.operators.Similarity.semanticContamination(
+      emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", threshold = 0.2)
+    sc.collect()
+    val scPlan = sc.queryExecution.executedPlan.toString
+    assert(scPlan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested-loop scoring:\n$scPlan")
+    assert(!scPlan.contains("CartesianProduct"), scPlan)
+    assert(!scPlan.contains("rangepartitioning"), scPlan)
+  }
+
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
     val q = SparkEntry.queries("q1_agg")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
