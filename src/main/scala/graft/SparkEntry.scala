@@ -363,6 +363,28 @@ object SparkEntry {
             .as("text")),
         "doc_id", "text", minCount = 3)),
 
+    // C4 line-level cleaning: synthesized lines exercise every rule —
+    // the doc body + tail survive, short/unpunctuated/javascript lines
+    // drop, lorem/brace overlays fail the doc, and only even ids reach
+    // the 3-kept-lines floor
+    "q_c4_clean" -> ((s, dir) =>
+      CorpusAnalysis.c4Clean(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            concat(col("text"), lit(".")),
+            lit("Too short line."),
+            lit("this line has no terminal punctuation at all"),
+            lit("Please enable javascript to view this content."),
+            when(col("doc_id") % 2 === 0,
+              lit("Another good sentence with enough words here.")),
+            when(col("doc_id") % 7 === 0,
+              lit("lorem ipsum dolor sit amet our training set regrets.")),
+            when(col("doc_id") % 11 === 0,
+              lit("this line smuggles a { brace into the document.")),
+            concat(lit("unique tail line "), col("doc_id").cast("string"),
+              lit(" keeps this document alive."))).as("text")),
+        "doc_id", "text")),
+
     // temperature-weighted mixture: rates derived from per-source
     // counts (alpha = 1/2 smoothing, half the corpus as target)
     "q_temperature_sample" -> ((s, dir) =>
@@ -2377,6 +2399,46 @@ object SparkEntry {
         |SELECT s.doc_id, coalesce(agg.text, '') AS text
         |FROM src s LEFT JOIN agg USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // C4 cleaning: the same synthesized lines; line retention via
+    // list_filter with the identical trim/ends_with/whitespace-token
+    // rules (both engines trim spaces only; token counts share the
+    // $Toks derivation), doc verdicts over the ORIGINAL text
+    "q_c4_clean" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, concat_ws(chr(10),
+         |    text || '.',
+         |    'Too short line.',
+         |    'this line has no terminal punctuation at all',
+         |    'Please enable javascript to view this content.',
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN 'Another good sentence with enough words here.' END,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN 'lorem ipsum dolor sit amet our training set regrets.' END,
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN 'this line smuggles a { brace into the document.' END,
+         |    'unique tail line ' || CAST(doc_id AS VARCHAR) ||
+         |      ' keeps this document alive.') AS text
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, text,
+         |    string_split(coalesce(text, ''), chr(10)) AS ls,
+         |    list_filter(string_split(coalesce(text, ''), chr(10)), l ->
+         |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!') OR
+         |       ends_with(trim(l), '?') OR ends_with(trim(l), '"')) AND
+         |      len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+         |        x -> len(x) > 0)) >= 5 AND
+         |      NOT contains(lower(trim(l)), 'javascript')) AS kept
+         |  FROM src)
+         |SELECT doc_id AS id, array_to_string(kept, chr(10)) AS text,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |  contains(text, '{') AS has_brace,
+         |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+         |    AND NOT contains(text, '{')) AS pass
+         |FROM k
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Temperature mixture: the rate derivation (per-source counts →
     // alpha-smoothed weights → capped keep rates) replicated in SQL

@@ -234,6 +234,59 @@ object CorpusAnalysis {
         col("stopword_hits") >= minStopwordHits)
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer" §2.2) — the heuristic scrub applied to each page
+    * BEFORE corpus-wide dedup. Per line (split on `\n`), RETAIN iff,
+    * after space-trim, it
+    *   - ends in a terminal punctuation mark (`.`, `!`, `?`, or a
+    *     closing `"` — the paper's list),
+    *   - has at least `minWordsPerLine` whitespace words, and
+    *   - does not contain the word "javascript" (case-insensitive).
+    * Per doc, `pass` iff at least `minLinesKept` lines survive (the
+    * paper drops pages with fewer than 3 sentences; every retained
+    * line ends in terminal punctuation, so retained lines are the
+    * deterministic sentence surrogate) and the ORIGINAL text contains
+    * neither "lorem ipsum" (case-insensitive) nor a curly brace. The
+    * paper's dirty-word list and its dedup step are separate concerns
+    * ([[removeRepeatedLines]], [[Dedup]]).
+    *
+    * Returns one row per input doc — (id, cleaned text, n_lines,
+    * n_lines_kept, has_lorem, has_brace, pass) — the same
+    * report-then-filter contract as [[gopherRules]]: the caller
+    * filters on `pass` and takes `text` (retained lines joined with
+    * `\n`, original order). Null text cleans to the empty string.
+    *
+    * Pure codegen'd string/array expressions over each row — a narrow
+    * map: no shuffle, no UDF, nothing corpus-wide, so the pass scales
+    * with the scan. Every signal is a count or boolean — bit-exact in
+    * an external engine (the q_c4_clean oracle).
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5, minLinesKept: Int = 3): DataFrame = {
+    require(minWordsPerLine >= 1,
+      s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    require(minLinesKept >= 1, s"minLinesKept must be >= 1, got $minLinesKept")
+    val text = coalesce(col(textCol), lit(""))
+    val lines = split(text, "\n", -1)
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+        t.endsWith("\"")) &&
+      size(TextFunctions.tokens(t)) >= minWordsPerLine &&
+      !lower(t).contains("javascript")
+    })
+    docs.select(col(idCol).cast("long").as("id"),
+        array_join(kept, "\n").as("text"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_lines_kept"),
+        lower(text).contains("lorem ipsum").as("has_lorem"),
+        text.contains("{").as("has_brace"))
+      .withColumn("pass",
+        col("n_lines_kept") >= minLinesKept &&
+        !col("has_lorem") && !col("has_brace"))
+  }
+
   /** The gate's verdict as a bare Column — lets a pipeline FILTER on it
     * directly (one narrow pass over the corpus) instead of joining back
     * against [[qualityGate]]'s id table, which plans as a corpus-wide
