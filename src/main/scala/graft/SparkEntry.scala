@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{CorpusAnalysis, DataSelection, Dedup, LanguageModel, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, VectorOps, WebCorpus}
+import graft.operators.{CorpusAnalysis, CorpusPrep, DataSelection, Dedup, LanguageModel, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, VectorOps, WebCorpus}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -841,6 +841,38 @@ object SparkEntry {
         "doc_id", "url",
         Seq("example3.com", "api.example7.com", "example5.net",
           "example2.org").toDF("domain"))
+    }),
+
+    // C4 bad-word page filter: single- and multi-word entries over the
+    // corpus vocabulary ("slow join" appears as adjacent tokens), one
+    // never-matching entry, entry-side case folding
+    "q_badwords" -> ((s, dir) =>
+      CorpusPrep.badWordsReport(t(s, dir, "documents"), "doc_id", "text",
+        Seq("dup", "Slow Join", "batch batch", "zz_never_matches"))),
+
+    // word2vec phrase detection: exact-count bigram scores with the
+    // paper's discount, deterministic top-50
+    "q_phrases" -> ((s, dir) =>
+      CorpusPrep.phraseScores(t(s, dir, "documents"), "text",
+        minCount = 5, delta = 5, topK = 50)),
+
+    // deterministic 80/10/10 split assignment on the doc-id hash
+    "q_split" -> ((s, dir) =>
+      CorpusPrep.splitAssign(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "seed1")),
+
+    // hard-negative mining, integer-exact: top-5 different-label
+    // neighbors per query under quantized vectors — ranks and sims
+    // replicate bit-for-bit
+    "q_hard_neg_int" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"),
+        col("label"))
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", 5)
     }),
 
     // int8 embedding quantization, digested to scalars (sum/min/max/
@@ -2841,6 +2873,91 @@ object SparkEntry {
          |       OR ends_with(d.domain, '.' || bl.s)) AS blocked
          |FROM d
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Bad-word filter: lowercased tokens; 1-word entries intersect the
+    // distinct token list, 2-word entries intersect the adjacent-bigram
+    // strings — counts of DISTINCT entries matched, then the verdict
+    "q_badwords" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    list_transform($Toks, x -> lower(x)) AS w
+         |  FROM documents),
+         |h AS (
+         |  SELECT id,
+         |    CAST(len(list_intersect(list_distinct(w),
+         |      ['dup'])) AS BIGINT) +
+         |    CAST(len(list_intersect(list_distinct(
+         |      CASE WHEN len(w) >= 2 THEN
+         |        list_transform(generate_series(1, len(w) - 1),
+         |          i -> w[i] || ' ' || w[i + 1])
+         |      ELSE CAST([] AS VARCHAR[]) END),
+         |      ['slow join', 'batch batch'])) AS BIGINT) AS bad_hits
+         |  FROM t)
+         |SELECT id, bad_hits, bad_hits = 0 AS pass FROM h
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Phrase scores: exact unigram/bigram counts, the same
+    // fixed-order ((c_ab - delta) * N) / (c_a * c_b) double math,
+    // total-ordered top-50
+    "q_phrases" ->
+      s"""WITH w AS (SELECT $Toks AS t FROM documents),
+         |uni AS (
+         |  SELECT u.x AS w, CAST(count(*) AS BIGINT) AS c
+         |  FROM w, unnest(t) AS u(x) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         |bi AS (
+         |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+         |    FROM w WHERE len(t) >= 2) s
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, bb.c AS c_b,
+         |  ((CAST(b.c_ab AS DOUBLE) - 5e0) * CAST(tot.n AS DOUBLE)) /
+         |    (CAST(a.c AS DOUBLE) * CAST(bb.c AS DOUBLE)) AS score
+         |FROM bi b
+         |JOIN uni a ON a.w = b.w1
+         |JOIN uni bb ON bb.w = b.w2, tot
+         |ORDER BY score DESC, b.w1, b.w2 LIMIT 50""".stripMargin,
+
+    // Split assignment: same md5-60 hash, same exact-Long cumulative
+    // thresholds (including the 0.8 + 0.1 double summation order)
+    "q_split" ->
+      s"""SELECT doc_id, source,
+         |  CASE
+         |    WHEN ${H60("'seed1:' || CAST(doc_id AS VARCHAR)")} <
+         |      ${CorpusAnalysis.rateThreshold(0.8)} THEN 'train'
+         |    WHEN ${H60("'seed1:' || CAST(doc_id AS VARCHAR)")} <
+         |      ${CorpusAnalysis.rateThreshold(0.8 + 0.1)} THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Hard negatives: the q_knn_exact_int scorer with the null-safe
+    // different-label exclusion in the pair filter
+    "q_hard_neg_int" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.v,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |    AND q.label IS DISTINCT FROM c.label)
+        |SELECT * FROM (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+        |      AS INTEGER) AS rank,
+        |    neighbor_id, sim
+        |  FROM s) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Int8 quantization digest: same double-precision scale and
     // half-away-from-zero rounding, integer sums cast back to BIGINT

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators that sit beside [[CorpusAnalysis]]:
+  * the C4 bad-word page filter, word2vec-style phrase detection, and
+  * deterministic train/validation/test split assignment. All three are
+  * report-then-filter or pure-projection shapes over exact integer /
+  * fixed-order-IEEE arithmetic, so every output replicates bit-exactly
+  * in an external SQL engine. Reference: N/A (beyond the reference's
+  * surface — LLM-pipeline brief).
+  */
+object CorpusPrep {
+
+  /** C4's bad-word page filter (Raffel et al. 2020 §2.2: "removed any
+    * page that contained any word on the 'List of Dirty, Naughty,
+    * Obscene or Otherwise Bad Words'") — the companion of
+    * [[CorpusAnalysis.c4Clean]], which handles the paper's line-level
+    * heuristics and defers this list to its own operator.
+    *
+    * An entry matches iff the doc's lowercased whitespace tokens
+    * contain the entry's lowercased tokens CONTIGUOUSLY (multi-word
+    * entries are phrase matches, single-word entries are exact token
+    * matches — substring hits like "grass"/"ass" do NOT match, the
+    * standard word-boundary semantics). Returns one row per doc:
+    * (id, bad_hits, pass) with `bad_hits` the number of DISTINCT
+    * entries matched and `pass` true iff none matched. The caller
+    * filters on `pass` — same contract as
+    * [[CorpusAnalysis.gopherRules]].
+    *
+    * Scale shape: the list is a per-task constant (real lists are
+    * 10^2–10^4 entries), the scan is one narrow codegen'd pass — per
+    * entry length k the doc's k-grams meet the k-word entries in an
+    * `array_intersect` (hash-set build over the SMALLER literal array,
+    * linear probe over the doc's grams). No shuffle, no UDF, nothing
+    * corpus-sized leaves the map side.
+    */
+  def badWordsReport(docs: DataFrame, idCol: String, textCol: String,
+      badWords: Seq[String]): DataFrame = {
+    val entries = badWords.map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).distinct
+    require(entries.nonEmpty, "badWordsReport: empty bad-word list")
+    val byLen: Seq[(Int, Seq[String])] = entries
+      .map(e => e.split("\\s+").length -> e)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val toks = transform(
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+      t => lower(t))
+    val hits = byLen.map { case (k, es) =>
+      val lits = array(es.map(lit): _*)
+      val grams =
+        if (k == 1) toks
+        else when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => array_join(slice(toks, i, lit(k)), " ")))
+          .otherwise(array().cast("array<string>"))
+      size(array_intersect(array_distinct(grams), lits)).cast("long")
+    }.reduce(_ + _)
+    docs.select(col(idCol).as("id"), hits.as("bad_hits"))
+      .withColumn("pass", col("bad_hits") === 0L)
+  }
+
+  /** word2vec phrase detection (Mikolov et al. 2013, "Distributed
+    * Representations of Words and Phrases" §4): score every adjacent
+    * token bigram by
+    *
+    *   score = ((c_ab − δ) · N) / (c_a · c_b)
+    *
+    * where c_ab is the bigram count, c_a/c_b the unigram counts, N the
+    * corpus token total, and δ the discount that kills rare-word
+    * flukes. High-scoring bigrams ("new york") become single vocab
+    * units — the standard pre-tokenization pass for vocabulary / data
+    * analysis. Tokens are the raw whitespace tokens (the paper does
+    * not case-fold; compose with a normalizer upstream if wanted).
+    *
+    * Returns the `topK` rows by (score DESC, w1, w2):
+    * (w1, w2, c_ab, c_a, c_b, score), bigrams with c_ab < minCount
+    * dropped. The score is three exact BIGINT counts cast to double
+    * and combined with a FIXED operation order — (c_ab − δ) times N,
+    * divided by (c_a · c_b) — every step correctly-rounded IEEE, so
+    * the row replicates bit-exactly cross-engine at any magnitude.
+    *
+    * Scale shape: one unigram count and one bigram count — both
+    * map-side-combined aggregations whose shuffles carry VOCAB-sized
+    * key sets, not corpus-sized; the corpus text itself never rides a
+    * shuffle (tokens explode map-side into the partial aggregates).
+    * The unigram table joins the bigram table twice on token keys
+    * (AQE broadcasts it when small); the final top-K is a bounded
+    * TakeOrderedAndProject, never a global sort of the vocab.
+    */
+  def phraseScores(docs: DataFrame, textCol: String, minCount: Int = 5,
+      delta: Int = 5, topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(delta >= 0, s"delta must be >= 0, got $delta")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // one bounded driver read: the token total that scales the score
+    val n = uni.agg(coalesce(sum(col("c")), lit(0L)))
+      .collect()(0).getLong(0)
+    val bi = docs
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        (((col("c_ab").cast("double") - lit(delta.toDouble)) *
+          lit(n.toDouble)) /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+          .as("score"))
+      .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** Deterministic train/validation/test split assignment: adds a
+    * `split` column mapping each row to the named fraction by its
+    * [[TextFunctions.md5Hash60]] of (salt:id) — a pure function of
+    * (id, salt), stable across runs, partitionings, engines, and
+    * corpus growth (a doc's split never changes when other docs are
+    * added — THE property random splits lack, and why eval
+    * contamination audits demand hash splits). Fractions must sum to
+    * 1 (±1e-9); bucket edges are the exact-Long thresholds of
+    * [[CorpusAnalysis.rateThreshold]] applied to the cumulative sums
+    * in the GIVEN order, with the last split taking the remainder, so
+    * no row is ever unassigned. A narrow per-row CASE — no shuffle,
+    * survives pushdown.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splitAssign: empty split list")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"splitAssign: duplicate split names in ${splits.map(_._1)}")
+    splits.foreach { case (name, f) =>
+      require(f > 0.0 && f <= 1.0, s"splitAssign: fraction for '$name' " +
+        s"must be in (0, 1], got $f")
+    }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) <= 1e-9,
+      s"splitAssign: fractions must sum to 1, got $total")
+    val h = TextFunctions.md5Hash60(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.init.zip(cum)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cumF), rest) =>
+          when(h < CorpusAnalysis.rateThreshold(cumF), name).otherwise(rest)
+      }
+    df.withColumn("split", assigned)
+  }
+}

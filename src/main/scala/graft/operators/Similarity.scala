@@ -66,6 +66,37 @@ object Similarity {
     TopK.topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * the top-k most-similar corpus items with a DIFFERENT `labelCol`
+    * value — the near-misses that make the strongest contrastive
+    * negatives (the standard in-batch-negatives upgrade; e.g. the DPR
+    * recipe, Karpukhin et al. 2020 §3.2, mines them exactly this way
+    * from a retrieval pass). Same exhaustive-scan shape as
+    * [[bruteForceTopK]] — queries broadcast, corpus never shuffles,
+    * bounded per-query top-k — with the label exclusion folded into
+    * the join condition so excluded pairs are never scored. Labels
+    * compare null-safely (`<=>`): a null-labeled item is a negative to
+    * every LABELED item, and two null-labeled items count as
+    * same-label (both unknown — not a trustworthy negative pair).
+    * Returns (query_id, rank, neighbor_id, sim); ties break on
+    * neighbor id — fully deterministic, and bit-exact in the
+    * q_hard_neg_int oracle under integer-quantized vectors.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.expressions.VectorHashExprs.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("cl"))
+    val scored = q.join(c,
+        col("query_id") =!= col("neighbor_id") &&
+          !(col("ql") <=> col("cl")))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    TopK.topKPerQuery(scored, k)
+  }
+
   /** Embedding-level benchmark decontamination: flag every corpus doc
     * whose embedding is within cosine `threshold` of ANY benchmark
     * item — the semantic complement of the n-gram overlap check
