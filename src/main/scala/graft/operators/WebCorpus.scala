@@ -79,8 +79,9 @@ object WebCorpus {
     require(maxLabels >= 2, s"maxLabels must be >= 2, got $maxLabels")
     val base = docs.select(col(idCol).cast("long").as("id"),
       coalesce(UrlFunctions.domain(col(urlCol)), lit("")).as("domain"))
+    // no distinct: the left-semi probe ignores right-side duplicates,
+    // so deduping the list would only buy an extra shuffle
     val bl = blocklist.select(col(domainCol).cast("string").as("__suffix"))
-      .distinct()
     // the exact domain always participates, even past maxLabels labels
     val cands = array_distinct(concat(
       domainSuffixes(col("domain"), maxLabels),

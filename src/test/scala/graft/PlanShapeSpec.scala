@@ -197,6 +197,72 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mgExchanges == 1, s"expected one keyed shuffle, got $mgExchanges:\n$mgPlan")
   }
 
+  test("corpus-prep / web-corpus operators: narrow scans, broadcasts, bounded top-k") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // badWordsReport: the list is a literal — one narrow codegen'd
+    // pass, zero exchanges
+    val bw = graft.operators.CorpusPrep.badWordsReport(docs, "doc_id",
+      "text", Seq("dup", "slow join"))
+    bw.collect()
+    val bwPlan = bw.queryExecution.executedPlan.toString
+    assert(!bwPlan.contains("Exchange"),
+      s"badWordsReport should be shuffle-free:\n$bwPlan")
+
+    // splitAssign: a per-row CASE — zero exchanges
+    val sp = graft.operators.CorpusPrep.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    sp.collect()
+    val spPlan = sp.queryExecution.executedPlan.toString
+    assert(!spPlan.contains("Exchange"),
+      s"splitAssign should be shuffle-free:\n$spPlan")
+
+    // phraseScores: vocab-keyed partial aggregations; the final top-K
+    // must be a bounded TakeOrdered, never a global sort
+    val ph = graft.operators.CorpusPrep.phraseScores(docs, "text",
+      minCount = 2, delta = 1, topK = 10)
+    ph.collect()
+    val phPlan = ph.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(phPlan.contains("TakeOrderedAndProject"),
+      s"phrase top-K should be TakeOrderedAndProject:\n$phPlan")
+    assert(!phPlan.contains("rangepartitioning"),
+      s"global sort in the phrase plan:\n$phPlan")
+
+    // hardNegatives: queries broadcast over the corpus scan, bounded
+    // top-k — never a cartesian
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val hn = graft.operators.Similarity.hardNegatives(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", "label", 3)
+    hn.collect()
+    val hnPlan = hn.queryExecution.executedPlan.toString
+    assert(hnPlan.contains("BroadcastNestedLoopJoin"), hnPlan)
+    assert(!hnPlan.contains("CartesianProduct"), hnPlan)
+
+    // blocklistVerdicts: the blocklist and the hit set broadcast; no
+    // shuffle ever keys on the suffix strings (the only keyed shuffle
+    // allowed is the 8-byte doc-id distinct)
+    import spark.implicits._
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://example"), (col("doc_id") % 50).cast("string"),
+        lit(".com/x")).as("url"))
+    val bl = graft.operators.WebCorpus.blocklistVerdicts(urls, "doc_id",
+      "url", Seq("example3.com", "example7.com").toDF("domain"))
+    bl.collect()
+    val blPlan = bl.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(blPlan.contains("BroadcastHashJoin"), blPlan)
+    val blKeys = blPlan.linesIterator
+      .filter(_.contains("hashpartitioning("))
+      .flatMap(l => "([A-Za-z_][A-Za-z0-9_]*)#".r
+        .findAllMatchIn(l.substring(l.indexOf("hashpartitioning(")))
+        .map(_.group(1))).toSet
+    assert(!blKeys.contains("__suffix") && !blKeys.contains("url") &&
+      !blKeys.contains("domain"),
+      s"suffix/url strings ride a shuffle key: $blKeys\n$blPlan")
+  }
+
   test("quality/bucket/decontam operators: no text keys, no global sort, bench broadcasts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
