@@ -96,4 +96,45 @@ object WebCorpus {
       .select(col("id"), col("domain"),
         coalesce(col("blocked"), lit(false)).as("blocked"))
   }
+
+  /** Blocklist DERIVATION from content signals — how production URL
+    * blocklists are actually built (RefinedWeb §3.1 scores domains from
+    * word-list hits before any model sees the text): per domain, the
+    * fraction of docs matching the bad-word list
+    * ([[CorpusPrep.badWordsReport]] semantics), with the block verdict
+    *
+    *   blocked ⇔ n_docs ≥ minDocs ∧ flagged_frac > maxBadFrac
+    *
+    * (small domains are never auto-blocked — one flagged doc on a
+    * 2-doc domain is noise, on a 1000-doc domain it's a signal).
+    * Returns (domain, n_docs, n_flagged, flagged_frac, blocked); feed
+    * the blocked rows to [[blocklistVerdicts]] as the list. Docs with
+    * unparseable URLs aggregate under "" like [[domainReport]].
+    *
+    * Scale shape: the bad-word scan is the narrow zero-shuffle pass,
+    * then ONE domain-keyed aggregation (map-side partial; the shuffle
+    * carries distinct domains). `flagged_frac` is a single division of
+    * exact counts — the whole row, verdict included, replicates
+    * bit-exactly in the q_auto_blocklist oracle.
+    */
+  def autoBlocklist(docs: DataFrame, urlCol: String, textCol: String,
+      badWords: Seq[String], minDocs: Long = 10L,
+      maxBadFrac: Double = 0.1): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    require(maxBadFrac >= 0.0 && maxBadFrac < 1.0,
+      s"maxBadFrac must be in [0, 1), got $maxBadFrac")
+    val flagged = CorpusPrep.badWordsReport(
+      docs.select(
+        coalesce(UrlFunctions.domain(col(urlCol)), lit("")).as("__dom"),
+        col(textCol)),
+      "__dom", textCol, badWords)
+    flagged
+      .groupBy(col("id").as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 0L).otherwise(1L)).as("n_flagged"))
+      .withColumn("flagged_frac",
+        col("n_flagged").cast("double") / col("n_docs").cast("double"))
+      .withColumn("blocked",
+        col("n_docs") >= minDocs && col("flagged_frac") > maxBadFrac)
+  }
 }

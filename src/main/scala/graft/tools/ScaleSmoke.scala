@@ -713,6 +713,115 @@ object ScaleSmoke {
       f"${nVec / 10000}%dM pairs, exactly 200 planted flags, argmax all " +
       f"group bases, in $tSc%.1f s (${nVec / tSc}%.0f vecs/s), " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- bad-word filter at 1M docs: the list is group 0's token 0
+    // (present in docs 0, +8, +9) plus group 10's adjacent "tok0 tok1"
+    // phrase (docs 10, 18, 19) — exactly 6 planted flags. 8-hex-char
+    // md5 prefixes can collide across 30M tokens (p ≈ 0.04 per entry),
+    // so the planted ids must ALL flag and the total gets tiny slack.
+    def tok8(seed: Long, j: Int): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8"))
+      d.take(4).map(b => f"$b%02x").mkString
+    }
+    val t30 = System.nanoTime()
+    val bwFlag = graft.operators.CorpusPrep.badWordsReport(docs, "id",
+      "text", Seq(tok8(0L, 0), s"${tok8(10L, 0)} ${tok8(10L, 1)}"))
+      .filter(!col("pass"))
+    val bwAgg = bwFlag.agg(count(lit(1)),
+      sum(when(col("id").isin(0L, 8L, 9L, 10L, 18L, 19L), 1L)
+        .otherwise(0L))).collect()(0)
+    val tBw = (System.nanoTime() - t30) / 1e9
+    require(bwAgg.getLong(1) == 6L,
+      s"only ${bwAgg.getLong(1)} of the 6 planted docs flagged")
+    require(bwAgg.getLong(0) <= 8L,
+      s"${bwAgg.getLong(0)} docs flagged — expected ~6 (+collision slack)")
+    println(f"badWords: $nDocs docs, ${bwAgg.getLong(0)} flagged " +
+      f"(6 planted) in $tBw%.1f s (${nDocs / tBw}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- split assignment at 1M docs: exhaustive (every row lands in
+    // exactly one split), binomially tight around 80/10/10, and
+    // growth-stable (the first 1000 ids assign identically when run
+    // over the subset alone — THE property that keeps eval sets frozen
+    // as the corpus grows).
+    val t31 = System.nanoTime()
+    val spl = graft.operators.CorpusPrep.splitAssign(docs.select(col("id")),
+      "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sm")
+    val splCounts = spl.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tSpl = (System.nanoTime() - t31) / 1e9
+    require(splCounts.values.sum == nDocs, s"split counts $splCounts")
+    // 6.5 sigma at 1M rows (sigma = sqrt(n p q) ~ 400 / 300)
+    require(math.abs(splCounts("train") - nDocs * 8L / 10) <= nDocs / 380,
+      s"train ${splCounts("train")}")
+    require(math.abs(splCounts("val") - nDocs / 10) <= nDocs / 500 &&
+      math.abs(splCounts("test") - nDocs / 10) <= nDocs / 500,
+      s"val/test $splCounts")
+    val splSub = graft.operators.CorpusPrep.splitAssign(
+      docs.select(col("id")).filter(col("id") < 1000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sm")
+    require(splSub.except(spl.filter(col("id") < 1000)).count() == 0,
+      "subset assignment drifted from full-corpus assignment")
+    println(f"splitAssign: $nDocs docs -> $splCounts in $tSpl%.1f s " +
+      f"(${nDocs / tSpl}%.0f docs/s), subset-stable, " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- phrase detection at 1M docs (29M bigram instances, ~24M
+    // distinct bigrams): each group's base/copy/near-dup trio repeats
+    // its 28 leading bigrams exactly 3 times with unigram counts 3, so
+    // every top row scores ((3-delta)*N)/(3*3) with N = 30M — the
+    // planted maximum (bigram-level md5-prefix collisions need BOTH
+    // 8-hex tokens to collide, p ~ 1e-7).
+    val t32 = System.nanoTime()
+    val phTop = graft.operators.CorpusPrep.phraseScores(docs, "text",
+      minCount = 3, delta = 1, topK = 100).collect()
+    val tPh = (System.nanoTime() - t32) / 1e9
+    val phExpect = ((3.0 - 1.0) * (30.0 * nDocs)) / (3.0 * 3.0)
+    require(phTop.length == 100, s"phrases rows ${phTop.length}")
+    val phBad = phTop.count(r =>
+      r.getLong(2) != 3L || r.getDouble(5) != phExpect)
+    require(phBad == 0,
+      s"$phBad of 100 top phrases off the planted (c_ab=3, $phExpect)")
+    println(f"phraseScores: $nDocs docs, ${29L * nDocs} bigram instances, " +
+      f"top-100 all at the planted score in $tPh%.1f s " +
+      f"(${nDocs / tPh}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- web-corpus triage at 1M docs: urls put id mod 1000 in the
+    // domain, with multiples of 5 behind an api. subdomain — id%1000==b
+    // forces id%5==b%5, so each b yields exactly ONE domain row
+    // (api.exampleB for b%5==0, bare exampleB otherwise) of exactly
+    // 1000 docs x 30 tokens. Blocklist entries example0..9.com block
+    // ids with id%1000 < 10 — subdomain docs via the suffix rule —
+    // exactly 10k verdicts.
+    val urls = docs.select(col("id"),
+      concat(lit("https://"),
+        when(col("id") % 5 === 0, lit("api.")).otherwise(lit("")),
+        lit("example"), (col("id") % 1000).cast("string"),
+        lit(".com/p/"), col("id").cast("string")).as("url"),
+      col("text"))
+    val t33 = System.nanoTime()
+    val dr = graft.operators.WebCorpus.domainReport(urls, "url", "text")
+    val drAgg = dr.agg(count(lit(1)),
+      sum(when(col("n_docs") === 1000L &&
+        col("n_tokens") === 30000L * (nDocs / 1000000L) &&
+        col("n_empty") === 0L, 1L).otherwise(0L))).collect()(0)
+    val tDr = (System.nanoTime() - t33) / 1e9
+    require(nDocs != 1000000 ||
+      (drAgg.getLong(0) == 1000L && drAgg.getLong(1) == 1000L),
+      s"domainReport ${drAgg.getLong(0)} rows, ${drAgg.getLong(1)} exact")
+    val t34 = System.nanoTime()
+    import spark.implicits._
+    val blocked = graft.operators.WebCorpus.blocklistVerdicts(urls, "id",
+      "url", (0 until 10).map(b => s"example$b.com").toDF("domain"))
+      .filter(col("blocked")).count()
+    val tBl = (System.nanoTime() - t34) / 1e9
+    require(blocked == 10L * (nDocs / 1000L), s"blocked $blocked")
+    println(f"webCorpus: $nDocs urls -> ${drAgg.getLong(0)} domains " +
+      f"(all exact) in $tDr%.1f s, $blocked blocked (exact) in " +
+      f"$tBl%.1f s (${nDocs / tBl}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }

@@ -80,4 +80,29 @@ class WebCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = WebCorpus.blocklistVerdicts(docs, "doc_id", "url", bl).collect()
     assert(out.length === 1 && out(0).getBoolean(2))
   }
+
+  test("autoBlocklist: rate + floor semantics, exact counts") {
+    import spark.implicits._
+    val docs = Seq(
+      // spam.com: 3 docs, 2 flagged (67% > 15%, >= 3 docs) -> blocked
+      ("https://spam.com/1", "buy pills now"),
+      ("https://spam.com/2", "cheap pills here"),
+      ("https://spam.com/3", "perfectly fine text"),
+      // ok.org: 3 docs, 0 flagged -> kept
+      ("https://ok.org/1", "clean a"), ("https://ok.org/2", "clean b"),
+      ("https://ok.org/3", "clean c"),
+      // tiny.net: 1 doc 100% flagged but below the 3-doc floor -> kept
+      ("https://tiny.net/1", "pills"),
+      // unparseable URL joins the '' bucket
+      ("garbage", "pills pills")
+    ).toDF("url", "text")
+    val got = WebCorpus.autoBlocklist(docs, "url", "text",
+      Seq("pills"), minDocs = 3L, maxBadFrac = 0.15)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got("spam.com") === ((3L, 2L, true)))
+    assert(got("ok.org") === ((3L, 0L, false)))
+    assert(got("tiny.net") === ((1L, 1L, false)))
+    assert(got("") === ((1L, 1L, false)))
+  }
 }
