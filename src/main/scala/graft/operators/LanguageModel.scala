@@ -119,6 +119,82 @@ object LanguageModel {
         (col("sum_score") / col("n_bigrams")).as("avg_score"))
   }
 
+  /** Moore–Lewis contrastive selection (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data"): score
+    * every doc under TWO bigram LMs — one trained on the in-domain
+    * corpus, one on the general pool — and keep the docs the in-domain
+    * model prefers. The paper's criterion is the cross-entropy
+    * difference H_in(d) − H_gen(d) (lower = more in-domain), exposed
+    * here as `ce_diff` = mean(ln p_gen − ln p_in) (same sign
+    * convention: negative = in-domain-preferred). Because `ln` is
+    * transcendental (1-ULP cross-engine drift), the oracle-facing
+    * selection signal is the RATIONAL surrogate `pref` =
+    * mean(p_in / (p_in + p_gen)) — the per-bigram binary preference,
+    * pure {+,/} over integer-exact counts, bit-exact cross-engine
+    * (oracle `q_moore_lewis`); `selected` = avg_pref > prefThreshold.
+    * Both signals are monotone in p_in/p_gen per bigram; `pref`
+    * aggregates arithmetically where `ce_diff` aggregates
+    * geometrically — document-level disagreement is possible near the
+    * boundary, which is why BOTH columns ship.
+    *
+    * Returns (id, n_bigrams, sum_pref, avg_pref, ce_diff, selected);
+    * docs with fewer than two tokens are excluded ([[bigramLmScores]]'s
+    * contract). All three frames must share the id/text column names.
+    *
+    * Scale shape: [[bigramLmScores]] ×2 — four vocabulary-sized count
+    * tables joined on 8-byte hashes (AQE broadcasts small models),
+    * then ONE per-doc position-ordered fold; two bounded scalar
+    * collects (each model's V).
+    */
+  def mooreLewisScores(docs: DataFrame, inDomain: DataFrame,
+      general: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0, prefThreshold: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    require(prefThreshold >= 0.0 && prefThreshold <= 1.0,
+      s"prefThreshold must be in [0, 1], got $prefThreshold")
+    TopK.requireIntegral(docs, idCol, "mooreLewisScores")
+    def model(target: DataFrame, sfx: String) = {
+      val big = bigramCounts(target, idCol, textCol)
+        .withColumnRenamed("cnt", s"cnt$sfx")
+      val ctx = big.groupBy(col("ctx_hash"))
+        .agg(sum(col(s"cnt$sfx")).as(s"ctx$sfx"))
+      val vocab = math.max(1L, target
+        .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+        .agg(countDistinct(col("t"))).collect()(0).getLong(0))
+      (big, ctx, vocab)
+    }
+    val (bIn, cIn, vIn) = model(inDomain, "_in")
+    val (bGen, cGen, vGen) = model(general, "_gen")
+    def p(sfx: String, alphaV: Double) =
+      (coalesce(col(s"cnt$sfx"), lit(0L)) + lit(alpha)) /
+        (coalesce(col(s"ctx$sfx"), lit(0L)) + lit(alphaV))
+    val pIn = p("_in", alpha * vIn)
+    val pGen = p("_gen", alpha * vGen)
+    bigramRows(docs, idCol, textCol)
+      .join(bIn, Seq("big_hash", "ctx_hash"), "left")
+      .join(cIn, Seq("ctx_hash"), "left")
+      .join(bGen, Seq("big_hash", "ctx_hash"), "left")
+      .join(cGen, Seq("ctx_hash"), "left")
+      .select(col("id"), col("pos"),
+        (pIn / (pIn + pGen)).as("pref"),
+        (log(pGen) - log(pIn)).as("ced"))
+      .groupBy(col("id"))
+      // one sorted list, two folds derived from it (Catalyst does not
+      // dedupe identical collect_list aggregates)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(
+          struct(col("pos"), col("pref"), col("ced")))).as("__pp"))
+      .select(col("id"), col("n_bigrams"),
+        aggregate(col("__pp"), lit(0.0), (a, x) => a + x("pref"))
+          .as("sum_pref"),
+        aggregate(col("__pp"), lit(0.0), (a, x) => a + x("ced"))
+          .as("__ced"))
+      .select(col("id"), col("n_bigrams"), col("sum_pref"),
+        (col("sum_pref") / col("n_bigrams")).as("avg_pref"),
+        (col("__ced") / col("n_bigrams")).as("ce_diff"))
+      .withColumn("selected", col("avg_pref") > lit(prefThreshold))
+  }
+
   /** Score each raw doc under a bigram LM trained on `target`:
     * p(w|c) = (c(cw) + α) / (c(c·) + α·V) with c(c·) = Σ_w c(cw) (the
     * model is self-consistent: probabilities over seen continuations

@@ -117,6 +117,33 @@ object WebCorpus {
     * exact counts — the whole row, verdict included, replicates
     * bit-exactly in the q_auto_blocklist oracle.
     */
+  /** Per-domain quota capping — the frequency-cap every crawl pipeline
+    * applies so mega-domains (forums, wikis, link farms) cannot
+    * dominate the training mix (RefinedWeb and Gopher both cap
+    * per-source contributions). Keeps a DETERMINISTIC sample of at
+    * most `cap` docs per domain: the docs whose md5-60(salt:id) hashes
+    * are the domain's smallest — a pure function of (id, salt), stable
+    * across runs, partitionings, and corpus growth order. Returns
+    * (domain, rank, id) for the kept docs; join back on id for the
+    * surviving rows. Unparseable URLs share the `""` domain bucket
+    * (capped as one group, same as [[domainReport]]).
+    *
+    * Scale shape: [[CorpusAnalysis.stratifiedSampleN]]'s bounded
+    * smallest-k aggregation keyed by domain — ONE map-side-partial
+    * shuffle carrying (domain, hash, id) triples, no window sort, no
+    * skew cliff on mega-domains (each group's state is ≤ cap rows).
+    */
+  def domainCap(docs: DataFrame, idCol: String, urlCol: String,
+      cap: Int, salt: String = "graft"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    CorpusAnalysis.stratifiedSampleN(
+      docs.select(col(idCol),
+        coalesce(UrlFunctions.domain(col(urlCol)), lit(""))
+          .as("__domain")),
+      idCol, "__domain", cap, salt)
+      .select(col("__domain").as("domain"), col("rank"), col("id"))
+  }
+
   def autoBlocklist(docs: DataFrame, urlCol: String, textCol: String,
       badWords: Seq[String], minDocs: Long = 10L,
       maxBadFrac: Double = 0.1): DataFrame = {

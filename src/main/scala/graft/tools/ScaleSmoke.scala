@@ -822,6 +822,98 @@ object ScaleSmoke {
       f"(all exact) in $tDr%.1f s, $blocked blocked (exact) in " +
       f"$tBl%.1f s (${nDocs / tBl}%.0f docs/s), " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- domain cap at 1M docs over the same 1000-domain url mix:
+    // capping at 100 keeps EXACTLY 100 per domain (every domain holds
+    // 1000 docs), ranks 1..100, via the bounded smallest-k agg.
+    val t35 = System.nanoTime()
+    val capped = graft.operators.WebCorpus.domainCap(urls, "id", "url", 100)
+    val capAgg = capped.agg(count(lit(1)),
+      sum(when(col("rank") >= 1 && col("rank") <= 100, 0L).otherwise(1L)),
+      countDistinct(col("domain"))).collect()(0)
+    val tCap = (System.nanoTime() - t35) / 1e9
+    require(nDocs != 1000000 ||
+      (capAgg.getLong(0) == 100000L && capAgg.getLong(1) == 0L &&
+        capAgg.getLong(2) == 1000L),
+      s"domainCap kept ${capAgg.getLong(0)} rows, ${capAgg.getLong(2)} domains")
+    println(f"domainCap: $nDocs docs -> ${capAgg.getLong(0)} kept " +
+      f"(100 x ${capAgg.getLong(2)} exact) in $tCap%.1f s " +
+      f"(${nDocs / tCap}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- HTML extraction at 1M docs: every page carries a heading, a
+    // pure-link nav line (DROPPED by link density), and the 30-token
+    // body — so n_lines sums to exactly 3N and n_kept to exactly 2N.
+    // 8-hex-token bodies contain no '<' or '&' by construction.
+    val pages = docs.select(col("id"),
+      concat(lit("<html><body><h1>Doc "), col("id").cast("string"),
+        lit("</h1><div class=\"nav\"><a href=\"/a\">Nav one</a> " +
+          "<a href=\"/b\">Nav two</a></div><p>"),
+        col("text"), lit("</p></body></html>")).as("html"))
+    val t36 = System.nanoTime()
+    val he = graft.operators.HtmlExtract.extractText(pages, "id", "html")
+    val heAgg = he.agg(count(lit(1)), sum(col("n_lines")),
+      sum(col("n_kept")),
+      sum(when(col("text").contains("Nav one"), 1L).otherwise(0L)))
+      .collect()(0)
+    val tHe = (System.nanoTime() - t36) / 1e9
+    require(heAgg.getLong(0) == nDocs &&
+      heAgg.getLong(1) == 3L * nDocs && heAgg.getLong(2) == 2L * nDocs &&
+      heAgg.getLong(3) == 0L,
+      s"htmlExtract ${heAgg.getLong(1)}/${heAgg.getLong(2)} lines, " +
+        s"${heAgg.getLong(3)} nav leaks")
+    println(f"htmlExtract: $nDocs pages, ${heAgg.getLong(1)} lines -> " +
+      f"${heAgg.getLong(2)} kept (nav dropped everywhere, exact) in " +
+      f"$tHe%.1f s (${nDocs / tHe}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- mojibake repair at 1M docs: ids %10==0 get two damaged
+    // sequences appended (from the operator's own damage model) — hit
+    // and changed counts are exact; hex-token bodies are ASCII-clean.
+    val dmg = " caf" + graft.operators.TextRepair.damaged("é") + " It" +
+      graft.operators.TextRepair.damaged("’") + "s"
+    val mj = docs.select(col("id"),
+      concat(col("text"),
+        when(col("id") % 10 === 0, lit(dmg)).otherwise(lit("")))
+        .as("text"))
+    val t37 = System.nanoTime()
+    val rep = graft.operators.TextRepair.repairReport(mj, "id", "text")
+    val repAgg = rep.agg(sum(col("mojibake_hits")),
+      sum(when(col("changed"), 1L).otherwise(0L)),
+      sum(col("n_bad_chars"))).collect()(0)
+    val tRep = (System.nanoTime() - t37) / 1e9
+    require(repAgg.getLong(0) == 2L * (nDocs / 10L) &&
+      repAgg.getLong(1) == nDocs / 10L && repAgg.getLong(2) == 0L,
+      s"mojibake hits=${repAgg.getLong(0)} changed=${repAgg.getLong(1)}")
+    println(f"mojibake: $nDocs docs, ${repAgg.getLong(0)} hits repaired " +
+      f"across ${repAgg.getLong(1)} docs (exact) in $tRep%.1f s " +
+      f"(${nDocs / tRep}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- Moore-Lewis at 1M docs: in-domain model = the even half,
+    // general = the odd half. An even doc's bigrams sit in the
+    // in-domain counts (pref ~ 2/(2+1) per bigram), an odd doc's in
+    // the general counts — so every even doc selects and every odd doc
+    // with unique tokens (k != 9) does not; k=9 near-dups share 28 of
+    // 29 bigrams with their even base, so their verdict is left free.
+    val t38 = System.nanoTime()
+    val mlSel = graft.operators.LanguageModel.mooreLewisScores(docs,
+      docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1),
+      "id", "text")
+    val mlAgg = mlSel.agg(
+      sum(when(col("selected") && col("id") % 2 === 0, 1L).otherwise(0L)),
+      sum(when(col("selected") && col("id") % 2 === 1 &&
+        col("id") % 10 =!= 9, 1L).otherwise(0L)),
+      count(lit(1))).collect()(0)
+    val tMl = (System.nanoTime() - t38) / 1e9
+    require(mlAgg.getLong(2) == nDocs, s"mooreLewis rows ${mlAgg.getLong(2)}")
+    require(mlAgg.getLong(0) == nDocs / 2L,
+      s"mooreLewis even-selected ${mlAgg.getLong(0)} of ${nDocs / 2L}")
+    require(mlAgg.getLong(1) == 0L,
+      s"mooreLewis ${mlAgg.getLong(1)} unique odd docs selected")
+    println(f"mooreLewis: $nDocs docs vs 500k/500k models, verdicts " +
+      f"exactly split in $tMl%.1f s (${nDocs / tMl}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }

@@ -72,6 +72,52 @@ class LanguageModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._4 < got(3L)._4, s"ppl ordering: ${got(1L)} vs ${got(3L)}")
   }
 
+  test("mooreLewisScores: in-memory reference, direction, exclusions") {
+    val inDom = docsDf(
+      (10L, "alpha beta gamma"), (11L, "alpha beta delta"))
+    val gen = docsDf(
+      (20L, "red green blue"), (21L, "red green yellow"),
+      (22L, "alpha red"))
+    val raw = docsDf(
+      (1L, "alpha beta gamma"), // in-domain phrasing
+      (2L, "red green blue"),   // general phrasing
+      (3L, "single"))           // < 2 tokens: excluded
+    def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def model(texts: Seq[String]) = {
+      val bigs = texts.flatMap(t => toks(t).sliding(2).map(p => (p(0), p(1))))
+      val cBig = bigs.groupBy(identity).map { case (k, v) => k -> v.size }
+      val cCtx = bigs.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val v = texts.flatMap(toks).toSet.size
+      (c: String, w: String) =>
+        (cBig.getOrElse((c, w), 0) + 1.0) / (cCtx.getOrElse(c, 0) + 1.0 * v)
+    }
+    val pIn = model(Seq("alpha beta gamma", "alpha beta delta"))
+    val pGen = model(Seq("red green blue", "red green yellow", "alpha red"))
+    def expect(text: String) = {
+      val prefs = toks(text).sliding(2).map { x =>
+        val (pi, pg) = (pIn(x(0), x(1)), pGen(x(0), x(1)))
+        (pi / (pi + pg), math.log(pg) - math.log(pi))
+      }.toSeq
+      (prefs.map(_._1).sum, prefs.map(_._2).sum, prefs.size)
+    }
+    val got = LanguageModel.mooreLewisScores(raw, inDom, gen,
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    for ((id, text) <- Seq(1L -> "alpha beta gamma", 2L -> "red green blue")) {
+      val (sumP, sumC, n) = expect(text)
+      val (gn, gSum, gAvg, gCed, _) = got(id)
+      assert(gn === n.toLong)
+      assert(math.abs(gSum - sumP) < 1e-12, s"doc $id: $gSum vs $sumP")
+      assert(math.abs(gAvg - sumP / n) < 1e-12)
+      assert(math.abs(gCed - sumC / n) < 1e-12)
+    }
+    // direction: in-domain doc preferred (selected, negative ce_diff)
+    assert(got(1L)._5 && got(1L)._4 < 0.0)
+    assert(!got(2L)._5 && got(2L)._4 > 0.0)
+  }
+
   test("stupidBackoffScores matches an in-memory reference") {
     val target = docsDf(
       (10L, "the quick brown fox jumps"),

@@ -263,6 +263,61 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"suffix/url strings ride a shuffle key: $blKeys\n$blPlan")
   }
 
+  test("html/repair/cap/moore-lewis: narrow passes, hash joins, no text keys") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // extractText: regex + array lambdas per row — zero exchanges
+    val he = graft.operators.HtmlExtract.extractText(
+      docs.select(col("doc_id"),
+        concat(lit("<p>"), col("text"), lit("</p>")).as("html")),
+      "doc_id", "html")
+    he.collect()
+    val hePlan = he.queryExecution.executedPlan.toString
+    assert(!hePlan.contains("Exchange"),
+      s"extractText should be shuffle-free:\n$hePlan")
+
+    // repairReport: a bounded replace chain — zero exchanges
+    val tr = graft.operators.TextRepair.repairReport(docs, "doc_id", "text")
+    tr.collect()
+    val trPlan = tr.queryExecution.executedPlan.toString
+    assert(!trPlan.contains("Exchange"),
+      s"repairReport should be shuffle-free:\n$trPlan")
+
+    // domainCap: ONE keyed shuffle carrying (domain, hash, id) — the
+    // bounded smallest-k agg, never a window sort over the corpus
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://d"), (col("doc_id") % 10).cast("string"),
+        lit(".com/"), col("doc_id").cast("string")).as("url"))
+    val dc = graft.operators.WebCorpus.domainCap(urls, "doc_id", "url", 3)
+    dc.collect()
+    val dcPlan = dc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val dcShuffles = dcPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(dcShuffles == 1,
+      s"domainCap should shuffle once (bounded agg), got $dcShuffles:\n$dcPlan")
+    assert(!dcPlan.contains("Window"),
+      s"domainCap must not window-sort:\n$dcPlan")
+
+    // mooreLewisScores: the four count tables join on 8-byte hashes —
+    // every join a broadcast or hash join, no shuffle keyed on a raw
+    // text column, no nested-loop join anywhere
+    val ml = graft.operators.LanguageModel.mooreLewisScores(docs,
+      docs.filter(col("doc_id") % 7 === 0),
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+    ml.collect()
+    val mlPlan = ml.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!mlPlan.contains("BroadcastNestedLoopJoin") &&
+      !mlPlan.contains("CartesianProduct"),
+      s"mooreLewisScores must use equi-joins only:\n$mlPlan")
+    val mlTextKeys = mlPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(mlTextKeys == 0,
+      s"mooreLewisScores must not shuffle on raw text:\n$mlPlan")
+  }
+
   test("quality/bucket/decontam operators: no text keys, no global sort, bench broadcasts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))

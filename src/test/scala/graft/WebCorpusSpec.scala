@@ -105,4 +105,32 @@ class WebCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("tiny.net") === ((1L, 1L, false)))
     assert(got("") === ((1L, 1L, false)))
   }
+
+  test("domainCap: deterministic smallest-hash winners per domain") {
+    import spark.implicits._
+    val docs = ((1L to 6L).map(i => i -> s"https://big.com/$i") ++
+      Seq(7L -> "http://www.small.org/x", 8L -> "https://small.org/y",
+        9L -> "garbage not a url")).toDF("doc_id", "url")
+    // independent expectation: smallest-2 md5-60(salt:id) per domain
+    val hashes = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.md5Hash60(
+        concat(lit("caps:"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def smallest(ids: Seq[Long], k: Int) =
+      ids.sortBy(i => (hashes(i), i)).take(k)
+    val expected =
+      smallest(1L to 6L, 2).map("big.com" -> _) ++
+      smallest(Seq(7L, 8L), 2).map("small.org" -> _) ++
+      smallest(Seq(9L), 2).map("" -> _)
+    val run1 = WebCorpus.domainCap(docs, "doc_id", "url", 2, "caps")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(run1.map(t => t._1 -> t._3).toSet === expected.toSet)
+    // ranks are contiguous from 1 inside each domain
+    assert(run1.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted === (1 to rows.size).toSeq })
+    // deterministic across runs
+    val run2 = WebCorpus.domainCap(docs, "doc_id", "url", 2, "caps")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(run1.toSet === run2.toSet)
+  }
 }
