@@ -23,17 +23,35 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read the raw int64 (nanosAsLong) and truncate to micros —
-    * the same truncation DuckDB applies reading NANOS into its µs
-    * timestamps, so oracle comparisons stay exact. Integer `div` avoids
-    * the double-precision loss a plain `/` would introduce on ~1.7e18 ns
-    * epoch values.
+  /** events.parquet has stored `ts` in two physical forms across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
+    * surfaces as a raw int64 under `nanosAsLong`) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ). Branch on the loaded dataType so both generations —
+    * and a future tz-adjusted micros fixture — resolve to the same
+    * session-TZ=UTC TimestampType column, keeping `unix_timestamp`/
+    * `window` semantics bit-identical to DuckDB's `epoch(ts)`. For the
+    * nanos form, integer `div` (not `/`) truncates to micros without the
+    * double-precision loss a float divide would introduce on ~1.7e18 ns
+    * epoch values — the same truncation DuckDB applies reading NANOS.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session TZ is pinned to UTC by every entry point, so this cast
+        // reinterprets the naive micros as UTC instants — matching DuckDB,
+        // which also treats the un-adjusted column as UTC under epoch().
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other " +
+            "(expected int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
 
   private def dyn(s: SparkSession, dir: String): DynamicQuery =

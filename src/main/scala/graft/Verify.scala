@@ -19,7 +19,11 @@ object Verify {
     // correctness dump (and zero the round) — cancel its job group after
     // the timeout and move on.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional local-dev filter (comma-separated names); unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
