@@ -57,6 +57,32 @@ object SparkEntry {
   private def dyn(s: SparkSession, dir: String): DynamicQuery =
     new DynamicQuery(name => t(s, dir, name))
 
+  /** The synthesized web page over a `doc_id`/`text` row — shared by
+    * q_html_extract (bare pipeline) and q_warc_extract (WARC-framed),
+    * and replicated verbatim in both DuckDB oracles.
+    */
+  private def syntheticHtml: Column = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    concat_ws("",
+      lit("<html><head><title>Doc "), ids,
+      lit("</title><style>body{color:red}</style>"),
+      lit("<script type=\"text/javascript\">var x=1; " +
+        "if(x<2){document.write(\"</p>\")}</script></head>"),
+      lit("<body><!-- note: <p> inside a comment --><h1>Heading "),
+      ids, lit("</h1><p>"), col("text"), lit(".</p>"),
+      lit("<div class=\"nav\"><a href=\"/home\">Home</a> " +
+        "<a href=\"/about\">About us</a></div>"),
+      when(id % 3 === 0,
+        lit("<p>A mixed line keeping one <a href=\"/x\">inline " +
+          "link</a> among plenty of running words, plus &amp; " +
+          "&lt;entities&gt; &quot;quoted&quot; &#39;s.</p>")),
+      when(id % 5 === 0,
+        lit("<ul><li><a href=\"/1\">First nav item</a></li>" +
+          "<li><a href=\"/2\">Second nav item</a></li></ul>")),
+      lit("<p>Tail "), ids, lit(" stays.</p></body></html>"))
+  }
+
   /** documents ∪ planted exact duplicates (doc_id+100000, case/space
     * perturbed so only canonicalization collapses them).
     */
@@ -935,29 +961,62 @@ object SparkEntry {
     // script content with tags inside, style, comments, block
     // flattening, a pure-link nav line (dropped), a mixed prose+link
     // line with entities (kept), a per-id nav list, and a unique tail
-    "q_html_extract" -> ((s, dir) => {
-      val id = col("doc_id")
-      val ids = id.cast("string")
-      val html = concat_ws("",
-        lit("<html><head><title>Doc "), ids,
-        lit("</title><style>body{color:red}</style>"),
-        lit("<script type=\"text/javascript\">var x=1; " +
-          "if(x<2){document.write(\"</p>\")}</script></head>"),
-        lit("<body><!-- note: <p> inside a comment --><h1>Heading "),
-        ids, lit("</h1><p>"), col("text"), lit(".</p>"),
-        lit("<div class=\"nav\"><a href=\"/home\">Home</a> " +
-          "<a href=\"/about\">About us</a></div>"),
-        when(id % 3 === 0,
-          lit("<p>A mixed line keeping one <a href=\"/x\">inline " +
-            "link</a> among plenty of running words, plus &amp; " +
-            "&lt;entities&gt; &quot;quoted&quot; &#39;s.</p>")),
-        when(id % 5 === 0,
-          lit("<ul><li><a href=\"/1\">First nav item</a></li>" +
-            "<li><a href=\"/2\">Second nav item</a></li></ul>")),
-        lit("<p>Tail "), ids, lit(" stays.</p></body></html>"))
+    "q_html_extract" -> ((s, dir) =>
       HtmlExtract.extractText(
-        t(s, dir, "documents").select(col("doc_id"), html.as("html")),
-        "doc_id", "html")
+        t(s, dir, "documents").select(col("doc_id"), syntheticHtml.as("html")),
+        "doc_id", "html")),
+
+    // Raw-crawl entry point: the same synthesized pages are FRAMED as
+    // byte-exact WARC 1.0 response records (HTTP headers, WARC headers,
+    // length-prefixed blocks, CRLF separators — all engine-side binary
+    // expressions), grouped into 4 archives with a warcinfo leader each,
+    // then parsed back through WarcSource → htmlResponses →
+    // HtmlExtract. The oracle replicates only the HTML pipeline — the
+    // WARC framing must round-trip bit-exactly for the hashes to meet,
+    // and the parsed url/date/status columns pin the header capture
+    "q_warc_extract" -> ((s, dir) => {
+      val ids = col("doc_id").cast("string")
+      val htmlBin = syntheticHtml.cast("binary")
+      val httpHead = concat_ws("",
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          "Content-Length: "),
+        octet_length(htmlBin).cast("string"), lit("\r\n\r\n"))
+      val block = concat(httpHead.cast("binary"), htmlBin)
+      val warcHead = concat_ws("",
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:graft-doc-"),
+        ids,
+        lit(">\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+          "WARC-Target-URI: http://graft.test/doc/"), ids,
+        lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
+          "Content-Length: "),
+        octet_length(block).cast("string"), lit("\r\n\r\n"))
+      val rec = concat(warcHead.cast("binary"), block,
+        lit("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val warcinfo = lit(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "WARC-Record-ID: <urn:uuid:graft-info>\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/warc-fields\r\n" +
+        "Content-Length: 22\r\n\r\nsoftware: graft-test\r\n\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val archives = t(s, dir, "documents")
+        .select(col("doc_id"), rec.as("rec"))
+        .groupBy(pmod(col("doc_id"), lit(4)).as("g"))
+        .agg(sort_array(collect_list(struct(col("doc_id").as("i"),
+          col("rec").as("r")))).as("rs"))
+        .select(
+          concat(lit("graft-"), col("g").cast("string"), lit(".warc")).as("path"),
+          concat(warcinfo, aggregate(col("rs"),
+            lit(Array.empty[Byte]),
+            (acc, x) => concat(acc, x("r")))).as("content"))
+      val html = graft.sources.WarcSource
+        .htmlResponses(graft.sources.WarcSource.expand(archives))
+        .toDF()
+        .withColumn("doc_id", substring_index(col("url"), "/", -1).cast("long"))
+      HtmlExtract.extractText(html, "doc_id", "html")
+        .join(html.select(col("doc_id").as("id"), col("url"),
+          col("http_status"), col("warc_date")), "id")
+        .select(col("id"), col("url"), col("http_status"), col("warc_date"),
+          col("text"), col("n_lines"), col("n_kept"))
     }),
 
     // C4 bad-word page filter: single- and multi-word entries over the
@@ -3216,6 +3275,55 @@ object SparkEntry {
          |    CAST(q.ln AS DOUBLE) <= 5e-1 * CAST(q.n AS DOUBLE)) AS kept
          |  FROM f)
          |SELECT doc_id AS id,
+         |  array_to_string(list_transform(kept, q -> q.t), chr(10)) AS text,
+         |  CAST(len(ne) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept
+         |FROM k ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // WARC round trip: the Spark side frames the same pages as WARC
+    // bytes and parses them back, so the oracle is the q_html_extract
+    // pipeline plus the (constant-per-doc) parsed capture metadata —
+    // any framing/parse bug breaks the text hash or the url/status rows
+    "q_warc_extract" ->
+      raw"""WITH src AS (
+         |  SELECT doc_id, concat_ws('',
+         |    '<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+         |    '</title><style>body{color:red}</style>',
+         |    '<script type="text/javascript">var x=1; if(x<2){document.write("</p>")}</script></head>',
+         |    '<body><!-- note: <p> inside a comment --><h1>Heading ',
+         |    CAST(doc_id AS VARCHAR), '</h1><p>', text, '.</p>',
+         |    '<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a></div>',
+         |    CASE WHEN doc_id % 3 = 0 THEN '<p>A mixed line keeping one <a href="/x">inline link</a> among plenty of running words, plus &amp; &lt;entities&gt; &quot;quoted&quot; &#39;s.</p>' END,
+         |    CASE WHEN doc_id % 5 = 0 THEN '<ul><li><a href="/1">First nav item</a></li><li><a href="/2">Second nav item</a></li></ul>' END,
+         |    '<p>Tail ', CAST(doc_id AS VARCHAR), ' stays.</p></body></html>') AS html
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(coalesce(html, ''),
+         |      '(?s)<!--.*?-->', ' ', 'g'),
+         |      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+         |      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+         |      '(?i)</?(?:br|p|div|li|h[1-6]|tr|td|th|ul|ol|table|blockquote|title|head|body|html|header|footer|nav|section|article|form|pre|figure|figcaption|aside|main)\b[^>]*>',
+         |      chr(10), 'g') AS t
+         |  FROM src),
+         |e AS (
+         |  SELECT doc_id, list_transform(string_split(t, chr(10)), l -> {
+         |    't': ${DVis("l")},
+         |    'n': CAST(len(${DVis("l")}) AS BIGINT),
+         |    'ln': list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(
+         |        regexp_extract_all(l, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+         |        a -> CAST(len(${DVis("a")}) AS BIGINT))),
+         |      (x, y) -> x + y)}) AS ls
+         |  FROM n),
+         |f AS (SELECT doc_id, list_filter(ls, q -> q.n > 0) AS ne FROM e),
+         |k AS (SELECT doc_id, ne, list_filter(ne, q ->
+         |    CAST(q.ln AS DOUBLE) <= 5e-1 * CAST(q.n AS DOUBLE)) AS kept
+         |  FROM f)
+         |SELECT doc_id AS id,
+         |  'http://graft.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         |  CAST(200 AS INTEGER) AS http_status,
+         |  '2024-01-01T00:00:00Z' AS warc_date,
          |  array_to_string(list_transform(kept, q -> q.t), chr(10)) AS text,
          |  CAST(len(ne) AS BIGINT) AS n_lines,
          |  CAST(len(kept) AS BIGINT) AS n_kept

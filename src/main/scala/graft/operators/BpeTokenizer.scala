@@ -1,6 +1,9 @@
 package graft.operators
 
-import scala.collection.mutable.ArrayBuffer
+import java.nio.charset.StandardCharsets
+import java.util.{PriorityQueue => JPriorityQueue}
+
+import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -14,27 +17,34 @@ import graft.functions.TextFunctions
   * surface — LLM-pipeline brief).
   *
   * The scale design follows the paper's own observation: BPE trains on
-  * the WORD-FREQUENCY table, not the corpus. One corpus pass builds
-  * (word, cnt) — distinct-word-sized, the quantity that stays bounded
-  * while the corpus grows — and every one of the `numMerges`
-  * iterations is (a) one vocabulary-sized pair aggregation with a
-  * single argmax row to the driver and (b) one NARROW greedy-merge
-  * rewrite of the symbol arrays. The corpus is never touched again;
-  * encoding is likewise vocabulary-side (merge the distinct words,
-  * then one hash join maps every corpus token through the finished
-  * word → subwords table).
+  * the WORD-FREQUENCY table, not the corpus. One distributed corpus
+  * pass builds (word, cnt); the top `maxTrainWords` rows of that table
+  * (count DESC, word ASC — a deterministic `TakeOrdered`, bounded by
+  * construction) come to the driver ONCE, and every merge iteration
+  * runs in memory against incrementally-maintained pair statistics —
+  * the same architecture production tokenizer trainers use, because
+  * per-merge cluster round trips (one aggregation job per merge ×
+  * 50k merges) would dominate training time at any scale. The corpus
+  * is never touched again; encoding is likewise vocabulary-side
+  * (encode the distinct words, then one hash join maps every corpus
+  * token through the finished word → subwords table).
+  *
+  * `maxTrainWords` is the documented scale knob: at the default 2^20
+  * the test corpora are far below the cap, so the learned table is
+  * bit-identical to untruncated training (which the q_bpe_train /
+  * q_bpe_encode DuckDB oracles replay as chained SQL stages); at
+  * 100 TB the cap is the paper-sanctioned recipe — the pair mass of
+  * words beyond the top million is negligible, and an uncapped
+  * driver-side word table would be unbounded.
   *
   * Determinism: the winning pair tie-breaks (count DESC, left ASC,
-  * right ASC) and the greedy rewrite merges left-to-right
-  * non-overlapping — both engine-replicable, so the whole learned
-  * merge table (and therefore every encoding) is bit-exact in the
-  * q_bpe_train / q_bpe_encode DuckDB oracles, which replay the
-  * identical iterations as chained SQL stages.
-  *
-  * Lineage: each iteration's rewrite adds one fold layer, so the words
-  * frame is localCheckpoint'ed (eager, GC-cleaned — see
-  * [[DataSelection.selectTopNByScore]] for why not persist) every
-  * `checkpointEvery` merges to keep plan depth bounded.
+  * right ASC) with strings compared as UTF-8 BYTES — the collation
+  * Spark and DuckDB both use — NOT Java's UTF-16 `compareTo`, which
+  * orders supplementary code points before U+E000..U+FFFF and would
+  * diverge from the SQL oracles on astral-plane text. The greedy
+  * rewrite merges left-to-right non-overlapping. Both rules are
+  * engine-replicable, so the whole learned merge table (and therefore
+  * every encoding) is bit-exact under the DuckDB oracle replay.
   */
 object BpeTokenizer {
 
@@ -53,85 +63,266 @@ object BpeTokenizer {
   /** Initial symbol sequence of a word: its characters plus the
     * end-of-word marker. Codepoint-based in both engines.
     */
-  private def initialSyms(word: Column): Column =
+  private def initialSymsCol(word: Column): Column =
     concat(
       transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
       array(lit(EndOfWord)))
 
+  /** UTF-8-byte ordering (unsigned lexicographic) — Spark's and
+    * DuckDB's string collation. Java's `String.compareTo` compares
+    * UTF-16 code units and disagrees above the BMP.
+    */
+  private[operators] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** One greedy left-to-right non-overlapping merge of the adjacent
     * pair (l, r) inside a symbol array — the paper's replacement rule
     * ([a,a,a,a] with (a,a) → [aa,aa], NOT [aa,a,a]); a fixed-order
-    * fold, so engine-replicable.
+    * fold, so engine-replicable. In-memory twin of the SQL `aggregate`
+    * fold the oracles replay.
     */
-  private def mergePair(syms: Column, l: String, r: String): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 &&
-          element_at(acc, -1) === lit(l) && x === lit(r),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(x))))
+  private[operators] def greedyMerge(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
 
-  /** Adjacent-pair counts of the current symbol table, weighted by
-    * word frequency: (l, r, c) — at most (symbol vocabulary)² rows,
-    * aggregated with a map-side partial.
+  private def initialSyms(word: String): Array[String] = {
+    // per-CHARACTER (UTF-16 code unit) split — identical to the SQL
+    // `substr(word, i, 1)` loop both engines run, so astral-plane
+    // text degrades the same way on every side of the oracle.
+    val out = new Array[String](word.length + 1)
+    var i = 0
+    while (i < word.length) { out(i) = word.substring(i, i + 1); i += 1 }
+    out(word.length) = EndOfWord
+    out
+  }
+
+  /** Heap key for merge selection: count DESC, then (l, r) ASC in
+    * UTF-8 byte order. Entries are lazily invalidated — an entry is
+    * authoritative only if its count still equals the live count.
     */
-  private def pairCounts(words: DataFrame): DataFrame =
-    words
-      .select(col("cnt"), explode(arrays_zip(
-        slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
-        slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0)))))
-        .as("__p"))
-      .groupBy(col("__p.0").as("l"), col("__p.1").as("r"))
-      .agg(sum(col("cnt")).as("c"))
+  private final case class PairEntry(l: String, r: String, cnt: Long)
+  private val pairOrder = new java.util.Comparator[PairEntry] {
+    def compare(a: PairEntry, b: PairEntry): Int = {
+      if (a.cnt != b.cnt) return java.lang.Long.compare(b.cnt, a.cnt)
+      if (a.l != b.l) return if (utf8Lt(a.l, b.l)) -1 else 1
+      if (a.r != b.r) return if (utf8Lt(a.r, b.r)) -1 else 1
+      0
+    }
+  }
 
   /** The trained merge table: (rank, left, right, cnt) for `numMerges`
     * iterations (fewer if the pair space exhausts first). One corpus
-    * tokenize pass; each iteration is one bounded aggregation + one
-    * narrow rewrite of the distinct-word table.
+    * tokenize pass + ONE bounded driver collect of the top
+    * `maxTrainWords` word frequencies; every merge iteration is
+    * in-memory with incremental pair-count maintenance (only the
+    * words containing the winning pair are rescanned), so training a
+    * 50k-merge vocabulary costs 50k map updates, not 50k Spark jobs.
     */
   def trainBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      checkpointEvery: Int = 8): DataFrame = {
+      maxTrainWords: Int = 1 << 20): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    require(checkpointEvery >= 1,
-      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    require(maxTrainWords >= 1,
+      s"maxTrainWords must be >= 1, got $maxTrainWords")
     val spark = docs.sparkSession
-    var words = wordFrequencies(docs, textCol)
-      .select(col("word"), col("cnt"), initialSyms(col("word")).as("syms"))
-      .localCheckpoint(true)
-    val merges = ArrayBuffer[(Int, String, String, Long)]()
-    var exhausted = false
-    var i = 0
-    while (i < numMerges && !exhausted) {
-      val top = pairCounts(words)
-        .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += ((merges.size + 1, l, r, c))
-        words = words.withColumn("syms", mergePair(col("syms"), l, r))
-        if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint(true)
+    // Deterministic bounded cap: TakeOrdered (cnt DESC, word ASC) —
+    // never a full-table collect.
+    val wordCnt = wordFrequencies(docs, textCol)
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxTrainWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val merges = trainInMemory(wordCnt, numMerges)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+      .toSeq.toDF("rank", "left", "right", "cnt")
+  }
+
+  /** Incremental Sennrich trainer over a (word, cnt) table: pair
+    * counts and a pair → containing-words index are maintained under
+    * a lazy-invalidation max-heap; each merge rescans only the words
+    * that contain the winning pair. Exposed package-private for the
+    * parity spec.
+    */
+  private[operators] def trainInMemory(
+      wordCnt: Array[(String, Long)],
+      numMerges: Int): Vector[(String, String, Long)] = {
+    val syms = wordCnt.map { case (w, _) => initialSyms(w) }
+    val cnts = wordCnt.map(_._2)
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    // word indices whose CURRENT syms may contain the pair (lazily
+    // stale after merges; re-verified against syms on use)
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val heap = new JPriorityQueue[PairEntry](math.max(16, syms.length), pairOrder)
+
+    def bump(p: (String, String), delta: Long): Unit = {
+      val nv = pairCnt.getOrElse(p, 0L) + delta
+      if (nv <= 0L) { pairCnt.remove(p); () }
+      else { pairCnt(p) = nv; heap.add(PairEntry(p._1, p._2, nv)); () }
+    }
+    def index(p: (String, String), w: Int): Unit = {
+      pairWords.getOrElseUpdate(p, mutable.Set.empty) += w; ()
+    }
+
+    var w = 0
+    while (w < syms.length) {
+      val s = syms(w)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1)); bump(p, cnts(w)); index(p, w); i += 1
       }
+      w += 1
+    }
+
+    val out = Vector.newBuilder[(String, String, Long)]
+    var made = 0
+    var exhausted = false
+    while (made < numMerges && !exhausted) {
+      // pop to the first non-stale entry (its count matches the map)
+      var top: PairEntry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCnt.get((e.l, e.r)).contains(e.cnt)) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        val (l, r) = (top.l, top.r)
+        out += ((l, r, top.cnt))
+        made += 1
+        val affected = pairWords.remove((l, r)).getOrElse(mutable.Set.empty)
+        affected.toArray.sorted.foreach { wi =>
+          val old = syms(wi)
+          // stale index entry — the pair may have been merged away
+          var has = false
+          var i = 0
+          while (!has && i + 1 < old.length) {
+            has = old(i) == l && old(i + 1) == r; i += 1
+          }
+          if (has) {
+            val nw = greedyMerge(old, l, r)
+            syms(wi) = nw
+            val c = cnts(wi)
+            i = 0
+            while (i + 1 < old.length) { bump((old(i), old(i + 1)), -c); i += 1 }
+            i = 0
+            while (i + 1 < nw.length) {
+              val p = (nw(i), nw(i + 1)); bump(p, c); index(p, wi); i += 1
+            }
+          }
+        }
+        pairCnt.remove((l, r))
+      }
+    }
+    out.result()
+  }
+
+  /** Sequential-equivalent single-word encode under a rank map:
+    * applies exactly the merges a rank-1..n sequential sweep would —
+    * ranks are processed in increasing order off a min-heap, a
+    * popped rank is re-verified as present (an earlier merge may have
+    * destroyed it), and after applying rank q only adjacencies with
+    * rank > q are (re)pushed, so a pair whose rule predates the merge
+    * that created it is skipped on both sides of the oracle. O(len ·
+    * applied merges) per word instead of O(len · total merges) — the
+    * property that makes a 50k-rule vocabulary encodable in one
+    * narrow pass.
+    */
+  private[operators] def encodeWord(
+      word: String,
+      // values are boxed Integers ON PURPOSE: a Scala-Int-valued
+      // java.util.HashMap unboxes the null of a missing key to 0,
+      // which would read as a phantom "rank 0" rule for every
+      // unlearned pair
+      rank: java.util.HashMap[(String, String), java.lang.Integer])
+      : Array[String] = {
+    var s = initialSyms(word)
+    if (rank.isEmpty) return s
+    val heap = new JPriorityQueue[Integer](8)
+    var i = 0
+    while (i + 1 < s.length) {
+      val q = rank.get((s(i), s(i + 1)))
+      if (q ne null) heap.add(q)
       i += 1
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "left", "right", "cnt")
+    var last = -1
+    while (!heap.isEmpty) {
+      val q: Int = heap.poll()
+      if (q != last) { // duplicate candidate entries collapse
+        last = q
+        // locate the rule for this rank by re-scanning adjacencies —
+        // cheaper than a reverse map for short words. One greedy pass
+        // removes every occurrence (the merged symbol l+r can never
+        // re-form the pair), matching the one-fold-per-rank SQL twin.
+        var j = 0
+        var found = -1
+        while (found < 0 && j + 1 < s.length) {
+          val rr = rank.get((s(j), s(j + 1)))
+          if ((rr ne null) && rr.intValue() == q) found = j
+          j += 1
+        }
+        if (found >= 0) {
+          s = greedyMerge(s, s(found), s(found + 1))
+          var k = 0
+          while (k + 1 < s.length) {
+            val rr = rank.get((s(k), s(k + 1)))
+            if ((rr ne null) && rr.intValue() > q) heap.add(rr)
+            k += 1
+          }
+        }
+      }
+    }
+    s
   }
 
   /** word → merged symbol array after applying `merges` in rank
     * order — the finished tokenizer's lookup table, built from any
-    * corpus's distinct words.
+    * corpus's distinct words. One broadcast of the (small,
+    * vocab-sized) rank map + one narrow projection over the distinct
+    * words; plan depth is constant in the number of merges (the old
+    * fold-per-merge form was linear, which at 50k rules meant 50k
+    * nested `aggregate` layers).
     */
   private def encodeWordTable(docs: DataFrame, textCol: String,
-      merges: Seq[(String, String)], checkpointEvery: Int): DataFrame = {
-    var words = wordFrequencies(docs, textCol)
-      .select(col("word"), initialSyms(col("word")).as("syms"))
-      .localCheckpoint(true)
-    merges.zipWithIndex.foreach { case ((l, r), i) =>
-      words = words.withColumn("syms", mergePair(col("syms"), l, r))
-      if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint(true)
-    }
-    words
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val rankSeq = merges.zipWithIndex.map { case (p, i) => (p, i + 1) }
+    val bcast = spark.sparkContext.broadcast(rankSeq)
+    // UDF (not Expression): the per-word merge loop is genuinely
+    // imperative (heap + rescan) and runs over the DISTINCT-WORD
+    // table, never the corpus — the same justified-UDF category as
+    // the geometry recursion. The rank map materializes lazily ONCE
+    // per executor JVM off the broadcast, not per row.
+    val encode = udf(new (String => Array[String]) with Serializable {
+      @transient private lazy val m = {
+        val h = new java.util.HashMap[(String, String), java.lang.Integer](
+          bcast.value.size * 2 + 8)
+        bcast.value.foreach { case (p, q) => h.put(p, Integer.valueOf(q)) }
+        h
+      }
+      def apply(word: String): Array[String] = encodeWord(word, m)
+    })
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .distinct()
+      .select(col("word"), encode(col("word")).as("syms"))
   }
 
   /** Encode every doc with a learned merge list: (id, n_words,
@@ -144,11 +335,9 @@ object BpeTokenizer {
     * operators).
     */
   def applyBpeMerges(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], checkpointEvery: Int = 8): DataFrame = {
-    require(checkpointEvery >= 1,
-      s"checkpointEvery must be >= 1, got $checkpointEvery")
+      merges: Seq[(String, String)]): DataFrame = {
     TopK.requireIntegral(docs, idCol, "applyBpeMerges")
-    val table = encodeWordTable(docs, textCol, merges, checkpointEvery)
+    val table = encodeWordTable(docs, textCol, merges)
       .select(TextFunctions.md5Hash60(col("word")).as("wh"), col("syms"))
     docs
       .select(col(idCol).cast("long").as("id"),

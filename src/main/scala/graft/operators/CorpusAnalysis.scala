@@ -329,23 +329,61 @@ object CorpusAnalysis {
     * `defaultRate`. Still a narrow filter; the per-row threshold is a
     * constant-folded CASE over the stratum column.
     *
-    * Rate keys match on the STRING RENDERING of the stratum value
-    * (Spark's cast-to-string): an integer column's value 7 is `"7"`,
-    * but a DOUBLE column's 7.0 renders `"7.0"` — a key of `"7"` would
-    * NOT match it and those rows fall back to `defaultRate`. Maps
-    * produced by [[temperatureMixtureRates]] are always consistent
-    * (same cast); hand-written maps over fractional-typed strata must
-    * use the rendered form.
+    * Rate keys for a NUMERIC stratum column are canonicalized through
+    * the column's own type before comparing (`'7'` and `'7.0'` both
+    * match a DOUBLE 7.0; `'7'` matches an INT 7), so a hand-written
+    * map cannot silently miss a stratum over a rendering mismatch —
+    * the failure mode of matching raw key text against Spark's
+    * cast-to-string (DOUBLE 7.0 renders `"7.0"`, missing a `"7"` key
+    * into `defaultRate`). Keys that do not parse as numbers against a
+    * numeric column, non-integral keys against an integral column,
+    * and key sets made ambiguous by canonicalization (`'7'` AND
+    * `'7.0'`) all fail loudly. String/date columns keep exact string
+    * matching. Maps produced by [[temperatureMixtureRates]] are
+    * canonical by construction (same cast).
     */
   def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = "graft"): DataFrame = {
-    // compare on the string form so a non-string stratum column (int
-    // source ids are common) matches the string-keyed rates map — the
-    // same canonicalization temperatureMixtureRates uses
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
+    val dt = df.schema(stratumCol).dataType
+    val isIntegral =
+      dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    // key canonicalization for numeric strata, validated driver-side
+    // so a bad key is an immediate IllegalArgumentException, not an
+    // executor-side ANSI cast error (or a silent defaultRate miss)
+    val keyLit: String => Column = dt match {
+      case _: NumericType =>
+        val parsed = rates.keys.toSeq.sorted.map { k =>
+          val bd = scala.util.Try(BigDecimal(k)).getOrElse(
+            throw new IllegalArgumentException(
+              s"mixtureSample: rate key '$k' is not numeric but stratum " +
+                s"column '$stratumCol' is ${dt.simpleString}"))
+          (bd, k)
+        }
+        val ambiguous = parsed.groupBy(_._1).filter(_._2.size > 1)
+        require(ambiguous.isEmpty,
+          s"mixtureSample: rate keys ${ambiguous.values.map(_.map(_._2).mkString("/")).mkString(", ")} " +
+            s"are numerically equal — ambiguous against numeric stratum " +
+            s"column '$stratumCol'")
+        val byKey = parsed.map { case (bd, k) => k -> bd }.toMap
+        if (isIntegral) { (k: String) =>
+          val bd = byKey(k)
+          require(bd.isWhole,
+            s"mixtureSample: non-integral rate key '$k' against " +
+              s"integral stratum column '$stratumCol'")
+          lit(bd.toBigIntExact.get.toString)
+        } else {
+          // fractional/decimal: run the key through the COLUMN's cast
+          // so both sides render under the engine's own rules
+          // (7 → "7.0" for double, "7.00" for decimal(5,2), …)
+          (k: String) => lit(k).cast(dt).cast("string")
+        }
+      case _ => (k: String) => lit(k)
+    }
     val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
       case (acc, (stratum, rate)) =>
-        when(col(stratumCol).cast("string") === stratum,
+        when(col(stratumCol).cast("string") === keyLit(stratum),
           lit(rateThreshold(rate))).otherwise(acc)
     }
     df.filter(

@@ -235,39 +235,14 @@ object GeoJsonZipSource {
     }
   }
 
-  /** Close `closeable` as soon as the iterator reports exhaustion
-    * (idempotent — the task-completion backstop may close again).
-    */
   private def closeOnExhaustion[T](it: Iterator[T],
-      closeable: java.io.Closeable): Iterator[T] = new Iterator[T] {
-    private var closed = false
-    override def hasNext: Boolean = {
-      val h = it.hasNext
-      if (!h && !closed) { closed = true; closeable.close() }
-      h
-    }
-    override def next(): T = it.next()
-  }
+      closeable: java.io.Closeable): Iterator[T] =
+    StreamUtil.closeOnExhaustion(it, closeable)
 
   /** Jackson closes the stream it parses by default; the ZipInputStream
     * must survive to serve the next entry.
     */
   private final class NonClosingInputStream(in: InputStream) extends java.io.FilterInputStream(in) {
     override def close(): Unit = () // leave the underlying zip stream open
-  }
-
-  /** Hadoop Configuration is not Serializable; ship it to tasks via its
-    * own writable form (same trick Spark's internal wrapper uses).
-    */
-  private final class SerializableHadoopConf(@transient var value: Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); value.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new Configuration(false)
-      value.readFields(in)
-    }
   }
 }

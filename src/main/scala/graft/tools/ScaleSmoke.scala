@@ -914,6 +914,40 @@ object ScaleSmoke {
     println(f"mooreLewis: $nDocs docs vs 500k/500k models, verdicts " +
       f"exactly split in $tMl%.1f s (${nDocs / tMl}%.0f docs/s), " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- BPE training at vocabulary scale: ≥1024 merges over the 1M-doc
+    // corpus (≈25M distinct 8-hex-char words, capped to the top 2^20 by
+    // the trainer's deterministic TakeOrdered) in ONE driver round trip —
+    // the in-memory incremental trainer never runs a per-merge Spark job.
+    // Every merged symbol must stay hex+marker alphabet and the encode
+    // under the learned table must conserve word counts exactly.
+    val t39 = System.nanoTime()
+    val bpeMerges = graft.operators.BpeTokenizer.trainBpeMerges(
+      docs, "text", numMerges = 1024)
+    val bpeRows = bpeMerges.collect()
+    val tBpeTrain = (System.nanoTime() - t39) / 1e9
+    require(bpeRows.length == 1024, s"bpe trained ${bpeRows.length} merges")
+    require(bpeRows.forall(r => (r.getString(1) + r.getString(2))
+        .forall(c => "0123456789abcdef</w>".contains(c))),
+      "bpe merge outside the hex+marker alphabet")
+    val t40 = System.nanoTime()
+    val bpeEnc = graft.operators.BpeTokenizer.applyBpeMerges(
+        docs, "id", "text",
+        bpeRows.sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq)
+      .agg(count(lit(1)), sum(col("n_words")), sum(col("n_subwords")),
+        min(col("n_subwords"))).collect()(0)
+    val tBpeEnc = (System.nanoTime() - t40) / 1e9
+    require(bpeEnc.getLong(0) == nDocs, s"bpe encoded ${bpeEnc.getLong(0)} docs")
+    require(bpeEnc.getLong(1) == 30L * nDocs,
+      s"bpe n_words ${bpeEnc.getLong(1)} != ${30L * nDocs}")
+    // 30 words/doc, 9 symbols raw; merges only shrink: (30, 270] per doc
+    require(bpeEnc.getLong(3) >= 30L && bpeEnc.getLong(2) <= 270L * nDocs,
+      s"bpe n_subwords out of range: min/doc=${bpeEnc.getLong(3)}")
+    println(f"bpe: 1024 merges trained over $nDocs docs in $tBpeTrain%.1f s " +
+      f"(1 driver round trip), encoded ${bpeEnc.getLong(1)} words -> " +
+      f"${bpeEnc.getLong(2)} subwords in $tBpeEnc%.1f s " +
+      f"(${nDocs / tBpeEnc}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }

@@ -150,6 +150,47 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b > 10 && b < 60, s"b kept $b of 100 at rate 0.3")
   }
 
+  test("mixtureSample: numeric strata canonicalize keys instead of string-missing") {
+    import spark.implicits._
+    // DOUBLE stratum renders 7.0 as "7.0" — a caller key "7" used to
+    // silently fall back to defaultRate; canonicalization through the
+    // column type makes "7" and "7.0" equivalent
+    val dbl = (0L until 200L).map(i => (i, if (i < 100) 7.0 else 8.5))
+      .toDF("doc_id", "source")
+    val keptDbl = CorpusAnalysis.mixtureSample(dbl, "doc_id", "source",
+      Map("7" -> 1.0), defaultRate = 0.0).collect()
+    assert(keptDbl.length == 100 && keptDbl.forall(_.getDouble(1) == 7.0),
+      s"integer-form key must match DOUBLE 7.0 (kept ${keptDbl.length})")
+    // decimal-form key against an INT column matches when whole…
+    val ints = (0L until 200L).map(i => (i, if (i < 100) 7 else 8))
+      .toDF("doc_id", "source")
+    val keptInt = CorpusAnalysis.mixtureSample(ints, "doc_id", "source",
+      Map("7.0" -> 1.0), defaultRate = 0.0).collect()
+    assert(keptInt.length == 100, s"'7.0' must match INT 7 (kept ${keptInt.length})")
+    // …and fails loudly when fractional
+    val eFrac = intercept[IllegalArgumentException] {
+      CorpusAnalysis.mixtureSample(ints, "doc_id", "source",
+        Map("7.5" -> 1.0))
+    }
+    assert(eFrac.getMessage.contains("non-integral"), eFrac.getMessage)
+    // non-numeric key against a numeric column fails loudly
+    val eBad = intercept[IllegalArgumentException] {
+      CorpusAnalysis.mixtureSample(dbl, "doc_id", "source",
+        Map("web" -> 1.0))
+    }
+    assert(eBad.getMessage.contains("not numeric"), eBad.getMessage)
+    // canonically-equal key pairs are ambiguous, not order-dependent
+    val eAmb = intercept[IllegalArgumentException] {
+      CorpusAnalysis.mixtureSample(dbl, "doc_id", "source",
+        Map("7" -> 1.0, "7.0" -> 0.5))
+    }
+    assert(eAmb.getMessage.contains("ambiguous"), eAmb.getMessage)
+    // string strata keep exact matching: "7" does NOT match "7.0"
+    val strs = (0L until 100L).map(i => (i, "7.0")).toDF("doc_id", "source")
+    assert(CorpusAnalysis.mixtureSample(strs, "doc_id", "source",
+      Map("7" -> 1.0), defaultRate = 0.0).count() == 0)
+  }
+
   test("corpusReport + docLengthHistogram: hand-computed card") {
     import spark.implicits._
     val docs = Seq(
@@ -794,6 +835,35 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
         sampleRate = 0.5)
     }
     assert(e2.getMessage.contains("no _graft_params.json"), e2.getMessage)
+  }
+
+  test("curatePersisted: params sidecar stays valid JSON under a hostile salt") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-j").toString
+    // a salt carrying every JSON-breaking class: quote, backslash,
+    // newline, tab, and a raw control char
+    val salt = "s\"x\\y\nz\tq\u0001!"
+    CorpusAnalysis.curatePersisted(docs, bench, "doc_id", "text", dir,
+      salt = salt)
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_params.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // the driver consumes this file with a strict JSON parser: no raw
+    // control characters may survive, and the escapes must round-trip
+    assert(!raw.exists(_ < ' '), s"raw control char in sidecar: $raw")
+    assert(raw.contains("\\\"") && raw.contains("\\\\") &&
+      raw.contains("\\n") && raw.contains("\\t") && raw.contains("\\u0001"),
+      raw)
+    // same-salt resume passes the gate; different salt fails it
+    assert(CorpusAnalysis.curatePersisted(docs, bench, "doc_id", "text",
+      dir, salt = salt).count() == 5)
+    val e = intercept[IllegalArgumentException] {
+      CorpusAnalysis.curatePersisted(docs, bench, "doc_id", "text", dir,
+        salt = "other")
+    }
+    assert(e.getMessage.contains("DIFFERENT parameters"), e.getMessage)
   }
 
   test("curate bucket stats: forced drops reported, and survive a persisted resume") {

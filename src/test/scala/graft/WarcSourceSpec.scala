@@ -1,0 +1,153 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.HtmlExtract
+import graft.sources.WarcSource
+
+/** WARC source: record framing, HTTP payload split, gzip member
+  * chaining, fail-loud corruption handling, and the e2e handoff into
+  * HtmlExtract.
+  */
+class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- fixture builders (byte-precise WARC 1.0 framing) ----
+  private def httpBlock(body: String,
+      status: String = "200 OK",
+      cType: String = "text/html; charset=utf-8"): Array[Byte] = {
+    val b = body.getBytes(UTF_8)
+    (s"HTTP/1.1 $status\r\nContent-Type: $cType\r\n" +
+      s"Content-Length: ${b.length}\r\n\r\n").getBytes(UTF_8) ++ b
+  }
+
+  private def record(warcType: String, uri: String, block: Array[Byte],
+      cType: String = "application/http; msgtype=response"): Array[Byte] = {
+    (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$uri>\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"Content-Type: $cType\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes(UTF_8) ++
+      block ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def gzMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  private val warcinfo = record("warcinfo", "",
+    "software: graft-test\r\n".getBytes(UTF_8), cType = "application/warc-fields")
+
+  test("two-record WARC parses with exact framing and payload split") {
+    val html1 = "<html><body><p>Alpha body text.</p></body></html>"
+    val html2 = "<html><body><p>Beta body text.</p></body></html>"
+    val bytes = warcinfo ++
+      record("response", "http://a.test/1", httpBlock(html1)) ++
+      record("response", "http://b.test/2", httpBlock(html2))
+    val recs = WarcSource.expandWarc("t.warc", bytes).toVector
+    assert(recs.map(_.warc_type) == Vector("warcinfo", "response", "response"))
+    assert(recs.map(_.record_seq) == Vector(0, 1, 2))
+    val r1 = recs(1)
+    assert(r1.target_uri == "http://a.test/1")
+    assert(r1.http_status == 200)
+    assert(r1.http_content_type == "text/html; charset=utf-8")
+    assert(new String(r1.body, UTF_8) == html1)
+    assert(r1.content_length > html1.length) // block includes HTTP headers
+    // non-http record keeps its whole block as body, status -1
+    assert(recs(0).http_status == -1 &&
+      new String(recs(0).body, UTF_8).contains("graft-test"))
+    assert(new String(recs(2).body, UTF_8) == html2)
+  }
+
+  test("non-200 and non-html responses are excluded from htmlResponses") {
+    import spark.implicits._
+    val bytes = warcinfo ++
+      record("response", "http://a.test/ok", httpBlock("<p>keep</p>")) ++
+      record("response", "http://a.test/404",
+        httpBlock("<p>gone</p>", status = "404 Not Found")) ++
+      record("response", "http://a.test/json",
+        httpBlock("""{"k":1}""", cType = "application/json")) ++
+      record("request", "http://a.test/ok",
+        "GET / HTTP/1.1\r\n\r\n".getBytes(UTF_8),
+        cType = "application/http; msgtype=request")
+    val ds = spark.createDataset(Seq(("m.warc", bytes))).toDF("path", "content")
+    val html = WarcSource.htmlResponses(WarcSource.expand(ds)).collect()
+    assert(html.map(_.url).toSeq == Seq("http://a.test/ok"))
+    assert(html(0).html == "<p>keep</p>")
+  }
+
+  test("gzipped member-per-record WARC reads through the file API") {
+    val html = "<html><body><p>Gzip capture body.</p></body></html>"
+    // Common Crawl layout: each record its own gzip member, concatenated
+    val gz = gzMember(warcinfo) ++
+      gzMember(record("response", "http://gz.test/1", httpBlock(html))) ++
+      gzMember(record("response", "http://gz.test/2", httpBlock(html)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    java.nio.file.Files.write(dir.resolve("part-0.warc.gz"), gz)
+    // a second, PLAIN file in the same directory: suffix routing
+    java.nio.file.Files.write(dir.resolve("part-1.warc"),
+      record("response", "http://plain.test/1", httpBlock(html)))
+    val recs = WarcSource.read(spark, dir.toString).collect()
+    assert(recs.length == 4)
+    assert(recs.count(_.warc_type == "response") == 3)
+    val urls = recs.filter(_.warc_type == "response").map(_.target_uri).sorted
+    assert(urls.toSeq == Seq("http://gz.test/1", "http://gz.test/2",
+      "http://plain.test/1"))
+    assert(recs.filter(_.warc_type == "response")
+      .forall(r => new String(r.body, UTF_8) == html))
+  }
+
+  test("corruption fails loudly: truncated block and garbage leader") {
+    val good = record("response", "http://a.test/1", httpBlock("<p>x</p>"))
+    val truncated = good.dropRight(10) // inside the final block/separator
+    val e1 = intercept[Exception] {
+      WarcSource.expandWarc("bad.warc", truncated).toVector
+    }
+    assert(e1.getMessage.contains("truncated"), e1.getMessage)
+    val garbage = "NOT-A-WARC\r\n".getBytes(UTF_8) ++ good
+    val e2 = intercept[Exception] {
+      WarcSource.expandWarc("bad2.warc", garbage).toVector
+    }
+    assert(e2.getMessage.contains("WARC/ version line"), e2.getMessage)
+  }
+
+  test("e2e: WARC -> htmlResponses -> HtmlExtract yields the page text") {
+    import spark.implicits._
+    val page =
+      "<html><head><title>T</title></head><body>" +
+        "<p>Real paragraph with words.</p>" +
+        "<div class=\"nav\"><a href=\"/h\">Home</a> <a href=\"/a\">About</a></div>" +
+        "</body></html>"
+    val bytes = warcinfo ++
+      record("response", "http://e2e.test/1", httpBlock(page)) ++
+      record("response", "http://e2e.test/2", httpBlock(page))
+    val ds = spark.createDataset(Seq(("e.warc", bytes))).toDF("path", "content")
+    val html = WarcSource.htmlResponses(WarcSource.expand(ds))
+    val out = HtmlExtract.extractText(html.toDF(), "record_seq", "html")
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    // nav line (pure links) is boilerplate-dropped; title + body kept
+    assert(out.forall(_.getString(1) == "T\nReal paragraph with words."),
+      out.map(_.getString(1)).mkString("|"))
+    assert(out.forall(r => r.getLong(2) == 3L && r.getLong(3) == 2L))
+  }
+}
