@@ -111,11 +111,16 @@ object Similarity {
     * are 10^3–10^5 items) and is broadcast — the corpus never
     * shuffles; scoring is a broadcast nested-loop scan (corpus ×
     * bench pairs, embarrassingly parallel) and the per-doc argmax is
-    * the bounded k=1 aggregation, whose map-side combine collapses
-    * each partition's pairs before the only (narrow, corpus-row-sized)
-    * shuffle. Exact by construction — no LSH recall question — at the
-    * price of the |bench| factor in the scan; prefilter the corpus (or
-    * shrink the benchmark set) if |bench| grows past ~10^5.
+    * the DECLARATIVE [[TopK.max1PerQuery]] (codegen HashAggregate),
+    * whose map-side combine collapses each partition's pairs before
+    * the only (narrow, corpus-row-sized) shuffle. The aggregator-based
+    * `topKPerQuery(_, 1)` is NOT usable here: the group key is the
+    * corpus id, and ObjectHashAggregate's sort fallback past 128 keys
+    * per task turns the argmax into an external sort of all
+    * corpus×bench pairs (20+ min at 1M×100 in ScaleSmoke). Exact by
+    * construction — no LSH recall question — at the price of the
+    * |bench| factor in the scan; prefilter the corpus (or shrink the
+    * benchmark set) if |bench| grows past ~10^5.
     *
     * With integer-quantized embeddings every dot/norm is an
     * integer-valued double and sqrt is correctly rounded IEEE, so the
@@ -136,7 +141,7 @@ object Similarity {
       .crossJoin(b)
       .withColumn("sim", cosineNative(col("cv"), col("bv")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
-    TopK.topKPerQuery(scored, 1)
+    TopK.max1PerQuery(scored)
       .select(col("query_id").as("id"), col("neighbor_id").as("bench_id"),
         col("sim").as("max_sim"),
         (col("sim") >= threshold).as("contaminated"))

@@ -77,6 +77,19 @@ object TopK {
         s"${t.simpleString}; map ids to integers upstream")
   }
 
+  /** CARDINALITY BOUNDARY: a typed Aggregator plans as
+    * `ObjectHashAggregateExec`, which abandons its hash map for a
+    * SORT-BASED fallback once a task sees more distinct group keys
+    * than `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128) — fine for the intended shape (few queries, the
+    * broadcast side of an NN join), but grouping by a CORPUS-sized key
+    * turns the "bounded map-side partial agg" into an external sort of
+    * every scored row (measured: 1M-group × 100M-row argmax ran 20+
+    * minutes of pure sort/spill at ScaleSmoke scale). For per-corpus
+    * argmax (k = 1, group count = corpus), use [[max1PerQuery]] — a
+    * declarative `max(struct)` that stays in codegen HashAggregate at
+    * any cardinality.
+    */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     requireIntegral(scored, "neighbor_id", "topKPerQuery")
     val agg = udaf(new TopKAggregator(k))
@@ -86,6 +99,30 @@ object TopK {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
+  }
+
+  /** `topKPerQuery(_, 1)` with the same ordering contract (sim DESC,
+    * neighbor_id ASC on ties) as a DECLARATIVE aggregate:
+    * `max(struct(sim, -neighbor_id))` compares lexicographically, so
+    * the max struct carries the highest sim and, among ties, the
+    * smallest id (negation flips the tie direction). `Max` is a
+    * DeclarativeAggregate; the struct buffer is not hash-agg mutable,
+    * so it plans as whole-stage-codegen `SortAggregate` — a partial
+    * primitive-key sort per task feeding streamed maxes, with NO
+    * per-row object serde and NO cardinality cliff (ObjectHashAgg's
+    * fallback re-sorts through its typed-buffer machinery, which is
+    * the 20-min path). Output: (query_id, rank=1, neighbor_id, sim),
+    * byte-identical to the aggregator form (parity pinned by
+    * `TopKSpec`).
+    */
+  def max1PerQuery(scored: DataFrame): DataFrame = {
+    requireIntegral(scored, "neighbor_id", "max1PerQuery")
+    scored
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("sim"),
+        (-col("neighbor_id").cast("long")).as("nn"))).as("m"))
+      .select(col("query_id"), lit(1).as("rank"),
+        (-col("m.nn")).as("neighbor_id"), col("m.sim").as("sim"))
   }
 
   /** Bounded collect: accumulates at most `cap`+1 members per group, so

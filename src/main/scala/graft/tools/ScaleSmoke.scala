@@ -76,8 +76,15 @@ object ScaleSmoke {
               else tokenSeed
       substring(md5(concat_ws(":", s.cast("string"), lit(j))), 1, 8)
     }
+    // materialize the synthetic corpus ONCE: it feeds ~25 actions, and
+    // as a live expression every action would re-run 30 md5s × 1M rows
+    // (and a broadcast-join consumer would re-run them PER JOINED ROW —
+    // codegen defers unevaluated stream-side columns into the build
+    // loop). A real corpus is a parquet scan, i.e. already materialized;
+    // checkpointing keeps the fixture faithful to that shape.
     val docs = spark.range(nDocs)
       .select(col("id"), concat_ws(" ", toks: _*).as("text"))
+      .localCheckpoint(true)
     val t2 = System.nanoTime()
     val kept = graft.operators.Dedup.exactDedup(docs, "id", "text").count()
     val tExact = (System.nanoTime() - t2) / 1e9
@@ -211,8 +218,14 @@ object ScaleSmoke {
         .cast("double") / 100000.0
       if (j == 0) when(vk === 9, b + 0.05).otherwise(b) else b
     }
+    // same materialization rationale as `docs`: 64 hash-derived
+    // components per row must be computed once, not once per
+    // broadcast-joined PAIR (the semanticContamination scan is corpus ×
+    // bench — unmaterialized, its 1M×100 pairs re-ran the 64-component
+    // generation 100× and turned a ~1-min section into 20+ min)
     val vecs = spark.range(nVec).select(col("id"),
       array((0 until 64).map(comp): _*).cast("array<float>").as("v"))
+      .localCheckpoint(true)
     val t7 = System.nanoTime()
     val vPairs = graft.operators.Dedup.embeddingNearDupPairs(
       vecs, "id", "v", threshold = 0.95, planes = 16, tables = 4).count()

@@ -182,6 +182,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"global sort in the token-budget plan:\n$tbPlan")
     assert("Exchange SinglePartition".r.findAllIn(tbPlan).size <= 1,
       s"more than the boundary-bin funnel:\n$tbPlan")
+    // …and the single-partition window may consume ONLY the boundary
+    // bin: every unpartitioned Window in the plan must sit above the
+    // `__bin = cut` filter (≈ corpus/2^bins rows by construction). A
+    // refactor that widens the window's input to the corpus turns it
+    // into a one-task global funnel — fail here, not at 100 TB.
+    val unpartWins = tb.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartWins.nonEmpty, "expected the boundary-bin window")
+    unpartWins.foreach { w =>
+      val fedByBoundaryBin = w.child.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("__bin") => f
+      }.nonEmpty
+      assert(fedByBoundaryBin,
+        s"unpartitioned window not fed by the boundary-bin filter:\n$w")
+    }
 
     // mergeCorpora: union feeds ONE fingerprint-keyed aggregation with
     // a map-side partial (duplicates collapse before the shuffle)

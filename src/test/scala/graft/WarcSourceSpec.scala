@@ -130,6 +130,39 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("WARC/ version line"), e2.getMessage)
   }
 
+  test("streaming ingest: a WARC landing directory drains through the parser") {
+    import spark.implicits._
+    val html = "<html><body><p>Streamed capture.</p></body></html>"
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    java.nio.file.Files.write(dir.resolve("batch-0.warc"),
+      warcinfo ++ record("response", "http://s.test/1", httpBlock(html)))
+    // binaryFile is a FileFormat, so the file-stream source serves it:
+    // new crawl files landing in the directory become micro-batches,
+    // and the typed expand/filter/map operators compose unchanged on
+    // the streaming Dataset — the same continuous-ingest shape as the
+    // queue subscription source
+    val stream = spark.readStream.format("binaryFile")
+      .load(dir.toString)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => graft.sources.WarcSource.expandWarc(p, c) }
+      .filter(r => r.warc_type == "response")
+      .map(r => (r.target_uri, new String(r.body, UTF_8)))
+    val q = stream.writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second file lands mid-stream → next micro-batch picks it up
+      java.nio.file.Files.write(dir.resolve("batch-1.warc"),
+        record("response", "http://s.test/2", httpBlock(html)))
+      q.processAllAvailable()
+      val got = spark.table("warc_stream").as[(String, String)]
+        .collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq == Seq("http://s.test/1", "http://s.test/2"))
+      assert(got.forall(_._2 == html))
+    } finally q.stop()
+  }
+
   test("e2e: WARC -> htmlResponses -> HtmlExtract yields the page text") {
     import spark.implicits._
     val page =
