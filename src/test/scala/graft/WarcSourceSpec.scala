@@ -142,6 +142,9 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the streaming Dataset — the same continuous-ingest shape as the
     // queue subscription source
     val stream = spark.readStream.format("binaryFile")
+      // the file-stream source requires an explicit schema; binaryFile's
+      // is fixed by the format
+      .schema("path string, modificationTime timestamp, length long, content binary")
       .load(dir.toString)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
