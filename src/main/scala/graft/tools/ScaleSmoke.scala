@@ -19,6 +19,15 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // AUTO broadcast off: the synthetic corpora make side tables as
+      // big as the corpus (unique tokens → model ≈ corpus), and AQE's
+      // compressed-shuffle estimates under-measure them — at 1M docs it
+      // tried to driver-build a 14.5M-row bigram model and OOM'd the
+      // shared local-mode heap. The library broadcasts EXPLICITLY where
+      // a side is small by design (broadcast() hints are always
+      // honored), so the smoke exercising only designed broadcasts is
+      // the honest configuration for memory too.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
