@@ -23,6 +23,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The library's typed aggregators (TopK / BoundedCollect) hold
+      // BOUNDED buffers (≤ k / ≤ cap entries), so the object-agg hash
+      // map stays small even with many keys; the default 128-key
+      // sort-based fallback is tuned for unbounded percentile-style
+      // buffers and demotes every bucket-keyed bounded collect to a
+      // per-task sort. 16384 keys × ≤1 KB buffer ≈ 16 MB per task —
+      // safely hash-aggregated; the fallback remains the backstop
+      // beyond that.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
