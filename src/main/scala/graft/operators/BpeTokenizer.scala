@@ -1,11 +1,10 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
 import java.util.{PriorityQueue => JPriorityQueue}
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -60,29 +59,26 @@ object BpeTokenizer {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Initial symbol sequence of a word: its characters plus the
-    * end-of-word marker. Codepoint-based in both engines.
-    */
-  private def initialSymsCol(word: Column): Column =
-    concat(
-      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
-      array(lit(EndOfWord)))
-
-  /** UTF-8-byte ordering (unsigned lexicographic) — Spark's and
-    * DuckDB's string collation. Java's `String.compareTo` compares
-    * UTF-16 code units and disagrees above the BMP.
+  /** Code-point lexicographic ordering — identical to UTF-8 unsigned
+    * byte order (Spark's and DuckDB's string collation) on every
+    * well-formed string, and — unlike byte-wise comparison of
+    * `getBytes(UTF_8)` output, which encodes each lone surrogate as
+    * '?' and so collapses distinct strings — still a strict total
+    * order in the presence of unpaired surrogate halves. Java's
+    * `String.compareTo` compares UTF-16 code units and disagrees
+    * above the BMP.
     */
   private[operators] def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes(StandardCharsets.UTF_8)
-    val y = b.getBytes(StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
     var i = 0
-    while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
     }
-    x.length < y.length
+    i >= a.length && j < b.length
   }
 
   /** One greedy left-to-right non-overlapping merge of the adjacent
@@ -103,14 +99,24 @@ object BpeTokenizer {
     out.toArray
   }
 
-  private def initialSyms(word: String): Array[String] = {
-    // per-CHARACTER (UTF-16 code unit) split — identical to the SQL
-    // `substr(word, i, 1)` loop both engines run, so astral-plane
-    // text degrades the same way on every side of the oracle.
-    val out = new Array[String](word.length + 1)
+  /** Initial symbol sequence of a word: its CODE POINTS plus the
+    * end-of-word marker — the split both oracle engines perform
+    * (`substring(word, j, 1)` over `generate_series(1, len(word))`
+    * counts code points in Spark and DuckDB alike), so astral-plane
+    * words produce the same initial symbols on every side.
+    */
+  private[operators] def initialSyms(word: String): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    val out = new Array[String](n + 1)
     var i = 0
-    while (i < word.length) { out(i) = word.substring(i, i + 1); i += 1 }
-    out(word.length) = EndOfWord
+    var k = 0
+    while (i < word.length) {
+      val next = word.offsetByCodePoints(i, 1)
+      out(k) = word.substring(i, next)
+      i = next
+      k += 1
+    }
+    out(n) = EndOfWord
     out
   }
 
@@ -247,21 +253,29 @@ object BpeTokenizer {
     */
   private[operators] def encodeWord(
       word: String,
-      // values are boxed Integers ON PURPOSE: a Scala-Int-valued
-      // java.util.HashMap unboxes the null of a missing key to 0,
-      // which would read as a phantom "rank 0" rule for every
-      // unlearned pair
-      rank: java.util.HashMap[(String, String), java.lang.Integer])
+      // values are the ASCENDING rank list of the pair: the same
+      // (l, r) rule is legitimately learnable at TWO ranks — the pair,
+      // fully merged away at the first, re-forms when a later merge
+      // rebuilds one of its symbols via a different decomposition
+      // (e.g. "abc" first made by (ab,c), made again by (a,bc)) — and
+      // the sequential fold the oracle replays applies BOTH ranks, so
+      // a single-rank map (first or last) would diverge
+      rank: java.util.HashMap[(String, String), Array[Int]])
       : Array[String] = {
     var s = initialSyms(word)
     if (rank.isEmpty) return s
     val heap = new JPriorityQueue[Integer](8)
-    var i = 0
-    while (i + 1 < s.length) {
-      val q = rank.get((s(i), s(i + 1)))
-      if (q ne null) heap.add(q)
-      i += 1
+    // push every rank of the pair that is > q (ranks start at 1, so
+    // q = 0 pushes all)
+    def pushAbove(l: String, r: String, q: Int): Unit = {
+      val rs = rank.get((l, r))
+      if (rs ne null) {
+        var i = 0
+        while (i < rs.length) { if (rs(i) > q) heap.add(rs(i)); i += 1 }
+      }
     }
+    var i = 0
+    while (i + 1 < s.length) { pushAbove(s(i), s(i + 1), 0); i += 1 }
     var last = -1
     while (!heap.isEmpty) {
       val q: Int = heap.poll()
@@ -270,22 +284,20 @@ object BpeTokenizer {
         // locate the rule for this rank by re-scanning adjacencies —
         // cheaper than a reverse map for short words. One greedy pass
         // removes every occurrence (the merged symbol l+r can never
-        // re-form the pair), matching the one-fold-per-rank SQL twin.
+        // itself re-form the pair), matching the one-fold-per-rank
+        // SQL twin.
         var j = 0
         var found = -1
         while (found < 0 && j + 1 < s.length) {
-          val rr = rank.get((s(j), s(j + 1)))
-          if ((rr ne null) && rr.intValue() == q) found = j
+          val rs = rank.get((s(j), s(j + 1)))
+          if ((rs ne null) &&
+              java.util.Arrays.binarySearch(rs, q) >= 0) found = j
           j += 1
         }
         if (found >= 0) {
           s = greedyMerge(s, s(found), s(found + 1))
           var k = 0
-          while (k + 1 < s.length) {
-            val rr = rank.get((s(k), s(k + 1)))
-            if ((rr ne null) && rr.intValue() > q) heap.add(rr)
-            k += 1
-          }
+          while (k + 1 < s.length) { pushAbove(s(k), s(k + 1), q); k += 1 }
         }
       }
     }
@@ -312,9 +324,15 @@ object BpeTokenizer {
     // per executor JVM off the broadcast, not per row.
     val encode = udf(new (String => Array[String]) with Serializable {
       @transient private lazy val m = {
-        val h = new java.util.HashMap[(String, String), java.lang.Integer](
+        val h = new java.util.HashMap[(String, String), Array[Int]](
           bcast.value.size * 2 + 8)
-        bcast.value.foreach { case (p, q) => h.put(p, Integer.valueOf(q)) }
+        // rankSeq arrives rank-ascending (zipWithIndex), so each
+        // pair's rank array stays sorted without an explicit sort;
+        // duplicate-pair rules keep EVERY rank (see encodeWord)
+        bcast.value.foreach { case (p, q) =>
+          val old = h.get(p)
+          h.put(p, if (old eq null) Array(q) else old :+ q)
+        }
         h
       }
       def apply(word: String): Array[String] = encodeWord(word, m)

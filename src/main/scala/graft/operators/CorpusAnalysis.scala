@@ -345,7 +345,7 @@ object CorpusAnalysis {
   def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = "graft"): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
     val dt = df.schema(stratumCol).dataType
     val isIntegral =
       dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
@@ -361,18 +361,46 @@ object CorpusAnalysis {
                 s"column '$stratumCol' is ${dt.simpleString}"))
           (bd, k)
         }
-        val ambiguous = parsed.groupBy(_._1).filter(_._2.size > 1)
+        // canonicalize each key through the COLUMN's own type on the
+        // driver: ambiguity (and range) must be judged on the
+        // POST-CAST value — two distinct BigDecimals that collide once
+        // cast to float/double/decimal(s) would otherwise pass the
+        // check, and the winning rate would then depend on Map
+        // iteration order in the threshold foldLeft
+        val canon: (BigDecimal, String) => Any = dt match {
+          case FloatType => (bd, _) => bd.toFloat
+          case DoubleType => (bd, _) => bd.toDouble
+          case d: DecimalType => (bd, k) =>
+            val scaled = bd.setScale(d.scale, BigDecimal.RoundingMode.HALF_UP)
+            require(scaled.precision <= d.precision,
+              s"mixtureSample: rate key '$k' overflows stratum column " +
+                s"'$stratumCol' (${dt.simpleString})")
+            scaled
+          case _ => (bd, k) =>
+            require(bd.isWhole,
+              s"mixtureSample: non-integral rate key '$k' against " +
+                s"integral stratum column '$stratumCol'")
+            val bi = bd.toBigIntExact.get
+            val fits = dt match {
+              case ByteType => bi.isValidByte
+              case ShortType => bi.isValidShort
+              case IntegerType => bi.isValidInt
+              case _ => bi.isValidLong
+            }
+            require(fits,
+              s"mixtureSample: rate key '$k' overflows stratum column " +
+                s"'$stratumCol' (${dt.simpleString})")
+            bi
+        }
+        val canonical = parsed.map { case (bd, k) => (canon(bd, k), k) }
+        val ambiguous = canonical.groupBy(_._1).filter(_._2.size > 1)
         require(ambiguous.isEmpty,
           s"mixtureSample: rate keys ${ambiguous.values.map(_.map(_._2).mkString("/")).mkString(", ")} " +
-            s"are numerically equal — ambiguous against numeric stratum " +
-            s"column '$stratumCol'")
+            s"are equal after casting to ${dt.simpleString} — ambiguous " +
+            s"against numeric stratum column '$stratumCol'")
         val byKey = parsed.map { case (bd, k) => k -> bd }.toMap
         if (isIntegral) { (k: String) =>
-          val bd = byKey(k)
-          require(bd.isWhole,
-            s"mixtureSample: non-integral rate key '$k' against " +
-              s"integral stratum column '$stratumCol'")
-          lit(bd.toBigIntExact.get.toString)
+          lit(byKey(k).toBigIntExact.get.toString)
         } else {
           // fractional/decimal: run the key through the COLUMN's cast
           // so both sides render under the engine's own rules

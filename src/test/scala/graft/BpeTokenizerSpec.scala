@@ -28,8 +28,11 @@ class BpeTokenizerSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ---- independent reference implementation ----
+  // CODE-POINT split, like substring(word, j, 1) in Spark and DuckDB
   private def refSyms(w: String): Vector[String] =
-    w.map(_.toString).toVector :+ BpeTokenizer.EndOfWord
+    w.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp))) :+
+      BpeTokenizer.EndOfWord
 
   private def refMerge(s: Vector[String], l: String, r: String): Vector[String] =
     s.foldLeft(Vector.empty[String]) { (acc, x) =>
@@ -86,6 +89,33 @@ class BpeTokenizerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(enc.getSeq[String](3) ===
       Seq("aa", "aa", "</w>", "aa", "aa", "</w>", "aa", "a", "</w>"))
+  }
+
+  test("astral-plane words train and encode per CODE POINT (oracle split)") {
+    // 𝕒 (U+1D552) and 𝕓 (U+1D553) are surrogate pairs in UTF-16; a
+    // code-unit split would produce lone-surrogate symbols and a
+    // merge table no SQL engine can replay
+    val astral = "𝕒𝕓" // 𝕒𝕓 — 2 code points, 4 chars
+    val docs = docsDf((1L, s"$astral $astral $astral ${astral}x"))
+    val wordCnt = Map(astral -> 3L, s"${astral}x" -> 1L)
+    val (expMerges, table) = refTrain(wordCnt, 4)
+    val merges = BpeTokenizer.trainBpeMerges(docs, "text", 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toVector
+    assert(merges === expMerges)
+    // symbols are built from whole code points, so every learned side
+    // is well-formed (round-trips through UTF-8 without replacement)
+    import java.nio.charset.StandardCharsets.UTF_8
+    merges.foreach { case (l, r, _) =>
+      assert(new String(l.getBytes(UTF_8), UTF_8) === l)
+      assert(new String(r.getBytes(UTF_8), UTF_8) === r)
+    }
+    val enc = BpeTokenizer
+      .applyBpeMerges(docs, "doc_id", "text",
+        merges.map { case (l, r, _) => (l, r) })
+      .collect()(0)
+    assert(enc.getSeq[String](3) ===
+      Seq(astral, astral, astral, s"${astral}x").flatMap(table))
   }
 
   test("applyBpeMerges matches the reference end-to-end incl. composition") {

@@ -191,6 +191,45 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("7" -> 1.0), defaultRate = 0.0).count() == 0)
   }
 
+  test("mixtureSample: ambiguity and range are judged on the POST-CAST value") {
+    import spark.implicits._
+    // distinct BigDecimals that collide once cast to FLOAT — the raw
+    // literal check would pass them, and the winning rate would then
+    // depend on Map iteration order
+    val flt = (0L until 100L).map(i => (i, 7.0f)).toDF("doc_id", "source")
+    val eFlt = intercept[IllegalArgumentException] {
+      CorpusAnalysis.mixtureSample(flt, "doc_id", "source",
+        Map("7.00000001" -> 1.0, "7.00000002" -> 0.0))
+    }
+    assert(eFlt.getMessage.contains("ambiguous"), eFlt.getMessage)
+    // …and two keys that collide at a DECIMAL column's scale
+    val dec = (0L until 100L).map(i => (i, BigDecimal("7.25")))
+      .toDF("doc_id", "source")
+      .select(col("doc_id"), col("source").cast("decimal(5,2)").as("source"))
+    val eDec = intercept[IllegalArgumentException] {
+      CorpusAnalysis.mixtureSample(dec, "doc_id", "source",
+        Map("7.251" -> 1.0, "7.249" -> 0.0))
+    }
+    assert(eDec.getMessage.contains("ambiguous"), eDec.getMessage)
+    // distinct post-cast floats are NOT ambiguous
+    assert(CorpusAnalysis.mixtureSample(flt, "doc_id", "source",
+      Map("7" -> 1.0, "8" -> 0.0), defaultRate = 0.0).count() == 100)
+    // out-of-range key against a narrow integral column fails loudly
+    // instead of silently never matching
+    val bytes = (0L until 100L).map(i => (i, 7.toByte)).toDF("doc_id", "source")
+    val eRange = intercept[IllegalArgumentException] {
+      CorpusAnalysis.mixtureSample(bytes, "doc_id", "source",
+        Map("300" -> 1.0))
+    }
+    assert(eRange.getMessage.contains("overflows"), eRange.getMessage)
+    // decimal overflow beyond precision fails loudly too
+    val eDecOv = intercept[IllegalArgumentException] {
+      CorpusAnalysis.mixtureSample(dec, "doc_id", "source",
+        Map("123456" -> 1.0))
+    }
+    assert(eDecOv.getMessage.contains("overflows"), eDecOv.getMessage)
+  }
+
   test("corpusReport + docLengthHistogram: hand-computed card") {
     import spark.implicits._
     val docs = Seq(
