@@ -18,20 +18,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // engine-tuning confs (object-agg hash path for bounded-buffer
+    // aggregators, …) come from the library bootstrap, so this harness
+    // measures exactly the plans a GraftSession-configured user gets
+    val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // The library's typed aggregators (TopK / BoundedCollect) hold
-      // BOUNDED buffers (≤ k / ≤ cap entries), so the object-agg hash
-      // map stays small even with many keys; the default 128-key
-      // sort-based fallback is tuned for unbounded percentile-style
-      // buffers and demotes every bucket-keyed bounded collect to a
-      // per-task sort. 16384 keys × ≤1 KB buffer ≈ 16 MB per task —
-      // safely hash-aggregated; the fallback remains the backstop
-      // beyond that.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = graft.GraftSession.configure(SparkSession.builder()).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

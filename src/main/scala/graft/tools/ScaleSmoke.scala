@@ -15,7 +15,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(500000)
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = graft.GraftSession.configure(SparkSession.builder()).master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
