@@ -16,6 +16,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // process-level backstop parity (unhandled-exception handler)
+    graft.service.ErrorMapping.registerUnhandledHandler(System.err.println)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // engine-tuning confs (object-agg hash path for bounded-buffer

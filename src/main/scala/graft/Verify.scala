@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // process-level backstop parity (unhandled-exception handler)
+    graft.service.ErrorMapping.registerUnhandledHandler(System.err.println)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // engine-tuning confs come from the library bootstrap (see

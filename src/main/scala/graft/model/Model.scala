@@ -24,13 +24,18 @@ final case class QueueMessage(
 )
 
 /** Success/failure response published after a job
-  * (`extract-load-service.ts:854-861`).
+  * (`extract-load-service.ts:854-861`), carrying the translated HTTP
+  * status of the terminal error handler
+  * (`error-handler-middleware.ts:13-22` — the reference surfaces the
+  * typed status on its HTTP plane; the engine's single publication
+  * plane carries it on the response row, 200 on success).
   */
 final case class LoadResponse(
     messageId: String,
     messageType: String,
     message: String,
-    success: Boolean
+    success: Boolean,
+    status: Int = 200
 )
 
 /** Layer routing registry.

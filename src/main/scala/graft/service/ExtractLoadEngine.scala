@@ -61,19 +61,29 @@ class ExtractLoadEngine(spark: SparkSession, warehouseRoot: String) {
   }
 
   def processRequest(msg: QueueMessage): LoadResponse = {
-    val result =
+    // failures route through the terminal error translation
+    // (ErrorMapping.toResponse = error-handler-middleware.ts:13-22 +
+    // the typed-DB bridge), so a unique-key violation publishes the
+    // reference's 400/"already exists" form instead of a generic 500
+    val resp =
       try {
         msg.data.data_type match {
-          case "osw" => processOswDataset(msg); Right(())
-          case _     => Left("Method not implemented.") // flex/pathways (:269-274)
+          case "osw" =>
+            processOswDataset(msg)
+            LoadResponse(msg.messageId, msg.messageType,
+              "Data loaded successfully", success = true)
+          case _ => // flex/pathways (:269-274)
+            LoadResponse(msg.messageId, msg.messageType,
+              "Error loading the data : Method not implemented.",
+              success = false, status = 500)
         }
-      } catch { case e: Exception => Left(e.getMessage) }
-    val resp = result match {
-      case Right(_) =>
-        LoadResponse(msg.messageId, msg.messageType, "Data loaded successfully", success = true)
-      case Left(err) =>
-        LoadResponse(msg.messageId, msg.messageType, s"Error loading the data : $err", success = false)
-    }
+      } catch {
+        case e: Exception =>
+          val er = ErrorMapping.toResponse(e)
+          LoadResponse(msg.messageId, msg.messageType,
+            s"Error loading the data : ${er.message}",
+            success = false, status = er.status)
+      }
     warehouse.appendResponses(Seq(resp).toDF())
     resp
   }

@@ -329,6 +329,9 @@ object Warehouse {
       StructField("messageId", StringType),
       StructField("messageType", StringType),
       StructField("message", StringType),
-      StructField("success", BooleanType)))
+      StructField("success", BooleanType),
+      // translated HTTP status of the terminal error handler
+      // (error-handler-middleware parity; 200 on success)
+      StructField("status", IntegerType, nullable = false)))
   )
 }

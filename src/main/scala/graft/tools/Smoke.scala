@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
+    graft.service.ErrorMapping.registerUnhandledHandler(System.err.println)
     val spark = graft.GraftSession.configure(SparkSession.builder()).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

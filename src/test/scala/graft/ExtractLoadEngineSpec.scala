@@ -179,6 +179,41 @@ class ExtractLoadEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val resp = engine.processRequest(QueueMessage("m", "w",
       ExtractLoadRequest("flex", "/nope.zip", "ds2", "u")))
     assert(!resp.success && resp.message.contains("Method not implemented."))
+    assert(resp.status == 500)
+  }
+
+  test("e2e: typed DB failures publish the reference's translated response") {
+    // a unique-key violation during the load must flow through the
+    // terminal error translation (ErrorMapping.toResponse, the
+    // error-handler-middleware parity) and publish the reference's
+    // 400/"already exists" form — not a generic 500
+    val engine = new ExtractLoadEngine(spark,
+      Files.createTempDirectory("graft-wh").toString) {
+      override def processOswDataset(msg: QueueMessage): Unit =
+        throw new graft.sinks.UniqueKeyDbException("record_id_unique", null)
+    }
+    val resp = engine.processRequest(request("/ignored.zip"))
+    assert(!resp.success)
+    assert(resp.status == 400)
+    assert(resp.message ==
+      "Error loading the data : Input with value 'record_id_unique' already exists.")
+    // …and the PUBLISHED row (response table) carries the same typed form
+    val row = engine.warehouse.table("response").collect()(0)
+    assert(row.getAs[Int]("status") == 400)
+    assert(row.getAs[String]("message").contains("already exists"))
+    // foreign-key form: 400 with the constraint message
+    val engine2 = new ExtractLoadEngine(spark,
+      Files.createTempDirectory("graft-wh").toString) {
+      override def processOswDataset(msg: QueueMessage): Unit =
+        throw new graft.sinks.ForeignKeyDbException("dataset_fk", null)
+    }
+    val resp2 = engine2.processRequest(request("/ignored.zip"))
+    assert(resp2.status == 400 && resp2.message ==
+      "Error loading the data : No reference found for the constraint 'dataset_fk' in the system.")
+    // a success publishes status 200
+    val ok = mkEngine()
+    val okResp = ok.processRequest(request(writeZip(canonicalZip)))
+    assert(okResp.success && okResp.status == 200)
   }
 
   test("health ping answers the reference's exact body on a live session") {
