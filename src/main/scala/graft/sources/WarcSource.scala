@@ -204,6 +204,14 @@ object WarcSource {
               .map(l => l.substring(l.indexOf(':') + 1).trim)
               .getOrElse("")
             body = java.util.Arrays.copyOfRange(block, headerEnd + 4, block.length)
+            // HTTP/1.1 chunked payloads keep their wire framing in the
+            // capture (crawlers store exactly what the server sent);
+            // de-frame it here so hex size lines and chunk separators
+            // never reach the text pipeline as noise
+            val chunked = lines.drop(1)
+              .find(_.toLowerCase.startsWith("transfer-encoding:"))
+              .exists(_.toLowerCase.contains("chunked"))
+            if (chunked) body = dechunk(body)
           }
         }
         nextRec = WarcRecord(warcPath, idx, warcType,
@@ -247,6 +255,41 @@ object WarcSource {
     }
   }
 
+  /** De-frame an HTTP/1.1 `Transfer-Encoding: chunked` payload
+    * (RFC 9112 §7.1): `size-hex[;ext] CRLF data CRLF` repeated, a `0`
+    * last-chunk, optional trailers. On ANY framing violation the
+    * input is returned UNCHANGED: a capture holds whatever bytes the
+    * server actually sent, so malformed framing is page noise for the
+    * downstream cleaners to judge — silently truncating a valid
+    * capture on a parse guess is the one wrong answer. (Trailers
+    * after the last chunk are dropped with the framing, as every
+    * HTTP client does.)
+    */
+  private[sources] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (true) {
+      // one chunk-size line, CRLF-terminated
+      val start = i
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+      if (i + 1 >= b.length) return b // no CRLF → not chunked framing
+      val line = new String(b, start, i - start, StandardCharsets.US_ASCII)
+      i += 2
+      val sizeStr = line.split(";", 2)(0).trim
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => return b }
+      if (size < 0 || size > b.length - i) return b
+      if (size == 0) return out.toByteArray // last-chunk; trailers dropped
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      // chunk data must be CRLF-terminated
+      if (!(i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n')) return b
+      i += 2
+    }
+    b // unreachable
+  }
+
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
     var i = 0
     while (i + 3 < b.length) {
@@ -257,9 +300,13 @@ object WarcSource {
     -1
   }
 
-  /** Driver-side resolution of a path/glob/directory into files — one
-    * driver RPC per load; bytes stay on executors (same contract as
-    * [[GeoJsonZipSource]]).
+  /** Driver-side resolution of a path/glob/directory into files —
+    * bounded driver RPCs per load; bytes stay on executors (same
+    * contract as [[GeoJsonZipSource]]). A directory is walked
+    * RECURSIVELY (`listFiles(_, recursive = true)` batches the RPCs):
+    * a crawl root is a segment *tree* — crawl-data/CC-MAIN-x/segments/
+    * seg/warc/part.warc.gz — and a one-level listing would silently
+    * read zero files from it.
     */
   private def resolvePaths(spark: SparkSession, path: String): Seq[String] = {
     val p = new Path(path)
@@ -269,8 +316,12 @@ object WarcSource {
       case Some(arr) => arr.toSeq
     }
     matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-      else Seq(st)
-    }.map(_.getPath.toString)
+      if (st.isDirectory) {
+        val it = fs.listFiles(st.getPath, true)
+        val files = Seq.newBuilder[String]
+        while (it.hasNext) files += it.next().getPath.toString
+        files.result()
+      } else Seq(st.getPath.toString)
+    }
   }
 }

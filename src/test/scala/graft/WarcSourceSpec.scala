@@ -116,6 +116,65 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(r => new String(r.body, UTF_8) == html))
   }
 
+  test("a directory resolves RECURSIVELY (crawl segment tree layout)") {
+    val html = "<html><body><p>Segment capture.</p></body></html>"
+    val root = java.nio.file.Files.createTempDirectory("graft-crawl")
+    // crawl-data/CC-MAIN-*/segments/<seg>/warc/*.warc.gz shape
+    val w1 = root.resolve("segments/seg-001/warc")
+    val w2 = root.resolve("segments/seg-002/warc")
+    java.nio.file.Files.createDirectories(w1)
+    java.nio.file.Files.createDirectories(w2)
+    java.nio.file.Files.write(w1.resolve("part-0.warc.gz"),
+      gzMember(record("response", "http://seg1.test/1", httpBlock(html))))
+    java.nio.file.Files.write(w2.resolve("part-0.warc.gz"),
+      gzMember(record("response", "http://seg2.test/1", httpBlock(html))))
+    val recs = WarcSource.read(spark, root.toString).collect()
+    assert(recs.map(_.target_uri).sorted.toSeq ==
+      Seq("http://seg1.test/1", "http://seg2.test/1"))
+  }
+
+  test("chunked transfer-encoding payloads are de-framed; malformed kept raw") {
+    val html = "<html><body><p>Chunked capture body, long enough to span chunks.</p></body></html>"
+    def chunked(s: String, sizes: Seq[Int]): String = {
+      val b = new StringBuilder
+      var rest = s
+      for (n <- sizes; if rest.nonEmpty) {
+        val take = math.min(n, rest.length)
+        b ++= take.toHexString ++ "\r\n" ++ rest.take(take) ++ "\r\n"
+        rest = rest.drop(take)
+      }
+      assert(rest.isEmpty, "sizes must cover the payload")
+      b ++= "0\r\n\r\n"
+      b.toString
+    }
+    val payload = chunked(html, Seq(10, 25, 1000))
+    val block =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Transfer-Encoding: chunked\r\n\r\n$payload").getBytes(UTF_8)
+    val bytes = record("response", "http://chunk.test/1", block) ++
+      // chunk-size extension form (`;name=val`) must also de-frame
+      record("response", "http://chunk.test/2",
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          s"Transfer-Encoding: chunked\r\n\r\n" +
+          "5;x=1\r\n<p>ab\r\n4\r\ncd</\r\n2\r\np>\r\n0\r\n\r\n").getBytes(UTF_8)) ++
+      // malformed framing (non-hex size line) stays RAW, not truncated
+      record("response", "http://chunk.test/bad",
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          s"Transfer-Encoding: chunked\r\n\r\n" +
+          "ZZZ\r\n<p>raw</p>").getBytes(UTF_8))
+    val recs = WarcSource.expandWarc("c.warc", bytes).toVector
+    assert(new String(recs(0).body, UTF_8) == html)
+    assert(new String(recs(1).body, UTF_8) == "<p>abcd</p>")
+    assert(new String(recs(2).body, UTF_8) == "ZZZ\r\n<p>raw</p>")
+    // …and the de-framed page flows into htmlResponses cleanly
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(("c.warc", bytes))).toDF("path", "content")
+    val pages = WarcSource.htmlResponses(WarcSource.expand(ds)).collect()
+      .sortBy(_.record_seq)
+    assert(pages(0).html == html)
+    assert(!pages.exists(_.html.contains("\r\n0\r\n")), "framing leaked")
+  }
+
   test("corruption fails loudly: truncated block and garbage leader") {
     val good = record("response", "http://a.test/1", httpBlock("<p>x</p>"))
     val truncated = good.dropRight(10) // inside the final block/separator
