@@ -103,6 +103,25 @@ object SparkEntry {
     docs.unionByName(planted)
   }
 
+  /** [[docsWithNearDups]] plus three planted docs whose duplicated
+    * 12-token windows OVERLAP with keepers in different docs — the
+    * configuration where the exact (range-merge) span scrub diverges
+    * from the per-window keepFirst form: 300001 holds the first
+    * occurrence of the tail window, 300002 of the head window, so
+    * 300002's merged range mixes keeper and non-keeper windows and
+    * must drop atomically.
+    */
+  private def docsWithOverlapDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ov = (1 to 13).map(i => s"ovlxq$i")
+    val planted = Seq(
+      (300001L, ov.drop(1).mkString(" ")),  // W2 = ov2..ov13 (keeper)
+      (300002L, ov.mkString(" ")),          // W1@0 keeper, W2@1 not
+      (300003L, ov.take(12).mkString(" "))) // W1 non-keeper
+      .toDF("doc_id", "text")
+    docsWithNearDups(s, dir).unionByName(planted)
+  }
+
   /** Simulated re-crawl for the snapshot-delta queries: %7 ids vanish,
     * %5 texts gain an edit marker, 30 fresh ids appear. */
   private def recrawl(docs: DataFrame): DataFrame = docs
@@ -515,6 +534,15 @@ object SparkEntry {
     "q_dedup_spans_keep" -> ((s, dir) =>
       CorpusAnalysis.removeDupSpans(docsWithNearDups(s, dir), "doc_id",
         "text", n = 12, keepFirst = true)),
+
+    // exact (suffix-range) form: per-doc window-cover MERGE before the
+    // cut — ranges are atomic, a range survives iff every window in it
+    // is its hash's first occurrence. The planted 300001..300003 docs
+    // overlap two banned windows with keepers in different docs, the
+    // case where this form diverges from q_dedup_spans_keep
+    "q_dedup_spans_exact" -> ((s, dir) =>
+      CorpusAnalysis.removeDupSpans(docsWithOverlapDups(s, dir), "doc_id",
+        "text", n = 12, keepFirst = true, exact = true)),
 
     // span-level benchmark decontamination: same corpus/bench split as
     // q_contamination, but tokens covered by any 12-token benchmark
@@ -1487,6 +1515,15 @@ object SparkEntry {
       |  SELECT doc_id + 100000, text || ' extraword' FROM documents
       |  WHERE doc_id < 20""".stripMargin
 
+  /** DuckDB replica of the docsWithOverlapDups fixture. */
+  private val OverlapDupDocs: String = {
+    val ov = (1 to 13).map(i => s"ovlxq$i")
+    s"""$NearDupDocs
+       |  UNION ALL SELECT 300001, '${ov.drop(1).mkString(" ")}'
+       |  UNION ALL SELECT 300002, '${ov.mkString(" ")}'
+       |  UNION ALL SELECT 300003, '${ov.take(12).mkString(" ")}'""".stripMargin
+  }
+
   /** DuckDB replica of the recrawl fixture + `Dedup.snapshotDelta` up
     * to the per-doc `st(id, status)` CTE: presence via join-side id
     * markers, change via null-safe fingerprint compare. */
@@ -1929,6 +1966,45 @@ object SparkEntry {
          |cov AS (SELECT DISTINCT bk.id, u.p
          |  FROM bk, unnest(generate_series(bk.w, bk.w + 11)) AS u(p)
          |  WHERE bk.occ >= 2 AND bk.rn > 1),
+         |tok AS (SELECT id, u.i - 1 AS p, toks[u.i] AS tok
+         |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
+         |kept AS (SELECT tok.id, string_agg(tok.tok, ' ' ORDER BY tok.p) AS text
+         |  FROM tok LEFT JOIN cov ON cov.id = tok.id AND cov.p = tok.p
+         |  WHERE cov.p IS NULL GROUP BY tok.id)
+         |SELECT s.id AS doc_id, coalesce(kept.text, '') AS text
+         |FROM src s LEFT JOIN kept ON kept.id = s.id
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Exact (range-merge) keep-first span removal: banned instances
+    // carry their keeper verdict; a gaps-and-islands pass merges each
+    // doc's instances into maximal ranges (break when the gap between
+    // consecutive starts exceeds the window width); a range is exempt
+    // iff EVERY window in it is a keeper (bool_and), else its whole
+    // [rs, re) cover drops — the CTE replica of the operator's
+    // higher-order range fold.
+    "q_dedup_spans_exact" ->
+      s"""WITH src AS ($OverlapDupDocs),
+         |tk AS (SELECT id, coalesce($Toks, []) AS toks FROM src),
+         |g AS (SELECT id, u.i - 1 AS w,
+         |    ${H60("array_to_string(toks[u.i:u.i+11], ' ')")} AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - 11)) AS u(i)),
+         |bw AS (SELECT id, w,
+         |    row_number() OVER (PARTITION BY gh ORDER BY id, w) = 1 AS ik,
+         |    count(*) OVER (PARTITION BY gh) AS occ
+         |  FROM g),
+         |bi AS (SELECT id, w, ik FROM bw WHERE occ >= 2),
+         |brk AS (SELECT id, w, ik,
+         |    CASE WHEN w - lag(w) OVER (PARTITION BY id ORDER BY w) <= 12
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM bi),
+         |gr AS (SELECT *, sum(brk) OVER (PARTITION BY id ORDER BY w) AS grp
+         |  FROM brk),
+         |rg AS (SELECT id, min(w) AS rs, max(w) + 12 AS re,
+         |    bool_and(ik) AS ex
+         |  FROM gr GROUP BY id, grp),
+         |cov AS (SELECT DISTINCT rg.id, u.p
+         |  FROM rg, unnest(generate_series(rg.rs, rg.re - 1)) AS u(p)
+         |  WHERE NOT ex),
          |tok AS (SELECT id, u.i - 1 AS p, toks[u.i] AS tok
          |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
          |kept AS (SELECT tok.id, string_agg(tok.tok, ' ' ORDER BY tok.p) AS text

@@ -1237,13 +1237,35 @@ object CorpusAnalysis {
     * the fixed-window approximation of the paper's suffix-range
     * removal. The ban aggregation then carries one 12-byte keeper per
     * banned hash; shuffle shape is otherwise identical.
+    *
+    * `exact = true` (with `keepFirst`) is the suffix-range form: each
+    * doc's banned windows are first MERGED into maximal covered ranges
+    * (windows overlapping or touching coalesce), and the cut decision
+    * is made per RANGE — a range survives iff EVERY window inside it
+    * is its hash's corpus-wide first occurrence, and is removed
+    * WHOLLY otherwise. Kept copies can no longer be shredded by an
+    * overlapping window whose keeper lies elsewhere, and partial
+    * remains (the lone leading token the window form leaves when its
+    * keeper window overlaps a foreign one) no longer occur — ranges
+    * are atomic, exactly the per-doc range consolidation of Lee et
+    * al.'s removal. Plan shape: the same banned aggregation, one
+    * per-doc sorted collect of (start, is-keeper), the merge as a
+    * narrow higher-order fold — no extra shuffle over the window
+    * form.
     */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 12, minCount: Int = 2, keepFirst: Boolean = false): DataFrame = {
+      n: Int = 12, minCount: Int = 2, keepFirst: Boolean = false,
+      exact: Boolean = false): DataFrame = {
     require(n >= 1, s"span width must be >= 1, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(!exact || keepFirst,
+      "removeDupSpans: exact range-merge form only changes keepFirst " +
+        "semantics — without a keeper the window cover already equals " +
+        "the merged-range cover; pass keepFirst = true")
     val base = spanScrubBase(docs, idCol, "removeDupSpans", textCol)
     val wins = spanWindows(base, n)
+    if (exact) return removeDupRangesExact(base, wins, idCol, textCol, n,
+      minCount)
     val bannedInstances =
       if (keepFirst) {
         val banned = wins
@@ -1263,6 +1285,59 @@ object CorpusAnalysis {
         wins.join(banned, Seq("gh"), "left_semi")
       }
     dropCoveredTokens(base, bannedInstances, idCol, textCol, n)
+  }
+
+  /** The `exact = true` tail of [[removeDupSpans]]: banned instances
+    * annotated with their keeper verdict, merged per doc into maximal
+    * ranges carrying the AND of the verdicts, then the range-atomic
+    * cut. The merge runs as a higher-order fold over each doc's
+    * duplication-proportional sorted start list — narrow, engine-
+    * replicable (the oracle's gaps-and-islands CTE computes the same
+    * ranges).
+    */
+  private def removeDupRangesExact(base: DataFrame, wins: DataFrame,
+      idCol: String, textCol: String, n: Int, minCount: Int): DataFrame = {
+    val banned = wins
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("w"))).as("__k"))
+      .filter(col("occ") >= minCount)
+      .select(col("gh"), col("__k"))
+    val inst = wins.join(banned, Seq("gh"))
+      .select(col("id"), col("w"),
+        (col("id") === col("__k")("id") && col("w") === col("__k")("w"))
+          .as("ik"))
+    // per-doc sorted (start, is-keeper); starts are unique per doc, so
+    // sort_array's struct order is the start order
+    val perDoc = inst.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("w"), col("ik"))))
+        .as("__wk"))
+    // maximal-range merge: touching/overlapping windows coalesce
+    // (w <= end), the range keeps the AND of its windows' verdicts
+    val emptyRanges = array().cast("array<struct<rs:int,re:int,ex:boolean>>")
+    val merged = aggregate(col("__wk"), emptyRanges, (acc, e) => {
+      val last = element_at(acc, -1)
+      val w = e("w")
+      when(size(acc) > 0 && w <= last("re"),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last("rs").as("rs"), (w + lit(n)).as("re"),
+            (last("ex") && e("ik")).as("ex")))))
+        .otherwise(concat(acc,
+          array(struct(w.as("rs"), (w + lit(n)).as("re"), e("ik").as("ex")))))
+    })
+    val cut = perDoc
+      .select(col("id"),
+        filter(merged, r => !r("ex")).as("__br"))
+      .filter(size(col("__br")) > 0)
+    base.join(cut, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        array_join(
+          filter(coalesce(TextFunctions.tokens(col("__t0")),
+            array().cast("array<string>")),
+            (_, i) => !coalesce(
+              exists(col("__br"), r => r("rs") <= i && i < r("re")),
+              lit(false))),
+          " ").as(textCol))
   }
 
   /** (id, __t0) projection shared by the span scrubs, failing loudly on

@@ -662,6 +662,55 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("removeDupSpans exact: merged ranges are atomic, keepers unshredded") {
+    import spark.implicits._
+    // two distinct banned 3-windows OVERLAP in doc 2: W1 = (a b c)
+    // first occurs in doc 2, W2 = (b c d) first occurs in doc 1. The
+    // window form shreds doc 2 down to its lone leading token (W2's
+    // non-keeper instance covers b c d); the exact form makes the
+    // merged range [a b c d] atomic — not every window in it is a
+    // keeper, so it drops wholly
+    val docs = Seq(
+      (1L, "b c d"),        // W2 keeper
+      (2L, "a b c d"),      // W1@0 keeper, W2@1 non-keeper
+      (3L, "a b c"),        // W1 non-keeper
+      (4L, "unrelated words entirely")).toDF("doc_id", "text")
+    val win = CorpusAnalysis.removeDupSpans(docs, "doc_id", "text", n = 3,
+      keepFirst = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(win(1L) == "b c d")
+    assert(win(2L) == "a", win(2L)) // the shredded keeper remain
+    assert(win(3L) == "")
+    val ex = CorpusAnalysis.removeDupSpans(docs, "doc_id", "text", n = 3,
+      keepFirst = true, exact = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ex(1L) == "b c d") // its whole range is the keeper
+    assert(ex(2L) == "", ex(2L)) // atomic range, mixed keepers → drops
+    assert(ex(3L) == "")
+    assert(ex(4L) == "unrelated words entirely")
+
+    // where no distinct banned windows overlap, exact == window form
+    val plain = Seq(
+      (1L, "pre SPAN a b c post1 tail1"),
+      (2L, "SPAN a b c post2 tail2"),
+      (3L, "totally unrelated words here"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val w2 = CorpusAnalysis.removeDupSpans(plain, "doc_id", "text", n = 3,
+      keepFirst = true).collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    val e2 = CorpusAnalysis.removeDupSpans(plain, "doc_id", "text", n = 3,
+      keepFirst = true, exact = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(w2 == e2)
+
+    // exact without keepFirst is a contract error, not a silent no-op
+    val err = intercept[IllegalArgumentException] {
+      CorpusAnalysis.removeDupSpans(plain, "doc_id", "text", n = 3,
+        exact = true)
+    }
+    assert(err.getMessage.contains("keepFirst"), err.getMessage)
+  }
+
   test("removeContaminatedSpans: only benchmark-covered tokens drop") {
     import spark.implicits._
     val bench = Seq(
