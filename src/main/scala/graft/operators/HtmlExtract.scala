@@ -71,8 +71,14 @@ object HtmlExtract {
     * order. A line's linked chars sum the visible text of its
     * `<a>…</a>` spans.
     */
+  /** `carryCols` ride through unchanged (appended after the output
+    * columns) — the passthrough a STREAMING pipeline needs to keep its
+    * event-time column across the clean stage (all projections here
+    * are narrow, so the operator composes onto streaming Datasets).
+    */
   def extractText(docs: DataFrame, idCol: String, htmlCol: String,
-      maxLinkDensity: Double = 0.5): DataFrame = {
+      maxLinkDensity: Double = 0.5,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
       s"maxLinkDensity must be in [0, 1], got $maxLinkDensity")
     val html = coalesce(col(htmlCol), lit(""))
@@ -91,14 +97,18 @@ object HtmlExtract {
     })
     val dens = (e: Column) =>
       e("ln").cast("double") <= lit(maxLinkDensity) * e("n").cast("double")
+    val carry = carryCols.map(col)
     docs
-      .select(col(idCol).cast("long").as("id"), enriched.as("__ls"))
-      .select(col("id"), filter(col("__ls"), e => e("n") > 0).as("__ne"))
-      .select(col("id"), col("__ne"),
-        filter(col("__ne"), dens).as("__kept"))
-      .select(col("id"),
-        array_join(transform(col("__kept"), e => e("t")), "\n").as("text"),
-        size(col("__ne")).cast("long").as("n_lines"),
-        size(col("__kept")).cast("long").as("n_kept"))
+      .select(col(idCol).cast("long").as("id") +: enriched.as("__ls")
+        +: carry: _*)
+      .select(col("id") +: filter(col("__ls"), e => e("n") > 0).as("__ne")
+        +: carry: _*)
+      .select(col("id") +: col("__ne") +: filter(col("__ne"), dens)
+        .as("__kept") +: carry: _*)
+      .select(col("id")
+        +: array_join(transform(col("__kept"), e => e("t")), "\n").as("text")
+        +: size(col("__ne")).cast("long").as("n_lines")
+        +: size(col("__kept")).cast("long").as("n_kept")
+        +: carry: _*)
   }
 }

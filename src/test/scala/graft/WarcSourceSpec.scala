@@ -225,6 +225,72 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("e2e stream: warc.gz drop-dir -> html -> clean -> incremental near-dedup") {
+    import spark.implicits._
+    // 30 distinct tokens; a re-crawl changing the last token alters one
+    // of 28 trigrams -> J = 27/29 ~ 0.93 >= 0.8 (the shape the batch
+    // incremental spec and ScaleSmoke use)
+    def doc(seed: String): String = (0 until 30).map(j => s"$seed$j").mkString(" ")
+    val existing = Seq((100L, doc("wa")), (101L, doc("wb")))
+      .toDF("doc_id", "text")
+    def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    def cap(uri: String, body: String, date: String): Array[Byte] =
+      gzMember((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$uri>\r\n" +
+        s"WARC-Date: $date\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${httpBlock(page(body)).length}\r\n\r\n").getBytes(UTF_8) ++
+        httpBlock(page(body)) ++ "\r\n\r\n".getBytes(UTF_8))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-neardup")
+    // batch 0: a near-dup re-crawl of corpus doc wa + a genuinely new page
+    java.nio.file.Files.write(dir.resolve("crawl-0.warc.gz"),
+      cap("http://c.test/dup", doc("wa").replaceAll("wa29$", "zz"),
+        "2024-01-01T00:00:00Z") ++
+      cap("http://c.test/new", doc("wf"), "2024-01-01T00:00:01Z"))
+    val records = spark.readStream.format("binaryFile")
+      .schema("path string, modificationTime timestamp, length long, content binary")
+      .load(dir.toString)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => WarcSource.expandWarc(p, c) }
+    val html = records.toDF()
+      .filter(col("warc_type") === "response" && col("http_status") === 200 &&
+        lower(col("http_content_type")).contains("text/html"))
+      .select(xxhash64(col("target_uri")).as("page_id"),
+        col("target_uri").as("url"),
+        col("warc_date").cast("timestamp").as("ts"),
+        col("body").cast("string").as("html"))
+    val cleaned = graft.operators.HtmlExtract
+      .extractText(html, "page_id", "html", carryCols = Seq("url", "ts"))
+    val admitted = graft.operators.Dedup
+      .streamingNearDedup(cleaned, existing, "doc_id", "text", "ts",
+        lateness = "10 minutes")
+    val q = admitted.writeStream.format("memory").queryName("warc_near")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // later crawls advance the watermark past batch 0 so the
+      // append-mode aggregation emits its decisions (one batch carries
+      // the new max event time, the next emits below the watermark)
+      java.nio.file.Files.write(dir.resolve("crawl-1.warc.gz"),
+        cap("http://c.test/new2", doc("wg"), "2024-01-01T01:00:00Z"))
+      q.processAllAvailable()
+      java.nio.file.Files.write(dir.resolve("crawl-2.warc.gz"),
+        cap("http://c.test/new3", doc("wh"), "2024-01-01T02:00:00Z"))
+      q.processAllAvailable()
+      val got = spark.table("warc_near").select("url", "text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      // batch-0 decisions are final: the re-crawl is dropped, the new
+      // page admitted with its CLEANED text (tags gone)
+      assert(got.contains("http://c.test/new"), s"got ${got.keys}")
+      assert(!got.contains("http://c.test/dup"), s"got ${got.keys}")
+      assert(got("http://c.test/new") == doc("wf"))
+      // crawl-1's page has also cleared the watermark by now
+      assert(got.contains("http://c.test/new2"), s"got ${got.keys}")
+    } finally q.stop()
+  }
+
   test("e2e: WARC -> htmlResponses -> HtmlExtract yields the page text") {
     import spark.implicits._
     val page =
