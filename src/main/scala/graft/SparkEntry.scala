@@ -386,6 +386,20 @@ object SparkEntry {
         Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8))
     }),
 
+    // keep-BEST near-dedup: same clusters, argmax-score keeper — the
+    // planted near-dup copies are one word LONGER than their originals,
+    // so with score = length the keeper flips from the min-id original
+    // (q_near_dedup's answer) to the planted copy, discriminating the
+    // policy
+    "q_near_dedup_best" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+        .withColumn("score", length(col("text")).cast("long"))
+      Dedup.nearDedupBy(docs.select(col("doc_id"), col("score")),
+        "doc_id", "score",
+        Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8))
+        .select(col("doc_id"), col("score"))
+    }),
+
     // Gopher-style within-doc repetition fractions (2- and 3-grams)
     "q_repetition" -> ((s, dir) =>
       CorpusAnalysis.repetitionScores(
@@ -731,6 +745,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
     }),
 
+    // order-3 stupid backoff: trigram → backoff·bigram →
+    // backoff²·smoothed-unigram chain, same %7 target model
+    "q_sb3_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.stupidBackoffTrigramScores(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    }),
+
     // classifier-based quality filter (NB log-odds): positive = the %7
     // planted target, negative = the rest; the oracle columns are the
     // {+,*,/}-only likelihood-ratio sums (bit-exact cross-engine);
@@ -794,6 +816,17 @@ object SparkEntry {
         .select(col("id"), col("n_words"), col("n_subwords"),
           array_join(col("bpe_tokens"), " ").as("bpe_str"))
     }),
+
+    // WordPiece greedy longest-match encoding (the second tokenizer
+    // family): fixed vocabulary with single-codepoint fallbacks minus
+    // the "##w" continuation — words with an uncovered non-initial `w`
+    // become [UNK] (whole-word, BERT's contract), and the multi-char
+    // pieces pin the longest-match preference
+    "q_wordpiece" -> ((s, dir) =>
+      operators.WordPieceTokenizer.encode(t(s, dir, "documents"),
+        "doc_id", "text", WpVocab)
+        .select(col("id"), col("n_words"), col("n_subwords"),
+          array_join(col("wp_tokens"), " ").as("wp_str"))),
 
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
@@ -1045,6 +1078,49 @@ object SparkEntry {
           col("http_status"), col("warc_date")), "id")
         .select(col("id"), col("url"), col("http_status"), col("warc_date"),
           col("text"), col("n_lines"), col("n_kept"))
+    }),
+
+    // WET sidecar round trip: the corpus texts are FRAMED as WARC 1.0
+    // conversion records (Common Crawl's pre-extracted-text format) and
+    // parsed back through WarcSource → wetTexts — the HTML-free entry
+    // point. The oracle is just the source texts plus the constant
+    // capture metadata: the conversion-record framing must round-trip
+    // byte-exactly for the text hashes to meet
+    "q_wet_extract" -> ((s, dir) => {
+      val ids = col("doc_id").cast("string")
+      val textBin = coalesce(col("text"), lit("")).cast("binary")
+      val wetHead = concat_ws("",
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:uuid:graft-wet-"),
+        ids,
+        lit(">\r\nWARC-Date: 2024-02-02T00:00:00Z\r\n" +
+          "WARC-Target-URI: http://graft.test/doc/"), ids,
+        lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        octet_length(textBin).cast("string"), lit("\r\n\r\n"))
+      val rec = concat(wetHead.cast("binary"), textBin,
+        lit("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val warcinfo = lit(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "WARC-Record-ID: <urn:uuid:graft-wet-info>\r\n" +
+        "WARC-Date: 2024-02-02T00:00:00Z\r\n" +
+        "Content-Type: application/warc-fields\r\n" +
+        "Content-Length: 22\r\n\r\nsoftware: graft-test\r\n\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val archives = t(s, dir, "documents")
+        .select(col("doc_id"), rec.as("rec"))
+        .groupBy(pmod(col("doc_id"), lit(4)).as("g"))
+        .agg(sort_array(collect_list(struct(col("doc_id").as("i"),
+          col("rec").as("r")))).as("rs"))
+        .select(
+          concat(lit("graft-wet-"), col("g").cast("string"),
+            lit(".warc")).as("path"),
+          concat(warcinfo, aggregate(col("rs"),
+            lit(Array.empty[Byte]),
+            (acc, x) => concat(acc, x("r")))).as("content"))
+      graft.sources.WarcSource
+        .wetTexts(graft.sources.WarcSource.expand(archives))
+        .toDF()
+        .select(substring_index(col("url"), "/", -1).cast("long").as("id"),
+          col("url"), col("warc_date"), col("text"),
+          length(col("text")).as("n_chars"))
     }),
 
     // C4 bad-word page filter: single- and multi-word entries over the
@@ -1377,6 +1453,20 @@ object SparkEntry {
           .cast("double").as("elev"))
     })
   )
+
+  /** Fixed WordPiece vocabulary shared by q_wordpiece's two sides:
+    * single codepoints in both positions EXCEPT the continuation
+    * `##w` (words with a non-initial `w` not covered by a longer
+    * piece — "slow", "row" — become [UNK]), plus multi-char pieces
+    * pinning the longest-match preference ("table" beats tab+##le).
+    */
+  private lazy val WpVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++
+      ('a' to 'z').filter(_ != 'w').map("##" + _) ++
+      Seq("table", "tab", "##le", "win", "##dow", "val", "##ue", "sc", "##an")
+
+  private lazy val WpVocabSql: String =
+    WpVocab.map(v => s"'$v'").mkString("[", ", ", "]")
 
   // ---- DuckDB oracles ------------------------------------------------
 
@@ -2398,6 +2488,59 @@ object SparkEntry {
          |      FROM p GROUP BY id)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // order-3 stupid backoff: the trigram chain in the same IEEE op
+    // order (trigram ratio; else 0.4·bigram ratio; else 0.4·(0.4·
+    // smoothed unigram)), folded per doc in position order — bit-exact
+    "q_sb3_score" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |g AS (SELECT id, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |      i -> {'pos': i, 'tch': ${H60("toks[i] || ' ' || toks[i+1]")},
+         |            'th': ${H60("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")},
+         |            'ch': ${H60("toks[i+1]")},
+         |            'bh': ${H60("toks[i+1] || ' ' || toks[i+2]")},
+         |            'wh': ${H60("toks[i+2]")}})
+         |    ELSE [] END) AS u FROM tk),
+         |r AS (SELECT id, u.pos AS pos, u.tch AS tch, u.th AS th,
+         |             u.ch AS ch, u.bh AS bh, u.wh AS wh FROM g),
+         |ct AS (SELECT th, tch, CAST(count(*) AS BIGINT) AS cnt3
+         |       FROM r WHERE id % 7 = 0 GROUP BY th, tch),
+         |ctc AS (SELECT tch, CAST(sum(cnt3) AS BIGINT) AS ctx3
+         |        FROM ct GROUP BY tch),
+         |cb AS (SELECT ${H60("toks[i] || ' ' || toks[i+1]")} AS bh,
+         |              ${H60("toks[i]")} AS ch,
+         |              CAST(count(*) AS BIGINT) AS cnt
+         |       FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i,
+         |               toks FROM tk WHERE id % 7 = 0 AND len(toks) >= 2)
+         |       GROUP BY 1, 2),
+         |cc AS (SELECT ch, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         |       FROM cb GROUP BY ch),
+         |un AS (SELECT ${H60("tok")} AS wh, CAST(count(*) AS BIGINT) AS u_cnt
+         |       FROM (SELECT unnest(toks) AS tok FROM tk WHERE id % 7 = 0)
+         |       GROUP BY wh),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |              greatest(1, count(DISTINCT tok)) AS vc
+         |       FROM (SELECT unnest(toks) AS tok FROM tk WHERE id % 7 = 0)),
+         |p AS (SELECT r.id, r.pos,
+         |      CASE WHEN ct.cnt3 IS NOT NULL
+         |        THEN CAST(ct.cnt3 AS DOUBLE) / ctc.ctx3
+         |        ELSE 0.4e0 * (CASE WHEN cb.cnt IS NOT NULL
+         |          THEN CAST(cb.cnt AS DOUBLE) / cc.ctx_cnt
+         |          ELSE 0.4e0 * ((coalesce(un.u_cnt, 0) + 1.0e0) /
+         |            (CAST(nn AS DOUBLE) + 1.0e0 * vc)) END) END AS s
+         |      FROM r LEFT JOIN ct ON r.th = ct.th AND r.tch = ct.tch
+         |             LEFT JOIN ctc ON r.tch = ctc.tch
+         |             LEFT JOIN cb ON r.bh = cb.bh AND r.ch = cb.ch
+         |             LEFT JOIN cc ON r.ch = cc.ch
+         |             LEFT JOIN un ON r.wh = un.wh
+         |             CROSS JOIN nv)
+         |SELECT id, n_trigrams, sum_score, sum_score / n_trigrams AS avg_score
+         |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(s ORDER BY pos, s)), (a, b) -> a + b) AS sum_score
+         |      FROM p GROUP BY id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     // NB quality classifier: per-class counts keyed by the SAME md5-60
     // hash (identical collision behavior), V = distinct token STRINGS
     // over both classes (as Spark counts it); r_t is two smoothed
@@ -2505,6 +2648,57 @@ object SparkEntry {
          |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_words,
          |    CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
          |    flatten(list(syms ORDER BY pos)) AS toklists
+         |  FROM jn GROUP BY id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // WordPiece: the greedy longest-match loop replayed as a recursive
+    // CTE over the distinct-word table — each step takes the LARGEST
+    // end whose piece (## -prefixed when non-initial) is in the shared
+    // vocabulary literal; a step with no match marks the word failed
+    // -> [UNK] whole-word
+    "q_wordpiece" ->
+      s"""WITH RECURSIVE
+         |wv AS (SELECT $WpVocabSql AS vocab),
+         |wrds AS (SELECT DISTINCT unnest(toks) AS word
+         |  FROM (SELECT $Toks AS toks FROM documents)),
+         |enc AS (
+         |  SELECT word, 0 AS start, CAST([] AS VARCHAR[]) AS pieces,
+         |    false AS failed
+         |  FROM wrds
+         |  UNION ALL
+         |  SELECT word,
+         |    CASE WHEN m IS NULL THEN len(word) ELSE m END AS start,
+         |    CASE WHEN m IS NULL THEN pieces
+         |         ELSE list_append(pieces,
+         |           CASE WHEN start = 0 THEN substring(word, 1, m)
+         |                ELSE '##' || substring(word, start + 1, m - start)
+         |           END) END AS pieces,
+         |    m IS NULL AS failed
+         |  FROM (
+         |    SELECT e.word, e.start, e.pieces,
+         |      list_filter(list_reverse(range(e.start + 1, len(e.word) + 1)),
+         |        x -> list_contains(vocab,
+         |          CASE WHEN e.start = 0 THEN substring(e.word, 1, x)
+         |               ELSE '##' || substring(e.word, e.start + 1, x - e.start)
+         |          END))[1] AS m
+         |    FROM enc e CROSS JOIN wv
+         |    WHERE e.start < len(e.word) AND NOT e.failed)),
+         |wtab AS (
+         |  SELECT word,
+         |    CASE WHEN failed THEN ['[UNK]'] ELSE pieces END AS pieces
+         |  FROM enc WHERE start = len(word)),
+         |tkd AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |dt AS (SELECT id, u.pos AS pos, u.w AS w
+         |  FROM (SELECT id, unnest(list_transform(
+         |      generate_series(1, len(toks)),
+         |      j -> {'pos': j, 'w': toks[j]})) AS u FROM tkd)),
+         |jn AS (SELECT dt.id, dt.pos, wtab.pieces
+         |  FROM dt JOIN wtab ON dt.w = wtab.word)
+         |SELECT id, n_words, n_subwords,
+         |  array_to_string(toklists, ' ') AS wp_str
+         |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(len(pieces)) AS BIGINT) AS n_subwords,
+         |    flatten(list(pieces ORDER BY pos)) AS toklists
          |  FROM jn GROUP BY id)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
@@ -2686,6 +2880,27 @@ object SparkEntry {
          |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
          |SELECT id AS doc_id FROM reach GROUP BY id
          |HAVING id = min(r) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // keep-best near-dedup: same closure, keeper = argmax(len, min id)
+    // per component via the window replica of the declarative argmax
+    "q_near_dedup_best" ->
+      s"""WITH RECURSIVE ${MinhashPairsCtes(NearDupDocs)},
+         |prs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT a AS s, b AS d FROM prs
+         |  UNION ALL
+         |  SELECT b, a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM all_docs
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+         |clu AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |sc AS (SELECT c.id, c.cluster, CAST(len(d.text) AS BIGINT) AS score
+         |  FROM clu c JOIN all_docs d ON c.id = d.id),
+         |w AS (SELECT id, score, row_number() OVER
+         |  (PARTITION BY cluster ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT id AS doc_id, score FROM w WHERE rn = 1
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Gopher-style repetition fractions: per (doc, n) gram counts, then
     // a conditional-aggregate pivot — same two keyed aggregations as
@@ -3404,6 +3619,18 @@ object SparkEntry {
          |  CAST(len(ne) AS BIGINT) AS n_lines,
          |  CAST(len(kept) AS BIGINT) AS n_kept
          |FROM k ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // WET round trip: the Spark side frames the corpus texts as
+    // conversion records and parses them back, so the oracle is the
+    // source text plus the constant-per-doc capture metadata — any
+    // framing/parse bug breaks the text hash or the url/date rows
+    "q_wet_extract" ->
+      raw"""SELECT doc_id AS id,
+         |  'http://graft.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         |  '2024-02-02T00:00:00Z' AS warc_date,
+         |  coalesce(text, '') AS text,
+         |  CAST(len(coalesce(text, '')) AS INTEGER) AS n_chars
+         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Bad-word filter: lowercased tokens; 1-word entries intersect the
     // distinct token list, 2-word entries intersect the adjacent-bigram

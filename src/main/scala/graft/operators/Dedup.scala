@@ -915,6 +915,36 @@ object Dedup {
     docs.join(keepers, docs(idCol) === keepers("id"), "leftsemi")
   }
 
+  /** Near-dup dedup keeping the BEST doc per cluster by a quality
+    * score (argmax `scoreCol`, ties → smallest id) instead of the
+    * smallest id — the keep-best-quality policy web-corpus builds
+    * apply once a quality signal exists (keep the longest/cleanest
+    * copy, not the numerically-first crawl). Cluster membership is
+    * identical to [[nearDedup]]'s; only the keeper rule changes.
+    *
+    * Shape: the graph-sized clusters table joins the corpus once, the
+    * per-cluster argmax is the DECLARATIVE `max(struct(score, -id))`
+    * ([[TopK.max1PerQuery]]'s shape — safe at corpus-cardinality
+    * group counts, never ObjectHashAggregate's sort fallback), and
+    * one semi-join keeps the winners. Null scores lose to any
+    * non-null score (struct ordering puts nulls first).
+    */
+  def nearDedupBy(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, maxIter: Int = 20,
+      useStar: Boolean = false): DataFrame = {
+    val clusters =
+      if (useStar) nearDupClustersStar(docs, idCol, pairs, maxIter)
+      else nearDupClusters(docs, idCol, pairs, maxIter)
+    val keepers = docs
+      .select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score"))
+      .join(clusters, Seq("id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("__score").as("s"), (-col("id")).as("negId")))
+        .as("__w"))
+      .select((-col("__w.negId")).as("id"))
+    docs.join(keepers, docs(idCol) === keepers("id"), "leftsemi")
+  }
+
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // materialize the pair pipeline ONCE before symmetrizing — a union

@@ -119,6 +119,99 @@ object LanguageModel {
         (col("sum_score") / col("n_bigrams")).as("avg_score"))
   }
 
+  /** Per-row trigram projection: positions 3..n as (id, pos,
+    * tri_ctx_hash = md5-60(w_{i-2} + " " + w_{i-1}), tri_hash =
+    * md5-60(w_{i-2} w_{i-1} w_i)) plus the bigram/unigram hashes the
+    * backoff chain needs. Docs with fewer than three tokens produce no
+    * rows. Narrow (no shuffle).
+    */
+  private def trigramRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(zip_with(
+          zip_with(
+            slice(toks, lit(1), greatest(size(toks) - 2, lit(0))),
+            slice(toks, lit(2), greatest(size(toks) - 2, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b"))),
+          slice(toks, lit(3), greatest(size(toks) - 2, lit(0))),
+          (ab, c) => struct(ab("a").as("a"), ab("b").as("b"), c.as("c")))))
+      .select(col("id"), (col("pos") + 2).as("pos"),
+        TextFunctions.md5Hash60(
+          concat(col("col.a"), lit(" "), col("col.b"))).as("tri_ctx_hash"),
+        TextFunctions.md5Hash60(concat(col("col.a"), lit(" "), col("col.b"),
+          lit(" "), col("col.c"))).as("tri_hash"),
+        TextFunctions.md5Hash60(col("col.b")).as("ctx_hash"),
+        TextFunctions.md5Hash60(
+          concat(col("col.b"), lit(" "), col("col.c"))).as("big_hash"),
+        TextFunctions.md5Hash60(col("col.c")).as("w_hash"))
+  }
+
+  /** Trigram count table from the target corpus:
+    * (tri_hash, tri_ctx_hash, cnt3). */
+  def trigramCounts(target: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    trigramRows(target, idCol, textCol)
+      .groupBy(col("tri_hash"), col("tri_ctx_hash"))
+      .agg(count(lit(1)).as("cnt3"))
+
+  /** Order-3 stupid backoff (Brants et al. 2007 §4, the chain the
+    * paper actually runs at depth): S(w|ab) = f(abw)/f(ab·) when the
+    * trigram was seen, else backoff · f(bw)/f(b·) when the bigram was,
+    * else backoff² · (f(w)+α)/(N+α·V). Same estimator family as
+    * [[stupidBackoffScores]] one order deeper — still one counting
+    * pass per order, still {+,*,/} over integer-exact counts only
+    * (bit-exact cross-engine, q_sb3_score), still unnormalized.
+    *
+    * Scale shape: three count tables (trigram, bigram, unigram — each
+    * vocabulary/corpus-n-gram sized, AQE broadcasts small models)
+    * joined on 8-byte hashes with SAME-KEY joins adjacent (the
+    * Moore–Lewis exchange-reuse lesson), then ONE per-doc
+    * position-ordered fold. Docs with fewer than three tokens are
+    * excluded.
+    */
+  def stupidBackoffTrigramScores(docs: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, backoff: Double = 0.4,
+      alpha: Double = 1.0): DataFrame = {
+    require(backoff > 0.0 && backoff <= 1.0,
+      s"backoff in (0,1], got $backoff")
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    TopK.requireIntegral(docs, idCol, "stupidBackoffTrigramScores")
+    val trigrams = trigramCounts(target, idCol, textCol)
+    val triContexts = trigrams.groupBy(col("tri_ctx_hash"))
+      .agg(sum(col("cnt3")).as("ctx3"))
+    val bigrams = bigramCounts(target, idCol, textCol)
+    val contexts = bigrams.groupBy(col("ctx_hash"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    val unigrams = target
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(TextFunctions.md5Hash60(col("t")).as("w_hash"))
+      .agg(count(lit(1)).as("u_cnt"))
+    val nv = target
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .agg(count(lit(1)), countDistinct(col("t"))).collect()(0)
+    val uniDenom = nv.getLong(0).toDouble + alpha * math.max(1L, nv.getLong(1))
+    val s = when(col("cnt3").isNotNull, col("cnt3") / col("ctx3"))
+      .otherwise(lit(backoff) *
+        when(col("cnt").isNotNull, col("cnt") / col("ctx_cnt"))
+          .otherwise(lit(backoff) *
+            ((coalesce(col("u_cnt"), lit(0L)) + lit(alpha)) / lit(uniDenom))))
+    trigramRows(docs, idCol, textCol)
+      .join(trigrams, Seq("tri_hash", "tri_ctx_hash"), "left")
+      .join(triContexts, Seq("tri_ctx_hash"), "left")
+      .join(bigrams, Seq("big_hash", "ctx_hash"), "left")
+      .join(contexts, Seq("ctx_hash"), "left")
+      .join(unigrams, Seq("w_hash"), "left")
+      .select(col("id"), col("pos"), s.as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("s")))),
+          lit(0.0), (acc, x) => acc + x("s")).as("sum_score"))
+      .select(col("id"), col("n_trigrams"), col("sum_score"),
+        (col("sum_score") / col("n_trigrams")).as("avg_score"))
+  }
+
   /** Moore–Lewis contrastive selection (Moore & Lewis 2010,
     * "Intelligent Selection of Language Model Training Data"): score
     * every doc under TWO bigram LMs — one trained on the in-domain

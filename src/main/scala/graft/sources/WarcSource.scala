@@ -44,6 +44,18 @@ final case class WarcHtml(
     html: String
 )
 
+/** A decoded WET conversion record — pre-extracted page text, the
+  * handoff row straight into the cleaning/dedup pipeline (no HTML
+  * stage needed).
+  */
+final case class WetText(
+    warc_path: String,
+    record_seq: Int,
+    url: String,
+    warc_date: String,
+    text: String
+)
+
 /** Raw-crawl WARC source — the entry point a web-scale corpus build
   * starts from (Common Crawl publishes its captures as gzipped WARC;
   * the full pipeline is WARC → HTML → text → clean → dedup → select →
@@ -142,6 +154,24 @@ object WarcSource {
       .map(r => WarcHtml(r.warc_path, r.record_seq, r.target_uri,
         r.warc_date, r.http_status,
         new String(r.body, StandardCharsets.UTF_8)))
+  }
+
+  /** WET extracted-text records, decoded for the text pipeline.
+    * Common Crawl's WET sidecar files are ordinary WARC archives whose
+    * payload records are `WARC-Type: conversion` with a `text/plain`
+    * block (the crawl's own HTML→text extraction) — reading them
+    * skips the HTML stage entirely, so a corpus build can start one
+    * step further downstream: `wetTexts(read(spark, wetDir)).toDF`
+    * feeds `c4Clean`/`gopherRules`/dedup directly. Decoding is the
+    * same deterministic lossy UTF-8 as [[htmlResponses]].
+    */
+  def wetTexts(recs: Dataset[WarcRecord]): Dataset[WetText] = {
+    import recs.sparkSession.implicits._
+    recs
+      .filter(r => r.warc_type == "conversion" &&
+        r.content_type.toLowerCase.startsWith("text/plain"))
+      .map(r => WetText(r.warc_path, r.record_seq, r.target_uri,
+        r.warc_date, new String(r.body, StandardCharsets.UTF_8)))
   }
 
   /** Lazily walk one WARC stream. Leading blank lines before a record

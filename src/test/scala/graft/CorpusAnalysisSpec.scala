@@ -80,6 +80,34 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 10L, 20L))
   }
 
+  test("nearDedupBy keeps the argmax-score doc per cluster, min id on ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // chain cluster: 2 and 3 tie -> 2
+      (10L, 1.0), (11L, 7.0),          // pair cluster: 11 wins
+      (20L, 0.0)                       // singleton keeps itself
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = Dedup.nearDedupBy(docs, "doc_id", "score", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 11L, 20L))
+    // same graph, min-id policy would keep {1, 10, 20} — the policies
+    // genuinely diverge on this fixture
+    val minId = Dedup.nearDedup(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 10L, 20L))
+    // star-CC variant agrees
+    val keptStar = Dedup.nearDedupBy(docs, "doc_id", "score", pairs,
+      useStar = true).collect().map(_.getLong(0)).toSet
+    assert(keptStar == kept)
+    // null scores lose to any non-null score
+    val docsN = Seq((1L, Option(5.0)), (2L, None: Option[Double]))
+      .toDF("doc_id", "score")
+    val keptN = Dedup.nearDedupBy(docsN, "doc_id", "score",
+      Seq((1L, 2L)).toDF("a", "b")).collect().map(_.getLong(0)).toSet
+    assert(keptN == Set(1L))
+  }
+
   test("nearDupClusters: a long chain converges (multi-iteration propagation)") {
     import spark.implicits._
     // 0-1-2-...-9: diameter 9 forces several propagation rounds

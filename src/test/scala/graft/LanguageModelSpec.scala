@@ -159,6 +159,60 @@ class LanguageModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._3 > got(3L)._3)
   }
 
+  test("stupidBackoffTrigramScores matches an in-memory reference") {
+    val tgt = Seq("the quick brown fox jumps", "the quick red fox sleeps")
+    val target = docsDf(tgt.zipWithIndex.map {
+      case (t, i) => (10L + i, t)
+    }: _*)
+    val raw = docsDf(
+      (1L, "the quick brown fox"),  // both trigrams seen
+      (2L, "the quick green fox"),  // tri unseen, "quick green" big unseen
+      (3L, "quick red fox sleeps"), // all trigrams seen
+      (4L, "a b"))                  // <3 tokens: excluded
+    def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val tri = tgt.flatMap(t => toks(t).sliding(3).map(g => (g(0), g(1), g(2))))
+    val cTri = tri.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cTriCtx = tri.groupBy(g => (g._1, g._2))
+      .map { case (k, v) => k -> v.size }
+    val bi = tgt.flatMap(t => toks(t).sliding(2).map(p => (p(0), p(1))))
+    val cBig = bi.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cCtx = bi.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val uni = tgt.flatMap(toks).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val n = tgt.flatMap(toks).size
+    val v = tgt.flatMap(toks).toSet.size
+    def s(a: String, b: String, w: String) =
+      if (cTri.getOrElse((a, b, w), 0) > 0)
+        cTri((a, b, w)).toDouble / cTriCtx((a, b))
+      else if (cBig.getOrElse((b, w), 0) > 0)
+        0.4 * (cBig((b, w)).toDouble / cCtx(b))
+      else 0.4 * (0.4 * ((uni.getOrElse(w, 0) + 1.0) / (n.toDouble + 1.0 * v)))
+    val expected = Map(
+      1L -> toks("the quick brown fox").sliding(3)
+        .map(g => s(g(0), g(1), g(2))).sum,
+      2L -> toks("the quick green fox").sliding(3)
+        .map(g => s(g(0), g(1), g(2))).sum,
+      3L -> toks("quick red fox sleeps").sliding(3)
+        .map(g => s(g(0), g(1), g(2))).sum)
+    val got = LanguageModel.stupidBackoffTrigramScores(raw, target,
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet) // doc 4 excluded
+    for ((id, want) <- expected)
+      assert(math.abs(got(id)._2 - want) < 1e-12,
+        s"doc $id: ${got(id)._2} vs $want")
+    // the trigram chain discriminates harder than the bigram one:
+    // fully-seen docs score pure count ratios
+    assert(got(1L)._1 == 2L && got(3L)._1 == 2L)
+    assert(got(1L)._3 > got(2L)._3)
+    // bit-exact under repartitioning (ordered fold)
+    val re = LanguageModel.stupidBackoffTrigramScores(raw.repartition(7),
+      target.repartition(5), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == got.map { case (k, x) => k -> x._2 })
+  }
+
   test("bigramLmScores: empty target stays finite, deterministic across partitionings") {
     val raw = docsDf((1L, "a b c"), (2L, "x y"))
     val empty = docsDf()

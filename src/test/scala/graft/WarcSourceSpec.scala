@@ -95,6 +95,30 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(html(0).html == "<p>keep</p>")
   }
 
+  test("wetTexts decodes conversion records only, lossy UTF-8") {
+    import spark.implicits._
+    val txt = "Pre-extracted page text.\nSecond line — naïve café."
+    val bytes = warcinfo ++
+      record("conversion", "http://a.test/wet", txt.getBytes(UTF_8),
+        cType = "text/plain") ++
+      record("response", "http://a.test/html", httpBlock("<p>html</p>")) ++
+      record("conversion", "http://a.test/json",
+        """{"k":1}""".getBytes(UTF_8), cType = "application/json")
+    val ds = spark.createDataset(Seq(("w.wet", bytes))).toDF("path", "content")
+    val wet = WarcSource.wetTexts(WarcSource.expand(ds)).collect()
+    // only the text/plain conversion record survives; the html response
+    // and non-plain conversion are excluded
+    assert(wet.map(_.url).toSeq == Seq("http://a.test/wet"))
+    assert(wet(0).text == txt)
+    assert(wet(0).warc_date == "2024-01-01T00:00:00Z")
+    // malformed bytes decode lossily to U+FFFD, never throw
+    val bad = warcinfo ++ record("conversion", "http://a.test/bad",
+      Array[Byte]('o', 'k', 0xFF.toByte), cType = "text/plain")
+    val ds2 = spark.createDataset(Seq(("b.wet", bad))).toDF("path", "content")
+    val wet2 = WarcSource.wetTexts(WarcSource.expand(ds2)).collect()
+    assert(wet2(0).text == "ok�")
+  }
+
   test("gzipped member-per-record WARC reads through the file API") {
     val html = "<html><body><p>Gzip capture body.</p></body></html>"
     // Common Crawl layout: each record its own gzip member, concatenated
