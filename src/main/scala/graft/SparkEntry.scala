@@ -753,6 +753,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
     }),
 
+    // interpolated Kneser–Ney: discounted bigram mass redistributed by
+    // CONTINUATION counts, same %7 target model — all count ratios,
+    // bit-exact
+    "q_kn_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.kneserNeyScores(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    }),
+
     // classifier-based quality filter (NB log-odds): positive = the %7
     // planted target, negative = the rest; the oracle columns are the
     // {+,*,/}-only likelihood-ratio sums (bit-exact cross-engine);
@@ -2538,6 +2547,49 @@ object SparkEntry {
          |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams,
          |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |          list(s ORDER BY pos, s)), (a, b) -> a + b) AS sum_score
+         |      FROM p GROUP BY id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // interpolated Kneser–Ney: (ctx, word)-keyed counts so the context
+    // aggregation's row count IS N1+(c·); continuation counts from the
+    // word side; identical IEEE op order (discounted ratio + (D·N1f/
+    // ctx)·pcont, backoff = pcont), position-ordered fold — bit-exact
+    "q_kn_score" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |g AS (SELECT id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'pos': i, 'ch': ${H60("toks[i]")},
+         |            'wh': ${H60("toks[i+1]")}})
+         |    ELSE [] END) AS u FROM tk),
+         |r AS (SELECT id, u.pos AS pos, u.ch AS ch, u.wh AS wh FROM g),
+         |cb AS (SELECT ch, wh, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM r WHERE id % 7 = 0 GROUP BY ch, wh),
+         |cc AS (SELECT ch, CAST(sum(cnt) AS BIGINT) AS ctx_cnt,
+         |              CAST(count(*) AS BIGINT) AS n1f
+         |       FROM cb GROUP BY ch),
+         |cw AS (SELECT wh, CAST(count(*) AS BIGINT) AS n1b
+         |       FROM cb GROUP BY wh),
+         |bv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cb) AS bcnt,
+         |              (SELECT greatest(1, count(DISTINCT tok))
+         |               FROM (SELECT unnest(toks) AS tok FROM tk
+         |                     WHERE id % 7 = 0)) AS vc),
+         |p AS (SELECT r.id, r.pos,
+         |      CASE WHEN cc.ctx_cnt IS NOT NULL
+         |        THEN greatest(coalesce(cb.cnt, 0) - 0.75e0, 0.0e0)
+         |               / cc.ctx_cnt
+         |             + (0.75e0 * cc.n1f / cc.ctx_cnt) *
+         |               ((coalesce(cw.n1b, 0) + 1.0e0) /
+         |                (CAST(bcnt AS DOUBLE) + 1.0e0 * vc))
+         |        ELSE (coalesce(cw.n1b, 0) + 1.0e0) /
+         |             (CAST(bcnt AS DOUBLE) + 1.0e0 * vc) END AS p
+         |      FROM r LEFT JOIN cb ON r.ch = cb.ch AND r.wh = cb.wh
+         |             LEFT JOIN cc ON r.ch = cc.ch
+         |             LEFT JOIN cw ON r.wh = cw.wh
+         |             CROSS JOIN bv)
+         |SELECT id, n_bigrams, sum_p, sum_p / n_bigrams AS avg_p
+         |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(p ORDER BY pos, p)), (a, b) -> a + b) AS sum_p
          |      FROM p GROUP BY id)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -119,6 +119,69 @@ object LanguageModel {
         (col("sum_score") / col("n_bigrams")).as("avg_score"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 §2.7 — the smoothing
+    * that n-gram LM toolkits ship as the default): p(w|c) =
+    * max(c(cw)−D, 0)/c(c) + D·N1+(c·)/c(c) · p_cont(w), where
+    * N1+(c·) is the number of DISTINCT words following c and
+    * p_cont(w) = (N1+(·w)+α)/(B+α·V) is the add-α-smoothed
+    * CONTINUATION probability (N1+(·w) = distinct contexts preceding
+    * w, B = distinct bigrams) — "how many contexts does w complete",
+    * the correction that makes "Francisco" unlikely outside "San".
+    * An unseen context backs off to p_cont(w) directly. D defaults to
+    * 3/4 (exactly representable); every value is {+,*,/} over
+    * integer-exact counts — the whole row is bit-exact cross-engine
+    * (q_kn_score), no transcendental anywhere. Scores ARE
+    * probabilities (each conditional sums to 1 over the vocabulary
+    * pre-smoothing); `ln`/perplexity is left to the caller, same
+    * contract as [[bigramLmScores]].
+    *
+    * Scale shape: three count tables — bigram (ctx, word), context
+    * (with its distinct-successor count, free in the same
+    * aggregation), and word-continuation — joined on 8-byte hashes,
+    * two bounded scalar collects (B, V), one per-doc position-ordered
+    * fold. Docs with fewer than two tokens are excluded.
+    */
+  def kneserNeyScores(docs: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, discount: Double = 0.75,
+      alpha: Double = 1.0): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount in (0,1), got $discount")
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    TopK.requireIntegral(docs, idCol, "kneserNeyScores")
+    // (ctx_hash, w_hash) keyed counts: one distinct-bigram row each,
+    // so the context table's row count per ctx IS N1+(c·)
+    val cb = bigramRows(target, idCol, textCol)
+      .groupBy(col("ctx_hash"), col("w_hash"))
+      .agg(count(lit(1)).as("cnt"))
+    val cc = cb.groupBy(col("ctx_hash"))
+      .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("n1f"))
+    val cw = cb.groupBy(col("w_hash"))
+      .agg(count(lit(1)).as("n1b"))
+    val bCnt = cb.count()
+    val vocab = math.max(1L, target
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0))
+    val bDenom = bCnt.toDouble + alpha * vocab
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(alpha)) / lit(bDenom)
+    val p = when(col("ctx_cnt").isNotNull,
+      greatest(coalesce(col("cnt"), lit(0L)) - lit(discount), lit(0.0)) /
+        col("ctx_cnt") +
+        (lit(discount) * col("n1f") / col("ctx_cnt")) * pcont)
+      .otherwise(pcont)
+    bigramRows(docs, idCol, textCol)
+      .join(cb, Seq("ctx_hash", "w_hash"), "left")
+      .join(cc, Seq("ctx_hash"), "left")
+      .join(cw, Seq("w_hash"), "left")
+      .select(col("id"), col("pos"), p.as("p"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x("p")).as("sum_p"))
+      .select(col("id"), col("n_bigrams"), col("sum_p"),
+        (col("sum_p") / col("n_bigrams")).as("avg_p"))
+  }
+
   /** Per-row trigram projection: positions 3..n as (id, pos,
     * tri_ctx_hash = md5-60(w_{i-2} + " " + w_{i-1}), tri_hash =
     * md5-60(w_{i-2} w_{i-1} w_i)) plus the bigram/unigram hashes the

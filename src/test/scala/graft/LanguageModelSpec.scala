@@ -213,6 +213,57 @@ class LanguageModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re == got.map { case (k, x) => k -> x._2 })
   }
 
+  test("kneserNeyScores matches an in-memory reference") {
+    val tgt = Seq("san francisco is foggy", "san jose is sunny",
+      "the bay is foggy")
+    val target = docsDf(tgt.zipWithIndex.map {
+      case (t, i) => (10L + i, t)
+    }: _*)
+    val raw = docsDf(
+      (1L, "san francisco is sunny"), // seen bigrams + cross combo
+      (2L, "jose francisco"),         // ctx seen, bigram unseen
+      (3L, "zebra francisco"),        // ctx unseen -> pure continuation
+      (4L, "one"))                    // <2 tokens: excluded
+    def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val bi = tgt.flatMap(t => toks(t).sliding(2).map(p => (p(0), p(1))))
+    val cBig = bi.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cCtx = bi.groupBy(_._1).map { case (k, v) => k -> v.map(_ => 1).sum }
+    val n1f = cBig.keys.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n1b = cBig.keys.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val b = cBig.size
+    val v = tgt.flatMap(toks).toSet.size
+    val d = 0.75
+    def pcont(w: String) =
+      (n1b.getOrElse(w, 0) + 1.0) / (b.toDouble + 1.0 * v)
+    def p(c: String, w: String) =
+      if (cCtx.contains(c))
+        math.max(cBig.getOrElse((c, w), 0) - d, 0.0) / cCtx(c) +
+          (d * n1f(c) / cCtx(c)) * pcont(w)
+      else pcont(w)
+    val expected = Map(
+      1L -> toks("san francisco is sunny").sliding(2)
+        .map(g => p(g(0), g(1))).sum,
+      2L -> p("jose", "francisco"),
+      3L -> p("zebra", "francisco"))
+    val got = LanguageModel.kneserNeyScores(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, want) <- expected)
+      assert(math.abs(got(id)._2 - want) < 1e-12,
+        s"doc $id: ${got(id)._2} vs $want")
+    // the KN effect this fixture encodes: "francisco" completes only
+    // ONE context (san), "is" completes three — continuation counts,
+    // not unigram frequency, drive the backoff mass
+    assert(n1b("francisco") == 1 && n1b("is") == 3)
+    assert(got.values.forall(_._2 > 0.0))
+    // bit-exact under repartitioning (ordered fold)
+    val re = LanguageModel.kneserNeyScores(raw.repartition(7),
+      target.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == got.map { case (k, x) => k -> x._2 })
+  }
+
   test("bigramLmScores: empty target stays finite, deterministic across partitionings") {
     val raw = docsDf((1L, "a b c"), (2L, "x y"))
     val empty = docsDf()
