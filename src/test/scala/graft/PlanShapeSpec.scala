@@ -385,6 +385,67 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scPlan.contains("rangepartitioning"), scPlan)
   }
 
+  test("round-10 operators: equi-joins, no text shuffle keys, declarative argmax") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // WordPiece encode: the corpus side shuffles (id, pos, hash) rows
+    // only — the raw doc text must never be a shuffle key (the
+    // distinct-WORD table may shuffle short word strings; that table
+    // is vocabulary-sized, not corpus-sized)
+    val vocab = ('a' to 'z').map(_.toString) ++ ('a' to 'z').map("##" + _)
+    val wp = graft.operators.WordPieceTokenizer.encode(
+      docs, "doc_id", "text", vocab)
+    wp.collect()
+    val wpPlan = wp.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!wpPlan.contains("BroadcastNestedLoopJoin") &&
+      !wpPlan.contains("CartesianProduct"),
+      s"WordPiece encode must use equi-joins only:\n$wpPlan")
+    val wpTextKeys = wpPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(wpTextKeys == 0,
+      s"WordPiece encode must not shuffle on raw text:\n$wpPlan")
+
+    // trigram stupid backoff + Kneser-Ney: count tables join on 8-byte
+    // hashes — equi-joins only, no raw-text shuffle keys (the
+    // mooreLewis contract one order deeper)
+    for ((name, df) <- Seq(
+      "stupidBackoffTrigramScores" ->
+        graft.operators.LanguageModel.stupidBackoffTrigramScores(
+          docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text"),
+      "kneserNeyScores" ->
+        graft.operators.LanguageModel.kneserNeyScores(
+          docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text"))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name must use equi-joins only:\n$plan")
+      val textKeys = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("text#"))
+      assert(textKeys == 0, s"$name must not shuffle on raw text:\n$plan")
+    }
+
+    // nearDedupBy: the per-cluster argmax must stay the DECLARATIVE
+    // max(struct(...)) — hash/sort aggregate, never ObjectHashAggregate
+    // (whose bucket-count fallback cliffs at corpus-sized cluster
+    // counts) and never a Window sort
+    import spark.implicits._
+    val scored = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("score"))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val nb = Dedup.nearDedupBy(scored, "doc_id", "score", pairs)
+    nb.collect()
+    val nbPlan = nb.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!nbPlan.contains("ObjectHashAggregate"),
+      s"nearDedupBy argmax must be declarative (no typed agg):\n$nbPlan")
+    assert(!nbPlan.contains("Window"),
+      s"nearDedupBy must not window-sort:\n$nbPlan")
+  }
+
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
     val q = SparkEntry.queries("q1_agg")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
