@@ -642,6 +642,26 @@ object SparkEntry {
         k = 5)
     }),
 
+    // Hybrid retrieval via reciprocal-rank fusion: the bit-exact BM25
+    // (rational idf) and integer-quantized exact-kNN rankings at depth
+    // 10, fused with 1/(60+rank) in fixed ranker order — scores, ranks
+    // and tie-breaks all replicate in DuckDB
+    "q_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+            .as("qtext"))
+      val lexical = Retrieval.bm25TopK(docs, q, "doc_id", "text",
+        "query_id", "qtext", k = 10, rationalIdf = true)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("embedding"))
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      Retrieval.reciprocalRankFusion(Seq(lexical, dense), k = 5)
+    }),
+
     // DSIR hashed n-gram features (the integer substrate of importance
     // resampling): unigram+bigram md5-60 hashes mod 1000 buckets
     "q_dsir_feats" -> ((s, dir) =>
@@ -2263,6 +2283,82 @@ object SparkEntry {
          |  FROM agg)
          |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Reciprocal-rank fusion of the two bit-exact rankers above at
+    // depth 10: BM25 (rational idf) + integer-quantized exact kNN.
+    // Fusion sums 1/(60+rank) in fixed ranker order — with two rankers
+    // the Spark fold ((0+s0)+s1) and the coalesce sum (s0+s1) are
+    // bit-identical IEEE-754 (0+x = x; two-term add is order-exact)
+    "q_rrf_fusion" ->
+      s"""WITH d AS (SELECT doc_id AS id, $Toks AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, coalesce(sum(len(tk)), 0) AS sdl FROM d),
+         |post AS (
+         |  SELECT id, dl, gh, count(*) AS tf FROM (
+         |    SELECT id, len(tk) AS dl, ${H60("tok")} AS gh FROM (
+         |      SELECT id, tk, unnest(tk) AS tok FROM d))
+         |  GROUP BY id, dl, gh),
+         |dfq AS (SELECT gh, count(*) AS df FROM post GROUP BY gh),
+         |q AS (SELECT DISTINCT query_id, ${H60("tok")} AS gh FROM (
+         |    SELECT doc_id AS query_id, unnest(tk[1:8]) AS tok
+         |    FROM (SELECT doc_id, $Toks AS tk FROM documents
+         |          WHERE doc_id < 5))),
+         |qi AS (SELECT query_id, gh,
+         |    (CAST(n - df AS DOUBLE) + ${0.5}e0)
+         |      / (CAST(df AS DOUBLE) + ${0.5}e0) AS idf
+         |  FROM q JOIN dfq USING (gh) CROSS JOIN st),
+         |ts AS (SELECT query_id, id, gh,
+         |    idf * ((CAST(tf AS DOUBLE) * ${1.2 + 1.0}e0) /
+         |      (CAST(tf AS DOUBLE) + ${1.2}e0 * (${1.0 - 0.75}e0 +
+         |        ${0.75}e0 * (CAST(dl AS DOUBLE) /
+         |          (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS sc
+         |  FROM post JOIN qi USING (gh) CROSS JOIN st),
+         |bagg AS (SELECT query_id, id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(sc ORDER BY gh, sc)), (a, x) -> a + x) AS sim
+         |  FROM ts GROUP BY query_id, id),
+         |r1 AS (SELECT query_id, rank, neighbor_id FROM (
+         |    SELECT query_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, id) AS rank,
+         |      id AS neighbor_id
+         |    FROM bagg) WHERE rank <= 10),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |ks AS (
+         |  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(list_zip(q2.v, c.v),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(q2.v,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(c.v,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+         |  FROM e q2, e c
+         |  WHERE q2.vec_id < 5 AND c.vec_id <> q2.vec_id),
+         |r2 AS (SELECT query_id, rank, neighbor_id FROM (
+         |    SELECT query_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rank,
+         |      neighbor_id
+         |    FROM ks) WHERE rank <= 10),
+         |f AS (
+         |  SELECT coalesce(r1.query_id, r2.query_id) AS query_id,
+         |    coalesce(r1.neighbor_id, r2.neighbor_id) AS neighbor_id,
+         |    coalesce(${1.0}e0 / (${60.0}e0 + CAST(r1.rank AS DOUBLE)),
+         |        ${0.0}e0)
+         |      + coalesce(${1.0}e0 / (${60.0}e0 + CAST(r2.rank AS DOUBLE)),
+         |          ${0.0}e0) AS sim
+         |  FROM r1 FULL OUTER JOIN r2
+         |    ON r1.query_id = r2.query_id
+         |    AND r1.neighbor_id = r2.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, sim FROM (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank,
+         |    neighbor_id, sim
+         |  FROM f) WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // DSIR hashed n-gram features: unigram (the token itself) and
     // bigram (space-joined pair) md5-60 hashes mod 1000 — the same

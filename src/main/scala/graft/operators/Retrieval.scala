@@ -225,4 +225,49 @@ object Retrieval {
     TopK.topKPerQuery(
       scored.select(col("query_id"), col("id").as("neighbor_id"), col("sim")), k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009,
+    * "Reciprocal Rank Fusion outperforms Condorcet and individual
+    * Rank Learning Methods", SIGIR): fuse N per-query rankings into
+    * one by score(q, d) = Σ_i 1/(c + rank_i(d)) over the rankers that
+    * returned d for q — the standard recipe for hybrid lexical+dense
+    * retrieval (BM25 ∪ kNN), rank-only so no score calibration across
+    * rankers is needed. Inputs share the (query_id, rank, neighbor_id)
+    * contract every retrieval operator here emits ([[bm25TopK]],
+    * [[Similarity.bruteForceTopK]], [[Similarity.lshBucketedTopK]], …).
+    *
+    * Determinism: contributions fold in EXPLICIT ranker order (each
+    * input is tagged with its position; the fold sorts by tag) — the
+    * same ordered-fold recipe as [[bm25TopK]]'s term sum — and
+    * 1/(c+rank) is a single correctly-rounded division, so fused
+    * scores, ranks, and the (sim DESC, neighbor_id ASC) tie-break
+    * replicate bit-for-bit cross-engine (q_rrf_fusion).
+    *
+    * Scale shape: the inputs are already per-query top-k results
+    * (≤ |queries|·k rows each), so the union + (query_id, neighbor_id)
+    * aggregation shuffles result-sized data — never corpus-sized —
+    * and [[TopK.topKPerQuery]] bounds the output. Fusing R rankers of
+    * depth d costs O(|queries|·d·R) regardless of corpus size.
+    */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], k: Int,
+      c: Double = 60.0): DataFrame = {
+    require(rankings.nonEmpty, "reciprocalRankFusion: no rankings given")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(c >= 0.0, s"rrf constant must be >= 0, got $c")
+    rankings.foreach(TopK.requireIntegral(_, "neighbor_id",
+      "reciprocalRankFusion"))
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id").cast("long").as("query_id"),
+        lit(i).as("__src"), col("neighbor_id").cast("long").as("neighbor_id"),
+        col("rank").cast("long").as("__rank"))
+    }.reduce(_ unionByName _)
+    val fused = tagged
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__src"), col("__rank")))),
+        lit(0.0),
+        (acc, x) => acc + lit(1.0) / (lit(c) + x("__rank").cast("double")))
+        .as("sim"))
+    TopK.topKPerQuery(fused, k)
+  }
 }

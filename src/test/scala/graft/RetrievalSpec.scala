@@ -228,4 +228,64 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the aggregation
     assert(!plan.contains("Sort ["), plan.take(2000))
   }
+
+  private def rankingDf(rows: (Long, Int, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("query_id", "rank", "neighbor_id")
+      .withColumn("sim", lit(0.0))
+  }
+
+  test("reciprocalRankFusion: scores sum 1/(c+rank) across rankers") {
+    val r1 = rankingDf((1L, 1, 10L), (1L, 2, 11L))
+    val r2 = rankingDf((1L, 1, 11L), (1L, 2, 12L))
+    val got = Retrieval.reciprocalRankFusion(Seq(r1, r2), k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // 11 appears in both (1/62 + 1/61), 10 only in r1 (1/61),
+    // 12 only in r2 (1/62)
+    assert(got.toSeq == Seq(
+      (1, 11L, (0.0 + 1.0 / 62.0) + 1.0 / 61.0),
+      (2, 10L, 0.0 + 1.0 / 61.0),
+      (3, 12L, 0.0 + 1.0 / 62.0)), got.mkString(", "))
+  }
+
+  test("reciprocalRankFusion: ties break on neighbor_id; k bounds output") {
+    // 20 and 21 get identical contributions (rank 1 in exactly one
+    // ranker each) -> tie -> smaller id first; k=2 drops the rest
+    val r1 = rankingDf((7L, 1, 21L), (7L, 2, 30L))
+    val r2 = rankingDf((7L, 1, 20L), (7L, 2, 31L))
+    val got = Retrieval.reciprocalRankFusion(Seq(r1, r2), k = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 20L), (2, 21L)), got.mkString(", "))
+  }
+
+  test("reciprocalRankFusion: one ranker preserves its order; guards") {
+    val r1 = rankingDf((1L, 1, 5L), (1L, 2, 6L), (1L, 3, 7L), (2L, 1, 9L))
+    val got = Retrieval.reciprocalRankFusion(Seq(r1), k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq ==
+      Seq((1L, 1, 5L), (1L, 2, 6L), (1L, 3, 7L), (2L, 1, 9L)),
+      got.mkString(", "))
+    intercept[IllegalArgumentException] {
+      Retrieval.reciprocalRankFusion(Seq.empty, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.reciprocalRankFusion(Seq(r1), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.reciprocalRankFusion(Seq(r1), k = 3, c = -1.0)
+    }
+  }
+
+  test("reciprocalRankFusion plan: no corpus-side shuffle beyond the " +
+      "result-sized aggregation, no cartesian") {
+    val r1 = rankingDf((1L, 1, 10L))
+    val r2 = rankingDf((1L, 1, 11L))
+    val plan = Retrieval.reciprocalRankFusion(Seq(r1, r2), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
