@@ -756,6 +756,18 @@ object SparkEntry {
           col("avg_prob"))
     }),
 
+    // CCNet head/middle/tail LM-quality tiers against the %7 target,
+    // exact-arithmetic key (−avg_prob, ties id ASC); log_ppl dropped
+    // from the projection (ln ULP drift), the bucket cut replicates
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.ccnetBuckets(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        byExactProb = true, histBins = 64)
+        .select(col("id"), col("n_bigrams"), col("sum_prob"),
+          col("avg_prob"), col("bucket"), col("tier"))
+    }),
+
     // stupid-backoff scoring toward the same %7 target: f(cw)/f(c) or
     // 0.4 x smoothed unigram frequency — no transcendental anywhere,
     // the ENTIRE row is oracle-exact
@@ -2552,6 +2564,44 @@ object SparkEntry {
          |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |          list(p ORDER BY pos, p)), (a, b) -> a + b) AS sum_prob
          |      FROM p GROUP BY id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // CCNet tiers: the q_lm_score probability chain, ranked by
+    // (-avg_prob ASC, id ASC), bucket = ceil(rank*3/total) — the same
+    // boundary arithmetic rankBuckets resolves via its histogram
+    "q_ccnet_buckets" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |g AS (SELECT id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'pos': i, 'ch': ${H60("toks[i]")},
+         |            'bh': ${H60("toks[i] || ' ' || toks[i+1]")}})
+         |    ELSE [] END) AS u FROM tk),
+         |r AS (SELECT id, u.pos AS pos, u.ch AS ch, u.bh AS bh FROM g),
+         |cb AS (SELECT bh, ch, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM r WHERE id % 7 = 0 GROUP BY bh, ch),
+         |cc AS (SELECT ch, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         |       FROM cb GROUP BY ch),
+         |v AS (SELECT greatest(1, count(DISTINCT tok)) AS vc FROM
+         |      (SELECT unnest(toks) AS tok FROM tk WHERE id % 7 = 0)),
+         |p AS (SELECT r.id, r.pos,
+         |      (coalesce(cb.cnt, 0) + 1.0e0) /
+         |        (coalesce(cc.ctx_cnt, 0) + 1.0e0 * vc) AS p
+         |      FROM r LEFT JOIN cb ON r.bh = cb.bh AND r.ch = cb.ch
+         |             LEFT JOIN cc ON r.ch = cc.ch CROSS JOIN v),
+         |sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(p ORDER BY pos, p)), (a, b) -> a + b) AS sum_prob
+         |      FROM p GROUP BY id),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM sc),
+         |rk AS (SELECT id, n_bigrams, sum_prob,
+         |    sum_prob / n_bigrams AS avg_prob,
+         |    row_number() OVER (
+         |      ORDER BY -(sum_prob / n_bigrams), id) AS rnk FROM sc)
+         |SELECT id, n_bigrams, sum_prob, avg_prob,
+         |  CAST((rnk * 3 + cnt - 1) // cnt AS INTEGER) AS bucket,
+         |  CASE (rnk * 3 + cnt - 1) // cnt WHEN 1 THEN 'head'
+         |    WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+         |FROM rk CROSS JOIN n
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // stupid-backoff: seen bigrams score f(cw)/f(c) exactly; unseen

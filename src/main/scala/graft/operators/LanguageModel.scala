@@ -402,4 +402,49 @@ object LanguageModel {
         (col("sum_prob") / col("n_bigrams")).as("avg_prob"),
         (col("__nll") / col("n_bigrams")).as("log_ppl"))
   }
+
+  /** CCNet-style LM quality tiers (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", §4.3): score every doc against a target-domain LM and cut
+    * the corpus into `nBuckets` equal GLOBAL-rank tiers — head /
+    * middle / tail at the default 3 — the standard web-corpus quality
+    * partition that downstream mixture sampling draws from by tier.
+    *
+    * Scoring is the add-α bigram LM ([[bigramLmScores]]); the tier cut
+    * is [[DataSelection.rankBuckets]]' histogram-boundary recipe — one
+    * bounded histogram to the driver plus a bounded boundary-bin
+    * top-j, NEVER a global sort or a single-partition ntile window, so
+    * the cut costs the same two bounded passes at 100 TB.
+    *
+    * Rank key: `log_ppl` ascending by default (head = lowest
+    * perplexity, CCNet's own key — its `ln` can drift by ULPs across
+    * engines, fine in production, rows-only under an oracle);
+    * `byExactProb = true` keys on −avg_prob instead — the same
+    * better-fit-first ordering family with every arithmetic step a
+    * correctly-rounded {+,/} over integer-valued doubles, so tier
+    * assignment replicates bit-for-bit cross-engine (q_ccnet_buckets).
+    * Ties (same key) break on id ASC — deterministic either way.
+    * Output: the [[bigramLmScores]] columns + `bucket` (1 = head) +
+    * `tier` (head/middle/tail when nBuckets = 3, else "b<bucket>").
+    * Docs with fewer than two tokens have no bigrams and no score —
+    * they are out of scope here (gate them upstream; CCNet's own
+    * pipeline drops them before the LM stage).
+    */
+  def ccnetBuckets(docs: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 3, alpha: Double = 1.0,
+      byExactProb: Boolean = false, histBins: Int = 100000): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val scored = bigramLmScores(docs, target, idCol, textCol, alpha)
+      .withColumn("__key",
+        if (byExactProb) negate(col("avg_prob")) else col("log_ppl"))
+    val tier =
+      if (nBuckets == 3)
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail")
+      else concat(lit("b"), col("bucket").cast("string"))
+    DataSelection.rankBuckets(scored, "id", "__key", nBuckets,
+        ascending = true, histBins = histBins)
+      .withColumn("tier", tier)
+      .drop("__key")
+  }
 }

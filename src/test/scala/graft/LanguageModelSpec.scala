@@ -280,4 +280,51 @@ class LanguageModelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
     assert(base == re) // bit-exact under repartitioning (ordered fold)
   }
+
+  test("ccnetBuckets: equal-rank head/middle/tail tiers, best fit first") {
+    // target trains on "a b"-family bigrams; doc quality descends with
+    // each unseen token — 6 scoreable docs split 3 ways, 2 per tier
+    val target = docsDf((100L, "a b a b a b c"), (101L, "a b c a b"))
+    val docs = docsDf(
+      (1L, "a b a b"),     // all bigrams frequent -> head
+      (2L, "a b c"),       // seen, slightly rarer
+      (3L, "a b x"),       // one unseen continuation
+      (4L, "x y a b"),     // unseen context + unseen pair
+      (5L, "x y z"),       // nothing seen
+      (6L, "q r s t"),     // nothing seen, longer
+      (7L, "solo"))        // no bigrams: excluded
+    val got = LanguageModel.ccnetBuckets(docs, target, "doc_id", "text",
+        byExactProb = true, histBins = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("bucket"), r.getAs[String]("tier"))).toMap
+    assert(got.size == 6, got.toString) // doc 7 has no score
+    assert(got.values.count(_._1 == 1) == 2, got.toString)
+    assert(got.values.count(_._1 == 2) == 2, got.toString)
+    assert(got.values.count(_._1 == 3) == 2, got.toString)
+    assert(got(1L) == (1, "head"), got.toString)
+    assert(got(5L)._2 == "tail" || got(6L)._2 == "tail", got.toString)
+    // tier labels track buckets exactly
+    assert(got.values.forall { case (b, t) =>
+      t == Seq("head", "middle", "tail")(b - 1) }, got.toString)
+  }
+
+  test("ccnetBuckets: log_ppl key orders like the exact-prob key here; " +
+      "nBuckets=1 and guards") {
+    val target = docsDf((100L, "a b a b"), (101L, "b c"))
+    val docs = docsDf((1L, "a b"), (2L, "b c"), (3L, "x y"))
+    val exact = LanguageModel.ccnetBuckets(docs, target, "doc_id", "text",
+        byExactProb = true)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    val ppl = LanguageModel.ccnetBuckets(docs, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    // single-bigram docs: avg_prob and log_ppl are both monotone in p
+    assert(exact == ppl, s"$exact vs $ppl")
+    val one = LanguageModel.ccnetBuckets(docs, target, "doc_id", "text",
+      nBuckets = 1).collect()
+    assert(one.forall(_.getAs[String]("tier") == "b1"), one.mkString(","))
+    intercept[IllegalArgumentException] {
+      LanguageModel.ccnetBuckets(docs, target, "doc_id", "text",
+        nBuckets = 0)
+    }
+  }
 }
