@@ -504,6 +504,12 @@ object SparkEntry {
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 16, stride = 12)),
 
+    // content-defined chunking: token-hash boundaries (mod 16) clamped
+    // to [4, 64] — edit-robust chunk hashes for sub-document dedup
+    "q_cdc_chunks" -> ((s, dir) =>
+      CorpusAnalysis.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        divisor = 16, minTokens = 4, maxTokens = 64)),
+
     // greedy token-budget sequence packing (16 deterministic shards)
     "q_pack" -> ((s, dir) =>
       CorpusAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
@@ -3330,6 +3336,36 @@ object SparkEntry {
          |      CAST(floor((greatest(len(toks) - 16, 0) + 11) / 12.0) AS INT) + 1)
          |    END) AS u(i))
          |SELECT id, chunk_idx, chunk_tokens, chunk_text FROM ch
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Content-defined chunking: the cut walk is sequential (each cut
+    // depends on the previous), so the replica is a recursive CTE —
+    // next cut = min(first boundary >= p+4, p+64, n), boundaries =
+    // positions whose token md5-60 divides by 16. Integer arithmetic
+    // throughout; chunk text and md5 are exact strings.
+    "q_cdc_chunks" ->
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |b AS (SELECT id, toks, len(toks) AS n,
+         |    list_filter(generate_series(1, len(toks)),
+         |      i -> ${H60("toks[i]")} % 16 = 0) AS bp
+         |  FROM tk WHERE len(toks) > 0),
+         |cuts AS (
+         |  SELECT id, 0 AS step, 0 AS p FROM b
+         |  UNION ALL
+         |  SELECT c.id, c.step + 1,
+         |    CAST(least(
+         |      coalesce(list_min(list_filter(b.bp, i -> i >= c.p + 4)), b.n),
+         |      c.p + 64, b.n) AS INT) AS p
+         |  FROM cuts c JOIN b ON c.id = b.id WHERE c.p < b.n)
+         |SELECT e.id, CAST(e.step - 1 AS BIGINT) AS chunk_idx,
+         |  CAST(e.p - s.p AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(b.toks[s.p + 1:e.p], ' ')) AS chunk_hash,
+         |  array_to_string(b.toks[s.p + 1:e.p], ' ') AS chunk_text
+         |FROM cuts e
+         |JOIN cuts s ON e.id = s.id AND s.step = e.step - 1
+         |JOIN b ON b.id = e.id
+         |WHERE e.step >= 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Sequence packing: the greedy capacity-reset scan is inherently

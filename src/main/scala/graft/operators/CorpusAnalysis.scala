@@ -734,6 +734,80 @@ object CorpusAnalysis {
         col("col.chunk_text").as("chunk_text"))
   }
 
+  /** Content-defined chunking at token granularity (the LBFS/FastCDC
+    * idea — Muthitacharoen et al. 2001 §3.1; Xia et al. 2016 — with
+    * the token hash standing in for the byte rolling hash): a chunk
+    * boundary falls after token t whenever md5-60(t) ≡ 0 (mod
+    * `divisor`), subject to `minTokens`/`maxTokens` clamps (a boundary
+    * inside the minimum is ignored; a chunk at the maximum is force-
+    * cut). Because boundaries depend only on LOCAL content, inserting
+    * or deleting a passage re-cuts ONLY the chunks it touches — the
+    * property that makes chunk-hash dedup robust to edits where
+    * fixed-stride [[chunkDocs]] windows all shift. Compose with
+    * [[Dedup.exactGroups]] on `chunk_hash` for sub-document dedup.
+    *
+    * Output: (id, chunk_idx, n_tokens, chunk_hash, chunk_text); empty
+    * docs yield no rows. Expected chunk length ≈ divisor tokens
+    * (geometric, clamped); e.g. divisor 16, clamp [4, 64].
+    *
+    * Plan: a NARROW per-row computation, zero shuffle — tokens and
+    * boundary positions are materialized once per row, and the cut
+    * walk folds over at most ceil(n/minTokens) steps, each an
+    * array_min over the (n/divisor-sized) boundary list, so cost is
+    * O(n²/(minTokens·divisor)) per doc — linear-ish for real docs and
+    * entirely inside whole-stage codegen. Oracle: q_cdc_chunks
+    * replicates the walk with a recursive CTE, bit-exact (boundary
+    * hashes and cut arithmetic are integers; chunk text is exact).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16, minTokens: Int = 4, maxTokens: Int = 64): DataFrame = {
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    require(minTokens >= 1 && minTokens <= maxTokens,
+      s"need 1 <= minTokens <= maxTokens, got $minTokens/$maxTokens")
+    val n = size(col("__toks"))
+    // boundary positions: i in 1..n with hash(tok_i) % divisor == 0
+    // (materialized once per row — an inline expression would re-hash
+    // the whole doc on every fold step below)
+    val bp = filter(sequence(lit(1), n), i =>
+      pmod(TextFunctions.md5Hash60(element_at(col("__toks"), i)),
+        lit(divisor.toLong)) === 0L)
+    // cut walk: cuts(0)=0; next = min(first boundary >= p+minTokens,
+    // p+maxTokens), capped at n; ceil(n/minTokens) steps always suffice
+    // (every step advances >= minTokens); exhausted steps are no-ops
+    val maxChunks = floor((n + lit(minTokens - 1)).cast("double") /
+      lit(minTokens)).cast("int")
+    val cuts = aggregate(sequence(lit(1), maxChunks),
+      array(lit(0)).cast("array<int>"),
+      (acc, _) => {
+        val p = element_at(acc, -1)
+        val next = least(
+          coalesce(array_min(filter(col("__bp"),
+            i => i >= p + lit(minTokens))), n),
+          p + lit(maxTokens), n)
+        when(p >= n, acc).otherwise(concat(acc, array(next.cast("int"))))
+      })
+    val chunkStructs = transform(sequence(lit(1), size(col("__cuts")) - 1),
+      j => {
+        val s0 = element_at(col("__cuts"), j)
+        val e0 = element_at(col("__cuts"), j + 1)
+        struct((e0 - s0).cast("long").as("n_tokens"),
+          array_join(slice(col("__toks"), s0 + 1, e0 - s0), " ")
+            .as("chunk_text"))
+      })
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(TextFunctions.tokens(col(textCol)),
+          array().cast("array<string>")).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__bp", bp)
+      .withColumn("__cuts", cuts)
+      .select(col("id"), posexplode(chunkStructs))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.n_tokens").as("n_tokens"),
+        md5(col("col.chunk_text")).as("chunk_hash"),
+        col("col.chunk_text").as("chunk_text"))
+  }
+
   /** Greedy token-budget sequence packing — the step between chunking
     * and batch assembly in a pretraining pipeline: documents are packed
     * into training sequences of at most `maxTokens` tokens, in a way

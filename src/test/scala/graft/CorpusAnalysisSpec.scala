@@ -1110,4 +1110,84 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(e1.toSet != e2.toSet, "epochs must produce different orders")
   }
+
+  // in-memory CDC reference: same md5-60 boundary test, same cut walk
+  private def refCdc(text: String, div: Int, minT: Int,
+      maxT: Int): Seq[(Long, Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val n = toks.length
+    val bp = (1 to n).filter(i => h60(toks(i - 1)) % div == 0)
+    val cuts = scala.collection.mutable.ArrayBuffer(0)
+    while (cuts.last < n) {
+      val p = cuts.last
+      val next = math.min(n, math.min(p + maxT,
+        bp.find(_ >= p + minT).getOrElse(n)))
+      cuts += next
+    }
+    cuts.toSeq.sliding(2).zipWithIndex.map { case (pair, j) =>
+      val (s, e) = (pair.head, pair.last)
+      (j.toLong, (e - s).toLong, toks.slice(s, e).mkString(" "))
+    }.toSeq
+  }
+
+  test("cdcChunks matches the in-memory reference on real corpus text") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).cache()
+    val got = CorpusAnalysis.cdcChunks(docs, "doc_id", "text",
+        divisor = 8, minTokens = 2, maxTokens = 24)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(4)))
+      .toMap
+    val ref = docs.select("doc_id", "text").collect().flatMap { r =>
+      refCdc(r.getString(1), 8, 2, 24).map { case (j, nt, txt) =>
+        (r.getLong(0), j) -> (nt, txt) }
+    }.toMap
+    assert(ref.nonEmpty && got == ref,
+      s"got ${got.size} chunks vs ref ${ref.size}")
+    // chunks reassemble the doc exactly
+    val joined = got.toSeq.groupBy(_._1._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._1._2).map(_._2._2).mkString(" ") }
+    val texts = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      .toMap
+    joined.foreach { case (id, t) => assert(t == texts(id), s"doc $id") }
+  }
+
+  test("cdcChunks: clamps bind; edits re-cut only local chunks") {
+    import spark.implicits._
+    // all-same token: hash either always or never divides — both ways
+    // the maxTokens clamp forces fixed-size cuts of 5 (minTokens
+    // suppresses any boundary before position 2 anyway)
+    val mono = Seq((1L, Seq.fill(12)("w").mkString(" "))).toDF("doc_id", "text")
+    val monoGot = CorpusAnalysis.cdcChunks(mono, "doc_id", "text",
+      divisor = 1, minTokens = 5, maxTokens = 5).collect()
+    assert(monoGot.map(_.getLong(2)).toSeq == Seq(5L, 5L, 2L), monoGot.toSeq)
+    // shift robustness: prepend a passage; chunk hashes after the cut
+    // point are shared with the original (fixed-stride windows share 0)
+    val base = (1 to 200).map(i => s"tok${i * 37 % 101}x").mkString(" ")
+    val edited = "inserted passage here " + base
+    val two = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = CorpusAnalysis.cdcChunks(two, "doc_id", "text").collect()
+      .groupBy(_.getLong(0))
+    val h1 = ch(1L).map(_.getString(3)).toSet
+    val h2 = ch(2L).map(_.getString(3)).toSet
+    val shared = h1.intersect(h2).size
+    assert(shared >= h1.size - 2,
+      s"only $shared of ${h1.size} chunk hashes survived the edit")
+    // empty and null docs yield no rows
+    val e = Seq((3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(CorpusAnalysis.cdcChunks(e, "doc_id", "text").count() == 0)
+    intercept[IllegalArgumentException] {
+      CorpusAnalysis.cdcChunks(two, "doc_id", "text", minTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusAnalysis.cdcChunks(two, "doc_id", "text", divisor = 0)
+    }
+  }
 }
