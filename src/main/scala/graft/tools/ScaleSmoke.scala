@@ -970,6 +970,59 @@ object ScaleSmoke {
       f"${bpeEnc.getLong(2)} subwords in $tBpeEnc%.1f s " +
       f"(${nDocs / tBpeEnc}%.0f docs/s), " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- WordPiece encode at 1M docs: every word is 8 hex chars, the
+    // vocab covers all hex singles in both positions plus two 2-char
+    // pieces — so word counts conserve EXACTLY and per-word piece
+    // counts are hard-bounded in [4, 8] (a 2-char piece halves at
+    // best). The distinct-word table is ~25M short strings — the
+    // vocabulary-table recipe's adversarial case.
+    val t41 = System.nanoTime()
+    val hexV = "0123456789abcdef".map(_.toString)
+    val wpEnc = graft.operators.WordPieceTokenizer.encode(
+        docs, "id", "text",
+        hexV ++ hexV.map("##" + _) ++ Seq("ab", "##ff"))
+      .agg(count(lit(1)), sum(col("n_words")), sum(col("n_subwords")),
+        min(col("n_subwords")), max(col("n_subwords"))).collect()(0)
+    val tWp = (System.nanoTime() - t41) / 1e9
+    require(wpEnc.getLong(0) == nDocs, s"wp encoded ${wpEnc.getLong(0)} docs")
+    require(wpEnc.getLong(1) == 30L * nDocs,
+      s"wp n_words ${wpEnc.getLong(1)} != ${30L * nDocs}")
+    // 30 words x 8 chars: all-singles = 240/doc; 2-char pieces only
+    // shrink, never below 4/word = 120/doc; no [UNK] possible
+    require(wpEnc.getLong(3) >= 120L && wpEnc.getLong(4) <= 240L,
+      s"wp n_subwords/doc out of [120,240]: $wpEnc")
+    println(f"wordpiece: $nDocs docs, ${wpEnc.getLong(1)} words -> " +
+      f"${wpEnc.getLong(2)} pieces in $tWp%.1f s (${nDocs / tWp}%.0f docs/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- Kneser-Ney at 1M docs against the 100k-doc (id%10==0) model —
+    // same adversarial corpus-sized count tables as the bigramLm
+    // section (unique tokens make the model ≈ the slice's 2.9M-row
+    // bigram table, never broadcast-able). Planted truth: exact copies
+    // (id%10==8) score bit-identically to their base.
+    val t42 = System.nanoTime()
+    val knScores = graft.operators.LanguageModel.kneserNeyScores(
+      docs, docs.filter(col("id") % 10 === 0), "id", "text").cache()
+    val knAgg = knScores.agg(count(lit(1)),
+      avg(when(col("id") % 10 === 0, col("avg_p"))),
+      avg(when(col("id") % 10 < 8, when(col("id") % 10 > 0, col("avg_p")))))
+      .collect()(0)
+    val tKn = (System.nanoTime() - t42) / 1e9
+    require(knAgg.getLong(0) == nDocs, s"kn rows ${knAgg.getLong(0)}")
+    require(knAgg.getDouble(1) > knAgg.getDouble(2),
+      s"in-model docs must out-score unique docs under KN: $knAgg")
+    val knCopyMismatch = knScores.filter(col("id") % 10 === 0)
+      .filter(col("id") < 10000)
+      .select((col("id") + 8).as("id"), col("sum_p").as("base_sum"))
+      .join(knScores, Seq("id"))
+      .filter(col("sum_p") =!= col("base_sum")).count()
+    require(knCopyMismatch == 0,
+      s"$knCopyMismatch exact copies KN-scored differently")
+    knScores.unpersist()
+    println(f"kneserNey: $nDocs docs scored against a 100k-doc model " +
+      f"in $tKn%.1f s (${nDocs / tKn}%.0f docs/s), 1000 copy-pairs " +
+      f"bit-equal, heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }
