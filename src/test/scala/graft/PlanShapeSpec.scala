@@ -446,6 +446,52 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"nearDedupBy must not window-sort:\n$nbPlan")
   }
 
+  test("rrf/ccnet/cdc: narrow cdc walk, join-free fusion, no text keys") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // cdcChunks is a pure per-row walk: ZERO exchanges of any kind
+    val cdc = graft.operators.CorpusAnalysis.cdcChunks(
+      docs, "doc_id", "text")
+    cdc.collect()
+    val cdcPlan = cdc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!cdcPlan.contains("Exchange"),
+      s"cdcChunks must be narrow (no shuffle at any size):\n$cdcPlan")
+
+    // reciprocalRankFusion: union + keyed agg + bounded top-k — it
+    // never JOINS its (result-sized) inputs, so no join operator of
+    // any kind may appear
+    import spark.implicits._
+    val r1 = Seq((1L, 1, 10L, 0.0), (1L, 2, 11L, 0.0))
+      .toDF("query_id", "rank", "neighbor_id", "sim")
+    val rrf = graft.operators.Retrieval.reciprocalRankFusion(
+      Seq(r1, r1.withColumn("neighbor_id", col("neighbor_id") + 1)), k = 3)
+    rrf.collect()
+    val rrfPlan = rrf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!rrfPlan.contains("Join"),
+      s"rrf must fuse by union+agg, never a join:\n$rrfPlan")
+
+    // ccnetBuckets: LM scoring joins on 8-byte hashes (never raw
+    // text), the tier cut is histogram-based — no Window, no cartesian
+    val ccn = graft.operators.LanguageModel.ccnetBuckets(
+      docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+      byExactProb = true, histBins = 16)
+    ccn.collect()
+    val ccnPlan = ccn.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!ccnPlan.contains("CartesianProduct") &&
+      !ccnPlan.contains("BroadcastNestedLoopJoin"),
+      s"ccnetBuckets must use equi-joins only:\n$ccnPlan")
+    assert(!ccnPlan.contains("Window"),
+      s"ccnetBuckets tier cut must not window-sort:\n$ccnPlan")
+    val ccnTextKeys = ccnPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(ccnTextKeys == 0,
+      s"ccnetBuckets must not shuffle on raw text:\n$ccnPlan")
+  }
+
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
     val q = SparkEntry.queries("q1_agg")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
