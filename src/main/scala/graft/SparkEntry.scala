@@ -504,6 +504,15 @@ object SparkEntry {
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 16, stride = 12)),
 
+    // n-gram novelty vs the %3 reference slice: fraction of each doc's
+    // distinct 8-grams absent from the reference — integer counts and
+    // one exact division, bit-replicable
+    "q_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusAnalysis.ngramNovelty(docs,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    }),
+
     // content-defined chunking: token-hash boundaries (mod 16) clamped
     // to [4, 64] — edit-robust chunk hashes for sub-document dedup
     "q_cdc_chunks" -> ((s, dir) =>
@@ -3336,6 +3345,32 @@ object SparkEntry {
          |      CAST(floor((greatest(len(toks) - 16, 0) + 11) / 12.0) AS INT) + 1)
          |    END) AS u(i))
          |SELECT id, chunk_idx, chunk_tokens, chunk_text FROM ch
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Novelty: distinct-8-gram hashes per doc, left-joined against the
+    // reference slice's distinct-hash table; gram-less docs keep a row
+    // with n_ngrams 0 and a NULL fraction on both sides
+    "q_novelty" ->
+      s"""WITH corp AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |ref AS (SELECT doc_id AS id, $Toks AS toks FROM documents
+         |        WHERE doc_id % 3 = 0),
+         |cg AS (${Contam8Cte("id", "corp")}),
+         |rg AS (SELECT DISTINCT gh FROM (${Contam8Cte("rid", "ref")})),
+         |tot AS (SELECT c.id, CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_ngrams
+         |  FROM corp c LEFT JOIN
+         |    (SELECT id, count(*) AS cnt FROM cg GROUP BY id) g
+         |    ON c.id = g.id),
+         |seen AS (SELECT cg.id, CAST(count(rg.gh) AS BIGINT) AS sn
+         |  FROM cg LEFT JOIN rg ON cg.gh = rg.gh GROUP BY cg.id)
+         |SELECT tot.id, tot.n_ngrams,
+         |  CAST(coalesce(seen.sn, 0) AS BIGINT) AS seen_ngrams,
+         |  tot.n_ngrams - CAST(coalesce(seen.sn, 0) AS BIGINT)
+         |    AS novel_ngrams,
+         |  CASE WHEN tot.n_ngrams > 0 THEN
+         |    CAST(tot.n_ngrams - coalesce(seen.sn, 0) AS DOUBLE)
+         |      / CAST(tot.n_ngrams AS DOUBLE)
+         |  ELSE NULL END AS novelty_frac
+         |FROM tot LEFT JOIN seen ON tot.id = seen.id
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Content-defined chunking: the cut walk is sequential (each cut

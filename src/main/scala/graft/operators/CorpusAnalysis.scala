@@ -132,6 +132,57 @@ object CorpusAnalysis {
           .as("overlap_frac"))
   }
 
+  /** N-gram novelty against a reference corpus — the memorization
+    * lens (Carlini et al. 2023, "Quantifying Memorization Across
+    * Neural Language Models", §3's n-gram containment turned into a
+    * corpus operator): per doc, the fraction of its DISTINCT n-grams
+    * that appear NOWHERE in `ref`. [[contamination]] asks "which bench
+    * doc does this overlap"; novelty asks "how much of this doc is new
+    * text at all" — synthetic-data QC, originality audits of model
+    * generations, snapshot-over-snapshot freshness.
+    *
+    * Output: (id, n_ngrams, seen_ngrams, novel_ngrams, novelty_frac),
+    * one row per corpus doc including gram-less ones (n_ngrams = 0 →
+    * novelty_frac null — stated on both engine sides, q_novelty).
+    * novelty_frac = novel/n is ONE correctly-rounded division of
+    * exact integers — bit-exact cross-engine.
+    *
+    * Plan: both sides run the codegen'd distinct-n-gram-hash kernel;
+    * the ref side dedups to a DISTINCT hash table and the corpus gram
+    * rows LEFT-join it on the 8-byte hash — two keyed shuffles of
+    * hash-sized rows (never raw text), then one per-id count. The ref
+    * side may be corpus-sized (unlike [[contamination]]'s broadcast
+    * bench): this is the big-big decontamination join shape, and it
+    * holds at 100 TB because every shuffled row is (8-byte gh [, 8-byte
+    * id]) — the text never moves.
+    */
+  def ngramNovelty(corpus: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    graft.expressions.TextHashExprs.register(corpus.sparkSession)
+    def ghs(c: org.apache.spark.sql.Column) = coalesce(
+      graft.expressions.TextHashExprs.ngramHashes(c, n, distinct = true),
+      array().cast("array<bigint>"))
+    val corpusGrams = corpus
+      .select(col(idCol).cast("long").as("id"), ghs(col(textCol)).as("__ghs"))
+      .select(col("id"), size(col("__ghs")).cast("long").as("n_ngrams"),
+        explode_outer(col("__ghs")).as("gh"))
+    val refGrams = ref
+      .select(explode_outer(ghs(col(textCol))).as("gh"))
+      .filter(col("gh").isNotNull).distinct()
+      .withColumn("__seen", lit(1L))
+    corpusGrams
+      .join(refGrams, Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(first(col("n_ngrams")).as("n_ngrams"),
+        coalesce(sum(col("__seen")), lit(0L)).as("seen_ngrams"))
+      .select(col("id"), col("n_ngrams"), col("seen_ngrams"),
+        (col("n_ngrams") - col("seen_ngrams")).as("novel_ngrams"),
+        when(col("n_ngrams") > 0,
+          (col("n_ngrams") - col("seen_ngrams")).cast("double") /
+            col("n_ngrams")).as("novelty_frac"))
+  }
+
   /** Composed quality gate — the keep/drop decision a filtering
     * pipeline actually ships, with the REASON recorded per doc (the
     * per-reason report is what lets a pipeline owner see which filter

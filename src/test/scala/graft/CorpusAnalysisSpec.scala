@@ -1111,6 +1111,33 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1.toSet != e2.toSet, "epochs must produce different orders")
   }
 
+  test("ngramNovelty: seen/novel 8-gram split, gram-less docs stay null") {
+    import spark.implicits._
+    val a = (1 to 16).map(i => s"t$i").mkString(" ")         // the reference
+    val b = ((1 to 8).map(i => s"t$i") ++ (1 to 8).map(i => s"u$i"))
+      .mkString(" ")                                          // 1 of 9 grams shared
+    val c = (1 to 16).map(i => s"v$i").mkString(" ")          // all new
+    val corpus = Seq((1L, a), (2L, b), (3L, c), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val ref = Seq((10L, a)).toDF("doc_id", "text")
+    val got = CorpusAnalysis.ngramNovelty(corpus, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) == ((9L, 9L, 0L, Some(0.0))), got.toString)
+    assert(got(2L) == ((9L, 1L, 8L, Some(8.0 / 9.0))), got.toString)
+    assert(got(3L) == ((9L, 0L, 9L, Some(1.0))), got.toString)
+    assert(got(4L) == ((0L, 0L, 0L, None)), got.toString)
+    // duplicated grams in the ref never double-count a corpus gram
+    val ref2 = Seq((10L, a), (11L, a)).toDF("doc_id", "text")
+    val got2 = CorpusAnalysis.ngramNovelty(corpus, ref2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2(1L) == 9L, got2.toString)
+    intercept[IllegalArgumentException] {
+      CorpusAnalysis.ngramNovelty(corpus, ref, "doc_id", "text", n = 0)
+    }
+  }
+
   // in-memory CDC reference: same md5-60 boundary test, same cut walk
   private def refCdc(text: String, div: Int, minT: Int,
       maxT: Int): Seq[(Long, Long, String)] = {
