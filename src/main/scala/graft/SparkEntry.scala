@@ -884,6 +884,16 @@ object SparkEntry {
         .select(col("id"), col("n_words"), col("n_subwords"),
           array_join(col("wp_tokens"), " ").as("wp_str"))),
 
+    // Unigram-LM Viterbi encoding (the third tokenizer family): fixed
+    // integer-cost vocabulary; min-(cost, cut-mask) segmentation is
+    // exactly replicable by exhaustive mask enumeration in the oracle
+    "q_unigram_encode" -> ((s, dir) =>
+      operators.UnigramTokenizer.encode(t(s, dir, "documents"),
+        "doc_id", "text", UgVocab, unkCost = 500L)
+        .select(col("id"), col("n_words"), col("n_pieces"),
+          col("total_cost"), array_join(col("ug_tokens"), " ")
+            .as("ug_str"))),
+
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
     // so the oracle compare is representation-safe
@@ -1523,6 +1533,23 @@ object SparkEntry {
 
   private lazy val WpVocabSql: String =
     WpVocab.map(v => s"'$v'").mkString("[", ", ", "]")
+
+  /** Fixed unigram vocabulary shared by q_unigram_encode's two sides:
+    * every corpus letter EXCEPT 'q' as a 100-cost single (so "query"
+    * exercises the 500-cost unk fallback), plus multi-char pieces
+    * whose costs force non-greedy Viterbi picks and one deliberate
+    * total-cost tie ("sc"+"an" vs "sc"+"a"+"n" on "scan") that the
+    * cut-mask tie-break resolves.
+    */
+  private lazy val UgVocab: Seq[(String, Long)] =
+    "abcdefghijklmnoprstuvwy".map(c => c.toString -> 100L) ++
+      Seq("the" -> 90L, "ta" -> 150L, "ble" -> 120L, "sc" -> 150L,
+        "an" -> 200L, "st" -> 130L, "ream" -> 180L, "or" -> 110L,
+        "er" -> 105L, "ar" -> 95L, "in" -> 100L, "row" -> 130L,
+        "dow" -> 140L, "val" -> 160L, "ue" -> 140L)
+
+  private lazy val UgVocabSql: String =
+    UgVocab.map { case (p, c) => s"('$p', $c)" }.mkString(", ")
 
   // ---- DuckDB oracles ------------------------------------------------
 
@@ -2911,6 +2938,58 @@ object SparkEntry {
          |  array_to_string(toklists, ' ') AS wp_str
          |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_words,
          |    CAST(sum(len(pieces)) AS BIGINT) AS n_subwords,
+         |    flatten(list(pieces ORDER BY pos)) AS toklists
+         |  FROM jn GROUP BY id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Unigram Viterbi replica by brute force: every distinct word is
+    // segmented under EVERY cut mask (≤ 2^(len-1) per word), invalid
+    // segmentations (multi-char piece outside the vocab) are dropped,
+    // and the winner is argmin (total cost, mask) — exactly encode's
+    // DP objective. Integer costs end to end.
+    "q_unigram_encode" ->
+      s"""WITH w AS (SELECT DISTINCT unnest($Toks) AS word FROM documents),
+         |v(piece, cost) AS (VALUES $UgVocabSql),
+         |m AS (SELECT word,
+         |    unnest(generate_series(0,
+         |      (CAST(1 AS BIGINT) << (len(word) - 1)) - 1)) AS mask
+         |  FROM w),
+         |segb AS (SELECT word, mask,
+         |    [0] || list_filter(generate_series(1, len(word) - 1),
+         |      j -> ((mask >> (j - 1)) & 1) = 1) || [len(word)] AS b
+         |  FROM m),
+         |segp AS (SELECT word, mask, u.pidx AS pidx, u.piece AS piece
+         |  FROM (SELECT word, mask, unnest(list_transform(
+         |      generate_series(1, len(b) - 1),
+         |      k -> {'pidx': k, 'piece': word[b[k] + 1:b[k + 1]]})) AS u
+         |    FROM segb)),
+         |pc AS (SELECT segp.word, segp.mask, segp.pidx, segp.piece,
+         |    CASE WHEN v.cost IS NOT NULL THEN CAST(v.cost AS BIGINT)
+         |         WHEN len(segp.piece) = 1 THEN CAST(500 AS BIGINT)
+         |         ELSE NULL END AS cost
+         |  FROM segp LEFT JOIN v ON segp.piece = v.piece),
+         |valid AS (SELECT word, mask,
+         |    CAST(count(*) AS BIGINT) AS np,
+         |    CAST(sum(cost) AS BIGINT) AS tc,
+         |    list(piece ORDER BY pidx) AS pieces,
+         |    bool_and(cost IS NOT NULL) AS ok
+         |  FROM pc GROUP BY word, mask),
+         |best AS (SELECT word, pieces, tc, np FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word
+         |      ORDER BY tc, mask) AS rn
+         |    FROM valid WHERE ok) WHERE rn = 1),
+         |tkd AS (SELECT doc_id AS id, $Toks AS toks FROM documents),
+         |dt AS (SELECT id, u.pos AS pos, u.w AS w
+         |  FROM (SELECT id, unnest(list_transform(
+         |      generate_series(1, len(toks)),
+         |      j -> {'pos': j, 'w': toks[j]})) AS u FROM tkd)),
+         |jn AS (SELECT dt.id, dt.pos, best.pieces, best.tc, best.np
+         |  FROM dt JOIN best ON dt.w = best.word)
+         |SELECT id, n_words, n_pieces, total_cost,
+         |  array_to_string(toklists, ' ') AS ug_str
+         |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(np) AS BIGINT) AS n_pieces,
+         |    CAST(sum(tc) AS BIGINT) AS total_cost,
          |    flatten(list(pieces ORDER BY pos)) AS toklists
          |  FROM jn GROUP BY id)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
