@@ -490,6 +490,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("Exchange hashpartitioning") && l.contains("text#"))
     assert(ccnTextKeys == 0,
       s"ccnetBuckets must not shuffle on raw text:\n$ccnPlan")
+
+    // ngramNovelty: the big-big decontamination join keys on the
+    // 8-byte gram hash — never raw text, never a nested-loop join
+    val nov = graft.operators.CorpusAnalysis.ngramNovelty(
+      docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    nov.collect()
+    val novPlan = nov.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!novPlan.contains("CartesianProduct") &&
+      !novPlan.contains("BroadcastNestedLoopJoin"),
+      s"ngramNovelty must use equi-joins only:\n$novPlan")
+    val novTextKeys = novPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(novTextKeys == 0,
+      s"ngramNovelty must not shuffle on raw text:\n$novPlan")
+
+    // unigram encode: same vocabulary-table contract as WordPiece —
+    // corpus occurrences shuffle (id, pos, hash) rows; only the
+    // vocabulary-sized distinct-word table may carry word strings
+    val ug = graft.operators.UnigramTokenizer.encode(docs, "doc_id",
+      "text", Seq("a" -> 100L, "b" -> 100L, "ab" -> 150L))
+    ug.collect()
+    val ugPlan = ug.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!ugPlan.contains("BroadcastNestedLoopJoin") &&
+      !ugPlan.contains("CartesianProduct"),
+      s"unigram encode must use equi-joins only:\n$ugPlan")
+    val ugTextKeys = ugPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(ugTextKeys == 0,
+      s"unigram encode must not shuffle on raw text:\n$ugPlan")
   }
 
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
