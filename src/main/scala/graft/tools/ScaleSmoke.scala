@@ -1023,6 +1023,73 @@ object ScaleSmoke {
     println(f"kneserNey: $nDocs docs scored against a 100k-doc model " +
       f"in $tKn%.1f s (${nDocs / tKn}%.0f docs/s), 1000 copy-pairs " +
       f"bit-equal, heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- n-gram novelty at 1M docs vs the 100k-doc base slice: the
+    // planted group structure fixes every doc's EXACT novelty — bases
+    // and their exact copies 0, near-dups 1/23 (only the gram covering
+    // the changed token 30 is new), unique docs 1. One big-big
+    // gram-hash join, corpus-sized both sides.
+    val t43 = System.nanoTime()
+    val nov = graft.operators.CorpusAnalysis.ngramNovelty(
+      docs, docs.filter(col("id") % 10 === 0), "id", "text").cache()
+    val novAgg = nov.agg(count(lit(1)),
+      sum(when(col("id") % 10 === 0 || col("id") % 10 === 8,
+        when(col("novelty_frac") =!= 0.0, 1L).otherwise(0L))),
+      sum(when(col("id") % 10 === 9,
+        when(col("novelty_frac") =!= lit(1.0) / 23.0, 1L).otherwise(0L))),
+      sum(when(col("id") % 10 >= 1 && col("id") % 10 <= 7,
+        when(col("novelty_frac") =!= 1.0, 1L).otherwise(0L)))).collect()(0)
+    val tNov = (System.nanoTime() - t43) / 1e9
+    nov.unpersist()
+    require(novAgg.getLong(0) == nDocs, s"novelty rows ${novAgg.getLong(0)}")
+    require(novAgg.getLong(1) == 0L && novAgg.getLong(2) == 0L &&
+      novAgg.getLong(3) == 0L,
+      s"novelty deviations (base/copy, near, unique): $novAgg")
+    println(f"novelty: $nDocs docs vs 100k-doc reference in $tNov%.1f s " +
+      f"(${nDocs / tNov}%.0f docs/s), all three planted classes exact, " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- content-defined chunking at 1M docs: narrow zero-shuffle
+    // walk; chunks must conserve tokens exactly (30/doc) and stay
+    // inside the [ceil(30/64), ceil(30/4)] = [1, 8] count bound.
+    val t44 = System.nanoTime()
+    val cdc = graft.operators.CorpusAnalysis.cdcChunks(docs, "id", "text")
+      .groupBy(col("id"))
+      .agg(sum(col("n_tokens")).as("tk"), count(lit(1)).as("nc"))
+      .agg(count(lit(1)),
+        sum(when(col("tk") =!= 30L, 1L).otherwise(0L)),
+        sum(when(col("nc") < 1 || col("nc") > 8, 1L).otherwise(0L)),
+        sum(col("nc"))).collect()(0)
+    val tCdc = (System.nanoTime() - t44) / 1e9
+    require(cdc.getLong(0) == nDocs, s"cdc docs ${cdc.getLong(0)}")
+    require(cdc.getLong(1) == 0L, s"${cdc.getLong(1)} docs lost tokens")
+    require(cdc.getLong(2) == 0L, s"${cdc.getLong(2)} docs out of bound")
+    println(f"cdcChunks: $nDocs docs -> ${cdc.getLong(3)} chunks in " +
+      f"$tCdc%.1f s (${nDocs / tCdc}%.0f docs/s), tokens conserved, " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- unigram Viterbi encode at 1M docs: hex singles at cost 100
+    // plus two 2-char pieces at 150 — with every multi exactly 2 chars
+    // the identity total_cost = 50·n_pieces + 12000 holds PER DOC
+    // whatever mix the DP picks (s+2m=240, cost=100s+150m), a full
+    // correctness pin over the 25M-distinct-word table.
+    val t45 = System.nanoTime()
+    val ugVocab = "0123456789abcdef".map(c => c.toString -> 100L) ++
+      Seq("ab" -> 150L, "ff" -> 150L)
+    val ug = graft.operators.UnigramTokenizer.encode(
+        docs, "id", "text", ugVocab)
+      .agg(count(lit(1)), sum(col("n_words")), sum(col("n_pieces")),
+        sum(when(col("total_cost") =!= col("n_pieces") * 50L + 12000L,
+          1L).otherwise(0L))).collect()(0)
+    val tUg = (System.nanoTime() - t45) / 1e9
+    require(ug.getLong(0) == nDocs, s"unigram encoded ${ug.getLong(0)}")
+    require(ug.getLong(1) == 30L * nDocs, s"unigram words ${ug.getLong(1)}")
+    require(ug.getLong(3) == 0L,
+      s"${ug.getLong(3)} docs break the cost identity")
+    println(f"unigram: $nDocs docs, ${ug.getLong(1)} words -> " +
+      f"${ug.getLong(2)} pieces in $tUg%.1f s (${nDocs / tUg}%.0f docs/s), " +
+      f"cost identity exact, " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }
