@@ -504,6 +504,23 @@ object SparkEntry {
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 16, stride = 12)),
 
+    // Unicode script profile over planted multi-script text: per-doc
+    // script codepoint counts + dominant script (ties by priority —
+    // the %7 docs tie cyrillic/han at 5 and must pick cyrillic);
+    // integer counts + one division, bit-replicable
+    "q_script_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(repeat(lit("д"), 5), repeat(lit("数"), 5)))
+          .otherwise(concat(col("text"), lit(" "),
+            repeat(lit("д"), (col("doc_id") % 4).cast("int")),
+            repeat(lit("数"), (col("doc_id") % 3).cast("int")),
+            repeat(lit("ε"), (col("doc_id") % 2).cast("int")),
+            repeat(lit("ا"), (col("doc_id") % 5).cast("int"))))
+          .as("text"))
+      CorpusPrep.scriptProfile(docs, "doc_id", "text")
+    }),
+
     // n-gram novelty vs the %3 reference slice: fraction of each doc's
     // distinct 8-grams absent from the reference — integer counts and
     // one exact division, bit-replicable
@@ -3425,6 +3442,48 @@ object SparkEntry {
          |    END) AS u(i))
          |SELECT id, chunk_idx, chunk_tokens, chunk_text FROM ch
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Script profile: RE2 spells Java's \p{IsX} script classes \p{X};
+    // per-codepoint script assignment is the same Unicode property in
+    // both engines. Dominance = (cnt DESC, priority ASC) row_number,
+    // the window mirror of the operator's strict-greater fold.
+    "q_script_profile" -> {
+      val counts = operators.CorpusPrep.Scripts.map { case (n, _) =>
+        s"CAST(len(regexp_extract_all(t, '\\p{${n.capitalize}}')) " +
+          s"AS BIGINT) AS n_$n"
+      }.mkString(",\n         |    ")
+      val structs = operators.CorpusPrep.Scripts.zipWithIndex.map {
+        case ((n, _), i) => s"{'prio': $i, 'nm': '$n', 'ct': n_$n}"
+      }.mkString(", ")
+      val sumScript = operators.CorpusPrep.Scripts
+        .map(s => s"n_${s._1}").mkString(" + ")
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN repeat('д', 5) || repeat('数', 5)
+         |         ELSE text || ' ' || repeat('д', CAST(doc_id % 4 AS INT)) ||
+         |           repeat('数', CAST(doc_id % 3 AS INT)) ||
+         |           repeat('ε', CAST(doc_id % 2 AS INT)) ||
+         |           repeat('ا', CAST(doc_id % 5 AS INT)) END AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+         |    CAST(len(regexp_extract_all(t, '\\s')) AS BIGINT) AS n_space,
+         |    CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit,
+         |    $counts
+         |  FROM p),
+         |c2 AS (SELECT *, CAST($sumScript AS BIGINT) AS n_script FROM c),
+         |d0 AS (SELECT doc_id, unnest([$structs]) AS u FROM c2),
+         |d AS (SELECT doc_id, u.nm AS nm, u.ct AS ct,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY u.ct DESC, u.prio) AS rn
+         |  FROM d0),
+         |w AS (SELECT doc_id, nm, ct FROM d WHERE rn = 1)
+         |SELECT c2.*,
+         |  CASE WHEN c2.n_script > 0 THEN w.nm END AS dominant_script,
+         |  CASE WHEN c2.n_script > 0
+         |    THEN CAST(w.ct AS DOUBLE) / CAST(c2.n_script AS DOUBLE)
+         |  END AS dominant_frac
+         |FROM c2 JOIN w USING (doc_id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
 
     // Novelty: distinct-8-gram hashes per doc, left-joined against the
     // reference slice's distinct-hash table; gram-less docs keep a row

@@ -170,4 +170,63 @@ object CorpusPrep {
       }
     df.withColumn("split", assigned)
   }
+
+  /** The scripts [[scriptProfile]] counts, in DOMINANCE-TIE priority
+    * order, with their Java-regex script classes. RE2 engines (DuckDB)
+    * spell the same classes `\p{Latin}` etc. — identical per-codepoint
+    * script assignment for any assigned character.
+    */
+  val Scripts: Seq[(String, String)] = Seq(
+    "latin" -> raw"\p{IsLatin}",
+    "cyrillic" -> raw"\p{IsCyrillic}",
+    "greek" -> raw"\p{IsGreek}",
+    "arabic" -> raw"\p{IsArabic}",
+    "hebrew" -> raw"\p{IsHebrew}",
+    "han" -> raw"\p{IsHan}",
+    "hiragana" -> raw"\p{IsHiragana}",
+    "katakana" -> raw"\p{IsKatakana}",
+    "hangul" -> raw"\p{IsHangul}",
+    "devanagari" -> raw"\p{IsDevanagari}")
+
+  /** Unicode-script composition per doc — the script-detection gate a
+    * multilingual web pipeline runs before (or instead of) model-based
+    * language ID (CCNet routes by language; Dolma's filters drop
+    * mixed-script mojibake this way): per-script codepoint counts,
+    * whitespace/digit counts, the dominant script (max count, ties by
+    * the fixed [[Scripts]] priority order), and its fraction of all
+    * script-assigned codepoints. Counts are exact integers from one
+    * codegen'd `regexp_count` pass per class — a narrow zero-shuffle
+    * map — and the one division is correctly rounded, so the whole row
+    * replicates bit-for-bit cross-engine (q_script_profile). Docs with
+    * no script codepoints get dominant = null, frac = null.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counted = docs.select(
+      (col(idCol) +: length(t).cast("long").as("n_chars") +:
+        regexp_count(t, lit(raw"\s")).cast("long").as("n_space") +:
+        regexp_count(t, lit("[0-9]")).cast("long").as("n_digit") +:
+        Scripts.map { case (name, pat) =>
+          regexp_count(t, lit(pat)).cast("long").as(s"n_$name")
+        }): _*)
+    // left-to-right strictly-greater fold: the FIRST script in the
+    // priority list wins ties — mirrored by (cnt DESC, prio ASC)
+    // ordering in the oracle
+    val (domName, domCnt) = Scripts.tail.foldLeft(
+      (lit(Scripts.head._1), col(s"n_${Scripts.head._1}"))) {
+      case ((nm, ct), (name, _)) =>
+        val c = col(s"n_$name")
+        (when(c > ct, name).otherwise(nm), when(c > ct, c).otherwise(ct))
+    }
+    val totalScript = Scripts.map(s => col(s"n_${s._1}"))
+      .reduce(_ + _)
+    counted
+      .withColumn("n_script", totalScript)
+      .withColumn("dominant_script",
+        when(col("n_script") > 0, domName))
+      .withColumn("dominant_frac",
+        when(col("n_script") > 0,
+          domCnt.cast("double") / col("n_script")))
+  }
 }

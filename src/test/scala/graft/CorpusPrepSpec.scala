@@ -153,4 +153,32 @@ class CorpusPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and are excluded — only the labeled id 2 survives as a negative
     assert(got === Set(2L))
   }
+
+  test("scriptProfile: counts, dominance priority on ties, null text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello мир 123"),       // 5 latin, 3 cyrillic, 3 digit, 2 space
+      (2L, "ддд数数数"),            // 3-3 tie -> cyrillic by priority
+      (3L, "数数数дд"),             // han wins 3-2
+      (4L, "12 34"),               // no script chars -> null dominant
+      (5L, null.asInstanceOf[String]),
+      (6L, "καλημέρα שלום")         // greek 8, hebrew 4
+    ).toDF("doc_id", "text")
+    val got = CorpusPrep.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = got(id).getAs[Any](c)
+    assert(f(1L, "n_latin") == 5L && f(1L, "n_cyrillic") == 3L &&
+      f(1L, "n_digit") == 3L && f(1L, "n_space") == 2L &&
+      f(1L, "dominant_script") == "latin" &&
+      f(1L, "dominant_frac") == 5.0 / 8.0, got(1L).toString)
+    assert(f(2L, "dominant_script") == "cyrillic" &&
+      f(2L, "dominant_frac") == 0.5, got(2L).toString)
+    assert(f(3L, "dominant_script") == "han", got(3L).toString)
+    assert(f(4L, "n_script") == 0L && f(4L, "dominant_script") == null &&
+      f(4L, "dominant_frac") == null, got(4L).toString)
+    assert(f(5L, "n_chars") == 0L && f(5L, "dominant_script") == null,
+      got(5L).toString)
+    assert(f(6L, "n_greek") == 8L && f(6L, "n_hebrew") == 4L &&
+      f(6L, "dominant_script") == "greek", got(6L).toString)
+  }
 }

@@ -521,6 +521,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("Exchange hashpartitioning") && l.contains("text#"))
     assert(ugTextKeys == 0,
       s"unigram encode must not shuffle on raw text:\n$ugPlan")
+
+    // scriptProfile is one codegen'd regexp pass: ZERO exchanges
+    val sp = graft.operators.CorpusPrep.scriptProfile(
+      docs, "doc_id", "text")
+    sp.collect()
+    val spPlan = sp.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!spPlan.contains("Exchange"),
+      s"scriptProfile must be narrow (no shuffle at any size):\n$spPlan")
   }
 
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
