@@ -504,6 +504,13 @@ object SparkEntry {
       CorpusAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 16, stride = 12)),
 
+    // Exact corpus quantiles (p1..p99 of doc length) via histogram
+    // refinement — never a global sort; small collectCap forces the
+    // refinement loop to exercise at every SF
+    "q_quantiles" -> ((s, dir) =>
+      DataSelection.exactQuantiles(t(s, dir, "documents"), "n_chars",
+        QuantileQs, histBins = 64, collectCap = 100)),
+
     // Unicode script profile over planted multi-script text: per-doc
     // script codepoint counts + dominant script (ties by priority —
     // the %7 docs tie cyrillic/han at 5 and must pick cyrillic);
@@ -1550,6 +1557,12 @@ object SparkEntry {
 
   private lazy val WpVocabSql: String =
     WpVocab.map(v => s"'$v'").mkString("[", ", ", "]")
+
+  /** Quantiles computed by q_quantiles on both sides — shared so the
+    * rank rule max(1, ceil(q·n)) sees identical double literals.
+    */
+  private val QuantileQs: Seq[Double] =
+    Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
 
   /** Fixed unigram vocabulary shared by q_unigram_encode's two sides:
     * every corpus letter EXCEPT 'q' as a 100-cost single (so "query"
@@ -3442,6 +3455,19 @@ object SparkEntry {
          |    END) AS u(i))
          |SELECT id, chunk_idx, chunk_tokens, chunk_text FROM ch
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Exact quantiles: DuckDB's quantile_disc IS the same rank rule
+    // (max(1, ceil(q·n)); verified empirically) and the answer is an
+    // exact element of the column — no interpolation to drift
+    "q_quantiles" -> {
+      val legs = QuantileQs.map(q =>
+        s"SELECT ${q}e0 AS q, quantile_disc(x, $q) AS value FROM v")
+        .mkString("\n         |UNION ALL ")
+      s"""WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents)
+         |SELECT q, value FROM (
+         |$legs)
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
 
     // Script profile: RE2 spells Java's \p{IsX} script classes \p{X};
     // per-codepoint script assignment is the same Unicode property in

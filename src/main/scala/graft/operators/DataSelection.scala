@@ -363,4 +363,109 @@ object DataSelection {
     kept.unionByName(boundary.join(boundaryIds, Seq("id"), "left_semi"))
       .drop("__bin")
   }
+
+  /** EXACT quantiles of a numeric column without a global sort — the
+    * distribution numbers a data card publishes (p50/p99 doc length,
+    * score cut points) computed at any corpus size by histogram
+    * refinement: each round bins the current candidate interval into
+    * `histBins`, ONE bounded histogram comes to the driver, the bin
+    * holding the target rank becomes the next interval, and exact
+    * boundary counts re-anchor the rank bookkeeping — so the interval
+    * population shrinks ~`histBins`× per round (2–3 rounds in
+    * practice) until one bounded `collectCap` collect finishes the
+    * job. `approx_percentile` answers this with error bars; a window
+    * `ntile`/sort answers it with a corpus-wide sort — this is the
+    * exact answer at histogram cost, the same recipe as
+    * [[selectTopNByScore]] pointed at ranks instead of top-N.
+    *
+    * Rank rule: quantile q = the max(1, ⌈q·n⌉)-th smallest — DuckDB's
+    * `quantile_disc` (verified empirically), so q_quantiles compares
+    * bit-exactly: the answer is an exact element of the data, not an
+    * interpolation. NaN/null values are excluded (SQL aggregate
+    * semantics); ±∞ rejected fail-loud. Ties need no tie-break — the
+    * k-th smallest VALUE is unique even when rows are not.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+      histBins: Int = 100000, collectCap: Int = 100000,
+      maxRounds: Int = 64): DataFrame = {
+    require(qs.nonEmpty, "exactQuantiles: no quantiles requested")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    require(histBins >= 2 && collectCap >= 1 && maxRounds >= 1,
+      "exactQuantiles: bad knobs")
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !col("v").isNaN)
+      .localCheckpoint(true)
+    val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v")))
+      .collect()(0)
+    val n = stats.getLong(0)
+    require(n > 0, "exactQuantiles: no non-null values")
+    val (mn, mx) = (stats.getDouble(1), stats.getDouble(2))
+    require(!mn.isInfinite && !mx.isInfinite,
+      "exactQuantiles: infinite values present")
+
+    def kth(r: Long): Double = {
+      var lo = mn
+      var hi = mx
+      var cLess = 0L // exact count of rows with v < lo
+      var inCount = n
+      var rounds = 0
+      while (inCount > collectCap && rounds < maxRounds) {
+        val width = (hi - lo) / histBins
+        if (width <= 0.0 || lo + width <= lo) {
+          // ULP floor: the interval spans a handful of distinct
+          // doubles — resolve by exact per-value counts (bounded by
+          // the representable values in the interval)
+          val byVal = vals.filter(col("v") >= lo && col("v") <= hi)
+            .groupBy(col("v")).count().collect()
+            .map(row => (row.getDouble(0), row.getLong(1)))
+            .sortBy(_._1)
+          var acc = cLess
+          for ((v, c) <- byVal) {
+            if (acc < r && r <= acc + c) return v
+            acc += c
+          }
+          return byVal.last._1
+        }
+        val binOf = least(floor((col("v") - lit(lo)) / lit(width))
+          .cast("int"), lit(histBins - 1))
+        val hist = vals.filter(col("v") >= lo && col("v") <= hi)
+          .groupBy(binOf.as("__b")).count().collect()
+          .map(row => row.getInt(0) -> row.getLong(1)).toMap
+        var acc = cLess
+        var b = 0
+        while (b < histBins && acc + hist.getOrElse(b, 0L) < r) {
+          acc += hist.getOrElse(b, 0L)
+          b += 1
+        }
+        val newLo = if (b == 0) lo else lo + b * width
+        val newHi = if (b >= histBins - 1) hi else lo + (b + 1) * width
+        // exact re-anchor: the closed interval may over-include rows
+        // equal to newHi (they binned one bucket up) — harmless, the
+        // rank math keys on the exact < newLo count
+        val re = vals.agg(
+          sum(when(col("v") < newLo, 1L).otherwise(0L)),
+          sum(when(col("v") >= newLo && col("v") <= newHi, 1L)
+            .otherwise(0L))).collect()(0)
+        val newCLess = re.getLong(0)
+        val newIn = re.getLong(1)
+        if (newLo == lo && newHi == hi && newIn == inCount) {
+          // no progress is impossible while width > 0 unless all mass
+          // sits in one full-interval bin — fall through to collect
+          rounds = maxRounds
+        } else {
+          lo = newLo; hi = newHi; cLess = newCLess; inCount = newIn
+        }
+        rounds += 1
+      }
+      val leaf = vals.filter(col("v") >= lo && col("v") <= hi)
+        .orderBy(col("v")).collect().map(_.getDouble(0))
+      leaf((r - cLess - 1).toInt)
+    }
+
+    import spark.implicits._
+    qs.map(q => q -> kth(math.max(1L, math.ceil(q * n).toLong)))
+      .toDF("q", "value")
+  }
 }

@@ -157,4 +157,43 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(gotFlat == (0L until 10L).toSet, gotFlat.toString)
   }
+
+  test("exactQuantiles equals the sorted reference; refinement rounds; " +
+      "ties; guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy ties + outliers + negatives; small collectCap forces the
+    // histogram-refinement loop to actually run (not one collect)
+    val data = (1 to 5000).map(_ => (rnd.nextInt(40) - 20).toDouble) ++
+      Seq(1e9, -1e9) ++ (1 to 1000).map(_ => 7.0)
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = DataSelection.exactQuantiles(df, "v", qs,
+        histBins = 16, collectCap = 50, maxRounds = 64)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = data.sorted
+    qs.foreach { q =>
+      val r = math.max(1L, math.ceil(q * data.size).toLong).toInt
+      assert(got(q) == sorted(r - 1), s"q=$q got=${got(q)} ref=${sorted(r - 1)}")
+    }
+    // null/NaN excluded; all-equal column; guards
+    val withNulls = Seq(Some(3.0), None, Some(Double.NaN), Some(1.0),
+      Some(2.0)).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val g2 = DataSelection.exactQuantiles(withNulls, "v", Seq(0.5))
+      .collect()(0).getDouble(1)
+    assert(g2 == 2.0, g2.toString) // median of {1,2,3}
+    val same = (1 to 100).map(i => (i.toLong, 5.5)).toDF("id", "v")
+    assert(DataSelection.exactQuantiles(same, "v", Seq(0.0, 0.5, 1.0),
+        histBins = 4, collectCap = 10)
+      .collect().forall(_.getDouble(1) == 5.5))
+    intercept[IllegalArgumentException] {
+      DataSelection.exactQuantiles(df, "v", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      DataSelection.exactQuantiles(
+        Seq((1L, Double.PositiveInfinity)).toDF("id", "v"), "v", Seq(0.5))
+    }
+  }
 }
