@@ -428,6 +428,15 @@ object SparkEntry {
         rates = Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25),
         defaultRate = 0.05, salt = "seed1")),
 
+    // Mixture UP-sampling: whole epochs + deterministic fractional
+    // epoch per source (src1 x2.5, src3 x3 exact, src2 down to 0.25)
+    "q_upsample_mix" -> ((s, dir) =>
+      CorpusAnalysis.upsampleMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        rates = Map("src1" -> 2.5, "src2" -> 0.25, "src3" -> 3.0),
+        defaultRate = 0.05, salt = "up1")),
+
     // C4-style line-level boilerplate scrub: every doc gets a shared
     // footer (banned at minCount=3) and a unique line (kept); the base
     // text line is banned exactly when the doc is an exact duplicate
@@ -3277,6 +3286,25 @@ object SparkEntry {
          |     WHEN 'src2' THEN ${CorpusAnalysis.rateThreshold(0.5)}
          |     WHEN 'src3' THEN ${CorpusAnalysis.rateThreshold(0.25)}
          |     ELSE ${CorpusAnalysis.rateThreshold(0.05)} END)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Up-sampling: base epochs + the same hash-vs-threshold test for
+    // the fractional epoch; copies explode as 0-based indexes
+    "q_upsample_mix" ->
+      s"""WITH c AS (SELECT doc_id, source,
+         |    (CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0
+         |       WHEN 'src3' THEN 3 ELSE 0 END)
+         |    + (CASE WHEN ${H60("'up1:' || CAST(doc_id AS VARCHAR)")} <
+         |        (CASE source
+         |           WHEN 'src1' THEN ${CorpusAnalysis.rateThreshold(0.5)}
+         |           WHEN 'src2' THEN ${CorpusAnalysis.rateThreshold(0.25)}
+         |           WHEN 'src3' THEN 0
+         |           ELSE ${CorpusAnalysis.rateThreshold(0.05)} END)
+         |      THEN 1 ELSE 0 END) AS copies
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(u.cp AS BIGINT) AS copy
+         |FROM c, unnest(CASE WHEN copies > 0 THEN range(0, copies)
+         |  ELSE [] END) AS u(cp)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Line-level dedup: same planted construction, same hash-keyed

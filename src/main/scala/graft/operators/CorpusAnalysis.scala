@@ -396,6 +396,27 @@ object CorpusAnalysis {
   def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = "graft"): DataFrame = {
+    val keyLit = stratumKeyLit(df, stratumCol, rates.keys, "mixtureSample")
+    val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol).cast("string") === keyLit(stratum),
+          lit(rateThreshold(rate))).otherwise(acc)
+    }
+    df.filter(
+      TextFunctions.md5Hash60(
+        concat(lit(salt), lit(":"), col(idCol).cast("string")))
+        < threshold)
+  }
+
+  /** Rate-key canonicalization shared by [[mixtureSample]] and
+    * [[upsampleMixture]]: returns the literal builder that renders a
+    * rate key exactly as the stratum COLUMN's cast-to-string renders
+    * matching values, validating numeric keys driver-side (parse,
+    * range, integrality, post-cast ambiguity) so a bad key fails
+    * loudly instead of silently falling to the default rate.
+    */
+  private def stratumKeyLit(df: DataFrame, stratumCol: String,
+      keys: Iterable[String], who: String): String => Column = {
     import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
     val dt = df.schema(stratumCol).dataType
     val isIntegral =
@@ -405,10 +426,10 @@ object CorpusAnalysis {
     // executor-side ANSI cast error (or a silent defaultRate miss)
     val keyLit: String => Column = dt match {
       case _: NumericType =>
-        val parsed = rates.keys.toSeq.sorted.map { k =>
+        val parsed = keys.toSeq.sorted.map { k =>
           val bd = scala.util.Try(BigDecimal(k)).getOrElse(
             throw new IllegalArgumentException(
-              s"mixtureSample: rate key '$k' is not numeric but stratum " +
+              s"$who: rate key '$k' is not numeric but stratum " +
                 s"column '$stratumCol' is ${dt.simpleString}"))
           (bd, k)
         }
@@ -424,12 +445,12 @@ object CorpusAnalysis {
           case d: DecimalType => (bd, k) =>
             val scaled = bd.setScale(d.scale, BigDecimal.RoundingMode.HALF_UP)
             require(scaled.precision <= d.precision,
-              s"mixtureSample: rate key '$k' overflows stratum column " +
+              s"$who: rate key '$k' overflows stratum column " +
                 s"'$stratumCol' (${dt.simpleString})")
             scaled
           case _ => (bd, k) =>
             require(bd.isWhole,
-              s"mixtureSample: non-integral rate key '$k' against " +
+              s"$who: non-integral rate key '$k' against " +
                 s"integral stratum column '$stratumCol'")
             val bi = bd.toBigIntExact.get
             val fits = dt match {
@@ -439,14 +460,14 @@ object CorpusAnalysis {
               case _ => bi.isValidLong
             }
             require(fits,
-              s"mixtureSample: rate key '$k' overflows stratum column " +
+              s"$who: rate key '$k' overflows stratum column " +
                 s"'$stratumCol' (${dt.simpleString})")
             bi
         }
         val canonical = parsed.map { case (bd, k) => (canon(bd, k), k) }
         val ambiguous = canonical.groupBy(_._1).filter(_._2.size > 1)
         require(ambiguous.isEmpty,
-          s"mixtureSample: rate keys ${ambiguous.values.map(_.map(_._2).mkString("/")).mkString(", ")} " +
+          s"$who: rate keys ${ambiguous.values.map(_.map(_._2).mkString("/")).mkString(", ")} " +
             s"are equal after casting to ${dt.simpleString} — ambiguous " +
             s"against numeric stratum column '$stratumCol'")
         val byKey = parsed.map { case (bd, k) => k -> bd }.toMap
@@ -460,15 +481,45 @@ object CorpusAnalysis {
         }
       case _ => (k: String) => lit(k)
     }
-    val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
-      case (acc, (stratum, rate)) =>
+    keyLit
+  }
+
+  /** Deterministic mixture UP-sampling — rates may exceed 1: a doc in
+    * stratum s emits floor(r_s) copies plus one more iff
+    * md5-60(salt:id) < frac(r_s)·2^60. This is the epoch-level
+    * replication [[temperatureMixtureRates]] points at when a tail
+    * source saturates its cap ("Wikipedia ×3.5" in a training mix):
+    * rates ≤ 1 reproduce [[mixtureSample]]'s keep set exactly (with
+    * copy = 0), rates > 1 materialize whole epochs plus a
+    * deterministic fractional epoch — the sample is still a pure
+    * function of (id, salt). Output: all input columns + `copy`
+    * (0-based) so downstream [[epochShuffle]]-style shuffling keyed on
+    * (id, copy) spreads replicas across shards. A narrow pass: two
+    * constant-folded CASEs and a ≤⌈r⌉-element explode per row — no
+    * shuffle, no RNG state.
+    */
+  def upsampleMixture(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && !r.isNaN && !r.isInfinite,
+        s"upsampleMixture: rates must be finite and >= 0, got $r"))
+    val keyLit = stratumKeyLit(df, stratumCol, rates.keys, "upsampleMixture")
+    def fold(f: Double => Long): Column =
+      rates.foldLeft(lit(f(defaultRate))) { case (acc, (stratum, r)) =>
         when(col(stratumCol).cast("string") === keyLit(stratum),
-          lit(rateThreshold(rate))).otherwise(acc)
-    }
-    df.filter(
-      TextFunctions.md5Hash60(
-        concat(lit(salt), lit(":"), col(idCol).cast("string")))
-        < threshold)
+          lit(f(r))).otherwise(acc)
+      }
+    val base = fold(r => math.floor(r).toLong)
+    val thr = fold(r => rateThreshold(r - math.floor(r)))
+    val h = TextFunctions.md5Hash60(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val copies = base + when(h < thr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__copies", copies)
+      .withColumn("copy", explode(when(col("__copies") > 0,
+        sequence(lit(0L), col("__copies") - 1))
+        .otherwise(array().cast("array<bigint>"))))
+      .drop("__copies")
   }
 
   /** Temperature-weighted mixture rates — the standard multi-source

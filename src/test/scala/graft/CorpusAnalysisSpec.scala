@@ -1111,6 +1111,45 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1.toSet != e2.toSet, "epochs must produce different orders")
   }
 
+  test("upsampleMixture: whole epochs exact, fractional epoch matches " +
+      "mixtureSample, sub-1 rates reduce to it") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i =>
+      (i, Seq("a", "b", "c", "d")((i % 4).toInt))).toDF("doc_id", "source")
+    val rates = Map("a" -> 2.0, "b" -> 0.5, "c" -> 2.25)
+    val got = CorpusAnalysis.upsampleMixture(docs, "doc_id", "source",
+      rates, defaultRate = 0.0, salt = "up").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = got.groupBy(_._1)
+    // stratum a: exactly 2 copies (0 and 1) for every doc
+    docs.filter(col("source") === "a").collect().map(_.getLong(0))
+      .foreach { id =>
+        assert(byDoc(id).map(_._3).sorted.toSeq == Seq(0L, 1L), id.toString) }
+    // stratum d (default 0): no rows
+    assert(got.forall(_._2 != "d"))
+    // stratum c: 2 or 3 copies; the 3rd copy appears for ~25%
+    val cCounts = docs.filter(col("source") === "c").collect()
+      .map(_.getLong(0)).map(id => byDoc.get(id).map(_.size).getOrElse(0))
+    assert(cCounts.forall(c => c == 2 || c == 3), cCounts.mkString(","))
+    assert(cCounts.count(_ == 3) > 5 && cCounts.count(_ == 3) < 60)
+    // stratum b (0.5): exactly mixtureSample's keep set, all copy=0
+    val ms = CorpusAnalysis.mixtureSample(
+      docs.filter(col("source") === "b"), "doc_id", "source",
+      Map("b" -> 0.5), salt = "up").collect().map(_.getLong(0)).toSet
+    val up = got.filter(_._2 == "b")
+    assert(up.forall(_._3 == 0L) && up.map(_._1).toSet == ms,
+      s"${up.length} vs ${ms.size}")
+    // deterministic
+    val again = CorpusAnalysis.upsampleMixture(docs, "doc_id", "source",
+      rates, defaultRate = 0.0, salt = "up").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == again.toSet)
+    intercept[IllegalArgumentException] {
+      CorpusAnalysis.upsampleMixture(docs, "doc_id", "source",
+        Map("a" -> -0.5))
+    }
+  }
+
   test("ngramNovelty: seen/novel 8-gram split, gram-less docs stay null") {
     import spark.implicits._
     val a = (1 to 16).map(i => s"t$i").mkString(" ")         // the reference
