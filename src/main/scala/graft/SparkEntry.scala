@@ -520,6 +520,12 @@ object SparkEntry {
       DataSelection.exactQuantiles(t(s, dir, "documents"), "n_chars",
         QuantileQs, histBins = 64, collectCap = 100)),
 
+    // Per-source exact quantiles: every (source, q) refined in shared
+    // passes; tiny collectCap forces the loop at every SF
+    "q_group_quantiles" -> ((s, dir) =>
+      DataSelection.groupedExactQuantiles(t(s, dir, "documents"),
+        "source", "n_chars", QuantileQs, histBins = 16, collectCap = 10)),
+
     // Unicode script profile over planted multi-script text: per-doc
     // script codepoint counts + dominant script (ties by priority —
     // the %7 docs tie cyrillic/han at 5 and must pick cyrillic);
@@ -3493,6 +3499,21 @@ object SparkEntry {
         .mkString("\n         |UNION ALL ")
       s"""WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents)
          |SELECT q, value FROM (
+         |$legs)
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
+
+    // Grouped quantiles: quantile_disc under GROUP BY — same rank rule
+    // within each group
+    "q_group_quantiles" -> {
+      val legs = QuantileQs.map(q =>
+        s"""SELECT grp, ${q}e0 AS q, quantile_disc(x, $q) AS value
+           |  FROM v GROUP BY grp""".stripMargin)
+        .mkString("\n         |UNION ALL ")
+      s"""WITH v AS (SELECT CAST(source AS VARCHAR) AS grp,
+         |    CAST(n_chars AS DOUBLE) AS x FROM documents
+         |  WHERE source IS NOT NULL)
+         |SELECT grp AS "group", q, value FROM (
          |$legs)
          |ORDER BY ALL NULLS FIRST""".stripMargin
     },

@@ -468,4 +468,150 @@ object DataSelection {
     qs.map(q => q -> kth(math.max(1L, math.ceil(q * n).toLong)))
       .toDF("q", "value")
   }
+
+  /** Per-group exact quantiles — [[exactQuantiles]] refined for EVERY
+    * group simultaneously (per-source / per-language p50/p99 in a data
+    * card): each round makes ONE pass that joins the corpus against a
+    * broadcast table of the still-active (group, q) intervals, bins
+    * in-interval rows, cumulative-sums per (group, q) with a
+    * PARTITION-LOCAL window (≤ histBins rows per key — never a
+    * corpus-sized window), and collects exactly one crossing-bin row
+    * per active (group, q). Exact boundary re-anchors keep the rank
+    * math precise; finished keys resolve with one more partition-local
+    * window over their ≤ collectCap leaf rows. Total driver state is
+    * O(groups · |qs|), gated by `maxGroups` fail-loud — per-source and
+    * per-language cardinalities fit easily; per-DOMAIN quantiles at
+    * crawl scale should use approximations instead.
+    *
+    * Same rank rule as [[exactQuantiles]] (max(1, ⌈q·n_g⌉) within each
+    * group = DuckDB `quantile_disc` under GROUP BY — q_group_quantiles
+    * compares bit-exactly). Null groups and null/NaN values are
+    * excluded; the group column is keyed by its cast-to-string form.
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double], histBins: Int = 1024,
+      collectCap: Int = 10000, maxGroups: Int = 10000,
+      maxRounds: Int = 64): DataFrame = {
+    require(qs.nonEmpty, "groupedExactQuantiles: no quantiles requested")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    require(histBins >= 2 && collectCap >= 1 && maxGroups >= 1 &&
+      maxRounds >= 1, "groupedExactQuantiles: bad knobs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull && !col("v").isNaN)
+      .localCheckpoint(true)
+    val env = vals.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+      .collect()
+    require(env.nonEmpty, "groupedExactQuantiles: no non-null values")
+    require(env.length <= maxGroups,
+      s"groupedExactQuantiles: ${env.length} groups exceed maxGroups=" +
+        s"$maxGroups — raise the gate or use an approximation")
+    env.foreach(r => require(!r.getDouble(2).isInfinite &&
+      !r.getDouble(3).isInfinite,
+      s"groupedExactQuantiles: infinite values in group ${r.getString(0)}"))
+
+    // state per (group, q-index); r is the group-local target rank
+    case class St(lo: Double, hi: Double, cLess: Long, inCount: Long,
+      r: Long)
+    val state = scala.collection.mutable.LinkedHashMap.empty[(String, Int), St]
+    for (row <- env; (q, qi) <- qs.zipWithIndex) {
+      val n = row.getLong(1)
+      state((row.getString(0), qi)) = St(row.getDouble(2), row.getDouble(3),
+        0L, n, math.max(1L, math.ceil(q * n).toLong))
+    }
+    val done = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("qi")).orderBy(col("__b"))
+
+    var rounds = 0
+    var active = state.filter { case (k, s) =>
+      s.inCount > collectCap && s.lo < s.hi }
+    while (active.nonEmpty && rounds < maxRounds) {
+      val ivals = broadcast(active.toSeq.map { case ((g, qi), s) =>
+        (g, qi, s.lo, s.hi, (s.hi - s.lo) / histBins, s.r - s.cLess)
+      }.toDF("g", "qi", "__lo", "__hi", "__w", "__rrem"))
+      // one pass: bin counts + partition-local cumsum + crossing bin
+      val crossing = vals.join(ivals, Seq("g"))
+        .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
+        .select(col("g"), col("qi"), col("__rrem"),
+          least(floor((col("v") - col("__lo")) / col("__w")).cast("int"),
+            lit(histBins - 1)).as("__b"))
+        .groupBy(col("g"), col("qi"), col("__rrem"), col("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(win))
+        .filter(col("__cum") >= col("__rrem") &&
+          col("__cum") - col("__c") < col("__rrem"))
+        .select(col("g"), col("qi"), col("__b"))
+        .collect().map(r2 => (r2.getString(0), r2.getInt(1)) -> r2.getInt(2))
+        .toMap
+      val next = active.map { case (k, s) =>
+        val b = crossing(k)
+        val w = (s.hi - s.lo) / histBins
+        val newLo = if (b == 0) s.lo else s.lo + b * w
+        val newHi = if (b >= histBins - 1) s.hi else s.lo + (b + 1) * w
+        k -> (newLo, newHi)
+      }
+      val reDf = broadcast(next.toSeq.map { case ((g, qi), (nl, nh)) =>
+        (g, qi, nl, nh) }.toDF("g", "qi", "__lo", "__hi"))
+      val re = vals.join(reDf, Seq("g"))
+        .groupBy(col("g"), col("qi"), col("__lo"), col("__hi"))
+        .agg(sum(when(col("v") < col("__lo"), 1L).otherwise(0L)).as("__cl"),
+          sum(when(col("v") >= col("__lo") && col("v") <= col("__hi"), 1L)
+            .otherwise(0L)).as("__in"))
+        .collect().map(r2 => (r2.getString(0), r2.getInt(1)) ->
+          (r2.getLong(4), r2.getLong(5))).toMap
+      for ((k, (nl, nh)) <- next) {
+        val s = state(k)
+        val (cl, in) = re(k)
+        if (nl == s.lo && nh == s.hi && in == s.inCount) {
+          // no shrink: the interval spans a handful of adjacent
+          // doubles (subnormal bin width) — resolve by exact
+          // per-value counts, bounded by the representable values
+          val byVal = vals
+            .filter(col("g") === k._1 && col("v") >= s.lo &&
+              col("v") <= s.hi)
+            .groupBy(col("v")).count().collect()
+            .map(row => (row.getDouble(0), row.getLong(1)))
+            .sortBy(_._1)
+          var acc = s.cLess
+          for ((v2, c2) <- byVal if !done.contains(k)) {
+            if (acc < s.r && s.r <= acc + c2) done(k) = v2
+            acc += c2
+          }
+          if (!done.contains(k)) done(k) = byVal.last._1
+        } else state(k) = St(nl, nh, cl, in, s.r)
+      }
+      rounds += 1
+      active = state.filter { case (k, s) =>
+        !done.contains(k) && s.inCount > collectCap && s.lo < s.hi }
+    }
+    // degenerate intervals: every value in [lo, hi] equals lo
+    for ((k, s) <- state if s.lo == s.hi && !done.contains(k))
+      done(k) = s.lo
+    // leaf: ≤ collectCap rows per key — partition-local row_number
+    val leafKeys = state.keys.filterNot(done.contains).toSeq
+    if (leafKeys.nonEmpty) {
+      val leafDf = broadcast(leafKeys.map { k =>
+        val s = state(k)
+        (k._1, k._2, s.lo, s.hi, s.r - s.cLess)
+      }.toDF("g", "qi", "__lo", "__hi", "__need"))
+      val lwin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"), col("qi")).orderBy(col("v"))
+      vals.join(leafDf, Seq("g"))
+        .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
+        .withColumn("__rn", row_number().over(lwin))
+        .filter(col("__rn") === col("__need"))
+        .select(col("g"), col("qi"), col("v"))
+        .collect()
+        .foreach(r2 => done((r2.getString(0), r2.getInt(1))) =
+          r2.getDouble(2))
+    }
+    state.keys.toSeq.map { case (g, qi) => (g, qs(qi), done((g, qi))) }
+      .toDF("group", "q", "value")
+  }
 }

@@ -196,4 +196,40 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq((1L, Double.PositiveInfinity)).toDF("id", "v"), "v", Seq(0.5))
     }
   }
+
+  test("groupedExactQuantiles equals per-group sorted references") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // three groups with very different shapes + sizes; small knobs
+    // force the shared refinement loop and the leaf window
+    val data =
+      (1 to 3000).map(_ => ("web", rnd.nextInt(50).toDouble)) ++
+      (1 to 500).map(_ => ("books", rnd.nextGaussian() * 100.0)) ++
+      (1 to 40).map(i => ("code", i.toDouble)) ++
+      Seq(("web", 1e7), ("books", -1e7))
+    val df = data.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "src", "v")
+    val qs = Seq(0.01, 0.5, 0.99)
+    val got = DataSelection.groupedExactQuantiles(df, "src", "v", qs,
+        histBins = 8, collectCap = 20, maxGroups = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- byG; q <- qs) {
+      val r = math.max(1L, math.ceil(q * vs.size).toLong).toInt
+      assert(got((g, q)) == vs(r - 1),
+        s"g=$g q=$q got=${got((g, q))} ref=${vs(r - 1)}")
+    }
+    assert(got.size == byG.size * qs.size)
+    // null group and null values excluded; group cardinality gate
+    val withNull = df.unionByName(Seq((9999L,
+      null.asInstanceOf[String], 1.0)).toDF("id", "src", "v"))
+    assert(DataSelection.groupedExactQuantiles(withNull, "src", "v",
+      Seq(0.5)).collect().map(_.getString(0)).toSet ==
+      Set("web", "books", "code"))
+    intercept[IllegalArgumentException] {
+      DataSelection.groupedExactQuantiles(df, "src", "v", Seq(0.5),
+        maxGroups = 2)
+    }
+  }
 }
