@@ -388,85 +388,16 @@ object DataSelection {
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
       histBins: Int = 100000, collectCap: Int = 100000,
       maxRounds: Int = 64): DataFrame = {
-    require(qs.nonEmpty, "exactQuantiles: no quantiles requested")
-    require(qs.forall(q => q >= 0.0 && q <= 1.0),
-      s"quantiles must be in [0,1], got $qs")
-    require(histBins >= 2 && collectCap >= 1 && maxRounds >= 1,
-      "exactQuantiles: bad knobs")
-    val spark = df.sparkSession
-    val vals = df.select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull && !col("v").isNaN)
-      .localCheckpoint(true)
-    val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v")))
-      .collect()(0)
-    val n = stats.getLong(0)
-    require(n > 0, "exactQuantiles: no non-null values")
-    val (mn, mx) = (stats.getDouble(1), stats.getDouble(2))
-    require(!mn.isInfinite && !mx.isInfinite,
-      "exactQuantiles: infinite values present")
-
-    def kth(r: Long): Double = {
-      var lo = mn
-      var hi = mx
-      var cLess = 0L // exact count of rows with v < lo
-      var inCount = n
-      var rounds = 0
-      while (inCount > collectCap && rounds < maxRounds) {
-        val width = (hi - lo) / histBins
-        if (width <= 0.0 || lo + width <= lo) {
-          // ULP floor: the interval spans a handful of distinct
-          // doubles — resolve by exact per-value counts (bounded by
-          // the representable values in the interval)
-          val byVal = vals.filter(col("v") >= lo && col("v") <= hi)
-            .groupBy(col("v")).count().collect()
-            .map(row => (row.getDouble(0), row.getLong(1)))
-            .sortBy(_._1)
-          var acc = cLess
-          for ((v, c) <- byVal) {
-            if (acc < r && r <= acc + c) return v
-            acc += c
-          }
-          return byVal.last._1
-        }
-        val binOf = least(floor((col("v") - lit(lo)) / lit(width))
-          .cast("int"), lit(histBins - 1))
-        val hist = vals.filter(col("v") >= lo && col("v") <= hi)
-          .groupBy(binOf.as("__b")).count().collect()
-          .map(row => row.getInt(0) -> row.getLong(1)).toMap
-        var acc = cLess
-        var b = 0
-        while (b < histBins && acc + hist.getOrElse(b, 0L) < r) {
-          acc += hist.getOrElse(b, 0L)
-          b += 1
-        }
-        val newLo = if (b == 0) lo else lo + b * width
-        val newHi = if (b >= histBins - 1) hi else lo + (b + 1) * width
-        // exact re-anchor: the closed interval may over-include rows
-        // equal to newHi (they binned one bucket up) — harmless, the
-        // rank math keys on the exact < newLo count
-        val re = vals.agg(
-          sum(when(col("v") < newLo, 1L).otherwise(0L)),
-          sum(when(col("v") >= newLo && col("v") <= newHi, 1L)
-            .otherwise(0L))).collect()(0)
-        val newCLess = re.getLong(0)
-        val newIn = re.getLong(1)
-        if (newLo == lo && newHi == hi && newIn == inCount) {
-          // no progress is impossible while width > 0 unless all mass
-          // sits in one full-interval bin — fall through to collect
-          rounds = maxRounds
-        } else {
-          lo = newLo; hi = newHi; cLess = newCLess; inCount = newIn
-        }
-        rounds += 1
-      }
-      val leaf = vals.filter(col("v") >= lo && col("v") <= hi)
-        .orderBy(col("v")).collect().map(_.getDouble(0))
-      leaf((r - cLess - 1).toInt)
-    }
-
-    import spark.implicits._
-    qs.map(q => q -> kth(math.max(1L, math.ceil(q * n).toLong)))
-      .toDF("q", "value")
+    // one constant group: the grouped engine refines ALL qs in shared
+    // passes (one histogram round covers every still-active quantile)
+    // and carries the exact-count invariant repair — one code path to
+    // keep correct instead of two
+    groupedExactQuantiles(
+      df.select(lit("all").as("__g"), col(valueCol).cast("double")
+        .as(valueCol)),
+      "__g", valueCol, qs, histBins = histBins, collectCap = collectCap,
+      maxGroups = 1, maxRounds = maxRounds)
+      .select(col("q"), col("value"))
   }
 
   /** Per-group exact quantiles — [[exactQuantiles]] refined for EVERY
@@ -565,9 +496,43 @@ object DataSelection {
             .otherwise(0L)).as("__in"))
         .collect().map(r2 => (r2.getString(0), r2.getInt(1)) ->
           (r2.getLong(4), r2.getLong(5))).toMap
-      for ((k, (nl, nh)) <- next) {
+      // invariant repair: binning divides in FLOATING POINT, so a
+      // value a half-ulp from a bin edge can land one bin off the
+      // side its exact comparison against newLo/newHi implies — the
+      // exact counts must bracket the rank (cLess < r <= cLess + in)
+      // or the target value just fell out of the refined interval.
+      // Widen the offending edge one bin and recount (exact counts
+      // drive the decision; misbinning is at most one bin, so one
+      // step per edge suffices — asserted after).
+      def exactCounts(k: (String, Int), nl: Double,
+          nh: Double): (Long, Long) = {
+        val row = vals.filter(col("g") === k._1)
+          .agg(sum(when(col("v") < nl, 1L).otherwise(0L)),
+            sum(when(col("v") >= nl && col("v") <= nh, 1L)
+              .otherwise(0L))).collect()(0)
+        (if (row.isNullAt(0)) 0L else row.getLong(0),
+          if (row.isNullAt(1)) 0L else row.getLong(1))
+      }
+      val repaired = next.map { case (k, (nl0, nh0)) =>
         val s = state(k)
-        val (cl, in) = re(k)
+        var (nl, nh) = (nl0, nh0)
+        var (cl, in) = re(k)
+        val w = (s.hi - s.lo) / histBins
+        if (cl >= s.r) {
+          nl = math.max(s.lo, nl - w)
+          val c2 = exactCounts(k, nl, nh); cl = c2._1; in = c2._2
+        }
+        if (cl + in < s.r) {
+          nh = math.min(s.hi, nh + w)
+          val c2 = exactCounts(k, nl, nh); cl = c2._1; in = c2._2
+        }
+        require(cl < s.r && s.r <= cl + in,
+          s"groupedExactQuantiles: rank invariant unrepairable for $k " +
+            s"(r=${s.r} cl=$cl in=$in) — widen histBins")
+        k -> (nl, nh, cl, in)
+      }
+      for ((k, (nl, nh, cl, in)) <- repaired) {
+        val s = state(k)
         if (nl == s.lo && nh == s.hi && in == s.inCount) {
           // no shrink: the interval spans a handful of adjacent
           // doubles (subnormal bin width) — resolve by exact

@@ -81,6 +81,15 @@ object HtmlExtract {
       carryCols: Seq[String] = Nil): DataFrame = {
     require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
       s"maxLinkDensity must be in [0, 1], got $maxLinkDensity")
+    // carried names must not collide with the output/internal columns
+    // of this operator — fail at the API boundary, not as an ambiguous
+    // AnalysisException (or a silent shadow) deep in the chained plan
+    val reserved = Set("id", "text", "n_lines", "n_kept", "__ls", "__ne")
+    val clash = carryCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"extractText: carryCols ${clash.mkString(", ")} collide with " +
+        s"output/internal columns (${reserved.mkString(", ")}) — " +
+        "rename them upstream")
     val html = coalesce(col(htmlCol), lit(""))
     val noHidden = dropElement(dropElement(
       regexp_replace(html, "(?s)<!--.*?-->", " "), "script"), "style")

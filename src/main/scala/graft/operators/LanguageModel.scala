@@ -150,10 +150,17 @@ object LanguageModel {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
     TopK.requireIntegral(docs, idCol, "kneserNeyScores")
     // (ctx_hash, w_hash) keyed counts: one distinct-bigram row each,
-    // so the context table's row count per ctx IS N1+(c·)
+    // so the context table's row count per ctx IS N1+(c·).
+    // Materialized ONCE (localCheckpoint): the driver-side B = |cb|
+    // count below is its own action, and without the checkpoint the
+    // full tokenize+shuffle lineage would run again when the scoring
+    // plan executes — doubling the heaviest stage at corpus-sized
+    // targets (the nearDupClusters 'materialize the pipeline once'
+    // rationale).
     val cb = bigramRows(target, idCol, textCol)
       .groupBy(col("ctx_hash"), col("w_hash"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val cc = cb.groupBy(col("ctx_hash"))
       .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("n1f"))
     val cw = cb.groupBy(col("w_hash"))

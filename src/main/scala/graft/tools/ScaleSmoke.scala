@@ -1090,6 +1090,40 @@ object ScaleSmoke {
       f"${ug.getLong(2)} pieces in $tUg%.1f s (${nDocs / tUg}%.0f docs/s), " +
       f"cost identity exact, " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- exact quantiles at 1M rows: v = id makes every answer a
+    // closed form (q-quantile of 0..n-1 is ceil(q·n)−1; per-group over
+    // id%16 it's g + 16·(r−1)) — histogram refinement must hit each
+    // EXACTLY, with small caps forcing the multi-round path.
+    val t46 = System.nanoTime()
+    val qv = docs.select(col("id"), (col("id") % 16).as("grp"),
+      col("id").cast("double").as("v"))
+    val qqs = Seq(0.01, 0.5, 0.99)
+    val gq = graft.operators.DataSelection.exactQuantiles(
+      qv, "v", qqs, histBins = 64, collectCap = 1000).collect()
+      .map(r2 => r2.getDouble(0) -> r2.getDouble(1)).toMap
+    qqs.foreach { q =>
+      val want = (math.max(1L, math.ceil(q * nDocs).toLong) - 1).toDouble
+      require(gq(q) == want, s"q=$q got ${gq(q)} want $want")
+    }
+    val tQ1 = (System.nanoTime() - t46) / 1e9
+    val t47 = System.nanoTime()
+    val ggq = graft.operators.DataSelection.groupedExactQuantiles(
+      qv, "grp", "v", qqs, histBins = 64, collectCap = 1000).collect()
+      .map(r2 => (r2.getString(0), r2.getDouble(1)) -> r2.getDouble(2))
+      .toMap
+    for (g <- 0L until math.min(16L, nDocs); q <- qqs) {
+      // group g holds {g, g+16, ...}: one extra member when g < n%16
+      val perG = nDocs / 16L + (if (g < nDocs % 16L) 1L else 0L)
+      val r2 = math.max(1L, math.ceil(q * perG).toLong)
+      val want = (g + 16L * (r2 - 1L)).toDouble
+      require(ggq((g.toString, q)) == want,
+        s"grp=$g q=$q got ${ggq((g.toString, q))} want $want")
+    }
+    val tQ2 = (System.nanoTime() - t47) / 1e9
+    println(f"quantiles: 3 global + 48 per-group EXACT over $nDocs rows " +
+      f"in $tQ1%.1f s + $tQ2%.1f s, " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     spark.stop()
   }
 }
