@@ -371,6 +371,13 @@ object SparkEntry {
         Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8))
     }),
 
+    // per-doc dedup explain artifact: cluster, keeper, size, verdict
+    "q_dedup_audit" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      Dedup.dedupAudit(docs, "doc_id",
+        Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8))
+    }),
+
     // the log-diameter CC variant over the SAME pairs — cross-validated
     // against the identical recursive-CTE closure oracle
     "q_dedup_clusters_star" -> ((s, dir) => {
@@ -3184,6 +3191,28 @@ object SparkEntry {
          |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
          |SELECT id, CAST(min(r) AS BIGINT) AS cluster
          |FROM reach GROUP BY 1
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // audit = the cluster closure + per-cluster sizes + the min-id
+    // keeper rule made explicit
+    "q_dedup_audit" ->
+      s"""WITH RECURSIVE ${MinhashPairsCtes(NearDupDocs)},
+         |prs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT a AS s, b AS d FROM prs
+         |  UNION ALL
+         |  SELECT b, a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM all_docs
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+         |cl AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM cl GROUP BY 1)
+         |SELECT cl.id, cl.cluster, cl.cluster AS keeper_id,
+         |  sz.cluster_size, cl.id = cl.cluster AS kept
+         |FROM cl JOIN sz USING (cluster)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // the star-CC variant computes the same fixpoint labels, so the

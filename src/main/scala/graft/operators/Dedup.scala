@@ -915,6 +915,26 @@ object Dedup {
     docs.join(keepers, docs(idCol) === keepers("id"), "leftsemi")
   }
 
+  /** Dedup decision audit — the per-doc explain artifact a pipeline
+    * owner publishes next to a dedup stage (observability the drop
+    * itself destroys): every doc's cluster label, its keeper (the
+    * cluster min id, [[nearDedup]]'s survivor), the cluster size, and
+    * the kept/dropped verdict. One cluster pass + one cluster-keyed
+    * size aggregation over (id, cluster) rows — the corpus text never
+    * moves, so the audit costs graph+id scale at any corpus size.
+    */
+  def dedupAudit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // two consumers (sizes + join): materialize the label table once
+    val clusters = nearDupClusters(docs, idCol, pairs, maxIter)
+      .localCheckpoint(true)
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("cluster").as("keeper_id"),
+        col("cluster_size"), (col("id") === col("cluster")).as("kept"))
+  }
+
   /** Near-dup dedup keeping the BEST doc per cluster by a quality
     * score (argmax `scoreCol`, ties → smallest id) instead of the
     * smallest id — the keep-best-quality policy web-corpus builds

@@ -1111,6 +1111,25 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1.toSet != e2.toSet, "epochs must produce different orders")
   }
 
+  test("dedupAudit: cluster labels, keeper rule, sizes, verdicts") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.dedupAudit(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got == Map(
+      1L -> (1L, 1L, 3L, true), 2L -> (1L, 1L, 3L, false),
+      3L -> (1L, 1L, 3L, false), 10L -> (10L, 10L, 2L, true),
+      11L -> (10L, 10L, 2L, false), 20L -> (20L, 20L, 1L, true)),
+      got.toString)
+    // audit's keepers = nearDedup's survivors exactly
+    val kept = got.filter(_._2._4).keySet
+    val nd = Dedup.nearDedup(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == nd)
+  }
+
   test("upsampleMixture: whole epochs exact, fractional epoch matches " +
       "mixtureSample, sub-1 rates reduce to it") {
     import spark.implicits._
