@@ -659,6 +659,25 @@ object SparkEntry {
         threshold = 0.8)
     }),
 
+    // the same admission through a persisted index artifact: build the
+    // corpus-side index to a temp dir, admit against IT — identical
+    // result (shared oracle), corpus-side signature work now a read
+    "q_incremental_near_dedup_idx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snap = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" extraword")).as("text"))
+        .unionByName(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(lit("fresh doc "), md5(col("doc_id").cast("string")))
+              .as("text")))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-nd-idx").toString
+      Dedup.writeNearDupIndex(docs, "doc_id", "text", idx)
+      Dedup.incrementalNearDedupIndexed(snap, "doc_id", "text", idx,
+        threshold = 0.8)
+    }),
+
     // adjacent-token-pair frequencies (one BPE merge step's statistic)
     "q_bpe_pairs" -> ((s, dir) =>
       CorpusAnalysis.bpePairs(t(s, dir, "documents"), "text", k = 50)),
@@ -2287,6 +2306,25 @@ object SparkEntry {
     // pipeline; cross-side pairs are a < 300000 <= b, and the survivors
     // are the snapshot rows with no matched partner
     "q_incremental_near_dedup" ->
+      s"""WITH snapsrc AS (
+         |  SELECT doc_id + 300000 AS id, text || ' extraword' AS text
+         |  FROM documents WHERE doc_id < 30
+         |  UNION ALL
+         |  SELECT doc_id + 300000,
+         |    'fresh doc ' || md5(CAST(doc_id AS VARCHAR))
+         |  FROM documents WHERE doc_id >= 30 AND doc_id < 60),
+         |${MinhashPairsCtes(
+          "SELECT doc_id AS id, text FROM documents UNION ALL SELECT id, text FROM snapsrc")},
+         |matched AS (
+         |  SELECT DISTINCT b AS id FROM jac
+         |  WHERE jaccard >= 0.8 AND a < 300000 AND b >= 300000)
+         |SELECT id AS doc_id, text FROM snapsrc
+         |WHERE id NOT IN (SELECT id FROM matched)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // identical semantics through the persisted index (equality is
+    // the contract; the oracle is the same pipeline)
+    "q_incremental_near_dedup_idx" ->
       s"""WITH snapsrc AS (
          |  SELECT doc_id + 300000 AS id, text || ' extraword' AS text
          |  FROM documents WHERE doc_id < 30

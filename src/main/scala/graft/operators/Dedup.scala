@@ -383,16 +383,35 @@ object Dedup {
     // gram construction is the native kernel (null text → empty set,
     // matching the HOF form's when/otherwise)
     graft.expressions.TextHashExprs.register(aSrc.sparkSession)
-    val g = array_distinct(coalesce(
-      graft.expressions.TextHashExprs.ngramsNative(col(textCol), 3),
+    verifyJaccardGramSides(
+      aSrc.select(col(idCol).as("a"), gramSet(col(textCol)).as("__ga")),
+      bSrc.select(col(idCol).as("b"), gramSet(col(textCol)).as("__gb")),
+      candidates, threshold)
+  }
+
+  /** The word-trigram shingle set the verification compares — exposed
+    * as a Column so a persisted index can precompute it (the session
+    * must have [[graft.expressions.TextHashExprs]] registered).
+    */
+  private[graft] def gramSet(text: Column): Column =
+    array_distinct(coalesce(
+      graft.expressions.TextHashExprs.ngramsNative(text, 3),
       array().cast("array<string>")))
-    val aDocs = aSrc.select(col(idCol).as("a"), g.as("__ga"))
-    val bDocs = bSrc.select(col(idCol).as("b"), g.as("__gb"))
+
+  /** Gram-level Jaccard verification: `aGrams` = (a, __ga),
+    * `bGrams` = (b, __gb) with precomputed shingle sets — the shared
+    * tail of [[verifyJaccardSides]] and the indexed incremental path
+    * (identical expressions, so precomputed and on-the-fly gram sets
+    * verify identically).
+    */
+  private[graft] def verifyJaccardGramSides(aGrams: DataFrame,
+      bGrams: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("__ga"), col("__gb")))
     val union = size(col("__ga")) + size(col("__gb")) - inter
     candidates
-      .join(aDocs, Seq("a"))
-      .join(bDocs, Seq("b"))
+      .join(aGrams, Seq("a"))
+      .join(bGrams, Seq("b"))
       .withColumn("jaccard",
         when(union > 0, inter.cast("double") / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
@@ -748,21 +767,45 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     TopK.requireIntegral(snapshot, idCol, "incrementalNearDedup(snapshot)")
     TopK.requireIntegral(existing, idCol, "incrementalNearDedup(existing)")
-    val rows = numHashes / bands
     graft.expressions.TextHashExprs.register(snapshot.sparkSession)
     val existingD = existing
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    incrementalNearCore(snapshot, idCol, textCol,
+      bandedRows(existingD, numHashes, bands),
+      existingD.select(col("id").as("a"), gramSet(col("text")).as("__ga")),
+      numHashes, bands, threshold, maxBucket)
+  }
+
+  /** (id, band, band_sig) rows of a (id, text) frame — the banded
+    * MinHash table both the in-line and the persisted-index paths
+    * build with the same expressions.
+    */
+  private def bandedRows(d: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    d.select(col("id"),
+        coalesce(
+          graft.expressions.TextHashExprs.minhashSig(col("text"), numHashes),
+          array_repeat(lit(HashPrime), numHashes)).as("sig"))
+      .select(col("id"), posexplode(bandSigs(col("sig"), bands, rows)))
+      .toDF("id", "band", "band_sig")
+  }
+
+  /** The shared incremental-near pipeline: corpus side arrives as
+    * precomputed banded rows + gram sets (from [[incrementalNearDedup]]
+    * inline, or read back from a [[writeNearDupIndex]] index — the two
+    * produce identical frames, so admissions are identical).
+    */
+  private def incrementalNearCore(snapshot: DataFrame, idCol: String,
+      textCol: String, existingBanded: DataFrame, existingGrams: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double,
+      maxBucket: Int): DataFrame = {
     val snapshotD = snapshot
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    val tagged = existingD.withColumn("side", lit(0L))
-      .unionByName(snapshotD.withColumn("side", lit(1L)))
-    val sigs = tagged.select(col("id"), col("side"),
-      coalesce(
-        graft.expressions.TextHashExprs.minhashSig(col("text"), numHashes),
-        array_repeat(lit(HashPrime), numHashes)).as("sig"))
-    val banded = sigs.select(col("id"), col("side"),
-        posexplode(bandSigs(col("sig"), bands, rows)))
-      .toDF("id", "side", "band", "band_sig")
+    val banded = existingBanded.withColumn("side", lit(0L))
+      .unionByName(bandedRows(snapshotD, numHashes, bands)
+        .withColumn("side", lit(1L)))
+      .select(col("id"), col("side"), col("band"), col("band_sig"))
     val bounded = TopK.boundedCollect[(Long, Long)](maxBucket)
     val buckets = observeBuckets(
       banded.groupBy(col("band"), col("band_sig"))
@@ -780,11 +823,89 @@ object Dedup {
     // verify with side-specific sources: candidates are (corpus a,
     // snapshot b) by construction, so the corpus never pays the b-side
     // gram projection (and vice versa)
-    val matched = verifyJaccardSides(existingD, snapshotD,
-      "id", "text", candidates, threshold)
+    val matched = verifyJaccardGramSides(existingGrams,
+      snapshotD.select(col("id").as("b"), gramSet(col("text")).as("__gb")),
+      candidates, threshold)
       .select(col("b").as("__mid"))
       .distinct()
     snapshot.join(matched, snapshot(idCol) === matched("__mid"), "left_anti")
+  }
+
+  /** Persist the corpus side of near-dedup as a REUSABLE index: the
+    * banded MinHash table (`bands/`) and the per-doc trigram shingle
+    * sets (`grams/`), plus a `_graft_index_params.json` sidecar
+    * recording (numHashes, bands, gramN). At 100 TB the corpus-side
+    * signature pass dominates every snapshot admission — a daily
+    * re-crawl against a static corpus re-signs the whole corpus each
+    * run unless the signatures are an artifact; this makes them one
+    * (build once, admit many). Index size ≈ the corpus's token text
+    * (gram sets) + 8·bands bytes/doc (banded rows).
+    */
+  def writeNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 64, bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    TopK.requireIntegral(corpus, idCol, "writeNearDupIndex")
+    graft.expressions.TextHashExprs.register(corpus.sparkSession)
+    val d = corpus
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    bandedRows(d, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    d.select(col("id").as("a"), gramSet(col("text")).as("__ga"))
+      .write.mode("overwrite").parquet(s"$path/grams")
+    val params = Seq("numHashes" -> numHashes, "bands" -> bands,
+      "gramN" -> 3)
+      .map { case (k, v) => s"${graft.JsonStr(k)}:${graft.JsonStr(v.toString)}" }
+      .mkString("{", ",", "}")
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_index_params.json")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(params.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** [[incrementalNearDedup]] against a [[writeNearDupIndex]] artifact
+    * instead of the raw corpus: identical admissions (pinned by spec
+    * and the shared-oracle query q_incremental_near_dedup_idx), but
+    * the corpus-side tokenize → minhash → band → gram work is a READ.
+    * The params sidecar is validated fail-loud: an index built under
+    * different (numHashes, bands) embodies different buckets, and
+    * silently mixing regimes is the restartable-pipeline failure mode
+    * the curate sidecars exist to block.
+    */
+  def incrementalNearDedupIndexed(snapshot: DataFrame, idCol: String,
+      textCol: String, indexPath: String, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    TopK.requireIntegral(snapshot, idCol,
+      "incrementalNearDedupIndexed(snapshot)")
+    val spark = snapshot.sparkSession
+    graft.expressions.TextHashExprs.register(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(indexPath,
+      "_graft_index_params.json")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"incrementalNearDedupIndexed: $indexPath has no " +
+        "_graft_index_params.json — not a writeNearDupIndex artifact " +
+        "(or the sidecar was deleted); rebuild the index")
+    val persisted = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val expected = Seq("numHashes" -> numHashes, "bands" -> bands,
+      "gramN" -> 3)
+      .map { case (k, v) => s"${graft.JsonStr(k)}:${graft.JsonStr(v.toString)}" }
+      .mkString("{", ",", "}")
+    require(persisted == expected,
+      s"incrementalNearDedupIndexed: index at $indexPath was built " +
+        s"under $persisted, requested $expected — rebuild the index " +
+        "or match its parameters")
+    incrementalNearCore(snapshot, idCol, textCol,
+      spark.read.parquet(s"$indexPath/bands"),
+      spark.read.parquet(s"$indexPath/grams"),
+      numHashes, bands, threshold, maxBucket)
   }
 
   /** Streaming NEAR-dedup: admit a live intake stream against a STATIC

@@ -603,4 +603,41 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.incrementalDedup(snap, existing, "doc_id", "text")
       .count() == 2)
   }
+
+  test("near-dup index: indexed admissions equal the direct path; " +
+      "params sidecar gates fail-loud") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nd-index").toString
+    val existing = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // snapshot: perturbed copies of existing docs + fresh docs
+    val snap = existing.limit(40)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      .unionByName(docsDf(
+        900001L -> "completely novel words never appearing elsewhere one",
+        900002L -> "another disjoint document sharing no trigrams here"))
+    Dedup.writeNearDupIndex(existing, "doc_id", "text", dir)
+    val direct = Dedup.incrementalNearDedup(snap, existing,
+      "doc_id", "text", threshold = 0.7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val indexed = Dedup.incrementalNearDedupIndexed(snap,
+      "doc_id", "text", dir, threshold = 0.7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(direct == indexed, s"direct=$direct indexed=$indexed")
+    assert(indexed.contains(900001L) && indexed.contains(900002L))
+    assert(indexed.size < 42, "perturbed re-crawls must drop")
+    // parameter mismatch and missing sidecar both fail loudly
+    val eP = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDedupIndexed(snap, "doc_id", "text", dir,
+        numHashes = 32, bands = 16)
+    }
+    assert(eP.getMessage.contains("built"), eP.getMessage)
+    val eM = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDedupIndexed(snap, "doc_id", "text",
+        dir + "/bands")
+    }
+    assert(eM.getMessage.contains("_graft_index_params"), eM.getMessage)
+  }
 }
