@@ -1124,6 +1124,54 @@ object ScaleSmoke {
     println(f"quantiles: 3 global + 48 per-group EXACT over $nDocs rows " +
       f"in $tQ1%.1f s + $tQ2%.1f s, " +
       f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+    // --- persisted near-dup index at 1M docs: build once (the
+    // corpus-side signature pass as an artifact), then admit a 100k
+    // snapshot (10k near-dup re-crawls of bases + 90k fresh) both ways
+    // — identical admissions required; the indexed admit must beat the
+    // direct one (it skips the 1M-doc signature+gram work).
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-scale-ndidx").toString
+    val t48 = System.nanoTime()
+    graft.operators.Dedup.writeNearDupIndex(docs, "id", "text", idxDir)
+    val tIdxBuild = (System.nanoTime() - t48) / 1e9
+    val snapN = math.max(1000L, nDocs / 10L)
+    val sk = col("id") % 10
+    // re-crawls: copies of group bases with the LAST token changed
+    // (trigram Jaccard 27/29 ≈ .93 — drops at threshold .8); fresh:
+    // id-unique token docs (admit)
+    val snapToks = (0 until 30).map { j =>
+      val seed = when(sk === 0, col("id") - col("id") % 10)
+        .otherwise(col("id") + 20000000L)
+      val s2 = if (j == 29) when(sk === 0, col("id") + 40000000L)
+        .otherwise(seed) else seed
+      substring(md5(concat_ws(":", s2.cast("string"), lit(j))), 1, 8)
+    }
+    val snap = spark.range(snapN)
+      .select((col("id") + 10000000L).as("id"),
+        concat_ws(" ", snapToks: _*).as("text"))
+      .localCheckpoint(true)
+    val t49 = System.nanoTime()
+    val directKept = graft.operators.Dedup.incrementalNearDedup(
+      snap, docs, "id", "text").count()
+    val tDirect = (System.nanoTime() - t49) / 1e9
+    val t50 = System.nanoTime()
+    val idxKept = graft.operators.Dedup.incrementalNearDedupIndexed(
+      snap, "id", "text", idxDir).count()
+    val tIdx = (System.nanoTime() - t50) / 1e9
+    require(directKept == idxKept,
+      s"indexed admissions $idxKept != direct $directKept")
+    // exactly the fresh snapshot docs survive (re-crawls of bases drop)
+    val expKept = snapN - snapN / 10L
+    require(idxKept == expKept, s"kept $idxKept of expected $expKept")
+    println(f"ndIndex: build $tIdxBuild%.1f s over $nDocs docs; admit " +
+      f"$snapN-doc snapshot direct $tDirect%.1f s vs indexed $tIdx%.1f s " +
+      f"(${tDirect / tIdx}%.1fx), admissions identical ($idxKept kept), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    // recursive temp-dir cleanup (the index is corpus-sized on disk)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p2 => java.nio.file.Files.delete(p2))
     spark.stop()
   }
 }
