@@ -852,15 +852,66 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
     d.select(col("id").as("a"), gramSet(col("text")).as("__ga"))
       .write.mode("overwrite").parquet(s"$path/grams")
-    val params = Seq("numHashes" -> numHashes, "bands" -> bands,
-      "gramN" -> 3)
-      .map { case (k, v) => s"${graft.JsonStr(k)}:${graft.JsonStr(v.toString)}" }
-      .mkString("{", ",", "}")
     val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path, "_graft_index_params.json")
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
-    try out.write(params.getBytes("UTF-8")) finally out.close()
+    try out.write(indexParamsJson(numHashes, bands).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Extend a [[writeNearDupIndex]] artifact with newly-admitted docs
+    * — the step after every snapshot admission that keeps the index
+    * current without rebuilding it (admit → append → the next
+    * snapshot dedups against corpus + admissions). Parameters are
+    * validated against the sidecar first (appending rows banded under
+    * different (numHashes, bands) would silently corrupt every later
+    * admission), then the new docs' banded rows and gram sets append
+    * as additional parquet files — no rewrite of existing data.
+    * Caller contract: `newDocs` ids must be disjoint from the indexed
+    * corpus (they are, when `newDocs` is the admitted snapshot).
+    */
+  def appendToNearDupIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, indexPath: String, numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    TopK.requireIntegral(newDocs, idCol, "appendToNearDupIndex")
+    validateIndexParams(newDocs.sparkSession, indexPath, numHashes, bands,
+      "appendToNearDupIndex")
+    graft.expressions.TextHashExprs.register(newDocs.sparkSession)
+    val d = newDocs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    bandedRows(d, numHashes, bands)
+      .write.mode("append").parquet(s"$indexPath/bands")
+    d.select(col("id").as("a"), gramSet(col("text")).as("__ga"))
+      .write.mode("append").parquet(s"$indexPath/grams")
+  }
+
+  private def indexParamsJson(numHashes: Int, bands: Int): String =
+    Seq("numHashes" -> numHashes, "bands" -> bands, "gramN" -> 3)
+      .map { case (k, v) => s"${graft.JsonStr(k)}:${graft.JsonStr(v.toString)}" }
+      .mkString("{", ",", "}")
+
+  private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, numHashes: Int, bands: Int, who: String): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(indexPath,
+      "_graft_index_params.json")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"$who: $indexPath has no _graft_index_params.json — not a " +
+        "writeNearDupIndex artifact (or the sidecar was deleted); " +
+        "rebuild the index")
+    val persisted = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val expected = indexParamsJson(numHashes, bands)
+    require(persisted == expected,
+      s"$who: index at $indexPath was built under $persisted, " +
+        s"requested $expected — rebuild the index or match its " +
+        "parameters")
   }
 
   /** [[incrementalNearDedup]] against a [[writeNearDupIndex]] artifact
@@ -876,32 +927,12 @@ object Dedup {
       textCol: String, indexPath: String, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     TopK.requireIntegral(snapshot, idCol,
       "incrementalNearDedupIndexed(snapshot)")
     val spark = snapshot.sparkSession
     graft.expressions.TextHashExprs.register(spark)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(indexPath,
-      "_graft_index_params.json")
-    val fs = p.getFileSystem(conf)
-    require(fs.exists(p),
-      s"incrementalNearDedupIndexed: $indexPath has no " +
-        "_graft_index_params.json — not a writeNearDupIndex artifact " +
-        "(or the sidecar was deleted); rebuild the index")
-    val persisted = {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    }
-    val expected = Seq("numHashes" -> numHashes, "bands" -> bands,
-      "gramN" -> 3)
-      .map { case (k, v) => s"${graft.JsonStr(k)}:${graft.JsonStr(v.toString)}" }
-      .mkString("{", ",", "}")
-    require(persisted == expected,
-      s"incrementalNearDedupIndexed: index at $indexPath was built " +
-        s"under $persisted, requested $expected — rebuild the index " +
-        "or match its parameters")
+    validateIndexParams(spark, indexPath, numHashes, bands,
+      "incrementalNearDedupIndexed")
     incrementalNearCore(snapshot, idCol, textCol,
       spark.read.parquet(s"$indexPath/bands"),
       spark.read.parquet(s"$indexPath/grams"),

@@ -640,4 +640,39 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(eM.getMessage.contains("_graft_index_params"), eM.getMessage)
   }
+
+  test("near-dup index append: admit -> append -> the next snapshot " +
+      "dedups against corpus + admissions, identical to a rebuild") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nd-append").toString
+    val corpus = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight nine")
+    val snap1 = docsDf(
+      10L -> "fresh first admitted doc with several unique words here",
+      11L -> "alpha beta gamma delta epsilon zeta eta theta tail") // drops
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", dir)
+    val admitted = Dedup.incrementalNearDedupIndexed(snap1,
+      "doc_id", "text", dir)
+    assert(admitted.collect().map(_.getLong(0)).toSeq == Seq(10L))
+    Dedup.appendToNearDupIndex(admitted, "doc_id", "text", dir)
+    // snap2: a re-crawl of the APPENDED doc 10 (must now drop) + fresh
+    val snap2 = docsDf(
+      20L -> "fresh first admitted doc with several unique words here too",
+      21L -> "entirely new content nothing shared with anything else")
+    val viaAppend = Dedup.incrementalNearDedupIndexed(snap2,
+      "doc_id", "text", dir, threshold = 0.7)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaAppend == Seq(21L), viaAppend.toString)
+    // equality with the direct path over corpus + admitted
+    val direct = Dedup.incrementalNearDedup(snap2,
+      corpus.unionByName(admitted), "doc_id", "text", threshold = 0.7)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaAppend == direct)
+    // append under mismatched params fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.appendToNearDupIndex(admitted, "doc_id", "text", dir,
+        numHashes = 32)
+    }
+  }
 }
