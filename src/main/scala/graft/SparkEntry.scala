@@ -527,6 +527,16 @@ object SparkEntry {
       DataSelection.exactQuantiles(t(s, dir, "documents"), "n_chars",
         QuantileQs, histBins = 64, collectCap = 100)),
 
+    // Length curriculum: 4 short-first stages, 8 shards, deterministic
+    // within-shard order — the training schedule as data
+    "q_curriculum" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          col("n_chars").cast("double").as("score"))
+      DataSelection.curriculumOrder(scored, "id", "score",
+        nStages = 4, shards = 8, histBins = 64)
+    }),
+
     // Per-source exact quantiles: every (source, q) refined in shared
     // passes; tiny collectCap forces the loop at every SF
     "q_group_quantiles" -> ((s, dir) =>
@@ -3569,6 +3579,23 @@ object SparkEntry {
          |$legs)
          |ORDER BY ALL NULLS FIRST""".stripMargin
     },
+
+    // Curriculum: the rank-bucket stage cut (window formulation) + the
+    // epoch-shuffle hash order per (stage, shard)
+    "q_curriculum" ->
+      s"""WITH s AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS score
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM s),
+         |r AS (SELECT id, score,
+         |    row_number() OVER (ORDER BY score, id) AS rk FROM s),
+         |st AS (SELECT id,
+         |    CAST((rk * 4 + cnt - 1) // cnt AS INTEGER) AS stage,
+         |    ${H60("'curriculum:' || CAST(id AS VARCHAR)")} AS h
+         |  FROM r CROSS JOIN n)
+         |SELECT id, stage, CAST(h % 8 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY stage, h % 8
+         |    ORDER BY h, id) AS BIGINT) AS position
+         |FROM st ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Grouped quantiles: quantile_disc under GROUP BY — same rank rule
     // within each group

@@ -400,6 +400,42 @@ object DataSelection {
       .select(col("q"), col("value"))
   }
 
+  /** Curriculum training order as data (Bengio et al. 2009's
+    * easy-to-hard schedule materialized): stage = the doc's
+    * [[rankBuckets]] bucket on a difficulty score (ascending default —
+    * e.g. length for the classic short-first curriculum), and inside
+    * each stage a deterministic (shard, position) by the
+    * [[CorpusAnalysis.epochShuffle]] recipe (spread by one 60-bit
+    * hash, ordered by it within the shard) — so a trainer consumes
+    * stages in order, shards of a stage in parallel, rows of a shard
+    * by position, and any worker can recompute its shard
+    * independently. NO global sort anywhere: the stage cut is the
+    * histogram-boundary bucket resolution, and the only window is
+    * per-(stage, shard) — corpus/(nStages·shards) rows per partition,
+    * bounded by the two knobs (pick shards ≈ executors at scale).
+    * Output: (id, stage, shard, position); bit-replicable
+    * (q_curriculum).
+    */
+  def curriculumOrder(scored: DataFrame, idCol: String, scoreCol: String,
+      nStages: Int, shards: Int = 16, ascending: Boolean = true,
+      salt: String = "curriculum", histBins: Int = 100000): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val staged = rankBuckets(scored, idCol, scoreCol, nStages,
+      ascending, histBins)
+    val h = TextFunctions.md5Hash60(
+      concat(lit(s"$salt:"), col("id").cast("string")))
+    staged
+      .select(col(idCol).cast("long").as("id"), col("bucket").as("stage"))
+      .withColumn("__h", h)
+      .withColumn("shard",
+        pmod(col("__h"), lit(shards.toLong)).cast("int"))
+      .withColumn("position", row_number().over(
+        Window.partitionBy(col("stage"), col("shard"))
+          .orderBy(col("__h"), col("id"))).cast("long"))
+      .select(col("id"), col("stage"), col("shard"), col("position"))
+  }
+
   /** Per-group exact quantiles — [[exactQuantiles]] refined for EVERY
     * group simultaneously (per-source / per-language p50/p99 in a data
     * card): each round makes ONE pass that joins the corpus against a

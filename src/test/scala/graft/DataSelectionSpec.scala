@@ -197,6 +197,37 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("curriculumOrder: stage cut by score rank, contiguous positions " +
+      "per (stage, shard), deterministic") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, (i * 37 % 401).toDouble))
+      .toDF("id", "score")
+    val got = DataSelection.curriculumOrder(docs, "id", "score",
+      nStages = 4, shards = 4, histBins = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.length == 400)
+    // stages are exact quarters by score rank (scores all distinct)
+    val scoreOf = docs.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ranked = scoreOf.toSeq.sortBy { case (id, s) => (s, id) }
+      .map(_._1).zipWithIndex.toMap
+    got.foreach { case (id, stage, _, _) =>
+      val expect = 1 + ranked(id) * 4 / 400
+      assert(stage == expect, s"id=$id stage=$stage expect=$expect")
+    }
+    // positions are 1..k contiguous within each (stage, shard), ordered
+    // by the shuffle hash
+    got.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val again = DataSelection.curriculumOrder(docs.repartition(7), "id",
+      "score", nStages = 4, shards = 4, histBins = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSet == again.toSet)
+    intercept[IllegalArgumentException] {
+      DataSelection.curriculumOrder(docs, "id", "score", 4, shards = 0)
+    }
+  }
+
   test("groupedExactQuantiles equals per-group sorted references") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
