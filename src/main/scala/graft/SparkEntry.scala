@@ -23,6 +23,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One JVM-scoped scratch directory for q_incremental_near_dedup_idx's
+    * corpus-sized index artifact: writeNearDupIndex overwrites it on
+    * every invocation (no accumulation across correctness runs) and a
+    * shutdown hook removes it recursively on exit.
+    */
+  private lazy val ndIdxScratch: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nd-idx")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: java.io.IOException => () }))
+    dir.toString
+  }
+
   /** events.parquet has stored `ts` in two physical forms across fixture
     * generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
     * surfaces as a raw int64 under `nanosAsLong`) and plain
@@ -681,8 +697,10 @@ object SparkEntry {
           .select((col("doc_id") + 300000L).as("doc_id"),
             concat(lit("fresh doc "), md5(col("doc_id").cast("string")))
               .as("text")))
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-nd-idx").toString
+      // run-scoped scratch: overwritten per invocation (never
+      // accumulates across correctness runs) and recursively deleted
+      // at JVM exit — the index is corpus-sized on disk
+      val idx = ndIdxScratch
       Dedup.writeNearDupIndex(docs, "doc_id", "text", idx)
       Dedup.incrementalNearDedupIndexed(snap, "doc_id", "text", idx,
         threshold = 0.8)
@@ -3634,7 +3652,8 @@ object SparkEntry {
          |           repeat('ا', CAST(doc_id % 5 AS INT)) END AS t
          |  FROM documents),
          |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
-         |    CAST(len(regexp_extract_all(t, '\\s')) AS BIGINT) AS n_space,
+         |    CAST(len(regexp_extract_all(t, '[\\t\\n\\x0B\\f\\r ]'))
+         |      AS BIGINT) AS n_space,
          |    CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit,
          |    $counts
          |  FROM p),

@@ -205,7 +205,10 @@ object CorpusPrep {
     val t = coalesce(col(textCol), lit(""))
     val counted = docs.select(
       (col(idCol) +: length(t).cast("long").as("n_chars") +:
-        regexp_count(t, lit(raw"\s")).cast("long").as("n_space") +:
+        // whitespace spelled as an explicit class, identically in the
+        // oracle: Java \s and RE2 \s disagree on U+000B membership
+        regexp_count(t, lit(raw"[\t\n\x0B\f\r ]")).cast("long")
+          .as("n_space") +:
         regexp_count(t, lit("[0-9]")).cast("long").as("n_digit") +:
         Scripts.map { case (name, pat) =>
           regexp_count(t, lit(pat)).cast("long").as(s"n_$name")

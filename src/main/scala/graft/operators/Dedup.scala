@@ -853,6 +853,12 @@ object Dedup {
     d.select(col("id").as("a"), gramSet(col("text")).as("__ga"))
       .write.mode("overwrite").parquet(s"$path/grams")
     val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    // a REBUILD must drop any append batches from a previous index
+    // generation — stale committed batches would otherwise survive the
+    // base overwrite and leak old docs into every later admission
+    val batches = new org.apache.hadoop.fs.Path(path, "batches")
+    val bfs = batches.getFileSystem(conf)
+    if (bfs.exists(batches)) bfs.delete(batches, true)
     val p = new org.apache.hadoop.fs.Path(path, "_graft_index_params.json")
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
@@ -866,10 +872,22 @@ object Dedup {
     * snapshot dedups against corpus + admissions). Parameters are
     * validated against the sidecar first (appending rows banded under
     * different (numHashes, bands) would silently corrupt every later
-    * admission), then the new docs' banded rows and gram sets append
-    * as additional parquet files — no rewrite of existing data.
-    * Caller contract: `newDocs` ids must be disjoint from the indexed
-    * corpus (they are, when `newDocs` is the admitted snapshot).
+    * admission).
+    *
+    * The append is TRANSACTIONAL: both sides of the batch (banded rows
+    * AND gram sets) stage under `batches/<batchId>/` and become
+    * visible only when the single `_graft_committed` marker file is
+    * created — an atomic filesystem operation. A crash between the two
+    * parquet writes therefore leaves an invisible orphan directory,
+    * never a half-batch: bands rows without their gram sets would be
+    * silently dropped by [[incrementalNearCore]]'s inner join to the
+    * grams side, admitting true near-dups — the silent-corruption mode
+    * the params sidecar blocks for configuration, closed here for
+    * data. Readers ([[incrementalNearDedupIndexed]]) list only
+    * committed batches; uncommitted leftovers are ignored (re-run the
+    * append). Caller contract: `newDocs` ids must be disjoint from the
+    * indexed corpus (they are, when `newDocs` is the admitted
+    * snapshot).
     */
   def appendToNearDupIndex(newDocs: DataFrame, idCol: String,
       textCol: String, indexPath: String, numHashes: Int = 64,
@@ -880,10 +898,43 @@ object Dedup {
     graft.expressions.TextHashExprs.register(newDocs.sparkSession)
     val d = newDocs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val batchId = java.util.UUID.randomUUID().toString
+    val batchDir = s"$indexPath/batches/$batchId"
     bandedRows(d, numHashes, bands)
-      .write.mode("append").parquet(s"$indexPath/bands")
+      .write.mode("overwrite").parquet(s"$batchDir/bands")
     d.select(col("id").as("a"), gramSet(col("text")).as("__ga"))
-      .write.mode("append").parquet(s"$indexPath/grams")
+      .write.mode("overwrite").parquet(s"$batchDir/grams")
+    // commit point: one atomic file create makes both sides visible
+    val conf = newDocs.sparkSession.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(batchDir, CommitMarker)
+    val fs = marker.getFileSystem(conf)
+    fs.create(marker, true).close()
+  }
+
+  private val CommitMarker = "_graft_committed"
+
+  /** All parquet paths for one side (`bands` | `grams`) of a near-dup
+    * index: the base build plus every COMMITTED append batch, in
+    * deterministic (sorted) order. Uncommitted batch directories —
+    * crash leftovers between an append's two writes — are excluded,
+    * which is what makes [[appendToNearDupIndex]] transactional.
+    */
+  private def indexSidePaths(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, side: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val batches = new org.apache.hadoop.fs.Path(indexPath, "batches")
+    val fs = batches.getFileSystem(conf)
+    val committed =
+      if (fs.exists(batches))
+        fs.listStatus(batches).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(p => fs.exists(
+            new org.apache.hadoop.fs.Path(p, CommitMarker)))
+          .map(p => new org.apache.hadoop.fs.Path(p, side).toString)
+          .sorted
+      else Seq.empty
+    s"$indexPath/$side" +: committed
   }
 
   private def indexParamsJson(numHashes: Int, bands: Int): String =
@@ -934,8 +985,8 @@ object Dedup {
     validateIndexParams(spark, indexPath, numHashes, bands,
       "incrementalNearDedupIndexed")
     incrementalNearCore(snapshot, idCol, textCol,
-      spark.read.parquet(s"$indexPath/bands"),
-      spark.read.parquet(s"$indexPath/grams"),
+      spark.read.parquet(indexSidePaths(spark, indexPath, "bands"): _*),
+      spark.read.parquet(indexSidePaths(spark, indexPath, "grams"): _*),
       numHashes, bands, threshold, maxBucket)
   }
 

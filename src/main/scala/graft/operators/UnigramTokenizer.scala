@@ -73,11 +73,13 @@ object UnigramTokenizer {
             else if (e - s == 1) unkCost
             else -1L
           if (pc >= 0L) {
-            val c = cost(s) + pc
+            // saturating add: a huge caller unkCost must not wrap past
+            // INF and fake reachability (or overflow Long)
+            val c = if (pc >= INF - cost(s)) INF else cost(s) + pc
             lazy val m =
               if (s == 0) mask(s) else mask(s).setBit(s - 1)
-            if (c < cost(e) ||
-                (c == cost(e) && m.compareTo(mask(e)) < 0)) {
+            if (c < INF && (c < cost(e) ||
+                (c == cost(e) && m.compareTo(mask(e)) < 0))) {
               cost(e) = c
               mask(e) = m
               back(e) = s
@@ -88,6 +90,15 @@ object UnigramTokenizer {
       }
       e += 1
     }
+    // every state is reachable via the single-codepoint unk fallback,
+    // so an INF final cost can only mean the costs themselves exceed
+    // the representable range — fail loudly rather than backtrack
+    // through uninitialized states (which would silently return the
+    // whole word as one out-of-vocab piece)
+    require(cost(n) < INF,
+      s"unigram encodeWord: total cost for ${n}-codepoint word " +
+        s"saturated at INF (unkCost/vocab costs too large — keep " +
+        s"unkCost * wordLen below ${INF})")
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     var p = n
     while (p > 0) {

@@ -675,4 +675,60 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         numHashes = 32)
     }
   }
+
+  test("near-dup index append is transactional: an uncommitted batch " +
+      "(crash between the bands and grams writes) is invisible") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nd-txn").toString
+    val corpus = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", dir)
+    val committed = Dedup.incrementalNearDedupIndexed(
+      docsDf(30L -> "alpha beta gamma delta epsilon zeta eta theta x"),
+      "doc_id", "text", dir, threshold = 0.7).count()
+    assert(committed == 0L) // re-crawl of doc 1 drops
+    // simulate the crash: a batch directory holding ONLY bands (the
+    // first of the two appended datasets), no _graft_committed marker.
+    // Pre-fix, these bands rows produced candidate pairs that the inner
+    // join to the missing grams side silently dropped; post-fix the
+    // whole batch is invisible until committed.
+    val orphan = docsDf(
+      10L -> "totally distinct admitted words here nothing shared")
+    import spark.implicits._
+    Seq((10L, 0, 12345L), (10L, 1, 67890L))
+      .toDF("id", "band", "band_sig")
+      .write.parquet(s"$dir/batches/orphan-no-marker/bands")
+    // admissions against the index are EXACTLY as before the orphan:
+    // a near-copy of the orphan doc is still admitted (index does not
+    // see the half-written batch)
+    val snap = docsDf(
+      20L -> "totally distinct admitted words here nothing shared too")
+    val kept = Dedup.incrementalNearDedupIndexed(snap, "doc_id", "text",
+      dir, threshold = 0.7).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(20L), s"uncommitted batch leaked: $kept")
+    // a real append (both sides + marker) IS visible
+    Dedup.appendToNearDupIndex(orphan, "doc_id", "text", dir)
+    val kept2 = Dedup.incrementalNearDedupIndexed(snap, "doc_id", "text",
+      dir, threshold = 0.7).count()
+    assert(kept2 == 0L, "committed append must dedup the near-copy")
+  }
+
+  test("writeNearDupIndex rebuild clears stale append batches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nd-rebuild").toString
+    val corpus = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", dir)
+    val extra = docsDf(
+      10L -> "totally distinct appended words here nothing shared")
+    Dedup.appendToNearDupIndex(extra, "doc_id", "text", dir)
+    // rebuild from a corpus WITHOUT doc 10: the old batch must not
+    // leak doc 10 back into the index
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", dir)
+    val snap = docsDf(
+      20L -> "totally distinct appended words here nothing shared too")
+    val kept = Dedup.incrementalNearDedupIndexed(snap, "doc_id", "text",
+      dir, threshold = 0.7).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(20L), s"stale batch survived rebuild: $kept")
+  }
 }

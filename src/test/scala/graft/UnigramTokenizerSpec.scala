@@ -155,4 +155,25 @@ class UnigramTokenizerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(joined == orig, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("encodeWord: a huge unkCost saturates at INF and fails loudly " +
+      "instead of silently returning the whole word as one unk piece") {
+    val vocab = new java.util.HashMap[String, Long]()
+    vocab.put("ab", 5L)
+    // word of 3 out-of-vocab codepoints at unkCost near INF: any path
+    // saturates, so the result must be an error, not a bogus one-piece
+    // fallback
+    val huge = Long.MaxValue / 4 - 1
+    val e = intercept[IllegalArgumentException] {
+      UnigramTokenizer.encodeWord("xyz", vocab, 2, huge)
+    }
+    assert(e.getMessage.contains("saturated"), e.getMessage)
+    // a bounded unkCost on the same word still segments correctly
+    val (pieces, cost) = UnigramTokenizer.encodeWord("xyz", vocab, 2, 7L)
+    assert(pieces.toSeq == Seq("x", "y", "z") && cost == 21L)
+    // and saturation does not disturb reachable-path selection: one unk
+    // plus a vocab piece
+    val (p2, c2) = UnigramTokenizer.encodeWord("abx", vocab, 2, 7L)
+    assert(p2.toSeq == Seq("ab", "x") && c2 == 12L)
+  }
 }
