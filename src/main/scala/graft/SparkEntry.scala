@@ -23,13 +23,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** One JVM-scoped scratch directory for q_incremental_near_dedup_idx's
-    * corpus-sized index artifact: writeNearDupIndex overwrites it on
-    * every invocation (no accumulation across correctness runs) and a
-    * shutdown hook removes it recursively on exit.
+  /** A JVM-scoped scratch directory: artifact writers overwrite inside
+    * it on every invocation (no accumulation across correctness runs)
+    * and a shutdown hook removes it recursively on exit.
     */
-  private lazy val ndIdxScratch: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-nd-idx")
+  private def jvmScratch(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try
         java.nio.file.Files.walk(dir)
@@ -38,6 +37,15 @@ object SparkEntry {
       catch { case _: java.io.IOException => () }))
     dir.toString
   }
+
+  /** Scratch for q_incremental_near_dedup_idx's corpus-sized index. */
+  private lazy val ndIdxScratch: String = jvmScratch("graft-nd-idx")
+
+  /** Scratch for the tokenizer-artifact round-trips the three encode
+    * queries run (train/fix vocab → write artifact → load → encode),
+    * so the correctness gate exercises the persisted lifecycle.
+    */
+  private lazy val tokScratch: String = jvmScratch("graft-tok")
 
   /** events.parquet has stored `ts` in two physical forms across fixture
     * generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
@@ -954,14 +962,19 @@ object SparkEntry {
 
     // encoding under the same 8 learned merges — vocabulary-side merge
     // + one hash join; subword sequences joined to strings so the
-    // compare is representation-safe
+    // compare is representation-safe. The merges round-trip through a
+    // persisted TokenizerArtifacts artifact (train → write → load →
+    // encode), so the correctness gate pins the production
+    // train-once/encode-many lifecycle bit-exactly, not just the
+    // in-memory form
     "q_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = operators.BpeTokenizer
         .trainBpeMerges(docs, "text", numMerges = 8)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      operators.BpeTokenizer.applyBpeMerges(docs, "doc_id", "text", merges)
+      val art = s"$tokScratch/bpe"
+      operators.TokenizerArtifacts.writeBpe(merges, art)
+      operators.TokenizerArtifacts
+        .encodeWithBpe(docs, "doc_id", "text", art)
         .select(col("id"), col("n_words"), col("n_subwords"),
           array_join(col("bpe_tokens"), " ").as("bpe_str"))
     }),
@@ -970,22 +983,31 @@ object SparkEntry {
     // family): fixed vocabulary with single-codepoint fallbacks minus
     // the "##w" continuation — words with an uncovered non-initial `w`
     // become [UNK] (whole-word, BERT's contract), and the multi-char
-    // pieces pin the longest-match preference
-    "q_wordpiece" -> ((s, dir) =>
-      operators.WordPieceTokenizer.encode(t(s, dir, "documents"),
-        "doc_id", "text", WpVocab)
+    // pieces pin the longest-match preference. Routed through an
+    // artifact round-trip like q_bpe_encode
+    "q_wordpiece" -> ((s, dir) => {
+      val art = s"$tokScratch/wp"
+      operators.TokenizerArtifacts.writeWordPiece(s, WpVocab, art)
+      operators.TokenizerArtifacts
+        .encodeWithWordPiece(t(s, dir, "documents"), "doc_id", "text", art)
         .select(col("id"), col("n_words"), col("n_subwords"),
-          array_join(col("wp_tokens"), " ").as("wp_str"))),
+          array_join(col("wp_tokens"), " ").as("wp_str"))
+    }),
 
     // Unigram-LM Viterbi encoding (the third tokenizer family): fixed
     // integer-cost vocabulary; min-(cost, cut-mask) segmentation is
-    // exactly replicable by exhaustive mask enumeration in the oracle
-    "q_unigram_encode" -> ((s, dir) =>
-      operators.UnigramTokenizer.encode(t(s, dir, "documents"),
-        "doc_id", "text", UgVocab, unkCost = 500L)
+    // exactly replicable by exhaustive mask enumeration in the oracle.
+    // Routed through an artifact round-trip like q_bpe_encode
+    "q_unigram_encode" -> ((s, dir) => {
+      val art = s"$tokScratch/ug"
+      operators.TokenizerArtifacts.writeUnigram(s, UgVocab, art,
+        unkCost = 500L)
+      operators.TokenizerArtifacts
+        .encodeWithUnigram(t(s, dir, "documents"), "doc_id", "text", art)
         .select(col("id"), col("n_words"), col("n_pieces"),
           col("total_cost"), array_join(col("ug_tokens"), " ")
-            .as("ug_str"))),
+            .as("ug_str"))
+    }),
 
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
