@@ -937,6 +937,33 @@ object SparkEntry {
         ascending = true, histBins = 64)
     }),
 
+    // the grouped partitioner: bucket = ceil(rank_g·B/n_g) WITHIN each
+    // language — only 50 distinct scores (heavy cross-group ties) and
+    // 16 bins force multi-element boundary bins, so the shared top-j
+    // resolution and (score, id) tie rule are both exercised per group
+    "q_group_rank_buckets" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("id"), col("lang"),
+        pmod(graft.functions.TextFunctions.md5Hash60(
+          concat(lit("grkb:"), col("doc_id").cast("string"))), lit(50L))
+          .cast("double").as("score"))
+      DataSelection.groupedRankBuckets(scored, "lang", "id", "score", 4,
+        ascending = true, histBins = 16)
+    }),
+
+    // CCNet tiers PER LANGUAGE (Wenzek et al. 2020 run per-language
+    // pipelines): head/middle/tail are equal group-local tiers on the
+    // exact-prob key, so each language's head is its own best third —
+    // the whole row replicates bit-for-bit like q_ccnet_buckets
+    "q_ccnet_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.ccnetBuckets(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        byExactProb = true, histBins = 64, groupCol = Some("lang"))
+        .select(col("id"), col("lang"), col("n_bigrams"),
+          col("sum_prob"), col("avg_prob"), col("bucket"), col("tier"))
+    }),
+
     // embedding-level benchmark decontamination, integer-exact form:
     // quantized vectors make every dot/norm an integer-valued double
     // and sqrt is correctly rounded IEEE, so the whole row — argmax
@@ -2786,6 +2813,47 @@ object SparkEntry {
          |FROM rk CROSS JOIN n
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // per-language CCNet tiers: the same exact-prob scoring chain, but
+    // rank/count windows PARTITION BY the doc's language — each
+    // language's head is its own best third
+    "q_ccnet_lang" ->
+      s"""WITH tk AS (SELECT doc_id AS id, lang, $Toks AS toks
+         |      FROM documents),
+         |g AS (SELECT id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'pos': i, 'ch': ${H60("toks[i]")},
+         |            'bh': ${H60("toks[i] || ' ' || toks[i+1]")}})
+         |    ELSE [] END) AS u FROM tk),
+         |r AS (SELECT id, u.pos AS pos, u.ch AS ch, u.bh AS bh FROM g),
+         |cb AS (SELECT bh, ch, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM r WHERE id % 7 = 0 GROUP BY bh, ch),
+         |cc AS (SELECT ch, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         |       FROM cb GROUP BY ch),
+         |v AS (SELECT greatest(1, count(DISTINCT tok)) AS vc FROM
+         |      (SELECT unnest(toks) AS tok FROM tk WHERE id % 7 = 0)),
+         |p AS (SELECT r.id, r.pos,
+         |      (coalesce(cb.cnt, 0) + 1.0e0) /
+         |        (coalesce(cc.ctx_cnt, 0) + 1.0e0 * vc) AS p
+         |      FROM r LEFT JOIN cb ON r.bh = cb.bh AND r.ch = cb.ch
+         |             LEFT JOIN cc ON r.ch = cc.ch CROSS JOIN v),
+         |sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(p ORDER BY pos, p)), (a, b) -> a + b) AS sum_prob
+         |      FROM p GROUP BY id),
+         |rk AS (SELECT sc.id, tk.lang, n_bigrams, sum_prob,
+         |    sum_prob / n_bigrams AS avg_prob,
+         |    row_number() OVER (PARTITION BY tk.lang
+         |      ORDER BY -(sum_prob / n_bigrams), sc.id) AS rnk,
+         |    CAST(count(*) OVER (PARTITION BY tk.lang) AS BIGINT) AS cnt
+         |  FROM sc JOIN tk ON sc.id = tk.id
+         |  WHERE tk.lang IS NOT NULL)
+         |SELECT id, lang, n_bigrams, sum_prob, avg_prob,
+         |  CAST((rnk * 3 + cnt - 1) // cnt AS INTEGER) AS bucket,
+         |  CASE (rnk * 3 + cnt - 1) // cnt WHEN 1 THEN 'head'
+         |    WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+         |FROM rk
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     // stupid-backoff: seen bigrams score f(cw)/f(c) exactly; unseen
     // back off to 0.4 x (f(w)+1)/(N+V) — all {+,*,/} on exact counts,
     // same fold order as Spark
@@ -2972,6 +3040,22 @@ object SparkEntry {
          |SELECT id, score,
          |  CAST((rk * 5 + cnt - 1) // cnt AS INTEGER) AS bucket
          |FROM r CROSS JOIN n
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // grouped rank buckets: the same ceil(rank·B/n) contract under
+    // PARTITION BY lang — group-local ranks, ties by id within group
+    "q_group_rank_buckets" ->
+      s"""WITH s AS (SELECT doc_id AS id, lang,
+         |    CAST(${H60("'grkb:' || CAST(doc_id AS VARCHAR)")} % 50
+         |      AS DOUBLE) AS score FROM documents WHERE lang IS NOT NULL),
+         |r AS (SELECT id, lang, score,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY score, id) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
+         |  FROM s)
+         |SELECT id, lang, score,
+         |  CAST((rk * 4 + cnt - 1) // cnt AS INTEGER) AS bucket
+         |FROM r
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // semantic decontamination, integer-exact: quantized dots/norms are

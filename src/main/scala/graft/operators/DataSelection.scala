@@ -310,6 +310,141 @@ object DataSelection {
     cached.withColumn("bucket", bucket)
   }
 
+  /** [[rankBuckets]] under GROUP BY — equal GROUP-LOCAL rank tiers for
+    * every group simultaneously (CCNet buckets per LANGUAGE — Wenzek
+    * et al. 2020 run per-language pipelines — or per-source quality
+    * tiers): within each group, bucket = ⌈rank_g·B/n_g⌉ on the
+    * (score, id) ordering, exactly the window formulation the
+    * q_group_rank_buckets oracle states under PARTITION BY. Computed
+    * with NO corpus-sized window partition and no per-group driver
+    * loop — every pass covers ALL groups at once:
+    *
+    *   - one per-group envelope pass (n, min, max) — `maxGroups`-row
+    *     collect, gated fail-loud;
+    *   - ONE shared histogram pass (corpus joins the broadcast
+    *     envelope, bins group-locally) — ≤ groups·histBins driver
+    *     rows, the product gated fail-loud;
+    *   - every group's B−1 boundary ranks resolve in ONE shared
+    *     bounded top-j pass over their crossing bins
+    *     ([[TopK.topKPerQuery]], one query per (group, boundary));
+    *   - assignment joins the broadcast per-group boundary arrays and
+    *     counts boundaries below the row's (score, id) key — a NARROW
+    *     broadcast-join map, no shuffle of the corpus.
+    *
+    * Ties share a score but never a (score, id) pair, so buckets are
+    * exact-sized and deterministic across runs, partitionings, and
+    * engines. Rows with a NULL group are EXCLUDED (the
+    * [[groupedExactQuantiles]] contract); groups are keyed by the
+    * cast-to-string form. `scored` needs (idCol integral, scoreCol
+    * numeric, NaN-free); pass a narrow projection (one
+    * localCheckpoint materialization, as [[rankBuckets]]). Returns
+    * all input columns plus `bucket` (1 = best under `ascending`).
+    */
+  def groupedRankBuckets(scored: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, nBuckets: Int,
+      ascending: Boolean = true, histBins: Int = 2048,
+      maxGroups: Int = 4096): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(histBins >= 1, s"histBins must be >= 1, got $histBins")
+    require(maxGroups >= 1, s"maxGroups must be >= 1, got $maxGroups")
+    TopK.requireIntegral(scored, idCol, "groupedRankBuckets")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val gk = col(groupCol).cast("string")
+    def s(c: Column): Column =
+      if (ascending) c.cast("double") else -c.cast("double")
+    val cached = scored.filter(gk.isNotNull).localCheckpoint(true)
+    val env = cached
+      .groupBy(gk.as("__g"))
+      .agg(count(lit(1)).as("n"), min(s(col(scoreCol))).as("mn"),
+        max(s(col(scoreCol))).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    if (env.isEmpty) return cached.withColumn("bucket", lit(1))
+    require(env.length <= maxGroups,
+      s"groupedRankBuckets: ${env.length} groups exceed maxGroups=" +
+        s"$maxGroups — raise the gate or bucket per-group slices")
+    require(env.length.toLong * histBins <= (1L << 24),
+      s"groupedRankBuckets: ${env.length} groups x $histBins bins " +
+        "exceeds the driver histogram bound (2^24 rows) — lower " +
+        "histBins")
+    // one shared histogram pass, binned group-locally
+    val envDf = broadcast(env.toSeq.map { case (g, (_, mn, mx)) =>
+      (g, mn, if (mx > mn) (mx - mn) / histBins else 1.0)
+    }.toDF("__g", "__mn", "__w"))
+    val binOf = least(floor((col("__s") - col("__mn")) / col("__w"))
+      .cast("int"), lit(histBins - 1))
+    val hist = cached
+      .select(gk.as("__g"), s(col(scoreCol)).as("__s"),
+        col(idCol).cast("long").as("__id"))
+      .join(envDf, Seq("__g"))
+      .groupBy(col("__g"), binOf.as("__bin")).count()
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per group: cumulative bins -> boundary (bin, local rank j);
+    // rank 0 = empty leading bucket (sentinel boundary below all rows)
+    case class Bound(qid: Long, g: String, bin: Int, j: Int)
+    val need = scala.collection.mutable.ArrayBuffer.empty[Bound]
+    // g -> per-boundary slot: Some(qid) pending resolve, None = rank 0
+    val slots = scala.collection.mutable.LinkedHashMap
+      .empty[String, Array[Option[Long]]]
+    var qid = 0L
+    for ((g, (n, _, _)) <- env) {
+      val cum = (0 until histBins).scanLeft(0L)((a, b) =>
+        a + hist.getOrElse((g, b), 0L))
+      val arr = new Array[Option[Long]](nBuckets - 1)
+      for (b <- 1 until nBuckets) {
+        val r = b * n / nBuckets
+        if (r >= 1L) {
+          val bin = cum.lastIndexWhere(_ < r)
+          need += Bound(qid, g, bin, (r - cum(bin)).toInt)
+          arr(b - 1) = Some(qid)
+          qid += 1
+        } else arr(b - 1) = None
+      }
+      slots(g) = arr
+    }
+    // one shared bounded top-j pass resolves every boundary element
+    val resolved: Map[Long, (Double, Long)] =
+      if (need.isEmpty) Map.empty
+      else {
+        val tags = broadcast(need.toSeq.map(b => (b.qid, b.g, b.bin))
+          .toDF("__q", "__g", "__bin"))
+        val rows = cached
+          .select(gk.as("__g"), s(col(scoreCol)).as("__s"),
+            col(idCol).cast("long").as("__id"))
+          .join(envDf, Seq("__g"))
+          .select(col("__g"), binOf.as("__bin"),
+            col("__id").as("neighbor_id"), (-col("__s")).as("sim"))
+          .join(tags, Seq("__g", "__bin"))
+          .select(col("__q").as("query_id"), col("neighbor_id"),
+            col("sim"))
+        val jOf = need.map(b => b.qid -> b.j).toMap
+        TopK.topKPerQuery(rows, need.map(_.j).max).collect()
+          .filter(r => r.getInt(1) == jOf(r.getLong(0)))
+          .map(r => r.getLong(0) -> (-r.getDouble(3), r.getLong(2)))
+          .toMap
+      }
+    // broadcast per-group boundary arrays; sentinel = below everything
+    val bndDf = broadcast(slots.toSeq.map { case (g, arr) =>
+      (g, arr.toSeq.map {
+        case Some(q) => resolved(q)
+        case None    => (Double.NegativeInfinity, Long.MinValue)
+      })
+    }.toDF("__g", "__raw")
+      .select(col("__g"), transform(col("__raw"),
+        x => struct(x("_1").as("bs"), x("_2").as("bid"))).as("__bnds")))
+    val rowKey = struct(s(col(scoreCol)).as("bs"),
+      col(idCol).cast("long").as("bid"))
+    cached
+      .join(bndDf, gk === col("__g"))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__bnds"), x => rowKey > x)))
+          .cast("int"))
+      .drop("__g", "__bnds")
+  }
+
   /** The scale-correct global top-N: histogram-threshold selection.
     * One min/max pass, one bounded `histBins`-row histogram to the
     * driver, keep every row STRICTLY above the boundary bin, and

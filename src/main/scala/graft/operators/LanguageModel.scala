@@ -439,9 +439,10 @@ object LanguageModel {
     */
   def ccnetBuckets(docs: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 3, alpha: Double = 1.0,
-      byExactProb: Boolean = false, histBins: Int = 100000): DataFrame = {
+      byExactProb: Boolean = false, histBins: Int = 100000,
+      groupCol: Option[String] = None): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val scored = bigramLmScores(docs, target, idCol, textCol, alpha)
+    val scored0 = bigramLmScores(docs, target, idCol, textCol, alpha)
       .withColumn("__key",
         if (byExactProb) negate(col("avg_prob")) else col("log_ppl"))
     val tier =
@@ -449,9 +450,28 @@ object LanguageModel {
         when(col("bucket") === 1, "head")
           .when(col("bucket") === 2, "middle").otherwise("tail")
       else concat(lit("b"), col("bucket").cast("string"))
-    DataSelection.rankBuckets(scored, "id", "__key", nBuckets,
-        ascending = true, histBins = histBins)
-      .withColumn("tier", tier)
-      .drop("__key")
+    // per-GROUP tiers (CCNet proper buckets per LANGUAGE — Wenzek et
+    // al. 2020 §4.3 run one pipeline per language): join the group
+    // column back onto the scores (bigramLmScores projects it away)
+    // and cut group-local ranks with the shared-pass grouped engine —
+    // head/middle/tail are then equal tiers WITHIN each group, so a
+    // low-resource language is not crowded out of "head" by the
+    // majority language's perplexity distribution
+    val bucketed = groupCol match {
+      case Some(gc) =>
+        val gTab = docs.select(col(idCol).cast("long").as("id"),
+          col(gc).as(gc))
+        // histBins clamps to the grouped engine's default: the driver
+        // histogram costs groups x bins rows here, so the global
+        // default (100k bins) would gate out even moderate group
+        // cardinalities; smaller caller values pass through untouched
+        DataSelection.groupedRankBuckets(scored0.join(gTab, Seq("id")),
+          gc, "id", "__key", nBuckets, ascending = true,
+          histBins = math.min(histBins, 2048))
+      case None =>
+        DataSelection.rankBuckets(scored0, "id", "__key", nBuckets,
+          ascending = true, histBins = histBins)
+    }
+    bucketed.withColumn("tier", tier).drop("__key")
   }
 }

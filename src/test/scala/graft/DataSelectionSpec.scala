@@ -263,4 +263,58 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
         maxGroups = 2)
     }
   }
+
+  test("groupedRankBuckets equals per-group global rankBuckets; ties, " +
+      "small groups, null-group exclusion, gates") {
+    import spark.implicits._
+    // three groups of very different sizes; scores deliberately tied
+    // (mod 7) so the (score, id) tie rule decides bucket boundaries;
+    // group "tiny" has fewer rows than buckets (empty leading buckets)
+    val rows =
+      (1L to 200L).map(i => (i, "big", (i % 7).toDouble)) ++
+      (1001L to 1030L).map(i => (i, "mid", (i % 7).toDouble)) ++
+      (2001L to 2002L).map(i => (i, "tiny", 1.0))
+    val df = rows.toDF("id", "grp", "score")
+    val got = DataSelection.groupedRankBuckets(df, "grp", "id", "score",
+      nBuckets = 4, histBins = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    // reference: the (already oracle-pinned) global partitioner run on
+    // each group slice independently
+    for (g <- Seq("big", "mid", "tiny")) {
+      val ref = DataSelection.rankBuckets(df.filter(col("grp") === g),
+        "id", "score", nBuckets = 4, histBins = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+      ref.foreach { case (id, b) =>
+        assert(got(id) == b, s"group $g id $id: got ${got(id)} ref $b")
+      }
+    }
+    // exact sizing within a group: 200 rows over 4 buckets = 50 each
+    val bigSizes = got.filter(_._1 <= 200L).groupBy(_._2).map {
+      case (b, m) => b -> m.size }
+    assert(bigSizes == Map(1 -> 50, 2 -> 50, 3 -> 50, 4 -> 50), bigSizes)
+    // descending flips the ordering, still group-local
+    val desc = DataSelection.groupedRankBuckets(df, "grp", "id", "score",
+      nBuckets = 4, ascending = false, histBins = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    val refD = DataSelection.rankBuckets(df.filter(col("grp") === "big"),
+      "id", "score", nBuckets = 4, ascending = false, histBins = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    refD.foreach { case (id, b) => assert(desc(id) == b) }
+    // null-group rows are excluded
+    val withNull = df.unionByName(
+      Seq((9999L, null.asInstanceOf[String], 1.0))
+        .toDF("id", "grp", "score"))
+    assert(!DataSelection.groupedRankBuckets(withNull, "grp", "id",
+      "score", 4, histBins = 8).collect().map(_.getLong(0))
+      .contains(9999L))
+    // gates fail loudly
+    intercept[IllegalArgumentException] {
+      DataSelection.groupedRankBuckets(df, "grp", "id", "score", 4,
+        maxGroups = 2)
+    }
+    intercept[IllegalArgumentException] {
+      DataSelection.groupedRankBuckets(df, "grp", "id", "score", 4,
+        histBins = (1 << 24)) // 3 groups x 2^24 bins > driver bound
+    }
+  }
 }

@@ -581,4 +581,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name: HOF expression duplicated into a Filter:\n${offending.mkString}")
     }
   }
+
+  test("round-11 operators: grouped rank buckets have no corpus window " +
+      "and no global sort; assignment is a broadcast join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val grb = graft.operators.DataSelection.groupedRankBuckets(
+      docs.select(col("doc_id").as("id"), col("lang"),
+        (col("doc_id") % 11).cast("double").as("score")),
+      "lang", "id", "score", nBuckets = 3, histBins = 64)
+    grb.collect()
+    val grbPlan = grb.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!grbPlan.contains("rangepartitioning"),
+      s"global sort in the grouped rank-bucket plan:\n$grbPlan")
+    assert(!grbPlan.contains("Window"),
+      s"corpus-sized window in the grouped rank-bucket plan:\n$grbPlan")
+    assert(grbPlan.contains("BroadcastHashJoin") ||
+      grbPlan.contains("BroadcastExchange"),
+      s"boundary assignment must broadcast:\n$grbPlan")
+
+    // per-language ccnet: same pins through the full scoring chain
+    val ccn = graft.operators.LanguageModel.ccnetBuckets(
+      docs.select(col("doc_id"), col("text"), col("lang")),
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", byExactProb = true, histBins = 64,
+      groupCol = Some("lang"))
+    ccn.collect()
+    val ccnPlan = ccn.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!ccnPlan.contains("rangepartitioning"), ccnPlan)
+    assert(!ccnPlan.contains("Window"),
+      s"corpus-sized window in the per-language ccnet plan:\n$ccnPlan")
+  }
 }
