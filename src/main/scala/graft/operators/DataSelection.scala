@@ -593,7 +593,25 @@ object DataSelection {
   def groupedExactQuantiles(df: DataFrame, groupCol: String,
       valueCol: String, qs: Seq[Double], histBins: Int = 1024,
       collectCap: Int = 10000, maxGroups: Int = 10000,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64): DataFrame =
+    groupedExactQuantilesImpl(df, groupCol, valueCol, qs, histBins,
+      collectCap, maxGroups, maxRounds, perturbForTest = false)
+
+  /** [[groupedExactQuantiles]] with a fault-injection hook: when
+    * `perturbForTest` is set, every round's proposed intervals are
+    * shifted one bin off target BEFORE the exact recount, so the
+    * invariant-repair path fires for (nearly) every active key every
+    * round — the only way to deterministically exercise the repair
+    * machinery, whose natural trigger is a half-ulp binning accident.
+    * Results must still be exact (repair widens the offending edge
+    * back); the batching spec asserts that under hundreds of
+    * simultaneous repairs the round still runs a CONSTANT number of
+    * jobs.
+    */
+  private[graft] def groupedExactQuantilesImpl(df: DataFrame,
+      groupCol: String, valueCol: String, qs: Seq[Double],
+      histBins: Int, collectCap: Int, maxGroups: Int, maxRounds: Int,
+      perturbForTest: Boolean): DataFrame = {
     require(qs.nonEmpty, "groupedExactQuantiles: no quantiles requested")
     require(qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1], got $qs")
@@ -651,12 +669,25 @@ object DataSelection {
         .select(col("g"), col("qi"), col("__b"))
         .collect().map(r2 => (r2.getString(0), r2.getInt(1)) -> r2.getInt(2))
         .toMap
-      val next = active.map { case (k, s) =>
+      val next0 = active.map { case (k, s) =>
         val b = crossing(k)
         val w = (s.hi - s.lo) / histBins
         val newLo = if (b == 0) s.lo else s.lo + b * w
         val newHi = if (b >= histBins - 1) s.hi else s.lo + (b + 1) * w
         k -> (newLo, newHi)
+      }
+      // fault injection (see groupedExactQuantilesImpl): shift the
+      // proposal one bin up (even qi — forces a lo-widen repair) or
+      // down (odd qi — forces a hi-widen repair); skipped when the
+      // shift would leave the group envelope or invert the interval
+      val next = if (!perturbForTest) next0
+      else next0.map { case (k, (nl, nh)) =>
+        val s = state(k)
+        val w = (s.hi - s.lo) / histBins
+        val d = if (k._2 % 2 == 0) w else -w
+        val (l2, h2) = (math.max(s.lo, math.min(s.hi, nl + d)),
+          math.max(s.lo, math.min(s.hi, nh + d)))
+        k -> (if (l2 < h2) (l2, h2) else (nl, nh))
       }
       val reDf = broadcast(next.toSeq.map { case ((g, qi), (nl, nh)) =>
         (g, qi, nl, nh) }.toDF("g", "qi", "__lo", "__hi"))
@@ -674,54 +705,74 @@ object DataSelection {
       // or the target value just fell out of the refined interval.
       // Widen the offending edge one bin and recount (exact counts
       // drive the decision; misbinning is at most one bin, so one
-      // step per edge suffices — asserted after).
-      def exactCounts(k: (String, Int), nl: Double,
-          nh: Double): (Long, Long) = {
-        val row = vals.filter(col("g") === k._1)
-          .agg(sum(when(col("v") < nl, 1L).otherwise(0L)),
-            sum(when(col("v") >= nl && col("v") <= nh, 1L)
-              .otherwise(0L))).collect()(0)
-        (if (row.isNullAt(0)) 0L else row.getLong(0),
-          if (row.isNullAt(1)) 0L else row.getLong(1))
-      }
-      val repaired = next.map { case (k, (nl0, nh0)) =>
+      // step per edge suffices — asserted after). BOTH edge decisions
+      // come from the first recount — widening lo moves rows from
+      // cLess into in, leaving cl + in (= rows <= hi) unchanged, so
+      // the hi check is independent of the lo widen — and every
+      // repaired key recounts in ONE broadcast-interval pass, the
+      // same shape as the main round: an adversarial distribution
+      // sending hundreds of groups into repair in the same round
+      // costs one job, not hundreds of serial driver-loop jobs.
+      val widened = next.map { case (k, (nl0, nh0)) =>
         val s = state(k)
-        var (nl, nh) = (nl0, nh0)
-        var (cl, in) = re(k)
+        val (cl, in) = re(k)
         val w = (s.hi - s.lo) / histBins
-        if (cl >= s.r) {
-          nl = math.max(s.lo, nl - w)
-          val c2 = exactCounts(k, nl, nh); cl = c2._1; in = c2._2
-        }
-        if (cl + in < s.r) {
-          nh = math.min(s.hi, nh + w)
-          val c2 = exactCounts(k, nl, nh); cl = c2._1; in = c2._2
-        }
+        val nl = if (cl >= s.r) math.max(s.lo, nl0 - w) else nl0
+        val nh = if (cl + in < s.r) math.min(s.hi, nh0 + w) else nh0
+        k -> (nl, nh, cl, in, nl != nl0 || nh != nh0)
+      }
+      val toRecount = widened.collect {
+        case (k, (nl, nh, _, _, true)) => (k._1, k._2, nl, nh) }.toSeq
+      val recounted: Map[(String, Int), (Long, Long)] =
+        if (toRecount.isEmpty) Map.empty
+        else broadcast(toRecount.toDF("g", "qi", "__lo", "__hi"))
+          .join(vals, Seq("g"))
+          .groupBy(col("g"), col("qi"), col("__lo"), col("__hi"))
+          .agg(sum(when(col("v") < col("__lo"), 1L).otherwise(0L))
+              .as("__cl"),
+            sum(when(col("v") >= col("__lo") && col("v") <= col("__hi"),
+              1L).otherwise(0L)).as("__in"))
+          .collect().map(r2 => (r2.getString(0), r2.getInt(1)) ->
+            (r2.getLong(4), r2.getLong(5))).toMap
+      val repaired = widened.map { case (k, (nl, nh, cl0, in0, wd)) =>
+        val s = state(k)
+        val (cl, in) = if (wd) recounted(k) else (cl0, in0)
         require(cl < s.r && s.r <= cl + in,
           s"groupedExactQuantiles: rank invariant unrepairable for $k " +
             s"(r=${s.r} cl=$cl in=$in) — widen histBins")
         k -> (nl, nh, cl, in)
       }
-      for ((k, (nl, nh, cl, in)) <- repaired) {
-        val s = state(k)
-        if (nl == s.lo && nh == s.hi && in == s.inCount) {
-          // no shrink: the interval spans a handful of adjacent
-          // doubles (subnormal bin width) — resolve by exact
-          // per-value counts, bounded by the representable values
-          val byVal = vals
-            .filter(col("g") === k._1 && col("v") >= s.lo &&
-              col("v") <= s.hi)
-            .groupBy(col("v")).count().collect()
-            .map(row => (row.getDouble(0), row.getLong(1)))
-            .sortBy(_._1)
+      // no-shrink keys: the interval spans a handful of adjacent
+      // doubles (subnormal bin width) — resolve ALL of them by exact
+      // per-value counts in one batched pass (bounded: each interval
+      // holds only a few representable values)
+      val noShrink = repaired.collect { case (k, (nl, nh, _, in))
+        if nl == state(k).lo && nh == state(k).hi &&
+          in == state(k).inCount => k }.toSet
+      if (noShrink.nonEmpty) {
+        val byVal = broadcast(noShrink.toSeq.map { k =>
+            (k._1, k._2, state(k).lo, state(k).hi)
+          }.toDF("g", "qi", "__lo", "__hi"))
+          .join(vals, Seq("g"))
+          .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
+          .groupBy(col("g"), col("qi"), col("v")).count()
+          .collect()
+          .map(r2 => ((r2.getString(0), r2.getInt(1)),
+            r2.getDouble(2), r2.getLong(3)))
+          .groupBy(_._1)
+        for (k <- noShrink) {
+          val s = state(k)
+          val vs = byVal(k).map(t => (t._2, t._3)).sortBy(_._1)
           var acc = s.cLess
-          for ((v2, c2) <- byVal if !done.contains(k)) {
+          for ((v2, c2) <- vs if !done.contains(k)) {
             if (acc < s.r && s.r <= acc + c2) done(k) = v2
             acc += c2
           }
-          if (!done.contains(k)) done(k) = byVal.last._1
-        } else state(k) = St(nl, nh, cl, in, s.r)
+          if (!done.contains(k)) done(k) = vs.last._1
+        }
       }
+      for ((k, (nl, nh, cl, in)) <- repaired if !noShrink.contains(k))
+        state(k) = St(nl, nh, cl, in, state(k).r)
       rounds += 1
       active = state.filter { case (k, s) =>
         !done.contains(k) && s.inCount > collectCap && s.lo < s.hi }

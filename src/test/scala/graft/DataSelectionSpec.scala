@@ -264,6 +264,58 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("grouped quantile repair/resolve batches: hundreds of groups in " +
+      "simultaneous repair still run a constant number of jobs, with " +
+      "exact results") {
+    import spark.implicits._
+    // 150 groups x 40 values at binary-awkward positions (multiples of
+    // 0.1 land off bin edges); collectCap=8 keeps every group active
+    // through several refinement rounds, and the perturbForTest hook
+    // shifts EVERY proposed interval one bin off target each round, so
+    // every active key enters the repair path every round — the
+    // pre-fix per-key exactCounts loop would run >= 150 driver-loop
+    // jobs per round here
+    val rows = for {
+      g <- 0 until 150
+      i <- 0 until 40
+    } yield (g.toLong * 1000 + i, s"g$g", (i % 37) * 0.1 + g * 0.01)
+    val df = rows.toDF("id", "grp", "v")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val r = DataSelection.groupedExactQuantilesImpl(df, "grp", "v",
+          Seq(0.1, 0.5, 0.9), histBins = 4, collectCap = 8,
+          maxGroups = 1000, maxRounds = 64, perturbForTest = true)
+          .collect()
+        Thread.sleep(500) // let queued listener events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // job count is O(rounds), never O(groups): with histBins=4 and 40
+    // values/group the refinement takes a handful of rounds at <= 4
+    // jobs each (histogram, recount, batched repair, batched resolve)
+    // plus envelope/leaf — 150 simultaneous repairs must not add jobs
+    assert(jobs.get() < 60,
+      s"repair/resolve serialized per-key jobs: ${jobs.get()} jobs")
+    // and the answers are still exact despite every round being
+    // perturbed: compare against per-group sorted references
+    val byG = rows.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.map(_._3).sorted }
+    val gotMap = got.map(r => (r.getString(0), r.getDouble(1)) ->
+      r.getDouble(2)).toMap
+    for ((g, vs) <- byG; q <- Seq(0.1, 0.5, 0.9)) {
+      val want = vs(math.max(1, math.ceil(q * vs.size).toInt) - 1)
+      assert(gotMap((g, q)) == want,
+        s"g=$g q=$q got=${gotMap((g, q))} want=$want")
+    }
+  }
+
   test("groupedRankBuckets equals per-group global rankBuckets; ties, " +
       "small groups, null-group exclusion, gates") {
     import spark.implicits._
