@@ -567,6 +567,16 @@ object SparkEntry {
       DataSelection.groupedExactQuantiles(t(s, dir, "documents"),
         "source", "n_chars", QuantileQs, histBins = 16, collectCap = 10)),
 
+    // the crawl-scale approximate twin: fixed-bin sketch over a
+    // supplied envelope, one keyed corpus pass, no per-group driver
+    // state; 32 coarse bins make the approximation visible while the
+    // lower-edge answer replicates bit-for-bit (same floor/min/max
+    // arithmetic both engines)
+    "q_approx_group_quantiles" -> ((s, dir) =>
+      DataSelection.approxGroupedQuantiles(t(s, dir, "documents"),
+        "source", "n_chars", QuantileQs, lo = 0.0, hi = 1600.0,
+        nBins = 32)),
+
     // Unicode script profile over planted multi-script text: per-doc
     // script codepoint counts + dominant script (ties by priority —
     // the %7 docs tie cyrillic/han at 5 and must pick cyrillic);
@@ -3733,6 +3743,32 @@ object SparkEntry {
          |  WHERE source IS NOT NULL)
          |SELECT grp AS "group", q, value FROM (
          |$legs)
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
+
+    // approximate grouped quantiles: the identical fixed-bin cut —
+    // clamped floor-binning over the [0, 1600] envelope, group-local
+    // cumulative counts, smallest bucket covering rank ceil(q*n),
+    // lower-edge answer — every step the same double arithmetic
+    "q_approx_group_quantiles" -> {
+      val w = (1600.0 - 0.0) / 32
+      val qlist = QuantileQs.map(q => s"${q}e0").mkString(", ")
+      s"""WITH v AS (SELECT CAST(source AS VARCHAR) AS g,
+         |    CAST(n_chars AS DOUBLE) AS x FROM documents
+         |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         |b AS (SELECT g, CAST(least(greatest(
+         |    floor((x - 0.0e0) / ${w}e0), 0), 31) AS INT) AS bb FROM v),
+         |c AS (SELECT g, bb, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY g, bb),
+         |cm AS (SELECT g, bb, cnt,
+         |    sum(cnt) OVER (PARTITION BY g ORDER BY bb) AS cum,
+         |    sum(cnt) OVER (PARTITION BY g) AS n FROM c),
+         |qq AS (SELECT unnest([$qlist]) AS q),
+         |sel AS (SELECT g, q, min(CASE WHEN cum >=
+         |      greatest(1, ceil(q * n)) THEN bb END) AS mb
+         |    FROM cm CROSS JOIN qq GROUP BY g, q)
+         |SELECT g AS "group", q, 0.0e0 + mb * ${w}e0 AS value
+         |FROM sel
          |ORDER BY ALL NULLS FIRST""".stripMargin
     },
 

@@ -571,6 +571,73 @@ object DataSelection {
       .select(col("id"), col("stage"), col("shard"), col("position"))
   }
 
+  /** APPROXIMATE per-group quantiles at unbounded group cardinality —
+    * the operator [[groupedExactQuantiles]]'s own scaladoc points
+    * per-DOMAIN-scale users at: one fixed-bin histogram sketch per
+    * group, computed in a single corpus aggregation keyed on
+    * (group, bucket), merged and cut entirely at BUCKET level — no
+    * driver state per group (nothing collects), no group-cardinality
+    * gate, no corpus-sized window. A crawl with 50M domains pays one
+    * keyed shuffle of (group, bucket) rows and two sketch-level
+    * shuffles of ≤ `nBins` rows per group.
+    *
+    * Error contract (documented, deterministic): values bin into
+    * `nBins` equal-width buckets over the CALLER-SUPPLIED [lo, hi]
+    * envelope; the answer for quantile q is the LOWER EDGE of the
+    * bucket holding the group-local rank max(1, ⌈q·n_g⌉) — the same
+    * rank rule as [[groupedExactQuantiles]] — so the absolute error is
+    * bounded by one bucket width (hi−lo)/nBins whenever the group's
+    * values lie inside the envelope (out-of-range values clamp into
+    * the edge buckets: ranks stay consistent, but the bound no longer
+    * covers them — size the envelope from domain knowledge or a prior
+    * [[exactQuantiles]] pass over a sample). Every arithmetic step is
+    * a deterministic {−,/,floor,min,max,ceil} over doubles, so the
+    * result is independent of partitioning and replicates bit-for-bit
+    * cross-engine (q_approx_group_quantiles) — unlike
+    * `approx_percentile`, whose sketch is merge-order-dependent.
+    * Null groups and null/NaN values are excluded.
+    * Returns (group, q, value).
+    */
+  def approxGroupedQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double], lo: Double, hi: Double,
+      nBins: Int = 4096): DataFrame = {
+    require(qs.nonEmpty, "approxGroupedQuantiles: no quantiles requested")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    require(lo < hi && !lo.isInfinite && !hi.isInfinite,
+      s"approxGroupedQuantiles: need a finite envelope lo < hi, " +
+        s"got [$lo, $hi]")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / nBins
+    val bucket = least(greatest(
+      floor((col("v") - lit(lo)) / lit(w)), lit(0L)),
+      lit(nBins - 1L)).cast("int")
+    // the ONE corpus-sized shuffle: (group, bucket) counts
+    val counts = df
+      .select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("group").isNotNull && col("v").isNotNull &&
+        !col("v").isNaN)
+      .groupBy(col("group"), bucket.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    // sketch-level cut: ≤ nBins rows per group from here on
+    val gWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(gWin.orderBy(col("__b"))))
+      .withColumn("__n", sum(col("__c")).over(gWin))
+    val qDf = broadcast(qs.toDF("q"))
+    cum.join(qDf)
+      .groupBy(col("group"), col("q"))
+      .agg(min(when(col("__cum") >=
+        greatest(lit(1L), ceil(col("q") * col("__n"))), col("__b")))
+        .as("__mb"))
+      .select(col("group"), col("q"),
+        (lit(lo) + col("__mb") * lit(w)).as("value"))
+  }
+
   /** Per-group exact quantiles — [[exactQuantiles]] refined for EVERY
     * group simultaneously (per-source / per-language p50/p99 in a data
     * card): each round makes ONE pass that joins the corpus against a
@@ -583,7 +650,8 @@ object DataSelection {
     * window over their ≤ collectCap leaf rows. Total driver state is
     * O(groups · |qs|), gated by `maxGroups` fail-loud — per-source and
     * per-language cardinalities fit easily; per-DOMAIN quantiles at
-    * crawl scale should use approximations instead.
+    * crawl scale should use [[approxGroupedQuantiles]] instead (one
+    * keyed pass, no per-group driver state, one-bucket-width error).
     *
     * Same rank rule as [[exactQuantiles]] (max(1, ⌈q·n_g⌉) within each
     * group = DuckDB `quantile_disc` under GROUP BY — q_group_quantiles

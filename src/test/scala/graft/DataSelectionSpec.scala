@@ -316,6 +316,59 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approxGroupedQuantiles: one-bucket-width error vs the exact " +
+      "engine on skewed fixtures; deterministic across partitionings; " +
+      "gates") {
+    import spark.implicits._
+    // heavily skewed per-group distributions inside a [0, 1000]
+    // envelope: zipf-ish mass at the bottom, a long thin tail, plus a
+    // point-mass group (all ties) and a two-value group
+    val rows =
+      (1 to 2000).map(i => (i.toLong, "zipf", 1000.0 / i)) ++
+      (1 to 500).map(i => (3000L + i, "ties", 250.0)) ++
+      Seq((4001L, "two", 10.0), (4002L, "two", 990.0))
+    val df = rows.toDF("id", "grp", "v")
+    val qs = Seq(0.01, 0.5, 0.9, 0.99)
+    val nBins = 64
+    val w = 1000.0 / nBins
+    val approx = DataSelection.approxGroupedQuantiles(df, "grp", "v",
+      qs, lo = 0.0, hi = 1000.0, nBins = nBins)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getDouble(2)).toMap
+    val exact = DataSelection.groupedExactQuantiles(df, "grp", "v", qs,
+      histBins = 32, collectCap = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getDouble(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, a) <- approx) {
+      val e = exact(k)
+      assert(a <= e && e - a <= w,
+        s"$k: approx=$a exact=$e exceeds one bucket width $w")
+    }
+    // partitioning-independent (unlike approx_percentile's sketch)
+    val re = DataSelection.approxGroupedQuantiles(df.repartition(13),
+      "grp", "v", qs, lo = 0.0, hi = 1000.0, nBins = nBins)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getDouble(2)).toMap
+    assert(re == approx)
+    // null group/value exclusion
+    val withNull = df.unionByName(Seq(
+      (9998L, null.asInstanceOf[String], 1.0),
+      (9999L, "zipf", Double.NaN)).toDF("id", "grp", "v"))
+    val nn = DataSelection.approxGroupedQuantiles(withNull, "grp", "v",
+      Seq(0.5), 0.0, 1000.0, nBins)
+    assert(nn.collect().map(_.getString(0)).toSet ==
+      Set("zipf", "ties", "two"))
+    // gates
+    intercept[IllegalArgumentException] {
+      DataSelection.approxGroupedQuantiles(df, "grp", "v", qs, 5.0, 5.0)
+    }
+    intercept[IllegalArgumentException] {
+      DataSelection.approxGroupedQuantiles(df, "grp", "v", Seq(1.5),
+        0.0, 1.0)
+    }
+  }
+
   test("groupedRankBuckets equals per-group global rankBuckets; ties, " +
       "small groups, null-group exclusion, gates") {
     import spark.implicits._

@@ -613,5 +613,34 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ccnPlan.contains("rangepartitioning"), ccnPlan)
     assert(!ccnPlan.contains("Window"),
       s"corpus-sized window in the per-language ccnet plan:\n$ccnPlan")
+
+    // approxGroupedQuantiles: the corpus pays exactly one keyed
+    // aggregation; the windows sit on the bucket-level sketch
+    // (partitioned by group — never unpartitioned), and the quantile
+    // list broadcasts
+    val agq = graft.operators.DataSelection.approxGroupedQuantiles(
+      docs, "source", "n_chars", Seq(0.5, 0.99), lo = 0.0, hi = 1600.0,
+      nBins = 32)
+    agq.collect()
+    val agqPlan = agq.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!agqPlan.contains("rangepartitioning"),
+      s"global sort in the approx-quantile plan:\n$agqPlan")
+    // every Window is partitioned (by group) — no corpus-wide window
+    val unpart = agq.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.partitionSpec.isEmpty => wn
+    }
+    assert(unpart.isEmpty, s"unpartitioned window:\n$agqPlan")
+    assert(agqPlan.contains("BroadcastExchange") ||
+      agqPlan.contains("BroadcastHashJoin") ||
+      agqPlan.contains("BroadcastNestedLoopJoin"),
+      s"quantile list must broadcast:\n$agqPlan")
+    // one corpus-keyed exchange: the scan feeds exactly one hash
+    // aggregate before everything shrinks to sketch size — pin by
+    // counting exchanges below the first aggregate over the scan
+    val exchanges = agqPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 8, // 1 corpus + sketch-level exchanges (AQE pairs)
+      s"approx-quantile plan grew extra exchanges ($exchanges):\n$agqPlan")
   }
 }
