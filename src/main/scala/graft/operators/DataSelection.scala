@@ -546,29 +546,70 @@ object DataSelection {
     * by position, and any worker can recompute its shard
     * independently. NO global sort anywhere: the stage cut is the
     * histogram-boundary bucket resolution, and the only window is
-    * per-(stage, shard) — corpus/(nStages·shards) rows per partition,
-    * bounded by the two knobs (pick shards ≈ executors at scale).
-    * Output: (id, stage, shard, position); bit-replicable
-    * (q_curriculum).
+    * per-(stage, shard) — corpus/(nStages·shards) rows per partition.
+    *
+    * Shard geometry is SELF-SIZING: `shards = 0` (the default) derives
+    * the shard count from the corpus count so each (stage, shard)
+    * window partition holds ≈ `targetShardRows` rows (the
+    * [[Similarity]] autoPlanes pattern — one cheap count against the
+    * already-materialized staged frame), clamped to [16, 65536]. An
+    * EXPLICIT `shards` is gated fail-loud when the estimated rows per
+    * partition exceed `maxShardRows` — a 1e12-doc corpus under a
+    * hand-picked shards=16 would otherwise sort ~1.5e10 rows in
+    * single tasks; nothing else in the plan stops that. Output:
+    * (id, stage, shard, position); bit-replicable (q_curriculum), and
+    * auto-sized output ≡ the explicit-shards output at the same
+    * geometry (spec-pinned).
     */
   def curriculumOrder(scored: DataFrame, idCol: String, scoreCol: String,
-      nStages: Int, shards: Int = 16, ascending: Boolean = true,
-      salt: String = "curriculum", histBins: Int = 100000): DataFrame = {
-    require(shards >= 1, s"shards must be >= 1, got $shards")
+      nStages: Int, shards: Int = 0, ascending: Boolean = true,
+      salt: String = "curriculum", histBins: Int = 100000,
+      targetShardRows: Long = 4000000L,
+      maxShardRows: Long = 32000000L): DataFrame = {
+    require(shards >= 0,
+      s"shards must be >= 1, or 0 to auto-size, got $shards")
+    require(targetShardRows >= 1 && maxShardRows >= targetShardRows,
+      s"need 1 <= targetShardRows <= maxShardRows, got " +
+        s"($targetShardRows, $maxShardRows)")
     import org.apache.spark.sql.expressions.Window
     val staged = rankBuckets(scored, idCol, scoreCol, nStages,
       ascending, histBins)
+    // count hits rankBuckets' localCheckpoint materialization — one
+    // cheap narrow job, not a recompute of the caller's pipeline
+    val n = staged.count()
+    val effShards =
+      if (shards == 0) autoShards(n, nStages, targetShardRows)
+      else {
+        val perPart = n / (nStages.toLong * shards)
+        require(perPart <= maxShardRows,
+          s"curriculumOrder: ~$perPart rows per (stage, shard) window " +
+            s"partition ($n rows / ($nStages stages x $shards shards)) " +
+            s"exceeds maxShardRows=$maxShardRows — raise shards or " +
+            "pass shards = 0 to auto-size")
+        shards
+      }
     val h = TextFunctions.md5Hash60(
       concat(lit(s"$salt:"), col("id").cast("string")))
     staged
       .select(col(idCol).cast("long").as("id"), col("bucket").as("stage"))
       .withColumn("__h", h)
       .withColumn("shard",
-        pmod(col("__h"), lit(shards.toLong)).cast("int"))
+        pmod(col("__h"), lit(effShards.toLong)).cast("int"))
       .withColumn("position", row_number().over(
         Window.partitionBy(col("stage"), col("shard"))
           .orderBy(col("__h"), col("id"))).cast("long"))
       .select(col("id"), col("stage"), col("shard"), col("position"))
+  }
+
+  /** Shard count giving ≈ `targetShardRows` rows per (stage, shard)
+    * window partition, clamped to [16, 65536] — the
+    * [[Similarity]] autoPlanes recipe applied to curriculum geometry.
+    */
+  private[graft] def autoShards(n: Long, nStages: Int,
+      targetShardRows: Long): Int = {
+    val s = math.ceil(n.toDouble /
+      (math.max(1, nStages).toDouble * targetShardRows)).toLong
+    math.min(1L << 16, math.max(16L, s)).toInt
   }
 
   /** APPROXIMATE per-group quantiles at unbounded group cardinality —

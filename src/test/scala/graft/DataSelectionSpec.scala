@@ -223,8 +223,28 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "score", nStages = 4, shards = 4, histBins = 16).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     assert(got.toSet == again.toSet)
+    // auto-sizing (shards = 0): picks ceil(n/(stages*target)) clamped
+    // to >= 16, and the output is IDENTICAL to explicitly passing the
+    // same shard count
+    assert(DataSelection.autoShards(400L, 4, 25L) == 16)   // clamp floor
+    assert(DataSelection.autoShards(4000L, 4, 25L) == 40)
+    assert(DataSelection.autoShards(1L << 40, 4, 1L) == 65536) // ceiling
+    val auto = DataSelection.curriculumOrder(docs, "id", "score",
+      nStages = 4, shards = 0, histBins = 16,
+      targetShardRows = 25L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val explicit = DataSelection.curriculumOrder(docs, "id", "score",
+      nStages = 4, shards = 16, histBins = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(auto.toSet == explicit.toSet)
+    // explicit shards too small for the corpus fail loudly
+    val eGate = intercept[IllegalArgumentException] {
+      DataSelection.curriculumOrder(docs, "id", "score", 4, shards = 2,
+        histBins = 16, targetShardRows = 10L, maxShardRows = 10L)
+    }
+    assert(eGate.getMessage.contains("auto-size"), eGate.getMessage)
     intercept[IllegalArgumentException] {
-      DataSelection.curriculumOrder(docs, "id", "score", 4, shards = 0)
+      DataSelection.curriculumOrder(docs, "id", "score", 4, shards = -1)
     }
   }
 
