@@ -1046,6 +1046,27 @@ object SparkEntry {
             .as("ug_str"))
     }),
 
+    // perceptual image near-dup, oracle-exact form: synthetic 9x8
+    // luminance grids (pure doc_id arithmetic — planted classes share
+    // a base pattern, ids >= 250 perturb one cell), dHash64's integer
+    // gradient fold, and the 16-bit block-pigeonhole pair machinery —
+    // every step replicates in DuckDB bit arithmetic. The decode path
+    // (real PNGs -> box-sampled grids) is spec-pinned with planted
+    // re-encoded/resized twins (MultimodalSpec)
+    "q_image_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = (col("doc_id") % 64).cast("long")
+      val grid = transform(sequence(lit(0), lit(7)), y =>
+        transform(sequence(lit(0), lit(8)), x =>
+          pmod(base * lit(2654435761L) + y.cast("long") * lit(131L) +
+            x.cast("long") * lit(17L) +
+            when(col("doc_id") >= 250 && y === 0 && x === 0, 50L)
+              .otherwise(0L), lit(256L)).cast("int")))
+      val sigs = docs.select(col("doc_id").as("id"),
+        Multimodal.dHash64(grid).as("sig"))
+      Dedup.hamming64NearDupPairs(sigs, "id", "sig", maxDistance = 3)
+    }),
+
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
     // so the oracle compare is representation-safe
@@ -3051,6 +3072,35 @@ object SparkEntry {
          |  CAST((rk * 5 + cnt - 1) // cnt AS INTEGER) AS bucket
          |FROM r CROSS JOIN n
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // perceptual image near-dup: identical synthetic grids, the same
+    // dHash gradient fold in HUGEINT shifts (wrapped to two's-
+    // complement BIGINT), the same 16-bit block bucketing join, and
+    // exact bit_count verify
+    "q_image_near_dup" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CASE WHEN doc_id >= 250 THEN 50 ELSE 0 END AS pert
+        |  FROM documents),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN
+        |        (base * 2654435761 + (i // 8) * 131 + (i % 8) * 17 +
+        |          CASE WHEN i = 0 THEN pert ELSE 0 END) % 256 >
+        |        (base * 2654435761 + (i // 8) * 131 + ((i % 8) + 1) * 17)
+        |          % 256
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM g)),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |p AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // grouped rank buckets: the same ceil(rank·B/n) contract under
     // PARTITION BY lang — group-local ranks, ties by id within group

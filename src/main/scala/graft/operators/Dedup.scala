@@ -515,11 +515,38 @@ object Dedup {
     val hashed = docs
       .select(col(idCol).as("id"),
         graft.expressions.TextHashExprs.simhash64Native(col(textCol)).as("sh"))
-    // single `sh` reference in the generator; one shuffle builds the
-    // (block, block_val) buckets collecting capped (id, sh) members,
-    // then the double explode expands ordered pairs — same
-    // bucket-then-pairs shape as the minhash path, two fewer shuffle
-    // stages than the size-filter-branch + self-join formulation
+    hamming64Core(hashed, maxDistance, maxBucket, "simhash")
+  }
+
+  /** Candidate pairs within Hamming distance ≤ `maxDistance` over ANY
+    * 64-bit signature column — the block-pigeonhole machinery behind
+    * [[simHashNearDupPairs]] exposed for other signature families
+    * (perceptual image hashes: [[Multimodal.imageNearDupPairs]]).
+    * Pairs within distance ≤ 3 share at least one of the 4 16-bit
+    * blocks (pigeonhole), so candidates come from a keyed join on
+    * (block index, block value) — never an all-pairs comparison — and
+    * exact `bit_count` verifies. Returns (a, b, distance), a < b.
+    */
+  def hamming64NearDupPairs(sigs: DataFrame, idCol: String,
+      sigCol: String, maxDistance: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"block pigeonhole over 4 blocks covers maxDistance <= 3, " +
+        s"got $maxDistance")
+    TopK.requireIntegral(sigs, idCol, "hamming64NearDupPairs")
+    hamming64Core(
+      sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sh")),
+      maxDistance, maxBucket, "hamming64")
+  }
+
+  /** Shared pigeonhole tail: (id, sh) → 4 16-bit block keys → capped
+    * (block, block_val) buckets (one shuffle, bounded collect) →
+    * double-explode ordered pairs → exact bit_count verify. Same
+    * bucket-then-pairs shape as the minhash path, two fewer shuffle
+    * stages than the size-filter-branch + self-join formulation.
+    */
+  private def hamming64Core(hashed: DataFrame, maxDistance: Int,
+      maxBucket: Int, label: String): DataFrame = {
     val blocks = hashed.select(col("id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(3)),
         i => call_function("shiftright", col("sh"), i * 16)
@@ -530,7 +557,7 @@ object Dedup {
     val buckets = observeBuckets(
       blocks.groupBy(col("block"), col("block_val"))
         .agg(bounded(col("id").cast("long"), col("sh")).as("ms")),
-      "simhash", size(col("ms")), maxBucket)
+      label, size(col("ms")), maxBucket)
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     buckets
       .select(explode(col("ms")).as("m1"), col("ms"))

@@ -288,4 +288,142 @@ object Multimodal {
     when(durationMs.isNull || durationMs <= 0, array().cast("array<bigint>"))
       .otherwise(transform(sequence(lit(0), lit(n - 1)),
         i => (i.cast("long") * durationMs.cast("long") / n).cast("bigint")))
+
+  // ---- perceptual image hashing (dHash / aHash + Hamming pairs) --------
+
+  /** Output row of the luminance-grid stage: `grid` is row-major
+    * (`gh` rows × `gw` columns) integer luma in [0, 255]; `decoded`
+    * false rows carry a deterministic md5-derived pseudo-grid (same
+    * fallback contract as [[decodeImage]]).
+    */
+  case class LuminanceGrid(id: Long, grid: Seq[Seq[Int]], decoded: Boolean)
+
+  /** Decode each payload and box-sample its integer Rec.601 luminance
+    * onto a `gw`×`gh` grid — the perceptual-hash front end. Sampling
+    * is an exact integer box average over the source pixels mapped to
+    * each cell (NOT Graphics2D interpolation), so the grid — and every
+    * hash derived from it — is bit-deterministic across JVMs and
+    * platforms. `mapPartitions`, one payload in memory at a time, the
+    * [[decodeImage]] shape; undecodable payloads get an md5-derived
+    * pseudo-grid with `decoded = false`.
+    */
+  def luminanceGrids(df: DataFrame, idCol: String, binCol: String,
+      gw: Int = 9, gh: Int = 8): Dataset[LuminanceGrid] = {
+    require(gw > 0 && gh > 0, "grid dims must be positive")
+    implicit val enc = Encoders.product[LuminanceGrid]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val decoded =
+            if (bytes == null || bytes.isEmpty) None
+            else try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+            } catch { case _: Exception => None }
+          decoded match {
+            case Some(bi) =>
+              LuminanceGrid(id, boxSampleLuma(bi, gw, gh), decoded = true)
+            case None =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+                .digest(if (bytes == null) Array.emptyByteArray else bytes)
+              val grid = Seq.tabulate(gh, gw)((y, x) =>
+                md((y * gw + x) % md.length) & 0xFF)
+              LuminanceGrid(id, grid, decoded = false)
+          }
+        }
+    }
+  }
+
+  /** Exact integer box average of Rec.601 luma per grid cell: cell
+    * (x, y) averages source pixels [x·w/gw, (x+1)·w/gw) ×
+    * [y·h/gh, (y+1)·h/gh) (at least one pixel each — images smaller
+    * than the grid repeat edge pixels via the max(1,...) span).
+    */
+  private def boxSampleLuma(bi: java.awt.image.BufferedImage,
+      gw: Int, gh: Int): Seq[Seq[Int]] = {
+    val w = bi.getWidth
+    val h = bi.getHeight
+    Seq.tabulate(gh, gw) { (gy, gx) =>
+      val x0 = gx.toLong * w / gw
+      val x1 = math.max(x0 + 1, (gx + 1).toLong * w / gw)
+      val y0 = gy.toLong * h / gh
+      val y1 = math.max(y0 + 1, (gy + 1).toLong * h / gh)
+      var sum = 0L
+      var n = 0L
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val rgb = bi.getRGB(x.toInt, y.toInt)
+          sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      (sum / math.max(1L, n)).toInt
+    }
+  }
+
+  /** 64-bit difference hash over a row-major luminance grid column
+    * (array<array<int>>, `gh` rows × `gw` ≥ 9 columns — only the
+    * first 9×8 cells are read): bit (y·8 + x) is set when
+    * grid[y][x] > grid[y][x+1] — the classic dHash gradient signature,
+    * robust to re-encoding, scaling, and brightness shifts. Pure
+    * integer fold over built-in expressions (codegen'd, no UDF), and
+    * the same arithmetic replicates in SQL bit operations
+    * (q_image_near_dup).
+    */
+  /** 1-based row index of bit i (integer division — `/` on int
+    * columns is double division in Spark).
+    */
+  private def row(i: Column): Column =
+    (floor(i / 8) + 1).cast("int")
+
+  def dHash64(grid: Column): Column =
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, i) => acc + when(
+        element_at(element_at(grid, row(i)), (i % 8) + 1) >
+          element_at(element_at(grid, row(i)), (i % 8) + 2),
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+
+  /** 64-bit average hash over the first 8×8 cells of a luminance grid
+    * column: bit (y·8 + x) is set when grid[y][x]·64 ≥ Σ grid — the
+    * integer-exact ≥-mean comparison (no division). Same
+    * bit-replicable contract as [[dHash64]].
+    */
+  def aHash64(grid: Column): Column = {
+    val total = aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, i) => acc + element_at(
+        element_at(grid, row(i)), (i % 8) + 1).cast("long"))
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, i) => acc + when(
+        element_at(element_at(grid, row(i)), (i % 8) + 1)
+          .cast("long") * 64 >= total,
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+  }
+
+  /** Perceptual image near-duplicate pairs: decode → 9×8 luminance
+    * box-sample → [[dHash64]] → Hamming-banded candidate pairs via
+    * [[Dedup.hamming64NearDupPairs]]'s 16-bit block pigeonhole (no
+    * all-pairs anywhere) → exact bit_count verify. Catches re-encoded,
+    * resized, and brightness-shifted copies that byte-exact hashes
+    * ([[contentMd5]]) miss; `maxDistance` ≤ 3 is covered exactly by
+    * the 4-block pigeonhole. Only DECODED images participate — the
+    * md5 pseudo-grids of undecodable payloads are arbitrary bits and
+    * would pair only by md5 accident; route those through exact-byte
+    * dedup instead. Returns (a, b, distance), a < b.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sigs = luminanceGrids(df, idCol, binCol, gw = 9, gh = 8)
+      .toDF()
+      .filter(col("decoded"))
+      .select(col("id"), dHash64(col("grid")).as("sig"))
+    Dedup.hamming64NearDupPairs(sigs, "id", "sig", maxDistance,
+      maxBucket)
+  }
 }

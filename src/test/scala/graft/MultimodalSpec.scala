@@ -156,4 +156,100 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0) == Seq(0L, 2500L, 5000L, 7500L))
     assert(got(1) == Seq.empty)
   }
+
+  /** A deterministic gradient-plus-pattern test image: visually
+    * structured (so dHash bits carry signal), parameterized by `seed`
+    * so distinct seeds give genuinely different images.
+    */
+  private def patternImage(seed: Int, w: Int = 64,
+      h: Int = 64): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 4 + (if (((x / 8) + (y / 8) + seed) % 3 == 0) 128
+        else 0) + y * seed) % 256
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    bi
+  }
+
+  private def encode(bi: java.awt.image.BufferedImage,
+      fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, fmt, out)
+    out.toByteArray
+  }
+
+  test("imageNearDupPairs: re-encoded and resized twins are found, " +
+      "distinct images are not; undecodable payloads stay out") {
+    import spark.implicits._
+    val img1 = patternImage(1)
+    val img2 = patternImage(2)
+    val img3 = patternImage(5)
+    // twins of img1: JPEG re-encode (lossy) and a 48x48 bilinear resize
+    val jpegTwin = encode(img1, "jpg")
+    val resized = {
+      val dst = new java.awt.image.BufferedImage(48, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img1, 0, 0, 48, 48, null)
+      } finally g.dispose()
+      encode(dst, "png")
+    }
+    val rows = Seq(
+      (1L, encode(img1, "png")), (2L, jpegTwin), (3L, resized),
+      (4L, encode(img2, "png")), (5L, encode(img3, "png")),
+      (6L, junk)) // undecodable
+    val pairs = Multimodal.imageNearDupPairs(
+      rows.toDF("id", "content"), "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"jpeg twin missed: $pairs")
+    assert(pairs.contains((1L, 3L)), s"resized twin missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L ||
+      p._1 == 5L || p._2 == 5L), s"distinct images paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L),
+      s"undecodable payload paired: $pairs")
+    // determinism: the whole pipeline (decode, box sample, hash, band)
+    // is partitioning-independent
+    val again = Multimodal.imageNearDupPairs(
+      rows.toDF("id", "content").repartition(5), "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs)
+  }
+
+  test("dHash64/aHash64: known grids produce the documented bit " +
+      "patterns; luminanceGrids box-samples exactly") {
+    import spark.implicits._
+    // 9x8 grid: row y has a single descent at x = y (grid[y][y] = 1,
+    // rest 0 except grid[y][y] position) -> dHash bit y*8+y set only
+    val grid: Seq[Seq[Int]] = Seq.tabulate(8, 9)((y, x) =>
+      if (x == y) 1 else 0)
+    val d = Seq(Tuple1(grid)).toDF("g")
+      .select(Multimodal.dHash64(col("g")).as("d"),
+        Multimodal.aHash64(col("g")).as("a"))
+      .collect()(0)
+    val expectD = (0 until 8).map(y => 1L << (y * 8 + y)).sum
+    assert(d.getLong(0) == expectD,
+      s"dhash ${d.getLong(0).toBinaryString} vs ${expectD.toBinaryString}")
+    // aHash: total = 8 ones over 64 cells -> bit set iff cell*64 >= 8,
+    // i.e. exactly the 8 diagonal ones
+    assert(d.getLong(1) == expectD)
+    // box sampling: a 2x2-block image downsampled to 1x1 averages all
+    // pixels; an exact-size image passes through
+    val flat = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    flat.setRGB(0, 0, 0xFFFFFF); flat.setRGB(1, 0, 0xFFFFFF)
+    flat.setRGB(0, 1, 0x000000); flat.setRGB(1, 1, 0x000000)
+    val g1 = Multimodal.luminanceGrids(
+      Seq((1L, encode(flat, "png"))).toDF("id", "content"),
+      "id", "content", gw = 1, gh = 1).collect()(0)
+    assert(g1.decoded && g1.grid == Seq(Seq(127))) // (255+255+0+0)/4
+    val g2 = Multimodal.luminanceGrids(
+      Seq((1L, encode(flat, "png"))).toDF("id", "content"),
+      "id", "content", gw = 2, gh = 2).collect()(0)
+    assert(g2.grid == Seq(Seq(255, 255), Seq(0, 0)))
+  }
 }

@@ -642,5 +642,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchanges = agqPlan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 8, // 1 corpus + sketch-level exchanges (AQE pairs)
       s"approx-quantile plan grew extra exchanges ($exchanges):\n$agqPlan")
+
+    // perceptual image near-dup: candidates come from the banded
+    // (block, block_val) bucket shuffle — never a cartesian/all-pairs
+    // scan, never a sort
+    val inp = SparkEntry.queries("q_image_near_dup")(spark, sf)
+    inp.collect()
+    val inpPlan = inp.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!inpPlan.contains("CartesianProduct") &&
+      !inpPlan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs scan in image near-dup plan:\n$inpPlan")
+    assert(!inpPlan.contains("rangepartitioning"), inpPlan)
   }
 }
