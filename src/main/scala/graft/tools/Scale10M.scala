@@ -179,6 +179,51 @@ object Scale10M {
     println(f"warcHtmlClean: ${pAgg.getLong(0)} captures generated in " +
       f"$tGen%.1f s, parsed+cleaned in $tWarc%.1f s " +
       f"(${pAgg.getLong(0) / tWarc}%.0f pages/s), heap=$heap")
+
+    // --- chain 5: tokenizer tier (WordPiece + unigram encode) --------
+    // The corpus's 50 tokens/doc are 9 whole-vocab stopwords + 41
+    // 8-char hex words, so both encoders have EXACT conservation
+    // answers: WordPiece (hex singles + ## continuations + whole
+    // stopwords) must emit 9*1 + 41*8 = 337 pieces/doc; unigram
+    // (hex singles cost 10, stopwords cost 5) must emit the same 337
+    // pieces at total cost 41*80 + 9*5 = 3325/doc. All cluster work is
+    // the distinct-word table recipe — the driver holds only the
+    // broadcast vocab, so heap stays flat at 10M docs.
+    val hexDigits = "0123456789abcdef".map(_.toString)
+    val wpVocab = hexDigits ++ hexDigits.map("##" + _) ++ sw
+    val t7 = System.nanoTime()
+    val wpAgg = graft.operators.WordPieceTokenizer
+      .encode(docs, "id", "text", wpVocab)
+      .agg(count(lit(1)), sum(col("n_words")), sum(col("n_subwords")),
+        sum(when(array_contains(col("wp_tokens"), "[UNK]"), 1L)
+          .otherwise(0L)))
+      .collect()(0)
+    val tWp = (System.nanoTime() - t7) / 1e9
+    require(wpAgg.getLong(0) == nDocs, s"wp rows ${wpAgg.getLong(0)}")
+    require(wpAgg.getLong(1) == 50L * nDocs,
+      s"wp words ${wpAgg.getLong(1)}")
+    require(wpAgg.getLong(2) == 337L * nDocs,
+      s"wp pieces ${wpAgg.getLong(2)} of ${337L * nDocs}")
+    require(wpAgg.getLong(3) == 0L, s"wp unks ${wpAgg.getLong(3)}")
+    println(f"wordpiece10m: $nDocs docs, ${50L * nDocs} words -> " +
+      f"${wpAgg.getLong(2)} pieces (conserved exactly) in $tWp%.1f s " +
+      f"(${nDocs / tWp}%.0f docs/s), heap=$heap")
+
+    val ugVocab = hexDigits.map(_ -> 10L) ++ sw.map(_ -> 5L)
+    val t8 = System.nanoTime()
+    val ugAgg = graft.operators.UnigramTokenizer
+      .encode(docs, "id", "text", ugVocab)
+      .agg(count(lit(1)), sum(col("n_pieces")), sum(col("total_cost")))
+      .collect()(0)
+    val tUg = (System.nanoTime() - t8) / 1e9
+    require(ugAgg.getLong(0) == nDocs, s"ug rows ${ugAgg.getLong(0)}")
+    require(ugAgg.getLong(1) == 337L * nDocs,
+      s"ug pieces ${ugAgg.getLong(1)} of ${337L * nDocs}")
+    require(ugAgg.getLong(2) == 3325L * nDocs,
+      s"ug cost ${ugAgg.getLong(2)} of ${3325L * nDocs}")
+    println(f"unigram10m: $nDocs docs Viterbi-encoded, cost identity " +
+      f"exact (${3325L * nDocs}) in $tUg%.1f s " +
+      f"(${nDocs / tUg}%.0f docs/s), heap=$heap")
     spark.stop()
   }
 }

@@ -1172,6 +1172,93 @@ object ScaleSmoke {
     java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir))
       .sorted(java.util.Comparator.reverseOrder())
       .forEach(p2 => java.nio.file.Files.delete(p2))
+
+    // --- buildCorpus: the full restartable source→curriculum pipeline
+    // over a 1M-page WARC drop dir (executors write one gzip stream
+    // per partition; every 10th page is an exact duplicate of its
+    // predecessor, so the dedup stage has a planted exact answer).
+    // Per-stage wall times come from the onStage observability hook.
+    val bcWarc = java.nio.file.Files
+      .createTempDirectory("graft-scale-bc-warc").toString
+    val bcStages = java.nio.file.Files
+      .createTempDirectory("graft-scale-bc-stages").toString
+    val nPages = nDocs
+    val bcFiles = 64
+    val perBc = nPages / bcFiles
+    val t60 = System.nanoTime()
+    spark.range(bcFiles).repartition(bcFiles).foreach { fi =>
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$bcWarc/part-$fi.warc.gz"))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def word(seed: Long, j: Int): String =
+        md.digest(s"$seed:$j".getBytes("UTF-8")).take(4)
+          .map(b => ('a' + ((b & 0xFF) % 26)).toChar).mkString
+      var i = 0L
+      while (i < perBc) {
+        val id = fi * perBc + i
+        val seed = if (id % 10 == 9) id - 1 else id // planted exact dup
+        val body = (0 until 2).map(l =>
+          (0 until 6).map(j => word(seed, l * 6 + j)).mkString(" ") + ".")
+          .mkString(" ")
+        val html = s"<html><body><p>$body</p></body></html>"
+        val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+        val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+          s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+          s"WARC-Target-URI: http://t.test/$id\r\n" +
+          s"Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+          http + "\r\n\r\n"
+        out.write(rec.getBytes("UTF-8"))
+        i += 1
+      }
+      out.close()
+    }
+    val tBcGen = (System.nanoTime() - t60) / 1e9
+    val stageTimes = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double]
+    val t61 = System.nanoTime()
+    val bcReport = graft.operators.CorpusBuild.buildCorpus(spark, bcWarc,
+      bcStages, minWords = 10, packTokens = 256,
+      onStage = (s2, secs) => { stageTimes(s2) = secs; () })
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val tBc = (System.nanoTime() - t61) / 1e9
+    val total = bcFiles.toLong * perBc
+    require(bcReport("0_extract")._2 == total,
+      s"buildCorpus extract ${bcReport("0_extract")}")
+    require(bcReport("2_gate")._2 == total,
+      s"buildCorpus gate ${bcReport("2_gate")} — planted pages all pass")
+    require(bcReport("3_dedup")._2 == total - total / 10L,
+      s"buildCorpus dedup ${bcReport("3_dedup")} of ${total - total / 10L}")
+    // mixture: thirds at x2/x1/x0.25 → ≈ 1.083x of the tiered corpus
+    val tiersOut = bcReport("4_tiers")._2
+    val mixOut = bcReport("5_mix")._2
+    require(math.abs(mixOut - tiersOut * 13L / 12L) < tiersOut / 50L,
+      s"buildCorpus mix $mixOut of ~${tiersOut * 13L / 12L}")
+    require(bcReport("7_curriculum")._1 == bcReport("6_pack")._2,
+      s"buildCorpus curriculum ${bcReport("7_curriculum")}")
+    // pack conservation: every mixed doc token lands in exactly one pack
+    val bcPackTokens = spark.read.parquet(s"$bcStages/6_pack")
+      .agg(org.apache.spark.sql.functions.sum(col("pack_tokens")))
+      .collect()(0).getLong(0)
+    val mixTokens = spark.read.parquet(s"$bcStages/5_mix")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      .collect()(0).getLong(0)
+    require(bcPackTokens == mixTokens,
+      s"buildCorpus pack tokens $bcPackTokens != mixed tokens $mixTokens")
+    println(f"buildCorpus: $total pages generated in $tBcGen%.1f s; " +
+      f"full pipeline $tBc%.1f s (${total / tBc}%.0f pages/s), stages " +
+      stageTimes.map { case (s2, sec) => f"$s2:$sec%.1fs" }
+        .mkString(" ") +
+      f", packs=${bcReport("6_pack")._2}, " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    for (d <- Seq(bcWarc, bcStages))
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p2 => java.nio.file.Files.delete(p2))
     spark.stop()
   }
 }

@@ -1,0 +1,152 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.CorpusBuild
+
+/** End-to-end corpus build: a drop directory of `.warc.gz` files in,
+  * curriculum-ordered training packs out, with the staged-parquet
+  * restart contract (resume skips completed stages, param changes
+  * fail loudly, deleted stages recompute).
+  */
+class CorpusBuildSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- byte-precise WARC fixtures (the WarcSourceSpec builders) ----
+  private def httpBlock(body: String): Array[Byte] = {
+    val b = body.getBytes(UTF_8)
+    (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${b.length}\r\n\r\n").getBytes(UTF_8) ++ b
+  }
+
+  private def record(warcType: String, uri: String, block: Array[Byte],
+      cType: String = "application/http; msgtype=response"): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$uri>\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"Content-Type: $cType\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes(UTF_8) ++
+      block ++ "\r\n\r\n".getBytes(UTF_8)
+
+  private def gzMembers(recs: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new GZIPOutputStream(bos)
+      gz.write(r); gz.close()
+    }
+    bos.toByteArray
+  }
+
+  /** A body of `n` sentence-shaped lines that passes both gates.
+    * Every word carries the seed, so distinct seeds share no word
+    * trigrams — genuinely different docs, not near-dups of a shared
+    * template.
+    */
+  private val letters = "abcdefghijklmnopqrst"
+  private def goodDoc(seed: Int, n: Int = 4): String =
+    (0 until n).map(i =>
+      (0 until 5).map(j =>
+        s"${letters(seed % 20)}${letters(i)}${letters(j)}word")
+        .mkString(" ") + " ends.").mkString(" ")
+
+  private def page(body: String): String =
+    s"<html><body><p>$body</p></body></html>"
+
+  test("buildCorpus: warc.gz drop dir -> packs; attrition per stage; " +
+      "resume skips, param change fails, deleted stage recomputes") {
+    val warcDir = java.nio.file.Files
+      .createTempDirectory("graft-build-warc")
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft-build-stages").toString
+    // 12 good docs, one exact duplicate (same text, different uri),
+    // one near duplicate (one word appended), one junk page (fails
+    // both gates), one WET conversion record (skips the HTML stage)
+    val caps = (0 until 12).map(i =>
+      record("response", s"http://site$i.test/a",
+        httpBlock(page(goodDoc(i))))) ++ Seq(
+      record("response", "http://dup.test/exact",
+        httpBlock(page(goodDoc(0)))),
+      record("response", "http://dup.test/near",
+        httpBlock(page(goodDoc(1) + " extraword."))),
+      record("response", "http://junk.test/",
+        httpBlock("<html><body>no sentences here<br>just fragments" +
+          "</body></html>")))
+    val wet = record("conversion", "http://wet.test/doc",
+      goodDoc(15).getBytes(UTF_8), cType = "text/plain")
+    java.nio.file.Files.write(warcDir.resolve("crawl-0.warc.gz"),
+      gzMembers(caps))
+    java.nio.file.Files.write(warcDir.resolve("crawl-1.warc.gz"),
+      gzMembers(Seq(wet)))
+
+    val report = CorpusBuild.buildCorpus(spark, warcDir.toString,
+      stageDir, nearDupThreshold = 0.7, packTokens = 64)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // extract: 15 html + 1 wet = 16 docs (junk still present)
+    assert(report("0_extract")._2 == 16, report.toString)
+    // gate drops the junk page
+    assert(report("2_gate")._2 == 15, report.toString)
+    // dedup drops the exact and the near duplicate
+    assert(report("3_dedup")._2 == 13, report.toString)
+    // mixture up-samples heads (>= input) and packs consume everything
+    assert(report("5_mix")._2 >= report("4_tiers")._2 / 2)
+    assert(report("7_curriculum")._1 == report("6_pack")._2)
+    // the final artifact: packs with curriculum coordinates and text
+    val packs = spark.read.parquet(s"$stageDir/7_curriculum")
+    val cols = packs.columns.toSet
+    assert(Set("id", "stage", "shard", "position", "pack_tokens",
+      "n_docs", "text").subsetOf(cols), cols.toString)
+    assert(packs.count() > 0)
+    assert(packs.filter(col("stage") < 1 || col("stage") > 3).count() == 0)
+
+    // ---- resume: a second run returns the identical report without
+    // recomputing (pin: stage 0's parquet mtime is untouched)
+    val s0 = new java.io.File(s"$stageDir/0_extract/_graft_schema.json")
+    val mtime = s0.lastModified()
+    val report2 = CorpusBuild.buildCorpus(spark, warcDir.toString,
+      stageDir, nearDupThreshold = 0.7, packTokens = 64)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report2 == report)
+    assert(s0.lastModified() == mtime, "stage 0 was recomputed")
+
+    // ---- param change on resume fails loudly
+    val eP = intercept[IllegalArgumentException] {
+      CorpusBuild.buildCorpus(spark, warcDir.toString, stageDir,
+        nearDupThreshold = 0.8, packTokens = 64)
+    }
+    assert(eP.getMessage.contains("DIFFERENT parameters"), eP.getMessage)
+
+    // ---- deleting a late stage recomputes it (and downstream) to the
+    // same answer
+    for (d <- Seq("5_mix", "6_pack", "7_curriculum", "report")) {
+      val dir = java.nio.file.Paths.get(stageDir, d)
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val report3 = CorpusBuild.buildCorpus(spark, warcDir.toString,
+      stageDir, nearDupThreshold = 0.7, packTokens = 64)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report3 == report)
+    assert(s0.lastModified() == mtime, "stage 0 recomputed after " +
+      "late-stage delete")
+  }
+}
