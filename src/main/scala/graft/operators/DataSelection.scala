@@ -276,26 +276,28 @@ object DataSelection {
     // resolve each nonzero boundary rank to its bin and local rank j
     val need = ranks.zipWithIndex.collect { case (r, i) if r >= 1 =>
       val bin = cum.lastIndexWhere(_ < r) // 0-based bin holding rank r
-      (i.toLong, bin, (r - cum(bin)).toInt)
+      (i.toLong, bin, r - cum(bin))
     }
     val resolved: Map[Long, (Double, Long)] = if (need.isEmpty) Map.empty
     else {
-      val maxJ = need.map(_._3).max
       val wanted = need.map { case (i, bin, _) => (i, bin) }
       val spark = cached.sparkSession
       import spark.implicits._
       val tags = broadcast(wanted.toDF("__q", "__bin"))
-      // j-th smallest on (s ASC, id ASC) == rank-j of the bounded
-      // top-k on (sim = −s DESC, id ASC) — TopK's exact tie contract
+      // exact rank-j element of (s ASC, id ASC) within the boundary
+      // bin. RankSelect refines by histogram + tie-class bisection, so
+      // a tie-heavy distribution that drops most of the corpus into
+      // ONE bin (quality scores with few distinct values) still
+      // resolves in O(log) shared passes — a bounded top-j buffer
+      // here degenerates to a single-reducer O(n·j) insert sort,
+      // because j is a RANK that grows with the bin
       val boundaryRows = cached
-        .select(binOf.as("__bin"), col(idCol).cast("long").as("neighbor_id"),
-          (-s(col(scoreCol))).as("sim"))
+        .select(binOf.as("__bin"), col(idCol).cast("long").as("id"),
+          s(col(scoreCol)).as("s"))
         .join(tags, Seq("__bin"))
-        .select(col("__q").as("query_id"), col("neighbor_id"), col("sim"))
-      val jOf = need.map { case (i, _, j) => i -> j }.toMap
-      TopK.topKPerQuery(boundaryRows, maxJ).collect()
-        .filter(r => r.getInt(1) == jOf(r.getLong(0)))
-        .map(r => r.getLong(0) -> (-r.getDouble(3), r.getLong(2))).toMap
+        .select(col("__q").as("qid"), col("s"), col("id"))
+      RankSelect.selectRankPairs(boundaryRows,
+        need.map { case (i, _, j) => i -> j }.toMap)
     }
     // bucket = 1 + #(boundaries strictly below this row's (s, id));
     // an empty bucket's absent boundary sorts below everything
@@ -384,7 +386,7 @@ object DataSelection {
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     // per group: cumulative bins -> boundary (bin, local rank j);
     // rank 0 = empty leading bucket (sentinel boundary below all rows)
-    case class Bound(qid: Long, g: String, bin: Int, j: Int)
+    case class Bound(qid: Long, g: String, bin: Int, j: Long)
     val need = scala.collection.mutable.ArrayBuffer.empty[Bound]
     // g -> per-boundary slot: Some(qid) pending resolve, None = rank 0
     val slots = scala.collection.mutable.LinkedHashMap
@@ -398,14 +400,16 @@ object DataSelection {
         val r = b * n / nBuckets
         if (r >= 1L) {
           val bin = cum.lastIndexWhere(_ < r)
-          need += Bound(qid, g, bin, (r - cum(bin)).toInt)
+          need += Bound(qid, g, bin, r - cum(bin))
           arr(b - 1) = Some(qid)
           qid += 1
         } else arr(b - 1) = None
       }
       slots(g) = arr
     }
-    // one shared bounded top-j pass resolves every boundary element
+    // every boundary element resolves through the tie-aware rank
+    // selector in shared passes (see rankBuckets: a bounded top-j is
+    // quadratic when ties concentrate a group's mass in one bin)
     val resolved: Map[Long, (Double, Long)] =
       if (need.isEmpty) Map.empty
       else {
@@ -415,16 +419,13 @@ object DataSelection {
           .select(gk.as("__g"), s(col(scoreCol)).as("__s"),
             col(idCol).cast("long").as("__id"))
           .join(envDf, Seq("__g"))
-          .select(col("__g"), binOf.as("__bin"),
-            col("__id").as("neighbor_id"), (-col("__s")).as("sim"))
+          .select(col("__g"), binOf.as("__bin"), col("__id"),
+            col("__s"))
           .join(tags, Seq("__g", "__bin"))
-          .select(col("__q").as("query_id"), col("neighbor_id"),
-            col("sim"))
-        val jOf = need.map(b => b.qid -> b.j).toMap
-        TopK.topKPerQuery(rows, need.map(_.j).max).collect()
-          .filter(r => r.getInt(1) == jOf(r.getLong(0)))
-          .map(r => r.getLong(0) -> (-r.getDouble(3), r.getLong(2)))
-          .toMap
+          .select(col("__q").as("qid"), col("__s").as("s"),
+            col("__id").as("id"))
+        RankSelect.selectRankPairs(rows,
+          need.map(b => b.qid -> b.j).toMap)
       }
     // broadcast per-group boundary arrays; sentinel = below everything
     val bndDf = broadcast(slots.toSeq.map { case (g, arr) =>

@@ -389,6 +389,64 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("RankSelect: exact (s, id) rank selection under massive ties, " +
+      "subnormal score gaps, and extreme id magnitudes") {
+    import spark.implicits._
+    import graft.operators.RankSelect
+    // query 0: 50k rows ALL the same score — the distribution that
+    // made a bounded top-j quadratic (rank = id-order inside one tie
+    // class); ids deliberately include huge magnitudes and negatives
+    val tied = (0L until 50000L).map(i =>
+      (0L, 0.0, (i - 25000L) * 368934881474191L))
+    // query 1: distinct scores, rank in the middle
+    val distinct = (0L until 20000L).map(i => (1L, i * 0.001, i))
+    // query 2: two scores a few ULPs apart (subnormal interval) with
+    // ties inside each
+    val base = 1.0
+    val up = java.lang.Math.nextUp(base)
+    val sub = (0L until 8000L).map(i =>
+      (2L, if (i % 2 == 0) base else up, i))
+    val rows = (tied ++ distinct ++ sub).toDF("qid", "s", "id")
+    val ranks = Map(0L -> 12345L, 1L -> 9999L, 2L -> 4001L)
+    val got = RankSelect.selectRankPairs(rows, ranks,
+      histBins = 64, collectCap = 500)
+    // references: plain in-memory sorts
+    def ref(data: Seq[(Long, Double, Long)], r: Long) =
+      data.map(t => (t._2, t._3)).sorted.apply((r - 1).toInt)
+    assert(got(0L) == ref(tied, 12345L))
+    assert(got(1L) == ref(distinct, 9999L))
+    assert(got(2L) == ref(sub, 4001L))
+    // edge ranks: first and last
+    val edges = RankSelect.selectRankPairs(rows,
+      Map(0L -> 1L, 1L -> 20000L), histBins = 64, collectCap = 500)
+    assert(edges(0L) == ref(tied, 1L))
+    assert(edges(1L) == ref(distinct, 20000L))
+    // bad rank fails loudly
+    intercept[IllegalArgumentException] {
+      RankSelect.selectRankPairs(rows, Map(0L -> 50001L))
+    }
+  }
+
+  test("rankBuckets: a fully-tied score column cuts exact buckets by " +
+      "id order (the tie-heavy boundary path) in bounded time") {
+    import spark.implicits._
+    val n = 40000
+    val df = (0 until n).map(i => (i.toLong, 0.0)).toDF("id", "score")
+    val t0 = System.nanoTime()
+    val got = DataSelection.rankBuckets(df, "id", "score", 4,
+      histBins = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    // ranks on (score, id) = id order: exact quarters by id
+    (0 until n).foreach { i =>
+      val expect = 1 + i * 4 / n
+      assert(got(i.toLong) == expect, s"id=$i got=${got(i.toLong)}")
+    }
+    // the quadratic top-j form needed O(n * n/4) single-threaded work
+    // here; the refinement form is a handful of bounded passes
+    assert(secs < 60.0, f"tied-boundary resolution took $secs%.1f s")
+  }
+
   test("groupedRankBuckets equals per-group global rankBuckets; ties, " +
       "small groups, null-group exclusion, gates") {
     import spark.implicits._
