@@ -1062,8 +1062,14 @@ object SparkEntry {
             x.cast("long") * lit(17L) +
             when(col("doc_id") >= 250 && y === 0 && x === 0, 50L)
               .otherwise(0L), lit(256L)).cast("int")))
-      val sigs = docs.select(col("doc_id").as("id"),
-        Multimodal.dHash64(grid).as("sig"))
+      // materialize the grids before hashing: projection collapse
+      // would otherwise inline the 72-cell grid construction into each
+      // of the hash fold's 192 element_at references (the production
+      // path decodes grids in mapPartitions — already materialized)
+      val grids = docs.select(col("doc_id").as("id"), grid.as("grid"))
+        .localCheckpoint(true)
+      val sigs = grids.select(col("id"),
+        Multimodal.dHash64(col("grid")).as("sig"))
       Dedup.hamming64NearDupPairs(sigs, "id", "sig", maxDistance = 3)
     }),
 
