@@ -33,10 +33,19 @@ import org.apache.spark.sql.functions._
   *   - any phase whose population ≤ collectCap finishes with one
   *     bounded collect and a driver-side pick.
   *
-  * Every pass covers every still-active query (no per-query driver
-  * loop), all arithmetic is deterministic, and driver state is
-  * O(queries). Worst-case rounds: ~64 per phase (double exponent
-  * range / 64-bit id range over histBins splits).
+  * Every pass covers every still-active query — INCLUDING the rare
+  * paths: half-ulp invariant repairs recount in one broadcast-interval
+  * pass for every repaired query, subnormal intervals resolve their
+  * per-value counts in one shared pass, and every query entering the
+  * ID phase in a round gets its tie-class envelope (count, min id,
+  * max id) from one shared aggregation. Tie-heavy data — the engine's
+  * motivating case — pinches MANY queries into their tie classes in
+  * the same round; none of the three transitions may serialize into
+  * per-query driver jobs (pinned by a SparkListener constant-job-count
+  * spec with the fault-injection hook below). All arithmetic is
+  * deterministic and driver state is O(queries). Worst-case rounds:
+  * ~64 per phase (double exponent range / 64-bit id range over
+  * histBins splits).
   */
 private[graft] object RankSelect {
 
@@ -58,7 +67,25 @@ private[graft] object RankSelect {
     */
   def selectRankPairs(rows: DataFrame, ranks: Map[Long, Long],
       histBins: Int = 1024, collectCap: Int = 10000,
-      maxRounds: Int = 200): Map[Long, (Double, Long)] = {
+      maxRounds: Int = 200): Map[Long, (Double, Long)] =
+    selectRankPairsImpl(rows, ranks, histBins, collectCap, maxRounds,
+      perturbForTest = false)
+
+  /** [[selectRankPairs]] with a fault-injection hook: when
+    * `perturbForTest` is set, every round's proposed score interval is
+    * shifted one bin off target BEFORE the exact recount, so the
+    * invariant-repair path fires for (nearly) every active query every
+    * round — the only deterministic way to exercise the repair
+    * machinery, whose natural trigger is a half-ulp binning accident.
+    * Results must still be exact (repair widens the offending edge
+    * back); the batching spec asserts that under hundreds of
+    * simultaneous repairs / tie-class transitions the round still runs
+    * a CONSTANT number of jobs.
+    */
+  private[graft] def selectRankPairsImpl(rows: DataFrame,
+      ranks: Map[Long, Long], histBins: Int, collectCap: Int,
+      maxRounds: Int, perturbForTest: Boolean)
+      : Map[Long, (Double, Long)] = {
     if (ranks.isEmpty) return Map.empty
     val spark = rows.sparkSession
     import spark.implicits._
@@ -145,85 +172,155 @@ private[graft] object RankSelect {
             col("__cum") - col("__c") < col("__r"))
           .select(col("qid"), col("__b"))
           .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-        // proposed sub-intervals + exact recount/min/max in ONE pass
-        val props = sq.map { q =>
+        // proposed sub-intervals (optionally perturbed one bin off
+        // target to force the repair path in tests)
+        val props: Map[Long, (Double, Double)] = sq.map { q =>
           val p = state(q).asInstanceOf[ScoreP]
           val w = (p.sHi - p.sLo) / histBins
           val b = crossing(q)
-          val nl = if (b == 0 || w <= 0.0) p.sLo else p.sLo + b * w
-          val nh = if (b >= histBins - 1 || w <= 0.0) p.sHi
+          val nl0 = if (b == 0 || w <= 0.0) p.sLo else p.sLo + b * w
+          val nh0 = if (b >= histBins - 1 || w <= 0.0) p.sHi
             else p.sLo + (b + 1) * w
-          (q, nl, nh)
-        }
-        val reDf = broadcast(props.toDF("qid", "__nl", "__nh"))
-        val re = r0.join(reDf, Seq("qid"))
-          .join(broadcast(sq.map { q =>
+          val (nl, nh) =
+            if (!perturbForTest) (nl0, nh0)
+            else {
+              val d = if (q % 2 == 0) w else -w
+              val l2 = math.max(p.sLo, math.min(p.sHi, nl0 + d))
+              val h2 = math.max(p.sLo, math.min(p.sHi, nh0 + d))
+              if (l2 < h2) (l2, h2) else (nl0, nh0)
+            }
+          q -> (nl, nh)
+        }.toMap
+        // exact recount + interval min/max for EVERY proposal in one
+        // broadcast-interval pass. mn/mx are null when the proposed
+        // interval holds zero rows (the half-ulp misbin case the
+        // repair exists for) — guard with isNullAt and let the
+        // invariant repair fire; NaN never leaks past the repair
+        // because the rank invariant (in > 0) is re-required below.
+        def recountPass(entries: Seq[(Long, Double, Double, Double,
+            Double)]): Map[Long, (Long, Long, Double, Double)] =
+          r0.join(broadcast(entries
+              .toDF("qid", "__lo", "__hi", "__nl", "__nh")), Seq("qid"))
+            .filter(col("s") >= col("__lo") && col("s") <= col("__hi"))
+            .groupBy(col("qid"), col("__nl"), col("__nh"))
+            .agg(
+              sum(when(col("s") < col("__nl"), 1L).otherwise(0L))
+                .as("cl"),
+              sum(when(col("s") >= col("__nl") &&
+                col("s") <= col("__nh"), 1L).otherwise(0L)).as("in"),
+              min(when(col("s") >= col("__nl") &&
+                col("s") <= col("__nh"), col("s"))).as("mn"),
+              max(when(col("s") >= col("__nl") &&
+                col("s") <= col("__nh"), col("s"))).as("mx"))
+            .collect().map(r => r.getLong(0) ->
+              (r.getLong(3), r.getLong(4),
+                if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+                if (r.isNullAt(6)) Double.NaN else r.getDouble(6)))
+            .toMap
+        val re = recountPass(sq.map { q =>
+          val p = state(q).asInstanceOf[ScoreP]
+          val (nl, nh) = props(q)
+          (q, p.sLo, p.sHi, nl, nh)
+        })
+        // half-ulp misbin repair (exact counts decide; see
+        // groupedExactQuantiles): widen the offending edge one bin.
+        // BOTH edge decisions come from the first recount — widening
+        // lo moves rows from cl into in, leaving cl + in (= rows <=
+        // nh) unchanged, so the hi check is independent of the lo
+        // widen — and every repaired query recounts in ONE
+        // broadcast-interval pass, the same shape as the main round:
+        // tie-heavy data sending hundreds of queries into repair in
+        // the same round costs one job, not hundreds of serial
+        // driver-loop jobs.
+        val widened = sq.map { q =>
+          val p = state(q).asInstanceOf[ScoreP]
+          val (nl0, nh0) = props(q)
+          val (cl, in, _, _) = re(q)
+          val w = (p.sHi - p.sLo) / histBins
+          val nl = if (cl >= p.rank) math.max(p.sLo, nl0 - w) else nl0
+          val nh = if (cl + in < p.rank) math.min(p.sHi, nh0 + w)
+            else nh0
+          q -> (nl, nh, nl != nl0 || nh != nh0)
+        }.toMap
+        val toRepair = widened.collect {
+          case (q, (nl, nh, true)) =>
             val p = state(q).asInstanceOf[ScoreP]
-            (q, p.sLo, p.sHi)
-          }.toDF("qid", "__lo", "__hi")), Seq("qid"))
-          .filter(col("s") >= col("__lo") && col("s") <= col("__hi"))
-          .groupBy(col("qid"))
-          .agg(
-            sum(when(col("s") < col("__nl"), 1L).otherwise(0L)).as("cl"),
-            sum(when(col("s") >= col("__nl") && col("s") <= col("__nh"),
-              1L).otherwise(0L)).as("in"),
-            min(when(col("s") >= col("__nl") && col("s") <= col("__nh"),
-              col("s"))).as("mn"),
-            max(when(col("s") >= col("__nl") && col("s") <= col("__nh"),
-              col("s"))).as("mx"))
-          .collect().map(r => r.getLong(0) ->
-            (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
-          .toMap
+            (q, p.sLo, p.sHi, nl, nh)
+        }.toSeq
+        val recounted: Map[Long, (Long, Long, Double, Double)] =
+          if (toRepair.isEmpty) Map.empty else recountPass(toRepair)
+        // classify every query; batch the two rare-path transitions
+        val tieInit = scala.collection.mutable.ListBuffer
+          .empty[(Long, Double, Long)] // (qid, sStar, rank within class)
+        val subnormal = scala.collection.mutable.ListBuffer
+          .empty[(Long, Double, Double, Long)] // (qid, nl, nh, rank2)
         for (q <- sq) {
           val p = state(q).asInstanceOf[ScoreP]
-          var (nl, nh) = (props.find(_._1 == q).get._2,
-            props.find(_._1 == q).get._3)
-          var (cl, in, mn, mx) = re(q)
-          // half-ulp misbin repair (exact counts decide; see
-          // groupedExactQuantiles): widen the offending edge one bin
-          val w = (p.sHi - p.sLo) / histBins
-          if (cl >= p.rank || cl + in < p.rank) {
-            if (cl >= p.rank) nl = math.max(p.sLo, nl - w)
-            if (cl + in < p.rank) nh = math.min(p.sHi, nh + w)
-            val r2 = r0.filter(col("qid") === q &&
-                col("s") >= p.sLo && col("s") <= p.sHi)
-              .agg(sum(when(col("s") < nl, 1L).otherwise(0L)),
-                sum(when(col("s") >= nl && col("s") <= nh, 1L)
-                  .otherwise(0L)),
-                min(when(col("s") >= nl && col("s") <= nh, col("s"))),
-                max(when(col("s") >= nl && col("s") <= nh, col("s"))))
-              .collect()(0)
-            cl = r2.getLong(0); in = r2.getLong(1)
-            mn = r2.getDouble(2); mx = r2.getDouble(3)
-          }
+          val (nl, nh, wasRepaired) = widened(q)
+          val (cl, in, mn, mx) =
+            if (wasRepaired) recounted(q) else re(q)
           require(cl < p.rank && p.rank <= cl + in,
             s"selectRankPairs: rank invariant broken for query $q " +
               s"(rank=${p.rank} cl=$cl in=$in)")
           val rank2 = p.rank - cl
           if (mn == mx) {
             // tie class (or single survivor): switch to the ID phase
-            state(q) = idPhaseInit(r0, q, mn, rank2)
+            tieInit += ((q, mn, rank2))
           } else if (in == p.n && nl == p.sLo && nh == p.sHi) {
             // no shrink, several distinct doubles a few ulps apart:
             // resolve the crossing VALUE by per-value counts (bounded
             // by the representable doubles in the pinched interval)
-            val byVal = r0.filter(col("qid") === q &&
-                col("s") >= nl && col("s") <= nh)
-              .groupBy(col("s")).count().collect()
-              .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+            subnormal += ((q, nl, nh, rank2))
+          } else {
+            state(q) = ScoreP(nl, nh, in, rank2)
+          }
+        }
+        // batched subnormal resolve: one shared per-value count pass
+        // for every pinched query, then a driver-side walk over each
+        // query's handful of values to find the crossing value
+        if (subnormal.nonEmpty) {
+          val byVal = r0.join(broadcast(subnormal.toSeq
+              .map { case (q, nl, nh, _) => (q, nl, nh) }
+              .toDF("qid", "__nl", "__nh")), Seq("qid"))
+            .filter(col("s") >= col("__nl") && col("s") <= col("__nh"))
+            .groupBy(col("qid"), col("s")).count()
+            .collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+            .groupBy(_._1)
+          for ((q, _, _, rank2) <- subnormal) {
+            val vs = byVal(q).map(t => (t._2, t._3)).sortBy(_._1)
             var acc = 0L
-            var sStar = byVal.last._1
-            var rankIn = 0L
+            var sStar = vs.last._1
+            var rankIn = vs.last._2
             var found = false
-            for ((v, c) <- byVal if !found) {
+            for ((v, c) <- vs if !found) {
               if (acc < rank2 && rank2 <= acc + c) {
                 sStar = v; rankIn = rank2 - acc; found = true
               }
               acc += c
             }
-            state(q) = idPhaseInit(r0, q, sStar, rankIn)
-          } else {
-            state(q) = ScoreP(nl, nh, in, rank2)
+            tieInit += ((q, sStar, rankIn))
+          }
+        }
+        // batched ID-phase entry: ONE shared aggregation computes the
+        // tie-class envelope (count, min id, max id) for every query
+        // transitioning this round — on tie-heavy data that can be
+        // every active query at once
+        if (tieInit.nonEmpty) {
+          val envs = r0.join(broadcast(tieInit.toSeq
+              .map { case (q, s, _) => (q, s) }.toDF("qid", "__s")),
+              Seq("qid"))
+            .filter(col("s") === col("__s"))
+            .groupBy(col("qid"))
+            .agg(count(lit(1)).as("n"), min(col("id")).as("ilo"),
+              max(col("id")).as("ihi"))
+            .collect()
+            .map(r => r.getLong(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toMap
+          for ((q, sStar, rank2) <- tieInit) {
+            val (n, ilo, ihi) = envs(q)
+            state(q) = IdP(sStar, ilo, ihi, n, rank2)
           }
         }
       }
@@ -275,15 +372,5 @@ private[graft] object RankSelect {
       s"selectRankPairs: ${state.size - done.size} queries unresolved " +
         s"after $maxRounds rounds — raise histBins/collectCap")
     done.toMap
-  }
-
-  /** Enter the ID phase for the tie class s == sStar: one pass for the
-    * class envelope (count, min id, max id).
-    */
-  private def idPhaseInit(r0: DataFrame, q: Long, sStar: Double,
-      rank: Long): Phase = {
-    val r = r0.filter(col("qid") === q && col("s") === sStar)
-      .agg(count(lit(1)), min(col("id")), max(col("id"))).collect()(0)
-    IdP(sStar, r.getLong(1), r.getLong(2), r.getLong(0), rank)
   }
 }

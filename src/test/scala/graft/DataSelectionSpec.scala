@@ -427,6 +427,68 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("RankSelect batched rare paths: hundreds of simultaneous " +
+      "repairs, tie-class transitions and subnormal resolves run a " +
+      "constant number of jobs, with exact results") {
+    import spark.implicits._
+    import graft.operators.RankSelect
+    // group A: 100 tie-heavy queries (90% of rows share score 0.0)
+    // whose target rank falls INSIDE the tie class, so every one of
+    // them enters the ID phase in the same round — the pre-fix
+    // idPhaseInit ran one driver-loop job per query right there.
+    // perturbForTest additionally shifts every proposed interval one
+    // bin off target each round, forcing the repair path for every
+    // active query every round.
+    val rowsA = for {
+      q <- 0 until 100
+      i <- 0 until 1000
+    } yield (q.toLong,
+      if (i < 900) 0.0 else 1.0 + (i - 900) * 0.001,
+      i.toLong * 7 + q)
+    // group B: 30 queries whose scores are subnormal doubles so close
+    // to zero that the equal-width bin width underflows — the
+    // no-shrink path — sending all 30 through the per-value resolve
+    // in the same round (pre-fix: one groupBy job per query)
+    val mv = java.lang.Double.MIN_VALUE
+    val rowsB = for {
+      q <- 100 until 130
+      i <- 0 until 300
+    } yield (q.toLong, mv * (i % 3), i.toLong)
+    val df = (rowsA ++ rowsB).toDF("qid", "s", "id")
+    val ranks = ((0 until 100).map(q => q.toLong -> 450L) ++
+      (100 until 130).map(q => q.toLong -> 150L)).toMap
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val r = RankSelect.selectRankPairsImpl(df, ranks,
+          histBins = 16, collectCap = 64, maxRounds = 200,
+          perturbForTest = true)
+        Thread.sleep(500) // let queued listener events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // job count is O(rounds), never O(queries): each round is at most
+    // histogram + recount + batched repair + batched subnormal +
+    // batched tie-init + one shared id-phase pass (+ finishSmall),
+    // and the phases take a handful of rounds each — 130 queries
+    // transitioning simultaneously must not add jobs (pre-fix this
+    // workload ran 130+ serial driver jobs at the transition alone)
+    assert(jobs.get() < 70,
+      s"rare paths serialized per-query jobs: ${jobs.get()} jobs")
+    // and the answers are exact despite every round being perturbed
+    def ref(data: Seq[(Long, Double, Long)], r: Long) =
+      data.map(t => (t._2, t._3)).sorted.apply((r - 1).toInt)
+    val byQ = (rowsA ++ rowsB).groupBy(_._1)
+    for ((q, r) <- ranks)
+      assert(got(q) == ref(byQ(q), r), s"query $q rank $r")
+  }
+
   test("rankBuckets: a fully-tied score column cuts exact buckets by " +
       "id order (the tie-heavy boundary path) in bounded time") {
     import spark.implicits._
