@@ -21,8 +21,17 @@ import org.apache.spark.sql.functions._
   * LAST, so it doubles as the commit marker — a half-written artifact
   * has no sidecar and every load fails loudly rather than encoding
   * under a truncated vocabulary (which would silently change every
-  * token id downstream). Loads also re-validate the persisted row
-  * count against the table.
+  * token id downstream). Re-writing an EXISTING artifact first deletes
+  * the old sidecar, so the no-sidecar-while-uncommitted invariant
+  * holds for overwrites too: a crash mid-table-write cannot leave a
+  * stale sidecar pointing at a partial new table (where a retrained
+  * vocabulary of coincidentally equal size would pass the row-count
+  * backstop and silently encode under a mixed artifact). Loads also
+  * re-validate the persisted row count against the table; the recorded
+  * count is taken from the WRITTEN parquet, not from re-executing the
+  * caller's plan — one execution of the training plan per write, and
+  * the sidecar always describes exactly what was committed even under
+  * a nondeterministic upstream.
   *
   * The `encodeWith*` paths load the table and delegate to the exact
   * in-memory encode functions, so artifact-routed encoding is
@@ -42,16 +51,38 @@ object TokenizerArtifacts {
   /** Persist a [[BpeTokenizer.trainBpeMerges]] result — (rank, left,
     * right, cnt) — as an encode-many artifact.
     */
-  def writeBpe(merges: DataFrame, path: String): Unit = {
+  def writeBpe(merges: DataFrame, path: String): Unit =
+    writeBpeImpl(merges, path, crashAfterTableWriteForTest = false)
+
+  /** [[writeBpe]] with a fault-injection hook: when
+    * `crashAfterTableWriteForTest` is set, the write throws between
+    * the table overwrite and the sidecar write — the crash window the
+    * sidecar-last commit contract exists for. Specs use it to pin that
+    * an interrupted overwrite leaves NO sidecar (the old one was
+    * deleted up front), so every later load fails loudly instead of
+    * trusting a stale sidecar against a partial new table.
+    */
+  private[graft] def writeBpeImpl(merges: DataFrame, path: String,
+      crashAfterTableWriteForTest: Boolean): Unit = {
     val cols = Seq("rank", "left", "right", "cnt")
     require(cols.forall(merges.columns.contains),
       s"writeBpe: expected columns $cols, got " +
         merges.columns.mkString("(", ", ", ")"))
+    val spark = merges.sparkSession
+    deleteSidecar(spark, path)
     val d = merges.select(col("rank").cast("int"), col("left"),
       col("right"), col("cnt").cast("long"))
     d.write.mode("overwrite").parquet(s"$path/table")
-    writeSidecar(merges.sparkSession, path,
-      Seq("family" -> "bpe", "rows" -> d.count().toString))
+    if (crashAfterTableWriteForTest)
+      throw new IllegalStateException(
+        "writeBpe: injected crash between table write and sidecar")
+    // count the COMMITTED table, not the input plan: re-executing the
+    // caller's plan would re-run the whole training job and, under a
+    // nondeterministic upstream, could bake a count the table doesn't
+    // have — bricking every later load
+    val written = spark.read.parquet(s"$path/table").count()
+    writeSidecar(spark, path,
+      Seq("family" -> "bpe", "rows" -> written.toString))
   }
 
   /** The persisted merge list, rank-ascending — feeds
@@ -83,6 +114,7 @@ object TokenizerArtifacts {
       path: String, unk: String = "[UNK]"): Unit = {
     require(vocab.nonEmpty, "writeWordPiece: empty vocab")
     import spark.implicits._
+    deleteSidecar(spark, path)
     vocab.zipWithIndex.map { case (p, i) => (i, p) }
       .toDF("pos", "piece")
       .write.mode("overwrite").parquet(s"$path/table")
@@ -119,6 +151,7 @@ object TokenizerArtifacts {
     require(vocab.forall(_._2 >= 0L) && unkCost >= 0L,
       "writeUnigram: costs must be >= 0")
     import spark.implicits._
+    deleteSidecar(spark, path)
     vocab.zipWithIndex.map { case ((p, c), i) => (i, p, c) }
       .toDF("pos", "piece", "cost")
       .write.mode("overwrite").parquet(s"$path/table")
@@ -144,6 +177,18 @@ object TokenizerArtifacts {
   }
 
   // ---- sidecar plumbing --------------------------------------------------
+
+  /** Re-establish the no-sidecar-while-uncommitted invariant before an
+    * overwrite: with the old sidecar gone, a crash anywhere before the
+    * new sidecar lands leaves an artifact every load rejects.
+    */
+  private def deleteSidecar(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, Sidecar)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
 
   private def writeSidecar(spark: SparkSession, path: String,
       fields: Seq[(String, String)]): Unit = {

@@ -133,4 +133,51 @@ class TokenizerArtifactsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e3.getMessage.contains("corrupt"), e3.getMessage)
   }
+
+  test("overwrite crash safety: a crash between table write and " +
+      "sidecar write during a RE-write leaves no sidecar, so loads " +
+      "fail loudly even when the retrained vocab has the same size") {
+    val dir = tmp("graft-tok-crash")
+    val merges = BpeTokenizer.trainBpeMerges(corpus, "text",
+      numMerges = 5)
+    TokenizerArtifacts.writeBpe(merges, dir)
+    assert(TokenizerArtifacts.loadBpeMerges(spark, dir).size == 5)
+    // retrain on different data -> same merge COUNT (the case where a
+    // stale sidecar's row-count backstop would pass coincidentally)
+    val merges2 = BpeTokenizer.trainBpeMerges(
+      docsDf(1L -> "aaa bbb ccc ddd eee fff ggg aaa bbb ccc"),
+      "text", numMerges = 5)
+    intercept[IllegalStateException] {
+      TokenizerArtifacts.writeBpeImpl(merges2, dir,
+        crashAfterTableWriteForTest = true)
+    }
+    // the old sidecar was deleted up front: the half-committed
+    // artifact is rejected outright, never read under stale params
+    val e = intercept[IllegalArgumentException] {
+      TokenizerArtifacts.loadBpeMerges(spark, dir)
+    }
+    assert(e.getMessage.contains("_graft_tokenizer_params"),
+      e.getMessage)
+    // a clean re-write recovers the artifact
+    TokenizerArtifacts.writeBpe(merges2, dir)
+    assert(TokenizerArtifacts.loadBpeMerges(spark, dir).size == 5)
+  }
+
+  test("writeBpe executes the caller's training plan exactly once: " +
+      "the sidecar row count comes from the written parquet, not a " +
+      "re-run of the input plan") {
+    val dir = tmp("graft-tok-once")
+    val evals = spark.sparkContext.longAccumulator("merge-plan-evals")
+    val tick = udf { (r: Int) => evals.add(1L); r }
+    import spark.implicits._
+    val merges = Seq((0, "a", "b", 3L), (1, "ab", "c", 2L))
+      .toDF("rank", "left", "right", "cnt")
+      .withColumn("rank", tick(col("rank")))
+    TokenizerArtifacts.writeBpe(merges, dir)
+    // pre-fix this was 4 (write + d.count() re-executing the plan)
+    assert(evals.value == 2L,
+      s"input plan evaluated ${evals.value} row-times, expected 2")
+    assert(TokenizerArtifacts.loadBpeMerges(spark, dir) ==
+      Seq(("a", "b"), ("ab", "c")))
+  }
 }
