@@ -961,6 +961,23 @@ object SparkEntry {
         ascending = true, histBins = 16)
     }),
 
+    // the crawl-scale approximate twin of the grouped partitioner:
+    // per-group fixed-bin sketch over the [0, 50] score envelope, cut
+    // at sketch level (cut bin = first bin covering rank b*n/4), row
+    // bucket = 1 + cut bins strictly below its own bin; 8 coarse bins
+    // make the approximation visible while every step — clamped floor
+    // binning, integer rank division, bin comparisons — replicates
+    // bit-for-bit in DuckDB
+    "q_approx_group_rank" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("id"), col("lang"),
+        pmod(graft.functions.TextFunctions.md5Hash60(
+          concat(lit("agrk:"), col("doc_id").cast("string"))), lit(50L))
+          .cast("double").as("score"))
+      DataSelection.approxGroupedRankBuckets(scored, "lang", "score", 4,
+        lo = 0.0, hi = 50.0, nBins = 8)
+    }),
+
     // CCNet tiers PER LANGUAGE (Wenzek et al. 2020 run per-language
     // pipelines): head/middle/tail are equal group-local tiers on the
     // exact-prob key, so each language's head is its own best third —
@@ -3122,6 +3139,38 @@ object SparkEntry {
          |SELECT id, lang, score,
          |  CAST((rk * 4 + cnt - 1) // cnt AS INTEGER) AS bucket
          |FROM r
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // approximate grouped rank buckets: the identical sketch cut —
+    // clamped floor-binning over the [0, 50] envelope with w = 6.25
+    // (exact binary), group-local cumulative bin counts, cut bin =
+    // first bin whose cum covers the integer rank (b*n)//4 (rank 0 ->
+    // sentinel -1 below every bin), row bucket = 1 + cut bins
+    // strictly below the row's bin — all integer arithmetic after one
+    // exact floor division
+    "q_approx_group_rank" ->
+      s"""WITH s AS (SELECT doc_id AS id, lang,
+         |    CAST(${H60("'agrk:' || CAST(doc_id AS VARCHAR)")} % 50
+         |      AS DOUBLE) AS score FROM documents WHERE lang IS NOT NULL),
+         |b AS (SELECT id, lang, score, CAST(least(greatest(
+         |    floor((score - 0.0e0) / 6.25e0), 0), 7) AS INT) AS k FROM s),
+         |c AS (SELECT lang, k, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY lang, k),
+         |cm AS (SELECT lang, k, cnt,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY k) AS cum,
+         |    sum(cnt) OVER (PARTITION BY lang) AS n FROM c),
+         |bq AS (SELECT unnest([1, 2, 3]) AS bq),
+         |cut0 AS (SELECT lang, bq,
+         |    min(CASE WHEN cum >= (bq * n) // 4 THEN k END) AS mk,
+         |    max((bq * n) // 4) AS rb
+         |  FROM cm CROSS JOIN bq GROUP BY lang, bq),
+         |cut AS (SELECT lang,
+         |    CASE WHEN rb >= 1 THEN mk ELSE -1 END AS ck FROM cut0)
+         |SELECT b.id, b.lang, b.score,
+         |  CAST(1 + sum(CASE WHEN c.ck < b.k THEN 1 ELSE 0 END) AS INT)
+         |    AS bucket
+         |FROM b JOIN cut c ON b.lang = c.lang
+         |GROUP BY b.id, b.lang, b.score, b.k
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // semantic decontamination, integer-exact: quantized dots/norms are

@@ -680,6 +680,94 @@ object DataSelection {
         (lit(lo) + col("__mb") * lit(w)).as("value"))
   }
 
+  /** APPROXIMATE per-group rank buckets at unbounded group cardinality
+    * — the crawl-scale twin of [[groupedRankBuckets]], whose
+    * `maxGroups`/driver-histogram gates are right for languages and
+    * sources but impossible for per-DOMAIN tiers over a 50M-domain
+    * crawl. Same recipe as [[approxGroupedQuantiles]] pointed at the
+    * rank-cut rule: scores bin into `nBins` equal-width buckets over
+    * the CALLER-SUPPLIED [lo, hi] envelope, ONE corpus-keyed
+    * aggregation builds the (group, bin) sketch, each group's B−1
+    * boundary ranks (the [[groupedRankBuckets]] rule — last rank of
+    * bucket b is ⌊b·n_g/B⌋) cut at SKETCH level (cut bin = first bin
+    * whose cumulative count covers the rank), and each row's bucket is
+    * 1 + the number of cut bins strictly below its own bin. No driver
+    * state per group (nothing collects), no group-cardinality gate, no
+    * corpus-sized window; row assignment is one join of the corpus
+    * against the per-group cut arrays keyed on the group.
+    *
+    * Error contract (documented, deterministic): a row whose bin
+    * differs from every cut bin gets EXACTLY the bucket the exact
+    * engine assigns; misassignment is confined to rows sharing a cut
+    * bin — i.e. rows whose score lies within one bin width
+    * (hi−lo)/nBins of a true boundary score (out-of-range values clamp
+    * into the edge bins: bucket sizes stay consistent, but the
+    * distance bound no longer covers them — size the envelope from
+    * domain knowledge). The bucket is a deterministic function of
+    * (group, bin), so ties, partitionings, and merge orders cannot
+    * perturb it; every arithmetic step is {−,/,floor,min,max} over
+    * doubles plus exact integer rank arithmetic, replicating
+    * bit-for-bit cross-engine (q_approx_group_rank). Rows with a NULL
+    * group or NULL/NaN score are excluded. `ascending = false` ranks
+    * best-first on descending scores by traversing the bins
+    * high-to-low — the envelope stays on the RAW scores either way.
+    * Returns all input columns plus `bucket` (1 = first tier).
+    */
+  def approxGroupedRankBuckets(df: DataFrame, groupCol: String,
+      scoreCol: String, nBuckets: Int, lo: Double, hi: Double,
+      ascending: Boolean = true, nBins: Int = 4096): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(lo < hi && !lo.isInfinite && !hi.isInfinite,
+      s"approxGroupedRankBuckets: need a finite envelope lo < hi, " +
+        s"got [$lo, $hi]")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / nBins
+    val gk = col(groupCol).cast("string")
+    val sc = col(scoreCol).cast("double")
+    // rank-ordered bin key: ascending walks bins low-to-high,
+    // descending high-to-low — cum order is always key ASC
+    def keyOf(s: Column): Column = {
+      val b = least(greatest(floor((s - lit(lo)) / lit(w)), lit(0L)),
+        lit(nBins - 1L)).cast("int")
+      if (ascending) b else lit(nBins - 1) - b
+    }
+    val base = df.filter(gk.isNotNull && sc.isNotNull && !sc.isNaN)
+    // the ONE corpus-sized shuffle: (group, key) counts
+    val counts = base
+      .groupBy(gk.as("__g"), keyOf(sc).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    // sketch-level cut: ≤ nBins rows per group from here on
+    val gWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(gWin.orderBy(col("__k"))))
+      .withColumn("__n", sum(col("__c")).over(gWin))
+    val bDf = broadcast((1 until nBuckets).map(_.toLong).toDF("__bq"))
+    // cut key of boundary b: first key covering rank ⌊b·n_g/B⌋; a
+    // rank-0 boundary (empty leading bucket) cuts below every key
+    val cuts = cum.join(bDf)
+      .withColumn("__rb", expr(s"(__bq * __n) div $nBuckets"))
+      .groupBy(col("__g"), col("__bq"))
+      .agg(min(when(col("__cum") >= col("__rb"), col("__k"))).as("__mk"),
+        max(col("__rb")).as("__rbv"))
+      .select(col("__g"),
+        when(col("__rbv") >= 1L, col("__mk")).otherwise(lit(-1))
+          .as("__ck"))
+    val bnds = cuts.groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("__ck"))).as("__cks"))
+    if (nBuckets == 1) return base.withColumn("bucket", lit(1))
+    // row assignment: join the per-group cut arrays (keyed on group —
+    // distributes at any group cardinality; Catalyst broadcasts when
+    // the cut table is small) and count cut bins strictly below
+    base.join(bnds, gk === col("__g"))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__cks"), x => x < keyOf(sc))))
+          .cast("int"))
+      .drop("__g", "__cks")
+  }
+
   /** Per-group exact quantiles — [[exactQuantiles]] refined for EVERY
     * group simultaneously (per-source / per-language p50/p99 in a data
     * card): each round makes ONE pass that joins the corpus against a

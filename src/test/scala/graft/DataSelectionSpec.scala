@@ -389,6 +389,90 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approxGroupedRankBuckets: exact outside the cut bins, " +
+      "misassignment confined to one bin width of a true boundary; " +
+      "descending; deterministic across partitionings; gates") {
+    import spark.implicits._
+    // skewed per-group score shapes inside a [0, 1000] envelope: a
+    // zipf group, a point-mass group (every score tied — the exact
+    // engine splits it by id, the sketch must keep ALL of it in one
+    // bucket side per bin), and a tiny two-row group
+    val rows =
+      (1 to 2000).map(i => (i.toLong, "zipf", 1000.0 / i)) ++
+      (1 to 500).map(i => (3000L + i, "ties", 250.0)) ++
+      Seq((4001L, "two", 10.0), (4002L, "two", 990.0))
+    val df = rows.toDF("id", "grp", "v")
+    val nBins = 64
+    val w = 1000.0 / nBins
+    val B = 4
+    val approx = DataSelection.approxGroupedRankBuckets(df, "grp", "v",
+      B, lo = 0.0, hi = 1000.0, nBins = nBins)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getInt(3))).toMap
+    // exact reference: window-rank rule ceil(rank_g*B/n_g) on (v, id)
+    val byG = rows.groupBy(_._2)
+    val exact = byG.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(t => (t._3, t._1))
+      val n = sorted.size.toLong
+      sorted.zipWithIndex.map { case ((id, _, _), i) =>
+        id -> (((i + 1) * B + n - 1) / n).toInt }
+    }.toMap
+    // per group: the set of cut BINS (bins holding ranks b*n/B)
+    def binOf(v: Double) =
+      math.min(nBins - 1, math.max(0, math.floor(v / w).toInt))
+    val cutBins = byG.map { case (g, rs) =>
+      val sorted = rs.map(_._3).sorted
+      val n = sorted.size.toLong
+      g -> (1 until B).flatMap { b =>
+        val r = b * n / B
+        if (r >= 1) Some(binOf(sorted((r - 1).toInt))) else None
+      }.toSet
+    }
+    var misassigned = 0
+    for ((id, (g, v, got)) <- approx) {
+      if (!cutBins(g).contains(binOf(v)))
+        assert(got == exact(id),
+          s"row $id ($g, $v) outside every cut bin: got $got, " +
+            s"exact ${exact(id)}")
+      else misassigned += (if (got != exact(id)) 1 else 0)
+    }
+    // ties group: all 500 rows share one bin, so the sketch must give
+    // them ONE bucket (the exact engine splits them by id)
+    assert((1 to 500).map(i => approx(3000L + i)._3).distinct.size == 1)
+    // partitioning-independent
+    val re = DataSelection.approxGroupedRankBuckets(df.repartition(13),
+      "grp", "v", B, lo = 0.0, hi = 1000.0, nBins = nBins)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(re == approx)
+    // descending: best-first on high scores — equals the exact rule
+    // on (-v, id) order outside the cut bins; spot-check the two-row
+    // group fully (990 ranks first)
+    val desc = DataSelection.approxGroupedRankBuckets(df, "grp", "v",
+      2, lo = 0.0, hi = 1000.0, ascending = false, nBins = nBins)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(desc(4002L) == 1 && desc(4001L) == 2)
+    // null group / NaN score exclusion
+    val withNull = df.unionByName(Seq(
+      (9998L, null.asInstanceOf[String], 1.0),
+      (9999L, "zipf", Double.NaN)).toDF("id", "grp", "v"))
+    val nn = DataSelection.approxGroupedRankBuckets(withNull, "grp",
+      "v", B, 0.0, 1000.0, nBins = nBins)
+    assert(!nn.collect().map(_.getLong(0)).toSet
+      .exists(Set(9998L, 9999L)))
+    // nBuckets = 1: everything is bucket 1
+    assert(DataSelection.approxGroupedRankBuckets(df, "grp", "v", 1,
+      0.0, 1000.0).select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    // gates
+    intercept[IllegalArgumentException] {
+      DataSelection.approxGroupedRankBuckets(df, "grp", "v", 4, 5.0, 5.0)
+    }
+    intercept[IllegalArgumentException] {
+      DataSelection.approxGroupedRankBuckets(df, "grp", "v", 0, 0.0, 1.0)
+    }
+  }
+
   test("RankSelect: exact (s, id) rank selection under massive ties, " +
       "subnormal score gaps, and extreme id magnitudes") {
     import spark.implicits._

@@ -643,6 +643,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 8, // 1 corpus + sketch-level exchanges (AQE pairs)
       s"approx-quantile plan grew extra exchanges ($exchanges):\n$agqPlan")
 
+    // approxGroupedRankBuckets: same sketch discipline as the approx
+    // quantiles — the corpus pays one keyed aggregation plus one
+    // group-keyed assignment join; every Window is partitioned by
+    // group at SKETCH level, and no global sort anywhere
+    val agr = SparkEntry.queries("q_approx_group_rank")(spark, sf)
+    agr.collect()
+    val agrPlan = agr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!agrPlan.contains("rangepartitioning"),
+      s"global sort in the approx-rank plan:\n$agrPlan")
+    val agrUnpart = agr.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.partitionSpec.isEmpty => wn
+    }
+    assert(agrUnpart.isEmpty, s"unpartitioned window:\n$agrPlan")
+    val agrExchanges = agrPlan.linesIterator
+      .count(_.contains("Exchange"))
+    assert(agrExchanges <= 12, // corpus agg + assignment join +
+      // sketch-level exchanges (AQE pairs)
+      s"approx-rank plan grew extra exchanges ($agrExchanges):\n$agrPlan")
+
     // perceptual image near-dup: candidates come from the banded
     // (block, block_val) bucket shuffle — never a cartesian/all-pairs
     // scan, never a sort
