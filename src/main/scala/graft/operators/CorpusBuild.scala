@@ -21,8 +21,21 @@ import graft.sources.WarcSource
   * `_graft_params.json` sidecar written once and validated fail-loud
   * on every resume — resuming a multi-day 100 TB build with any knob
   * changed would silently mix regimes across stages, the worst
-  * restartable-pipeline failure mode. Delete a stage directory (and
-  * everything downstream of it) to force recomputation.
+  * restartable-pipeline failure mode. The caller-supplied `target`
+  * DataFrame — the one non-scalar parameter — is covered by a
+  * deterministic fingerprint (row count + order-insensitive sum of
+  * 60-bit id hashes, one bounded aggregation per run) persisted in the
+  * sidecar, so resuming with a DIFFERENT target fails loudly instead
+  * of silently mixing tier regimes across stages 4+.
+  *
+  * Stages are additionally chained by LINEAGE TOKENS: every stage that
+  * computes writes a fresh token plus the token of the stage it read
+  * from; a resumed stage requires its recorded upstream token to match
+  * the upstream's CURRENT token. Deleting or recomputing one
+  * mid-pipeline stage therefore fails every later persisted stage
+  * loudly ("stale downstream stage") instead of silently resuming onto
+  * parquet built from the OLD upstream data. Delete a stage directory
+  * AND everything downstream of it to force recomputation.
   *
   * Stages:
   *   - `0_extract`  — [[WarcSource.read]] → HTML responses →
@@ -87,10 +100,22 @@ object CorpusBuild {
       finally in.close()
     }
     // ---- params sidecar: write once, fail-loud compare on resume ----
-    // (the curatePersisted contract; `target` is identified by its
-    // PRESENCE only — its contents are the caller's to keep stable)
+    // (the curatePersisted contract). The target DataFrame is covered
+    // by a deterministic fingerprint: row count + order-insensitive
+    // sum of 60-bit id hashes (longs; wraparound is fine — it stays
+    // deterministic and order-free). One bounded aggregation per run.
+    val targetFp =
+      if (target == null) "none"
+      else {
+        val r = target
+          .agg(count(lit(1)),
+            sum(TextFunctions.md5Hash60(concat(lit("tgtfp:"),
+              col("id").cast("string")))))
+          .collect()(0)
+        s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+      }
     val params = Seq(
-      "warcDir" -> warcDir, "hasTarget" -> (target != null).toString,
+      "warcDir" -> warcDir, "targetFp" -> targetFp,
       "minWords" -> minWords.toString,
       "minLinesKept" -> minLinesKept.toString,
       "minWordsPerLine" -> minWordsPerLine.toString,
@@ -119,29 +144,84 @@ object CorpusBuild {
       writeFile(paramsFile, params)
     }
 
-    def persisted(name: String, compute: => DataFrame): DataFrame = {
+    // Each persisted stage carries a lineage token: a fresh random
+    // token written when the stage COMPUTES, alongside the token of
+    // the upstream stage it read from. A resumed (skipped) stage
+    // fail-loud requires its recorded upstream token to equal the
+    // upstream's current token — so deleting/recomputing a
+    // mid-pipeline stage invalidates every later persisted stage
+    // instead of silently resuming onto parquet built from the OLD
+    // upstream data. Write order per stage: parquet → lineage →
+    // schema sidecar (the commit gate stays the schema sidecar; a
+    // crash anywhere before it triggers recompute, never a
+    // half-lineage resume).
+    def lineageField(json: String, key: String): String = {
+      val m = java.util.regex.Pattern
+        .compile(graft.JsonStr(key) + ":\"([^\"]*)\"").matcher(json)
+      require(m.find(), s"buildCorpus: malformed lineage file: $json")
+      m.group(1)
+    }
+    def persisted(name: String, upstreamToken: String,
+        compute: => DataFrame): (DataFrame, String) = {
       val path = s"$stageDir/$name"
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       val schemaFile =
         new org.apache.hadoop.fs.Path(p, "_graft_schema.json")
+      val lineageFile =
+        new org.apache.hadoop.fs.Path(p, "_graft_lineage.json")
       if (!fs.exists(schemaFile) ||
           !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
         val t0 = System.nanoTime()
         val df = compute
         df.write.mode("overwrite").parquet(path)
+        val token = java.util.UUID.randomUUID().toString
+        writeFile(lineageFile,
+          s"""{${graft.JsonStr("token")}:${graft.JsonStr(token)},""" +
+            s"""${graft.JsonStr("upstream")}:${
+              graft.JsonStr(upstreamToken)}}""")
         writeFile(schemaFile, df.schema.json)
         onStage(name, (System.nanoTime() - t0) / 1e9)
+      } else {
+        require(fs.exists(lineageFile),
+          s"buildCorpus: persisted stage $path has no lineage file " +
+            s"(written by an older build, or the stage directory was " +
+            s"tampered with) — delete $path and everything downstream " +
+            s"of it to recompute.")
+        val recorded = lineageField(readFile(lineageFile), "upstream")
+        require(recorded == upstreamToken,
+          s"buildCorpus: STALE DOWNSTREAM STAGE $path — it was built " +
+            s"from an upstream stage (lineage $recorded) that has " +
+            s"since been recomputed (now $upstreamToken). Resuming " +
+            s"would silently mix old and new data; delete $path and " +
+            s"everything downstream of it.")
       }
+      val token = lineageField(readFile(lineageFile), "token")
       val schema = org.apache.spark.sql.types.DataType.fromJson(
         readFile(schemaFile))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.read.schema(schema).parquet(path)
+      (spark.read.schema(schema).parquet(path), token)
     }
 
     // ---- 0: source → text -------------------------------------------
-    val extract = persisted("0_extract", {
+    // The raw archive record count (response + conversion records —
+    // the extract stage's TRUE docs_in, before non-HTML skips) is
+    // counted once while the stage computes and persisted in a tiny
+    // sidecar, so the attrition report never has to re-scan raw
+    // archives on a resumed run. The sidecar lives at the stageDir
+    // top level (not inside 0_extract, whose directory the parquet
+    // overwrite clears) and is re-written whenever stage 0 recomputes.
+    val rawCountFile = new org.apache.hadoop.fs.Path(
+      s"$stageDir/_graft_rawcount.json")
+    val (extract, tExtract) = persisted("0_extract", "root", {
       val recs = WarcSource.read(spark, warcDir)
+      val rawRecords = recs
+        .filter(r => r.warc_type == "response" ||
+          r.warc_type == "conversion")
+        .count()
+      writeFile(rawCountFile,
+        s"""{${graft.JsonStr("raw_records")}:${
+          graft.JsonStr(rawRecords.toString)}}""")
       val html = WarcSource.htmlResponses(recs).toDF()
         .select(TextFunctions.md5Hash60(concat_ws(":",
             col("warc_path"), col("record_seq").cast("string")))
@@ -158,12 +238,12 @@ object CorpusBuild {
       extracted.unionByName(wet)
     })
     // ---- 1: mojibake repair -----------------------------------------
-    val repaired = persisted("1_repair",
+    val (repaired, tRepair) = persisted("1_repair", tExtract,
       TextRepair.repairReport(extract, "id", "text")
         .select(col("id"), col("text"))
         .join(extract.select(col("id"), col("url")), Seq("id")))
     // ---- 2: quality gate (C4 line scrub + Gopher rules) -------------
-    val gated = persisted("2_gate", {
+    val (gated, tGate) = persisted("2_gate", tRepair, {
       val c4 = CorpusAnalysis.c4Clean(repaired, "id", "text",
           minWordsPerLine = minWordsPerLine, minLinesKept = minLinesKept)
         .filter(col("pass"))
@@ -176,7 +256,7 @@ object CorpusBuild {
         .join(repaired.select(col("id"), col("url")), Seq("id"))
     })
     // ---- 3: exact + near dedup --------------------------------------
-    val deduped = persisted("3_dedup", {
+    val (deduped, tDedup) = persisted("3_dedup", tGate, {
       val exact = Dedup.exactDedup(gated, "id", "text")
         .select(col("id"), col("url"), col("text"))
       val pairs = Dedup.minHashNearDupPairs(exact, "id", "text",
@@ -184,7 +264,7 @@ object CorpusBuild {
       Dedup.nearDedup(exact, "id", pairs)
     })
     // ---- 4: quality tiers -------------------------------------------
-    val tiered = persisted("4_tiers", {
+    val (tiered, tTiers) = persisted("4_tiers", tDedup, {
       val tgt =
         if (target != null) target
         else deduped.filter(
@@ -196,7 +276,7 @@ object CorpusBuild {
         .join(deduped, Seq("id"))
     })
     // ---- 5: mixture / up-sampling by tier ---------------------------
-    val mixed = persisted("5_mix",
+    val (mixed, tMix) = persisted("5_mix", tTiers,
       CorpusAnalysis.upsampleMixture(tiered, "id", "tier", tierRates,
           salt = s"$salt:mix")
         .select(TextFunctions.md5Hash60(concat_ws(":",
@@ -205,7 +285,7 @@ object CorpusBuild {
           col("id").as("src_id"), col("copy"), col("tier"),
           col("text")))
     // ---- 6: pack into training sequences ----------------------------
-    val packed = persisted("6_pack",
+    val (packed, tPack) = persisted("6_pack", tMix,
       CorpusAnalysis.packTexts(mixed, "mix_id", "text",
           maxTokens = packTokens)
         .select(TextFunctions.md5Hash60(concat_ws(":",
@@ -215,7 +295,7 @@ object CorpusBuild {
           col("pack_text").as("text")))
     // ---- 7: curriculum order over packs (short-first by mean doc
     //         length; shards auto-sized) -----------------------------
-    val curriculum = persisted("7_curriculum",
+    val (curriculum, tCur) = persisted("7_curriculum", tPack,
       DataSelection.curriculumOrder(
           packed.select(col("id"),
             (col("pack_tokens").cast("double") / col("n_docs"))
@@ -223,19 +303,33 @@ object CorpusBuild {
           "id", "score", nStages = nStages, salt = s"$salt:cur")
         .join(packed, Seq("id")))
     // ---- report ------------------------------------------------------
-    persisted("report", {
+    // the report reads every stage, so its upstream lineage is the
+    // whole token chain (any recomputed stage invalidates it)
+    val chain = Seq(tExtract, tRepair, tGate, tDedup, tTiers, tMix,
+      tPack, tCur).mkString("|")
+    persisted("report", chain, {
+      // stage-0 attrition starts from the RAW archive record count
+      // (response + conversion records), persisted at extract time —
+      // docs_in > docs_out whenever records were skipped (non-HTML
+      // content types, non-200 statuses), the yield a data card needs
+      val rawRecords =
+        lineageField(readFile(rawCountFile), "raw_records").toLong
       val stages = Seq(
         ("0_extract", extract), ("1_repair", repaired),
         ("2_gate", gated), ("3_dedup", deduped), ("4_tiers", tiered),
         ("5_mix", mixed), ("6_pack", packed),
         ("7_curriculum", curriculum))
-      stages.zip(extract +: stages.map(_._2).init).map {
+      val tail = stages.zip(extract +: stages.map(_._2).init).tail.map {
         case ((name, out), in) =>
           in.agg(count(lit(1)).as("docs_in"))
             .crossJoin(out.agg(count(lit(1)).as("docs_out")))
             .select(lit(name).as("stage"), col("docs_in"),
               col("docs_out"))
-      }.reduce(_.unionByName(_))
-    })
+      }
+      val head = extract.agg(count(lit(1)).as("docs_out"))
+        .select(lit("0_extract").as("stage"),
+          lit(rawRecords).as("docs_in"), col("docs_out"))
+      (head +: tail).reduce(_.unionByName(_))
+    })._1
   }
 }

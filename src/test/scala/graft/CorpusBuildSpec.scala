@@ -86,7 +86,20 @@ class CorpusBuildSpec extends AnyFunSuite with BeforeAndAfterAll {
         httpBlock(page(goodDoc(1) + " extraword."))),
       record("response", "http://junk.test/",
         httpBlock("<html><body>no sentences here<br>just fragments" +
-          "</body></html>")))
+          "</body></html>")),
+      // two records the EXTRACT stage itself skips — a non-HTML
+      // payload and a non-200 capture — so raw attrition (docs_in
+      // from the archive record count) exceeds the extract output
+      record("response", "http://img.test/logo.png", {
+        val b = Array[Byte](0x50, 0x4e, 0x47)
+        (s"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n" +
+          s"Content-Length: ${b.length}\r\n\r\n").getBytes(UTF_8) ++ b
+      }),
+      record("response", "http://gone.test/", {
+        val b = "<html><body>gone</body></html>".getBytes(UTF_8)
+        (s"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${b.length}\r\n\r\n").getBytes(UTF_8) ++ b
+      }))
     val wet = record("conversion", "http://wet.test/doc",
       goodDoc(15).getBytes(UTF_8), cType = "text/plain")
     java.nio.file.Files.write(warcDir.resolve("crawl-0.warc.gz"),
@@ -98,8 +111,11 @@ class CorpusBuildSpec extends AnyFunSuite with BeforeAndAfterAll {
       stageDir, nearDupThreshold = 0.7, packTokens = 64)
       .collect().map(r =>
         r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // extract: 15 html + 1 wet = 16 docs (junk still present)
-    assert(report("0_extract")._2 == 16, report.toString)
+    // extract: 15 html + 1 wet = 16 docs (junk still present); the
+    // stage's docs_in is the RAW archive record count — 17 response +
+    // 1 conversion records — so the png and 404 skips are visible as
+    // extract-stage attrition, not silently absorbed
+    assert(report("0_extract") == ((18L, 16L)), report.toString)
     // gate drops the junk page
     assert(report("2_gate")._2 == 15, report.toString)
     // dedup drops the exact and the near duplicate
@@ -148,5 +164,79 @@ class CorpusBuildSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(report3 == report)
     assert(s0.lastModified() == mtime, "stage 0 recomputed after " +
       "late-stage delete")
+
+    // ---- lineage: recomputing a MID-pipeline stage while later
+    // stage directories remain must fail loudly, not resume the
+    // later stages onto parquet built from the OLD upstream data
+    val dedupDir = java.nio.file.Paths.get(stageDir, "3_dedup")
+    java.nio.file.Files.walk(dedupDir)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val eL = intercept[IllegalArgumentException] {
+      CorpusBuild.buildCorpus(spark, warcDir.toString, stageDir,
+        nearDupThreshold = 0.7, packTokens = 64)
+    }
+    assert(eL.getMessage.contains("STALE DOWNSTREAM STAGE") &&
+      eL.getMessage.contains("4_tiers"), eL.getMessage)
+    // deleting the stale downstream recovers to the identical build
+    for (d <- Seq("4_tiers", "5_mix", "6_pack", "7_curriculum",
+        "report")) {
+      val dir = java.nio.file.Paths.get(stageDir, d)
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val report4 = CorpusBuild.buildCorpus(spark, warcDir.toString,
+      stageDir, nearDupThreshold = 0.7, packTokens = 64)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report4 == report)
+  }
+
+  test("buildCorpus: the target DataFrame is fingerprinted — resume " +
+      "with a mutated target fails loudly, unchanged target resumes " +
+      "clean") {
+    import spark.implicits._
+    val warcDir = java.nio.file.Files
+      .createTempDirectory("graft-build-tgt-warc")
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft-build-tgt-stages").toString
+    val caps = (0 until 8).map(i =>
+      record("response", s"http://site$i.test/a",
+        httpBlock(page(goodDoc(i)))))
+    java.nio.file.Files.write(warcDir.resolve("crawl-0.warc.gz"),
+      gzMembers(caps))
+    val target = (0 until 4).map(i => (100L + i, goodDoc(i)))
+      .toDF("id", "text")
+    val report = CorpusBuild.buildCorpus(spark, warcDir.toString,
+      stageDir, target = target, nearDupThreshold = 0.7,
+      packTokens = 64)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // unchanged target (even re-built in a different row order)
+    // resumes clean — the fingerprint is order-insensitive
+    val sameShuffled = (0 until 4).reverse.map(i => (100L + i, goodDoc(i)))
+      .toDF("id", "text").repartition(3)
+    val report2 = CorpusBuild.buildCorpus(spark, warcDir.toString,
+      stageDir, target = sameShuffled, nearDupThreshold = 0.7,
+      packTokens = 64)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report2 == report)
+    // a mutated target fails loudly (pre-fix: hasTarget=true matched
+    // and stages 4+ silently resumed under the OLD tier regime)
+    val mutated = (0 until 5).map(i => (100L + i, goodDoc(i)))
+      .toDF("id", "text")
+    val eT = intercept[IllegalArgumentException] {
+      CorpusBuild.buildCorpus(spark, warcDir.toString, stageDir,
+        target = mutated, nearDupThreshold = 0.7, packTokens = 64)
+    }
+    assert(eT.getMessage.contains("DIFFERENT parameters"), eT.getMessage)
+    // dropping the target entirely also fails
+    val eN = intercept[IllegalArgumentException] {
+      CorpusBuild.buildCorpus(spark, warcDir.toString, stageDir,
+        nearDupThreshold = 0.7, packTokens = 64)
+    }
+    assert(eN.getMessage.contains("DIFFERENT parameters"), eN.getMessage)
   }
 }
