@@ -407,7 +407,7 @@ object Multimodal {
   }
 
   /** Perceptual image near-duplicate pairs: decode → 9×8 luminance
-    * box-sample → [[dHash64]] → Hamming-banded candidate pairs via
+    * box-sample → perceptual hash → Hamming-banded candidate pairs via
     * [[Dedup.hamming64NearDupPairs]]'s 16-bit block pigeonhole (no
     * all-pairs anywhere) → exact bit_count verify. Catches re-encoded,
     * resized, and brightness-shifted copies that byte-exact hashes
@@ -415,15 +415,43 @@ object Multimodal {
     * the 4-block pigeonhole. Only DECODED images participate — the
     * md5 pseudo-grids of undecodable payloads are arbitrary bits and
     * would pair only by md5 accident; route those through exact-byte
-    * dedup instead. Returns (a, b, distance), a < b.
+    * dedup instead.
+    *
+    * `hashKind` picks the signature: `"dhash"` (default — the
+    * [[dHash64]] gradient hash, robust to brightness shifts),
+    * `"ahash"` ([[aHash64]] ≥-mean hash — the standard second vote for
+    * flat-field images, where the gradient field is noise: two copies
+    * of a near-uniform image with a salient bright region differ in
+    * most dHash bits but agree bit-for-bit under aHash), or `"both"`
+    * (the union of the two banded searches — a pair qualifies when
+    * EITHER hash is within `maxDistance`; `distance` is the smaller
+    * of its qualifying hash distances; the decoded grids are
+    * checkpointed once, so the expensive decode is not paid twice).
+    * Returns (a, b, distance), a < b.
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
-      maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sigs = luminanceGrids(df, idCol, binCol, gw = 9, gh = 8)
+      maxDistance: Int = 3, maxBucket: Int = 1000,
+      hashKind: String = "dhash"): DataFrame = {
+    require(Set("dhash", "ahash", "both")(hashKind),
+      s"imageNearDupPairs: hashKind must be dhash|ahash|both, " +
+        s"got '$hashKind'")
+    val grids0 = luminanceGrids(df, idCol, binCol, gw = 9, gh = 8)
       .toDF()
       .filter(col("decoded"))
-      .select(col("id"), dHash64(col("grid")).as("sig"))
-    Dedup.hamming64NearDupPairs(sigs, "id", "sig", maxDistance,
-      maxBucket)
+    // "both" reads the grids twice — checkpoint so decode runs once
+    val grids =
+      if (hashKind == "both") grids0.localCheckpoint(true) else grids0
+    def pairsFor(h: Column => Column): DataFrame =
+      Dedup.hamming64NearDupPairs(
+        grids.select(col("id"), h(col("grid")).as("sig")),
+        "id", "sig", maxDistance, maxBucket)
+    hashKind match {
+      case "dhash" => pairsFor(dHash64)
+      case "ahash" => pairsFor(aHash64)
+      case _ =>
+        pairsFor(dHash64).unionByName(pairsFor(aHash64))
+          .groupBy(col("a"), col("b"))
+          .agg(min(col("distance")).as("distance"))
+    }
   }
 }

@@ -220,6 +220,59 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == pairs)
   }
 
+  test("imageNearDupPairs hashKind: flat-field twins (gradient field " +
+      "is noise) are found by ahash, missed by dhash; 'both' unions " +
+      "the two searches") {
+    import spark.implicits._
+    // A 9x8 image (one pixel per grid cell): a bright first row (the
+    // salient mass) over a near-flat field whose 100/101 alternation
+    // is pure gradient noise. `phase` flips the alternation — every
+    // in-field dHash comparison inverts (56 differing bits) while the
+    // aHash >=-mean bits (bright row above the mean, field below) are
+    // IDENTICAL. The classic flat-field failure of gradient hashing.
+    def flatFieldTwin(phase: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = if (y == 0) 255 else 100 + ((x + phase) % 2)
+        bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      encode(bi, "png")
+    }
+    val rows = Seq(
+      (1L, flatFieldTwin(0)), (2L, flatFieldTwin(1)),
+      // a genuinely distinct image: found by NEITHER hash
+      (3L, encode(patternImage(3, 9, 8), "png")),
+      // an identical pair: found by BOTH hashes at distance 0
+      (4L, encode(patternImage(7), "png")),
+      (5L, encode(patternImage(7), "png")))
+    val df = rows.toDF("id", "content")
+    val dhash = Multimodal.imageNearDupPairs(df, "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!dhash.contains((1L, 2L)),
+      s"dhash should be blind to the flat-field twins: $dhash")
+    assert(dhash.contains((4L, 5L)), s"identical pair missed: $dhash")
+    val ahash = Multimodal.imageNearDupPairs(df, "id", "content",
+      hashKind = "ahash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(ahash.contains((1L, 2L, 0L)),
+      s"ahash must catch the flat-field twins bit-for-bit: $ahash")
+    assert(ahash.contains((4L, 5L, 0L)),
+      s"identical pair missed: $ahash")
+    val both = Multimodal.imageNearDupPairs(df, "id", "content",
+      hashKind = "both")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both.contains((1L, 2L)) && both.contains((4L, 5L)),
+      s"'both' must union the two searches: $both")
+    assert(!both.exists(p => p._1 == 3L || p._2 == 3L),
+      s"distinct image paired: $both")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(df, "id", "content",
+        hashKind = "phash")
+    }
+  }
+
   test("dHash64/aHash64: known grids produce the documented bit " +
       "patterns; luminanceGrids box-samples exactly") {
     import spark.implicits._
