@@ -157,6 +157,28 @@ object SparkEntry {
       .select((col("doc_id") + 200000L).as("doc_id"),
         concat(lit("fresh "), col("doc_id").cast("string")).as("text")))
 
+  /** Synthetic 9×8 luminance grids from pure doc_id arithmetic —
+    * planted near-dup classes share a base pattern (doc_id % 64), ids
+    * >= 250 perturb one cell by +50; every cell is exact integer
+    * arithmetic so both perceptual hash folds (dHash gradient, aHash
+    * >=-mean) replicate in DuckDB. Materialized (localCheckpoint)
+    * before hashing: projection collapse would otherwise inline the
+    * 72-cell construction into each of the fold's element_at
+    * references (the production path decodes grids in mapPartitions —
+    * already materialized).
+    */
+  private def syntheticLumaGrids(docs: DataFrame): DataFrame = {
+    val base = (col("doc_id") % 64).cast("long")
+    val grid = transform(sequence(lit(0), lit(7)), y =>
+      transform(sequence(lit(0), lit(8)), x =>
+        pmod(base * lit(2654435761L) + y.cast("long") * lit(131L) +
+          x.cast("long") * lit(17L) +
+          when(col("doc_id") >= 250 && y === 0 && x === 0, 50L)
+            .otherwise(0L), lit(256L)).cast("int")))
+    docs.select(col("doc_id").as("id"), grid.as("grid"))
+      .localCheckpoint(true)
+  }
+
   /** Synthetic GeoJSON Point features derived from lineitem numerics —
     * lets the P5/P7 geometry pipeline be oracle-checked: the elevation
     * the transform extracts must equal l_tax (when non-zero) and the
@@ -1070,25 +1092,21 @@ object SparkEntry {
     // every step replicates in DuckDB bit arithmetic. The decode path
     // (real PNGs -> box-sampled grids) is spec-pinned with planted
     // re-encoded/resized twins (MultimodalSpec)
-    "q_image_near_dup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val base = (col("doc_id") % 64).cast("long")
-      val grid = transform(sequence(lit(0), lit(7)), y =>
-        transform(sequence(lit(0), lit(8)), x =>
-          pmod(base * lit(2654435761L) + y.cast("long") * lit(131L) +
-            x.cast("long") * lit(17L) +
-            when(col("doc_id") >= 250 && y === 0 && x === 0, 50L)
-              .otherwise(0L), lit(256L)).cast("int")))
-      // materialize the grids before hashing: projection collapse
-      // would otherwise inline the 72-cell grid construction into each
-      // of the hash fold's 192 element_at references (the production
-      // path decodes grids in mapPartitions — already materialized)
-      val grids = docs.select(col("doc_id").as("id"), grid.as("grid"))
-        .localCheckpoint(true)
-      val sigs = grids.select(col("id"),
-        Multimodal.dHash64(col("grid")).as("sig"))
-      Dedup.hamming64NearDupPairs(sigs, "id", "sig", maxDistance = 3)
-    }),
+    "q_image_near_dup" -> ((s, dir) =>
+      Dedup.hamming64NearDupPairs(
+        syntheticLumaGrids(t(s, dir, "documents")).select(col("id"),
+          Multimodal.dHash64(col("grid")).as("sig")),
+        "id", "sig", maxDistance = 3)),
+
+    // the same planted grids under the >=-mean aHash signature — the
+    // flat-field second vote imageNearDupPairs exposes via hashKind;
+    // the total-luma sum and every cell*64 >= total comparison are
+    // exact integer arithmetic, replicated in DuckDB HUGEINT
+    "q_image_near_dup_ahash" -> ((s, dir) =>
+      Dedup.hamming64NearDupPairs(
+        syntheticLumaGrids(t(s, dir, "documents")).select(col("id"),
+          Multimodal.aHash64(col("grid")).as("sig")),
+        "id", "sig", maxDistance = 3)),
 
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
@@ -3116,6 +3134,34 @@ object SparkEntry {
         |      THEN CAST(1 AS HUGEINT) << i
         |      ELSE CAST(0 AS HUGEINT) END)) AS hs
         |    FROM g)),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |p AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // aHash form: same grids, bit i set when cell_i*64 >= total luma
+    // (exact integer, no division) — then the identical block
+    // bucketing + bit_count verify
+    "q_image_near_dup_ahash" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CASE WHEN doc_id >= 250 THEN 50 ELSE 0 END AS pert
+        |  FROM documents),
+        |c AS (SELECT id, list_transform(generate_series(0, 63),
+        |    i -> (base * 2654435761 + (i // 8) * 131 + (i % 8) * 17 +
+        |      CASE WHEN i = 0 THEN pert ELSE 0 END) % 256) AS cells
+        |  FROM g),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(1, 64),
+        |      j -> CASE WHEN cells[j] * 64 >= tot
+        |      THEN CAST(1 AS HUGEINT) << (j - 1)
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM (SELECT id, cells, list_sum(cells) AS tot FROM c))),
         |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
         |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
         |p AS (SELECT x.id AS a, y.id AS b,

@@ -1259,6 +1259,76 @@ object ScaleSmoke {
       java.nio.file.Files.walk(java.nio.file.Paths.get(d))
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p2 => java.nio.file.Files.delete(p2))
+
+    // --- perceptual image near-dup at 1M images: decode → box-sample →
+    // dHash → banded pairs, the full imageNearDupPairs path over real
+    // PNG payloads (encode AND decode both run, on executors — decode
+    // dominates and is the number worth measuring). 500k classes of
+    // exactly two images each: even id = the class pattern (cell
+    // values 30..200 from a mixed hash — effectively random, so
+    // distinct classes land far apart in Hamming space), odd id = the
+    // SAME pattern +5 brightness on every pixel. No clamping can occur
+    // and every strict cell-vs-cell gradient comparison is preserved,
+    // so each twin's dHash is bit-identical to its base (distance 0)
+    // and the expected pair set is EXACTLY the 500k (2c, 2c+1) pairs.
+    {
+      val nImg = args.drop(1).headOption.map(_.toInt).getOrElse(1000000)
+      import spark.implicits._
+      val t70 = System.nanoTime()
+      val imgs = spark.range(nImg).repartition(64)
+        .mapPartitions { it =>
+          def mix(a: Long): Long = {
+            var x = a
+            x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+            x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+            x ^= x >>> 33; x
+          }
+          it.map { id =>
+            val cls = id / 2
+            val bump = if (id % 2 == 1) 5 else 0
+            // 18x16 image, one 2x2 pixel block per 9x8 grid cell —
+            // the box average reproduces the cell value exactly
+            val bi = new java.awt.image.BufferedImage(18, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 9) {
+                val v = 30 +
+                  ((mix(cls * 97 + cy * 9 + cx) & Long.MaxValue) % 171)
+                    .toInt + bump
+                val rgb = (v << 16) | (v << 8) | v
+                bi.setRGB(cx * 2, cy * 2, rgb)
+                bi.setRGB(cx * 2 + 1, cy * 2, rgb)
+                bi.setRGB(cx * 2, cy * 2 + 1, rgb)
+                bi.setRGB(cx * 2 + 1, cy * 2 + 1, rgb)
+                cx += 1
+              }
+              cy += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", out)
+            (id, out.toByteArray)
+          }
+        }.toDF("id", "content")
+      val imgPairs = graft.operators.Multimodal.imageNearDupPairs(
+        imgs, "id", "content")
+      // exact expected pair set: count == classes, every distance 0,
+      // and sum(b - a) == classes pins each pair to (2c, 2c+1)
+      val ipAgg = imgPairs.agg(count(lit(1)), max(col("distance")),
+        sum(col("b") - col("a"))).collect()(0)
+      val tIp = (System.nanoTime() - t70) / 1e9
+      require(ipAgg.getLong(0) == nImg / 2L,
+        s"imageNearDup pairs ${ipAgg.getLong(0)} != ${nImg / 2}")
+      require(ipAgg.getLong(1) == 0L,
+        s"imageNearDup max distance ${ipAgg.getLong(1)} != 0")
+      require(ipAgg.getLong(2) == nImg / 2L,
+        s"imageNearDup pair structure broken: sum(b-a)=${ipAgg.getLong(2)}")
+      println(f"imageNearDup: $nImg%d pngs encoded+decoded, " +
+        f"${nImg / 2} planted twin pairs found exactly in $tIp%.1f s " +
+        f"(${nImg / tIp}%.0f imgs/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
     spark.stop()
   }
 }
