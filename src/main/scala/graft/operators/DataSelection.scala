@@ -341,6 +341,10 @@ object DataSelection {
     * numeric, NaN-free); pass a narrow projection (one
     * localCheckpoint materialization, as [[rankBuckets]]). Returns
     * all input columns plus `bucket` (1 = best under `ascending`).
+    * Gated by `maxGroups` and the groups×bins driver histogram bound —
+    * right for languages/sources; per-DOMAIN tiers at crawl scale
+    * should use [[approxGroupedRankBuckets]] instead (sketch cut, no
+    * per-group driver state, one-bin-width boundary error).
     */
   def groupedRankBuckets(scored: DataFrame, groupCol: String,
       idCol: String, scoreCol: String, nBuckets: Int,
