@@ -394,16 +394,24 @@ object Multimodal {
     * column: bit (y·8 + x) is set when grid[y][x]·64 ≥ Σ grid — the
     * integer-exact ≥-mean comparison (no division). Same
     * bit-replicable contract as [[dHash64]].
+    *
+    * The total-luma sum is bound through a single-element `transform`
+    * lambda: referencing the sum expression directly inside the outer
+    * 64-step fold would re-evaluate the whole 64-cell sum at every
+    * step (64×64 element_at per row — measured 3× slower at sf0.1);
+    * the lambda variable evaluates it exactly once per row.
     */
   def aHash64(grid: Column): Column = {
     val total = aggregate(sequence(lit(0), lit(63)), lit(0L),
       (acc, i) => acc + element_at(
         element_at(grid, row(i)), (i % 8) + 1).cast("long"))
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, i) => acc + when(
-        element_at(element_at(grid, row(i)), (i % 8) + 1)
-          .cast("long") * 64 >= total,
-        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    element_at(transform(array(total), tot =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L),
+        (acc, i) => acc + when(
+          element_at(element_at(grid, row(i)), (i % 8) + 1)
+            .cast("long") * 64 >= tot,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))),
+      1)
   }
 
   /** Perceptual image near-duplicate pairs: decode → 9×8 luminance
