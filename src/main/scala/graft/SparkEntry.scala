@@ -1013,6 +1013,21 @@ object SparkEntry {
           col("sum_prob"), col("avg_prob"), col("bucket"), col("tier"))
     }),
 
+    // CCNet tiers per DOMAIN at crawl scale: the same exact-prob
+    // scoring chain, but the group-local cut through the sketch
+    // engine — the −avg_prob key is bounded in [−1, 0] by
+    // construction, 16 coarse bins make the approximation visible,
+    // and tier = f(source, bin) replicates bit-for-bit in DuckDB
+    "q_ccnet_domain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.ccnetBucketsApprox(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        groupCol = "source", keyLo = -1.0, keyHi = 0.0,
+        byExactProb = true, nBins = 16)
+        .select(col("id"), col("source"), col("n_bigrams"),
+          col("sum_prob"), col("avg_prob"), col("bucket"), col("tier"))
+    }),
+
     // embedding-level benchmark decontamination, integer-exact form:
     // quantized vectors make every dot/norm an integer-valued double
     // and sqrt is correctly rounded IEEE, so the whole row — argmax
@@ -2924,6 +2939,67 @@ object SparkEntry {
          |  CASE (rnk * 3 + cnt - 1) // cnt WHEN 1 THEN 'head'
          |    WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
          |FROM rk
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // per-domain ccnet tiers through the sketch cut: the identical
+    // scoring chain, then the q_approx_group_rank recipe on the
+    // −avg_prob key over the [−1, 0] envelope (w = 0.0625, exact
+    // binary) — clamped floor bin, group-local cum, cut bin = first
+    // covering rank (b·n)//3, tier = 1 + cut bins strictly below
+    "q_ccnet_domain" ->
+      s"""WITH tk AS (SELECT doc_id AS id, source, $Toks AS toks
+         |      FROM documents),
+         |g AS (SELECT id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'pos': i, 'ch': ${H60("toks[i]")},
+         |            'bh': ${H60("toks[i] || ' ' || toks[i+1]")}})
+         |    ELSE [] END) AS u FROM tk),
+         |r AS (SELECT id, u.pos AS pos, u.ch AS ch, u.bh AS bh FROM g),
+         |cb AS (SELECT bh, ch, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM r WHERE id % 7 = 0 GROUP BY bh, ch),
+         |cc AS (SELECT ch, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         |       FROM cb GROUP BY ch),
+         |v AS (SELECT greatest(1, count(DISTINCT tok)) AS vc FROM
+         |      (SELECT unnest(toks) AS tok FROM tk WHERE id % 7 = 0)),
+         |p AS (SELECT r.id, r.pos,
+         |      (coalesce(cb.cnt, 0) + 1.0e0) /
+         |        (coalesce(cc.ctx_cnt, 0) + 1.0e0 * vc) AS p
+         |      FROM r LEFT JOIN cb ON r.bh = cb.bh AND r.ch = cb.ch
+         |             LEFT JOIN cc ON r.ch = cc.ch CROSS JOIN v),
+         |sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(p ORDER BY pos, p)), (a, b) -> a + b) AS sum_prob
+         |      FROM p GROUP BY id),
+         |b AS (SELECT sc.id, tk.source, n_bigrams, sum_prob,
+         |    sum_prob / n_bigrams AS avg_prob,
+         |    CAST(least(greatest(floor(
+         |      (-(sum_prob / n_bigrams) - (-1.0e0)) / 0.0625e0), 0), 15)
+         |      AS INT) AS k
+         |  FROM sc JOIN tk ON sc.id = tk.id
+         |  WHERE tk.source IS NOT NULL),
+         |c AS (SELECT source, k, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY source, k),
+         |cm AS (SELECT source, k, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY k) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n FROM c),
+         |bq AS (SELECT unnest([1, 2]) AS bq),
+         |cut0 AS (SELECT source, bq,
+         |    min(CASE WHEN cum >= (bq * n) // 3 THEN k END) AS mk,
+         |    max((bq * n) // 3) AS rb
+         |  FROM cm CROSS JOIN bq GROUP BY source, bq),
+         |cut AS (SELECT source,
+         |    CASE WHEN rb >= 1 THEN mk ELSE -1 END AS ck FROM cut0),
+         |f AS (SELECT b.id, b.source, b.n_bigrams, b.sum_prob,
+         |    b.avg_prob,
+         |    CAST(1 + sum(CASE WHEN c.ck < b.k THEN 1 ELSE 0 END)
+         |      AS INT) AS bucket
+         |  FROM b JOIN cut c ON b.source = c.source
+         |  GROUP BY b.id, b.source, b.n_bigrams, b.sum_prob,
+         |    b.avg_prob, b.k)
+         |SELECT id, source, n_bigrams, sum_prob, avg_prob, bucket,
+         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS tier
+         |FROM f
          |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // stupid-backoff: seen bigrams score f(cw)/f(c) exactly; unseen

@@ -474,4 +474,47 @@ object LanguageModel {
     }
     bucketed.withColumn("tier", tier).drop("__key")
   }
+
+  /** [[ccnetBuckets]] at UNBOUNDED group cardinality — per-DOMAIN
+    * quality tiers over a 50M-domain crawl, where the exact grouped
+    * cut's `maxGroups`/driver-histogram gates cannot go. Same scoring
+    * chain ([[bigramLmScores]]), but the group-local rank cut runs
+    * through [[DataSelection.approxGroupedRankBuckets]]: a per-group
+    * fixed-bin sketch over the caller-supplied `[keyLo, keyHi]` rank-
+    * key envelope, cut at sketch level, no per-group driver state.
+    * The tier boundary therefore lands within one bin width
+    * (keyHi−keyLo)/nBins of the exact boundary key; docs outside
+    * every cut bin get exactly the tier the exact engine assigns, and
+    * tier assignment is a deterministic function of (group, bin) —
+    * partitioning/tie/merge-order-free, bit-replicable cross-engine
+    * (q_ccnet_domain).
+    *
+    * The rank key follows [[ccnetBuckets]]: `log_ppl` ascending by
+    * default (envelope in perplexity units, e.g. [0, 20]);
+    * `byExactProb = true` keys on −avg_prob — bounded in [−1, 0] by
+    * construction (bigram probabilities lie in (0, 1]), so that pair
+    * is the natural envelope. Docs with a NULL group are excluded;
+    * docs with no bigrams have no score, as in [[ccnetBuckets]].
+    */
+  def ccnetBucketsApprox(docs: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, groupCol: String, keyLo: Double,
+      keyHi: Double, nBuckets: Int = 3, alpha: Double = 1.0,
+      byExactProb: Boolean = false, nBins: Int = 4096): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val scored0 = bigramLmScores(docs, target, idCol, textCol, alpha)
+      .withColumn("__key",
+        if (byExactProb) negate(col("avg_prob")) else col("log_ppl"))
+    val gTab = docs.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as(groupCol))
+    val tier =
+      if (nBuckets == 3)
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail")
+      else concat(lit("b"), col("bucket").cast("string"))
+    DataSelection.approxGroupedRankBuckets(
+      scored0.join(gTab, Seq("id")), groupCol, "__key", nBuckets,
+      lo = keyLo, hi = keyHi, ascending = true, nBins = nBins)
+      .withColumn("tier", tier)
+      .drop("__key")
+  }
 }

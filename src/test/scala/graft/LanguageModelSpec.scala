@@ -327,4 +327,47 @@ class LanguageModelSpec extends AnyFunSuite with BeforeAndAfterAll {
         nBuckets = 0)
     }
   }
+
+  test("ccnetBucketsApprox: sketch tiers equal the exact grouped cut " +
+      "when bins separate the keys; deterministic; labels; guards") {
+    import org.apache.spark.sql.functions.col
+    val target = docsDf((100L, "a b a b a b c"), (101L, "a b c a b"))
+    val docs = docsDf(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "a b x"),
+      (4L, "x y a b"), (5L, "x y z"), (6L, "q r s t"),
+      (7L, "solo")) // no bigrams: excluded
+      .withColumn("grp", (col("doc_id") % 2).cast("string"))
+    val exact = LanguageModel.ccnetBuckets(docs, target, "doc_id",
+        "text", byExactProb = true, histBins = 8,
+        groupCol = Some("grp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("bucket"), r.getAs[String]("tier"))).toMap
+    // fine bins: every distinct −avg_prob key lands in its own bin,
+    // so each cut bin holds exactly the boundary doc and the sketch
+    // reproduces the exact grouped tiers doc-for-doc
+    val approx = LanguageModel.ccnetBucketsApprox(docs, target,
+        "doc_id", "text", "grp", keyLo = -1.0, keyHi = 0.0,
+        byExactProb = true, nBins = 4096)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("bucket"), r.getAs[String]("tier"))).toMap
+    assert(approx == exact, s"$approx vs $exact")
+    assert(approx.size == 6) // doc 7 has no score
+    // deterministic across partitionings (the sketch cut is a pure
+    // function of (group, bin))
+    val re = LanguageModel.ccnetBucketsApprox(docs.repartition(7),
+        target, "doc_id", "text", "grp", keyLo = -1.0, keyHi = 0.0,
+        byExactProb = true, nBins = 4096)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("bucket"), r.getAs[String]("tier"))).toMap
+    assert(re == approx)
+    // non-3 bucket counts label b<k>
+    val two = LanguageModel.ccnetBucketsApprox(docs, target, "doc_id",
+      "text", "grp", keyLo = -1.0, keyHi = 0.0, nBuckets = 2,
+      byExactProb = true, nBins = 4096).collect()
+    assert(two.forall(r => Set("b1", "b2")(r.getAs[String]("tier"))))
+    intercept[IllegalArgumentException] {
+      LanguageModel.ccnetBucketsApprox(docs, target, "doc_id", "text",
+        "grp", keyLo = 0.0, keyHi = 0.0)
+    }
+  }
 }

@@ -664,6 +664,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       // sketch-level exchanges (AQE pairs)
       s"approx-rank plan grew extra exchanges ($agrExchanges):\n$agrPlan")
 
+    // per-domain ccnet through the sketch cut: the full scoring chain
+    // plus the approx engine — still no global sort and no
+    // unpartitioned window anywhere
+    val ccd = SparkEntry.queries("q_ccnet_domain")(spark, sf)
+    ccd.collect()
+    val ccdPlan = ccd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!ccdPlan.contains("rangepartitioning"),
+      s"global sort in the per-domain ccnet plan:\n$ccdPlan")
+    val ccdUnpart = ccd.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.partitionSpec.isEmpty => wn
+    }
+    assert(ccdUnpart.isEmpty, s"unpartitioned window:\n$ccdPlan")
+
     // perceptual image near-dup: candidates come from the banded
     // (block, block_val) bucket shuffle — never a cartesian/all-pairs
     // scan, never a sort
