@@ -1329,6 +1329,40 @@ object ScaleSmoke {
         f"(${nImg / tIp}%.0f imgs/s), " +
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     }
+
+    // --- approxGroupedRankBuckets at 100k groups: the crawl-scale
+    // rank-cut engine with a closed-form planted answer. 100k domains
+    // x 10 docs, scores 0..9 within each; 16 bins over [0, 10] give
+    // every distinct score its own bin, so the sketch cut equals the
+    // exact engine's ceil(rank*4/10) — per-group bucket sizes
+    // {2, 3, 2, 3}. No per-group driver state: heap stays flat while
+    // group cardinality is 25x the exact engine's maxGroups gate.
+    {
+      val nAgr = 1000000L
+      val t80 = System.nanoTime()
+      val agrDocs = spark.range(nAgr).select(col("id"),
+        (col("id") / 10).cast("long").cast("string").as("domain"),
+        (col("id") % 10).cast("double").as("score"))
+      val agrCut = graft.operators.DataSelection.approxGroupedRankBuckets(
+        agrDocs, "domain", "score", 4, lo = 0.0, hi = 10.0, nBins = 16)
+      // bucket is a pure function of (group, bin) and every domain has
+      // the same score set -> exactly 10 (score, bucket) pairs, each
+      // holding all 100k domains
+      val agrAgg = agrCut.groupBy(col("score"), col("bucket")).count()
+        .collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val tAgr = (System.nanoTime() - t80) / 1e9
+      require(agrAgg.size == 10, s"agr pairs ${agrAgg.size}: $agrAgg")
+      val agrExpect = Map(0.0 -> 1, 1.0 -> 1, 2.0 -> 2, 3.0 -> 2,
+        4.0 -> 2, 5.0 -> 3, 6.0 -> 3, 7.0 -> 4, 8.0 -> 4, 9.0 -> 4)
+      for ((s2, b) <- agrExpect)
+        require(agrAgg.get((s2, b)).contains(nAgr / 10),
+          s"agr score $s2 bucket $b: ${agrAgg.filter(_._1._1 == s2)}")
+      println(f"approxGroupRank: $nAgr docs x ${nAgr / 10} domains -> " +
+        f"4 tiers (per-group sizes 2/3/2/3, closed form exact) in " +
+        f"$tAgr%.1f s (${nAgr / tAgr}%.0f docs/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
     spark.stop()
   }
 }
