@@ -1123,6 +1123,23 @@ object SparkEntry {
           Multimodal.aHash64(col("grid")).as("sig")),
         "id", "sig", maxDistance = 3)),
 
+    // image snapshot admission — the cross-side Hamming kernel behind
+    // the persisted image signature index: corpus = the first 32
+    // planted classes, snapshot = the perturbed ids; an id is admitted
+    // iff no corpus signature is within distance 3. Cross-side-only
+    // candidates + exact bit_count — replicated in DuckDB as a block
+    // join + NOT IN
+    "q_image_admission" -> ((s, dir) => {
+      val sigs = syntheticLumaGrids(t(s, dir, "documents"))
+        .select(col("id"), Multimodal.dHash64(col("grid")).as("sh"))
+      val corpus = sigs.filter(col("id") < 32)
+      val snap = sigs.filter(col("id") >= 250)
+      val matched = Dedup.hamming64CrossMatches(corpus, snap,
+        maxDistance = 3, maxBucket = 1000)
+      snap.select(col("id"))
+        .join(matched, snap("id") === matched("b"), "left_anti")
+    }),
+
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
     // so the oracle compare is representation-safe
@@ -3245,6 +3262,37 @@ object SparkEntry {
         |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
         |    AND x.id < y.id)
         |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // image snapshot admission: the same dHash signatures, split
+    // corpus (< 32) / snapshot (>= 250); cross-side block-bucket join
+    // + exact bit_count match, admitted = snapshot ids with no match
+    "q_image_admission" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CASE WHEN doc_id >= 250 THEN 50 ELSE 0 END AS pert
+        |  FROM documents),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN
+        |        (base * 2654435761 + (i // 8) * 131 + (i % 8) * 17 +
+        |          CASE WHEN i = 0 THEN pert ELSE 0 END) % 256 >
+        |        (base * 2654435761 + (i // 8) * 131 + ((i % 8) + 1) * 17)
+        |          % 256
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM g)),
+        |blk AS (SELECT unnest([0, 1, 2, 3]) AS blk),
+        |cbv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN blk WHERE id < 32),
+        |sbv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN blk WHERE id >= 250),
+        |m AS (SELECT DISTINCT y.id AS id
+        |  FROM cbv x JOIN sbv y ON x.blk = y.blk AND x.bval = y.bval
+        |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
+        |SELECT id FROM s
+        |WHERE id >= 250 AND id NOT IN (SELECT id FROM m)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // grouped rank buckets: the same ceil(rank·B/n) contract under

@@ -570,6 +570,51 @@ object Dedup {
       .filter(col("distance") <= maxDistance)
   }
 
+  /** Cross-side Hamming matching over 64-bit signatures: the distinct
+    * ids of `snapSigs` (id, sh) within `maxDistance` of ANY signature
+    * in `corpusSigs` — the admission kernel behind
+    * [[Multimodal.incrementalImageNearDedup]]. Candidate pairs are
+    * generated CROSS-SIDE ONLY (a self-join would enumerate the
+    * corpus's own near-dup pairs — at 100 TB almost all the work —
+    * only to discard them; a bucket with no snapshot member
+    * contributes nothing), exact bit_count verifies, same block
+    * pigeonhole and bucket caps as [[hamming64NearDupPairs]]. Returns
+    * one column `b` (matched snapshot ids).
+    */
+  private[graft] def hamming64CrossMatches(corpusSigs: DataFrame,
+      snapSigs: DataFrame, maxDistance: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"block pigeonhole over 4 blocks covers maxDistance <= 3, " +
+        s"got $maxDistance")
+    val tagged = corpusSigs
+      .select(col("id").cast("long").as("id"),
+        col("sh").cast("long").as("sh"), lit(0L).as("side"))
+      .unionByName(snapSigs.select(col("id").cast("long").as("id"),
+        col("sh").cast("long").as("sh"), lit(1L).as("side")))
+    val blocks = tagged.select(col("id"), col("sh"), col("side"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("sh"), i * 16)
+          .bitwiseAND(0xFFFFL))))
+      .toDF("id", "sh", "side", "block", "block_val")
+    val bounded = TopK.boundedCollect[(Long, Long, Long)](maxBucket)
+    val buckets = observeBuckets(
+      blocks.groupBy(col("block"), col("block_val"))
+        .agg(bounded(col("id"), col("sh"), col("side")).as("ms")),
+      "hamming64_cross", size(col("ms")), maxBucket)
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    buckets
+      .select(explode(col("ms")).as("m1"), col("ms"))
+      .filter(col("m1._3") === 0L)
+      .select(col("m1"), explode(col("ms")).as("m2"))
+      .filter(col("m2._3") === 1L)
+      .select(col("m2._1").as("b"),
+        bit_count(col("m1._2").bitwiseXOR(col("m2._2"))).cast("long")
+          .as("distance"))
+      .filter(col("distance") <= maxDistance)
+      .select(col("b")).distinct()
+  }
+
   /** Semantic near-duplicate pairs via embedding clustering — SemDeDup
     * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication"): k-means clusters bound the
@@ -938,7 +983,7 @@ object Dedup {
     fs.create(marker, true).close()
   }
 
-  private val CommitMarker = "_graft_committed"
+  private[graft] val CommitMarker = "_graft_committed"
 
   /** All parquet paths for one side (`bands` | `grams`) of a near-dup
     * index: the base build plus every COMMITTED append batch, in
@@ -946,7 +991,7 @@ object Dedup {
     * crash leftovers between an append's two writes — are excluded,
     * which is what makes [[appendToNearDupIndex]] transactional.
     */
-  private def indexSidePaths(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def indexSidePaths(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, side: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val batches = new org.apache.hadoop.fs.Path(indexPath, "batches")

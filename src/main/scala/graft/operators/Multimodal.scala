@@ -462,4 +462,140 @@ object Multimodal {
           .agg(min(col("distance")).as("distance"))
     }
   }
+
+  // ---- persisted image signature index (build once, admit many) ----
+
+  private val ImageIndexSidecar = "_graft_image_index_params.json"
+
+  private def imageIndexParamsJson(hashKind: String): String =
+    Seq("kind" -> "image_near_dup", "hashKind" -> hashKind,
+      "grid" -> "9x8")
+      .map { case (k, v) =>
+        s"${graft.JsonStr(k)}:${graft.JsonStr(v)}" }
+      .mkString("{", ",", "}")
+
+  private def readImageIndexParams(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      who: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(indexPath, ImageIndexSidecar)
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"$who: $indexPath has no $ImageIndexSidecar — not a " +
+        "writeImageNearDupIndex artifact (or the sidecar was " +
+        "deleted); rebuild the index")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The per-image signature rows (id, sh) of decoded payloads under
+    * one hash kind — the shared kernel of the index writers and the
+    * admission path (identical frames on both, so indexed admission ≡
+    * re-hashing the corpus by construction).
+    */
+  private def imageSigs(df: DataFrame, idCol: String, binCol: String,
+      hashKind: String): DataFrame = {
+    val h: Column => Column =
+      if (hashKind == "dhash") dHash64 else aHash64
+    luminanceGrids(df, idCol, binCol, gw = 9, gh = 8).toDF()
+      .filter(col("decoded"))
+      .select(col("id"), h(col("grid")).as("sh"))
+  }
+
+  /** Persist the corpus side of perceptual image dedup as a REUSABLE
+    * index: the 64-bit signatures of every decodable payload plus a
+    * fail-loud params sidecar recording the hash kind. At 100 TB the
+    * corpus-side DECODE dominates every snapshot admission — a daily
+    * image re-crawl against a static corpus re-decodes the whole
+    * corpus each run unless the signatures are an artifact; this
+    * makes them one (build once, admit many — the
+    * [[Dedup.writeNearDupIndex]] lifecycle for images, at 8 bytes per
+    * indexed image). `hashKind` is `"dhash"` or `"ahash"` (an index
+    * stores ONE signature family; build two indexes for a dual-vote
+    * setup). A rebuild drops any append batches from a previous index
+    * generation.
+    */
+  def writeImageNearDupIndex(corpus: DataFrame, idCol: String,
+      binCol: String, path: String, hashKind: String = "dhash"): Unit = {
+    require(Set("dhash", "ahash")(hashKind),
+      s"writeImageNearDupIndex: hashKind must be dhash|ahash, " +
+        s"got '$hashKind'")
+    imageSigs(corpus, idCol, binCol, hashKind)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    val batches = new org.apache.hadoop.fs.Path(path, "batches")
+    val bfs = batches.getFileSystem(conf)
+    if (bfs.exists(batches)) bfs.delete(batches, true)
+    val p = new org.apache.hadoop.fs.Path(path, ImageIndexSidecar)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(imageIndexParamsJson(hashKind).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Extend a [[writeImageNearDupIndex]] artifact with newly-admitted
+    * images — admit → append → the next snapshot dedups against
+    * corpus + admissions, without rebuilding. The batch stages under
+    * `batches/<id>/` and becomes visible only when the atomic
+    * `_graft_committed` marker lands ([[Dedup.appendToNearDupIndex]]'s
+    * transactional contract); the sidecar's hash kind is validated
+    * fail-loud first (signatures hashed under a different family
+    * would silently never match). Caller contract: ids disjoint from
+    * the indexed corpus.
+    */
+  def appendToImageNearDupIndex(newImages: DataFrame, idCol: String,
+      binCol: String, indexPath: String,
+      hashKind: String = "dhash"): Unit = {
+    val spark = newImages.sparkSession
+    val persisted = readImageIndexParams(spark, indexPath,
+      "appendToImageNearDupIndex")
+    require(persisted == imageIndexParamsJson(hashKind),
+      s"appendToImageNearDupIndex: index at $indexPath was built " +
+        s"under $persisted, requested " +
+        s"${imageIndexParamsJson(hashKind)} — rebuild the index or " +
+        "match its parameters")
+    val batchId = java.util.UUID.randomUUID().toString
+    val batchDir = s"$indexPath/batches/$batchId"
+    imageSigs(newImages, idCol, binCol, hashKind)
+      .write.mode("overwrite").parquet(s"$batchDir/sigs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(batchDir,
+      Dedup.CommitMarker)
+    marker.getFileSystem(conf).create(marker, true).close()
+  }
+
+  /** Admit a snapshot of images against a [[writeImageNearDupIndex]]
+    * artifact: drop every snapshot image whose signature is within
+    * `maxDistance` of ANY indexed signature; keep the rest (all input
+    * columns). The corpus side is a READ of 8-byte signatures — no
+    * decode; the snapshot side decodes once. Candidates come from the
+    * cross-side 16-bit block pigeonhole ([[Dedup.hamming64CrossMatches]]
+    * — a bucket with no snapshot member contributes nothing), exact
+    * bit_count verifies. Undecodable snapshot payloads carry no
+    * perceptual signature and are ADMITTED — route them through
+    * exact-byte dedup ([[Dedup.incrementalDedup]] on [[contentMd5]]),
+    * as [[imageNearDupPairs]] documents. Within-snapshot near-dups
+    * are out of scope — compose with [[imageNearDupPairs]] +
+    * [[Dedup.nearDedup]] on the snapshot first.
+    */
+  def incrementalImageNearDedup(snapshot: DataFrame, idCol: String,
+      binCol: String, indexPath: String, maxDistance: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = snapshot.sparkSession
+    val persisted = readImageIndexParams(spark, indexPath,
+      "incrementalImageNearDedup")
+    val m = java.util.regex.Pattern
+      .compile("\"hashKind\":\"(dhash|ahash)\"").matcher(persisted)
+    require(m.find(),
+      s"incrementalImageNearDedup: malformed sidecar: $persisted")
+    val hashKind = m.group(1)
+    val corpusSigs = spark.read.parquet(
+      Dedup.indexSidePaths(spark, indexPath, "sigs"): _*)
+    val snapSigs = imageSigs(snapshot, idCol, binCol, hashKind)
+    val matched = Dedup.hamming64CrossMatches(corpusSigs, snapSigs,
+      maxDistance, maxBucket)
+    snapshot.join(matched, snapshot(idCol) === matched("b"),
+      "left_anti")
+  }
 }

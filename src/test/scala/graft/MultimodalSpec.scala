@@ -273,6 +273,75 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("image near-dup index: build once / admit many; appends are " +
+      "transactional (uncommitted batches invisible); fail-loud on " +
+      "hash-kind mismatch and missing sidecar; rebuild drops batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-img-idx").toString
+    val corpus = Seq(
+      (1L, encode(patternImage(1), "png")),
+      (2L, encode(patternImage(2), "png")),
+      (3L, encode(patternImage(5), "png")),
+      (4L, junk)) // undecodable: contributes no signature
+      .toDF("id", "content")
+    Multimodal.writeImageNearDupIndex(corpus, "id", "content", dir)
+    // snapshot: a JPEG twin of corpus img1 (near-dup -> dropped), a
+    // genuinely new image (admitted), an undecodable payload (no
+    // perceptual signature -> admitted; exact-byte dedup's job)
+    val snap1 = Seq(
+      (10L, encode(patternImage(1), "jpg")),
+      (11L, encode(patternImage(9), "png")),
+      (12L, junk)).toDF("id", "content")
+    val adm1 = Multimodal.incrementalImageNearDedup(snap1, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(adm1 == Set(11L, 12L), adm1.toString)
+    // append the admitted images; the NEXT snapshot dedups against
+    // corpus + admissions without any rebuild
+    Multimodal.appendToImageNearDupIndex(snap1.filter(col("id") >= 11),
+      "id", "content", dir)
+    val snap2 = Seq(
+      (20L, encode(patternImage(9), "jpg")), // twin of appended 11
+      (21L, encode(patternImage(12), "png"))).toDF("id", "content")
+    val adm2 = Multimodal.incrementalImageNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(adm2 == Set(21L), adm2.toString)
+    // transactional: a staged batch WITHOUT the commit marker is
+    // invisible; the same batch becomes visible the instant the
+    // marker lands
+    val sig21 = Multimodal.luminanceGrids(
+      Seq((999L, encode(patternImage(12), "png"))).toDF("id", "content"),
+      "id", "content", gw = 9, gh = 8).toDF()
+      .select(col("id"), Multimodal.dHash64(col("grid")).as("sh"))
+    sig21.write.parquet(s"$dir/batches/staged-test/sigs")
+    val admStaged = Multimodal.incrementalImageNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(admStaged == Set(21L),
+      s"uncommitted batch leaked into admission: $admStaged")
+    new java.io.File(s"$dir/batches/staged-test/_graft_committed")
+      .createNewFile()
+    val admCommitted = Multimodal.incrementalImageNearDedup(snap2,
+      "id", "content", dir).collect().map(_.getLong(0)).toSet
+    assert(admCommitted == Set.empty,
+      s"committed batch not read: $admCommitted")
+    // fail-loud: hash-kind mismatch on append; not-an-index path
+    intercept[IllegalArgumentException] {
+      Multimodal.appendToImageNearDupIndex(snap2, "id", "content",
+        dir, hashKind = "ahash")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.incrementalImageNearDedup(snap2, "id", "content",
+        java.nio.file.Files.createTempDirectory("graft-img-noidx")
+          .toString)
+    }
+    // rebuild: batches from the previous generation are dropped, so
+    // the twin of (no-longer-indexed) image 11 is admitted again
+    Multimodal.writeImageNearDupIndex(corpus, "id", "content", dir)
+    val adm3 = Multimodal.incrementalImageNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(adm3 == Set(20L, 21L), adm3.toString)
+  }
+
   test("dHash64/aHash64: known grids produce the documented bit " +
       "patterns; luminanceGrids box-samples exactly") {
     import spark.implicits._
