@@ -918,6 +918,16 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     TopK.requireIntegral(corpus, idCol, "writeNearDupIndex")
     graft.expressions.TextHashExprs.register(corpus.sparkSession)
+    val conf0 = corpus.sparkSession.sparkContext.hadoopConfiguration
+    // delete the sidecar BEFORE touching data (the TokenizerArtifacts
+    // overwrite contract): a crash mid-rewrite — between the bands and
+    // grams overwrites, say — leaves an index with no sidecar, which
+    // every reader rejects, instead of a stale sidecar blessing
+    // mixed-generation parquet
+    val sc0 = new org.apache.hadoop.fs.Path(path,
+      "_graft_index_params.json")
+    val scFs = sc0.getFileSystem(conf0)
+    if (scFs.exists(sc0)) scFs.delete(sc0, false)
     val d = corpus
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     bandedRows(d, numHashes, bands)

@@ -521,14 +521,21 @@ object Multimodal {
     require(Set("dhash", "ahash")(hashKind),
       s"writeImageNearDupIndex: hashKind must be dhash|ahash, " +
         s"got '$hashKind'")
+    graft.operators.TopK.requireIntegral(corpus, idCol,
+      "writeImageNearDupIndex")
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    // delete the sidecar BEFORE touching data (the TokenizerArtifacts
+    // overwrite contract): a crash mid-rewrite leaves an index with no
+    // sidecar — rejected by every reader — never a stale sidecar over
+    // mixed-generation parquet
+    val p = new org.apache.hadoop.fs.Path(path, ImageIndexSidecar)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, false)
     imageSigs(corpus, idCol, binCol, hashKind)
       .write.mode("overwrite").parquet(s"$path/sigs")
-    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
     val batches = new org.apache.hadoop.fs.Path(path, "batches")
     val bfs = batches.getFileSystem(conf)
     if (bfs.exists(batches)) bfs.delete(batches, true)
-    val p = new org.apache.hadoop.fs.Path(path, ImageIndexSidecar)
-    val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try out.write(imageIndexParamsJson(hashKind).getBytes("UTF-8"))
     finally out.close()
@@ -547,6 +554,8 @@ object Multimodal {
   def appendToImageNearDupIndex(newImages: DataFrame, idCol: String,
       binCol: String, indexPath: String,
       hashKind: String = "dhash"): Unit = {
+    graft.operators.TopK.requireIntegral(newImages, idCol,
+      "appendToImageNearDupIndex")
     val spark = newImages.sparkSession
     val persisted = readImageIndexParams(spark, indexPath,
       "appendToImageNearDupIndex")
@@ -582,6 +591,8 @@ object Multimodal {
   def incrementalImageNearDedup(snapshot: DataFrame, idCol: String,
       binCol: String, indexPath: String, maxDistance: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    graft.operators.TopK.requireIntegral(snapshot, idCol,
+      "incrementalImageNearDedup")
     val spark = snapshot.sparkSession
     val persisted = readImageIndexParams(spark, indexPath,
       "incrementalImageNearDedup")
