@@ -1275,42 +1275,48 @@ object ScaleSmoke {
       val nImg = args.drop(1).headOption.map(_.toInt).getOrElse(1000000)
       import spark.implicits._
       val t70 = System.nanoTime()
-      val imgs = spark.range(nImg).repartition(64)
-        .mapPartitions { it =>
-          def mix(a: Long): Long = {
-            var x = a
-            x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-            x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-            x ^= x >>> 33; x
-          }
-          it.map { id =>
-            val cls = id / 2
-            val bump = if (id % 2 == 1) 5 else 0
-            // 18x16 image, one 2x2 pixel block per 9x8 grid cell —
-            // the box average reproduces the cell value exactly
-            val bi = new java.awt.image.BufferedImage(18, 16,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var cy = 0
-            while (cy < 8) {
-              var cx = 0
-              while (cx < 9) {
-                val v = 30 +
-                  ((mix(cls * 97 + cy * 9 + cx) & Long.MaxValue) % 171)
-                    .toInt + bump
-                val rgb = (v << 16) | (v << 8) | v
-                bi.setRGB(cx * 2, cy * 2, rgb)
-                bi.setRGB(cx * 2 + 1, cy * 2, rgb)
-                bi.setRGB(cx * 2, cy * 2 + 1, rgb)
-                bi.setRGB(cx * 2 + 1, cy * 2 + 1, rgb)
-                cx += 1
-              }
-              cy += 1
+      // pairMode: cls = id/2 and odd ids get +5 brightness (dHash-
+      // invariant twins); otherwise cls = id (every image its own
+      // class — class ids >= nImg never collide with pair classes)
+      def mkImgs(n0: Long, n1: Long, pairMode: Boolean) =
+        spark.range(n0, n1).repartition(64)
+          .mapPartitions { it =>
+            def mix(a: Long): Long = {
+              var x = a
+              x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+              x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+              x ^= x >>> 33; x
             }
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(bi, "png", out)
-            (id, out.toByteArray)
-          }
-        }.toDF("id", "content")
+            it.map { id =>
+              val idL: Long = id
+              val cls = if (pairMode) idL / 2 else idL
+              val bump = if (pairMode && idL % 2 == 1) 5 else 0
+              // 18x16 image, one 2x2 pixel block per 9x8 grid cell —
+              // the box average reproduces the cell value exactly
+              val bi = new java.awt.image.BufferedImage(18, 16,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 9) {
+                  val v = 30 +
+                    ((mix(cls * 97 + cy * 9 + cx) & Long.MaxValue) % 171)
+                      .toInt + bump
+                  val rgb = (v << 16) | (v << 8) | v
+                  bi.setRGB(cx * 2, cy * 2, rgb)
+                  bi.setRGB(cx * 2 + 1, cy * 2, rgb)
+                  bi.setRGB(cx * 2, cy * 2 + 1, rgb)
+                  bi.setRGB(cx * 2 + 1, cy * 2 + 1, rgb)
+                  cx += 1
+                }
+                cy += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(bi, "png", out)
+              (idL, out.toByteArray)
+            }
+          }.toDF("id", "content")
+      val imgs = mkImgs(0L, nImg, pairMode = true)
       val imgPairs = graft.operators.Multimodal.imageNearDupPairs(
         imgs, "id", "content")
       // exact expected pair set: count == classes, every distance 0,
@@ -1328,6 +1334,41 @@ object ScaleSmoke {
         f"${nImg / 2} planted twin pairs found exactly in $tIp%.1f s " +
         f"(${nImg / tIp}%.0f imgs/s), " +
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+      // index lifecycle at the same scale: persist the even-id half
+      // as the corpus signature index, then admit a snapshot of the
+      // odd-id twins (every one within distance 0 of an indexed
+      // signature -> dropped) plus nImg/10 genuinely fresh images
+      // (own classes -> admitted). The admission's corpus side reads
+      // 8-byte signatures — no re-decode of the 500k corpus images.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-img-idx").toString
+      val t71 = System.nanoTime()
+      graft.operators.Multimodal.writeImageNearDupIndex(
+        imgs.filter(col("id") % 2 === 0), "id", "content", idxDir)
+      val tIdxBuild = (System.nanoTime() - t71) / 1e9
+      val t72 = System.nanoTime()
+      val snap = imgs.filter(col("id") % 2 === 1)
+        .unionByName(mkImgs(nImg, nImg + nImg / 10L, pairMode = false))
+      val admitted = graft.operators.Multimodal
+        .incrementalImageNearDedup(snap, "id", "content", idxDir)
+        .agg(count(lit(1)), min(col("id")), max(col("id")))
+        .collect()(0)
+      val tAdmit = (System.nanoTime() - t72) / 1e9
+      require(admitted.getLong(0) == nImg / 10L,
+        s"imageAdmit count ${admitted.getLong(0)} != ${nImg / 10}")
+      require(admitted.getLong(1) == nImg &&
+        admitted.getLong(2) == nImg + nImg / 10L - 1,
+        s"imageAdmit ids [${admitted.getLong(1)}, " +
+          s"${admitted.getLong(2)}] not the fresh range")
+      println(f"imageIndex: ${nImg / 2} sigs indexed in " +
+        f"$tIdxBuild%.1f s; ${nImg / 2 + nImg / 10} snapshot admitted " +
+        f"-> exactly ${nImg / 10} fresh in $tAdmit%.1f s " +
+        f"(${(nImg / 2 + nImg / 10) / tAdmit}%.0f imgs/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p2 => java.nio.file.Files.delete(p2))
     }
 
     // --- approxGroupedRankBuckets at 100k groups: the crawl-scale

@@ -342,6 +342,53 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(adm3 == Set(20L, 21L), adm3.toString)
   }
 
+  test("streamingImageNearDedup: indexed twins dropped across " +
+      "batches; fresh and undecodable admitted once the watermark " +
+      "passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-img-stream-idx").toString
+    val corpus = Seq(
+      (100L, encode(patternImage(1), "png")),
+      (101L, encode(patternImage(2), "png"))).toDF("id", "content")
+    Multimodal.writeImageNearDupIndex(corpus, "id", "content", dir)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val df = mem.toDF().toDF("id", "ts", "content")
+    val q = Multimodal.streamingImageNearDedup(df, "id", "content",
+        "ts", dir, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("stream_img")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: a JPEG twin of indexed img 100 (dropped) and a
+      // genuinely new image (admitted)
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:00"), encode(patternImage(1), "jpg")),
+        (2L, ts("2024-01-01 00:00:01"), encode(patternImage(9), "png")))
+      q.processAllAvailable()
+      // batch 2: a twin of indexed img 101 (dropped) and an
+      // undecodable payload (no perceptual signature -> admitted)
+      mem.addData(
+        (3L, ts("2024-01-01 00:00:02"), encode(patternImage(2), "jpg")),
+        (4L, ts("2024-01-01 00:00:03"), junk))
+      q.processAllAvailable()
+      // advance the watermark so the append-mode aggregation emits
+      // (two triggers: one carries the new max event time, the next
+      // emits below the new watermark)
+      mem.addData((99L, ts("2024-01-01 01:00:00"),
+        encode(patternImage(13), "png")))
+      q.processAllAvailable()
+      mem.addData((98L, ts("2024-01-01 01:00:01"),
+        encode(patternImage(14), "png")))
+      q.processAllAvailable()
+      val ids = spark.table("stream_img").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("dHash64/aHash64: known grids produce the documented bit " +
       "patterns; luminanceGrids box-samples exactly") {
     import spark.implicits._
