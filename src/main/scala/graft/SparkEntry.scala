@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{CorpusAnalysis, CorpusPrep, DataSelection, Dedup, HtmlExtract, LanguageModel, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, WebCorpus}
+import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, HtmlExtract, LanguageModel, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, WebCorpus}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -176,6 +176,31 @@ object SparkEntry {
           when(col("doc_id") >= 250 && y === 0 && x === 0, 50L)
             .otherwise(0L), lit(256L)).cast("int")))
     docs.select(col("doc_id").as("id"), grid.as("grid"))
+      .localCheckpoint(true)
+  }
+
+  /** Synthetic 16-bit PCM sample arrays from pure doc_id arithmetic —
+    * the audio analog of [[syntheticLumaGrids]]. Values land exactly in
+    * [-32768, 32767] (they ARE valid PCM — AudioSpec decodes a real WAV
+    * carrying this stream to these samples bit-exactly), so the REAL
+    * expression operators (windowEnergies, statsColumns,
+    * audioFingerprint64) run over them and every step replicates in
+    * DuckDB integer arithmetic. `classed = true` plants near-dup
+    * classes (base pattern doc_id % 64, ids >= 250 perturb window 0 of
+    * 16 samples by +37 pre-mod); `classed = false` varies per doc for
+    * the stats query. Materialized for the same projection-collapse
+    * reason as the luma grids.
+    */
+  private def syntheticPcm(docs: DataFrame, n: Int,
+      classed: Boolean): DataFrame = {
+    val base =
+      if (classed) (col("doc_id") % 64).cast("long") else col("doc_id")
+    val samples = transform(sequence(lit(0), lit(n - 1)), k =>
+      (pmod(base * lit(2654435761L) + k.cast("long") * lit(40503L) +
+        (if (classed)
+          when(col("doc_id") >= 250 && k < 16, 37L).otherwise(0L)
+        else lit(0L)), lit(65536L)) - 32768L).cast("int"))
+    docs.select(col("doc_id").as("id"), samples.as("samples"))
       .localCheckpoint(true)
   }
 
@@ -1139,6 +1164,30 @@ object SparkEntry {
       snap.select(col("id"))
         .join(matched, snap("id") === matched("b"), "left_anti")
     }),
+
+    // exact audio stats, oracle-exact form: synthetic PCM streams
+    // (pure doc_id arithmetic, valid 16-bit samples — the real-WAV
+    // decode to the identical stream is spec-pinned in AudioSpec)
+    // through the REAL integer stats expressions: peak, zero
+    // crossings, total energy, 4 x 64-sample window energies
+    "q_audio_stats" -> ((s, dir) => {
+      val pcm = syntheticPcm(t(s, dir, "documents"), n = 256,
+        classed = false)
+      pcm.select(col("id") +:
+        Audio.statsColumns(col("samples"), window = 64, nWindows = 4): _*)
+    }),
+
+    // perceptual audio near-dup: planted class streams (65 windows x
+    // 16 samples) -> energy-gradient fingerprint -> the same
+    // block-pigeonhole pair machinery as the image path; every step
+    // exact integer, replicated in DuckDB HUGEINT arithmetic
+    "q_audio_near_dup" -> ((s, dir) =>
+      Dedup.hamming64NearDupPairs(
+        syntheticPcm(t(s, dir, "documents"), n = 65 * 16, classed = true)
+          .select(col("id"), Audio.audioFingerprint64(
+            Audio.windowEnergies(col("samples"), window = 16,
+              nWindows = 65)).as("sig")),
+        "id", "sig", maxDistance = 3)),
 
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
@@ -3293,6 +3342,68 @@ object SparkEntry {
         |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
         |SELECT id FROM s
         |WHERE id >= 250 AND id NOT IN (SELECT id FROM m)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // exact audio stats over the synthetic PCM streams: peak |s|,
+    // sign-bit zero crossings, total energy, 4 x 64-sample window
+    // energies — all BIGINT integer arithmetic
+    "q_audio_stats" ->
+      """WITH sm AS (SELECT doc_id AS id,
+        |    list_transform(generate_series(0, 255), k ->
+        |      ((doc_id * 2654435761 + k * 40503) % 65536) - 32768) AS s
+        |  FROM documents)
+        |SELECT id,
+        |  CAST(len(s) AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(s, x -> abs(x)))
+        |    AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(list_transform(generate_series(1, len(s) - 1),
+        |    i -> CASE WHEN (s[i] >= 0) != (s[i + 1] >= 0)
+        |    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(s, x -> x * x))
+        |    AS BIGINT) AS total_energy,
+        |  CAST(list_sum(list_transform(s[1:64], x -> x * x))
+        |    AS BIGINT) AS e1,
+        |  CAST(list_sum(list_transform(s[65:128], x -> x * x))
+        |    AS BIGINT) AS e2,
+        |  CAST(list_sum(list_transform(s[129:192], x -> x * x))
+        |    AS BIGINT) AS e3,
+        |  CAST(list_sum(list_transform(s[193:256], x -> x * x))
+        |    AS BIGINT) AS e4
+        |FROM sm
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // perceptual audio near-dup: the planted class streams -> 65
+    // window energies -> gradient-bit fingerprint (HUGEINT fold, same
+    // signed-64 wrap as the image hashes) -> identical block
+    // bucketing + bit_count verify
+    "q_audio_near_dup" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CASE WHEN doc_id >= 250 THEN 37 ELSE 0 END AS pert
+        |  FROM documents),
+        |sm AS (SELECT id, list_transform(generate_series(0, 1039),
+        |    k -> ((base * 2654435761 + k * 40503 +
+        |      CASE WHEN k < 16 THEN pert ELSE 0 END) % 65536) - 32768)
+        |    AS smp
+        |  FROM g),
+        |e AS (SELECT id, list_transform(generate_series(0, 64), w ->
+        |    list_sum(list_transform(smp[w * 16 + 1 : w * 16 + 16],
+        |      x -> CAST(x AS BIGINT) * x))) AS en
+        |  FROM sm),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN en[i + 1] > en[i + 2]
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM e)),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |p AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // grouped rank buckets: the same ceil(rank·B/n) contract under

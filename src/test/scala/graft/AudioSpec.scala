@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Audio
+
+/** Audio binary-column operators: RIFF/WAV chunk-walk header parse,
+  * 16-bit PCM mono-mixdown decode, exact integer window
+  * energies/stats expressions, and the energy-gradient fingerprint →
+  * Hamming-banded near-dup path. Every WAV here is REAL bytes built
+  * in-test (canonical headers, extra chunks, odd sizes, truncations).
+  */
+class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import java.io.ByteArrayOutputStream
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Real WAV bytes: RIFF container, optional junk chunks before fmt
+    * (LIST) and between fmt and data (odd-sized 'note' chunk + pad
+    * byte), 16-byte fmt, then interleaved 16-bit LE data.
+    */
+  private def wav(samples: Array[Short], channels: Int = 1,
+      rate: Int = 8000, format: Int = 1, extraChunks: Boolean = false,
+      overstateData: Int = 0): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    if (extraChunks) {
+      body.write("LIST".getBytes("ISO-8859-1"))
+      body.write(le32(4)); body.write("INFO".getBytes("ISO-8859-1"))
+    }
+    body.write("fmt ".getBytes("ISO-8859-1"))
+    body.write(le32(16))
+    body.write(le16(format)); body.write(le16(channels))
+    body.write(le32(rate.toLong))
+    body.write(le32(rate.toLong * channels * 2)) // byte rate
+    body.write(le16(channels * 2)) // block align
+    body.write(le16(16)) // bits
+    if (extraChunks) { // odd-sized chunk exercises word alignment
+      body.write("note".getBytes("ISO-8859-1"))
+      body.write(le32(3)); body.write("abc".getBytes("ISO-8859-1"))
+      body.write(0) // pad byte
+    }
+    body.write("data".getBytes("ISO-8859-1"))
+    body.write(le32(samples.length * 2L + overstateData))
+    samples.foreach(s => body.write(le16(s & 0xFFFF)))
+    val b = body.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    out.write(le32(4L + b.length))
+    out.write("WAVE".getBytes("ISO-8859-1"))
+    out.write(b)
+    out.toByteArray
+  }
+
+  private def df(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "content")
+  }
+
+  test("parseWavHeader: canonical mono, extra/odd chunks, truncation " +
+      "clamp, and non-RIFF fallback") {
+    val mono = wav(Array[Short](1, -2, 3, -4), rate = 8000)
+    val chunky = wav(Array.fill[Short](16000)(5), channels = 2,
+      rate = 16000, extraChunks = true)
+    val truncated = wav(Array[Short](1, 2, 3, 4), overstateData = 100)
+    val garbage = "not audio at all".getBytes("UTF-8")
+    val metas = Audio.parseWavHeader(
+      df(1L -> mono, 2L -> chunky, 3L -> truncated, 4L -> garbage),
+      "id", "content").collect().map(m => m.id -> m).toMap
+
+    val m1 = metas(1L)
+    assert(m1.parsed && m1.format == 1 && m1.sampleRate == 8000 &&
+      m1.channels == 1 && m1.bitsPerSample == 16 && m1.nFrames == 4L &&
+      m1.durationMs == 0L && m1.dataLen == 8L)
+
+    val m2 = metas(2L) // 16000 interleaved shorts = 8000 stereo frames
+    assert(m2.parsed && m2.channels == 2 && m2.sampleRate == 16000 &&
+      m2.nFrames == 8000L && m2.durationMs == 500L)
+
+    val m3 = metas(3L) // declared 108 bytes, 8 present -> clamped
+    assert(m3.parsed && m3.dataLen == 8L && m3.nFrames == 4L)
+
+    val m4 = metas(4L)
+    assert(!m4.parsed && m4.sampleRate == 0 && m4.nFrames == 0L)
+  }
+
+  test("decodePcm16: exact samples, floor-division stereo mixdown, " +
+      "maxFrames truncation, non-PCM fallback") {
+    val monoSamples = Array[Short](100, -200, 32767, -32768, 0)
+    val mono = wav(monoSamples)
+    // stereo frames: (1,2)->1, (-1,-2)->-2 (floorDiv), (5,-4)->0
+    val stereo = wav(Array[Short](1, 2, -1, -2, 5, -4), channels = 2)
+    val floatFmt = wav(Array[Short](1, 2, 3), format = 3)
+    val dec = Audio.decodePcm16(
+      df(1L -> mono, 2L -> stereo, 3L -> floatFmt), "id", "content")
+      .collect().map(d => d.id -> d).toMap
+
+    assert(dec(1L).decoded &&
+      dec(1L).samples.toSeq == monoSamples.map(_.toInt).toSeq)
+    assert(dec(2L).decoded && dec(2L).channels == 2 &&
+      dec(2L).samples.toSeq == Seq(1, -2, 0))
+    assert(!dec(3L).decoded && dec(3L).samples.isEmpty)
+
+    val capped = Audio.decodePcm16(df(1L -> mono), "id", "content",
+      maxFrames = 3).collect().head
+    assert(capped.samples.toSeq == Seq(100, -200, 32767) &&
+      capped.nFrames == 5L, "cap truncates samples, reports full count")
+  }
+
+  test("windowEnergies / zeroCrossings / fingerprint: exact integer " +
+      "values, zero-padded tail windows") {
+    import spark.implicits._
+    val d = Seq((1L, Seq(3, -4, 0, 2, 5))).toDF("id", "samples")
+    val r = d.select(
+      Audio.windowEnergies(col("samples"), window = 2, nWindows = 4)
+        .as("e"),
+      Audio.zeroCrossings(col("samples")).as("zc")).collect().head
+    assert(r.getSeq[Long](0) == Seq(25L, 4L, 25L, 0L),
+      "9+16, 0+4, 25+pad, pad-only window = 0")
+    // sign-bit transitions: 3 >=0, -4 <0, 0 >=0, 2 >=0, 5 >=0 -> 2
+    assert(r.getLong(1) == 2L)
+
+    // fingerprint: energies strictly decreasing -> all 64 bits set;
+    // strictly increasing -> none
+    val desc = (0 to 64).map(i => (1000L - i): java.lang.Long)
+    val asc = (0 to 64).map(i => (1000L + i): java.lang.Long)
+    val fp = Seq((desc, asc)).toDF("d", "a").select(
+      Audio.audioFingerprint64(col("d")).as("fd"),
+      Audio.audioFingerprint64(col("a")).as("fa")).collect().head
+    assert(fp.getLong(0) == -1L && fp.getLong(1) == 0L)
+  }
+
+  test("audioStats on real WAVs: exact planted metrics") {
+    val s = Array[Short](10, -10, 20, -20, 30, -30, 40, -40)
+    val stats = Audio.audioStats(df(1L -> wav(s, rate = 4000)),
+      "id", "content", window = 4, nWindows = 2).collect().head
+    assert(stats.getAs[Long]("n_samples") == 8L)
+    assert(stats.getAs[Long]("peak_abs") == 40L)
+    assert(stats.getAs[Long]("zero_crossings") == 7L)
+    assert(stats.getAs[Long]("total_energy") ==
+      s.map(x => x.toLong * x).sum)
+    assert(stats.getAs[Long]("e1") == (100L + 100 + 400 + 400) &&
+      stats.getAs[Long]("e2") == (900L + 900 + 1600 + 1600))
+    assert(stats.getAs[Int]("sample_rate") == 4000)
+  }
+
+  test("audioNearDupPairs: re-gained and one-window-perturbed copies " +
+      "found, distinct audio and undecodable payloads not") {
+    val rnd = new scala.util.Random(7)
+    // 65 windows x 16 frames; |s| <= 8000 so a 4x gain cannot clip
+    val base = Array.fill[Short](65 * 16)((rnd.nextInt(16001) - 8000).toShort)
+    val gained = base.map(x => (x * 4).toShort)
+    val perturbed = base.clone()
+    for (i <- 0 until 16) // rewrite window 0 only -> flips at most bit 0
+      perturbed(i) = ((base(i) / 2) + 31).toShort
+    val distinct = Array.fill[Short](65 * 16)((rnd.nextInt(16001) - 8000).toShort)
+    val pairs = Audio.audioNearDupPairs(
+      df(1L -> wav(base), 2L -> wav(gained), 3L -> wav(perturbed),
+        4L -> wav(distinct), 5L -> "junk".getBytes("UTF-8")),
+      "id", "content", window = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "uniform gain preserves the sig")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "one perturbed window is within the Hamming budget")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "distinct audio must not pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "undecodable payloads are excluded, not fabricated")
+  }
+
+  test("oracle fixture link: a real WAV carrying the synthetic stream " +
+      "decodes to exactly the expression-built samples") {
+    import spark.implicits._
+    // q_audio_stats stream for doc_id = 7: pmod(7*2654435761 + k*40503,
+    // 65536) - 32768, k in 0..255
+    val expect = Array.tabulate(256) { k =>
+      (Math.floorMod(7L * 2654435761L + k * 40503L, 65536L) - 32768L).toInt
+    }
+    val bytes = wav(expect.map(_.toShort))
+    val got = Audio.decodePcm16(df(7L -> bytes), "id", "content")
+      .collect().head
+    assert(got.decoded && got.samples.toSeq == expect.toSeq,
+      "the DuckDB-replicable synthetic stream IS real 16-bit PCM")
+  }
+}

@@ -690,5 +690,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !inpPlan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs scan in image near-dup plan:\n$inpPlan")
     assert(!inpPlan.contains("rangepartitioning"), inpPlan)
+
+    // perceptual audio near-dup rides the identical banded machinery:
+    // same no-all-pairs, no-sort contract
+    val anp = SparkEntry.queries("q_audio_near_dup")(spark, sf)
+    anp.collect()
+    val anpPlan = anp.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!anpPlan.contains("CartesianProduct") &&
+      !anpPlan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs scan in audio near-dup plan:\n$anpPlan")
+    assert(!anpPlan.contains("rangepartitioning"), anpPlan)
   }
 }
