@@ -54,16 +54,64 @@ object Audio {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          parseWav(bytes) match {
-            case Some(m) =>
-              WavMeta(id, m.format, m.sampleRate, m.channels,
-                m.bitsPerSample, m.nFrames, m.durationMs, m.dataOffset,
-                m.dataLen, parsed = true)
-            case None =>
-              WavMeta(id, 0, 0, 0, 0, 0L, 0L, 0L, 0L, parsed = false)
-          }
+          toMeta(id, parseWav(bytes))
         }
     }
+  }
+
+  private def toMeta(id: Long, p: Option[Parsed]): WavMeta = p match {
+    case Some(m) =>
+      WavMeta(id, m.format, m.sampleRate, m.channels,
+        m.bitsPerSample, m.nFrames, m.durationMs, m.dataOffset,
+        m.dataLen, parsed = true)
+    case None =>
+      WavMeta(id, 0, 0, 0, 0, 0L, 0L, 0L, 0L, parsed = false)
+  }
+
+  /** Metadata-only scan over PREFIX bytes — the 100 TB filter path:
+    * the RIFF chunk table sits at the front of the payload, so a scan
+    * that persists `substring(bin, 1, prefixBytes)` (plus the true
+    * byte length) as its own narrow column at ingest lets every
+    * sample-rate / duration / format filter run WITHOUT the parquet
+    * reader ever materializing the multi-MB sample blob. `prefixCol`
+    * holds the prefix bytes, `totalLenCol` the FULL payload length —
+    * the walk clamps the data-chunk length against the true length
+    * (not the prefix), so `nFrames`/`durationMs` equal the full-parse
+    * values whenever the chunk table fits inside the prefix. A data
+    * chunk whose HEADER lies beyond the prefix comes back
+    * `parsed = false` — honest, never a fabricated frame count.
+    * [[wavHeaderScan]] is the convenience form that carves the prefix
+    * in-plan (same task, no storage win — the persisted-prefix-column
+    * layout is where the IO saving comes from).
+    */
+  def parseWavHeaderPrefix(df: DataFrame, idCol: String,
+      prefixCol: String, totalLenCol: String): Dataset[WavMeta] = {
+    implicit val enc = Encoders.product[WavMeta]
+    df.select(col(idCol).cast("long"), col(prefixCol),
+      col(totalLenCol).cast("long")).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          toMeta(id, parseWav(bytes, r.getLong(2)))
+        }
+    }
+  }
+
+  /** [[parseWavHeaderPrefix]] with the prefix carved from the payload
+    * column in-plan (`substring` + `length`) — bounds the bytes the
+    * chunk walk holds and touches, though the scan still reads the
+    * full blob; persist the prefix as its own column at ingest to get
+    * the page-skip IO win the prefix form exists for.
+    */
+  def wavHeaderScan(df: DataFrame, idCol: String, binCol: String,
+      prefixBytes: Int = 64 * 1024): Dataset[WavMeta] = {
+    require(prefixBytes >= 12, "prefixBytes must cover the RIFF header")
+    parseWavHeaderPrefix(
+      df.select(col(idCol), substring(col(binCol), 1, prefixBytes)
+          .as("__wav_prefix"),
+        length(col(binCol)).cast("long").as("__wav_len")),
+      idCol, "__wav_prefix", "__wav_len")
   }
 
   /** Decoded clip: `samples` is mono 16-bit PCM as ints in
@@ -92,35 +140,46 @@ object Audio {
       (rows: Iterator[Row]) =>
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          parseWav(bytes) match {
-            case Some(m) if m.format == 1 && m.bitsPerSample == 16 &&
-                m.channels > 0 && m.nFrames > 0 =>
-              val frames = math.min(m.nFrames, maxFrames.toLong).toInt
-              val out = new Array[Int](frames)
-              val frameBytes = 2 * m.channels
-              var f = 0
-              while (f < frames) {
-                val base = m.dataOffset.toInt + f * frameBytes
-                var sum = 0L
-                var c = 0
-                while (c < m.channels) {
-                  val o = base + 2 * c
-                  sum += ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
-                  c += 1
-                }
-                out(f) = math.floorDiv(sum, m.channels).toInt
-                f += 1
-              }
+          decodeSamples(r.getAs[Array[Byte]](1), maxFrames) match {
+            case Some((m, out)) =>
               DecodedAudio(id, m.sampleRate, m.channels, m.nFrames, out,
                 decoded = true)
-            case _ =>
+            case None =>
               DecodedAudio(id, 0, 0, 0L, Array.emptyIntArray,
                 decoded = false)
           }
         }
     }
   }
+
+  /** The per-payload decode kernel behind [[decodePcm16]] and the
+    * streaming signature UDF — identical arithmetic on both paths by
+    * construction (parity is spec-pinned).
+    */
+  private def decodeSamples(bytes: Array[Byte],
+      maxFrames: Int): Option[(Parsed, Array[Int])] =
+    parseWav(bytes) match {
+      case Some(m) if m.format == 1 && m.bitsPerSample == 16 &&
+          m.channels > 0 && m.nFrames > 0 =>
+        val frames = math.min(m.nFrames, maxFrames.toLong).toInt
+        val out = new Array[Int](frames)
+        val frameBytes = 2 * m.channels
+        var f = 0
+        while (f < frames) {
+          val base = m.dataOffset.toInt + f * frameBytes
+          var sum = 0L
+          var c = 0
+          while (c < m.channels) {
+            val o = base + 2 * c
+            sum += ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+            c += 1
+          }
+          out(f) = math.floorDiv(sum, m.channels).toInt
+          f += 1
+        }
+        Some((m, out))
+      case _ => None
+    }
 
   // ---- exact integer feature expressions (codegen'd, no UDF) ----------
 
@@ -134,12 +193,37 @@ object Audio {
   def windowEnergies(samples: Column, window: Int,
       nWindows: Int): Column = {
     require(window > 0 && nWindows > 0, "window/nWindows must be positive")
+    windowEnergiesDyn(samples, lit(window), nWindows)
+  }
+
+  /** [[windowEnergies]] with a COLUMN window width — the form behind
+    * per-clip auto-sizing ([[autoWindow]]): window w covers samples
+    * [w·window, (w+1)·window), zero-padded, Σ s² as long; identical
+    * semantics, the width just varies per row.
+    */
+  def windowEnergiesDyn(samples: Column, window: Column,
+      nWindows: Int): Column = {
+    require(nWindows > 0, "nWindows must be positive")
     transform(sequence(lit(0), lit(nWindows - 1)), w =>
       aggregate(
-        slice(samples, w * lit(window) + 1, lit(window)),
+        slice(samples, w * window + 1, window),
         lit(0L),
         (acc, x) => acc + x.cast("long") * x.cast("long")))
   }
+
+  /** Per-clip energy-window width spanning the WHOLE clip:
+    * ⌈n_samples / nWindows⌉ (min 1) — the audio analogue of the image
+    * path box-sampling any image onto a fixed 9×8 grid. With this
+    * width the [[audioFingerprint64]] signature covers every sample
+    * of the clip, so two clips identical only in a leading prefix do
+    * NOT collide (the fixed-width failure mode: a 16-sample window
+    * fingerprints just the first 1,040 samples ≈ 24 ms at 44.1 kHz).
+    * Exact integer ceil — replicable as `(n + 64) // 65` in SQL.
+    */
+  def autoWindow(samples: Column, nWindows: Int = 65): Column =
+    greatest(lit(1),
+      floor((size(samples) + lit(nWindows - 1)) / lit(nWindows.toDouble))
+        .cast("int"))
 
   /** Zero-crossing count over an `array<int>` column: transitions of
     * the (s ≥ 0) sign bit between consecutive samples — the exact
@@ -204,24 +288,42 @@ object Audio {
     * [[Dedup.hamming64NearDupPairs]] for in-corpus pairs (what
     * [[audioNearDupPairs]] does), or to
     * [[Dedup.hamming64CrossMatches]] for admission against a persisted
-    * corpus of audio signatures.
+    * corpus of audio signatures ([[incrementalAudioNearDedup]]).
+    *
+    * `window = 0` (the default) auto-sizes the energy window per clip
+    * ([[autoWindow]]): the 64-bit signature spans the WHOLE clip,
+    * whatever its length — two clips identical only in a leading
+    * prefix do not collide. A positive `window` pins a fixed width:
+    * the signature then covers exactly the first `window·65` samples
+    * — robust to trailing padding/truncation WITHIN that prefix, but
+    * blind to everything after it; use it only when clips are known
+    * prefix-aligned and length-varying (and say so at the call site).
     */
   def audioSigs(df: DataFrame, idCol: String, binCol: String,
-      window: Int = 16, maxFrames: Int = 1 << 20): DataFrame =
+      window: Int = 0, maxFrames: Int = 1 << 20): DataFrame = {
+    require(window >= 0, "window must be >= 0 (0 = auto per clip)")
+    val win =
+      if (window == 0) autoWindow(col("samples")) else lit(window)
     decodePcm16(df, idCol, binCol, maxFrames).toDF()
       .filter(col("decoded"))
       .select(col("id"),
         audioFingerprint64(
-          windowEnergies(col("samples"), window, 65)).as("sig"))
+          windowEnergiesDyn(col("samples"), win, 65)).as("sig"))
+  }
 
   /** Perceptual audio near-duplicate pairs: decode → 65-window energy
-    * profile → [[audioFingerprint64]] → Hamming-banded candidates via
-    * the 16-bit block pigeonhole → exact bit_count verify. Catches
-    * re-gained, re-containered, and padding-shifted copies that
-    * byte-exact hashes miss. Returns (a, b, distance), a < b.
+    * profile (window auto-sized per clip — see [[audioSigs]]) →
+    * [[audioFingerprint64]] → Hamming-banded candidates via the
+    * 16-bit block pigeonhole → exact bit_count verify. Catches
+    * re-gained and re-containered full-length copies that byte-exact
+    * hashes miss; under the default auto window the signature covers
+    * the whole clip, so a shared intro alone cannot pair two clips
+    * (padding-SHIFTED copies change the window width and are NOT
+    * matched — that robustness belongs to the fixed-window mode,
+    * within its prefix). Returns (a, b, distance), a < b.
     */
   def audioNearDupPairs(df: DataFrame, idCol: String, binCol: String,
-      window: Int = 16, maxDistance: Int = 3, maxBucket: Int = 1000,
+      window: Int = 0, maxDistance: Int = 3, maxBucket: Int = 1000,
       maxFrames: Int = 1 << 20): DataFrame =
     Dedup.hamming64NearDupPairs(
       audioSigs(df, idCol, binCol, window, maxFrames),
@@ -243,35 +345,49 @@ object Audio {
   private def tag(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  private def parseWav(bytes: Array[Byte]): Option[Parsed] = {
+  /** `totalLen < 0` means `bytes` IS the whole payload; a
+    * non-negative `totalLen` marks `bytes` as a leading PREFIX of a
+    * `totalLen`-byte payload ([[parseWavHeaderPrefix]]) — the
+    * data-chunk clamp then runs against the true length, so frame
+    * counts match a full parse. All walk arithmetic is Long: a
+    * declared 32-bit chunk size near 2³² must advance the cursor past
+    * the end and stop the walk, never wrap an Int into a negative
+    * index (the pre-round-13 overflow: `body + sz.toInt` on a > 1 GB
+    * payload threw inside the task instead of returning
+    * `parsed = false`).
+    */
+  private def parseWav(bytes: Array[Byte],
+      totalLen: Long = -1L): Option[Parsed] = {
     if (bytes == null || bytes.length < 12 || tag(bytes, 0) != "RIFF" ||
         tag(bytes, 8) != "WAVE") return None
+    val total = if (totalLen >= 0) totalLen else bytes.length.toLong
     var format = -1
     var rate = 0
     var channels = 0
     var bits = 0
     var dataOff = -1L
     var dataLen = 0L
-    var o = 12
+    var o = 12L
     while (o + 8 <= bytes.length) {
-      val id = tag(bytes, o)
-      val sz = le32(bytes, o + 4)
+      val oi = o.toInt // o + 8 <= length <= Int.MaxValue
+      val id = tag(bytes, oi)
+      val sz = le32(bytes, oi + 4)
       val body = o + 8
       if (id == "fmt " && sz >= 16 && body + 16 <= bytes.length) {
-        format = le16(bytes, body)
-        channels = le16(bytes, body + 2)
-        rate = le32(bytes, body + 4).toInt
-        bits = le16(bytes, body + 14)
+        format = le16(bytes, body.toInt)
+        channels = le16(bytes, body.toInt + 2)
+        rate = le32(bytes, body.toInt + 4).toInt
+        bits = le16(bytes, body.toInt + 14)
       } else if (id == "data" && dataOff < 0) {
-        dataOff = body.toLong
+        dataOff = body
         // clamp to bytes present: truncated payloads overstate sizes
-        dataLen = math.min(sz, (bytes.length - body).toLong)
+        // (prefix parses clamp against the TRUE payload length)
+        dataLen = math.max(0L, math.min(sz, total - body))
       }
-      // chunks are word-aligned: odd sizes carry a pad byte; a chunk
-      // size past the payload end (malformed/truncated) stops the walk
-      // — the clamped data capture above already has what's present
-      if (sz > bytes.length) o = bytes.length
-      else o = body + sz.toInt + (sz.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte; Long
+      // arithmetic lets an oversized/malformed size run the cursor
+      // harmlessly past the end, ending the walk
+      o = body + sz + (sz & 1L)
     }
     if (format < 0 || dataOff < 0 || rate <= 0 || channels <= 0 ||
         bits <= 0) return None

@@ -184,6 +184,81 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
       "undecodable payloads are excluded, not fabricated")
   }
 
+  test("audioNearDupPairs auto window (default): the signature spans " +
+      "the WHOLE clip — identical 1040-sample intros with different " +
+      "tails do NOT pair; a full-length re-gained copy does") {
+    val rnd = new scala.util.Random(11)
+    // 65 * 64 = 4160 samples: four windows' worth of the old fixed-16
+    // prefix, so the prefix-only failure mode is visible
+    val long1 = Array.fill[Short](65 * 64)((rnd.nextInt(16001) - 8000).toShort)
+    val gained = long1.map(x => (x * 2).toShort)
+    // identical first 1040 samples (the ENTIRE span a fixed window=16
+    // signature sees), genuinely different afterward
+    val sharedIntro = long1.clone()
+    for (i <- 1040 until long1.length)
+      sharedIntro(i) = (rnd.nextInt(16001) - 8000).toShort
+    val rows = df(1L -> wav(long1), 2L -> wav(gained),
+      3L -> wav(sharedIntro))
+    val auto = Audio.audioNearDupPairs(rows, "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.contains((1L, 2L)),
+      s"full-length re-gained copy must pair under auto window: $auto")
+    assert(!auto.exists(p => p._1 == 3L || p._2 == 3L),
+      s"a shared intro alone must NOT pair under auto window: $auto")
+    // the fixed-width mode reproduces the documented prefix blindness
+    // (it exists for known prefix-aligned corpora, and for the oracle)
+    val fixed = Audio.audioNearDupPairs(rows, "id", "content",
+      window = 16).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed.contains((1L, 3L)),
+      s"fixed window=16 sees only the shared prefix: $fixed")
+    // auto window on a 1040-sample clip IS window=16: the two modes
+    // agree exactly where the oracle fixture lives
+    val short1 = Array.fill[Short](65 * 16)((rnd.nextInt(16001) - 8000).toShort)
+    val sAuto = Audio.audioSigs(df(9L -> wav(short1)), "id", "content")
+      .collect().head.getLong(1)
+    val sFixed = Audio.audioSigs(df(9L -> wav(short1)), "id", "content",
+      window = 16).collect().head.getLong(1)
+    assert(sAuto == sFixed)
+  }
+
+  test("parseWav: a declared chunk size near 2^32 ends the walk " +
+      "(Long cursor, no Int wrap) instead of failing the task") {
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    out.write(le32(0xFFFFFFF0L))
+    out.write("WAVE".getBytes("ISO-8859-1"))
+    out.write("JUNK".getBytes("ISO-8859-1"))
+    out.write(le32(0xFFFFFFF0L)) // body + sz.toInt would go negative
+    out.write(Array.fill[Byte](64)(0x7F))
+    val metas = Audio.parseWavHeader(df(1L -> out.toByteArray),
+      "id", "content").collect()
+    assert(metas.length == 1 && !metas.head.parsed,
+      "oversized chunk must fall out as parsed=false, not throw")
+  }
+
+  test("wavHeaderScan: prefix-bounded metadata parse equals the full " +
+      "parse when the chunk table fits the prefix; a data chunk " +
+      "header beyond the prefix is parsed=false, never fabricated") {
+    val samples = Array.fill[Short](8000)(123)
+    val full = wav(samples, channels = 2, rate = 16000,
+      extraChunks = true)
+    val fromFull = Audio.parseWavHeader(df(1L -> full), "id", "content")
+      .collect().head
+    // 128 bytes comfortably covers RIFF + LIST + fmt + note + the
+    // data chunk HEADER, but none of the 32 KB of sample data
+    val fromPrefix = Audio.wavHeaderScan(df(1L -> full), "id",
+      "content", prefixBytes = 128).collect().head
+    assert(fromPrefix == fromFull,
+      s"prefix parse must equal full parse: $fromPrefix vs $fromFull")
+    // 8000 interleaved stereo shorts = 4000 frames at 16 kHz = 250 ms
+    assert(fromPrefix.parsed && fromPrefix.nFrames == 4000L &&
+      fromPrefix.durationMs == 250L)
+    // a prefix that ends before the data chunk header: honest failure
+    val tiny = Audio.wavHeaderScan(df(1L -> full), "id", "content",
+      prefixBytes = 40).collect().head
+    assert(!tiny.parsed, s"data header beyond prefix must not parse: $tiny")
+  }
+
   test("oracle fixture link: a real WAV carrying the synthetic stream " +
       "decodes to exactly the expression-built samples") {
     import spark.implicits._
