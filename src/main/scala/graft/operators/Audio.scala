@@ -329,6 +329,211 @@ object Audio {
       audioSigs(df, idCol, binCol, window, maxFrames),
       "id", "sig", maxDistance, maxBucket)
 
+  // ---- persisted audio signature index (build once, admit many) ------
+
+  private val AudioIndexSidecar = "_graft_audio_index_params.json"
+
+  private def audioIndexParamsJson(window: Int, maxFrames: Int): String =
+    Seq("kind" -> "audio_near_dup",
+      "window" -> (if (window == 0) "auto" else window.toString),
+      "nWindows" -> "65", "maxFrames" -> maxFrames.toString)
+      .map { case (k, v) =>
+        s"${graft.JsonStr(k)}:${graft.JsonStr(v)}" }
+      .mkString("{", ",", "}")
+
+  private def readAudioIndexParams(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      who: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(indexPath, AudioIndexSidecar)
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"$who: $indexPath has no $AudioIndexSidecar — not a " +
+        "writeAudioNearDupIndex artifact (or the sidecar was " +
+        "deleted); rebuild the index")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** (window, maxFrames) back out of a sidecar — fail-loud on any
+    * shape this writer never produced.
+    */
+  private def parseAudioIndexParams(json: String,
+      who: String): (Int, Int) = {
+    val m = java.util.regex.Pattern
+      .compile("\"window\":\"(auto|\\d+)\".*\"maxFrames\":\"(\\d+)\"")
+      .matcher(json)
+    require(m.find(), s"$who: malformed sidecar: $json")
+    (if (m.group(1) == "auto") 0 else m.group(1).toInt,
+      m.group(2).toInt)
+  }
+
+  /** Persist the corpus side of perceptual audio dedup as a REUSABLE
+    * index: the 64-bit energy-gradient signatures of every decodable
+    * clip plus a fail-loud params sidecar recording the window mode,
+    * window count, and decode cap. The [[Multimodal.writeImageNearDupIndex]]
+    * lifecycle applied to audio — at 100 TB the corpus-side DECODE
+    * dominates every snapshot admission, and a signature hashed under
+    * different window params would silently never match (exactly the
+    * failure the sidecar blocks: admission re-hashes the snapshot
+    * under the index's OWN recorded params, and appends refuse
+    * mismatched ones). Same crash contract as every artifact here:
+    * the sidecar is deleted BEFORE any data is touched, so a crash
+    * mid-rewrite leaves a reader-rejected no-sidecar index, never a
+    * stale sidecar over mixed-generation parquet; a rebuild drops
+    * append batches from the previous generation.
+    */
+  def writeAudioNearDupIndex(corpus: DataFrame, idCol: String,
+      binCol: String, path: String, window: Int = 0,
+      maxFrames: Int = 1 << 20): Unit = {
+    require(window >= 0, "window must be >= 0 (0 = auto per clip)")
+    graft.operators.TopK.requireIntegral(corpus, idCol,
+      "writeAudioNearDupIndex")
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, AudioIndexSidecar)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, false)
+    audioSigs(corpus, idCol, binCol, window, maxFrames)
+      .select(col("id"), col("sig").as("sh"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    val batches = new org.apache.hadoop.fs.Path(path, "batches")
+    val bfs = batches.getFileSystem(conf)
+    if (bfs.exists(batches)) bfs.delete(batches, true)
+    val out = fs.create(p, true)
+    try out.write(
+      audioIndexParamsJson(window, maxFrames).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Extend a [[writeAudioNearDupIndex]] artifact with newly-admitted
+    * clips — admit → append → the next snapshot dedups against
+    * corpus + admissions, without rebuilding. The batch stages under
+    * `batches/<id>/` and becomes visible only when the atomic
+    * `_graft_committed` marker lands ([[Dedup]]'s transactional
+    * append contract); the sidecar's params are validated fail-loud
+    * first. Caller contract: ids disjoint from the indexed corpus.
+    */
+  def appendToAudioNearDupIndex(newClips: DataFrame, idCol: String,
+      binCol: String, indexPath: String, window: Int = 0,
+      maxFrames: Int = 1 << 20): Unit = {
+    graft.operators.TopK.requireIntegral(newClips, idCol,
+      "appendToAudioNearDupIndex")
+    val spark = newClips.sparkSession
+    val persisted = readAudioIndexParams(spark, indexPath,
+      "appendToAudioNearDupIndex")
+    require(persisted == audioIndexParamsJson(window, maxFrames),
+      s"appendToAudioNearDupIndex: index at $indexPath was built " +
+        s"under $persisted, requested " +
+        s"${audioIndexParamsJson(window, maxFrames)} — rebuild the " +
+        "index or match its parameters")
+    val batchId = java.util.UUID.randomUUID().toString
+    val batchDir = s"$indexPath/batches/$batchId"
+    audioSigs(newClips, idCol, binCol, window, maxFrames)
+      .select(col("id"), col("sig").as("sh"))
+      .write.mode("overwrite").parquet(s"$batchDir/sigs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(batchDir,
+      Dedup.CommitMarker)
+    marker.getFileSystem(conf).create(marker, true).close()
+  }
+
+  /** Admit a snapshot of clips against a [[writeAudioNearDupIndex]]
+    * artifact: drop every snapshot clip whose signature is within
+    * `maxDistance` of ANY indexed signature; keep the rest (all input
+    * columns). The corpus side is a READ of 8-byte signatures — zero
+    * re-decode; the snapshot side decodes once, hashed under the
+    * index's OWN recorded params. Candidates come from the cross-side
+    * 16-bit block pigeonhole ([[Dedup.hamming64CrossMatches]]), exact
+    * bit_count verifies. Undecodable snapshot payloads carry no
+    * signature and are ADMITTED — route them through exact-byte
+    * dedup, as [[audioNearDupPairs]] documents. Within-snapshot
+    * near-dups are out of scope — compose with [[audioNearDupPairs]]
+    * + [[Dedup.nearDedup]] on the snapshot first.
+    */
+  def incrementalAudioNearDedup(snapshot: DataFrame, idCol: String,
+      binCol: String, indexPath: String, maxDistance: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    graft.operators.TopK.requireIntegral(snapshot, idCol,
+      "incrementalAudioNearDedup")
+    val spark = snapshot.sparkSession
+    val (window, maxFrames) = parseAudioIndexParams(
+      readAudioIndexParams(spark, indexPath,
+        "incrementalAudioNearDedup"), "incrementalAudioNearDedup")
+    val corpusSigs = spark.read.parquet(
+      Dedup.indexSidePaths(spark, indexPath, "sigs"): _*)
+    val snapSigs = audioSigs(snapshot, idCol, binCol, window, maxFrames)
+      .select(col("id"), col("sig").as("sh"))
+    val matched = Dedup.hamming64CrossMatches(corpusSigs, snapSigs,
+      maxDistance, maxBucket)
+    snapshot.join(matched, snapshot(idCol) === matched("b"),
+      "left_anti")
+  }
+
+  /** Per-row 65-window energy profile as a scalar UDF — the streaming
+    * twin of the decode → [[windowEnergiesDyn]] batch path (a
+    * streaming plan can't reshape through the typed mapPartitions
+    * without dropping the stream's own columns). Binary audio decode
+    * is the justified-UDF case, like [[Multimodal]]'s `lumaGridUdf`;
+    * one payload in memory at a time, null for undecodable. The
+    * window arithmetic replicates [[windowEnergies]] exactly (window
+    * w sums squares over [w·window, (w+1)·window), zero-padded) —
+    * parity with the expression path is spec-pinned.
+    */
+  private def energiesUdf(window: Int, maxFrames: Int) =
+    udf { (bytes: Array[Byte]) =>
+      decodeSamples(bytes, maxFrames).map { case (_, samples) =>
+        val w =
+          if (window > 0) window
+          else math.max(1, ((samples.length + 64) / 65))
+        Array.tabulate(65) { i =>
+          var acc = 0L
+          var k = i * w
+          val end = math.min(samples.length, (i + 1).toLong * w).toInt
+          while (k < end) {
+            acc += samples(k).toLong * samples(k)
+            k += 1
+          }
+          acc
+        }
+      }
+    }
+
+  /** Streaming audio admission: admit a live clip feed against a
+    * STATIC [[writeAudioNearDupIndex]] artifact — the streaming twin
+    * of [[incrementalAudioNearDedup]]. A stream clip is dropped when
+    * its signature is within `maxDistance` of ANY indexed signature;
+    * every other row is emitted in the micro-batch it arrives.
+    * STATELESS ([[Dedup.hamming64StreamAdmit]]): the stream decodes
+    * once per row (scalar UDF) under the index's OWN recorded params,
+    * the static side is the capped bucket fold of the 8-byte
+    * signature read, four 1:1 joins + `exists`/`bit_count` decide —
+    * zero streaming state per row whatever the payload size, no
+    * emission delay, duplicate feed rows never collapse. Undecodable
+    * payloads carry a null signature and are ADMITTED.
+    * `tsCol`/`lateness` apply a watermark only so downstream stateful
+    * consumers inherit one.
+    */
+  def streamingAudioNearDedup(stream: DataFrame, idCol: String,
+      binCol: String, tsCol: String, indexPath: String,
+      lateness: String = "1 hour", maxDistance: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = stream.sparkSession
+    val (window, maxFrames) = parseAudioIndexParams(
+      readAudioIndexParams(spark, indexPath,
+        "streamingAudioNearDedup"), "streamingAudioNearDedup")
+    val streamCols = stream.columns.toSeq
+    val withSig = stream
+      .withWatermark(tsCol, lateness)
+      .withColumn("__en", energiesUdf(window, maxFrames)(col(binCol)))
+      .withColumn("__sh",
+        when(col("__en").isNotNull, audioFingerprint64(col("__en"))))
+    Dedup.hamming64StreamAdmit(withSig, streamCols,
+      spark.read.parquet(
+        Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
+      maxDistance, maxBucket)
+  }
+
   // ---- RIFF chunk walk (per-payload imperative kernel) ----------------
 
   private final case class Parsed(format: Int, sampleRate: Int,

@@ -615,6 +615,62 @@ object Dedup {
       .select(col("b")).distinct()
   }
 
+  /** STATELESS stream-side Hamming admission — the streaming twin of
+    * [[hamming64CrossMatches]], shared by
+    * [[Multimodal.streamingImageNearDedup]] and
+    * [[Audio.streamingAudioNearDedup]]. `withSig` is the stream with a
+    * nullable 64-bit `__sh` signature column; `sigRead` the static
+    * corpus signatures (`sh`). The static side folds each (block,
+    * value) bucket into ONE row carrying its member signatures as a
+    * `maxBucket`-capped array; the stream side then takes FOUR 1:1
+    * stream-static left joins (one per 16-bit block — the bucket key
+    * is unique after the fold, so row cardinality is exactly
+    * preserved) and verifies with `exists`/`bit_count` over the
+    * joined arrays. No explode of the stream, no watermark-keyed
+    * aggregation, NO STATEFUL OPERATOR AT ALL: per-row streaming
+    * state is zero bytes regardless of payload size, duplicates in
+    * the feed never collapse, and admitted rows emit in the
+    * micro-batch they arrive (the pre-round-13 shape keyed a
+    * watermark aggregation on the full stream row, payload included —
+    * multi-MB state entries, blob-sized hash compares, and decisions
+    * delayed to the watermark). A null `__sh` (undecodable payload)
+    * makes every join miss and every `exists` fold to false —
+    * admitted, exact-byte dedup's job.
+    */
+  private[graft] def hamming64StreamAdmit(withSig: DataFrame,
+      outCols: Seq[String], sigRead: DataFrame, maxDistance: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"block pigeonhole over 4 blocks covers maxDistance <= 3, " +
+        s"got $maxDistance")
+    val bounded = TopK.boundedCollect[Long](maxBucket)
+    val buckets = sigRead
+      .select(col("sh").cast("long").as("__csh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          i => call_function("shiftright", col("sh").cast("long"), i * 16)
+            .bitwiseAND(0xFFFFL))))
+      .toDF("__csh", "__blk", "__bval")
+      .groupBy(col("__blk"), col("__bval"))
+      .agg(bounded(col("__csh")).as("__cshs"))
+      .filter(size(col("__cshs")) <= maxBucket)
+    var cur = withSig
+    for (b <- 0 to 3) {
+      val bb = buckets.filter(col("__blk") === b)
+        .select(col("__bval").as(s"__bv$b"),
+          col("__cshs").as(s"__cshs$b"))
+      cur = cur
+        .withColumn(s"__bv$b",
+          call_function("shiftright", col("__sh"), lit(b * 16))
+            .bitwiseAND(0xFFFFL))
+        .join(bb, Seq(s"__bv$b"), "left")
+    }
+    val matched = (0 to 3).map(b =>
+      coalesce(exists(col(s"__cshs$b"), s =>
+        bit_count(col("__sh").bitwiseXOR(s)).cast("int") <= maxDistance),
+        lit(false))).reduce(_ || _)
+    cur.filter(!matched).select(outCols.map(col): _*)
+  }
+
   /** Semantic near-duplicate pairs via embedding clustering — SemDeDup
     * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication"): k-means clusters bound the

@@ -628,29 +628,29 @@ object Multimodal {
 
   /** Streaming image admission: admit a live image feed against a
     * STATIC [[writeImageNearDupIndex]] artifact — the streaming twin
-    * of [[incrementalImageNearDedup]], shaped like
-    * [[Dedup.streamingNearDedup]]. A stream image is dropped when its
-    * signature is within `maxDistance` of ANY indexed signature
-    * sharing a 16-bit block; every other row is emitted once the
-    * watermark on `tsCol` passes its event time.
+    * of [[incrementalImageNearDedup]]. A stream image is dropped when
+    * its signature is within `maxDistance` of ANY indexed signature
+    * sharing a 16-bit block; every other row is emitted in the
+    * micro-batch it arrives.
     *
-    * Plan per micro-batch: the stream side decodes once (scalar UDF),
-    * hashes under the index's OWN hash kind (read from the sidecar —
-    * a mismatched family cannot silently never-match), and explodes
-    * its 4 block keys; the static side is the capped
-    * (block, value, signature) membership of the 8-byte signature
-    * read — no corpus decode, re-planned per batch as a static scan.
-    * One stream-static left equi-join, exact bit_count per collided
-    * row, then the watermark-keyed max(matched) aggregation turns
-    * row-level collisions into the keep/drop decision (the in-plan
-    * substitute for the stream-stream anti-join Spark doesn't
-    * support). Undecodable payloads carry a sentinel block that
-    * matches nothing and are ADMITTED once the watermark passes —
-    * exact-byte dedup's job, as everywhere in this file. State is one
-    * counter per in-flight row keyed by the full stream row
-    * (binary payload included) until the watermark expires it — key
-    * on (id, hash) upstream and join payloads back if the feed
-    * carries very large blobs. Corpus buckets over `maxBucket`
+    * Plan per micro-batch: the stream side decodes once (scalar UDF)
+    * and hashes under the index's OWN hash kind (read from the
+    * sidecar — a mismatched family cannot silently never-match); the
+    * keep/drop decision is [[Dedup.hamming64StreamAdmit]] — four 1:1
+    * stream-static joins against the capped bucket fold of the 8-byte
+    * signature read (no corpus decode), exact bit_count via `exists`.
+    * STATELESS by construction: no watermark-keyed aggregation, zero
+    * streaming state per row whatever the payload size, duplicate
+    * feed rows never collapse, and no emission delay (the
+    * pre-round-13 shape keyed an aggregation on the full stream row —
+    * binary included — and held every decision until the watermark
+    * passed; it also silently dropped rows later than `lateness`,
+    * which a stateless filter no longer does — late rows get the same
+    * admission decision as on-time ones). `tsCol`/`lateness` still
+    * apply a watermark so downstream STATEFUL consumers of the
+    * admitted stream inherit one. Undecodable payloads carry a null
+    * signature, match nothing, and are ADMITTED — exact-byte dedup's
+    * job, as everywhere in this file. Corpus buckets over `maxBucket`
     * members are degenerate (near-constant images) and dropped at
     * read, as in [[Dedup.streamingNearDedup]].
     */
@@ -658,9 +658,6 @@ object Multimodal {
       binCol: String, tsCol: String, indexPath: String,
       lateness: String = "1 hour", maxDistance: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    require(maxDistance >= 0 && maxDistance <= 3,
-      s"block pigeonhole over 4 blocks covers maxDistance <= 3, " +
-        s"got $maxDistance")
     val spark = stream.sparkSession
     val persisted = readImageIndexParams(spark, indexPath,
       "streamingImageNearDedup")
@@ -670,51 +667,15 @@ object Multimodal {
       s"streamingImageNearDedup: malformed sidecar: $persisted")
     val h: Column => Column =
       if (m.group(1) == "dhash") dHash64 else aHash64
-    def blockKeys(sh: Column): Column =
-      transform(sequence(lit(0), lit(3)), i =>
-        struct(i.cast("int").as("__blk"),
-          call_function("shiftright", sh, i * 16).bitwiseAND(0xFFFFL)
-            .as("__bval")))
-    // static side: capped bucket membership of the signature read
-    val bounded = graft.operators.TopK.boundedCollect[Long](maxBucket)
-    val corpusBuckets = spark.read
-      .parquet(Dedup.indexSidePaths(spark, indexPath, "sigs"): _*)
-      .select(col("sh").as("__csh0"), explode(blockKeys(col("sh")))
-        .as("__e"))
-      .select(col("__csh0"), col("__e.__blk").as("__blk"),
-        col("__e.__bval").as("__bval"))
-      .groupBy(col("__blk"), col("__bval"))
-      .agg(bounded(col("__csh0")).as("__cshs"))
-      .filter(size(col("__cshs")) <= maxBucket)
-      .select(col("__blk"), col("__bval"),
-        explode(col("__cshs")).as("__csh"))
-    // stream side: watermark first, then decode → hash → block keys;
-    // an undecodable payload gets one sentinel block that matches
-    // nothing, so the row survives to the admission aggregation
-    val streamCols = stream.columns
-    val exploded = stream
+    val streamCols = stream.columns.toSeq
+    val withSig = stream
       .withWatermark(tsCol, lateness)
       .withColumn("__grid", lumaGridUdf(col(binCol)))
       .withColumn("__sh",
         when(col("__grid").isNotNull, h(col("__grid"))))
-      .withColumn("__bk", when(col("__sh").isNotNull,
-          blockKeys(col("__sh")))
-        .otherwise(array(struct(lit(-1).as("__blk"),
-          lit(0L).as("__bval")))))
-      .select(streamCols.map(col) :+ col("__sh")
-        :+ explode(col("__bk")).as("__e"): _*)
-      .select(streamCols.map(col) :+ col("__sh")
-        :+ col("__e.__blk").as("__blk")
-        :+ col("__e.__bval").as("__bval"): _*)
-    val matched = when(col("__csh").isNotNull &&
-      bit_count(col("__sh").bitwiseXOR(col("__csh")))
-        .cast("int") <= maxDistance, 1).otherwise(0)
-    exploded
-      .join(corpusBuckets, Seq("__blk", "__bval"), "left")
-      .withColumn("__m", matched)
-      .groupBy(streamCols.map(col): _*)
-      .agg(max(col("__m")).as("__mx"))
-      .filter(col("__mx") === 0)
-      .select(streamCols.map(col): _*)
+    Dedup.hamming64StreamAdmit(withSig, streamCols,
+      spark.read.parquet(
+        Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
+      maxDistance, maxBucket)
   }
 }
