@@ -342,9 +342,9 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(adm3 == Set(20L, 21L), adm3.toString)
   }
 
-  test("streamingImageNearDedup: indexed twins dropped across " +
-      "batches; fresh and undecodable admitted once the watermark " +
-      "passes") {
+  test("streamingImageNearDedup: STATELESS admission — indexed twins " +
+      "dropped, fresh/undecodable emitted in their arrival batch, " +
+      "duplicates never collapse, zero stateful operators") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
@@ -361,31 +361,48 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("stream_img")
       .outputMode("append").start()
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ids() = spark.table("stream_img").collect()
+      .map(_.getLong(0)).toSeq
     try {
-      // batch 1: a JPEG twin of indexed img 100 (dropped) and a
-      // genuinely new image (admitted)
+      // batch 1: a JPEG twin of indexed img 100 (dropped), a
+      // genuinely new image, and an EXACT duplicate of that new row
+      // (same id/ts/payload) — both copies emit IN THIS BATCH: no
+      // watermark delay, no duplicate collapse
+      val fresh9 = encode(patternImage(9), "png")
       mem.addData(
         (1L, ts("2024-01-01 00:00:00"), encode(patternImage(1), "jpg")),
-        (2L, ts("2024-01-01 00:00:01"), encode(patternImage(9), "png")))
+        (2L, ts("2024-01-01 00:00:01"), fresh9),
+        (2L, ts("2024-01-01 00:00:01"), fresh9))
       q.processAllAvailable()
+      assert(ids().sorted == Seq(2L, 2L), s"batch1 got ${ids()}")
       // batch 2: a twin of indexed img 101 (dropped) and an
-      // undecodable payload (no perceptual signature -> admitted)
+      // undecodable payload (null signature -> admitted, same batch)
       mem.addData(
         (3L, ts("2024-01-01 00:00:02"), encode(patternImage(2), "jpg")),
         (4L, ts("2024-01-01 00:00:03"), junk))
       q.processAllAvailable()
-      // advance the watermark so the append-mode aggregation emits
-      // (two triggers: one carries the new max event time, the next
-      // emits below the new watermark)
+      assert(ids().sorted == Seq(2L, 2L, 4L), s"batch2 got ${ids()}")
+      // batch 3: fresh image an hour ahead, then a LATE row (before
+      // the advanced watermark) — a stateless filter gives late rows
+      // the same admission decision instead of silently dropping them
       mem.addData((99L, ts("2024-01-01 01:00:00"),
         encode(patternImage(13), "png")))
       q.processAllAvailable()
-      mem.addData((98L, ts("2024-01-01 01:00:01"),
+      mem.addData((98L, ts("2024-01-01 00:00:05"),
         encode(patternImage(14), "png")))
       q.processAllAvailable()
-      val ids = spark.table("stream_img").collect()
-        .map(_.getLong(0)).toSet
-      assert(ids == Set(2L, 4L), s"got $ids")
+      assert(ids().sorted == Seq(2L, 2L, 4L, 98L, 99L),
+        s"batch3/4 got ${ids()}")
+      // the executed plan carries NO stateful operator: per-row
+      // streaming state is zero bytes regardless of payload size
+      import org.apache.spark.sql.execution.streaming.operators
+        .stateful.StateStoreWriter
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution
+          .streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateOps = exec.collect { case s: StateStoreWriter => s }
+      assert(stateOps.isEmpty,
+        s"expected zero stateful operators, got $stateOps")
     } finally q.stop()
   }
 
