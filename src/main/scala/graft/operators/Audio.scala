@@ -291,9 +291,13 @@ object Audio {
     * corpus of audio signatures ([[incrementalAudioNearDedup]]).
     *
     * `window = 0` (the default) auto-sizes the energy window per clip
-    * ([[autoWindow]]): the 64-bit signature spans the WHOLE clip,
-    * whatever its length — two clips identical only in a leading
-    * prefix do not collide. A positive `window` pins a fixed width:
+    * ([[autoWindow]]): the 64-bit signature spans the whole DECODED
+    * clip — up to `maxFrames` (default 1 M samples ≈ 24 s mono at
+    * 44.1 kHz), past which [[decodePcm16]] truncates — so two clips
+    * identical only in a leading prefix do not collide UNLESS both
+    * exceed the cap and agree through it; size `maxFrames` to the
+    * longest clip for long-form corpora. A positive `window` pins a
+    * fixed width:
     * the signature then covers exactly the first `window·65` samples
     * — robust to trailing padding/truncation WITHIN that prefix, but
     * blind to everything after it; use it only when clips are known
@@ -317,7 +321,9 @@ object Audio {
     * 16-bit block pigeonhole → exact bit_count verify. Catches
     * re-gained and re-containered full-length copies that byte-exact
     * hashes miss; under the default auto window the signature covers
-    * the whole clip, so a shared intro alone cannot pair two clips
+    * the whole decoded clip (up to `maxFrames` — size it to the
+    * longest clip for long-form corpora, see [[audioSigs]]), so a
+    * shared intro alone cannot pair two clips
     * (padding-SHIFTED copies change the window width and are NOT
     * matched — that robustness belongs to the fixed-window mode,
     * within its prefix). Returns (a, b, distance), a < b.
@@ -372,7 +378,9 @@ object Audio {
   /** Persist the corpus side of perceptual audio dedup as a REUSABLE
     * index: the 64-bit energy-gradient signatures of every decodable
     * clip plus a fail-loud params sidecar recording the window mode,
-    * window count, and decode cap. The [[Multimodal.writeImageNearDupIndex]]
+    * window count, and decode cap (`maxFrames` bounds what the auto
+    * window spans — size it to the longest clip for long-form
+    * corpora, see [[audioSigs]]). The [[Multimodal.writeImageNearDupIndex]]
     * lifecycle applied to audio — at 100 TB the corpus-side DECODE
     * dominates every snapshot admission, and a signature hashed under
     * different window params would silently never match (exactly the
@@ -488,7 +496,11 @@ object Audio {
           else math.max(1, ((samples.length + 64) / 65))
         Array.tabulate(65) { i =>
           var acc = 0L
-          var k = i * w
+          // Long products clamped BEFORE narrowing: a large fixed
+          // window recorded in the index (> ~2^25) would overflow
+          // i * w into a negative Int index and throw inside the
+          // task, where the batch expression path (slice) does not
+          var k = math.min(samples.length.toLong, i.toLong * w).toInt
           val end = math.min(samples.length, (i + 1).toLong * w).toInt
           while (k < end) {
             acc += samples(k).toLong * samples(k)

@@ -259,6 +259,157 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!tiny.parsed, s"data header beyond prefix must not parse: $tiny")
   }
 
+  test("audio near-dup index: build once / admit many; appends are " +
+      "transactional (uncommitted batches invisible); fail-loud on " +
+      "params mismatch, missing sidecar, and crash-mid-rewrite; " +
+      "rebuild drops batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    def clip() =
+      Array.fill[Short](65 * 16)((rnd.nextInt(16001) - 8000).toShort)
+    val base1 = clip(); val base2 = clip()
+    val freshA = clip(); val freshB = clip()
+    val junk = "junk".getBytes("UTF-8")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-audio-idx").toString
+    val corpus = df(1L -> wav(base1), 2L -> wav(base2), 3L -> junk)
+    Audio.writeAudioNearDupIndex(corpus, "id", "content", dir)
+    // snapshot: a re-gained twin of corpus clip 1 (energy scales
+    // uniformly -> identical gradient sig -> dropped), a genuinely
+    // new clip (admitted), an undecodable payload (no signature ->
+    // admitted; exact-byte dedup's job)
+    val snap1 = df(10L -> wav(base1.map(x => (x * 2).toShort)),
+      11L -> wav(freshA), 12L -> junk)
+    val adm1 = Audio.incrementalAudioNearDedup(snap1, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(adm1 == Set(11L, 12L), adm1.toString)
+    // append the admitted clips; the NEXT snapshot dedups against
+    // corpus + admissions without any rebuild
+    Audio.appendToAudioNearDupIndex(snap1.filter(col("id") >= 11),
+      "id", "content", dir)
+    val snap2 = df(20L -> wav(freshA.map(x => (x * 4).toShort)),
+      21L -> wav(freshB))
+    val adm2 = Audio.incrementalAudioNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(adm2 == Set(21L), adm2.toString)
+    // transactional: a staged batch WITHOUT the commit marker is
+    // invisible; the same batch becomes visible the instant the
+    // marker lands
+    Audio.audioSigs(df(999L -> wav(freshB)), "id", "content")
+      .select(col("id"), col("sig").as("sh"))
+      .write.parquet(s"$dir/batches/staged-test/sigs")
+    val admStaged = Audio.incrementalAudioNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(admStaged == Set(21L),
+      s"uncommitted batch leaked into admission: $admStaged")
+    new java.io.File(s"$dir/batches/staged-test/_graft_committed")
+      .createNewFile()
+    val admCommitted = Audio.incrementalAudioNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(admCommitted == Set.empty,
+      s"committed batch not read: $admCommitted")
+    // fail-loud: window-params mismatch on append (the index was
+    // built under the auto window); not-an-index path
+    intercept[IllegalArgumentException] {
+      Audio.appendToAudioNearDupIndex(snap2, "id", "content", dir,
+        window = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Audio.incrementalAudioNearDedup(snap2, "id", "content",
+        java.nio.file.Files.createTempDirectory("graft-audio-noidx")
+          .toString)
+    }
+    // rebuild: batches from the previous generation are dropped, so
+    // the twin of (no-longer-indexed) clip 11 is admitted again
+    Audio.writeAudioNearDupIndex(corpus, "id", "content", dir)
+    val adm3 = Audio.incrementalAudioNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(adm3 == Set(20L, 21L), adm3.toString)
+    // crash-mid-rewrite contract: the writer deletes the sidecar
+    // BEFORE touching any data, so a crash leaves a no-sidecar index
+    // every reader rejects — never a stale sidecar over mixed
+    // generations
+    assert(new java.io.File(
+      s"$dir/_graft_audio_index_params.json").delete())
+    intercept[IllegalArgumentException] {
+      Audio.incrementalAudioNearDedup(snap2, "id", "content", dir)
+    }
+  }
+
+  test("streamingAudioNearDedup: STATELESS admission at maxDistance=0 " +
+      "— byte-identical and re-gained indexed twins dropped (pins " +
+      "energiesUdf = expression-path signature parity), fresh rows " +
+      "emitted in their arrival batch without collapsing duplicates, " +
+      "zero stateful operators; fixed-window index honored") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(22)
+    def clip() =
+      Array.fill[Short](65 * 16)((rnd.nextInt(16001) - 8000).toShort)
+    val base1 = clip(); val base2 = clip()
+    val fresh = clip()
+    val junk = "junk".getBytes("UTF-8")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def run(indexDir: String, table: String): Seq[Long] = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+      val sdf = mem.toDF().toDF("id", "ts", "content")
+      // maxDistance = 0: a drop REQUIRES the streaming UDF signature
+      // to equal the index's expression-built signature bit-for-bit
+      val q = Audio.streamingAudioNearDedup(sdf, "id", "content",
+          "ts", indexDir, lateness = "10 minutes", maxDistance = 0)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append").start()
+      def ids() = spark.table(table).collect().map(_.getLong(0)).toSeq
+      try {
+        // batch 1: byte-identical twin of indexed clip 1 (dropped —
+        // the parity pin), a fresh clip, and an EXACT duplicate of
+        // that fresh row — both copies emit IN THIS BATCH
+        val freshWav = wav(fresh)
+        mem.addData(
+          (1L, ts("2024-01-01 00:00:00"), wav(base1)),
+          (2L, ts("2024-01-01 00:00:01"), freshWav),
+          (2L, ts("2024-01-01 00:00:01"), freshWav))
+        q.processAllAvailable()
+        assert(ids().sorted == Seq(2L, 2L), s"batch1 got ${ids()}")
+        // batch 2: re-gained twin of indexed clip 2 (uniform gain
+        // preserves the gradient sig exactly -> dropped even at
+        // distance 0) and an undecodable payload (admitted, same
+        // batch)
+        mem.addData(
+          (3L, ts("2024-01-01 00:00:02"),
+            wav(base2.map(x => (x * 2).toShort))),
+          (4L, ts("2024-01-01 00:00:03"), junk))
+        q.processAllAvailable()
+        assert(ids().sorted == Seq(2L, 2L, 4L), s"batch2 got ${ids()}")
+        // the executed plan carries NO stateful operator: per-row
+        // streaming state is zero bytes whatever the payload size
+        import org.apache.spark.sql.execution.streaming.operators
+          .stateful.StateStoreWriter
+        val exec = q.asInstanceOf[org.apache.spark.sql.execution
+            .streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan
+        val stateOps = exec.collect { case s: StateStoreWriter => s }
+        assert(stateOps.isEmpty,
+          s"expected zero stateful operators, got $stateOps")
+        ids()
+      } finally q.stop()
+    }
+    val corpus = df(100L -> wav(base1), 101L -> wav(base2))
+    // auto-window index (the default): pins the UDF's auto path
+    val autoDir = java.nio.file.Files
+      .createTempDirectory("graft-audio-stream-auto").toString
+    Audio.writeAudioNearDupIndex(corpus, "id", "content", autoDir)
+    run(autoDir, "stream_audio_auto")
+    // fixed-window index: the stream re-hashes under the sidecar's
+    // recorded width — pins the UDF's fixed path
+    val fixedDir = java.nio.file.Files
+      .createTempDirectory("graft-audio-stream-fixed").toString
+    Audio.writeAudioNearDupIndex(corpus, "id", "content", fixedDir,
+      window = 16)
+    run(fixedDir, "stream_audio_fixed")
+  }
+
   test("oracle fixture link: a real WAV carrying the synthetic stream " +
       "decodes to exactly the expression-built samples") {
     import spark.implicits._
