@@ -204,6 +204,27 @@ object SparkEntry {
       .localCheckpoint(true)
   }
 
+  /** Variable-length planted PCM classes for the AUTO-window audio
+    * path ([[Audio.autoWindow]]): class base = doc_id % 64 sets BOTH
+    * the stream and the clip length — 65·(16+base) samples, so the
+    * per-clip auto width ⌈n/65⌉ is exactly 16+base and genuinely
+    * VARIES across classes (a fixed-width fingerprint could not
+    * reproduce these signatures). ids >= 250 perturb the first auto
+    * window (k < 16+base) by +37 pre-mod — flips at most gradient
+    * bit 0, landing the twin inside the Hamming budget of its base
+    * class. Same replication contract as [[syntheticPcm]].
+    */
+  private def syntheticPcmAutoClassed(docs: DataFrame): DataFrame = {
+    val base = (col("doc_id") % 64).cast("long")
+    val win = lit(16L) + base
+    val samples = transform(sequence(lit(0L), lit(65L) * win - 1L), k =>
+      (pmod(base * lit(2654435761L) + k.cast("long") * lit(40503L) +
+        when(col("doc_id") >= 250 && k < win, 37L).otherwise(0L),
+        lit(65536L)) - 32768L).cast("int"))
+    docs.select(col("doc_id").as("id"), samples.as("samples"))
+      .localCheckpoint(true)
+  }
+
   /** Synthetic GeoJSON Point features derived from lineitem numerics —
     * lets the P5/P7 geometry pipeline be oracle-checked: the elevation
     * the transform extracts must equal l_tax (when non-zero) and the
@@ -1188,6 +1209,39 @@ object SparkEntry {
             Audio.windowEnergies(col("samples"), window = 16,
               nWindows = 65)).as("sig")),
         "id", "sig", maxDistance = 3)),
+
+    // the DEFAULT duration-normalized audio path: per-clip AUTO window
+    // (⌈n/65⌉ — genuinely varying, the planted classes differ in
+    // length) through the REAL windowEnergiesDyn/autoWindow
+    // expressions -> gradient fingerprint -> the same pair machinery;
+    // window arithmetic replicates as (n + 64) // 65 in SQL
+    "q_audio_near_dup_auto" -> ((s, dir) =>
+      Dedup.hamming64NearDupPairs(
+        syntheticPcmAutoClassed(t(s, dir, "documents"))
+          .select(col("id"), Audio.audioFingerprint64(
+            Audio.windowEnergiesDyn(col("samples"),
+              Audio.autoWindow(col("samples")), 65)).as("sig")),
+        "id", "sig", maxDistance = 3)),
+
+    // audio snapshot admission — the cross-side Hamming kernel behind
+    // the persisted audio signature index (incrementalAudioNearDedup /
+    // streamingAudioNearDedup), over the auto-window signatures:
+    // corpus = the first 32 planted classes, snapshot = the perturbed
+    // ids; admitted iff no corpus signature within distance 3. The
+    // decode + sidecar lifecycle around this kernel is spec-pinned in
+    // AudioSpec
+    "q_audio_admission" -> ((s, dir) => {
+      val sigs = syntheticPcmAutoClassed(t(s, dir, "documents"))
+        .select(col("id"), Audio.audioFingerprint64(
+          Audio.windowEnergiesDyn(col("samples"),
+            Audio.autoWindow(col("samples")), 65)).as("sh"))
+      val corpus = sigs.filter(col("id") < 32)
+      val snap = sigs.filter(col("id") >= 250)
+      val matched = Dedup.hamming64CrossMatches(corpus, snap,
+        maxDistance = 3, maxBucket = 1000)
+      snap.select(col("id"))
+        .join(matched, snap("id") === matched("b"), "left_anti")
+    }),
 
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
@@ -3404,6 +3458,77 @@ object SparkEntry {
         |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
         |    AND x.id < y.id)
         |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // auto-window audio near-dup: per-clip window (n + 64) // 65 over
+    // variable-length planted streams (len = 65·(16+base)), then the
+    // identical energy fold / HUGEINT fingerprint / block machinery
+    "q_audio_near_dup_auto" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CASE WHEN doc_id >= 250 THEN 37 ELSE 0 END AS pert
+        |  FROM documents),
+        |sm AS (SELECT id, 16 + base AS win,
+        |    list_transform(generate_series(0, 65 * (16 + base) - 1),
+        |    k -> ((base * 2654435761 + k * 40503 +
+        |      CASE WHEN k < 16 + base THEN pert ELSE 0 END) % 65536)
+        |      - 32768) AS smp
+        |  FROM g),
+        |e AS (SELECT id, list_transform(generate_series(0, 64), w ->
+        |    list_sum(list_transform(smp[w * win + 1 : w * win + win],
+        |      x -> CAST(x AS BIGINT) * x))) AS en
+        |  FROM sm),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN en[i + 1] > en[i + 2]
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM e)),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |p AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // audio snapshot admission: the same auto-window signatures, split
+    // corpus (< 32) / snapshot (>= 250); cross-side block-bucket join
+    // + exact bit_count match, admitted = snapshot ids with no match
+    "q_audio_admission" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CASE WHEN doc_id >= 250 THEN 37 ELSE 0 END AS pert
+        |  FROM documents),
+        |sm AS (SELECT id, 16 + base AS win,
+        |    list_transform(generate_series(0, 65 * (16 + base) - 1),
+        |    k -> ((base * 2654435761 + k * 40503 +
+        |      CASE WHEN k < 16 + base THEN pert ELSE 0 END) % 65536)
+        |      - 32768) AS smp
+        |  FROM g),
+        |e AS (SELECT id, list_transform(generate_series(0, 64), w ->
+        |    list_sum(list_transform(smp[w * win + 1 : w * win + win],
+        |      x -> CAST(x AS BIGINT) * x))) AS en
+        |  FROM sm),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN en[i + 1] > en[i + 2]
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM e)),
+        |blk AS (SELECT unnest([0, 1, 2, 3]) AS blk),
+        |cbv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN blk WHERE id < 32),
+        |sbv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN blk WHERE id >= 250),
+        |m AS (SELECT DISTINCT y.id AS id
+        |  FROM cbv x JOIN sbv y ON x.blk = y.blk AND x.bval = y.bval
+        |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
+        |SELECT id FROM s
+        |WHERE id >= 250 AND id NOT IN (SELECT id FROM m)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // grouped rank buckets: the same ceil(rank·B/n) contract under
