@@ -1133,34 +1133,34 @@ object Dedup {
     * boilerplate re-crawls (timestamps/counters changed, fingerprint
     * misses) that arrive on a live feed. A stream doc is dropped when
     * its word-trigram Jaccard against ANY corpus doc sharing a MinHash
-    * band bucket reaches `threshold`; every other doc is emitted once
-    * the watermark on `tsCol` passes its event time.
+    * band bucket reaches `threshold`; every other doc is emitted IN
+    * THE MICRO-BATCH IT ARRIVES.
     *
-    * Plan shape per micro-batch: the stream side runs the single-pass
-    * signature kernel and explodes its `bands` bucket keys, then
-    * LEFT-joins two STATIC relations — the capped corpus bucket
-    * membership (band, band_sig, cid) and the corpus gram projection
-    * (cid, grams) — both stream-static equi-joins Spark supports
-    * natively and re-plans per batch as static scans (persist
-    * `existing` or point it at a materialized parquet/bucketed table so
-    * the re-plan stays cheap). Jaccard verification is per collided
-    * row; a per-doc max(matched) streaming aggregation (keyed by the
-    * doc's columns, expired by the watermark) turns row-level matches
-    * into the keep/drop decision — the in-plan substitute for the
-    * stream-stream anti-join Spark doesn't support. State is one
-    * counter per in-flight doc, KEYED BY THE FULL STREAM ROW — text
-    * included — so per-doc state is O(doc size) until the watermark
-    * expires it; acceptable for in-flight docs (state holds only the
-    * un-emitted window), but a very-long-doc feed can key on
-    * (id, hash(text)) upstream and join text back after. Emission
-    * waits for the watermark (the append-mode trade every watermarked
-    * aggregation makes). Corpus
-    * buckets over `maxBucket` members are degenerate boilerplate and
-    * dropped at index build, as in [[minHashNearDupPairs]]; note the
-    * cap here bounds the CORPUS side only — the stream side never
-    * aggregates into buckets. Within-stream near-dups are out of scope
-    * — compose with [[streamingExactDedup]] and a periodic batch
-    * [[nearDedup]].
+    * STATELESS, the [[hamming64StreamAdmit]] shape on MinHash bands:
+    * the static side folds each (band, band_sig) bucket into ONE row
+    * carrying its members' trigram-gram sets as a `maxBucket`-capped
+    * array (oversized buckets are degenerate boilerplate and drop
+    * whole, as in [[minHashNearDupPairs]]); the stream side then takes
+    * `bands` 1:1 stream-static left joins (the bucket key is unique
+    * after the fold, so row cardinality is exactly preserved — no
+    * explode of the stream) and verifies with `exists` running the
+    * exact Jaccard over each joined gram set. NO STATEFUL OPERATOR AT
+    * ALL: per-row streaming state is zero bytes regardless of doc
+    * size, duplicate feed rows never collapse, admission decisions
+    * emit immediately, and late rows get the same decision instead of
+    * being silently dropped (the pre-round-14 shape keyed a watermark
+    * aggregation on the full stream row — text included — holding
+    * O(doc) state per in-flight doc and every decision until the
+    * watermark passed). The trade: the fold replicates each corpus
+    * doc's gram set into its `bands` bucket rows — a bands× static
+    * blow-up that is computed once and bounded by `maxBucket`, where
+    * the old shape re-joined the gram projection per batch. Persist
+    * the fold (or point `existing` at a materialized table) so the
+    * per-batch re-plan stays a cheap static scan. `tsCol`/`lateness`
+    * still apply a watermark so downstream STATEFUL consumers of the
+    * admitted stream inherit one. Within-stream near-dups are out of
+    * scope — compose with [[streamingExactDedup]] and a periodic
+    * batch [[nearDedup]].
     */
   def streamingNearDedup(stream: DataFrame, existing: DataFrame,
       idCol: String, textCol: String, tsCol: String,
@@ -1178,47 +1178,40 @@ object Dedup {
     def sig(c: Column): Column = coalesce(
       graft.expressions.TextHashExprs.minhashSig(c, numHashes),
       array_repeat(lit(HashPrime), numHashes))
-    // static index: capped bucket membership + gram projection. A
-    // single-member corpus bucket still matters (candidates are
-    // cross-side by construction), so only OVERSIZED buckets drop.
-    // Internal columns wear the "__" prefix so a stream schema with
-    // its own "band"/"cid" column cannot collide in the using-joins.
-    val bounded = TopK.boundedCollect[Long](maxBucket)
-    val corpusBuckets = existing
-      .select(col(idCol).cast("long").as("__cid"), sig(col(textCol)).as("__sig"))
-      .select(col("__cid"), posexplode(bandSigs(col("__sig"), bands, rows)))
-      .toDF("__cid", "__band", "__band_sig")
+    // static fold: one row per (band, band_sig) with the members'
+    // gram sets. A single-member corpus bucket still matters
+    // (candidates are cross-side by construction), so only OVERSIZED
+    // buckets drop — BoundedCollect keeps cap+1, making the
+    // degenerate-bucket filter exact. Internal columns wear the "__"
+    // prefix so a stream schema with its own names cannot collide.
+    val bounded = TopK.boundedCollect[Seq[String]](maxBucket)
+    val buckets = existing
+      .select(sig(col(textCol)).as("__sig"), grams(col(textCol)).as("__cg"))
+      .select(col("__cg"), posexplode(bandSigs(col("__sig"), bands, rows)))
+      .toDF("__cg", "__band", "__band_sig")
       .groupBy(col("__band"), col("__band_sig"))
-      .agg(bounded(col("__cid")).as("__cids"))
-      .filter(size(col("__cids")) <= maxBucket)
-      .select(col("__band"), col("__band_sig"),
-        explode(col("__cids")).as("__cid"))
-    val corpusGrams = existing
-      .select(col(idCol).cast("long").as("__cid"), grams(col(textCol)).as("__cg"))
-    // stream side: watermark first (canonical order for the stateful
-    // agg downstream), then bucket keys — the doc's own columns ride
-    // every exploded row so the final projection needs no join back
-    val streamCols = stream.columns
-    val banded = stream
+      .agg(bounded(col("__cg")).as("__mgs"))
+      .filter(size(col("__mgs")) <= maxBucket)
+    val streamCols = stream.columns.toSeq
+    var cur = stream
       .withWatermark(tsCol, lateness)
       .withColumn("__g", grams(col(textCol)))
-      .withColumn("__sig", sig(col(textCol)))
-      .select(streamCols.map(col) :+ col("__g")
-        :+ posexplode(bandSigs(col("__sig"), bands, rows))
-          .as(Seq("__band", "__band_sig")): _*)
-    val collided = banded
-      .join(corpusBuckets, Seq("__band", "__band_sig"), "left")
-      .join(corpusGrams, Seq("__cid"), "left")
-    val inter = size(array_intersect(col("__g"), col("__cg")))
-    val union = size(col("__g")) + size(col("__cg")) - inter
-    val matched = when(col("__cid").isNotNull && union > 0 &&
-      inter.cast("double") / union >= threshold, 1).otherwise(0)
-    collided
-      .withColumn("__m", matched)
-      .groupBy(streamCols.map(col): _*)
-      .agg(max(col("__m")).as("__mx"))
-      .filter(col("__mx") === 0)
-      .select(streamCols.map(col): _*)
+      .withColumn("__bsigs", bandSigs(sig(col(textCol)), bands, rows))
+    for (b <- 0 until bands) {
+      val bb = buckets.filter(col("__band") === b)
+        .select(col("__band_sig").as(s"__bs$b"), col("__mgs").as(s"__mgs$b"))
+      cur = cur
+        .withColumn(s"__bs$b", element_at(col("__bsigs"), b + 1))
+        .join(bb, Seq(s"__bs$b"), "left")
+    }
+    val matched = (0 until bands).map { b =>
+      coalesce(exists(col(s"__mgs$b"), cg => {
+        val inter = size(array_intersect(col("__g"), cg))
+        val union = size(col("__g")) + size(cg) - inter
+        union > 0 && inter.cast("double") / union >= threshold
+      }), lit(false))
+    }.reduce(_ || _)
+    cur.filter(!matched).select(streamCols.map(col): _*)
   }
 
   /** Connected components over near-dup pairs → per-doc cluster labels:

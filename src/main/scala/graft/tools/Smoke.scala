@@ -384,7 +384,8 @@ object Smoke {
         (recrawl(2)._1, ts("2024-01-01 00:00:03"), recrawl(2)._2),
         (900202L, ts("2024-01-01 00:00:04"), "wholly fresh streaming doc two"))
       sq2.processAllAvailable()
-      // two watermark-advancing triggers so the append-mode agg emits
+      // stateless admission emits per batch; two more fresh docs just
+      // exercise extra triggers (both admitted)
       mem.addData((900900L, ts("2024-01-01 01:00:00"), "watermark pusher a"))
       sq2.processAllAvailable()
       mem.addData((900901L, ts("2024-01-01 01:00:01"), "watermark pusher b"))

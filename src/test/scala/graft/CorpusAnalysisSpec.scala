@@ -471,7 +471,10 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
-  test("streamingNearDedup: perturbed re-crawls dropped across batches, disjoint survives") {
+  test("streamingNearDedup: STATELESS admission — perturbed re-crawls " +
+      "dropped, fresh docs emitted in their arrival batch without " +
+      "collapsing duplicates, late rows decided, zero stateful " +
+      "operators") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
@@ -488,27 +491,45 @@ class CorpusAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("stream_near")
       .outputMode("append").start()
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ids() = spark.table("stream_near").collect()
+      .map(_.getLong(0)).toSeq
     try {
-      // batch 1: a near-dup of corpus doc qa (last token changed) and a
-      // token-disjoint fresh doc
+      // batch 1: a near-dup of corpus doc qa (last token changed), a
+      // token-disjoint fresh doc, and an EXACT duplicate of that fresh
+      // row — both copies emit IN THIS BATCH: no watermark delay, no
+      // duplicate collapse
       mem.addData(
         (1L, ts("2024-01-01 00:00:00"), doc("qa").replaceAll("qa29$", "zz")),
+        (2L, ts("2024-01-01 00:00:01"), doc("qf")),
         (2L, ts("2024-01-01 00:00:01"), doc("qf")))
       q.processAllAvailable()
-      // batch 2: near-dup of qb, another fresh doc
+      assert(ids().sorted == Seq(2L, 2L), s"batch1 got ${ids()}")
+      // batch 2: near-dup of qb (dropped), another fresh doc
       mem.addData(
         (3L, ts("2024-01-01 00:00:02"), doc("qb").replaceAll("qb29$", "yy")),
         (4L, ts("2024-01-01 00:00:03"), doc("qg")))
       q.processAllAvailable()
-      // advance the watermark past the rows above so the append-mode
-      // aggregation emits its decisions (two triggers: one carries the
-      // new max event time, the next emits below the new watermark)
+      assert(ids().sorted == Seq(2L, 2L, 4L), s"batch2 got ${ids()}")
+      // batch 3: fresh doc an hour ahead, then a LATE fresh doc
+      // (before the advanced watermark) — a stateless filter gives
+      // late rows the same admission decision instead of silently
+      // dropping them
       mem.addData((99L, ts("2024-01-01 01:00:00"), doc("qh")))
       q.processAllAvailable()
-      mem.addData((98L, ts("2024-01-01 01:00:01"), doc("qi")))
+      mem.addData((98L, ts("2024-01-01 00:00:05"), doc("qi")))
       q.processAllAvailable()
-      val ids = spark.table("stream_near").collect().map(_.getLong(0)).toSet
-      assert(ids == Set(2L, 4L), s"got $ids")
+      assert(ids().sorted == Seq(2L, 2L, 4L, 98L, 99L),
+        s"batch3/4 got ${ids()}")
+      // the executed plan carries NO stateful operator: per-row
+      // streaming state is zero bytes regardless of doc size
+      import org.apache.spark.sql.execution.streaming.operators
+        .stateful.StateStoreWriter
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution
+          .streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateOps = exec.collect { case s: StateStoreWriter => s }
+      assert(stateOps.isEmpty,
+        s"expected zero stateful operators, got $stateOps")
     } finally q.stop()
   }
 

@@ -294,9 +294,8 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      // later crawls advance the watermark past batch 0 so the
-      // append-mode aggregation emits its decisions (one batch carries
-      // the new max event time, the next emits below the watermark)
+      // stateless admission: batch-0 decisions emit in batch 0; the
+      // later crawls just exercise the multi-batch file source
       java.nio.file.Files.write(dir.resolve("crawl-1.warc.gz"),
         cap("http://c.test/new2", doc("wg"), "2024-01-01T01:00:00Z"))
       q.processAllAvailable()
@@ -305,13 +304,13 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       val got = spark.table("warc_near").select("url", "text").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
-      // batch-0 decisions are final: the re-crawl is dropped, the new
-      // page admitted with its CLEANED text (tags gone)
+      // the re-crawl is dropped, the new page admitted with its
+      // CLEANED text (tags gone)
       assert(got.contains("http://c.test/new"), s"got ${got.keys}")
       assert(!got.contains("http://c.test/dup"), s"got ${got.keys}")
       assert(got("http://c.test/new") == doc("wf"))
-      // crawl-1's page has also cleared the watermark by now
       assert(got.contains("http://c.test/new2"), s"got ${got.keys}")
+      assert(got.contains("http://c.test/new3"), s"got ${got.keys}")
     } finally q.stop()
   }
 
