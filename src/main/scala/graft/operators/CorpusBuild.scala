@@ -102,15 +102,19 @@ object CorpusBuild {
     // ---- params sidecar: write once, fail-loud compare on resume ----
     // (the curatePersisted contract). The target DataFrame is covered
     // by a deterministic fingerprint: row count + order-insensitive
-    // sum of 60-bit id hashes (longs; wraparound is fine — it stays
-    // deterministic and order-free). One bounded aggregation per run.
+    // sum of 60-bit (id, text) CONTENT hashes (longs; wraparound is
+    // fine — it stays deterministic and order-free). Hashing the text
+    // alongside the id costs nothing extra (same one bounded
+    // aggregation) and closes the silent-mix hole: a target with the
+    // same ids but different text trains a different LM regime and
+    // must fail the resume, not blend tiers across regimes.
     val targetFp =
       if (target == null) "none"
       else {
         val r = target
           .agg(count(lit(1)),
             sum(TextFunctions.md5Hash60(concat(lit("tgtfp:"),
-              col("id").cast("string")))))
+              col("id").cast("string"), lit(":"), col("text")))))
           .collect()(0)
         s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
       }

@@ -394,6 +394,63 @@ object Smoke {
         .select($"doc_id", substring($"text", 1, 40).as("text_head")).show(false)
       sq2.stop()
     }
+
+    println("== buildCorpus: resumable pipeline + (id, text) target " +
+      "fingerprint ==")
+    // end-to-end corpus build off an in-memory WARC drop, then the
+    // resume contract: clean resume on the identical target, fail-loud
+    // when the target keeps its ids but swaps its TEXT (the LM-regime
+    // mix the content fingerprint exists to block)
+    locally {
+      import java.nio.charset.StandardCharsets.UTF_8
+      def doc(seed: Int): String = (0 until 4).map(i =>
+        (0 until 5).map(j => s"s${seed}w${i}x${j}token").mkString(" ") +
+          " ends.").mkString(" ")
+      def http(body: String): Array[Byte] = {
+        val b = s"<html><body><p>$body</p></body></html>".getBytes(UTF_8)
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${b.length}\r\n\r\n").getBytes(UTF_8) ++ b
+      }
+      def rec(uri: String, block: Array[Byte]): Array[Byte] = {
+        val hdr = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Record-ID: <urn:uuid:$uri>\r\n" +
+          s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          s"Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${block.length}\r\n\r\n").getBytes(UTF_8)
+        val raw = hdr ++ block ++ "\r\n\r\n".getBytes(UTF_8)
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(raw); gz.close(); bos.toByteArray
+      }
+      val warcDir = Files.createTempDirectory("smoke-build-warc")
+      Files.write(warcDir.resolve("crawl-0.warc.gz"),
+        (0 until 8).map(i => rec(s"http://s$i.test/a", http(doc(i))))
+          .reduce(_ ++ _))
+      val stageDir = Files
+        .createTempDirectory("smoke-build-stages").toString
+      val target = (0 until 4).map(i => (100L + i, doc(i)))
+        .toDF("id", "text")
+      graft.operators.CorpusBuild.buildCorpus(spark, warcDir.toString,
+        stageDir, target = target, nearDupThreshold = 0.7,
+        packTokens = 64).show(false)
+      // identical-content target (different row order): clean resume
+      graft.operators.CorpusBuild.buildCorpus(spark, warcDir.toString,
+        stageDir, target = target.orderBy($"id".desc).repartition(2),
+        nearDupThreshold = 0.7, packTokens = 64).show(false)
+      // same ids, different text: the content fingerprint fails loud
+      try {
+        graft.operators.CorpusBuild.buildCorpus(spark, warcDir.toString,
+          stageDir, target = (0 until 4).map(i => (100L + i, doc(i + 50)))
+            .toDF("id", "text"),
+          nearDupThreshold = 0.7, packTokens = 64)
+        println("|BUG: same-ids-different-text target resumed silently|")
+      } catch {
+        case e: IllegalArgumentException =>
+          println("|target-swap rejected: " +
+            e.getMessage.linesIterator.next() + "|")
+      }
+    }
     spark.stop()
   }
 }

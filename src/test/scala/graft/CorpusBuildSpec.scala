@@ -232,6 +232,19 @@ class CorpusBuildSpec extends AnyFunSuite with BeforeAndAfterAll {
         target = mutated, nearDupThreshold = 0.7, packTokens = 64)
     }
     assert(eT.getMessage.contains("DIFFERENT parameters"), eT.getMessage)
+    // SAME ids, DIFFERENT text also fails loudly: the fingerprint
+    // hashes (id, text) content, so a swapped-out target corpus with
+    // identical ids cannot silently mix tier regimes (pre-fix: the
+    // id-only fingerprint matched and stages 4+ resumed under the
+    // OLD LM regime)
+    val sameIdsNewText = (0 until 4).map(i => (100L + i, goodDoc(i + 7)))
+      .toDF("id", "text")
+    val eS = intercept[IllegalArgumentException] {
+      CorpusBuild.buildCorpus(spark, warcDir.toString, stageDir,
+        target = sameIdsNewText, nearDupThreshold = 0.7,
+        packTokens = 64)
+    }
+    assert(eS.getMessage.contains("DIFFERENT parameters"), eS.getMessage)
     // dropping the target entirely also fails
     val eN = intercept[IllegalArgumentException] {
       CorpusBuild.buildCorpus(spark, warcDir.toString, stageDir,
