@@ -1371,6 +1371,132 @@ object ScaleSmoke {
         .forEach(p2 => java.nio.file.Files.delete(p2))
     }
 
+    // --- perceptual audio near-dup at 1M clips: REAL WAV payloads
+    // (44-byte canonical header + 16-bit PCM data built per row on
+    // executors), decoded and fingerprinted under the DEFAULT
+    // duration-normalized AUTO window — clip lengths VARY by class
+    // (65·(8 + cls % 9) samples, so the per-clip window is 8..16 and
+    // the auto path is genuinely exercised, not fixed-width in
+    // disguise). 500k classes of exactly two clips: even id = the
+    // class stream (samples effectively random in [-8000, 8000]),
+    // odd id = the SAME stream re-gained ×2 — energies scale by
+    // exactly 4, every strict energy-gradient comparison is
+    // preserved, so each twin's fingerprint is bit-identical to its
+    // base (distance 0) and the expected pair set is EXACTLY the
+    // 500k (2c, 2c+1) pairs.
+    {
+      val nClip = args.drop(1).headOption.map(_.toInt).getOrElse(1000000)
+      import spark.implicits._
+      val t80 = System.nanoTime()
+      // pairMode: cls = id/2 and odd ids are re-gained twins;
+      // otherwise cls = id (fresh clips in their own classes — class
+      // ids >= nClip never collide with pair classes)
+      def mkClips(n0: Long, n1: Long, pairMode: Boolean) =
+        spark.range(n0, n1).repartition(64)
+          .mapPartitions { it =>
+            def mix(a: Long): Long = {
+              var x = a
+              x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+              x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+              x ^= x >>> 33; x
+            }
+            it.map { id =>
+              val idL: Long = id
+              val cls = if (pairMode) idL / 2 else idL
+              val gain = if (pairMode && idL % 2 == 1) 2 else 1
+              val nS = 65 * (8 + (cls % 9L)).toInt
+              val bytes = new Array[Byte](44 + 2 * nS)
+              def le16(o: Int, v: Int): Unit = {
+                bytes(o) = (v & 0xFF).toByte
+                bytes(o + 1) = ((v >> 8) & 0xFF).toByte
+              }
+              def le32(o: Int, v: Long): Unit = {
+                var i = 0
+                while (i < 4) {
+                  bytes(o + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1
+                }
+              }
+              def tag(o: Int, s: String): Unit = {
+                var i = 0
+                while (i < 4) { bytes(o + i) = s.charAt(i).toByte; i += 1 }
+              }
+              tag(0, "RIFF"); le32(4, 36L + 2 * nS); tag(8, "WAVE")
+              tag(12, "fmt "); le32(16, 16L)
+              le16(20, 1); le16(22, 1) // PCM, mono
+              le32(24, 16000L); le32(28, 32000L) // rate, byte rate
+              le16(32, 2); le16(34, 16) // block align, bits
+              tag(36, "data"); le32(40, 2L * nS)
+              // double-mix so distinct classes get UNRELATED streams
+              // (a linear cls*K + k input would make neighbor classes
+              // shifted copies of each other)
+              val seed = mix(cls)
+              var k = 0
+              while (k < nS) {
+                val s = (((mix(seed + k * 0x9E3779B97F4A7C15L)
+                  & Long.MaxValue) % 16001L) - 8000L).toInt * gain
+                le16(44 + 2 * k, s & 0xFFFF)
+                k += 1
+              }
+              (idL, bytes)
+            }
+          }.toDF("id", "content")
+      val clips = mkClips(0L, nClip, pairMode = true)
+      val auPairs = graft.operators.Audio.audioNearDupPairs(
+        clips, "id", "content")
+      // exact expected pair set: count == classes, every distance 0,
+      // and sum(b - a) == classes pins each pair to (2c, 2c+1)
+      val apAgg = auPairs.agg(count(lit(1)), max(col("distance")),
+        sum(col("b") - col("a"))).collect()(0)
+      val tAp = (System.nanoTime() - t80) / 1e9
+      require(apAgg.getLong(0) == nClip / 2L,
+        s"audioNearDup pairs ${apAgg.getLong(0)} != ${nClip / 2}")
+      require(apAgg.getLong(1) == 0L,
+        s"audioNearDup max distance ${apAgg.getLong(1)} != 0")
+      require(apAgg.getLong(2) == nClip / 2L,
+        s"audioNearDup pair structure broken: sum(b-a)=${apAgg.getLong(2)}")
+      println(f"audioNearDup: $nClip%d wavs decoded under the auto " +
+        f"window, ${nClip / 2} planted re-gained twin pairs found " +
+        f"exactly in $tAp%.1f s (${nClip / tAp}%.0f clips/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+      // index lifecycle at the same scale: persist the even-id half
+      // as the corpus signature index (sidecar records the auto mode),
+      // then admit a snapshot of the odd-id re-gained twins (every
+      // one at distance 0 of an indexed signature -> dropped) plus
+      // nClip/10 genuinely fresh clips (own classes -> admitted). The
+      // admission's corpus side reads 8-byte signatures — no
+      // re-decode of the 500k corpus clips.
+      val auIdxDir = java.nio.file.Files
+        .createTempDirectory("graft-audio-idx-smoke").toString
+      val t81 = System.nanoTime()
+      graft.operators.Audio.writeAudioNearDupIndex(
+        clips.filter(col("id") % 2 === 0), "id", "content", auIdxDir)
+      val tAIdx = (System.nanoTime() - t81) / 1e9
+      val t82 = System.nanoTime()
+      val auSnap = clips.filter(col("id") % 2 === 1)
+        .unionByName(mkClips(nClip, nClip + nClip / 10L,
+          pairMode = false))
+      val auAdmitted = graft.operators.Audio
+        .incrementalAudioNearDedup(auSnap, "id", "content", auIdxDir)
+        .agg(count(lit(1)), min(col("id")), max(col("id")))
+        .collect()(0)
+      val tAAdmit = (System.nanoTime() - t82) / 1e9
+      require(auAdmitted.getLong(0) == nClip / 10L,
+        s"audioAdmit count ${auAdmitted.getLong(0)} != ${nClip / 10}")
+      require(auAdmitted.getLong(1) == nClip &&
+        auAdmitted.getLong(2) == nClip + nClip / 10L - 1,
+        s"audioAdmit ids [${auAdmitted.getLong(1)}, " +
+          s"${auAdmitted.getLong(2)}] not the fresh range")
+      println(f"audioIndex: ${nClip / 2} sigs indexed in " +
+        f"$tAIdx%.1f s; ${nClip / 2 + nClip / 10} snapshot admitted " +
+        f"-> exactly ${nClip / 10} fresh in $tAAdmit%.1f s " +
+        f"(${(nClip / 2 + nClip / 10) / tAAdmit}%.0f clips/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(auIdxDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p2 => java.nio.file.Files.delete(p2))
+    }
+
     // --- approxGroupedRankBuckets at 100k groups: the crawl-scale
     // rank-cut engine with a closed-form planted answer. 100k domains
     // x 10 docs, scores 0..9 within each; 16 bins over [0, 10] give
