@@ -1192,6 +1192,7 @@ object SparkEntry {
     // through the REAL integer stats expressions: peak, zero
     // crossings, total energy, 4 x 64-sample window energies
     "q_audio_stats" -> ((s, dir) => {
+      graft.expressions.AudioExprs.register(s)
       val pcm = syntheticPcm(t(s, dir, "documents"), n = 256,
         classed = false)
       pcm.select(col("id") +:
@@ -1202,26 +1203,30 @@ object SparkEntry {
     // 16 samples) -> energy-gradient fingerprint -> the same
     // block-pigeonhole pair machinery as the image path; every step
     // exact integer, replicated in DuckDB HUGEINT arithmetic
-    "q_audio_near_dup" -> ((s, dir) =>
+    "q_audio_near_dup" -> ((s, dir) => {
+      graft.expressions.AudioExprs.register(s)
       Dedup.hamming64NearDupPairs(
         syntheticPcm(t(s, dir, "documents"), n = 65 * 16, classed = true)
           .select(col("id"), Audio.audioFingerprint64(
-            Audio.windowEnergies(col("samples"), window = 16,
-              nWindows = 65)).as("sig")),
-        "id", "sig", maxDistance = 3)),
+            graft.expressions.AudioExprs.energiesNative(col("samples"),
+              lit(16), 65)).as("sig")),
+        "id", "sig", maxDistance = 3)
+    }),
 
     // the DEFAULT duration-normalized audio path: per-clip AUTO window
     // (⌈n/65⌉ — genuinely varying, the planted classes differ in
     // length) through the REAL windowEnergiesDyn/autoWindow
     // expressions -> gradient fingerprint -> the same pair machinery;
     // window arithmetic replicates as (n + 64) // 65 in SQL
-    "q_audio_near_dup_auto" -> ((s, dir) =>
+    "q_audio_near_dup_auto" -> ((s, dir) => {
+      graft.expressions.AudioExprs.register(s)
       Dedup.hamming64NearDupPairs(
         syntheticPcmAutoClassed(t(s, dir, "documents"))
           .select(col("id"), Audio.audioFingerprint64(
-            Audio.windowEnergiesDyn(col("samples"),
+            graft.expressions.AudioExprs.energiesNative(col("samples"),
               Audio.autoWindow(col("samples")), 65)).as("sig")),
-        "id", "sig", maxDistance = 3)),
+        "id", "sig", maxDistance = 3)
+    }),
 
     // audio snapshot admission — the cross-side Hamming kernel behind
     // the persisted audio signature index (incrementalAudioNearDedup /
@@ -1231,9 +1236,10 @@ object SparkEntry {
     // decode + sidecar lifecycle around this kernel is spec-pinned in
     // AudioSpec
     "q_audio_admission" -> ((s, dir) => {
+      graft.expressions.AudioExprs.register(s)
       val sigs = syntheticPcmAutoClassed(t(s, dir, "documents"))
         .select(col("id"), Audio.audioFingerprint64(
-          Audio.windowEnergiesDyn(col("samples"),
+          graft.expressions.AudioExprs.energiesNative(col("samples"),
             Audio.autoWindow(col("samples")), 65)).as("sh"))
       val corpus = sigs.filter(col("id") < 32)
       val snap = sigs.filter(col("id") >= 250)

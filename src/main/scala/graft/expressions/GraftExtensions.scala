@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ProcessGeometryExpr(exprs(0), exprs(1))))
     TextHashExprs.injectInto(ext)
     VectorHashExprs.injectInto(ext)
+    AudioExprs.injectInto(ext)
   }
 }

@@ -254,19 +254,25 @@ object Audio {
   /** Exact per-clip stats over a decoded sample array: frame count,
     * peak |sample|, zero crossings, total energy (Σ s²), and the first
     * `nWindows` window energies as scalar columns `e1..eN`. All
-    * integer, all expressions.
+    * integer, computed by the native one-pass kernels
+    * ([[graft.expressions.AudioStatsExpr]] /
+    * [[graft.expressions.AudioEnergiesExpr]] — spec-pinned
+    * bit-identical to the HOF reference folds [[zeroCrossings]] /
+    * [[windowEnergies]], which stay as the replication recipe).
+    * Requires `AudioExprs.register` on the session — [[audioStats]]
+    * does it; standalone callers register once (or deploy
+    * `GraftExtensions`).
     */
   def statsColumns(samples: Column, window: Int,
       nWindows: Int): Seq[Column] = {
-    val energies = windowEnergies(samples, window, nWindows)
+    val st = graft.expressions.AudioExprs.statsNative(samples)
+    val energies = graft.expressions.AudioExprs.energiesNative(
+      samples, lit(window), nWindows)
     Seq(
       size(samples).cast("long").as("n_samples"),
-      coalesce(array_max(transform(samples,
-        x => abs(x.cast("long")))), lit(0L)).as("peak_abs"),
-      zeroCrossings(samples).as("zero_crossings"),
-      aggregate(samples, lit(0L),
-        (acc, x) => acc + x.cast("long") * x.cast("long"))
-        .as("total_energy")) ++
+      st.getField("peak_abs").as("peak_abs"),
+      st.getField("zero_crossings").as("zero_crossings"),
+      st.getField("total_energy").as("total_energy")) ++
       (1 to nWindows).map(w => element_at(energies, w).as(s"e$w"))
   }
 
@@ -277,6 +283,7 @@ object Audio {
   def audioStats(df: DataFrame, idCol: String, binCol: String,
       window: Int = 64, nWindows: Int = 4,
       maxFrames: Int = 1 << 20): DataFrame = {
+    graft.expressions.AudioExprs.register(df.sparkSession)
     val dec = decodePcm16(df, idCol, binCol, maxFrames).toDF()
       .filter(col("decoded"))
     dec.select(col("id") +: col("sampleRate").as("sample_rate") +:
@@ -306,13 +313,18 @@ object Audio {
   def audioSigs(df: DataFrame, idCol: String, binCol: String,
       window: Int = 0, maxFrames: Int = 1 << 20): DataFrame = {
     require(window >= 0, "window must be >= 0 (0 = auto per clip)")
+    graft.expressions.AudioExprs.register(df.sparkSession)
     val win =
       if (window == 0) autoWindow(col("samples")) else lit(window)
     decodePcm16(df, idCol, binCol, maxFrames).toDF()
       .filter(col("decoded"))
       .select(col("id"),
         audioFingerprint64(
-          windowEnergiesDyn(col("samples"), win, 65)).as("sig"))
+          // native kernel, not the HOF fold: the interpreted
+          // slice-per-window walk is ~25× slower at 1M clips
+          // (spec-pinned bit-identical to windowEnergiesDyn)
+          graft.expressions.AudioExprs.energiesNative(
+            col("samples"), win, 65)).as("sig"))
   }
 
   /** Perceptual audio near-duplicate pairs: decode → 65-window energy
@@ -484,9 +496,11 @@ object Audio {
     * without dropping the stream's own columns). Binary audio decode
     * is the justified-UDF case, like [[Multimodal]]'s `lumaGridUdf`;
     * one payload in memory at a time, null for undecodable. The
-    * window arithmetic replicates [[windowEnergies]] exactly (window
-    * w sums squares over [w·window, (w+1)·window), zero-padded) —
-    * parity with the expression path is spec-pinned.
+    * window arithmetic replicates the batch signature path exactly
+    * (window w sums squares over [w·window, (w+1)·window),
+    * zero-padded — [[graft.expressions.AudioEnergiesExpr]], itself
+    * pinned to the [[windowEnergies]] HOF reference) — parity is
+    * spec-pinned by the maxDistance=0 streaming admission tests.
     */
   private def energiesUdf(window: Int, maxFrames: Int) =
     udf { (bytes: Array[Byte]) =>

@@ -259,6 +259,79 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!tiny.parsed, s"data header beyond prefix must not parse: $tiny")
   }
 
+  test("native audio kernels: audio_energies_native bit-equals the " +
+      "windowEnergiesDyn HOF fold (fixed + per-row auto widths, " +
+      "zero-padded tails, oversized windows, empty arrays) and " +
+      "audio_stats_native bit-equals the three HOF stat folds") {
+    import spark.implicits._
+    graft.expressions.AudioExprs.register(spark)
+    val rnd = new scala.util.Random(31)
+    // shapes: exact multiple of the window, ragged tail, shorter than
+    // one window, single sample, empty
+    val rows = Seq(
+      (1L, Array.fill(65 * 16)(rnd.nextInt(65536) - 32768)),
+      (2L, Array.fill(1000)(rnd.nextInt(65536) - 32768)),
+      (3L, Array.fill(7)(rnd.nextInt(65536) - 32768)),
+      (4L, Array(12345)),
+      (5L, Array.emptyIntArray))
+    val df5 = rows.toDF("id", "samples")
+    for (win <- Seq(1, 3, 16, 100, 5000)) {
+      val got = df5.select(col("id"),
+        graft.expressions.AudioExprs.energiesNative(col("samples"),
+          lit(win), 65).as("n"),
+        Audio.windowEnergiesDyn(col("samples"), lit(win), 65).as("h"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"window=$win id=${r.getLong(0)}")
+      }
+    }
+    // per-row AUTO width (the production default path)
+    val auto = df5.select(col("id"),
+      graft.expressions.AudioExprs.energiesNative(col("samples"),
+        Audio.autoWindow(col("samples")), 65).as("n"),
+      Audio.windowEnergiesDyn(col("samples"),
+        Audio.autoWindow(col("samples")), 65).as("h")).collect()
+    auto.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"auto id=${r.getLong(0)}"))
+    // stats kernel vs the HOF reference folds
+    val st = df5.select(col("id"),
+      graft.expressions.AudioExprs.statsNative(col("samples")).as("s"),
+      coalesce(array_max(transform(col("samples"),
+        x => abs(x.cast("long")))), lit(0L)).as("peak"),
+      Audio.zeroCrossings(col("samples")).as("zc"),
+      aggregate(col("samples"), lit(0L),
+        (acc, x) => acc + x.cast("long") * x.cast("long")).as("te"))
+      .collect()
+    st.foreach { r =>
+      val s = r.getStruct(1)
+      assert(s.getLong(0) == r.getLong(2), s"peak id=${r.getLong(0)}")
+      assert(s.getLong(1) == r.getLong(3), s"zc id=${r.getLong(0)}")
+      assert(s.getLong(2) == r.getLong(4), s"te id=${r.getLong(0)}")
+    }
+    // fail-loud on a non-positive window (the HOF form would silently
+    // produce empty slices)
+    val err = intercept[Exception] {
+      df5.select(graft.expressions.AudioExprs.energiesNative(
+        col("samples"), lit(0), 65)).collect()
+    }
+    assert(err.getMessage != null)
+    // the kernels stay inside whole-stage codegen (the point: the HOF
+    // fold is CodegenFallback and runs interpreted)
+    // route through parquet: ConvertToLocalRelation would otherwise
+    // fold the tiny local relation away before any codegen happens
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft-audio-kernel-plan").toString
+    df5.write.mode("overwrite").parquet(pq)
+    val fromPq = spark.read.parquet(pq).select(
+      graft.expressions.AudioExprs.energiesNative(col("samples"),
+        lit(16), 65).as("n"),
+      graft.expressions.AudioExprs.statsNative(col("samples")).as("s"))
+    val plan = fromPq.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [audio_energies_native"), plan)
+    assert(fromPq.count() == 5) // generated code compiles + runs
+  }
+
   test("audio near-dup index: build once / admit many; appends are " +
       "transactional (uncommitted batches invisible); fail-loud on " +
       "params mismatch, missing sidecar, and crash-mid-rewrite; " +
