@@ -198,7 +198,7 @@ object SparkEntry {
     val samples = transform(sequence(lit(0), lit(n - 1)), k =>
       (pmod(base * lit(2654435761L) + k.cast("long") * lit(40503L) +
         (if (classed)
-          when(col("doc_id") >= 250 && k < 16, 37L).otherwise(0L)
+          when(col("doc_id") >= 250 && k < 4, 37L).otherwise(0L)
         else lit(0L)), lit(65536L)) - 32768L).cast("int"))
     docs.select(col("doc_id").as("id"), samples.as("samples"))
       .localCheckpoint(true)
@@ -206,17 +206,20 @@ object SparkEntry {
 
   /** Variable-length planted PCM classes for the AUTO-window audio
     * path ([[Audio.autoWindow]]): class base = doc_id % 64 sets BOTH
-    * the stream and the clip length — 65·(16+base) samples, so the
-    * per-clip auto width ⌈n/65⌉ is exactly 16+base and genuinely
+    * the stream and the clip length — 65·(2+base%16) samples, so the
+    * per-clip auto width ⌈n/65⌉ is exactly 2+base%16 and genuinely
     * VARIES across classes (a fixed-width fingerprint could not
-    * reproduce these signatures). ids >= 250 perturb the first auto
-    * window (k < 16+base) by +37 pre-mod — flips at most gradient
+    * reproduce these signatures; widths kept small so the bench cost
+    * is the kernel, not the interpreted-HOF fixture synthesis — the
+    * kernel's scale evidence lives in the 1M-clip ScaleSmoke).
+    * ids >= 250 perturb the first auto
+    * window (k < 2+base%16) by +37 pre-mod — flips at most gradient
     * bit 0, landing the twin inside the Hamming budget of its base
     * class. Same replication contract as [[syntheticPcm]].
     */
   private def syntheticPcmAutoClassed(docs: DataFrame): DataFrame = {
     val base = (col("doc_id") % 64).cast("long")
-    val win = lit(16L) + base
+    val win = lit(2L) + pmod(base, lit(16L))
     val samples = transform(sequence(lit(0L), lit(65L) * win - 1L), k =>
       (pmod(base * lit(2654435761L) + k.cast("long") * lit(40503L) +
         when(col("doc_id") >= 250 && k < win, 37L).otherwise(0L),
@@ -1200,16 +1203,16 @@ object SparkEntry {
     }),
 
     // perceptual audio near-dup: planted class streams (65 windows x
-    // 16 samples) -> energy-gradient fingerprint -> the same
+    // 4 samples) -> energy-gradient fingerprint -> the same
     // block-pigeonhole pair machinery as the image path; every step
     // exact integer, replicated in DuckDB HUGEINT arithmetic
     "q_audio_near_dup" -> ((s, dir) => {
       graft.expressions.AudioExprs.register(s)
       Dedup.hamming64NearDupPairs(
-        syntheticPcm(t(s, dir, "documents"), n = 65 * 16, classed = true)
+        syntheticPcm(t(s, dir, "documents"), n = 65 * 4, classed = true)
           .select(col("id"), Audio.audioFingerprint64(
             graft.expressions.AudioExprs.energiesNative(col("samples"),
-              lit(16), 65)).as("sig")),
+              lit(4), 65)).as("sig")),
         "id", "sig", maxDistance = 3)
     }),
 
@@ -3441,13 +3444,13 @@ object SparkEntry {
         |    CAST(doc_id % 64 AS BIGINT) AS base,
         |    CASE WHEN doc_id >= 250 THEN 37 ELSE 0 END AS pert
         |  FROM documents),
-        |sm AS (SELECT id, list_transform(generate_series(0, 1039),
+        |sm AS (SELECT id, list_transform(generate_series(0, 259),
         |    k -> ((base * 2654435761 + k * 40503 +
-        |      CASE WHEN k < 16 THEN pert ELSE 0 END) % 65536) - 32768)
+        |      CASE WHEN k < 4 THEN pert ELSE 0 END) % 65536) - 32768)
         |    AS smp
         |  FROM g),
         |e AS (SELECT id, list_transform(generate_series(0, 64), w ->
-        |    list_sum(list_transform(smp[w * 16 + 1 : w * 16 + 16],
+        |    list_sum(list_transform(smp[w * 4 + 1 : w * 4 + 4],
         |      x -> CAST(x AS BIGINT) * x))) AS en
         |  FROM sm),
         |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
@@ -3467,17 +3470,17 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // auto-window audio near-dup: per-clip window (n + 64) // 65 over
-    // variable-length planted streams (len = 65·(16+base)), then the
+    // variable-length planted streams (len = 65·(2+base%16)), then the
     // identical energy fold / HUGEINT fingerprint / block machinery
     "q_audio_near_dup_auto" ->
       """WITH g AS (SELECT doc_id AS id,
         |    CAST(doc_id % 64 AS BIGINT) AS base,
         |    CASE WHEN doc_id >= 250 THEN 37 ELSE 0 END AS pert
         |  FROM documents),
-        |sm AS (SELECT id, 16 + base AS win,
-        |    list_transform(generate_series(0, 65 * (16 + base) - 1),
+        |sm AS (SELECT id, 2 + base % 16 AS win,
+        |    list_transform(generate_series(0, 65 * (2 + base % 16) - 1),
         |    k -> ((base * 2654435761 + k * 40503 +
-        |      CASE WHEN k < 16 + base THEN pert ELSE 0 END) % 65536)
+        |      CASE WHEN k < 2 + base % 16 THEN pert ELSE 0 END) % 65536)
         |      - 32768) AS smp
         |  FROM g),
         |e AS (SELECT id, list_transform(generate_series(0, 64), w ->
@@ -3508,10 +3511,10 @@ object SparkEntry {
         |    CAST(doc_id % 64 AS BIGINT) AS base,
         |    CASE WHEN doc_id >= 250 THEN 37 ELSE 0 END AS pert
         |  FROM documents),
-        |sm AS (SELECT id, 16 + base AS win,
-        |    list_transform(generate_series(0, 65 * (16 + base) - 1),
+        |sm AS (SELECT id, 2 + base % 16 AS win,
+        |    list_transform(generate_series(0, 65 * (2 + base % 16) - 1),
         |    k -> ((base * 2654435761 + k * 40503 +
-        |      CASE WHEN k < 16 + base THEN pert ELSE 0 END) % 65536)
+        |      CASE WHEN k < 2 + base % 16 THEN pert ELSE 0 END) % 65536)
         |      - 32768) AS smp
         |  FROM g),
         |e AS (SELECT id, list_transform(generate_series(0, 64), w ->
