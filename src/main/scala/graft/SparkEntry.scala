@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, HtmlExtract, LanguageModel, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, WebCorpus}
+import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, HtmlExtract, LanguageModel, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -226,6 +226,32 @@ object SparkEntry {
         lit(65536L)) - 32768L).cast("int"))
     docs.select(col("doc_id").as("id"), samples.as("samples"))
       .localCheckpoint(true)
+  }
+
+  /** Real AVI payloads for the video oracle rows: per doc_id, the
+    * library encoder ([[Video.buildUncompressedAvi]]) over a planted
+    * 4×3 BGR24 stream — pixel byte k of frame f is
+    * (base·131 + f·31 + k·7) % 101 with base = doc_id % 64, clip
+    * length 65 + base%8 frames (so the uniform-sampling floor formula
+    * genuinely varies), ids ≥ 250 add +37 to frame 0 (flips at most
+    * temporal-gradient bit 0). All values < 256 — exact bytes, the
+    * whole chain (encode → chunk walk → sampled decode → luma →
+    * fingerprint) closed-form replicable in SQL. The UDF is fixture
+    * scaffolding (binary ENCODE — the same justified-imperative class
+    * as the library's decode step).
+    */
+  private def syntheticAviClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 65 + base % 8
+      val pert = if (id >= 250) 37 else 0
+      val frames = (0 until n).map(f => Array.tabulate(3 * 4 * 3)(k =>
+        (((base * 131 + f * 31 + k * 7) % 101) +
+          (if (f == 0) pert else 0)).toByte))
+      Video.buildUncompressedAvi(4, 3, frames, 40000L)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
   /** Synthetic GeoJSON Point features derived from lineitem numerics —
@@ -1251,6 +1277,31 @@ object SparkEntry {
       snap.select(col("id"))
         .join(matched, snap("id") === matched("b"), "left_anti")
     }),
+
+    // video container metadata: REAL AVI bytes per row (the library
+    // encoder over planted BGR24 streams) through the REAL RIFF/AVI
+    // chunk walk — every projected field is a header read, closed-form
+    // replicable per doc_id
+    "q_video_meta" -> ((s, dir) => {
+      Video.videoMetaScan(syntheticAviClassed(t(s, dir, "documents")),
+        "id", "content")
+        .filter(col("parsed"))
+        .select(col("id"), col("micros_per_frame"), col("total_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("streams").cast("long").as("streams"),
+          col("bit_count").cast("long").as("bit_count"),
+          col("compression"), col("duration_ms"))
+    }),
+
+    // perceptual video near-dup: decode -> 65 uniformly-sampled frame
+    // luma sums -> temporal gradient fingerprint -> the same block
+    // machinery; clip lengths vary per class (65 + base%8 frames) so
+    // the floor sampling formula (i*n)//65 is genuinely exercised
+    "q_video_near_dup" -> ((s, dir) =>
+      Video.videoNearDupPairs(
+        syntheticAviClassed(t(s, dir, "documents")), "id", "content",
+        maxDistance = 3)),
 
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
@@ -3538,6 +3589,50 @@ object SparkEntry {
         |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
         |SELECT id FROM s
         |WHERE id >= 250 AND id NOT IN (SELECT id FROM m)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // video container metadata: every field a closed form of doc_id
+    // (the Spark side reads them back out of REAL encoder-built AVI
+    // bytes through the RIFF/AVI chunk walk)
+    "q_video_meta" ->
+      """SELECT doc_id AS id,
+        |  CAST(40000 AS BIGINT) AS micros_per_frame,
+        |  CAST(65 + (doc_id % 64) % 8 AS BIGINT) AS total_frames,
+        |  CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS streams, CAST(24 AS BIGINT) AS bit_count,
+        |  CAST(0 AS BIGINT) AS compression,
+        |  CAST((65 + (doc_id % 64) % 8) * 40 AS BIGINT) AS duration_ms
+        |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // perceptual video near-dup: replicate the planted pixel stream ->
+    // per-frame luma sum -> 65 uniformly-sampled sums ((i*n)//65) ->
+    // temporal gradient fingerprint in HUGEINT -> block machinery
+    "q_video_near_dup" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    65 + (doc_id % 64) % 8 AS n,
+        |    CASE WHEN doc_id >= 250 THEN 37 * 36 ELSE 0 END AS pert
+        |  FROM documents),
+        |lu AS (SELECT id, list_transform(generate_series(0, 64), i ->
+        |    list_sum(list_transform(generate_series(0, 35), k ->
+        |      (base * 131 + ((i * n) // 65) * 31 + k * 7) % 101))
+        |    + CASE WHEN (i * n) // 65 = 0 THEN pert ELSE 0 END) AS luma
+        |  FROM g),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN luma[i + 1] > luma[i + 2]
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM lu)),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |p AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // grouped rank buckets: the same ceil(rank·B/n) contract under

@@ -1,0 +1,435 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Video payloads as opaque `binary` columns — the third modality of
+  * the multimodal family, built to the exact contract of [[Audio]]
+  * and [[Multimodal]]: a REAL RIFF/AVI container walk (header-only,
+  * prefix-boundable) for the metadata-filter path, uniform frame
+  * sampling with per-payload bounded decode, exact integer per-frame
+  * luminance, and a 64-bit temporal luminance-gradient fingerprint
+  * that feeds the SAME audited Hamming-banded machinery
+  * ([[Dedup.hamming64NearDupPairs]]) — no all-pairs comparison, no
+  * UDF downstream of decode.
+  *
+  * Reference scope: the reference service carries uploads as opaque
+  * blobs (`file-upload.ts` streams without decoding); this module is
+  * the training-data-pipeline extension the brief names ("treat
+  * image/audio/video as opaque binary columns with typed metadata;
+  * decode / frame-sample"). Container: AVI is RIFF — the same chunk
+  * grammar [[Audio.parseWavHeader]] walks — with nested LIST chunks
+  * (`hdrl` carries the `avih` main header, `movi` carries `00db`/
+  * `00dc` frame chunks). Codec support is deliberately the
+  * deterministic core: uncompressed BGR24 DIB frames (`00db`,
+  * BI_RGB) decode exactly; compressed frames (`00dc` or a non-zero
+  * `biCompression`) are honestly `decoded = false` — fabricating
+  * pixel statistics from undecoded codecs is the failure mode the
+  * image path's md5-pseudo-grid contract exists to avoid.
+  *
+  * Design for 100 TB:
+  *  - header parse reads only the chunk table (and stops at `movi`),
+  *    so sample-rate/duration/dimension filters never materialize
+  *    multi-GB frame data; the PREFIX form bounds even that read.
+  *  - decode never materializes a whole video: frame CONTENT is read
+  *    only for the ≤ `nSamples` uniformly-sampled frames (two chunk
+  *    walks: count, then seek-by-size), so per-payload decode cost is
+  *    O(chunk table) + O(nSamples · frame bytes) regardless of
+  *    duration, and `maxFrameBytes` caps the worst single frame.
+  *  - fingerprints are 8 bytes per video; near-dup candidates come
+  *    from the 16-bit block pigeonhole — the identical shape that
+  *    carried image and audio dedup through the 1M ScaleSmokes.
+  */
+object Video {
+
+  /** Header-only parse of the AVI main header (`avih`) plus the
+    * `movi` extent. `durationMs` is exact floor millis
+    * (totalFrames · microsPerFrame / 1000). `parsed = false` rows
+    * (non-RIFF/AVI, truncated, missing `avih`, insane dimensions)
+    * carry zeros — the honest fallback. `bitCount`/`compression`
+    * come from the first video `strf` (BITMAPINFOHEADER) when
+    * present (−1 when absent) — the decode-eligibility signal.
+    */
+  case class AviMeta(id: Long, microsPerFrame: Long, totalFrames: Long,
+      width: Int, height: Int, streams: Int, bitCount: Int,
+      compression: Long, moviOffset: Long, moviLen: Long,
+      durationMs: Long, parsed: Boolean)
+
+  def parseAviHeader(df: DataFrame, idCol: String,
+      binCol: String): Dataset[AviMeta] = {
+    implicit val enc = Encoders.product[AviMeta]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          toMeta(r.getLong(0), parseAvi(r.getAs[Array[Byte]](1)))
+        }
+    }
+  }
+
+  /** [[parseAviHeader]] over only the first `prefixBytes` of each
+    * payload — the 100 TB metadata-filter path (persist the prefix as
+    * its own narrow column at ingest and dimension/duration filters
+    * never touch the frame data). Same honesty contract as
+    * [[Audio.parseWavHeaderPrefix]]: a header structure that extends
+    * beyond the prefix yields `parsed = false`, never fabricated
+    * fields; `moviLen` is clamped to the TRUE payload length (passed
+    * alongside), not the prefix.
+    */
+  def parseAviHeaderPrefix(df: DataFrame, idCol: String,
+      binCol: String, prefixBytes: Int = 64 * 1024): Dataset[AviMeta] = {
+    require(prefixBytes >= 12, s"prefixBytes must cover the RIFF form " +
+      s"header, got $prefixBytes")
+    implicit val enc = Encoders.product[AviMeta]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val prefix =
+            if (bytes == null || bytes.length <= prefixBytes) bytes
+            else java.util.Arrays.copyOf(bytes, prefixBytes)
+          val trueLen = if (bytes == null) 0L else bytes.length.toLong
+          toMeta(r.getLong(0), parseAvi(prefix, trueLen))
+        }
+    }
+  }
+
+  /** Metadata projection over a video-bearing DataFrame: id + the
+    * [[AviMeta]] fields as columns. `prefixBytes > 0` routes through
+    * the prefix parser.
+    */
+  def videoMetaScan(df: DataFrame, idCol: String, binCol: String,
+      prefixBytes: Int = 0): DataFrame = {
+    val ds = if (prefixBytes > 0)
+      parseAviHeaderPrefix(df, idCol, binCol, prefixBytes)
+    else parseAviHeader(df, idCol, binCol)
+    ds.toDF().select(col("id"),
+      col("microsPerFrame").as("micros_per_frame"),
+      col("totalFrames").as("total_frames"), col("width"),
+      col("height"), col("streams"), col("bitCount").as("bit_count"),
+      col("compression"), col("durationMs").as("duration_ms"),
+      col("parsed"))
+  }
+
+  /** Uniform sample indices: frame `⌊i · nFrames / nSamples⌋` for
+    * `i ∈ [0, nSamples)` — always defined for `nFrames ≥ 1`, repeats
+    * frames when the video is shorter than the sample count (the
+    * temporal analogue of the image path box-sampling any image onto
+    * a fixed grid). Exact integer floor, replicable as
+    * `(i * n) // 65` in SQL.
+    */
+  def sampleIndices(nFrames: Long, nSamples: Int): Array[Long] =
+    Array.tabulate(nSamples)(i => i.toLong * nFrames / nSamples)
+
+  /** Output row of the sampled-luma stage: `lumaSums(i)` is the exact
+    * integer sum of the BGR channel bytes of sampled frame i (row
+    * padding excluded) — Σ(b+g+r) over pixels, the deterministic
+    * brightness proxy the temporal fingerprint folds. `decoded =
+    * false` (empty arrays) when the container fails to parse, frames
+    * are compressed/non-BGR24, a sampled frame chunk is malformed, or
+    * a frame exceeds `maxFrameBytes`.
+    */
+  case class VideoLuma(id: Long, width: Int, height: Int,
+      nFrames: Long, durationMs: Long, sampleIdx: Seq[Long],
+      lumaSums: Seq[Long], decoded: Boolean)
+
+  /** Decode the per-frame luminance of `nSamples` uniformly-sampled
+    * frames per payload. The imperative per-payload step
+    * (`mapPartitions`, one payload in memory at a time, the
+    * [[Audio.decodePcm16]] shape): walk the `movi` chunk table once
+    * to count frames, compute [[sampleIndices]], walk again reading
+    * CONTENT only at sampled indices (others are skipped by their
+    * declared size — their bytes are never touched). Everything
+    * downstream of this Dataset is codegen'd integer arithmetic.
+    */
+  def decodeSampledLuma(df: DataFrame, idCol: String, binCol: String,
+      nSamples: Int = 65,
+      maxFrameBytes: Int = 1 << 24): Dataset[VideoLuma] = {
+    require(nSamples > 0, "nSamples must be positive")
+    require(maxFrameBytes > 0, "maxFrameBytes must be positive")
+    implicit val enc = Encoders.product[VideoLuma]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          decodeLuma(id, bytes, nSamples, maxFrameBytes) match {
+            case Some(v) => v
+            case None => VideoLuma(id, 0, 0, 0L, 0L, Nil, Nil,
+              decoded = false)
+          }
+        }
+    }
+  }
+
+  /** (id, sig) 64-bit temporal fingerprint rows: gradient fold over
+    * the 65 sampled-frame luma sums — bit i set when
+    * `luma(i) > luma(i+1)`, [[Audio.audioFingerprint64]]'s fold
+    * applied to the frame axis (dHash on time). Robust to uniform
+    * brightness/contrast gain (luma sums scale monotonically) and to
+    * resolution-preserving re-encodes of the same frames; NOT a
+    * claim about re-scaled videos (luma sums are resolution-
+    * dependent — normalize upstream if needed). 8 bytes per video.
+    * Undecodable payloads are dropped (exact-byte dedup's job).
+    */
+  def videoSigs(df: DataFrame, idCol: String, binCol: String,
+      maxFrameBytes: Int = 1 << 24): DataFrame =
+    decodeSampledLuma(df, idCol, binCol, nSamples = 65, maxFrameBytes)
+      .toDF().filter(col("decoded"))
+      .select(col("id"),
+        Audio.audioFingerprint64(col("lumaSums")).as("sig"))
+
+  /** In-corpus perceptual video near-dup pairs `(a, b, distance)`,
+    * `a < b`, Hamming distance ≤ `maxDistance` over the temporal
+    * fingerprint — candidates via the 16-bit block pigeonhole, never
+    * all-pairs.
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxDistance: Int = 3, maxFrameBytes: Int = 1 << 24): DataFrame =
+    Dedup.hamming64NearDupPairs(
+      videoSigs(df, idCol, binCol, maxFrameBytes),
+      "id", "sig", maxDistance)
+
+  /** Decode → exact integer stats: one row per decoded video with
+    * frame geometry, duration, and the sampled-luma aggregates
+    * (total, peak, and the temporal sign-change count — scene-cut
+    * flicker proxy — via the audited [[Audio]] fold contracts; the
+    * arrays are 65 entries, far below the interpreted-HOF cliff).
+    */
+  def videoStats(df: DataFrame, idCol: String, binCol: String,
+      nSamples: Int = 65,
+      maxFrameBytes: Int = 1 << 24): DataFrame =
+    decodeSampledLuma(df, idCol, binCol, nSamples, maxFrameBytes)
+      .toDF().filter(col("decoded"))
+      .select(col("id"), col("width"), col("height"),
+        col("nFrames").as("n_frames"), col("durationMs").as("duration_ms"),
+        aggregate(col("lumaSums"), lit(0L), (a, x) => a + x)
+          .as("luma_total"),
+        array_max(col("lumaSums")).as("luma_peak"),
+        array_min(col("lumaSums")).as("luma_min"))
+
+  // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
+
+  /** Build a canonical uncompressed AVI: RIFF(AVI ) → LIST(hdrl)
+    * [avih + LIST(strl)[strh + strf BITMAPINFOHEADER]] → LIST(movi)
+    * [`00db` BGR24 DIB frames, rows bottom-up, stride padded to 4
+    * bytes]. Each `frames(i)` must be exactly `3·width·height` bytes
+    * of row-major top-down BGR (the builder flips and pads). The
+    * decode twin of [[parseAviHeader]]/[[decodeSampledLuma]] — specs
+    * pin the round trip.
+    */
+  def buildUncompressedAvi(width: Int, height: Int,
+      frames: Seq[Array[Byte]], microsPerFrame: Long): Array[Byte] = {
+    require(width > 0 && height > 0, "width/height must be positive")
+    frames.foreach(f => require(f.length == 3 * width * height,
+      s"frame must be ${3 * width * height} bytes, got ${f.length}"))
+    val stride = ((3 * width + 3) / 4) * 4
+    val frameBytes = stride * height
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def w16(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+    }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    // sizes, computed up front (all chunks here are even-sized)
+    val strfSz = 40
+    val strhSz = 56
+    val strlSz = 4 + (8 + strhSz) + (8 + strfSz)
+    val avihSz = 56
+    val hdrlSz = 4 + (8 + avihSz) + (8 + strlSz)
+    val moviSz = 4 + frames.length * (8 + frameBytes)
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    tag4("RIFF"); w32(riffSz); tag4("AVI ")
+    tag4("LIST"); w32(hdrlSz); tag4("hdrl")
+    tag4("avih"); w32(avihSz)
+    w32(microsPerFrame); w32(0L); w32(0L); w32(0L)
+    w32(frames.length); w32(0L); w32(1L); w32(frameBytes)
+    w32(width); w32(height); w32(0L); w32(0L); w32(0L); w32(0L)
+    tag4("LIST"); w32(strlSz); tag4("strl")
+    tag4("strh"); w32(strhSz)
+    tag4("vids"); tag4("DIB "); w32(0L); w32(0L); w32(0L)
+    w32(microsPerFrame); w32(1000000L); w32(0L); w32(frames.length)
+    w32(frameBytes); w32(-1L & 0xFFFFFFFFL); w32(0L)
+    w16(0); w16(0); w16(width); w16(height)
+    tag4("strf"); w32(strfSz)
+    w32(40L); w32(width); w32(height); w16(1); w16(24)
+    w32(0L); w32(frameBytes); w32(0L); w32(0L); w32(0L); w32(0L)
+    tag4("LIST"); w32(moviSz); tag4("movi")
+    frames.foreach { f =>
+      tag4("00db"); w32(frameBytes)
+      var row = height - 1
+      while (row >= 0) { // bottom-up rows, zero pad to stride
+        bos.write(f, row * 3 * width, 3 * width)
+        var p = 3 * width
+        while (p < stride) { bos.write(0); p += 1 }
+        row -= 1
+      }
+    }
+    bos.toByteArray
+  }
+
+  // ---- imperative internals (the mapPartitions payload walkers) ------
+
+  private final case class ParsedAvi(microsPerFrame: Long,
+      totalFrames: Long, width: Int, height: Int, streams: Int,
+      bitCount: Int, compression: Long, moviOffset: Long, moviLen: Long)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  private def toMeta(id: Long, p: Option[ParsedAvi]): AviMeta = p match {
+    case Some(m) => AviMeta(id, m.microsPerFrame, m.totalFrames,
+      m.width, m.height, m.streams, m.bitCount, m.compression,
+      m.moviOffset, m.moviLen,
+      m.totalFrames * m.microsPerFrame / 1000L, parsed = true)
+    case None => AviMeta(id, 0L, 0L, 0, 0, 0, -1, -1L, 0L, 0L, 0L,
+      parsed = false)
+  }
+
+  /** RIFF/AVI chunk walk. `trueLen < 0` means `bytes` IS the full
+    * payload; otherwise `bytes` is a prefix of a `trueLen`-byte
+    * payload and any structure beyond the prefix fails the parse
+    * honestly (except `movi` CONTENT, whose extent is clamped against
+    * `trueLen` — the header-scan path needs the movi location, not
+    * its bytes). Long cursor throughout: a ~2³² declared chunk size
+    * ends the walk instead of wrapping.
+    */
+  private def parseAvi(bytes: Array[Byte],
+      trueLen: Long = -1L): Option[ParsedAvi] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return None
+    val payloadLen = if (trueLen < 0) bytes.length.toLong else trueLen
+    val riffEnd = math.min(8L + le32(bytes, 4), payloadLen)
+    var avih: Option[(Long, Long, Int, Int, Int)] = None
+    var strf: Option[(Int, Long)] = None
+    var movi: Option[(Long, Long)] = None
+    var pos = 12L
+    // walk top-level chunks; descend only into hdrl (and its strl)
+    while (pos + 8 <= riffEnd && (movi.isEmpty || avih.isEmpty)) {
+      if (pos + 8 > bytes.length) return None // header beyond prefix
+      val ct = tag(bytes, pos.toInt)
+      val csz = le32(bytes, pos.toInt + 4)
+      val dataStart = pos + 8
+      if (ct == "LIST") {
+        if (dataStart + 4 > bytes.length) return None
+        val lt = tag(bytes, dataStart.toInt)
+        if (lt == "hdrl") {
+          // child walk (one level of strl nesting)
+          var cp = dataStart + 4
+          val hdrlEnd = math.min(dataStart + csz, riffEnd)
+          while (cp + 8 <= hdrlEnd) {
+            if (cp + 8 > bytes.length) return None
+            val t2 = tag(bytes, cp.toInt)
+            val s2 = le32(bytes, cp.toInt + 4)
+            if (t2 == "avih" && s2 >= 40) {
+              if (cp + 8 + 40 > bytes.length) return None
+              val o = cp.toInt + 8
+              avih = Some((le32(bytes, o), le32(bytes, o + 16),
+                le32(bytes, o + 24).toInt, le32(bytes, o + 32).toInt,
+                le32(bytes, o + 36).toInt))
+            } else if (t2 == "LIST") {
+              if (cp + 12 > bytes.length) return None
+              if (tag(bytes, cp.toInt + 8) == "strl" && strf.isEmpty) {
+                var sp = cp + 12
+                val strlEnd = math.min(cp + 8 + s2, hdrlEnd)
+                while (sp + 8 <= strlEnd) {
+                  if (sp + 8 > bytes.length) return None
+                  val t3 = tag(bytes, sp.toInt)
+                  val s3 = le32(bytes, sp.toInt + 4)
+                  if (t3 == "strf" && s3 >= 20) {
+                    if (sp + 8 + 20 > bytes.length) return None
+                    val o = sp.toInt + 8
+                    strf = Some((le16(bytes, o + 14), le32(bytes, o + 16)))
+                  }
+                  sp += 8 + s3 + (s3 & 1)
+                }
+              }
+            }
+            cp += 8 + s2 + (s2 & 1)
+          }
+        } else if (lt == "movi") {
+          movi = Some((pos, math.min(csz, payloadLen - dataStart)))
+        }
+      }
+      pos = dataStart + csz + (csz & 1)
+    }
+    avih.flatMap { case (usPerFrame, frames, streams, w, h) =>
+      if (w <= 0 || h <= 0 || w > 32768 || h > 32768 || frames < 0)
+        None
+      else Some(ParsedAvi(usPerFrame, frames, w, h, streams,
+        strf.map(_._1).getOrElse(-1), strf.map(_._2).getOrElse(-1L),
+        movi.map(_._1).getOrElse(0L), movi.map(_._2).getOrElse(0L)))
+    }
+  }
+
+  /** Two-pass sampled-frame luma decode (see [[decodeSampledLuma]]).
+    * Frame chunks are `00db`/`00dc` (stream 0). A sampled frame
+    * decodes only when it is `00db`, BI_RGB 24-bit, and exactly
+    * `stride·height` bytes — anything else fails the payload
+    * honestly. Unsampled frame CONTENT is skipped by declared size.
+    */
+  private def decodeLuma(id: Long, bytes: Array[Byte], nSamples: Int,
+      maxFrameBytes: Int): Option[VideoLuma] = {
+    val meta = parseAvi(bytes).getOrElse(return None)
+    if (meta.compression != 0L || meta.bitCount != 24) return None
+    val stride = ((3L * meta.width + 3L) / 4L) * 4L
+    val frameBytes = stride * meta.height
+    if (frameBytes <= 0 || frameBytes > maxFrameBytes) return None
+    val moviDataStart = meta.moviOffset + 12
+    val moviEnd = math.min(meta.moviOffset + 8 + meta.moviLen,
+      bytes.length.toLong)
+    def isFrameTag(t: String): Boolean = t == "00db" || t == "00dc"
+    // pass 1: count frames
+    var n = 0L
+    var pos = moviDataStart
+    while (pos + 8 <= moviEnd) {
+      val t = tag(bytes, pos.toInt)
+      val sz = le32(bytes, pos.toInt + 4)
+      if (isFrameTag(t)) n += 1
+      pos = pos + 8 + sz + (sz & 1)
+    }
+    if (n == 0) return None
+    val idx = sampleIndices(n, nSamples)
+    // pass 2: luma-sum only the sampled frame indices
+    val sums = new Array[Long](nSamples)
+    var next = 0 // next position in idx to satisfy (idx is sorted)
+    var fi = 0L
+    pos = moviDataStart
+    while (pos + 8 <= moviEnd && next < nSamples) {
+      val t = tag(bytes, pos.toInt)
+      val sz = le32(bytes, pos.toInt + 4)
+      if (isFrameTag(t)) {
+        if (next < nSamples && idx(next) == fi) {
+          if (t != "00db" || sz != frameBytes ||
+            pos + 8 + frameBytes > moviEnd) return None
+          var s = 0L
+          var row = 0
+          while (row < meta.height) { // pad bytes excluded from luma
+            val rowStart = (pos + 8 + row * stride).toInt
+            var p = rowStart
+            val rowEnd = rowStart + 3 * meta.width
+            while (p < rowEnd) { s += (bytes(p) & 0xFF); p += 1 }
+            row += 1
+          }
+          while (next < nSamples && idx(next) == fi) {
+            sums(next) = s; next += 1
+          }
+        }
+        fi += 1
+      }
+      pos = pos + 8 + sz + (sz & 1)
+    }
+    if (next < nSamples) return None // declared structure ran short
+    Some(VideoLuma(id, meta.width, meta.height, n,
+      n * meta.microsPerFrame / 1000L, idx.toSeq, sums.toSeq,
+      decoded = true))
+  }
+}

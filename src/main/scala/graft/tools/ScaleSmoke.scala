@@ -1497,6 +1497,86 @@ object ScaleSmoke {
         .forEach(p2 => java.nio.file.Files.delete(p2))
     }
 
+    // --- video temporal near-dup at 1M clips: real AVI payloads
+    // (library encoder: canonical RIFF/AVI with hdrl/strl/movi, 4x3
+    // BGR24 frames, 66..73 frames per clip so the uniform-sampling
+    // floor formula genuinely varies). 500k classes of exactly two
+    // clips: even id = the class stream (pixels double-mixed so
+    // distinct classes get UNRELATED luma sequences — an affine
+    // cls/f/k pixel would collapse every class onto ~101 cyclic luma
+    // patterns), odd id = the SAME frames re-gained x2 — luma sums
+    // double, every strict temporal-gradient comparison is preserved,
+    // fingerprints bit-identical (distance 0), expected pairs EXACTLY
+    // the 500k (2c, 2c+1). The metadata pass then re-walks all 1M
+    // containers header-only with a closed-form frame-count total.
+    {
+      val nVid = args.drop(1).headOption.map(_.toInt).getOrElse(1000000)
+      import spark.implicits._
+      val t90 = System.nanoTime()
+      val vids = spark.range(0L, nVid).repartition(64)
+        .mapPartitions { it =>
+          def mix(a: Long): Long = {
+            var x = a
+            x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+            x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+            x ^= x >>> 33; x
+          }
+          it.map { id =>
+            val idL: Long = id
+            val cls = idL / 2
+            val gain = if (idL % 2 == 1) 2 else 1
+            val n = 66 + (cls % 8).toInt
+            val seed = mix(cls)
+            val frames = (0 until n).map { f =>
+              val fs = mix(seed + f * 0x9E3779B97F4A7C15L)
+              Array.tabulate(36) { k =>
+                ((((mix(fs + k) & Long.MaxValue) % 101L).toInt)
+                  * gain).toByte
+              }
+            }
+            (idL, graft.operators.Video
+              .buildUncompressedAvi(4, 3, frames, 40000L))
+          }
+        }.toDF("id", "content")
+      val vPairs = graft.operators.Video.videoNearDupPairs(
+        vids, "id", "content")
+      val vAgg = vPairs.agg(count(lit(1)), max(col("distance")),
+        sum(col("b") - col("a"))).collect()(0)
+      val tVp = (System.nanoTime() - t90) / 1e9
+      require(vAgg.getLong(0) == nVid / 2L,
+        s"videoNearDup pairs ${vAgg.getLong(0)} != ${nVid / 2}")
+      require(vAgg.getLong(1) == 0L,
+        s"videoNearDup max distance ${vAgg.getLong(1)} != 0")
+      require(vAgg.getLong(2) == nVid / 2L,
+        s"videoNearDup pair structure broken: sum(b-a)=${vAgg.getLong(2)}")
+      val rtV = Runtime.getRuntime
+      println(f"videoNearDup: $nVid%d avis decoded (65 sampled frames " +
+        f"each), ${nVid / 2} planted re-gained twin pairs found " +
+        f"exactly in $tVp%.1f s (${nVid / tVp}%.0f vids/s), " +
+        f"heapUsed=${(rtV.totalMemory - rtV.freeMemory) / 1e6}%.0f MB")
+
+      val t91 = System.nanoTime()
+      val vm = graft.operators.Video.videoMetaScan(vids, "id", "content")
+        .agg(count(lit(1)), sum(col("total_frames")),
+          min(col("parsed").cast("int"))).collect()(0)
+      val tVm = (System.nanoTime() - t91) / 1e9
+      require(vAgg != null && vm.getLong(0) == nVid.toLong,
+        s"videoMeta rows ${vm.getLong(0)} != $nVid")
+      // sum of frames: 2 clips per class c with 66 + c%8 frames
+      val expTotal = {
+        var t = 0L; var c = 0L
+        while (c < nVid / 2L) { t += 2L * (66L + c % 8L); c += 1L }
+        t
+      }
+      require(vm.getLong(1) == expTotal,
+        s"videoMeta frame total ${vm.getLong(1)} != $expTotal")
+      require(vm.getInt(2) == 1, "videoMeta: some payload failed to parse")
+      println(f"videoMeta: $nVid%d containers header-walked in " +
+        f"$tVm%.1f s (${nVid / tVm}%.0f vids/s), " +
+        f"${vm.getLong(1)} frames declared, all parsed, " +
+        f"heapUsed=${(rtV.totalMemory - rtV.freeMemory) / 1e6}%.0f MB")
+    }
+
     // --- approxGroupedRankBuckets at 100k groups: the crawl-scale
     // rank-cut engine with a closed-form planted answer. 100k domains
     // x 10 docs, scores 0..9 within each; 16 bins over [0, 10] give

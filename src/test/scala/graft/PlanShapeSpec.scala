@@ -701,5 +701,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !anpPlan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs scan in audio near-dup plan:\n$anpPlan")
     assert(!anpPlan.contains("rangepartitioning"), anpPlan)
+
+    // temporal video near-dup rides the identical banded machinery
+    val vnp = SparkEntry.queries("q_video_near_dup")(spark, sf)
+    vnp.collect()
+    val vnpPlan = vnp.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!vnpPlan.contains("CartesianProduct") &&
+      !vnpPlan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs scan in video near-dup plan:\n$vnpPlan")
+    assert(!vnpPlan.contains("rangepartitioning"), vnpPlan)
   }
 }

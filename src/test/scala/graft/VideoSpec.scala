@@ -1,0 +1,277 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Video
+
+/** Video binary-column operators: RIFF/AVI chunk-walk header parse
+  * (full + prefix), two-pass uniformly-sampled BGR24 frame luma
+  * decode, and the temporal luminance-gradient fingerprint →
+  * Hamming-banded near-dup path. Every AVI here is REAL bytes —
+  * either the library encoder's output (round-trip pinning) or
+  * hand-corrupted variants of it.
+  */
+class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Deterministic BGR frame: pixel byte k of frame f in stream
+    * `base` is (base·131 + f·31 + k·7) % 101 — small values so
+    * brightness gains stay exact bytes.
+    */
+  private def frame(base: Int, f: Int, w: Int, h: Int,
+      gain: Int = 1, bias: Int = 0): Array[Byte] =
+    Array.tabulate(3 * w * h)(k =>
+      (((base * 131 + f * 31 + k * 7) % 101) * gain + bias).toByte)
+
+  private def avi(base: Int, nFrames: Int, w: Int = 4, h: Int = 3,
+      gain: Int = 1, bias: Int = 0,
+      microsPerFrame: Long = 40000L): Array[Byte] =
+    Video.buildUncompressedAvi(w, h,
+      (0 until nFrames).map(f => frame(base, f, w, h, gain, bias)),
+      microsPerFrame)
+
+  private def df(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toDF("id", "content")
+  }
+
+  test("parseAviHeader round-trips the encoder: avih fields, strf " +
+      "codec info, movi extent, floor-millis duration") {
+    val m = Video.parseAviHeader(df((1L, avi(7, 25, w = 4, h = 3))),
+      "id", "content").collect().head
+    assert(m.parsed)
+    assert(m.width == 4 && m.height == 3)
+    assert(m.totalFrames == 25 && m.microsPerFrame == 40000L)
+    assert(m.streams == 1 && m.bitCount == 24 && m.compression == 0L)
+    assert(m.durationMs == 25L * 40000L / 1000L) // exact floor millis
+    // movi extent covers exactly the 25 frame chunks: stride(4px)=12,
+    // frame=36, chunk=8+36, list type tag = 4
+    assert(m.moviLen == 4 + 25 * (8 + 36))
+  }
+
+  test("parse honesty: garbage, truncated, non-AVI RIFF, and insane " +
+      "dimensions are parsed=false with zeroed fields") {
+    val good = avi(1, 3)
+    val truncated = java.util.Arrays.copyOf(good, 40)
+    val notRiff = "JUNKJUNKJUNKJUNKJUNK".getBytes("US-ASCII")
+    val wavNotAvi = {
+      val b = good.clone(); "WAVE".getBytes("US-ASCII")
+        .copyToArray(b, 8); b
+    }
+    val rows = Video.parseAviHeader(
+      df((1L, truncated), (2L, notRiff), (3L, wavNotAvi), (4L, null)),
+      "id", "content").collect()
+    assert(rows.forall(!_.parsed))
+    assert(rows.forall(m => m.width == 0 && m.totalFrames == 0L &&
+      m.durationMs == 0L))
+  }
+
+  test("chunk walk is real: junk chunks (odd-sized, word-aligned) " +
+      "before hdrl and between hdrl and movi are skipped by size") {
+    val good = avi(3, 4)
+    // splice an odd-sized 'note' chunk (size 5 + pad) after 'AVI '
+    // and a 'JUNK' chunk before movi
+    val moviAt = {
+      var p = 12; var found = -1
+      while (found < 0 && p + 12 <= good.length) {
+        if (new String(good, p, 4, "US-ASCII") == "LIST" &&
+          new String(good, p + 8, 4, "US-ASCII") == "movi") found = p
+        else p += 8 + (good(p + 4) & 0xFF | (good(p + 5) & 0xFF) << 8 |
+          (good(p + 6) & 0xFF) << 16 | (good(p + 7) & 0xFF) << 24) +
+          (((good(p + 4) & 0xFF) % 2))
+      }
+      found
+    }
+    assert(moviAt > 0)
+    val note = "note".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9, 9, 0)
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)
+    val spliced = good.slice(0, 12) ++ note ++
+      good.slice(12, moviAt) ++ junk ++ good.slice(moviAt, good.length)
+    // fix the RIFF size
+    val newSz = spliced.length - 8
+    spliced(4) = (newSz & 0xFF).toByte
+    spliced(5) = ((newSz >> 8) & 0xFF).toByte
+    spliced(6) = ((newSz >> 16) & 0xFF).toByte
+    spliced(7) = ((newSz >> 24) & 0xFF).toByte
+    val m = Video.parseAviHeader(df((1L, spliced)), "id", "content")
+      .collect().head
+    assert(m.parsed && m.totalFrames == 4 && m.width == 4)
+    // and the spliced file still decodes identically to the clean one
+    val a = Video.decodeSampledLuma(df((1L, good)), "id", "content",
+      nSamples = 4).collect().head
+    val b = Video.decodeSampledLuma(df((1L, spliced)), "id", "content",
+      nSamples = 4).collect().head
+    assert(a.decoded && b.decoded && a.lumaSums == b.lumaSums)
+  }
+
+  test("prefix parse: parity with the full parse when the header fits; " +
+      "structure beyond the prefix is parsed=false, never fabricated") {
+    val good = avi(9, 8)
+    val full = Video.parseAviHeader(df((1L, good)), "id", "content")
+      .collect().head
+    // the whole header (hdrl ~ 144 bytes + movi LIST header) fits in 256
+    val pfx = Video.parseAviHeaderPrefix(df((1L, good)), "id", "content",
+      prefixBytes = 256).collect().head
+    assert(pfx == full) // movi len clamps against TRUE length, so equal
+    // a prefix that ends inside hdrl must not fabricate
+    val tiny = Video.parseAviHeaderPrefix(df((1L, good)), "id", "content",
+      prefixBytes = 40).collect().head
+    assert(!tiny.parsed)
+  }
+
+  test("Long cursor: a ~2^32 declared chunk size terminates the walk " +
+      "(no wrap), and an overstated movi size clamps to the bytes " +
+      "actually present — the WAV data-chunk clamp contract") {
+    def moviAt(b: Array[Byte]): Int = {
+      var p = 12; var found = -1
+      while (found < 0 && p + 12 <= b.length) {
+        if (new String(b, p, 4, "US-ASCII") == "LIST" &&
+          new String(b, p + 8, 4, "US-ASCII") == "movi") found = p
+        else {
+          val sz = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+            ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+          p += 8 + sz + (sz & 1)
+        }
+      }
+      found
+    }
+    val clean = Video.decodeSampledLuma(df((1L, avi(2, 2))), "id",
+      "content", nSamples = 2).collect().head
+    // overstate the movi LIST size to ~2^32: Int arithmetic would wrap
+    // the cursor negative; the Long walk clamps to bytes present and
+    // decode is unchanged
+    val over = avi(2, 2)
+    val ma = moviAt(over)
+    over(ma + 4) = 0xF0.toByte; over(ma + 5) = 0xFF.toByte
+    over(ma + 6) = 0xFF.toByte; over(ma + 7) = 0xFF.toByte
+    val m = Video.parseAviHeader(df((1L, over)), "id", "content")
+      .collect().head
+    // clamp is against the chunk DATA start (ma + 8, list-type tag
+    // included, matching the un-corrupted moviLen accounting)
+    assert(m.parsed && m.moviLen == over.length - (ma + 8))
+    val v = Video.decodeSampledLuma(df((1L, over)), "id", "content",
+      nSamples = 2).collect().head
+    assert(v.decoded && v.lumaSums == clean.lumaSums)
+    // a huge hdrl size likewise terminates (movi unreached -> the
+    // payload is honestly undecodable, not an exception or a hang)
+    val overH = avi(2, 2)
+    overH(16) = 0xF0.toByte; overH(17) = 0xFF.toByte
+    overH(18) = 0xFF.toByte; overH(19) = 0xFF.toByte
+    val mh = Video.parseAviHeader(df((1L, overH)), "id", "content")
+      .collect().head
+    assert(mh.moviLen == 0L)
+    val vh = Video.decodeSampledLuma(df((1L, overH)), "id", "content",
+      nSamples = 2).collect().head
+    assert(!vh.decoded)
+  }
+
+  test("sampled luma decode: exact integer sums, stride padding " +
+      "excluded (width 5 forces a 1-byte row pad), sample indices " +
+      "are the floor formula, unsampled frame bytes never validated") {
+    val w = 5; val h = 2 // rowBytes 15 -> stride 16: 1 pad byte/row
+    val frames = (0 until 10).map(f => frame(4, f, w, h))
+    val bytes = Video.buildUncompressedAvi(w, h, frames, 33000L)
+    val v = Video.decodeSampledLuma(df((1L, bytes)), "id", "content",
+      nSamples = 4).collect().head
+    assert(v.decoded && v.nFrames == 10 && v.width == w && v.height == h)
+    assert(v.sampleIdx == Seq(0L, 2L, 5L, 7L)) // floor(i*10/4)
+    val expected = Seq(0, 2, 5, 7).map(f =>
+      frames(f).map(b => (b & 0xFF).toLong).sum)
+    assert(v.lumaSums == expected) // pad bytes would add 0 here, but:
+    // corrupt CONTENT of an unsampled frame (idx 1) -> decode unchanged
+    // (its bytes are skipped by size, never read)
+    val frameBytes = 16 * h // stride 16
+    val moviData = bytes.length - 10 * (8 + frameBytes)
+    val frame1Content = moviData + (8 + frameBytes) + 8
+    val dirty = bytes.clone()
+    (0 until frameBytes).foreach(i => dirty(frame1Content + i) = 0x7F)
+    val v2 = Video.decodeSampledLuma(df((1L, dirty)), "id", "content",
+      nSamples = 4).collect().head
+    assert(v2.decoded && v2.lumaSums == expected)
+    // but corrupting a SAMPLED frame's size header fails the payload
+    val bad = bytes.clone()
+    bad(moviData + 4) = 1 // frame 0 (sampled) declared size -> junk
+    val v3 = Video.decodeSampledLuma(df((1L, bad)), "id", "content",
+      nSamples = 4).collect().head
+    assert(!v3.decoded && v3.lumaSums.isEmpty)
+  }
+
+  test("videos shorter than the sample count repeat frames " +
+      "(fixed-length signature for any duration)") {
+    val v = Video.decodeSampledLuma(df((1L, avi(5, 3))), "id", "content",
+      nSamples = 65).collect().head
+    assert(v.decoded && v.nFrames == 3)
+    assert(v.sampleIdx.toSet == Set(0L, 1L, 2L))
+    assert(v.lumaSums.distinct.size <= 3)
+  }
+
+  test("decode honesty: compressed stream (strf biCompression != 0) " +
+      "and non-24-bit frames fail; undecodable rows dropped from sigs") {
+    val good = avi(6, 5)
+    // flip biCompression in strf (offset: find 'strf', data+16)
+    val strfAt = {
+      var p = 0; var found = -1
+      while (found < 0 && p + 4 <= good.length) {
+        if (new String(good, p, 4, "US-ASCII") == "strf") found = p
+        else p += 1
+      }
+      found
+    }
+    val comp = good.clone()
+    comp(strfAt + 8 + 16) = 1 // BI_RLE8
+    val v = Video.decodeSampledLuma(df((1L, comp)), "id", "content",
+      nSamples = 4).collect().head
+    assert(!v.decoded)
+    val sigs = Video.videoSigs(
+      df((1L, good), (2L, comp), (3L, "junk".getBytes("US-ASCII"))),
+      "id", "content").collect()
+    assert(sigs.map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("near-dup: brightness-gain twin pairs (gradient invariance), " +
+      "bias twin pairs, distinct streams do not pair, planted " +
+      "perturbation stays inside the Hamming budget") {
+    val n = 70 // frames, > 65 samples
+    val rows = Seq(
+      1L -> avi(10, n),
+      2L -> avi(10, n, gain = 2), // luma doubles: gradient preserved
+      3L -> avi(10, n, bias = 50), // uniform bias: gradient preserved
+      4L -> avi(11, n), // different stream
+      5L -> avi(12, n)) // different stream
+    val pairs = Video.videoNearDupPairs(df(rows: _*), "id", "content",
+      maxDistance = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)) && pairSet.contains((1L, 3L)) &&
+      pairSet.contains((2L, 3L)), s"twin pairs missing: $pairSet")
+    assert(pairs.filter(p => p._1 == 1L && p._2 == 2L).head._3 == 0L)
+    assert(!pairSet.exists(p => p._2 == 4L || p._1 == 4L))
+    assert(!pairSet.exists(p => p._2 == 5L || p._1 == 5L))
+  }
+
+  test("videoStats: exact aggregates over the sampled luma") {
+    val frames = (0 until 6).map(f => frame(8, f, 4, 3))
+    val bytes = Video.buildUncompressedAvi(4, 3, frames, 50000L)
+    val r = Video.videoStats(df((1L, bytes)), "id", "content",
+      nSamples = 6).collect().head
+    val sums = frames.map(_.map(b => (b & 0xFF).toLong).sum)
+    assert(r.getAs[Long]("n_frames") == 6L)
+    assert(r.getAs[Long]("duration_ms") == 6L * 50000L / 1000L)
+    assert(r.getAs[Long]("luma_total") == sums.sum)
+    assert(r.getAs[Long]("luma_peak") == sums.max)
+    assert(r.getAs[Long]("luma_min") == sums.min)
+  }
+}
