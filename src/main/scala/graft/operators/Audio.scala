@@ -361,18 +361,9 @@ object Audio {
 
   private def readAudioIndexParams(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      who: String): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(indexPath, AudioIndexSidecar)
-    val fs = p.getFileSystem(conf)
-    require(fs.exists(p),
-      s"$who: $indexPath has no $AudioIndexSidecar — not a " +
-        "writeAudioNearDupIndex artifact (or the sidecar was " +
-        "deleted); rebuild the index")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+      who: String): String =
+    SigIndex.readParams(spark, indexPath, AudioIndexSidecar,
+      "writeAudioNearDupIndex", who)
 
   /** (window, maxFrames) back out of a sidecar — fail-loud on any
     * shape this writer never produced.
@@ -410,20 +401,10 @@ object Audio {
     require(window >= 0, "window must be >= 0 (0 = auto per clip)")
     graft.operators.TopK.requireIntegral(corpus, idCol,
       "writeAudioNearDupIndex")
-    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path, AudioIndexSidecar)
-    val fs = p.getFileSystem(conf)
-    if (fs.exists(p)) fs.delete(p, false)
-    audioSigs(corpus, idCol, binCol, window, maxFrames)
-      .select(col("id"), col("sig").as("sh"))
-      .write.mode("overwrite").parquet(s"$path/sigs")
-    val batches = new org.apache.hadoop.fs.Path(path, "batches")
-    val bfs = batches.getFileSystem(conf)
-    if (bfs.exists(batches)) bfs.delete(batches, true)
-    val out = fs.create(p, true)
-    try out.write(
-      audioIndexParamsJson(window, maxFrames).getBytes("UTF-8"))
-    finally out.close()
+    SigIndex.write(corpus.sparkSession, path, AudioIndexSidecar,
+      audioIndexParamsJson(window, maxFrames),
+      Seq("sigs" -> audioSigs(corpus, idCol, binCol, window, maxFrames)
+        .select(col("id"), col("sig").as("sh"))))
   }
 
   /** Extend a [[writeAudioNearDupIndex]] artifact with newly-admitted
@@ -440,22 +421,14 @@ object Audio {
     graft.operators.TopK.requireIntegral(newClips, idCol,
       "appendToAudioNearDupIndex")
     val spark = newClips.sparkSession
-    val persisted = readAudioIndexParams(spark, indexPath,
+    SigIndex.requireParams(
+      readAudioIndexParams(spark, indexPath,
+        "appendToAudioNearDupIndex"),
+      audioIndexParamsJson(window, maxFrames), indexPath,
       "appendToAudioNearDupIndex")
-    require(persisted == audioIndexParamsJson(window, maxFrames),
-      s"appendToAudioNearDupIndex: index at $indexPath was built " +
-        s"under $persisted, requested " +
-        s"${audioIndexParamsJson(window, maxFrames)} — rebuild the " +
-        "index or match its parameters")
-    val batchId = java.util.UUID.randomUUID().toString
-    val batchDir = s"$indexPath/batches/$batchId"
-    audioSigs(newClips, idCol, binCol, window, maxFrames)
-      .select(col("id"), col("sig").as("sh"))
-      .write.mode("overwrite").parquet(s"$batchDir/sigs")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(batchDir,
-      Dedup.CommitMarker)
-    marker.getFileSystem(conf).create(marker, true).close()
+    SigIndex.appendBatch(spark, indexPath,
+      Seq("sigs" -> audioSigs(newClips, idCol, binCol, window, maxFrames)
+        .select(col("id"), col("sig").as("sh"))))
   }
 
   /** Admit a snapshot of clips against a [[writeAudioNearDupIndex]]

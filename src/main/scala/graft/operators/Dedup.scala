@@ -974,34 +974,13 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     TopK.requireIntegral(corpus, idCol, "writeNearDupIndex")
     graft.expressions.TextHashExprs.register(corpus.sparkSession)
-    val conf0 = corpus.sparkSession.sparkContext.hadoopConfiguration
-    // delete the sidecar BEFORE touching data (the TokenizerArtifacts
-    // overwrite contract): a crash mid-rewrite — between the bands and
-    // grams overwrites, say — leaves an index with no sidecar, which
-    // every reader rejects, instead of a stale sidecar blessing
-    // mixed-generation parquet
-    val sc0 = new org.apache.hadoop.fs.Path(path,
-      "_graft_index_params.json")
-    val scFs = sc0.getFileSystem(conf0)
-    if (scFs.exists(sc0)) scFs.delete(sc0, false)
     val d = corpus
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    bandedRows(d, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/bands")
-    d.select(col("id").as("a"), gramSet(col("text")).as("__ga"))
-      .write.mode("overwrite").parquet(s"$path/grams")
-    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-    // a REBUILD must drop any append batches from a previous index
-    // generation — stale committed batches would otherwise survive the
-    // base overwrite and leak old docs into every later admission
-    val batches = new org.apache.hadoop.fs.Path(path, "batches")
-    val bfs = batches.getFileSystem(conf)
-    if (bfs.exists(batches)) bfs.delete(batches, true)
-    val p = new org.apache.hadoop.fs.Path(path, "_graft_index_params.json")
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
-    try out.write(indexParamsJson(numHashes, bands).getBytes("UTF-8"))
-    finally out.close()
+    SigIndex.write(corpus.sparkSession, path, TextIndexSidecar,
+      indexParamsJson(numHashes, bands),
+      Seq("bands" -> bandedRows(d, numHashes, bands),
+        "grams" -> d.select(col("id").as("a"),
+          gramSet(col("text")).as("__ga"))))
   }
 
   /** Extend a [[writeNearDupIndex]] artifact with newly-admitted docs
@@ -1036,17 +1015,10 @@ object Dedup {
     graft.expressions.TextHashExprs.register(newDocs.sparkSession)
     val d = newDocs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    val batchId = java.util.UUID.randomUUID().toString
-    val batchDir = s"$indexPath/batches/$batchId"
-    bandedRows(d, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$batchDir/bands")
-    d.select(col("id").as("a"), gramSet(col("text")).as("__ga"))
-      .write.mode("overwrite").parquet(s"$batchDir/grams")
-    // commit point: one atomic file create makes both sides visible
-    val conf = newDocs.sparkSession.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(batchDir, CommitMarker)
-    val fs = marker.getFileSystem(conf)
-    fs.create(marker, true).close()
+    SigIndex.appendBatch(newDocs.sparkSession, indexPath,
+      Seq("bands" -> bandedRows(d, numHashes, bands),
+        "grams" -> d.select(col("id").as("a"),
+          gramSet(col("text")).as("__ga"))))
   }
 
   private[graft] val CommitMarker = "_graft_committed"
@@ -1080,27 +1052,15 @@ object Dedup {
       .map { case (k, v) => s"${graft.JsonStr(k)}:${graft.JsonStr(v.toString)}" }
       .mkString("{", ",", "}")
 
+  private val TextIndexSidecar = "_graft_index_params.json"
+
   private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, numHashes: Int, bands: Int, who: String): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(indexPath,
-      "_graft_index_params.json")
-    val fs = p.getFileSystem(conf)
-    require(fs.exists(p),
-      s"$who: $indexPath has no _graft_index_params.json — not a " +
-        "writeNearDupIndex artifact (or the sidecar was deleted); " +
-        "rebuild the index")
-    val persisted = {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    }
-    val expected = indexParamsJson(numHashes, bands)
-    require(persisted == expected,
-      s"$who: index at $indexPath was built under $persisted, " +
-        s"requested $expected — rebuild the index or match its " +
-        "parameters")
+    SigIndex.requireParams(
+      SigIndex.readParams(spark, indexPath, TextIndexSidecar,
+        "writeNearDupIndex", who),
+      indexParamsJson(numHashes, bands), indexPath, who)
   }
 
   /** [[incrementalNearDedup]] against a [[writeNearDupIndex]] artifact

@@ -476,18 +476,9 @@ object Multimodal {
 
   private def readImageIndexParams(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      who: String): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(indexPath, ImageIndexSidecar)
-    val fs = p.getFileSystem(conf)
-    require(fs.exists(p),
-      s"$who: $indexPath has no $ImageIndexSidecar — not a " +
-        "writeImageNearDupIndex artifact (or the sidecar was " +
-        "deleted); rebuild the index")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+      who: String): String =
+    SigIndex.readParams(spark, indexPath, ImageIndexSidecar,
+      "writeImageNearDupIndex", who)
 
   /** The per-image signature rows (id, sh) of decoded payloads under
     * one hash kind — the shared kernel of the index writers and the
@@ -523,22 +514,9 @@ object Multimodal {
         s"got '$hashKind'")
     graft.operators.TopK.requireIntegral(corpus, idCol,
       "writeImageNearDupIndex")
-    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-    // delete the sidecar BEFORE touching data (the TokenizerArtifacts
-    // overwrite contract): a crash mid-rewrite leaves an index with no
-    // sidecar — rejected by every reader — never a stale sidecar over
-    // mixed-generation parquet
-    val p = new org.apache.hadoop.fs.Path(path, ImageIndexSidecar)
-    val fs = p.getFileSystem(conf)
-    if (fs.exists(p)) fs.delete(p, false)
-    imageSigs(corpus, idCol, binCol, hashKind)
-      .write.mode("overwrite").parquet(s"$path/sigs")
-    val batches = new org.apache.hadoop.fs.Path(path, "batches")
-    val bfs = batches.getFileSystem(conf)
-    if (bfs.exists(batches)) bfs.delete(batches, true)
-    val out = fs.create(p, true)
-    try out.write(imageIndexParamsJson(hashKind).getBytes("UTF-8"))
-    finally out.close()
+    SigIndex.write(corpus.sparkSession, path, ImageIndexSidecar,
+      imageIndexParamsJson(hashKind),
+      Seq("sigs" -> imageSigs(corpus, idCol, binCol, hashKind)))
   }
 
   /** Extend a [[writeImageNearDupIndex]] artifact with newly-admitted
@@ -557,21 +535,13 @@ object Multimodal {
     graft.operators.TopK.requireIntegral(newImages, idCol,
       "appendToImageNearDupIndex")
     val spark = newImages.sparkSession
-    val persisted = readImageIndexParams(spark, indexPath,
+    SigIndex.requireParams(
+      readImageIndexParams(spark, indexPath,
+        "appendToImageNearDupIndex"),
+      imageIndexParamsJson(hashKind), indexPath,
       "appendToImageNearDupIndex")
-    require(persisted == imageIndexParamsJson(hashKind),
-      s"appendToImageNearDupIndex: index at $indexPath was built " +
-        s"under $persisted, requested " +
-        s"${imageIndexParamsJson(hashKind)} — rebuild the index or " +
-        "match its parameters")
-    val batchId = java.util.UUID.randomUUID().toString
-    val batchDir = s"$indexPath/batches/$batchId"
-    imageSigs(newImages, idCol, binCol, hashKind)
-      .write.mode("overwrite").parquet(s"$batchDir/sigs")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(batchDir,
-      Dedup.CommitMarker)
-    marker.getFileSystem(conf).create(marker, true).close()
+    SigIndex.appendBatch(spark, indexPath,
+      Seq("sigs" -> imageSigs(newImages, idCol, binCol, hashKind)))
   }
 
   /** Admit a snapshot of images against a [[writeImageNearDupIndex]]

@@ -207,6 +207,168 @@ object Video {
         array_max(col("lumaSums")).as("luma_peak"),
         array_min(col("lumaSums")).as("luma_min"))
 
+  // ---- persisted video signature index (build once, admit many) -----
+
+  private val VideoIndexSidecar = "_graft_video_index_params.json"
+
+  private def videoIndexParamsJson(maxFrameBytes: Int): String =
+    Seq("kind" -> "video_near_dup", "nSamples" -> "65",
+      "maxFrameBytes" -> maxFrameBytes.toString)
+      .map { case (k, v) =>
+        s"${graft.JsonStr(k)}:${graft.JsonStr(v)}" }
+      .mkString("{", ",", "}")
+
+  private def readVideoIndexParams(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      who: String): String =
+    SigIndex.readParams(spark, indexPath, VideoIndexSidecar,
+      "writeVideoNearDupIndex", who)
+
+  /** `maxFrameBytes` back out of a sidecar — fail-loud on any shape
+    * this writer never produced.
+    */
+  private def parseVideoIndexParams(json: String, who: String): Int = {
+    val m = java.util.regex.Pattern
+      .compile("\"maxFrameBytes\":\"(\\d+)\"").matcher(json)
+    require(m.find(), s"$who: malformed sidecar: $json")
+    m.group(1).toInt
+  }
+
+  /** Persist the corpus side of perceptual video dedup as a REUSABLE
+    * index: the 64-bit temporal fingerprints of every decodable video
+    * plus a fail-loud params sidecar recording the sample count and
+    * frame-size cap — the [[SigIndex]] lifecycle
+    * ([[Audio.writeAudioNearDupIndex]] for the frame axis). At 100 TB
+    * the corpus-side container walk + frame decode dominates every
+    * snapshot admission; this makes the signatures an artifact (build
+    * once, admit many — 8 bytes per indexed video). A signature
+    * sampled under a different frame cap could silently never match
+    * (a payload decodable under one cap is dropped under a smaller
+    * one) — exactly the mismatch the sidecar blocks. Same crash
+    * contract as every index here: sidecar deleted BEFORE data, a
+    * crash mid-rewrite leaves a reader-rejected no-sidecar index; a
+    * rebuild drops append batches from the previous generation.
+    */
+  def writeVideoNearDupIndex(corpus: DataFrame, idCol: String,
+      binCol: String, path: String,
+      maxFrameBytes: Int = 1 << 24): Unit = {
+    require(maxFrameBytes > 0, "maxFrameBytes must be positive")
+    graft.operators.TopK.requireIntegral(corpus, idCol,
+      "writeVideoNearDupIndex")
+    SigIndex.write(corpus.sparkSession, path, VideoIndexSidecar,
+      videoIndexParamsJson(maxFrameBytes),
+      Seq("sigs" -> videoSigs(corpus, idCol, binCol, maxFrameBytes)
+        .select(col("id"), col("sig").as("sh"))))
+  }
+
+  /** Extend a [[writeVideoNearDupIndex]] artifact with newly-admitted
+    * videos — admit → append → the next snapshot dedups against
+    * corpus + admissions, without rebuilding. The batch stages under
+    * `batches/<id>/` and becomes visible only when the atomic
+    * `_graft_committed` marker lands ([[SigIndex.appendBatch]]); the
+    * sidecar's params are validated fail-loud first. Caller contract:
+    * ids disjoint from the indexed corpus.
+    */
+  def appendToVideoNearDupIndex(newVideos: DataFrame, idCol: String,
+      binCol: String, indexPath: String,
+      maxFrameBytes: Int = 1 << 24): Unit = {
+    graft.operators.TopK.requireIntegral(newVideos, idCol,
+      "appendToVideoNearDupIndex")
+    val spark = newVideos.sparkSession
+    SigIndex.requireParams(
+      readVideoIndexParams(spark, indexPath,
+        "appendToVideoNearDupIndex"),
+      videoIndexParamsJson(maxFrameBytes), indexPath,
+      "appendToVideoNearDupIndex")
+    SigIndex.appendBatch(spark, indexPath,
+      Seq("sigs" -> videoSigs(newVideos, idCol, binCol, maxFrameBytes)
+        .select(col("id"), col("sig").as("sh"))))
+  }
+
+  /** Admit a snapshot of videos against a [[writeVideoNearDupIndex]]
+    * artifact: drop every snapshot video whose temporal fingerprint is
+    * within `maxDistance` of ANY indexed fingerprint; keep the rest
+    * (all input columns). The corpus side is a READ of 8-byte
+    * signatures — zero re-decode; the snapshot side decodes once,
+    * sampled under the index's OWN recorded frame cap. Candidates come
+    * from the cross-side 16-bit block pigeonhole
+    * ([[Dedup.hamming64CrossMatches]]), exact bit_count verifies.
+    * Undecodable snapshot payloads carry no signature and are ADMITTED
+    * — route them through exact-byte dedup, as [[videoNearDupPairs]]
+    * documents. Within-snapshot near-dups are out of scope — compose
+    * with [[videoNearDupPairs]] + [[Dedup.nearDedup]] on the snapshot
+    * first.
+    */
+  def incrementalVideoNearDedup(snapshot: DataFrame, idCol: String,
+      binCol: String, indexPath: String, maxDistance: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    graft.operators.TopK.requireIntegral(snapshot, idCol,
+      "incrementalVideoNearDedup")
+    val spark = snapshot.sparkSession
+    val maxFrameBytes = parseVideoIndexParams(
+      readVideoIndexParams(spark, indexPath,
+        "incrementalVideoNearDedup"), "incrementalVideoNearDedup")
+    val corpusSigs = spark.read.parquet(
+      Dedup.indexSidePaths(spark, indexPath, "sigs"): _*)
+    val snapSigs = videoSigs(snapshot, idCol, binCol, maxFrameBytes)
+      .select(col("id"), col("sig").as("sh"))
+    val matched = Dedup.hamming64CrossMatches(corpusSigs, snapSigs,
+      maxDistance, maxBucket)
+    snapshot.join(matched, snapshot(idCol) === matched("b"),
+      "left_anti")
+  }
+
+  /** Per-row sampled-frame luma sums as a scalar UDF — the streaming
+    * twin of [[decodeSampledLuma]] (a streaming plan can't reshape
+    * through the typed mapPartitions without dropping the stream's own
+    * columns). Binary container decode is the justified-UDF case, like
+    * [[Audio]]'s `energiesUdf`; one payload in memory at a time, null
+    * for undecodable. Both paths call the SAME private [[decodeLuma]]
+    * walk, so streaming/batch signature parity holds by construction —
+    * and is still spec-pinned by the maxDistance=0 streaming admission
+    * tests.
+    */
+  private def lumaSumsUdf(maxFrameBytes: Int) =
+    udf { (bytes: Array[Byte]) =>
+      decodeLuma(0L, bytes, 65, maxFrameBytes).map(_.lumaSums)
+    }
+
+  /** Streaming video admission: admit a live video feed against a
+    * STATIC [[writeVideoNearDupIndex]] artifact — the streaming twin
+    * of [[incrementalVideoNearDedup]]. A stream video is dropped when
+    * its fingerprint is within `maxDistance` of ANY indexed
+    * fingerprint; every other row is emitted in the micro-batch it
+    * arrives. STATELESS ([[Dedup.hamming64StreamAdmit]]): the stream
+    * decodes once per row (scalar UDF) under the index's OWN recorded
+    * frame cap, the static side is the capped bucket fold of the
+    * 8-byte signature read, four 1:1 joins + `exists`/`bit_count`
+    * decide — zero streaming state per row whatever the payload size,
+    * no emission delay, duplicate feed rows never collapse.
+    * Undecodable payloads carry a null signature and are ADMITTED.
+    * `tsCol`/`lateness` apply a watermark only so downstream stateful
+    * consumers inherit one.
+    */
+  def streamingVideoNearDedup(stream: DataFrame, idCol: String,
+      binCol: String, tsCol: String, indexPath: String,
+      lateness: String = "1 hour", maxDistance: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = stream.sparkSession
+    val maxFrameBytes = parseVideoIndexParams(
+      readVideoIndexParams(spark, indexPath,
+        "streamingVideoNearDedup"), "streamingVideoNearDedup")
+    val streamCols = stream.columns.toSeq
+    val withSig = stream
+      .withWatermark(tsCol, lateness)
+      .withColumn("__lu", lumaSumsUdf(maxFrameBytes)(col(binCol)))
+      .withColumn("__sh",
+        when(col("__lu").isNotNull,
+          Audio.audioFingerprint64(col("__lu"))))
+    Dedup.hamming64StreamAdmit(withSig, streamCols,
+      spark.read.parquet(
+        Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
+      maxDistance, maxBucket)
+  }
+
   // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
 
   /** Build a canonical uncompressed AVI: RIFF(AVI ) → LIST(hdrl)

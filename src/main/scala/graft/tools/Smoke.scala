@@ -451,6 +451,66 @@ object Smoke {
             e.getMessage.linesIterator.next() + "|")
       }
     }
+
+    // Video near-dup index lifecycle over REAL AVI bytes: corpus built
+    // from documents ids (one planted stream class per id % 32), index
+    // written to disk, a snapshot with re-gained twins + fresh streams
+    // + an undecodable payload admitted against it, admissions appended,
+    // a second snapshot admitted against corpus + appended batch.
+    {
+      import graft.operators.Video
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select($"doc_id").limit(48)
+      val buildAvi = udf((id: Long, gain: Int) => {
+        // double-mixed pixels so distinct classes are UNRELATED (an
+        // affine base/f/k formula collapses every class onto ~101
+        // cyclic luma phases — some phases land within Hamming 3)
+        def mix(a: Long): Long = {
+          var x = a
+          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+          x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+          x ^= x >>> 33; x
+        }
+        val seed = mix(id % 32)
+        val frames = (0 until 70).map { f =>
+          val fs = mix(seed + f * 0x9E3779B97F4A7C15L)
+          Array.tabulate(3 * 4 * 3)(k =>
+            ((((mix(fs + k) & Long.MaxValue) % 101L).toInt) * gain).toByte)
+        }
+        Video.buildUncompressedAvi(4, 3, frames, 40000L)
+      })
+      val corpus = docs.filter($"doc_id" < 16)
+        .select($"doc_id".as("id"), buildAvi($"doc_id", lit(1)).as("content"))
+      val idxDir = Files.createTempDirectory("smoke-video-idx").toString
+      Video.writeVideoNearDupIndex(corpus, "id", "content", idxDir)
+      // snapshot: ids 100+base are re-gained twins of indexed streams
+      // (dropped), 200+ are fresh classes (admitted), 999 undecodable
+      val twins = docs.filter($"doc_id" < 8)
+        .select(($"doc_id" + 100).as("id"),
+          buildAvi($"doc_id", lit(2)).as("content"))
+      val fresh = docs.filter($"doc_id".between(16, 23))
+        .select(($"doc_id" + 200).as("id"),
+          buildAvi($"doc_id", lit(1)).as("content"))
+      val junk = Seq((999L, "not an avi".getBytes("UTF-8")))
+        .toDF("id", "content")
+      val snap1 = twins.unionByName(fresh).unionByName(junk)
+      val adm1 = Video.incrementalVideoNearDedup(snap1, "id", "content",
+        idxDir)
+      println(s"|video snap1: ${snap1.count()} in -> " +
+        s"${adm1.count()} admitted (expect 9: 8 fresh + junk)|")
+      adm1.orderBy($"id").select($"id").show(12, false)
+      Video.appendToVideoNearDupIndex(
+        adm1.filter($"id" =!= 999L), "id", "content", idxDir)
+      // snapshot 2: twins of the APPENDED streams must now be dropped
+      val snap2 = docs.filter($"doc_id".between(16, 23))
+        .select(($"doc_id" + 300).as("id"),
+          buildAvi($"doc_id", lit(2)).as("content"))
+      val adm2 = Video.incrementalVideoNearDedup(snap2, "id", "content",
+        idxDir)
+      println(s"|video snap2: ${snap2.count()} in -> " +
+        s"${adm2.count()} admitted (expect 0: all twins of appends)|")
+    }
     spark.stop()
   }
 }

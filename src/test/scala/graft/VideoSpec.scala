@@ -262,6 +262,134 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairSet.exists(p => p._2 == 5L || p._1 == 5L))
   }
 
+  test("video near-dup index: build once / admit many; appends are " +
+      "transactional (uncommitted batches invisible); fail-loud on " +
+      "params mismatch, missing sidecar, and crash-mid-rewrite; " +
+      "rebuild drops batches") {
+    val n = 70
+    val junk = "junk".getBytes("UTF-8")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-video-idx").toString
+    val corpus = df(1L -> avi(10, n), 2L -> avi(11, n), 3L -> junk)
+    Video.writeVideoNearDupIndex(corpus, "id", "content", dir)
+    // snapshot: a re-gained twin of corpus video 1 (luma scales
+    // uniformly -> identical gradient sig -> dropped), a genuinely
+    // new stream (admitted), an undecodable payload (no signature ->
+    // admitted; exact-byte dedup's job)
+    val snap1 = df(10L -> avi(10, n, gain = 2),
+      11L -> avi(12, n), 12L -> junk)
+    val adm1 = Video.incrementalVideoNearDedup(snap1, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(adm1 == Set(11L, 12L), adm1.toString)
+    // append the admitted videos; the NEXT snapshot dedups against
+    // corpus + admissions without any rebuild
+    Video.appendToVideoNearDupIndex(snap1.filter(col("id") >= 11),
+      "id", "content", dir)
+    val snap2 = df(20L -> avi(12, n, bias = 50), 21L -> avi(13, n))
+    val adm2 = Video.incrementalVideoNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(adm2 == Set(21L), adm2.toString)
+    // transactional: a staged batch WITHOUT the commit marker is
+    // invisible; the same batch becomes visible the instant the
+    // marker lands
+    Video.videoSigs(df(999L -> avi(13, n)), "id", "content")
+      .select(col("id"), col("sig").as("sh"))
+      .write.parquet(s"$dir/batches/staged-test/sigs")
+    val admStaged = Video.incrementalVideoNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(admStaged == Set(21L),
+      s"uncommitted batch leaked into admission: $admStaged")
+    new java.io.File(s"$dir/batches/staged-test/_graft_committed")
+      .createNewFile()
+    val admCommitted = Video.incrementalVideoNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(admCommitted == Set.empty,
+      s"committed batch not read: $admCommitted")
+    // fail-loud: frame-cap mismatch on append (the index was built
+    // under the default cap); not-an-index path
+    intercept[IllegalArgumentException] {
+      Video.appendToVideoNearDupIndex(snap2, "id", "content", dir,
+        maxFrameBytes = 1024)
+    }
+    intercept[IllegalArgumentException] {
+      Video.incrementalVideoNearDedup(snap2, "id", "content",
+        java.nio.file.Files.createTempDirectory("graft-video-noidx")
+          .toString)
+    }
+    // rebuild: batches from the previous generation are dropped, so
+    // the twin of (no-longer-indexed) video 11 is admitted again
+    Video.writeVideoNearDupIndex(corpus, "id", "content", dir)
+    val adm3 = Video.incrementalVideoNearDedup(snap2, "id",
+      "content", dir).collect().map(_.getLong(0)).toSet
+    assert(adm3 == Set(20L, 21L), adm3.toString)
+    // crash-mid-rewrite contract: the writer deletes the sidecar
+    // BEFORE touching any data, so a crash leaves a no-sidecar index
+    // every reader rejects — never a stale sidecar over mixed
+    // generations
+    assert(new java.io.File(
+      s"$dir/_graft_video_index_params.json").delete())
+    intercept[IllegalArgumentException] {
+      Video.incrementalVideoNearDedup(snap2, "id", "content", dir)
+    }
+  }
+
+  test("streamingVideoNearDedup: STATELESS admission at maxDistance=0 " +
+      "— byte-identical and re-gained indexed twins dropped (pins " +
+      "lumaSumsUdf = mapPartitions-path signature parity), fresh rows " +
+      "emitted in their arrival batch without collapsing duplicates, " +
+      "zero stateful operators") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val n = 70
+    val junk = "junk".getBytes("UTF-8")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = df(100L -> avi(10, n), 101L -> avi(11, n))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-video-stream").toString
+    Video.writeVideoNearDupIndex(corpus, "id", "content", dir)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val sdf = mem.toDF().toDF("id", "ts", "content")
+    // maxDistance = 0: a drop REQUIRES the streaming UDF signature
+    // to equal the index's batch-built signature bit-for-bit
+    val q = Video.streamingVideoNearDedup(sdf, "id", "content",
+        "ts", dir, lateness = "10 minutes", maxDistance = 0)
+      .writeStream.format("memory").queryName("stream_video")
+      .outputMode("append").start()
+    def ids() = spark.table("stream_video").collect()
+      .map(_.getLong(0)).toSeq
+    try {
+      // batch 1: byte-identical twin of indexed video 1 (dropped —
+      // the parity pin), a fresh stream, and an EXACT duplicate of
+      // that fresh row — both copies emit IN THIS BATCH
+      val freshAvi = avi(12, n)
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:00"), avi(10, n)),
+        (2L, ts("2024-01-01 00:00:01"), freshAvi),
+        (2L, ts("2024-01-01 00:00:01"), freshAvi))
+      q.processAllAvailable()
+      assert(ids().sorted == Seq(2L, 2L), s"batch1 got ${ids()}")
+      // batch 2: re-gained twin of indexed video 2 (uniform gain
+      // preserves the gradient sig exactly -> dropped even at
+      // distance 0) and an undecodable payload (admitted, same batch)
+      mem.addData(
+        (3L, ts("2024-01-01 00:00:02"), avi(11, n, gain = 2)),
+        (4L, ts("2024-01-01 00:00:03"), junk))
+      q.processAllAvailable()
+      assert(ids().sorted == Seq(2L, 2L, 4L), s"batch2 got ${ids()}")
+      // the executed plan carries NO stateful operator: per-row
+      // streaming state is zero bytes whatever the payload size
+      import org.apache.spark.sql.execution.streaming.operators
+        .stateful.StateStoreWriter
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution
+          .streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateOps = exec.collect { case s: StateStoreWriter => s }
+      assert(stateOps.isEmpty,
+        s"expected zero stateful operators, got $stateOps")
+    } finally q.stop()
+  }
+
   test("videoStats: exact aggregates over the sampled luma") {
     val frames = (0 until 6).map(f => frame(8, f, 4, 3))
     val bytes = Video.buildUncompressedAvi(4, 3, frames, 50000L)
