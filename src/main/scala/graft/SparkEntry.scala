@@ -1303,6 +1303,25 @@ object SparkEntry {
         syntheticAviClassed(t(s, dir, "documents")), "id", "content",
         maxDistance = 3)),
 
+    // video snapshot admission — the cross-side Hamming kernel behind
+    // the persisted video signature index (incrementalVideoNearDedup /
+    // streamingVideoNearDedup), over the REAL decode chain (encoder
+    // bytes -> container walk -> 65-frame sampling -> temporal
+    // fingerprint): corpus = ids < 32, snapshot = the perturbed ids;
+    // admitted iff no corpus signature within distance 3. The sidecar
+    // lifecycle around this kernel is spec-pinned in VideoSpec
+    "q_video_admission" -> ((s, dir) => {
+      val sigs = Video.videoSigs(
+        syntheticAviClassed(t(s, dir, "documents")), "id", "content")
+        .select(col("id"), col("sig").as("sh"))
+      val corpus = sigs.filter(col("id") < 32)
+      val snap = sigs.filter(col("id") >= 250)
+      val matched = Dedup.hamming64CrossMatches(corpus, snap,
+        maxDistance = 3, maxBucket = 1000)
+      snap.select(col("id"))
+        .join(matched, snap("id") === matched("b"), "left_anti")
+    }),
+
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
     // so the oracle compare is representation-safe
@@ -3633,6 +3652,39 @@ object SparkEntry {
         |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
         |    AND x.id < y.id)
         |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // video snapshot admission: the same sampled-luma fingerprints,
+    // split corpus (< 32) / snapshot (>= 250); cross-side block-bucket
+    // join + exact bit_count match, admitted = snapshot ids unmatched
+    "q_video_admission" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    65 + (doc_id % 64) % 8 AS n,
+        |    CASE WHEN doc_id >= 250 THEN 37 * 36 ELSE 0 END AS pert
+        |  FROM documents),
+        |lu AS (SELECT id, list_transform(generate_series(0, 64), i ->
+        |    list_sum(list_transform(generate_series(0, 35), k ->
+        |      (base * 131 + ((i * n) // 65) * 31 + k * 7) % 101))
+        |    + CASE WHEN (i * n) // 65 = 0 THEN pert ELSE 0 END) AS luma
+        |  FROM g),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN luma[i + 1] > luma[i + 2]
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM lu)),
+        |blk AS (SELECT unnest([0, 1, 2, 3]) AS blk),
+        |cbv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN blk WHERE id < 32),
+        |sbv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN blk WHERE id >= 250),
+        |m AS (SELECT DISTINCT y.id AS id
+        |  FROM cbv x JOIN sbv y ON x.blk = y.blk AND x.bval = y.bval
+        |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
+        |SELECT id FROM s
+        |WHERE id >= 250 AND id NOT IN (SELECT id FROM m)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // grouped rank buckets: the same ceil(rank·B/n) contract under

@@ -79,16 +79,35 @@ object Video {
       binCol: String, prefixBytes: Int = 64 * 1024): Dataset[AviMeta] = {
     require(prefixBytes >= 12, s"prefixBytes must cover the RIFF form " +
       s"header, got $prefixBytes")
+    parseAviHeaderPrefixCols(
+      df.select(col(idCol),
+        substring(col(binCol), 1, prefixBytes).as("__avi_prefix"),
+        length(col(binCol)).cast("long").as("__avi_len")),
+      idCol, "__avi_prefix", "__avi_len")
+  }
+
+  /** [[parseAviHeader]] over a PERSISTED prefix column — the storage
+    * form of the 100 TB metadata-filter path
+    * ([[Audio.parseWavHeaderPrefix]] for video containers): persist
+    * `substring(bin, 1, prefixBytes)` plus the TRUE payload length as
+    * their own narrow columns at ingest, and every dimension /
+    * duration / codec filter runs without the parquet reader ever
+    * materializing the frame data ([[parseAviHeaderPrefix]] carves
+    * in-plan — same task, no storage win). The movi extent is clamped
+    * against the true length, not the prefix, so declared frame
+    * counts equal the full-parse values whenever the header chunk
+    * table fits inside the prefix; header structure beyond the prefix
+    * comes back `parsed = false`, never fabricated fields.
+    */
+  def parseAviHeaderPrefixCols(df: DataFrame, idCol: String,
+      prefixCol: String, totalLenCol: String): Dataset[AviMeta] = {
     implicit val enc = Encoders.product[AviMeta]
-    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+    df.select(col(idCol).cast("long"), col(prefixCol),
+      col(totalLenCol).cast("long")).mapPartitions {
       (rows: Iterator[Row]) =>
         rows.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val prefix =
-            if (bytes == null || bytes.length <= prefixBytes) bytes
-            else java.util.Arrays.copyOf(bytes, prefixBytes)
-          val trueLen = if (bytes == null) 0L else bytes.length.toLong
-          toMeta(r.getLong(0), parseAvi(prefix, trueLen))
+          toMeta(r.getLong(0),
+            parseAvi(r.getAs[Array[Byte]](1), r.getLong(2)))
         }
     }
   }

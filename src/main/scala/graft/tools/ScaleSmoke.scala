@@ -1513,31 +1513,37 @@ object ScaleSmoke {
       val nVid = args.drop(1).headOption.map(_.toInt).getOrElse(1000000)
       import spark.implicits._
       val t90 = System.nanoTime()
-      val vids = spark.range(0L, nVid).repartition(64)
-        .mapPartitions { it =>
-          def mix(a: Long): Long = {
-            var x = a
-            x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-            x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-            x ^= x >>> 33; x
-          }
-          it.map { id =>
-            val idL: Long = id
-            val cls = idL / 2
-            val gain = if (idL % 2 == 1) 2 else 1
-            val n = 66 + (cls % 8).toInt
-            val seed = mix(cls)
-            val frames = (0 until n).map { f =>
-              val fs = mix(seed + f * 0x9E3779B97F4A7C15L)
-              Array.tabulate(36) { k =>
-                ((((mix(fs + k) & Long.MaxValue) % 101L).toInt)
-                  * gain).toByte
-              }
+      // pairMode: ids (2c, 2c+1) share class c's frames, the odd id
+      // re-gained x2; otherwise every id is its OWN class (fresh
+      // streams for the admission snapshot — class space disjoint
+      // from the 0..nVid/2 pair classes because ids start at nVid)
+      def mkVids(lo: Long, hi: Long, pairMode: Boolean) =
+        spark.range(lo, hi).repartition(if (pairMode) 64 else 8)
+          .mapPartitions { it =>
+            def mix(a: Long): Long = {
+              var x = a
+              x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+              x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+              x ^= x >>> 33; x
             }
-            (idL, graft.operators.Video
-              .buildUncompressedAvi(4, 3, frames, 40000L))
-          }
-        }.toDF("id", "content")
+            it.map { id =>
+              val idL: Long = id
+              val cls = if (pairMode) idL / 2 else idL
+              val gain = if (pairMode && idL % 2 == 1) 2 else 1
+              val n = 66 + (cls % 8).toInt
+              val seed = mix(cls)
+              val frames = (0 until n).map { f =>
+                val fs = mix(seed + f * 0x9E3779B97F4A7C15L)
+                Array.tabulate(36) { k =>
+                  ((((mix(fs + k) & Long.MaxValue) % 101L).toInt)
+                    * gain).toByte
+                }
+              }
+              (idL, graft.operators.Video
+                .buildUncompressedAvi(4, 3, frames, 40000L))
+            }
+          }.toDF("id", "content")
+      val vids = mkVids(0L, nVid, pairMode = true)
       val vPairs = graft.operators.Video.videoNearDupPairs(
         vids, "id", "content")
       val vAgg = vPairs.agg(count(lit(1)), max(col("distance")),
@@ -1575,6 +1581,43 @@ object ScaleSmoke {
         f"$tVm%.1f s (${nVid / tVm}%.0f vids/s), " +
         f"${vm.getLong(1)} frames declared, all parsed, " +
         f"heapUsed=${(rtV.totalMemory - rtV.freeMemory) / 1e6}%.0f MB")
+
+      // index lifecycle at the same scale (the SigIndex artifact for
+      // video): persist the even-id half as the corpus signature
+      // index (sidecar records the frame cap), then admit a snapshot
+      // of the odd-id re-gained twins (every one at distance 0 of an
+      // indexed signature -> dropped) plus nVid/10 genuinely fresh
+      // streams (own classes -> admitted). The admission's corpus
+      // side reads 8-byte signatures — no re-decode of the 500k
+      // corpus videos.
+      val vIdxDir = java.nio.file.Files
+        .createTempDirectory("graft-video-idx-smoke").toString
+      val t92 = System.nanoTime()
+      graft.operators.Video.writeVideoNearDupIndex(
+        vids.filter(col("id") % 2 === 0), "id", "content", vIdxDir)
+      val tVIdx = (System.nanoTime() - t92) / 1e9
+      val t93 = System.nanoTime()
+      val vSnap = vids.filter(col("id") % 2 === 1)
+        .unionByName(mkVids(nVid, nVid + nVid / 10L, pairMode = false))
+      val vAdm = graft.operators.Video
+        .incrementalVideoNearDedup(vSnap, "id", "content", vIdxDir)
+        .agg(count(lit(1)), min(col("id")), max(col("id")))
+        .collect()(0)
+      val tVAdmit = (System.nanoTime() - t93) / 1e9
+      require(vAdm.getLong(0) == nVid / 10L,
+        s"videoAdmit count ${vAdm.getLong(0)} != ${nVid / 10}")
+      require(vAdm.getLong(1) == nVid &&
+        vAdm.getLong(2) == nVid + nVid / 10L - 1,
+        s"videoAdmit ids [${vAdm.getLong(1)}, ${vAdm.getLong(2)}] " +
+          "not the fresh range")
+      println(f"videoIndex: ${nVid / 2} sigs indexed in " +
+        f"$tVIdx%.1f s; ${nVid / 2 + nVid / 10} snapshot admitted " +
+        f"-> exactly ${nVid / 10} fresh in $tVAdmit%.1f s " +
+        f"(${(nVid / 2 + nVid / 10) / tVAdmit}%.0f vids/s), " +
+        f"heapUsed=${(rtV.totalMemory - rtV.freeMemory) / 1e6}%.0f MB")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(vIdxDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p2 => java.nio.file.Files.delete(p2))
     }
 
     // --- approxGroupedRankBuckets at 100k groups: the crawl-scale

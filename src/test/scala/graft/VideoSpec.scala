@@ -130,6 +130,16 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tiny = Video.parseAviHeaderPrefix(df((1L, good)), "id", "content",
       prefixBytes = 40).collect().head
     assert(!tiny.parsed)
+    // the PERSISTED-prefix-column form (the storage-win layout: the
+    // scan never touches the frame blob) agrees with the full parse
+    // from narrow columns alone
+    val cols = df((1L, good)).select(col("id"),
+      substring(col("content"), 1, 256).as("pfx"),
+      length(col("content")).cast("long").as("total_len"))
+      .drop("content")
+    val fromCols = Video.parseAviHeaderPrefixCols(cols, "id", "pfx",
+      "total_len").collect().head
+    assert(fromCols == full)
   }
 
   test("Long cursor: a ~2^32 declared chunk size terminates the walk " +
