@@ -1322,6 +1322,21 @@ object SparkEntry {
         .join(matched, snap("id") === matched("b"), "left_anti")
     }),
 
+    // cross-modal: sampled video frames ride the IMAGE dedup machinery
+    // with zero video-specific code downstream — frame 0 of every AVI
+    // emitted as a REAL BMP (the DIB payload is byte-identical to a
+    // BMP pixel array), then ImageIO decode -> 9x8 exact-integer box
+    // grid -> dHash -> banded pairs; DuckDB replicates pixel formula,
+    // Rec.601 luma, box averages, and the hash fold in closed form
+    "q_video_frame_near_dup" -> ((s, dir) => {
+      val frames = Video.sampleFrameImages(
+        syntheticAviClassed(t(s, dir, "documents")), "id", "content")
+        .toDF().filter(col("decoded") && col("frameIdx") === 0L)
+        .select(col("id"), col("image"))
+      Multimodal.imageNearDupPairs(frames, "id", "image",
+        maxDistance = 3)
+    }),
+
     // vocabulary-mapped token ids (the trainer-facing form): top-20
     // vocab with deterministic ids, OOV -> 0; ids joined to a string
     // so the oracle compare is representation-safe
@@ -3685,6 +3700,57 @@ object SparkEntry {
         |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
         |SELECT id FROM s
         |WHERE id >= 250 AND id NOT IN (SELECT id FROM m)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // cross-modal frame dedup: frame 0's 4x3 BGR pixels (the planted
+    // formula + frame-0 perturbation), Rec.601 integer luma, the EXACT
+    // 9x8 box-average grid of Multimodal.boxSampleLuma (per-cell pixel
+    // spans [gx*4//9, max(+1, (gx+1)*4//9)) x [gy*3//8, ...)), dHash
+    // bit i = grid[i//8][i%8] > grid[i//8][i%8+1], then the standard
+    // 16-bit block pigeonhole + bit_count verify
+    "q_video_frame_near_dup" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CASE WHEN doc_id >= 250 THEN 37 ELSE 0 END AS pert
+        |  FROM documents),
+        |lum AS (SELECT id, list_transform(generate_series(0, 11), p ->
+        |    (((base * 131 + (3 * p + 2) * 7) % 101 + pert) * 299
+        |     + ((base * 131 + (3 * p + 1) * 7) % 101 + pert) * 587
+        |     + ((base * 131 + (3 * p) * 7) % 101 + pert) * 114)
+        |    // 1000) AS lm
+        |  FROM g),
+        |cc AS (SELECT id, lm, c,
+        |    ((c % 9) * 4) // 9 AS x0,
+        |    greatest(((c % 9) * 4) // 9 + 1, (((c % 9) + 1) * 4) // 9)
+        |      AS x1,
+        |    ((c // 9) * 3) // 8 AS y0,
+        |    greatest(((c // 9) * 3) // 8 + 1, (((c // 9) + 1) * 3) // 8)
+        |      AS y1
+        |  FROM lum CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 71)) AS c)),
+        |cell AS (SELECT id, c,
+        |    list_sum(list_transform(generate_series(x0, x1 - 1), x ->
+        |      list_sum(list_transform(generate_series(y0, y1 - 1), y ->
+        |        lm[1 + y * 4 + x]))))
+        |    // ((x1 - x0) * (y1 - y0)) AS v
+        |  FROM cc),
+        |grid AS (SELECT id, list(v ORDER BY c) AS cells
+        |  FROM cell GROUP BY id),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN cells[1 + (i // 8) * 9 + (i % 8)] >
+        |        cells[1 + (i // 8) * 9 + (i % 8) + 1]
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM grid)),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |p AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // grouped rank buckets: the same ceil(rank·B/n) contract under

@@ -180,6 +180,133 @@ object Video {
     }
   }
 
+  /** Output row of the frame-sampling stage: `image` is sampled frame
+    * `frameIdx` of video `id` wrapped as a REAL standalone BMP —
+    * consumable by every image operator ([[Multimodal.luminanceGrids]]
+    * / dHash / aHash / near-dup index / [[Multimodal.decodeImage]])
+    * with no video-specific code downstream. Undecodable payloads emit
+    * ONE marker row (`decoded = false`, empty image, frameIdx -1) so
+    * honesty survives the explode.
+    */
+  case class SampledFrame(id: Long, frameIdx: Long, width: Int,
+      height: Int, image: Array[Byte], decoded: Boolean)
+
+  /** Sample each video's frames uniformly and emit every DISTINCT
+    * sampled frame as its own row, the frame content wrapped as a
+    * standalone BMP — the frame-sample primitive of a multimodal
+    * training pipeline (thumbnail extraction, frame-level features,
+    * and cross-modal dedup: near-dup sampled frames against an IMAGE
+    * signature index finds videos containing known images). The wrap
+    * is header-only: an AVI `00db` DIB payload is byte-identical to a
+    * BMP pixel array (bottom-up BGR24 rows, 4-byte stride padding),
+    * so frame bytes are prepended with a 54-byte BMP header verbatim
+    * — no pixel copy beyond the one arraycopy, no re-encode, and the
+    * downstream ImageIO decode sees exactly the encoder's pixels
+    * (spec-pinned round trip). Same two-pass walk and honesty
+    * contract as [[decodeSampledLuma]]: unsampled frame content is
+    * never touched, compressed/malformed payloads are `decoded =
+    * false`, per-payload cost is O(chunk table) + O(distinct sampled
+    * frames) regardless of duration. Output bounded by `nSamples ×
+    * maxFrameBytes` per video.
+    */
+  def sampleFrameImages(df: DataFrame, idCol: String, binCol: String,
+      nSamples: Int = 65,
+      maxFrameBytes: Int = 1 << 24): Dataset[SampledFrame] = {
+    require(nSamples > 0, "nSamples must be positive")
+    require(maxFrameBytes > 0, "maxFrameBytes must be positive")
+    implicit val enc = Encoders.product[SampledFrame]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          sampledFrameBmps(r.getAs[Array[Byte]](1), nSamples,
+            maxFrameBytes) match {
+            case Some((w, h, frames)) => frames.map { case (fi, bmp) =>
+              SampledFrame(id, fi, w, h, bmp, decoded = true)
+            }
+            case None => Seq(SampledFrame(id, -1L, 0, 0,
+              Array.emptyByteArray, decoded = false))
+          }
+        }
+    }
+  }
+
+  /** The sampled-frame walk: (width, height, distinct (frameIdx, bmp))
+    * — [[decodeLuma]]'s two passes, capturing bytes instead of
+    * folding luma.
+    */
+  private def sampledFrameBmps(bytes: Array[Byte], nSamples: Int,
+      maxFrameBytes: Int): Option[(Int, Int, Seq[(Long, Array[Byte])])] = {
+    val meta = parseAvi(bytes).getOrElse(return None)
+    if (meta.compression != 0L || meta.bitCount != 24) return None
+    val stride = ((3L * meta.width + 3L) / 4L) * 4L
+    val frameBytes = stride * meta.height
+    if (frameBytes <= 0 || frameBytes > maxFrameBytes) return None
+    val moviDataStart = meta.moviOffset + 12
+    val moviEnd = math.min(meta.moviOffset + 8 + meta.moviLen,
+      bytes.length.toLong)
+    def isFrameTag(t: String): Boolean = t == "00db" || t == "00dc"
+    var n = 0L
+    var pos = moviDataStart
+    while (pos + 8 <= moviEnd) {
+      val t = tag(bytes, pos.toInt)
+      val sz = le32(bytes, pos.toInt + 4)
+      if (isFrameTag(t)) n += 1
+      pos = pos + 8 + sz + (sz & 1)
+    }
+    if (n == 0) return None
+    val idx = sampleIndices(n, nSamples)
+    val out = Seq.newBuilder[(Long, Array[Byte])]
+    var next = 0
+    var fi = 0L
+    pos = moviDataStart
+    while (pos + 8 <= moviEnd && next < nSamples) {
+      val t = tag(bytes, pos.toInt)
+      val sz = le32(bytes, pos.toInt + 4)
+      if (isFrameTag(t)) {
+        if (next < nSamples && idx(next) == fi) {
+          if (t != "00db" || sz != frameBytes ||
+            pos + 8 + frameBytes > moviEnd) return None
+          out += ((fi, wrapBmp(bytes, (pos + 8).toInt,
+            frameBytes.toInt, meta.width.toInt, meta.height.toInt)))
+          // a frame repeated by short-video sampling is emitted ONCE
+          while (next < nSamples && idx(next) == fi) next += 1
+        }
+        fi += 1
+      }
+      pos = pos + 8 + sz + (sz & 1)
+    }
+    if (next < nSamples) return None // declared structure ran short
+    Some((meta.width.toInt, meta.height.toInt, out.result()))
+  }
+
+  /** 54-byte BMP header + the DIB payload verbatim (bottom-up BGR24
+    * with 4-byte row stride — the one pixel layout AVI `00db` and BMP
+    * share by definition).
+    */
+  private def wrapBmp(src: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](54 + len)
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte
+      out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    w32(2, 54L + len); w32(6, 0L); w32(10, 54L)
+    w32(14, 40L); w32(18, w.toLong); w32(22, h.toLong)
+    w16(26, 1); w16(28, 24)
+    w32(30, 0L); w32(34, len.toLong)
+    w32(38, 2835L); w32(42, 2835L); w32(46, 0L); w32(50, 0L)
+    System.arraycopy(src, off, out, 54, len)
+    out
+  }
+
   /** (id, sig) 64-bit temporal fingerprint rows: gradient fold over
     * the 65 sampled-frame luma sums — bit i set when
     * `luma(i) > luma(i+1)`, [[Audio.audioFingerprint64]]'s fold
