@@ -470,6 +470,52 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"identical first frames did not pair: ${pairs.mkString(",")}")
   }
 
+  test("cross-modal admission: sampled video frames against a " +
+      "persisted IMAGE signature index — frames of an indexed video " +
+      "are dropped, frames of an unrelated video are admitted (the " +
+      "find-videos-containing-known-images pipeline)") {
+    import graft.operators.Multimodal
+    // double-mixed pixels on 16x12 frames: unrelated classes get
+    // unrelated frame hashes, so absence assertions are safe — and
+    // the frame must be at least grid-sized for dHash to carry real
+    // gradient content (on a 4x3 source most 9x8 box cells repeat the
+    // same pixel, adjacent-cell comparisons degenerate, and unrelated
+    // classes legitimately land within Hamming 3 of each other)
+    def mixedAvi(cls: Long, n: Int): Array[Byte] = {
+      def mix(a: Long): Long = {
+        var x = a
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x
+      }
+      val seed = mix(cls)
+      Video.buildUncompressedAvi(16, 12, (0 until n).map { f =>
+        val fs = mix(seed + f * 0x9E3779B97F4A7C15L)
+        Array.tabulate(3 * 16 * 12)(k =>
+          ((mix(fs + k) & Long.MaxValue) % 101L).toByte)
+      }, 40000L)
+    }
+    def frames(rows: (Long, Array[Byte])*) =
+      Video.sampleFrameImages(df(rows: _*), "id", "content")
+        .toDF().filter(col("decoded"))
+        .select((col("id") * 1000 + col("frameIdx")).as("id"),
+          col("image"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xmodal-idx").toString
+    Multimodal.writeImageNearDupIndex(
+      frames(1L -> mixedAvi(1L, 70)), "id", "image", dir)
+    // snapshot: video 2 is byte-identical to the indexed video (every
+    // sampled frame's BMP matches an indexed signature -> dropped),
+    // video 3 is an unrelated class (every frame admitted)
+    val admitted = Multimodal.incrementalImageNearDedup(
+      frames(2L -> mixedAvi(1L, 70), 3L -> mixedAvi(2L, 70)),
+      "id", "image", dir).collect().map(_.getLong(0))
+    assert(admitted.forall(id => id >= 3000L && id < 4000L),
+      s"indexed-video frames leaked through: ${admitted.mkString(",")}")
+    assert(admitted.length == 65, // n=70 > 65 samples -> 65 distinct
+      s"expected 65 admitted fresh frames, got ${admitted.length}")
+  }
+
   test("videoStats: exact aggregates over the sampled luma") {
     val frames = (0 until 6).map(f => frame(8, f, 4, 3))
     val bytes = Video.buildUncompressedAvi(4, 3, frames, 50000L)
