@@ -1322,6 +1322,18 @@ object SparkEntry {
         .join(matched, snap("id") === matched("b"), "left_anti")
     }),
 
+    // video decode stats: frame geometry, floor-millis duration, and
+    // the sampled-luma brightness envelope — every column a closed
+    // form of doc_id through the REAL decode (the luma list is the
+    // same one the fingerprint folds)
+    "q_video_stats" -> ((s, dir) =>
+      Video.videoStats(syntheticAviClassed(t(s, dir, "documents")),
+        "id", "content")
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_frames"),
+          col("duration_ms"), col("luma_total"), col("luma_peak"),
+          col("luma_min"))),
+
     // cross-modal: sampled video frames ride the IMAGE dedup machinery
     // with zero video-specific code downstream — frame 0 of every AVI
     // emitted as a REAL BMP (the DIB payload is byte-identical to a
@@ -3700,6 +3712,28 @@ object SparkEntry {
         |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
         |SELECT id FROM s
         |WHERE id >= 250 AND id NOT IN (SELECT id FROM m)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // video stats: the near-dup oracle's sampled-luma list, reduced to
+    // the brightness envelope; geometry and duration closed-form
+    "q_video_stats" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    65 + (doc_id % 64) % 8 AS n,
+        |    CASE WHEN doc_id >= 250 THEN 37 * 36 ELSE 0 END AS pert
+        |  FROM documents),
+        |lu AS (SELECT id, n, list_transform(generate_series(0, 64), i ->
+        |    list_sum(list_transform(generate_series(0, 35), k ->
+        |      (base * 131 + ((i * n) // 65) * 31 + k * 7) % 101))
+        |    + CASE WHEN (i * n) // 65 = 0 THEN pert ELSE 0 END) AS luma
+        |  FROM g)
+        |SELECT id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * 40 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(luma) AS BIGINT) AS luma_total,
+        |  CAST(list_max(luma) AS BIGINT) AS luma_peak,
+        |  CAST(list_min(luma) AS BIGINT) AS luma_min
+        |FROM lu
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // cross-modal frame dedup: frame 0's 4x3 BGR pixels (the planted

@@ -337,9 +337,9 @@ object Video {
 
   /** Decode → exact integer stats: one row per decoded video with
     * frame geometry, duration, and the sampled-luma aggregates
-    * (total, peak, and the temporal sign-change count — scene-cut
-    * flicker proxy — via the audited [[Audio]] fold contracts; the
-    * arrays are 65 entries, far below the interpreted-HOF cliff).
+    * (total, peak, min — brightness envelope over the sampled
+    * timeline; the arrays are 65 entries, far below the
+    * interpreted-HOF cliff, so the built-in HOFs are fine here).
     */
   def videoStats(df: DataFrame, idCol: String, binCol: String,
       nSamples: Int = 65,
