@@ -254,6 +254,24 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real WAV payloads carrying the q_audio_stats synthetic stream —
+    * 256 samples at 8 kHz, s(k) = pmod(doc_id·2654435761 + k·40503,
+    * 65536) − 32768 — so the byte-level decode → segment chain is
+    * oracle-checkable (the AudioSpec "oracle fixture link" test pins
+    * that this layout decodes to exactly the expression-built
+    * samples).
+    */
+  private def syntheticWavDocs(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val samples = Array.tabulate(256)(k =>
+        (Math.floorMod(id * 2654435761L + k * 40503L, 65536L)
+          - 32768L).toInt)
+      Audio.wrapWav(samples, 0, 256, 8000)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Synthetic GeoJSON Point features derived from lineitem numerics —
     * lets the P5/P7 geometry pipeline be oracle-checked: the elevation
     * the transform extracts must equal l_tax (when non-zero) and the
@@ -1226,6 +1244,29 @@ object SparkEntry {
         classed = false)
       pcm.select(col("id") +:
         Audio.statsColumns(col("samples"), window = 64, nWindows = 4): _*)
+    }),
+
+    // audio segmentation: REAL WAV payloads sliced into fixed-width
+    // segments, each re-encoded as a standalone WAV and re-decoded —
+    // the byte-level encode -> slice -> wrap -> parse -> decode chain,
+    // reduced to per-segment exact-integer stats (closed form in the
+    // oracle). The jingle-detection composition on top of this is
+    // spec-pinned in AudioSpec
+    "q_audio_segments" -> ((s, dir) => {
+      graft.expressions.AudioExprs.register(s)
+      val segs = Audio.segmentClips(
+        syntheticWavDocs(t(s, dir, "documents")), "id", "content",
+        segmentFrames = 64)
+        .toDF().filter(col("decoded"))
+        .select((col("id") * 16 + col("segIdx")).as("sid"), col("wav"))
+      Audio.decodePcm16(segs, "sid", "wav").toDF()
+        .select(col("id").as("sid"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("nFrames").as("n_frames"),
+          aggregate(col("samples"), lit(0L), (a, x) => a + x)
+            .as("sample_sum"),
+          element_at(graft.expressions.AudioExprs.energiesNative(
+            col("samples"), lit(64), 1), 1).as("energy"))
     }),
 
     // perceptual audio near-dup: planted class streams (65 windows x
@@ -3598,6 +3639,25 @@ object SparkEntry {
         |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
         |    AND x.id < y.id)
         |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // audio segments: the same synthetic stream, segment s of doc id
+    // covers samples [s*64, s*64+64); per-segment sum and energy in
+    // exact integer arithmetic
+    "q_audio_segments" ->
+      """WITH seg AS (SELECT doc_id AS id, unnest([0, 1, 2, 3]) AS s
+        |  FROM documents),
+        |v AS (SELECT id, s, list_transform(generate_series(0, 63), j ->
+        |    ((id * 2654435761 + (s * 64 + j) * 40503) % 65536) - 32768)
+        |    AS smp
+        |  FROM seg)
+        |SELECT id * 16 + s AS sid,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(64 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(smp) AS BIGINT) AS sample_sum,
+        |  CAST(list_sum(list_transform(smp,
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
+        |FROM v
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // audio snapshot admission: the same auto-window signatures, split

@@ -152,6 +152,104 @@ object Audio {
     }
   }
 
+  /** Output row of the segmentation stage: `wav` is mono segment
+    * `segIdx` of clip `id` (frames `[segIdx·hop, segIdx·hop +
+    * segmentFrames)` after mixdown) re-encoded as a REAL standalone
+    * 16-bit PCM WAV at the source sample rate — consumable by every
+    * audio operator with no segment-specific code downstream.
+    * Undecodable payloads emit ONE marker row (`decoded = false`,
+    * empty wav, segIdx -1).
+    */
+  case class AudioSegment(id: Long, segIdx: Long, startFrame: Long,
+      wav: Array[Byte], decoded: Boolean)
+
+  /** Slice each decodable clip into fixed-width mono segments, each
+    * emitted as its own row wrapped as a standalone WAV — the audio
+    * twin of [[Video.sampleFrameImages]]: segments ride the ENTIRE
+    * audio family (stats expressions, fingerprints, the persisted
+    * signature index) downstream, so find-clips-containing-a-known-
+    * segment (jingle/intro detection — something the duration-
+    * normalized whole-clip fingerprint deliberately does NOT pair) is
+    * plain composition: [[segmentClips]] → index admission against
+    * the known segments. Segment s starts at mono frame `s·hopFrames`
+    * and spans exactly `segmentFrames`; a trailing remainder shorter
+    * than `segmentFrames` is NOT emitted (a fixed-width fingerprint
+    * over a zero-padded tail would pair unrelated clips by silence).
+    * `hopFrames < segmentFrames` yields overlapping shingles — the
+    * alignment-robust layout; the hop is the detection granularity.
+    * The wrap re-encodes the mono mixdown (not the raw channel bytes):
+    * 44-byte canonical header + LE16 samples, bit-identical to what
+    * [[decodePcm16]] would return for the slice (spec-pinned round
+    * trip). Decode is capped at `maxFrames`; frames beyond the cap
+    * yield no segments, never fabricated ones.
+    */
+  def segmentClips(df: DataFrame, idCol: String, binCol: String,
+      segmentFrames: Int, hopFrames: Int = 0,
+      maxFrames: Int = 1 << 20): Dataset[AudioSegment] = {
+    require(segmentFrames > 0, "segmentFrames must be positive")
+    require(hopFrames >= 0, "hopFrames must be >= 0 (0 = segmentFrames)")
+    val hop = if (hopFrames == 0) segmentFrames else hopFrames
+    implicit val enc = Encoders.product[AudioSegment]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          decodeSamples(r.getAs[Array[Byte]](1), maxFrames) match {
+            case Some((m, samples)) =>
+              Iterator.from(0)
+                .map(s => (s.toLong, s.toLong * hop))
+                .takeWhile { case (_, start) =>
+                  start + segmentFrames <= samples.length }
+                .map { case (s, start) =>
+                  AudioSegment(id, s, start,
+                    wrapWav(samples, start.toInt, segmentFrames,
+                      m.sampleRate), decoded = true)
+                }.toSeq
+            case None => Seq(AudioSegment(id, -1L, -1L,
+              Array.emptyByteArray, decoded = false))
+          }
+        }
+    }
+  }
+
+  /** Canonical mono 16-bit PCM WAV: 44-byte header + LE16 samples —
+    * the exact layout [[parseWav]] round-trips. `private[graft]` so
+    * oracle fixtures build payloads with the SAME writer the segment
+    * path uses.
+    */
+  private[graft] def wrapWav(samples: Array[Int], from: Int, n: Int,
+      rate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + 2 * n)
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte
+      out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag4(o: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag4(0, "RIFF"); w32(4, 36L + 2L * n); tag4(8, "WAVE")
+    tag4(12, "fmt "); w32(16, 16L)
+    w16(20, 1); w16(22, 1) // PCM, mono
+    w32(24, rate.toLong); w32(28, 2L * rate) // rate, byte rate
+    w16(32, 2); w16(34, 16) // block align, bits
+    tag4(36, "data"); w32(40, 2L * n)
+    var i = 0
+    while (i < n) {
+      val s = samples(from + i)
+      out(44 + 2 * i) = (s & 0xFF).toByte
+      out(45 + 2 * i) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
   /** The per-payload decode kernel behind [[decodePcm16]] and the
     * streaming signature UDF — identical arithmetic on both paths by
     * construction (parity is spec-pinned).

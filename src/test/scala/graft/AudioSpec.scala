@@ -483,6 +483,69 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     run(fixedDir, "stream_audio_fixed")
   }
 
+  test("segmentClips: fixed-width mono segments re-encoded as REAL " +
+      "WAVs — decodePcm16 round-trips the exact slice at the source " +
+      "rate; trailing remainder dropped; overlapping hop; honest " +
+      "marker row") {
+    val rnd = new scala.util.Random(23)
+    val samples =
+      Array.fill[Short](100)((rnd.nextInt(16001) - 8000).toShort)
+    val segs = Audio.segmentClips(
+      df(1L -> wav(samples, rate = 44100)), "id", "content",
+      segmentFrames = 40).collect().sortBy(_.segIdx)
+    assert(segs.length == 2 && segs.forall(_.decoded)) // 20-frame tail dropped
+    assert(segs.map(_.startFrame).toSeq == Seq(0L, 40L))
+    for (sg <- segs) {
+      val dec = Audio.decodePcm16(df(9L -> sg.wav), "id", "content")
+        .collect().head
+      assert(dec.decoded && dec.sampleRate == 44100 && dec.nFrames == 40L)
+      assert(dec.samples.toSeq == samples
+        .slice(sg.startFrame.toInt, sg.startFrame.toInt + 40)
+        .map(_.toInt).toSeq)
+    }
+    // overlapping shingles: hop 20 under width 40 -> starts 0,20,40,60
+    val sh = Audio.segmentClips(df(1L -> wav(samples)), "id", "content",
+      segmentFrames = 40, hopFrames = 20).collect()
+    assert(sh.map(_.startFrame).sorted.toSeq == Seq(0L, 20L, 40L, 60L))
+    // honesty: undecodable payload -> one marker row
+    val mk = Audio.segmentClips(df(2L -> "junk".getBytes("UTF-8")),
+      "id", "content", segmentFrames = 40).collect()
+    assert(mk.length == 1 && !mk.head.decoded && mk.head.segIdx == -1L
+      && mk.head.wav.isEmpty)
+  }
+
+  test("segment-level admission finds a known jingle INSIDE a longer " +
+      "clip — the composition the duration-normalized whole-clip " +
+      "fingerprint deliberately does not pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(24)
+    def noise(n: Int) =
+      Array.fill[Short](n)((rnd.nextInt(16001) - 8000).toShort)
+    val jingle = noise(65 * 16) // 1040 frames
+    val long = noise(1040) ++ jingle ++ noise(1040)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-jingle-idx").toString
+    Audio.writeAudioNearDupIndex(df(1L -> wav(jingle)), "id",
+      "content", dir)
+    val segs = Audio.segmentClips(df(7L -> wav(long)), "id", "content",
+      segmentFrames = 1040).toDF()
+      .filter(col("decoded"))
+      .select((col("id") * 100 + col("segIdx")).as("id"), col("wav"))
+    // maxDistance = 0: the drop REQUIRES the segment's re-encoded WAV
+    // to fingerprint bit-identically to the indexed jingle clip
+    val admitted = Audio.incrementalAudioNearDedup(segs, "id", "wav",
+      dir, maxDistance = 0).collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(700L, 702L),
+      s"jingle segment not dropped (or noise dropped): $admitted")
+    // the whole-clip auto-window fingerprint spans the WHOLE clip, so
+    // clip-containing-jingle does NOT pair with the jingle itself —
+    // exactly why jingle detection needs the segment layout
+    val pairs = Audio.audioNearDupPairs(
+      df(1L -> wav(jingle), 2L -> wav(long)), "id", "content")
+      .collect()
+    assert(pairs.isEmpty, pairs.mkString(","))
+  }
+
   test("oracle fixture link: a real WAV carrying the synthetic stream " +
       "decodes to exactly the expression-built samples") {
     import spark.implicits._
