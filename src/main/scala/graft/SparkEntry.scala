@@ -272,6 +272,20 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real 32×24 BMP payloads with closed-form pixels — byte k of the
+    * top-down BGR stream is `(doc_id·131 + k·7) % 101` — built with
+    * the library's own canonical encoder ([[Multimodal.buildBmp]],
+    * whose ImageIO round trip is spec-pinned), so the tile → decode →
+    * box-grid chain is oracle-checkable.
+    */
+  private def syntheticBmpDocs(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => Multimodal.buildBmp(32, 24,
+      Array.tabulate(3 * 32 * 24)(k =>
+        ((id * 131 + k * 7) % 101).toByte)))
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Synthetic GeoJSON Point features derived from lineitem numerics —
     * lets the P5/P7 geometry pipeline be oracle-checked: the elevation
     * the transform extracts must equal l_tax (when non-zero) and the
@@ -1374,6 +1388,25 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("n_frames"),
           col("duration_ms"), col("luma_total"), col("luma_peak"),
           col("luma_min"))),
+
+    // image tiling: real BMP payloads sliced into 16x12 tiles, each
+    // re-encoded as a standalone BMP and re-decoded through the exact
+    // 1x1 box grid (= floor of mean floor-luma) — the encode -> tile
+    // -> wrap -> ImageIO -> box-average chain, closed form per
+    // (doc_id, tile). Crop detection by composition on top of this is
+    // spec-pinned in MultimodalSpec
+    "q_image_tile_stats" -> ((s, dir) => {
+      val tiles = Multimodal.tileImages(
+        syntheticBmpDocs(t(s, dir, "documents")), "id", "content",
+        tileW = 16, tileH = 12)
+        .toDF().filter(col("decoded"))
+        .select((col("id") * 10 + col("tileY") * 2 + col("tileX"))
+          .as("tid"), col("image"))
+      Multimodal.luminanceGrids(tiles, "tid", "image", gw = 1, gh = 1)
+        .toDF().filter(col("decoded"))
+        .select(col("id").as("tid"),
+          col("grid")(0)(0).cast("long").as("avg_luma"))
+    }),
 
     // cross-modal: sampled video frames ride the IMAGE dedup machinery
     // with zero video-specific code downstream — frame 0 of every AVI
@@ -3794,6 +3827,28 @@ object SparkEntry {
         |  CAST(list_max(luma) AS BIGINT) AS luma_peak,
         |  CAST(list_min(luma) AS BIGINT) AS luma_min
         |FROM lu
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // image tile stats: pixel byte k = (id*131 + k*7) % 101 top-down
+    // BGR; tile (tx, ty) covers [tx*16, tx*16+16) x [ty*12, ty*12+12);
+    // per-pixel Rec.601 floor luma, tile value = floor(mean)
+    "q_image_tile_stats" ->
+      """WITH t AS (SELECT doc_id AS id, tx, ty FROM documents
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS tx)
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS ty)),
+        |v AS (SELECT id, tx, ty,
+        |    list_sum(list_transform(generate_series(0, 191), p ->
+        |      (((id * 131 + (3 * ((ty * 12 + p // 16) * 32
+        |          + tx * 16 + p % 16) + 2) * 7) % 101) * 299
+        |       + ((id * 131 + (3 * ((ty * 12 + p // 16) * 32
+        |          + tx * 16 + p % 16) + 1) * 7) % 101) * 587
+        |       + ((id * 131 + (3 * ((ty * 12 + p // 16) * 32
+        |          + tx * 16 + p % 16)) * 7) % 101) * 114)
+        |      // 1000)) AS s
+        |  FROM t)
+        |SELECT id * 10 + ty * 2 + tx AS tid,
+        |  CAST(s // 192 AS BIGINT) AS avg_luma
+        |FROM v
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // cross-modal frame dedup: frame 0's 4x3 BGR pixels (the planted

@@ -231,6 +231,124 @@ object Multimodal {
     }
   }
 
+  /** Build a canonical 24-bit uncompressed BMP from top-down row-major
+    * BGR pixels (`bgr(3·(y·width + x) + c)`, c = B,G,R): 54-byte
+    * header, rows flipped bottom-up, stride padded to 4 bytes — the
+    * decode twin of every ImageIO read in this file (specs pin the
+    * round trip) and the fixture/oracle payload builder, mirroring
+    * [[Video.buildUncompressedAvi]]'s role for containers.
+    */
+  def buildBmp(width: Int, height: Int,
+      bgr: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    require(bgr.length == 3 * width * height,
+      s"buildBmp: expected ${3 * width * height} BGR bytes, " +
+        s"got ${bgr.length}")
+    val stride = ((3 * width + 3) / 4) * 4
+    val len = stride * height
+    val out = new Array[Byte](54 + len)
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte
+      out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    w32(2, 54L + len); w32(6, 0L); w32(10, 54L)
+    w32(14, 40L); w32(18, width.toLong); w32(22, height.toLong)
+    w16(26, 1); w16(28, 24)
+    w32(30, 0L); w32(34, len.toLong)
+    w32(38, 2835L); w32(42, 2835L); w32(46, 0L); w32(50, 0L)
+    var y = 0
+    while (y < height) {
+      // row y (top-down input) lands at bottom-up position
+      System.arraycopy(bgr, 3 * width * y, out,
+        54 + stride * (height - 1 - y), 3 * width)
+      y += 1
+    }
+    out
+  }
+
+  /** Output row of the tiling stage: `image` is the tile whose
+    * top-left pixel is `(tileX · hopX, tileY · hopY)` of image `id`,
+    * re-encoded as a standalone BMP. Undecodable payloads emit ONE
+    * marker row.
+    */
+  case class ImageTile(id: Long, tileX: Int, tileY: Int,
+      image: Array[Byte], decoded: Boolean)
+
+  /** Slice each decodable image into fixed-size tiles and emit each
+    * as its own row, re-encoded as a REAL standalone BMP — the image
+    * member of the fragment-bridge family
+    * ([[Video.sampleFrameImages]] / [[Audio.segmentClips]]): tiles
+    * ride the ENTIRE image machinery downstream, so
+    * find-images-containing-known-crops is plain composition — index
+    * the known images' tiles, admit a candidate's tiles against it.
+    * Tile (tx, ty) covers pixels `[tx·hopX, tx·hopX + tileW) ×
+    * [ty·hopY, ty·hopY + tileH)`; tiles that do not fit entirely
+    * inside the image are NOT emitted (a zero-padded edge tile would
+    * pair unrelated images by the padding). `hop < tile` yields
+    * overlapping shingles — the alignment-robust layout; the hop is
+    * the detection granularity. Pixels are read through the SAME
+    * ImageIO decode every image operator uses (any supported codec
+    * in, canonical BMP out), so a tile of a PNG and the same crop
+    * saved as BMP hash identically.
+    */
+  def tileImages(df: DataFrame, idCol: String, binCol: String,
+      tileW: Int, tileH: Int, hopX: Int = 0,
+      hopY: Int = 0): Dataset[ImageTile] = {
+    require(tileW > 0 && tileH > 0, "tile dims must be positive")
+    require(hopX >= 0 && hopY >= 0, "hops must be >= 0 (0 = tile dim)")
+    val hx = if (hopX == 0) tileW else hopX
+    val hy = if (hopY == 0) tileH else hopY
+    implicit val enc = Encoders.product[ImageTile]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val decoded =
+            if (bytes == null || bytes.isEmpty) None
+            else try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+            } catch { case _: Exception => None }
+          decoded match {
+            case Some(bi) =>
+              val w = bi.getWidth
+              val h = bi.getHeight
+              for {
+                ty <- 0 to (if (h >= tileH) (h - tileH) / hy else -1)
+                tx <- 0 to (if (w >= tileW) (w - tileW) / hx else -1)
+              } yield {
+                val bgr = new Array[Byte](3 * tileW * tileH)
+                var y = 0
+                while (y < tileH) {
+                  var x = 0
+                  while (x < tileW) {
+                    val rgb = bi.getRGB(tx * hx + x, ty * hy + y)
+                    val o = 3 * (y * tileW + x)
+                    bgr(o) = (rgb & 0xFF).toByte
+                    bgr(o + 1) = ((rgb >> 8) & 0xFF).toByte
+                    bgr(o + 2) = ((rgb >> 16) & 0xFF).toByte
+                    x += 1
+                  }
+                  y += 1
+                }
+                ImageTile(id, tx, ty, buildBmp(tileW, tileH, bgr),
+                  decoded = true)
+              }
+            case None => Seq(ImageTile(id, -1, -1,
+              Array.emptyByteArray, decoded = false))
+          }
+        }
+    }
+  }
+
   /** In-JVM decode + luminance-histogram features; None when ImageIO
     * has no codec for (or chokes on) the payload.
     */

@@ -438,4 +438,111 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "id", "content", gw = 2, gh = 2).collect()(0)
     assert(g2.grid == Seq(Seq(255, 255), Seq(0, 0)))
   }
+
+  /** Double-mixed top-down BGR pixel block — unrelated `cls` values
+    * give unrelated tiles (absence assertions safe).
+    */
+  private def mixedBgr(cls: Long, w: Int, h: Int): Array[Byte] = {
+    def mix(a: Long): Long = {
+      var x = a
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    val seed = mix(cls)
+    Array.tabulate(3 * w * h)(k =>
+      ((mix(seed + k) & Long.MaxValue) % 256L).toByte)
+  }
+
+  test("tileImages: fixed-size tiles re-encoded as REAL BMPs — " +
+      "ImageIO round-trips the exact sub-region through ANY input " +
+      "codec; edge tiles that do not fit are dropped; overlapping " +
+      "hop; honest marker row") {
+    import spark.implicits._
+    val bgr = mixedBgr(3L, 32, 24)
+    val src = Multimodal.buildBmp(32, 24, bgr)
+    val tiles = Multimodal.tileImages(
+      Seq((1L, src)).toDF("id", "content"), "id", "content",
+      tileW = 16, tileH = 12).collect().sortBy(t => (t.tileY, t.tileX))
+    assert(tiles.length == 4 && tiles.forall(_.decoded))
+    assert(tiles.map(t => (t.tileX, t.tileY)).toSeq
+      == Seq((0, 0), (1, 0), (0, 1), (1, 1)))
+    for (t <- tiles) {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(t.image))
+      assert(bi.getWidth == 16 && bi.getHeight == 12)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val rgb = bi.getRGB(x, y)
+        val k = 3 * ((t.tileY * 12 + y) * 32 + (t.tileX * 16 + x))
+        assert((rgb & 0xFF) == (bgr(k) & 0xFF) &&
+          ((rgb >> 8) & 0xFF) == (bgr(k + 1) & 0xFF) &&
+          ((rgb >> 16) & 0xFF) == (bgr(k + 2) & 0xFF),
+          s"tile (${t.tileX},${t.tileY}) pixel ($x,$y) mismatched")
+      }
+    }
+    // codec-in, canonical-BMP-out: the same pixels arriving as PNG
+    // tile to byte-identical BMPs (PNG is lossless)
+    val asPng = {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(src))
+      encode(bi, "png")
+    }
+    val pngTiles = Multimodal.tileImages(
+      Seq((1L, asPng)).toDF("id", "content"), "id", "content",
+      tileW = 16, tileH = 12).collect().sortBy(t => (t.tileY, t.tileX))
+    assert(pngTiles.map(_.image.toSeq).toSeq
+      == tiles.map(_.image.toSeq).toSeq)
+    // a 20-wide image under 16-wide tiles: one column; hop 4 -> two
+    val narrow = Multimodal.buildBmp(20, 12, mixedBgr(4L, 20, 12))
+    val one = Multimodal.tileImages(
+      Seq((1L, narrow)).toDF("id", "content"), "id", "content",
+      tileW = 16, tileH = 12).collect()
+    assert(one.map(t => (t.tileX, t.tileY)).toSeq == Seq((0, 0)))
+    val two = Multimodal.tileImages(
+      Seq((1L, narrow)).toDF("id", "content"), "id", "content",
+      tileW = 16, tileH = 12, hopX = 4).collect()
+    assert(two.map(_.tileX).sorted.toSeq == Seq(0, 1))
+    // honesty: undecodable -> one marker row
+    val mk = Multimodal.tileImages(
+      Seq((2L, junk)).toDF("id", "content"), "id", "content",
+      tileW = 16, tileH = 12).collect()
+    assert(mk.length == 1 && !mk.head.decoded && mk.head.tileX == -1)
+  }
+
+  test("crop detection by composition: a candidate equal to one tile " +
+      "of an indexed image is dropped against the image's tile index; " +
+      "an unrelated candidate admits") {
+    import spark.implicits._
+    val big = Multimodal.buildBmp(64, 48, mixedBgr(7L, 64, 48))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-crop-idx").toString
+    val bigTiles = Multimodal.tileImages(
+      Seq((1L, big)).toDF("id", "content"), "id", "content",
+      tileW = 16, tileH = 12).toDF()
+      .filter(col("decoded"))
+      .select((col("id") * 100 + col("tileY") * 10 + col("tileX"))
+        .as("id"), col("image"))
+    Multimodal.writeImageNearDupIndex(bigTiles, "id", "image", dir)
+    // the crop IS tile (1, 1): pixels [16,32) x [12,24) of the big image
+    val crop = {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(big))
+      val bgr = Array.tabulate(3 * 16 * 12) { k =>
+        val p = k / 3; val c = k % 3
+        val rgb = bi.getRGB(16 + p % 16, 12 + p / 16)
+        ((rgb >> (8 * c)) & 0xFF).toByte
+      }
+      Multimodal.buildBmp(16, 12, bgr)
+    }
+    val fresh = Multimodal.buildBmp(16, 12, mixedBgr(8L, 16, 12))
+    val candTiles = Multimodal.tileImages(
+      Seq((2L, crop), (3L, fresh)).toDF("id", "content"),
+      "id", "content", tileW = 16, tileH = 12).toDF()
+      .filter(col("decoded"))
+      .select((col("id") * 100).as("id"), col("image"))
+    val admitted = Multimodal.incrementalImageNearDedup(candTiles,
+      "id", "image", dir).collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(300L),
+      s"crop not dropped / fresh not admitted: $admitted")
+  }
 }
