@@ -580,6 +580,17 @@ object Dedup {
     * contributes nothing), exact bit_count verifies, same block
     * pigeonhole and bucket caps as [[hamming64NearDupPairs]]. Returns
     * one column `b` (matched snapshot ids).
+    *
+    * Cap semantics callers must size for: the degenerate-bucket guard
+    * counts BOTH sides, so a snapshot carrying `>= maxBucket` copies
+    * of one indexed signature (needle-hunting with high expected
+    * multiplicity — the jingle/crop detection compositions) overflows
+    * the needle's own bucket and ALL its matches are dropped; the
+    * drop is observable via the `hamming64_cross` bucket metric
+    * ([[bucketStats]]), never silent, and the fix is raising
+    * `maxBucket` to the expected multiplicity. Measured at 1M in
+    * ScaleSmoke: 1000 planted copies of one indexed jingle under the
+    * default cap of 1000 → 0 found; 500 → exactly 500.
     */
   private[graft] def hamming64CrossMatches(corpusSigs: DataFrame,
       snapSigs: DataFrame, maxDistance: Int,
