@@ -176,7 +176,11 @@ object Audio {
     * than `segmentFrames` is NOT emitted (a fixed-width fingerprint
     * over a zero-padded tail would pair unrelated clips by silence).
     * `hopFrames < segmentFrames` yields overlapping shingles — the
-    * alignment-robust layout; the hop is the detection granularity.
+    * alignment-robust layout; the hop is the detection granularity,
+    * and also the output-size knob: a payload emits
+    * ~`decodedFrames / hop` rows of `2·segmentFrames` bytes each
+    * (hop = 1 re-emits the clip `segmentFrames` times over), so size
+    * the hop to the coarsest alignment the hunt tolerates.
     * The wrap re-encodes the mono mixdown (not the raw channel bytes):
     * 44-byte canonical header + LE16 samples, bit-identical to what
     * [[decodePcm16]] would return for the slice (spec-pinned round

@@ -292,8 +292,12 @@ object Multimodal {
     * [ty·hopY, ty·hopY + tileH)`; tiles that do not fit entirely
     * inside the image are NOT emitted (a zero-padded edge tile would
     * pair unrelated images by the padding). `hop < tile` yields
-    * overlapping shingles — the alignment-robust layout; the hop is
-    * the detection granularity. Pixels are read through the SAME
+    * overlapping shingles — the alignment-robust layout; the hops are
+    * the detection granularity, and also the output-size knob: a
+    * payload emits ~`(w/hopX)·(h/hopY)` tiles of `3·tileW·tileH`
+    * bytes each (the blowup is QUADRATIC in 1/hop — hopX = hopY = 1
+    * re-emits every pixel `tileW·tileH` times), so size the hops to
+    * the coarsest alignment the hunt tolerates. Pixels are read through the SAME
     * ImageIO decode every image operator uses (any supported codec
     * in, canonical BMP out), so a tile of a PNG and the same crop
     * saved as BMP hash identically.
