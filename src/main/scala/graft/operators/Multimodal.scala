@@ -438,15 +438,28 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val decoded =
-            if (bytes == null || bytes.isEmpty) None
-            else try {
-              Option(javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes)))
-            } catch { case _: Exception => None }
-          decoded match {
-            case Some(bi) =>
-              LuminanceGrid(id, boxSampleLuma(bi, gw, gh), decoded = true)
+          // canonical-BMP fast path first: [[tileImages]] /
+          // [[Video.sampleFrameImages]] admission passes decode
+          // MILLIONS of [[buildBmp]]-shaped payloads, and the direct
+          // byte walk is several times cheaper than an ImageIO
+          // round trip; arithmetic is identical (getRGB on a 24-bit
+          // BMP returns exactly these bytes — parity spec-pinned),
+          // and ANY header this library's encoder never writes falls
+          // through to ImageIO
+          val grid = canonicalBmpLuma(bytes) match {
+            case Some((w, h, luma)) =>
+              Some(boxSample(w, h, luma, gw, gh))
+            case None =>
+              val decoded =
+                if (bytes == null || bytes.isEmpty) None
+                else try {
+                  Option(javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes)))
+                } catch { case _: Exception => None }
+              decoded.map(bi => boxSampleLuma(bi, gw, gh))
+          }
+          grid match {
+            case Some(g) => LuminanceGrid(id, g, decoded = true)
             case None =>
               val md = java.security.MessageDigest.getInstance("MD5")
                 .digest(if (bytes == null) Array.emptyByteArray else bytes)
@@ -458,15 +471,58 @@ object Multimodal {
     }
   }
 
+  /** (width, height, luma accessor) for payloads carrying EXACTLY the
+    * [[buildBmp]] header shape — 'BM', offBits 54, BITMAPINFOHEADER
+    * 40, one plane, 24-bit, BI_RGB, bottom-up, full pixel array
+    * present. Anything else returns None and the caller uses ImageIO;
+    * the accessor computes the SAME integer Rec.601 luma the getRGB
+    * path does, from the same bytes.
+    */
+  private def canonicalBmpLuma(bytes: Array[Byte]):
+      Option[(Int, Int, (Int, Int) => Int)] = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def le16(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte ||
+      le32(10) != 54L || le32(14) != 40L ||
+      le16(26) != 1 || le16(28) != 24 || le32(30) != 0L) return None
+    val w = le32(18)
+    val h = le32(22) // positive = bottom-up, the only shape we write
+    if (w <= 0 || w > (1 << 20) || h <= 0 || h > (1 << 20)) return None
+    val stride = ((3L * w + 3L) / 4L) * 4L
+    if (54L + stride * h > bytes.length) return None
+    val wi = w.toInt
+    val hi = h.toInt
+    val st = stride.toInt
+    Some((wi, hi, (x: Int, y: Int) => {
+      val o = 54 + st * (hi - 1 - y) + 3 * x
+      ((bytes(o + 2) & 0xFF) * 299 + (bytes(o + 1) & 0xFF) * 587 +
+        (bytes(o) & 0xFF) * 114) / 1000
+    }))
+  }
+
   /** Exact integer box average of Rec.601 luma per grid cell: cell
     * (x, y) averages source pixels [x·w/gw, (x+1)·w/gw) ×
     * [y·h/gh, (y+1)·h/gh) (at least one pixel each — images smaller
     * than the grid repeat edge pixels via the max(1,...) span).
     */
   private def boxSampleLuma(bi: java.awt.image.BufferedImage,
+      gw: Int, gh: Int): Seq[Seq[Int]] =
+    boxSample(bi.getWidth, bi.getHeight, (x, y) => {
+      val rgb = bi.getRGB(x, y)
+      (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+        (rgb & 0xFF) * 114) / 1000
+    }, gw, gh)
+
+  /** The box-average fold over any (x, y) → luma accessor — one
+    * implementation under both the ImageIO and canonical-BMP decode
+    * paths, so fast-path parity is structural.
+    */
+  private def boxSample(w: Int, h: Int, luma: (Int, Int) => Int,
       gw: Int, gh: Int): Seq[Seq[Int]] = {
-    val w = bi.getWidth
-    val h = bi.getHeight
     Seq.tabulate(gh, gw) { (gy, gx) =>
       val x0 = gx.toLong * w / gw
       val x1 = math.max(x0 + 1, (gx + 1).toLong * w / gw)
@@ -478,9 +534,7 @@ object Multimodal {
       while (y < y1 && y < h) {
         var x = x0
         while (x < x1 && x < w) {
-          val rgb = bi.getRGB(x.toInt, y.toInt)
-          sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-            (rgb & 0xFF) * 114) / 1000
+          sum += luma(x.toInt, y.toInt)
           n += 1
           x += 1
         }

@@ -509,6 +509,36 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mk.length == 1 && !mk.head.decoded && mk.head.tileX == -1)
   }
 
+  test("canonical-BMP fast path: grids from the direct byte walk " +
+      "equal the ImageIO path bit-for-bit (PNG re-encode of the same " +
+      "pixels); non-canonical payloads fall through honestly") {
+    import spark.implicits._
+    // odd dims exercise the stride padding in the fast path's walk
+    val bgr = mixedBgr(11L, 37, 23)
+    val bmp = Multimodal.buildBmp(37, 23, bgr)
+    val png = {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bmp))
+      encode(bi, "png")
+    }
+    val g1 = Multimodal.luminanceGrids(
+      Seq((1L, bmp)).toDF("id", "content"), "id", "content")
+      .collect()(0)
+    val g2 = Multimodal.luminanceGrids(
+      Seq((1L, png)).toDF("id", "content"), "id", "content")
+      .collect()(0)
+    assert(g1.decoded && g2.decoded)
+    assert(g1.grid == g2.grid,
+      s"fast path diverged from ImageIO: ${g1.grid} vs ${g2.grid}")
+    // a payload that LOOKS like a BMP but is truncated below its own
+    // declared pixel array must not fast-path into garbage
+    val truncated = java.util.Arrays.copyOf(bmp, 60)
+    val g3 = Multimodal.luminanceGrids(
+      Seq((1L, truncated)).toDF("id", "content"), "id", "content")
+      .collect()(0)
+    assert(!g3.decoded)
+  }
+
   test("crop detection by composition: a candidate equal to one tile " +
       "of an indexed image is dropped against the image's tile index; " +
       "an unrelated candidate admits") {
