@@ -548,7 +548,7 @@ object Audio {
     */
   def incrementalAudioNearDedup(snapshot: DataFrame, idCol: String,
       binCol: String, indexPath: String, maxDistance: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, strictBuckets: Boolean = false): DataFrame = {
     graft.operators.TopK.requireIntegral(snapshot, idCol,
       "incrementalAudioNearDedup")
     val spark = snapshot.sparkSession
@@ -560,7 +560,7 @@ object Audio {
     val snapSigs = audioSigs(snapshot, idCol, binCol, window, maxFrames)
       .select(col("id"), col("sig").as("sh"))
     val matched = Dedup.hamming64CrossMatches(corpusSigs, snapSigs,
-      maxDistance, maxBucket)
+      maxDistance, maxBucket, strictBuckets)
     snapshot.join(matched, snapshot(idCol) === matched("b"),
       "left_anti")
   }
@@ -618,7 +618,7 @@ object Audio {
   def streamingAudioNearDedup(stream: DataFrame, idCol: String,
       binCol: String, tsCol: String, indexPath: String,
       lateness: String = "1 hour", maxDistance: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, strictBuckets: Boolean = false): DataFrame = {
     val spark = stream.sparkSession
     val (window, maxFrames) = parseAudioIndexParams(
       readAudioIndexParams(spark, indexPath,
@@ -632,7 +632,7 @@ object Audio {
     Dedup.hamming64StreamAdmit(withSig, streamCols,
       spark.read.parquet(
         Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
-      maxDistance, maxBucket)
+      maxDistance, maxBucket, strictBuckets)
   }
 
   // ---- RIFF chunk walk (per-payload imperative kernel) ----------------

@@ -573,56 +573,71 @@ object Dedup {
   /** Cross-side Hamming matching over 64-bit signatures: the distinct
     * ids of `snapSigs` (id, sh) within `maxDistance` of ANY signature
     * in `corpusSigs` — the admission kernel behind
-    * [[Multimodal.incrementalImageNearDedup]]. Candidate pairs are
-    * generated CROSS-SIDE ONLY (a self-join would enumerate the
-    * corpus's own near-dup pairs — at 100 TB almost all the work —
-    * only to discard them; a bucket with no snapshot member
-    * contributes nothing), exact bit_count verifies, same block
-    * pigeonhole and bucket caps as [[hamming64NearDupPairs]]. Returns
-    * one column `b` (matched snapshot ids).
+    * [[Multimodal.incrementalImageNearDedup]]. Only the CORPUS side is
+    * folded into (block, value) buckets (capped at `maxBucket`
+    * members); the snapshot side never aggregates — each snapshot
+    * signature explodes to its four 16-bit block keys, joins the
+    * bucket table (at most 4·2¹⁶ keys — tiny, broadcastable), and an
+    * `exists` over the joined member array verifies exact bit_count.
+    * Snapshot multiplicity therefore CANNOT evict a corpus needle: a
+    * million snapshot copies of one indexed jingle each check the same
+    * corpus bucket independently and all match (the pre-round-15
+    * union-fold counted both sides against the cap, and ScaleSmoke
+    * measured 1000 planted copies under cap 1000 → 0 found). A
+    * self-join would enumerate the corpus's own near-dup pairs — at
+    * 100 TB almost all the work — only to discard them; here corpus
+    * buckets with no snapshot member die in the join. Returns one
+    * column `b` (matched snapshot ids).
     *
-    * Cap semantics callers must size for: the degenerate-bucket guard
-    * counts BOTH sides, so a snapshot carrying `>= maxBucket` copies
-    * of one indexed signature (needle-hunting with high expected
-    * multiplicity — the jingle/crop detection compositions) overflows
-    * the needle's own bucket and ALL its matches are dropped; the
-    * drop is observable via the `hamming64_cross` bucket metric
-    * ([[bucketStats]]), never silent, and the fix is raising
-    * `maxBucket` to the expected multiplicity. Measured at 1M in
-    * ScaleSmoke: 1000 planted copies of one indexed jingle under the
-    * default cap of 1000 → 0 found; 500 → exactly 500.
+    * Cap semantics: only a CORPUS (block, value) bucket with more than
+    * `maxBucket` members (a degenerate near-constant signature value)
+    * is dropped whole — observable via the `hamming64_cross` bucket
+    * metric ([[bucketStats]]), and `strictBuckets = true` makes the
+    * drop fail loud instead (one extra pass over the corpus
+    * signatures — cheap, they are 8-byte reads): an admission that
+    * would silently miss matches against an over-cap needle throws,
+    * naming the count and the fix (raise `maxBucket` above the
+    * largest indexed-signature multiplicity).
     */
   private[graft] def hamming64CrossMatches(corpusSigs: DataFrame,
       snapSigs: DataFrame, maxDistance: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, strictBuckets: Boolean = false): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 3,
       s"block pigeonhole over 4 blocks covers maxDistance <= 3, " +
         s"got $maxDistance")
-    val tagged = corpusSigs
-      .select(col("id").cast("long").as("id"),
-        col("sh").cast("long").as("sh"), lit(0L).as("side"))
-      .unionByName(snapSigs.select(col("id").cast("long").as("id"),
-        col("sh").cast("long").as("sh"), lit(1L).as("side")))
-    val blocks = tagged.select(col("id"), col("sh"), col("side"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        i => call_function("shiftright", col("sh"), i * 16)
-          .bitwiseAND(0xFFFFL))))
-      .toDF("id", "sh", "side", "block", "block_val")
-    val bounded = TopK.boundedCollect[(Long, Long, Long)](maxBucket)
-    val buckets = observeBuckets(
-      blocks.groupBy(col("block"), col("block_val"))
-        .agg(bounded(col("id"), col("sh"), col("side")).as("ms")),
-      "hamming64_cross", size(col("ms")), maxBucket)
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
-    buckets
-      .select(explode(col("ms")).as("m1"), col("ms"))
-      .filter(col("m1._3") === 0L)
-      .select(col("m1"), explode(col("ms")).as("m2"))
-      .filter(col("m2._3") === 1L)
-      .select(col("m2._1").as("b"),
-        bit_count(col("m1._2").bitwiseXOR(col("m2._2"))).cast("long")
-          .as("distance"))
-      .filter(col("distance") <= maxDistance)
+    def blockKeys(sh: Column): Column =
+      transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", sh, i * 16)
+          .bitwiseAND(0xFFFFL))
+    val bounded = TopK.boundedCollect[Long](maxBucket)
+    def corpusBuckets(): DataFrame = observeBuckets(
+      corpusSigs
+        .select(col("sh").cast("long").as("__csh"),
+          posexplode(blockKeys(col("sh").cast("long"))))
+        .toDF("__csh", "__blk", "__bval")
+        .groupBy(col("__blk"), col("__bval"))
+        .agg(bounded(col("__csh")).as("__cshs")),
+      "hamming64_cross", size(col("__cshs")), maxBucket)
+    if (strictBuckets) {
+      val dropped = corpusBuckets()
+        .filter(size(col("__cshs")) > maxBucket).count()
+      require(dropped == 0L,
+        s"hamming64CrossMatches: $dropped corpus signature bucket(s) " +
+          s"exceed maxBucket=$maxBucket — every match against their " +
+          s"members would be dropped whole (a needle hunt would " +
+          s"silently miss); raise maxBucket above the largest indexed-" +
+          s"signature multiplicity, or pass strictBuckets=false to " +
+          s"accept the drop (observable via bucketStats)")
+    }
+    val kept = corpusBuckets().filter(size(col("__cshs")) <= maxBucket)
+    val snapBlocks = snapSigs
+      .select(col("id").cast("long").as("b"),
+        col("sh").cast("long").as("__sh"),
+        posexplode(blockKeys(col("sh").cast("long"))))
+      .toDF("b", "__sh", "__blk", "__bval")
+    snapBlocks.join(kept, Seq("__blk", "__bval"))
+      .filter(exists(col("__cshs"), s =>
+        bit_count(col("__sh").bitwiseXOR(s)).cast("int") <= maxDistance))
       .select(col("b")).distinct()
   }
 
@@ -650,12 +665,12 @@ object Dedup {
     */
   private[graft] def hamming64StreamAdmit(withSig: DataFrame,
       outCols: Seq[String], sigRead: DataFrame, maxDistance: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, strictBuckets: Boolean = false): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 3,
       s"block pigeonhole over 4 blocks covers maxDistance <= 3, " +
         s"got $maxDistance")
     val bounded = TopK.boundedCollect[Long](maxBucket)
-    val buckets = sigRead
+    val allBuckets = sigRead
       .select(col("sh").cast("long").as("__csh"),
         posexplode(transform(sequence(lit(0), lit(3)),
           i => call_function("shiftright", col("sh").cast("long"), i * 16)
@@ -663,7 +678,19 @@ object Dedup {
       .toDF("__csh", "__blk", "__bval")
       .groupBy(col("__blk"), col("__bval"))
       .agg(bounded(col("__csh")).as("__cshs"))
-      .filter(size(col("__cshs")) <= maxBucket)
+    if (strictBuckets) {
+      // the static side is computed once per stream start — the check
+      // is a bounded batch action at wiring time, never per-batch
+      val dropped = allBuckets
+        .filter(size(col("__cshs")) > maxBucket).count()
+      require(dropped == 0L,
+        s"hamming64StreamAdmit: $dropped corpus signature bucket(s) " +
+          s"exceed maxBucket=$maxBucket — every stream match against " +
+          s"their members would be dropped whole; raise maxBucket " +
+          s"above the largest indexed-signature multiplicity, or pass " +
+          s"strictBuckets=false to accept the drop")
+    }
+    val buckets = allBuckets.filter(size(col("__cshs")) <= maxBucket)
     var cur = withSig
     for (b <- 0 to 3) {
       val bb = buckets.filter(col("__blk") === b)

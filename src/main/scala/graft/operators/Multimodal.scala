@@ -733,10 +733,15 @@ object Multimodal {
     * as [[imageNearDupPairs]] documents. Within-snapshot near-dups
     * are out of scope — compose with [[imageNearDupPairs]] +
     * [[Dedup.nearDedup]] on the snapshot first.
+    *
+    * `strictBuckets = true` fails loud (instead of silently dropping
+    * matches) when any indexed-signature bucket exceeds `maxBucket` —
+    * the needle-hunt guard ([[Dedup.hamming64CrossMatches]]); costs
+    * one extra pass over the 8-byte index read.
     */
   def incrementalImageNearDedup(snapshot: DataFrame, idCol: String,
       binCol: String, indexPath: String, maxDistance: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, strictBuckets: Boolean = false): DataFrame = {
     graft.operators.TopK.requireIntegral(snapshot, idCol,
       "incrementalImageNearDedup")
     val spark = snapshot.sparkSession
@@ -751,7 +756,7 @@ object Multimodal {
       Dedup.indexSidePaths(spark, indexPath, "sigs"): _*)
     val snapSigs = imageSigs(snapshot, idCol, binCol, hashKind)
     val matched = Dedup.hamming64CrossMatches(corpusSigs, snapSigs,
-      maxDistance, maxBucket)
+      maxDistance, maxBucket, strictBuckets)
     snapshot.join(matched, snapshot(idCol) === matched("b"),
       "left_anti")
   }
@@ -803,7 +808,7 @@ object Multimodal {
   def streamingImageNearDedup(stream: DataFrame, idCol: String,
       binCol: String, tsCol: String, indexPath: String,
       lateness: String = "1 hour", maxDistance: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, strictBuckets: Boolean = false): DataFrame = {
     val spark = stream.sparkSession
     val persisted = readImageIndexParams(spark, indexPath,
       "streamingImageNearDedup")
@@ -822,6 +827,6 @@ object Multimodal {
     Dedup.hamming64StreamAdmit(withSig, streamCols,
       spark.read.parquet(
         Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
-      maxDistance, maxBucket)
+      maxDistance, maxBucket, strictBuckets)
   }
 }

@@ -447,7 +447,7 @@ object Video {
     */
   def incrementalVideoNearDedup(snapshot: DataFrame, idCol: String,
       binCol: String, indexPath: String, maxDistance: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, strictBuckets: Boolean = false): DataFrame = {
     graft.operators.TopK.requireIntegral(snapshot, idCol,
       "incrementalVideoNearDedup")
     val spark = snapshot.sparkSession
@@ -459,7 +459,7 @@ object Video {
     val snapSigs = videoSigs(snapshot, idCol, binCol, maxFrameBytes)
       .select(col("id"), col("sig").as("sh"))
     val matched = Dedup.hamming64CrossMatches(corpusSigs, snapSigs,
-      maxDistance, maxBucket)
+      maxDistance, maxBucket, strictBuckets)
     snapshot.join(matched, snapshot(idCol) === matched("b"),
       "left_anti")
   }
@@ -497,7 +497,7 @@ object Video {
   def streamingVideoNearDedup(stream: DataFrame, idCol: String,
       binCol: String, tsCol: String, indexPath: String,
       lateness: String = "1 hour", maxDistance: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, strictBuckets: Boolean = false): DataFrame = {
     val spark = stream.sparkSession
     val maxFrameBytes = parseVideoIndexParams(
       readVideoIndexParams(spark, indexPath,
@@ -512,7 +512,7 @@ object Video {
     Dedup.hamming64StreamAdmit(withSig, streamCols,
       spark.read.parquet(
         Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
-      maxDistance, maxBucket)
+      maxDistance, maxBucket, strictBuckets)
   }
 
   // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
@@ -648,11 +648,22 @@ object Video {
               if (tag(bytes, cp.toInt + 8) == "strl" && strf.isEmpty) {
                 var sp = cp + 12
                 val strlEnd = math.min(cp + 8 + s2, hdrlEnd)
+                // strf fields are meaningful only for the VIDEO stream:
+                // in a multi-stream AVI whose first strl is audio, its
+                // strf is a WAVEFORMATEX — reading bit_count/compression
+                // out of it would misreport codec metadata (and could
+                // spuriously refuse decode). The strh's fccType gates
+                // the strf; non-vids strls are skipped whole and the
+                // scan continues into later strls.
+                var isVids = false
                 while (sp + 8 <= strlEnd) {
                   if (sp + 8 > bytes.length) return None
                   val t3 = tag(bytes, sp.toInt)
                   val s3 = le32(bytes, sp.toInt + 4)
-                  if (t3 == "strf" && s3 >= 20) {
+                  if (t3 == "strh" && s3 >= 4) {
+                    if (sp + 8 + 4 > bytes.length) return None
+                    isVids = tag(bytes, sp.toInt + 8) == "vids"
+                  } else if (t3 == "strf" && s3 >= 20 && isVids) {
                     if (sp + 8 + 20 > bytes.length) return None
                     val o = sp.toInt + 8
                     strf = Some((le16(bytes, o + 14), le32(bytes, o + 16)))

@@ -1659,17 +1659,18 @@ object ScaleSmoke {
     // inside a larger payload (the duration-normalized audio sig and
     // the whole-image hash both deliberately normalize it away); the
     // bridge operators exist exactly for this. Plant ONE known jingle
-    // inside every 2000th of 1M clips and ONE known crop inside every
-    // 2000th of 1M images; detection = segment/tile the haystack,
+    // inside every 500th of 1M clips and ONE known crop inside every
+    // 500th of 1M images; detection = segment/tile the haystack,
     // admit against the one-entry needle index, and the dropped rows
-    // must be EXACTLY the planted containers. 500 planted copies, not
-    // 1000: every planted fragment carries the IDENTICAL signature,
-    // so the needle's (block, value) bucket holds all of them at
-    // once — at >= maxBucket (default 1000) the degenerate-bucket
-    // guard drops the whole bucket and the needle goes undetected
-    // (observable via the hamming64_cross bucket metric; a real hunt
-    // expecting >1000 copies of one needle must raise maxBucket —
-    // measured here: the first run planted 1000 and found 0).
+    // must be EXACTLY the planted containers. 2000 planted copies —
+    // DELIBERATELY above the default maxBucket of 1000: every planted
+    // fragment carries the IDENTICAL signature, and under the
+    // pre-round-15 union fold (degenerate-bucket guard counting both
+    // sides) the needle's own bucket overflowed and ALL matches were
+    // silently dropped (measured here: 1000 planted -> 0 found). The
+    // corpus-side-only fold caps only INDEXED signature buckets, so
+    // snapshot multiplicity is unbounded by construction — this run
+    // pins that at 2x the old killing threshold.
     {
       def mix(a: Long): Long = {
         var x = a
@@ -1679,7 +1680,7 @@ object ScaleSmoke {
       }
       import spark.implicits._
       val nHay = 1000000L
-      // audio: clips of 1040 mono samples; id % 2000 == 0 clips carry
+      // audio: clips of 1040 mono samples; id % 500 == 0 clips carry
       // the fixed 260-sample jingle as segment 0 (hop = width = 260)
       def jingleSample(k: Int): Int =
         (((mix(mix(-1L) + k) & Long.MaxValue) % 16001L) - 8000L).toInt
@@ -1688,7 +1689,7 @@ object ScaleSmoke {
         .mapPartitions { it =>
           it.map { id =>
             val samples = Array.tabulate(1040) { k =>
-              if (id % 2000 == 0 && k < 260) jingleSample(k)
+              if (id % 500 == 0 && k < 260) jingleSample(k)
               else (((mix(mix(id) + k) & Long.MaxValue) % 16001L)
                 - 8000L).toInt
             }
@@ -1706,26 +1707,30 @@ object ScaleSmoke {
         "content", segmentFrames = 260).toDF()
         .filter(col("decoded"))
         .select((col("id") * 4 + col("segIdx")).as("id"), col("wav"))
+      // strictBuckets passes (the one-entry index has no over-cap
+      // bucket) and the admission drops exactly the planted
+      // (id % 500 == 0, segment 0) rows — 2000 of them, 2x the cap
+      // that silently killed the pre-round-15 hunt
       val segAdm = graft.operators.Audio.incrementalAudioNearDedup(
-        segs, "id", "wav", jIdxDir)
-      // dropped = exactly the planted (id % 2000 == 0, segment 0) rows
+        segs, "id", "wav", jIdxDir, strictBuckets = true)
       val jAgg = segAdm.agg(count(lit(1)),
-        sum(when(col("id") % 8000 === 0, 1L).otherwise(0L)))
+        sum(when(col("id") % 2000 === 0, 1L).otherwise(0L)))
         .collect()(0)
       val tJingle = (System.nanoTime() - t95) / 1e9
-      require(jAgg.getLong(0) == 4L * nHay - 500L,
-        s"jingle admitted ${jAgg.getLong(0)} != ${4 * nHay - 500}")
+      require(jAgg.getLong(0) == 4L * nHay - 2000L,
+        s"jingle admitted ${jAgg.getLong(0)} != ${4 * nHay - 2000}")
       require(jAgg.getLong(1) == 0L,
         s"${jAgg.getLong(1)} planted jingle segments leaked through")
       println(f"jingleDetect: 1 indexed jingle vs $nHay%d clips " +
-        f"(${4 * nHay} segments) -> exactly 500 planted containers " +
-        f"found in $tJingle%.1f s (${nHay / tJingle}%.0f clips/s), " +
+        f"(${4 * nHay} segments) -> exactly 2000 planted containers " +
+        f"(2x the old cap) found in $tJingle%.1f s " +
+        f"(${nHay / tJingle}%.0f clips/s), " +
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
       java.nio.file.Files.walk(java.nio.file.Paths.get(jIdxDir))
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p2 => java.nio.file.Files.delete(p2))
 
-      // images: 32x24 BMPs; id % 2000 == 0 images carry the fixed
+      // images: 32x24 BMPs; id % 500 == 0 images carry the fixed
       // 16x12 crop as tile (0, 0)
       def cropByte(k: Int): Byte =
         ((mix(mix(-2L) + k) & Long.MaxValue) % 256L).toByte
@@ -1737,7 +1742,7 @@ object ScaleSmoke {
               val p = k / 3
               val x = p % 32
               val y = p / 32
-              if (id % 2000 == 0 && x < 16 && y < 12)
+              if (id % 500 == 0 && x < 16 && y < 12)
                 cropByte(3 * (y * 16 + x) + k % 3)
               else ((mix(mix(id + 7L) + k) & Long.MaxValue) % 256L).toByte
             }
@@ -1757,18 +1762,19 @@ object ScaleSmoke {
         .select((col("id") * 4 + col("tileY") * 2 + col("tileX"))
           .as("id"), col("image"))
       val tileAdm = graft.operators.Multimodal.incrementalImageNearDedup(
-        tiles, "id", "image", cIdxDir)
+        tiles, "id", "image", cIdxDir, strictBuckets = true)
       val cAgg = tileAdm.agg(count(lit(1)),
-        sum(when(col("id") % 8000 === 0, 1L).otherwise(0L)))
+        sum(when(col("id") % 2000 === 0, 1L).otherwise(0L)))
         .collect()(0)
       val tCrop = (System.nanoTime() - t96) / 1e9
-      require(cAgg.getLong(0) == 4L * nHay - 500L,
-        s"crop admitted ${cAgg.getLong(0)} != ${4 * nHay - 500}")
+      require(cAgg.getLong(0) == 4L * nHay - 2000L,
+        s"crop admitted ${cAgg.getLong(0)} != ${4 * nHay - 2000}")
       require(cAgg.getLong(1) == 0L,
         s"${cAgg.getLong(1)} planted crop tiles leaked through")
       println(f"cropDetect: 1 indexed crop vs $nHay%d images " +
-        f"(${4 * nHay} tiles) -> exactly 500 planted containers " +
-        f"found in $tCrop%.1f s (${nHay / tCrop}%.0f imgs/s), " +
+        f"(${4 * nHay} tiles) -> exactly 2000 planted containers " +
+        f"(2x the old cap) found in $tCrop%.1f s " +
+        f"(${nHay / tCrop}%.0f imgs/s), " +
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
       java.nio.file.Files.walk(java.nio.file.Paths.get(cIdxDir))
         .sorted(java.util.Comparator.reverseOrder())

@@ -251,5 +251,25 @@ class CorpusBuildSpec extends AnyFunSuite with BeforeAndAfterAll {
         nearDupThreshold = 0.7, packTokens = 64)
     }
     assert(eN.getMessage.contains("DIFFERENT parameters"), eN.getMessage)
+    // null-text rows still contribute their id to the fingerprint: a
+    // resume whose target differs ONLY in the id of a null-text row
+    // fails loudly (pre-fix: concat NULLed the whole hash term, such
+    // rows contributed nothing, and the two targets fingerprinted
+    // identically)
+    val stageDirN = java.nio.file.Files
+      .createTempDirectory("graft-build-tgt-stages-null").toString
+    def withNullRow(id: Long) =
+      ((0 until 4).map(i => (100L + i, goodDoc(i))) :+
+        (id, null.asInstanceOf[String])).toDF("id", "text")
+    CorpusBuild.buildCorpus(spark, warcDir.toString, stageDirN,
+      target = withNullRow(900L), nearDupThreshold = 0.7,
+      packTokens = 64).collect()
+    val eNull = intercept[IllegalArgumentException] {
+      CorpusBuild.buildCorpus(spark, warcDir.toString, stageDirN,
+        target = withNullRow(901L), nearDupThreshold = 0.7,
+        packTokens = 64)
+    }
+    assert(eNull.getMessage.contains("DIFFERENT parameters"),
+      eNull.getMessage)
   }
 }

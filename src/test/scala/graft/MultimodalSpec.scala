@@ -575,4 +575,72 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(admitted == Set(300L),
       s"crop not dropped / fresh not admitted: $admitted")
   }
+
+  test("admission cap semantics: snapshot multiplicity cannot evict a " +
+      "corpus needle; over-cap CORPUS buckets drop silently by default " +
+      "and strictBuckets=true fails loud") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-img-cap").toString
+    Multimodal.writeImageNearDupIndex(
+      Seq((1L, encode(patternImage(1), "png"))).toDF("id", "content"),
+      "id", "content", dir)
+    // 10 snapshot copies of the indexed needle, cap 3: the pre-round-15
+    // union fold counted both sides against the cap (bucket size 11 > 3
+    // -> ALL matches dropped, every copy wrongly admitted — the
+    // ScaleSmoke-measured 1000-copy silent miss); the corpus-side-only
+    // fold matches every copy independently
+    val twin = encode(patternImage(1), "jpg")
+    val snap = (100L until 110L).map(i => (i, twin)).toDF("id", "content")
+    val adm = Multimodal.incrementalImageNearDedup(snap, "id",
+      "content", dir, maxBucket = 3).collect().map(_.getLong(0)).toSet
+    assert(adm == Set.empty,
+      s"snapshot multiplicity evicted the corpus needle: $adm admitted")
+    // a degenerate CORPUS bucket (5 indexed copies of one signature,
+    // cap 3) is still dropped whole: the twin is wrongly admitted and
+    // nothing throws by default...
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-img-cap2").toString
+    Multimodal.writeImageNearDupIndex(
+      (1L to 5L).map(i => (i, encode(patternImage(1), "png")))
+        .toDF("id", "content"),
+      "id", "content", dir2)
+    val snap1 = Seq((100L, twin)).toDF("id", "content")
+    val silent = Multimodal.incrementalImageNearDedup(snap1, "id",
+      "content", dir2, maxBucket = 3).collect().map(_.getLong(0)).toSet
+    assert(silent == Set(100L)) // the documented silent miss
+    // ...but strictBuckets=true names the drop and the fix
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.incrementalImageNearDedup(snap1, "id", "content",
+        dir2, maxBucket = 3, strictBuckets = true).collect()
+    }
+    assert(e.getMessage.contains("exceed maxBucket=3"), e.getMessage)
+    assert(e.getMessage.contains("raise maxBucket"), e.getMessage)
+    // under a sufficient cap, strict mode passes and the twin is
+    // dropped against the multiplicity-5 needle
+    val strictOk = Multimodal.incrementalImageNearDedup(snap1, "id",
+      "content", dir2, maxBucket = 5, strictBuckets = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(strictOk == Set.empty, strictOk.toString)
+  }
+
+  test("streaming admission strictBuckets: over-cap corpus bucket " +
+      "fails loud at wiring time, before any micro-batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-img-cap-stream").toString
+    Multimodal.writeImageNearDupIndex(
+      (1L to 5L).map(i => (i, encode(patternImage(1), "png")))
+        .toDF("id", "content"),
+      "id", "content", dir)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("id", "content", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.streamingImageNearDedup(stream, "id", "content",
+        "ts", dir, maxBucket = 3, strictBuckets = true)
+    }
+    assert(e.getMessage.contains("exceed maxBucket=3"), e.getMessage)
+  }
 }

@@ -528,4 +528,100 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("luma_peak") == sums.max)
     assert(r.getAs[Long]("luma_min") == sums.min)
   }
+
+  /** Two-stream AVI with the AUDIO strl FIRST: its strf is a 20-byte
+    * WAVEFORMATEX (wBitsPerSample=16 at offset 14, nonzero bytes at
+    * 16 — exactly the fields a fccType-blind walk would misread as
+    * BITMAPINFOHEADER biBitCount/biCompression), then the vids strl,
+    * then movi interleaving one `01wb` audio chunk among the `00db`
+    * frames.
+    */
+  private def audioFirstAvi(base: Int, nFrames: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val stride = ((3 * w + 3) / 4) * 4
+    val frameBytes = stride * h
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def w16(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+    }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strhSz = 56; val strfV = 40; val strfA = 20; val avihSz = 56
+    val strlA = 4 + (8 + strhSz) + (8 + strfA)
+    val strlV = 4 + (8 + strhSz) + (8 + strfV)
+    val hdrlSz = 4 + (8 + avihSz) + (8 + strlA) + (8 + strlV)
+    val audioData = 64
+    val moviSz = 4 + (8 + audioData) + nFrames * (8 + frameBytes)
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    tag4("RIFF"); w32(riffSz); tag4("AVI ")
+    tag4("LIST"); w32(hdrlSz); tag4("hdrl")
+    tag4("avih"); w32(avihSz)
+    w32(40000L); w32(0L); w32(0L); w32(0L)
+    w32(nFrames); w32(0L); w32(2L); w32(frameBytes)
+    w32(w); w32(h); w32(0L); w32(0L); w32(0L); w32(0L)
+    // ---- stream 0: audio ----
+    tag4("LIST"); w32(strlA); tag4("strl")
+    tag4("strh"); w32(strhSz)
+    tag4("auds"); w32(1L); w32(0L); w32(0L); w32(0L)
+    w32(1L); w32(44100L); w32(0L); w32(44100L)
+    w32(2L); w32(-1L & 0xFFFFFFFFL); w32(0L)
+    w16(0); w16(0); w16(0); w16(0)
+    tag4("strf"); w32(strfA) // WAVEFORMATEX + 2 junk bytes
+    w16(1); w16(1); w32(44100L); w32(88200L); w16(2)
+    w16(16)      // wBitsPerSample at strf offset 14
+    w32(0xBEEFL) // nonzero at strf offset 16 (cbSize + junk)
+    // ---- stream 1: video ----
+    tag4("LIST"); w32(strlV); tag4("strl")
+    tag4("strh"); w32(strhSz)
+    tag4("vids"); tag4("DIB "); w32(0L); w32(0L); w32(0L)
+    w32(40000L); w32(1000000L); w32(0L); w32(nFrames)
+    w32(frameBytes); w32(-1L & 0xFFFFFFFFL); w32(0L)
+    w16(0); w16(0); w16(w); w16(h)
+    tag4("strf"); w32(strfV)
+    w32(40L); w32(w); w32(h); w16(1); w16(24)
+    w32(0L); w32(frameBytes); w32(0L); w32(0L); w32(0L); w32(0L)
+    // ---- movi: one audio chunk interleaved among the frames ----
+    tag4("LIST"); w32(moviSz); tag4("movi")
+    tag4("01wb"); w32(audioData)
+    (0 until audioData).foreach(i => bos.write(i & 0xFF))
+    (0 until nFrames).foreach { f =>
+      val fr = frame(base, f, w, h)
+      tag4("00db"); w32(frameBytes)
+      var row = h - 1
+      while (row >= 0) {
+        bos.write(fr, row * 3 * w, 3 * w)
+        var p = 3 * w
+        while (p < stride) { bos.write(0); p += 1 }
+        row -= 1
+      }
+    }
+    bos.toByteArray
+  }
+
+  test("multi-stream AVI, audio strl first: strf codec fields come " +
+      "from the VIDS stream (strh fccType gates the strf), decode " +
+      "proceeds, and audio chunks are skipped in the frame walk") {
+    val bytes = audioFirstAvi(7, 8, 4, 3)
+    val m = Video.parseAviHeader(df((1L, bytes)), "id", "content")
+      .collect().head
+    assert(m.parsed && m.streams == 2)
+    // a fccType-blind walk reads the audio WAVEFORMATEX here:
+    // bit_count=16 (wBitsPerSample), compression=0xBEEF — and the
+    // decode-eligibility gate then spuriously refuses the payload
+    assert(m.bitCount == 24, s"bit_count=${m.bitCount}")
+    assert(m.compression == 0L, s"compression=${m.compression}")
+    // the sampled-luma decode works and matches the single-stream
+    // encoding of the SAME frames (audio chunk skipped by tag)
+    val single = avi(7, 8, 4, 3)
+    val sigs = Video.videoSigs(
+      df((1L, bytes), (2L, single)), "id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet == Set(1L, 2L), sigs.toString)
+    assert(sigs(1L) == sigs(2L),
+      s"two-stream and single-stream fingerprints differ: $sigs")
+  }
 }
