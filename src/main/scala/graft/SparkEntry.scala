@@ -254,6 +254,37 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real MJPEG AVI payloads: 5 + base%4 flat-gray 16×16 frames, each
+    * JPEG-encoded by ImageIO and wrapped by the library's own MJPEG
+    * encoder ([[Video.buildMjpegAvi]]) — the compressed-codec twin of
+    * [[syntheticAviClassed]]. Flat frames decode flat (DC-only
+    * blocks), so `decoded` and the frame/duration metadata are exact
+    * closed forms of doc_id even though the pixel VALUES go through a
+    * real lossy JPEG round trip.
+    */
+  private def syntheticMjpegClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 5 + base % 4
+      val frames = (0 until n).map { f =>
+        val gray = 16 + 16 * ((base * 7 + f * 3) % 11)
+        val bi = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = bi.createGraphics()
+        try {
+          g.setColor(new java.awt.Color(gray, gray, gray))
+          g.fillRect(0, 0, 16, 16)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(bi, "jpg", out)
+        out.toByteArray
+      }
+      Video.buildMjpegAvi(16, 16, frames, 40000L)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real WAV payloads carrying the q_audio_stats synthetic stream —
     * 256 samples at 8 kHz, s(k) = pmod(doc_id·2654435761 + k·40503,
     * 65536) − 32768 — so the byte-level decode → segment chain is
@@ -1375,6 +1406,30 @@ object SparkEntry {
         maxDistance = 3, maxBucket = 1000)
       snap.select(col("id"))
         .join(matched, snap("id") === matched("b"), "left_anti")
+    }),
+
+    // MJPEG (compressed-codec) video: container metadata AND the
+    // decode outcome through the REAL JVM JPEG codec. The per-pixel
+    // luma sums are DCT output — not closed-form replicable in SQL
+    // (the q_bm25 honesty pattern: say so, don't fake it) — but
+    // `decoded`, the frame count, and the duration ARE exact closed
+    // forms of doc_id, and decoded=true can only come from every
+    // sampled 00dc chunk really decoding to a 16x16 JPEG; bit-level
+    // pixel parity vs direct ImageIO decode is pinned in VideoSpec
+    "q_video_mjpeg" -> ((s, dir) => {
+      val vids = syntheticMjpegClassed(t(s, dir, "documents"))
+      val meta = Video.videoMetaScan(vids, "id", "content")
+        .select(col("id"), col("micros_per_frame"),
+          col("total_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bit_count").cast("long").as("bit_count"),
+          col("compression"))
+      val dec = Video.decodeSampledLuma(vids, "id", "content").toDF()
+        .select(col("id"), col("decoded"),
+          col("nFrames").as("decoded_frames"),
+          col("durationMs").as("duration_ms"))
+      meta.join(dec, Seq("id"))
     }),
 
     // video decode stats: frame geometry, floor-millis duration, and
@@ -3741,6 +3796,25 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS streams, CAST(24 AS BIGINT) AS bit_count,
         |  CAST(0 AS BIGINT) AS compression,
         |  CAST((65 + (doc_id % 64) % 8) * 40 AS BIGINT) AS duration_ms
+        |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // MJPEG: metadata + decode outcome are closed forms; 1196444237 =
+    // 0x47504A4D = LE "MJPG". decoded=true is the REAL-decode claim
+    // (any sampled chunk failing the JVM JPEG codec or lying about
+    // dimensions flips it to a dropped row) — pixel VALUES are DCT
+    // output and deliberately not replicated here (VideoSpec pins
+    // them bit-exactly against direct ImageIO decode)
+    "q_video_mjpeg" ->
+      """SELECT doc_id AS id,
+        |  CAST(40000 AS BIGINT) AS micros_per_frame,
+        |  CAST(5 + (doc_id % 64) % 4 AS BIGINT) AS total_frames,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS bit_count,
+        |  CAST(1196444237 AS BIGINT) AS compression,
+        |  TRUE AS decoded,
+        |  CAST(5 + (doc_id % 64) % 4 AS BIGINT) AS decoded_frames,
+        |  CAST((5 + (doc_id % 64) % 4) * 40 AS BIGINT) AS duration_ms
         |FROM documents
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -20,12 +20,16 @@ import org.apache.spark.sql.functions._
   * decode / frame-sample"). Container: AVI is RIFF — the same chunk
   * grammar [[Audio.parseWavHeader]] walks — with nested LIST chunks
   * (`hdrl` carries the `avih` main header, `movi` carries `00db`/
-  * `00dc` frame chunks). Codec support is deliberately the
-  * deterministic core: uncompressed BGR24 DIB frames (`00db`,
-  * BI_RGB) decode exactly; compressed frames (`00dc` or a non-zero
-  * `biCompression`) are honestly `decoded = false` — fabricating
-  * pixel statistics from undecoded codecs is the failure mode the
-  * image path's md5-pseudo-grid contract exists to avoid.
+  * `00dc` frame chunks). Codec support is what the JVM can decode
+  * honestly: uncompressed BGR24 DIB frames (`00db`, BI_RGB) via an
+  * exact byte walk, and MJPEG (`biCompression = 'MJPG'`, each `00dc`
+  * chunk one standalone JPEG — the dominant compressed codec in
+  * archival/scientific AVI corpora) via the JVM's own JPEG decoder,
+  * touching only the ≤ 65 SAMPLED frames. Codecs beyond those
+  * (Cinepak, DV, H.26x needing native libs) are honestly
+  * `decoded = false` — fabricating pixel statistics from undecoded
+  * codecs is the failure mode the image path's md5-pseudo-grid
+  * contract exists to avoid.
   *
   * Design for 100 TB:
   *  - header parse reads only the chunk table (and stops at `movi`),
@@ -233,15 +237,19 @@ object Video {
 
   /** The sampled-frame walk: (width, height, distinct (frameIdx, bmp))
     * — [[decodeLuma]]'s two passes, capturing bytes instead of
-    * folding luma.
+    * folding luma. Raw BGR24 frames are wrapped header-only (zero
+    * re-encode); MJPEG frames decode through the JVM JPEG codec and
+    * re-encode as the SAME canonical BMP shape ([[Multimodal.buildBmp]]),
+    * so downstream image operators see one payload format either way.
     */
   private def sampledFrameBmps(bytes: Array[Byte], nSamples: Int,
       maxFrameBytes: Int): Option[(Int, Int, Seq[(Long, Array[Byte])])] = {
     val meta = parseAvi(bytes).getOrElse(return None)
-    if (meta.compression != 0L || meta.bitCount != 24) return None
+    val codec = codecOf(meta).getOrElse(return None)
     val stride = ((3L * meta.width + 3L) / 4L) * 4L
     val frameBytes = stride * meta.height
-    if (frameBytes <= 0 || frameBytes > maxFrameBytes) return None
+    if (codec == RawBgr24 &&
+      (frameBytes <= 0 || frameBytes > maxFrameBytes)) return None
     val moviDataStart = meta.moviOffset + 12
     val moviEnd = math.min(meta.moviOffset + 8 + meta.moviLen,
       bytes.length.toLong)
@@ -265,10 +273,36 @@ object Video {
       val sz = le32(bytes, pos.toInt + 4)
       if (isFrameTag(t)) {
         if (next < nSamples && idx(next) == fi) {
-          if (t != "00db" || sz != frameBytes ||
-            pos + 8 + frameBytes > moviEnd) return None
-          out += ((fi, wrapBmp(bytes, (pos + 8).toInt,
-            frameBytes.toInt, meta.width.toInt, meta.height.toInt)))
+          val bmp = codec match {
+            case RawBgr24 =>
+              if (t != "00db" || sz != frameBytes ||
+                pos + 8 + frameBytes > moviEnd) return None
+              wrapBmp(bytes, (pos + 8).toInt, frameBytes.toInt,
+                meta.width.toInt, meta.height.toInt)
+            case Mjpeg =>
+              if (t != "00dc" || sz > maxFrameBytes ||
+                pos + 8 + sz > moviEnd) return None
+              val bi = jpegFrame(bytes, (pos + 8).toInt, sz.toInt,
+                meta.width, meta.height).getOrElse(return None)
+              val w = meta.width.toInt
+              val h = meta.height.toInt
+              val bgr = new Array[Byte](3 * w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = bi.getRGB(x, y)
+                  val o = 3 * (y * w + x)
+                  bgr(o) = (rgb & 0xFF).toByte
+                  bgr(o + 1) = ((rgb >> 8) & 0xFF).toByte
+                  bgr(o + 2) = ((rgb >> 16) & 0xFF).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              Multimodal.buildBmp(w, h, bgr)
+          }
+          out += ((fi, bmp))
           // a frame repeated by short-video sampling is emitted ONCE
           while (next < nSamples && idx(next) == fi) next += 1
         }
@@ -579,7 +613,69 @@ object Video {
     bos.toByteArray
   }
 
+  /** Build an MJPEG AVI: the same RIFF skeleton as
+    * [[buildUncompressedAvi]] but `strf.biCompression = 'MJPG'` and
+    * each frame a `00dc` chunk carrying one COMPLETE standalone JPEG
+    * (the Motion-JPEG-in-AVI convention: no inter-frame state, every
+    * frame independently decodable). `jpegFrames(i)` must already be
+    * encoded JPEG bytes (odd-sized frames get the RIFF pad byte).
+    * The encode twin of the MJPEG branch of [[decodeSampledLuma]] /
+    * [[sampleFrameImages]] — and the fixture/smoke builder for the
+    * compressed-codec path.
+    */
+  def buildMjpegAvi(width: Int, height: Int,
+      jpegFrames: Seq[Array[Byte]], microsPerFrame: Long): Array[Byte] = {
+    require(width > 0 && height > 0, "width/height must be positive")
+    require(jpegFrames.forall(f => f != null && f.length >= 4 &&
+      (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8),
+      "every frame must be standalone JPEG bytes (FFD8 SOI)")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def w16(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+    }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strfSz = 40
+    val strhSz = 56
+    val strlSz = 4 + (8 + strhSz) + (8 + strfSz)
+    val avihSz = 56
+    val padded = jpegFrames.map(f => f.length + (f.length & 1))
+    val moviSz = 4 + padded.map(8 + _).sum
+    val hdrlSz = 4 + (8 + avihSz) + (8 + strlSz)
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    val maxFrame = (padded :+ 0).max.toLong
+    tag4("RIFF"); w32(riffSz); tag4("AVI ")
+    tag4("LIST"); w32(hdrlSz); tag4("hdrl")
+    tag4("avih"); w32(avihSz)
+    w32(microsPerFrame); w32(0L); w32(0L); w32(0L)
+    w32(jpegFrames.length); w32(0L); w32(1L); w32(maxFrame)
+    w32(width); w32(height); w32(0L); w32(0L); w32(0L); w32(0L)
+    tag4("LIST"); w32(strlSz); tag4("strl")
+    tag4("strh"); w32(strhSz)
+    tag4("vids"); tag4("MJPG"); w32(0L); w32(0L); w32(0L)
+    w32(microsPerFrame); w32(1000000L); w32(0L); w32(jpegFrames.length)
+    w32(maxFrame); w32(-1L & 0xFFFFFFFFL); w32(0L)
+    w16(0); w16(0); w16(width); w16(height)
+    tag4("strf"); w32(strfSz)
+    w32(40L); w32(width); w32(height); w16(1); w16(24)
+    w32(MjpgFourcc); w32(maxFrame); w32(0L); w32(0L); w32(0L); w32(0L)
+    tag4("LIST"); w32(moviSz); tag4("movi")
+    jpegFrames.foreach { f =>
+      tag4("00dc"); w32(f.length.toLong)
+      bos.write(f, 0, f.length)
+      if ((f.length & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
   // ---- imperative internals (the mapPartitions payload walkers) ------
+
+  /** `strf.biCompression` of Motion JPEG: little-endian "MJPG". */
+  private[graft] val MjpgFourcc = 0x47504A4DL
 
   private final case class ParsedAvi(microsPerFrame: Long,
       totalFrames: Long, width: Int, height: Int, streams: Int,
@@ -689,19 +785,74 @@ object Video {
     }
   }
 
+  /** Codec of a parsed container this library can decode: BI_RGB
+    * 24-bit DIB frames (exact byte walk) or MJPEG (`00dc` chunks =
+    * one standalone JPEG per frame, decoded via the JVM's own JPEG
+    * codec — the dominant compressed format in archival AVI corpora).
+    * Anything else (Cinepak, DV, H.26x, …) returns None and the
+    * payload is honestly `decoded = false` — fabricating pixel
+    * statistics from an undecoded codec is the failure mode the
+    * image path's md5-pseudo-grid contract exists to avoid.
+    */
+  private sealed trait Codec
+  private case object RawBgr24 extends Codec
+  private case object Mjpeg extends Codec
+
+  private def codecOf(meta: ParsedAvi): Option[Codec] =
+    if (meta.compression == 0L && meta.bitCount == 24) Some(RawBgr24)
+    else if (meta.compression == MjpgFourcc) Some(Mjpeg)
+    else None
+
+  /** Decode one `00dc` MJPEG frame slice to a BufferedImage; None on
+    * malformed JPEG bytes or a frame whose decoded dimensions differ
+    * from the container's declared ones (a lying header must fail the
+    * payload, not silently skew per-frame statistics).
+    */
+  private def jpegFrame(bytes: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Option[java.awt.image.BufferedImage] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len)))
+        .filter(bi => bi.getWidth == w && bi.getHeight == h)
+    } catch { case _: Exception => None }
+
+  /** Σ(r+g+b) over every pixel — the MJPEG twin of the raw-path BGR
+    * byte sum (identical definition: three channel bytes per pixel,
+    * stride padding excluded by construction here).
+    */
+  private def lumaSumOf(bi: java.awt.image.BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < bi.getHeight) {
+      var x = 0
+      while (x < bi.getWidth) {
+        val rgb = bi.getRGB(x, y)
+        s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
   /** Two-pass sampled-frame luma decode (see [[decodeSampledLuma]]).
     * Frame chunks are `00db`/`00dc` (stream 0). A sampled frame
-    * decodes only when it is `00db`, BI_RGB 24-bit, and exactly
-    * `stride·height` bytes — anything else fails the payload
-    * honestly. Unsampled frame CONTENT is skipped by declared size.
+    * decodes when it matches the container's codec: BI_RGB 24-bit →
+    * `00db` of exactly `stride·height` bytes (raw byte walk); MJPEG →
+    * `00dc` carrying one standalone JPEG of the declared dimensions
+    * (ImageIO decode, Σ(r+g+b) — the same per-pixel sum). Anything
+    * else fails the payload honestly. Unsampled frame CONTENT is
+    * skipped by declared size on both paths — an MJPEG sampled decode
+    * touches only ≤ `nSamples` JPEGs regardless of duration.
     */
   private def decodeLuma(id: Long, bytes: Array[Byte], nSamples: Int,
       maxFrameBytes: Int): Option[VideoLuma] = {
     val meta = parseAvi(bytes).getOrElse(return None)
-    if (meta.compression != 0L || meta.bitCount != 24) return None
+    val codec = codecOf(meta).getOrElse(return None)
     val stride = ((3L * meta.width + 3L) / 4L) * 4L
     val frameBytes = stride * meta.height
-    if (frameBytes <= 0 || frameBytes > maxFrameBytes) return None
+    if (codec == RawBgr24 &&
+      (frameBytes <= 0 || frameBytes > maxFrameBytes)) return None
     val moviDataStart = meta.moviOffset + 12
     val moviEnd = math.min(meta.moviOffset + 8 + meta.moviLen,
       bytes.length.toLong)
@@ -727,16 +878,25 @@ object Video {
       val sz = le32(bytes, pos.toInt + 4)
       if (isFrameTag(t)) {
         if (next < nSamples && idx(next) == fi) {
-          if (t != "00db" || sz != frameBytes ||
-            pos + 8 + frameBytes > moviEnd) return None
-          var s = 0L
-          var row = 0
-          while (row < meta.height) { // pad bytes excluded from luma
-            val rowStart = (pos + 8 + row * stride).toInt
-            var p = rowStart
-            val rowEnd = rowStart + 3 * meta.width
-            while (p < rowEnd) { s += (bytes(p) & 0xFF); p += 1 }
-            row += 1
+          val s = codec match {
+            case RawBgr24 =>
+              if (t != "00db" || sz != frameBytes ||
+                pos + 8 + frameBytes > moviEnd) return None
+              var acc = 0L
+              var row = 0
+              while (row < meta.height) { // pad bytes excluded
+                val rowStart = (pos + 8 + row * stride).toInt
+                var p = rowStart
+                val rowEnd = rowStart + 3 * meta.width
+                while (p < rowEnd) { acc += (bytes(p) & 0xFF); p += 1 }
+                row += 1
+              }
+              acc
+            case Mjpeg =>
+              if (t != "00dc" || sz > maxFrameBytes ||
+                pos + 8 + sz > moviEnd) return None
+              lumaSumOf(jpegFrame(bytes, (pos + 8).toInt, sz.toInt,
+                meta.width, meta.height).getOrElse(return None))
           }
           while (next < nSamples && idx(next) == fi) {
             sums(next) = s; next += 1

@@ -1620,6 +1620,105 @@ object ScaleSmoke {
         .forEach(p2 => java.nio.file.Files.delete(p2))
     }
 
+    // --- MJPEG (compressed codec) video near-dup at scale: every
+    // frame a REAL standalone JPEG decoded through the JVM codec.
+    // Clips are 66..73 flat-gray 16x16 frames (>= 65, so all 64
+    // gradient bits are real frame comparisons — shorter clips repeat
+    // frames and collapse the signature space); gray levels walk a
+    // 16-step grid (13 levels), so the lossy DC round trip preserves
+    // per-frame luma ORDER exactly (flat frames decode flat, DC quant
+    // error < half a step). Classes of two: odd id = the SAME grays
+    // +32 bias — a monotone shift, so fingerprints are bit-identical
+    // (distance 0) even though the JPEG BYTES differ. Fixture JPEG
+    // encodes are memoized per gray level (29 distinct flat frames in
+    // total — synthesis stays cheap; the 65-sampled-frame DECODE per
+    // clip is the thing under measure).
+    {
+      val nMj = (args.drop(1).headOption.map(_.toInt)
+        .getOrElse(1000000)) / 4
+      import spark.implicits._
+      val t97 = System.nanoTime()
+      val mjVids = spark.range(0L, nMj).repartition(64)
+        .mapPartitions { it =>
+          def mix(a: Long): Long = {
+            var x = a
+            x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+            x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+            x ^= x >>> 33; x
+          }
+          val jpegCache =
+            scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+          def flat(gray: Int): Array[Byte] =
+            jpegCache.getOrElseUpdate(gray, {
+              val bi = new java.awt.image.BufferedImage(
+                16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = bi.createGraphics()
+              try {
+                g.setColor(new java.awt.Color(gray, gray, gray))
+                g.fillRect(0, 0, 16, 16)
+              } finally g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(bi, "jpg", out)
+              out.toByteArray
+            })
+          it.map { id =>
+            val idL: Long = id
+            val cls = idL / 2
+            val bias = if (idL % 2 == 1) 32 else 0
+            val n = 66 + (cls % 8).toInt
+            val seed = mix(cls + 0x51AFD7ED5L)
+            val frames = (0 until n).map { f =>
+              val g = 16 + 16 * ((mix(seed + f) & Long.MaxValue) % 13L)
+                .toInt
+              flat(g + bias)
+            }
+            (idL, graft.operators.Video.buildMjpegAvi(16, 16, frames,
+              40000L))
+          }
+        }.toDF("id", "content")
+      val mjPairs = graft.operators.Video.videoNearDupPairs(
+        mjVids, "id", "content")
+      val mjAgg = mjPairs.agg(count(lit(1)), max(col("distance")),
+        sum(col("b") - col("a"))).collect()(0)
+      val tMj = (System.nanoTime() - t97) / 1e9
+      require(mjAgg.getLong(0) == nMj / 2L,
+        s"mjpegNearDup pairs ${mjAgg.getLong(0)} != ${nMj / 2}")
+      require(mjAgg.getLong(1) == 0L,
+        s"mjpegNearDup max distance ${mjAgg.getLong(1)} != 0")
+      require(mjAgg.getLong(2) == nMj / 2L,
+        s"mjpegNearDup pair structure: sum(b-a)=${mjAgg.getLong(2)}")
+      val rtM = Runtime.getRuntime
+      println(f"mjpegNearDup: $nMj%d MJPEG avis (~70 real JPEG frames " +
+        f"each, 65 sampled-decoded through the JVM codec), " +
+        f"${nMj / 2} planted bias-twin pairs found exactly in " +
+        f"$tMj%.1f s (${nMj / tMj}%.0f vids/s), " +
+        f"heapUsed=${(rtM.totalMemory - rtM.freeMemory) / 1e6}%.0f MB")
+      // header-only pass: the walk never touches JPEG bytes; every
+      // container must report the MJPG fourcc and the closed-form
+      // frame total
+      val t98 = System.nanoTime()
+      val mjMeta = graft.operators.Video.videoMetaScan(
+        mjVids, "id", "content")
+        .agg(count(lit(1)), sum(col("total_frames")),
+          min(col("compression")), max(col("compression")),
+          min(col("parsed").cast("int"))).collect()(0)
+      val tMjm = (System.nanoTime() - t98) / 1e9
+      val expMjFrames = {
+        var t = 0L; var c = 0L
+        while (c < nMj / 2L) { t += 2L * (66L + c % 8L); c += 1L }
+        t
+      }
+      require(mjMeta.getLong(0) == nMj.toLong &&
+        mjMeta.getLong(1) == expMjFrames &&
+        mjMeta.getLong(2) == 0x47504A4DL &&
+        mjMeta.getLong(3) == 0x47504A4DL &&
+        mjMeta.getInt(4) == 1,
+        s"mjpegMeta: $mjMeta (expected frames $expMjFrames)")
+      println(f"mjpegMeta: $nMj%d MJPEG containers header-walked in " +
+        f"$tMjm%.1f s (${nMj / tMjm}%.0f vids/s), all MJPG fourcc, " +
+        f"heapUsed=${(rtM.totalMemory - rtM.freeMemory) / 1e6}%.0f MB")
+    }
+
     // --- approxGroupedRankBuckets at 100k groups: the crawl-scale
     // rank-cut engine with a closed-form planted answer. 100k domains
     // x 10 docs, scores 0..9 within each; 16 bins over [0, 10] give

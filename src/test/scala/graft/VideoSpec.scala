@@ -624,4 +624,129 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sigs(1L) == sigs(2L),
       s"two-stream and single-stream fingerprints differ: $sigs")
   }
+
+  // ---- MJPEG ---------------------------------------------------------
+
+  /** Flat-gray w×h frame JPEG-encoded by ImageIO — flat frames decode
+    * flat (DC-only blocks), so per-frame luma ORDER survives the lossy
+    * round trip when gray levels step by ≥ 8.
+    */
+  private def flatJpeg(gray: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = bi.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, w, h)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Gray level of frame f in MJPEG stream `base`: a base-keyed
+    * permutation ramp in steps of 16 — distinct bases give distinct
+    * up/down gradient patterns, and a bias shift preserves them.
+    */
+  private def mjpegGray(base: Int, f: Int): Int =
+    16 + 16 * (((base * 7 + f * 3) % 11) % 12)
+
+  private def mjpegAvi(base: Int, nFrames: Int, bias: Int = 0,
+      w: Int = 16, h: Int = 16): Array[Byte] =
+    Video.buildMjpegAvi(w, h,
+      (0 until nFrames).map(f =>
+        flatJpeg(math.min(255, mjpegGray(base, f) + bias), w, h)),
+      40000L)
+
+  test("MJPEG round trip: metadata reports the MJPG fourcc, sampled " +
+      "decode goes through the REAL JVM JPEG codec, and luma sums " +
+      "equal the direct ImageIO decode of the same frame bytes") {
+    val nFrames = 9
+    val bytes = mjpegAvi(3, nFrames)
+    val m = Video.parseAviHeader(df((1L, bytes)), "id", "content")
+      .collect().head
+    assert(m.parsed && m.bitCount == 24)
+    assert(m.compression == 0x47504A4DL, s"compression=${m.compression}")
+    assert(m.totalFrames == nFrames && m.width == 16 && m.height == 16)
+    val v = Video.decodeSampledLuma(df((1L, bytes)), "id", "content",
+      nSamples = nFrames).collect().head
+    assert(v.decoded && v.nFrames == nFrames)
+    // expected: decode each frame's OWN jpeg bytes directly and sum
+    // r+g+b — bit-identical to the library's walk by construction
+    val expect = (0 until nFrames).map { f =>
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(flatJpeg(mjpegGray(3, f))))
+      var s = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val rgb = bi.getRGB(x, y)
+        s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+      }
+      s
+    }
+    assert(v.lumaSums == expect, s"${v.lumaSums} vs $expect")
+  }
+
+  test("MJPEG honesty: garbage frame bytes, dimension-lying frames, " +
+      "truncation, and oversized frames are decoded=false; the cost " +
+      "cap applies to the COMPRESSED chunk size") {
+    val good = mjpegAvi(5, 6)
+    // garbage in the FIRST frame chunk body (always sampled)
+    val garbage = good.clone()
+    val movi = indexOfTag(good, "movi")
+    val firstFrame = indexOfTag(good, "00dc")
+    (firstFrame + 8 until firstFrame + 16).foreach(i =>
+      garbage(i) = 0x55.toByte)
+    // a frame whose JPEG decodes to the WRONG dimensions
+    val lying = Video.buildMjpegAvi(16, 16,
+      Seq(flatJpeg(64), flatJpeg(64, w = 8, h = 8)), 40000L)
+    // movi truncated mid-frame
+    val truncated = java.util.Arrays.copyOf(good, good.length - 40)
+    val rows = Video.decodeSampledLuma(
+      df((1L, garbage), (2L, lying), (3L, truncated)),
+      "id", "content", nSamples = 6).collect()
+    assert(rows.forall(!_.decoded), rows.mkString(","))
+    // oversized: the cap is on compressed chunk bytes
+    val tiny = Video.decodeSampledLuma(df((1L, good)), "id", "content",
+      nSamples = 6, maxFrameBytes = 64).collect().head
+    assert(!tiny.decoded)
+    assert(Video.decodeSampledLuma(df((1L, good)), "id", "content",
+      nSamples = 6).collect().head.decoded)
+    assert(movi > 0) // fixture sanity
+  }
+
+  test("MJPEG near-dup: bias twins pair through the temporal " +
+      "fingerprint (lossy decode preserves flat-frame luma order), " +
+      "distinct gradient patterns do not") {
+    val rows = df(
+      (1L, mjpegAvi(3, 70)), (2L, mjpegAvi(3, 70, bias = 24)),
+      (3L, mjpegAvi(4, 70)), (4L, mjpegAvi(4, 70, bias = 24)),
+      (5L, mjpegAvi(5, 70)))
+    val pairs = Video.videoNearDupPairs(rows, "id", "content",
+      maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), pairs.toString)
+  }
+
+  test("MJPEG sampled frames ride the image family: sampleFrameImages " +
+      "re-encodes JPEG frames as canonical BMPs, pixel-identical to a " +
+      "direct ImageIO decode of the frame") {
+    val bytes = mjpegAvi(7, 4)
+    val frames = Video.sampleFrameImages(df((1L, bytes)), "id",
+      "content", nSamples = 4).collect()
+    assert(frames.length == 4 && frames.forall(_.decoded))
+    val f0 = frames.find(_.frameIdx == 0L).get
+    val viaBmp = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f0.image))
+    val direct = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(flatJpeg(mjpegGray(7, 0))))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((viaBmp.getRGB(x, y) & 0xFFFFFF) ==
+        (direct.getRGB(x, y) & 0xFFFFFF), s"pixel ($x,$y)")
+    // and the BMPs are the canonical shape every image operator
+    // (incl. the fast-path grid) consumes
+    val grids = graft.operators.Multimodal.luminanceGrids(
+      df(frames.map(f => (f.frameIdx, f.image)): _*),
+      "id", "content").collect()
+    assert(grids.forall(_.decoded))
+  }
 }
