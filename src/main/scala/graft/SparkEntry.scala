@@ -303,6 +303,50 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real mono IMA ADPCM WAV payloads (format 0x11, 4-bit) built from
+    * CLOSED-FORM block headers and nibbles — not the encoder — so the
+    * oracle replicates only the DECODE: block b of doc d starts at
+    * predictor `((d·31 + b·17) % 1024) − 512` with step index
+    * `(d + 3b) % 89`, and nibble k is `(d·7 + b·13 + k·5) % 16`.
+    * Two 12-byte blocks (16 nibbles each) → 34 samples per doc
+    * through the real chunk walk + predictor/step-table decode.
+    */
+  private def syntheticAdpcmDocs(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val blockAlign = 12
+      val spb = (blockAlign - 4) * 2 + 1 // 17
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt)
+        bos.write(((v >> 24) & 0xFF).toInt)
+      }
+      def w16(v: Int): Unit = {
+        bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      }
+      def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      tag4("RIFF"); w32(4L + 28 + 8 + 2 * blockAlign); tag4("WAVE")
+      tag4("fmt "); w32(20L)
+      w16(0x11); w16(1); w32(8000L); w32(8000L * blockAlign / spb)
+      w16(blockAlign); w16(4); w16(2); w16(spb)
+      tag4("data"); w32(2L * blockAlign)
+      (0 until 2).foreach { b =>
+        val pred0 = (Math.floorMod(id * 31 + b * 17, 1024L) - 512L).toInt
+        val idx0 = Math.floorMod(id + 3L * b, 89L).toInt
+        w16(pred0 & 0xFFFF); bos.write(idx0); bos.write(0)
+        (0 until 8).foreach { j =>
+          val lo = Math.floorMod(id * 7 + b * 13 + (2 * j) * 5, 16L).toInt
+          val hi = Math.floorMod(id * 7 + b * 13 + (2 * j + 1) * 5, 16L)
+            .toInt
+          bos.write(lo | (hi << 4))
+        }
+      }
+      bos.toByteArray
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real 32×24 BMP payloads with closed-form pixels — byte k of the
     * top-down BGR stream is `(doc_id·131 + k·7) % 101` — built with
     * the library's own canonical encoder ([[Multimodal.buildBmp]],
@@ -1290,6 +1334,15 @@ object SparkEntry {
       pcm.select(col("id") +:
         Audio.statsColumns(col("samples"), window = 64, nWindows = 4): _*)
     }),
+
+    // IMA ADPCM (compressed WAV, format 0x11): the REAL decode chain —
+    // RIFF walk, block headers, the published predictor/step tables —
+    // over closed-form payloads; the oracle replays the predictor
+    // recurrence in a recursive CTE (the codec is pure {+,>>,clamp}
+    // integer math, bit-replicable) and aggregates the same stats
+    "q_audio_adpcm" -> ((s, dir) =>
+      Audio.audioStats(syntheticAdpcmDocs(t(s, dir, "documents")),
+        "id", "content", window = 8, nWindows = 4)),
 
     // audio segmentation: REAL WAV payloads sliced into fixed-width
     // segments, each re-encoded as a standalone WAV and re-decoded —
@@ -3657,6 +3710,69 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(s[129:192], x -> x * x))
         |    AS BIGINT) AS e3,
         |  CAST(list_sum(list_transform(s[193:256], x -> x * x))
+        |    AS BIGINT) AS e4
+        |FROM sm
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // IMA ADPCM decode replayed exactly: the codec is a sequential
+    // integer recurrence (predictor += 3-bit magnitude reconstruction
+    // from the published step table, index walked and clamped), so a
+    // recursive CTE carries (pred, idx) through the 16 nibbles of
+    // each block — the WordPiece/CDC pattern for sequential
+    // algorithms. Tables are the IMA reference values; block state
+    // re-initializes from each block's closed-form header.
+    "q_audio_adpcm" ->
+      """WITH RECURSIVE tabs AS (SELECT
+        |  [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |   50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |   230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |   876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |   2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |   7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |   20350,22385,24623,27086,29794,32767] AS st,
+        |  [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8] AS it),
+        |dec AS (
+        |  SELECT doc_id AS id, b, 0 AS k,
+        |    CAST(((doc_id * 31 + b * 17) % 1024) - 512 AS INT) AS pred,
+        |    CAST((doc_id + 3 * b) % 89 AS INT) AS idx
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS b)
+        |  UNION ALL
+        |  SELECT id, b, k + 1,
+        |    CAST(GREATEST(-32768, LEAST(32767,
+        |      pred + CASE WHEN (code & 8) = 8 THEN -d ELSE d END))
+        |      AS INT),
+        |    CAST(GREATEST(0, LEAST(88, idx + itv)) AS INT)
+        |  FROM (
+        |    SELECT id, b, k, pred, idx, code,
+        |      (step >> 3)
+        |        + CASE WHEN (code & 1) = 1 THEN step >> 2 ELSE 0 END
+        |        + CASE WHEN (code & 2) = 2 THEN step >> 1 ELSE 0 END
+        |        + CASE WHEN (code & 4) = 4 THEN step ELSE 0 END AS d,
+        |      it[code + 1] AS itv
+        |    FROM (
+        |      SELECT id, b, k, pred, idx,
+        |        CAST((id * 7 + b * 13 + k * 5) % 16 AS INT) AS code,
+        |        st[idx + 1] AS step, it
+        |      FROM dec, tabs WHERE k < 16))),
+        |sm AS (SELECT id, list(pred ORDER BY b, k) AS s
+        |  FROM dec GROUP BY id)
+        |SELECT id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(len(s) AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(s, x -> abs(x)))
+        |    AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(list_transform(generate_series(1, len(s) - 1),
+        |    i -> CASE WHEN (s[i] >= 0) != (s[i + 1] >= 0)
+        |    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS total_energy,
+        |  CAST(list_sum(list_transform(s[1:8], x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS e1,
+        |  CAST(list_sum(list_transform(s[9:16], x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS e2,
+        |  CAST(list_sum(list_transform(s[17:24], x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS e3,
+        |  CAST(list_sum(list_transform(s[25:32], x -> CAST(x AS BIGINT) * x))
         |    AS BIGINT) AS e4
         |FROM sm
         |ORDER BY ALL NULLS FIRST""".stripMargin,

@@ -126,11 +126,16 @@ object Audio {
   case class DecodedAudio(id: Long, sampleRate: Int, channels: Int,
       nFrames: Long, samples: Array[Int], decoded: Boolean)
 
-  /** Decode 16-bit PCM WAV payloads to mono sample arrays.
-    * `maxFrames` bounds memory per payload (1 M frames ≈ 4 MB of ints
-    * ≈ 23 s at 44.1 kHz — far more than any fingerprint needs); the
-    * cap is a truncation, not a failure, and `nFrames` reports the
-    * clip's FULL frame count so downstream can see the truncation.
+  /** Decode WAV payloads to mono sample arrays: 16-bit integer PCM
+    * (format 1, any channel count, floor-mean mixdown) or mono IMA
+    * ADPCM (format 0x11, 4-bit — the most common compressed WAV in
+    * the wild; a pure integer predictor/step-table codec, decoded
+    * exactly, see [[decodeImaBlock]]). Anything else is honestly
+    * `decoded = false`. `maxFrames` bounds memory per payload (1 M
+    * frames ≈ 4 MB of ints ≈ 23 s at 44.1 kHz — far more than any
+    * fingerprint needs); the cap is a truncation, not a failure, and
+    * `nFrames` reports the clip's FULL frame count so downstream can
+    * see the truncation.
     */
   def decodePcm16(df: DataFrame, idCol: String, binCol: String,
       maxFrames: Int = 1 << 20): Dataset[DecodedAudio] = {
@@ -280,8 +285,201 @@ object Audio {
           f += 1
         }
         Some((m, out))
+      case Some(m) if m.format == ImaAdpcmFormat &&
+          m.bitsPerSample == 4 && m.channels == 1 && m.nFrames > 0 =>
+        Some((m, decodeImaPayload(bytes, m, maxFrames)))
       case _ => None
     }
+
+  // ---- IMA ADPCM (format 0x11) — pure integer-table codec ------------
+
+  /** WAVE format tag of IMA/DVI ADPCM. */
+  private[graft] val ImaAdpcmFormat = 0x11
+
+  /** The IMA step-size table (89 entries) — the public reference
+    * values from the IMA ADPCM specification (identical in every
+    * conforming decoder).
+    */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+
+  /** The IMA index-adjustment table (16 entries, one per 4-bit code). */
+  private[graft] val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Samples recoverable from `avail` bytes of one mono IMA block
+    * whose full size is `blockAlign`: the 4-byte header carries the
+    * block's first sample verbatim, every later byte two coded
+    * nibbles, capped at `spb` (the fmt-declared samples/block).
+    * Truncated trailing blocks decode what is present — never
+    * fabricated samples.
+    */
+  private def imaBlockSamples(avail: Long, spb: Int): Long =
+    if (avail < 4L) 0L
+    else math.min(spb.toLong, 1L + (avail - 4L) * 2L)
+
+  /** Exact IMA ADPCM sample count of a mono data chunk. */
+  private def imaSampleCount(dataLen: Long, blockAlign: Int,
+      spb: Int): Long = {
+    val full = dataLen / blockAlign
+    full * spb + imaBlockSamples(dataLen % blockAlign, spb)
+  }
+
+  /** Decode one mono IMA block in place: emits into `out` starting at
+    * `at`, returns the new fill position. The exact published
+    * algorithm: 3-bit magnitude reconstruction
+    * `diff = (step>>3) + (code&1)(step>>2) + (code&2?step>>1) +
+    * (code&4?step)`, sign bit 8, predictor clamped to int16, step
+    * index walked by [[ImaIndexTable]] and clamped to [0, 88]. A
+    * header step index above 88 is clamped, as reference decoders do.
+    */
+  private def decodeImaBlock(bytes: Array[Byte], off: Int,
+      blockLen: Int, spb: Int, out: Array[Int], at: Int,
+      maxFill: Int): Int = {
+    if (blockLen < 4 || at >= maxFill) return at
+    var pos = at
+    var pred = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort.toInt
+    var idx = math.min(88, bytes(off + 2) & 0xFF)
+    out(pos) = pred
+    pos += 1
+    var emitted = 1
+    var b = off + 4
+    val end = off + blockLen
+    while (b < end && emitted < spb && pos < maxFill) {
+      val byte = bytes(b) & 0xFF
+      var half = 0
+      while (half < 2 && emitted < spb && pos < maxFill) {
+        val code = if (half == 0) byte & 0x0F else byte >> 4
+        val step = ImaStepTable(idx)
+        var diff = step >> 3
+        if ((code & 1) != 0) diff += step >> 2
+        if ((code & 2) != 0) diff += step >> 1
+        if ((code & 4) != 0) diff += step
+        pred = math.max(-32768,
+          math.min(32767, if ((code & 8) != 0) pred - diff
+          else pred + diff))
+        idx = math.max(0, math.min(88, idx + ImaIndexTable(code)))
+        out(pos) = pred
+        pos += 1
+        emitted += 1
+        half += 1
+      }
+      b += 1
+    }
+    pos
+  }
+
+  /** Decode a whole mono IMA ADPCM data chunk (all blocks, predictor
+    * and step index re-initialized from each block's own header).
+    */
+  private def decodeImaPayload(bytes: Array[Byte], m: Parsed,
+      maxFrames: Int): Array[Int] = {
+    val total = math.min(m.nFrames, maxFrames.toLong).toInt
+    val out = new Array[Int](total)
+    var at = 0
+    var off = m.dataOffset
+    val end = m.dataOffset + m.dataLen
+    while (off < end && at < total) {
+      val blockLen = math.min(m.blockAlign.toLong, end - off).toInt
+      at = decodeImaBlock(bytes, off.toInt, blockLen,
+        m.samplesPerBlock, out, at, total)
+      off += m.blockAlign
+    }
+    out
+  }
+
+  /** Encode mono 16-bit samples as a REAL IMA ADPCM WAV (format 0x11,
+    * 4-bit, `blockAlign`-byte blocks, fmt cbSize=2 carrying
+    * samples/block, plus the standard `fact` chunk) — the encode twin
+    * of the [[decodeImaBlock]] path and the fixture/oracle builder.
+    * Each block header stores the block's first sample verbatim and
+    * the RUNNING step index (carried across blocks, the common
+    * encoder convention); later samples quantize the prediction
+    * error through the same tables the decoder walks, so
+    * encode→decode is deterministic integer arithmetic end to end.
+    */
+  def encodeImaAdpcmWav(samples: Array[Int], rate: Int,
+      blockAlign: Int = 256): Array[Byte] = {
+    require(rate > 0, "rate must be positive")
+    require(blockAlign >= 8 && blockAlign % 4 == 0,
+      s"blockAlign must be a multiple of 4 and >= 8, got $blockAlign")
+    require(samples.nonEmpty, "samples must be non-empty")
+    samples.foreach(s => require(s >= -32768 && s <= 32767,
+      s"sample $s out of int16 range"))
+    val spb = (blockAlign - 4) * 2 + 1
+    val nBlocks = (samples.length + spb - 1) / spb
+    // trailing block is written FULL (zero-padded codes keep the
+    // layout canonical); fact carries the true sample count, and the
+    // fmt-declared spb with a short final block would overcount —
+    // so the last block's beyond-data nibbles encode silence decay,
+    // and nFrames comes from the data length like every decoder does.
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def w16(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+    }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val dataLen = nBlocks * blockAlign
+    val byteRate = (rate.toLong * blockAlign + spb - 1) / spb
+    tag4("RIFF"); w32(4L + (8 + 20) + (8 + 4) + (8 + dataLen))
+    tag4("WAVE")
+    tag4("fmt "); w32(20L)
+    w16(ImaAdpcmFormat); w16(1) // mono
+    w32(rate.toLong); w32(byteRate)
+    w16(blockAlign); w16(4) // block align, bits per sample
+    w16(2); w16(spb) // cbSize, samples per block
+    tag4("fact"); w32(4L); w32(samples.length.toLong)
+    tag4("data"); w32(dataLen.toLong)
+    var idx = 0 // running step index, carried across blocks
+    var s = 0
+    while (s < samples.length) {
+      val blockEnd = s + spb
+      var pred = samples(s)
+      w16(pred & 0xFFFF)
+      bos.write(idx); bos.write(0)
+      s += 1
+      var written = 0
+      var lowNibble = -1
+      while (written < spb - 1) {
+        val target = if (s < samples.length && s < blockEnd)
+          samples(s) else pred // pad: encode toward the last value
+        val step = ImaStepTable(idx)
+        var diff = target - pred
+        var code = 0
+        if (diff < 0) { code = 8; diff = -diff }
+        if (diff >= step) { code |= 4; diff -= step }
+        if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) { code |= 1 }
+        // reconstruct exactly as the decoder will
+        val st = ImaStepTable(idx)
+        var d = st >> 3
+        if ((code & 1) != 0) d += st >> 2
+        if ((code & 2) != 0) d += st >> 1
+        if ((code & 4) != 0) d += st
+        pred = math.max(-32768,
+          math.min(32767, if ((code & 8) != 0) pred - d else pred + d))
+        idx = math.max(0, math.min(88, idx + ImaIndexTable(code)))
+        if (lowNibble < 0) lowNibble = code
+        else { bos.write(lowNibble | (code << 4)); lowNibble = -1 }
+        if (s < blockEnd) s += 1
+        written += 1
+      }
+      if (lowNibble >= 0) bos.write(lowNibble)
+      s = blockEnd
+    }
+    bos.toByteArray
+  }
 
   // ---- exact integer feature expressions (codegen'd, no UDF) ----------
 
@@ -639,7 +837,8 @@ object Audio {
 
   private final case class Parsed(format: Int, sampleRate: Int,
       channels: Int, bitsPerSample: Int, nFrames: Long, durationMs: Long,
-      dataOffset: Long, dataLen: Long)
+      dataOffset: Long, dataLen: Long, blockAlign: Int = 0,
+      samplesPerBlock: Int = 0)
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
@@ -671,6 +870,9 @@ object Audio {
     var rate = 0
     var channels = 0
     var bits = 0
+    var blockAlign = 0
+    var spbDecl = 0
+    var factSamples = -1L
     var dataOff = -1L
     var dataLen = 0L
     var o = 12L
@@ -683,7 +885,12 @@ object Audio {
         format = le16(bytes, body.toInt)
         channels = le16(bytes, body.toInt + 2)
         rate = le32(bytes, body.toInt + 4).toInt
+        blockAlign = le16(bytes, body.toInt + 12)
         bits = le16(bytes, body.toInt + 14)
+        if (sz >= 20 && body + 20 <= bytes.length)
+          spbDecl = le16(bytes, body.toInt + 18) // cbSize extension
+      } else if (id == "fact" && sz >= 4 && body + 4 <= bytes.length) {
+        factSamples = le32(bytes, body.toInt)
       } else if (id == "data" && dataOff < 0) {
         dataOff = body
         // clamp to bytes present: truncated payloads overstate sizes
@@ -697,6 +904,22 @@ object Audio {
     }
     if (format < 0 || dataOff < 0 || rate <= 0 || channels <= 0 ||
         bits <= 0) return None
+    if (format == ImaAdpcmFormat) {
+      // mono 4-bit IMA ADPCM: frames come from the BLOCK layout (the
+      // byte-per-frame math below would divide by zero), clamped by
+      // the fact chunk's declared sample count when present (the
+      // standard contract for compressed WAV — the final block's pad
+      // nibbles are layout, not content). Multi-channel / non-4-bit
+      // IMA is honestly unparsed rather than misreported.
+      if (bits != 4 || channels != 1 || blockAlign < 8) return None
+      val capacity = (blockAlign - 4) * 2 + 1
+      val spb =
+        if (spbDecl >= 1) math.min(spbDecl, capacity) else capacity
+      var n = imaSampleCount(dataLen, blockAlign, spb)
+      if (factSamples >= 0 && factSamples < n) n = factSamples
+      return Some(Parsed(format, rate, 1, bits, n, n * 1000L / rate,
+        dataOff, dataLen, blockAlign, spb))
+    }
     val frameBytes = (bits / 8).toLong * channels
     if (frameBytes <= 0) return None
     val nFrames = dataLen / frameBytes

@@ -560,4 +560,154 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.decoded && got.samples.toSeq == expect.toSeq,
       "the DuckDB-replicable synthetic stream IS real 16-bit PCM")
   }
+
+  // ---- IMA ADPCM (format 0x11) ---------------------------------------
+
+  /** Independent straight-from-the-spec IMA decode of one block's
+    * codes — the reference the library walk is pinned against.
+    */
+  private def imaRef(pred0: Int, idx0: Int, codes: Seq[Int]): Seq[Int] = {
+    var pred = pred0
+    var idx = idx0
+    pred0 +: codes.map { code =>
+      val step = Audio.ImaStepTable(idx)
+      var d = step >> 3
+      if ((code & 1) != 0) d += step >> 2
+      if ((code & 2) != 0) d += step >> 1
+      if ((code & 4) != 0) d += step
+      pred = math.max(-32768,
+        math.min(32767, if ((code & 8) != 0) pred - d else pred + d))
+      idx = math.max(0, math.min(88, idx + Audio.ImaIndexTable(code)))
+      pred
+    }
+  }
+
+  /** Hand-rolled mono IMA ADPCM WAV: fmt(20) with cbSize=2 +
+    * samples/block, optional fact, then raw blocks.
+    */
+  private def imaWav(blocks: Seq[(Int, Int, Seq[Int])], blockAlign: Int,
+      rate: Int = 8000, fact: Long = -1L): Array[Byte] = {
+    val spb = (blockAlign - 4) * 2 + 1
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    val dataLen = blocks.length * blockAlign
+    val factLen = if (fact >= 0) 12 else 0
+    put("RIFF".getBytes("US-ASCII"))
+    put(le32(4L + 28 + factLen + 8 + dataLen))
+    put("WAVE".getBytes("US-ASCII"))
+    put("fmt ".getBytes("US-ASCII")); put(le32(20L))
+    put(le16(0x11)); put(le16(1)); put(le32(rate.toLong))
+    put(le32(rate.toLong * blockAlign / spb))
+    put(le16(blockAlign)); put(le16(4)); put(le16(2)); put(le16(spb))
+    if (fact >= 0) {
+      put("fact".getBytes("US-ASCII")); put(le32(4L)); put(le32(fact))
+    }
+    put("data".getBytes("US-ASCII")); put(le32(dataLen.toLong))
+    blocks.foreach { case (pred0, idx0, codes) =>
+      require(codes.length == 2 * (blockAlign - 4))
+      put(le16(pred0 & 0xFFFF)); bos.write(idx0); bos.write(0)
+      codes.grouped(2).foreach(p => bos.write(p(0) | (p(1) << 4)))
+    }
+    bos.toByteArray
+  }
+
+  test("IMA ADPCM: reference tables carry the published values and " +
+      "the library decode is bit-identical to a straight-from-spec " +
+      "reference fold, block state re-initialized per block") {
+    assert(Audio.ImaStepTable.length == 89)
+    assert(Audio.ImaStepTable(0) == 7 && Audio.ImaStepTable(44) == 494 &&
+      Audio.ImaStepTable(88) == 32767)
+    assert(Audio.ImaIndexTable.toSeq ==
+      Seq(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8))
+    val b0 = (1000, 20, (0 until 16).map(k => (k * 7 + 3) % 16))
+    val b1 = (-2000, 88, (0 until 16).map(k => (k * 11 + 5) % 16))
+    val bytes = imaWav(Seq(b0, b1), blockAlign = 12)
+    val got = Audio.decodePcm16(df(1L -> bytes), "id", "content")
+      .collect().head
+    assert(got.decoded && got.sampleRate == 8000 && got.channels == 1)
+    val expect = imaRef(b0._1, b0._2, b0._3) ++ imaRef(b1._1, b1._2, b1._3)
+    assert(got.nFrames == 34 && got.samples.toSeq == expect,
+      s"${got.samples.toSeq} vs $expect")
+  }
+
+  test("IMA ADPCM: encode->decode round trip — exact block-leading " +
+      "samples, smooth signals tracked within codec error, fact chunk " +
+      "clamps nFrames to the true count, deterministic") {
+    val input = Array.tabulate(90)(k =>
+      (1000 * math.sin(k / 40.0)).toInt) // smooth: slope ~25/sample
+    val bytes = Audio.encodeImaAdpcmWav(input, rate = 8000,
+      blockAlign = 16)
+    val got = Audio.decodePcm16(df(1L -> bytes), "id", "content")
+      .collect().head
+    assert(got.decoded)
+    // fact clamps nFrames to the true count 90, NOT the 4 x 25 = 100
+    // samples the padded block layout could hold
+    assert(got.nFrames == 90, s"nFrames=${got.nFrames}")
+    assert(got.samples.length == 90)
+    // block-leading samples are stored verbatim (spb = 25 here)
+    assert(got.samples(0) == input(0) && got.samples(25) == input(25) &&
+      got.samples(50) == input(50) && got.samples(75) == input(75))
+    val maxErr = input.indices.map(i =>
+      math.abs(input(i) - got.samples(i))).max
+    assert(maxErr <= 64, s"ADPCM tracking error $maxErr")
+    val again = Audio.decodePcm16(df(1L -> bytes), "id", "content")
+      .collect().head
+    assert(again.samples.toSeq == got.samples.toSeq)
+  }
+
+  test("IMA ADPCM honesty: truncated final block decodes only what " +
+      "is present; stereo/odd-bit/short-block ADPCM and lying " +
+      "declared spb are refused or clamped, never fabricated") {
+    val b0 = (500, 10, (0 until 16).map(k => (k * 5 + 1) % 16))
+    val full = imaWav(Seq(b0, b0), blockAlign = 12)
+    // cut 5 bytes off the final block: 7 bytes remain -> 4 header +
+    // 3 data bytes = 1 + 6 samples
+    val cut = java.util.Arrays.copyOf(full, full.length - 5)
+    val got = Audio.decodePcm16(df(1L -> cut), "id", "content")
+      .collect().head
+    assert(got.decoded && got.nFrames == 17 + 7,
+      s"nFrames=${got.nFrames}")
+    assert(got.samples.toSeq ==
+      (imaRef(b0._1, b0._2, b0._3) ++
+        imaRef(b0._1, b0._2, b0._3.take(6))))
+    // stereo ADPCM: honestly unparsed (mono-only decode)
+    val stereo = full.clone()
+    stereo(22) = 2 // nChannels field inside fmt
+    val m = Audio.parseWavHeader(df(1L -> stereo), "id", "content")
+      .collect().head
+    assert(!m.parsed)
+    // declared spb above block capacity is clamped to capacity
+    val lying = full.clone()
+    // spb field at fmt body + 18 = offset 20 + 18 = 38
+    lying(38) = 0xFF.toByte; lying(39) = 0x7F.toByte
+    val lm = Audio.parseWavHeader(df(1L -> lying), "id", "content")
+      .collect().head
+    assert(lm.parsed && lm.nFrames == 34, s"nFrames=${lm.nFrames}")
+  }
+
+  test("IMA ADPCM rides the audio family: metadata scan reports the " +
+      "compressed format, and the PCM16 re-wrap of the decoded " +
+      "samples fingerprints IDENTICALLY (cross-codec bridge)") {
+    val input = Array.tabulate(300)(k =>
+      (3000 * math.sin(k / 5.0)).toInt)
+    val adpcm = Audio.encodeImaAdpcmWav(input, rate = 8000,
+      blockAlign = 16)
+    val meta = Audio.wavHeaderScan(df(1L -> adpcm), "id", "content")
+      .collect().head
+    assert(meta.parsed && meta.format == 0x11 && meta.bitsPerSample == 4
+      && meta.nFrames == 300 && meta.durationMs == 300 * 1000L / 8000)
+    val decoded = Audio.decodePcm16(df(1L -> adpcm), "id", "content")
+      .collect().head.samples
+    val pcmTwin = Audio.wrapWav(decoded, 0, decoded.length, 8000)
+    val sigs = Audio.audioSigs(
+      df(1L -> adpcm, 2L -> pcmTwin), "id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet == Set(1L, 2L))
+    assert(sigs(1L) == sigs(2L),
+      s"cross-codec fingerprints differ: $sigs")
+    val pairs = Audio.audioNearDupPairs(
+      df(1L -> adpcm, 2L -> pcmTwin), "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.mkString(","))
+  }
 }
