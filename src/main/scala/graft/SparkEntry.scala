@@ -347,6 +347,53 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real WAV payloads carrying the SAME content at three sample
+    * rates: doc 3c+0 at 8 kHz, 3c+1 at 16 kHz, 3c+2 at 4 kHz. Content
+    * is piecewise linear with 4 kHz nodes
+    * `w(c, k) = pmod(c·2654435761 + k·40503, 65536) − 32768`
+    * (130 nodes), so the exact integer linear resample to the 8 kHz
+    * canonical rate reconstructs the IDENTICAL 259-sample array from
+    * every carrier: decimation picks the even samples of the 16 kHz
+    * stream, upsampling interpolates the 4 kHz nodes with the same
+    * floor-division midpoints the 8 kHz stream was built from.
+    */
+  private def syntheticRateWavDocs(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val cls = id / 3
+      // squared-then-reduced: an AFFINE (cls, k) stream is the same
+      // mod-65536 walk shifted per class, and ~2700 cross-class sig
+      // collisions land inside Hamming 3 (measured); the square
+      // decorrelates classes, so pairs are EXACTLY the within-class
+      // planted ones
+      def node(k: Int): Int = {
+        val a = Math.floorMod(cls * 2654435761L + k * 40503L, 65536L)
+        ((a * a) % 65521L - 32760L).toInt
+      }
+      def c8(j: Int): Int =
+        if (j % 2 == 0) node(j / 2)
+        else {
+          val w0 = node((j - 1) / 2); val w1 = node((j + 1) / 2)
+          w0 + math.floorDiv(w1 - w0, 2)
+        }
+      (id % 3) match {
+        case 0 => Audio.wrapWav(Array.tabulate(259)(c8), 0, 259, 8000)
+        case 1 =>
+          val s = Array.tabulate(517) { k =>
+            if (k % 2 == 0) c8(k / 2)
+            else {
+              val a = c8((k - 1) / 2); val b = c8((k + 1) / 2)
+              a + math.floorDiv(b - a, 2)
+            }
+          }
+          Audio.wrapWav(s, 0, 517, 16000)
+        case _ =>
+          Audio.wrapWav(Array.tabulate(130)(node), 0, 130, 4000)
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real 32×24 BMP payloads with closed-form pixels — byte k of the
     * top-down BGR stream is `(doc_id·131 + k·7) % 101` — built with
     * the library's own canonical encoder ([[Multimodal.buildBmp]],
@@ -1343,6 +1390,17 @@ object SparkEntry {
     "q_audio_adpcm" -> ((s, dir) =>
       Audio.audioStats(syntheticAdpcmDocs(t(s, dir, "documents")),
         "id", "content", window = 8, nWindows = 4)),
+
+    // rate-normalized audio near-dup: 8/16/4 kHz carriers of the same
+    // piecewise-linear content all resample (exact integer linear,
+    // floorDiv midpoints) to one canonical 8 kHz array, so every
+    // within-class pair lands at distance 0 — the oracle rebuilds the
+    // canonical array per doc closed-form and replays the
+    // window-energy fingerprint + block pigeonhole
+    "q_audio_near_dup_rate" -> ((s, dir) =>
+      Audio.audioNearDupPairs(
+        syntheticRateWavDocs(t(s, dir, "documents")), "id", "content",
+        canonicalRate = 8000)),
 
     // audio segmentation: REAL WAV payloads sliced into fixed-width
     // segments, each re-encoded as a standalone WAV and re-decoded —
@@ -3775,6 +3833,54 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(s[25:32], x -> CAST(x AS BIGINT) * x))
         |    AS BIGINT) AS e4
         |FROM sm
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // rate-normalized audio near-dup: rebuild the canonical 8 kHz
+    // array per class (nodes + floor-division midpoints — DuckDB //
+    // truncates toward zero, hence the explicit floor fix-up on odd
+    // negative deltas), then the usual energy fingerprint + block
+    // pigeonhole; every doc carries its class's sig, so within-class
+    // pairs land at distance 0
+    "q_audio_near_dup_rate" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id // 3 AS cls
+        |  FROM documents),
+        |c AS (SELECT DISTINCT cls FROM d),
+        |w AS (SELECT cls, list_transform(generate_series(0, 129), k ->
+        |    (((cls * 2654435761 + k * 40503) % 65536)
+        |      * ((cls * 2654435761 + k * 40503) % 65536)) % 65521
+        |      - 32760) AS wv
+        |  FROM c),
+        |s8 AS (SELECT cls, list_transform(generate_series(0, 258), j ->
+        |    CASE WHEN j % 2 = 0 THEN wv[j // 2 + 1]
+        |    ELSE wv[(j - 1) // 2 + 1]
+        |      + (wv[(j + 1) // 2 + 1] - wv[(j - 1) // 2 + 1]) // 2
+        |      + CASE WHEN (wv[(j + 1) // 2 + 1]
+        |            - wv[(j - 1) // 2 + 1]) < 0
+        |          AND (wv[(j + 1) // 2 + 1]
+        |            - wv[(j - 1) // 2 + 1]) % 2 <> 0
+        |        THEN -1 ELSE 0 END
+        |    END) AS s
+        |  FROM w),
+        |e AS (SELECT cls, list_transform(generate_series(0, 64), w2 ->
+        |    list_sum(list_transform(s[w2 * 4 + 1 : w2 * 4 + 4],
+        |      x -> CAST(x AS BIGINT) * x))) AS en
+        |  FROM s8),
+        |sg AS (SELECT cls, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT cls,
+        |      list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN en[i + 1] > en[i + 2]
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM e)),
+        |ds AS (SELECT d.id, sg.sig FROM d JOIN sg ON d.cls = sg.cls),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM ds CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |p AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM p WHERE distance <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // perceptual audio near-dup: the planted class streams -> 65

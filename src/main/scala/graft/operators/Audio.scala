@@ -138,7 +138,29 @@ object Audio {
     * see the truncation.
     */
   def decodePcm16(df: DataFrame, idCol: String, binCol: String,
-      maxFrames: Int = 1 << 20): Dataset[DecodedAudio] = {
+      maxFrames: Int = 1 << 20): Dataset[DecodedAudio] =
+    decodeMono(df, idCol, binCol, maxFrames, canonicalRate = 0)
+
+  /** [[decodePcm16]] with an exact integer linear resample
+    * ([[resampleLinear]]) to `canonicalRate` Hz after the mixdown —
+    * the rate-robust decode: the same content carried at 8 kHz and
+    * 16 kHz comes back as the same sample array (decimation picks
+    * exact source samples when the rates divide; other ratios
+    * interpolate deterministically). The resample runs inside the
+    * same per-payload JVM loop as the decode — no interpreted
+    * array-HOF in the hot path. `sampleRate` reports the canonical
+    * rate, `nFrames` the RESAMPLED length (the signal the row
+    * carries); the decode cap applies to SOURCE frames, before
+    * resampling.
+    */
+  def decodeMonoAtRate(df: DataFrame, idCol: String, binCol: String,
+      canonicalRate: Int, maxFrames: Int = 1 << 20): Dataset[DecodedAudio] = {
+    require(canonicalRate > 0, "canonicalRate must be positive")
+    decodeMono(df, idCol, binCol, maxFrames, canonicalRate)
+  }
+
+  private def decodeMono(df: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int, canonicalRate: Int): Dataset[DecodedAudio] = {
     require(maxFrames > 0, "maxFrames must be positive")
     implicit val enc = Encoders.product[DecodedAudio]
     df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
@@ -146,6 +168,10 @@ object Audio {
         rows.map { r =>
           val id = r.getLong(0)
           decodeSamples(r.getAs[Array[Byte]](1), maxFrames) match {
+            case Some((m, out)) if canonicalRate > 0 =>
+              val rs = resampleLinear(out, m.sampleRate, canonicalRate)
+              DecodedAudio(id, canonicalRate, m.channels,
+                rs.length.toLong, rs, decoded = true)
             case Some((m, out)) =>
               DecodedAudio(id, m.sampleRate, m.channels, m.nFrames, out,
                 decoded = true)
@@ -255,6 +281,36 @@ object Audio {
       out(44 + 2 * i) = (s & 0xFF).toByte
       out(45 + 2 * i) = ((s >> 8) & 0xFF).toByte
       i += 1
+    }
+    out
+  }
+
+  /** Exact integer linear resample of a mono sample array from
+    * `fromRate` to `toRate` Hz: output j sits at source position
+    * `j·fromRate / toRate` — whole positions copy the source sample,
+    * fractional ones interpolate `s0 + ⌊(s1 − s0)·frac / toRate⌋`
+    * (floor division, so the arithmetic is {+, ·, floorDiv} and
+    * bit-replicable in SQL). Decimation by an integer factor picks
+    * exact source samples; upsampling interpolates. Output length
+    * `⌊(n−1)·toRate/fromRate⌋ + 1` spans exactly the input's
+    * endpoints — no extrapolation, no padding.
+    */
+  private[graft] def resampleLinear(s: Array[Int], fromRate: Int,
+      toRate: Int): Array[Int] = {
+    require(fromRate > 0 && toRate > 0, "rates must be positive")
+    if (fromRate == toRate || s.length == 0) return s
+    val nOut = (((s.length - 1).toLong * toRate) / fromRate).toInt + 1
+    val out = new Array[Int](nOut)
+    var j = 0
+    while (j < nOut) {
+      val pos = j.toLong * fromRate
+      val src = (pos / toRate).toInt
+      val frac = pos % toRate
+      out(j) =
+        if (frac == 0L) s(src)
+        else s(src) + math.floorDiv(
+          (s(src + 1) - s(src)).toLong * frac, toRate).toInt
+      j += 1
     }
     out
   }
@@ -609,14 +665,26 @@ object Audio {
     * — robust to trailing padding/truncation WITHIN that prefix, but
     * blind to everything after it; use it only when clips are known
     * prefix-aligned and length-varying (and say so at the call site).
+    *
+    * `canonicalRate > 0` resamples every clip to that rate before
+    * windowing ([[resampleLinear]], exact integer math inside the
+    * decode loop): the auto window then normalizes by DURATION
+    * instead of sample count, so 8 kHz and 16 kHz carriers of the
+    * same content fingerprint identically — without it they produce
+    * different energy profiles and never pair. The default 0 keeps
+    * the rate-naive signature (and matches the persisted-index
+    * family, whose sidecars do not record a canonical rate).
     */
   def audioSigs(df: DataFrame, idCol: String, binCol: String,
-      window: Int = 0, maxFrames: Int = 1 << 20): DataFrame = {
+      window: Int = 0, maxFrames: Int = 1 << 20,
+      canonicalRate: Int = 0): DataFrame = {
     require(window >= 0, "window must be >= 0 (0 = auto per clip)")
+    require(canonicalRate >= 0,
+      "canonicalRate must be >= 0 (0 = no rate normalization)")
     graft.expressions.AudioExprs.register(df.sparkSession)
     val win =
       if (window == 0) autoWindow(col("samples")) else lit(window)
-    decodePcm16(df, idCol, binCol, maxFrames).toDF()
+    decodeMono(df, idCol, binCol, maxFrames, canonicalRate).toDF()
       .filter(col("decoded"))
       .select(col("id"),
         audioFingerprint64(
@@ -642,9 +710,9 @@ object Audio {
     */
   def audioNearDupPairs(df: DataFrame, idCol: String, binCol: String,
       window: Int = 0, maxDistance: Int = 3, maxBucket: Int = 1000,
-      maxFrames: Int = 1 << 20): DataFrame =
+      maxFrames: Int = 1 << 20, canonicalRate: Int = 0): DataFrame =
     Dedup.hamming64NearDupPairs(
-      audioSigs(df, idCol, binCol, window, maxFrames),
+      audioSigs(df, idCol, binCol, window, maxFrames, canonicalRate),
       "id", "sig", maxDistance, maxBucket)
 
   // ---- persisted audio signature index (build once, admit many) ------

@@ -710,4 +710,69 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.mkString(","))
   }
+
+  // ---- rate-normalized fingerprinting ---------------------------------
+
+  test("resampleLinear: identity at equal rates, exact decimation at " +
+      "integer ratios, floor-division interpolation on upsampling " +
+      "(negative deltas floor toward -inf)") {
+    val s = Array(10, -20, 30, -40, 50)
+    assert(Audio.resampleLinear(s, 8000, 8000) eq s)
+    // 16k -> 8k: every second sample, exactly
+    assert(Audio.resampleLinear(s, 16000, 8000).toSeq == Seq(10, 30, 50))
+    // 4k -> 8k: midpoints are s0 + floorDiv(s1-s0, 2) — NOT truncation:
+    // (-20-10)/2 = -15 exactly, (30-(-20))/2 = 25, floorDiv(-70,2)=-35
+    assert(Audio.resampleLinear(s, 4000, 8000).toSeq ==
+      Seq(10, -5, -20, 5, 30, -5, -40, 5, 50))
+    // floorDiv on an odd negative delta: 0 -> -5 midpoint is -3, not -2
+    assert(Audio.resampleLinear(Array(0, -5), 4000, 8000).toSeq ==
+      Seq(0, -3, -5))
+    // non-divisible ratio: output spans the endpoints, length
+    // floor((n-1)*to/from) + 1
+    val r = Audio.resampleLinear(Array(0, 300, 600), 12000, 8000)
+    assert(r.toSeq == Seq(0, 450)) // positions 0, 1.5 of source
+  }
+
+  test("rate-normalized near-dup: 8k/16k/4k carriers of the SAME " +
+      "content pair at distance 0 under canonicalRate, do NOT pair " +
+      "rate-naive, distinct content never pairs") {
+    // piecewise-linear content with 4 kHz nodes, so every rate's
+    // resample to 8 kHz reconstructs the identical canonical array
+    def node(cls: Long, k: Int): Int =
+      (Math.floorMod(cls * 2654435761L + k * 40503L, 65536L) - 32768L)
+        .toInt
+    def c8(cls: Long, j: Int): Int =
+      if (j % 2 == 0) node(cls, j / 2)
+      else {
+        val w0 = node(cls, (j - 1) / 2); val w1 = node(cls, (j + 1) / 2)
+        w0 + math.floorDiv(w1 - w0, 2)
+      }
+    def wav8(cls: Long) =
+      Audio.wrapWav(Array.tabulate(259)(c8(cls, _)), 0, 259, 8000)
+    def wav16(cls: Long) = {
+      val s = Array.tabulate(517) { k =>
+        if (k % 2 == 0) c8(cls, k / 2)
+        else {
+          val a = c8(cls, (k - 1) / 2); val b = c8(cls, (k + 1) / 2)
+          a + math.floorDiv(b - a, 2)
+        }
+      }
+      Audio.wrapWav(s, 0, 517, 16000)
+    }
+    def wav4(cls: Long) =
+      Audio.wrapWav(Array.tabulate(130)(node(cls, _)), 0, 130, 4000)
+    val rows = df(1L -> wav8(0), 2L -> wav16(0), 3L -> wav4(0),
+      4L -> wav8(1))
+    val rated = Audio.audioNearDupPairs(rows, "id", "content",
+      canonicalRate = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(rated == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)),
+      rated.toString)
+    // rate-naive: the same three carriers do NOT pair (different
+    // sample counts -> different auto windows -> different profiles)
+    val naive = Audio.audioNearDupPairs(rows, "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(naive.isEmpty, naive.mkString(","))
+  }
 }
