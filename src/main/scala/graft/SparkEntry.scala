@@ -1543,6 +1543,27 @@ object SparkEntry {
       meta.join(dec, Seq("id"))
     }),
 
+    // video scene segments: REAL AVI payloads sliced into overlapping
+    // 16-frame sub-clips (hop 8), each re-encoded as a standalone AVI
+    // and re-decoded — the byte-level encode -> segment -> re-encode
+    // -> parse -> decode chain, reduced to per-segment exact frame
+    // stats (closed form per doc_id/segment). The scene-hunt
+    // composition on top of this (segment -> video index admission)
+    // is spec-pinned in VideoSpec and needle-smoked at scale
+    "q_video_segments" -> ((s, dir) => {
+      val segs = Video.segmentVideos(
+        syntheticAviClassed(t(s, dir, "documents")), "id", "content",
+        segmentFrames = 16, hopFrames = 8).toDF()
+        .filter(col("decoded"))
+        .select((col("id") * 16 + col("segIdx")).as("sid"), col("avi"))
+      Video.videoStats(segs, "sid", "avi", nSamples = 16)
+        .select(col("id").as("sid"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames"), col("duration_ms"), col("luma_total"),
+          col("luma_peak"), col("luma_min"))
+    }),
+
     // video decode stats: frame geometry, floor-millis duration, and
     // the sampled-luma brightness envelope — every column a closed
     // form of doc_id through the REAL decode (the luma list is the
@@ -4019,6 +4040,34 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS compression,
         |  CAST((65 + (doc_id % 64) % 8) * 40 AS BIGINT) AS duration_ms
         |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // video segments: per-frame luma is a closed form of
+    // (doc_id, frame), so each 16-frame segment's stats replay as
+    // list folds over the planted pixel stream (pert lands on frame 0
+    // only, i.e. only segment 0 of ids >= 250 sees it)
+    "q_video_segments" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    65 + (doc_id % 64) % 8 AS n,
+        |    CASE WHEN doc_id >= 250 THEN 37 * 36 ELSE 0 END AS pert
+        |  FROM documents),
+        |segs AS (SELECT id, base, n, pert, unnest(generate_series(0,
+        |    (n - 16) // 8)) AS s
+        |  FROM g),
+        |lu AS (SELECT id, s, list_transform(generate_series(0, 15),
+        |    i -> list_sum(list_transform(generate_series(0, 35), k ->
+        |      (base * 131 + (s * 8 + i) * 31 + k * 7) % 101))
+        |    + CASE WHEN s * 8 + i = 0 THEN pert ELSE 0 END) AS luma
+        |  FROM segs)
+        |SELECT id * 16 + s AS sid,
+        |  CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+        |  CAST(16 AS BIGINT) AS n_frames,
+        |  CAST(640 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(luma) AS BIGINT) AS luma_total,
+        |  CAST(list_max(luma) AS BIGINT) AS luma_peak,
+        |  CAST(list_min(luma) AS BIGINT) AS luma_min
+        |FROM lu
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // MJPEG: metadata + decode outcome are closed forms; 1196444237 =

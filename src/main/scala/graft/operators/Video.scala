@@ -282,25 +282,9 @@ object Video {
             case Mjpeg =>
               if (t != "00dc" || sz > maxFrameBytes ||
                 pos + 8 + sz > moviEnd) return None
-              val bi = jpegFrame(bytes, (pos + 8).toInt, sz.toInt,
-                meta.width, meta.height).getOrElse(return None)
-              val w = meta.width.toInt
-              val h = meta.height.toInt
-              val bgr = new Array[Byte](3 * w * h)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = bi.getRGB(x, y)
-                  val o = 3 * (y * w + x)
-                  bgr(o) = (rgb & 0xFF).toByte
-                  bgr(o + 1) = ((rgb >> 8) & 0xFF).toByte
-                  bgr(o + 2) = ((rgb >> 16) & 0xFF).toByte
-                  x += 1
-                }
-                y += 1
-              }
-              Multimodal.buildBmp(w, h, bgr)
+              Multimodal.buildBmp(meta.width.toInt, meta.height.toInt,
+                biToBgr(jpegFrame(bytes, (pos + 8).toInt, sz.toInt,
+                  meta.width, meta.height).getOrElse(return None)))
           }
           out += ((fi, bmp))
           // a frame repeated by short-video sampling is emitted ONCE
@@ -312,6 +296,148 @@ object Video {
     }
     if (next < nSamples) return None // declared structure ran short
     Some((meta.width.toInt, meta.height.toInt, out.result()))
+  }
+
+  /** Output row of the video scene-segmentation stage: `avi` is the
+    * sub-clip covering source frames `[segIdx·hop, segIdx·hop +
+    * segmentFrames)` of video `id`, re-encoded as a REAL standalone
+    * uncompressed AVI at the source frame rate — consumable by every
+    * video operator downstream. Undecodable payloads emit ONE marker
+    * row (`decoded = false`, empty avi, segIdx -1).
+    */
+  case class VideoSegment(id: Long, segIdx: Long, startFrame: Long,
+      avi: Array[Byte], decoded: Boolean)
+
+  /** Slice each decodable video into fixed-frame-window sub-clips,
+    * each emitted as its own row re-encoded as a standalone
+    * uncompressed AVI ([[buildUncompressedAvi]]) — the video member
+    * of the fragment-bridge family ([[Audio.segmentClips]] /
+    * [[Multimodal.tileImages]] / [[sampleFrameImages]]): segments
+    * ride the ENTIRE video family downstream, so
+    * find-videos-containing-a-known-SCENE is plain composition —
+    * index the known scene, admit a candidate corpus's segments
+    * against it. Segment s starts at frame `s·hopFrames` and spans
+    * exactly `segmentFrames`; a trailing remainder shorter than the
+    * window is NOT emitted. `hopFrames < segmentFrames` yields
+    * overlapping shingles — the hop is the detection granularity and
+    * the output-size knob (~`nFrames/hop` segments of
+    * `segmentFrames·frameBytes` each). MJPEG sources decode through
+    * the JVM JPEG codec and re-encode uncompressed, so a scene is
+    * found across codecs. Unlike the SAMPLED walks this stage decodes
+    * every frame up to the last complete segment (a segmenter re-emits
+    * the frames it covers — per-payload working memory is one
+    * `segmentFrames`-deep frame ring plus the emitted rows).
+    *
+    * Discrimination note: the 65-sample temporal fingerprint repeats
+    * frames when a clip is shorter than 65 — signature entropy then
+    * collapses to `segmentFrames − 1` comparison bits (the time-axis
+    * analogue of the tiny-image dHash degeneracy), so scene HUNTS
+    * should use `segmentFrames ≥ 65` and admit at `maxDistance = 0`.
+    */
+  def segmentVideos(df: DataFrame, idCol: String, binCol: String,
+      segmentFrames: Int, hopFrames: Int = 0,
+      maxFrameBytes: Int = 1 << 24): Dataset[VideoSegment] = {
+    require(segmentFrames > 0, "segmentFrames must be positive")
+    require(hopFrames >= 0, "hopFrames must be >= 0 (0 = segmentFrames)")
+    val hop = if (hopFrames == 0) segmentFrames else hopFrames
+    implicit val enc = Encoders.product[VideoSegment]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          segmentAvis(r.getAs[Array[Byte]](1), segmentFrames, hop,
+            maxFrameBytes) match {
+            case Some(segs) => segs.map { case (s, start, avi) =>
+              VideoSegment(id, s, start, avi, decoded = true)
+            }
+            case None => Seq(VideoSegment(id, -1L, -1L,
+              Array.emptyByteArray, decoded = false))
+          }
+        }
+    }
+  }
+
+  /** Top-down unpadded BGR bytes of a decoded frame image. */
+  private def biToBgr(bi: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = bi.getWidth
+    val h = bi.getHeight
+    val bgr = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = bi.getRGB(x, y)
+        val o = 3 * (y * w + x)
+        bgr(o) = (rgb & 0xFF).toByte
+        bgr(o + 1) = ((rgb >> 8) & 0xFF).toByte
+        bgr(o + 2) = ((rgb >> 16) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    bgr
+  }
+
+  /** The sequential segment walk: every frame up to the last complete
+    * window decodes to top-down BGR and flows through a
+    * `segmentFrames`-deep ring; a segment is re-encoded whenever the
+    * ring holds frames `[s·hop, s·hop + W)`. All-or-marker honesty:
+    * any malformed frame fails the whole payload.
+    */
+  private def segmentAvis(bytes: Array[Byte], w0: Int, hop: Int,
+      maxFrameBytes: Int): Option[Seq[(Long, Long, Array[Byte])]] = {
+    val meta = parseAvi(bytes).getOrElse(return None)
+    val codec = codecOf(meta).getOrElse(return None)
+    val stride = ((3L * meta.width + 3L) / 4L) * 4L
+    val frameBytes = stride * meta.height
+    if (codec == RawBgr24 &&
+      (frameBytes <= 0 || frameBytes > maxFrameBytes)) return None
+    val wI = meta.width.toInt
+    val hI = meta.height.toInt
+    val moviDataStart = meta.moviOffset + 12
+    val moviEnd = math.min(meta.moviOffset + 8 + meta.moviLen,
+      bytes.length.toLong)
+    val ring = scala.collection.mutable.ArrayDeque.empty[Array[Byte]]
+    val out = Seq.newBuilder[(Long, Long, Array[Byte])]
+    var fi = 0L
+    var nextSeg = 0L
+    var pos = moviDataStart
+    while (pos + 8 <= moviEnd) {
+      val t = tag(bytes, pos.toInt)
+      val sz = le32(bytes, pos.toInt + 4)
+      if (t == "00db" || t == "00dc") {
+        val bgr = codec match {
+          case RawBgr24 =>
+            if (t != "00db" || sz != frameBytes ||
+              pos + 8 + frameBytes > moviEnd) return None
+            val b = new Array[Byte](3 * wI * hI)
+            var y = 0
+            while (y < hI) { // stored bottom-up; emit top-down
+              System.arraycopy(bytes,
+                (pos + 8 + (hI - 1 - y) * stride).toInt,
+                b, y * 3 * wI, 3 * wI)
+              y += 1
+            }
+            b
+          case Mjpeg =>
+            if (t != "00dc" || sz > maxFrameBytes ||
+              pos + 8 + sz > moviEnd) return None
+            biToBgr(jpegFrame(bytes, (pos + 8).toInt, sz.toInt,
+              meta.width, meta.height).getOrElse(return None))
+        }
+        ring.append(bgr)
+        if (ring.length > w0) ring.removeHead()
+        if (fi == nextSeg * hop + w0 - 1) {
+          out += ((nextSeg, nextSeg * hop,
+            buildUncompressedAvi(wI, hI, ring.toSeq,
+              meta.microsPerFrame)))
+          nextSeg += 1
+        }
+        fi += 1
+      }
+      pos = pos + 8 + sz + (sz & 1)
+    }
+    Some(out.result())
   }
 
   /** 54-byte BMP header + the DIB payload verbatim (bottom-up BGR24

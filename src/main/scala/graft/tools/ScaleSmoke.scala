@@ -1719,6 +1719,84 @@ object ScaleSmoke {
         f"heapUsed=${(rtM.totalMemory - rtM.freeMemory) / 1e6}%.0f MB")
     }
 
+    // --- video scene hunt at 1M clips: the fragment triad's video
+    // member. A known 66-frame scene (>= 65 frames, so segment
+    // fingerprints keep all 64 comparison bits — shorter windows
+    // collapse entropy, the documented degeneracy) is planted at
+    // frame offset 8 inside every 500th of 1M 80-frame clips;
+    // detection = segmentVideos(66, hop 8) -> admission of the 2M
+    // segments against the ONE-entry scene index at maxDistance 0
+    // (strict buckets). Dropped rows must be EXACTLY the planted
+    // containers' offset-8 segments — 2000 of them, again 2x the old
+    // cross-fold cap.
+    {
+      val nSc = args.drop(1).headOption.map(_.toInt)
+        .getOrElse(1000000)
+      import spark.implicits._
+      def mix(a: Long): Long = {
+        var x = a
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x
+      }
+      def frameOf(seed: Long, f: Int): Array[Byte] = {
+        val fs = mix(seed + f * 0x9E3779B97F4A7C15L)
+        Array.tabulate(36)(k =>
+          ((mix(fs + k) & Long.MaxValue) % 101L).toByte)
+      }
+      val sceneFrames = (0 until 66).map(f => frameOf(mix(-3L), f))
+      val sceneBytes = graft.operators.Video.buildUncompressedAvi(
+        4, 3, sceneFrames, 40000L)
+      val scIdxDir = java.nio.file.Files
+        .createTempDirectory("graft-scene-smoke").toString
+      graft.operators.Video.writeVideoNearDupIndex(
+        Seq((0L, sceneBytes)).toDF("id", "content"),
+        "id", "content", scIdxDir)
+      val t99 = System.nanoTime()
+      val scClips = spark.range(0L, nSc).repartition(64)
+        .mapPartitions { it =>
+          val sf = {
+            val s0 = mix(-3L)
+            (0 until 66).map(f => frameOf(s0, f))
+          }
+          it.map { id =>
+            val idL: Long = id
+            val planted = idL % 500 == 0
+            val frames = (0 until 80).map { f =>
+              if (planted && f >= 8 && f < 74) sf(f - 8)
+              else frameOf(mix(idL), f)
+            }
+            (idL, graft.operators.Video.buildUncompressedAvi(
+              4, 3, frames, 40000L))
+          }
+        }.toDF("id", "content")
+      val scSegs = graft.operators.Video.segmentVideos(scClips, "id",
+        "content", segmentFrames = 66, hopFrames = 8).toDF()
+        .filter(col("decoded"))
+        .select((col("id") * 2 + col("segIdx")).as("id"), col("avi"))
+      val scAdm = graft.operators.Video.incrementalVideoNearDedup(
+        scSegs, "id", "avi", scIdxDir, maxDistance = 0,
+        strictBuckets = true)
+      val scAgg = scAdm.agg(count(lit(1)),
+        sum(when(col("id") % 1000 === 1, 1L).otherwise(0L)))
+        .collect()(0)
+      val tScene = (System.nanoTime() - t99) / 1e9
+      require(scAgg.getLong(0) == 2L * nSc - 2L * (nSc / 1000L),
+        s"scene admitted ${scAgg.getLong(0)} != " +
+          s"${2L * nSc - 2L * (nSc / 1000L)}")
+      require(scAgg.getLong(1) == 0L,
+        s"${scAgg.getLong(1)} planted scene segments leaked through")
+      val rtS = Runtime.getRuntime
+      println(f"sceneDetect: 1 indexed 66-frame scene vs $nSc%d clips " +
+        f"(${2L * nSc} segments re-encoded + fingerprinted) -> " +
+        f"exactly ${2L * (nSc / 1000L)} planted containers found in " +
+        f"$tScene%.1f s (${nSc / tScene}%.0f clips/s), " +
+        f"heapUsed=${(rtS.totalMemory - rtS.freeMemory) / 1e6}%.0f MB")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(scIdxDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p2 => java.nio.file.Files.delete(p2))
+    }
+
     // --- approxGroupedRankBuckets at 100k groups: the crawl-scale
     // rank-cut engine with a closed-form planted answer. 100k domains
     // x 10 docs, scores 0..9 within each; 16 bins over [0, 10] give

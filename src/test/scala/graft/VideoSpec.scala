@@ -749,4 +749,97 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
       "id", "content").collect()
     assert(grids.forall(_.decoded))
   }
+
+  // ---- scene segments --------------------------------------------------
+
+  test("segmentVideos: overlapping fixed-frame sub-clips re-encode as " +
+      "REAL AVIs whose re-decode equals the source frames exactly; " +
+      "trailing remainder not emitted; undecodable -> one marker row") {
+    val n = 14
+    val bytes = avi(3, n, w = 4, h = 3)
+    val segs = Video.segmentVideos(df((1L, bytes)), "id", "content",
+      segmentFrames = 6, hopFrames = 4).collect()
+    assert(segs.forall(_.decoded))
+    // starts 0, 4, 8; frames 12..13 are remainder
+    assert(segs.map(s => (s.segIdx, s.startFrame)).toSeq.sorted ==
+      Seq((0L, 0L), (1L, 4L), (2L, 8L)))
+    val frameLuma = (0 until n).map(f =>
+      frame(3, f, 4, 3).map(b => (b & 0xFF).toLong).sum)
+    segs.foreach { s =>
+      val v = Video.decodeSampledLuma(df((9L, s.avi)), "id", "content",
+        nSamples = 6).collect().head
+      assert(v.decoded && v.nFrames == 6L && v.durationMs == 6L * 40)
+      assert(v.lumaSums ==
+        (s.startFrame.toInt until s.startFrame.toInt + 6)
+          .map(frameLuma), s"segment ${s.segIdx}")
+    }
+    // honesty: garbage and compressed-unknown payloads -> marker row
+    val comp = bytes.clone()
+    comp(indexOfTag(bytes, "strf") + 8 + 16) = 1 // BI_RLE8
+    val bad = Video.segmentVideos(
+      df((1L, "junk".getBytes("US-ASCII")), (2L, comp)),
+      "id", "content", segmentFrames = 6).collect()
+    assert(bad.length == 2 && bad.forall(s =>
+      !s.decoded && s.segIdx == -1L))
+  }
+
+  test("segmentVideos on MJPEG: segments re-encode uncompressed, " +
+      "pixel-exact with the direct JPEG decode of the source frames") {
+    val bytes = mjpegAvi(5, 7)
+    val segs = Video.segmentVideos(df((1L, bytes)), "id", "content",
+      segmentFrames = 3, hopFrames = 2).collect()
+    assert(segs.map(_.startFrame).toSeq.sorted == Seq(0L, 2L, 4L))
+    val expectLuma = (0 until 7).map { f =>
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(flatJpeg(mjpegGray(5, f))))
+      var s = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val rgb = bi.getRGB(x, y)
+        s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+      }
+      s
+    }
+    segs.foreach { s =>
+      val v = Video.decodeSampledLuma(df((9L, s.avi)), "id", "content",
+        nSamples = 3).collect().head
+      assert(v.decoded && v.lumaSums ==
+        (s.startFrame.toInt until s.startFrame.toInt + 3)
+          .map(expectLuma), s"segment ${s.segIdx}")
+    }
+  }
+
+  test("scene hunt by composition: segments of clips CONTAINING a " +
+      "known 66-frame scene match the scene's index at distance 0; " +
+      "scene-free clips pass") {
+    val sceneFrames = (0 until 66).map(f => frame(99, f, 4, 3))
+    val scene = Video.buildUncompressedAvi(4, 3, sceneFrames, 40000L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scene-idx").toString
+    import spark.implicits._
+    Video.writeVideoNearDupIndex(
+      Seq((0L, scene)).toDF("id", "content"), "id", "content", dir)
+    // clips of 80 frames; planted ids carry the scene at offset 8
+    def clip(base: Int, planted: Boolean): Array[Byte] =
+      Video.buildUncompressedAvi(4, 3,
+        (0 until 80).map(f =>
+          if (planted && f >= 8 && f < 74) sceneFrames(f - 8)
+          else frame(base, f, 4, 3)),
+        40000L)
+    val clips = df((1L, clip(1, planted = true)),
+      (2L, clip(2, planted = false)), (3L, clip(3, planted = true)))
+    val segs = Video.segmentVideos(clips, "id", "content",
+      segmentFrames = 66, hopFrames = 8).toDF()
+      .filter(col("decoded"))
+      .select((col("id") * 10 + col("segIdx")).as("id"), col("avi"))
+    // segments per clip start at 0 and 8; the planted clips' segment 1
+    // IS the scene
+    val matchedContainers = {
+      val admitted = Video.incrementalVideoNearDedup(segs, "id", "avi",
+        dir, maxDistance = 0).collect().map(_.getLong(0)).toSet
+      val all = segs.collect().map(_.getLong(0)).toSet
+      (all -- admitted).map(_ / 10)
+    }
+    assert(matchedContainers == Set(1L, 3L),
+      s"scene containers found: $matchedContainers")
+  }
 }
