@@ -576,6 +576,44 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"crop not dropped / fresh not admitted: $admitted")
   }
 
+  test("tileImages canonical-BMP fast path: byte parity with the " +
+      "ImageIO path on identical pixels; foreign BMP shapes fall " +
+      "back to ImageIO") {
+    import spark.implicits._
+    // one pixel stream, two carriers: our canonical BMP (fast path)
+    // and a PNG of the same pixels (ImageIO path)
+    val w = 37; val h = 23 // non-multiple-of-4 width: stride padding
+    val bgr = Array.tabulate(3 * w * h)(k => ((k * 7 + 3) % 251).toByte)
+    val bmp = Multimodal.buildBmp(w, h, bgr)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = 3 * (y * w + x)
+      bi.setRGB(x, y, ((bgr(o + 2) & 0xFF) << 16) |
+        ((bgr(o + 1) & 0xFF) << 8) | (bgr(o) & 0xFF))
+    }
+    val png = encode(bi, "png")
+    def tilesOf(payload: Array[Byte]) =
+      Multimodal.tileImages(Seq((1L, payload)).toDF("id", "content"),
+        "id", "content", tileW = 9, tileH = 5, hopX = 4, hopY = 3)
+        .collect().map(t => (t.tileX, t.tileY) -> t.image).toMap
+    val fast = tilesOf(bmp)
+    val slow = tilesOf(png)
+    assert(fast.keySet == slow.keySet && fast.nonEmpty)
+    fast.foreach { case (k, img) =>
+      assert(java.util.Arrays.equals(img, slow(k)), s"tile $k differs")
+    }
+    // a BMP ImageIO writes (top-down row order differs from ours /
+    // different header sizes) must not be mistaken for the canonical
+    // shape: same pixels through either path
+    val foreignBmp = encode(bi, "bmp")
+    val foreign = tilesOf(foreignBmp)
+    assert(foreign.keySet == fast.keySet)
+    foreign.foreach { case (k, img) =>
+      assert(java.util.Arrays.equals(img, fast(k)), s"foreign tile $k")
+    }
+  }
+
   test("admission cap semantics: snapshot multiplicity cannot evict a " +
       "corpus needle; over-cap CORPUS buckets drop silently by default " +
       "and strictBuckets=true fails loud") {
