@@ -719,10 +719,12 @@ object Audio {
 
   private val AudioIndexSidecar = "_graft_audio_index_params.json"
 
-  private def audioIndexParamsJson(window: Int, maxFrames: Int): String =
+  private def audioIndexParamsJson(window: Int, maxFrames: Int,
+      canonicalRate: Int): String =
     Seq("kind" -> "audio_near_dup",
       "window" -> (if (window == 0) "auto" else window.toString),
-      "nWindows" -> "65", "maxFrames" -> maxFrames.toString)
+      "nWindows" -> "65", "maxFrames" -> maxFrames.toString,
+      "canonicalRate" -> canonicalRate.toString)
       .map { case (k, v) =>
         s"${graft.JsonStr(k)}:${graft.JsonStr(v)}" }
       .mkString("{", ",", "}")
@@ -733,17 +735,18 @@ object Audio {
     SigIndex.readParams(spark, indexPath, AudioIndexSidecar,
       "writeAudioNearDupIndex", who)
 
-  /** (window, maxFrames) back out of a sidecar — fail-loud on any
-    * shape this writer never produced.
+  /** (window, maxFrames, canonicalRate) back out of a sidecar —
+    * fail-loud on any shape this writer never produced.
     */
   private def parseAudioIndexParams(json: String,
-      who: String): (Int, Int) = {
+      who: String): (Int, Int, Int) = {
     val m = java.util.regex.Pattern
-      .compile("\"window\":\"(auto|\\d+)\".*\"maxFrames\":\"(\\d+)\"")
+      .compile("\"window\":\"(auto|\\d+)\".*\"maxFrames\":\"(\\d+)\"" +
+        ".*\"canonicalRate\":\"(\\d+)\"")
       .matcher(json)
     require(m.find(), s"$who: malformed sidecar: $json")
     (if (m.group(1) == "auto") 0 else m.group(1).toInt,
-      m.group(2).toInt)
+      m.group(2).toInt, m.group(3).toInt)
   }
 
   /** Persist the corpus side of perceptual audio dedup as a REUSABLE
@@ -762,16 +765,25 @@ object Audio {
     * mid-rewrite leaves a reader-rejected no-sidecar index, never a
     * stale sidecar over mixed-generation parquet; a rebuild drops
     * append batches from the previous generation.
+    *
+    * `canonicalRate > 0` builds a RATE-NORMALIZED index
+    * ([[audioSigs]]): the sidecar records the rate, admissions and
+    * appends re-hash under it, and 8 kHz / 16 kHz carriers of one
+    * content dedup against each other — an index built at one rate
+    * refuses appends declaring another.
     */
   def writeAudioNearDupIndex(corpus: DataFrame, idCol: String,
       binCol: String, path: String, window: Int = 0,
-      maxFrames: Int = 1 << 20): Unit = {
+      maxFrames: Int = 1 << 20, canonicalRate: Int = 0): Unit = {
     require(window >= 0, "window must be >= 0 (0 = auto per clip)")
+    require(canonicalRate >= 0,
+      "canonicalRate must be >= 0 (0 = no rate normalization)")
     graft.operators.TopK.requireIntegral(corpus, idCol,
       "writeAudioNearDupIndex")
     SigIndex.write(corpus.sparkSession, path, AudioIndexSidecar,
-      audioIndexParamsJson(window, maxFrames),
-      Seq("sigs" -> audioSigs(corpus, idCol, binCol, window, maxFrames)
+      audioIndexParamsJson(window, maxFrames, canonicalRate),
+      Seq("sigs" -> audioSigs(corpus, idCol, binCol, window, maxFrames,
+        canonicalRate)
         .select(col("id"), col("sig").as("sh"))))
   }
 
@@ -785,17 +797,18 @@ object Audio {
     */
   def appendToAudioNearDupIndex(newClips: DataFrame, idCol: String,
       binCol: String, indexPath: String, window: Int = 0,
-      maxFrames: Int = 1 << 20): Unit = {
+      maxFrames: Int = 1 << 20, canonicalRate: Int = 0): Unit = {
     graft.operators.TopK.requireIntegral(newClips, idCol,
       "appendToAudioNearDupIndex")
     val spark = newClips.sparkSession
     SigIndex.requireParams(
       readAudioIndexParams(spark, indexPath,
         "appendToAudioNearDupIndex"),
-      audioIndexParamsJson(window, maxFrames), indexPath,
+      audioIndexParamsJson(window, maxFrames, canonicalRate), indexPath,
       "appendToAudioNearDupIndex")
     SigIndex.appendBatch(spark, indexPath,
-      Seq("sigs" -> audioSigs(newClips, idCol, binCol, window, maxFrames)
+      Seq("sigs" -> audioSigs(newClips, idCol, binCol, window, maxFrames,
+        canonicalRate)
         .select(col("id"), col("sig").as("sh"))))
   }
 
@@ -818,12 +831,13 @@ object Audio {
     graft.operators.TopK.requireIntegral(snapshot, idCol,
       "incrementalAudioNearDedup")
     val spark = snapshot.sparkSession
-    val (window, maxFrames) = parseAudioIndexParams(
+    val (window, maxFrames, canonicalRate) = parseAudioIndexParams(
       readAudioIndexParams(spark, indexPath,
         "incrementalAudioNearDedup"), "incrementalAudioNearDedup")
     val corpusSigs = spark.read.parquet(
       Dedup.indexSidePaths(spark, indexPath, "sigs"): _*)
-    val snapSigs = audioSigs(snapshot, idCol, binCol, window, maxFrames)
+    val snapSigs = audioSigs(snapshot, idCol, binCol, window, maxFrames,
+      canonicalRate)
       .select(col("id"), col("sig").as("sh"))
     val matched = Dedup.hamming64CrossMatches(corpusSigs, snapSigs,
       maxDistance, maxBucket, strictBuckets)
@@ -843,9 +857,14 @@ object Audio {
     * pinned to the [[windowEnergies]] HOF reference) — parity is
     * spec-pinned by the maxDistance=0 streaming admission tests.
     */
-  private def energiesUdf(window: Int, maxFrames: Int) =
+  private def energiesUdf(window: Int, maxFrames: Int,
+      canonicalRate: Int = 0) =
     udf { (bytes: Array[Byte]) =>
-      decodeSamples(bytes, maxFrames).map { case (_, samples) =>
+      decodeSamples(bytes, maxFrames).map { case (m, raw) =>
+        val samples =
+          if (canonicalRate > 0)
+            resampleLinear(raw, m.sampleRate, canonicalRate)
+          else raw
         val w =
           if (window > 0) window
           else math.max(1, ((samples.length + 64) / 65))
@@ -886,13 +905,14 @@ object Audio {
       lateness: String = "1 hour", maxDistance: Int = 3,
       maxBucket: Int = 1000, strictBuckets: Boolean = false): DataFrame = {
     val spark = stream.sparkSession
-    val (window, maxFrames) = parseAudioIndexParams(
+    val (window, maxFrames, canonicalRate) = parseAudioIndexParams(
       readAudioIndexParams(spark, indexPath,
         "streamingAudioNearDedup"), "streamingAudioNearDedup")
     val streamCols = stream.columns.toSeq
     val withSig = stream
       .withWatermark(tsCol, lateness)
-      .withColumn("__en", energiesUdf(window, maxFrames)(col(binCol)))
+      .withColumn("__en",
+        energiesUdf(window, maxFrames, canonicalRate)(col(binCol)))
       .withColumn("__sh",
         when(col("__en").isNotNull, audioFingerprint64(col("__en"))))
     Dedup.hamming64StreamAdmit(withSig, streamCols,

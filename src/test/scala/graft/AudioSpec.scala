@@ -775,4 +775,66 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(naive.isEmpty, naive.mkString(","))
   }
+
+  test("rate-normalized index lifecycle: sidecar records the rate, " +
+      "admission re-hashes under it (16 kHz twin of an 8 kHz corpus " +
+      "clip is dropped, batch AND streaming), mismatched-rate append " +
+      "fails loud") {
+    import spark.implicits._
+    def node(cls: Long, k: Int): Int =
+      (Math.floorMod(cls * 2654435761L + k * 40503L, 65536L) - 32768L)
+        .toInt
+    def c8(cls: Long, j: Int): Int =
+      if (j % 2 == 0) node(cls, j / 2)
+      else {
+        val w0 = node(cls, (j - 1) / 2); val w1 = node(cls, (j + 1) / 2)
+        w0 + math.floorDiv(w1 - w0, 2)
+      }
+    def wav8(cls: Long) =
+      Audio.wrapWav(Array.tabulate(259)(c8(cls, _)), 0, 259, 8000)
+    def wav16(cls: Long) = {
+      val s = Array.tabulate(517) { k =>
+        if (k % 2 == 0) c8(cls, k / 2)
+        else {
+          val a = c8(cls, (k - 1) / 2); val b = c8(cls, (k + 1) / 2)
+          a + math.floorDiv(b - a, 2)
+        }
+      }
+      Audio.wrapWav(s, 0, 517, 16000)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-audio-rate-idx").toString
+    Audio.writeAudioNearDupIndex(
+      Seq(1L -> wav8(0), 2L -> wav8(1)).toDF("id", "content"),
+      "id", "content", dir, canonicalRate = 8000)
+    val snap = Seq(10L -> wav16(0), 11L -> wav16(5))
+      .toDF("id", "content")
+    val adm = Audio.incrementalAudioNearDedup(snap, "id", "content",
+      dir, maxDistance = 0).collect().map(_.getLong(0)).toSet
+    assert(adm == Set(11L), s"rate-twin not dropped: $adm")
+    intercept[IllegalArgumentException] {
+      Audio.appendToAudioNearDupIndex(snap, "id", "content", dir,
+        canonicalRate = 16000)
+    }
+    intercept[IllegalArgumentException] {
+      Audio.appendToAudioNearDupIndex(snap, "id", "content", dir)
+    }
+    // streaming twin: the UDF path resamples under the recorded rate
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val admitted = Audio.streamingAudioNearDedup(
+      mem.toDF().toDF("id", "content", "ts"), "id", "content", "ts",
+      dir, maxDistance = 0)
+    val q = admitted.writeStream.format("memory")
+      .queryName("stream_audio_rate").outputMode("append").start()
+    try {
+      val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      mem.addData((20L, wav16(1), ts), (21L, wav16(7), ts))
+      q.processAllAvailable()
+      val got = spark.table("stream_audio_rate")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(21L), s"streaming rate admission: $got")
+    } finally q.stop()
+  }
 }
