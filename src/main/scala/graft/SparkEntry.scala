@@ -394,6 +394,55 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real STEREO IMA ADPCM WAV payloads, closed-form like
+    * [[syntheticAdpcmDocs]]: one 24-byte block (per-channel 4-byte
+    * headers, then round-robin 4-byte data groups), channel ch of doc
+    * d starting at predictor `((d·31 + ch·41) % 1024) − 512`, step
+    * index `(d + 7·ch) % 89`, nibble k `(d·7 + ch·29 + k·5) % 16` —
+    * 17 mono frames per doc through the interleaved decode + floor-
+    * division mixdown.
+    */
+  private def syntheticAdpcmStereoDocs(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val blockAlign = 24
+      val spb = 17
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt)
+        bos.write(((v >> 24) & 0xFF).toInt)
+      }
+      def w16(v: Int): Unit = {
+        bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      }
+      def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      tag4("RIFF"); w32(4L + 28 + 8 + blockAlign); tag4("WAVE")
+      tag4("fmt "); w32(20L)
+      w16(0x11); w16(2); w32(8000L); w32(8000L * blockAlign / spb)
+      w16(blockAlign); w16(4); w16(2); w16(spb)
+      tag4("data"); w32(blockAlign.toLong)
+      def nib(ch: Int, k: Int): Int =
+        Math.floorMod(id * 7 + ch * 29 + k * 5, 16L).toInt
+      (0 until 2).foreach { ch =>
+        val pred0 = (Math.floorMod(id * 31 + ch * 41, 1024L) - 512L)
+          .toInt
+        val idx0 = Math.floorMod(id + 7L * ch, 89L).toInt
+        w16(pred0 & 0xFFFF); bos.write(idx0); bos.write(0)
+      }
+      (0 until 2).foreach { g => // round-robin groups of 8 nibbles
+        (0 until 2).foreach { ch =>
+          (0 until 4).foreach { j =>
+            bos.write(nib(ch, 8 * g + 2 * j) |
+              (nib(ch, 8 * g + 2 * j + 1) << 4))
+          }
+        }
+      }
+      bos.toByteArray
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real 32×24 BMP payloads with closed-form pixels — byte k of the
     * top-down BGR stream is `(doc_id·131 + k·7) % 101` — built with
     * the library's own canonical encoder ([[Multimodal.buildBmp]],
@@ -1390,6 +1439,14 @@ object SparkEntry {
     "q_audio_adpcm" -> ((s, dir) =>
       Audio.audioStats(syntheticAdpcmDocs(t(s, dir, "documents")),
         "id", "content", window = 8, nWindows = 4)),
+
+    // STEREO IMA ADPCM: interleaved per-channel state + floor-mean
+    // mixdown, replayed in the same recursive-CTE shape with a ch
+    // dimension
+    "q_audio_adpcm_stereo" -> ((s, dir) =>
+      Audio.audioStats(
+        syntheticAdpcmStereoDocs(t(s, dir, "documents")),
+        "id", "content", window = 8, nWindows = 2)),
 
     // rate-normalized audio near-dup: 8/16/4 kHz carriers of the same
     // piecewise-linear content all resample (exact integer linear,
@@ -3853,6 +3910,69 @@ object SparkEntry {
         |    AS BIGINT) AS e3,
         |  CAST(list_sum(list_transform(s[25:32], x -> CAST(x AS BIGINT) * x))
         |    AS BIGINT) AS e4
+        |FROM sm
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // stereo IMA ADPCM: the mono recursive decode with a channel
+    // dimension — each (doc, ch) carries its own (pred, idx) walk —
+    // then the floor-division mixdown (DuckDB // truncates, hence
+    // the fix-up) and the same stats folds
+    "q_audio_adpcm_stereo" ->
+      """WITH RECURSIVE tabs AS (SELECT
+        |  [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |   50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |   230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |   876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |   2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |   7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |   20350,22385,24623,27086,29794,32767] AS st,
+        |  [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8] AS it),
+        |dec AS (
+        |  SELECT doc_id AS id, ch, 0 AS k,
+        |    CAST(((doc_id * 31 + ch * 41) % 1024) - 512 AS INT) AS pred,
+        |    CAST((doc_id + 7 * ch) % 89 AS INT) AS idx
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS ch)
+        |  UNION ALL
+        |  SELECT id, ch, k + 1,
+        |    CAST(GREATEST(-32768, LEAST(32767,
+        |      pred + CASE WHEN (code & 8) = 8 THEN -d ELSE d END))
+        |      AS INT),
+        |    CAST(GREATEST(0, LEAST(88, idx + itv)) AS INT)
+        |  FROM (
+        |    SELECT id, ch, k, pred, idx, code,
+        |      (step >> 3)
+        |        + CASE WHEN (code & 1) = 1 THEN step >> 2 ELSE 0 END
+        |        + CASE WHEN (code & 2) = 2 THEN step >> 1 ELSE 0 END
+        |        + CASE WHEN (code & 4) = 4 THEN step ELSE 0 END AS d,
+        |      it[code + 1] AS itv
+        |    FROM (
+        |      SELECT id, ch, k, pred, idx,
+        |        CAST((id * 7 + ch * 29 + k * 5) % 16 AS INT) AS code,
+        |        st[idx + 1] AS step, it
+        |      FROM dec, tabs WHERE k < 16))),
+        |mix AS (SELECT id, k,
+        |    CAST((s0 + s1) // 2 + CASE WHEN (s0 + s1) < 0
+        |      AND (s0 + s1) % 2 <> 0 THEN -1 ELSE 0 END AS INT) AS v
+        |  FROM (SELECT id, k,
+        |      max(CASE WHEN ch = 0 THEN pred END) AS s0,
+        |      max(CASE WHEN ch = 1 THEN pred END) AS s1
+        |    FROM dec GROUP BY id, k)),
+        |sm AS (SELECT id, list(v ORDER BY k) AS s
+        |  FROM mix GROUP BY id)
+        |SELECT id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(2 AS INT) AS channels,
+        |  CAST(len(s) AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(s, x -> abs(x)))
+        |    AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(list_transform(generate_series(1, len(s) - 1),
+        |    i -> CASE WHEN (s[i] >= 0) != (s[i + 1] >= 0)
+        |    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS total_energy,
+        |  CAST(list_sum(list_transform(s[1:8], x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS e1,
+        |  CAST(list_sum(list_transform(s[9:16], x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS e2
         |FROM sm
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

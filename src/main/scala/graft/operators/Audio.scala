@@ -342,7 +342,7 @@ object Audio {
         }
         Some((m, out))
       case Some(m) if m.format == ImaAdpcmFormat &&
-          m.bitsPerSample == 4 && m.channels == 1 && m.nFrames > 0 =>
+          m.bitsPerSample == 4 && m.channels >= 1 && m.nFrames > 0 =>
         Some((m, decodeImaPayload(bytes, m, maxFrames)))
       case _ => None
     }
@@ -370,22 +370,26 @@ object Audio {
   private[graft] val ImaIndexTable: Array[Int] =
     Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
-  /** Samples recoverable from `avail` bytes of one mono IMA block
-    * whose full size is `blockAlign`: the 4-byte header carries the
-    * block's first sample verbatim, every later byte two coded
-    * nibbles, capped at `spb` (the fmt-declared samples/block).
-    * Truncated trailing blocks decode what is present — never
-    * fabricated samples.
+  /** FRAMES recoverable from `avail` bytes of one IMA block whose
+    * full size is `blockAlign`: the per-channel 4-byte headers carry
+    * the block's first frame verbatim; mono data is a plain nibble
+    * stream (two samples per byte), multi-channel data round-robins
+    * 4-byte groups so a frame exists only when EVERY channel has its
+    * sample — the last channel's complete rounds bound the count.
+    * Capped at `spb`. Truncated trailing blocks decode what is
+    * present — never fabricated samples.
     */
-  private def imaBlockSamples(avail: Long, spb: Int): Long =
-    if (avail < 4L) 0L
-    else math.min(spb.toLong, 1L + (avail - 4L) * 2L)
+  private def imaBlockSamples(avail: Long, spb: Int, ch: Int): Long =
+    if (avail < 4L * ch) 0L
+    else if (ch == 1) math.min(spb.toLong, 1L + (avail - 4L) * 2L)
+    else math.min(spb.toLong,
+      1L + 8L * ((avail - 4L * ch) / (4L * ch)))
 
-  /** Exact IMA ADPCM sample count of a mono data chunk. */
+  /** Exact IMA ADPCM mono-mixdown frame count of a data chunk. */
   private def imaSampleCount(dataLen: Long, blockAlign: Int,
-      spb: Int): Long = {
+      spb: Int, ch: Int): Long = {
     val full = dataLen / blockAlign
-    full * spb + imaBlockSamples(dataLen % blockAlign, spb)
+    full * spb + imaBlockSamples(dataLen % blockAlign, spb, ch)
   }
 
   /** Decode one mono IMA block in place: emits into `out` starting at
@@ -432,8 +436,81 @@ object Audio {
     pos
   }
 
-  /** Decode a whole mono IMA ADPCM data chunk (all blocks, predictor
-    * and step index re-initialized from each block's own header).
+  /** Decode one multi-channel IMA block to mono frames: one 4-byte
+    * header per channel, then round-robin 4-byte data groups (8
+    * nibbles each, low nibble first); every channel keeps its own
+    * (pred, idx) state, and frame f mixes down by floor-division mean
+    * — the same convention as the PCM16 path. Emits only frames every
+    * channel reached (the last channel's complete rounds bound a
+    * truncated block).
+    */
+  private def decodeImaBlockMulti(bytes: Array[Byte], off: Int,
+      blockLen: Int, spb: Int, ch: Int, out: Array[Int], at: Int,
+      maxFill: Int): Int = {
+    if (blockLen < 4 * ch || at >= maxFill) return at
+    val streams = Array.fill(ch)(new Array[Int](spb))
+    val fill = new Array[Int](ch)
+    val preds = new Array[Int](ch)
+    val idxs = new Array[Int](ch)
+    var c = 0
+    while (c < ch) {
+      val ho = off + 4 * c
+      preds(c) = ((bytes(ho) & 0xFF) | (bytes(ho + 1) << 8)).toShort
+        .toInt
+      idxs(c) = math.min(88, bytes(ho + 2) & 0xFF)
+      streams(c)(0) = preds(c)
+      fill(c) = 1
+      c += 1
+    }
+    var b = off + 4 * ch
+    val end = off + blockLen
+    var g = 0L // data group counter (4 bytes each, round-robin)
+    while (b + 4 <= end) {
+      val cc = (g % ch).toInt
+      var bi = 0
+      while (bi < 4) {
+        val byte = bytes(b + bi) & 0xFF
+        var half = 0
+        while (half < 2) {
+          if (fill(cc) < spb) {
+            val code = if (half == 0) byte & 0x0F else byte >> 4
+            val step = ImaStepTable(idxs(cc))
+            var diff = step >> 3
+            if ((code & 1) != 0) diff += step >> 2
+            if ((code & 2) != 0) diff += step >> 1
+            if ((code & 4) != 0) diff += step
+            preds(cc) = math.max(-32768, math.min(32767,
+              if ((code & 8) != 0) preds(cc) - diff
+              else preds(cc) + diff))
+            idxs(cc) = math.max(0,
+              math.min(88, idxs(cc) + ImaIndexTable(code)))
+            streams(cc)(fill(cc)) = preds(cc)
+            fill(cc) += 1
+          }
+          half += 1
+        }
+        bi += 1
+      }
+      b += 4
+      g += 1
+    }
+    val frames = math.min(fill.min, spb)
+    var f = 0
+    var pos = at
+    while (f < frames && pos < maxFill) {
+      var sum = 0L
+      var c2 = 0
+      while (c2 < ch) { sum += streams(c2)(f); c2 += 1 }
+      out(pos) = math.floorDiv(sum, ch).toInt
+      pos += 1
+      f += 1
+    }
+    pos
+  }
+
+  /** Decode a whole IMA ADPCM data chunk to mono frames (all blocks,
+    * per-channel predictor and step index re-initialized from each
+    * block's own headers).
     */
   private def decodeImaPayload(bytes: Array[Byte], m: Parsed,
       maxFrames: Int): Array[Int] = {
@@ -444,8 +521,12 @@ object Audio {
     val end = m.dataOffset + m.dataLen
     while (off < end && at < total) {
       val blockLen = math.min(m.blockAlign.toLong, end - off).toInt
-      at = decodeImaBlock(bytes, off.toInt, blockLen,
-        m.samplesPerBlock, out, at, total)
+      at =
+        if (m.channels == 1)
+          decodeImaBlock(bytes, off.toInt, blockLen,
+            m.samplesPerBlock, out, at, total)
+        else decodeImaBlockMulti(bytes, off.toInt, blockLen,
+          m.samplesPerBlock, m.channels, out, at, total)
       off += m.blockAlign
     }
     out
@@ -993,20 +1074,28 @@ object Audio {
     if (format < 0 || dataOff < 0 || rate <= 0 || channels <= 0 ||
         bits <= 0) return None
     if (format == ImaAdpcmFormat) {
-      // mono 4-bit IMA ADPCM: frames come from the BLOCK layout (the
+      // 4-bit IMA ADPCM: frames come from the BLOCK layout (the
       // byte-per-frame math below would divide by zero), clamped by
       // the fact chunk's declared sample count when present (the
       // standard contract for compressed WAV — the final block's pad
-      // nibbles are layout, not content). Multi-channel / non-4-bit
-      // IMA is honestly unparsed rather than misreported.
-      if (bits != 4 || channels != 1 || blockAlign < 8) return None
-      val capacity = (blockAlign - 4) * 2 + 1
+      // nibbles are layout, not content). Mono data is a plain nibble
+      // stream after the 4-byte header; multi-channel blocks carry
+      // one 4-byte header per channel then round-robin 4-byte data
+      // groups (8 samples per group), so the layout must close on
+      // whole rounds. Non-4-bit IMA is honestly unparsed.
+      if (bits != 4 || channels < 1 || blockAlign < 4 * channels + 4)
+        return None
+      if (channels > 1 &&
+        (blockAlign - 4 * channels) % (4 * channels) != 0) return None
+      val capacity =
+        if (channels == 1) (blockAlign - 4) * 2 + 1
+        else (blockAlign - 4 * channels) * 2 / channels + 1
       val spb =
         if (spbDecl >= 1) math.min(spbDecl, capacity) else capacity
-      var n = imaSampleCount(dataLen, blockAlign, spb)
+      var n = imaSampleCount(dataLen, blockAlign, spb, channels)
       if (factSamples >= 0 && factSamples < n) n = factSamples
-      return Some(Parsed(format, rate, 1, bits, n, n * 1000L / rate,
-        dataOff, dataLen, blockAlign, spb))
+      return Some(Parsed(format, rate, channels, bits, n,
+        n * 1000L / rate, dataOff, dataLen, blockAlign, spb))
     }
     val frameBytes = (bits / 8).toLong * channels
     if (frameBytes <= 0) return None

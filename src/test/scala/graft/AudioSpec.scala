@@ -670,7 +670,8 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.samples.toSeq ==
       (imaRef(b0._1, b0._2, b0._3) ++
         imaRef(b0._1, b0._2, b0._3.take(6))))
-    // stereo ADPCM: honestly unparsed (mono-only decode)
+    // a stereo claim over a mono-shaped block (blockAlign 12 cannot
+    // close on whole 4-byte-per-channel rounds): honestly unparsed
     val stereo = full.clone()
     stereo(22) = 2 // nChannels field inside fmt
     val m = Audio.parseWavHeader(df(1L -> stereo), "id", "content")
@@ -683,6 +684,71 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lm = Audio.parseWavHeader(df(1L -> lying), "id", "content")
       .collect().head
     assert(lm.parsed && lm.nFrames == 34, s"nFrames=${lm.nFrames}")
+  }
+
+  /** Hand-rolled STEREO IMA ADPCM WAV: per-channel 4-byte headers,
+    * then round-robin 4-byte data groups (8 nibbles each).
+    */
+  private def imaWavStereo(
+      blocks: Seq[Seq[(Int, Int, Seq[Int])]], blockAlign: Int,
+      rate: Int = 8000): Array[Byte] = {
+    val ch = 2
+    val spb = (blockAlign - 4 * ch) * 2 / ch + 1
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    val dataLen = blocks.length * blockAlign
+    put("RIFF".getBytes("US-ASCII"))
+    put(le32(4L + 28 + 8 + dataLen))
+    put("WAVE".getBytes("US-ASCII"))
+    put("fmt ".getBytes("US-ASCII")); put(le32(20L))
+    put(le16(0x11)); put(le16(ch)); put(le32(rate.toLong))
+    put(le32(rate.toLong * blockAlign / spb))
+    put(le16(blockAlign)); put(le16(4)); put(le16(2)); put(le16(spb))
+    put("data".getBytes("US-ASCII")); put(le32(dataLen.toLong))
+    blocks.foreach { chans =>
+      require(chans.length == ch)
+      chans.foreach { case (pred0, idx0, codes) =>
+        require(codes.length == spb - 1)
+        put(le16(pred0 & 0xFFFF)); bos.write(idx0); bos.write(0)
+      }
+      // round-robin 4-byte groups: 8 nibbles per group per channel
+      val groups = (spb - 1) / 8
+      (0 until groups).foreach { g =>
+        chans.foreach { case (_, _, codes) =>
+          codes.slice(8 * g, 8 * g + 8).grouped(2)
+            .foreach(p => bos.write(p(0) | (p(1) << 4)))
+        }
+      }
+    }
+    bos.toByteArray
+  }
+
+  test("stereo IMA ADPCM: per-channel state decodes independently, " +
+      "frames mix down by floor-division mean, truncation binds to " +
+      "the last channel's complete rounds") {
+    // blockAlign 24, ch 2: spb = 17, two 4-byte groups per channel
+    val c0 = (800, 12, (0 until 16).map(k => (k * 3 + 2) % 16))
+    val c1 = (-900, 30, (0 until 16).map(k => (k * 9 + 7) % 16))
+    val bytes = imaWavStereo(Seq(Seq(c0, c1)), blockAlign = 24)
+    val m = Audio.parseWavHeader(df(1L -> bytes), "id", "content")
+      .collect().head
+    assert(m.parsed && m.channels == 2 && m.nFrames == 17)
+    val got = Audio.decodePcm16(df(1L -> bytes), "id", "content")
+      .collect().head
+    assert(got.decoded && got.channels == 2)
+    val s0 = imaRef(c0._1, c0._2, c0._3)
+    val s1 = imaRef(c1._1, c1._2, c1._3)
+    val expect = (0 until 17).map(f =>
+      math.floorDiv(s0(f).toLong + s1(f), 2).toInt)
+    assert(got.samples.toSeq == expect,
+      s"${got.samples.toSeq} vs $expect")
+    // truncate away the final 4-byte group (channel 1's second):
+    // channel 1 then has 1 complete round -> frames = 1 + 8 = 9
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 4)
+    val gotCut = Audio.decodePcm16(df(1L -> cut), "id", "content")
+      .collect().head
+    assert(gotCut.nFrames == 9, s"nFrames=${gotCut.nFrames}")
+    assert(gotCut.samples.toSeq == expect.take(9))
   }
 
   test("IMA ADPCM rides the audio family: metadata scan reports the " +
