@@ -929,7 +929,7 @@ object Dedup {
   def incrementalNearDedup(snapshot: DataFrame, existing: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, strictBuckets: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     TopK.requireIntegral(snapshot, idCol, "incrementalNearDedup(snapshot)")
     TopK.requireIntegral(existing, idCol, "incrementalNearDedup(existing)")
@@ -939,7 +939,7 @@ object Dedup {
     incrementalNearCore(snapshot, idCol, textCol,
       bandedRows(existingD, numHashes, bands),
       existingD.select(col("id").as("a"), gramSet(col("text")).as("__ga")),
-      numHashes, bands, threshold, maxBucket)
+      numHashes, bands, threshold, maxBucket, strictBuckets)
   }
 
   /** (id, band, band_sig) rows of a (id, text) frame — the banded
@@ -965,26 +965,37 @@ object Dedup {
   private def incrementalNearCore(snapshot: DataFrame, idCol: String,
       textCol: String, existingBanded: DataFrame, existingGrams: DataFrame,
       numHashes: Int, bands: Int, threshold: Double,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, strictBuckets: Boolean = false): DataFrame = {
     val snapshotD = snapshot
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    val banded = existingBanded.withColumn("side", lit(0L))
-      .unionByName(bandedRows(snapshotD, numHashes, bands)
-        .withColumn("side", lit(1L)))
-      .select(col("id"), col("side"), col("band"), col("band_sig"))
-    val bounded = TopK.boundedCollect[(Long, Long)](maxBucket)
-    val buckets = observeBuckets(
-      banded.groupBy(col("band"), col("band_sig"))
-        .agg(bounded(col("id"), col("side")).as("ms")),
-      "incremental_near", size(col("ms")), maxBucket)
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
-    // cross-side pairs only: corpus member × snapshot member
-    val candidates = buckets
-      .select(explode(col("ms")).as("m1"), col("ms"))
-      .filter(col("m1._2") === 0L)
-      .select(col("m1"), explode(col("ms")).as("m2"))
-      .filter(col("m2._2") === 1L)
-      .select(col("m1._1").as("a"), col("m2._1").as("b"))
+    // CORPUS-side-only band-bucket fold (the round-15
+    // hamming64CrossMatches shape): snapshot band rows join the capped
+    // bucket table and explode its members into (a, b) candidates, so
+    // snapshot multiplicity can never evict a corpus needle's bucket —
+    // the pre-r15 union fold counted both sides against the cap
+    val bounded = TopK.boundedCollect[Long](maxBucket)
+    def corpusBuckets(): DataFrame = observeBuckets(
+      existingBanded
+        .select(col("id").cast("long").as("__ca"), col("band"),
+          col("band_sig"))
+        .groupBy(col("band"), col("band_sig"))
+        .agg(bounded(col("__ca")).as("__cas")),
+      "incremental_near", size(col("__cas")), maxBucket)
+    if (strictBuckets) {
+      val dropped = corpusBuckets()
+        .filter(size(col("__cas")) > maxBucket).count()
+      require(dropped == 0L,
+        s"incrementalNearDedup: $dropped corpus band bucket(s) exceed " +
+          s"maxBucket=$maxBucket — every match against their members " +
+          s"would be dropped whole; raise maxBucket above the largest " +
+          s"indexed band multiplicity, or pass strictBuckets=false to " +
+          s"accept the drop (observable via bucketStats)")
+    }
+    val kept = corpusBuckets().filter(size(col("__cas")) <= maxBucket)
+    val candidates = bandedRows(snapshotD, numHashes, bands)
+      .select(col("id").as("b"), col("band"), col("band_sig"))
+      .join(kept, Seq("band", "band_sig"))
+      .select(explode(col("__cas")).as("a"), col("b"))
       .distinct()
     // verify with side-specific sources: candidates are (corpus a,
     // snapshot b) by construction, so the corpus never pays the b-side
@@ -1113,7 +1124,7 @@ object Dedup {
   def incrementalNearDedupIndexed(snapshot: DataFrame, idCol: String,
       textCol: String, indexPath: String, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, strictBuckets: Boolean = false): DataFrame = {
     TopK.requireIntegral(snapshot, idCol,
       "incrementalNearDedupIndexed(snapshot)")
     val spark = snapshot.sparkSession
@@ -1123,7 +1134,7 @@ object Dedup {
     incrementalNearCore(snapshot, idCol, textCol,
       spark.read.parquet(indexSidePaths(spark, indexPath, "bands"): _*),
       spark.read.parquet(indexSidePaths(spark, indexPath, "grams"): _*),
-      numHashes, bands, threshold, maxBucket)
+      numHashes, bands, threshold, maxBucket, strictBuckets)
   }
 
   /** Streaming NEAR-dedup: admit a live intake stream against a STATIC
@@ -1163,7 +1174,8 @@ object Dedup {
   def streamingNearDedup(stream: DataFrame, existing: DataFrame,
       idCol: String, textCol: String, tsCol: String,
       lateness: String = "1 hour", numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1000,
+      strictBuckets: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // same integral-id contract as every batch generator: a string id
     // would cast to null corpus cids and silently admit near-dups
@@ -1183,13 +1195,24 @@ object Dedup {
     // degenerate-bucket filter exact. Internal columns wear the "__"
     // prefix so a stream schema with its own names cannot collide.
     val bounded = TopK.boundedCollect[Seq[String]](maxBucket)
-    val buckets = existing
+    val allBuckets = existing
       .select(sig(col(textCol)).as("__sig"), grams(col(textCol)).as("__cg"))
       .select(col("__cg"), posexplode(bandSigs(col("__sig"), bands, rows)))
       .toDF("__cg", "__band", "__band_sig")
       .groupBy(col("__band"), col("__band_sig"))
       .agg(bounded(col("__cg")).as("__mgs"))
-      .filter(size(col("__mgs")) <= maxBucket)
+    if (strictBuckets) {
+      // the static side is computed once per stream start — a bounded
+      // batch action at wiring time, never per-batch
+      val dropped = allBuckets
+        .filter(size(col("__mgs")) > maxBucket).count()
+      require(dropped == 0L,
+        s"streamingNearDedup: $dropped corpus band bucket(s) exceed " +
+          s"maxBucket=$maxBucket — every stream match against their " +
+          s"members would be dropped whole; raise maxBucket, or pass " +
+          s"strictBuckets=false to accept the drop")
+    }
+    val buckets = allBuckets.filter(size(col("__mgs")) <= maxBucket)
     val streamCols = stream.columns.toSeq
     var cur = stream
       .withWatermark(tsCol, lateness)

@@ -597,6 +597,37 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 2)
   }
 
+  test("incrementalNearDedup cap semantics: snapshot multiplicity " +
+      "cannot evict a corpus needle; strictBuckets fails loud on " +
+      "over-cap CORPUS band buckets") {
+    val needle = "alpha beta gamma delta epsilon zeta eta theta"
+    val existing = docsDf(1L -> needle)
+    // 10 snapshot copies of the needle, cap 3: the pre-r15 union fold
+    // counted both sides (bucket size 11 > 3 -> all copies wrongly
+    // admitted); the corpus-side-only fold matches every copy
+    val snap = docsDf((100L until 110L).map(i => i -> needle): _*)
+    val adm = Dedup.incrementalNearDedup(snap, existing, "doc_id",
+      "text", maxBucket = 3).collect().map(_.getLong(0))
+    assert(adm.isEmpty, s"needle evicted by snapshot multiplicity: " +
+      adm.mkString(","))
+    // over-cap CORPUS bucket (5 identical indexed docs, cap 3):
+    // silent admit by default, loud under strictBuckets
+    val bigCorpus = docsDf((1L to 5L).map(i => i -> needle): _*)
+    val snap1 = docsDf(200L -> needle)
+    val silent = Dedup.incrementalNearDedup(snap1, bigCorpus,
+      "doc_id", "text", maxBucket = 3).collect().map(_.getLong(0))
+    assert(silent.toSeq == Seq(200L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDedup(snap1, bigCorpus, "doc_id", "text",
+        maxBucket = 3, strictBuckets = true).collect()
+    }
+    assert(e.getMessage.contains("exceed maxBucket=3"), e.getMessage)
+    val strictOk = Dedup.incrementalNearDedup(snap1, bigCorpus,
+      "doc_id", "text", maxBucket = 5, strictBuckets = true)
+      .collect().map(_.getLong(0))
+    assert(strictOk.isEmpty, strictOk.mkString(","))
+  }
+
   test("incrementalDedup: empty corpus admits the whole snapshot") {
     val existing = docsDf().limit(0)
     val snap = docsDf(1L -> "a", 2L -> "b")
