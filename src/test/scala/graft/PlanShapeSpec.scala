@@ -712,4 +712,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"all-pairs scan in video near-dup plan:\n$vnpPlan")
     assert(!vnpPlan.contains("rangepartitioning"), vnpPlan)
   }
+
+  test("round-15 admission shape: cross-side Hamming matching folds " +
+      "ONLY the corpus side — no union of the two sides feeds the " +
+      "bucket aggregation, snapshot rows join the bucket table") {
+    import graft.SparkEntry
+    val adm = SparkEntry.queries("q_image_admission")(spark, sf)
+    adm.collect()
+    val full = adm.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the pre-r15 kernel unioned corpus+snapshot blocks before the
+    // capped collect — a Union upstream of the aggregate meant
+    // snapshot multiplicity counted against the cap
+    assert(!full.contains("Union"),
+      s"union fold returned to the admission kernel:\n$full")
+    assert(!full.contains("CartesianProduct") &&
+      !full.contains("BroadcastNestedLoopJoin"), full)
+    // same contract on the MinHash text admission core
+    val tAdm = SparkEntry.queries("q_incremental_near_dedup_idx")(
+      spark, sf)
+    tAdm.collect()
+    val tPlan = tAdm.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!tPlan.contains("CartesianProduct") &&
+      !tPlan.contains("BroadcastNestedLoopJoin"), tPlan)
+  }
 }
