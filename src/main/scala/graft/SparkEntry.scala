@@ -266,23 +266,36 @@ object SparkEntry {
     val build = udf((id: Long) => {
       val base = (id % 64).toInt
       val n = 5 + base % 4
-      val frames = (0 until n).map { f =>
-        val gray = 16 + 16 * ((base * 7 + f * 3) % 11)
-        val bi = new java.awt.image.BufferedImage(
-          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = bi.createGraphics()
-        try {
-          g.setColor(new java.awt.Color(gray, gray, gray))
-          g.fillRect(0, 0, 16, 16)
-        } finally g.dispose()
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(bi, "jpg", out)
-        out.toByteArray
-      }
+      val frames = (0 until n).map(f =>
+        MjpegFixture.flat(16 + 16 * ((base * 7 + f * 3) % 11)))
       Video.buildMjpegAvi(16, 16, frames, 40000L)
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Per-executor memo of the 11 distinct flat-gray frame JPEGs the
+    * MJPEG fixture uses — fixture SYNTHESIS stays cheap (ImageIO
+    * encode is writer-setup-heavy) while the measured chain, the
+    * per-payload sampled JPEG DECODE, still runs in full. Encoding is
+    * deterministic, so cached and fresh bytes are identical.
+    */
+  private object MjpegFixture {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+    def flat(gray: Int): Array[Byte] =
+      cache.computeIfAbsent(gray, g => {
+        val bi = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gr = bi.createGraphics()
+        try {
+          gr.setColor(new java.awt.Color(g, g, g))
+          gr.fillRect(0, 0, 16, 16)
+        } finally gr.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(bi, "jpg", out)
+        out.toByteArray
+      })
   }
 
   /** Real WAV payloads carrying the q_audio_stats synthetic stream —
