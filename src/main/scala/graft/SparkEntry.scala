@@ -407,6 +407,38 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real G.711 WAV payloads (even doc_id → µ-law format 7, odd →
+    * A-law format 6), 200 mono bytes `(doc_id·37 + k·11) % 256` at
+    * 8 kHz — the companded telephony formats through the real chunk
+    * walk + closed-form byte expansion.
+    */
+  private def syntheticG711Docs(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val fmt = if (id % 2 == 0) 7 else 6
+      val data = Array.tabulate(200)(k =>
+        Math.floorMod(id * 37 + k * 11, 256L).toByte)
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt)
+        bos.write(((v >> 24) & 0xFF).toInt)
+      }
+      def w16(v: Int): Unit = {
+        bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      }
+      def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      tag4("RIFF"); w32(36L + data.length); tag4("WAVE")
+      tag4("fmt "); w32(16L)
+      w16(fmt); w16(1); w32(8000L); w32(8000L)
+      w16(1); w16(8)
+      tag4("data"); w32(data.length.toLong)
+      bos.write(data, 0, data.length)
+      bos.toByteArray
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real STEREO IMA ADPCM WAV payloads, closed-form like
     * [[syntheticAdpcmDocs]]: one 24-byte block (per-channel 4-byte
     * headers, then round-robin 4-byte data groups), channel ch of doc
@@ -1460,6 +1492,13 @@ object SparkEntry {
       Audio.audioStats(
         syntheticAdpcmStereoDocs(t(s, dir, "documents")),
         "id", "content", window = 8, nWindows = 2)),
+
+    // G.711 companded telephony audio (µ-law/A-law): per-byte
+    // closed-form expansion — the oracle replays the published CCITT
+    // formulas directly in SQL bit math (no recursion needed)
+    "q_audio_g711" -> ((s, dir) =>
+      Audio.audioStats(syntheticG711Docs(t(s, dir, "documents")),
+        "id", "content", window = 100, nWindows = 2)),
 
     // rate-normalized audio near-dup: 8/16/4 kHz carriers of the same
     // piecewise-linear content all resample (exact integer linear,
@@ -3986,6 +4025,49 @@ object SparkEntry {
         |    AS BIGINT) AS e1,
         |  CAST(list_sum(list_transform(s[9:16], x -> CAST(x AS BIGINT) * x))
         |    AS BIGINT) AS e2
+        |FROM sm
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // G.711: the CCITT expansions in SQL bit math. mu-law: complement,
+    // biased-mantissa shift, bias removal; A-law: xor 0x55, segment
+    // shift, sign bit SET = positive
+    "q_audio_g711" ->
+      """WITH b AS (SELECT doc_id AS id, k,
+        |    CAST((doc_id * 37 + k * 11) % 256 AS INT) AS v
+        |  FROM documents CROSS JOIN (SELECT unnest(
+        |    generate_series(0, 199)) AS k)),
+        |d AS (SELECT id, k,
+        |    CASE WHEN id % 2 = 0 THEN
+        |      CASE WHEN ((255 - v) & 128) = 128
+        |        THEN 132 - ((((255 - v) & 15) * 8 + 132)
+        |          << (((255 - v) & 112) >> 4))
+        |        ELSE ((((255 - v) & 15) * 8 + 132)
+        |          << (((255 - v) & 112) >> 4)) - 132 END
+        |    ELSE
+        |      CASE WHEN (xor(v, 85) & 128) = 128 THEN 1 ELSE -1 END *
+        |      CASE WHEN ((xor(v, 85) & 112) >> 4) = 0
+        |          THEN ((xor(v, 85) & 15) << 4) + 8
+        |        WHEN ((xor(v, 85) & 112) >> 4) = 1
+        |          THEN ((xor(v, 85) & 15) << 4) + 264
+        |        ELSE (((xor(v, 85) & 15) << 4) + 264)
+        |          << (((xor(v, 85) & 112) >> 4) - 1) END
+        |    END AS smp
+        |  FROM b),
+        |sm AS (SELECT id, list(smp ORDER BY k) AS s FROM d GROUP BY id)
+        |SELECT id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(len(s) AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(s, x -> abs(x)))
+        |    AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(list_transform(generate_series(1, len(s) - 1),
+        |    i -> CASE WHEN (s[i] >= 0) != (s[i + 1] >= 0)
+        |    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS total_energy,
+        |  CAST(list_sum(list_transform(s[1:100],
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS e1,
+        |  CAST(list_sum(list_transform(s[101:200],
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS e2
         |FROM sm
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -127,11 +127,15 @@ object Audio {
       nFrames: Long, samples: Array[Int], decoded: Boolean)
 
   /** Decode WAV payloads to mono sample arrays: 16-bit integer PCM
-    * (format 1, any channel count, floor-mean mixdown) or mono IMA
-    * ADPCM (format 0x11, 4-bit — the most common compressed WAV in
-    * the wild; a pure integer predictor/step-table codec, decoded
-    * exactly, see [[decodeImaBlock]]). Anything else is honestly
-    * `decoded = false`. `maxFrames` bounds memory per payload (1 M
+    * (format 1, any channel count, floor-mean mixdown), IMA ADPCM
+    * (format 0x11, 4-bit, mono or interleaved multi-channel — the
+    * most common compressed WAV in the wild; a pure integer
+    * predictor/step-table codec, decoded exactly, see
+    * [[decodeImaBlock]]), or G.711 companded telephony audio
+    * (format 6 A-law / 7 µ-law, 8-bit — closed-form per-byte
+    * expansion, [[ulawToLinear]]/[[alawToLinear]]). Anything else is
+    * honestly `decoded = false`. `maxFrames` bounds memory per
+    * payload (1 M
     * frames ≈ 4 MB of ints ≈ 23 s at 44.1 kHz — far more than any
     * fingerprint needs); the cap is a truncation, not a failure, and
     * `nFrames` reports the clip's FULL frame count so downstream can
@@ -344,8 +348,59 @@ object Audio {
       case Some(m) if m.format == ImaAdpcmFormat &&
           m.bitsPerSample == 4 && m.channels >= 1 && m.nFrames > 0 =>
         Some((m, decodeImaPayload(bytes, m, maxFrames)))
+      case Some(m) if (m.format == AlawFormat ||
+          m.format == MulawFormat) && m.bitsPerSample == 8 &&
+          m.channels > 0 && m.nFrames > 0 =>
+        val toLinear: Int => Int =
+          if (m.format == MulawFormat) ulawToLinear else alawToLinear
+        val frames = math.min(m.nFrames, maxFrames.toLong).toInt
+        val out = new Array[Int](frames)
+        var f = 0
+        while (f < frames) {
+          val base = m.dataOffset.toInt + f * m.channels
+          var sum = 0L
+          var c = 0
+          while (c < m.channels) {
+            sum += toLinear(bytes(base + c) & 0xFF)
+            c += 1
+          }
+          out(f) = math.floorDiv(sum, m.channels).toInt
+          f += 1
+        }
+        Some((m, out))
       case _ => None
     }
+
+  // ---- G.711 companded telephony audio (formats 6 = A-law, 7 = µ-law)
+
+  /** WAVE format tag of G.711 A-law. */
+  private[graft] val AlawFormat = 6
+  /** WAVE format tag of G.711 µ-law. */
+  private[graft] val MulawFormat = 7
+
+  /** G.711 µ-law byte → linear 16-bit sample — the published CCITT
+    * expansion: complement, 3-bit segment shift of the biased
+    * 4-bit mantissa, bias removal. Pure closed-form integer math per
+    * byte (the oracle replays it in SQL).
+    */
+  private[graft] def ulawToLinear(b: Int): Int = {
+    val u = ~b & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → linear 16-bit sample (CCITT expansion: XOR
+    * 0x55, segment-shifted mantissa; sign bit SET means positive).
+    */
+  private[graft] def alawToLinear(b: Int): Int = {
+    val a = b ^ 0x55
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
 
   // ---- IMA ADPCM (format 0x11) — pure integer-table codec ------------
 

@@ -777,6 +777,61 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.mkString(","))
   }
 
+  // ---- G.711 (A-law / mu-law) ------------------------------------------
+
+  /** Hand-rolled 8-bit G.711 WAV (format 6 or 7). */
+  private def g711Wav(format: Int, data: Array[Byte], channels: Int = 1,
+      rate: Int = 8000): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    put("RIFF".getBytes("US-ASCII")); put(le32(36L + data.length))
+    put("WAVE".getBytes("US-ASCII"))
+    put("fmt ".getBytes("US-ASCII")); put(le32(16L))
+    put(le16(format)); put(le16(channels)); put(le32(rate.toLong))
+    put(le32(rate.toLong * channels)); put(le16(channels)); put(le16(8))
+    put("data".getBytes("US-ASCII")); put(le32(data.length.toLong))
+    put(data)
+    bos.toByteArray
+  }
+
+  test("G.711: published expansion reference points decode exactly " +
+      "(mu-law +/-0, +/-32124; A-law +/-8, +/-32256), stereo mixes " +
+      "by floor mean, and clips ride the audio family") {
+    // mu-law byte -> linear, the CCITT table corners
+    val mu = g711Wav(7, Array(0xFF, 0x7F, 0x00, 0x80).map(_.toByte))
+    val gotMu = Audio.decodePcm16(df(1L -> mu), "id", "content")
+      .collect().head
+    assert(gotMu.decoded && gotMu.sampleRate == 8000)
+    assert(gotMu.samples.toSeq == Seq(0, 0, -32124, 32124),
+      gotMu.samples.toSeq.toString)
+    // A-law corners
+    val al = g711Wav(6, Array(0x55, 0xD5, 0x2A, 0xAA).map(_.toByte))
+    val gotAl = Audio.decodePcm16(df(1L -> al), "id", "content")
+      .collect().head
+    assert(gotAl.samples.toSeq == Seq(-8, 8, -32256, 32256),
+      gotAl.samples.toSeq.toString)
+    // stereo: floor-division mean of the per-channel expansions
+    val st = g711Wav(7, Array(0x00, 0xFF, 0x80, 0x7F).map(_.toByte),
+      channels = 2)
+    val gotSt = Audio.decodePcm16(df(1L -> st), "id", "content")
+      .collect().head
+    assert(gotSt.channels == 2 && gotSt.nFrames == 2)
+    assert(gotSt.samples.toSeq == Seq(
+      math.floorDiv(-32124 + 0, 2), math.floorDiv(32124 + 0, 2)))
+    // metadata + family: format visible in the scan; two byte-level
+    // copies of one mu-law clip pair at distance 0
+    val m = Audio.wavHeaderScan(df(1L -> mu), "id", "content")
+      .collect().head
+    assert(m.parsed && m.format == 7 && m.bitsPerSample == 8 &&
+      m.nFrames == 4)
+    val data = Array.tabulate(300)(k => ((k * 37 + 11) % 256).toByte)
+    val pairs = Audio.audioNearDupPairs(
+      df(1L -> g711Wav(7, data), 2L -> g711Wav(7, data)),
+      "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.mkString(","))
+  }
+
   // ---- rate-normalized fingerprinting ---------------------------------
 
   test("resampleLinear: identity at equal rates, exact decimation at " +
