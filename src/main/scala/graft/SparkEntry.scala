@@ -439,6 +439,53 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real wide-PCM WAV payloads: even doc_id → 24-bit plain fmt, odd
+    * → 32-bit wrapped in WAVE_FORMAT_EXTENSIBLE (cbSize 22 + PCM
+    * SubFormat GUID). 200 mono samples,
+    * `v(k) = pmod(doc_id·2654435761 + k·40503, 2^bits) − 2^(bits−1)`,
+    * written little-endian — the decoder's high-bits scaling
+    * (`v >> (bits−16)`) is exact arithmetic-shift math the oracle
+    * replays directly.
+    */
+  private def syntheticWidePcmDocs(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val bits = if (id % 2 == 0) 24 else 32
+      val ext = id % 2 == 1
+      val bps = bits / 8
+      val raw = Array.tabulate(200) { k =>
+        (Math.floorMod(id * 2654435761L + k * 40503L, 1L << bits)
+          - (1L << (bits - 1))).toInt
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt)
+        bos.write(((v >> 24) & 0xFF).toInt)
+      }
+      def w16(v: Int): Unit = {
+        bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      }
+      def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      val fmtSz = if (ext) 40 else 16
+      tag4("RIFF"); w32(20L + fmtSz + 200L * bps); tag4("WAVE")
+      tag4("fmt "); w32(fmtSz.toLong)
+      w16(if (ext) 0xFFFE else 1); w16(1); w32(8000L)
+      w32(8000L * bps); w16(bps); w16(bits)
+      if (ext) {
+        w16(22); w16(bits); w32(0L)
+        Array(0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+          0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+          .foreach(bos.write)
+      }
+      tag4("data"); w32(200L * bps)
+      raw.foreach(v => (0 until bps).foreach(i =>
+        bos.write((v >> (8 * i)) & 0xFF)))
+      bos.toByteArray
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real STEREO IMA ADPCM WAV payloads, closed-form like
     * [[syntheticAdpcmDocs]]: one 24-byte block (per-channel 4-byte
     * headers, then round-robin 4-byte data groups), channel ch of doc
@@ -1498,6 +1545,14 @@ object SparkEntry {
     // formulas directly in SQL bit math (no recursion needed)
     "q_audio_g711" -> ((s, dir) =>
       Audio.audioStats(syntheticG711Docs(t(s, dir, "documents")),
+        "id", "content", window = 100, nWindows = 2)),
+
+    // wide integer PCM (24-bit plain + 32-bit EXTENSIBLE-wrapped):
+    // the byte-level decode + high-bits arithmetic-shift scaling is
+    // closed form per (doc, k) — the extensible unwrap runs in the
+    // REAL chunk walk
+    "q_audio_pcm_wide" -> ((s, dir) =>
+      Audio.audioStats(syntheticWidePcmDocs(t(s, dir, "documents")),
         "id", "content", window = 100, nWindows = 2)),
 
     // rate-normalized audio near-dup: 8/16/4 kHz carriers of the same
@@ -4054,6 +4109,36 @@ object SparkEntry {
         |    END AS smp
         |  FROM b),
         |sm AS (SELECT id, list(smp ORDER BY k) AS s FROM d GROUP BY id)
+        |SELECT id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(len(s) AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(s, x -> abs(x)))
+        |    AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(list_transform(generate_series(1, len(s) - 1),
+        |    i -> CASE WHEN (s[i] >= 0) != (s[i + 1] >= 0)
+        |    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS total_energy,
+        |  CAST(list_sum(list_transform(s[1:100],
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS e1,
+        |  CAST(list_sum(list_transform(s[101:200],
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS e2
+        |FROM sm
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // wide PCM: v = pmod(...) - 2^(bits-1), sample = v >> (bits-16)
+    // (DuckDB >> on BIGINT is the same arithmetic shift the decoder
+    // uses); even docs 24-bit, odd docs 32-bit extensible
+    "q_audio_pcm_wide" ->
+      """WITH b AS (SELECT doc_id AS id, k,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ((doc_id * 2654435761 + k * 40503) % 16777216
+        |        - 8388608) >> 8
+        |      ELSE ((doc_id * 2654435761 + k * 40503) % 4294967296
+        |        - 2147483648) >> 16 END AS smp
+        |  FROM documents CROSS JOIN (SELECT unnest(
+        |    generate_series(0, 199)) AS k)),
+        |sm AS (SELECT id, list(smp ORDER BY k) AS s FROM b GROUP BY id)
         |SELECT id,
         |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
         |  CAST(len(s) AS BIGINT) AS n_samples,

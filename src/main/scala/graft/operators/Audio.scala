@@ -126,8 +126,11 @@ object Audio {
   case class DecodedAudio(id: Long, sampleRate: Int, channels: Int,
       nFrames: Long, samples: Array[Int], decoded: Boolean)
 
-  /** Decode WAV payloads to mono sample arrays: 16-bit integer PCM
-    * (format 1, any channel count, floor-mean mixdown), IMA ADPCM
+  /** Decode WAV payloads to mono sample arrays: integer PCM at
+    * 16/24/32 bits (format 1 — or the same codec wrapped in
+    * WAVE_FORMAT_EXTENSIBLE, whose SubFormat tag the parser unwraps —
+    * any channel count, floor-mean mixdown, wider samples scaled to
+    * the 16-bit range by arithmetic shift of the high bits), IMA ADPCM
     * (format 0x11, 4-bit, mono or interleaved multi-channel — the
     * most common compressed WAV in the wild; a pure integer
     * predictor/step-table codec, decoded exactly, see
@@ -326,19 +329,35 @@ object Audio {
   private def decodeSamples(bytes: Array[Byte],
       maxFrames: Int): Option[(Parsed, Array[Int])] =
     parseWav(bytes) match {
-      case Some(m) if m.format == 1 && m.bitsPerSample == 16 &&
+      case Some(m) if m.format == 1 && (m.bitsPerSample == 16 ||
+          m.bitsPerSample == 24 || m.bitsPerSample == 32) &&
           m.channels > 0 && m.nFrames > 0 =>
+        // integer PCM at 16/24/32 bits. Wider samples scale to the
+        // 16-bit range by arithmetic shift of the high bits (the
+        // standard mixdown; >> is floorDiv by 2^k, deterministic) so
+        // every downstream stat/fingerprint sees one sample scale.
+        val bps = m.bitsPerSample / 8
         val frames = math.min(m.nFrames, maxFrames.toLong).toInt
         val out = new Array[Int](frames)
-        val frameBytes = 2 * m.channels
+        val frameBytes = bps * m.channels
         var f = 0
         while (f < frames) {
           val base = m.dataOffset.toInt + f * frameBytes
           var sum = 0L
           var c = 0
           while (c < m.channels) {
-            val o = base + 2 * c
-            sum += ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+            val o = base + bps * c
+            sum += (bps match {
+              case 2 =>
+                ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toInt
+              case 3 =>
+                ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+                  (bytes(o + 2) << 16)) >> 8
+              case _ =>
+                ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+                  ((bytes(o + 2) & 0xFF) << 16) |
+                  (bytes(o + 3) << 24)) >> 16
+            })
             c += 1
           }
           out(f) = math.floorDiv(sum, m.channels).toInt
@@ -1113,6 +1132,16 @@ object Audio {
         bits = le16(bytes, body.toInt + 14)
         if (sz >= 20 && body + 20 <= bytes.length)
           spbDecl = le16(bytes, body.toInt + 18) // cbSize extension
+        // WAVE_FORMAT_EXTENSIBLE (0xFFFE): the effective codec is the
+        // SubFormat GUID's first two bytes (body+24); the +18 union
+        // field is wValidBitsPerSample for PCM and wSamplesPerBlock
+        // for compressed codecs — exactly what spbDecl already read.
+        // A declared cbSize too small for the extension is malformed:
+        // leave the 0xFFFE tag in place and the decode gates refuse it
+        // honestly.
+        if (format == 0xFFFE && sz >= 40 && body + 26 <= bytes.length &&
+          le16(bytes, body.toInt + 16) >= 22)
+          format = le16(bytes, body.toInt + 24)
       } else if (id == "fact" && sz >= 4 && body + 4 <= bytes.length) {
         factSamples = le32(bytes, body.toInt)
       } else if (id == "data" && dataOff < 0) {

@@ -777,6 +777,84 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.mkString(","))
   }
 
+  // ---- wide PCM (24/32-bit) + WAVE_FORMAT_EXTENSIBLE -------------------
+
+  /** Hand-rolled integer-PCM WAV at 16/24/32 bits, plain fmt or
+    * WAVE_FORMAT_EXTENSIBLE (cbSize 22 + PCM SubFormat GUID).
+    */
+  private def pcmWav(bits: Int, raw: Seq[Int], channels: Int = 1,
+      rate: Int = 8000, extensible: Boolean = false): Array[Byte] = {
+    val bps = bits / 8
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    val dataLen = raw.length * bps
+    val fmtSz = if (extensible) 40 else 16
+    put("RIFF".getBytes("US-ASCII")); put(le32(20L + fmtSz + dataLen))
+    put("WAVE".getBytes("US-ASCII"))
+    put("fmt ".getBytes("US-ASCII")); put(le32(fmtSz.toLong))
+    put(le16(if (extensible) 0xFFFE else 1)); put(le16(channels))
+    put(le32(rate.toLong)); put(le32(rate.toLong * bps * channels))
+    put(le16(bps * channels)); put(le16(bits))
+    if (extensible) {
+      put(le16(22)); put(le16(bits)); put(le32(0L)) // cbSize, valid, mask
+      // KSDATAFORMAT_SUBTYPE_PCM GUID, little-endian layout
+      put(Array(0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+        0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+        .map(_.toByte))
+    }
+    put("data".getBytes("US-ASCII")); put(le32(dataLen.toLong))
+    raw.foreach { v =>
+      (0 until bps).foreach(i => bos.write((v >> (8 * i)) & 0xFF))
+    }
+    bos.toByteArray
+  }
+
+  test("24/32-bit integer PCM: high-bits scaling is exact (arithmetic " +
+      "shift incl. negatives and range corners), stereo mixes after " +
+      "scaling; WAVE_FORMAT_EXTENSIBLE unwraps to the SubFormat codec " +
+      "and a too-small cbSize is honestly undecodable") {
+    val raw24 = Seq(0x123456, -1, -0x800000, 0x7FFFFF, 0)
+    val got24 = Audio.decodePcm16(
+      df(1L -> pcmWav(24, raw24)), "id", "content").collect().head
+    assert(got24.decoded && got24.nFrames == 5)
+    assert(got24.samples.toSeq == raw24.map(_ >> 8),
+      got24.samples.toSeq.toString)
+    val raw32 = Seq(0x12345678, -1, Int.MinValue, Int.MaxValue)
+    val got32 = Audio.decodePcm16(
+      df(1L -> pcmWav(32, raw32)), "id", "content").collect().head
+    assert(got32.samples.toSeq == raw32.map(_ >> 16),
+      got32.samples.toSeq.toString)
+    // stereo 24-bit: floor-mean of the SCALED samples
+    val st = Audio.decodePcm16(
+      df(1L -> pcmWav(24, Seq(0x100000, -0x100000, 0x000100, 0x000300),
+        channels = 2)), "id", "content").collect().head
+    assert(st.channels == 2 && st.samples.toSeq == Seq(
+      math.floorDiv((0x100000 >> 8) + (-0x100000 >> 8), 2),
+      math.floorDiv((0x000100 >> 8) + (0x000300 >> 8), 2)))
+    // extensible PCM16 ≡ plain PCM16, and the scan reports the
+    // EFFECTIVE codec
+    val samples = Array.tabulate(50)(k => (k * 997 - 25000))
+    val plain = Audio.decodePcm16(
+      df(1L -> pcmWav(16, samples.toSeq)), "id", "content")
+      .collect().head
+    val ext = Audio.decodePcm16(
+      df(1L -> pcmWav(16, samples.toSeq, extensible = true)),
+      "id", "content").collect().head
+    assert(ext.decoded && ext.samples.toSeq == plain.samples.toSeq)
+    val m = Audio.wavHeaderScan(
+      df(1L -> pcmWav(24, raw24, extensible = true)), "id", "content")
+      .collect().head
+    assert(m.parsed && m.format == 1 && m.bitsPerSample == 24 &&
+      m.nFrames == 5)
+    // extensible with cbSize < 22: the 0xFFFE tag stays, decode
+    // refuses honestly
+    val badExt = pcmWav(16, samples.toSeq, extensible = true)
+    badExt(36) = 2 // cbSize field (fmt body offset 16)
+    val gotBad = Audio.decodePcm16(df(1L -> badExt), "id", "content")
+      .collect().head
+    assert(!gotBad.decoded)
+  }
+
   // ---- G.711 (A-law / mu-law) ------------------------------------------
 
   /** Hand-rolled 8-bit G.711 WAV (format 6 or 7). */
