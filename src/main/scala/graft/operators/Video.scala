@@ -803,6 +803,9 @@ object Video {
   /** `strf.biCompression` of Motion JPEG: little-endian "MJPG". */
   private[graft] val MjpgFourcc = 0x47504A4DL
 
+  /** Lowercase "mjpg" — written by some encoders; same codec. */
+  private[graft] val MjpgFourccLower = 0x67706A6DL
+
   private final case class ParsedAvi(microsPerFrame: Long,
       totalFrames: Long, width: Int, height: Int, streams: Int,
       bitCount: Int, compression: Long, moviOffset: Long, moviLen: Long)
@@ -926,7 +929,8 @@ object Video {
 
   private def codecOf(meta: ParsedAvi): Option[Codec] =
     if (meta.compression == 0L && meta.bitCount == 24) Some(RawBgr24)
-    else if (meta.compression == MjpgFourcc) Some(Mjpeg)
+    else if (meta.compression == MjpgFourcc ||
+      meta.compression == MjpgFourccLower) Some(Mjpeg)
     else None
 
   /** Per-task-thread JPEG ImageReader, reused across frames:

@@ -686,6 +686,20 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.lumaSums == expect, s"${v.lumaSums} vs $expect")
   }
 
+  test("lowercase 'mjpg' fourcc decodes like 'MJPG' (same codec, " +
+      "encoder case variation)") {
+    val bytes = mjpegAvi(3, 5)
+    val lower = bytes.clone()
+    // flip the strf biCompression fourcc to lowercase (strf body+16)
+    val strfAt = indexOfTag(bytes, "strf")
+    "mjpg".getBytes("US-ASCII").copyToArray(lower, strfAt + 8 + 16)
+    val both = Video.decodeSampledLuma(
+      df((1L, bytes), (2L, lower)), "id", "content", nSamples = 5)
+      .collect().map(v => v.id -> v).toMap
+    assert(both(2L).decoded)
+    assert(both(1L).lumaSums == both(2L).lumaSums)
+  }
+
   test("MJPEG honesty: garbage frame bytes, dimension-lying frames, " +
       "truncation, and oversized frames are decoded=false; the cost " +
       "cap applies to the COMPRESSED chunk size") {
