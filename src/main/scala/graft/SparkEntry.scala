@@ -486,6 +486,40 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real IEEE float32 PCM WAV payloads (format 3): 200 mono floats
+    * `v(k) / 32768` with `v(k) = pmod(doc_id·2654435761 + k·40503,
+    * 65536) − 32768` — power-of-two division and the decoder's ×2¹⁵
+    * scaling are both EXACT in binary floating point, so the decoded
+    * samples equal v(k) bit-for-bit and the oracle needs no float
+    * arithmetic at all.
+    */
+  private def syntheticFloatPcmDocs(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt)
+        bos.write(((v >> 24) & 0xFF).toInt)
+      }
+      def w16(v: Int): Unit = {
+        bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      }
+      def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      tag4("RIFF"); w32(36L + 800L); tag4("WAVE")
+      tag4("fmt "); w32(16L)
+      w16(3); w16(1); w32(8000L); w32(32000L); w16(4); w16(32)
+      tag4("data"); w32(800L)
+      (0 until 200).foreach { k =>
+        val v = (Math.floorMod(id * 2654435761L + k * 40503L, 65536L)
+          - 32768L).toInt
+        w32(java.lang.Float.floatToIntBits(v / 32768f) & 0xFFFFFFFFL)
+      }
+      bos.toByteArray
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real STEREO IMA ADPCM WAV payloads, closed-form like
     * [[syntheticAdpcmDocs]]: one 24-byte block (per-channel 4-byte
     * headers, then round-robin 4-byte data groups), channel ch of doc
@@ -1553,6 +1587,13 @@ object SparkEntry {
     // REAL chunk walk
     "q_audio_pcm_wide" -> ((s, dir) =>
       Audio.audioStats(syntheticWidePcmDocs(t(s, dir, "documents")),
+        "id", "content", window = 100, nWindows = 2)),
+
+    // IEEE float32 PCM: v/32768 encode and x2^15 decode are both
+    // exact power-of-two float ops, so the decoded stream IS the
+    // closed-form integer stream — no float arithmetic in the oracle
+    "q_audio_pcm_float" -> ((s, dir) =>
+      Audio.audioStats(syntheticFloatPcmDocs(t(s, dir, "documents")),
         "id", "content", window = 100, nWindows = 2)),
 
     // rate-normalized audio near-dup: 8/16/4 kHz carriers of the same
@@ -4136,6 +4177,31 @@ object SparkEntry {
         |        - 8388608) >> 8
         |      ELSE ((doc_id * 2654435761 + k * 40503) % 4294967296
         |        - 2147483648) >> 16 END AS smp
+        |  FROM documents CROSS JOIN (SELECT unnest(
+        |    generate_series(0, 199)) AS k)),
+        |sm AS (SELECT id, list(smp ORDER BY k) AS s FROM b GROUP BY id)
+        |SELECT id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(len(s) AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(s, x -> abs(x)))
+        |    AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(list_transform(generate_series(1, len(s) - 1),
+        |    i -> CASE WHEN (s[i] >= 0) != (s[i + 1] >= 0)
+        |    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS total_energy,
+        |  CAST(list_sum(list_transform(s[1:100],
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS e1,
+        |  CAST(list_sum(list_transform(s[101:200],
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS e2
+        |FROM sm
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // float32 PCM: exact power-of-two round trip — the decoded stream
+    // equals the closed-form integer stream directly
+    "q_audio_pcm_float" ->
+      """WITH b AS (SELECT doc_id AS id, k,
+        |    (doc_id * 2654435761 + k * 40503) % 65536 - 32768 AS smp
         |  FROM documents CROSS JOIN (SELECT unnest(
         |    generate_series(0, 199)) AS k)),
         |sm AS (SELECT id, list(smp ORDER BY k) AS s FROM b GROUP BY id)

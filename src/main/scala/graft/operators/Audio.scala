@@ -130,7 +130,9 @@ object Audio {
     * 16/24/32 bits (format 1 — or the same codec wrapped in
     * WAVE_FORMAT_EXTENSIBLE, whose SubFormat tag the parser unwraps —
     * any channel count, floor-mean mixdown, wider samples scaled to
-    * the 16-bit range by arithmetic shift of the high bits), IMA ADPCM
+    * the 16-bit range by arithmetic shift of the high bits), IEEE
+    * float32 PCM (format 3 — ×2¹⁵ exact power-of-two scaling,
+    * half-even rounding, clamped; NaN → 0), IMA ADPCM
     * (format 0x11, 4-bit, mono or interleaved multi-channel — the
     * most common compressed WAV in the wild; a pure integer
     * predictor/step-table codec, decoded exactly, see
@@ -367,6 +369,38 @@ object Audio {
       case Some(m) if m.format == ImaAdpcmFormat &&
           m.bitsPerSample == 4 && m.channels >= 1 && m.nFrames > 0 =>
         Some((m, decodeImaPayload(bytes, m, maxFrames)))
+      case Some(m) if m.format == FloatFormat &&
+          m.bitsPerSample == 32 && m.channels > 0 && m.nFrames > 0 =>
+        // IEEE float32 PCM (format 3, or its extensible SubFormat):
+        // samples scale by 2^15 and round half-even to the 16-bit
+        // range — the power-of-two product is EXACT in binary
+        // floating point, so a fixture built from v/32768 decodes to
+        // exactly v, and real-world floats round deterministically.
+        // NaN maps to 0 (the only honest stand-in), out-of-range
+        // clamps.
+        val frames = math.min(m.nFrames, maxFrames.toLong).toInt
+        val out = new Array[Int](frames)
+        val frameBytes = 4 * m.channels
+        var f = 0
+        while (f < frames) {
+          val base = m.dataOffset.toInt + f * frameBytes
+          var sum = 0L
+          var c = 0
+          while (c < m.channels) {
+            val o = base + 4 * c
+            val bits = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+              ((bytes(o + 2) & 0xFF) << 16) | (bytes(o + 3) << 24)
+            val v = java.lang.Float.intBitsToFloat(bits)
+            sum +=
+              (if (java.lang.Float.isNaN(v)) 0L
+              else math.max(-32768L, math.min(32767L,
+                math.rint(v.toDouble * 32768.0).toLong)))
+            c += 1
+          }
+          out(f) = math.floorDiv(sum, m.channels).toInt
+          f += 1
+        }
+        Some((m, out))
       case Some(m) if (m.format == AlawFormat ||
           m.format == MulawFormat) && m.bitsPerSample == 8 &&
           m.channels > 0 && m.nFrames > 0 =>
@@ -391,6 +425,9 @@ object Audio {
     }
 
   // ---- G.711 companded telephony audio (formats 6 = A-law, 7 = µ-law)
+
+  /** WAVE format tag of IEEE float PCM. */
+  private[graft] val FloatFormat = 3
 
   /** WAVE format tag of G.711 A-law. */
   private[graft] val AlawFormat = 6

@@ -855,6 +855,60 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gotBad.decoded)
   }
 
+  /** Hand-rolled IEEE float32 PCM WAV (format 3, or extensible with
+    * the float SubFormat GUID).
+    */
+  private def floatWav(raw: Seq[Float], channels: Int = 1,
+      rate: Int = 8000, extensible: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    val dataLen = raw.length * 4
+    val fmtSz = if (extensible) 40 else 16
+    put("RIFF".getBytes("US-ASCII")); put(le32(20L + fmtSz + dataLen))
+    put("WAVE".getBytes("US-ASCII"))
+    put("fmt ".getBytes("US-ASCII")); put(le32(fmtSz.toLong))
+    put(le16(if (extensible) 0xFFFE else 3)); put(le16(channels))
+    put(le32(rate.toLong)); put(le32(rate.toLong * 4 * channels))
+    put(le16(4 * channels)); put(le16(32))
+    if (extensible) {
+      put(le16(22)); put(le16(32)); put(le32(0L))
+      put(Array(0x03, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+        0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+        .map(_.toByte))
+    }
+    put("data".getBytes("US-ASCII")); put(le32(dataLen.toLong))
+    raw.foreach { f =>
+      val bits = java.lang.Float.floatToIntBits(f)
+      (0 until 4).foreach(i => bos.write((bits >> (8 * i)) & 0xFF))
+    }
+    bos.toByteArray
+  }
+
+  test("IEEE float32 PCM: power-of-two scaling is exact (v/32768 " +
+      "decodes to exactly v), half-even tie rounding, clamping, " +
+      "NaN -> 0; the extensible float SubFormat unwraps") {
+    val vs = Seq(0, 1, -1, 100, -5000, 32767, -32768)
+    val exact = Audio.decodePcm16(
+      df(1L -> floatWav(vs.map(v => v / 32768f))), "id", "content")
+      .collect().head
+    assert(exact.decoded && exact.samples.toSeq == vs)
+    val corners = Audio.decodePcm16(
+      df(1L -> floatWav(Seq(1.5f, -2.0f, Float.NaN,
+        100.5f / 32768f, 101.5f / 32768f))), "id", "content")
+      .collect().head
+    // clamp high/low; NaN honest zero; .5 ties round half-even
+    assert(corners.samples.toSeq == Seq(32767, -32768, 0, 100, 102),
+      corners.samples.toSeq.toString)
+    val ext = Audio.decodePcm16(
+      df(1L -> floatWav(vs.map(v => v / 32768f), extensible = true)),
+      "id", "content").collect().head
+    assert(ext.decoded && ext.samples.toSeq == vs)
+    val m = Audio.wavHeaderScan(
+      df(1L -> floatWav(vs.map(v => v / 32768f), extensible = true)),
+      "id", "content").collect().head
+    assert(m.parsed && m.format == 3 && m.bitsPerSample == 32)
+  }
+
   // ---- G.711 (A-law / mu-law) ------------------------------------------
 
   /** Hand-rolled 8-bit G.711 WAV (format 6 or 7). */
