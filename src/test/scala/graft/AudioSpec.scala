@@ -1029,6 +1029,33 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(naive.isEmpty, naive.mkString(","))
   }
 
+  test("cross-codec rate normalization: ADPCM, G.711, float and wide " +
+      "PCM carriers all flow through canonicalRate resampling — " +
+      "byte-identical copies pair regardless of codec") {
+    // one content, four codecs: each pair of byte-identical copies
+    // must pair at distance 0 under a canonical rate (the resample
+    // runs AFTER each codec's decode, so every branch reaches it)
+    val pcm = Array.tabulate(300)(k => (2000 * math.sin(k / 9.0)).toInt)
+    val adpcm = Audio.encodeImaAdpcmWav(pcm, 8000, blockAlign = 16)
+    val mu = g711Wav(7, Array.tabulate(300)(k =>
+      ((k * 37 + 11) % 256).toByte))
+    val fl = floatWav(Array.tabulate(300)(k =>
+      ((k * 997 - 150000) % 32768) / 32768f).toSeq)
+    val wide = pcmWav(24, Array.tabulate(300)(k =>
+      (k * 31013 - 4000000) % 8388608).toSeq)
+    val rows = df(
+      1L -> adpcm, 2L -> adpcm.clone(),
+      3L -> mu, 4L -> mu.clone(),
+      5L -> fl, 6L -> fl.clone(),
+      7L -> wide, 8L -> wide.clone())
+    val pairs = Audio.audioNearDupPairs(rows, "id", "content",
+      canonicalRate = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pairs == Set((1L, 2L, 0L), (3L, 4L, 0L), (5L, 6L, 0L),
+      (7L, 8L, 0L)), pairs.toString)
+  }
+
   test("rate-normalized index lifecycle: sidecar records the rate, " +
       "admission re-hashes under it (16 kHz twin of an 8 kHz corpus " +
       "clip is dropped, batch AND streaming), mismatched-rate append " +

@@ -686,6 +686,22 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.lumaSums == expect, s"${v.lumaSums} vs $expect")
   }
 
+  test("MJPEG metadata through the PREFIX path: header fields equal " +
+      "the full parse when the chunk table fits the prefix (JPEG " +
+      "frame bytes never touched)") {
+    val bytes = mjpegAvi(4, 8)
+    val full = Video.parseAviHeader(df((1L, bytes)), "id", "content")
+      .collect().head
+    val pref = Video.parseAviHeaderPrefix(df((1L, bytes)), "id",
+      "content", prefixBytes = 512).collect().head
+    assert(pref.parsed)
+    assert((pref.microsPerFrame, pref.totalFrames, pref.width,
+      pref.height, pref.bitCount, pref.compression, pref.durationMs) ==
+      (full.microsPerFrame, full.totalFrames, full.width,
+        full.height, full.bitCount, full.compression, full.durationMs))
+    assert(pref.compression == 0x47504A4DL)
+  }
+
   test("lowercase 'mjpg' fourcc decodes like 'MJPG' (same codec, " +
       "encoder case variation)") {
     val bytes = mjpegAvi(3, 5)
