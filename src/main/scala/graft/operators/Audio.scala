@@ -178,9 +178,13 @@ object Audio {
           val id = r.getLong(0)
           decodeSamples(r.getAs[Array[Byte]](1), maxFrames) match {
             case Some((m, out)) if canonicalRate > 0 =>
-              val rs = resampleLinear(out, m.sampleRate, canonicalRate)
-              DecodedAudio(id, canonicalRate, m.channels,
-                rs.length.toLong, rs, decoded = true)
+              resampleChecked(out, m.sampleRate, canonicalRate,
+                maxFrames) match {
+                case Some(rs) => DecodedAudio(id, canonicalRate,
+                  m.channels, rs.length.toLong, rs, decoded = true)
+                case None => DecodedAudio(id, 0, 0, 0L,
+                  Array.emptyIntArray, decoded = false)
+              }
             case Some((m, out)) =>
               DecodedAudio(id, m.sampleRate, m.channels, m.nFrames, out,
                 decoded = true)
@@ -308,7 +312,10 @@ object Audio {
       toRate: Int): Array[Int] = {
     require(fromRate > 0 && toRate > 0, "rates must be positive")
     if (fromRate == toRate || s.length == 0) return s
-    val nOut = (((s.length - 1).toLong * toRate) / fromRate).toInt + 1
+    val nOutL = ((s.length - 1).toLong * toRate) / fromRate + 1L
+    require(nOutL <= Int.MaxValue,
+      s"resampled length $nOutL overflows Int — guard with resampleChecked")
+    val nOut = nOutL.toInt
     val out = new Array[Int](nOut)
     var j = 0
     while (j < nOut) {
@@ -322,6 +329,24 @@ object Audio {
       j += 1
     }
     out
+  }
+
+  /** [[resampleLinear]] behind the malformed-payload guard: a
+    * parseable WAV declaring a pathologically low source rate (1 Hz
+    * under 16 kHz normalization expands 16 000×) would demand a
+    * multi-GB — or Int-overflowed — output array. No honest
+    * canonical-rate normalization upsamples more than 16× (4 kHz
+    * telephony → 48 kHz studio is 12×), so a resampled length beyond
+    * `16 × maxFrames` returns None, which every caller maps to
+    * `decoded = false` — the library-wide contract (malformed payload
+    * → marker row, never an executor throw).
+    */
+  private[graft] def resampleChecked(s: Array[Int], fromRate: Int,
+      toRate: Int, maxFrames: Int): Option[Array[Int]] = {
+    if (fromRate == toRate || s.length == 0) return Some(s)
+    val nOutL = ((s.length - 1).toLong * toRate) / fromRate + 1L
+    if (nOutL > 16L * maxFrames) None
+    else Some(resampleLinear(s, fromRate, toRate))
   }
 
   /** The per-payload decode kernel behind [[decodePcm16]] and the
@@ -928,17 +953,24 @@ object Audio {
       "writeAudioNearDupIndex", who)
 
   /** (window, maxFrames, canonicalRate) back out of a sidecar —
-    * fail-loud on any shape this writer never produced.
+    * fail-loud on any shape this writer never produced. The
+    * `canonicalRate` key is OPTIONAL and defaults to 0: sidecars
+    * persisted before rate normalization existed have no such key,
+    * and the writer of that era hashed at the source rate — exactly
+    * what canonicalRate = 0 means today, so old indexes keep
+    * admitting/appending without a rebuild (a format break here would
+    * be silent: every pre-existing on-disk index would refuse reads).
     */
   private def parseAudioIndexParams(json: String,
       who: String): (Int, Int, Int) = {
     val m = java.util.regex.Pattern
       .compile("\"window\":\"(auto|\\d+)\".*\"maxFrames\":\"(\\d+)\"" +
-        ".*\"canonicalRate\":\"(\\d+)\"")
+        "(?:.*\"canonicalRate\":\"(\\d+)\")?")
       .matcher(json)
     require(m.find(), s"$who: malformed sidecar: $json")
     (if (m.group(1) == "auto") 0 else m.group(1).toInt,
-      m.group(2).toInt, m.group(3).toInt)
+      m.group(2).toInt,
+      Option(m.group(3)).map(_.toInt).getOrElse(0))
   }
 
   /** Persist the corpus side of perceptual audio dedup as a REUSABLE
@@ -993,9 +1025,13 @@ object Audio {
     graft.operators.TopK.requireIntegral(newClips, idCol,
       "appendToAudioNearDupIndex")
     val spark = newClips.sparkSession
-    SigIndex.requireParams(
+    // canonicalize the persisted params through the parser before
+    // comparing: a pre-rate-normalization sidecar has no canonicalRate
+    // key but means rate 0, and must keep accepting appends at 0
+    val (pw, pm, pc) = parseAudioIndexParams(
       readAudioIndexParams(spark, indexPath,
-        "appendToAudioNearDupIndex"),
+        "appendToAudioNearDupIndex"), "appendToAudioNearDupIndex")
+    SigIndex.requireParams(audioIndexParamsJson(pw, pm, pc),
       audioIndexParamsJson(window, maxFrames, canonicalRate), indexPath,
       "appendToAudioNearDupIndex")
     SigIndex.appendBatch(spark, indexPath,
@@ -1052,11 +1088,10 @@ object Audio {
   private def energiesUdf(window: Int, maxFrames: Int,
       canonicalRate: Int = 0) =
     udf { (bytes: Array[Byte]) =>
-      decodeSamples(bytes, maxFrames).map { case (m, raw) =>
-        val samples =
-          if (canonicalRate > 0)
-            resampleLinear(raw, m.sampleRate, canonicalRate)
-          else raw
+      decodeSamples(bytes, maxFrames).flatMap { case (m, raw) =>
+        (if (canonicalRate > 0)
+          resampleChecked(raw, m.sampleRate, canonicalRate, maxFrames)
+        else Some(raw)).map { samples =>
         val w =
           if (window > 0) window
           else math.max(1, ((samples.length + 64) / 65))
@@ -1073,6 +1108,7 @@ object Audio {
             k += 1
           }
           acc
+        }
         }
       }
     }

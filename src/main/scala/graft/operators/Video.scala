@@ -248,8 +248,11 @@ object Video {
     val codec = codecOf(meta).getOrElse(return None)
     val stride = ((3L * meta.width + 3L) / 4L) * 4L
     val frameBytes = stride * meta.height
-    if (codec == RawBgr24 &&
-      (frameBytes <= 0 || frameBytes > maxFrameBytes)) return None
+    // the decoded-raster bound applies to BOTH codecs: an MJPEG chunk a
+    // few MB compressed can declare (and decode to) a multi-GB raster —
+    // container dims bound it exactly because jpegFrame rejects frames
+    // whose decoded dims differ from the declared ones
+    if (frameBytes <= 0 || frameBytes > maxFrameBytes) return None
     val moviDataStart = meta.moviOffset + 12
     val moviEnd = math.min(meta.moviOffset + 8 + meta.moviLen,
       bytes.length.toLong)
@@ -390,8 +393,9 @@ object Video {
     val codec = codecOf(meta).getOrElse(return None)
     val stride = ((3L * meta.width + 3L) / 4L) * 4L
     val frameBytes = stride * meta.height
-    if (codec == RawBgr24 &&
-      (frameBytes <= 0 || frameBytes > maxFrameBytes)) return None
+    // decoded-raster bound on both codecs (see sampledFrameBmps) — the
+    // ring here holds w0 DECODED frames, so the bound matters doubly
+    if (frameBytes <= 0 || frameBytes > maxFrameBytes) return None
     val wI = meta.width.toInt
     val hI = meta.height.toInt
     val moviDataStart = meta.moviOffset + 12
@@ -1005,8 +1009,8 @@ object Video {
     val codec = codecOf(meta).getOrElse(return None)
     val stride = ((3L * meta.width + 3L) / 4L) * 4L
     val frameBytes = stride * meta.height
-    if (codec == RawBgr24 &&
-      (frameBytes <= 0 || frameBytes > maxFrameBytes)) return None
+    // decoded-raster bound on both codecs (see sampledFrameBmps)
+    if (frameBytes <= 0 || frameBytes > maxFrameBytes) return None
     val moviDataStart = meta.moviOffset + 12
     val moviEnd = math.min(meta.moviOffset + 8 + meta.moviLen,
       bytes.length.toLong)

@@ -1117,4 +1117,79 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == Set(21L), s"streaming rate admission: $got")
     } finally q.stop()
   }
+
+  test("resample bound: a parseable WAV declaring a pathologically " +
+      "low sample rate comes back decoded=false under canonicalRate " +
+      "normalization (never an executor throw), and sane rate pairs " +
+      "keep decoding") {
+    import spark.implicits._
+    // 2000 frames at a DECLARED 1 Hz: normalizing to 16 kHz would
+    // demand ~32M output samples — far past 16×maxFrames at the
+    // 1024-frame cap below (1023 source frames → ~16.4M out)
+    val hostile = Audio.wrapWav(Array.tabulate(2000)(k => k % 7), 0,
+      2000, rate = 1)
+    val sane = Audio.wrapWav(Array.tabulate(2000)(k => k % 7), 0,
+      2000, rate = 8000)
+    val rows = Audio.decodeMonoAtRate(
+      Seq(1L -> hostile, 2L -> sane).toDF("id", "content"),
+      "id", "content", canonicalRate = 16000, maxFrames = 1024)
+      .collect().map(r => r.id -> r).toMap
+    assert(!rows(1L).decoded && rows(1L).nFrames == 0L,
+      s"hostile rate must be decoded=false: ${rows(1L)}")
+    assert(rows(2L).decoded && rows(2L).nFrames == 2047L,
+      s"sane 8k->16k upsample must survive: ${rows(2L)}")
+    // the signature/stats family rides the same kernel: no throw and
+    // the hostile row simply carries no signature
+    val sigs = Audio.audioSigs(
+      Seq(1L -> hostile, 2L -> sane).toDF("id", "content"),
+      "id", "content", window = 0, maxFrames = 1024,
+      canonicalRate = 16000).collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(2L), s"sigs must skip the hostile row: $sigs")
+  }
+
+  test("legacy sidecar without canonicalRate reads as rate 0: " +
+      "admission and rate-0 appends keep working on a pre-rate-" +
+      "normalization index, non-zero appends still refuse") {
+    import spark.implicits._
+    def clip(cls: Long) = Audio.wrapWav(
+      Array.tabulate(300)(k => (((cls * 7 + k) * (cls * 7 + k)) %
+        65521).toInt - 32760), 0, 300, 8000)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-audio-legacy-idx").toString
+    Audio.writeAudioNearDupIndex(
+      Seq(1L -> clip(0), 2L -> clip(1)).toDF("id", "content"),
+      "id", "content", dir)
+    // rewrite the sidecar to the pre-rate-normalization shape (no
+    // canonicalRate key) — byte-for-byte what the old writer produced
+    val sidecar = java.nio.file.Paths.get(dir,
+      "_graft_audio_index_params.json")
+    val legacy = new String(java.nio.file.Files.readAllBytes(sidecar),
+      "UTF-8").replace(",\"canonicalRate\":\"0\"", "")
+    assert(!legacy.contains("canonicalRate"), legacy)
+    java.nio.file.Files.write(sidecar, legacy.getBytes("UTF-8"))
+    // drop the Hadoop local-FS checksum twin of the rewritten file
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      "._graft_audio_index_params.json.crc"))
+    // admission: the indexed clip drops, the new one survives
+    val adm = Audio.incrementalAudioNearDedup(
+      Seq(10L -> clip(0), 11L -> clip(9)).toDF("id", "content"),
+      "id", "content", dir, maxDistance = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(adm == Set(11L), s"legacy-sidecar admission: $adm")
+    // rate-0 append accepted (the old writer's semantics), then the
+    // appended clip guards the next admission
+    Audio.appendToAudioNearDupIndex(
+      Seq(3L -> clip(9)).toDF("id", "content"), "id", "content", dir)
+    val adm2 = Audio.incrementalAudioNearDedup(
+      Seq(12L -> clip(9), 13L -> clip(4)).toDF("id", "content"),
+      "id", "content", dir, maxDistance = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(adm2 == Set(13L), s"post-append admission: $adm2")
+    // a NON-zero-rate append is a real params mismatch — still refused
+    intercept[IllegalArgumentException] {
+      Audio.appendToAudioNearDupIndex(
+        Seq(4L -> clip(5)).toDF("id", "content"), "id", "content", dir,
+        canonicalRate = 8000)
+    }
+  }
 }

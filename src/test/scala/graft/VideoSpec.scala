@@ -872,4 +872,35 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(matchedContainers == Set(1L, 3L),
       s"scene containers found: $matchedContainers")
   }
+
+  test("MJPEG decoded-raster bound: container dims whose DECODED " +
+      "frame exceeds maxFrameBytes fail the payload on all three " +
+      "decode paths even when every compressed chunk is tiny") {
+    // 64×64 flat frames: each JPEG is a few hundred bytes, but the
+    // decoded raster is stride(192)·64 = 12 288 bytes — past a 4 KiB
+    // cap. Without the raster bound a hostile highly-compressible
+    // JPEG could declare (and decode to) a multi-GB frame.
+    val bytes = Video.buildMjpegAvi(64, 64,
+      (0 until 6).map(f => flatJpeg(16 + 16 * (f % 12), 64, 64)),
+      40000L)
+    val jpegMax = (0 until 6)
+      .map(f => flatJpeg(16 + 16 * (f % 12), 64, 64).length).max
+    assert(jpegMax < 4096, s"fixture: compressed frames must be tiny " +
+      s"($jpegMax)")
+    val luma = Video.decodeSampledLuma(df((1L, bytes)), "id", "content",
+      nSamples = 6, maxFrameBytes = 4096).collect().head
+    assert(!luma.decoded, "decodeSampledLuma must refuse")
+    val frames = Video.sampleFrameImages(df((1L, bytes)), "id",
+      "content", nSamples = 6, maxFrameBytes = 4096).collect()
+    assert(frames.length == 1 && !frames.head.decoded,
+      "sampleFrameImages must refuse")
+    val segs = Video.segmentVideos(df((1L, bytes)), "id", "content",
+      segmentFrames = 3, maxFrameBytes = 4096).collect()
+    assert(segs.length == 1 && !segs.head.decoded,
+      "segmentVideos must refuse")
+    // same payload under the default cap still decodes — the bound is
+    // the cap, not the codec
+    assert(Video.decodeSampledLuma(df((1L, bytes)), "id", "content",
+      nSamples = 6).collect().head.decoded)
+  }
 }
