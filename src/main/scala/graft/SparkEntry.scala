@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, HtmlExtract, LanguageModel, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus}
+import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, HtmlExtract, LanguageModel, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -269,6 +269,36 @@ object SparkEntry {
       val frames = (0 until n).map(f =>
         MjpegFixture.flat(16 + 16 * ((base * 7 + f * 3) % 11)))
       Video.buildMjpegAvi(16, 16, frames, 40000L)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Real MP4 payloads for the container-metadata oracle row: per
+    * doc_id, the library encoder ([[Mp4.buildMp4]]) over closed-form
+    * parameters of base = doc_id % 64 — odd bases take the version-1
+    * (64-bit mvhd/tkhd/mdhd + largesize mdat) form, every third base
+    * carries an audio track, and the 4 KiB mdat makes the 1 KiB
+    * prefix parse a genuine prefix (the moov is ~0.7 KiB). The
+    * payload codecs (avc1/hvc1/mp4a fourccs) are METADATA here — this
+    * library never claims to decode them.
+    */
+  private def syntheticMp4Classed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val hasAudio = base % 3 == 0
+      Mp4.buildMp4(
+        timescale = 600L + base,
+        duration = 1000L + base * 77L,
+        width = 16 * (1 + base % 4),
+        height = 16 * (1 + base % 3),
+        videoCodec = if (base % 2 == 0) "avc1" else "hvc1",
+        nFrames = 24L + base % 8,
+        audioCodec = if (hasAudio) "mp4a" else "",
+        audioChannels = if (hasAudio) 1 + base % 2 else 0,
+        audioRate = if (hasAudio) 8000 + 100 * base else 0,
+        mdatBytes = 4096,
+        use64Bit = base % 2 == 1)
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -1746,6 +1776,29 @@ object SparkEntry {
           col("nFrames").as("decoded_frames"),
           col("durationMs").as("duration_ms"))
       meta.join(dec, Seq("id"))
+    }),
+
+    // MP4/ISO-BMFF container metadata — the real-world container: REAL
+    // MP4 bytes per row (the library encoder, both the 32-bit and the
+    // version-1/largesize 64-bit forms) through the REAL box walk,
+    // ROUTED THROUGH THE 1 KiB PREFIX path (the 4 KiB mdat bytes are
+    // never read) — every projected field is closed-form box
+    // arithmetic per doc_id; the payload codecs stay honestly
+    // undecoded (metadata only)
+    "q_video_mp4" -> ((s, dir) => {
+      Mp4.mp4MetaScan(syntheticMp4Classed(t(s, dir, "documents")),
+        "id", "content", prefixBytes = 1024)
+        .filter(col("parsed"))
+        .select(col("id"), col("major_brand"), col("timescale"),
+          col("duration"), col("duration_ms"),
+          col("tracks").cast("long").as("tracks"),
+          col("video_codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("video_frames"),
+          col("audio_codec"),
+          col("audio_channels").cast("long").as("audio_channels"),
+          col("audio_rate").cast("long").as("audio_rate"))
     }),
 
     // video scene segments: REAL AVI payloads sliced into overlapping
@@ -4405,6 +4458,34 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS streams, CAST(24 AS BIGINT) AS bit_count,
         |  CAST(0 AS BIGINT) AS compression,
         |  CAST((65 + (doc_id % 64) % 8) * 40 AS BIGINT) AS duration_ms
+        |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // MP4 metadata: every field is closed-form box arithmetic of
+    // doc_id (the Spark side reads them back out of REAL
+    // encoder-built ISO-BMFF bytes through the box walk, via the
+    // 1 KiB prefix); duration_ms is floor millis — positive operands,
+    // so DuckDB // truncation == floor
+    "q_video_mp4" ->
+      """SELECT doc_id AS id, 'isom' AS major_brand,
+        |  CAST(600 + doc_id % 64 AS BIGINT) AS timescale,
+        |  CAST(1000 + (doc_id % 64) * 77 AS BIGINT) AS duration,
+        |  CAST((1000 + (doc_id % 64) * 77) * 1000
+        |    // (600 + doc_id % 64) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 64 % 3 = 0 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS tracks,
+        |  CASE WHEN doc_id % 64 % 2 = 0 THEN 'avc1' ELSE 'hvc1' END
+        |    AS video_codec,
+        |  CAST(16 * (1 + doc_id % 64 % 4) AS BIGINT) AS width,
+        |  CAST(16 * (1 + doc_id % 64 % 3) AS BIGINT) AS height,
+        |  CAST(24 + doc_id % 64 % 8 AS BIGINT) AS video_frames,
+        |  CASE WHEN doc_id % 64 % 3 = 0 THEN 'mp4a' ELSE '' END
+        |    AS audio_codec,
+        |  CAST(CASE WHEN doc_id % 64 % 3 = 0 THEN 1 + doc_id % 64 % 2
+        |    ELSE 0 END AS BIGINT) AS audio_channels,
+        |  CAST(CASE WHEN doc_id % 64 % 3 = 0 THEN
+        |    8000 + 100 * (doc_id % 64) ELSE 0 END AS BIGINT)
+        |    AS audio_rate
         |FROM documents
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

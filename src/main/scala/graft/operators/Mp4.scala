@@ -1,0 +1,489 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** MP4 / ISO-BMFF (ISO/IEC 14496-12) container metadata — the
+  * real-world video container: virtually every video a large corpus
+  * ingests is MP4, so the metadata-filter path (duration, dimensions,
+  * codec, track shape) must read it even though the payload codecs
+  * (H.264/HEVC/AAC) stay honestly undecodable here (no native codec
+  * libs — fabricating pixel/sample statistics from undecoded streams
+  * is the failure mode the whole multimodal family refuses).
+  *
+  * Reference scope: the reference service carries uploads as opaque
+  * blobs; this module is the training-data-pipeline extension the
+  * brief names ("typed metadata" over opaque binary columns) applied
+  * to the dominant container. Everything here derives from the
+  * published ISO base-media box grammar: length-prefixed big-endian
+  * boxes (`size`(u32) `type`(4CC), `size == 1` → 64-bit largesize,
+  * `size == 0` → to end of file), `ftyp` brand, `moov` carrying
+  * `mvhd` (version 0: 32-bit times; version 1: 64-bit) and one
+  * `trak` per stream (`tkhd`/`mdia`/`mdhd`/`hdlr`/`minf`/`stbl`),
+  * with the codec fourcc and visual/audio sample description in
+  * `stsd` and the sample count in `stsz`/`stz2`-style tables.
+  *
+  * Design for 100 TB — the same contract as [[Video.parseAviHeader]]:
+  *  - header-only: the walk reads box HEADERS and the few fixed-size
+  *    leaf boxes it projects; `mdat` content (the overwhelming bulk
+  *    of any real payload) is skipped by its declared size and its
+  *    bytes are never touched.
+  *  - prefix-boundable: faststart files (moov before mdat — the
+  *    layout every streaming encoder emits) parse from a small
+  *    persisted prefix column; header structure beyond the prefix is
+  *    `parsed = false`, never fabricated fields.
+  *  - honest: garbage, truncation mid-box, insane dimensions, and
+  *    zero timescales all come back `parsed = false` with zeroed
+  *    fields. The walk never throws on hostile bytes (Long cursors —
+  *    a ~2³² declared size ends the walk instead of wrapping).
+  */
+object Mp4 {
+
+  /** Header-only MP4 metadata. `durationMs` is exact floor millis
+    * (`duration · 1000 / timescale`). Video fields come from the
+    * FIRST `vide`-handler track (codec = its `stsd` entry fourcc,
+    * dimensions = the sample-entry u16s, `videoFrames` = its `stsz`
+    * sample count); audio fields from the first `soun` track
+    * (`audioRate` is the integer part of the 16.16 sample rate).
+    * Absent tracks leave empty-string codecs and zeroed fields —
+    * `tracks` counts every `trak` box either way.
+    */
+  case class Mp4Meta(id: Long, majorBrand: String, timescale: Long,
+      duration: Long, durationMs: Long, tracks: Int,
+      videoCodec: String, width: Int, height: Int, videoFrames: Long,
+      audioCodec: String, audioChannels: Int, audioRate: Int,
+      parsed: Boolean)
+
+  def parseMp4Header(df: DataFrame, idCol: String,
+      binCol: String): Dataset[Mp4Meta] = {
+    implicit val enc = Encoders.product[Mp4Meta]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          toMeta(r.getLong(0), parseMp4(r.getAs[Array[Byte]](1)))
+        }
+    }
+  }
+
+  /** [[parseMp4Header]] over only the first `prefixBytes` of each
+    * payload — the 100 TB metadata-filter path
+    * ([[Video.parseAviHeaderPrefix]] for ISO-BMFF): persist the
+    * prefix as its own narrow column at ingest and duration/
+    * dimension/codec filters never touch the media data. Faststart
+    * layouts (moov first) parse whole; a moov that sits beyond the
+    * prefix (mdat-first archival layouts) is honestly
+    * `parsed = false` — never fabricated fields.
+    */
+  def parseMp4HeaderPrefix(df: DataFrame, idCol: String,
+      binCol: String, prefixBytes: Int = 64 * 1024): Dataset[Mp4Meta] = {
+    require(prefixBytes >= 16,
+      s"prefixBytes must cover the ftyp box header, got $prefixBytes")
+    implicit val enc = Encoders.product[Mp4Meta]
+    df.select(col(idCol).cast("long"),
+      substring(col(binCol), 1, prefixBytes).as("__mp4_prefix"),
+      length(col(binCol)).cast("long").as("__mp4_len")).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          toMeta(r.getLong(0),
+            parseMp4(r.getAs[Array[Byte]](1), r.getLong(2)))
+        }
+    }
+  }
+
+  /** Metadata projection over an MP4-bearing DataFrame: id + the
+    * [[Mp4Meta]] fields as columns. `prefixBytes > 0` routes through
+    * the prefix parser.
+    */
+  def mp4MetaScan(df: DataFrame, idCol: String, binCol: String,
+      prefixBytes: Int = 0): DataFrame = {
+    val ds = if (prefixBytes > 0)
+      parseMp4HeaderPrefix(df, idCol, binCol, prefixBytes)
+    else parseMp4Header(df, idCol, binCol)
+    ds.toDF().select(col("id"),
+      col("majorBrand").as("major_brand"),
+      col("timescale"), col("duration"),
+      col("durationMs").as("duration_ms"),
+      col("tracks"),
+      col("videoCodec").as("video_codec"),
+      col("width"), col("height"),
+      col("videoFrames").as("video_frames"),
+      col("audioCodec").as("audio_codec"),
+      col("audioChannels").as("audio_channels"),
+      col("audioRate").as("audio_rate"),
+      col("parsed"))
+  }
+
+  // ---- imperative internals (the mapPartitions payload walker) -------
+
+  private[graft] final case class ParsedMp4(majorBrand: String,
+      timescale: Long, duration: Long, tracks: Int, videoCodec: String,
+      width: Int, height: Int, videoFrames: Long, audioCodec: String,
+      audioChannels: Int, audioRate: Int)
+
+  private def toMeta(id: Long, p: Option[ParsedMp4]): Mp4Meta =
+    p match {
+      case Some(m) => Mp4Meta(id, m.majorBrand, m.timescale,
+        m.duration, m.duration * 1000L / m.timescale, m.tracks,
+        m.videoCodec, m.width, m.height, m.videoFrames, m.audioCodec,
+        m.audioChannels, m.audioRate, parsed = true)
+      case None => Mp4Meta(id, "", 0L, 0L, 0L, 0, "", 0, 0, 0L, "", 0,
+        0, parsed = false)
+    }
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** One box header at `pos`: (payloadStart, boxEnd) — None when the
+    * header itself (including a 64-bit largesize) doesn't fit the
+    * available bytes, or the declared size is malformed (smaller than
+    * its own header, or negative). `limit` is the containing box's
+    * end; `avail` is how many bytes are actually present (the prefix
+    * honesty bound). A box end may exceed `avail` — CALLERS decide
+    * whether the content must be present (leaf reads) or can be
+    * skipped (mdat).
+    */
+  private def boxAt(b: Array[Byte], pos: Long, limit: Long,
+      avail: Long): Option[(String, Long, Long)] = {
+    if (pos + 8 > limit || pos + 8 > avail) return None
+    val sz32 = be32(b, pos.toInt)
+    val typ = fourcc(b, pos.toInt + 4)
+    if (sz32 == 1L) { // 64-bit largesize follows the type
+      if (pos + 16 > limit || pos + 16 > avail) return None
+      val sz = be64(b, pos.toInt + 8)
+      if (sz < 16L) return None
+      Some((typ, pos + 16, pos + sz))
+    } else if (sz32 == 0L) { // box extends to the end of the file
+      Some((typ, pos + 8, limit))
+    } else {
+      if (sz32 < 8L) return None
+      Some((typ, pos + 8, pos + sz32))
+    }
+  }
+
+  /** The ISO-BMFF walk. `trueLen < 0` means `bytes` IS the whole
+    * payload; otherwise `bytes` is a prefix of a `trueLen`-byte
+    * payload. Identification requires a leading `ftyp` (the standard
+    * sniff). Every structural read is bounds-checked against the
+    * bytes PRESENT — header structure beyond a prefix fails the parse
+    * honestly; only `mdat`/`free`/`skip` CONTENT may lie beyond
+    * (skipped by declared size).
+    */
+  private[graft] def parseMp4(bytes: Array[Byte],
+      trueLen: Long = -1L): Option[ParsedMp4] = {
+    if (bytes == null || bytes.length < 16) return None
+    val total = if (trueLen < 0) bytes.length.toLong else trueLen
+    val avail = bytes.length.toLong
+    // leading ftyp (identification + brand)
+    val (t0, ftypBody, ftypEnd) =
+      boxAt(bytes, 0L, total, avail).getOrElse(return None)
+    if (t0 != "ftyp" || ftypBody + 8 > avail || ftypEnd > total)
+      return None
+    val majorBrand = fourcc(bytes, ftypBody.toInt)
+
+    var timescale = 0L
+    var duration = -1L
+    var tracks = 0
+    var videoCodec = ""
+    var width = 0
+    var height = 0
+    var videoFrames = 0L
+    var audioCodec = ""
+    var audioChannels = 0
+    var audioRate = 0
+    var sawMoov = false
+
+    /** Child walk of a container box — returns false on malformed /
+      * beyond-prefix structure (the whole parse then fails).
+      */
+    def walkChildren(start: Long, end: Long,
+        onChild: (String, Long, Long) => Boolean): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        boxAt(bytes, pos, end, avail) match {
+          case Some((typ, body, boxEnd)) =>
+            if (boxEnd > end) return false // child overruns parent
+            if (!onChild(typ, body, boxEnd)) return false
+            pos = boxEnd
+          case None => return false
+        }
+      }
+      true
+    }
+
+    /** stbl of one trak: stsd first entry (codec fourcc + the
+      * visual/audio sample fields) and the stsz sample count.
+      */
+    def walkStbl(start: Long, end: Long, handler: String): Boolean =
+      walkChildren(start, end, (typ, body, boxEnd) => typ match {
+        case "stsd" =>
+          // FullBox(4) + entry_count(4), then the first sample entry:
+          // size(4) format(4) reserved(6) data_ref_index(2)
+          if (body + 8 > avail) false
+          else if (be32(bytes, body.toInt + 4) < 1) true
+          else {
+            val e = body + 8
+            if (e + 16 > avail || e + 16 > boxEnd) false
+            else {
+              val fmt = fourcc(bytes, e.toInt + 4)
+              if (handler == "vide") {
+                // VisualSampleEntry: pre_defined(2) reserved(2)
+                // pre_defined(12) → width u16 @+32, height u16 @+34
+                if (e + 36 > avail || e + 36 > boxEnd) false
+                else {
+                  if (videoCodec.isEmpty) {
+                    videoCodec = fmt
+                    width = be16(bytes, e.toInt + 32)
+                    height = be16(bytes, e.toInt + 34)
+                  }
+                  true
+                }
+              } else if (handler == "soun") {
+                // AudioSampleEntry: reserved(8) → channelcount u16
+                // @+24, samplesize u16 @+26, pre_defined(2)
+                // reserved(2), samplerate u32 16.16 @+32
+                if (e + 36 > avail || e + 36 > boxEnd) false
+                else {
+                  if (audioCodec.isEmpty) {
+                    audioCodec = fmt
+                    audioChannels = be16(bytes, e.toInt + 24)
+                    audioRate = (be32(bytes, e.toInt + 32) >> 16).toInt
+                  }
+                  true
+                }
+              } else true
+            }
+          }
+        case "stsz" =>
+          // FullBox(4) + sample_size(4) + sample_count(4)
+          if (body + 12 > avail || body + 12 > boxEnd) false
+          else {
+            if (handler == "vide" && videoFrames == 0L)
+              videoFrames = be32(bytes, body.toInt + 8)
+            true
+          }
+        case _ => true // stts/stsc/stco/co64/… — layout, not metadata
+      })
+
+    def walkTrak(start: Long, end: Long): Boolean = {
+      var handler = ""
+      // pass 1: find the hdlr (it can follow minf in box order)
+      val ok1 = walkChildren(start, end, (typ, body, boxEnd) =>
+        typ match {
+          case "mdia" =>
+            walkChildren(body, boxEnd, (t2, b2, e2) => t2 match {
+              case "hdlr" =>
+                // FullBox(4) + pre_defined(4) + handler_type(4CC)
+                if (b2 + 12 > avail || b2 + 12 > e2) false
+                else { handler = fourcc(bytes, b2.toInt + 8); true }
+              case _ => true
+            })
+          case _ => true
+        })
+      // pass 2: descend mdia → minf → stbl under the known handler
+      ok1 && walkChildren(start, end, (typ, body, boxEnd) =>
+        typ match {
+          case "mdia" =>
+            walkChildren(body, boxEnd, (t2, b2, e2) => t2 match {
+              case "minf" =>
+                walkChildren(b2, e2, (t3, b3, e3) => t3 match {
+                  case "stbl" => walkStbl(b3, e3, handler)
+                  case _ => true
+                })
+              case _ => true
+            })
+          case _ => true
+        })
+    }
+
+    def walkMoov(start: Long, end: Long): Boolean =
+      walkChildren(start, end, (typ, body, boxEnd) => typ match {
+        case "mvhd" =>
+          if (body + 4 > avail) false
+          else if ((bytes(body.toInt) & 0xFF) == 1) {
+            // 64-bit creation/modification, u32 timescale, u64 duration
+            if (body + 32 > avail || body + 32 > boxEnd) false
+            else {
+              timescale = be32(bytes, body.toInt + 20)
+              duration = be64(bytes, body.toInt + 24)
+              true
+            }
+          } else {
+            if (body + 24 > avail || body + 24 > boxEnd) false
+            else {
+              timescale = be32(bytes, body.toInt + 12)
+              duration = be32(bytes, body.toInt + 16)
+              true
+            }
+          }
+        case "trak" =>
+          tracks += 1
+          walkTrak(body, boxEnd)
+        case _ => true
+      })
+
+    // top-level walk: moov structure must be PRESENT; mdat/free/skip
+    // content is skipped by declared size (may lie beyond a prefix)
+    var pos = ftypEnd
+    while (pos + 8 <= total) {
+      boxAt(bytes, pos, total, avail) match {
+        case Some((typ, body, boxEnd)) =>
+          if (typ == "moov") {
+            if (boxEnd > avail) return None // header beyond prefix
+            if (!walkMoov(body, boxEnd)) return None
+            sawMoov = true
+          }
+          pos = boxEnd
+        case None =>
+          // a top-level header beyond the prefix: honest only if the
+          // moov was already seen (trailing mdat in a prefix parse)
+          return if (sawMoov && pos + 8 > avail && pos + 8 <= total &&
+            timescale > 0L && duration >= 0L && dimsSane(width, height))
+            Some(ParsedMp4(majorBrand, timescale, duration, tracks,
+              videoCodec, width, height, videoFrames, audioCodec,
+              audioChannels, audioRate))
+          else None
+      }
+    }
+    if (!sawMoov || timescale <= 0L || duration < 0L ||
+      !dimsSane(width, height)) None
+    else Some(ParsedMp4(majorBrand, timescale, duration, tracks,
+      videoCodec, width, height, videoFrames, audioCodec,
+      audioChannels, audioRate))
+  }
+
+  private def dimsSane(w: Int, h: Int): Boolean =
+    (w == 0 && h == 0) || (w > 0 && h > 0 && w <= 32768 && h <= 32768)
+
+  // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
+
+  /** Build a minimal valid faststart MP4 (`ftyp` + `moov` + `mdat`):
+    * one video track (codec fourcc + dimensions + `nFrames` declared
+    * fixed-size samples) and optionally one audio track. The decode
+    * twin of [[parseMp4Header]] — specs pin the round trip; payload
+    * sample bytes in `mdat` are opaque filler (this library never
+    * claims to decode H.264/AAC). `use64Bit = true` writes version-1
+    * mvhd/tkhd/mdhd (64-bit times) AND a largesize `mdat` — the
+    * co64-era form big archival files carry.
+    */
+  def buildMp4(timescale: Long, duration: Long, width: Int,
+      height: Int, videoCodec: String = "avc1", nFrames: Long = 0L,
+      audioCodec: String = "", audioChannels: Int = 0,
+      audioRate: Int = 0, mdatBytes: Int = 64,
+      use64Bit: Boolean = false): Array[Byte] = {
+    require(timescale > 0 && duration >= 0, "timescale/duration")
+    require(videoCodec.length == 4, "videoCodec must be a 4CC")
+    require(audioCodec.isEmpty || audioCodec.length == 4,
+      "audioCodec must be empty or a 4CC")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = {
+      bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF)
+    }
+    def w32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 8) & 0xFF).toInt); bos.write((v & 0xFF).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xFFFFFFFFL) }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def box(typ: String)(body: => Unit): Unit = {
+      val sizeAt = bos.size()
+      w32(0L); tag4(typ)
+      body
+      val out = bos.toByteArray // patch the size in place
+      val sz = out.length - sizeAt
+      bos.reset()
+      bos.write(out, 0, sizeAt)
+      w32(sz.toLong); bos.write(out, sizeAt + 4, sz - 4)
+    }
+    def fullBox(typ: String, version: Int)(body: => Unit): Unit =
+      box(typ) { bos.write(version); bos.write(0); w16(0); body }
+
+    box("ftyp") { tag4("isom"); w32(512L); tag4("isom"); tag4("iso2") }
+    val v = if (use64Bit) 1 else 0
+    def times(n: Int): Unit =
+      (0 until n).foreach(_ => if (v == 1) w64(0L) else w32(0L))
+    box("moov") {
+      fullBox("mvhd", v) {
+        times(2) // creation, modification
+        w32(timescale)
+        if (v == 1) w64(duration) else w32(duration)
+        w32(0x00010000L); w16(0x0100); w16(0) // rate, volume, reserved
+        w32(0L); w32(0L) // reserved
+        Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+          0x40000000L).foreach(w32) // identity matrix
+        (0 until 6).foreach(_ => w32(0L)) // pre_defined
+        w32(3L) // next_track_ID
+      }
+      def trak(trackId: Long, handler: String, name: String,
+          stsd: => Unit, sampleCount: Long): Unit = box("trak") {
+        fullBox("tkhd", v) {
+          times(2)
+          w32(trackId); w32(0L)
+          if (v == 1) w64(duration) else w32(duration)
+          w32(0L); w32(0L); w16(0); w16(0); w16(0); w16(0)
+          Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+            0x40000000L).foreach(w32)
+          if (handler == "vide") {
+            w32(width.toLong << 16); w32(height.toLong << 16)
+          } else { w32(0L); w32(0L) }
+        }
+        box("mdia") {
+          fullBox("mdhd", v) {
+            times(2)
+            w32(timescale)
+            if (v == 1) w64(duration) else w32(duration)
+            w16(0x55C4); w16(0) // language 'und', pre_defined
+          }
+          fullBox("hdlr", 0) {
+            w32(0L); tag4(handler); w32(0L); w32(0L); w32(0L)
+            bos.write(name.getBytes("US-ASCII")); bos.write(0)
+          }
+          box("minf") {
+            box("stbl") {
+              fullBox("stsd", 0) { w32(1L); stsd }
+              fullBox("stts", 0) { w32(1L); w32(sampleCount); w32(1L) }
+              fullBox("stsc", 0) { w32(0L) }
+              fullBox("stsz", 0) { w32(16L); w32(sampleCount) }
+              fullBox("stco", 0) { w32(0L) }
+            }
+          }
+        }
+      }
+      trak(1L, "vide", "VideoHandler", {
+        box(videoCodec) {
+          (0 until 6).foreach(_ => bos.write(0)); w16(1) // data_ref
+          w16(0); w16(0); w32(0L); w32(0L); w32(0L) // pre/reserved
+          w16(width); w16(height)
+          w32(0x00480000L); w32(0x00480000L) // 72 dpi
+          w32(0L); w16(1) // reserved, frame_count
+          (0 until 32).foreach(_ => bos.write(0)) // compressorname
+          w16(24); w16(0xFFFF) // depth, pre_defined(-1)
+        }
+      }, nFrames)
+      if (audioCodec.nonEmpty)
+        trak(2L, "soun", "SoundHandler", {
+          box(audioCodec) {
+            (0 until 6).foreach(_ => bos.write(0)); w16(1)
+            w32(0L); w32(0L) // reserved
+            w16(audioChannels); w16(16); w16(0); w16(0)
+            w32(audioRate.toLong << 16)
+          }
+        }, 0L)
+    }
+    if (use64Bit) { // largesize mdat — the co64-era 64-bit form
+      w32(1L); tag4("mdat"); w64(16L + mdatBytes)
+      (0 until mdatBytes).foreach(i => bos.write(i & 0xFF))
+    } else {
+      w32(8L + mdatBytes); tag4("mdat")
+      (0 until mdatBytes).foreach(i => bos.write(i & 0xFF))
+    }
+    bos.toByteArray
+  }
+}
