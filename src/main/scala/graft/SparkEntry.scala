@@ -274,6 +274,26 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real two-stream AVI payloads (video + PCM16 soundtrack) for the
+    * soundtrack-bridge oracle row: per doc_id, the library encoder
+    * ([[Video.buildAviWithAudio]]) interleaves 5 planted BGR24 frames
+    * with a closed-form sample stream — sample k of doc_id is
+    * ((base·53 + k·17) % 201) − 100 over 200 + 3·base frames at
+    * 8 kHz, base = doc_id % 64.
+    */
+  private def syntheticAviAudioClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 200 + 3 * base
+      val samples = Array.tabulate(n)(k => (base * 53 + k * 17) % 201 - 100)
+      val frames = (0 until 5).map(f => Array.tabulate(3 * 4 * 3)(k =>
+        ((base * 131 + f * 31 + k * 7) % 101).toByte))
+      Video.buildAviWithAudio(4, 3, frames, 40000L, samples, 8000)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP4 payloads for the container-metadata oracle row: per
     * doc_id, the library encoder ([[Mp4.buildMp4]]) over closed-form
     * parameters of base = doc_id % 64 — odd bases take the version-1
@@ -1799,6 +1819,28 @@ object SparkEntry {
           col("audio_codec"),
           col("audio_channels").cast("long").as("audio_channels"),
           col("audio_rate").cast("long").as("audio_rate"))
+    }),
+
+    // the soundtrack bridge: REAL two-stream AVIs -> extractAudioTracks
+    // (byte-level 01wb concat re-wrapped as a canonical WAV) -> the
+    // UNCHANGED audio-family decode -> exact integer stats; every
+    // column is a closed form of doc_id through the real
+    // encode -> container walk -> extract -> WAV parse -> PCM decode
+    // chain (jingle-in-a-video composition on top of this is
+    // spec-pinned in VideoSpec)
+    "q_video_audio_track" -> ((s, dir) => {
+      val tracks = Video.extractAudioTracks(
+        syntheticAviAudioClassed(t(s, dir, "documents")), "id",
+        "content").toDF().filter(col("decoded"))
+      Audio.decodePcm16(tracks, "id", "wav").toDF()
+        .filter(col("decoded"))
+        .select(col("id"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("nFrames").as("n_frames"),
+          aggregate(col("samples"), lit(0L), (a, x) => a + x)
+            .as("sample_sum"),
+          array_max(col("samples")).cast("long").as("sample_peak"),
+          array_min(col("samples")).cast("long").as("sample_min"))
     }),
 
     // video scene segments: REAL AVI payloads sliced into overlapping
@@ -4487,6 +4529,25 @@ object SparkEntry {
         |    8000 + 100 * (doc_id % 64) ELSE 0 END AS BIGINT)
         |    AS audio_rate
         |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // soundtrack bridge: the planted sample stream is a closed form of
+    // (doc_id, k) — extraction is byte-level concat, so decoded stats
+    // replay as list folds over the same stream
+    "q_video_audio_track" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    200 + (doc_id % 64) * 3 AS n
+        |  FROM documents),
+        |s AS (SELECT id, n, list_transform(generate_series(0, n - 1),
+        |    k -> (base * 53 + k * 17) % 201 - 100) AS ss
+        |  FROM g)
+        |SELECT id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_sum(ss) AS BIGINT) AS sample_sum,
+        |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
+        |  CAST(list_min(ss) AS BIGINT) AS sample_min
+        |FROM s
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // video segments: per-frame luma is a closed form of

@@ -57,7 +57,9 @@ object Video {
   case class AviMeta(id: Long, microsPerFrame: Long, totalFrames: Long,
       width: Int, height: Int, streams: Int, bitCount: Int,
       compression: Long, moviOffset: Long, moviLen: Long,
-      durationMs: Long, parsed: Boolean)
+      durationMs: Long, parsed: Boolean, audioStream: Int = -1,
+      audioFormat: Int = 0, audioChannels: Int = 0, audioRate: Int = 0,
+      audioBits: Int = 0)
 
   def parseAviHeader(df: DataFrame, idCol: String,
       binCol: String): Dataset[AviMeta] = {
@@ -130,7 +132,11 @@ object Video {
       col("totalFrames").as("total_frames"), col("width"),
       col("height"), col("streams"), col("bitCount").as("bit_count"),
       col("compression"), col("durationMs").as("duration_ms"),
-      col("parsed"))
+      col("parsed"), col("audioStream").as("audio_stream"),
+      col("audioFormat").as("audio_format"),
+      col("audioChannels").as("audio_channels"),
+      col("audioRate").as("audio_rate"),
+      col("audioBits").as("audio_bits"))
   }
 
   /** Uniform sample indices: frame `⌊i · nFrames / nSamples⌋` for
@@ -358,6 +364,121 @@ object Video {
           }
         }
     }
+  }
+
+  /** Output row of the soundtrack-extraction stage: `wav` is the
+    * container's first audio stream re-wrapped as a REAL standalone
+    * WAV (the auds WAVEFORMATEX verbatim + every `NNwb` chunk's bytes
+    * concatenated in movi order — byte-level, no resample, no
+    * transcode), consumable by the ENTIRE audio family downstream.
+    * Containers without a parseable audio stream emit ONE marker row
+    * (`decoded = false`, empty wav).
+    */
+  case class AudioTrack(id: Long, wav: Array[Byte], format: Int,
+      channels: Int, sampleRate: Int, bitsPerSample: Int,
+      audioBytes: Long, decoded: Boolean)
+
+  /** Extract each video's soundtrack as a standalone WAV — the
+    * video→audio member of the fragment-bridge family
+    * ([[sampleFrameImages]] emits frames as BMPs; this emits the
+    * audio stream as a WAV): the output rides the ENTIRE audio
+    * family with no video-specific code downstream, so
+    * find-videos-containing-a-known-JINGLE is plain composition —
+    * index the jingle ([[Audio.writeAudioNearDupIndex]]), admit the
+    * extracted soundtracks (or their [[Audio.segmentClips]] windows)
+    * against it. The wrap is header-only: AVI `NNwb` chunks carry the
+    * stream's WAVEFORMATEX-format bytes verbatim (for PCM16, raw
+    * LE16 samples — the exact layout a canonical WAV data chunk
+    * holds), so extraction is two movi walks (size, then copy) + a
+    * 44-byte header — zero decode, any audio format the [[Audio]]
+    * family parses (PCM/ADPCM/G.711/float) rides through untouched,
+    * formats it can't are ITS honest `decoded = false` downstream.
+    * `maxAudioBytes` bounds per-payload memory; a soundtrack past it
+    * fails the row honestly (`decoded = false`), never truncates —
+    * a silently-shortened signal would skew every downstream
+    * fingerprint.
+    */
+  def extractAudioTracks(df: DataFrame, idCol: String, binCol: String,
+      maxAudioBytes: Int = 1 << 26): Dataset[AudioTrack] = {
+    require(maxAudioBytes > 0, "maxAudioBytes must be positive")
+    implicit val enc = Encoders.product[AudioTrack]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          audioTrackWav(r.getAs[Array[Byte]](1), maxAudioBytes) match {
+            case Some((fmt, ch, rate, bits, wav)) =>
+              AudioTrack(id, wav, fmt, ch, rate, bits,
+                (wav.length - 44).toLong, decoded = true)
+            case None => AudioTrack(id, Array.emptyByteArray, 0, 0, 0,
+              0, 0L, decoded = false)
+          }
+        }
+    }
+  }
+
+  /** The soundtrack walk: locate the first `auds` strl (its order
+    * index is the movi chunk stream number), then two movi passes —
+    * total the `NNwb` bytes (bound + truncation checks), then copy
+    * them behind a canonical 44-byte WAV header carrying the
+    * WAVEFORMATEX fields verbatim.
+    */
+  private def audioTrackWav(bytes: Array[Byte],
+      maxAudioBytes: Int): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    val meta = parseAvi(bytes).getOrElse(return None)
+    if (meta.audioStream < 0 || meta.audRate <= 0 ||
+      meta.audChannels <= 0) return None
+    val wbTag = f"${meta.audioStream}%02dwb"
+    val moviDataStart = meta.moviOffset + 12
+    val moviEnd = math.min(meta.moviOffset + 8 + meta.moviLen,
+      bytes.length.toLong)
+    var total = 0L
+    var pos = moviDataStart
+    while (pos + 8 <= moviEnd) {
+      val t = tag(bytes, pos.toInt)
+      val sz = le32(bytes, pos.toInt + 4)
+      if (t == wbTag) {
+        if (pos + 8 + sz > moviEnd) return None // truncated chunk
+        total += sz
+      }
+      pos = pos + 8 + sz + (sz & 1)
+    }
+    if (total == 0L || total > maxAudioBytes) return None
+    val n = total.toInt
+    val out = new Array[Byte](44 + n)
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte
+      out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag4(o: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag4(0, "RIFF"); w32(4, 36L + n); tag4(8, "WAVE")
+    tag4(12, "fmt "); w32(16, 16L)
+    w16(20, meta.audFormat); w16(22, meta.audChannels)
+    w32(24, meta.audRate.toLong); w32(28, meta.audByteRate)
+    w16(32, meta.audBlockAlign); w16(34, meta.audBits)
+    tag4(36, "data"); w32(40, n.toLong)
+    var w = 44
+    pos = moviDataStart
+    while (pos + 8 <= moviEnd) {
+      val t = tag(bytes, pos.toInt)
+      val sz = le32(bytes, pos.toInt + 4)
+      if (t == wbTag) {
+        System.arraycopy(bytes, (pos + 8).toInt, out, w, sz.toInt)
+        w += sz.toInt
+      }
+      pos = pos + 8 + sz + (sz & 1)
+    }
+    Some((meta.audFormat, meta.audChannels, meta.audRate,
+      meta.audBits, out))
   }
 
   /** Top-down unpadded BGR bytes of a decoded frame image. */
@@ -743,6 +864,106 @@ object Video {
     bos.toByteArray
   }
 
+  /** Build a canonical two-stream AVI: the [[buildUncompressedAvi]]
+    * RIFF skeleton plus an `auds` strl (WAVEFORMATEX, 16-bit PCM
+    * mono) and the soundtrack interleaved into movi as `01wb` chunks,
+    * one per video frame (sample range `[⌊f·n/F⌋, ⌊(f+1)·n/F⌋)` —
+    * the standard frame-paced interleave, exact integer floor). The
+    * encode twin of [[extractAudioTracks]]: extraction concatenates
+    * the `01wb` bytes back in order, so the round-tripped WAV is
+    * byte-identical to [[Audio.wrapWav]] over `samples` — specs pin
+    * it.
+    */
+  def buildAviWithAudio(width: Int, height: Int,
+      frames: Seq[Array[Byte]], microsPerFrame: Long,
+      samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "width/height must be positive")
+    require(sampleRate > 0, "sampleRate must be positive")
+    require(frames.nonEmpty, "at least one frame")
+    frames.foreach(f => require(f.length == 3 * width * height,
+      s"frame must be ${3 * width * height} bytes, got ${f.length}"))
+    val stride = ((3 * width + 3) / 4) * 4
+    val frameBytes = stride * height
+    val nF = frames.length
+    val nS = samples.length
+    // audio chunk f covers samples [f*nS/nF, (f+1)*nS/nF)
+    val cuts = Array.tabulate(nF + 1)(f => f.toLong * nS / nF)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def w16(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+    }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strhSz = 56
+    val strlVSz = 4 + (8 + strhSz) + (8 + 40)
+    val strlASz = 4 + (8 + strhSz) + (8 + 16)
+    val avihSz = 56
+    val hdrlSz = 4 + (8 + avihSz) + (8 + strlVSz) + (8 + strlASz)
+    val audioChunkBytes = Array.tabulate(nF) { f =>
+      val b = 2L * (cuts(f + 1) - cuts(f))
+      b + (b & 1)
+    }
+    val moviSz = 4 + nF * (8 + frameBytes) +
+      audioChunkBytes.map(b => if (b > 0) 8 + b else 0L).sum
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    tag4("RIFF"); w32(riffSz); tag4("AVI ")
+    tag4("LIST"); w32(hdrlSz); tag4("hdrl")
+    tag4("avih"); w32(avihSz)
+    w32(microsPerFrame); w32(0L); w32(0L); w32(0L)
+    w32(nF); w32(0L); w32(2L); w32(frameBytes)
+    w32(width); w32(height); w32(0L); w32(0L); w32(0L); w32(0L)
+    tag4("LIST"); w32(strlVSz); tag4("strl")
+    tag4("strh"); w32(strhSz)
+    tag4("vids"); tag4("DIB "); w32(0L); w32(0L); w32(0L)
+    w32(microsPerFrame); w32(1000000L); w32(0L); w32(nF)
+    w32(frameBytes); w32(-1L & 0xFFFFFFFFL); w32(0L)
+    w16(0); w16(0); w16(width); w16(height)
+    tag4("strf"); w32(40L)
+    w32(40L); w32(width); w32(height); w16(1); w16(24)
+    w32(0L); w32(frameBytes); w32(0L); w32(0L); w32(0L); w32(0L)
+    tag4("LIST"); w32(strlASz); tag4("strl")
+    tag4("strh"); w32(strhSz)
+    tag4("auds"); w32(0L); w32(0L); w32(0L); w32(0L)
+    w32(1L); w32(sampleRate.toLong); w32(0L); w32(nS)
+    w32(2L * sampleRate); w32(-1L & 0xFFFFFFFFL); w32(2L)
+    w16(0); w16(0); w16(0); w16(0)
+    tag4("strf"); w32(16L) // WAVEFORMATEX sans cbSize: PCM16 mono
+    w16(1); w16(1); w32(sampleRate.toLong); w32(2L * sampleRate)
+    w16(2); w16(16)
+    tag4("LIST"); w32(moviSz); tag4("movi")
+    var f = 0
+    while (f < nF) {
+      tag4("00db"); w32(frameBytes)
+      val fr = frames(f)
+      var row = height - 1
+      while (row >= 0) { // bottom-up rows, zero pad to stride
+        bos.write(fr, row * 3 * width, 3 * width)
+        var p = 3 * width
+        while (p < stride) { bos.write(0); p += 1 }
+        row -= 1
+      }
+      val from = cuts(f).toInt
+      val until = cuts(f + 1).toInt
+      if (until > from) {
+        val b = 2 * (until - from)
+        tag4("01wb"); w32(b.toLong)
+        var i = from
+        while (i < until) {
+          bos.write(samples(i) & 0xFF)
+          bos.write((samples(i) >> 8) & 0xFF)
+          i += 1
+        }
+        if ((b & 1) == 1) bos.write(0)
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
   /** Build an MJPEG AVI: the same RIFF skeleton as
     * [[buildUncompressedAvi]] but `strf.biCompression = 'MJPG'` and
     * each frame a `00dc` chunk carrying one COMPLETE standalone JPEG
@@ -810,9 +1031,17 @@ object Video {
   /** Lowercase "mjpg" — written by some encoders; same codec. */
   private[graft] val MjpgFourccLower = 0x67706A6DL
 
+  /** `audioStream` is the strl ORDER INDEX of the first `auds`
+    * stream (movi chunk ids are `NNwb` with NN that index, two ASCII
+    * digits), −1 when the container carries no audio; the `aud*`
+    * fields are its WAVEFORMATEX verbatim.
+    */
   private final case class ParsedAvi(microsPerFrame: Long,
       totalFrames: Long, width: Int, height: Int, streams: Int,
-      bitCount: Int, compression: Long, moviOffset: Long, moviLen: Long)
+      bitCount: Int, compression: Long, moviOffset: Long, moviLen: Long,
+      audioStream: Int = -1, audFormat: Int = 0, audChannels: Int = 0,
+      audRate: Int = 0, audByteRate: Long = 0L, audBlockAlign: Int = 0,
+      audBits: Int = 0)
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
@@ -826,7 +1055,8 @@ object Video {
     case Some(m) => AviMeta(id, m.microsPerFrame, m.totalFrames,
       m.width, m.height, m.streams, m.bitCount, m.compression,
       m.moviOffset, m.moviLen,
-      m.totalFrames * m.microsPerFrame / 1000L, parsed = true)
+      m.totalFrames * m.microsPerFrame / 1000L, parsed = true,
+      m.audioStream, m.audFormat, m.audChannels, m.audRate, m.audBits)
     case None => AviMeta(id, 0L, 0L, 0, 0, 0, -1, -1L, 0L, 0L, 0L,
       parsed = false)
   }
@@ -848,6 +1078,14 @@ object Video {
     var avih: Option[(Long, Long, Int, Int, Int)] = None
     var strf: Option[(Int, Long)] = None
     var movi: Option[(Long, Long)] = None
+    var strlIdx = 0
+    var audStream = -1
+    var audFmt = 0
+    var audCh = 0
+    var audRate = 0
+    var audByteRate = 0L
+    var audAlign = 0
+    var audBits = 0
     var pos = 12L
     // walk top-level chunks; descend only into hdrl (and its strl)
     while (pos + 8 <= riffEnd && (movi.isEmpty || avih.isEmpty)) {
@@ -874,31 +1112,45 @@ object Video {
                 le32(bytes, o + 36).toInt))
             } else if (t2 == "LIST") {
               if (cp + 12 > bytes.length) return None
-              if (tag(bytes, cp.toInt + 8) == "strl" && strf.isEmpty) {
+              if (tag(bytes, cp.toInt + 8) == "strl") {
                 var sp = cp + 12
                 val strlEnd = math.min(cp + 8 + s2, hdrlEnd)
-                // strf fields are meaningful only for the VIDEO stream:
-                // in a multi-stream AVI whose first strl is audio, its
-                // strf is a WAVEFORMATEX — reading bit_count/compression
-                // out of it would misreport codec metadata (and could
-                // spuriously refuse decode). The strh's fccType gates
-                // the strf; non-vids strls are skipped whole and the
-                // scan continues into later strls.
-                var isVids = false
+                // strf layout depends on the strh's fccType: a vids
+                // strf is a BITMAPINFOHEADER (bit_count/compression —
+                // the decode-eligibility signal), an auds strf is a
+                // WAVEFORMATEX (the soundtrack-bridge signal). Reading
+                // one as the other would misreport codec metadata, so
+                // the fccType gates which fields are captured; strl
+                // ORDER INDEX is the stream number movi chunk ids
+                // carry (`00db`/`01wb`).
+                var fcc = ""
                 while (sp + 8 <= strlEnd) {
                   if (sp + 8 > bytes.length) return None
                   val t3 = tag(bytes, sp.toInt)
                   val s3 = le32(bytes, sp.toInt + 4)
                   if (t3 == "strh" && s3 >= 4) {
                     if (sp + 8 + 4 > bytes.length) return None
-                    isVids = tag(bytes, sp.toInt + 8) == "vids"
-                  } else if (t3 == "strf" && s3 >= 20 && isVids) {
+                    fcc = tag(bytes, sp.toInt + 8)
+                  } else if (t3 == "strf" && s3 >= 20 &&
+                    fcc == "vids" && strf.isEmpty) {
                     if (sp + 8 + 20 > bytes.length) return None
                     val o = sp.toInt + 8
                     strf = Some((le16(bytes, o + 14), le32(bytes, o + 16)))
+                  } else if (t3 == "strf" && s3 >= 16 &&
+                    fcc == "auds" && audStream < 0) {
+                    if (sp + 8 + 16 > bytes.length) return None
+                    val o = sp.toInt + 8
+                    audStream = strlIdx
+                    audFmt = le16(bytes, o)
+                    audCh = le16(bytes, o + 2)
+                    audRate = le32(bytes, o + 4).toInt
+                    audByteRate = le32(bytes, o + 8)
+                    audAlign = le16(bytes, o + 12)
+                    audBits = le16(bytes, o + 14)
                   }
                   sp += 8 + s3 + (s3 & 1)
                 }
+                strlIdx += 1
               }
             }
             cp += 8 + s2 + (s2 & 1)
@@ -914,7 +1166,9 @@ object Video {
         None
       else Some(ParsedAvi(usPerFrame, frames, w, h, streams,
         strf.map(_._1).getOrElse(-1), strf.map(_._2).getOrElse(-1L),
-        movi.map(_._1).getOrElse(0L), movi.map(_._2).getOrElse(0L)))
+        movi.map(_._1).getOrElse(0L), movi.map(_._2).getOrElse(0L),
+        audStream, audFmt, audCh, audRate, audByteRate, audAlign,
+        audBits))
     }
   }
 

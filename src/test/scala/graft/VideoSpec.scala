@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.Video
+import graft.operators.{Audio, Video}
 
 /** Video binary-column operators: RIFF/AVI chunk-walk header parse
   * (full + prefix), two-pass uniformly-sampled BGR24 frame luma
@@ -902,5 +902,100 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the cap, not the codec
     assert(Video.decodeSampledLuma(df((1L, bytes)), "id", "content",
       nSamples = 6).collect().head.decoded)
+  }
+
+  // ---- the soundtrack bridge (video -> audio family) -----------------
+
+  test("soundtrack round trip: extractAudioTracks re-concatenates the " +
+      "01wb chunks into a WAV byte-identical to the canonical audio " +
+      "writer; metadata reports the auds WAVEFORMATEX; the video side " +
+      "of the same container still decodes") {
+    val samples = Array.tabulate(500)(k => ((k * 37) % 101) - 50)
+    val frames = (0 until 10).map(f => frame(3, f, 4, 3))
+    val bytes = Video.buildAviWithAudio(4, 3, frames, 40000L,
+      samples, 8000)
+    val tr = Video.extractAudioTracks(df((1L, bytes)), "id", "content")
+      .collect().head
+    assert(tr.decoded && tr.format == 1 && tr.channels == 1 &&
+      tr.sampleRate == 8000 && tr.bitsPerSample == 16)
+    assert(tr.audioBytes == 1000L)
+    // byte-identical to the audio family's own canonical writer — the
+    // bridge is header-only, zero transcode
+    assert(tr.wav.toSeq == Audio.wrapWav(samples, 0, 500, 8000).toSeq)
+    // the audio family consumes it with no video-specific code
+    val dec = Audio.decodePcm16(df((1L, tr.wav)), "id", "content")
+      .collect().head
+    assert(dec.decoded && dec.sampleRate == 8000 &&
+      dec.samples.toSeq == samples.toSeq)
+    // container metadata exposes the audio shape (the 100 TB
+    // has-soundtrack filter) and the frame path is untouched
+    val m = Video.videoMetaScan(df((1L, bytes)), "id", "content")
+      .collect().head
+    assert(m.getBoolean(9)) // parsed
+    assert(m.getInt(10) == 1 && m.getInt(11) == 1 &&
+      m.getInt(12) == 1 && m.getInt(13) == 8000 && m.getInt(14) == 16,
+      m.toString)
+    val v = Video.decodeSampledLuma(df((1L, bytes),
+      (2L, avi(3, 10))), "id", "content", nSamples = 10)
+      .collect().map(x => x.id -> x).toMap
+    assert(v(1L).decoded && v(1L).lumaSums == v(2L).lumaSums,
+      "audio chunks must not disturb the frame walk")
+  }
+
+  test("soundtrack honesty: no audio stream, an audio chunk " +
+      "overrunning movi, and a soundtrack past maxAudioBytes are " +
+      "decoded=false marker rows") {
+    val samples = Array.tabulate(300)(k => k % 64)
+    val frames = (0 until 5).map(f => frame(4, f, 4, 3))
+    val good = Video.buildAviWithAudio(4, 3, frames, 40000L,
+      samples, 8000)
+    val silent = avi(4, 5)
+    // blow up the LAST 01wb chunk's declared size so it overruns movi
+    val overrun = good.clone()
+    val lastWb = {
+      val pat = "01wb".getBytes("US-ASCII")
+      (0 to good.length - 4).filter(i =>
+        pat.indices.forall(j => good(i + j) == pat(j))).max
+    }
+    overrun(lastWb + 4) = 0xFF.toByte
+    overrun(lastWb + 5) = 0xFF.toByte
+    val rows = Video.extractAudioTracks(
+      df((1L, silent), (2L, overrun), (3L, good)), "id", "content")
+      .collect().map(t => t.id -> t.decoded).toMap
+    assert(rows == Map(1L -> false, 2L -> false, 3L -> true), rows)
+    val capped = Video.extractAudioTracks(df((1L, good)), "id",
+      "content", maxAudioBytes = 100).collect().head
+    assert(!capped.decoded, "cap must refuse, never truncate")
+  }
+
+  test("jingle-in-a-VIDEO detection is plain composition: extracted " +
+      "soundtracks ride the audio segment index admission unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def noise(n: Int) = Array.fill(n)(rnd.nextInt(16001) - 8000)
+    val jingle = noise(65 * 16) // 1040 frames
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-video-jingle-idx").toString
+    Audio.writeAudioNearDupIndex(
+      Seq(1L -> Audio.wrapWav(jingle, 0, jingle.length, 8000))
+        .toDF("id", "content"), "id", "content", dir)
+    val frames = (0 until 6).map(f => frame(5, f, 4, 3))
+    def video(planted: Boolean) = Video.buildAviWithAudio(4, 3,
+      frames, 40000L,
+      if (planted) noise(1040) ++ jingle ++ noise(1040)
+      else noise(3120), 8000)
+    val tracks = Video.extractAudioTracks(
+      df((10L, video(planted = true)), (20L, video(planted = false))),
+      "id", "content").toDF()
+      .filter(col("decoded")).select(col("id"), col("wav"))
+    val segs = Audio.segmentClips(tracks, "id", "wav",
+      segmentFrames = 1040).toDF()
+      .filter(col("decoded"))
+      .select((col("id") * 100 + col("segIdx")).as("id"), col("wav"))
+    val admitted = Audio.incrementalAudioNearDedup(segs, "id", "wav",
+      dir, maxDistance = 0).collect().map(_.getLong(0)).toSet
+    val dropped = segs.collect().map(_.getLong(0)).toSet -- admitted
+    assert(dropped == Set(1001L),
+      s"planted video's middle segment must be the only drop: $dropped")
   }
 }
