@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, HtmlExtract, LanguageModel, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus}
+import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Gif, HtmlExtract, LanguageModel, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -269,6 +269,32 @@ object SparkEntry {
       val frames = (0 until n).map(f =>
         MjpegFixture.flat(16 + 16 * ((base * 7 + f * 3) % 11)))
       Video.buildMjpegAvi(16, 16, frames, 40000L)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Real animated-GIF payloads for the compressed-yet-bit-exact
+    * video oracle row: per doc_id, the library encoder
+    * ([[Gif.buildGif]]) over a planted 8×4 index stream — pixel p of
+    * frame f is (base·7 + f·5 + p·3) % 16 into the fixed 16-entry
+    * palette (entry i = (23i, 47i, 91i) mod 256), 9 + base%4 frames
+    * at 4 cs/frame, base = doc_id % 64. GIF-LZW is lossless, so the
+    * decoded pixels ARE the planted stream — the whole chain
+    * (encode → LZW decode → palette → luma → stats) is closed-form
+    * replicable, unlike MJPEG's DCT output.
+    */
+  private def syntheticGifClassed(docs: DataFrame): DataFrame = {
+    val palette = Array.tabulate(16)(i =>
+      (((i * 23) % 256) << 16) | (((i * 47) % 256) << 8) |
+        ((i * 91) % 256))
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 9 + base % 4
+      Gif.buildGif(8, 4, palette,
+        (0 until n).map(f => Array.tabulate(8 * 4)(p =>
+          ((base * 7 + f * 5 + p * 3) % 16).toByte)),
+        delayCs = 4)
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -1820,6 +1846,21 @@ object SparkEntry {
           col("audio_channels").cast("long").as("audio_channels"),
           col("audio_rate").cast("long").as("audio_rate"))
     }),
+
+    // animated GIF — COMPRESSED video whose pixels are bit-exact
+    // (LZW is lossless): REAL encoder-built GIFs through the REAL
+    // LZW decode -> palette -> 65-sample luma -> exact stats; every
+    // column including the luma envelope is a closed form of doc_id
+    // (the rung MJPEG can't provide — its DCT pixels aren't
+    // SQL-replicable; these are). Cross-codec fingerprint parity
+    // with AVI and the image-frame bridge are spec-pinned in GifSpec
+    "q_video_gif" -> ((s, dir) =>
+      Gif.gifStats(syntheticGifClassed(t(s, dir, "documents")),
+        "id", "content")
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_frames"),
+          col("duration_ms"), col("luma_total"), col("luma_peak"),
+          col("luma_min"))),
 
     // the soundtrack bridge: REAL two-stream AVIs -> extractAudioTracks
     // (byte-level 01wb concat re-wrapped as a canonical WAV) -> the
@@ -4529,6 +4570,34 @@ object SparkEntry {
         |    8000 + 100 * (doc_id % 64) ELSE 0 END AS BIGINT)
         |    AS audio_rate
         |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // animated GIF: LZW decode is exact, so per-frame luma replays as
+    // the planted index stream through the palette — pl(i) =
+    // Σ of (i·23)%256, (i·47)%256, (i·91)%256; 65-sample envelope via
+    // the (i*n)//65 floor sampling
+    "q_video_gif" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    9 + (doc_id % 64) % 4 AS n
+        |  FROM documents),
+        |lu AS (SELECT id, n, list_transform(generate_series(0, 64),
+        |    i -> list_sum(list_transform(generate_series(0, 31), p ->
+        |      (((base * 7 + ((i * n) // 65) * 5 + p * 3) % 16) * 23)
+        |        % 256
+        |      + (((base * 7 + ((i * n) // 65) * 5 + p * 3) % 16) * 47)
+        |        % 256
+        |      + (((base * 7 + ((i * n) // 65) * 5 + p * 3) % 16) * 91)
+        |        % 256))) AS luma
+        |  FROM g)
+        |SELECT id, CAST(8 AS BIGINT) AS width,
+        |  CAST(4 AS BIGINT) AS height,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * 40 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(luma) AS BIGINT) AS luma_total,
+        |  CAST(list_max(luma) AS BIGINT) AS luma_peak,
+        |  CAST(list_min(luma) AS BIGINT) AS luma_min
+        |FROM lu
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // soundtrack bridge: the planted sample stream is a closed form of
