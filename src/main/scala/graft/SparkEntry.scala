@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Gif, HtmlExtract, LanguageModel, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus}
+import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Gif, HtmlExtract, LanguageModel, Mp3, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -269,6 +269,49 @@ object SparkEntry {
       val frames = (0 until n).map(f =>
         MjpegFixture.flat(16 + 16 * ((base * 7 + f * 3) % 11)))
       Video.buildMjpegAvi(16, 16, frames, 40000L)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Real WebP header payloads cycling the three published chunk
+    * forms — per doc_id (base = doc_id % 64): base%3 picks
+    * VP8 /VP8L/VP8X, dims and flags are closed forms of base. Pixels
+    * are opaque filler (the library honestly never decodes VP8).
+    */
+  private def syntheticWebpClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      (base % 3: @unchecked) match {
+        case 0 => Multimodal.buildWebp("VP8 ", 16 + base, 12 + base)
+        case 1 => Multimodal.buildWebp("VP8L", 100 + base, 50 + base,
+          alpha = base % 2 == 1)
+        case 2 => Multimodal.buildWebp("VP8X", 640 + base, 480 + base,
+          alpha = base % 2 == 1, animation = base % 4 < 2)
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Real MP3 frame streams — per doc_id (base = doc_id % 64):
+    * version group base%3 (MPEG-1/2/2.5), rate index (base/3)%3,
+    * bitrate index 1 + base%14 (CBR), mono when base is even,
+    * 5 + base%6 frames, a truthful Xing header when base%4 == 0.
+    * Frame payloads are opaque filler (no MP3 decode claim).
+    */
+  private def syntheticMp3Classed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val vb = (base % 3: @unchecked) match {
+        case 0 => 3
+        case 1 => 2
+        case 2 => 0
+      }
+      val frames = 5 + base % 6
+      Mp3.buildMp3(vb, (base / 3) % 3,
+        Seq.fill(frames)(1 + base % 14), mono = base % 2 == 0,
+        xingFrames = if (base % 4 == 0) frames.toLong else -1L)
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -1846,6 +1889,32 @@ object SparkEntry {
           col("audio_channels").cast("long").as("audio_channels"),
           col("audio_rate").cast("long").as("audio_rate"))
     }),
+
+    // WebP header metadata (the modern image container): REAL bytes
+    // in all three published chunk forms through the REAL header
+    // walk — dims and flags are closed forms of doc_id; pixels stay
+    // honestly undecoded (no VP8 codec in the JVM)
+    "q_webp_meta" -> ((s, dir) =>
+      Multimodal.webpMetaScan(
+        syntheticWebpClassed(t(s, dir, "documents")), "id", "content")
+        .filter(col("parsed"))
+        .select(col("id"), col("variant"), col("width"), col("height"),
+          col("alpha"), col("animation"))),
+
+    // MP3 frame-header metadata: REAL Layer III frame streams (all
+    // three version groups, CBR + Xing) through the REAL sync walk —
+    // version/rate/bitrate tables, walked frame count, floor-millis
+    // duration, all closed forms of doc_id; audio decode is honestly
+    // out of scope (no closed-form MP3 decode exists)
+    "q_audio_mp3_meta" -> ((s, dir) =>
+      Mp3.mp3MetaScan(syntheticMp3Classed(t(s, dir, "documents")),
+        "id", "content")
+        .filter(col("parsed"))
+        .select(col("id"), col("version"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("frames"),
+          col("bitrate_kbps").cast("long").as("bitrate_kbps"),
+          col("vbr"), col("xing_frames"), col("duration_ms"))),
 
     // animated GIF — COMPRESSED video whose pixels are bit-exact
     // (LZW is lossless): REAL encoder-built GIFs through the REAL
@@ -4570,6 +4639,63 @@ object SparkEntry {
         |    8000 + 100 * (doc_id % 64) ELSE 0 END AS BIGINT)
         |    AS audio_rate
         |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // WebP: every field is a closed form of doc_id through the three
+    // chunk-form branches
+    "q_webp_meta" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents)
+        |SELECT id,
+        |  CASE base % 3 WHEN 0 THEN 'VP8 ' WHEN 1 THEN 'VP8L'
+        |    ELSE 'VP8X' END AS variant,
+        |  CAST(CASE base % 3 WHEN 0 THEN 16 + base
+        |    WHEN 1 THEN 100 + base ELSE 640 + base END AS BIGINT)
+        |    AS width,
+        |  CAST(CASE base % 3 WHEN 0 THEN 12 + base
+        |    WHEN 1 THEN 50 + base ELSE 480 + base END AS BIGINT)
+        |    AS height,
+        |  CASE WHEN base % 3 = 0 THEN FALSE
+        |    ELSE base % 2 = 1 END AS alpha,
+        |  CASE WHEN base % 3 = 2 THEN base % 4 < 2
+        |    ELSE FALSE END AS animation
+        |FROM g
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // MP3: the version/rate/bitrate tables and the floor-millis
+    // duration replayed in closed form (1-based DuckDB list indexing)
+    "q_audio_mp3_meta" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |p AS (SELECT id, base,
+        |    base % 3 AS vi, (base // 3) % 3 AS ri,
+        |    1 + base % 14 AS bi, 5 + base % 6 AS fr
+        |  FROM g),
+        |q AS (SELECT id, base, vi, ri, bi, fr,
+        |    ([[44100, 48000, 32000], [22050, 24000, 16000],
+        |      [11025, 12000, 8000]])[vi + 1][ri + 1] AS rate,
+        |    CASE WHEN vi = 0 THEN 1152 ELSE 576 END AS spf,
+        |    CASE WHEN vi = 0 THEN
+        |      ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi]
+        |    ELSE
+        |      ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bi]
+        |    END AS kbps
+        |  FROM p)
+        |SELECT id,
+        |  CASE vi WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END
+        |    AS version,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN base % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS channels,
+        |  CAST(fr AS BIGINT) AS frames,
+        |  CAST(kbps AS BIGINT) AS bitrate_kbps,
+        |  FALSE AS vbr,
+        |  CAST(CASE WHEN base % 4 = 0 THEN fr ELSE -1 END AS BIGINT)
+        |    AS xing_frames,
+        |  CAST(fr * spf * 1000 // rate AS BIGINT) AS duration_ms
+        |FROM q
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // animated GIF: LZW decode is exact, so per-frame luma replays as

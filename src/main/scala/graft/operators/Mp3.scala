@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** MP3 (MPEG-1/2/2.5 Layer III) frame-header metadata — pure integer
+  * closed form from the published frame grammar: 11-bit sync word,
+  * version/layer bits, the bitrate and sample-rate index tables,
+  * padding bit, channel mode, and the Xing/Info VBR header's frame
+  * count. DECODE stays out of scope — an exact closed-form MP3 decode
+  * (hybrid filterbank + Huffman) is not realistically
+  * oracle-replicable, and fabricating samples is the contract
+  * violation the audio family refuses; this walk serves the 100 TB
+  * metadata-filter path (duration, bitrate shape, channel layout)
+  * reading 4 bytes per frame hop.
+  *
+  * Honesty contract: `parsed = true` requires the byte stream after
+  * an optional ID3v2 tag to be EXACTLY consecutive valid Layer III
+  * frames to EOF, all agreeing on version and sample rate (the only
+  * layout a closed-form duration is honest for); truncation mid-
+  * frame, garbage, free-format bitrate (index 0), reserved indices,
+  * and Layer I/II all refuse. `vbr` reports whether per-frame
+  * bitrates vary; `xingFrames` is the VBR header's declared count
+  * (−1 when absent) — reported alongside the WALKED count, never in
+  * place of it.
+  */
+object Mp3 {
+
+  /** kbps by [versionGroup][bitrateIndex] for Layer III: group 0 =
+    * MPEG-1, group 1 = MPEG-2/2.5 (the published tables; index 0 is
+    * free-format, index 15 reserved — both refused).
+    */
+  private val BitrateKbps: Array[Array[Int]] = Array(
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+      320),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+      160))
+
+  /** Hz by [versionBits][rateIndex] (versionBits: 0 = MPEG-2.5,
+    * 2 = MPEG-2, 3 = MPEG-1).
+    */
+  private val SampleRates: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000),
+    2 -> Array(22050, 24000, 16000),
+    0 -> Array(11025, 12000, 8000))
+
+  case class Mp3Meta(id: Long, version: String, sampleRate: Int,
+      channels: Int, frames: Long, bitrateKbps: Int, vbr: Boolean,
+      xingFrames: Long, durationMs: Long, parsed: Boolean)
+
+  def parseMp3Header(df: DataFrame, idCol: String,
+      binCol: String): Dataset[Mp3Meta] = {
+    implicit val enc = Encoders.product[Mp3Meta]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          parseMp3(r.getAs[Array[Byte]](1)) match {
+            case Some(m) => m.copy(id = id)
+            case None => Mp3Meta(id, "", 0, 0, 0L, 0, vbr = false,
+              -1L, 0L, parsed = false)
+          }
+        }
+    }
+  }
+
+  /** Metadata projection — id + the [[Mp3Meta]] fields as columns. */
+  def mp3MetaScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame =
+    parseMp3Header(df, idCol, binCol).toDF().select(col("id"),
+      col("version"), col("sampleRate").as("sample_rate"),
+      col("channels"), col("frames"),
+      col("bitrateKbps").as("bitrate_kbps"), col("vbr"),
+      col("xingFrames").as("xing_frames"),
+      col("durationMs").as("duration_ms"), col("parsed"))
+
+  // ---- imperative internals (the mapPartitions payload walker) -------
+
+  /** Samples per frame for Layer III: 1152 (MPEG-1) / 576 (2, 2.5). */
+  private def samplesPerFrame(versionBits: Int): Int =
+    if (versionBits == 3) 1152 else 576
+
+  /** One frame header at `o`: (versionBits, rateIdx, kbps, channels,
+    * frameBytes) — None unless it is a valid Layer III header with a
+    * real bitrate and sample rate.
+    */
+  private def frameHeader(b: Array[Byte],
+      o: Int): Option[(Int, Int, Int, Int, Int)] = {
+    if (o + 4 > b.length) return None
+    if ((b(o) & 0xFF) != 0xFF || (b(o + 1) & 0xE0) != 0xE0) return None
+    val versionBits = (b(o + 1) >> 3) & 0x03
+    val layerBits = (b(o + 1) >> 1) & 0x03
+    if (versionBits == 1 || layerBits != 1) return None // L III only
+    val bitrateIdx = (b(o + 2) >> 4) & 0x0F
+    val rateIdx = (b(o + 2) >> 2) & 0x03
+    if (bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+    val kbps = BitrateKbps(if (versionBits == 3) 0 else 1)(bitrateIdx)
+    val rate = SampleRates(versionBits)(rateIdx)
+    val padding = (b(o + 2) >> 1) & 0x01
+    val mode = (b(o + 3) >> 6) & 0x03
+    val channels = if (mode == 3) 1 else 2
+    // Layer III frame size: spf/8 · bitrate / rate + padding
+    val frameBytes =
+      samplesPerFrame(versionBits) / 8 * (kbps * 1000) / rate + padding
+    Some((versionBits, rateIdx, kbps, channels, frameBytes))
+  }
+
+  private def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
+    if (bytes == null || bytes.length < 4) return None
+    var pos = 0
+    // optional ID3v2 tag: "ID3", 2 version bytes, flags, syncsafe size
+    if (bytes.length >= 10 && bytes(0) == 'I'.toByte &&
+      bytes(1) == 'D'.toByte && bytes(2) == '3'.toByte) {
+      if ((bytes(5) & 0x10) != 0) return None // footer: unsupported
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      pos = 10 + size
+      if (pos >= bytes.length) return None
+    }
+    var frames = 0L
+    var versionBits = -1
+    var rateIdx = -1
+    var channels = 0
+    var firstKbps = 0
+    var vbr = false
+    var xingFrames = -1L
+    while (pos < bytes.length) {
+      val (vb, ri, kbps, ch, fb) =
+        frameHeader(bytes, pos).getOrElse(return None)
+      if (frames == 0L) {
+        versionBits = vb; rateIdx = ri; channels = ch; firstKbps = kbps
+        // Xing/Info VBR header sits after the side info: MPEG-1
+        // mono 17 / stereo 32 bytes, MPEG-2/2.5 mono 9 / stereo 17
+        val side =
+          if (vb == 3) { if (ch == 1) 17 else 32 }
+          else { if (ch == 1) 9 else 17 }
+        val x = pos + 4 + side
+        if (x + 8 <= bytes.length && x + 8 <= pos + fb) {
+          val tag = new String(bytes, x, 4, "US-ASCII")
+          if (tag == "Xing" || tag == "Info") {
+            val flags = ((bytes(x + 4) & 0xFF) << 24) |
+              ((bytes(x + 5) & 0xFF) << 16) |
+              ((bytes(x + 6) & 0xFF) << 8) | (bytes(x + 7) & 0xFF)
+            if ((flags & 1) != 0 && x + 12 <= bytes.length)
+              xingFrames = ((bytes(x + 8) & 0xFFL) << 24) |
+                ((bytes(x + 9) & 0xFFL) << 16) |
+                ((bytes(x + 10) & 0xFFL) << 8) | (bytes(x + 11) & 0xFFL)
+          }
+        }
+      } else {
+        // a closed-form duration needs one version + rate throughout
+        if (vb != versionBits || ri != rateIdx) return None
+        if (kbps != firstKbps) vbr = true
+      }
+      if (pos + fb > bytes.length) return None // truncated frame
+      frames += 1
+      pos += fb
+    }
+    if (frames == 0L) return None
+    val rate = SampleRates(versionBits)(rateIdx)
+    val spf = samplesPerFrame(versionBits)
+    val version = versionBits match {
+      case 3 => "1"
+      case 2 => "2"
+      case _ => "2.5"
+    }
+    Some(Mp3Meta(0L, version, rate, channels, frames,
+      if (vbr) 0 else firstKbps, vbr, xingFrames,
+      frames * spf * 1000L / rate, parsed = true))
+  }
+
+  // ---- encoder (round-trip twin; also the fixture builder) -----------
+
+  /** Build a valid Layer III frame stream: `nFrames` frames of the
+    * exact table-derived size (header + filler payload), optionally
+    * behind an ID3v2 tag and with a Xing frame-count header in frame
+    * 0\. `versionBits` 3 = MPEG-1, 2 = MPEG-2, 0 = MPEG-2.5;
+    * `bitrateIdxs` gives frame f's bitrate index (a varying list IS
+    * a VBR stream). The encode twin of [[parseMp3Header]] — the
+    * payload bits are opaque filler (this library never claims to
+    * decode MP3 audio).
+    */
+  def buildMp3(versionBits: Int, rateIdx: Int, bitrateIdxs: Seq[Int],
+      mono: Boolean, id3Bytes: Int = 0,
+      xingFrames: Long = -1L): Array[Byte] = {
+    require(Set(0, 2, 3)(versionBits), "versionBits must be 0|2|3")
+    require(rateIdx >= 0 && rateIdx <= 2, "rateIdx must be 0..2")
+    require(bitrateIdxs.nonEmpty &&
+      bitrateIdxs.forall(i => i >= 1 && i <= 14),
+      "bitrate indices must be 1..14")
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      bos.write("ID3".getBytes("US-ASCII"))
+      bos.write(4); bos.write(0); bos.write(0) // v2.4, no flags
+      // syncsafe size
+      bos.write((id3Bytes >> 21) & 0x7F); bos.write((id3Bytes >> 14) & 0x7F)
+      bos.write((id3Bytes >> 7) & 0x7F); bos.write(id3Bytes & 0x7F)
+      (0 until id3Bytes).foreach(i => bos.write(i & 0xFF))
+    }
+    val rate = SampleRates(versionBits)(rateIdx)
+    bitrateIdxs.zipWithIndex.foreach { case (bi, f) =>
+      val kbps = BitrateKbps(if (versionBits == 3) 0 else 1)(bi)
+      val padding = 0
+      val frameBytes =
+        samplesPerFrame(versionBits) / 8 * (kbps * 1000) / rate + padding
+      val frame = new Array[Byte](frameBytes)
+      // deterministic filler first; structural fields stamp over it
+      var i = 4
+      while (i < frameBytes) {
+        frame(i) = ((f * 31 + i * 7) % 97).toByte
+        i += 1
+      }
+      frame(0) = 0xFF.toByte
+      frame(1) = (0xE0 | (versionBits << 3) | (1 << 1) | 1).toByte
+      frame(2) = ((bi << 4) | (rateIdx << 2) | (padding << 1)).toByte
+      frame(3) = (if (mono) 0xC0 else 0x00).toByte
+      if (f == 0 && xingFrames >= 0L) {
+        val side =
+          if (versionBits == 3) { if (mono) 17 else 32 }
+          else { if (mono) 9 else 17 }
+        val x = 4 + side
+        require(x + 12 <= frameBytes, "frame too small for Xing")
+        "Xing".getBytes("US-ASCII").copyToArray(frame, x)
+        frame(x + 4) = 0; frame(x + 5) = 0; frame(x + 6) = 0
+        frame(x + 7) = 1 // flags: FRAMES
+        frame(x + 8) = ((xingFrames >> 24) & 0xFF).toByte
+        frame(x + 9) = ((xingFrames >> 16) & 0xFF).toByte
+        frame(x + 10) = ((xingFrames >> 8) & 0xFF).toByte
+        frame(x + 11) = (xingFrames & 0xFF).toByte
+      } else if (f == 0) {
+        // keep accidental 'Xing'/'Info' filler out of the tag window
+        val side =
+          if (versionBits == 3) { if (mono) 17 else 32 }
+          else { if (mono) 9 else 17 }
+        val x = 4 + side
+        if (x + 4 <= frameBytes) frame(x) = 0
+      }
+      bos.write(frame, 0, frameBytes)
+    }
+    bos.toByteArray
+  }
+}

@@ -124,6 +124,148 @@ object Multimodal {
   def jpegDimensions(c: Column): Column =
     jpegDimsUdf(c).cast("struct<width:bigint,height:bigint>")
 
+  // ---- WebP header walk (metadata only — the JVM has no VP8 codec) ----
+
+  /** WebP header metadata: RIFF `WEBP` container, first chunk one of
+    * the three published forms — `VP8 ` (lossy: the 0x9D012A start
+    * code then 14-bit dims), `VP8L` (lossless: the 0x2F signature
+    * then bit-packed dims−1), `VP8X` (extended: a flags byte then
+    * 24-bit canvas dims−1, alpha bit 0x10, animation bit 0x02). Pixel
+    * DECODE is honestly out of scope — no VP8 codec ships with the
+    * JVM, and [[readImage]] already returns None for WebP payloads
+    * (fabricating pixels is the contract violation this family
+    * refuses); this walk serves the 100 TB metadata-filter path
+    * (dims, alpha, animation) from ≤ 30 header bytes.
+    */
+  private[graft] def webpInfo(
+      b: Array[Byte]): Option[(String, Long, Long, Boolean, Boolean)] = {
+    def le24(o: Int): Long = (b(o) & 0xFFL) |
+      ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16)
+    def le16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    if (b == null || b.length < 20) return None
+    if (new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(b, 8, 4, "US-ASCII") != "WEBP") return None
+    val fourcc = new String(b, 12, 4, "US-ASCII")
+    val sz = (b(16) & 0xFFL) | ((b(17) & 0xFFL) << 8) |
+      ((b(18) & 0xFFL) << 16) | ((b(19) & 0xFFL) << 24)
+    val d = 20 // chunk data offset
+    fourcc match {
+      case "VP8 " =>
+        // 3-byte frame tag, the 9D 01 2A start code, then 2×u16 LE
+        // (14-bit dims + 2 scale bits each)
+        if (sz < 10 || b.length < d + 10) None
+        else if ((b(d + 3) & 0xFF) != 0x9D || (b(d + 4) & 0xFF) != 0x01 ||
+          (b(d + 5) & 0xFF) != 0x2A) None
+        else {
+          val w = le16(d + 6) & 0x3FFF
+          val h = le16(d + 8) & 0x3FFF
+          if (w == 0 || h == 0) None
+          else Some(("VP8 ", w.toLong, h.toLong, false, false))
+        }
+      case "VP8L" =>
+        // 0x2F signature, then 14-bit (width−1) and (height−1)
+        // bit-packed LSB-first in the next 4 bytes; bit 32 of the
+        // stream (alpha_is_used) is bit 4 of the 4th byte
+        if (sz < 5 || b.length < d + 5) None
+        else if ((b(d) & 0xFF) != 0x2F) None
+        else {
+          val b1 = b(d + 1) & 0xFF
+          val b2 = b(d + 2) & 0xFF
+          val b3 = b(d + 3) & 0xFF
+          val b4 = b(d + 4) & 0xFF
+          val w = 1L + (((b2 & 0x3F) << 8) | b1)
+          val h = 1L + (((b4 & 0x0F) << 10) | (b3 << 2) | (b2 >> 6))
+          val alpha = ((b4 >> 4) & 1) == 1
+          Some(("VP8L", w, h, alpha, false))
+        }
+      case "VP8X" =>
+        // flags byte + 3 reserved, then 24-bit LE canvas dims − 1
+        if (sz < 10 || b.length < d + 10) None
+        else {
+          val flags = b(d) & 0xFF
+          Some(("VP8X", 1L + le24(d + 4), 1L + le24(d + 7),
+            (flags & 0x10) != 0, (flags & 0x02) != 0))
+        }
+      case _ => None
+    }
+  }
+
+  private val webpInfoUdf = udf((b: Array[Byte]) => webpInfo(b))
+
+  /** Metadata projection over a WebP-bearing DataFrame: id + variant
+    * (`VP8 `/`VP8L`/`VP8X`), canvas dims, alpha/animation flags,
+    * `parsed`. The header read is ≤ 30 bytes — persist a prefix
+    * column at ingest and the filter never touches pixel data.
+    */
+  def webpMetaScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      webpInfoUdf(col(binCol)).as("__w"))
+      .select(col("id"),
+        coalesce(col("__w._1"), lit("")).as("variant"),
+        coalesce(col("__w._2"), lit(0L)).as("width"),
+        coalesce(col("__w._3"), lit(0L)).as("height"),
+        coalesce(col("__w._4"), lit(false)).as("alpha"),
+        coalesce(col("__w._5"), lit(false)).as("animation"),
+        col("__w").isNotNull.as("parsed"))
+
+  /** Build WebP header bytes for each of the three chunk forms — the
+    * encode twin of [[webpInfo]] (fixtures/specs; the payload after
+    * the header fields is opaque filler, exactly what this library
+    * honestly never decodes).
+    */
+  def buildWebp(variant: String, width: Int, height: Int,
+      alpha: Boolean = false, animation: Boolean = false,
+      fillBytes: Int = 32): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 16384 &&
+      height <= 16384, "dims must be in [1, 16384]")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val body = new java.io.ByteArrayOutputStream()
+    variant match {
+      case "VP8 " =>
+        require(!alpha && !animation, "VP8 carries no alpha/animation")
+        body.write(0); body.write(0); body.write(0) // frame tag
+        body.write(0x9D); body.write(0x01); body.write(0x2A)
+        body.write(width & 0xFF); body.write((width >> 8) & 0x3F)
+        body.write(height & 0xFF); body.write((height >> 8) & 0x3F)
+      case "VP8L" =>
+        require(!animation, "VP8L carries no animation")
+        body.write(0x2F)
+        val wm = width - 1
+        val hm = height - 1
+        // 14+14+1(alpha)+3(version=0) bits LSB-first
+        var bits = wm.toLong | (hm.toLong << 14) |
+          ((if (alpha) 1L else 0L) << 28)
+        (0 until 4).foreach { _ =>
+          body.write((bits & 0xFF).toInt); bits >>>= 8
+        }
+      case "VP8X" =>
+        body.write((if (alpha) 0x10 else 0) |
+          (if (animation) 0x02 else 0))
+        body.write(0); body.write(0); body.write(0)
+        def w24(v: Int): Unit = {
+          body.write(v & 0xFF); body.write((v >> 8) & 0xFF)
+          body.write((v >> 16) & 0xFF)
+        }
+        w24(width - 1); w24(height - 1)
+      case other =>
+        throw new IllegalArgumentException(s"unknown variant: $other")
+    }
+    (0 until fillBytes).foreach(i => body.write(i & 0xFF))
+    val chunk = body.toByteArray
+    tag4("RIFF"); w32(4L + 8L + chunk.length + (chunk.length & 1))
+    tag4("WEBP"); tag4(variant); w32(chunk.length.toLong)
+    bos.write(chunk, 0, chunk.length)
+    if ((chunk.length & 1) == 1) bos.write(0)
+    bos.toByteArray
+  }
+
   // ---- hashing / fingerprints (builtin, binary-native) -----------------
 
   def contentMd5(c: Column): Column = md5(c)

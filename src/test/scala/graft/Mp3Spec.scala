@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Mp3
+
+/** MP3 frame-header metadata: sync-word walk, version/bitrate/rate
+  * tables, Xing/Info VBR frame count, ID3v2 skip, and the honesty
+  * matrix (truncation, garbage, free-format, layer gating).
+  */
+class Mp3Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toDF("id", "content")
+  }
+
+  test("round trip over the table grid: every (version, rate index, " +
+      "bitrate index, channel mode) combination walks back to its " +
+      "encoder parameters with the exact floor-millis duration") {
+    val rates = Map(3 -> Array(44100, 48000, 32000),
+      2 -> Array(22050, 24000, 16000), 0 -> Array(11025, 12000, 8000))
+    val kbpsTab = Map(
+      3 -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320),
+      2 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        144, 160),
+      0 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        144, 160))
+    for (vb <- Seq(3, 2, 0); ri <- 0 to 2; bi <- Seq(1, 7, 14);
+        mono <- Seq(true, false)) {
+      val nFrames = 5
+      val bytes = Mp3.buildMp3(vb, ri, Seq.fill(nFrames)(bi), mono)
+      val m = Mp3.parseMp3Header(df((1L, bytes)), "id", "content")
+        .collect().head
+      assert(m.parsed, s"vb=$vb ri=$ri bi=$bi mono=$mono")
+      val rate = rates(vb)(ri)
+      val spf = if (vb == 3) 1152 else 576
+      assert(m.version == (vb match {
+        case 3 => "1"; case 2 => "2"; case _ => "2.5" }))
+      assert(m.sampleRate == rate && m.frames == nFrames &&
+        m.channels == (if (mono) 1 else 2) && !m.vbr &&
+        m.bitrateKbps == kbpsTab(vb)(bi) && m.xingFrames == -1L)
+      assert(m.durationMs == nFrames.toLong * spf * 1000L / rate,
+        s"vb=$vb ri=$ri: ${m.durationMs}")
+    }
+  }
+
+  test("VBR + Xing + ID3v2: varying per-frame bitrates walk as " +
+      "vbr=true with bitrate 0, the Xing declared count reads out " +
+      "alongside the walked count, and an ID3v2 tag is skipped") {
+    val vbrBytes = Mp3.buildMp3(3, 0, Seq(1, 5, 9, 14, 9, 5), mono = false,
+      id3Bytes = 300, xingFrames = 6L)
+    val m = Mp3.parseMp3Header(df((1L, vbrBytes)), "id", "content")
+      .collect().head
+    assert(m.parsed && m.vbr && m.bitrateKbps == 0)
+    assert(m.frames == 6L && m.xingFrames == 6L)
+    assert(m.channels == 2 && m.sampleRate == 44100)
+    // a lying Xing count is REPORTED, not believed: walked stays 6
+    val lying = Mp3.buildMp3(3, 0, Seq.fill(6)(9), mono = true,
+      xingFrames = 999L)
+    val m2 = Mp3.parseMp3Header(df((1L, lying)), "id", "content")
+      .collect().head
+    assert(m2.parsed && m2.frames == 6L && m2.xingFrames == 999L)
+  }
+
+  test("honesty matrix: garbage, truncation mid-frame, free-format " +
+      "bitrate, a Layer II stream, trailing junk, and a mid-stream " +
+      "rate change are parsed=false") {
+    val good = Mp3.buildMp3(3, 1, Seq.fill(4)(5), mono = true)
+    val garbage = Array.tabulate[Byte](128)(i => (i * 41).toByte)
+    val truncated = java.util.Arrays.copyOf(good, good.length - 10)
+    val trailing = good ++ Array[Byte](1, 2, 3)
+    // free-format: zero the first frame's bitrate index
+    val free = good.clone()
+    free(2) = (free(2) & 0x0F).toByte
+    // Layer II: layer bits 10 instead of 01
+    val layer2 = good.clone()
+    layer2(1) = ((layer2(1) & ~0x06) | 0x04).toByte
+    // mid-stream rate change: patch frame 1's rate index bits from
+    // 01 (48 kHz) to 10 (32 kHz); good = vb 3, ri 1, bi 5 -> frame 0
+    // is 144 * 64000 / 48000 = 192 bytes
+    val frameBytes = 1152 / 8 * 64000 / 48000
+    val rateShift = good.clone()
+    assert((rateShift(frameBytes) & 0xFF) == 0xFF,
+      "fixture: frame 1 header offset")
+    rateShift(frameBytes + 2) =
+      ((rateShift(frameBytes + 2) & ~0x0C) | 0x08).toByte
+    val rows = Mp3.parseMp3Header(
+      df((1L, garbage), (2L, truncated), (3L, trailing), (4L, free),
+        (5L, layer2), (6L, rateShift), (7L, good)),
+      "id", "content").collect().map(m => m.id -> m.parsed).toMap
+    assert(rows == Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false, 7L -> true), rows.toString)
+  }
+
+  test("mp3MetaScan projection: the metadata-filter columns") {
+    val r = Mp3.mp3MetaScan(
+      df((1L, Mp3.buildMp3(2, 2, Seq.fill(8)(3), mono = true))),
+      "id", "content").collect().head
+    assert(r.getBoolean(9)) // parsed
+    assert(r.getString(1) == "2" && r.getInt(2) == 16000 &&
+      r.getInt(3) == 1 && r.getLong(4) == 8L && r.getInt(5) == 24)
+    assert(r.getLong(8) == 8L * 576 * 1000 / 16000)
+  }
+}
