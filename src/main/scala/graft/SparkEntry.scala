@@ -1890,6 +1890,44 @@ object SparkEntry {
           col("audio_rate").cast("long").as("audio_rate"))
     }),
 
+    // NEEDLE HUNT through the full PUBLIC artifact lifecycle: write a
+    // real jingle signature index (32 closed-form 1040-frame jingles),
+    // then findClipsContainingJingle over clips that carry jingle
+    // base at segment 1 when base < 32 — segment walk, per-segment
+    // UDF fingerprint under the sidecar's recorded params, cross-side
+    // bucket kernel with passthrough location columns, STRICT buckets
+    // on (the hunt default). The hit set is a closed form of doc_id;
+    // a signature accidentally colliding would break the hash — the
+    // streams are noise-like and the match requires exact 64-bit
+    // equality of exact-copied samples
+    "q_jingle_hunt" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      def jingle(c: Long): Array[Int] = Array.tabulate(1040)(k =>
+        (Math.floorMod(c * 2654435761L + k * 40503L, 65536L) - 32768L)
+          .toInt)
+      val idxPath = new Path(
+        sys.props("java.io.tmpdir"), "graft_q_jingle_hunt_idx").toString
+      Audio.writeAudioNearDupIndex(
+        s.range(0, 32).select(col("id"),
+          udf((c: Long) => Audio.wrapWav(jingle(c), 0, 1040, 8000))
+            .apply(col("id")).as("content")),
+        "id", "content", idxPath)
+      val clips = t(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        udf((id: Long) => {
+          val base = id % 64
+          val noise = Array.tabulate(1040)(k =>
+            (Math.floorMod(id * 48271L + k * 16807L, 65536L) - 32768L)
+              .toInt)
+          val all =
+            if (base < 32) noise ++ jingle(base) ++ noise
+            else noise ++ noise ++ noise
+          Audio.wrapWav(all, 0, 3120, 8000)
+        }).apply(col("doc_id")).as("content")).localCheckpoint(true)
+      Audio.findClipsContainingJingle(clips, "id", "content", idxPath,
+        segmentFrames = 1040)
+    }),
+
     // WebP header metadata (the modern image container): REAL bytes
     // in all three published chunk forms through the REAL header
     // walk — dims and flags are closed forms of doc_id; pixels stay
@@ -4639,6 +4677,15 @@ object SparkEntry {
         |    8000 + 100 * (doc_id % 64) ELSE 0 END AS BIGINT)
         |    AS audio_rate
         |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // jingle hunt: exact-containment hits are a pure closed form —
+    // clips with base < 32 carry their class jingle at segment 1
+    "q_jingle_hunt" ->
+      """SELECT doc_id AS id, CAST(1 AS BIGINT) AS seg_idx,
+        |  CAST(1040 AS BIGINT) AS start_frame
+        |FROM documents
+        |WHERE doc_id % 64 < 32
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // WebP: every field is a closed form of doc_id through the three

@@ -1113,6 +1113,50 @@ object Audio {
       }
     }
 
+  /** NEEDLE HUNT: find clips whose content CONTAINS a known jingle —
+    * segment every clip into `segmentFrames` windows
+    * ([[segmentClips]]), fingerprint each under the index's OWN
+    * recorded params, and return every segment within `maxDistance`
+    * of ANY indexed signature as `(id, seg_idx, start_frame)` — the
+    * composition the duration-normalized whole-clip fingerprint
+    * deliberately cannot make (a clip containing a jingle does not
+    * pair with the jingle itself). `strictBuckets` defaults to TRUE
+    * here, unlike the bulk-dedup admissions: a hunt is exactly where
+    * a silently-dropped degenerate corpus bucket is most costly (the
+    * needle is IN the dropped bucket), and the strict pass is one
+    * bounded action over 8-byte reads. Defaults expect exact
+    * containment (`maxDistance = 0`); use `hopFrames <
+    * segmentFrames` for alignment-robust shingles.
+    */
+  def findClipsContainingJingle(clips: DataFrame, idCol: String,
+      binCol: String, indexPath: String, segmentFrames: Int,
+      hopFrames: Int = 0, maxDistance: Int = 0, maxBucket: Int = 1000,
+      strictBuckets: Boolean = true): DataFrame = {
+    graft.operators.TopK.requireIntegral(clips, idCol,
+      "findClipsContainingJingle")
+    val spark = clips.sparkSession
+    val (window, maxFrames, canonicalRate) = parseAudioIndexParams(
+      readAudioIndexParams(spark, indexPath,
+        "findClipsContainingJingle"), "findClipsContainingJingle")
+    val segs = segmentClips(clips, idCol, binCol, segmentFrames,
+      hopFrames).toDF().filter(col("decoded"))
+    // the scalar-UDF signature path keeps the segment's identifying
+    // columns alongside (the typed decode reshapes them away) — same
+    // arithmetic as the batch expression path, parity spec-pinned by
+    // the streaming admission tests
+    val withSig = segs
+      .withColumn("__en",
+        energiesUdf(window, maxFrames, canonicalRate)(col("wav")))
+      .filter(col("__en").isNotNull)
+      .select(col("id"), col("segIdx").as("seg_idx"),
+        col("startFrame").as("start_frame"),
+        audioFingerprint64(col("__en")).as("__sh"))
+    Dedup.hamming64CrossMatchRows(
+      spark.read.parquet(
+        Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
+      withSig, "__sh", maxDistance, maxBucket, strictBuckets)
+  }
+
   /** Streaming audio admission: admit a live clip feed against a
     * STATIC [[writeAudioNearDupIndex]] artifact — the streaming twin
     * of [[incrementalAudioNearDedup]]. A stream clip is dropped when

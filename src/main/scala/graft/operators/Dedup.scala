@@ -601,6 +601,27 @@ object Dedup {
     */
   private[graft] def hamming64CrossMatches(corpusSigs: DataFrame,
       snapSigs: DataFrame, maxDistance: Int,
+      maxBucket: Int, strictBuckets: Boolean = false): DataFrame =
+    hamming64CrossMatchRows(corpusSigs,
+      snapSigs.select(col("id").cast("long").as("b"), col("sh")),
+      "sh", maxDistance, maxBucket, strictBuckets)
+
+  /** [[hamming64CrossMatches]] with PASSTHROUGH columns: `snapSigs`
+    * carries the 64-bit signature in `sigCol` plus any identifying
+    * columns (container id, segment index, tile coordinates, …);
+    * returns the distinct matched rows with every non-signature
+    * column intact — the kernel behind the needle-hunt operators
+    * ([[Audio.findClipsContainingJingle]] /
+    * [[Video.findVideosContainingScene]] /
+    * [[Multimodal.findImagesContainingCrop]]), which need WHERE a
+    * needle matched, not just which container. Identical plan shape
+    * to the id-only form (it is the id-only form, generalized): the
+    * corpus side folds to capped buckets, the snapshot side explodes
+    * to four block keys and joins — no union, no snapshot-side
+    * aggregation, multiplicity-proof.
+    */
+  private[graft] def hamming64CrossMatchRows(corpusSigs: DataFrame,
+      snapSigs: DataFrame, sigCol: String, maxDistance: Int,
       maxBucket: Int, strictBuckets: Boolean = false): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 3,
       s"block pigeonhole over 4 blocks covers maxDistance <= 3, " +
@@ -630,15 +651,16 @@ object Dedup {
           s"accept the drop (observable via bucketStats)")
     }
     val kept = corpusBuckets().filter(size(col("__cshs")) <= maxBucket)
+    val outCols = snapSigs.columns.filter(_ != sigCol).toSeq
     val snapBlocks = snapSigs
-      .select(col("id").cast("long").as("b"),
-        col("sh").cast("long").as("__sh"),
-        posexplode(blockKeys(col("sh").cast("long"))))
-      .toDF("b", "__sh", "__blk", "__bval")
+      .withColumn("__sh", col(sigCol).cast("long"))
+      .select(outCols.map(col) :+ col("__sh") :+
+        posexplode(blockKeys(col("__sh"))): _*)
+      .toDF(outCols :+ "__sh" :+ "__blk" :+ "__bval": _*)
     snapBlocks.join(kept, Seq("__blk", "__bval"))
       .filter(exists(col("__cshs"), s =>
         bit_count(col("__sh").bitwiseXOR(s)).cast("int") <= maxDistance))
-      .select(col("b")).distinct()
+      .select(outCols.map(col): _*).distinct()
   }
 
   /** STATELESS stream-side Hamming admission — the streaming twin of

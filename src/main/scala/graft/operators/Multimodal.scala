@@ -975,6 +975,45 @@ object Multimodal {
       "left_anti")
   }
 
+  /** NEEDLE HUNT: find images that CONTAIN a known crop — tile every
+    * image ([[tileImages]]), hash each tile under the index's OWN
+    * recorded hash kind, and return every tile within `maxDistance`
+    * of ANY indexed signature as `(id, tile_x, tile_y)` — the
+    * composition whole-image hashing deliberately cannot make (an
+    * image containing a crop does not hash near the crop itself).
+    * `strictBuckets` defaults to TRUE — the hunt guard
+    * ([[Audio.findClipsContainingJingle]]). Size the hops per the
+    * [[tileImages]] blowup note; exact containment wants tile dims
+    * equal to the indexed crops' and `maxDistance = 0`.
+    */
+  def findImagesContainingCrop(images: DataFrame, idCol: String,
+      binCol: String, indexPath: String, tileW: Int, tileH: Int,
+      hopX: Int = 0, hopY: Int = 0, maxDistance: Int = 0,
+      maxBucket: Int = 1000, strictBuckets: Boolean = true): DataFrame = {
+    graft.operators.TopK.requireIntegral(images, idCol,
+      "findImagesContainingCrop")
+    val spark = images.sparkSession
+    val persisted = readImageIndexParams(spark, indexPath,
+      "findImagesContainingCrop")
+    val m = java.util.regex.Pattern
+      .compile("\"hashKind\":\"(dhash|ahash)\"").matcher(persisted)
+    require(m.find(),
+      s"findImagesContainingCrop: malformed sidecar: $persisted")
+    val h: Column => Column =
+      if (m.group(1) == "dhash") dHash64 else aHash64
+    val tiles = tileImages(images, idCol, binCol, tileW, tileH, hopX,
+      hopY).toDF().filter(col("decoded"))
+    val withSig = tiles
+      .withColumn("__g", lumaGridUdf(col("image")))
+      .filter(col("__g").isNotNull)
+      .select(col("id"), col("tileX").as("tile_x"),
+        col("tileY").as("tile_y"), h(col("__g")).as("__sh"))
+    Dedup.hamming64CrossMatchRows(
+      spark.read.parquet(
+        Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
+      withSig, "__sh", maxDistance, maxBucket, strictBuckets)
+  }
+
   /** Per-row 9×8 luminance grid as a scalar UDF — the streaming twin
     * of [[luminanceGrids]] (a streaming plan can't reshape through
     * the typed mapPartitions without dropping the stream's own

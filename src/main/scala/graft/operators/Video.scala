@@ -749,6 +749,63 @@ object Video {
       "left_anti")
   }
 
+  /** NEEDLE HUNT: find videos whose content CONTAINS a known scene —
+    * segment every video into `segmentFrames` windows
+    * ([[segmentVideos]]), fingerprint each re-encoded sub-clip under
+    * the index's OWN recorded frame cap, and return every segment
+    * within `maxDistance` of ANY indexed signature as
+    * `(id, seg_idx, start_frame)`. `strictBuckets` defaults to TRUE —
+    * the hunt guard ([[Audio.findClipsContainingJingle]]): a
+    * degenerate over-cap corpus bucket is where the needle lives, and
+    * silently dropping it is the one failure a hunt cannot tolerate.
+    * Discrimination contract as documented on [[segmentVideos]]: use
+    * `segmentFrames ≥ 65` and the default `maxDistance = 0`.
+    */
+  def findVideosContainingScene(videos: DataFrame, idCol: String,
+      binCol: String, indexPath: String, segmentFrames: Int,
+      hopFrames: Int = 0, maxDistance: Int = 0, maxBucket: Int = 1000,
+      strictBuckets: Boolean = true): DataFrame = {
+    graft.operators.TopK.requireIntegral(videos, idCol,
+      "findVideosContainingScene")
+    val spark = videos.sparkSession
+    val maxFrameBytes = parseVideoIndexParams(
+      readVideoIndexParams(spark, indexPath,
+        "findVideosContainingScene"), "findVideosContainingScene")
+    val segs = segmentVideos(videos, idCol, binCol, segmentFrames,
+      hopFrames, maxFrameBytes).toDF().filter(col("decoded"))
+    val withSig = segs
+      .withColumn("__lu", lumaSumsUdf(maxFrameBytes)(col("avi")))
+      .filter(col("__lu").isNotNull)
+      .select(col("id"), col("segIdx").as("seg_idx"),
+        col("startFrame").as("start_frame"),
+        Audio.audioFingerprint64(col("__lu")).as("__sh"))
+    Dedup.hamming64CrossMatchRows(
+      spark.read.parquet(
+        Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
+      withSig, "__sh", maxDistance, maxBucket, strictBuckets)
+  }
+
+  /** NEEDLE HUNT through the soundtrack bridge: find videos whose
+    * AUDIO TRACK contains a known jingle — [[extractAudioTracks]]
+    * (byte-level, zero transcode) composed with
+    * [[Audio.findClipsContainingJingle]] against an AUDIO signature
+    * index; `(id, seg_idx, start_frame)` locates the hit within the
+    * soundtrack. Everything downstream of extraction is the
+    * unchanged audio family.
+    */
+  def findVideosWithJingle(videos: DataFrame, idCol: String,
+      binCol: String, audioIndexPath: String, segmentFrames: Int,
+      hopFrames: Int = 0, maxDistance: Int = 0, maxBucket: Int = 1000,
+      strictBuckets: Boolean = true,
+      maxAudioBytes: Int = 1 << 26): DataFrame = {
+    val tracks = extractAudioTracks(videos, idCol, binCol,
+      maxAudioBytes).toDF().filter(col("decoded"))
+      .select(col("id"), col("wav"))
+    Audio.findClipsContainingJingle(tracks, "id", "wav",
+      audioIndexPath, segmentFrames, hopFrames, maxDistance,
+      maxBucket, strictBuckets)
+  }
+
   /** Per-row sampled-frame luma sums as a scalar UDF — the streaming
     * twin of [[decodeSampledLuma]] (a streaming plan can't reshape
     * through the typed mapPartitions without dropping the stream's own

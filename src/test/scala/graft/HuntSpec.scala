@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Audio, Multimodal, Video}
+
+/** The first-class needle-hunt operators: jingle-in-clip,
+  * scene-in-video, jingle-in-video-soundtrack, crop-in-image. Hunts
+  * default `strictBuckets = true` — a planted over-cap corpus bucket
+  * must FAIL LOUD, never silently miss the needle.
+  */
+class HuntSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  private def df(rows: (Long, Array[Byte])*) =
+    rows.toDF("id", "content")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def noise(seed: Int, n: Int): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(rnd.nextInt(16001) - 8000)
+  }
+
+  test("findClipsContainingJingle locates the planted segment by " +
+      "(id, seg_idx, start_frame); clean clips return no rows") {
+    val jingle = noise(7, 65 * 16) // 1040 frames
+    val dir = tmp("graft-hunt-jingle")
+    Audio.writeAudioNearDupIndex(
+      df(1L -> Audio.wrapWav(jingle, 0, jingle.length, 8000)),
+      "id", "content", dir)
+    def clip(seed: Int, planted: Boolean) = Audio.wrapWav(
+      if (planted) noise(seed, 1040) ++ jingle ++ noise(seed + 1, 1040)
+      else noise(seed, 3120), 0, 3120, 8000)
+    val hits = Audio.findClipsContainingJingle(
+      df(10L -> clip(20, planted = true),
+        20L -> clip(30, planted = false),
+        30L -> clip(40, planted = true)),
+      "id", "content", dir, segmentFrames = 1040)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(hits == Set((10L, 1L, 1040L), (30L, 1L, 1040L)), hits)
+  }
+
+  test("findVideosContainingScene locates the planted window; " +
+      "findVideosWithJingle finds a jingle in the SOUNDTRACK via the " +
+      "extraction bridge") {
+    def frame(base: Int, f: Int): Array[Byte] =
+      Array.tabulate(3 * 4 * 3)(k =>
+        (((base * 131 + f * 31 + k * 7) % 101)).toByte)
+    val sceneFrames = (0 until 66).map(f => frame(9, f))
+    val sceneDir = tmp("graft-hunt-scene")
+    Video.writeVideoNearDupIndex(
+      df(1L -> Video.buildUncompressedAvi(4, 3, sceneFrames, 40000L)),
+      "id", "content", sceneDir)
+    def vid(base: Int, planted: Boolean) =
+      Video.buildUncompressedAvi(4, 3,
+        (0 until 82).map(f =>
+          if (planted && f >= 8 && f < 74) sceneFrames(f - 8)
+          else frame(base, f)),
+        40000L)
+    val hits = Video.findVideosContainingScene(
+      df(10L -> vid(1, planted = true), 20L -> vid(2, planted = false)),
+      "id", "content", sceneDir, segmentFrames = 66, hopFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(hits == Set((10L, 1L, 8L)), hits)
+    // soundtrack hunt: jingle inside a two-stream AVI's audio
+    val jingle = noise(11, 65 * 16)
+    val audioDir = tmp("graft-hunt-vjingle")
+    Audio.writeAudioNearDupIndex(
+      df(1L -> Audio.wrapWav(jingle, 0, jingle.length, 8000)),
+      "id", "content", audioDir)
+    val frames6 = (0 until 6).map(f => frame(3, f))
+    def avi(seed: Int, planted: Boolean) = Video.buildAviWithAudio(
+      4, 3, frames6, 40000L,
+      if (planted) noise(seed, 1040) ++ jingle ++ noise(seed + 1, 1040)
+      else noise(seed, 3120), 8000)
+    val vhits = Video.findVideosWithJingle(
+      df(10L -> avi(50, planted = true), 20L -> avi(60, planted = false)),
+      "id", "content", audioDir, segmentFrames = 1040)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(vhits == Set((10L, 1L, 1040L)), vhits)
+  }
+
+  test("findImagesContainingCrop locates the planted tile by " +
+      "(id, tile_x, tile_y)") {
+    // 32x24 image of 16x12 tiles; the crop IS tile (1, 1)
+    def pix(seed: Int, n: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(n)((rnd.nextInt(256) - 128).toByte)
+    }
+    val crop = pix(77, 3 * 16 * 12)
+    def image(seed: Int, planted: Boolean): Array[Byte] = {
+      val bgr = pix(seed, 3 * 32 * 24)
+      if (planted) { // paste the crop at pixel (16, 12)
+        (0 until 12).foreach { y =>
+          System.arraycopy(crop, y * 3 * 16, bgr,
+            ((12 + y) * 32 + 16) * 3, 3 * 16)
+        }
+      }
+      Multimodal.buildBmp(32, 24, bgr)
+    }
+    val dir = tmp("graft-hunt-crop")
+    Multimodal.writeImageNearDupIndex(
+      df(1L -> Multimodal.buildBmp(16, 12, crop)), "id", "content", dir)
+    val hits = Multimodal.findImagesContainingCrop(
+      df(10L -> image(5, planted = true),
+        20L -> image(6, planted = false)),
+      "id", "content", dir, tileW = 16, tileH = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .toSet
+    assert(hits == Set((10L, 1, 1)), hits)
+  }
+
+  test("strict default: a hunt against an index with an over-cap " +
+      "signature bucket THROWS (naming the fix) instead of silently " +
+      "missing; strictBuckets=false opts back into the drop") {
+    // four byte-identical copies of the NEEDLE itself -> every block
+    // bucket of its signature has 4 members; cap 3 is exceeded, and
+    // the probe genuinely contains the needle
+    val jingle = noise(3, 1040)
+    val wav = Audio.wrapWav(jingle, 0, 1040, 8000)
+    val dir = tmp("graft-hunt-strict")
+    Audio.writeAudioNearDupIndex(
+      df(1L -> wav, 2L -> wav.clone(), 3L -> wav.clone(),
+        4L -> wav.clone()), "id", "content", dir)
+    val probe = df(10L -> Audio.wrapWav(
+      noise(4, 1040) ++ jingle, 0, 2080, 8000))
+    // sanity: under an adequate cap the hunt finds the needle
+    val found = Audio.findClipsContainingJingle(probe, "id", "content",
+      dir, segmentFrames = 1040).collect()
+    assert(found.length == 1 && found.head.getLong(1) == 1L)
+    val ex = intercept[IllegalArgumentException] {
+      Audio.findClipsContainingJingle(probe, "id", "content", dir,
+        segmentFrames = 1040, maxBucket = 3).collect()
+    }
+    assert(ex.getMessage.contains("maxBucket"), ex.getMessage)
+    // opting out accepts the drop — and the needle IS silently missed
+    // (exactly the failure the strict default exists to surface)
+    val lax = Audio.findClipsContainingJingle(probe, "id", "content",
+      dir, segmentFrames = 1040, maxBucket = 3, strictBuckets = false)
+      .collect()
+    assert(lax.isEmpty, s"capped bucket must drop: ${lax.mkString(",")}")
+  }
+}
