@@ -320,8 +320,11 @@ object SparkEntry {
   /** Real animated-GIF payloads for the compressed-yet-bit-exact
     * video oracle row: per doc_id, the library encoder
     * ([[Gif.buildGif]]) over a planted 8×4 index stream — pixel p of
-    * frame f is (base·7 + f·5 + p·3) % 16 into the fixed 16-entry
-    * palette (entry i = (23i, 47i, 91i) mod 256), 9 + base%4 frames
+    * frame f is (base·7 + f·5 + p²) % 16 into the fixed 16-entry
+    * palette (entry i = (23i, 47i, 91i) mod 256; the p² term keeps
+    * the residue distribution non-uniform so per-frame luma genuinely
+    * varies — a linear term over 32 pixels is uniform and collapses
+    * every temporal fingerprint), 9 + base%4 frames
     * at 4 cs/frame, base = doc_id % 64. GIF-LZW is lossless, so the
     * decoded pixels ARE the planted stream — the whole chain
     * (encode → LZW decode → palette → luma → stats) is closed-form
@@ -336,8 +339,43 @@ object SparkEntry {
       val n = 9 + base % 4
       Gif.buildGif(8, 4, palette,
         (0 until n).map(f => Array.tabulate(8 * 4)(p =>
-          ((base * 7 + f * 5 + p * 3) % 16).toByte)),
+          ((base * 7 + f * 5 + p * p) % 16).toByte)),
         delayCs = 4)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Mixed-container corpus for the cross-container dedup oracle row:
+    * per doc_id, the SAME planted 8×4 pixel stream (the
+    * [[syntheticGifClassed]] formula, 65 + base%8 frames) carried as
+    * an uncompressed AVI for even ids and as an animated GIF for odd
+    * ids — same pixels, different container, so same-class payloads
+    * must fingerprint identically across containers.
+    */
+  private def syntheticMixedContainerClassed(
+      docs: DataFrame): DataFrame = {
+    val palette = Array.tabulate(16)(i =>
+      (((i * 23) % 256) << 16) | (((i * 47) % 256) << 8) |
+        ((i * 91) % 256))
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 65 + base % 8
+      val idxFrames = (0 until n).map(f => Array.tabulate(32)(p =>
+        ((base * 7 + f * 5 + p * p) % 16).toByte))
+      if (id % 2 == 0) {
+        val frames = idxFrames.map { ix =>
+          val bgr = new Array[Byte](96)
+          ix.indices.foreach { p =>
+            val rgb = palette(ix(p) & 0xFF)
+            bgr(3 * p) = (rgb & 0xFF).toByte
+            bgr(3 * p + 1) = ((rgb >> 8) & 0xFF).toByte
+            bgr(3 * p + 2) = ((rgb >> 16) & 0xFF).toByte
+          }
+          bgr
+        }
+        Video.buildUncompressedAvi(8, 4, frames, 40000L)
+      } else Gif.buildGif(8, 4, palette, idxFrames, delayCs = 4)
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -1889,6 +1927,18 @@ object SparkEntry {
           col("audio_channels").cast("long").as("audio_channels"),
           col("audio_rate").cast("long").as("audio_rate"))
     }),
+
+    // cross-container dedup: ONE signature space over a mixed
+    // AVI/GIF corpus (videoSigsAuto dispatches by magic; GIF decodes
+    // through the real LZW path, AVI through the chunk walk) — the
+    // same pixels pair at distance 0 whatever the container; the
+    // oracle replays the shared luma closed form once (it is
+    // container-independent by construction) through the HUGEINT
+    // fingerprint + block machinery
+    "q_video_cross_container" -> ((s, dir) =>
+      Video.videoNearDupPairsAuto(
+        syntheticMixedContainerClassed(t(s, dir, "documents")),
+        "id", "content", maxDistance = 0)),
 
     // NEEDLE HUNT through the full PUBLIC artifact lifecycle: write a
     // real jingle signature index (32 closed-form 1040-frame jingles),
@@ -4679,6 +4729,39 @@ object SparkEntry {
         |FROM documents
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // cross-container: the luma stream is the same closed form for
+    // both containers (that is the point), so one fingerprint
+    // computation covers the whole mixed corpus
+    "q_video_cross_container" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    65 + (doc_id % 64) % 8 AS n
+        |  FROM documents),
+        |lu AS (SELECT id, list_transform(generate_series(0, 64), i ->
+        |    list_sum(list_transform(generate_series(0, 31), p ->
+        |      (((base * 7 + ((i * n) // 65) * 5 + p * p) % 16) * 23)
+        |        % 256
+        |      + (((base * 7 + ((i * n) // 65) * 5 + p * p) % 16) * 47)
+        |        % 256
+        |      + (((base * 7 + ((i * n) // 65) * 5 + p * p) % 16) * 91)
+        |        % 256))) AS luma
+        |  FROM g),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT id, list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN luma[i + 1] > luma[i + 2]
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM lu)),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |p AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM p WHERE distance = 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     // jingle hunt: exact-containment hits are a pure closed form —
     // clips with base < 32 carry their class jingle at segment 1
     "q_jingle_hunt" ->
@@ -4756,11 +4839,11 @@ object SparkEntry {
         |  FROM documents),
         |lu AS (SELECT id, n, list_transform(generate_series(0, 64),
         |    i -> list_sum(list_transform(generate_series(0, 31), p ->
-        |      (((base * 7 + ((i * n) // 65) * 5 + p * 3) % 16) * 23)
+        |      (((base * 7 + ((i * n) // 65) * 5 + p * p) % 16) * 23)
         |        % 256
-        |      + (((base * 7 + ((i * n) // 65) * 5 + p * 3) % 16) * 47)
+        |      + (((base * 7 + ((i * n) // 65) * 5 + p * p) % 16) * 47)
         |        % 256
-        |      + (((base * 7 + ((i * n) // 65) * 5 + p * 3) % 16) * 91)
+        |      + (((base * 7 + ((i * n) // 65) * 5 + p * p) % 16) * 91)
         |        % 256))) AS luma
         |  FROM g)
         |SELECT id, CAST(8 AS BIGINT) AS width,

@@ -382,8 +382,8 @@ object Gif {
     s
   }
 
-  private def decodeLuma(id: Long, bytes: Array[Byte], nSamples: Int,
-      maxFrameBytes: Int): Option[Video.VideoLuma] = {
+  private[graft] def decodeLuma(id: Long, bytes: Array[Byte],
+      nSamples: Int, maxFrameBytes: Int): Option[Video.VideoLuma] = {
     val g = parseGif(bytes).getOrElse(return None)
     if (g.frames.isEmpty) return None
     if (3L * g.width * g.height > maxFrameBytes) return None

@@ -620,6 +620,38 @@ object Video {
       videoSigs(df, idCol, binCol, maxFrameBytes),
       "id", "sig", maxDistance)
 
+  /** CONTAINER-AUTO temporal fingerprints: dispatch each payload by
+    * its magic — RIFF/AVI through [[videoSigs]], GIF through
+    * [[Gif.gifSigs]] — into ONE signature space. The per-frame luma
+    * definition (exact integer Σ(r+g+b)) and the 65-sample gradient
+    * fold are identical on both paths, so the same pixels fingerprint
+    * identically whatever the container (spec-pinned in GifSpec):
+    * a mixed 100 TB corpus dedups ACROSS containers with one index,
+    * one admission pass, no per-format corpus splits. Each payload is
+    * read by exactly one decode path (the magic filters push to the
+    * scan); unknown containers carry no signature — exact-byte
+    * dedup's job, as everywhere in this family.
+    */
+  def videoSigsAuto(df: DataFrame, idCol: String, binCol: String,
+      maxFrameBytes: Int = 1 << 24): DataFrame = {
+    val isRiff = substring(col(binCol), 1, 4) === lit("RIFF".getBytes("US-ASCII"))
+    val isGif = substring(col(binCol), 1, 4) === lit("GIF8".getBytes("US-ASCII"))
+    videoSigs(df.filter(isRiff), idCol, binCol, maxFrameBytes)
+      .unionByName(
+        Gif.gifSigs(df.filter(isGif), idCol, binCol, maxFrameBytes))
+  }
+
+  /** In-corpus near-dup pairs over a MIXED-container corpus —
+    * [[videoNearDupPairs]] over [[videoSigsAuto]]: an AVI and a GIF
+    * of the same frames pair at distance 0.
+    */
+  def videoNearDupPairsAuto(df: DataFrame, idCol: String,
+      binCol: String, maxDistance: Int = 3,
+      maxFrameBytes: Int = 1 << 24): DataFrame =
+    Dedup.hamming64NearDupPairs(
+      videoSigsAuto(df, idCol, binCol, maxFrameBytes),
+      "id", "sig", maxDistance)
+
   /** Decode → exact integer stats: one row per decoded video with
     * frame geometry, duration, and the sampled-luma aggregates
     * (total, peak, min — brightness envelope over the sampled
@@ -688,7 +720,7 @@ object Video {
       "writeVideoNearDupIndex")
     SigIndex.write(corpus.sparkSession, path, VideoIndexSidecar,
       videoIndexParamsJson(maxFrameBytes),
-      Seq("sigs" -> videoSigs(corpus, idCol, binCol, maxFrameBytes)
+      Seq("sigs" -> videoSigsAuto(corpus, idCol, binCol, maxFrameBytes)
         .select(col("id"), col("sig").as("sh"))))
   }
 
@@ -712,7 +744,8 @@ object Video {
       videoIndexParamsJson(maxFrameBytes), indexPath,
       "appendToVideoNearDupIndex")
     SigIndex.appendBatch(spark, indexPath,
-      Seq("sigs" -> videoSigs(newVideos, idCol, binCol, maxFrameBytes)
+      Seq("sigs" -> videoSigsAuto(newVideos, idCol, binCol,
+        maxFrameBytes)
         .select(col("id"), col("sig").as("sh"))))
   }
 
@@ -741,7 +774,7 @@ object Video {
         "incrementalVideoNearDedup"), "incrementalVideoNearDedup")
     val corpusSigs = spark.read.parquet(
       Dedup.indexSidePaths(spark, indexPath, "sigs"): _*)
-    val snapSigs = videoSigs(snapshot, idCol, binCol, maxFrameBytes)
+    val snapSigs = videoSigsAuto(snapshot, idCol, binCol, maxFrameBytes)
       .select(col("id"), col("sig").as("sh"))
     val matched = Dedup.hamming64CrossMatches(corpusSigs, snapSigs,
       maxDistance, maxBucket, strictBuckets)
@@ -818,7 +851,12 @@ object Video {
     */
   private def lumaSumsUdf(maxFrameBytes: Int) =
     udf { (bytes: Array[Byte]) =>
-      decodeLuma(0L, bytes, 65, maxFrameBytes).map(_.lumaSums)
+      // container dispatch, mirroring videoSigsAuto: the AVI walk
+      // fails a GIF payload on its first four bytes, so the fallback
+      // costs nothing on the AVI path
+      decodeLuma(0L, bytes, 65, maxFrameBytes)
+        .orElse(Gif.decodeLuma(0L, bytes, 65, maxFrameBytes))
+        .map(_.lumaSums)
     }
 
   /** Streaming video admission: admit a live video feed against a

@@ -37,9 +37,14 @@ class GifSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def lumaOfIdx(i: Int): Long =
     ((i * 23) % 256) + ((i * 47) % 256) + ((i * 91) % 256)
 
-  /** Planted index stream: pixel p of frame f in stream `base`. */
+  /** Planted index stream: pixel p of frame f in stream `base`. The
+    * pixel term is QUADRATIC (p²) — a linear term over a multiple of
+    * 16 pixels hits every palette residue uniformly, making per-frame
+    * luma constant and every temporal fingerprint degenerate-equal.
+    */
   private def idxFrame(base: Int, f: Int, w: Int, h: Int): Array[Byte] =
-    Array.tabulate(w * h)(p => ((base * 7 + f * 5 + p * 3) % 16).toByte)
+    Array.tabulate(w * h)(p =>
+      ((base * 7 + f * 5 + p * p) % 16).toByte)
 
   private def gif(base: Int, nFrames: Int, w: Int = 8, h: Int = 4,
       delayCs: Int = 4): Array[Byte] =
@@ -61,7 +66,8 @@ class GifSpec extends AnyFunSuite with BeforeAndAfterAll {
       nSamples = nFrames).collect().head
     assert(v.decoded && v.nFrames == nFrames)
     val expect = (0 until nFrames).map(f =>
-      (0 until 32).map(p => lumaOfIdx((3 * 7 + f * 5 + p * 3) % 16)).sum)
+      (0 until 32).map(p =>
+        lumaOfIdx((3 * 7 + f * 5 + p * p) % 16)).sum)
     assert(v.lumaSums == expect, s"${v.lumaSums} vs $expect")
   }
 
@@ -207,6 +213,56 @@ class GifSpec extends AnyFunSuite with BeforeAndAfterAll {
     // decoded-raster bound, as everywhere in the video family
     assert(!Gif.decodeSampledLuma(df((1L, good)), "id", "content",
       nSamples = 4, maxFrameBytes = 64).collect().head.decoded)
+  }
+
+  test("one index, all containers: a video signature index built " +
+      "from AVIs drops the GIF twin on batch AND streaming " +
+      "admission, and mixed-corpus pairs span containers") {
+    import spark.implicits._
+    def bgrFrames(base: Int, n: Int) = (0 until n).map { f =>
+      val idx = idxFrame(base, f, 8, 4)
+      val bgr = new Array[Byte](3 * 32)
+      idx.indices.foreach { p =>
+        val rgb = palette(idx(p) & 0xFF)
+        bgr(3 * p) = (rgb & 0xFF).toByte
+        bgr(3 * p + 1) = ((rgb >> 8) & 0xFF).toByte
+        bgr(3 * p + 2) = ((rgb >> 16) & 0xFF).toByte
+      }
+      bgr
+    }
+    val avi7 = Video.buildUncompressedAvi(8, 4, bgrFrames(7, 70), 40000L)
+    val gif7 = gif(7, 70)
+    val gif9 = gif(9, 70)
+    // mixed-corpus pairs: the AVI and its GIF twin pair at distance 0
+    val pairs = Video.videoNearDupPairsAuto(
+      df((1L, avi7), (2L, gif7), (3L, gif9)), "id", "content",
+      maxDistance = 0).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.mkString(","))
+    // batch admission: AVI-built index drops the GIF twin
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cross-container-idx").toString
+    Video.writeVideoNearDupIndex(df((1L, avi7)), "id", "content", dir)
+    val adm = Video.incrementalVideoNearDedup(
+      df((10L, gif7), (20L, gif9)), "id", "content", dir,
+      maxDistance = 0).collect().map(_.getLong(0)).toSet
+    assert(adm == Set(20L), s"GIF twin not dropped: $adm")
+    // streaming admission: the UDF path dispatches containers too
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val admitted = Video.streamingVideoNearDedup(
+      mem.toDF().toDF("id", "content", "ts"), "id", "content", "ts",
+      dir, maxDistance = 0)
+    val q = admitted.writeStream.format("memory")
+      .queryName("stream_cross_container").outputMode("append").start()
+    try {
+      val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      mem.addData((30L, gif7, ts), (40L, gif9, ts))
+      q.processAllAvailable()
+      val got = spark.table("stream_cross_container")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(40L), s"streaming cross-container: $got")
+    } finally q.stop()
   }
 
   test("cross-modal composition: GIF frames admitted against an " +
