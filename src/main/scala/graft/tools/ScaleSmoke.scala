@@ -1957,6 +1957,197 @@ object ScaleSmoke {
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p2 => java.nio.file.Files.delete(p2))
     }
+
+    // --- soundtrack hunt at 500k videos: the round-16 bridge, through
+    // the PUBLIC hunt API (strict buckets are its default). Every
+    // 500th of 500k two-stream AVIs carries a known 1040-sample jingle
+    // as soundtrack segment 1; findVideosWithJingle = extract the
+    // audio track (byte-level 01wb concat), segment, fingerprint under
+    // the index's params, cross-bucket admit — hits must be EXACTLY
+    // the planted (container, segment 1) locations.
+    {
+      def mix(a: Long): Long = {
+        var x = a
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x
+      }
+      import spark.implicits._
+      val nVid = 500000L
+      def jingleSample(k: Int): Int =
+        (((mix(mix(-5L) + k) & Long.MaxValue) % 16001L) - 8000L).toInt
+      val jIdxDir = java.nio.file.Files
+        .createTempDirectory("graft-vjingle-smoke").toString
+      graft.operators.Audio.writeAudioNearDupIndex(
+        Seq((0L, graft.operators.Audio.wrapWav(
+          Array.tabulate(1040)(jingleSample), 0, 1040, 8000)))
+          .toDF("id", "content"),
+        "id", "content", jIdxDir)
+      val t90 = System.nanoTime()
+      val vids = spark.range(0L, nVid).repartition(64)
+        .mapPartitions { it =>
+          val frames = (0 until 4).map { f =>
+            val fs = mix(-6L + f)
+            Array.tabulate(36)(k =>
+              ((mix(fs + k) & Long.MaxValue) % 101L).toByte)
+          }
+          it.map { id =>
+            val samples = Array.tabulate(3120) { k =>
+              if (id % 500 == 0 && k >= 1040 && k < 2080)
+                jingleSample(k - 1040)
+              else (((mix(mix(id) + k) & Long.MaxValue) % 16001L)
+                - 8000L).toInt
+            }
+            (id, graft.operators.Video.buildAviWithAudio(
+              4, 3, frames, 40000L, samples, 8000))
+          }
+        }.toDF("id", "content")
+      val vhits = graft.operators.Video.findVideosWithJingle(
+        vids, "id", "content", jIdxDir, segmentFrames = 1040)
+      val vAgg = vhits.agg(count(lit(1)),
+        sum(when(col("id") % 500 === 0 && col("seg_idx") === 1L, 1L)
+          .otherwise(0L))).collect()(0)
+      val tVj = (System.nanoTime() - t90) / 1e9
+      require(vAgg.getLong(0) == nVid / 500L &&
+        vAgg.getLong(1) == nVid / 500L,
+        s"soundtrackDetect: $vAgg != ${nVid / 500} planted hits")
+      println(f"soundtrackDetect: 1 indexed jingle vs $nVid%d videos " +
+        f"(extract -> segment -> admit, strict, PUBLIC hunt API) -> " +
+        f"exactly ${nVid / 500} planted soundtrack hits in $tVj%.1f s " +
+        f"(${nVid / tVj}%.0f vids/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(jIdxDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p2 => java.nio.file.Files.delete(p2))
+    }
+
+    // --- cross-container dedup at 500k payloads: 250k pixel classes,
+    // each carried TWICE — as an uncompressed AVI (even id) and as an
+    // animated GIF through the REAL LZW decode (odd id). One
+    // signature space (videoSigsAuto dispatches by magic): the pair
+    // set must be EXACTLY the 250k (2c, 2c+1) container twins at
+    // distance 0 — no cross-class leakage, no same-container bias.
+    {
+      def mix(a: Long): Long = {
+        var x = a
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x
+      }
+      import spark.implicits._
+      val nCc = 500000L
+      val palette = Array.tabulate(16)(i =>
+        (((i * 23) % 256) << 16) | (((i * 47) % 256) << 8) |
+          ((i * 91) % 256))
+      val t91 = System.nanoTime()
+      val mixed = spark.range(0L, nCc).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val cls = id / 2
+            // per-class index stream: 66 frames of 8x4 palette
+            // indices from the mixed seed (genuinely varying luma)
+            val idxFrames = (0 until 66).map { f =>
+              val fs = mix(mix(cls) + f)
+              Array.tabulate(32)(p =>
+                ((mix(fs + p) & Long.MaxValue) % 16L).toByte)
+            }
+            val payload =
+              if (id % 2 == 0) {
+                val frames = idxFrames.map { ix =>
+                  val bgr = new Array[Byte](96)
+                  ix.indices.foreach { p =>
+                    val rgb = palette(ix(p) & 0xFF)
+                    bgr(3 * p) = (rgb & 0xFF).toByte
+                    bgr(3 * p + 1) = ((rgb >> 8) & 0xFF).toByte
+                    bgr(3 * p + 2) = ((rgb >> 16) & 0xFF).toByte
+                  }
+                  bgr
+                }
+                graft.operators.Video.buildUncompressedAvi(
+                  8, 4, frames, 40000L)
+              } else graft.operators.Gif.buildGif(
+                8, 4, palette, idxFrames, delayCs = 4)
+            (id, payload)
+          }
+        }.toDF("id", "content")
+      val ccPairs = graft.operators.Video.videoNearDupPairsAuto(
+        mixed, "id", "content", maxDistance = 0)
+      val ccAgg = ccPairs.agg(count(lit(1)), sum(col("b") - col("a")),
+        max(col("distance"))).collect()(0)
+      val tCc = (System.nanoTime() - t91) / 1e9
+      require(ccAgg.getLong(0) == nCc / 2L,
+        s"crossContainer pairs ${ccAgg.getLong(0)} != ${nCc / 2}")
+      require(ccAgg.getLong(1) == nCc / 2L,
+        s"crossContainer pair structure: sum(b-a)=${ccAgg.getLong(1)}")
+      require(ccAgg.getLong(2) == 0L,
+        s"crossContainer max distance ${ccAgg.getLong(2)} != 0")
+      println(f"crossContainerDedup: $nCc%d mixed payloads " +
+        f"(${nCc / 2} AVI + ${nCc / 2} real LZW-decoded GIF) -> " +
+        f"exactly ${nCc / 2} container-twin pairs at distance 0 in " +
+        f"$tCc%.1f s (${nCc / tCc}%.0f vids/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- container metadata throughput: the 100 TB filter path for
+    // the round-16 walks. 2M MP4s (both the 32-bit and the v1/
+    // largesize 64-bit forms) and 1M MP3 frame streams, header-only —
+    // closed-form aggregates pin every projected field.
+    {
+      import spark.implicits._
+      val nM4 = 2000000L
+      val t92 = System.nanoTime()
+      val m4s = spark.range(0L, nM4).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            (id, graft.operators.Mp4.buildMp4(
+              timescale = 600L + b, duration = 1000L + b * 77L,
+              width = 16 * (1 + b % 4), height = 16 * (1 + b % 3),
+              nFrames = 24L + b % 8, mdatBytes = 64,
+              use64Bit = b % 2 == 1))
+          }
+        }.toDF("id", "content")
+      val m4Agg = graft.operators.Mp4.mp4MetaScan(m4s, "id", "content")
+        .agg(count(lit(1)), min(col("parsed").cast("int")),
+          sum(col("duration")), sum(col("video_frames"))).collect()(0)
+      val tM4 = (System.nanoTime() - t92) / 1e9
+      val expDur = (0 until 64).map(b => 1000L + b * 77L).sum *
+        (nM4 / 64L)
+      val expFr = (0 until 64).map(b => 24L + b % 8).sum * (nM4 / 64L)
+      require(m4Agg.getLong(0) == nM4 && m4Agg.getInt(1) == 1 &&
+        m4Agg.getLong(2) == expDur && m4Agg.getLong(3) == expFr,
+        s"mp4Meta: $m4Agg (expected dur $expDur frames $expFr)")
+      println(f"mp4Meta: $nM4%d ISO-BMFF containers box-walked in " +
+        f"$tM4%.1f s (${nM4 / tM4}%.0f files/s), all parsed, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+      val nM3 = 1000000L
+      val t93 = System.nanoTime()
+      val m3s = spark.range(0L, nM3).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            val vb = (b % 3: @unchecked) match {
+              case 0 => 3
+              case 1 => 2
+              case 2 => 0
+            }
+            (id, graft.operators.Mp3.buildMp3(vb, (b / 3) % 3,
+              Seq.fill(5 + b % 6)(1 + b % 14), mono = b % 2 == 0))
+          }
+        }.toDF("id", "content")
+      val m3Agg = graft.operators.Mp3.mp3MetaScan(m3s, "id", "content")
+        .agg(count(lit(1)), min(col("parsed").cast("int")),
+          sum(col("frames"))).collect()(0)
+      val tM3 = (System.nanoTime() - t93) / 1e9
+      val expM3Fr = (0 until 64).map(b => 5L + b % 6).sum * (nM3 / 64L)
+      require(m3Agg.getLong(0) == nM3 && m3Agg.getInt(1) == 1 &&
+        m3Agg.getLong(2) == expM3Fr,
+        s"mp3Meta: $m3Agg (expected frames $expM3Fr)")
+      println(f"mp3Meta: $nM3%d MP3 streams sync-walked in " +
+        f"$tM3%.1f s (${nM3 / tM3}%.0f files/s), all parsed, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
     spark.stop()
   }
 }
