@@ -317,6 +317,24 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real tagged MP3 streams — [[syntheticMp3Classed]]'s frame layout
+    * with an ID3v2 tag carrying closed-form TIT2/TPE1 text frames:
+    * v2.4 UTF-8 for even doc_ids, v2.3 ISO-8859-1 for odd (same ASCII
+    * values, both grammars exercised through the REAL walk).
+    */
+  private def syntheticMp3TaggedClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      Mp3.buildMp3(3, base % 3, Seq.fill(3)(1 + base % 14),
+        mono = base % 2 == 0, id3Bytes = 16,
+        id3Frames = Seq("TIT2" -> s"Title $base",
+          "TPE1" -> s"Artist ${base % 7}"),
+        id3Major = if (id % 2 == 0) 4 else 3)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real animated-GIF payloads for the compressed-yet-bit-exact
     * video oracle row: per doc_id, the library encoder
     * ([[Gif.buildGif]]) over a planted 8×4 index stream — pixel p of
@@ -2003,6 +2021,16 @@ object SparkEntry {
           col("channels").cast("long").as("channels"), col("frames"),
           col("bitrate_kbps").cast("long").as("bitrate_kbps"),
           col("vbr"), col("xing_frames"), col("duration_ms"))),
+
+    // ID3v2 text frames: title/artist metadata extracted from REAL
+    // tagged MP3 streams (v2.4 UTF-8 on even ids, v2.3 ISO-8859-1 on
+    // odd — both grammars through the real walk); every value a
+    // closed form of doc_id
+    "q_audio_id3" -> ((s, dir) =>
+      Mp3.id3TextFrames(
+        syntheticMp3TaggedClassed(t(s, dir, "documents")), "id",
+        "content").toDF()
+        .select(col("id"), col("frameId").as("frame_id"), col("text"))),
 
     // animated GIF — COMPRESSED video whose pixels are bit-exact
     // (LZW is lossless): REAL encoder-built GIFs through the REAL
@@ -4826,6 +4854,18 @@ object SparkEntry {
         |    AS xing_frames,
         |  CAST(fr * spf * 1000 // rate AS BIGINT) AS duration_ms
         |FROM q
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // ID3 text frames: two rows per doc, closed-form strings
+    "q_audio_id3" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents)
+        |SELECT id, 'TIT2' AS frame_id,
+        |  'Title ' || CAST(base AS VARCHAR) AS text FROM g
+        |UNION ALL
+        |SELECT id, 'TPE1' AS frame_id,
+        |  'Artist ' || CAST(base % 7 AS VARCHAR) AS text FROM g
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // animated GIF: LZW decode is exact, so per-frame luma replays as

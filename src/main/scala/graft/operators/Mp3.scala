@@ -74,6 +74,91 @@ object Mp3 {
       col("xingFrames").as("xing_frames"),
       col("durationMs").as("duration_ms"), col("parsed"))
 
+  /** One ID3v2 text frame of payload `id` — `frameId` is the 4-char
+    * frame name (TIT2 title, TPE1 artist, TALB album, …), `text` its
+    * decoded value.
+    */
+  case class Id3Frame(id: Long, frameId: String, text: String)
+
+  /** Extract ID3v2.3/2.4 TEXT frames (the `T***` family) as one row
+    * per frame — the document-metadata side of an audio corpus
+    * (title/artist/album land next to the payload for text-analysis
+    * joins). Supported per the published tag grammar: syncsafe (v2.4)
+    * and plain (v2.3) frame sizes, encodings 0 (ISO-8859-1),
+    * 1 (UTF-16 with BOM), 2 (UTF-16BE) and 3 (UTF-8), padding stop,
+    * extended-header skip. Payloads without a tag (or with the
+    * unsynchronisation bit, which this walk honestly does not
+    * reverse) emit NO rows.
+    */
+  def id3TextFrames(df: DataFrame, idCol: String,
+      binCol: String): Dataset[Id3Frame] = {
+    implicit val enc = Encoders.product[Id3Frame]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          parseId3Text(r.getAs[Array[Byte]](1)).map { case (f, t) =>
+            Id3Frame(id, f, t)
+          }
+        }
+    }
+  }
+
+  /** The ID3v2 text-frame walk — empty on anything malformed. */
+  private[graft] def parseId3Text(
+      bytes: Array[Byte]): Seq[(String, String)] = {
+    if (bytes == null || bytes.length < 10 || bytes(0) != 'I'.toByte ||
+      bytes(1) != 'D'.toByte || bytes(2) != '3'.toByte) return Nil
+    val major = bytes(3) & 0xFF
+    if (major != 3 && major != 4) return Nil
+    val flags = bytes(5) & 0xFF
+    if ((flags & 0x80) != 0) return Nil // unsynchronised: not reversed
+    def syncsafe(o: Int): Int =
+      ((bytes(o) & 0x7F) << 21) | ((bytes(o + 1) & 0x7F) << 14) |
+        ((bytes(o + 2) & 0x7F) << 7) | (bytes(o + 3) & 0x7F)
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    val tagEnd = math.min(bytes.length, 10 + syncsafe(6))
+    var pos = 10
+    if ((flags & 0x40) != 0) { // extended header: skip by its size
+      if (pos + 4 > tagEnd) return Nil
+      val ehSize = if (major == 4) syncsafe(pos) else be32(pos)
+      pos += (if (major == 4) ehSize else 4 + ehSize)
+      if (pos > tagEnd) return Nil
+    }
+    val out = Seq.newBuilder[(String, String)]
+    while (pos + 10 <= tagEnd && bytes(pos) != 0) {
+      val frameId = new String(bytes, pos, 4, "US-ASCII")
+      val fSize = if (major == 4) syncsafe(pos + 4) else be32(pos + 4)
+      if (fSize < 0 || pos + 10 + fSize > tagEnd) return out.result()
+      if (frameId.startsWith("T") && frameId != "TXXX" && fSize >= 1) {
+        val enc = bytes(pos + 10) & 0xFF
+        val body = pos + 11
+        val len = fSize - 1
+        val charset = enc match {
+          case 0 => "ISO-8859-1"
+          case 1 => "UTF-16" // BOM-led
+          case 2 => "UTF-16BE"
+          case 3 => "UTF-8"
+          case _ => null
+        }
+        if (charset != null) {
+          val raw = new String(bytes, body, len, charset)
+          // strip the terminator (and v2.4 multi-value separators keep
+          // only the first value — the common single-value form)
+          val t = raw.indexOf('\u0000') match {
+            case -1 => raw
+            case i => raw.substring(0, i)
+          }
+          out += ((frameId, t))
+        }
+      }
+      pos += 10 + fSize
+    }
+    out.result()
+  }
+
   // ---- imperative internals (the mapPartitions payload walker) -------
 
   /** Samples per frame for Layer III: 1152 (MPEG-1) / 576 (2, 2.5). */
@@ -181,21 +266,47 @@ object Mp3 {
     * decode MP3 audio).
     */
   def buildMp3(versionBits: Int, rateIdx: Int, bitrateIdxs: Seq[Int],
-      mono: Boolean, id3Bytes: Int = 0,
-      xingFrames: Long = -1L): Array[Byte] = {
+      mono: Boolean, id3Bytes: Int = 0, xingFrames: Long = -1L,
+      id3Frames: Seq[(String, String)] = Nil,
+      id3Major: Int = 4): Array[Byte] = {
     require(Set(0, 2, 3)(versionBits), "versionBits must be 0|2|3")
     require(rateIdx >= 0 && rateIdx <= 2, "rateIdx must be 0..2")
     require(bitrateIdxs.nonEmpty &&
       bitrateIdxs.forall(i => i >= 1 && i <= 14),
       "bitrate indices must be 1..14")
+    require(id3Major == 3 || id3Major == 4, "id3Major must be 3|4")
+    require(id3Frames.forall(_._1.length == 4),
+      "frame ids must be 4 chars")
     val bos = new java.io.ByteArrayOutputStream()
-    if (id3Bytes > 0) {
+    if (id3Bytes > 0 || id3Frames.nonEmpty) {
+      // UTF-8 text frames under v2.4, ISO-8859-1 under v2.3 (its
+      // spec predates UTF-8 frame encoding), then id3Bytes of padding
+      val body = new java.io.ByteArrayOutputStream()
+      id3Frames.foreach { case (fid, text) =>
+        val (encByte, data) =
+          if (id3Major == 4) (3, text.getBytes("UTF-8"))
+          else (0, text.getBytes("ISO-8859-1"))
+        val fSize = 1 + data.length
+        body.write(fid.getBytes("US-ASCII"))
+        if (id3Major == 4) {
+          body.write((fSize >> 21) & 0x7F); body.write((fSize >> 14) & 0x7F)
+          body.write((fSize >> 7) & 0x7F); body.write(fSize & 0x7F)
+        } else {
+          body.write((fSize >> 24) & 0xFF); body.write((fSize >> 16) & 0xFF)
+          body.write((fSize >> 8) & 0xFF); body.write(fSize & 0xFF)
+        }
+        body.write(0); body.write(0) // frame flags
+        body.write(encByte)
+        body.write(data, 0, data.length)
+      }
+      (0 until id3Bytes).foreach(_ => body.write(0)) // padding
+      val tag = body.toByteArray
       bos.write("ID3".getBytes("US-ASCII"))
-      bos.write(4); bos.write(0); bos.write(0) // v2.4, no flags
-      // syncsafe size
-      bos.write((id3Bytes >> 21) & 0x7F); bos.write((id3Bytes >> 14) & 0x7F)
-      bos.write((id3Bytes >> 7) & 0x7F); bos.write(id3Bytes & 0x7F)
-      (0 until id3Bytes).foreach(i => bos.write(i & 0xFF))
+      bos.write(id3Major); bos.write(0); bos.write(0)
+      bos.write((tag.length >> 21) & 0x7F)
+      bos.write((tag.length >> 14) & 0x7F)
+      bos.write((tag.length >> 7) & 0x7F); bos.write(tag.length & 0x7F)
+      bos.write(tag, 0, tag.length)
     }
     val rate = SampleRates(versionBits)(rateIdx)
     bitrateIdxs.zipWithIndex.foreach { case (bi, f) =>

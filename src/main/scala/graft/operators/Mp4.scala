@@ -378,9 +378,12 @@ object Mp4 {
       audioRate: Int = 0, mdatBytes: Int = 64,
       use64Bit: Boolean = false): Array[Byte] = {
     require(timescale > 0 && duration >= 0, "timescale/duration")
-    require(videoCodec.length == 4, "videoCodec must be a 4CC")
+    require(videoCodec.isEmpty || videoCodec.length == 4,
+      "videoCodec must be empty (audio-only / M4A) or a 4CC")
     require(audioCodec.isEmpty || audioCodec.length == 4,
       "audioCodec must be empty or a 4CC")
+    require(videoCodec.nonEmpty || audioCodec.nonEmpty,
+      "at least one track")
     val bos = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = {
       bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF)
@@ -456,17 +459,18 @@ object Mp4 {
           }
         }
       }
-      trak(1L, "vide", "VideoHandler", {
-        box(videoCodec) {
-          (0 until 6).foreach(_ => bos.write(0)); w16(1) // data_ref
-          w16(0); w16(0); w32(0L); w32(0L); w32(0L) // pre/reserved
-          w16(width); w16(height)
-          w32(0x00480000L); w32(0x00480000L) // 72 dpi
-          w32(0L); w16(1) // reserved, frame_count
-          (0 until 32).foreach(_ => bos.write(0)) // compressorname
-          w16(24); w16(0xFFFF) // depth, pre_defined(-1)
-        }
-      }, nFrames)
+      if (videoCodec.nonEmpty)
+        trak(1L, "vide", "VideoHandler", {
+          box(videoCodec) {
+            (0 until 6).foreach(_ => bos.write(0)); w16(1) // data_ref
+            w16(0); w16(0); w32(0L); w32(0L); w32(0L) // pre/reserved
+            w16(width); w16(height)
+            w32(0x00480000L); w32(0x00480000L) // 72 dpi
+            w32(0L); w16(1) // reserved, frame_count
+            (0 until 32).foreach(_ => bos.write(0)) // compressorname
+            w16(24); w16(0xFFFF) // depth, pre_defined(-1)
+          }
+        }, nFrames)
       if (audioCodec.nonEmpty)
         trak(2L, "soun", "SoundHandler", {
           box(audioCodec) {

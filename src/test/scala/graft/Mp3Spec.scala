@@ -105,6 +105,43 @@ class Mp3Spec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> false, 5L -> false, 6L -> false, 7L -> true), rows.toString)
   }
 
+  test("ID3v2 text frames: v2.4 UTF-8 and v2.3 ISO-8859-1 tags walk " +
+      "back exactly (incl. non-ASCII), non-text frames and padding " +
+      "are skipped, the frame walk coexists with the frame-header " +
+      "walk, and malformed tags emit no rows") {
+    import spark.implicits._
+    val v4 = Mp3.buildMp3(3, 0, Seq.fill(3)(5), mono = true,
+      id3Bytes = 64,
+      id3Frames = Seq("TIT2" -> "Café Étude", "TPE1" -> "Anon Artist",
+        "TALB" -> "Album—16"))
+    val v3 = Mp3.buildMp3(2, 1, Seq.fill(3)(4), mono = false,
+      id3Frames = Seq("TIT2" -> "Plain Title"), id3Major = 3)
+    val noTag = Mp3.buildMp3(3, 0, Seq.fill(3)(5), mono = true)
+    val rows = Mp3.id3TextFrames(
+      Seq(1L -> v4, 2L -> v3, 3L -> noTag,
+        4L -> "garbage".getBytes("UTF-8")).toDF("id", "content"),
+      "id", "content").collect()
+      .map(f => (f.id, f.frameId) -> f.text).toMap
+    assert(rows == Map((1L, "TIT2") -> "Café Étude",
+      (1L, "TPE1") -> "Anon Artist", (1L, "TALB") -> "Album—16",
+      (2L, "TIT2") -> "Plain Title"), rows.toString)
+    // the metadata walk still parses the SAME tagged payloads
+    val metas = Mp3.parseMp3Header(
+      Seq(1L -> v4, 2L -> v3).toDF("id", "content"), "id", "content")
+      .collect().map(m => m.id -> m.parsed).toMap
+    assert(metas == Map(1L -> true, 2L -> true))
+    // UTF-16 with BOM (encoding 1): hand-patch a v2.4 frame
+    val utf16Text = "BOM Test".getBytes("UTF-16") // BE BOM + data
+    val frame = "TIT2".getBytes("US-ASCII") ++ Array[Byte](
+      0, 0, ((1 + utf16Text.length) >> 7).toByte,
+      ((1 + utf16Text.length) & 0x7F).toByte, 0, 0, 1) ++ utf16Text
+    val tag = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0,
+      0, 0, (frame.length >> 7).toByte, (frame.length & 0x7F).toByte) ++
+      frame
+    val got = Mp3.parseId3Text(tag)
+    assert(got == Seq("TIT2" -> "BOM Test"), got.toString)
+  }
+
   test("mp3MetaScan projection: the metadata-filter columns") {
     val r = Mp3.mp3MetaScan(
       df((1L, Mp3.buildMp3(2, 2, Seq.fill(8)(3), mono = true))),

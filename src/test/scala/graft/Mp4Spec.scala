@@ -146,6 +146,21 @@ class Mp4Spec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> false, 5L -> false, 6L -> false, 7L -> true), rows.toString)
   }
 
+  test("audio-only MP4 (M4A): no video trak — empty video codec, " +
+      "zero dims/frames, the audio shape intact") {
+    val bytes = Mp4.buildMp4(timescale = 44100, duration = 441000,
+      width = 0, height = 0, videoCodec = "", audioCodec = "mp4a",
+      audioChannels = 2, audioRate = 44100)
+    val m = Mp4.parseMp4Header(df((1L, bytes)), "id", "content")
+      .collect().head
+    assert(m.parsed && m.tracks == 1)
+    assert(m.videoCodec == "" && m.width == 0 && m.height == 0 &&
+      m.videoFrames == 0L)
+    assert(m.audioCodec == "mp4a" && m.audioChannels == 2 &&
+      m.audioRate == 44100)
+    assert(m.durationMs == 10000L)
+  }
+
   test("mp4MetaScan projection: one row per payload, the columns the " +
       "100 TB metadata filter reads, prefix routing on") {
     val rows = Mp4.mp4MetaScan(
