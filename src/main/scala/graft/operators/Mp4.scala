@@ -90,6 +90,27 @@ object Mp4 {
     }
   }
 
+  /** [[parseMp4Header]] over a PERSISTED prefix column — the storage
+    * form of the 100 TB metadata-filter path
+    * ([[Video.parseAviHeaderPrefixCols]] for ISO-BMFF): persist
+    * `substring(bin, 1, prefixBytes)` plus the TRUE payload length as
+    * narrow columns at ingest, and duration/dimension/codec filters
+    * run without the parquet reader ever materializing `mdat`. Same
+    * honesty contract as [[parseMp4HeaderPrefix]].
+    */
+  def parseMp4HeaderPrefixCols(df: DataFrame, idCol: String,
+      prefixCol: String, totalLenCol: String): Dataset[Mp4Meta] = {
+    implicit val enc = Encoders.product[Mp4Meta]
+    df.select(col(idCol).cast("long"), col(prefixCol),
+      col(totalLenCol).cast("long")).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          toMeta(r.getLong(0),
+            parseMp4(r.getAs[Array[Byte]](1), r.getLong(2)))
+        }
+    }
+  }
+
   /** Metadata projection over an MP4-bearing DataFrame: id + the
     * [[Mp4Meta]] fields as columns. `prefixBytes > 0` routes through
     * the prefix parser.

@@ -146,6 +146,23 @@ class Mp4Spec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> false, 5L -> false, 6L -> false, 7L -> true), rows.toString)
   }
 
+  test("persisted prefix columns: parseMp4HeaderPrefixCols over a " +
+      "narrow prefix + true length equals the full parse for " +
+      "faststart files (the storage form of the metadata filter)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, substring}
+    val bytes = Mp4.buildMp4(1000, 2500, 128, 96, nFrames = 75,
+      mdatBytes = 4096)
+    val src = Seq((1L, bytes)).toDF("id", "content")
+      .select(col("id"), substring(col("content"), 1, 1024).as("pfx"),
+        length(col("content")).cast("long").as("len"))
+    val m = Mp4.parseMp4HeaderPrefixCols(src, "id", "pfx", "len")
+      .collect().head
+    val full = Mp4.parseMp4Header(Seq((1L, bytes)).toDF("id", "content"),
+      "id", "content").collect().head
+    assert(m.parsed && m == full)
+  }
+
   test("audio-only MP4 (M4A): no video trak — empty video codec, " +
       "zero dims/frames, the audio shape intact") {
     val bytes = Mp4.buildMp4(timescale = 44100, duration = 441000,

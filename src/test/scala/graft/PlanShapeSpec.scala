@@ -713,6 +713,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!vnpPlan.contains("rangepartitioning"), vnpPlan)
   }
 
+  test("round-16 hunt shape: the passthrough-columns cross kernel " +
+      "keeps the admission plan — corpus-side-only bucket fold, no " +
+      "union, no all-pairs scan") {
+    import graft.SparkEntry
+    val hunt = SparkEntry.queries("q_jingle_hunt")(spark, sf)
+    hunt.collect()
+    val plan = hunt.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Union"),
+      s"union fold in the hunt kernel:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("round-15 admission shape: cross-side Hamming matching folds " +
       "ONLY the corpus side — no union of the two sides feeds the " +
       "bucket aggregation, snapshot rows join the bucket table") {
