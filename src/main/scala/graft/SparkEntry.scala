@@ -622,6 +622,36 @@ object SparkEntry {
     * (`v >> (bits−16)`) is exact arithmetic-shift math the oracle
     * replays directly.
     */
+  /** Real 8-bit unsigned PCM WAVs (the classic legacy WAV width —
+    * the only UNSIGNED one, stored with a 128 bias): stored byte k of
+    * doc is (doc_id·37 + k·11) % 256; the decoder scales to the
+    * 16-bit range by (b − 128) << 8.
+    */
+  private def syntheticPcm8Docs(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val raw = Array.tabulate(200)(k =>
+        Math.floorMod(id * 37L + k * 11L, 256L).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt)
+        bos.write(((v >> 24) & 0xFF).toInt)
+      }
+      def w16(v: Int): Unit = {
+        bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      }
+      def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      tag4("RIFF"); w32(36L + 200L); tag4("WAVE")
+      tag4("fmt "); w32(16L)
+      w16(1); w16(1); w32(8000L); w32(8000L); w16(1); w16(8)
+      tag4("data"); w32(200L)
+      raw.foreach(bos.write)
+      bos.toByteArray
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   private def syntheticWidePcmDocs(docs: DataFrame): DataFrame = {
     val build = udf((id: Long) => {
       val bits = if (id % 2 == 0) 24 else 32
@@ -1762,6 +1792,13 @@ object SparkEntry {
     // REAL chunk walk
     "q_audio_pcm_wide" -> ((s, dir) =>
       Audio.audioStats(syntheticWidePcmDocs(t(s, dir, "documents")),
+        "id", "content", window = 100, nWindows = 2)),
+
+    // 8-bit unsigned PCM (the classic legacy WAV width): stored byte
+    // minus the 128 bias, scaled to the 16-bit range by << 8 — both
+    // closed form per (doc, k)
+    "q_audio_pcm8" -> ((s, dir) =>
+      Audio.audioStats(syntheticPcm8Docs(t(s, dir, "documents")),
         "id", "content", window = 100, nWindows = 2)),
 
     // IEEE float32 PCM: v/32768 encode and x2^15 decode are both
@@ -4498,6 +4535,30 @@ object SparkEntry {
         |        - 8388608) >> 8
         |      ELSE ((doc_id * 2654435761 + k * 40503) % 4294967296
         |        - 2147483648) >> 16 END AS smp
+        |  FROM documents CROSS JOIN (SELECT unnest(
+        |    generate_series(0, 199)) AS k)),
+        |sm AS (SELECT id, list(smp ORDER BY k) AS s FROM b GROUP BY id)
+        |SELECT id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(len(s) AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(s, x -> abs(x)))
+        |    AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(list_transform(generate_series(1, len(s) - 1),
+        |    i -> CASE WHEN (s[i] >= 0) != (s[i + 1] >= 0)
+        |    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS total_energy,
+        |  CAST(list_sum(list_transform(s[1:100],
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS e1,
+        |  CAST(list_sum(list_transform(s[101:200],
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS e2
+        |FROM sm
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // 8-bit PCM: (byte - 128) << 8 is closed form
+    "q_audio_pcm8" ->
+      """WITH b AS (SELECT doc_id AS id, k,
+        |    ((doc_id * 37 + k * 11) % 256 - 128) * 256 AS smp
         |  FROM documents CROSS JOIN (SELECT unnest(
         |    generate_series(0, 199)) AS k)),
         |sm AS (SELECT id, list(smp ORDER BY k) AS s FROM b GROUP BY id)

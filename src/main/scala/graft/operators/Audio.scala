@@ -356,13 +356,17 @@ object Audio {
   private def decodeSamples(bytes: Array[Byte],
       maxFrames: Int): Option[(Parsed, Array[Int])] =
     parseWav(bytes) match {
-      case Some(m) if m.format == 1 && (m.bitsPerSample == 16 ||
-          m.bitsPerSample == 24 || m.bitsPerSample == 32) &&
+      case Some(m) if m.format == 1 && (m.bitsPerSample == 8 ||
+          m.bitsPerSample == 16 || m.bitsPerSample == 24 ||
+          m.bitsPerSample == 32) &&
           m.channels > 0 && m.nFrames > 0 =>
-        // integer PCM at 16/24/32 bits. Wider samples scale to the
-        // 16-bit range by arithmetic shift of the high bits (the
-        // standard mixdown; >> is floorDiv by 2^k, deterministic) so
-        // every downstream stat/fingerprint sees one sample scale.
+        // integer PCM at 8/16/24/32 bits. 8-bit WAV samples are
+        // UNSIGNED with a 128 bias (the published format — the only
+        // unsigned width); they scale to the 16-bit range by
+        // (b − 128) << 8. Wider samples scale by arithmetic shift of
+        // the high bits (the standard mixdown; >> is floorDiv by 2^k,
+        // deterministic) so every downstream stat/fingerprint sees
+        // one sample scale.
         val bps = m.bitsPerSample / 8
         val frames = math.min(m.nFrames, maxFrames.toLong).toInt
         val out = new Array[Int](frames)
@@ -375,6 +379,8 @@ object Audio {
           while (c < m.channels) {
             val o = base + bps * c
             sum += (bps match {
+              case 1 =>
+                ((bytes(o) & 0xFF) - 128) << 8
               case 2 =>
                 ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toInt
               case 3 =>

@@ -1118,6 +1118,96 @@ object Video {
     bos.toByteArray
   }
 
+  /** Build an MJPEG AVI WITH a PCM16 mono soundtrack — the classic
+    * consumer-camera format (MJPEG video + PCM audio in one RIFF):
+    * the [[buildMjpegAvi]] skeleton plus an `auds` strl and `01wb`
+    * chunks interleaved frame-paced as in [[buildAviWithAudio]]. The
+    * encode twin for the extract-soundtrack-from-compressed-video
+    * path: [[extractAudioTracks]] is container-level (it never
+    * touches the video codec), so the round trip is byte-exact even
+    * though the FRAMES are lossy JPEG.
+    */
+  def buildMjpegAviWithAudio(width: Int, height: Int,
+      jpegFrames: Seq[Array[Byte]], microsPerFrame: Long,
+      samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "width/height must be positive")
+    require(sampleRate > 0, "sampleRate must be positive")
+    require(jpegFrames.nonEmpty, "at least one frame")
+    require(jpegFrames.forall(f => f != null && f.length >= 4 &&
+      (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8),
+      "every frame must be standalone JPEG bytes (FFD8 SOI)")
+    val nF = jpegFrames.length
+    val nS = samples.length
+    val cuts = Array.tabulate(nF + 1)(f => f.toLong * nS / nF)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def w16(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+    }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strhSz = 56
+    val strlVSz = 4 + (8 + strhSz) + (8 + 40)
+    val strlASz = 4 + (8 + strhSz) + (8 + 16)
+    val avihSz = 56
+    val hdrlSz = 4 + (8 + avihSz) + (8 + strlVSz) + (8 + strlASz)
+    val paddedV = jpegFrames.map(f => f.length + (f.length & 1))
+    val audioChunkBytes = Array.tabulate(nF)(f =>
+      2L * (cuts(f + 1) - cuts(f))) // even by construction
+    val moviSz = 4 + paddedV.map(8 + _).sum +
+      audioChunkBytes.map(b => if (b > 0) 8 + b else 0L).sum
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    val maxFrame = (paddedV :+ 0).max.toLong
+    tag4("RIFF"); w32(riffSz); tag4("AVI ")
+    tag4("LIST"); w32(hdrlSz); tag4("hdrl")
+    tag4("avih"); w32(avihSz)
+    w32(microsPerFrame); w32(0L); w32(0L); w32(0L)
+    w32(nF); w32(0L); w32(2L); w32(maxFrame)
+    w32(width); w32(height); w32(0L); w32(0L); w32(0L); w32(0L)
+    tag4("LIST"); w32(strlVSz); tag4("strl")
+    tag4("strh"); w32(strhSz)
+    tag4("vids"); tag4("MJPG"); w32(0L); w32(0L); w32(0L)
+    w32(microsPerFrame); w32(1000000L); w32(0L); w32(nF)
+    w32(maxFrame); w32(-1L & 0xFFFFFFFFL); w32(0L)
+    w16(0); w16(0); w16(width); w16(height)
+    tag4("strf"); w32(40L)
+    w32(40L); w32(width); w32(height); w16(1); w16(24)
+    w32(MjpgFourcc); w32(maxFrame); w32(0L); w32(0L); w32(0L); w32(0L)
+    tag4("LIST"); w32(strlASz); tag4("strl")
+    tag4("strh"); w32(strhSz)
+    tag4("auds"); w32(0L); w32(0L); w32(0L); w32(0L)
+    w32(1L); w32(sampleRate.toLong); w32(0L); w32(nS)
+    w32(2L * sampleRate); w32(-1L & 0xFFFFFFFFL); w32(2L)
+    w16(0); w16(0); w16(0); w16(0)
+    tag4("strf"); w32(16L)
+    w16(1); w16(1); w32(sampleRate.toLong); w32(2L * sampleRate)
+    w16(2); w16(16)
+    tag4("LIST"); w32(moviSz); tag4("movi")
+    var f = 0
+    while (f < nF) {
+      val jf = jpegFrames(f)
+      tag4("00dc"); w32(jf.length.toLong)
+      bos.write(jf, 0, jf.length)
+      if ((jf.length & 1) == 1) bos.write(0)
+      val from = cuts(f).toInt
+      val until = cuts(f + 1).toInt
+      if (until > from) {
+        tag4("01wb"); w32(2L * (until - from))
+        var i = from
+        while (i < until) {
+          bos.write(samples(i) & 0xFF)
+          bos.write((samples(i) >> 8) & 0xFF)
+          i += 1
+        }
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
   // ---- imperative internals (the mapPartitions payload walkers) ------
 
   /** `strf.biCompression` of Motion JPEG: little-endian "MJPG". */

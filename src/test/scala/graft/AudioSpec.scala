@@ -809,6 +809,29 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     bos.toByteArray
   }
 
+  test("8-bit unsigned PCM: the 128-bias scaling is exact (the only " +
+      "unsigned WAV width), stereo means after scaling, and the " +
+      "extensible wrapper unwraps it too") {
+    val raw8 = Seq(0, 128, 255, 1, 200)
+    val got = Audio.decodePcm16(df(1L -> pcmWav(8, raw8)), "id",
+      "content").collect().head
+    assert(got.decoded && got.nFrames == 5 && got.sampleRate == 8000)
+    assert(got.samples.toSeq == raw8.map(b => (b - 128) << 8),
+      got.samples.toSeq.toString)
+    // stereo: scale per channel, then floor-mean
+    val st = Audio.decodePcm16(
+      df(1L -> pcmWav(8, Seq(0, 255, 128, 130), channels = 2)),
+      "id", "content").collect().head
+    assert(st.decoded && st.nFrames == 2)
+    assert(st.samples.toSeq == Seq(
+      math.floorDiv((-128 << 8) + (127 << 8), 2), (2 << 8) / 2),
+      st.samples.toSeq.toString)
+    val ext = Audio.decodePcm16(
+      df(1L -> pcmWav(8, raw8, extensible = true)), "id", "content")
+      .collect().head
+    assert(ext.decoded && ext.samples.toSeq == got.samples.toSeq)
+  }
+
   test("24/32-bit integer PCM: high-bits scaling is exact (arithmetic " +
       "shift incl. negatives and range corners), stereo mixes after " +
       "scaling; WAVE_FORMAT_EXTENSIBLE unwraps to the SubFormat codec " +

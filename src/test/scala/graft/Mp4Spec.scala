@@ -178,6 +178,31 @@ class Mp4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.durationMs == 10000L)
   }
 
+  test("fragmented MP4 honesty: unknown top-level boxes (moof/mfra) " +
+      "are skipped by size and the reported duration is the mvhd's " +
+      "DECLARED one — zero for fMP4, never fabricated from fragments") {
+    val base = Mp4.buildMp4(timescale = 90000, duration = 0, width = 64,
+      height = 48, nFrames = 0, mdatBytes = 32)
+    // append a fake moof + mfra after the mdat (opaque payloads —
+    // this library does not walk fragment boxes)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(base, 0, base.length)
+    def box(typ: String, payload: Int): Unit = {
+      val sz = 8 + payload
+      bos.write((sz >> 24) & 0xFF); bos.write((sz >> 16) & 0xFF)
+      bos.write((sz >> 8) & 0xFF); bos.write(sz & 0xFF)
+      bos.write(typ.getBytes("US-ASCII"))
+      (0 until payload).foreach(i => bos.write(i & 0xFF))
+    }
+    box("moof", 120); box("mdat", 256); box("mfra", 40)
+    val m = Mp4.parseMp4Header(df((1L, bos.toByteArray)), "id",
+      "content").collect().head
+    assert(m.parsed, "fragmented layout must still parse the moov")
+    assert(m.duration == 0L && m.durationMs == 0L,
+      "duration must be the DECLARED zero, not invented from moofs")
+    assert(m.videoCodec == "avc1" && m.width == 64 && m.height == 48)
+  }
+
   test("mp4MetaScan projection: one row per payload, the columns the " +
       "100 TB metadata filter reads, prefix routing on") {
     val rows = Mp4.mp4MetaScan(

@@ -968,6 +968,31 @@ class VideoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!capped.decoded, "cap must refuse, never truncate")
   }
 
+  test("MJPEG + PCM soundtrack (the consumer-camera format): " +
+      "extraction is container-level — byte-exact WAV out of a LOSSY " +
+      "video container — and both families decode the same payload") {
+    val samples = Array.tabulate(400)(k => ((k * 29) % 199) - 99)
+    val jpegs = (0 until 8).map(f => flatJpeg(mjpegGray(6, f)))
+    val bytes = Video.buildMjpegAviWithAudio(16, 16, jpegs, 40000L,
+      samples, 8000)
+    // soundtrack: byte-exact through the codec-agnostic walk
+    val tr = Video.extractAudioTracks(df((1L, bytes)), "id", "content")
+      .collect().head
+    assert(tr.decoded &&
+      tr.wav.toSeq == Audio.wrapWav(samples, 0, 400, 8000).toSeq)
+    // video: the MJPEG frames still decode, audio chunks skipped
+    val v = Video.decodeSampledLuma(df((1L, bytes),
+      (2L, mjpegAvi(6, 8))), "id", "content", nSamples = 8)
+      .collect().map(x => x.id -> x).toMap
+    assert(v(1L).decoded && v(1L).lumaSums == v(2L).lumaSums,
+      "audio chunks must not disturb the MJPEG frame walk")
+    // metadata reports BOTH stream shapes
+    val m = Video.videoMetaScan(df((1L, bytes)), "id", "content")
+      .collect().head
+    assert(m.getLong(7) == 0x47504A4DL) // compression = MJPG
+    assert(m.getInt(12) == 1 && m.getInt(13) == 8000) // audio shape
+  }
+
   test("jingle-in-a-VIDEO detection is plain composition: extracted " +
       "soundtracks ride the audio segment index admission unchanged") {
     import spark.implicits._
