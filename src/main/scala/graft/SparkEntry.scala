@@ -317,6 +317,40 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real FLAC headers with closed-form STREAMINFO fields (rates
+    * cycle the common ladder, channels/bits/total samples are base
+    * arithmetic — incl. >32-bit totals on every 8th base).
+    */
+  private def syntheticFlacClassed(docs: DataFrame): DataFrame = {
+    val rates = Array(8000, 16000, 22050, 44100, 48000, 96000)
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      Audio.buildFlacHeader(
+        sampleRate = rates(base % 6),
+        channels = 1 + base % 8,
+        bitsPerSample = 8 + 4 * (base % 5),
+        totalSamples = (if (base % 8 == 0) 1L << 33 else 0L) +
+          10000L + base * 777L)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Real TIFF headers — byte order flips with parity, dims are base
+    * arithmetic (LONG-form width on every 16th base).
+    */
+  private def syntheticTiffClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      Multimodal.buildTiffHeader(
+        width = (if (base % 16 == 0) 70000L else 0L) + 64L + base,
+        height = 48L + 2L * base,
+        littleEndian = base % 2 == 0)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real tagged MP3 streams — [[syntheticMp3Classed]]'s frame layout
     * with an ID3v2 tag carrying closed-form TIT2/TPE1 text frames:
     * v2.4 UTF-8 for even doc_ids, v2.3 ISO-8859-1 for odd (same ASCII
@@ -2058,6 +2092,30 @@ object SparkEntry {
           col("channels").cast("long").as("channels"), col("frames"),
           col("bitrate_kbps").cast("long").as("bitrate_kbps"),
           col("vbr"), col("xing_frames"), col("duration_ms"))),
+
+    // FLAC STREAMINFO: the lossless-audio metadata walk — 20-bit
+    // rate / 3-bit channels / 5-bit bits / 36-bit total-samples
+    // bit-packing through REAL headers; floor-millis duration; decode
+    // honestly out of scope (residual-coded subframes)
+    "q_audio_flac_meta" -> ((s, dir) =>
+      Audio.flacMetaScan(syntheticFlacClassed(t(s, dir, "documents")),
+        "id", "content")
+        .filter(col("parsed"))
+        .select(col("id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("total_samples"), col("duration_ms"))),
+
+    // TIFF header walk: both byte orders, SHORT and LONG dimension
+    // forms, IFD entry count — the archival-corpus image filter
+    "q_image_tiff_meta" -> ((s, dir) =>
+      Multimodal.tiffMetaScan(
+        syntheticTiffClassed(t(s, dir, "documents")), "id", "content")
+        .filter(col("parsed"))
+        .select(col("id"), col("little_endian"), col("width"),
+          col("height"),
+          col("ifd_entries").cast("long").as("ifd_entries"))),
 
     // ID3v2 text frames: title/artist metadata extracted from REAL
     // tagged MP3 streams (v2.4 UTF-8 on even ids, v2.3 ISO-8859-1 on
@@ -4915,6 +4973,39 @@ object SparkEntry {
         |    AS xing_frames,
         |  CAST(fr * spf * 1000 // rate AS BIGINT) AS duration_ms
         |FROM q
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // FLAC: every field a closed form of base; duration is floor
+    // millis over the rate ladder
+    "q_audio_flac_meta" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |p AS (SELECT id, base,
+        |    ([8000, 16000, 22050, 44100, 48000, 96000])[base % 6 + 1]
+        |      AS sr,
+        |    CASE WHEN base % 8 = 0 THEN 8589934592 ELSE 0 END
+        |      + 10000 + base * 777 AS n
+        |  FROM g)
+        |SELECT id, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(1 + base % 8 AS BIGINT) AS channels,
+        |  CAST(8 + 4 * (base % 5) AS BIGINT) AS bits_per_sample,
+        |  CAST(n AS BIGINT) AS total_samples,
+        |  CAST(n * 1000 // sr AS BIGINT) AS duration_ms
+        |FROM p
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // TIFF: dims and the byte order are closed forms of base
+    "q_image_tiff_meta" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents)
+        |SELECT id, base % 2 = 0 AS little_endian,
+        |  CAST(CASE WHEN base % 16 = 0 THEN 70000 ELSE 0 END
+        |    + 64 + base AS BIGINT) AS width,
+        |  CAST(48 + 2 * base AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS ifd_entries
+        |FROM g
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3 text frames: two rows per doc, closed-form strings

@@ -1119,6 +1119,97 @@ object Audio {
       }
     }
 
+  /** FLAC STREAMINFO metadata: `fLaC` magic, then metadata blocks
+    * (1-byte last-flag + type, 24-bit BE length) — STREAMINFO (type
+    * 0, 34 bytes) packs sample rate (20 bits), channels − 1 (3),
+    * bits-per-sample − 1 (5), and total samples (36) after the
+    * block/frame size bounds. `durationMs` is exact floor millis.
+    * DECODE is honestly out of scope (the residual-coded subframes
+    * have no closed form here); this is the metadata-filter walk for
+    * lossless-audio corpora, reading ≤ 42 header bytes.
+    */
+  case class FlacMeta(id: Long, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long, durationMs: Long,
+      parsed: Boolean)
+
+  def flacMetaScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[FlacMeta]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          parseFlacInfo(r.getAs[Array[Byte]](1)) match {
+            case Some((sr, ch, bits, n)) => FlacMeta(id, sr, ch, bits,
+              n, n * 1000L / sr, parsed = true)
+            case None => FlacMeta(id, 0, 0, 0, 0L, 0L, parsed = false)
+          }
+        }
+    }.toDF().select(col("id"),
+      col("sampleRate").as("sample_rate"), col("channels"),
+      col("bitsPerSample").as("bits_per_sample"),
+      col("totalSamples").as("total_samples"),
+      col("durationMs").as("duration_ms"), col("parsed"))
+  }
+
+  /** (sampleRate, channels, bits, totalSamples) out of the first
+    * STREAMINFO block — None on anything malformed.
+    */
+  private[graft] def parseFlacInfo(
+      b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 8 || b(0) != 'f'.toByte ||
+      b(1) != 'L'.toByte || b(2) != 'a'.toByte || b(3) != 'C'.toByte)
+      return None
+    // first metadata block MUST be STREAMINFO per the spec
+    val header = b(4) & 0xFF
+    if ((header & 0x7F) != 0) return None
+    val len = ((b(5) & 0xFF) << 16) | ((b(6) & 0xFF) << 8) | (b(7) & 0xFF)
+    if (len != 34 || b.length < 8 + 34) return None
+    val o = 8 + 10 // skip block sizes (2×u16) and frame sizes (2×u24)
+    val sr = ((b(o) & 0xFF) << 12) | ((b(o + 1) & 0xFF) << 4) |
+      ((b(o + 2) & 0xFF) >> 4)
+    val ch = (((b(o + 2) & 0xFF) >> 1) & 0x07) + 1
+    val bits = ((((b(o + 2) & 0x01) << 4) |
+      ((b(o + 3) & 0xFF) >> 4)) & 0x1F) + 1
+    val n = ((b(o + 3) & 0x0FL) << 32) | ((b(o + 4) & 0xFFL) << 24) |
+      ((b(o + 5) & 0xFFL) << 16) | ((b(o + 6) & 0xFFL) << 8) |
+      (b(o + 7) & 0xFFL)
+    if (sr <= 0) None else Some((sr, ch, bits, n))
+  }
+
+  /** Build a FLAC header (magic + STREAMINFO + opaque filler) — the
+    * encode twin of [[parseFlacInfo]] for fixtures; the audio DATA is
+    * filler, exactly what this library honestly never decodes.
+    */
+  def buildFlacHeader(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long,
+      fillBytes: Int = 64): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "sampleRate")
+    require(channels >= 1 && channels <= 8, "channels")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, "bits")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), "samples")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("fLaC".getBytes("US-ASCII"))
+    bos.write(0x80) // last block + type 0 (STREAMINFO)
+    bos.write(0); bos.write(0); bos.write(34)
+    // min/max block size, min/max frame size (structural bounds)
+    bos.write(0x10); bos.write(0x00); bos.write(0x10); bos.write(0x00)
+    (0 until 6).foreach(_ => bos.write(0))
+    bos.write((sampleRate >> 12) & 0xFF)
+    bos.write((sampleRate >> 4) & 0xFF)
+    bos.write(((sampleRate & 0x0F) << 4) | (((channels - 1) & 0x07) << 1)
+      | (((bitsPerSample - 1) >> 4) & 0x01))
+    bos.write((((bitsPerSample - 1) & 0x0F) << 4) |
+      ((totalSamples >> 32) & 0x0F).toInt)
+    bos.write(((totalSamples >> 24) & 0xFF).toInt)
+    bos.write(((totalSamples >> 16) & 0xFF).toInt)
+    bos.write(((totalSamples >> 8) & 0xFF).toInt)
+    bos.write((totalSamples & 0xFF).toInt)
+    (0 until 16).foreach(_ => bos.write(0)) // MD5 (unset)
+    (0 until fillBytes).foreach(i => bos.write(i & 0xFF))
+    bos.toByteArray
+  }
+
   /** NEEDLE HUNT: find clips whose content CONTAINS a known jingle —
     * segment every clip into `segmentFrames` windows
     * ([[segmentClips]]), fingerprint each under the index's OWN

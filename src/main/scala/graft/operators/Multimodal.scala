@@ -61,6 +61,8 @@ object Multimodal {
       .when(p4 === "52494646" && hex(substring(c, 9, 4)) === "57454250",
         lit("image/webp"))
       .when(p3 === "494433" || p2 === "FFFB", lit("audio/mpeg"))
+      .when(p4 === "664C6143", lit("audio/flac"))
+      .when(p4 === "49492A00" || p4 === "4D4D002A", lit("image/tiff"))
       .when(hex(substring(c, 5, 4)) === "66747970", lit("video/mp4"))
       .when(printable, lit("text/plain"))
       .otherwise(lit("application/octet-stream"))
@@ -191,6 +193,109 @@ object Multimodal {
   }
 
   private val webpInfoUdf = udf((b: Array[Byte]) => webpInfo(b))
+
+  // ---- TIFF header walk (metadata only) -------------------------------
+
+  /** TIFF dimensions + IFD entry count: both byte orders (`II` little,
+    * `MM` big), the 0x2A version check, first-IFD walk reading the
+    * ImageWidth (256) / ImageLength (257) tags in their SHORT or LONG
+    * forms. Metadata only — multi-strip/compressed TIFF decode is out
+    * of scope (ImageIO's plain path handles what the JVM can; this
+    * walk serves the filter on archival/scanned corpora where TIFF
+    * still dominates).
+    */
+  private[graft] def tiffInfo(
+      b: Array[Byte]): Option[(Boolean, Long, Long, Int)] = {
+    if (b == null || b.length < 8) return None
+    val little =
+      if (b(0) == 'I'.toByte && b(1) == 'I'.toByte) true
+      else if (b(0) == 'M'.toByte && b(1) == 'M'.toByte) false
+      else return None
+    def u16(o: Int): Int =
+      if (little) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    def u32(o: Int): Long =
+      if (little) (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+      else ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    if (ifd + 2 + 12L * n > b.length) return None
+    var w = -1L
+    var h = -1L
+    var i = 0
+    while (i < n) {
+      val e = (ifd + 2 + 12 * i).toInt
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      // inline value: SHORT (3) reads 2 bytes, LONG (4) reads 4 —
+      // both fit the 4-byte value slot when count == 1
+      if ((tag == 256 || tag == 257) && u32(e + 4) == 1L) {
+        val v =
+          if (typ == 3) u16(e + 8).toLong
+          else if (typ == 4) u32(e + 8)
+          else -1L
+        if (v >= 0) { if (tag == 256) w = v else h = v }
+      }
+      i += 1
+    }
+    if (w <= 0 || h <= 0) None else Some((little, w, h, n))
+  }
+
+  private val tiffInfoUdf = udf((b: Array[Byte]) => tiffInfo(b))
+
+  /** Metadata projection over a TIFF-bearing DataFrame: id + byte
+    * order, dimensions, IFD entry count, `parsed`.
+    */
+  def tiffMetaScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      tiffInfoUdf(col(binCol)).as("__t"))
+      .select(col("id"),
+        coalesce(col("__t._1"), lit(false)).as("little_endian"),
+        coalesce(col("__t._2"), lit(0L)).as("width"),
+        coalesce(col("__t._3"), lit(0L)).as("height"),
+        coalesce(col("__t._4"), lit(0)).as("ifd_entries"),
+        col("__t").isNotNull.as("parsed"))
+
+  /** Build a minimal TIFF header (either byte order) carrying the
+    * dimension tags — the encode twin of [[tiffInfo]] for fixtures.
+    */
+  def buildTiffHeader(width: Long, height: Long,
+      littleEndian: Boolean = true, fillBytes: Int = 32): Array[Byte] = {
+    require(width >= 1 && height >= 1, "dims must be positive")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+      else { bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF) }
+    def w32(v: Long): Unit =
+      if (littleEndian) {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt)
+        bos.write(((v >> 24) & 0xFF).toInt)
+      } else {
+        bos.write(((v >> 24) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt)
+        bos.write(((v >> 8) & 0xFF).toInt); bos.write((v & 0xFF).toInt)
+      }
+    bos.write(if (littleEndian) 'I' else 'M')
+    bos.write(if (littleEndian) 'I' else 'M')
+    w16(42); w32(8L) // IFD right after the header
+    w16(3) // three entries: width, length, bits-per-sample
+    def entry(tag: Int, typ: Int, value: Long): Unit = {
+      w16(tag); w16(typ); w32(1L)
+      if (typ == 3) { w16(value.toInt); w16(0) } else w32(value)
+    }
+    entry(256, if (width > 0xFFFF) 4 else 3, width)
+    entry(257, if (height > 0xFFFF) 4 else 3, height)
+    entry(258, 3, 8L)
+    w32(0L) // no next IFD
+    (0 until fillBytes).foreach(i => bos.write(i & 0xFF))
+    bos.toByteArray
+  }
 
   /** Metadata projection over a WebP-bearing DataFrame: id + variant
     * (`VP8 `/`VP8L`/`VP8X`), canvas dims, alpha/animation flags,
