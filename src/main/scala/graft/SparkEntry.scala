@@ -351,6 +351,24 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real Ogg streams alternating Vorbis and Opus identification
+    * headers, closed-form shapes (granule/duration clock at the
+    * declared rate for Vorbis, 48 kHz for Opus).
+    */
+  private def syntheticOggClassed(docs: DataFrame): DataFrame = {
+    val rates = Array(8000, 16000, 24000, 44100, 48000)
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      Audio.buildOgg(
+        codec = if (base % 2 == 0) "vorbis" else "opus",
+        channels = 1 + base % 2,
+        sampleRate = rates(base % 5),
+        granule = 4800L + 960L * base)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real tagged MP3 streams — [[syntheticMp3Classed]]'s frame layout
     * with an ID3v2 tag carrying closed-form TIT2/TPE1 text frames:
     * v2.4 UTF-8 for even doc_ids, v2.3 ISO-8859-1 for odd (same ASCII
@@ -2116,6 +2134,18 @@ object SparkEntry {
         .select(col("id"), col("little_endian"), col("width"),
           col("height"),
           col("ifd_entries").cast("long").as("ifd_entries"))),
+
+    // Ogg page walk: BOS identification packet (Vorbis/Opus) + the
+    // last page's granule — the web-audio metadata filter; duration
+    // clocks at the declared rate (Vorbis) or 48 kHz (Opus)
+    "q_audio_ogg_meta" -> ((s, dir) =>
+      Audio.oggMetaScan(syntheticOggClassed(t(s, dir, "documents")),
+        "id", "content")
+        .filter(col("parsed"))
+        .select(col("id"), col("codec"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("granule"), col("duration_ms"))),
 
     // ID3v2 text frames: title/artist metadata extracted from REAL
     // tagged MP3 streams (v2.4 UTF-8 on even ids, v2.3 ISO-8859-1 on
@@ -5006,6 +5036,27 @@ object SparkEntry {
         |  CAST(48 + 2 * base AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS ifd_entries
         |FROM g
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Ogg: codec/shape/granule are closed forms; the duration clock
+    // switches per codec
+    "q_audio_ogg_meta" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |p AS (SELECT id, base,
+        |    CASE WHEN base % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+        |      AS codec,
+        |    ([8000, 16000, 24000, 44100, 48000])[base % 5 + 1] AS sr,
+        |    4800 + 960 * base AS granule
+        |  FROM g)
+        |SELECT id, codec,
+        |  CAST(1 + base % 2 AS BIGINT) AS channels,
+        |  CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(granule AS BIGINT) AS granule,
+        |  CAST(granule * 1000 // (CASE WHEN codec = 'opus' THEN 48000
+        |    ELSE sr END) AS BIGINT) AS duration_ms
+        |FROM p
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3 text frames: two rows per doc, closed-form strings

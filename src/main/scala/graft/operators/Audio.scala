@@ -1210,6 +1210,161 @@ object Audio {
     bos.toByteArray
   }
 
+  /** Ogg container metadata: the first page's BOS packet identifies
+    * the codec — a Vorbis identification header (packet type 1 +
+    * "vorbis": version, channels u8, rate u32 LE, three bitrate
+    * fields) or an OpusHead (channels u8, pre-skip u16, INPUT sample
+    * rate u32 LE — Opus itself always decodes at 48 kHz; the field
+    * records the original rate). The page grammar is the published
+    * one: "OggS", version 0, header-type flags, 64-bit granule,
+    * serial, sequence, CRC, segment count + lacing table. The LAST
+    * page's granule position (found by walking page headers — lacing
+    * sums skip packet bytes, nothing is decoded) gives the total
+    * sample count: duration = granule / 48 kHz for Opus, granule /
+    * declared rate for Vorbis. DECODE honestly out of scope (MDCT /
+    * range coding); this is the web-audio metadata-filter walk.
+    */
+  case class OggMeta(id: Long, codec: String, channels: Int,
+      sampleRate: Int, granule: Long, durationMs: Long,
+      parsed: Boolean)
+
+  def oggMetaScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[OggMeta]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          parseOgg(r.getAs[Array[Byte]](1)) match {
+            case Some((codec, ch, rate, granule)) =>
+              val clockRate = if (codec == "opus") 48000 else rate
+              OggMeta(id, codec, ch, rate, granule,
+                if (clockRate > 0 && granule > 0)
+                  granule * 1000L / clockRate
+                else 0L, parsed = true)
+            case None => OggMeta(id, "", 0, 0, 0L, 0L, parsed = false)
+          }
+        }
+    }.toDF().select(col("id"), col("codec"), col("channels"),
+      col("sampleRate").as("sample_rate"), col("granule"),
+      col("durationMs").as("duration_ms"), col("parsed"))
+  }
+
+  /** (codec, channels, rate, lastGranule) — None on anything
+    * malformed. The walk reads page HEADERS only.
+    */
+  private[graft] def parseOgg(
+      b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    def le32at(o: Int): Long = (b(o) & 0xFFL) |
+      ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) |
+      ((b(o + 3) & 0xFFL) << 24)
+    def le64at(o: Int): Long = le32at(o) | (le32at(o + 4) << 32)
+    if (b == null || b.length < 28) return None
+    var codec = ""
+    var channels = 0
+    var rate = 0
+    var granule = -1L
+    var pos = 0
+    var first = true
+    while (pos + 27 <= b.length) {
+      if (b(pos) != 'O'.toByte || b(pos + 1) != 'g'.toByte ||
+        b(pos + 2) != 'g'.toByte || b(pos + 3) != 'S'.toByte ||
+        b(pos + 4) != 0) return None
+      val pageGranule = le64at(pos + 6)
+      val nSegs = b(pos + 26) & 0xFF
+      if (pos + 27 + nSegs > b.length) return None
+      var bodyLen = 0
+      var s = 0
+      while (s < nSegs) {
+        bodyLen += b(pos + 27 + s) & 0xFF
+        s += 1
+      }
+      val body = pos + 27 + nSegs
+      if (body + bodyLen > b.length) return None
+      if (first) {
+        if ((b(pos + 5) & 0x02) == 0) return None // BOS flag required
+        // Vorbis ID: 0x01 "vorbis" ver(4) ch(1) rate(4) …
+        if (bodyLen >= 16 && (b(body) & 0xFF) == 0x01 &&
+          new String(b, body + 1, 6, "US-ASCII") == "vorbis") {
+          codec = "vorbis"
+          channels = b(body + 11) & 0xFF
+          rate = le32at(body + 12).toInt
+        } else if (bodyLen >= 19 &&
+          new String(b, body, 8, "US-ASCII") == "OpusHead") {
+          codec = "opus"
+          channels = b(body + 9) & 0xFF
+          rate = le32at(body + 12).toInt
+        } else return None
+        if (channels <= 0 || rate <= 0) return None
+        first = false
+      }
+      // -1 marks a page with no completed packet; skip for duration
+      if (pageGranule != -1L) granule = pageGranule
+      pos = body + bodyLen
+    }
+    if (first || pos != b.length) return None // trailing junk refuses
+    Some((codec, channels, rate, math.max(0L, granule)))
+  }
+
+  /** Build an Ogg stream (BOS identification page + one data page
+    * carrying the final granule) — the encode twin of [[parseOgg]];
+    * packet bytes beyond the ID header are opaque filler.
+    */
+  def buildOgg(codec: String, channels: Int, sampleRate: Int,
+      granule: Long, fillBytes: Int = 96): Array[Byte] = {
+    require(codec == "vorbis" || codec == "opus", "codec")
+    require(channels >= 1 && channels <= 255 && sampleRate > 0 &&
+      granule >= 0, "shape")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32(v >>> 32) }
+    def page(headerType: Int, pGranule: Long, seq: Int,
+        body: Array[Byte]): Unit = {
+      require(body.length < 255 * 255, "single-page bodies only")
+      bos.write("OggS".getBytes("US-ASCII"))
+      bos.write(0); bos.write(headerType)
+      w64(pGranule); w32(0x6772616FL); w32(seq.toLong)
+      w32(0L) // CRC unchecked by this walk (honest: metadata only)
+      val full = body.length / 255
+      val rem = body.length % 255
+      bos.write(full + 1)
+      (0 until full).foreach(_ => bos.write(255))
+      bos.write(rem)
+      bos.write(body, 0, body.length)
+    }
+    val idPacket = new java.io.ByteArrayOutputStream()
+    if (codec == "vorbis") {
+      idPacket.write(0x01)
+      idPacket.write("vorbis".getBytes("US-ASCII"))
+      (0 until 4).foreach(_ => idPacket.write(0)) // version
+      idPacket.write(channels)
+      idPacket.write(sampleRate & 0xFF)
+      idPacket.write((sampleRate >> 8) & 0xFF)
+      idPacket.write((sampleRate >> 16) & 0xFF)
+      idPacket.write((sampleRate >> 24) & 0xFF)
+      (0 until 13).foreach(_ => idPacket.write(0)) // bitrates + tail
+    } else {
+      idPacket.write("OpusHead".getBytes("US-ASCII"))
+      idPacket.write(1) // version
+      idPacket.write(channels)
+      idPacket.write(0); idPacket.write(0) // pre-skip
+      idPacket.write(sampleRate & 0xFF)
+      idPacket.write((sampleRate >> 8) & 0xFF)
+      idPacket.write((sampleRate >> 16) & 0xFF)
+      idPacket.write((sampleRate >> 24) & 0xFF)
+      idPacket.write(0); idPacket.write(0) // gain
+      idPacket.write(0) // mapping family 0
+    }
+    page(0x02, -1L, 0, idPacket.toByteArray) // BOS, no packet ends
+    page(0x04, granule, 1,
+      Array.tabulate[Byte](fillBytes)(i => (i * 31).toByte)) // EOS
+    bos.toByteArray
+  }
+
   /** NEEDLE HUNT: find clips whose content CONTAINS a known jingle —
     * segment every clip into `segmentFrames` windows
     * ([[segmentClips]]), fingerprint each under the index's OWN

@@ -68,6 +68,43 @@ class MediaMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mime == "audio/flac")
   }
 
+  test("Ogg round trip: Vorbis and Opus identification headers walk " +
+      "back exactly; duration clocks at the declared rate for Vorbis " +
+      "and at 48 kHz for Opus (the codec's fixed clock)") {
+    val vorbis = Audio.buildOgg("vorbis", 2, 44100, granule = 441000L)
+    val opus = Audio.buildOgg("opus", 1, 16000, granule = 96000L)
+    val rows = Audio.oggMetaScan(df((1L, vorbis), (2L, opus)), "id",
+      "content").collect().map(r => r.getLong(0) -> r).toMap
+    val v = rows(1L)
+    assert(v.getBoolean(6) && v.getString(1) == "vorbis" &&
+      v.getInt(2) == 2 && v.getInt(3) == 44100 &&
+      v.getLong(4) == 441000L && v.getLong(5) == 10000L, v.toString)
+    val o = rows(2L)
+    assert(o.getBoolean(6) && o.getString(1) == "opus" &&
+      o.getInt(2) == 1 && o.getInt(3) == 16000 &&
+      o.getLong(4) == 96000L && o.getLong(5) == 2000L,
+      s"opus granule clocks at 48 kHz: $o")
+  }
+
+  test("Ogg honesty: garbage, truncated pages, a non-BOS first page, " +
+      "an unknown first packet, and trailing junk are parsed=false") {
+    val good = Audio.buildOgg("vorbis", 2, 44100, granule = 1000L)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 61).toByte)
+    val truncated = java.util.Arrays.copyOf(good, good.length - 8)
+    val noBos = good.clone()
+    noBos(5) = 0 // clear the BOS flag
+    val unknown = good.clone()
+    "xxxxxx".getBytes("US-ASCII").copyToArray(unknown,
+      28 + 1 + 1) // overwrite 'vorbis' in the first packet
+    val trailing = good ++ Array[Byte](1, 2, 3)
+    val rows = Audio.oggMetaScan(
+      df((1L, garbage), (2L, truncated), (3L, noBos), (4L, unknown),
+        (5L, trailing), (6L, good)), "id", "content").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(rows == Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> true), rows.toString)
+  }
+
   test("TIFF round trip: both byte orders, SHORT and LONG dimension " +
       "forms; honesty on garbage/truncation/bad version/missing dims; " +
       "sniff classifies image/tiff") {
