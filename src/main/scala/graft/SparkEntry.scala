@@ -2062,8 +2062,12 @@ object SparkEntry {
       def jingle(c: Long): Array[Int] = Array.tabulate(1040)(k =>
         (Math.floorMod(c * 2654435761L + k * 40503L, 65536L) - 32768L)
           .toInt)
-      val idxPath = new Path(
-        sys.props("java.io.tmpdir"), "graft_q_jingle_hunt_idx").toString
+      // per-run path: two concurrent suite runs on one host must not
+      // overwrite each other's index mid-read (the Spark app id is
+      // unique per SparkSession)
+      val idxPath = new Path(sys.props("java.io.tmpdir"),
+        s"graft_q_jingle_hunt_idx_${s.sparkContext.applicationId}")
+        .toString
       Audio.writeAudioNearDupIndex(
         s.range(0, 32).select(col("id"),
           udf((c: Long) => Audio.wrapWav(jingle(c), 0, 1040, 8000))

@@ -124,14 +124,20 @@ object Mp3 {
     if ((flags & 0x40) != 0) { // extended header: skip by its size
       if (pos + 4 > tagEnd) return Nil
       val ehSize = if (major == 4) syncsafe(pos) else be32(pos)
-      pos += (if (major == 4) ehSize else 4 + ehSize)
-      if (pos > tagEnd) return Nil
+      // Long arithmetic: a hostile be32 near 2^31 must not wrap the
+      // cursor negative and slip past the bounds check
+      val skip = if (major == 4) ehSize.toLong else 4L + ehSize
+      if (ehSize < 0 || pos + skip > tagEnd) return Nil
+      pos = (pos + skip).toInt
     }
     val out = Seq.newBuilder[(String, String)]
     while (pos + 10 <= tagEnd && bytes(pos) != 0) {
       val frameId = new String(bytes, pos, 4, "US-ASCII")
       val fSize = if (major == 4) syncsafe(pos + 4) else be32(pos + 4)
-      if (fSize < 0 || pos + 10 + fSize > tagEnd) return out.result()
+      // Long bound: fSize near 2^31 would wrap `pos + 10 + fSize`
+      // negative in Int and bypass the check
+      if (fSize < 0 || 10L + fSize > tagEnd.toLong - pos)
+        return out.result()
       if (frameId.startsWith("T") && frameId != "TXXX" && fSize >= 1) {
         val enc = bytes(pos + 10) & 0xFF
         val body = pos + 11
@@ -226,7 +232,8 @@ object Mp3 {
             val flags = ((bytes(x + 4) & 0xFF) << 24) |
               ((bytes(x + 5) & 0xFF) << 16) |
               ((bytes(x + 6) & 0xFF) << 8) | (bytes(x + 7) & 0xFF)
-            if ((flags & 1) != 0 && x + 12 <= bytes.length)
+            if ((flags & 1) != 0 && x + 12 <= bytes.length &&
+              x + 12 <= pos + fb)
               xingFrames = ((bytes(x + 8) & 0xFFL) << 24) |
                 ((bytes(x + 9) & 0xFFL) << 16) |
                 ((bytes(x + 10) & 0xFFL) << 8) | (bytes(x + 11) & 0xFFL)

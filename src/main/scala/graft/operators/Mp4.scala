@@ -365,14 +365,15 @@ object Mp4 {
           // a top-level header beyond the prefix: honest only if the
           // moov was already seen (trailing mdat in a prefix parse)
           return if (sawMoov && pos + 8 > avail && pos + 8 <= total &&
-            timescale > 0L && duration >= 0L && dimsSane(width, height))
+            timescale > 0L && durSane(duration) &&
+            dimsSane(width, height))
             Some(ParsedMp4(majorBrand, timescale, duration, tracks,
               videoCodec, width, height, videoFrames, audioCodec,
               audioChannels, audioRate))
           else None
       }
     }
-    if (!sawMoov || timescale <= 0L || duration < 0L ||
+    if (!sawMoov || timescale <= 0L || !durSane(duration) ||
       !dimsSane(width, height)) None
     else Some(ParsedMp4(majorBrand, timescale, duration, tracks,
       videoCodec, width, height, videoFrames, audioCodec,
@@ -381,6 +382,13 @@ object Mp4 {
 
   private def dimsSane(w: Int, h: Int): Boolean =
     (w == 0 && h == 0) || (w > 0 && h > 0 && w <= 32768 && h <= 32768)
+
+  /** A hostile version-1 mvhd duration above Long.MaxValue/1000 would
+    * overflow `duration * 1000 / timescale` into a negative
+    * duration_ms — a fabricated field; refuse it like insane dims.
+    */
+  private def durSane(d: Long): Boolean =
+    d >= 0L && d <= Long.MaxValue / 1000L
 
   // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
 

@@ -142,6 +142,54 @@ class Mp3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("TIT2" -> "BOM Test"), got.toString)
   }
 
+  test("hostile ID3v2.3 tags: a frame size near 2^31 and an " +
+      "extended-header size near 2^31 must emit no rows instead of " +
+      "wrapping the Int bounds check and throwing on the executor") {
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+    // declared tag size 100, one T-frame claiming 0x7FFFFFF0 bytes:
+    // pos + 10 + fSize wraps negative in Int and would bypass the
+    // tagEnd check, then the String constructor throws
+    val hostileFrame = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 0, 0, 100) ++
+      "TIT2".getBytes("US-ASCII") ++ be32(0x7FFFFFF0L) ++
+      Array[Byte](0, 0, 3) ++ Array.fill[Byte](100)(7)
+    assert(Mp3.parseId3Text(hostileFrame) == Nil)
+    // v2.3 extended header claiming 0x7FFFFFF4 bytes: 4 + ehSize
+    // wraps the cursor negative
+    val hostileEh = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0x40, 0, 0, 0, 100) ++ be32(0x7FFFFFF4L) ++
+      Array.fill[Byte](100)(7)
+    assert(Mp3.parseId3Text(hostileEh) == Nil)
+    // a VALID frame before the hostile one still comes back
+    val okFrame = "TALB".getBytes("US-ASCII") ++ be32(3L) ++
+      Array[Byte](0, 0, 3) ++ "ok".getBytes("UTF-8")
+    val mixed = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 0, 1, 0) ++ okFrame ++
+      "TIT2".getBytes("US-ASCII") ++ be32(0x7FFFFFF0L) ++
+      Array[Byte](0, 0, 3) ++ Array.fill[Byte](100)(7)
+    assert(Mp3.parseId3Text(mixed) == Seq("TALB" -> "ok"))
+  }
+
+  test("Xing count beyond the first frame's end is not read: a " +
+      "24-byte MPEG-2 mono frame fits the tag+flags but not the " +
+      "count, so the declared count must stay -1 rather than be " +
+      "read from the next frame's bytes") {
+    // vb=2, rateIdx=1 (24000 Hz), bi=1 (8 kbps), mono → fb = 24;
+    // side = 9 → tag at 13..16, flags 17..20 (fit), count 21..24
+    // (byte 24 is the NEXT frame's 0xFF sync byte)
+    val b = Mp3.buildMp3(2, 1, Seq(1, 1), mono = true)
+    assert(b.length == 48, s"fixture needs two 24-byte frames: ${b.length}")
+    "Xing".getBytes("US-ASCII").copyToArray(b, 13)
+    b(17) = 0; b(18) = 0; b(19) = 0; b(20) = 1 // flags: FRAMES
+    val m = Mp3.parseMp3Header(df((1L, b)), "id", "content")
+      .collect().head
+    assert(m.parsed && m.frames == 2L, m.toString)
+    assert(m.xingFrames == -1L,
+      s"count crossing the frame end must not be read: ${m.xingFrames}")
+  }
+
   test("mp3MetaScan projection: the metadata-filter columns") {
     val r = Mp3.mp3MetaScan(
       df((1L, Mp3.buildMp3(2, 2, Seq.fill(8)(3), mono = true))),

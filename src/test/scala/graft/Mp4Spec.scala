@@ -203,6 +203,21 @@ class Mp4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.videoCodec == "avc1" && m.width == 64 && m.height == 48)
   }
 
+  test("hostile version-1 mvhd duration above Long.MaxValue/1000 " +
+      "refuses (parsed=false) instead of overflowing duration_ms " +
+      "negative") {
+    val ok = Long.MaxValue / 1000L        // largest honest value
+    val hostile = Long.MaxValue / 1000L + 1L
+    val rows = Mp4.parseMp4Header(
+      df((1L, Mp4.buildMp4(1L, hostile, 16, 16, use64Bit = true)),
+        (2L, Mp4.buildMp4(1L, ok, 16, 16, use64Bit = true))),
+      "id", "content").collect().map(m => m.id -> m).toMap
+    assert(!rows(1L).parsed,
+      s"overflowing duration must refuse: ${rows(1L)}")
+    assert(rows(2L).parsed && rows(2L).durationMs == ok * 1000L &&
+      rows(2L).durationMs > 0L, rows(2L).toString)
+  }
+
   test("mp4MetaScan projection: one row per payload, the columns the " +
       "100 TB metadata filter reads, prefix routing on") {
     val rows = Mp4.mp4MetaScan(
