@@ -471,6 +471,34 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real MP4s carrying uncompressed-PCM sound tracks for the MP4
+    * soundtrack-bridge oracle row: per doc_id the library encoder
+    * ([[Mp4.buildMp4Pcm]]) plants a closed-form sample stream behind
+    * REAL `stsc`/`stsz`/`stco`(/`co64`) tables — the codec rotates
+    * through all four supported sample entries (`sowt`/`twos`/
+    * `lpcm`/`raw `), the chunk layout / offset width / stsz form /
+    * gap filler / leading video track all vary by base, so the oracle
+    * covers every walk branch.
+    */
+  private def syntheticMp4AudioClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 200 + 3 * base
+      val codec = base % 4
+      val samples =
+        if (codec == 3) Array.tabulate(n)(k => (base * 29 + k * 13) % 256)
+        else Array.tabulate(n)(k => (base * 53 + k * 17) % 201 - 100)
+      val c = n / 3
+      Mp4.buildMp4Pcm(600L, n.toLong,
+        Seq("sowt", "twos", "lpcm", "raw ")(codec), 1, 8000, samples,
+        Seq(c, c, n - 2 * c), gapBytes = base % 5,
+        use64BitOffsets = base % 2 == 1, perSampleStsz = base % 3 == 0,
+        lpcmBigEndian = base % 8 >= 4, withVideoTrack = base % 2 == 0)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP4 payloads for the container-metadata oracle row: per
     * doc_id, the library encoder ([[Mp4.buildMp4]]) over closed-form
     * parameters of base = doc_id % 64 — odd bases take the version-1
@@ -2186,6 +2214,29 @@ object SparkEntry {
     "q_video_audio_track" -> ((s, dir) => {
       val tracks = Video.extractAudioTracks(
         syntheticAviAudioClassed(t(s, dir, "documents")), "id",
+        "content").toDF().filter(col("decoded"))
+      Audio.decodePcm16(tracks, "id", "wav").toDF()
+        .filter(col("decoded"))
+        .select(col("id"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("nFrames").as("n_frames"),
+          aggregate(col("samples"), lit(0L), (a, x) => a + x)
+            .as("sample_sum"),
+          array_max(col("samples")).cast("long").as("sample_peak"),
+          array_min(col("samples")).cast("long").as("sample_min"))
+    }),
+
+    // the MP4 side of the soundtrack bridge: REAL buildMp4Pcm payloads
+    // (all four PCM sample entries, varied chunk/offset/stsz layouts)
+    // -> extractAudioTracks' container-auto dispatch -> the ISO-BMFF
+    // sample-table concat -> canonical WAV -> the UNCHANGED audio
+    // decode -> exact integer stats; every column is a closed form of
+    // doc_id through the real encode -> table walk -> extract -> WAV
+    // parse -> PCM decode chain (jingle-in-an-MP4 composition on top
+    // of this is spec-pinned in HuntSpec)
+    "q_mp4_audio_track" -> ((s, dir) => {
+      val tracks = Video.extractAudioTracks(
+        syntheticMp4AudioClassed(t(s, dir, "documents")), "id",
         "content").toDF().filter(col("decoded"))
       Audio.decodePcm16(tracks, "id", "wav").toDF()
         .filter(col("decoded"))
@@ -5113,6 +5164,30 @@ object SparkEntry {
         |  FROM documents),
         |s AS (SELECT id, n, list_transform(generate_series(0, n - 1),
         |    k -> (base * 53 + k * 17) % 201 - 100) AS ss
+        |  FROM g)
+        |SELECT id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_sum(ss) AS BIGINT) AS sample_sum,
+        |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
+        |  CAST(list_min(ss) AS BIGINT) AS sample_min
+        |FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // MP4 soundtrack bridge: the planted stream is a closed form of
+    // (doc_id, k) — the sample-table concat is byte-level, so decoded
+    // stats replay as list folds; the raw (8-bit) rotation decodes by
+    // the published (b-128)*256 scale
+    "q_mp4_audio_track" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    200 + (doc_id % 64) * 3 AS n,
+        |    doc_id % 64 % 4 AS codec
+        |  FROM documents),
+        |s AS (SELECT id, n, CASE WHEN codec = 3
+        |    THEN list_transform(generate_series(0, n - 1),
+        |      k -> ((base * 29 + k * 13) % 256 - 128) * 256)
+        |    ELSE list_transform(generate_series(0, n - 1),
+        |      k -> (base * 53 + k * 17) % 201 - 100) END AS ss
         |  FROM g)
         |SELECT id, CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(n AS BIGINT) AS n_frames,

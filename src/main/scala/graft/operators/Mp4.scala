@@ -383,6 +383,245 @@ object Mp4 {
   private def dimsSane(w: Int, h: Int): Boolean =
     (w == 0 && h == 0) || (w > 0 && h > 0 && w <= 32768 && h <= 32768)
 
+  // ---- soundtrack extraction (the MP4 side of the audio bridge) ------
+
+  /** All children of one container range as (type, bodyStart, boxEnd)
+    * — None on any malformed/truncated child (the walk never guesses
+    * past bad structure).
+    */
+  private def childRanges(b: Array[Byte], start: Long,
+      end: Long): Option[Vector[(String, Long, Long)]] = {
+    val out = Vector.newBuilder[(String, Long, Long)]
+    var pos = start
+    while (pos + 8 <= end) {
+      boxAt(b, pos, end, b.length.toLong) match {
+        case Some((typ, body, boxEnd)) =>
+          if (boxEnd > end || boxEnd > b.length) return None
+          out += ((typ, body, boxEnd))
+          pos = boxEnd
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** The MP4 soundtrack walk — the ISO-BMFF twin of the AVI `NNwb`
+    * concat ([[Video]]'s `audioTrackWav`): locate the FIRST `soun`
+    * trak, require an uncompressed-PCM sample entry, then concatenate
+    * its samples in `stsc`/`stsz`/`stco`(/`co64`) table order behind
+    * a canonical 44-byte WAV header. Byte-level — the only transforms
+    * are the closed-form byte maps WAV's canonical layout demands
+    * (big-endian 16-bit pairs swap; 8-bit stays the unsigned byte).
+    *
+    * Supported sample entries (everything else — `mp4a`/AAC and
+    * friends — refuses honestly; fabricating samples from an
+    * undecoded stream is the contract violation this family refuses):
+    *  - `sowt` v0: little-endian signed 16-bit PCM (verbatim copy)
+    *  - `twos` v0: big-endian signed 16-bit PCM (pair swap)
+    *  - `raw ` v0: unsigned 8-bit PCM (verbatim copy)
+    *  - `lpcm` v2: integer signed 16-bit, either endianness (the
+    *    QuickTime version-2 description; float / non-integer /
+    *    other widths refuse)
+    *
+    * `maxAudioBytes` bounds per-payload memory; past it the row
+    * fails honestly — NEVER truncates (a silently-shortened signal
+    * would skew every downstream fingerprint). Returns
+    * (wavFormat=1, channels, rate, bits, wavBytes).
+    */
+  private[graft] def mp4AudioTrackWav(bytes: Array[Byte],
+      maxAudioBytes: Int): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 16) return None
+    val total = bytes.length.toLong
+    val top = childRanges(bytes, 0L, total).getOrElse(return None)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val (_, moovBody, moovEnd) =
+      top.find(_._1 == "moov").getOrElse(return None)
+    val moovKids =
+      childRanges(bytes, moovBody, moovEnd).getOrElse(return None)
+
+    // first soun trak's stbl children
+    var stbl: Vector[(String, Long, Long)] = null
+    val trakIt = moovKids.iterator.filter(_._1 == "trak")
+    while (stbl == null && trakIt.hasNext) {
+      val (_, tb, te) = trakIt.next()
+      for {
+        kids <- childRanges(bytes, tb, te)
+        (_, mb, me) <- kids.find(_._1 == "mdia")
+        mKids <- childRanges(bytes, mb, me)
+        (_, hb, he) <- mKids.find(_._1 == "hdlr")
+        if hb + 12 <= he && fourcc(bytes, hb.toInt + 8) == "soun"
+        (_, nb, ne) <- mKids.find(_._1 == "minf")
+        nKids <- childRanges(bytes, nb, ne)
+        (_, sb, se) <- nKids.find(_._1 == "stbl")
+        sKids <- childRanges(bytes, sb, se)
+      } stbl = sKids
+    }
+    if (stbl == null) return None
+
+    def full(name: String): Option[(Long, Long)] =
+      stbl.find(_._1 == name).collect {
+        case (_, b, e) if b + 4 <= e => (b + 4, e) // past version+flags
+      }
+
+    // ---- stsd: the first sample entry must be a supported PCM form
+    val (sdB, sdE) = full("stsd").getOrElse(return None)
+    if (sdB + 4 > sdE || be32(bytes, sdB.toInt) < 1L) return None
+    val e = sdB + 4 // first sample entry: size(4) format(4) ...
+    if (e + 36 > sdE) return None
+    val ei = e.toInt
+    val fmt = fourcc(bytes, ei + 4)
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var swapBe = false
+    fmt match {
+      case "sowt" | "twos" | "raw " =>
+        val version = be16(bytes, ei + 16)
+        if (version != 0) return None // v1 packet fields: not walked
+        channels = be16(bytes, ei + 24)
+        val sampleSize = be16(bytes, ei + 26)
+        rate = (be32(bytes, ei + 32) >> 16).toInt
+        if (fmt == "raw ") {
+          if (sampleSize != 8) return None
+          bits = 8
+        } else {
+          if (sampleSize != 16) return None
+          bits = 16
+          swapBe = fmt == "twos"
+        }
+      case "lpcm" =>
+        // QuickTime version-2 sound description (72-byte struct)
+        if (e + 72 > sdE || be16(bytes, ei + 16) != 2) return None
+        val rateBits = (be32(bytes, ei + 40) << 32) | be32(bytes, ei + 44)
+        val rateD = java.lang.Double.longBitsToDouble(rateBits)
+        if (!(rateD > 0 && rateD <= Int.MaxValue &&
+          rateD == math.floor(rateD))) return None
+        rate = rateD.toInt
+        channels = be32(bytes, ei + 48).toInt
+        val cBits = be32(bytes, ei + 56)
+        val flags = be32(bytes, ei + 60)
+        // integer, signed, 16-bit only; bit0 float, bit1 big-endian,
+        // bit2 signed-integer (the published LPCM flag bits)
+        if (cBits != 16L || (flags & 1L) != 0L ||
+          (flags & 4L) == 0L) return None
+        bits = 16
+        swapBe = (flags & 2L) != 0L
+      case _ => return None // compressed codecs refuse honestly
+    }
+    if (channels < 1 || channels > 64 || rate <= 0) return None
+
+    // ---- stsz: per-sample byte sizes
+    val (szB, szE) = full("stsz").getOrElse(return None)
+    if (szB + 8 > szE) return None
+    val defaultSize = be32(bytes, szB.toInt)
+    val sampleCount = be32(bytes, szB.toInt + 4)
+    if (sampleCount <= 0L || sampleCount > Int.MaxValue) return None
+    val tableOff = szB + 8
+    if (defaultSize == 0L && tableOff + 4L * sampleCount > szE)
+      return None
+    def sampleSizeAt(i: Long): Long =
+      if (defaultSize != 0L) defaultSize
+      else be32(bytes, (tableOff + 4L * i).toInt)
+    var totalBytes = 0L
+    var i = 0L
+    while (i < sampleCount) {
+      val s = sampleSizeAt(i)
+      if (s < 0L) return None
+      totalBytes += s
+      if (totalBytes > maxAudioBytes) return None // refuse, never trim
+      i += 1L
+    }
+    if (totalBytes == 0L) return None
+
+    // ---- stsc: chunk -> samples-per-chunk runs
+    val (scB, scE) = full("stsc").getOrElse(return None)
+    if (scB + 4 > scE) return None
+    val scN = be32(bytes, scB.toInt)
+    if (scN <= 0L || scB + 4 + 12L * scN > scE) return None
+    val runs = new Array[Long](2 * scN.toInt) // (firstChunk, spc)*
+    var prevFirst = 0L
+    var k = 0
+    while (k < scN.toInt) {
+      val o = (scB + 4 + 12L * k).toInt
+      val first = be32(bytes, o)
+      val spc = be32(bytes, o + 4)
+      if (first <= prevFirst || spc <= 0L ||
+        be32(bytes, o + 8) != 1L) return None // one sample description
+      if (k == 0 && first != 1L) return None
+      runs(2 * k) = first; runs(2 * k + 1) = spc
+      prevFirst = first
+      k += 1
+    }
+
+    // ---- stco / co64: chunk offsets
+    val (coName, coWidth) =
+      if (stbl.exists(_._1 == "stco")) ("stco", 4L) else ("co64", 8L)
+    val (coB, coE) = full(coName).getOrElse(return None)
+    if (coB + 4 > coE) return None
+    val nChunks = be32(bytes, coB.toInt)
+    if (nChunks <= 0L || coB + 4 + coWidth * nChunks > coE) return None
+    def chunkOffset(c: Long): Long = { // c is 0-based
+      val o = (coB + 4 + coWidth * c).toInt
+      if (coWidth == 4L) be32(bytes, o) else be64(bytes, o)
+    }
+
+    // ---- concat samples in table order behind the canonical header
+    val n = totalBytes.toInt
+    val out = new Array[Byte](44 + n)
+    var w = 44
+    var sample = 0L
+    var run = 0
+    var chunk = 0L
+    while (sample < sampleCount && chunk < nChunks) {
+      while (run + 1 < scN.toInt && runs(2 * (run + 1)) <= chunk + 1L)
+        run += 1
+      val spc = runs(2 * run + 1)
+      var off = chunkOffset(chunk)
+      var j = 0L
+      while (j < spc && sample < sampleCount) {
+        val s = sampleSizeAt(sample)
+        if (off < 0L || off + s > total) return None // truncated sample
+        System.arraycopy(bytes, off.toInt, out, w, s.toInt)
+        w += s.toInt
+        off += s
+        j += 1L
+        sample += 1L
+      }
+      chunk += 1L
+    }
+    if (sample < sampleCount) return None // tables declare more data
+
+    if (swapBe) { // big-endian pairs -> WAV's little-endian layout
+      var o = 44
+      while (o + 1 < out.length) {
+        val t = out(o); out(o) = out(o + 1); out(o + 1) = t
+        o += 2
+      }
+    }
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte
+      out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def w16o(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag4o(o: Int, s: String): Unit = {
+      var t = 0
+      while (t < 4) { out(o + t) = s.charAt(t).toByte; t += 1 }
+    }
+    val blockAlign = channels * bits / 8
+    tag4o(0, "RIFF"); w32(4, 36L + n); tag4o(8, "WAVE")
+    tag4o(12, "fmt "); w32(16, 16L)
+    w16o(20, 1); w16o(22, channels)
+    w32(24, rate.toLong); w32(28, rate.toLong * blockAlign)
+    w16o(32, blockAlign); w16o(34, bits)
+    tag4o(36, "data"); w32(40, n.toLong)
+    Some((1, channels, rate, bits, out))
+  }
+
   /** A hostile version-1 mvhd duration above Long.MaxValue/1000 would
     * overflow `duration * 1000 / timescale` into a negative
     * duration_ms — a fabricated field; refuse it like insane dims.
@@ -516,6 +755,181 @@ object Mp4 {
     } else {
       w32(8L + mdatBytes); tag4("mdat")
       (0 until mdatBytes).foreach(i => bos.write(i & 0xFF))
+    }
+    bos.toByteArray
+  }
+
+  /** Build an MP4 carrying a REAL uncompressed-PCM sound track — the
+    * encode twin of [[mp4AudioTrackWav]] (and the fixture builder for
+    * its oracle row). `samples` is the interleaved sample stream
+    * (signed 16-bit values for `sowt`/`twos`/`lpcm`, unsigned 0..255
+    * bytes for `raw `); the builder serializes it in the CODEC's byte
+    * order into an mdat laid out as `chunkSamples` chunks (each entry
+    * = audio frames in that chunk), preceded by `gapBytes` of filler
+    * per chunk so the chunk-offset walk is exercised on
+    * NON-contiguous layouts. mdat-first (offsets known while
+    * writing), moov last with real `stsd`/`stts`/`stsc`/`stsz`/
+    * `stco`(/`co64`) tables. `perSampleStsz` writes the per-sample
+    * size table form instead of the constant default;
+    * `use64BitOffsets` writes `co64`; `withVideoTrack` adds a
+    * declared-only `avc1` track in front (the common
+    * movie-with-soundtrack shape).
+    */
+  def buildMp4Pcm(timescale: Long, duration: Long, codec: String,
+      channels: Int, rate: Int, samples: Array[Int],
+      chunkSamples: Seq[Int], gapBytes: Int = 0,
+      use64BitOffsets: Boolean = false, perSampleStsz: Boolean = false,
+      lpcmBigEndian: Boolean = false,
+      withVideoTrack: Boolean = false): Array[Byte] = {
+    require(Set("sowt", "twos", "raw ", "lpcm")(codec), s"codec $codec")
+    require(channels >= 1 && rate > 0, "channels/rate")
+    require(chunkSamples.nonEmpty && chunkSamples.forall(_ > 0),
+      "chunkSamples must be positive")
+    require(samples.length == chunkSamples.sum * channels,
+      s"samples ${samples.length} != frames ${chunkSamples.sum} x " +
+        s"$channels channels")
+    val bits = if (codec == "raw ") 8 else 16
+    val blockAlign = channels * bits / 8
+    val bigEndian = codec == "twos" || (codec == "lpcm" && lpcmBigEndian)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = {
+      bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF)
+    }
+    def w32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 8) & 0xFF).toInt); bos.write((v & 0xFF).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xFFFFFFFFL) }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def box(typ: String)(body: => Unit): Unit = {
+      val sizeAt = bos.size()
+      w32(0L); tag4(typ)
+      body
+      val out = bos.toByteArray
+      val sz = out.length - sizeAt
+      bos.reset()
+      bos.write(out, 0, sizeAt)
+      w32(sz.toLong); bos.write(out, sizeAt + 4, sz - 4)
+    }
+    def fullBox(typ: String, version: Int)(body: => Unit): Unit =
+      box(typ) { bos.write(version); bos.write(0); w16(0); body }
+
+    box("ftyp") { tag4("isom"); w32(512L); tag4("isom"); tag4("iso2") }
+
+    // mdat FIRST: chunk offsets are absolute file positions
+    val offsets = new Array[Long](chunkSamples.length)
+    box("mdat") {
+      var s = 0
+      chunkSamples.zipWithIndex.foreach { case (frames, c) =>
+        (0 until gapBytes).foreach(g => bos.write((g * 13 + c) & 0xFF))
+        offsets(c) = bos.size().toLong
+        (0 until frames * channels).foreach { _ =>
+          val v = samples(s); s += 1
+          if (bits == 8) bos.write(v & 0xFF)
+          else if (bigEndian) { bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF) }
+          else { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+        }
+      }
+    }
+
+    val nFrames = chunkSamples.sum.toLong
+    box("moov") {
+      fullBox("mvhd", 0) {
+        w32(0L); w32(0L) // creation, modification
+        w32(timescale); w32(duration)
+        w32(0x00010000L); w16(0x0100); w16(0)
+        w32(0L); w32(0L)
+        Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+          0x40000000L).foreach(w32)
+        (0 until 6).foreach(_ => w32(0L))
+        w32(3L)
+      }
+      def trakBox(trackId: Long, handler: String, name: String,
+          w: Int, h: Int, stsd: => Unit, stblTables: => Unit): Unit =
+        box("trak") {
+          fullBox("tkhd", 0) {
+            w32(0L); w32(0L); w32(trackId); w32(0L); w32(duration)
+            w32(0L); w32(0L); w16(0); w16(0); w16(0); w16(0)
+            Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+              0x40000000L).foreach(w32)
+            if (handler == "vide") {
+              w32(w.toLong << 16); w32(h.toLong << 16)
+            } else { w32(0L); w32(0L) }
+          }
+          box("mdia") {
+            fullBox("mdhd", 0) {
+              w32(0L); w32(0L); w32(timescale); w32(duration)
+              w16(0x55C4); w16(0)
+            }
+            fullBox("hdlr", 0) {
+              w32(0L); tag4(handler); w32(0L); w32(0L); w32(0L)
+              bos.write(name.getBytes("US-ASCII")); bos.write(0)
+            }
+            box("minf") { box("stbl") {
+              fullBox("stsd", 0) { w32(1L); stsd }
+              stblTables
+            } }
+          }
+        }
+      if (withVideoTrack)
+        trakBox(1L, "vide", "VideoHandler", 16, 16, {
+          box("avc1") {
+            (0 until 6).foreach(_ => bos.write(0)); w16(1)
+            w16(0); w16(0); w32(0L); w32(0L); w32(0L)
+            w16(16); w16(16)
+            w32(0x00480000L); w32(0x00480000L)
+            w32(0L); w16(1)
+            (0 until 32).foreach(_ => bos.write(0))
+            w16(24); w16(0xFFFF)
+          }
+        }, {
+          fullBox("stts", 0) { w32(0L) }
+          fullBox("stsc", 0) { w32(0L) }
+          fullBox("stsz", 0) { w32(16L); w32(0L) }
+          fullBox("stco", 0) { w32(0L) }
+        })
+      trakBox(if (withVideoTrack) 2L else 1L, "soun", "SoundHandler",
+        0, 0, {
+          if (codec == "lpcm") box("lpcm") { // QuickTime v2 description
+            (0 until 6).foreach(_ => bos.write(0)); w16(1) // data_ref
+            w16(2); w16(0); w32(0L) // version 2, revision, vendor
+            w16(3); w16(16); w16(0xFFFE); w16(0) // always3/16/-2/0
+            w32(0x00010000L); w32(72L) // always65536, sizeOfStructOnly
+            w64(java.lang.Double.doubleToLongBits(rate.toDouble))
+            w32(channels.toLong); w32(0x7F000000L)
+            w32(16L) // constBitsPerChannel
+            // flags: bit2 signed-int, bit1 big-endian, bit3 packed
+            w32((if (lpcmBigEndian) 0xEL else 0xCL))
+            w32(blockAlign.toLong); w32(1L)
+          } else box(codec) { // v0 AudioSampleEntry
+            (0 until 6).foreach(_ => bos.write(0)); w16(1)
+            w32(0L); w32(0L) // version 0 + revision, vendor
+            w16(channels); w16(bits); w16(0); w16(0)
+            w32(rate.toLong << 16)
+          }
+        }, {
+          fullBox("stts", 0) { w32(1L); w32(nFrames); w32(1L) }
+          fullBox("stsc", 0) {
+            // compress consecutive equal samples-per-chunk into runs
+            val runs = chunkSamples.zipWithIndex.filter { case (v, i) =>
+              i == 0 || chunkSamples(i - 1) != v }
+            w32(runs.length.toLong)
+            runs.foreach { case (v, i) =>
+              w32(i + 1L); w32(v.toLong); w32(1L) }
+          }
+          fullBox("stsz", 0) {
+            if (perSampleStsz) {
+              w32(0L); w32(nFrames)
+              (0L until nFrames).foreach(_ => w32(blockAlign.toLong))
+            } else { w32(blockAlign.toLong); w32(nFrames) }
+          }
+          if (use64BitOffsets) fullBox("co64", 0) {
+            w32(offsets.length.toLong); offsets.foreach(w64)
+          } else fullBox("stco", 0) {
+            w32(offsets.length.toLong); offsets.foreach(w32)
+          }
+        })
     }
     bos.toByteArray
   }

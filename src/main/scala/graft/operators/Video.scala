@@ -386,13 +386,21 @@ object Video {
     * find-videos-containing-a-known-JINGLE is plain composition —
     * index the jingle ([[Audio.writeAudioNearDupIndex]]), admit the
     * extracted soundtracks (or their [[Audio.segmentClips]] windows)
-    * against it. The wrap is header-only: AVI `NNwb` chunks carry the
-    * stream's WAVEFORMATEX-format bytes verbatim (for PCM16, raw
+    * against it. CONTAINER-AUTO, dispatched per payload on magic
+    * (like [[videoSigsAuto]]'s signature space): RIFF/AVI payloads
+    * take the `NNwb` movi concat, ISO-BMFF/MP4 payloads take
+    * [[Mp4.mp4AudioTrackWav]]'s `stsc`/`stsz`/`stco`(/`co64`)
+    * sample-table concat — both byte-level. AVI `NNwb` chunks carry
+    * the stream's WAVEFORMATEX-format bytes verbatim (for PCM16, raw
     * LE16 samples — the exact layout a canonical WAV data chunk
     * holds), so extraction is two movi walks (size, then copy) + a
     * 44-byte header — zero decode, any audio format the [[Audio]]
     * family parses (PCM/ADPCM/G.711/float) rides through untouched,
     * formats it can't are ITS honest `decoded = false` downstream.
+    * The MP4 path supports the uncompressed-PCM sample entries
+    * (`sowt`/`twos`/`raw `/`lpcm`-v2-int16); compressed codecs
+    * (`mp4a`/AAC) refuse honestly — fabricating samples from an
+    * undecoded stream is this family's forbidden move.
     * `maxAudioBytes` bounds per-payload memory; a soundtrack past it
     * fails the row honestly (`decoded = false`), never truncates —
     * a silently-shortened signal would skew every downstream
@@ -406,7 +414,7 @@ object Video {
       (rows: Iterator[Row]) =>
         rows.map { r =>
           val id = r.getLong(0)
-          audioTrackWav(r.getAs[Array[Byte]](1), maxAudioBytes) match {
+          anyAudioTrackWav(r.getAs[Array[Byte]](1), maxAudioBytes) match {
             case Some((fmt, ch, rate, bits, wav)) =>
               AudioTrack(id, wav, fmt, ch, rate, bits,
                 (wav.length - 44).toLong, decoded = true)
@@ -415,6 +423,21 @@ object Video {
           }
         }
     }
+  }
+
+  /** Container dispatch for the soundtrack walk — each payload is
+    * read ONCE by exactly one extractor, decided on its magic bytes
+    * (RIFF → AVI movi concat; `ftyp` at offset 4 → ISO-BMFF sample
+    * tables). Unknown containers refuse.
+    */
+  private def anyAudioTrackWav(bytes: Array[Byte],
+      maxAudioBytes: Int): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 12) None
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F') audioTrackWav(bytes, maxAudioBytes)
+    else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
+      bytes(7) == 'p') Mp4.mp4AudioTrackWav(bytes, maxAudioBytes)
+    else None
   }
 
   /** The soundtrack walk: locate the first `auds` strl (its order

@@ -97,6 +97,39 @@ class HuntSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vhits == Set((10L, 1L, 1040L)), vhits)
   }
 
+  test("findVideosWithJingle is container-auto: the SAME jingle " +
+      "index catches the needle inside an MP4 soundtrack (sowt " +
+      "sample tables) and an AVI soundtrack in one mixed-corpus " +
+      "hunt; mp4a soundtracks refuse extraction and emit no rows") {
+    import graft.operators.Mp4
+    val jingle = noise(23, 65 * 16) // 1040 frames
+    val dir = tmp("graft-hunt-mp4jingle")
+    Audio.writeAudioNearDupIndex(
+      df(1L -> Audio.wrapWav(jingle, 0, jingle.length, 8000)),
+      "id", "content", dir)
+    def stream(seed: Int, planted: Boolean): Array[Int] =
+      if (planted) noise(seed, 1040) ++ jingle ++ noise(seed + 1, 1040)
+      else noise(seed, 3120)
+    def mp4(seed: Int, planted: Boolean) = Mp4.buildMp4Pcm(
+      600L, 3120L, "sowt", 1, 8000, stream(seed, planted),
+      Seq(1000, 1000, 1120), withVideoTrack = true)
+    def frame(f: Int): Array[Byte] = Array.tabulate(3 * 4 * 3)(k =>
+      ((7 * 131 + f * 31 + k * 7) % 101).toByte)
+    def avi(seed: Int, planted: Boolean) = Video.buildAviWithAudio(
+      4, 3, (0 until 6).map(frame), 40000L, stream(seed, planted), 8000)
+    val corpus = df(
+      10L -> mp4(50, planted = true),
+      20L -> mp4(60, planted = false),
+      30L -> avi(70, planted = true),
+      40L -> Mp4.buildMp4(600L, 600L, 16, 16, audioCodec = "mp4a",
+        audioChannels = 2, audioRate = 44100))
+    val hits = Video.findVideosWithJingle(corpus, "id", "content",
+      dir, segmentFrames = 1040)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(hits == Set((10L, 1L, 1040L), (30L, 1L, 1040L)), hits)
+  }
+
   test("findImagesContainingCrop locates the planted tile by " +
       "(id, tile_x, tile_y)") {
     // 32x24 image of 16x12 tiles; the crop IS tile (1, 1)

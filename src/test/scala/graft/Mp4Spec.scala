@@ -231,4 +231,98 @@ class Mp4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1L).getLong(4) == 1000L) // duration_ms
     assert(rows(1L).getString(6) == "avc1")
   }
+
+  // ---- soundtrack extraction (the ISO-BMFF side of the bridge) ------
+
+  test("MP4 soundtrack round trip: sowt/twos/lpcm(LE+BE)/raw sample " +
+      "entries extract to canonical WAVs whose decoded samples equal " +
+      "the planted stream exactly — byte order normalized, 8-bit " +
+      "scaled by the published (b-128)<<8") {
+    import graft.operators.{Audio, Video}
+    val s16 = Array.tabulate(500)(k => ((k * 371 + 17) % 65536) - 32768)
+    val s8 = Array.tabulate(300)(k => (k * 37 + 5) % 256)
+    val fixtures = Seq(
+      1L -> Mp4.buildMp4Pcm(600L, 500L, "sowt", 1, 8000, s16,
+        Seq(200, 150, 150)),
+      2L -> Mp4.buildMp4Pcm(600L, 500L, "twos", 1, 8000, s16, Seq(500)),
+      3L -> Mp4.buildMp4Pcm(600L, 500L, "lpcm", 1, 8000, s16,
+        Seq(100, 400), perSampleStsz = true),
+      4L -> Mp4.buildMp4Pcm(600L, 500L, "lpcm", 1, 8000, s16,
+        Seq(250, 250), gapBytes = 16, use64BitOffsets = true,
+        lpcmBigEndian = true),
+      5L -> Mp4.buildMp4Pcm(600L, 300L, "raw ", 1, 8000, s8, Seq(300)))
+    val tracks = Video.extractAudioTracks(df(fixtures: _*), "id",
+      "content").collect().map(t => t.id -> t).toMap
+    fixtures.foreach { case (id, _) =>
+      val t = tracks(id)
+      assert(t.decoded && t.format == 1 && t.channels == 1 &&
+        t.sampleRate == 8000, s"$id: $t")
+      assert(t.bitsPerSample == (if (id == 5L) 8 else 16), s"$id: $t")
+    }
+    val wavs = fixtures.map { case (id, _) => id -> tracks(id).wav }
+    val dec = Audio.decodePcm16(df(wavs: _*), "id", "content")
+      .collect().map(d => d.id -> d).toMap
+    (1L to 4L).foreach { id =>
+      assert(dec(id).decoded && dec(id).samples.toSeq == s16.toSeq,
+        s"$id decoded samples differ")
+    }
+    assert(dec(5L).samples.toSeq == s8.map(b => (b - 128) << 8).toSeq)
+  }
+
+  test("MP4 soundtrack layout invariance: multi-chunk with gaps, " +
+      "co64, per-sample stsz, and a leading video track all extract " +
+      "byte-identical WAVs to the single-chunk baseline; stereo " +
+      "mixes down by the audio family's floorDiv") {
+    import graft.operators.{Audio, Video}
+    val s16 = Array.tabulate(400)(k => ((k * 907 + 3) % 65536) - 32768)
+    val base = Mp4.buildMp4Pcm(600L, 400L, "sowt", 1, 8000, s16,
+      Seq(400))
+    val fancy = Mp4.buildMp4Pcm(600L, 400L, "sowt", 1, 8000, s16,
+      Seq(64, 64, 128, 144), gapBytes = 9, use64BitOffsets = true,
+      perSampleStsz = true, withVideoTrack = true)
+    val w = Video.extractAudioTracks(df(1L -> base, 2L -> fancy),
+      "id", "content").collect().map(t => t.id -> t.wav).toMap
+    assert(java.util.Arrays.equals(w(1L), w(2L)),
+      "layout must not change the extracted WAV bytes")
+    // stereo: interleaved L/R decodes to floorDiv(L+R, 2)
+    val st = Array.tabulate(300)(k => ((k * 119 + 7) % 65536) - 32768)
+    val mp4 = Mp4.buildMp4Pcm(600L, 150L, "twos", 2, 16000, st,
+      Seq(100, 50))
+    val tr = Video.extractAudioTracks(df(1L -> mp4), "id", "content")
+      .collect().head
+    assert(tr.decoded && tr.channels == 2 && tr.sampleRate == 16000)
+    val d = Audio.decodePcm16(df(1L -> tr.wav), "id", "content")
+      .collect().head
+    val want = (0 until 150).map(f =>
+      math.floorDiv(st(2 * f) + st(2 * f + 1), 2))
+    assert(d.samples.toSeq == want, "stereo mixdown mismatch")
+  }
+
+  test("MP4 soundtrack honesty: compressed codecs, hostile chunk " +
+      "offsets, and over-cap tracks refuse (decoded=false) — never " +
+      "truncated or fabricated samples") {
+    import graft.operators.Video
+    val s16 = Array.tabulate(200)(k => (k * 13) % 100 - 50)
+    // mp4a (declared-only AAC) through the metadata builder
+    val aac = Mp4.buildMp4(600L, 600L, 16, 16, audioCodec = "mp4a",
+      audioChannels = 2, audioRate = 44100)
+    // hostile stco: point the first chunk past EOF
+    val hostile = Mp4.buildMp4Pcm(600L, 200L, "sowt", 1, 8000, s16,
+      Seq(200))
+    val stco = indexOfTag(hostile, "stco")
+    val off = stco + 12 // size+type, version+flags, count
+    hostile(off) = 0x7F.toByte; hostile(off + 1) = 0xFF.toByte
+    hostile(off + 2) = 0xFF.toByte; hostile(off + 3) = 0.toByte
+    // over-cap: 400 bytes of samples against a 100-byte cap
+    val big = Mp4.buildMp4Pcm(600L, 200L, "sowt", 1, 8000, s16,
+      Seq(200))
+    val rows = Video.extractAudioTracks(
+      df(1L -> aac, 2L -> hostile, 3L -> "garbage".getBytes("UTF-8")),
+      "id", "content").collect().map(t => t.id -> t.decoded).toMap
+    assert(rows == Map(1L -> false, 2L -> false, 3L -> false), rows)
+    val capped = Video.extractAudioTracks(df(1L -> big), "id",
+      "content", maxAudioBytes = 100).collect().head
+    assert(!capped.decoded && capped.wav.isEmpty,
+      "over-cap must refuse entirely, never truncate")
+  }
 }
