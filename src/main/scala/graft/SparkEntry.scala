@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Gif, HtmlExtract, LanguageModel, Mp3, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus}
+import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Gif, HtmlExtract, LanguageModel, Mp3, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus, Webm}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -494,6 +494,44 @@ object SparkEntry {
         Seq(c, c, n - 2 * c), gapBytes = base % 5,
         use64BitOffsets = base % 2 == 1, perSampleStsz = base % 3 == 0,
         lpcmBigEndian = base % 8 >= 4, withVideoTrack = base % 2 == 0)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Real WebM/Matroska payloads for the EBML-metadata oracle row:
+    * per doc_id, the library encoder ([[Webm.buildWebm]]) over
+    * closed-form parameters of base = doc_id % 64 — the track layout
+    * rotates (audio-only / video-only / both), every fifth base takes
+    * the unknown-size-segment streamed form, every seventh declares
+    * no duration, every fourth stores the duration as a 32-bit float,
+    * and 2 KiB clusters make the 1 KiB prefix scan a genuine prefix.
+    * The payload codecs (VP8/VP9/AV1/Opus/Vorbis ids) are METADATA —
+    * this library never claims to decode them.
+    */
+  private def syntheticWebmClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val hasVideo = base % 3 != 0
+      val hasAudio = base % 3 != 1
+      Webm.buildWebm(
+        docType = if (base % 2 == 0) "webm" else "matroska",
+        timescaleNs = 1000000L,
+        durationTicks =
+          if (base % 7 == 6) -1.0 else (1000 + base * 13).toDouble,
+        videoCodec = if (hasVideo) "V_VP" + (8 + base % 2) else "",
+        width = if (hasVideo) 320 + 16 * (base % 4) else 0,
+        height = if (hasVideo) 240 + 16 * (base % 3) else 0,
+        audioCodec =
+          if (hasAudio) { if (base % 2 == 0) "A_OPUS" else "A_VORBIS" }
+          else "",
+        audioChannels = if (hasAudio) 1 + base % 2 else 0,
+        audioRate =
+          if (hasAudio) { if (base % 2 == 0) 48000.0 else 44100.0 }
+          else 0.0,
+        nClusters = 1 + base % 3, clusterBytes = 2048,
+        unknownSizeSegment = base % 5 == 0,
+        floatDuration32 = base % 4 == 3)
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -2225,6 +2263,23 @@ object SparkEntry {
           array_max(col("samples")).cast("long").as("sample_peak"),
           array_min(col("samples")).cast("long").as("sample_min"))
     }),
+
+    // Matroska/WebM metadata (the EBML walk): REAL encoder-built
+    // payloads in both DocTypes, all three track layouts, streamed
+    // unknown-size segments, 32- and 64-bit float durations — through
+    // the REAL varint walk via the 1 KiB PREFIX path (2 KiB clusters
+    // make it a genuine prefix); every column is a closed form of
+    // doc_id. Payload blocks (VP8/VP9/Opus) stay honestly undecoded
+    "q_video_webm" -> ((s, dir) =>
+      Webm.webmMetaScan(syntheticWebmClassed(t(s, dir, "documents")),
+        "id", "content", prefixBytes = 1024)
+        .select(col("id"), col("doc_type"), col("timescale_ns"),
+          col("duration_ms"), col("tracks").cast("long").as("tracks"),
+          col("video_codec"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("audio_codec"),
+          col("audio_channels").cast("long").as("audio_channels"),
+          col("audio_rate").cast("long").as("audio_rate"),
+          col("parsed"))),
 
     // the MP4 side of the soundtrack bridge: REAL buildMp4Pcm payloads
     // (all four PCM sample entries, varied chunk/offset/stsz layouts)
@@ -5171,6 +5226,41 @@ object SparkEntry {
         |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
         |  CAST(list_min(ss) AS BIGINT) AS sample_min
         |FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // WebM/Matroska metadata: every field is a closed form of base =
+    // doc_id % 64 (the builder's parameter grid); parsed is uniformly
+    // true — honesty rows live in WebmMetaSpec where corruption is
+    // byte-surgical
+    "q_video_webm" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents)
+        |SELECT id,
+        |  CASE WHEN base % 2 = 0 THEN 'webm' ELSE 'matroska' END
+        |    AS doc_type,
+        |  CAST(1000000 AS BIGINT) AS timescale_ns,
+        |  CAST(CASE WHEN base % 7 = 6 THEN -1
+        |    ELSE 1000 + base * 13 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN base % 3 = 2 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS tracks,
+        |  CASE WHEN base % 3 <> 0
+        |    THEN 'V_VP' || CAST(8 + base % 2 AS VARCHAR)
+        |    ELSE '' END AS video_codec,
+        |  CAST(CASE WHEN base % 3 <> 0 THEN 320 + 16 * (base % 4)
+        |    ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN base % 3 <> 0 THEN 240 + 16 * (base % 3)
+        |    ELSE 0 END AS BIGINT) AS height,
+        |  CASE WHEN base % 3 <> 1 THEN
+        |    CASE WHEN base % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+        |    ELSE '' END AS audio_codec,
+        |  CAST(CASE WHEN base % 3 <> 1 THEN 1 + base % 2
+        |    ELSE 0 END AS BIGINT) AS audio_channels,
+        |  CAST(CASE WHEN base % 3 <> 1 THEN
+        |    CASE WHEN base % 2 = 0 THEN 48000 ELSE 44100 END
+        |    ELSE 0 END AS BIGINT) AS audio_rate,
+        |  TRUE AS parsed
+        |FROM g
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // MP4 soundtrack bridge: the planted stream is a closed form of

@@ -1,0 +1,549 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Matroska / WebM (EBML) container metadata — after ISO-BMFF the
+  * dominant real-world video container (WebM is the web's). The walk
+  * derives entirely from the published EBML grammar (RFC 8794) and
+  * the Matroska element registry: variable-length element IDs (stored
+  * with their length-descriptor bit) and sizes (descriptor bit
+  * stripped; all-value-bits-set = "unknown size"), an EBML header
+  * element carrying `DocType`, then one `Segment` whose `Info`
+  * (timestamp scale, float duration) and `Tracks` (track entries:
+  * type, codec id, video dims, audio rate/channels) children are the
+  * metadata a 100 TB filter reads.
+  *
+  * Design for 100 TB — the same contract as [[Mp4.parseMp4Header]]:
+  *  - header-only: `Cluster` payloads (the bulk — VP8/VP9/Opus/
+  *    Vorbis frames this library honestly does not decode) are
+  *    skipped by declared size, their bytes never touched; once
+  *    `Info` and `Tracks` are both seen the walk STOPS at the first
+  *    cluster (every muxer writes metadata first).
+  *  - prefix-boundable: [[parseWebmHeaderPrefix]] parses from a small
+  *    persisted prefix column; metadata beyond the prefix is
+  *    `parsed = false`, never fabricated.
+  *  - honest: garbage, truncated varints, unknown-size elements the
+  *    walk cannot step over, non-finite or negative float durations,
+  *    and insane dimensions all refuse. Long cursors everywhere — a
+  *    hostile 2⁶²-byte declared size ends the walk instead of
+  *    wrapping.
+  */
+object Webm {
+
+  /** Header-only Matroska/WebM metadata. `timescaleNs` is the
+    * segment's timestamp scale in nanoseconds (the published default
+    * 1,000,000 when absent); `durationMs` is
+    * floor(duration · timescaleNs / 10⁶) from the float `Duration`
+    * element, −1 when the segment declares none (live captures).
+    * Video fields come from the FIRST video track entry, audio
+    * fields from the first audio track entry; `audioRate` is the
+    * integer floor of the float sampling frequency. `tracks` counts
+    * every track entry.
+    */
+  case class WebmMeta(id: Long, docType: String, timescaleNs: Long,
+      durationMs: Long, tracks: Int, videoCodec: String, width: Int,
+      height: Int, audioCodec: String, audioChannels: Int,
+      audioRate: Int, parsed: Boolean)
+
+  def parseWebmHeader(df: DataFrame, idCol: String,
+      binCol: String): Dataset[WebmMeta] = {
+    implicit val enc = Encoders.product[WebmMeta]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          toMeta(r.getLong(0), parseWebm(r.getAs[Array[Byte]](1)))
+        }
+    }
+  }
+
+  /** [[parseWebmHeader]] over only the first `prefixBytes` of each
+    * payload — the 100 TB metadata-filter path
+    * ([[Mp4.parseMp4HeaderPrefix]] for EBML): every muxer writes the
+    * EBML header, `Info` and `Tracks` ahead of the first cluster, so
+    * the prefix parse succeeds on real files; metadata that would lie
+    * beyond the prefix is honestly `parsed = false`.
+    */
+  def parseWebmHeaderPrefix(df: DataFrame, idCol: String,
+      binCol: String, prefixBytes: Int = 64 * 1024): Dataset[WebmMeta] = {
+    require(prefixBytes >= 8,
+      s"prefixBytes must cover the EBML magic, got $prefixBytes")
+    implicit val enc = Encoders.product[WebmMeta]
+    df.select(col(idCol).cast("long"),
+      substring(col(binCol), 1, prefixBytes).as("__webm_prefix"),
+      length(col(binCol)).cast("long").as("__webm_len")).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          toMeta(r.getLong(0),
+            parseWebm(r.getAs[Array[Byte]](1), r.getLong(2)))
+        }
+    }
+  }
+
+  /** Metadata projection — id + the [[WebmMeta]] fields as columns.
+    * `prefixBytes > 0` routes through the prefix parser.
+    */
+  def webmMetaScan(df: DataFrame, idCol: String, binCol: String,
+      prefixBytes: Int = 0): DataFrame = {
+    val ds = if (prefixBytes > 0)
+      parseWebmHeaderPrefix(df, idCol, binCol, prefixBytes)
+    else parseWebmHeader(df, idCol, binCol)
+    ds.toDF().select(col("id"),
+      col("docType").as("doc_type"),
+      col("timescaleNs").as("timescale_ns"),
+      col("durationMs").as("duration_ms"),
+      col("tracks"),
+      col("videoCodec").as("video_codec"),
+      col("width"), col("height"),
+      col("audioCodec").as("audio_codec"),
+      col("audioChannels").as("audio_channels"),
+      col("audioRate").as("audio_rate"),
+      col("parsed"))
+  }
+
+  // ---- imperative internals (the mapPartitions payload walker) -------
+
+  private[graft] final case class ParsedWebm(docType: String,
+      timescaleNs: Long, durationMs: Long, tracks: Int,
+      videoCodec: String, width: Int, height: Int, audioCodec: String,
+      audioChannels: Int, audioRate: Int)
+
+  private def toMeta(id: Long, p: Option[ParsedWebm]): WebmMeta =
+    p match {
+      case Some(m) => WebmMeta(id, m.docType, m.timescaleNs,
+        m.durationMs, m.tracks, m.videoCodec, m.width, m.height,
+        m.audioCodec, m.audioChannels, m.audioRate, parsed = true)
+      case None => WebmMeta(id, "", 0L, 0L, 0, "", 0, 0, "", 0, 0,
+        parsed = false)
+    }
+
+  // Matroska element IDs (as stored, length descriptor included)
+  private val IdEbml = 0x1A45DFA3L
+  private val IdDocType = 0x4282L
+  private val IdSegment = 0x18538067L
+  private val IdInfo = 0x1549A966L
+  private val IdTimestampScale = 0x2AD7B1L
+  private val IdDuration = 0x4489L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdTrackType = 0x83L
+  private val IdCodecId = 0x86L
+  private val IdVideo = 0xE0L
+  private val IdPixelWidth = 0xB0L
+  private val IdPixelHeight = 0xBAL
+  private val IdAudio = 0xE1L
+  private val IdSamplingFrequency = 0xB5L
+  private val IdChannels = 0x9FL
+  private val IdCluster = 0x1F43B675L
+
+  private val UnknownSize = -2L // sentinel: all value bits set
+
+  /** One EBML varint at `pos`: (value, bytesRead) — the ID form keeps
+    * the descriptor bit (`keepMarker = true`), the size form strips
+    * it and maps all-value-bits-set to [[UnknownSize]]. None when the
+    * first byte is 0 (reserved) or the varint crosses `avail`.
+    */
+  private def varint(b: Array[Byte], pos: Long, avail: Long,
+      keepMarker: Boolean): Option[(Long, Int)] = {
+    if (pos >= avail) return None
+    val first = b(pos.toInt) & 0xFF
+    if (first == 0) return None // > 8-byte varints: not in the grammar
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+    if (pos + len > avail) return None
+    var v = if (keepMarker) first.toLong
+      else (first & (0xFF >>> len)).toLong
+    var i = 1
+    while (i < len) {
+      v = (v << 8) | (b((pos + i).toInt) & 0xFF)
+      i += 1
+    }
+    if (!keepMarker) {
+      // all value bits set = "unknown size"
+      val maxV = (1L << (7 * len)) - 1L
+      if (v == maxV) return Some((UnknownSize, len))
+    }
+    Some((v, len))
+  }
+
+  /** Element header at `pos`: (id, bodyStart, bodyEnd) where bodyEnd
+    * is [[UnknownSize]]-marked as `-2`. None on truncation/garbage.
+    */
+  private def elementAt(b: Array[Byte], pos: Long,
+      avail: Long): Option[(Long, Long, Long)] = {
+    val (id, idLen) = varint(b, pos, avail, keepMarker = true)
+      .getOrElse(return None)
+    val (sz, szLen) = varint(b, pos + idLen, avail, keepMarker = false)
+      .getOrElse(return None)
+    val body = pos + idLen + szLen
+    if (sz == UnknownSize) Some((id, body, UnknownSize))
+    else if (sz < 0L) None
+    else Some((id, body, body + sz))
+  }
+
+  private def beUint(b: Array[Byte], start: Long, end: Long): Option[Long] = {
+    val n = (end - start).toInt
+    if (n < 1 || n > 8) return None
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (b((start + i).toInt) & 0xFF); i += 1 }
+    if (v < 0L) None else Some(v)
+  }
+
+  private def beFloat(b: Array[Byte], start: Long,
+      end: Long): Option[Double] = {
+    val n = end - start
+    if (n == 4L) {
+      var v = 0
+      var i = 0
+      while (i < 4) { v = (v << 8) | (b((start + i).toInt) & 0xFF); i += 1 }
+      Some(java.lang.Float.intBitsToFloat(v).toDouble)
+    } else if (n == 8L) {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (b((start + i).toInt) & 0xFF); i += 1 }
+      Some(java.lang.Double.longBitsToDouble(v))
+    } else None // the grammar allows only 4- or 8-byte floats
+  }
+
+  /** The EBML walk. `trueLen < 0` means `bytes` IS the whole payload;
+    * otherwise `bytes` is a prefix of a `trueLen`-byte payload.
+    * Identification requires the leading EBML header element with a
+    * Matroska-family DocType. The walk stops at the first cluster
+    * once `Info` and `Tracks` are both in hand; structure it cannot
+    * step over (unknown-size non-segment elements, headers beyond the
+    * prefix before the metadata is complete) refuses.
+    */
+  private[graft] def parseWebm(bytes: Array[Byte],
+      trueLen: Long = -1L): Option[ParsedWebm] = {
+    if (bytes == null || bytes.length < 8) return None
+    val total = if (trueLen < 0) bytes.length.toLong else trueLen
+    val avail = bytes.length.toLong
+
+    // ---- EBML header: identification + DocType
+    val (id0, hBody, hEnd) =
+      elementAt(bytes, 0L, avail).getOrElse(return None)
+    if (id0 != IdEbml || hEnd == UnknownSize || hEnd > avail)
+      return None
+    var docType = ""
+    var p = hBody
+    while (p < hEnd) {
+      val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return None)
+      if (e == UnknownSize || e > hEnd) return None
+      if (eid == IdDocType) {
+        var len = (e - b).toInt
+        // the grammar zero-pads strings; trim trailing NULs
+        while (len > 0 && bytes((b + len - 1).toInt) == 0) len -= 1
+        docType = new String(bytes, b.toInt, len, "US-ASCII")
+      }
+      p = e
+    }
+    if (docType != "webm" && docType != "matroska") return None
+
+    // ---- Segment
+    val (segId, segBody, segEndRaw) =
+      elementAt(bytes, hEnd, avail).getOrElse(return None)
+    if (segId != IdSegment) return None
+    val segEnd =
+      if (segEndRaw == UnknownSize) total // streamed capture: to EOF
+      else if (segEndRaw > total) return None
+      else segEndRaw
+
+    var timescaleNs = 1000000L // the published default
+    var durationF = -1.0
+    var sawDuration = false
+    var tracks = 0
+    var videoCodec = ""
+    var width = 0
+    var height = 0
+    var audioCodec = ""
+    var audioChannels = 0
+    var audioRate = 0
+    var sawInfo = false
+    var sawTracks = false
+
+    def walkInfo(start: Long, end: Long): Boolean = {
+      var p = start
+      while (p < end) {
+        val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return false)
+        if (e == UnknownSize || e > end) return false
+        eid match {
+          case IdTimestampScale =>
+            timescaleNs = beUint(bytes, b, e).getOrElse(return false)
+            if (timescaleNs <= 0L) return false
+          case IdDuration =>
+            durationF = beFloat(bytes, b, e).getOrElse(return false)
+            if (!java.lang.Double.isFinite(durationF) ||
+              durationF < 0.0) return false
+            sawDuration = true
+          case _ => // MuxingApp/WritingApp/SegmentUID/…: not metadata
+        }
+        p = e
+      }
+      true
+    }
+
+    def walkTrackEntry(start: Long, end: Long): Boolean = {
+      var trackType = 0L
+      var codecId = ""
+      var w = 0L
+      var h = 0L
+      var ch = 0L
+      var rate = -1.0
+      var p = start
+      while (p < end) {
+        val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return false)
+        if (e == UnknownSize || e > end) return false
+        eid match {
+          case IdTrackType =>
+            trackType = beUint(bytes, b, e).getOrElse(return false)
+          case IdCodecId =>
+            var len = (e - b).toInt
+            while (len > 0 && bytes((b + len - 1).toInt) == 0) len -= 1
+            codecId = new String(bytes, b.toInt, len, "US-ASCII")
+          case IdVideo =>
+            var q = b
+            while (q < e) {
+              val (vid, vb, ve) =
+                elementAt(bytes, q, avail).getOrElse(return false)
+              if (ve == UnknownSize || ve > e) return false
+              if (vid == IdPixelWidth)
+                w = beUint(bytes, vb, ve).getOrElse(return false)
+              else if (vid == IdPixelHeight)
+                h = beUint(bytes, vb, ve).getOrElse(return false)
+              q = ve
+            }
+          case IdAudio =>
+            var q = b
+            while (q < e) {
+              val (aid, ab, ae) =
+                elementAt(bytes, q, avail).getOrElse(return false)
+              if (ae == UnknownSize || ae > e) return false
+              if (aid == IdChannels)
+                ch = beUint(bytes, ab, ae).getOrElse(return false)
+              else if (aid == IdSamplingFrequency) {
+                rate = beFloat(bytes, ab, ae).getOrElse(return false)
+                if (!java.lang.Double.isFinite(rate) || rate <= 0.0 ||
+                  rate > Int.MaxValue) return false
+              }
+              q = ae
+            }
+          case _ =>
+        }
+        p = e
+      }
+      tracks += 1
+      if (trackType == 1L && videoCodec.isEmpty && codecId.nonEmpty) {
+        if (w <= 0L || h <= 0L || w > 32768L || h > 32768L) return false
+        videoCodec = codecId
+        width = w.toInt
+        height = h.toInt
+      } else if (trackType == 2L && audioCodec.isEmpty &&
+        codecId.nonEmpty) {
+        audioCodec = codecId
+        audioChannels = ch.toInt
+        audioRate = if (rate > 0.0) math.floor(rate).toInt else 0
+      }
+      true
+    }
+
+    def walkTracks(start: Long, end: Long): Boolean = {
+      var p = start
+      while (p < end) {
+        val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return false)
+        if (e == UnknownSize || e > end) return false
+        if (eid == IdTrackEntry) {
+          if (!walkTrackEntry(b, e)) return false
+        }
+        p = e
+      }
+      true
+    }
+
+    // ---- segment children: Info/Tracks must be PRESENT; clusters
+    // (and anything after both are in hand) are skippable bulk
+    var pos = segBody
+    var done = false
+    while (!done && pos < segEnd) {
+      elementAt(bytes, pos, avail) match {
+        case Some((eid, b, e)) =>
+          if (eid == IdInfo) {
+            if (e == UnknownSize || e > avail) return None
+            if (!walkInfo(b, e)) return None
+            sawInfo = true
+          } else if (eid == IdTracks) {
+            if (e == UnknownSize || e > avail) return None
+            if (!walkTracks(b, e)) return None
+            sawTracks = true
+          } else if (eid == IdCluster) {
+            if (sawInfo && sawTracks) done = true // metadata complete
+            else if (e == UnknownSize || e > total) return None
+            // clusters before the metadata: skip by declared size
+          } else {
+            // SeekHead/Void/Tags/Cues/…: skip by declared size
+            if (e == UnknownSize) return None
+          }
+          if (!done) {
+            if (e == UnknownSize || e > total) return None
+            pos = e
+          }
+        case None =>
+          // header beyond the prefix: honest only once complete
+          if (sawInfo && sawTracks && pos + 1 > avail && pos < total)
+            done = true
+          else return None
+      }
+    }
+    if (!sawInfo || !sawTracks || tracks == 0) return None
+    val durationMs =
+      if (!sawDuration) -1L
+      else {
+        val ms = durationF * timescaleNs.toDouble / 1e6
+        if (!(ms >= 0.0 && ms <= Long.MaxValue.toDouble)) return None
+        math.floor(ms).toLong
+      }
+    Some(ParsedWebm(docType, timescaleNs, durationMs, tracks,
+      videoCodec, width, height, audioCodec, audioChannels, audioRate))
+  }
+
+  // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
+
+  /** Build a minimal valid WebM/Matroska file: EBML header (DocType),
+    * one Segment with Info (timestamp scale + optional float
+    * duration), Tracks (an optional video entry and an optional audio
+    * entry), and `nClusters` clusters of opaque filler — the decode
+    * twin of [[parseWebmHeader]]; payload blocks are filler (this
+    * library never claims to decode VP8/VP9/Opus/Vorbis).
+    * `durationTicks < 0` omits the Duration element (live-capture
+    * shape). `unknownSizeSegment` writes the streamed form (segment
+    * size all-ones, clusters to EOF).
+    */
+  def buildWebm(docType: String, timescaleNs: Long,
+      durationTicks: Double, videoCodec: String = "V_VP8",
+      width: Int = 0, height: Int = 0, audioCodec: String = "",
+      audioChannels: Int = 0, audioRate: Double = 0.0,
+      nClusters: Int = 1, clusterBytes: Int = 64,
+      unknownSizeSegment: Boolean = false,
+      floatDuration32: Boolean = false): Array[Byte] = {
+    require(docType == "webm" || docType == "matroska", "docType")
+    require(timescaleNs > 0, "timescaleNs")
+    require(videoCodec.nonEmpty || audioCodec.nonEmpty,
+      "at least one track")
+    val bos = new java.io.ByteArrayOutputStream()
+    def writeId(id: Long): Unit = {
+      var len = 1
+      while ((id >>> (8 * len)) != 0L) len += 1
+      var i = len - 1
+      while (i >= 0) { bos.write(((id >>> (8 * i)) & 0xFF).toInt); i -= 1 }
+    }
+    def writeSize(sz: Long): Unit = {
+      // shortest form with at least one spare value bit (so the
+      // all-ones unknown-size pattern is never emitted by accident)
+      var len = 1
+      while (len < 8 && sz >= (1L << (7 * len)) - 1L) len += 1
+      val v = sz | (1L << (7 * len))
+      var i = len - 1
+      while (i >= 0) { bos.write(((v >>> (8 * i)) & 0xFF).toInt); i -= 1 }
+    }
+    def element(id: Long)(body: => Unit): Unit = {
+      val tmp = bos.toByteArray
+      bos.reset()
+      body
+      val payload = bos.toByteArray
+      bos.reset()
+      bos.write(tmp, 0, tmp.length)
+      writeId(id)
+      writeSize(payload.length.toLong)
+      bos.write(payload, 0, payload.length)
+    }
+    def uintEl(id: Long, v: Long): Unit = element(id) {
+      var len = 1
+      while ((v >>> (8 * len)) != 0L) len += 1
+      var i = len - 1
+      while (i >= 0) { bos.write(((v >>> (8 * i)) & 0xFF).toInt); i -= 1 }
+    }
+    def strEl(id: Long, s: String): Unit = element(id) {
+      bos.write(s.getBytes("US-ASCII"))
+    }
+    def floatEl(id: Long, d: Double, as32: Boolean): Unit = element(id) {
+      if (as32) {
+        val v = java.lang.Float.floatToIntBits(d.toFloat)
+        var i = 3
+        while (i >= 0) { bos.write((v >>> (8 * i)) & 0xFF); i -= 1 }
+      } else {
+        val v = java.lang.Double.doubleToLongBits(d)
+        var i = 7
+        while (i >= 0) { bos.write(((v >>> (8 * i)) & 0xFF).toInt); i -= 1 }
+      }
+    }
+
+    element(IdEbml) {
+      uintEl(0x4286L, 1L) // EBMLVersion
+      uintEl(0x42F7L, 1L) // EBMLReadVersion
+      uintEl(0x42F2L, 4L) // EBMLMaxIDLength
+      uintEl(0x42F3L, 8L) // EBMLMaxSizeLength
+      strEl(IdDocType, docType)
+      uintEl(0x4287L, 2L) // DocTypeVersion
+      uintEl(0x4285L, 2L) // DocTypeReadVersion
+    }
+
+    def segmentBody(): Unit = {
+      element(IdInfo) {
+        uintEl(IdTimestampScale, timescaleNs)
+        if (durationTicks >= 0.0)
+          floatEl(IdDuration, durationTicks, floatDuration32)
+        strEl(0x4D80L, "graft") // MuxingApp
+        strEl(0x5741L, "graft") // WritingApp
+      }
+      element(IdTracks) {
+        var trackNum = 1L
+        if (videoCodec.nonEmpty) {
+          element(IdTrackEntry) {
+            uintEl(0xD7L, trackNum) // TrackNumber
+            uintEl(0x73C5L, trackNum) // TrackUID
+            uintEl(IdTrackType, 1L)
+            strEl(IdCodecId, videoCodec)
+            element(IdVideo) {
+              uintEl(IdPixelWidth, width.toLong)
+              uintEl(IdPixelHeight, height.toLong)
+            }
+          }
+          trackNum += 1
+        }
+        if (audioCodec.nonEmpty) {
+          element(IdTrackEntry) {
+            uintEl(0xD7L, trackNum)
+            uintEl(0x73C5L, trackNum)
+            uintEl(IdTrackType, 2L)
+            strEl(IdCodecId, audioCodec)
+            element(IdAudio) {
+              floatEl(IdSamplingFrequency, audioRate, as32 = false)
+              uintEl(IdChannels, audioChannels.toLong)
+            }
+          }
+        }
+      }
+      (0 until nClusters).foreach { c =>
+        element(IdCluster) {
+          uintEl(0xE7L, c.toLong * 1000L) // Timestamp
+          element(0xA3L) { // SimpleBlock: opaque filler payload
+            (0 until clusterBytes).foreach(i =>
+              bos.write((i * 31 + c * 7) & 0xFF))
+          }
+        }
+      }
+    }
+
+    if (unknownSizeSegment) {
+      val tmp = bos.toByteArray
+      bos.reset()
+      segmentBody()
+      val payload = bos.toByteArray
+      bos.reset()
+      bos.write(tmp, 0, tmp.length)
+      writeId(IdSegment)
+      bos.write(0xFF) // 1-byte all-ones size: unknown
+      bos.write(payload, 0, payload.length)
+    } else element(IdSegment) { segmentBody() }
+    bos.toByteArray
+  }
+}
