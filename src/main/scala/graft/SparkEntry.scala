@@ -499,6 +499,31 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real EXIF-bearing JPEGs for the APP1-bridge oracle row: per
+    * doc_id the library encoder ([[Multimodal.buildJpegExif]]) writes
+    * a genuine APP1 TIFF blob (IFD0 + Exif sub-IFD, byte order
+    * alternating by base) whose every field is a closed form of
+    * base = doc_id % 64.
+    */
+  private def syntheticExifClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      Multimodal.buildJpegExif(
+        orientation = 1 + base % 8,
+        make = "Maker_" + (base % 5),
+        model = "Model_" + base,
+        dateTime = f"2020:01:${1 + base % 28}%02d 10:00:${base % 60}%02d",
+        dateTimeOriginal =
+          f"2019:12:${1 + base % 28}%02d 09:59:${base % 60}%02d",
+        iso = 100 * (1 + base % 8),
+        exifWidth = 640L + 16L * base,
+        exifHeight = 480L + 8L * base,
+        littleEndian = base % 2 == 0)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real WebM/Matroska payloads for the EBML-metadata oracle row:
     * per doc_id, the library encoder ([[Webm.buildWebm]]) over
     * closed-form parameters of base = doc_id % 64 — the track layout
@@ -2263,6 +2288,21 @@ object SparkEntry {
           array_max(col("samples")).cast("long").as("sample_peak"),
           array_min(col("samples")).cast("long").as("sample_min"))
     }),
+
+    // EXIF-in-JPEG: REAL APP1 TIFF blobs (both byte orders, IFD0 +
+    // Exif sub-IFD, inline and out-of-line ASCII) through the REAL
+    // JPEG marker walk + IFD arithmetic; every column is a closed
+    // form of doc_id. Splice-into-real-JPEG realism and the honesty
+    // matrix are spec-pinned in ExifSpec
+    "q_image_exif" -> ((s, dir) =>
+      Multimodal.jpegExifScan(
+        syntheticExifClassed(t(s, dir, "documents")), "id", "content")
+        .select(col("id"), col("little_endian"),
+          col("orientation").cast("long").as("orientation"),
+          col("make"), col("model"), col("date_time"),
+          col("date_time_original"),
+          col("iso").cast("long").as("iso"),
+          col("exif_width"), col("exif_height"), col("parsed"))),
 
     // Matroska/WebM metadata (the EBML walk): REAL encoder-built
     // payloads in both DocTypes, all three track layouts, streamed
@@ -5226,6 +5266,31 @@ object SparkEntry {
         |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
         |  CAST(list_min(ss) AS BIGINT) AS sample_min
         |FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // EXIF: every field is a closed form of base = doc_id % 64 (the
+    // builder's parameter grid); honesty rows live in ExifSpec where
+    // corruption is byte-surgical
+    "q_image_exif" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents)
+        |SELECT id,
+        |  base % 2 = 0 AS little_endian,
+        |  CAST(1 + base % 8 AS BIGINT) AS orientation,
+        |  'Maker_' || CAST(base % 5 AS VARCHAR) AS make,
+        |  'Model_' || CAST(base AS VARCHAR) AS model,
+        |  '2020:01:' || lpad(CAST(1 + base % 28 AS VARCHAR), 2, '0')
+        |    || ' 10:00:' || lpad(CAST(base % 60 AS VARCHAR), 2, '0')
+        |    AS date_time,
+        |  '2019:12:' || lpad(CAST(1 + base % 28 AS VARCHAR), 2, '0')
+        |    || ' 09:59:' || lpad(CAST(base % 60 AS VARCHAR), 2, '0')
+        |    AS date_time_original,
+        |  CAST(100 * (1 + base % 8) AS BIGINT) AS iso,
+        |  CAST(640 + 16 * base AS BIGINT) AS exif_width,
+        |  CAST(480 + 8 * base AS BIGINT) AS exif_height,
+        |  TRUE AS parsed
+        |FROM g
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // WebM/Matroska metadata: every field is a closed form of base =

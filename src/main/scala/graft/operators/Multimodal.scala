@@ -297,6 +297,289 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- EXIF-in-JPEG (the APP1 bridge into the TIFF IFD walk) --------
+
+  /** EXIF metadata lifted out of a JPEG's APP1 segment — the single
+    * most queried image metadata in real corpora (orientation,
+    * timestamps, camera make/model). EXIF is literally a TIFF blob
+    * behind an `Exif\0\0` preamble inside JPEG marker segment 0xFFE1,
+    * so this is the published JPEG marker walk (big-endian segment
+    * lengths, stop at SOS — entropy-coded data is never scanned)
+    * bridged into the same IFD arithmetic [[tiffInfo]] uses, extended
+    * to the IFD0 camera tags and the Exif sub-IFD
+    * (0x8769 pointer → DateTimeOriginal / ISO / pixel dims). Missing
+    * tags report zero/empty with `parsed = true` (a JPEG with EXIF
+    * but no ISO is not malformed); a missing or non-EXIF APP1, any
+    * truncated structure, and hostile offsets refuse
+    * (`parsed = false`). Header-only: the read is bounded by the APP1
+    * segment (≤ 64 KiB by the marker grammar) however large the
+    * image.
+    */
+  case class ExifMeta(id: Long, littleEndian: Boolean, orientation: Int,
+      make: String, model: String, dateTime: String,
+      dateTimeOriginal: String, iso: Int, exifWidth: Long,
+      exifHeight: Long, parsed: Boolean)
+
+  def parseJpegExifMeta(df: DataFrame, idCol: String,
+      binCol: String): Dataset[ExifMeta] = {
+    implicit val enc = Encoders.product[ExifMeta]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          parseJpegExif(r.getAs[Array[Byte]](1)) match {
+            case Some(m) => m.copy(id = id)
+            case None => ExifMeta(id, littleEndian = false, 0, "", "",
+              "", "", 0, 0L, 0L, parsed = false)
+          }
+        }
+    }
+  }
+
+  /** Metadata projection — id + the [[ExifMeta]] fields as columns. */
+  def jpegExifScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame =
+    parseJpegExifMeta(df, idCol, binCol).toDF().select(col("id"),
+      col("littleEndian").as("little_endian"),
+      col("orientation"), col("make"), col("model"),
+      col("dateTime").as("date_time"),
+      col("dateTimeOriginal").as("date_time_original"),
+      col("iso"),
+      col("exifWidth").as("exif_width"),
+      col("exifHeight").as("exif_height"),
+      col("parsed"))
+
+  /** The JPEG marker walk + EXIF IFD parse. */
+  private[graft] def parseJpegExif(b: Array[Byte]): Option[ExifMeta] = {
+    if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF ||
+      (b(1) & 0xFF) != 0xD8) return None
+    var pos = 2
+    var tiff0 = -1
+    var tiffEnd = -1
+    while (tiff0 < 0 && pos + 4 <= b.length) {
+      if ((b(pos) & 0xFF) != 0xFF) return None
+      val m = b(pos + 1) & 0xFF
+      if (m == 0xD9 || m == 0xDA) return None // EOI/SOS: no EXIF seen
+      val segLen = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+      if (segLen < 2 || pos + 2 + segLen > b.length) return None
+      if (m == 0xE1 && segLen >= 8 + 6 &&
+        b(pos + 4) == 'E' && b(pos + 5) == 'x' && b(pos + 6) == 'i' &&
+        b(pos + 7) == 'f' && b(pos + 8) == 0 && b(pos + 9) == 0) {
+        tiff0 = pos + 10
+        tiffEnd = pos + 2 + segLen
+      }
+      pos += 2 + segLen
+    }
+    if (tiff0 < 0) return None
+    exifFromTiff(b, tiff0, tiffEnd)
+  }
+
+  /** EXIF IFD walk over the TIFF region `[t0, tEnd)` of `b` — the
+    * same endian/IFD arithmetic as [[tiffInfo]], extended to
+    * out-of-line values (ASCII strings live at `t0 + offset`) and
+    * the Exif sub-IFD.
+    */
+  private def exifFromTiff(b: Array[Byte], t0: Int,
+      tEnd: Int): Option[ExifMeta] = {
+    if (tEnd - t0 < 8 || tEnd > b.length) return None
+    val little =
+      if (b(t0) == 'I'.toByte && b(t0 + 1) == 'I'.toByte) true
+      else if (b(t0) == 'M'.toByte && b(t0 + 1) == 'M'.toByte) false
+      else return None
+    def u16(o: Int): Int =
+      if (little) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    def u32(o: Int): Long =
+      if (little) (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+      else ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    if (u16(t0 + 2) != 42) return None
+
+    var orientation = 0
+    var make = ""
+    var model = ""
+    var dateTime = ""
+    var dateTimeOriginal = ""
+    var iso = 0
+    var exifW = 0L
+    var exifH = 0L
+    var exifIfd = -1L
+
+    /** One IFD's entries; returns false on structural damage. */
+    def walkIfd(ifdOff: Long, sub: Boolean): Boolean = {
+      if (ifdOff < 8L || t0 + ifdOff + 2 > tEnd) return false
+      val base = (t0 + ifdOff).toInt
+      val n = u16(base)
+      if (t0 + ifdOff + 2 + 12L * n + 4 > tEnd) return false
+      var i = 0
+      while (i < n) {
+        val e = base + 2 + 12 * i
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val count = u32(e + 4)
+        val tSize = typ match {
+          case 1 | 2 | 6 | 7 => 1L // BYTE/ASCII/SBYTE/UNDEFINED
+          case 3 | 8 => 2L // SHORT/SSHORT
+          case 4 | 9 => 4L // LONG/SLONG
+          case 5 | 10 => 8L // RATIONAL/SRATIONAL
+          case _ => 0L
+        }
+        if (tSize > 0L && count >= 0L && count <= Int.MaxValue) {
+          val byteLen = tSize * count
+          // inline when it fits the 4-byte slot; out-of-line offset
+          // is relative to the TIFF origin and must stay in-segment
+          val vOff =
+            if (byteLen <= 4L) e + 8L
+            else t0 + u32(e + 8)
+          if (byteLen > 4L && (u32(e + 8) < 8L ||
+            vOff + byteLen > tEnd)) return false
+          def ascii(): String = {
+            var len = byteLen.toInt
+            val o = vOff.toInt
+            while (len > 0 && b(o + len - 1) == 0) len -= 1
+            new String(b, o, len, "US-ASCII")
+          }
+          def short0(): Int =
+            if (typ == 3 && count >= 1L) u16(vOff.toInt) else -1
+          def uint0(): Long =
+            if (typ == 3 && count >= 1L) u16(vOff.toInt).toLong
+            else if (typ == 4 && count >= 1L) u32(vOff.toInt)
+            else -1L
+          if (!sub) tag match {
+            case 0x010F if typ == 2 => make = ascii()
+            case 0x0110 if typ == 2 => model = ascii()
+            case 0x0112 => val v = short0(); if (v >= 0) orientation = v
+            case 0x0132 if typ == 2 => dateTime = ascii()
+            case 0x8769 if typ == 4 && count == 1L =>
+              exifIfd = u32(e + 8)
+            case _ =>
+          } else tag match {
+            case 0x9003 if typ == 2 => dateTimeOriginal = ascii()
+            case 0x8827 => val v = short0(); if (v >= 0) iso = v
+            case 0xA002 => val v = uint0(); if (v >= 0) exifW = v
+            case 0xA003 => val v = uint0(); if (v >= 0) exifH = v
+            case _ =>
+          }
+        }
+        i += 1
+      }
+      true
+    }
+
+    if (!walkIfd(u32(t0 + 4), sub = false)) return None
+    if (exifIfd >= 0L && !walkIfd(exifIfd, sub = true)) return None
+    Some(ExifMeta(0L, little, orientation, make, model, dateTime,
+      dateTimeOriginal, iso, exifW, exifH, parsed = true))
+  }
+
+  /** Build an EXIF APP1 payload (the `Exif\0\0` preamble + a real
+    * TIFF blob with IFD0 and an Exif sub-IFD) and wrap it in a
+    * minimal JPEG, or splice it into an EXISTING JPEG right after its
+    * SOI — the encode twin of [[parseJpegExif]]. `into = null` emits
+    * SOI + APP1 + a tiny truncated-at-SOS body (enough for the
+    * metadata walk, which never reads past the APP1).
+    */
+  def buildJpegExif(orientation: Int, make: String, model: String,
+      dateTime: String, dateTimeOriginal: String, iso: Int,
+      exifWidth: Long, exifHeight: Long, littleEndian: Boolean = true,
+      into: Array[Byte] = null): Array[Byte] = {
+    require(orientation >= 0 && orientation <= 8, "orientation 0..8")
+    require(iso >= 0 && iso <= 0xFFFF, "iso is a SHORT")
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { tiff.write(v & 0xFF); tiff.write((v >> 8) & 0xFF) }
+      else { tiff.write((v >> 8) & 0xFF); tiff.write(v & 0xFF) }
+    def w32(v: Long): Unit =
+      if (littleEndian) {
+        tiff.write((v & 0xFF).toInt); tiff.write(((v >> 8) & 0xFF).toInt)
+        tiff.write(((v >> 16) & 0xFF).toInt)
+        tiff.write(((v >> 24) & 0xFF).toInt)
+      } else {
+        tiff.write(((v >> 24) & 0xFF).toInt)
+        tiff.write(((v >> 16) & 0xFF).toInt)
+        tiff.write(((v >> 8) & 0xFF).toInt); tiff.write((v & 0xFF).toInt)
+      }
+    // layout: header(8) IFD0(2 + 5*12 + 4) ExifIFD(2 + 4*12 + 4)
+    // then the out-of-line ASCII pool
+    val ifd0Entries = 5
+    val exifEntries = 4
+    val ifd0At = 8L
+    val exifAt = ifd0At + 2 + 12L * ifd0Entries + 4
+    var pool = exifAt + 2 + 12L * exifEntries + 4
+    val poolBytes = new java.io.ByteArrayOutputStream()
+    def asciiVal(s: String): (Long, Long) = { // (count, slotValue)
+      val bytes = (s + "\u0000").getBytes("US-ASCII")
+      if (bytes.length <= 4) {
+        var v = 0L
+        bytes.zipWithIndex.foreach { case (x, i) =>
+          v |= (x & 0xFFL) << (if (littleEndian) 8 * i
+            else 8 * (3 - i))
+        }
+        (bytes.length.toLong, v)
+      } else {
+        val at = pool
+        poolBytes.write(bytes, 0, bytes.length)
+        pool += bytes.length
+        (bytes.length.toLong, at)
+      }
+    }
+    def entry(tag: Int, typ: Int, count: Long, slot: Long): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1L) { w16(slot.toInt); w16(0) }
+      else w32(slot)
+    }
+    tiff.write(if (littleEndian) 'I' else 'M')
+    tiff.write(if (littleEndian) 'I' else 'M')
+    w16(42); w32(ifd0At)
+    // IFD0 (tags ascending, as the spec requires)
+    val (makeN, makeV) = asciiVal(make)
+    val (modelN, modelV) = asciiVal(model)
+    val (dtN, dtV) = asciiVal(dateTime)
+    w16(ifd0Entries)
+    entry(0x010F, 2, makeN, makeV)
+    entry(0x0110, 2, modelN, modelV)
+    entry(0x0112, 3, 1L, orientation.toLong)
+    entry(0x0132, 2, dtN, dtV)
+    entry(0x8769, 4, 1L, exifAt)
+    w32(0L)
+    // Exif sub-IFD
+    val (dtoN, dtoV) = asciiVal(dateTimeOriginal)
+    w16(exifEntries)
+    entry(0x8827, 3, 1L, iso.toLong)
+    entry(0x9003, 2, dtoN, dtoV)
+    entry(0xA002, 4, 1L, exifWidth)
+    entry(0xA003, 4, 1L, exifHeight)
+    w32(0L)
+    val poolArr = poolBytes.toByteArray
+    tiff.write(poolArr, 0, poolArr.length)
+
+    val tiffArr = tiff.toByteArray
+    val app1Len = 2 + 6 + tiffArr.length // len field + Exif\0\0 + tiff
+    require(app1Len <= 0xFFFF, "APP1 over 64 KiB")
+    val app1 = new java.io.ByteArrayOutputStream()
+    app1.write(0xFF); app1.write(0xE1)
+    app1.write((app1Len >> 8) & 0xFF); app1.write(app1Len & 0xFF)
+    app1.write("Exif".getBytes("US-ASCII")); app1.write(0); app1.write(0)
+    app1.write(tiffArr, 0, tiffArr.length)
+    val seg = app1.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    if (into != null) {
+      require(into.length >= 2 && (into(0) & 0xFF) == 0xFF &&
+        (into(1) & 0xFF) == 0xD8, "into must be a JPEG")
+      out.write(into, 0, 2)
+      out.write(seg, 0, seg.length)
+      out.write(into, 2, into.length - 2)
+    } else {
+      out.write(0xFF); out.write(0xD8)
+      out.write(seg, 0, seg.length)
+      out.write(0xFF); out.write(0xDA) // SOS: the walk stops here
+      out.write(0); out.write(4); out.write(0); out.write(0)
+    }
+    out.toByteArray
+  }
+
   /** Metadata projection over a WebP-bearing DataFrame: id + variant
     * (`VP8 `/`VP8L`/`VP8X`), canvas dims, alpha/animation flags,
     * `parsed`. The header read is ≤ 30 bytes — persist a prefix
