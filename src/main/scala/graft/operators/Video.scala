@@ -644,25 +644,28 @@ object Video {
       "id", "sig", maxDistance)
 
   /** CONTAINER-AUTO temporal fingerprints: dispatch each payload by
-    * its magic — RIFF/AVI through [[videoSigs]], GIF through
-    * [[Gif.gifSigs]] — into ONE signature space. The per-frame luma
-    * definition (exact integer Σ(r+g+b)) and the 65-sample gradient
-    * fold are identical on both paths, so the same pixels fingerprint
-    * identically whatever the container (spec-pinned in GifSpec):
-    * a mixed 100 TB corpus dedups ACROSS containers with one index,
-    * one admission pass, no per-format corpus splits. Each payload is
-    * read by exactly one decode path (the magic filters push to the
-    * scan); unknown containers carry no signature — exact-byte
-    * dedup's job, as everywhere in this family.
+    * its magic — RIFF/AVI through the AVI chunk walk, GIF through
+    * [[Gif]]'s LZW decode — into ONE signature space. The per-frame
+    * luma definition (exact integer Σ(r+g+b)) and the 65-sample
+    * gradient fold are identical on both paths, so the same pixels
+    * fingerprint identically whatever the container (spec-pinned in
+    * GifSpec): a mixed 100 TB corpus dedups ACROSS containers with
+    * one index, one admission pass, no per-format corpus splits.
+    * ONE scan of the binary column: the dispatch happens per row
+    * inside [[lumaSumsUdf]] (the AVI walk rejects a non-RIFF payload
+    * on its first four bytes, so the fallback probe costs nothing) —
+    * a filter-per-container split would read the corpus's heaviest
+    * column once per container format (2× I/O at 100 TB for two
+    * formats, and growing with each). Plan-pinned in PlanShapeSpec:
+    * no Union, a single scan. Unknown containers carry no signature —
+    * exact-byte dedup's job, as everywhere in this family.
     */
   def videoSigsAuto(df: DataFrame, idCol: String, binCol: String,
-      maxFrameBytes: Int = 1 << 24): DataFrame = {
-    val isRiff = substring(col(binCol), 1, 4) === lit("RIFF".getBytes("US-ASCII"))
-    val isGif = substring(col(binCol), 1, 4) === lit("GIF8".getBytes("US-ASCII"))
-    videoSigs(df.filter(isRiff), idCol, binCol, maxFrameBytes)
-      .unionByName(
-        Gif.gifSigs(df.filter(isGif), idCol, binCol, maxFrameBytes))
-  }
+      maxFrameBytes: Int = 1 << 24): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      lumaSumsUdf(maxFrameBytes)(col(binCol)).as("__lu"))
+      .filter(col("__lu").isNotNull)
+      .select(col("id"), Audio.audioFingerprint64(col("__lu")).as("sig"))
 
   /** In-corpus near-dup pairs over a MIXED-container corpus —
     * [[videoNearDupPairs]] over [[videoSigsAuto]]: an AVI and a GIF

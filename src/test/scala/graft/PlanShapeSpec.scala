@@ -727,6 +727,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("round-17 mixed-container signature pass: videoSigsAuto scans " +
+      "the binary column ONCE (per-row dispatch, no Union, no " +
+      "per-format filter split re-reading the corpus)") {
+    import graft.operators.{Gif, Video}
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigs-auto-plan").toString
+    def frame(base: Int, f: Int): Array[Byte] =
+      Array.tabulate(3 * 16 * 12)(k =>
+        ((base * 131 + f * 31 + k * k % 97 * 7) % 101).toByte)
+    val avi = Video.buildUncompressedAvi(16, 12,
+      (0 until 8).map(f => frame(1, f)), 40000L)
+    val palette = Array.tabulate(16)(i => i * 0x111111)
+    val gif = Gif.buildGif(16, 12, palette,
+      (0 until 8).map(f => Array.tabulate[Byte](16 * 12)(p =>
+        ((f * 31 + p * p % 13) % 16).toByte)), delayCs = 4)
+    Seq(1L -> avi, 2L -> gif).toDF("id", "content")
+      .write.mode("overwrite").parquet(dir)
+    val sigs = Video.videoSigsAuto(spark.read.parquet(dir), "id",
+      "content")
+    assert(sigs.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val plan = sigs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Union"),
+      s"per-format split returned to videoSigsAuto:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"mixed corpus must be scanned once, saw $scans:\n$plan")
+  }
+
   test("round-15 admission shape: cross-side Hamming matching folds " +
       "ONLY the corpus side — no union of the two sides feeds the " +
       "bucket aggregation, snapshot rows join the bucket table") {
