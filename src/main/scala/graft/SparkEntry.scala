@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Gif, HtmlExtract, LanguageModel, Mp3, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus, Webm}
+import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Flac, Gif, HtmlExtract, LanguageModel, Mp3, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus, Webm}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -494,6 +494,42 @@ object SparkEntry {
         Seq(c, c, n - 2 * c), gapBytes = base % 5,
         use64BitOffsets = base % 2 == 1, perSampleStsz = base % 3 == 0,
         lpcmBigEndian = base % 8 >= 4, withVideoTrack = base % 2 == 0)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Real FLAC streams for the compressed-audio decode oracle row:
+    * per doc_id the library encoder ([[Flac.buildFlac]]) Rice-codes a
+    * closed-form planted stream — the subframe strategy rotates
+    * through constant / verbatim / fixed(1, with wasted bits) /
+    * fixed(2, partitioned residuals) / LPC, so the oracle covers
+    * every decode branch; FLAC is lossless, so the decoded samples
+    * ARE the planted stream whatever the coding.
+    */
+  private def syntheticFlacStreamClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 384 + 16 * (base % 8)
+      val mode = base % 5
+      val s =
+        if (mode == 0) Array.fill(n)(base - 32)
+        else Array.tabulate(n) { k =>
+          val v = ((base * 53 + k * 17 + k * k % 31) % 201) - 100
+          if (mode == 2) v * 4 else v
+        }
+      mode match {
+        case 0 => Flac.buildFlac(8000, Array(s), strategy = "constant",
+          blockSize = 128)
+        case 1 => Flac.buildFlac(8000, Array(s), strategy = "verbatim",
+          blockSize = 128)
+        case 2 => Flac.buildFlac(8000, Array(s), strategy = "fixed1",
+          blockSize = 128, wastedBits = 2)
+        case 3 => Flac.buildFlac(8000, Array(s), strategy = "fixed2",
+          blockSize = 128, partitionOrder = 2)
+        case _ => Flac.buildFlac(8000, Array(s), strategy = "lpc",
+          blockSize = 128, lpcCoefs = Array(25, -9), lpcShift = 4)
+      }
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -2288,6 +2324,17 @@ object SparkEntry {
           array_max(col("samples")).cast("long").as("sample_peak"),
           array_min(col("samples")).cast("long").as("sample_min"))
     }),
+
+    // FLAC — COMPRESSED audio whose samples are bit-exact (lossless):
+    // REAL encoder-built streams through the REAL bit-level decode
+    // (Rice residuals, fixed + LPC predictors, wasted bits, CRCs) ->
+    // exact integer stats; every column is a closed form of doc_id
+    // (the rung MP3 can't provide — its hybrid filterbank isn't
+    // SQL-replicable; these are). Stereo decorrelations, escapes, and
+    // the honesty matrix are spec-pinned in FlacSpec
+    "q_audio_flac" -> ((s, dir) =>
+      Flac.flacStats(syntheticFlacStreamClassed(t(s, dir, "documents")),
+        "id", "content")),
 
     // EXIF-in-JPEG: REAL APP1 TIFF blobs (both byte orders, IFD0 +
     // Exif sub-IFD, inline and out-of-line ASCII) through the REAL
@@ -5259,6 +5306,31 @@ object SparkEntry {
         |  FROM documents),
         |s AS (SELECT id, n, list_transform(generate_series(0, n - 1),
         |    k -> (base * 53 + k * 17) % 201 - 100) AS ss
+        |  FROM g)
+        |SELECT id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_sum(ss) AS BIGINT) AS sample_sum,
+        |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
+        |  CAST(list_min(ss) AS BIGINT) AS sample_min
+        |FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // FLAC: lossless — decoded samples ARE the planted closed-form
+    // stream whatever the subframe coding, so stats replay as list
+    // folds; mode 0 plants a constant stream, mode 2 a 4x-scaled one
+    // (wasted-bits coding)
+    "q_audio_flac" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    384 + 16 * (doc_id % 64 % 8) AS n,
+        |    doc_id % 64 % 5 AS mode
+        |  FROM documents),
+        |s AS (SELECT id, n, CASE WHEN mode = 0
+        |    THEN list_transform(generate_series(0, n - 1),
+        |      k -> base - 32)
+        |    ELSE list_transform(generate_series(0, n - 1),
+        |      k -> ((base * 53 + k * 17 + (k * k) % 31) % 201 - 100)
+        |        * CASE WHEN mode = 2 THEN 4 ELSE 1 END) END AS ss
         |  FROM g)
         |SELECT id, CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(n AS BIGINT) AS n_frames,
