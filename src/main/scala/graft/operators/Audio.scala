@@ -1445,6 +1445,110 @@ object Audio {
       maxDistance, maxBucket, strictBuckets)
   }
 
+  /** Per-row segment fingerprints for the STREAMING hunt — the
+    * scalar twin of the batch segment → WAV-wrap → energies chain
+    * (bit-parity spec-pinned by the streaming hunt tests): decode the
+    * clip once, slice `segmentFrames` windows at `hop`, cap and
+    * resample each under the index's OWN recorded params, fold the
+    * 65 window energies, emit the gradient fingerprint. One payload
+    * in memory at a time; null for undecodable payloads (a hunt
+    * cannot match what it cannot read — dropped, never guessed).
+    */
+  private def segmentSigsUdf(segmentFrames: Int, hop: Int, window: Int,
+      maxFrames: Int, canonicalRate: Int) =
+    udf { (bytes: Array[Byte]) =>
+      decodeSamples(bytes, 1 << 20).map { case (m, samples) =>
+        Iterator.from(0)
+          .map(s => (s, s * hop))
+          .takeWhile { case (_, st) =>
+            st.toLong + segmentFrames <= samples.length }
+          .flatMap { case (s, st) =>
+            // the batch path wraps the FULL segment, then its decode
+            // caps at the index's maxFrames — replicate exactly
+            val take = math.min(segmentFrames, maxFrames)
+            val slice = java.util.Arrays.copyOfRange(samples, st,
+              st + take)
+            (if (canonicalRate > 0)
+              resampleChecked(slice, m.sampleRate, canonicalRate,
+                maxFrames)
+            else Some(slice)).map { ss =>
+              val w =
+                if (window > 0) window
+                else math.max(1, (ss.length + 64) / 65)
+              val e = Array.tabulate(65) { i =>
+                var acc = 0L
+                var k = math.min(ss.length.toLong, i.toLong * w).toInt
+                val end =
+                  math.min(ss.length.toLong, (i + 1).toLong * w).toInt
+                while (k < end) {
+                  acc += ss(k).toLong * ss(k)
+                  k += 1
+                }
+                acc
+              }
+              var sig = 0L
+              var i = 0
+              while (i < 64) {
+                if (e(i) > e(i + 1)) sig |= 1L << i
+                i += 1
+              }
+              (s.toLong, st.toLong, sig)
+            }
+          }.toSeq
+      }
+    }
+
+  /** STREAMING needle hunt: match a live clip feed against a STATIC
+    * jingle index ([[writeAudioNearDupIndex]]) — the streaming twin
+    * of [[findClipsContainingJingle]], the deployment shape a
+    * production needle-watch actually runs (new clips arriving vs a
+    * persisted jingle index). Emits one row per MATCHED segment —
+    * the stream row's columns plus `(seg_idx, start_frame)` locating
+    * the hit — in the micro-batch the clip arrives. STATELESS like
+    * the admission twin ([[Dedup]]'s stream kernel): the per-row UDF
+    * emits segment fingerprints (8 bytes each), `explode` is
+    * stateless, the static side is the capped bucket fold, four 1:1
+    * joins + `exists`/`bit_count` decide — zero streaming state
+    * however large the payloads, no emission delay, a clip carrying
+    * the jingle twice reports both segments. `strictBuckets`
+    * defaults TRUE (the hunt guard — checked ONCE at wiring time as
+    * a bounded batch action, never per-batch). `tsCol`/`lateness`
+    * apply a watermark only so downstream stateful consumers inherit
+    * one.
+    */
+  def findClipsContainingJingleStream(stream: DataFrame, idCol: String,
+      binCol: String, tsCol: String, indexPath: String,
+      segmentFrames: Int, hopFrames: Int = 0,
+      lateness: String = "1 hour", maxDistance: Int = 0,
+      maxBucket: Int = 1000, strictBuckets: Boolean = true): DataFrame = {
+    require(segmentFrames > 0, "segmentFrames must be positive")
+    require(hopFrames >= 0, "hopFrames must be >= 0 (0 = segmentFrames)")
+    val spark = stream.sparkSession
+    val (window, maxFrames, canonicalRate) = parseAudioIndexParams(
+      readAudioIndexParams(spark, indexPath,
+        "findClipsContainingJingleStream"),
+      "findClipsContainingJingleStream")
+    val hop = if (hopFrames == 0) segmentFrames else hopFrames
+    val streamCols = stream.columns.toSeq
+    val exploded = stream
+      .withWatermark(tsCol, lateness)
+      .withColumn("__segs",
+        segmentSigsUdf(segmentFrames, hop, window, maxFrames,
+          canonicalRate)(col(binCol)))
+      .filter(col("__segs").isNotNull)
+      .select(streamCols.map(col) :+
+        explode(col("__segs")).as("__seg"): _*)
+      .select(streamCols.map(col) :+
+        col("__seg._1").as("seg_idx") :+
+        col("__seg._2").as("start_frame") :+
+        col("__seg._3").as("__sh"): _*)
+    Dedup.hamming64StreamMatchRows(exploded,
+      streamCols ++ Seq("seg_idx", "start_frame"),
+      spark.read.parquet(
+        Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
+      maxDistance, maxBucket, strictBuckets)
+  }
+
   // ---- RIFF chunk walk (per-payload imperative kernel) ----------------
 
   private final case class Parsed(format: Int, sampleRate: Int,

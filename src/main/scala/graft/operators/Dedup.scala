@@ -688,6 +688,39 @@ object Dedup {
   private[graft] def hamming64StreamAdmit(withSig: DataFrame,
       outCols: Seq[String], sigRead: DataFrame, maxDistance: Int,
       maxBucket: Int, strictBuckets: Boolean = false): DataFrame = {
+    val (joined, matched) = hamming64StreamJoin(withSig, sigRead,
+      maxDistance, maxBucket, strictBuckets, "hamming64StreamAdmit")
+    joined.filter(!matched).select(outCols.map(col): _*)
+  }
+
+  /** The MATCH side of the stateless stream kernel — the streaming
+    * twin of [[hamming64CrossMatchRows]], shared by the streaming
+    * needle hunts: rows whose `__sh` signature is within
+    * `maxDistance` of ANY static-side signature are RETURNED (the
+    * admission filter inverted). Same zero-state shape: capped bucket
+    * fold on the static side, four 1:1 left joins, `exists`/
+    * `bit_count` verify. `strictBuckets` defaults matter to callers —
+    * hunts pass true (a dropped degenerate bucket is where the needle
+    * lives), bulk admission passes false.
+    */
+  private[graft] def hamming64StreamMatchRows(withSig: DataFrame,
+      outCols: Seq[String], sigRead: DataFrame, maxDistance: Int,
+      maxBucket: Int, strictBuckets: Boolean = true): DataFrame = {
+    val (joined, matched) = hamming64StreamJoin(withSig, sigRead,
+      maxDistance, maxBucket, strictBuckets, "hamming64StreamMatchRows")
+    joined.filter(matched).select(outCols.map(col): _*)
+  }
+
+  /** Shared join construction for the stateless streaming kernels:
+    * (joined frame, matched predicate). The static side folds each
+    * (block, value) bucket into ONE row capped at `maxBucket`
+    * members; the stream side takes four 1:1 left joins (bucket keys
+    * are unique after the fold — row cardinality exactly preserved).
+    */
+  private def hamming64StreamJoin(withSig: DataFrame,
+      sigRead: DataFrame, maxDistance: Int, maxBucket: Int,
+      strictBuckets: Boolean,
+      who: String): (DataFrame, Column) = {
     require(maxDistance >= 0 && maxDistance <= 3,
       s"block pigeonhole over 4 blocks covers maxDistance <= 3, " +
         s"got $maxDistance")
@@ -706,7 +739,7 @@ object Dedup {
       val dropped = allBuckets
         .filter(size(col("__cshs")) > maxBucket).count()
       require(dropped == 0L,
-        s"hamming64StreamAdmit: $dropped corpus signature bucket(s) " +
+        s"$who: $dropped corpus signature bucket(s) " +
           s"exceed maxBucket=$maxBucket — every stream match against " +
           s"their members would be dropped whole; raise maxBucket " +
           s"above the largest indexed-signature multiplicity, or pass " +
@@ -728,7 +761,7 @@ object Dedup {
       coalesce(exists(col(s"__cshs$b"), s =>
         bit_count(col("__sh").bitwiseXOR(s)).cast("int") <= maxDistance),
         lit(false))).reduce(_ || _)
-    cur.filter(!matched).select(outCols.map(col): _*)
+    (cur, matched)
   }
 
   /** Semantic near-duplicate pairs via embedding clustering — SemDeDup

@@ -865,6 +865,37 @@ object Video {
       maxBucket, strictBuckets)
   }
 
+  /** STREAMING soundtrack needle hunt: match a live video feed's
+    * AUDIO TRACKS against a static jingle index — the streaming twin
+    * of [[findVideosWithJingle]] and the deployment shape a
+    * production needle-watch runs (new uploads arriving vs a
+    * persisted jingle index). Container-auto like the batch bridge
+    * (per-row magic dispatch: AVI movi concat / MP4 sample tables,
+    * zero transcode), then [[Audio.findClipsContainingJingleStream]]
+    * unchanged: one row per matched segment, in the micro-batch the
+    * video arrives, zero streaming state, `strictBuckets` TRUE by
+    * default (checked once at wiring time). Videos without an
+    * extractable PCM soundtrack emit nothing — dropped, never
+    * guessed.
+    */
+  def findVideosWithJingleStream(stream: DataFrame, idCol: String,
+      binCol: String, tsCol: String, audioIndexPath: String,
+      segmentFrames: Int, hopFrames: Int = 0,
+      lateness: String = "1 hour", maxDistance: Int = 0,
+      maxBucket: Int = 1000, strictBuckets: Boolean = true,
+      maxAudioBytes: Int = 1 << 26): DataFrame = {
+    require(maxAudioBytes > 0, "maxAudioBytes must be positive")
+    val trackUdf = udf { (bytes: Array[Byte]) =>
+      anyAudioTrackWav(bytes, maxAudioBytes).map(_._5)
+    }
+    val withWav = stream
+      .withColumn("__wav", trackUdf(col(binCol)))
+      .filter(col("__wav").isNotNull)
+    Audio.findClipsContainingJingleStream(withWav, idCol, "__wav",
+      tsCol, audioIndexPath, segmentFrames, hopFrames, lateness,
+      maxDistance, maxBucket, strictBuckets).drop("__wav")
+  }
+
   /** Per-row sampled-frame luma sums as a scalar UDF — the streaming
     * twin of [[decodeSampledLuma]] (a streaming plan can't reshape
     * through the typed mapPartitions without dropping the stream's own

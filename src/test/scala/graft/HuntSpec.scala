@@ -190,4 +190,124 @@ class HuntSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(lax.isEmpty, s"capped bucket must drop: ${lax.mkString(",")}")
   }
+
+  test("findClipsContainingJingleStream: the cross-batch needle is " +
+      "caught exactly once, in its arrival batch, at the exact " +
+      "(seg_idx, start_frame); rows match the BATCH hunt bit-for-bit; " +
+      "zero stateful operators; the strict default throws at wiring " +
+      "time on an over-cap index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val jingle = noise(31, 65 * 16)
+    val dir = tmp("graft-hunt-stream")
+    Audio.writeAudioNearDupIndex(
+      df(1L -> Audio.wrapWav(jingle, 0, jingle.length, 8000)),
+      "id", "content", dir)
+    def clip(seed: Int, planted: Boolean) = Audio.wrapWav(
+      if (planted) noise(seed, 1040) ++ jingle ++ noise(seed + 1, 1040)
+      else noise(seed, 3120), 0, 3120, 8000)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val sdf = mem.toDF().toDF("id", "ts", "content")
+    val q = Audio.findClipsContainingJingleStream(sdf, "id", "content",
+        "ts", dir, segmentFrames = 1040)
+      .writeStream.format("memory").queryName("hunt_stream")
+      .outputMode("append").start()
+    def hits() = spark.table("hunt_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    try {
+      val b1 = Seq(
+        (10L, ts("2024-01-01 00:00:00"), clip(20, planted = true)),
+        (20L, ts("2024-01-01 00:00:01"), clip(30, planted = false)))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(hits() == Set((10L, 1L, 1040L)), s"batch1: ${hits()}")
+      // batch 2: another planted clip + an undecodable payload
+      val b2 = Seq(
+        (30L, ts("2024-01-01 00:00:02"), clip(40, planted = true)),
+        (40L, ts("2024-01-01 00:00:03"), "junk".getBytes("UTF-8")))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(hits() == Set((10L, 1L, 1040L), (30L, 1L, 1040L)),
+        s"batch2: ${hits()}")
+      // bit-parity with the batch hunt over the same corpus
+      val batch = Audio.findClipsContainingJingle(
+        df((b1 ++ b2).map(r => r._1 -> r._3): _*), "id", "content",
+        dir, segmentFrames = 1040)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(batch == hits(), s"batch $batch != stream ${hits()}")
+      // zero stateful operators — the hunt holds no per-row state
+      import org.apache.spark.sql.execution.streaming.operators
+        .stateful.StateStoreWriter
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution
+          .streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(exec.collect { case s: StateStoreWriter => s }.isEmpty)
+    } finally q.stop()
+    // strict default: over-cap bucket fails at WIRING time (the
+    // check is a bounded batch action, not a per-batch cost)
+    val overDir = tmp("graft-hunt-stream-over")
+    val w = Audio.wrapWav(jingle, 0, jingle.length, 8000)
+    Audio.writeAudioNearDupIndex(
+      df(1L -> w, 2L -> w.clone(), 3L -> w.clone(), 4L -> w.clone()),
+      "id", "content", overDir)
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val ex = intercept[IllegalArgumentException] {
+      Audio.findClipsContainingJingleStream(
+        mem2.toDF().toDF("id", "ts", "content"), "id", "content",
+        "ts", overDir, segmentFrames = 1040, maxBucket = 3)
+    }
+    assert(ex.getMessage.contains("maxBucket"), ex.getMessage)
+  }
+
+  test("findVideosWithJingleStream: the container-auto soundtrack " +
+      "bridge runs per micro-batch — an MP4 upload and an AVI upload " +
+      "carrying the jingle are both caught, clean and unextractable " +
+      "uploads emit nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Mp4
+    implicit val sq = spark.sqlContext
+    val jingle = noise(47, 65 * 16)
+    val dir = tmp("graft-hunt-vstream")
+    Audio.writeAudioNearDupIndex(
+      df(1L -> Audio.wrapWav(jingle, 0, jingle.length, 8000)),
+      "id", "content", dir)
+    def stream(seed: Int, planted: Boolean): Array[Int] =
+      if (planted) noise(seed, 1040) ++ jingle ++ noise(seed + 1, 1040)
+      else noise(seed, 3120)
+    def mp4(seed: Int, planted: Boolean) = Mp4.buildMp4Pcm(
+      600L, 3120L, "sowt", 1, 8000, stream(seed, planted),
+      Seq(1024, 1024, 1072), withVideoTrack = true)
+    def frame(f: Int): Array[Byte] = Array.tabulate(3 * 4 * 3)(k =>
+      ((5 * 131 + f * 31 + k * 7) % 101).toByte)
+    def avi(seed: Int, planted: Boolean) = Video.buildAviWithAudio(
+      4, 3, (0 until 6).map(frame), 40000L, stream(seed, planted), 8000)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val q = Video.findVideosWithJingleStream(
+        mem.toDF().toDF("id", "ts", "content"), "id", "content", "ts",
+        dir, segmentFrames = 1040)
+      .writeStream.format("memory").queryName("vhunt_stream")
+      .outputMode("append").start()
+    def hits() = spark.table("vhunt_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    try {
+      mem.addData(
+        (10L, ts("2024-01-01 00:00:00"), mp4(50, planted = true)),
+        (20L, ts("2024-01-01 00:00:01"), mp4(60, planted = false)))
+      q.processAllAvailable()
+      assert(hits() == Set((10L, 1L, 1040L)), s"batch1: ${hits()}")
+      mem.addData(
+        (30L, ts("2024-01-01 00:00:02"), avi(70, planted = true)),
+        (40L, ts("2024-01-01 00:00:03"),
+          Mp4.buildMp4(600L, 600L, 16, 16, audioCodec = "mp4a",
+            audioChannels = 2, audioRate = 44100)))
+      q.processAllAvailable()
+      assert(hits() == Set((10L, 1L, 1040L), (30L, 1L, 1040L)),
+        s"batch2: ${hits()}")
+    } finally q.stop()
+  }
 }
