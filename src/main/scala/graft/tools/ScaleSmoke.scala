@@ -2148,6 +2148,271 @@ object ScaleSmoke {
         f"$tM3%.1f s (${nM3 / tM3}%.0f files/s), all parsed, " +
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     }
+
+    // --- MP4 soundtrack hunt at 500k containers: the round-17
+    // sample-table bridge. Every 500th of 500k MP4s (sowt PCM sound
+    // tracks behind real stsc/stsz/stco layouts, leading video trak)
+    // carries the known jingle as segment 1; the SAME public hunt API
+    // as the AVI smoke — extractAudioTracks now dispatches by magic —
+    // must return EXACTLY the planted (container, segment 1) hits.
+    {
+      def mix(a: Long): Long = {
+        var x = a
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x
+      }
+      import spark.implicits._
+      val nVid = 500000L
+      def jingleSample(k: Int): Int =
+        (((mix(mix(-7L) + k) & Long.MaxValue) % 16001L) - 8000L).toInt
+      val jIdxDir = java.nio.file.Files
+        .createTempDirectory("graft-m4jingle-smoke").toString
+      graft.operators.Audio.writeAudioNearDupIndex(
+        Seq((0L, graft.operators.Audio.wrapWav(
+          Array.tabulate(1040)(jingleSample), 0, 1040, 8000)))
+          .toDF("id", "content"),
+        "id", "content", jIdxDir)
+      val t94 = System.nanoTime()
+      val vids = spark.range(0L, nVid).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val samples = Array.tabulate(3120) { k =>
+              if (id % 500 == 0 && k >= 1040 && k < 2080)
+                jingleSample(k - 1040)
+              else (((mix(mix(id) + k) & Long.MaxValue) % 16001L)
+                - 8000L).toInt
+            }
+            (id, graft.operators.Mp4.buildMp4Pcm(
+              600L, 3120L, "sowt", 1, 8000, samples,
+              Seq(1024, 1024, 1072), use64BitOffsets = id % 2 == 1,
+              withVideoTrack = true))
+          }
+        }.toDF("id", "content")
+      val vhits = graft.operators.Video.findVideosWithJingle(
+        vids, "id", "content", jIdxDir, segmentFrames = 1040)
+      val vAgg = vhits.agg(count(lit(1)),
+        sum(when(col("id") % 500 === 0 && col("seg_idx") === 1L, 1L)
+          .otherwise(0L))).collect()(0)
+      val tVj = (System.nanoTime() - t94) / 1e9
+      require(vAgg.getLong(0) == nVid / 500L &&
+        vAgg.getLong(1) == nVid / 500L,
+        s"mp4SoundtrackDetect: $vAgg != ${nVid / 500} planted hits")
+      println(f"mp4SoundtrackDetect: 1 indexed jingle vs $nVid%d MP4s " +
+        f"(sample-table extract -> segment -> admit, strict, PUBLIC " +
+        f"hunt API) -> exactly ${nVid / 500} planted hits in " +
+        f"$tVj%.1f s (${nVid / tVj}%.0f vids/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(jIdxDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p2 => java.nio.file.Files.delete(p2))
+    }
+
+    // --- round-17 metadata walks at the 100 TB filter shape: 2M
+    // WebM/Matroska EBML containers through the 1 KiB PREFIX route
+    // and 2M EXIF-bearing JPEGs through the APP1 walk — closed-form
+    // aggregates pin every projected field.
+    {
+      import spark.implicits._
+      val nWm = 2000000L
+      val t95 = System.nanoTime()
+      val wms = spark.range(0L, nWm).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            (id, graft.operators.Webm.buildWebm(
+              docType = if (b % 2 == 0) "webm" else "matroska",
+              timescaleNs = 1000000L,
+              durationTicks = (1000 + b * 13).toDouble,
+              videoCodec = "V_VP" + (8 + b % 2),
+              width = 320 + 16 * (b % 4), height = 240 + 16 * (b % 3),
+              nClusters = 2, clusterBytes = 2048,
+              unknownSizeSegment = b % 5 == 0))
+          }
+        }.toDF("id", "content")
+      val wmAgg = graft.operators.Webm.webmMetaScan(wms, "id",
+        "content", prefixBytes = 1024)
+        .agg(count(lit(1)), min(col("parsed").cast("int")),
+          sum(col("duration_ms")), sum(col("width"))).collect()(0)
+      val tWm = (System.nanoTime() - t95) / 1e9
+      val expDur = (0 until 64).map(b => 1000L + b * 13L).sum *
+        (nWm / 64L)
+      val expW = (0 until 64).map(b => 320L + 16 * (b % 4)).sum *
+        (nWm / 64L)
+      require(wmAgg.getLong(0) == nWm && wmAgg.getInt(1) == 1 &&
+        wmAgg.getLong(2) == expDur && wmAgg.getLong(3) == expW,
+        s"webmMeta: $wmAgg (expected dur $expDur width $expW)")
+      println(f"webmMeta: $nWm%d EBML containers varint-walked " +
+        f"(1 KiB prefix route) in $tWm%.1f s (${nWm / tWm}%.0f " +
+        f"files/s), all parsed, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+      val nEx = 2000000L
+      val t96 = System.nanoTime()
+      val exs = spark.range(0L, nEx).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            (id, graft.operators.Multimodal.buildJpegExif(
+              1 + b % 8, "Maker_" + (b % 5), "Model_" + b,
+              f"2020:01:${1 + b % 28}%02d 10:00:${b % 60}%02d",
+              f"2019:12:${1 + b % 28}%02d 09:59:${b % 60}%02d",
+              100 * (1 + b % 8), 640L + 16L * b, 480L + 8L * b,
+              littleEndian = b % 2 == 0))
+          }
+        }.toDF("id", "content")
+      val exAgg = graft.operators.Multimodal.jpegExifScan(exs, "id",
+        "content")
+        .agg(count(lit(1)), min(col("parsed").cast("int")),
+          sum(col("orientation").cast("long")),
+          sum(col("iso").cast("long"))).collect()(0)
+      val tEx = (System.nanoTime() - t96) / 1e9
+      val expOri = (0 until 64).map(b => 1L + b % 8).sum * (nEx / 64L)
+      val expIso = (0 until 64).map(b => 100L * (1 + b % 8)).sum *
+        (nEx / 64L)
+      require(exAgg.getLong(0) == nEx && exAgg.getInt(1) == 1 &&
+        exAgg.getLong(2) == expOri && exAgg.getLong(3) == expIso,
+        s"exifMeta: $exAgg (expected ori $expOri iso $expIso)")
+      println(f"exifMeta: $nEx%d EXIF JPEGs APP1-walked in " +
+        f"$tEx%.1f s (${nEx / tEx}%.0f files/s), all parsed, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- FLAC decode throughput: 200k REAL Rice-coded streams (the
+    // five subframe strategies) through the full bit-level decode —
+    // CRCs verified on every frame, samples aggregated in closed form.
+    {
+      import spark.implicits._
+      val nFl = 200000L
+      val t97 = System.nanoTime()
+      val fls = spark.range(0L, nFl).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            val n = 384 + 16 * (b % 8)
+            val mode = b % 5
+            val s =
+              if (mode == 0) Array.fill(n)(b - 32)
+              else Array.tabulate(n) { k =>
+                val v = ((b * 53 + k * 17 + k * k % 31) % 201) - 100
+                if (mode == 2) v * 4 else v
+              }
+            val flac = mode match {
+              case 0 => graft.operators.Flac.buildFlac(8000, Array(s),
+                strategy = "constant", blockSize = 128)
+              case 1 => graft.operators.Flac.buildFlac(8000, Array(s),
+                strategy = "verbatim", blockSize = 128)
+              case 2 => graft.operators.Flac.buildFlac(8000, Array(s),
+                strategy = "fixed1", blockSize = 128, wastedBits = 2)
+              case 3 => graft.operators.Flac.buildFlac(8000, Array(s),
+                strategy = "fixed2", blockSize = 128,
+                partitionOrder = 2)
+              case _ => graft.operators.Flac.buildFlac(8000, Array(s),
+                strategy = "lpc", blockSize = 128,
+                lpcCoefs = Array(25, -9), lpcShift = 4)
+            }
+            (id, flac)
+          }
+        }.toDF("id", "content")
+      val flAgg = graft.operators.Flac.flacStats(fls, "id", "content")
+        .agg(count(lit(1)), sum(col("n_frames")),
+          sum(col("sample_sum"))).collect()(0)
+      val tFl = (System.nanoTime() - t97) / 1e9
+      def planted(b: Int): (Long, Long) = {
+        val n = 384 + 16 * (b % 8)
+        val mode = b % 5
+        val s =
+          if (mode == 0) Array.fill(n)(b - 32)
+          else Array.tabulate(n) { k =>
+            val v = ((b * 53 + k * 17 + k * k % 31) % 201) - 100
+            if (mode == 2) v * 4 else v
+          }
+        (n.toLong, s.map(_.toLong).sum)
+      }
+      val exp = (0 until 64).map(planted)
+      val expN = exp.map(_._1).sum * (nFl / 64L)
+      val expS = exp.map(_._2).sum * (nFl / 64L)
+      require(flAgg.getLong(0) == nFl && flAgg.getLong(1) == expN &&
+        flAgg.getLong(2) == expS,
+        s"flacDecode: $flAgg (expected frames $expN sum $expS)")
+      println(f"flacDecode: $nFl%d Rice-coded FLAC streams bit-level " +
+        f"decoded (CRCs verified) in $tFl%.1f s (${nFl / tFl}%.0f " +
+        f"files/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- streaming jingle watch: the round-17 deployment shape — a
+    // live clip feed in three micro-batches against the persisted
+    // jingle index, matched locations per batch, zero streaming
+    // state. Planted truth: every 200th clip carries the jingle at
+    // segment 1; the cumulative hit set after each batch is exact.
+    {
+      def mix(a: Long): Long = {
+        var x = a
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x
+      }
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val batchN = 20000L
+      def jingleSample(k: Int): Int =
+        (((mix(mix(-9L) + k) & Long.MaxValue) % 16001L) - 8000L).toInt
+      val jIdxDir = java.nio.file.Files
+        .createTempDirectory("graft-sjingle-smoke").toString
+      graft.operators.Audio.writeAudioNearDupIndex(
+        Seq((0L, graft.operators.Audio.wrapWav(
+          Array.tabulate(1040)(jingleSample), 0, 1040, 8000)))
+          .toDF("id", "content"),
+        "id", "content", jIdxDir)
+      val t98 = System.nanoTime()
+      def clip(id: Long): Array[Byte] = {
+        val samples = Array.tabulate(3120) { k =>
+          if (id % 200 == 0 && k >= 1040 && k < 2080)
+            jingleSample(k - 1040)
+          else (((mix(mix(id) + k) & Long.MaxValue) % 16001L)
+            - 8000L).toInt
+        }
+        graft.operators.Audio.wrapWav(samples, 0, 3120, 8000)
+      }
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+      val q = graft.operators.Audio.findClipsContainingJingleStream(
+          mem.toDF().toDF("id", "ts", "content"), "id", "content",
+          "ts", jIdxDir, segmentFrames = 1040)
+        .writeStream.format("memory").queryName("smoke_jingle_watch")
+        .outputMode("append").start()
+      try {
+        var batch = 0
+        while (batch < 3) {
+          val lo = batch * batchN
+          val ts = java.sql.Timestamp.valueOf(
+            f"2024-01-01 00:0$batch:00")
+          mem.addData((lo until lo + batchN).map(id =>
+            (id, ts, clip(id))))
+          q.processAllAvailable()
+          val got = spark.table("smoke_jingle_watch")
+            .agg(count(lit(1)),
+              sum(when(col("id") % 200 === 0 &&
+                col("seg_idx") === 1L, 1L).otherwise(0L)))
+            .collect()(0)
+          val expHits = (lo + batchN + 199L) / 200L
+          require(got.getLong(0) == expHits &&
+            got.getLong(1) == expHits,
+            s"jingleWatch batch $batch: $got != $expHits planted hits")
+          batch += 1
+        }
+      } finally q.stop()
+      val tSj = (System.nanoTime() - t98) / 1e9
+      println(f"streamingJingleWatch: 3 micro-batches x $batchN%d " +
+        f"clips vs the persisted index -> exact planted hit set " +
+        f"after every batch, zero streaming state, in $tSj%.1f s " +
+        f"(${3 * batchN / tSj}%.0f clips/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(jIdxDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p2 => java.nio.file.Files.delete(p2))
+    }
     spark.stop()
   }
 }
