@@ -499,6 +499,89 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Mixed-container media corpus for the unified metadata-scan
+    * oracle row: doc_id rotates through all four container families —
+    * AVI (uncompressed), animated GIF, MP4 (declared codecs, odd
+    * bases carry an mp4a audio track), and WebM/Matroska — each built
+    * by the library encoder over closed-form parameters of
+    * base = doc_id % 64.
+    */
+  private def syntheticMediaClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      (base % 4: @unchecked) match {
+        case 0 =>
+          val n = 2 + base % 3
+          Video.buildUncompressedAvi(4, 3, (0 until n).map(f =>
+            Array.tabulate[Byte](36)(k =>
+              ((base * 131 + f * 31 + k * 7) % 101).toByte)), 40000L)
+        case 1 =>
+          val m = 2 + base % 3
+          val palette = Array.tabulate(16)(i => i * 0x111111)
+          Gif.buildGif(4, 3, palette, (0 until m).map(f =>
+            Array.tabulate[Byte](12)(p =>
+              ((f * 31 + p * p % 13) % 16).toByte)),
+            delayCs = 4 + base % 5)
+        case 2 =>
+          // base % 4 == 2 fixes base even — alternate on base/4
+          val hasAudio = (base / 4) % 2 == 1
+          Mp4.buildMp4(timescale = 600L + base,
+            duration = 1000L + base * 77L,
+            width = 16 * (1 + base % 4), height = 16 * (1 + base % 3),
+            audioCodec = if (hasAudio) "mp4a" else "",
+            audioChannels = if (hasAudio) 2 else 0,
+            audioRate = if (hasAudio) 44100 else 0)
+        case 3 =>
+          val alt = (base / 4) % 2 == 0
+          Webm.buildWebm(
+            docType = if (alt) "webm" else "matroska",
+            timescaleNs = 1000000L,
+            durationTicks = (1000 + base * 13).toDouble,
+            videoCodec = "V_VP" + (if (alt) 8 else 9),
+            width = 320 + 16 * (base % 4), height = 240 + 16 * (base % 3),
+            audioCodec = if (alt) "A_OPUS" else "",
+            audioChannels = if (alt) 2 else 0,
+            audioRate = if (alt) 48000.0 else 0.0)
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Mixed WAV/FLAC corpus for the cross-container AUDIO dedup oracle
+    * row: 250 sample-stream classes, each carried TWICE — as a
+    * canonical WAV (even id) and as a Rice-coded FLAC (odd id,
+    * strategy rotating by class). The quadratic stream term keeps
+    * classes decorrelated (the r16 fixture lesson), so the pair set
+    * is exactly the container twins.
+    */
+  private def syntheticAudioCrossClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val cls = (id / 2).toInt
+      val n = 1024 + (cls % 7) * 16
+      // SQUARED stream (the r15/r16 fixture lesson): an affine
+      // (cls, k) walk is one stream shifted per class and its energy
+      // gradients collide across classes; the square decorrelates
+      val s = Array.tabulate(n) { k =>
+        val v = (cls * 1009 + k * 31 + 7).toLong
+        ((v * v % 65521) % 2001).toInt - 1000
+      }
+      if (id % 2 == 0) Audio.wrapWav(s, 0, n, 8000)
+      else (cls % 4: @unchecked) match {
+        case 0 => Flac.buildFlac(8000, Array(s), strategy = "verbatim",
+          blockSize = 128)
+        case 1 => Flac.buildFlac(8000, Array(s), strategy = "fixed1",
+          blockSize = 128)
+        case 2 => Flac.buildFlac(8000, Array(s), strategy = "fixed2",
+          blockSize = 128)
+        case 3 => Flac.buildFlac(8000, Array(s), strategy = "lpc",
+          blockSize = 128, lpcCoefs = Array(25, -9), lpcShift = 4)
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real FLAC streams for the compressed-audio decode oracle row:
     * per doc_id the library encoder ([[Flac.buildFlac]]) Rice-codes a
     * closed-form planted stream — the subframe strategy rotates
@@ -2324,6 +2407,32 @@ object SparkEntry {
           array_max(col("samples")).cast("long").as("sample_peak"),
           array_min(col("samples")).cast("long").as("sample_min"))
     }),
+
+    // ONE metadata filter over a MIXED media corpus: AVI + GIF + MP4
+    // + WebM payloads side by side, each dispatched by magic into its
+    // own header walk and projected to the COMMON filter fields —
+    // every column a closed form of doc_id through four REAL walks
+    "q_media_meta" -> ((s, dir) =>
+      graft.operators.Media.mediaMetaScan(
+        syntheticMediaClassed(t(s, dir, "documents")), "id", "content")
+        .select(col("id"), col("container"), col("duration_ms"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("video_codec"), col("audio_codec"),
+          col("audio_rate").cast("long").as("audio_rate"),
+          col("parsed"))),
+
+    // cross-container AUDIO dedup: ONE signature space over a mixed
+    // WAV/FLAC corpus (decodeSamples dispatches by magic; FLAC
+    // decodes through the real Rice/LPC bit walk, WAV through the
+    // RIFF walk) — the same samples pair at distance 0 whatever the
+    // container; the oracle replays the shared energy-gradient
+    // closed form once (container-independent by construction)
+    // through the HUGEINT fingerprint + block machinery
+    "q_audio_cross_container" -> ((s, dir) =>
+      Audio.audioNearDupPairs(
+        syntheticAudioCrossClassed(t(s, dir, "documents")),
+        "id", "content", maxDistance = 0)),
 
     // FLAC — COMPRESSED audio whose samples are bit-exact (lossless):
     // REAL encoder-built streams through the REAL bit-level decode
@@ -5313,6 +5422,85 @@ object SparkEntry {
         |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
         |  CAST(list_min(ss) AS BIGINT) AS sample_min
         |FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // mixed-corpus media scan: every field is a closed form of base =
+    // doc_id % 64 through the four builders' parameter grids; AVI
+    // duration = frames x 40 ms, GIF = frames x delay x 10 ms, MP4 =
+    // floor(duration x 1000 / timescale), WebM = the declared ms
+    "q_media_meta" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents)
+        |SELECT id,
+        |  CASE base % 4 WHEN 0 THEN 'avi' WHEN 1 THEN 'gif'
+        |    WHEN 2 THEN 'mp4'
+        |    ELSE CASE WHEN (base // 4) % 2 = 0 THEN 'webm'
+        |      ELSE 'matroska' END END AS container,
+        |  CAST(CASE base % 4
+        |    WHEN 0 THEN (2 + base % 3) * 40
+        |    WHEN 1 THEN (2 + base % 3) * (4 + base % 5) * 10
+        |    WHEN 2 THEN ((1000 + base * 77) * 1000) // (600 + base)
+        |    ELSE 1000 + base * 13 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE base % 4 WHEN 0 THEN 4 WHEN 1 THEN 4
+        |    WHEN 2 THEN 16 * (1 + base % 4)
+        |    ELSE 320 + 16 * (base % 4) END AS BIGINT) AS width,
+        |  CAST(CASE base % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
+        |    WHEN 2 THEN 16 * (1 + base % 3)
+        |    ELSE 240 + 16 * (base % 3) END AS BIGINT) AS height,
+        |  CASE base % 4 WHEN 0 THEN 'DIB ' WHEN 1 THEN 'lzw'
+        |    WHEN 2 THEN 'avc1'
+        |    ELSE 'V_VP' || CAST(CASE WHEN (base // 4) % 2 = 0 THEN 8
+        |      ELSE 9 END AS VARCHAR) END AS video_codec,
+        |  CASE WHEN base % 4 = 2 AND (base // 4) % 2 = 1 THEN 'mp4a'
+        |    WHEN base % 4 = 3 AND (base // 4) % 2 = 0 THEN 'A_OPUS'
+        |    ELSE '' END AS audio_codec,
+        |  CAST(CASE WHEN base % 4 = 2 AND (base // 4) % 2 = 1
+        |      THEN 44100
+        |    WHEN base % 4 = 3 AND (base // 4) % 2 = 0 THEN 48000
+        |    ELSE 0 END AS BIGINT) AS audio_rate,
+        |  TRUE AS parsed
+        |FROM g
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // cross-container audio: the energy-gradient sig is container-
+    // independent (both decodes return the same planted stream), so
+    // the oracle computes it ONCE per id from the closed form and
+    // replays the block-pigeonhole pair machinery in HUGEINT
+    "q_audio_cross_container" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id // 2 AS BIGINT) AS cls
+        |  FROM documents),
+        |p AS (SELECT id, cls,
+        |    CAST(1024 + (cls % 7) * 16 AS BIGINT) AS n
+        |  FROM g),
+        |sa AS (SELECT id, n, (n + 64) // 65 AS w,
+        |    list_transform(generate_series(0, n - 1),
+        |      k -> ((cls * 1009 + k * 31 + 7)
+        |        * (cls * 1009 + k * 31 + 7)) % 65521 % 2001 - 1000)
+        |      AS ss
+        |  FROM p),
+        |en AS (SELECT id, list_transform(generate_series(0, 64), i ->
+        |    coalesce(list_sum(list_transform(
+        |      list_slice(ss, i * w + 1, least(n, (i + 1) * w)),
+        |      x -> CAST(x AS BIGINT) * x)), 0)) AS e
+        |  FROM sa),
+        |s AS (SELECT id, CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT)
+        |      AS sig
+        |  FROM (SELECT id,
+        |      list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN e[i + 1] > e[i + 2]
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM en)),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |pr AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM pr WHERE distance = 0
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // FLAC: lossless — decoded samples ARE the planted closed-form

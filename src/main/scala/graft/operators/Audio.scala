@@ -349,12 +349,36 @@ object Audio {
     else Some(resampleLinear(s, fromRate, toRate))
   }
 
+  /** Synthetic `format` marker for FLAC-decoded payloads — a value
+    * no WAVEFORMATEX can carry, so downstream format branches never
+    * mistake one for a WAV codec.
+    */
+  private val FlacFormat = -2
+
   /** The per-payload decode kernel behind [[decodePcm16]] and the
     * streaming signature UDF — identical arithmetic on both paths by
-    * construction (parity is spec-pinned).
+    * construction (parity is spec-pinned). CONTAINER-AUTO since r17
+    * (the [[Video.videoSigsAuto]] story applied to audio): `fLaC`
+    * payloads decode through the bit-level FLAC walk
+    * ([[Flac.decodeFlacSamples]]) into the SAME (meta, mono-16-bit)
+    * shape, so the ENTIRE audio family — decode rows, stats,
+    * fingerprints, segment windows, persisted indexes, batch AND
+    * streaming admission, every needle hunt — consumes FLAC with
+    * zero new downstream code, and a WAV and a FLAC of the same
+    * samples carry the SAME signature (one dedup space across
+    * containers, no per-format corpus splits). Each payload is read
+    * by exactly one decode path, decided on its magic bytes.
     */
   private def decodeSamples(bytes: Array[Byte],
-      maxFrames: Int): Option[(Parsed, Array[Int])] =
+      maxFrames: Int): Option[(Parsed, Array[Int])] = {
+    if (bytes != null && bytes.length >= 4 && bytes(0) == 'f'.toByte &&
+      bytes(1) == 'L'.toByte && bytes(2) == 'a'.toByte &&
+      bytes(3) == 'C'.toByte)
+      return Flac.decodeFlacSamples(bytes, maxFrames).map {
+        case (rate, ch, mono) =>
+          (Parsed(FlacFormat, rate, ch, 16, mono.length.toLong,
+            mono.length * 1000L / rate, 0L, 0L), mono)
+      }
     parseWav(bytes) match {
       case Some(m) if m.format == 1 && (m.bitsPerSample == 8 ||
           m.bitsPerSample == 16 || m.bitsPerSample == 24 ||
@@ -454,6 +478,7 @@ object Audio {
         Some((m, out))
       case _ => None
     }
+  }
 
   // ---- G.711 companded telephony audio (formats 6 = A-law, 7 = µ-law)
 

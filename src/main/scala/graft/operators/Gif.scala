@@ -172,10 +172,10 @@ object Gif {
     * (descriptor + optional LCT + LZW stream all re-walkable from
     * it), its graphic-control state, and full-frame eligibility.
     */
-  private final case class FrameRec(descOffset: Int, delayCs: Int,
+  private[graft] final case class FrameRec(descOffset: Int, delayCs: Int,
       disposal: Int, transparent: Boolean)
 
-  private final case class ParsedGif(width: Int, height: Int,
+  private[graft] final case class ParsedGif(width: Int, height: Int,
       gct: Array[Int], totalDelayCs: Long, frames: Vector[FrameRec])
 
   private def u16le(b: Array[Byte], o: Int): Int =
@@ -189,7 +189,7 @@ object Gif {
     * decode time, not here — metadata stays honest for files the
     * decode path refuses.
     */
-  private def parseGif(bytes: Array[Byte]): Option[ParsedGif] = {
+  private[graft] def parseGif(bytes: Array[Byte]): Option[ParsedGif] = {
     if (bytes == null || bytes.length < 13) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
     if (sig != "GIF89a" && sig != "GIF87a") return None

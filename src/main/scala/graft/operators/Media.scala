@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** ONE metadata filter over a MIXED media corpus — the shape a
+  * 100 TB ingest actually has: a binary column holding AVI, animated
+  * GIF, ISO-BMFF/MP4, and Matroska/WebM payloads side by side.
+  * [[mediaMetaScan]] dispatches each row by its magic bytes into the
+  * matching container walk (all header-only, all honest) and projects
+  * the COMMON fields a corpus filter queries — container, duration,
+  * dimensions, codec ids, audio rate — so "every video longer than a
+  * minute, at least 720p, with a soundtrack" is one predicate over
+  * one scan, whatever the containers. Each payload is read by exactly
+  * one walker ([[Video.videoSigsAuto]]'s single-scan contract);
+  * unknown containers are `parsed = false`, never guessed.
+  */
+object Media {
+
+  /** The cross-container metadata row. `container` is `avi` / `gif` /
+    * `mp4` / `webm` / `matroska`; `videoCodec` is the container's own
+    * codec identifier (AVI fourcc — `DIB ` for uncompressed, GIF's
+    * LZW, the MP4 sample-entry fourcc, the Matroska codec id);
+    * `audioCodec` likewise (`wave_<tag>` for AVI's WAVEFORMATEX tag).
+    * Absent tracks leave empty codecs and zeroed fields.
+    */
+  case class MediaMeta(id: Long, container: String, durationMs: Long,
+      width: Int, height: Int, videoCodec: String, audioCodec: String,
+      audioRate: Int, parsed: Boolean)
+
+  def parseMediaHeader(df: DataFrame, idCol: String,
+      binCol: String): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          mediaMeta(r.getAs[Array[Byte]](1)) match {
+            case Some(m) => m.copy(id = id)
+            case None => MediaMeta(id, "", 0L, 0, 0, "", "", 0,
+              parsed = false)
+          }
+        }
+    }
+  }
+
+  /** Metadata projection — id + the [[MediaMeta]] fields as columns. */
+  def mediaMetaScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame =
+    parseMediaHeader(df, idCol, binCol).toDF().select(col("id"),
+      col("container"),
+      col("durationMs").as("duration_ms"),
+      col("width"), col("height"),
+      col("videoCodec").as("video_codec"),
+      col("audioCodec").as("audio_codec"),
+      col("audioRate").as("audio_rate"),
+      col("parsed"))
+
+  /** Per-payload magic dispatch into the four container walks. */
+  private def mediaMeta(b: Array[Byte]): Option[MediaMeta] = {
+    if (b == null || b.length < 12) return None
+    def is(o: Int, s: String): Boolean =
+      s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+    if (is(0, "RIFF") && is(8, "AVI "))
+      Video.parseAvi(b).map { m =>
+        val vc =
+          if (m.compression == 0L) "DIB "
+          else new String(Array(
+            (m.compression & 0xFF).toByte,
+            ((m.compression >> 8) & 0xFF).toByte,
+            ((m.compression >> 16) & 0xFF).toByte,
+            ((m.compression >> 24) & 0xFF).toByte), "US-ASCII")
+        val ac =
+          if (m.audioStream >= 0) "wave_" + m.audFormat else ""
+        MediaMeta(0L, "avi", m.totalFrames * m.microsPerFrame / 1000L,
+          m.width, m.height, vc, ac, m.audRate, parsed = true)
+      }
+    else if (is(0, "GIF8"))
+      Gif.parseGif(b).map { g =>
+        MediaMeta(0L, "gif", g.totalDelayCs * 10L, g.width, g.height,
+          "lzw", "", 0, parsed = true)
+      }
+    else if (is(4, "ftyp"))
+      Mp4.parseMp4(b).map { m =>
+        MediaMeta(0L, "mp4", m.duration * 1000L / m.timescale,
+          m.width, m.height, m.videoCodec, m.audioCodec, m.audioRate,
+          parsed = true)
+      }
+    else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)
+      Webm.parseWebm(b).map { w =>
+        MediaMeta(0L, w.docType, math.max(w.durationMs, -1L), w.width,
+          w.height, w.videoCodec, w.audioCodec, w.audioRate,
+          parsed = true)
+      }
+    else None
+  }
+}

@@ -63,6 +63,8 @@ object Multimodal {
       .when(p3 === "494433" || p2 === "FFFB", lit("audio/mpeg"))
       .when(p4 === "664C6143", lit("audio/flac"))
       .when(p4 === "49492A00" || p4 === "4D4D002A", lit("image/tiff"))
+      .when(p4 === "1A45DFA3", lit("video/webm")) // EBML (webm/mkv)
+      .when(p4 === "4F676753", lit("audio/ogg")) // OggS capture
       .when(hex(substring(c, 5, 4)) === "66747970", lit("video/mp4"))
       .when(printable, lit("text/plain"))
       .otherwise(lit("application/octet-stream"))

@@ -1278,7 +1278,7 @@ object Video {
     * digits), −1 when the container carries no audio; the `aud*`
     * fields are its WAVEFORMATEX verbatim.
     */
-  private final case class ParsedAvi(microsPerFrame: Long,
+  private[graft] final case class ParsedAvi(microsPerFrame: Long,
       totalFrames: Long, width: Int, height: Int, streams: Int,
       bitCount: Int, compression: Long, moviOffset: Long, moviLen: Long,
       audioStream: Int = -1, audFormat: Int = 0, audChannels: Int = 0,
@@ -1311,7 +1311,7 @@ object Video {
     * its bytes). Long cursor throughout: a ~2³² declared chunk size
     * ends the walk instead of wrapping.
     */
-  private def parseAvi(bytes: Array[Byte],
+  private[graft] def parseAvi(bytes: Array[Byte],
       trueLen: Long = -1L): Option[ParsedAvi] = {
     if (bytes == null || bytes.length < 12) return None
     if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return None

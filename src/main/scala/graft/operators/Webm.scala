@@ -428,7 +428,11 @@ object Webm {
     require(timescaleNs > 0, "timescaleNs")
     require(videoCodec.nonEmpty || audioCodec.nonEmpty,
       "at least one track")
-    val bos = new java.io.ByteArrayOutputStream()
+    // `bos` is the CURRENT buffer; element() pushes a fresh one for
+    // its body and appends it to the parent once sized — linear in
+    // output size (a single shared buffer re-copied per sibling is
+    // quadratic: at 2M smoke fixtures that measured 63 s vs 6 s)
+    var bos = new java.io.ByteArrayOutputStream()
     def writeId(id: Long): Unit = {
       var len = 1
       while ((id >>> (8 * len)) != 0L) len += 1
@@ -445,12 +449,11 @@ object Webm {
       while (i >= 0) { bos.write(((v >>> (8 * i)) & 0xFF).toInt); i -= 1 }
     }
     def element(id: Long)(body: => Unit): Unit = {
-      val tmp = bos.toByteArray
-      bos.reset()
+      val parent = bos
+      bos = new java.io.ByteArrayOutputStream()
       body
       val payload = bos.toByteArray
-      bos.reset()
-      bos.write(tmp, 0, tmp.length)
+      bos = parent
       writeId(id)
       writeSize(payload.length.toLong)
       bos.write(payload, 0, payload.length)
@@ -534,12 +537,11 @@ object Webm {
     }
 
     if (unknownSizeSegment) {
-      val tmp = bos.toByteArray
-      bos.reset()
+      val parent = bos
+      bos = new java.io.ByteArrayOutputStream()
       segmentBody()
       val payload = bos.toByteArray
-      bos.reset()
-      bos.write(tmp, 0, tmp.length)
+      bos = parent
       writeId(IdSegment)
       bos.write(0xFF) // 1-byte all-ones size: unknown
       bos.write(payload, 0, payload.length)

@@ -172,6 +172,48 @@ class FlacSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!w.decoded)
   }
 
+  test("cross-container audio: a WAV and a FLAC of the same samples " +
+      "carry the SAME signature (pair at distance 0), a WAV-built " +
+      "index drops the FLAC twin on admission, and a jingle inside " +
+      "a FLAC clip is found by the unchanged hunt") {
+    val s1 = stream(2, 1040)
+    val s2 = stream(4, 1040)
+    val wav1 = Audio.wrapWav(s1, 0, s1.length, 8000)
+    val flac1 = Flac.buildFlac(8000, Array(s1), blockSize = 128)
+    val flac2 = Flac.buildFlac(8000, Array(s2), blockSize = 128)
+    // one signature space: the container twins pair at distance 0
+    val pairs = Audio.audioNearDupPairs(
+      df(1L -> wav1, 2L -> flac1, 3L -> flac2), "id", "content",
+      maxDistance = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // a WAV index drops the FLAC twin, admits the fresh FLAC
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-flac-cross").toString
+    Audio.writeAudioNearDupIndex(df(1L -> wav1), "id", "content", dir)
+    val admitted = Audio.incrementalAudioNearDedup(
+      df(2L -> flac1, 3L -> flac2), "id", "content", dir,
+      maxDistance = 0).collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(3L),
+      s"FLAC twin of the indexed WAV must drop: $admitted")
+    // jingle hunt through a FLAC clip — zero new code
+    val jingle = stream(9, 1040)
+    val jDir = java.nio.file.Files
+      .createTempDirectory("graft-flac-jingle").toString
+    Audio.writeAudioNearDupIndex(
+      df(1L -> Audio.wrapWav(jingle, 0, jingle.length, 8000)),
+      "id", "content", jDir)
+    val clip = Flac.buildFlac(8000,
+      Array(stream(6, 1040) ++ jingle ++ stream(8, 1040)),
+      blockSize = 128)
+    val hits = Audio.findClipsContainingJingle(
+      df(10L -> clip, 20L -> flac2), "id", "content", jDir,
+      segmentFrames = 1040)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(hits == Set((10L, 1L, 1040L)), hits.toString)
+  }
+
   test("flacStats projection: exact integer folds of the decoded " +
       "stream") {
     val s = stream(13, 300)

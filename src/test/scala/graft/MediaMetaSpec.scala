@@ -137,4 +137,54 @@ class MediaMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getString(0)
     assert(mime == "image/tiff")
   }
+
+  test("mediaMetaScan: ONE metadata filter over a MIXED corpus — " +
+      "AVI, GIF, MP4, and WebM rows dispatch to their own walks and " +
+      "land in the common schema; unknown containers refuse") {
+    import graft.operators.{Gif, Media, Mp4, Video, Webm}
+    val avi = Video.buildUncompressedAvi(4, 3, (0 until 5).map(f =>
+      Array.tabulate[Byte](36)(k => ((f * 31 + k * 7) % 101).toByte)),
+      40000L)
+    val palette = Array.tabulate(16)(i => i * 0x111111)
+    val gif = Gif.buildGif(4, 3, palette, (0 until 3).map(f =>
+      Array.tabulate[Byte](12)(p => ((f + p) % 16).toByte)),
+      delayCs = 7)
+    val mp4 = Mp4.buildMp4(600L, 1500L, 64, 48,
+      audioCodec = "mp4a", audioChannels = 2, audioRate = 44100)
+    val webm = Webm.buildWebm("webm", 1000000L, 2500.0,
+      videoCodec = "V_VP9", width = 640, height = 360,
+      audioCodec = "A_OPUS", audioChannels = 2, audioRate = 48000.0)
+    val rows = Media.mediaMetaScan(
+      df((1L, avi), (2L, gif), (3L, mp4), (4L, webm),
+        (5L, "unknown".getBytes("UTF-8"))),
+      "id", "content").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = rows(1L)
+    assert(a.getString(1) == "avi" && a.getLong(2) == 200L &&
+      a.getInt(3) == 4 && a.getInt(4) == 3 &&
+      a.getString(5) == "DIB " && a.getString(6) == "" &&
+      a.getBoolean(8), a.toString)
+    val g = rows(2L)
+    assert(g.getString(1) == "gif" && g.getLong(2) == 210L &&
+      g.getString(5) == "lzw" && g.getBoolean(8), g.toString)
+    val m = rows(3L)
+    assert(m.getString(1) == "mp4" && m.getLong(2) == 2500L &&
+      m.getInt(3) == 64 && m.getString(5) == "avc1" &&
+      m.getString(6) == "mp4a" && m.getInt(7) == 44100 &&
+      m.getBoolean(8), m.toString)
+    val w = rows(4L)
+    assert(w.getString(1) == "webm" && w.getLong(2) == 2500L &&
+      w.getInt(3) == 640 && w.getString(5) == "V_VP9" &&
+      w.getString(6) == "A_OPUS" && w.getInt(7) == 48000 &&
+      w.getBoolean(8), w.toString)
+    assert(!rows(5L).getBoolean(8), rows(5L).toString)
+    // an AVI with a PCM soundtrack reports its audio shape
+    val aviAud = Video.buildAviWithAudio(4, 3, (0 until 3).map(f =>
+      Array.tabulate[Byte](36)(k => ((f + k) % 101).toByte)),
+      40000L, Array.tabulate(400)(k => k % 201 - 100), 8000)
+    val aa = Media.mediaMetaScan(df((1L, aviAud)), "id", "content")
+      .collect().head
+    assert(aa.getString(6) == "wave_1" && aa.getInt(7) == 8000,
+      aa.toString)
+  }
 }

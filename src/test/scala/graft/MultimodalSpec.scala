@@ -56,6 +56,18 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       1L -> "image/png", 2L -> "image/gif", 3L -> "image/jpeg",
       4L -> "audio/wav", 5L -> "application/zip", 6L -> "text/plain",
       7L -> "application/octet-stream"))
+    // the r17 container branches: EBML (webm/mkv) and Ogg, on REAL
+    // encoder output
+    import spark.implicits._
+    val extra = Seq(
+      (8L, graft.operators.Webm.buildWebm("webm", 1000000L, 10.0,
+        videoCodec = "V_VP8", width = 16, height = 16)),
+      (9L, graft.operators.Audio.buildOgg("opus", 1, 48000, 960L)))
+      .toDF("id", "content")
+    val got2 = extra.select(col("id"),
+      Multimodal.sniffContentType(col("content")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(8L -> "video/webm", 9L -> "audio/ogg"), got2)
   }
 
   test("imageDimensions extracts PNG/GIF header fields as expressions") {
