@@ -500,16 +500,18 @@ object SparkEntry {
   }
 
   /** Mixed-container media corpus for the unified metadata-scan
-    * oracle row: doc_id rotates through all four container families —
-    * AVI (uncompressed), animated GIF, MP4 (declared codecs, odd
-    * bases carry an mp4a audio track), and WebM/Matroska — each built
-    * by the library encoder over closed-form parameters of
+    * oracle row: doc_id rotates through all EIGHT container families
+    * — AVI (uncompressed), animated GIF, MP4 (declared codecs,
+    * alternating mp4a audio tracks), WebM/Matroska, WAV, FLAC
+    * (Rice-coded), MP3 frame streams, and Ogg (Opus/Vorbis) — each
+    * built by the library encoder over closed-form parameters of
     * base = doc_id % 64.
     */
   private def syntheticMediaClassed(docs: DataFrame): DataFrame = {
     val build = udf((id: Long) => {
       val base = (id % 64).toInt
-      (base % 4: @unchecked) match {
+      val alt = (base / 8) % 2 == 0
+      (base % 8: @unchecked) match {
         case 0 =>
           val n = 2 + base % 3
           Video.buildUncompressedAvi(4, 3, (0 until n).map(f =>
@@ -523,16 +525,13 @@ object SparkEntry {
               ((f * 31 + p * p % 13) % 16).toByte)),
             delayCs = 4 + base % 5)
         case 2 =>
-          // base % 4 == 2 fixes base even — alternate on base/4
-          val hasAudio = (base / 4) % 2 == 1
           Mp4.buildMp4(timescale = 600L + base,
             duration = 1000L + base * 77L,
             width = 16 * (1 + base % 4), height = 16 * (1 + base % 3),
-            audioCodec = if (hasAudio) "mp4a" else "",
-            audioChannels = if (hasAudio) 2 else 0,
-            audioRate = if (hasAudio) 44100 else 0)
+            audioCodec = if (alt) "" else "mp4a",
+            audioChannels = if (alt) 0 else 2,
+            audioRate = if (alt) 0 else 44100)
         case 3 =>
-          val alt = (base / 4) % 2 == 0
           Webm.buildWebm(
             docType = if (alt) "webm" else "matroska",
             timescaleNs = 1000000L,
@@ -542,6 +541,21 @@ object SparkEntry {
             audioCodec = if (alt) "A_OPUS" else "",
             audioChannels = if (alt) 2 else 0,
             audioRate = if (alt) 48000.0 else 0.0)
+        case 4 =>
+          val n = 400 + base * 2
+          Audio.wrapWav(Array.tabulate(n)(k =>
+            (base * 53 + k * 17) % 201 - 100), 0, n, 8000)
+        case 5 =>
+          val n = 384 + 16 * ((base / 8) % 8)
+          Flac.buildFlac(8000, Array(Array.tabulate(n)(k =>
+            (base * 53 + k * 17) % 201 - 100)), blockSize = 128)
+        case 6 =>
+          Mp3.buildMp3(3, 0, Seq.fill(5 + (base / 8) % 6)(5),
+            mono = true)
+        case 7 =>
+          Audio.buildOgg(if (alt) "opus" else "vorbis",
+            channels = 1 + (base / 8) % 2, sampleRate = 8000,
+            granule = 800L + base * 10L)
       }
     })
     docs.select(col("doc_id").as("id"),
@@ -2409,9 +2423,10 @@ object SparkEntry {
     }),
 
     // ONE metadata filter over a MIXED media corpus: AVI + GIF + MP4
-    // + WebM payloads side by side, each dispatched by magic into its
-    // own header walk and projected to the COMMON filter fields —
-    // every column a closed form of doc_id through four REAL walks
+    // + WebM + WAV + FLAC + MP3 + Ogg payloads side by side, each
+    // dispatched by magic into its own header walk and projected to
+    // the COMMON filter fields — every column a closed form of
+    // doc_id through eight REAL walks
     "q_media_meta" -> ((s, dir) =>
       graft.operators.Media.mediaMetaScan(
         syntheticMediaClassed(t(s, dir, "documents")), "id", "content")
@@ -5425,39 +5440,57 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // mixed-corpus media scan: every field is a closed form of base =
-    // doc_id % 64 through the four builders' parameter grids; AVI
+    // doc_id % 64 through the eight builders' parameter grids; AVI
     // duration = frames x 40 ms, GIF = frames x delay x 10 ms, MP4 =
-    // floor(duration x 1000 / timescale), WebM = the declared ms
+    // floor(duration x 1000 / timescale), WebM = the declared ms,
+    // WAV/FLAC = frames/8 ms at 8 kHz, MP3 = frames x 1152 / 44.1,
+    // Ogg = granule over the per-codec clock
     "q_media_meta" ->
       """WITH g AS (SELECT doc_id AS id,
-        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CAST(doc_id % 64 AS BIGINT) % 8 AS f,
+        |    ((doc_id % 64) // 8) % 2 = 0 AS alt
         |  FROM documents)
         |SELECT id,
-        |  CASE base % 4 WHEN 0 THEN 'avi' WHEN 1 THEN 'gif'
-        |    WHEN 2 THEN 'mp4'
-        |    ELSE CASE WHEN (base // 4) % 2 = 0 THEN 'webm'
-        |      ELSE 'matroska' END END AS container,
-        |  CAST(CASE base % 4
+        |  CASE f WHEN 0 THEN 'avi' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp4'
+        |    WHEN 3 THEN CASE WHEN alt THEN 'webm' ELSE 'matroska' END
+        |    WHEN 4 THEN 'wav' WHEN 5 THEN 'flac' WHEN 6 THEN 'mp3'
+        |    ELSE 'ogg' END AS container,
+        |  CAST(CASE f
         |    WHEN 0 THEN (2 + base % 3) * 40
         |    WHEN 1 THEN (2 + base % 3) * (4 + base % 5) * 10
         |    WHEN 2 THEN ((1000 + base * 77) * 1000) // (600 + base)
-        |    ELSE 1000 + base * 13 END AS BIGINT) AS duration_ms,
-        |  CAST(CASE base % 4 WHEN 0 THEN 4 WHEN 1 THEN 4
+        |    WHEN 3 THEN 1000 + base * 13
+        |    WHEN 4 THEN (400 + base * 2) // 8
+        |    WHEN 5 THEN (384 + 16 * ((base // 8) % 8)) // 8
+        |    WHEN 6 THEN ((5 + (base // 8) % 6) * 1152 * 1000) // 44100
+        |    ELSE CASE WHEN alt
+        |      THEN ((800 + base * 10) * 1000) // 48000
+        |      ELSE ((800 + base * 10) * 1000) // 8000 END
+        |    END AS BIGINT) AS duration_ms,
+        |  CAST(CASE f WHEN 0 THEN 4 WHEN 1 THEN 4
         |    WHEN 2 THEN 16 * (1 + base % 4)
-        |    ELSE 320 + 16 * (base % 4) END AS BIGINT) AS width,
-        |  CAST(CASE base % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
+        |    WHEN 3 THEN 320 + 16 * (base % 4)
+        |    ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE f WHEN 0 THEN 3 WHEN 1 THEN 3
         |    WHEN 2 THEN 16 * (1 + base % 3)
-        |    ELSE 240 + 16 * (base % 3) END AS BIGINT) AS height,
-        |  CASE base % 4 WHEN 0 THEN 'DIB ' WHEN 1 THEN 'lzw'
+        |    WHEN 3 THEN 240 + 16 * (base % 3)
+        |    ELSE 0 END AS BIGINT) AS height,
+        |  CASE f WHEN 0 THEN 'DIB ' WHEN 1 THEN 'lzw'
         |    WHEN 2 THEN 'avc1'
-        |    ELSE 'V_VP' || CAST(CASE WHEN (base // 4) % 2 = 0 THEN 8
-        |      ELSE 9 END AS VARCHAR) END AS video_codec,
-        |  CASE WHEN base % 4 = 2 AND (base // 4) % 2 = 1 THEN 'mp4a'
-        |    WHEN base % 4 = 3 AND (base // 4) % 2 = 0 THEN 'A_OPUS'
+        |    WHEN 3 THEN 'V_VP' ||
+        |      CAST(CASE WHEN alt THEN 8 ELSE 9 END AS VARCHAR)
+        |    ELSE '' END AS video_codec,
+        |  CASE WHEN f = 2 AND NOT alt THEN 'mp4a'
+        |    WHEN f = 3 AND alt THEN 'A_OPUS'
+        |    WHEN f = 4 THEN 'wave_1' WHEN f = 5 THEN 'flac'
+        |    WHEN f = 6 THEN 'mp3'
+        |    WHEN f = 7 THEN CASE WHEN alt THEN 'opus' ELSE 'vorbis' END
         |    ELSE '' END AS audio_codec,
-        |  CAST(CASE WHEN base % 4 = 2 AND (base // 4) % 2 = 1
-        |      THEN 44100
-        |    WHEN base % 4 = 3 AND (base // 4) % 2 = 0 THEN 48000
+        |  CAST(CASE WHEN f = 2 AND NOT alt THEN 44100
+        |    WHEN f = 3 AND alt THEN 48000
+        |    WHEN f = 4 THEN 8000 WHEN f = 5 THEN 8000
+        |    WHEN f = 6 THEN 44100 WHEN f = 7 THEN 8000
         |    ELSE 0 END AS BIGINT) AS audio_rate,
         |  TRUE AS parsed
         |FROM g

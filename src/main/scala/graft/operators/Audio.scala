@@ -1576,7 +1576,7 @@ object Audio {
 
   // ---- RIFF chunk walk (per-payload imperative kernel) ----------------
 
-  private final case class Parsed(format: Int, sampleRate: Int,
+  private[graft] final case class Parsed(format: Int, sampleRate: Int,
       channels: Int, bitsPerSample: Int, nFrames: Long, durationMs: Long,
       dataOffset: Long, dataLen: Long, blockAlign: Int = 0,
       samplesPerBlock: Int = 0)
@@ -1602,7 +1602,7 @@ object Audio {
     * payload threw inside the task instead of returning
     * `parsed = false`).
     */
-  private def parseWav(bytes: Array[Byte],
+  private[graft] def parseWav(bytes: Array[Byte],
       totalLen: Long = -1L): Option[Parsed] = {
     if (bytes == null || bytes.length < 12 || tag(bytes, 0) != "RIFF" ||
         tag(bytes, 8) != "WAVE") return None

@@ -5,24 +5,28 @@ import org.apache.spark.sql.functions._
 
 /** ONE metadata filter over a MIXED media corpus — the shape a
   * 100 TB ingest actually has: a binary column holding AVI, animated
-  * GIF, ISO-BMFF/MP4, and Matroska/WebM payloads side by side.
-  * [[mediaMetaScan]] dispatches each row by its magic bytes into the
-  * matching container walk (all header-only, all honest) and projects
-  * the COMMON fields a corpus filter queries — container, duration,
+  * GIF, ISO-BMFF/MP4, Matroska/WebM, WAV, FLAC, MP3, and Ogg payloads
+  * side by side. [[mediaMetaScan]] dispatches each row by its magic
+  * bytes into the matching container walk (all header-only except the
+  * MP3 4-bytes-per-frame sync hop, all honest) and projects the
+  * COMMON fields a corpus filter queries — container, duration,
   * dimensions, codec ids, audio rate — so "every video longer than a
-  * minute, at least 720p, with a soundtrack" is one predicate over
-  * one scan, whatever the containers. Each payload is read by exactly
-  * one walker ([[Video.videoSigsAuto]]'s single-scan contract);
-  * unknown containers are `parsed = false`, never guessed.
+  * minute, at least 720p, with a soundtrack" or "all audio above
+  * 16 kHz" is one predicate over one scan, whatever the containers.
+  * Each payload is read by exactly one walker
+  * ([[Video.videoSigsAuto]]'s single-scan contract); unknown
+  * containers are `parsed = false`, never guessed.
   */
 object Media {
 
   /** The cross-container metadata row. `container` is `avi` / `gif` /
-    * `mp4` / `webm` / `matroska`; `videoCodec` is the container's own
-    * codec identifier (AVI fourcc — `DIB ` for uncompressed, GIF's
-    * LZW, the MP4 sample-entry fourcc, the Matroska codec id);
-    * `audioCodec` likewise (`wave_<tag>` for AVI's WAVEFORMATEX tag).
-    * Absent tracks leave empty codecs and zeroed fields.
+    * `mp4` / `webm` / `matroska` / `wav` / `flac` / `mp3` / `ogg`;
+    * `videoCodec` is the container's own codec identifier (AVI
+    * fourcc — `DIB ` for uncompressed, GIF's LZW, the MP4
+    * sample-entry fourcc, the Matroska codec id); `audioCodec`
+    * likewise (`wave_<tag>` for WAVEFORMATEX tags, `flac`, `mp3`,
+    * Ogg's `vorbis`/`opus`). Absent tracks leave empty codecs and
+    * zeroed fields.
     */
   case class MediaMeta(id: Long, container: String, durationMs: Long,
       width: Int, height: Int, videoCodec: String, audioCodec: String,
@@ -56,12 +60,34 @@ object Media {
       col("audioRate").as("audio_rate"),
       col("parsed"))
 
-  /** Per-payload magic dispatch into the four container walks. */
+  /** Per-payload magic dispatch into the eight container walks. */
   private def mediaMeta(b: Array[Byte]): Option[MediaMeta] = {
     if (b == null || b.length < 12) return None
     def is(o: Int, s: String): Boolean =
       s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
-    if (is(0, "RIFF") && is(8, "AVI "))
+    if (is(0, "RIFF") && is(8, "WAVE"))
+      Audio.parseWav(b).map { m =>
+        MediaMeta(0L, "wav", m.durationMs, 0, 0, "",
+          "wave_" + m.format, m.sampleRate, parsed = true)
+      }
+    else if (is(0, "fLaC"))
+      Audio.parseFlacInfo(b).map { case (sr, ch, bits, n) =>
+        MediaMeta(0L, "flac", n * 1000L / sr, 0, 0, "", "flac", sr,
+          parsed = true)
+      }
+    else if (is(0, "OggS"))
+      Audio.parseOgg(b).map { case (codec, ch, rate, granule) =>
+        val clock = if (codec == "opus") 48000 else rate
+        MediaMeta(0L, "ogg", granule * 1000L / clock, 0, 0, "", codec,
+          rate, parsed = true)
+      }
+    else if (is(0, "ID3") || ((b(0) & 0xFF) == 0xFF &&
+      (b(1) & 0xE0) == 0xE0))
+      Mp3.parseMp3(b).map { m =>
+        MediaMeta(0L, "mp3", m.durationMs, 0, 0, "", "mp3",
+          m.sampleRate, parsed = true)
+      }
+    else if (is(0, "RIFF") && is(8, "AVI "))
       Video.parseAvi(b).map { m =>
         val vc =
           if (m.compression == 0L) "DIB "

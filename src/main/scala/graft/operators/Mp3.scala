@@ -196,7 +196,7 @@ object Mp3 {
     Some((versionBits, rateIdx, kbps, channels, frameBytes))
   }
 
-  private def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
+  private[graft] def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
     if (bytes == null || bytes.length < 4) return None
     var pos = 0
     // optional ID3v2 tag: "ID3", 2 version bytes, flags, syncsafe size

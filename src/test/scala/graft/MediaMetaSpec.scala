@@ -186,5 +186,26 @@ class MediaMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(aa.getString(6) == "wave_1" && aa.getInt(7) == 8000,
       aa.toString)
+    // the audio containers land in the same schema
+    import graft.operators.{Audio, Flac, Mp3}
+    val s = Array.tabulate(800)(k => k % 201 - 100)
+    val arows = Media.mediaMetaScan(df(
+      (1L, Audio.wrapWav(s, 0, 800, 8000)),
+      (2L, Flac.buildFlac(16000, Array(s), blockSize = 128)),
+      (3L, Mp3.buildMp3(3, 0, Seq.fill(7)(5), mono = true)),
+      (4L, Audio.buildOgg("opus", 2, 48000, 960L)),
+      (5L, Audio.buildOgg("vorbis", 1, 44100, 4410L))),
+      "id", "content").collect().map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = (arows(id).getString(1), arows(id).getLong(2),
+      arows(id).getString(6), arows(id).getInt(7),
+      arows(id).getBoolean(8))
+    assert(row(1L) == ("wav", 100L, "wave_1", 8000, true), arows(1L))
+    assert(row(2L) == ("flac", 50L, "flac", 16000, true), arows(2L))
+    assert(row(3L) == ("mp3", 7L * 1152 * 1000 / 44100, "mp3", 44100,
+      true), arows(3L))
+    assert(row(4L) == ("ogg", 960L * 1000 / 48000, "opus", 48000,
+      true), arows(4L))
+    assert(row(5L) == ("ogg", 4410L * 1000 / 44100, "vorbis", 44100,
+      true), arows(5L))
   }
 }
