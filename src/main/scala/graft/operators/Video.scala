@@ -865,6 +865,64 @@ object Video {
       maxBucket, strictBuckets)
   }
 
+  /** STREAMING scene needle hunt: match a live video feed's frame
+    * WINDOWS against a static scene index — the streaming twin of
+    * [[findVideosContainingScene]]. A per-row UDF runs the SAME
+    * private machinery as the batch path (segment re-encode →
+    * sampled-luma decode → gradient fingerprint — bit parity by
+    * construction, spec-pinned), `explode` is stateless, and the
+    * match kernel returns `(seg_idx, start_frame)` locations per
+    * micro-batch with zero streaming state. Same discrimination
+    * contract as [[segmentVideos]]: `segmentFrames ≥ 65`, default
+    * `maxDistance = 0`; `strictBuckets` TRUE by default, checked once
+    * at wiring time.
+    */
+  def findVideosContainingSceneStream(stream: DataFrame, idCol: String,
+      binCol: String, tsCol: String, indexPath: String,
+      segmentFrames: Int, hopFrames: Int = 0,
+      lateness: String = "1 hour", maxDistance: Int = 0,
+      maxBucket: Int = 1000, strictBuckets: Boolean = true): DataFrame = {
+    require(segmentFrames > 0, "segmentFrames must be positive")
+    require(hopFrames >= 0, "hopFrames must be >= 0 (0 = segmentFrames)")
+    val spark = stream.sparkSession
+    val maxFrameBytes = parseVideoIndexParams(
+      readVideoIndexParams(spark, indexPath,
+        "findVideosContainingSceneStream"),
+      "findVideosContainingSceneStream")
+    val hop = if (hopFrames == 0) segmentFrames else hopFrames
+    val segSigsUdf = udf { (bytes: Array[Byte]) =>
+      segmentAvis(bytes, segmentFrames, hop, maxFrameBytes)
+        .map(_.flatMap { case (s, start, avi) =>
+          decodeLuma(0L, avi, 65, maxFrameBytes).map { vl =>
+            val l = vl.lumaSums
+            var sig = 0L
+            var i = 0
+            while (i < 64) {
+              if (l(i) > l(i + 1)) sig |= 1L << i
+              i += 1
+            }
+            (s, start, sig)
+          }
+        })
+    }
+    val streamCols = stream.columns.toSeq
+    val exploded = stream
+      .withWatermark(tsCol, lateness)
+      .withColumn("__segs", segSigsUdf(col(binCol)))
+      .filter(col("__segs").isNotNull)
+      .select(streamCols.map(col) :+
+        explode(col("__segs")).as("__seg"): _*)
+      .select(streamCols.map(col) :+
+        col("__seg._1").as("seg_idx") :+
+        col("__seg._2").as("start_frame") :+
+        col("__seg._3").as("__sh"): _*)
+    Dedup.hamming64StreamMatchRows(exploded,
+      streamCols ++ Seq("seg_idx", "start_frame"),
+      spark.read.parquet(
+        Dedup.indexSidePaths(spark, indexPath, "sigs"): _*),
+      maxDistance, maxBucket, strictBuckets)
+  }
+
   /** STREAMING soundtrack needle hunt: match a live video feed's
     * AUDIO TRACKS against a static jingle index — the streaming twin
     * of [[findVideosWithJingle]] and the deployment shape a

@@ -262,6 +262,58 @@ class HuntSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("maxBucket"), ex.getMessage)
   }
 
+  test("findVideosContainingSceneStream: the planted frame window is " +
+      "caught per micro-batch at the exact (seg_idx, start_frame), " +
+      "bit-identical to the batch hunt over the same corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def frame(base: Int, f: Int): Array[Byte] =
+      Array.tabulate(3 * 4 * 3)(k =>
+        (((base * 131 + f * 31 + k * 7) % 101)).toByte)
+    val sceneFrames = (0 until 66).map(f => frame(13, f))
+    val dir = tmp("graft-hunt-scene-stream")
+    Video.writeVideoNearDupIndex(
+      df(1L -> Video.buildUncompressedAvi(4, 3, sceneFrames, 40000L)),
+      "id", "content", dir)
+    def vid(base: Int, planted: Boolean) =
+      Video.buildUncompressedAvi(4, 3,
+        (0 until 82).map(f =>
+          if (planted && f >= 8 && f < 74) sceneFrames(f - 8)
+          else frame(base, f)),
+        40000L)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val q = Video.findVideosContainingSceneStream(
+        mem.toDF().toDF("id", "ts", "content"), "id", "content", "ts",
+        dir, segmentFrames = 66, hopFrames = 8)
+      .writeStream.format("memory").queryName("scene_stream")
+      .outputMode("append").start()
+    def hits() = spark.table("scene_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    try {
+      val b1 = Seq(
+        (10L, ts("2024-01-01 00:00:00"), vid(1, planted = true)),
+        (20L, ts("2024-01-01 00:00:01"), vid(2, planted = false)))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(hits() == Set((10L, 1L, 8L)), s"batch1: ${hits()}")
+      val b2 = Seq(
+        (30L, ts("2024-01-01 00:00:02"), vid(3, planted = true)))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(hits() == Set((10L, 1L, 8L), (30L, 1L, 8L)),
+        s"batch2: ${hits()}")
+      // bit parity with the batch scene hunt
+      val batch = Video.findVideosContainingScene(
+        df((b1 ++ b2).map(r => r._1 -> r._3): _*), "id", "content",
+        dir, segmentFrames = 66, hopFrames = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(batch == hits(), s"batch $batch != stream ${hits()}")
+    } finally q.stop()
+  }
+
   test("findVideosWithJingleStream: the container-auto soundtrack " +
       "bridge runs per micro-batch — an MP4 upload and an AVI upload " +
       "carrying the jingle are both caught, clean and unextractable " +
