@@ -2341,6 +2341,129 @@ object ScaleSmoke {
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     }
 
+    // --- cross-container AUDIO dedup at 500k payloads: 250k sample
+    // streams, each carried TWICE — as a canonical WAV (even id) and
+    // as a Rice-coded FLAC through the REAL bit-level decode (odd
+    // id). ONE signature space (decodeSamples dispatches by magic):
+    // the pair set must be EXACTLY the 250k (2c, 2c+1) container
+    // twins at distance 0.
+    {
+      def mix(a: Long): Long = {
+        var x = a
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x
+      }
+      import spark.implicits._
+      val nAc = 500000L
+      val t99 = System.nanoTime()
+      val mixed = spark.range(0L, nAc).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val cls = id / 2
+            val s = Array.tabulate(1024)(k =>
+              (((mix(mix(cls) + k) & Long.MaxValue) % 2001L) - 1000L)
+                .toInt)
+            val payload =
+              if (id % 2 == 0)
+                graft.operators.Audio.wrapWav(s, 0, s.length, 8000)
+              else graft.operators.Flac.buildFlac(8000, Array(s),
+                strategy = "fixed2", blockSize = 128)
+            (id, payload)
+          }
+        }.toDF("id", "content")
+      val acPairs = graft.operators.Audio.audioNearDupPairs(
+        mixed, "id", "content", maxDistance = 0)
+      val acAgg = acPairs.agg(count(lit(1)), sum(col("b") - col("a")),
+        max(col("distance"))).collect()(0)
+      val tAc = (System.nanoTime() - t99) / 1e9
+      require(acAgg.getLong(0) == nAc / 2L,
+        s"audioCross pairs ${acAgg.getLong(0)} != ${nAc / 2}")
+      require(acAgg.getLong(1) == nAc / 2L,
+        s"audioCross pair structure: sum(b-a)=${acAgg.getLong(1)}")
+      require(acAgg.getLong(2) == 0L,
+        s"audioCross max distance ${acAgg.getLong(2)} != 0")
+      println(f"audioCrossContainer: $nAc%d mixed payloads " +
+        f"(${nAc / 2} WAV + ${nAc / 2} real Rice-decoded FLAC) -> " +
+        f"exactly ${nAc / 2} container-twin pairs at distance 0 in " +
+        f"$tAc%.1f s (${nAc / tAc}%.0f clips/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- unified media scan at 2M mixed containers: all EIGHT
+    // families side by side through ONE pass (per-row magic
+    // dispatch); closed-form per-family counts and duration sums pin
+    // the projection.
+    {
+      import spark.implicits._
+      val nMe = 2000000L
+      val t9a = System.nanoTime()
+      val mixed = spark.range(0L, nMe).repartition(64)
+        .mapPartitions { it =>
+          val palette = Array.tabulate(16)(i => i * 0x111111)
+          it.map { id =>
+            val b = (id % 64).toInt
+            val alt = (b / 8) % 2 == 0
+            val payload = (b % 8: @unchecked) match {
+              case 0 => graft.operators.Video.buildUncompressedAvi(
+                4, 3, (0 until 2 + b % 3).map(f =>
+                  Array.tabulate[Byte](36)(k =>
+                    ((b * 131 + f * 31 + k * 7) % 101).toByte)), 40000L)
+              case 1 => graft.operators.Gif.buildGif(4, 3, palette,
+                (0 until 2 + b % 3).map(f =>
+                  Array.tabulate[Byte](12)(p =>
+                    ((f * 31 + p * p % 13) % 16).toByte)),
+                delayCs = 4 + b % 5)
+              case 2 => graft.operators.Mp4.buildMp4(600L + b,
+                1000L + b * 77L, 16 * (1 + b % 4), 16 * (1 + b % 3))
+              case 3 => graft.operators.Webm.buildWebm(
+                if (alt) "webm" else "matroska", 1000000L,
+                (1000 + b * 13).toDouble, "V_VP8", 320, 240)
+              case 4 => graft.operators.Audio.wrapWav(
+                Array.tabulate(400 + b * 2)(k =>
+                  (b * 53 + k * 17) % 201 - 100), 0, 400 + b * 2, 8000)
+              case 5 => graft.operators.Flac.buildFlac(8000,
+                Array(Array.tabulate(384)(k =>
+                  (b * 53 + k * 17) % 201 - 100)), blockSize = 128)
+              case 6 => graft.operators.Mp3.buildMp3(3, 0,
+                Seq.fill(5 + (b / 8) % 6)(5), mono = true)
+              case 7 => graft.operators.Audio.buildOgg(
+                if (alt) "opus" else "vorbis", 1, 8000,
+                800L + b * 10L)
+            }
+            (id, payload)
+          }
+        }.toDF("id", "content")
+      val meAgg = graft.operators.Media.mediaMetaScan(mixed, "id",
+        "content")
+        .agg(count(lit(1)), min(col("parsed").cast("int")),
+          count_distinct(col("container")),
+          sum(col("duration_ms"))).collect()(0)
+      val tMe = (System.nanoTime() - t9a) / 1e9
+      def durOf(b: Int): Long = {
+        val alt = (b / 8) % 2 == 0
+        (b % 8: @unchecked) match {
+          case 0 => (2 + b % 3) * 40L
+          case 1 => (2 + b % 3) * (4 + b % 5) * 10L
+          case 2 => (1000L + b * 77L) * 1000L / (600L + b)
+          case 3 => 1000L + b * 13L
+          case 4 => (400L + b * 2L) / 8L
+          case 5 => 384L / 8L
+          case 6 => (5L + (b / 8) % 6) * 1152L * 1000L / 44100L
+          case 7 => (800L + b * 10L) * 1000L /
+            (if (alt) 48000L else 8000L)
+        }
+      }
+      val expDur = (0 until 64).map(durOf).sum * (nMe / 64L)
+      require(meAgg.getLong(0) == nMe && meAgg.getInt(1) == 1 &&
+        meAgg.getLong(2) == 9L && meAgg.getLong(3) == expDur,
+        s"mediaMeta: $meAgg (expected 9 containers, dur $expDur)")
+      println(f"mediaMeta: $nMe%d mixed containers (8 families) " +
+        f"through ONE scan in $tMe%.1f s (${nMe / tMe}%.0f files/s), " +
+        f"all parsed, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
     // --- streaming jingle watch: the round-17 deployment shape — a
     // live clip feed in three micro-batches against the persisted
     // jingle index, matched locations per batch, zero streaming
