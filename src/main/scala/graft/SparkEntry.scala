@@ -2437,6 +2437,23 @@ object SparkEntry {
           col("audio_rate").cast("long").as("audio_rate"),
           col("parsed"))),
 
+    // the PREFIX form of the mixed filter: the same eight-family
+    // corpus through a persisted-1-KiB-prefix scan — the families
+    // whose metadata leads the file (avi/mp4/webm/wav/flac) parse,
+    // the families whose grammar needs the tail (gif's block walk,
+    // mp3's to-EOF sync walk, ogg's last-page granule) are honestly
+    // parsed=false — REFUSAL is part of the oracle contract here
+    "q_media_meta_prefix" -> ((s, dir) =>
+      graft.operators.Media.mediaMetaScanPrefix(
+        syntheticMediaClassed(t(s, dir, "documents")), "id", "content",
+        prefixBytes = 1024)
+        .select(col("id"), col("container"), col("duration_ms"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("video_codec"), col("audio_codec"),
+          col("audio_rate").cast("long").as("audio_rate"),
+          col("parsed"))),
+
     // cross-container AUDIO dedup: ONE signature space over a mixed
     // WAV/FLAC corpus (decodeSamples dispatches by magic; FLAC
     // decodes through the real Rice/LPC bit walk, WAV through the
@@ -5493,6 +5510,50 @@ object SparkEntry {
         |    WHEN f = 6 THEN 44100 WHEN f = 7 THEN 8000
         |    ELSE 0 END AS BIGINT) AS audio_rate,
         |  TRUE AS parsed
+        |FROM g
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // prefix media scan: identical closed forms for the prefix-
+    // boundable families; gif/mp3/ogg rows are the REFUSAL shape
+    "q_media_meta_prefix" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CAST(doc_id % 64 AS BIGINT) % 8 AS f,
+        |    ((doc_id % 64) // 8) % 2 = 0 AS alt
+        |  FROM documents)
+        |SELECT id,
+        |  CASE f WHEN 0 THEN 'avi' WHEN 2 THEN 'mp4'
+        |    WHEN 3 THEN CASE WHEN alt THEN 'webm' ELSE 'matroska' END
+        |    WHEN 4 THEN 'wav' WHEN 5 THEN 'flac'
+        |    ELSE '' END AS container,
+        |  CAST(CASE f
+        |    WHEN 0 THEN (2 + base % 3) * 40
+        |    WHEN 2 THEN ((1000 + base * 77) * 1000) // (600 + base)
+        |    WHEN 3 THEN 1000 + base * 13
+        |    WHEN 4 THEN (400 + base * 2) // 8
+        |    WHEN 5 THEN (384 + 16 * ((base // 8) % 8)) // 8
+        |    ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE f WHEN 0 THEN 4
+        |    WHEN 2 THEN 16 * (1 + base % 4)
+        |    WHEN 3 THEN 320 + 16 * (base % 4)
+        |    ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE f WHEN 0 THEN 3
+        |    WHEN 2 THEN 16 * (1 + base % 3)
+        |    WHEN 3 THEN 240 + 16 * (base % 3)
+        |    ELSE 0 END AS BIGINT) AS height,
+        |  CASE f WHEN 0 THEN 'DIB ' WHEN 2 THEN 'avc1'
+        |    WHEN 3 THEN 'V_VP' ||
+        |      CAST(CASE WHEN alt THEN 8 ELSE 9 END AS VARCHAR)
+        |    ELSE '' END AS video_codec,
+        |  CASE WHEN f = 2 AND NOT alt THEN 'mp4a'
+        |    WHEN f = 3 AND alt THEN 'A_OPUS'
+        |    WHEN f = 4 THEN 'wave_1' WHEN f = 5 THEN 'flac'
+        |    ELSE '' END AS audio_codec,
+        |  CAST(CASE WHEN f = 2 AND NOT alt THEN 44100
+        |    WHEN f = 3 AND alt THEN 48000
+        |    WHEN f = 4 THEN 8000 WHEN f = 5 THEN 8000
+        |    ELSE 0 END AS BIGINT) AS audio_rate,
+        |  f NOT IN (1, 6, 7) AS parsed
         |FROM g
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -60,6 +60,92 @@ object Media {
       col("audioRate").as("audio_rate"),
       col("parsed"))
 
+  /** [[mediaMetaScan]] over only the first `prefixBytes` of each
+    * payload — the 100 TB form of the mixed filter: persist
+    * `substring(bin, 1, prefixBytes)` plus the TRUE payload length as
+    * narrow columns at ingest and the filter never touches the media
+    * data. Families whose metadata leads the file parse from the
+    * prefix (AVI, MP4 faststart, WebM/Matroska, WAV, FLAC —
+    * STREAMINFO is ≤ 42 bytes); families whose grammar NEEDS the tail
+    * (GIF's full block walk, MP3's to-EOF sync walk, Ogg's last-page
+    * granule) are honestly `parsed = false` here — never fabricated
+    * fields. Route those to their full scans, or accept the refusal
+    * as the filter's answer.
+    */
+  def mediaMetaScanPrefix(df: DataFrame, idCol: String, binCol: String,
+      prefixBytes: Int = 64 * 1024): DataFrame = {
+    require(prefixBytes >= 44,
+      s"prefixBytes must cover the smallest header, got $prefixBytes")
+    implicit val enc = Encoders.product[MediaMeta]
+    df.select(col(idCol).cast("long"),
+      substring(col(binCol), 1, prefixBytes).as("__media_prefix"),
+      length(col(binCol)).cast("long").as("__media_len"))
+      .mapPartitions { (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          mediaMetaPrefix(r.getAs[Array[Byte]](1), r.getLong(2)) match {
+            case Some(m) => m.copy(id = id)
+            case None => MediaMeta(id, "", 0L, 0, 0, "", "", 0,
+              parsed = false)
+          }
+        }
+      }.toDF().select(col("id"), col("container"),
+        col("durationMs").as("duration_ms"),
+        col("width"), col("height"),
+        col("videoCodec").as("video_codec"),
+        col("audioCodec").as("audio_codec"),
+        col("audioRate").as("audio_rate"),
+        col("parsed"))
+  }
+
+  /** The prefix-honest dispatch: walks that are prefix-boundable run
+    * with the true length; the rest refuse.
+    */
+  private def mediaMetaPrefix(b: Array[Byte],
+      trueLen: Long): Option[MediaMeta] = {
+    if (b == null || b.length < 12) return None
+    def is(o: Int, s: String): Boolean =
+      s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+    if (is(0, "RIFF") && is(8, "WAVE"))
+      Audio.parseWav(b, trueLen).map { m =>
+        MediaMeta(0L, "wav", m.durationMs, 0, 0, "",
+          "wave_" + m.format, m.sampleRate, parsed = true)
+      }
+    else if (is(0, "fLaC")) // STREAMINFO sits in the first 42 bytes
+      Audio.parseFlacInfo(b).map { case (sr, ch, bits, n) =>
+        MediaMeta(0L, "flac", n * 1000L / sr, 0, 0, "", "flac", sr,
+          parsed = true)
+      }
+    else if (is(0, "RIFF") && is(8, "AVI "))
+      Video.parseAvi(b, trueLen).map { m =>
+        val vc =
+          if (m.compression == 0L) "DIB "
+          else new String(Array(
+            (m.compression & 0xFF).toByte,
+            ((m.compression >> 8) & 0xFF).toByte,
+            ((m.compression >> 16) & 0xFF).toByte,
+            ((m.compression >> 24) & 0xFF).toByte), "US-ASCII")
+        val ac =
+          if (m.audioStream >= 0) "wave_" + m.audFormat else ""
+        MediaMeta(0L, "avi", m.totalFrames * m.microsPerFrame / 1000L,
+          m.width, m.height, vc, ac, m.audRate, parsed = true)
+      }
+    else if (is(4, "ftyp"))
+      Mp4.parseMp4(b, trueLen).map { m =>
+        MediaMeta(0L, "mp4", m.duration * 1000L / m.timescale,
+          m.width, m.height, m.videoCodec, m.audioCodec, m.audioRate,
+          parsed = true)
+      }
+    else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)
+      Webm.parseWebm(b, trueLen).map { w =>
+        MediaMeta(0L, w.docType, math.max(w.durationMs, -1L), w.width,
+          w.height, w.videoCodec, w.audioCodec, w.audioRate,
+          parsed = true)
+      }
+    else None // GIF/MP3/Ogg grammars need the tail: refuse honestly
+  }
+
   /** Per-payload magic dispatch into the eight container walks. */
   private def mediaMeta(b: Array[Byte]): Option[MediaMeta] = {
     if (b == null || b.length < 12) return None

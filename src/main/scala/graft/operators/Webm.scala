@@ -80,6 +80,27 @@ object Webm {
     }
   }
 
+  /** [[parseWebmHeader]] over a PERSISTED prefix column — the storage
+    * form of the 100 TB metadata-filter path
+    * ([[Mp4.parseMp4HeaderPrefixCols]] for EBML): persist
+    * `substring(bin, 1, prefixBytes)` plus the TRUE payload length as
+    * narrow columns at ingest, and the filter runs without the
+    * parquet reader ever materializing cluster data. Same honesty
+    * contract as [[parseWebmHeaderPrefix]].
+    */
+  def parseWebmHeaderPrefixCols(df: DataFrame, idCol: String,
+      prefixCol: String, totalLenCol: String): Dataset[WebmMeta] = {
+    implicit val enc = Encoders.product[WebmMeta]
+    df.select(col(idCol).cast("long"), col(prefixCol),
+      col(totalLenCol).cast("long")).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          toMeta(r.getLong(0),
+            parseWebm(r.getAs[Array[Byte]](1), r.getLong(2)))
+        }
+    }
+  }
+
   /** Metadata projection — id + the [[WebmMeta]] fields as columns.
     * `prefixBytes > 0` routes through the prefix parser.
     */

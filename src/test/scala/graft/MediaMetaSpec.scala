@@ -208,4 +208,36 @@ class MediaMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row(5L) == ("ogg", 4410L * 1000 / 44100, "vorbis", 44100,
       true), arows(5L))
   }
+
+  test("mediaMetaScanPrefix: prefix-boundable families parse from a " +
+      "1 KiB prefix with media data beyond it; tail-dependent " +
+      "grammars (GIF/MP3/Ogg) refuse in prefix mode but parse whole") {
+    import graft.operators.{Audio, Gif, Media, Mp4, Webm}
+    // a faststart MP4 with 64 KiB of mdat: genuinely beyond the prefix
+    val bigMp4 = Mp4.buildMp4(600L, 3000L, 64, 48,
+      mdatBytes = 64 * 1024)
+    val bigWebm = Webm.buildWebm("webm", 1000000L, 4000.0,
+      videoCodec = "V_VP9", width = 640, height = 360,
+      nClusters = 8, clusterBytes = 16 * 1024)
+    val palette = Array.tabulate(16)(i => i * 0x111111)
+    val gif = Gif.buildGif(4, 3, palette, (0 until 3).map(f =>
+      Array.tabulate[Byte](12)(p => ((f + p) % 16).toByte)),
+      delayCs = 7)
+    val ogg = Audio.buildOgg("opus", 1, 48000, 960L)
+    val rows = Media.mediaMetaScanPrefix(
+      df((1L, bigMp4), (2L, bigWebm), (3L, gif), (4L, ogg)),
+      "id", "content", prefixBytes = 1024).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(8) && rows(1L).getLong(2) == 5000L &&
+      rows(1L).getString(1) == "mp4", rows(1L).toString)
+    assert(rows(2L).getBoolean(8) && rows(2L).getLong(2) == 4000L,
+      rows(2L).toString)
+    assert(!rows(3L).getBoolean(8) && !rows(4L).getBoolean(8),
+      "tail-dependent grammars must refuse in prefix mode")
+    // the same payloads parse through the FULL scan
+    val full = Media.mediaMetaScan(df((3L, gif), (4L, ogg)), "id",
+      "content").collect().map(r => r.getLong(0) -> r.getBoolean(8))
+      .toMap
+    assert(full == Map(3L -> true, 4L -> true), full.toString)
+  }
 }

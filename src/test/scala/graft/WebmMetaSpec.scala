@@ -86,6 +86,15 @@ class WebmMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cut = Webm.parseWebmHeaderPrefix(df(1L -> big), "id", "content",
       prefixBytes = 64).collect().head
     assert(!cut.parsed, s"metadata beyond the prefix must refuse: $cut")
+    // the persisted-prefix-column form parses identically
+    import org.apache.spark.sql.functions.{col, length, substring}
+    val cols = df(1L -> big).select(col("id"),
+      substring(col("content"), 1, 4096).as("prefix"),
+      length(col("content")).cast("long").as("total_len"))
+    val pc = Webm.parseWebmHeaderPrefixCols(cols, "id", "prefix",
+      "total_len").collect().head
+    assert(pc == ok.copy(id = pc.id),
+      s"prefix-cols must equal the inline prefix parse: $pc vs $ok")
   }
 
   test("honesty matrix: garbage, truncation mid-structure, a foreign " +
