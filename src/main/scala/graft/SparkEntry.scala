@@ -562,6 +562,36 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real Matroska/WebM files carrying uncompressed-PCM tracks for
+    * the EBML soundtrack-bridge oracle row: per doc_id the library
+    * encoder plants a closed-form sample stream behind REAL
+    * SimpleBlocks / BlockGroup-wrapped Blocks across multiple
+    * clusters — byte order, block form, block layout, and a leading
+    * video track all rotate by base.
+    */
+  private def syntheticWebmAudioClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 200 + 3 * base
+      val samples = Array.tabulate(n)(k => (base * 53 + k * 17) % 201 - 100)
+      val third = n / 3
+      Webm.buildWebm(
+        docType = if (base % 2 == 0) "webm" else "matroska",
+        timescaleNs = 1000000L,
+        durationTicks = (n / 8).toDouble,
+        videoCodec = if (base % 2 == 0) "V_VP8" else "",
+        width = if (base % 2 == 0) 16 else 0,
+        height = if (base % 2 == 0) 16 else 0,
+        audioChannels = 1, audioRate = 8000.0,
+        audioPcm = samples,
+        blockSamples = Seq(third, third, n - 2 * third),
+        pcmBigEndian = base % 4 >= 2,
+        useBlockGroups = base % 3 == 0)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Mixed WAV/FLAC corpus for the cross-container AUDIO dedup oracle
     * row: 250 sample-stream classes, each carried TWICE — as a
     * canonical WAV (even id) and as a Rice-coded FLAC (odd id,
@@ -2436,6 +2466,28 @@ object SparkEntry {
           col("video_codec"), col("audio_codec"),
           col("audio_rate").cast("long").as("audio_rate"),
           col("parsed"))),
+
+    // the EBML side of the soundtrack bridge: REAL Matroska/WebM PCM
+    // tracks (both byte orders, SimpleBlocks AND BlockGroup-wrapped
+    // Blocks, multi-cluster layouts, optional leading video track)
+    // -> extractAudioTracks' container-auto dispatch -> the block
+    // walk -> canonical WAV -> the UNCHANGED audio decode -> exact
+    // integer stats; every column is a closed form of doc_id
+    // (jingle-in-a-WebM composition is spec-pinned in HuntSpec)
+    "q_webm_audio_track" -> ((s, dir) => {
+      val tracks = Video.extractAudioTracks(
+        syntheticWebmAudioClassed(t(s, dir, "documents")), "id",
+        "content").toDF().filter(col("decoded"))
+      Audio.decodePcm16(tracks, "id", "wav").toDF()
+        .filter(col("decoded"))
+        .select(col("id"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("nFrames").as("n_frames"),
+          aggregate(col("samples"), lit(0L), (a, x) => a + x)
+            .as("sample_sum"),
+          array_max(col("samples")).cast("long").as("sample_peak"),
+          array_min(col("samples")).cast("long").as("sample_min"))
+    }),
 
     // the PREFIX form of the mixed filter: the same eight-family
     // corpus through a persisted-1-KiB-prefix scan — the families
@@ -5511,6 +5563,26 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS audio_rate,
         |  TRUE AS parsed
         |FROM g
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // WebM soundtrack bridge: the planted stream is a closed form of
+    // (doc_id, k) — the block-walk concat is byte-level, so decoded
+    // stats replay as list folds (the same stream family as the AVI
+    // and MP4 bridge rows, proving one contract across containers)
+    "q_webm_audio_track" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    200 + (doc_id % 64) * 3 AS n
+        |  FROM documents),
+        |s AS (SELECT id, n, list_transform(generate_series(0, n - 1),
+        |    k -> (base * 53 + k * 17) % 201 - 100) AS ss
+        |  FROM g)
+        |SELECT id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_sum(ss) AS BIGINT) AS sample_sum,
+        |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
+        |  CAST(list_min(ss) AS BIGINT) AS sample_min
+        |FROM s
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // prefix media scan: identical closed forms for the prefix-

@@ -428,7 +428,8 @@ object Video {
   /** Container dispatch for the soundtrack walk — each payload is
     * read ONCE by exactly one extractor, decided on its magic bytes
     * (RIFF → AVI movi concat; `ftyp` at offset 4 → ISO-BMFF sample
-    * tables). Unknown containers refuse.
+    * tables; EBML magic → Matroska/WebM block walk). Unknown
+    * containers refuse.
     */
   private def anyAudioTrackWav(bytes: Array[Byte],
       maxAudioBytes: Int): Option[(Int, Int, Int, Int, Array[Byte])] = {
@@ -437,6 +438,9 @@ object Video {
       bytes(3) == 'F') audioTrackWav(bytes, maxAudioBytes)
     else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
       bytes(7) == 'p') Mp4.mp4AudioTrackWav(bytes, maxAudioBytes)
+    else if ((bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45 &&
+      (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3)
+      Webm.webmAudioTrackWav(bytes, maxAudioBytes)
     else None
   }
 

@@ -426,6 +426,217 @@ object Webm {
       videoCodec, width, height, audioCodec, audioChannels, audioRate))
   }
 
+  /** The Matroska soundtrack walk — the EBML side of the audio
+    * bridge ([[Mp4.mp4AudioTrackWav]] for ISO-BMFF, the movi concat
+    * for AVI): locate the FIRST audio track entry, require an
+    * uncompressed-PCM codec id (`A_PCM/INT/LIT` / `A_PCM/INT/BIG`,
+    * 16-bit), then concatenate the track's block payloads in stream
+    * order — `SimpleBlock`s and `BlockGroup`-wrapped `Block`s both
+    * walk; LACED blocks refuse honestly (no PCM muxer laces, and
+    * guessing lace boundaries would corrupt the signal), as do
+    * compressed codecs (Opus/Vorbis — fabricating samples is this
+    * family's forbidden move), non-16-bit depths, and streams past
+    * `maxAudioBytes` (refused, never truncated). Byte-level: the only
+    * transform is the big-endian pair swap WAV's canonical layout
+    * demands. Returns (wavFormat=1, channels, rate, bits, wavBytes).
+    */
+  private[graft] def webmAudioTrackWav(bytes: Array[Byte],
+      maxAudioBytes: Int): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 8) return None
+    val avail = bytes.length.toLong
+    // EBML header + docType gate (same as the metadata walk)
+    val (id0, hBody, hEnd) =
+      elementAt(bytes, 0L, avail).getOrElse(return None)
+    if (id0 != IdEbml || hEnd == UnknownSize || hEnd > avail)
+      return None
+    var docType = ""
+    var p = hBody
+    while (p < hEnd) {
+      val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return None)
+      if (e == UnknownSize || e > hEnd) return None
+      if (eid == IdDocType) {
+        var len = (e - b).toInt
+        while (len > 0 && bytes((b + len - 1).toInt) == 0) len -= 1
+        docType = new String(bytes, b.toInt, len, "US-ASCII")
+      }
+      p = e
+    }
+    if (docType != "webm" && docType != "matroska") return None
+    val (segId, segBody, segEndRaw) =
+      elementAt(bytes, hEnd, avail).getOrElse(return None)
+    if (segId != IdSegment) return None
+    val segEnd =
+      if (segEndRaw == UnknownSize) avail
+      else if (segEndRaw > avail) return None
+      else segEndRaw
+
+    // ---- pass 1: the first audio track's number + PCM shape
+    var pcmTrack = -1L
+    var channels = 0
+    var rate = 0
+    var swapBe = false
+    def walkTracksFor(start: Long, end: Long): Boolean = {
+      var p = start
+      while (p < end) {
+        val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return false)
+        if (e == UnknownSize || e > end) return false
+        if (eid == IdTrackEntry && pcmTrack < 0L) {
+          var num = -1L
+          var trackType = 0L
+          var codecId = ""
+          var ch = 0L
+          var rt = -1.0
+          var depth = -1L
+          var q = b
+          while (q < e) {
+            val (tid, tb, te) =
+              elementAt(bytes, q, avail).getOrElse(return false)
+            if (te == UnknownSize || te > e) return false
+            tid match {
+              case 0xD7L =>
+                num = beUint(bytes, tb, te).getOrElse(return false)
+              case IdTrackType =>
+                trackType = beUint(bytes, tb, te).getOrElse(return false)
+              case IdCodecId =>
+                var len = (te - tb).toInt
+                while (len > 0 && bytes((tb + len - 1).toInt) == 0)
+                  len -= 1
+                codecId = new String(bytes, tb.toInt, len, "US-ASCII")
+              case IdAudio =>
+                var a = tb
+                while (a < te) {
+                  val (aid, ab, ae) =
+                    elementAt(bytes, a, avail).getOrElse(return false)
+                  if (ae == UnknownSize || ae > te) return false
+                  if (aid == IdChannels)
+                    ch = beUint(bytes, ab, ae).getOrElse(return false)
+                  else if (aid == 0x6264L)
+                    depth = beUint(bytes, ab, ae).getOrElse(return false)
+                  else if (aid == IdSamplingFrequency) {
+                    rt = beFloat(bytes, ab, ae).getOrElse(return false)
+                    if (!java.lang.Double.isFinite(rt) || rt <= 0.0 ||
+                      rt > Int.MaxValue || rt != math.floor(rt))
+                      return false
+                  }
+                  a = ae
+                }
+              case _ =>
+            }
+            q = te
+          }
+          if (trackType == 2L) { // the FIRST audio track decides
+            if (num <= 0L || num > 126L) return false // 1-byte varint
+            if (codecId != "A_PCM/INT/LIT" && codecId != "A_PCM/INT/BIG")
+              return false // compressed codecs refuse honestly
+            if (depth >= 0L && depth != 16L) return false
+            if (ch < 1L || ch > 64L || rt <= 0.0) return false
+            pcmTrack = num
+            channels = ch.toInt
+            rate = rt.toInt
+            swapBe = codecId.endsWith("BIG")
+          }
+        }
+        p = e
+      }
+      true
+    }
+
+    // ---- block walk: collect (offset, length) of the PCM payloads
+    val chunks = Vector.newBuilder[(Int, Int)]
+    var total = 0L
+    def blockPayload(b: Long, e: Long): Boolean = {
+      // track varint (size-coded), s16 timestamp, flags, payload
+      val (tn, tnLen) = varint(bytes, b, avail, keepMarker = false)
+        .getOrElse(return false)
+      val hdr = b + tnLen + 3
+      if (hdr > e) return false
+      if (tn == pcmTrack) {
+        val flags = bytes((b + tnLen + 2).toInt) & 0xFF
+        if ((flags & 0x06) != 0) return false // laced: refuse
+        val len = (e - hdr).toInt
+        total += len
+        if (total > maxAudioBytes) return false // refuse, never trim
+        chunks += (((hdr).toInt, len))
+      }
+      true
+    }
+    def walkCluster(start: Long, end: Long): Boolean = {
+      var p = start
+      while (p < end) {
+        val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return false)
+        if (e == UnknownSize || e > end) return false
+        if (eid == 0xA3L) { // SimpleBlock
+          if (!blockPayload(b, e)) return false
+        } else if (eid == 0xA0L) { // BlockGroup
+          var q = b
+          while (q < e) {
+            val (gid, gb, ge) =
+              elementAt(bytes, q, avail).getOrElse(return false)
+            if (ge == UnknownSize || ge > e) return false
+            if (gid == 0xA1L && !blockPayload(gb, ge)) return false
+            q = ge
+          }
+        }
+        p = e
+      }
+      true
+    }
+
+    var pos = segBody
+    var sawTracks = false
+    while (pos < segEnd) {
+      val (eid, b, e) = elementAt(bytes, pos, avail).getOrElse(return None)
+      if (e == UnknownSize || e > segEnd) return None
+      if (eid == IdTracks) {
+        if (!walkTracksFor(b, e)) return None
+        sawTracks = true
+      } else if (eid == IdCluster) {
+        if (!sawTracks || pcmTrack < 0L) return None
+        if (!walkCluster(b, e)) return None
+      }
+      pos = e
+    }
+    if (pcmTrack < 0L || total == 0L) return None
+
+    // ---- concat behind the canonical 44-byte WAV header
+    val n = total.toInt
+    val out = new Array[Byte](44 + n)
+    var w = 44
+    chunks.result().foreach { case (off, len) =>
+      System.arraycopy(bytes, off, out, w, len)
+      w += len
+    }
+    if (swapBe) {
+      var o = 44
+      while (o + 1 < out.length) {
+        val t = out(o); out(o) = out(o + 1); out(o + 1) = t
+        o += 2
+      }
+    }
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte
+      out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def w16o(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag4o(o: Int, s: String): Unit = {
+      var t = 0
+      while (t < 4) { out(o + t) = s.charAt(t).toByte; t += 1 }
+    }
+    val blockAlign = channels * 2
+    tag4o(0, "RIFF"); w32(4, 36L + n); tag4o(8, "WAVE")
+    tag4o(12, "fmt "); w32(16, 16L)
+    w16o(20, 1); w16o(22, channels)
+    w32(24, rate.toLong); w32(28, rate.toLong * blockAlign)
+    w16o(32, blockAlign); w16o(34, 16)
+    tag4o(36, "data"); w32(40, n.toLong)
+    Some((1, channels, rate, 16, out))
+  }
+
   // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
 
   /** Build a minimal valid WebM/Matroska file: EBML header (DocType),
@@ -444,11 +655,24 @@ object Webm {
       audioChannels: Int = 0, audioRate: Double = 0.0,
       nClusters: Int = 1, clusterBytes: Int = 64,
       unknownSizeSegment: Boolean = false,
-      floatDuration32: Boolean = false): Array[Byte] = {
+      floatDuration32: Boolean = false,
+      audioPcm: Array[Int] = null, pcmBigEndian: Boolean = false,
+      blockSamples: Seq[Int] = Nil,
+      useBlockGroups: Boolean = false): Array[Byte] = {
     require(docType == "webm" || docType == "matroska", "docType")
     require(timescaleNs > 0, "timescaleNs")
-    require(videoCodec.nonEmpty || audioCodec.nonEmpty,
-      "at least one track")
+    require(videoCodec.nonEmpty || audioCodec.nonEmpty ||
+      audioPcm != null, "at least one track")
+    if (audioPcm != null) {
+      require(audioCodec.isEmpty,
+        "audioPcm writes its own A_PCM track; leave audioCodec empty")
+      require(audioChannels >= 1 && audioRate > 0, "pcm track shape")
+      require(blockSamples.nonEmpty && blockSamples.forall(_ > 0),
+        "blockSamples must be positive")
+      require(audioPcm.length == blockSamples.sum * audioChannels,
+        s"audioPcm ${audioPcm.length} != frames ${blockSamples.sum} " +
+          s"x $audioChannels channels")
+    }
     // `bos` is the CURRENT buffer; element() pushes a fresh one for
     // its body and appends it to the parent once sized — linear in
     // output size (a single shared buffer re-copied per sibling is
@@ -533,20 +757,56 @@ object Webm {
           }
           trackNum += 1
         }
-        if (audioCodec.nonEmpty) {
+        if (audioCodec.nonEmpty || audioPcm != null) {
           element(IdTrackEntry) {
             uintEl(0xD7L, trackNum)
             uintEl(0x73C5L, trackNum)
             uintEl(IdTrackType, 2L)
-            strEl(IdCodecId, audioCodec)
+            strEl(IdCodecId,
+              if (audioPcm != null)
+                "A_PCM/INT/" + (if (pcmBigEndian) "BIG" else "LIT")
+              else audioCodec)
             element(IdAudio) {
               floatEl(IdSamplingFrequency, audioRate, as32 = false)
               uintEl(IdChannels, audioChannels.toLong)
+              if (audioPcm != null) uintEl(0x6264L, 16L) // BitDepth
             }
           }
         }
       }
-      (0 until nClusters).foreach { c =>
+      if (audioPcm != null) {
+        // REAL PCM blocks: clusters of up to 3 blocks each, every
+        // block a SimpleBlock (or a BlockGroup-wrapped Block) of the
+        // audio track — 1-byte track varint, s16 relative timestamp,
+        // flags, then the samples in the codec's byte order
+        val pcmTrack = if (videoCodec.nonEmpty) 2L else 1L
+        var s = 0
+        blockSamples.grouped(3).zipWithIndex.foreach { case (grp, c) =>
+          element(IdCluster) {
+            uintEl(0xE7L, c.toLong * 1000L) // Timestamp
+            grp.zipWithIndex.foreach { case (frames, bi) =>
+              def blockBody(simple: Boolean): Unit = {
+                bos.write((0x80L | pcmTrack).toInt) // 1-byte varint
+                bos.write(0); bos.write(bi) // relative timestamp
+                bos.write(if (simple) 0x80 else 0x00) // flags, no lacing
+                (0 until frames * audioChannels).foreach { _ =>
+                  val v = audioPcm(s); s += 1
+                  if (pcmBigEndian) {
+                    bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF)
+                  } else {
+                    bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+                  }
+                }
+              }
+              if (useBlockGroups)
+                element(0xA0L) { // BlockGroup
+                  element(0xA1L) { blockBody(simple = false) } // Block
+                }
+              else element(0xA3L) { blockBody(simple = true) }
+            }
+          }
+        }
+      } else (0 until nClusters).foreach { c =>
         element(IdCluster) {
           uintEl(0xE7L, c.toLong * 1000L) // Timestamp
           element(0xA3L) { // SimpleBlock: opaque filler payload

@@ -99,9 +99,10 @@ class HuntSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("findVideosWithJingle is container-auto: the SAME jingle " +
       "index catches the needle inside an MP4 soundtrack (sowt " +
-      "sample tables) and an AVI soundtrack in one mixed-corpus " +
-      "hunt; mp4a soundtracks refuse extraction and emit no rows") {
-    import graft.operators.Mp4
+      "sample tables), an AVI soundtrack, AND a WebM PCM soundtrack " +
+      "in one mixed-corpus hunt; compressed soundtracks (mp4a, " +
+      "A_OPUS) refuse extraction and emit no rows") {
+    import graft.operators.{Mp4, Webm}
     val jingle = noise(23, 65 * 16) // 1040 frames
     val dir = tmp("graft-hunt-mp4jingle")
     Audio.writeAudioNearDupIndex(
@@ -117,17 +118,27 @@ class HuntSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((7 * 131 + f * 31 + k * 7) % 101).toByte)
     def avi(seed: Int, planted: Boolean) = Video.buildAviWithAudio(
       4, 3, (0 until 6).map(frame), 40000L, stream(seed, planted), 8000)
+    def webm(seed: Int, planted: Boolean) = Webm.buildWebm(
+      "webm", 1000000L, 390.0, videoCodec = "V_VP8", width = 16,
+      height = 16, audioChannels = 1, audioRate = 8000.0,
+      audioPcm = stream(seed, planted),
+      blockSamples = Seq(1000, 1000, 1120))
     val corpus = df(
       10L -> mp4(50, planted = true),
       20L -> mp4(60, planted = false),
       30L -> avi(70, planted = true),
       40L -> Mp4.buildMp4(600L, 600L, 16, 16, audioCodec = "mp4a",
-        audioChannels = 2, audioRate = 44100))
+        audioChannels = 2, audioRate = 44100),
+      50L -> webm(80, planted = true),
+      60L -> webm(90, planted = false),
+      70L -> Webm.buildWebm("webm", 1000000L, 100.0, videoCodec = "",
+        audioCodec = "A_OPUS", audioChannels = 1, audioRate = 48000.0))
     val hits = Video.findVideosWithJingle(corpus, "id", "content",
       dir, segmentFrames = 1040)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
-    assert(hits == Set((10L, 1L, 1040L), (30L, 1L, 1040L)), hits)
+    assert(hits == Set((10L, 1L, 1040L), (30L, 1L, 1040L),
+      (50L, 1L, 1040L)), hits)
   }
 
   test("findImagesContainingCrop locates the planted tile by " +

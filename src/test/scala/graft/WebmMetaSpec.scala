@@ -132,6 +132,67 @@ class WebmMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> false, 5L -> false, 6L -> false, 7L -> true), rows.toString)
   }
 
+  test("Matroska PCM soundtrack: LIT and BIG byte orders, SimpleBlock " +
+      "and BlockGroup forms, multi-cluster layouts, and stereo all " +
+      "extract to canonical WAVs whose decoded samples equal the " +
+      "planted stream; laced blocks, compressed codecs, and over-cap " +
+      "tracks refuse") {
+    import graft.operators.{Audio, Video}
+    val s16 = Array.tabulate(600)(k => ((k * 371 + 11) % 65536) - 32768)
+    val fixtures = Seq(
+      1L -> Webm.buildWebm("matroska", 1000000L, 75.0,
+        videoCodec = "", audioChannels = 1, audioRate = 8000.0,
+        audioPcm = s16, blockSamples = Seq(200, 200, 200)),
+      2L -> Webm.buildWebm("webm", 1000000L, 75.0,
+        videoCodec = "V_VP8", width = 16, height = 16,
+        audioChannels = 1, audioRate = 8000.0, audioPcm = s16,
+        blockSamples = Seq(100, 150, 350), pcmBigEndian = true),
+      3L -> Webm.buildWebm("matroska", 1000000L, 75.0,
+        videoCodec = "", audioChannels = 1, audioRate = 8000.0,
+        audioPcm = s16, blockSamples = Seq(600),
+        useBlockGroups = true))
+    val tracks = Video.extractAudioTracks(df(fixtures: _*), "id",
+      "content").collect().map(t => t.id -> t).toMap
+    fixtures.foreach { case (id, _) =>
+      val t = tracks(id)
+      assert(t.decoded && t.format == 1 && t.channels == 1 &&
+        t.sampleRate == 8000 && t.bitsPerSample == 16, s"$id: $t")
+    }
+    val dec = Audio.decodePcm16(
+      df(fixtures.map { case (id, _) => id -> tracks(id).wav }: _*),
+      "id", "content").collect().map(d => d.id -> d).toMap
+    (1L to 3L).foreach(id => assert(dec(id).decoded &&
+      dec(id).samples.toSeq == s16.toSeq, s"$id decoded differs"))
+    // stereo mixes down by the audio family's floorDiv
+    val st = Array.tabulate(400)(k => ((k * 119 + 3) % 65536) - 32768)
+    val stw = Webm.buildWebm("webm", 1000000L, 25.0, videoCodec = "",
+      audioChannels = 2, audioRate = 16000.0, audioPcm = st,
+      blockSamples = Seq(120, 80))
+    val std = Audio.decodePcm16(df(1L -> Video.extractAudioTracks(
+      df(1L -> stw), "id", "content").collect().head.wav),
+      "id", "content").collect().head
+    val want = (0 until 200).map(f =>
+      math.floorDiv(st(2 * f) + st(2 * f + 1), 2))
+    assert(std.samples.toSeq == want, "stereo mixdown mismatch")
+    // honesty: laced flag, compressed codec, over-cap
+    val laced = fixtures.head._2.clone()
+    val blockAt = (0 to laced.length - 4).find(i =>
+      (laced(i) & 0xFF) == 0x81 && laced(i + 1) == 0 &&
+        (laced(i + 3) & 0xFF) == 0x80).get
+    laced(blockAt + 3) = 0x82.toByte // Xiph lacing bits
+    val opus = Webm.buildWebm("webm", 1000000L, 75.0,
+      videoCodec = "", audioCodec = "A_OPUS", audioChannels = 1,
+      audioRate = 48000.0)
+    val rows = Video.extractAudioTracks(
+      df(1L -> laced, 2L -> opus), "id", "content")
+      .collect().map(t => t.id -> t.decoded).toMap
+    assert(rows == Map(1L -> false, 2L -> false), rows.toString)
+    val capped = Video.extractAudioTracks(df(1L -> fixtures.head._2),
+      "id", "content", maxAudioBytes = 100).collect().head
+    assert(!capped.decoded && capped.wav.isEmpty,
+      "over-cap must refuse entirely, never truncate")
+  }
+
   test("webmMetaScan projection: the metadata-filter columns, prefix " +
       "routing on") {
     val rows = Webm.webmMetaScan(df(
