@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Flac, Gif, HtmlExtract, LanguageModel, Mp3, Mp4, Multimodal, ProductQuantization, QualityClassifier, Retrieval, Similarity, TextRepair, VectorOps, Video, WebCorpus, Webm}
+import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Flac, Gif, HtmlExtract, LanguageModel, Mp3, Mp4, Multimodal, Png, ProductQuantization, QualityClassifier, Retrieval, Similarity, Subtitle, TextRepair, VectorOps, Video, WebCorpus, Webm}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -419,9 +419,12 @@ object SparkEntry {
   /** Mixed-container corpus for the cross-container dedup oracle row:
     * per doc_id, the SAME planted 8×4 pixel stream (the
     * [[syntheticGifClassed]] formula, 65 + base%8 frames) carried as
-    * an uncompressed AVI for even ids and as an animated GIF for odd
-    * ids — same pixels, different container, so same-class payloads
-    * must fingerprint identically across containers.
+    * an uncompressed AVI (doc_id % 3 == 0), an animated GIF (== 1),
+    * or an animated PNG through real per-frame deflate (== 2) — same
+    * pixels, three containers, so same-class payloads must
+    * fingerprint identically whichever container carried them (the
+    * oracle replays the luma closed form once; it is
+    * container-independent by construction).
     */
   private def syntheticMixedContainerClassed(
       docs: DataFrame): DataFrame = {
@@ -433,19 +436,62 @@ object SparkEntry {
       val n = 65 + base % 8
       val idxFrames = (0 until n).map(f => Array.tabulate(32)(p =>
         ((base * 7 + f * 5 + p * p) % 16).toByte))
-      if (id % 2 == 0) {
-        val frames = idxFrames.map { ix =>
-          val bgr = new Array[Byte](96)
+      (id % 3) match {
+        case 0 =>
+          val frames = idxFrames.map { ix =>
+            val bgr = new Array[Byte](96)
+            ix.indices.foreach { p =>
+              val rgb = palette(ix(p) & 0xFF)
+              bgr(3 * p) = (rgb & 0xFF).toByte
+              bgr(3 * p + 1) = ((rgb >> 8) & 0xFF).toByte
+              bgr(3 * p + 2) = ((rgb >> 16) & 0xFF).toByte
+            }
+            bgr
+          }
+          Video.buildUncompressedAvi(8, 4, frames, 40000L)
+        case 1 => Gif.buildGif(8, 4, palette, idxFrames, delayCs = 4)
+        case _ => Png.buildApng(8, 4, 3, idxFrames, palette = palette,
+          delayNum = 4, delayDen = 100,
+          filterOf = f => y => (f + y + base) % 5)
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Animated-PNG payloads for the compressed-video oracle row — the
+    * [[syntheticGifClassed]] pixel formula carried as APNG: even ids
+    * palette-typed (color type 3, the GIF-equivalent path), odd ids
+    * expanded RGB (color type 2), per-frame-varying scanline filters,
+    * 40 ms per frame (delay 4/100). Same luma closed form either way.
+    */
+  private def syntheticApngClassed(docs: DataFrame): DataFrame = {
+    val palette = Array.tabulate(16)(i =>
+      (((i * 23) % 256) << 16) | (((i * 47) % 256) << 8) |
+        ((i * 91) % 256))
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 9 + base % 4
+      val idxFrames = (0 until n).map(f => Array.tabulate(32)(p =>
+        ((base * 7 + f * 5 + p * p) % 16).toByte))
+      if (id % 2 == 0)
+        Png.buildApng(8, 4, 3, idxFrames, palette = palette,
+          delayNum = 4, delayDen = 100,
+          filterOf = f => y => (f + y + base) % 5)
+      else {
+        val rgbFrames = idxFrames.map { ix =>
+          val s = new Array[Byte](96)
           ix.indices.foreach { p =>
             val rgb = palette(ix(p) & 0xFF)
-            bgr(3 * p) = (rgb & 0xFF).toByte
-            bgr(3 * p + 1) = ((rgb >> 8) & 0xFF).toByte
-            bgr(3 * p + 2) = ((rgb >> 16) & 0xFF).toByte
+            s(3 * p) = ((rgb >> 16) & 0xFF).toByte
+            s(3 * p + 1) = ((rgb >> 8) & 0xFF).toByte
+            s(3 * p + 2) = (rgb & 0xFF).toByte
           }
-          bgr
+          s
         }
-        Video.buildUncompressedAvi(8, 4, frames, 40000L)
-      } else Gif.buildGif(8, 4, palette, idxFrames, delayCs = 4)
+        Png.buildApng(8, 4, 2, rgbFrames, delayNum = 4,
+          delayDen = 100, filterOf = f => y => (f + y) % 5)
+      }
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -720,6 +766,162 @@ object SparkEntry {
         nClusters = 1 + base % 3, clusterBytes = 2048,
         unknownSizeSegment = base % 5 == 0,
         floatDuration32 = base % 4 == 3)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Real PNG payloads for the bit-exact compressed-image oracle rows:
+    * per doc_id a 16×8 image in one of the five supported color types
+    * (doc_id % 5 → gray / RGB / palette / gray+alpha / RGBA), every
+    * sample a closed form of (doc_id, pixel), each ROW carrying a
+    * different scanline filter ((doc_id + y) % 5 — all five unfilter
+    * branches exercised by every payload), plus two provenance text
+    * chunks (tEXt + zTXt/iTXt alternating). Alpha samples exist but
+    * are ignored by the luma fold (the documented contract).
+    */
+  private def syntheticPngClassed(docs: DataFrame): DataFrame = {
+    val palette = Array.tabulate(16)(i =>
+      (((i * 23) % 256) << 16) | (((i * 47) % 256) << 8) |
+        ((i * 91) % 256))
+    val build = udf((id: Long) => {
+      val ct = Array(0, 2, 3, 4, 6)((id % 5).toInt)
+      val w = 16; val h = 8; val n = w * h
+      val samples: Array[Byte] = ct match {
+        case 0 => Array.tabulate(n)(p =>
+          ((id * 7 + p * 13) % 256).toByte)
+        case 2 => Array.tabulate(3 * n) { i =>
+          val p = i / 3
+          (i % 3) match {
+            case 0 => ((id + 3 * p) % 256).toByte
+            case 1 => ((id * 5 + 7 * p) % 256).toByte
+            case _ => ((id * 11 + p) % 256).toByte
+          }
+        }
+        case 3 => Array.tabulate(n)(p => ((id + p * p) % 16).toByte)
+        case 4 => Array.tabulate(2 * n) { i =>
+          val p = i / 2
+          if (i % 2 == 0) ((id * 9 + p * 5) % 256).toByte
+          else ((id + p) % 256).toByte // alpha: carried, not folded
+        }
+        case _ => Array.tabulate(4 * n) { i =>
+          val p = i / 4
+          (i % 4) match {
+            case 0 => ((id + 3 * p) % 256).toByte
+            case 1 => ((id * 5 + 7 * p) % 256).toByte
+            case 2 => ((id * 11 + p) % 256).toByte
+            case _ => ((id * 3 + p) % 256).toByte // alpha
+          }
+        }
+      }
+      Png.buildPng(w, h, ct, samples,
+        palette = if (ct == 3) palette else Array.emptyIntArray,
+        filterOf = y => ((id + y) % 5).toInt,
+        texts = Seq(
+          ("Software", s"graft-${id % 7}", "text"),
+          ("parameters", s"steps=${id % 50} cfg=${id % 13}",
+            if (id % 2 == 0) "ztxt" else "itxt")))
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Cross-container IMAGE corpus: per doc_id the SAME 9×8 gray
+    * pixels (pixel p = (doc_id·2654435761 + p²·11 + p·(doc_id % 251))
+    * % 256 — the id-dependent-slope term keeps distinct docs'
+    * gradient signatures distinct) carried three ways: an RGB PNG
+    * with equal channels and per-row varying filters (id 4·doc_id —
+    * RGB, not gray-typed: ImageIO color-manages TYPE_BYTE_GRAY
+    * rasters under getRGB, an RGB raster round-trips exactly), a
+    * canonical BMP (4·doc_id + 1), and a single-frame
+    * 256-gray-palette GIF (4·doc_id + 2). Same pixels → same 9×8
+    * luminance grid → same dHash, whatever the container — the
+    * image-family analogue of the AVI/GIF and WAV/FLAC
+    * cross-container rows.
+    */
+  private def syntheticImageCrossClassed(docs: DataFrame): DataFrame = {
+    val grayPal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    val build = udf((id: Long, which: Int) => {
+      val v = Array.tabulate(72)(i =>
+        ((id * 2654435761L + i.toLong * i * 11 +
+          i * (id % 251)) % 256).toInt)
+      which match {
+        case 0 => Png.buildPng(9, 8, 2,
+          v.flatMap(x => Array(x.toByte, x.toByte, x.toByte)),
+          filterOf = y => ((id + y) % 5).toInt)
+        case 1 =>
+          val bgr = new Array[Byte](3 * 72)
+          v.indices.foreach { p =>
+            bgr(3 * p) = v(p).toByte
+            bgr(3 * p + 1) = v(p).toByte
+            bgr(3 * p + 2) = v(p).toByte
+          }
+          Multimodal.buildBmp(9, 8, bgr)
+        case _ =>
+          Gif.buildGif(9, 8, grayPal, Seq(v.map(_.toByte)), delayCs = 4)
+      }
+    })
+    docs.select(col("doc_id"),
+        explode(array(lit(0), lit(1), lit(2))).as("which"))
+      .select((col("doc_id") * 4 + col("which")).as("id"),
+        build(col("doc_id"), col("which")).as("content"))
+      .localCheckpoint(true)
+  }
+
+  /** Subtitle-file corpus: per doc_id, 3 + doc_id % 4 cues of
+    * closed-form times and single-space-joined words, written as
+    * SubRip for even ids and WebVTT (with identifier lines / cue
+    * settings variants) for odd — the parse result is identical
+    * closed-form rows whichever grammar carried it.
+    */
+  private def syntheticSubtitleClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val n = (3 + id % 4).toInt
+      val cues = (0 until n).map { k =>
+        val st = id * 100 + k * 3000
+        val en = st + 1000 + (id + k) % 500
+        val words = (2 + (id + k) % 3).toInt
+        val text = (0 until words)
+          .map(j => s"t${(id * 13 + k * 5 + j * 7) % 50}")
+          .mkString(" ")
+        (st, en, text)
+      }
+      if (id % 2 == 0) Subtitle.buildSrt(cues)
+      else Subtitle.buildVtt(cues, withIds = id % 4 == 1,
+        settings = if (id % 4 == 3) "line:0" else "")
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** Matroska/WebM payloads carrying a REAL `S_TEXT/UTF8` subtitle
+    * track: 4 + doc_id % 3 cues in closed form, BlockGroup +
+    * BlockDuration for most and a bare SimpleBlock (no duration →
+    * end = start) every fifth cue, cues paired two per cluster so the
+    * second block exercises a real positive relative timestamp, and
+    * two timestamp scales (1 ms and 2 ms ticks) so the ms arithmetic
+    * is exercised, half the corpus with a video track entry alongside.
+    */
+  private def syntheticWebmSubClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = id % 64
+      val n = (4 + id % 3).toInt
+      val cues = (0 until n).map { k =>
+        val st = k * 1000L + base * 7
+        val dur = if (k % 5 == 4) -1L else 800 + (id + k) % 200
+        val words = (2 + (id + k) % 3).toInt
+        val text = (0 until words)
+          .map(j => s"s${(id * 17 + k * 3 + j) % 40}")
+          .mkString(" ")
+        (st, dur, text)
+      }
+      Webm.buildWebm(
+        docType = if (id % 2 == 0) "webm" else "matroska",
+        timescaleNs = if (id % 2 == 0) 1000000L else 2000000L,
+        durationTicks = 10000.0,
+        videoCodec = if (id % 3 == 0) "V_VP9" else "",
+        width = 320, height = 240,
+        subCues = cues)
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -2290,16 +2492,32 @@ object SparkEntry {
     }),
 
     // cross-container dedup: ONE signature space over a mixed
-    // AVI/GIF corpus (videoSigsAuto dispatches by magic; GIF decodes
-    // through the real LZW path, AVI through the chunk walk) — the
-    // same pixels pair at distance 0 whatever the container; the
-    // oracle replays the shared luma closed form once (it is
+    // AVI/GIF/APNG corpus (videoSigsAuto dispatches by magic; GIF
+    // decodes through the real LZW path, APNG through the real
+    // inflate+unfilter path, AVI through the chunk walk) — the same
+    // pixels pair at distance 0 whatever the container; the oracle
+    // replays the shared luma closed form once (it is
     // container-independent by construction) through the HUGEINT
     // fingerprint + block machinery
     "q_video_cross_container" -> ((s, dir) =>
       Video.videoNearDupPairsAuto(
         syntheticMixedContainerClassed(t(s, dir, "documents")),
         "id", "content", maxDistance = 0)),
+
+    // animated PNG — the third bit-exact compressed-video rung
+    // (DEFLATE + filters instead of GIF's LZW): REAL encoder-built
+    // APNGs (palette and RGB color types, per-frame-varying filters,
+    // fdAT split mid-stream) through the acTL/fcTL/fdAT walk + the
+    // per-frame inflate+unfilter decode -> exact integer stats; every
+    // column is a closed form of doc_id (the SAME closed form as
+    // q_video_gif — pixels are container-independent)
+    "q_video_apng" -> ((s, dir) =>
+      Png.apngStats(syntheticApngClassed(t(s, dir, "documents")),
+        "id", "content")
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_frames"),
+          col("duration_ms"), col("luma_total"), col("luma_peak"),
+          col("luma_min"))),
 
     // NEEDLE HUNT through the full PUBLIC artifact lifecycle: write a
     // real jingle signature index (32 closed-form 1040-frame jingles),
@@ -2487,6 +2705,66 @@ object SparkEntry {
             .as("sample_sum"),
           array_max(col("samples")).cast("long").as("sample_peak"),
           array_min(col("samples")).cast("long").as("sample_min"))
+    }),
+
+    // PNG — COMPRESSED image whose pixels are bit-exact (lossless
+    // DEFLATE + filters): REAL encoder-built payloads in all five
+    // supported color types, every row a different scanline filter,
+    // through the REAL chunk walk (all CRCs verified) + inflate +
+    // unfilter -> exact integer pixel stats; every column is a closed
+    // form of doc_id (the image rung of the GIF-video / FLAC-audio
+    // triad). ImageIO raster parity and the honesty matrix are
+    // spec-pinned in PngSpec
+    "q_image_png" -> ((s, dir) =>
+      Png.pngStats(syntheticPngClassed(t(s, dir, "documents")),
+        "id", "content")),
+
+    // PNG text chunks — image PROVENANCE as a first-class curation
+    // signal (generated-image detectors read exactly these): tEXt,
+    // zTXt (real deflate) and iTXt walked from the same payloads,
+    // every (keyword, text, kind) a closed form of doc_id
+    "q_image_png_text" -> ((s, dir) =>
+      Png.pngTextChunks(syntheticPngClassed(t(s, dir, "documents")),
+        "id", "content")),
+
+    // cross-container IMAGE dedup: ONE signature space over a mixed
+    // PNG/BMP/GIF corpus (the decode dispatch is the image family's
+    // magic sniff) — the same 9x8 gray pixels produce the same
+    // luminance grid, hence the same dHash, whatever the container;
+    // the oracle replays the grid closed form once through the
+    // HUGEINT fingerprint + block machinery
+    "q_image_cross_container" -> ((s, dir) =>
+      Multimodal.imageNearDupPairs(
+        syntheticImageCrossClassed(t(s, dir, "documents")),
+        "id", "content", maxDistance = 0)),
+
+    // subtitle files as TRAINING TEXT: a mixed SRT/WebVTT corpus
+    // (identifier lines, cue settings, multi-word cue text) through
+    // the strict grammar walk -> per-cue rows; every column a closed
+    // form of doc_id (exact integer ms arithmetic). The honesty
+    // matrix (bad timings, missing text, malformed arrows) is
+    // spec-pinned in SubtitleSpec
+    "q_subtitles" -> ((s, dir) =>
+      Subtitle.subtitleCues(
+        syntheticSubtitleClassed(t(s, dir, "documents")),
+        "id", "content")),
+
+    // the video→text bridge: REAL Matroska/WebM S_TEXT/UTF8 subtitle
+    // tracks (BlockGroup + BlockDuration cues, bare SimpleBlocks,
+    // real relative timestamps, two timestamp scales) through the
+    // EBML cluster walk -> per-video transcript statistics; every
+    // column is a closed form of doc_id
+    "q_video_subtitle_text" -> ((s, dir) => {
+      val cues = Webm.webmSubtitleCues(
+        syntheticWebmSubClassed(t(s, dir, "documents")),
+        "id", "content")
+      cues.groupBy(col("id")).agg(
+        count(lit(1)).as("n_cues"),
+        min(col("start_ms")).as("first_start_ms"),
+        max(col("end_ms")).as("last_end_ms"),
+        sum(col("end_ms") - col("start_ms")).as("speech_ms"),
+        sum(length(col("text")).cast("long")).as("chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("words"))
     }),
 
     // the PREFIX form of the mixed filter: the same eight-family
@@ -5583,6 +5861,164 @@ object SparkEntry {
         |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
         |  CAST(list_min(ss) AS BIGINT) AS sample_min
         |FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // PNG pixel stats: the decoded samples are the encoder's samples
+    // (lossless), so the oracle replays the per-pixel closed form —
+    // p = y*16 + x over a 16x8 image, five color-type sample formulas,
+    // alpha ignored by the fold
+    "q_image_png" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 5 AS BIGINT) AS v
+        |  FROM documents),
+        |s AS (SELECT id,
+        |    CASE v WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |      WHEN 3 THEN 4 ELSE 6 END AS ct,
+        |    list_transform(generate_series(0, 127), p ->
+        |      CASE v
+        |        WHEN 0 THEN 3 * ((id * 7 + p * 13) % 256)
+        |        WHEN 1 THEN ((id + 3 * p) % 256)
+        |          + ((id * 5 + 7 * p) % 256) + ((id * 11 + p) % 256)
+        |        WHEN 2 THEN (((id + p * p) % 16) * 23) % 256
+        |          + (((id + p * p) % 16) * 47) % 256
+        |          + (((id + p * p) % 16) * 91) % 256
+        |        WHEN 3 THEN 3 * ((id * 9 + p * 5) % 256)
+        |        ELSE ((id + 3 * p) % 256)
+        |          + ((id * 5 + 7 * p) % 256) + ((id * 11 + p) % 256)
+        |      END) AS px
+        |  FROM g)
+        |SELECT id, CAST(16 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height,
+        |  CAST(ct AS BIGINT) AS color_type,
+        |  CAST(list_sum(px) AS BIGINT) AS luma_total,
+        |  CAST(list_max(px) AS BIGINT) AS px_max,
+        |  CAST(list_min(px) AS BIGINT) AS px_min
+        |FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // PNG text chunks: two provenance rows per payload, keyword and
+    // text pure closed forms, kind alternating real-deflate zTXt and
+    // plain iTXt
+    "q_image_png_text" ->
+      """SELECT doc_id AS id, 'Software' AS keyword,
+        |  'graft-' || (doc_id % 7) AS "text", 'text' AS kind
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'parameters',
+        |  'steps=' || (doc_id % 50) || ' cfg=' || (doc_id % 13),
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ztxt' ELSE 'itxt' END
+        |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // cross-container image dedup: the 9x8 gray grid is a closed form
+    // of doc_id alone (container-independent by construction), so the
+    // oracle computes each doc's dHash once, fans it out to the three
+    // container ids, and replays the 16-bit block pigeonhole + exact
+    // bit_count machinery
+    "q_image_cross_container" ->
+      """WITH sg AS (SELECT doc_id,
+        |    CAST(CASE WHEN hs >= 9223372036854775808
+        |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS sig
+        |  FROM (SELECT doc_id,
+        |      list_sum(list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN (doc_id * 2654435761
+        |          + ((i // 8) * 9 + (i % 8)) * ((i // 8) * 9 + (i % 8))
+        |            * 11
+        |          + ((i // 8) * 9 + (i % 8)) * (doc_id % 251)) % 256 >
+        |        (doc_id * 2654435761
+        |          + ((i // 8) * 9 + (i % 8) + 1)
+        |            * ((i // 8) * 9 + (i % 8) + 1) * 11
+        |          + ((i // 8) * 9 + (i % 8) + 1) * (doc_id % 251)) % 256
+        |      THEN CAST(1 AS HUGEINT) << i
+        |      ELSE CAST(0 AS HUGEINT) END)) AS hs
+        |    FROM documents)),
+        |s AS (SELECT doc_id * 4 + u AS id, sig
+        |  FROM sg CROSS JOIN (SELECT unnest([0, 1, 2]) AS u)),
+        |bv AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS bval
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        |p AS (SELECT x.id AS a, y.id AS b,
+        |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+        |  FROM bv x JOIN bv y ON x.blk = y.blk AND x.bval = y.bval
+        |    AND x.id < y.id)
+        |SELECT DISTINCT a, b, distance FROM p WHERE distance = 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // subtitle cues: 3 + id%4 cues per file, exact ms arithmetic and
+    // single-space word joins — identical rows whichever grammar
+    // (SRT even ids, WebVTT odd) carried them
+    "q_subtitles" ->
+      """WITH g AS (SELECT doc_id AS id, 3 + doc_id % 4 AS n
+        |  FROM documents),
+        |c AS (SELECT id, k,
+        |    id * 100 + k * 3000 AS start_ms,
+        |    id * 100 + k * 3000 + 1000 + (id + k) % 500 AS end_ms,
+        |    array_to_string(list_transform(
+        |      generate_series(0, 1 + (id + k) % 3),
+        |      j -> 't' || ((id * 13 + k * 5 + j * 7) % 50)), ' ')
+        |      AS "text"
+        |  FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
+        |  WHERE k < n)
+        |SELECT id, CAST(k AS BIGINT) AS cue_index,
+        |  CAST(start_ms AS BIGINT) AS start_ms,
+        |  CAST(end_ms AS BIGINT) AS end_ms, "text",
+        |  CASE WHEN id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format
+        |FROM c
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // the video→text bridge: per-cue ticks (k*1000 + (id%64)*7,
+    // duration 800 + (id+k)%200 except every fifth cue's bare
+    // SimpleBlock where end = start), ms = ticks * scale with scale
+    // 1 or 2 by parity — aggregated per video
+    "q_video_subtitle_text" ->
+      """WITH g AS (SELECT doc_id AS id, 4 + doc_id % 3 AS n,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS scale,
+        |    doc_id % 64 AS base
+        |  FROM documents),
+        |c AS (SELECT id, k,
+        |    (k * 1000 + base * 7) * scale AS start_ms,
+        |    CASE WHEN k % 5 = 4 THEN (k * 1000 + base * 7) * scale
+        |      ELSE (k * 1000 + base * 7 + 800 + (id + k) % 200) * scale
+        |      END AS end_ms,
+        |    2 + (id + k) % 3 AS w,
+        |    list_transform(generate_series(0, 1 + (id + k) % 3),
+        |      j -> 's' || ((id * 17 + k * 3 + j) % 40)) AS words
+        |  FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
+        |  WHERE k < n)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_cues,
+        |  CAST(min(start_ms) AS BIGINT) AS first_start_ms,
+        |  CAST(max(end_ms) AS BIGINT) AS last_end_ms,
+        |  CAST(sum(end_ms - start_ms) AS BIGINT) AS speech_ms,
+        |  CAST(sum(length(array_to_string(words, ' '))) AS BIGINT)
+        |    AS chars,
+        |  CAST(sum(w) AS BIGINT) AS words
+        |FROM c GROUP BY id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // animated PNG: decoded pixels are the encoder's pixels
+    // (lossless), so the oracle is the q_video_gif closed form —
+    // the 65-sample luma replay is container-independent
+    "q_video_apng" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    9 + (doc_id % 64) % 4 AS n
+        |  FROM documents),
+        |lu AS (SELECT id, n, list_transform(generate_series(0, 64),
+        |    i -> list_sum(list_transform(generate_series(0, 31), p ->
+        |      (((base * 7 + ((i * n) // 65) * 5 + p * p) % 16) * 23)
+        |        % 256
+        |      + (((base * 7 + ((i * n) // 65) * 5 + p * p) % 16) * 47)
+        |        % 256
+        |      + (((base * 7 + ((i * n) // 65) * 5 + p * p) % 16) * 91)
+        |        % 256))) AS luma
+        |  FROM g)
+        |SELECT id, CAST(8 AS BIGINT) AS width,
+        |  CAST(4 AS BIGINT) AS height,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * 40 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(luma) AS BIGINT) AS luma_total,
+        |  CAST(list_max(luma) AS BIGINT) AS luma_peak,
+        |  CAST(list_min(luma) AS BIGINT) AS luma_min
+        |FROM lu
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // prefix media scan: identical closed forms for the prefix-

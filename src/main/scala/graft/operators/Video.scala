@@ -649,7 +649,8 @@ object Video {
 
   /** CONTAINER-AUTO temporal fingerprints: dispatch each payload by
     * its magic — RIFF/AVI through the AVI chunk walk, GIF through
-    * [[Gif]]'s LZW decode — into ONE signature space. The per-frame
+    * [[Gif]]'s LZW decode, animated PNG (acTL-bearing) through
+    * [[Png]]'s inflate+unfilter — into ONE signature space. The per-frame
     * luma definition (exact integer Σ(r+g+b)) and the 65-sample
     * gradient fold are identical on both paths, so the same pixels
     * fingerprint identically whatever the container (spec-pinned in
@@ -970,11 +971,14 @@ object Video {
     */
   private def lumaSumsUdf(maxFrameBytes: Int) =
     udf { (bytes: Array[Byte]) =>
-      // container dispatch, mirroring videoSigsAuto: the AVI walk
-      // fails a GIF payload on its first four bytes, so the fallback
-      // costs nothing on the AVI path
+      // container dispatch, mirroring videoSigsAuto: each walk fails
+      // a foreign payload on its magic bytes, so the fallback probes
+      // cost nothing off their own path (RIFF → AVI, GIF8 → LZW,
+      // \x89PNG + acTL → APNG; still PNGs carry no acTL and refuse —
+      // they belong to the image family)
       decodeLuma(0L, bytes, 65, maxFrameBytes)
         .orElse(Gif.decodeLuma(0L, bytes, 65, maxFrameBytes))
+        .orElse(Png.decodeAnimLuma(0L, bytes, 65, maxFrameBytes))
         .map(_.lumaSums)
     }
 

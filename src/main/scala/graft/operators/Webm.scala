@@ -637,6 +637,212 @@ object Webm {
     Some((1, channels, rate, 16, out))
   }
 
+  // ---- subtitle track extraction (the video→text bridge) -------------
+
+  /** One extracted text cue: times in exact ms (floor of
+    * ticks · timescale / 10⁶), `cueIndex` positional in stream order.
+    */
+  case class WebmCue(id: Long, cueIndex: Long, startMs: Long,
+      endMs: Long, text: String)
+
+  /** Extract the FIRST `S_TEXT/UTF8` subtitle track's cues from each
+    * Matroska/WebM payload — the video→text bridge: caption text is
+    * aligned-transcript training data, and it rides the container in
+    * CLOSED FORM (UTF-8 block payloads + exact tick arithmetic; no
+    * codec in the way). Start = cluster timestamp + the block's
+    * signed relative timestamp; end = start + `BlockDuration` when
+    * the cue is BlockGroup-wrapped (the standard subtitle shape), and
+    * start itself for a bare SimpleBlock (duration unknown — never
+    * invented). Laced blocks, negative start ticks, tick arithmetic
+    * that would overflow, and over-cap files (`maxCues`) refuse the
+    * whole payload; payloads without a subtitle track emit nothing.
+    */
+  def webmSubtitleCues(df: DataFrame, idCol: String, binCol: String,
+      maxCues: Int = 100000): DataFrame = {
+    require(maxCues > 0, "maxCues must be positive")
+    implicit val enc = Encoders.product[WebmCue]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          subtitleCuesOf(r.getAs[Array[Byte]](1), maxCues) match {
+            case Some(cues) => cues.zipWithIndex.map {
+              case ((s, e, t), i) => WebmCue(id, i.toLong, s, e, t)
+            }
+            case None => Nil
+          }
+        }
+    }.toDF().select(col("id"), col("cueIndex").as("cue_index"),
+      col("startMs").as("start_ms"), col("endMs").as("end_ms"),
+      col("text"))
+  }
+
+  private[graft] def subtitleCuesOf(bytes: Array[Byte],
+      maxCues: Int): Option[Vector[(Long, Long, String)]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val avail = bytes.length.toLong
+    val (id0, hBody, hEnd) =
+      elementAt(bytes, 0L, avail).getOrElse(return None)
+    if (id0 != IdEbml || hEnd == UnknownSize || hEnd > avail)
+      return None
+    var docType = ""
+    var p = hBody
+    while (p < hEnd) {
+      val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return None)
+      if (e == UnknownSize || e > hEnd) return None
+      if (eid == IdDocType) {
+        var len = (e - b).toInt
+        while (len > 0 && bytes((b + len - 1).toInt) == 0) len -= 1
+        docType = new String(bytes, b.toInt, len, "US-ASCII")
+      }
+      p = e
+    }
+    if (docType != "webm" && docType != "matroska") return None
+    val (segId, segBody, segEndRaw) =
+      elementAt(bytes, hEnd, avail).getOrElse(return None)
+    if (segId != IdSegment) return None
+    val segEnd =
+      if (segEndRaw == UnknownSize) avail
+      else if (segEndRaw > avail) return None
+      else segEndRaw
+
+    var timescaleNs = 1000000L // the published default
+    var subTrack = -1L
+    var sawTracks = false
+    def ticksToMs(t: Long): Option[Long] =
+      if (t < 0L || t > Long.MaxValue / timescaleNs) None
+      else Some(t * timescaleNs / 1000000L)
+
+    def walkInfoFor(start: Long, end: Long): Boolean = {
+      var p = start
+      while (p < end) {
+        val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return false)
+        if (e == UnknownSize || e > end) return false
+        if (eid == IdTimestampScale) {
+          val v = beUint(bytes, b, e).getOrElse(return false)
+          if (v <= 0L) return false
+          timescaleNs = v
+        }
+        p = e
+      }
+      true
+    }
+
+    def walkTracksSub(start: Long, end: Long): Boolean = {
+      var p = start
+      while (p < end) {
+        val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return false)
+        if (e == UnknownSize || e > end) return false
+        if (eid == IdTrackEntry && subTrack < 0L) {
+          var num = -1L
+          var trackType = 0L
+          var codecId = ""
+          var q = b
+          while (q < e) {
+            val (tid, tb, te) =
+              elementAt(bytes, q, avail).getOrElse(return false)
+            if (te == UnknownSize || te > e) return false
+            tid match {
+              case 0xD7L =>
+                num = beUint(bytes, tb, te).getOrElse(return false)
+              case IdTrackType =>
+                trackType = beUint(bytes, tb, te).getOrElse(return false)
+              case IdCodecId =>
+                var len = (te - tb).toInt
+                while (len > 0 && bytes((tb + len - 1).toInt) == 0)
+                  len -= 1
+                codecId = new String(bytes, tb.toInt, len, "US-ASCII")
+              case _ =>
+            }
+            q = te
+          }
+          if (trackType == 17L && codecId == "S_TEXT/UTF8") {
+            if (num <= 0L || num > 126L) return false
+            subTrack = num
+          }
+        }
+        p = e
+      }
+      true
+    }
+
+    val cues = Vector.newBuilder[(Long, Long, String)]
+    var nCues = 0
+    // one block at (b, e): returns false on structural refusal
+    def textBlock(b: Long, e: Long, clusterTs: Long,
+        durTicks: Long): Boolean = {
+      val (tn, tnLen) = varint(bytes, b, avail, keepMarker = false)
+        .getOrElse(return false)
+      val hdr = b + tnLen + 3
+      if (hdr > e) return false
+      if (tn == subTrack) {
+        val flags = bytes((b + tnLen + 2).toInt) & 0xFF
+        if ((flags & 0x06) != 0) return false // laced: refuse
+        val rel = (((bytes((b + tnLen).toInt) & 0xFF) << 8) |
+          (bytes((b + tnLen + 1).toInt) & 0xFF)).toShort.toLong
+        val startTicks = clusterTs + rel
+        val startMs = ticksToMs(startTicks).getOrElse(return false)
+        val endMs =
+          if (durTicks < 0L) startMs
+          else ticksToMs(startTicks + durTicks).getOrElse(return false)
+        nCues += 1
+        if (nCues > maxCues) return false // refuse, never trim
+        cues += ((startMs, endMs,
+          new String(bytes, hdr.toInt, (e - hdr).toInt, "UTF-8")))
+      }
+      true
+    }
+    def walkClusterSub(start: Long, end: Long): Boolean = {
+      var clusterTs = 0L
+      var p = start
+      while (p < end) {
+        val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return false)
+        if (e == UnknownSize || e > end) return false
+        if (eid == 0xE7L) {
+          clusterTs = beUint(bytes, b, e).getOrElse(return false)
+        } else if (eid == 0xA3L) { // SimpleBlock: no duration
+          if (!textBlock(b, e, clusterTs, -1L)) return false
+        } else if (eid == 0xA0L) { // BlockGroup
+          var blockB = -1L; var blockE = -1L
+          var dur = -1L
+          var q = b
+          while (q < e) {
+            val (gid, gb, ge) =
+              elementAt(bytes, q, avail).getOrElse(return false)
+            if (ge == UnknownSize || ge > e) return false
+            if (gid == 0xA1L) { blockB = gb; blockE = ge }
+            else if (gid == 0x9BL) // BlockDuration
+              dur = beUint(bytes, gb, ge).getOrElse(return false)
+            q = ge
+          }
+          if (blockB >= 0L && !textBlock(blockB, blockE, clusterTs, dur))
+            return false
+        }
+        p = e
+      }
+      true
+    }
+
+    var pos = segBody
+    while (pos < segEnd) {
+      val (eid, b, e) = elementAt(bytes, pos, avail).getOrElse(return None)
+      if (e == UnknownSize || e > segEnd) return None
+      if (eid == IdInfo) {
+        if (!walkInfoFor(b, e)) return None
+      } else if (eid == IdTracks) {
+        if (!walkTracksSub(b, e)) return None
+        sawTracks = true
+      } else if (eid == IdCluster) {
+        if (!sawTracks) return None
+        if (subTrack < 0L) return None // no subtitle track: no rows
+        if (!walkClusterSub(b, e)) return None
+      }
+      pos = e
+    }
+    if (subTrack < 0L) return None
+    Some(cues.result())
+  }
+
   // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
 
   /** Build a minimal valid WebM/Matroska file: EBML header (DocType),
@@ -658,11 +864,16 @@ object Webm {
       floatDuration32: Boolean = false,
       audioPcm: Array[Int] = null, pcmBigEndian: Boolean = false,
       blockSamples: Seq[Int] = Nil,
-      useBlockGroups: Boolean = false): Array[Byte] = {
+      useBlockGroups: Boolean = false,
+      subCues: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
     require(docType == "webm" || docType == "matroska", "docType")
     require(timescaleNs > 0, "timescaleNs")
     require(videoCodec.nonEmpty || audioCodec.nonEmpty ||
-      audioPcm != null, "at least one track")
+      audioPcm != null || subCues.nonEmpty, "at least one track")
+    subCues.foreach { case (st, _, t) =>
+      require(st >= 0, "cue start ticks must be non-negative")
+      require(t.nonEmpty, "cue text must be non-empty")
+    }
     if (audioPcm != null) {
       require(audioCodec.isEmpty,
         "audioPcm writes its own A_PCM track; leave audioCodec empty")
@@ -773,6 +984,16 @@ object Webm {
             }
           }
         }
+        if (subCues.nonEmpty) {
+          val subNum = trackNum +
+            (if (audioCodec.nonEmpty || audioPcm != null) 1L else 0L)
+          element(IdTrackEntry) {
+            uintEl(0xD7L, subNum)
+            uintEl(0x73C5L, subNum)
+            uintEl(IdTrackType, 17L) // subtitle
+            strEl(IdCodecId, "S_TEXT/UTF8")
+          }
+        }
       }
       if (audioPcm != null) {
         // REAL PCM blocks: clusters of up to 3 blocks each, every
@@ -806,12 +1027,45 @@ object Webm {
             }
           }
         }
-      } else (0 until nClusters).foreach { c =>
+      } else if (subCues.isEmpty) (0 until nClusters).foreach { c =>
         element(IdCluster) {
           uintEl(0xE7L, c.toLong * 1000L) // Timestamp
           element(0xA3L) { // SimpleBlock: opaque filler payload
             (0 until clusterBytes).foreach(i =>
               bos.write((i * 31 + c * 7) & 0xFF))
+          }
+        }
+      }
+      if (subCues.nonEmpty) {
+        // subtitle clusters: cues paired two per cluster, the second
+        // block carrying a REAL positive relative timestamp; a cue
+        // with durTicks >= 0 is BlockGroup + BlockDuration (the
+        // standard subtitle shape), durTicks < 0 a bare SimpleBlock
+        val subNum = 1L + (if (videoCodec.nonEmpty) 1L else 0L) +
+          (if (audioCodec.nonEmpty || audioPcm != null) 1L else 0L)
+        subCues.grouped(2).foreach { grp =>
+          val clusterTs = grp.head._1
+          element(IdCluster) {
+            uintEl(0xE7L, clusterTs)
+            grp.foreach { case (st, dur, text) =>
+              val rel = st - clusterTs
+              require(rel >= Short.MinValue && rel <= Short.MaxValue,
+                s"cue relative timestamp $rel does not fit s16")
+              def blockBody(simple: Boolean): Unit = {
+                bos.write((0x80L | subNum).toInt) // 1-byte varint
+                bos.write(((rel >> 8) & 0xFF).toInt)
+                bos.write((rel & 0xFF).toInt)
+                bos.write(if (simple) 0x80 else 0x00) // no lacing
+                val tb = text.getBytes("UTF-8")
+                bos.write(tb, 0, tb.length)
+              }
+              if (dur >= 0L)
+                element(0xA0L) { // BlockGroup
+                  element(0xA1L) { blockBody(simple = false) }
+                  uintEl(0x9BL, dur) // BlockDuration
+                }
+              else element(0xA3L) { blockBody(simple = true) }
+            }
           }
         }
       }

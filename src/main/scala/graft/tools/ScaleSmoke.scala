@@ -2536,6 +2536,200 @@ object ScaleSmoke {
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p2 => java.nio.file.Files.delete(p2))
     }
+
+    // --- PNG metadata throughput: 1M real PNGs (CRC'd chunk grammar,
+    // deflated IDAT, a provenance text chunk) through the chunk walk —
+    // CRC verification on every chunk, zero inflate on this path.
+    {
+      import spark.implicits._
+      val nPm = 1000000L
+      val t99 = System.nanoTime()
+      val pms = spark.range(0L, nPm).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            (id, graft.operators.Png.buildPng(16, 8, 0,
+              Array.tabulate(128)(p => ((b * 7 + p * 13) % 256).toByte),
+              filterOf = y => (b + y) % 5,
+              texts = Seq(("Software", "graft-" + (b % 7), "text"))))
+          }
+        }.toDF("id", "content")
+      val pmAgg = graft.operators.Png.pngMetaScan(pms, "id", "content")
+        .agg(count(lit(1)), min(col("parsed").cast("int")),
+          sum(col("width")), sum(col("text_chunks"))).collect()(0)
+      val tPm = (System.nanoTime() - t99) / 1e9
+      require(pmAgg.getLong(0) == nPm && pmAgg.getInt(1) == 1 &&
+        pmAgg.getLong(2) == 16L * nPm && pmAgg.getLong(3) == nPm,
+        s"pngMeta: $pmAgg")
+      println(f"pngMeta: $nPm%d PNGs chunk-walked (every CRC " +
+        f"verified) in $tPm%.1f s (${nPm / tPm}%.0f files/s), " +
+        f"all parsed, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+      // --- PNG full decode: 200k inflate + unfilter passes (all five
+      // filters per file), luma folded to a closed-form total.
+      val nPd = 200000L
+      val t100 = System.nanoTime()
+      val pds = spark.range(0L, nPd).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            (id, graft.operators.Png.buildPng(16, 8, 0,
+              Array.tabulate(128)(p => ((b * 7 + p * 13) % 256).toByte),
+              filterOf = y => (b + y) % 5))
+          }
+        }.toDF("id", "content")
+      val pdAgg = graft.operators.Png.pngStats(pds, "id", "content")
+        .agg(count(lit(1)), sum(col("luma_total"))).collect()(0)
+      val tPd = (System.nanoTime() - t100) / 1e9
+      val expLuma = (0 until 64).map(b =>
+        (0 until 128).map(p => 3L * ((b * 7 + p * 13) % 256)).sum)
+        .sum * (nPd / 64L)
+      require(pdAgg.getLong(0) == nPd && pdAgg.getLong(1) == expLuma,
+        s"pngDecode: $pdAgg (expected luma $expLuma)")
+      println(f"pngDecode: $nPd%d PNGs inflate+unfilter decoded " +
+        f"(all five filter branches) in $tPd%.1f s " +
+        f"(${nPd / tPd}%.0f files/s), luma totals exact, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- cross-container IMAGE dedup: 100k pixel classes x 3
+    // containers (RGB PNG / canonical BMP / 256-gray-palette GIF) ->
+    // ONE dHash space; exactly 3 distance-0 pairs per class.
+    {
+      def mix(a: Long): Long = {
+        var x = a
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x
+      }
+      import spark.implicits._
+      val nIc = 100000L // classes; 3x payloads
+      val grayPal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+      val t101 = System.nanoTime()
+      val imgs = spark.range(0L, 3L * nIc).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val cls = id / 3
+            val v = Array.tabulate(72)(i =>
+              ((mix(mix(cls) + i) & Long.MaxValue) % 256L).toInt)
+            val payload = (id % 3) match {
+              case 0 => graft.operators.Png.buildPng(9, 8, 2,
+                v.flatMap(x => Array(x.toByte, x.toByte, x.toByte)),
+                filterOf = y => ((cls + y) % 5).toInt)
+              case 1 =>
+                val bgr = new Array[Byte](3 * 72)
+                v.indices.foreach { p =>
+                  bgr(3 * p) = v(p).toByte
+                  bgr(3 * p + 1) = v(p).toByte
+                  bgr(3 * p + 2) = v(p).toByte
+                }
+                graft.operators.Multimodal.buildBmp(9, 8, bgr)
+              case _ => graft.operators.Gif.buildGif(9, 8, grayPal,
+                Seq(v.map(_.toByte)), delayCs = 4)
+            }
+            (id, payload)
+          }
+        }.toDF("id", "content")
+      val icPairs = graft.operators.Multimodal.imageNearDupPairs(
+        imgs, "id", "content", maxDistance = 0)
+      val icAgg = icPairs.agg(count(lit(1)), sum(col("b") - col("a")),
+        max(col("distance"))).collect()(0)
+      val tIc = (System.nanoTime() - t101) / 1e9
+      require(icAgg.getLong(0) == 3L * nIc,
+        s"imageCross pairs ${icAgg.getLong(0)} != ${3L * nIc}")
+      require(icAgg.getLong(1) == 4L * nIc, // (1)+(2)+(1) per class
+        s"imageCross pair structure: sum(b-a)=${icAgg.getLong(1)}")
+      require(icAgg.getLong(2) == 0L,
+        s"imageCross max distance ${icAgg.getLong(2)} != 0")
+      println(f"imageCrossContainer: ${3L * nIc}%d mixed payloads " +
+        f"($nIc PNG + $nIc BMP + $nIc real LZW-decoded GIF) -> " +
+        f"exactly ${3L * nIc} container-twin pairs at distance 0 in " +
+        f"$tIc%.1f s (${3L * nIc / tIc}%.0f images/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- subtitle extraction throughput: 500k SRT/VTT transcripts +
+    // 300k WebM S_TEXT tracks through the strict walks, cue censuses
+    // and exact ms totals in closed form.
+    {
+      import spark.implicits._
+      val nSb = 500000L
+      val t102 = System.nanoTime()
+      val subs = spark.range(0L, nSb).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            val cues = (0 until (3 + b % 4)).map { k =>
+              (id % 1000 * 100L + k * 3000L,
+                id % 1000 * 100L + k * 3000L + 1000L + (b + k) % 500,
+                (0 until (2 + (b + k) % 3))
+                  .map(j => "t" + ((b * 13 + k * 5 + j * 7) % 50))
+                  .mkString(" "))
+            }
+            (id, if (id % 2 == 0) graft.operators.Subtitle.buildSrt(cues)
+            else graft.operators.Subtitle.buildVtt(cues,
+              withIds = b % 4 == 1))
+          }
+        }.toDF("id", "content")
+      val sbAgg = graft.operators.Subtitle.subtitleCues(subs, "id",
+        "content")
+        .agg(count(lit(1)),
+          sum(col("end_ms") - col("start_ms"))).collect()(0)
+      val tSb = (System.nanoTime() - t102) / 1e9
+      val expCues = (0 until 64).map(b => 3L + b % 4).sum * (nSb / 64L)
+      val expSpeech = (0 until 64).map(b =>
+        (0 until (3 + b % 4)).map(k => 1000L + (b + k) % 500).sum)
+        .sum * (nSb / 64L)
+      require(sbAgg.getLong(0) == expCues &&
+        sbAgg.getLong(1) == expSpeech,
+        s"subtitles: $sbAgg (expected $expCues cues, $expSpeech ms)")
+      println(f"subtitleExtract: $nSb%d SRT/VTT transcripts -> " +
+        f"$expCues%d cues in $tSb%.1f s (${nSb / tSb}%.0f files/s), " +
+        f"speech-ms totals exact, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+      val nWs = 300000L
+      val t103 = System.nanoTime()
+      val wsubs = spark.range(0L, nWs).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            val cues = (0 until (4 + b % 3)).map { k =>
+              (k * 1000L + b * 7L,
+                if (k % 5 == 4) -1L else 800L + (b + k) % 200,
+                (0 until (2 + (b + k) % 3))
+                  .map(j => "s" + ((b * 17 + k * 3 + j) % 40))
+                  .mkString(" "))
+            }
+            (id, graft.operators.Webm.buildWebm(
+              docType = if (b % 2 == 0) "webm" else "matroska",
+              timescaleNs = if (b % 2 == 0) 1000000L else 2000000L,
+              durationTicks = 10000.0,
+              videoCodec = if (b % 3 == 0) "V_VP9" else "",
+              width = 320, height = 240, subCues = cues))
+          }
+        }.toDF("id", "content")
+      val wsAgg = graft.operators.Webm.webmSubtitleCues(wsubs, "id",
+        "content")
+        .agg(count(lit(1)),
+          sum(col("end_ms") - col("start_ms"))).collect()(0)
+      val tWs = (System.nanoTime() - t103) / 1e9
+      val expWCues = (0 until 64).map(b => 4L + b % 3).sum * (nWs / 64L)
+      val expWSpeech = (0 until 64).map { b =>
+        val scale = if (b % 2 == 0) 1L else 2L
+        (0 until (4 + b % 3)).map(k =>
+          if (k % 5 == 4) 0L else (800L + (b + k) % 200) * scale).sum
+      }.sum * (nWs / 64L)
+      require(wsAgg.getLong(0) == expWCues &&
+        wsAgg.getLong(1) == expWSpeech,
+        s"webmSubtitles: $wsAgg (expected $expWCues cues, " +
+          s"$expWSpeech ms)")
+      println(f"webmSubtitleExtract: $nWs%d Matroska/WebM S_TEXT " +
+        f"tracks -> $expWCues%d cues in $tWs%.1f s " +
+        f"(${nWs / tWs}%.0f files/s), speech-ms totals exact, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
     spark.stop()
   }
 }
