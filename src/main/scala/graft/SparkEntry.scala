@@ -733,6 +733,76 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Mixed-container EXIF corpus: the SAME closed-form EXIF fields
+    * (the [[syntheticExifClassed]] formulas) carried as JPEG APP1
+    * (doc_id % 3 == 0), a WebP `EXIF` chunk (== 1, half of them with
+    * the in-the-wild `Exif\0\0` prefix the tolerant walk skips), or a
+    * PNG `eXIf` chunk (== 2) — metadata uniformity across the three
+    * image containers, one auto-dispatched scan.
+    */
+  private def syntheticExifMultiClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      def tiff = Multimodal.buildExifTiff(
+        orientation = 1 + base % 8,
+        make = "Maker_" + (base % 5),
+        model = "Model_" + base,
+        dateTime = f"2020:01:${1 + base % 28}%02d 10:00:${base % 60}%02d",
+        dateTimeOriginal =
+          f"2019:12:${1 + base % 28}%02d 09:59:${base % 60}%02d",
+        iso = 100 * (1 + base % 8),
+        exifWidth = 640L + 16L * base,
+        exifHeight = 480L + 8L * base,
+        littleEndian = base % 2 == 0)
+      (id % 3) match {
+        case 0 => Multimodal.buildJpegExif(
+          orientation = 1 + base % 8,
+          make = "Maker_" + (base % 5),
+          model = "Model_" + base,
+          dateTime =
+            f"2020:01:${1 + base % 28}%02d 10:00:${base % 60}%02d",
+          dateTimeOriginal =
+            f"2019:12:${1 + base % 28}%02d 09:59:${base % 60}%02d",
+          iso = 100 * (1 + base % 8),
+          exifWidth = 640L + 16L * base,
+          exifHeight = 480L + 8L * base,
+          littleEndian = base % 2 == 0)
+        case 1 =>
+          val marked =
+            if (base % 4 < 2) tiff
+            else Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ tiff
+          Multimodal.webpWithExif(
+            Multimodal.buildWebp("VP8 ", 64 + base, 48 + base), marked)
+        case _ => Png.buildPng(4, 4, 0,
+          Array.tabulate(16)(p => ((id + p) % 256).toByte),
+          exif = tiff)
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** ASS (Advanced SubStation Alpha) corpus: per doc_id, 2 + id % 3
+    * Dialogue cues with centisecond times and text carrying REAL
+    * override blocks and `\N` breaks — the parse must emit the
+    * published plain-text transform.
+    */
+  private def syntheticAssClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val n = (2 + id % 3).toInt
+      val cues = (0 until n).map { k =>
+        val st = (id % 500) * 20 + k * 2000L
+        val en = st + 500 + ((id + k) % 40) * 10
+        val raw = s"{\\b1}a${(id * 7 + k) % 30}{\\b0} " +
+          s"b${(id * 3 + k * 5) % 20}\\Nc${(id + k * 11) % 25}"
+        (st, en, raw)
+      }
+      Subtitle.buildAss(cues)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real WebM/Matroska payloads for the EBML-metadata oracle row:
     * per doc_id, the library encoder ([[Webm.buildWebm]]) over
     * closed-form parameters of base = doc_id % 64 — the track layout
@@ -2747,6 +2817,25 @@ object SparkEntry {
     "q_subtitles" -> ((s, dir) =>
       Subtitle.subtitleCues(
         syntheticSubtitleClassed(t(s, dir, "documents")),
+        "id", "content")),
+
+    // ASS/SSA — the third caption grammar: REAL [Events] sections
+    // (Format-declared field order, centisecond times, override
+    // blocks and \N breaks in the text) through the strict walk; the
+    // emitted text is the published plain-text transform, every
+    // column a closed form of doc_id
+    "q_subtitles_ass" -> ((s, dir) =>
+      Subtitle.subtitleCues(
+        syntheticAssClassed(t(s, dir, "documents")),
+        "id", "content")),
+
+    // metadata uniformity: the SAME closed-form EXIF fields read from
+    // JPEG APP1, a WebP EXIF chunk (with and without the in-the-wild
+    // Exif\0\0 prefix), and a PNG eXIf chunk — ONE container-auto
+    // scan, one pass over the binary column
+    "q_image_exif_multi" -> ((s, dir) =>
+      Multimodal.exifScanAuto(
+        syntheticExifMultiClassed(t(s, dir, "documents")),
         "id", "content")),
 
     // the video→text bridge: REAL Matroska/WebM S_TEXT/UTF8 subtitle
@@ -5992,6 +6081,52 @@ object SparkEntry {
         |    AS chars,
         |  CAST(sum(w) AS BIGINT) AS words
         |FROM c GROUP BY id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // ASS cues: the oracle writes the EXPECTED plain-text transform
+    // (override blocks stripped, \N -> newline) directly
+    "q_subtitles_ass" ->
+      """WITH g AS (SELECT doc_id AS id, 2 + doc_id % 3 AS n
+        |  FROM documents),
+        |c AS (SELECT id, k,
+        |    (id % 500) * 20 + k * 2000 AS start_ms,
+        |    (id % 500) * 20 + k * 2000 + 500 + ((id + k) % 40) * 10
+        |      AS end_ms,
+        |    'a' || ((id * 7 + k) % 30) || ' b' || ((id * 3 + k * 5) % 20)
+        |      || chr(10) || 'c' || ((id + k * 11) % 25) AS "text"
+        |  FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        |  WHERE k < n)
+        |SELECT id, CAST(k AS BIGINT) AS cue_index,
+        |  CAST(start_ms AS BIGINT) AS start_ms,
+        |  CAST(end_ms AS BIGINT) AS end_ms, "text",
+        |  'ass' AS format
+        |FROM c
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // container-auto EXIF: the q_image_exif closed form with the
+    // carrier rotating by doc_id % 3
+    "q_image_exif_multi" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents)
+        |SELECT id,
+        |  CASE CAST(id % 3 AS BIGINT) WHEN 0 THEN 'jpeg'
+        |    WHEN 1 THEN 'webp' ELSE 'png' END AS container,
+        |  base % 2 = 0 AS little_endian,
+        |  CAST(1 + base % 8 AS BIGINT) AS orientation,
+        |  'Maker_' || CAST(base % 5 AS VARCHAR) AS make,
+        |  'Model_' || CAST(base AS VARCHAR) AS model,
+        |  '2020:01:' || lpad(CAST(1 + base % 28 AS VARCHAR), 2, '0')
+        |    || ' 10:00:' || lpad(CAST(base % 60 AS VARCHAR), 2, '0')
+        |    AS date_time,
+        |  '2019:12:' || lpad(CAST(1 + base % 28 AS VARCHAR), 2, '0')
+        |    || ' 09:59:' || lpad(CAST(base % 60 AS VARCHAR), 2, '0')
+        |    AS date_time_original,
+        |  CAST(100 * (1 + base % 8) AS BIGINT) AS iso,
+        |  CAST(640 + 16 * base AS BIGINT) AS exif_width,
+        |  CAST(480 + 8 * base AS BIGINT) AS exif_height,
+        |  TRUE AS parsed
+        |FROM g
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // animated PNG: decoded pixels are the encoder's pixels

@@ -351,6 +351,126 @@ object Multimodal {
       col("exifHeight").as("exif_height"),
       col("parsed"))
 
+  /** EXIF-in-WebP: walk the RIFF chunk list (fourcc + LE32 size +
+    * data, odd sizes padded) for the extended-WebP `EXIF` chunk and
+    * hand its TIFF blob to the shared IFD walk. Writers that prefix
+    * the blob with JPEG's `Exif\0\0` marker (common in the wild even
+    * though the WebP spec stores raw TIFF) are tolerated by skipping
+    * the six marker bytes. None when the container or the blob is
+    * malformed or no EXIF chunk exists.
+    */
+  private[graft] def parseWebpExif(b: Array[Byte]): Option[ExifMeta] = {
+    if (b == null || b.length < 12 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P')
+      return None
+    def le32(o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    val riffEnd = math.min(8L + le32(4), b.length.toLong)
+    var pos = 12L
+    while (pos + 8 <= riffEnd) {
+      val size = le32((pos + 4).toInt)
+      val dataOff = pos + 8
+      if (dataOff + size > riffEnd) return None
+      if (b(pos.toInt) == 'E' && b((pos + 1).toInt) == 'X' &&
+        b((pos + 2).toInt) == 'I' && b((pos + 3).toInt) == 'F') {
+        var t0 = dataOff.toInt
+        val tEnd = (dataOff + size).toInt
+        if (size >= 6 && b(t0) == 'E' && b(t0 + 1) == 'x' &&
+          b(t0 + 2) == 'i' && b(t0 + 3) == 'f' && b(t0 + 4) == 0 &&
+          b(t0 + 5) == 0) t0 += 6
+        return exifFromTiff(b, t0, tEnd)
+      }
+      pos = dataOff + size + (size & 1L) // odd chunks pad one byte
+    }
+    None
+  }
+
+  /** Append an `EXIF` chunk to an existing WebP and fix the RIFF
+    * size — the encode twin of [[parseWebpExif]] (fixture/smoke
+    * builder; composes with [[buildWebp]]).
+    */
+  def webpWithExif(webp: Array[Byte], tiff: Array[Byte]): Array[Byte] = {
+    require(webp.length >= 12 && webp(0) == 'R' && webp(8) == 'W',
+      "not a WebP")
+    val pad = tiff.length & 1
+    val out = new Array[Byte](webp.length + 8 + tiff.length + pad)
+    System.arraycopy(webp, 0, out, 0, webp.length)
+    var o = webp.length
+    out(o) = 'E'; out(o + 1) = 'X'; out(o + 2) = 'I'; out(o + 3) = 'F'
+    val sz = tiff.length
+    out(o + 4) = (sz & 0xFF).toByte; out(o + 5) = ((sz >> 8) & 0xFF).toByte
+    out(o + 6) = ((sz >> 16) & 0xFF).toByte
+    out(o + 7) = ((sz >> 24) & 0xFF).toByte
+    System.arraycopy(tiff, 0, out, o + 8, tiff.length)
+    val riffSz = out.length - 8
+    out(4) = (riffSz & 0xFF).toByte; out(5) = ((riffSz >> 8) & 0xFF).toByte
+    out(6) = ((riffSz >> 16) & 0xFF).toByte
+    out(7) = ((riffSz >> 24) & 0xFF).toByte
+    out
+  }
+
+  /** EXIF-in-PNG: the standardized `eXIf` chunk carries the raw TIFF
+    * blob — located by [[Png.parsePng]]'s CRC-verified walk, decoded
+    * by the shared IFD walk.
+    */
+  private[graft] def parsePngExif(b: Array[Byte]): Option[ExifMeta] =
+    Png.parsePng(b).flatMap { p =>
+      if (p.exifOff < 0) None
+      else exifFromTiff(b, p.exifOff, p.exifOff + p.exifLen)
+    }
+
+  /** CONTAINER-AUTO EXIF scan: dispatch each payload by magic — JPEG
+    * through the APP1 marker walk, WebP through the RIFF chunk walk,
+    * PNG through the CRC-verified `eXIf` chunk — into ONE projection
+    * (the [[jpegExifScan]] columns plus the sniffed `container`).
+    * One scan of the binary column; unknown containers and
+    * EXIF-less payloads are `parsed = false`.
+    */
+  def exifScanAuto(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[ExifAuto]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val (container, m) =
+            if (b != null && b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
+              (b(1) & 0xFF) == 0xD8) ("jpeg", parseJpegExif(b))
+            else if (b != null && b.length >= 12 && b(0) == 'R' &&
+              b(1) == 'I' && b(8) == 'W') ("webp", parseWebpExif(b))
+            else if (b != null && b.length >= 8 &&
+              (b(0) & 0xFF) == 0x89 && b(1) == 'P') ("png",
+              parsePngExif(b))
+            else ("", None)
+          m match {
+            case Some(e) => ExifAuto(id, container, e.littleEndian,
+              e.orientation, e.make, e.model, e.dateTime,
+              e.dateTimeOriginal, e.iso, e.exifWidth, e.exifHeight,
+              parsed = true)
+            case None => ExifAuto(id, container, littleEndian = false,
+              0, "", "", "", "", 0, 0L, 0L, parsed = false)
+          }
+        }
+    }.toDF().select(col("id"), col("container"),
+      col("littleEndian").as("little_endian"),
+      col("orientation"), col("make"), col("model"),
+      col("dateTime").as("date_time"),
+      col("dateTimeOriginal").as("date_time_original"),
+      col("iso"),
+      col("exifWidth").as("exif_width"),
+      col("exifHeight").as("exif_height"),
+      col("parsed"))
+  }
+
+  /** Output row of [[exifScanAuto]]. */
+  case class ExifAuto(id: Long, container: String,
+      littleEndian: Boolean, orientation: Int, make: String,
+      model: String, dateTime: String, dateTimeOriginal: String,
+      iso: Int, exifWidth: Long, exifHeight: Long, parsed: Boolean)
+
   /** The JPEG marker walk + EXIF IFD parse. */
   private[graft] def parseJpegExif(b: Array[Byte]): Option[ExifMeta] = {
     if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF ||
@@ -482,10 +602,15 @@ object Multimodal {
     * SOI + APP1 + a tiny truncated-at-SOS body (enough for the
     * metadata walk, which never reads past the APP1).
     */
-  def buildJpegExif(orientation: Int, make: String, model: String,
+  /** Build the raw EXIF TIFF blob (header + IFD0 + Exif sub-IFD +
+    * ASCII pool) — the container-independent core every EXIF carrier
+    * wraps: JPEG's APP1 ([[buildJpegExif]]), WebP's `EXIF` chunk
+    * ([[webpWithExif]]), PNG's `eXIf` chunk ([[Png.buildPng]]).
+    */
+  def buildExifTiff(orientation: Int, make: String, model: String,
       dateTime: String, dateTimeOriginal: String, iso: Int,
-      exifWidth: Long, exifHeight: Long, littleEndian: Boolean = true,
-      into: Array[Byte] = null): Array[Byte] = {
+      exifWidth: Long, exifHeight: Long,
+      littleEndian: Boolean = true): Array[Byte] = {
     require(orientation >= 0 && orientation <= 8, "orientation 0..8")
     require(iso >= 0 && iso <= 0xFFFF, "iso is a SHORT")
     val tiff = new java.io.ByteArrayOutputStream()
@@ -555,8 +680,15 @@ object Multimodal {
     w32(0L)
     val poolArr = poolBytes.toByteArray
     tiff.write(poolArr, 0, poolArr.length)
+    tiff.toByteArray
+  }
 
-    val tiffArr = tiff.toByteArray
+  def buildJpegExif(orientation: Int, make: String, model: String,
+      dateTime: String, dateTimeOriginal: String, iso: Int,
+      exifWidth: Long, exifHeight: Long, littleEndian: Boolean = true,
+      into: Array[Byte] = null): Array[Byte] = {
+    val tiffArr = buildExifTiff(orientation, make, model, dateTime,
+      dateTimeOriginal, iso, exifWidth, exifHeight, littleEndian)
     val app1Len = 2 + 6 + tiffArr.length // len field + Exif\0\0 + tiff
     require(app1Len <= 0xFFFF, "APP1 over 64 KiB")
     val app1 = new java.io.ByteArrayOutputStream()

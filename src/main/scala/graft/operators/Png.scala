@@ -199,7 +199,8 @@ object Png {
   private[graft] final case class ParsedPng(width: Int, height: Int,
       bitDepth: Int, colorType: Int, interlaced: Boolean, chunks: Long,
       idatBytes: Long, idat: Vector[(Int, Int)], plteOff: Int,
-      plteLen: Int, texts: Vector[TextRec], bytes: Array[Byte])
+      plteLen: Int, texts: Vector[TextRec], exifOff: Int,
+      exifLen: Int, bytes: Array[Byte])
 
   private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
@@ -228,6 +229,7 @@ object Png {
     var idatDone = false // set once a non-IDAT follows the first IDAT
     val idat = Vector.newBuilder[(Int, Int)]
     var plteOff = -1; var plteLen = 0
+    var exifOff = -1; var exifLen = 0
     val texts = Vector.newBuilder[TextRec]
     var chunks = 0L
     while (!sawIend) {
@@ -271,6 +273,8 @@ object Png {
         case "tEXt" => texts += TextRec(0, dataOff, len.toInt)
         case "zTXt" => texts += TextRec(1, dataOff, len.toInt)
         case "iTXt" => texts += TextRec(2, dataOff, len.toInt)
+        case "eXIf" => // the standardized EXIF chunk: raw TIFF blob
+          if (exifOff < 0) { exifOff = dataOff; exifLen = len.toInt }
         case _ => // ancillary chunk: CRC held, content skipped
       }
       if (ctype != "IDAT" && idatBytes > 0L) idatDone = true
@@ -280,7 +284,7 @@ object Png {
     if (idatBytes == 0L) return None
     Some(ParsedPng(width, height, bitDepth, colorType, interlaced,
       chunks, idatBytes, idat.result(), plteOff, plteLen,
-      texts.result(), bytes))
+      texts.result(), exifOff, exifLen, bytes))
   }
 
   /** Inflate a bounded deflate/zlib payload to EXACTLY `expected`
@@ -517,7 +521,8 @@ object Png {
   def buildPng(width: Int, height: Int, colorType: Int,
       samples: Array[Byte], palette: Array[Int] = Array.emptyIntArray,
       filterOf: Int => Int = _ => 0,
-      texts: Seq[(String, String, String)] = Nil): Array[Byte] = {
+      texts: Seq[(String, String, String)] = Nil,
+      exif: Array[Byte] = null): Array[Byte] = {
     require(width > 0 && height > 0, "width/height must be positive")
     val ch = channelsOf(colorType)
     require(ch > 0, s"unsupported colorType $colorType")
@@ -619,6 +624,7 @@ object Png {
           throw new IllegalArgumentException(s"text kind $other")
       }
     }
+    if (exif != null) chunk("eXIf", exif)
     chunk("IEND", Array.emptyByteArray)
     bos.toByteArray
   }

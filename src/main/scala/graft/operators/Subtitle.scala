@@ -37,8 +37,9 @@ object Subtitle {
       endMs: Long, text: String, format: String)
 
   /** Explode every cue of every payload: UTF-8 bytes (BOM tolerated)
-    * through [[parseSrt]] / [[parseVtt]] by sniff — `WEBVTT` magic →
-    * VTT, else SRT. Unparseable files emit nothing.
+    * through [[parseSrt]] / [[parseVtt]] / [[parseAss]] by sniff —
+    * `WEBVTT` magic → VTT, `[Script Info]` → ASS, else SRT.
+    * Unparseable files emit nothing.
     */
   def subtitleCues(df: DataFrame, idCol: String, binCol: String,
       maxCues: Int = 100000): DataFrame = {
@@ -87,6 +88,7 @@ object Subtitle {
     val s = new String(bytes, off, bytes.length - off, "UTF-8")
     val r =
       if (s.startsWith("WEBVTT")) parseVtt(s).map(("vtt", _))
+      else if (s.startsWith("[Script Info]")) parseAss(s).map(("ass", _))
       else parseSrt(s).map(("srt", _))
     r.filter(_._2.length <= maxCues)
   }
@@ -223,7 +225,132 @@ object Subtitle {
     Some(out.result())
   }
 
+  /** Advanced SubStation Alpha (ASS/SSA v4+): `[Script Info]` header,
+    * an `[Events]` section whose `Format:` line DECLARES the field
+    * order (Start/End/Text positions are read from it, not assumed),
+    * `Dialogue:` lines split into exactly that many fields (commas
+    * inside the final Text field survive), `H:MM:SS.cc` centisecond
+    * times. The emitted text is the published plain-text transform:
+    * `{...}` override blocks stripped, `\N`/`\n` → newline, `\h` →
+    * space. Comment/Picture/Sound/Movie/Command event lines are
+    * skipped whole. None on a missing/malformed Format line, a
+    * Dialogue line with too few fields, bad time arithmetic, or a
+    * Dialogue before the Format declaration.
+    */
+  private[graft] def parseAss(
+      s: String): Option[Vector[(Long, Long, String)]] = {
+    val ls = lines(s)
+    var inEvents = false
+    var startIdx = -1; var endIdx = -1; var textIdx = -1; var nFields = 0
+    val out = Vector.newBuilder[(Long, Long, String)]
+    var i = 0
+    while (i < ls.length) {
+      val line = ls(i).trim
+      if (line.startsWith("[")) {
+        inEvents = line.equalsIgnoreCase("[Events]")
+      } else if (inEvents && line.startsWith("Format:")) {
+        val fields = line.substring(7).split(",").map(_.trim)
+        nFields = fields.length
+        startIdx = fields.indexWhere(_.equalsIgnoreCase("Start"))
+        endIdx = fields.indexWhere(_.equalsIgnoreCase("End"))
+        textIdx = fields.indexWhere(_.equalsIgnoreCase("Text"))
+        if (startIdx < 0 || endIdx < 0 || textIdx != nFields - 1)
+          return None // Text must be last (it may contain commas)
+      } else if (inEvents && line.startsWith("Dialogue:")) {
+        if (nFields == 0) return None // Dialogue before Format
+        val body = line.substring(9).dropWhile(_ == ' ')
+        val parts = body.split(",", nFields)
+        if (parts.length < nFields) return None
+        val st = assTimeMs(parts(startIdx).trim).getOrElse(return None)
+        val en = assTimeMs(parts(endIdx).trim).getOrElse(return None)
+        if (en < st) return None
+        out += ((st, en, assPlainText(parts(textIdx))))
+      }
+      i += 1
+    }
+    if (nFields == 0) return None // no [Events] Format at all
+    Some(out.result())
+  }
+
+  /** `H:MM:SS.cc` (centiseconds) → ms; None on malformed fields. */
+  private def assTimeMs(t: String): Option[Long] = {
+    val parts = t.split(':')
+    if (parts.length != 3) return None
+    val di = parts(2).indexOf('.')
+    if (di < 0) return None
+    val ss = parts(2).substring(0, di)
+    val cc = parts(2).substring(di + 1)
+    def num(v: String, minLen: Int, maxLen: Int): Option[Long] =
+      if (v.length < minLen || v.length > maxLen ||
+        !v.forall(c => c >= '0' && c <= '9')) None
+      else Some(v.toLong)
+    for {
+      h <- num(parts(0), 1, 9)
+      m <- num(parts(1), 2, 2) if m < 60
+      sec <- num(ss, 2, 2) if sec < 60
+      c <- num(cc, 2, 2)
+    } yield ((h * 60 + m) * 60 + sec) * 1000 + c * 10
+  }
+
+  /** The ASS plain-text transform: strip `{...}` override blocks,
+    * `\N`/`\n` → newline, `\h` → non-breaking-space-as-space.
+    */
+  private[graft] def assPlainText(raw: String): String = {
+    val sb = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '{') {
+        val close = raw.indexOf('}', i + 1)
+        if (close < 0) { sb.append(c); i += 1 } // unclosed: literal
+        else i = close + 1
+      } else if (c == '\\' && i + 1 < raw.length &&
+        (raw.charAt(i + 1) == 'N' || raw.charAt(i + 1) == 'n')) {
+        sb.append('\n'); i += 2
+      } else if (c == '\\' && i + 1 < raw.length &&
+        raw.charAt(i + 1) == 'h') {
+        sb.append(' '); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   // ---- encoders (round-trip twins; also the fixture builders) ---------
+
+  /** Build an ASS file: Script Info header, a V4+ Styles stub, and an
+    * Events section in the CANONICAL field order. Cue text is written
+    * raw (callers may include `{\b1}`-style override tags and `\N`
+    * line breaks to exercise the plain-text transform).
+    */
+  def buildAss(cues: Seq[(Long, Long, String)],
+      style: String = "Default"): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("[Script Info]\nTitle: graft fixture\nScriptType: v4.00+\n\n")
+    sb.append("[V4+ Styles]\n")
+    sb.append("Format: Name, Fontname, Fontsize\n")
+    sb.append(s"Style: $style,Arial,20\n\n")
+    sb.append("[Events]\n")
+    sb.append("Format: Layer, Start, End, Style, Name, MarginL, " +
+      "MarginR, MarginV, Effect, Text\n")
+    cues.foreach { case (st, en, t) =>
+      require(st >= 0 && en >= st, "cue times must be ordered")
+      require(st % 10 == 0 && en % 10 == 0,
+        "ASS times are centisecond-precise; ms must be multiples of 10")
+      require(t.nonEmpty, "cue text must be non-empty")
+      sb.append("Dialogue: 0,").append(fmtAssTime(st)).append(',')
+        .append(fmtAssTime(en)).append(',').append(style)
+        .append(",,0,0,0,,").append(t).append('\n')
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private def fmtAssTime(ms: Long): String = {
+    val h = ms / 3600000L
+    val m = (ms / 60000L) % 60L
+    val s = (ms / 1000L) % 60L
+    val cc = (ms % 1000L) / 10L
+    f"$h%d:$m%02d:$s%02d.$cc%02d"
+  }
 
   /** Build a SubRip file from (startMs, endMs, text) cues. */
   def buildSrt(cues: Seq[(Long, Long, String)]): Array[Byte] = {

@@ -127,4 +127,77 @@ class ExifSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getString(5) == "c" && r.getString(6) == "d" &&
       r.getInt(7) == 100 && r.getLong(8) == 7L && r.getLong(9) == 9L)
   }
+
+  test("EXIF-in-WebP: the RIFF chunk walk finds the EXIF chunk " +
+      "(raw TIFF and the in-the-wild Exif\\0\\0-prefixed form), " +
+      "odd-sized chunks pad; EXIF-less and truncated payloads " +
+      "refuse honestly") {
+    val tiff = Multimodal.buildExifTiff(3, "Mk", "Md",
+      "2021:02:03 04:05:06", "2021:02:03 04:05:05", 200, 11L, 13L)
+    val plain = Multimodal.webpWithExif(
+      Multimodal.buildWebp("VP8 ", 64, 48), tiff)
+    val prefixed = Multimodal.webpWithExif(
+      Multimodal.buildWebp("VP8X", 64, 48),
+      Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ tiff)
+    Seq(plain, prefixed).foreach { b =>
+      val Some(m) = Multimodal.parseWebpExif(b)
+      assert(m.orientation === 3 && m.make === "Mk" &&
+        m.iso === 200 && m.exifWidth === 11L && m.exifHeight === 13L)
+    }
+    assert(Multimodal.parseWebpExif(
+      Multimodal.buildWebp("VP8 ", 64, 48)).isEmpty) // no EXIF chunk
+    assert(Multimodal.parseWebpExif(
+      plain.take(plain.length - 10)).isEmpty) // chunk overruns RIFF
+    assert(Multimodal.parseWebpExif(Multimodal.webpWithExif(
+      Multimodal.buildWebp("VP8 ", 64, 48),
+      tiff.take(6))).isEmpty) // truncated TIFF
+  }
+
+  test("EXIF-in-PNG: the eXIf chunk rides the CRC-verified PNG walk; " +
+      "a corrupted chunk CRC refuses the FILE, not just the field") {
+    import graft.operators.Png
+    val tiff = Multimodal.buildExifTiff(5, "PMk", "PMd",
+      "2022:01:01 00:00:01", "2022:01:01 00:00:00", 400, 21L, 23L,
+      littleEndian = false)
+    val png = Png.buildPng(4, 4, 0,
+      Array.tabulate(16)(p => (p * 7).toByte), exif = tiff)
+    val Some(m) = Multimodal.parsePngExif(png)
+    assert(m.orientation === 5 && !m.littleEndian &&
+      m.make === "PMk" && m.iso === 400)
+    // no eXIf chunk -> None
+    assert(Multimodal.parsePngExif(Png.buildPng(4, 4, 0,
+      Array.tabulate(16)(p => (p * 7).toByte))).isEmpty)
+    // flip a byte inside the eXIf data: the chunk CRC breaks, the
+    // whole walk refuses (the PNG honesty contract)
+    val corrupted = png.clone()
+    val at = png.length - 12 - 12 - tiff.length + 8 // inside eXIf data
+    corrupted(at) = (corrupted(at) ^ 0x55).toByte
+    assert(Multimodal.parsePngExif(corrupted).isEmpty)
+  }
+
+  test("exifScanAuto: one container-auto scan over a mixed " +
+      "JPEG/WebP/PNG corpus; unknown payloads parsed = false") {
+    import graft.operators.Png
+    def tiff(le: Boolean) = Multimodal.buildExifTiff(2, "X", "Y",
+      "2020:05:06 07:08:09", "2020:05:06 07:08:08", 800, 31L, 33L,
+      littleEndian = le)
+    val rows = Multimodal.exifScanAuto(df(
+      1L -> Multimodal.buildJpegExif(2, "X", "Y",
+        "2020:05:06 07:08:09", "2020:05:06 07:08:08", 800, 31L, 33L),
+      2L -> Multimodal.webpWithExif(
+        Multimodal.buildWebp("VP8L", 10, 10), tiff(le = false)),
+      3L -> Png.buildPng(2, 2, 0, Array[Byte](1, 2, 3, 4),
+        exif = tiff(le = true)),
+      4L -> "not an image".getBytes("UTF-8")), "id", "content")
+      .orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("container")).toSeq ===
+      Seq("jpeg", "webp", "png", ""))
+    assert(rows.map(_.getAs[Boolean]("parsed")).toSeq ===
+      Seq(true, true, true, false))
+    rows.take(3).foreach { r =>
+      assert(r.getAs[Int]("orientation") === 2)
+      assert(r.getAs[Int]("iso") === 800)
+      assert(r.getAs[Long]("exif_width") === 31L)
+    }
+  }
 }

@@ -168,6 +168,65 @@ class SubtitleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tracks.length === 1 && tracks.head.decoded)
   }
 
+  test("ASS round trip: Format-declared field order, centisecond " +
+      "times, commas inside Text survive, override blocks strip, " +
+      "\\N breaks, \\h spaces") {
+    val cues = Seq(
+      (0L, 1500L, "{\\b1}bold{\\b0} and, with commas"),
+      (2000L, 3210L, "line one\\Nline two"),
+      (4000L, 4500L, "hard\\hspace"))
+    val b = Subtitle.buildAss(cues)
+    val rows = Subtitle.subtitleCues(df(1L -> b), "id", "content")
+      .orderBy("cue_index").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[String]("format") === "ass"))
+    assert(rows(0).getAs[String]("text") === "bold and, with commas")
+    assert(rows(0).getAs[Long]("start_ms") === 0L &&
+      rows(0).getAs[Long]("end_ms") === 1500L)
+    assert(rows(1).getAs[String]("text") === "line one\nline two")
+    assert(rows(1).getAs[Long]("end_ms") === 3210L)
+    assert(rows(2).getAs[String]("text") === "hard space")
+    // a NON-canonical field order: Start/End positions come from the
+    // Format line, never assumed
+    val reordered = s(
+      "[Script Info]\nTitle: t\n\n[Events]\n" +
+        "Format: Start, End, Layer, Text\n" +
+        "Dialogue: 0:00:01.00,0:00:02.00,0,reordered ok\n")
+    val rr = Subtitle.subtitleCues(df(1L -> reordered), "id",
+      "content").collect()
+    assert(rr.length === 1 &&
+      rr(0).getAs[String]("text") === "reordered ok" &&
+      rr(0).getAs[Long]("start_ms") === 1000L)
+  }
+
+  test("ASS honesty: Dialogue before Format, Text not last, too few " +
+      "fields, bad time fields, unclosed override braces stay " +
+      "literal; Comment lines are skipped") {
+    val bad = Seq(
+      s("[Script Info]\n\n[Events]\n" +
+        "Dialogue: 0,0:00:01.00,0:00:02.00,S,,0,0,0,,x\n"), // no Format
+      s("[Script Info]\n\n[Events]\nFormat: Text, Start, End\n" +
+        "Dialogue: x,0:00:01.00,0:00:02.00\n"), // Text not last
+      s("[Script Info]\n\n[Events]\nFormat: Start, End, Text\n" +
+        "Dialogue: 0:00:01.00,0:00:02.00\n"), // too few fields
+      s("[Script Info]\n\n[Events]\nFormat: Start, End, Text\n" +
+        "Dialogue: 0:00:61.00,0:01:02.00,x\n"), // seconds >= 60
+      s("[Script Info]\n\n[Events]\nFormat: Start, End, Text\n" +
+        "Dialogue: 0:00:02.00,0:00:01.00,x\n")) // end < start
+    val rows = Subtitle.subtitleCues(
+      df(bad.zipWithIndex.map { case (b, i) => (i.toLong, b) }: _*),
+      "id", "content").collect()
+    assert(rows.isEmpty)
+    val mixed = s("[Script Info]\n\n[Events]\n" +
+      "Format: Start, End, Text\n" +
+      "Comment: 0:00:00.00,0:00:01.00,a note\n" +
+      "Dialogue: 0:00:01.00,0:00:02.00,{unclosed brace\n")
+    val mr = Subtitle.subtitleCues(df(1L -> mixed), "id", "content")
+      .collect()
+    assert(mr.length === 1)
+    assert(mr(0).getAs[String]("text") === "{unclosed brace")
+  }
+
   test("streaming: cue extraction is stateless and runs per " +
       "micro-batch over a live feed — SRT/VTT files and WebM text " +
       "tracks both") {
