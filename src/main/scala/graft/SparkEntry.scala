@@ -317,6 +317,28 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
+    * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
+    * appended — v1.1 (with track) on even ids, plain v1 on odd.
+    */
+  private def syntheticId3v1Classed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val mp3 = Mp3.buildMp3(3, base % 3, Seq.fill(3)(1 + base % 14),
+        mono = base % 2 == 0)
+      Mp3.withId3v1(mp3,
+        title = "Title_" + (base % 9),
+        artist = "Artist_" + (base % 7),
+        album = "Album_" + (base % 5),
+        year = (1970 + base % 50).toString,
+        comment = "c" + (base % 11),
+        track = if (id % 2 == 0) 1 + base % 20 else -1,
+        genre = base % 148)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real FLAC headers with closed-form STREAMINFO fields (rates
     * cycle the common ladder, channels/bits/total samples are base
     * arithmetic — incl. >32-bit totals on every 8th base).
@@ -2818,6 +2840,17 @@ object SparkEntry {
       Subtitle.subtitleCues(
         syntheticSubtitleClassed(t(s, dir, "documents")),
         "id", "content")),
+
+    // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
+    // headers are q_audio_id3): REAL MP3 frames + a closed-form
+    // trailer, both the v1.1 track form and plain v1
+    "q_audio_id3v1" -> ((s, dir) =>
+      Mp3.id3v1Scan(syntheticId3v1Classed(t(s, dir, "documents")),
+        "id", "content")
+        .select(col("id"), col("title"), col("artist"), col("album"),
+          col("year"), col("comment"),
+          col("track").cast("long").as("track"),
+          col("genre").cast("long").as("genre"), col("present"))),
 
     // ASS/SSA — the third caption grammar: REAL [Events] sections
     // (Format-declared field order, centisecond times, override
@@ -6081,6 +6114,24 @@ object SparkEntry {
         |    AS chars,
         |  CAST(sum(w) AS BIGINT) AS words
         |FROM c GROUP BY id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // ID3v1 trailer: every field a closed form of base = doc_id % 64
+    "q_audio_id3v1" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents)
+        |SELECT id,
+        |  'Title_' || (base % 9) AS title,
+        |  'Artist_' || (base % 7) AS artist,
+        |  'Album_' || (base % 5) AS album,
+        |  CAST(1970 + base % 50 AS VARCHAR) AS year,
+        |  'c' || (base % 11) AS comment,
+        |  CASE WHEN id % 2 = 0 THEN CAST(1 + base % 20 AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS track,
+        |  CAST(base % 148 AS BIGINT) AS genre,
+        |  TRUE AS present
+        |FROM g
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ASS cues: the oracle writes the EXPECTED plain-text transform

@@ -168,6 +168,85 @@ object Mp3 {
   // ---- imperative internals (the mapPartitions payload walker) -------
 
   /** Samples per frame for Layer III: 1152 (MPEG-1) / 576 (2, 2.5). */
+  // ---- ID3v1: the 128-byte trailer tag --------------------------------
+
+  /** One ID3v1/v1.1 trailer: fixed 128 bytes at EOF starting `TAG` —
+    * title/artist/album 30 bytes each, year 4, comment 30 (v1.1:
+    * 28 + NUL + track byte), genre index. Strings are ISO-8859-1
+    * with NUL/space padding trimmed. `track` is −1 for plain v1.
+    * `present = false` rows (no trailer) carry empties.
+    */
+  case class Id3v1(id: Long, title: String, artist: String,
+      album: String, year: String, comment: String, track: Int,
+      genre: Int, present: Boolean)
+
+  def id3v1Scan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[Id3v1]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          parseId3v1(r.getAs[Array[Byte]](1)) match {
+            case Some(t) => t.copy(id = id)
+            case None => Id3v1(id, "", "", "", "", "", -1, 0,
+              present = false)
+          }
+        }
+    }.toDF().select(col("id"), col("title"), col("artist"),
+      col("album"), col("year"), col("comment"), col("track"),
+      col("genre"), col("present"))
+  }
+
+  private[graft] def parseId3v1(b: Array[Byte]): Option[Id3v1] = {
+    if (b == null || b.length < 128) return None
+    val o = b.length - 128
+    if (b(o) != 'T' || b(o + 1) != 'A' || b(o + 2) != 'G') return None
+    def str(off: Int, len: Int): String = {
+      var end = off + len
+      while (end > off && (b(end - 1) == 0 || b(end - 1) == ' '))
+        end -= 1
+      new String(b, off, end - off, "ISO-8859-1")
+    }
+    // v1.1: comment byte 28 is NUL and byte 29 is the track number
+    val isV11 = b(o + 125) == 0 && b(o + 126) != 0
+    Some(Id3v1(0L, str(o + 3, 30), str(o + 33, 30), str(o + 63, 30),
+      str(o + 93, 4),
+      if (isV11) str(o + 97, 28) else str(o + 97, 30),
+      if (isV11) b(o + 126) & 0xFF else -1,
+      b(o + 127) & 0xFF, present = true))
+  }
+
+  /** Append an ID3v1/v1.1 trailer to a payload — the encode twin of
+    * [[parseId3v1]] (fixture/smoke builder). `track >= 0` writes the
+    * v1.1 form.
+    */
+  def withId3v1(payload: Array[Byte], title: String, artist: String,
+      album: String, year: String, comment: String, track: Int = -1,
+      genre: Int = 0): Array[Byte] = {
+    require(genre >= 0 && genre <= 255, "genre is one byte")
+    require(track <= 255, "track is one byte")
+    val tag = new Array[Byte](128)
+    tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+    def put(s: String, off: Int, len: Int): Unit = {
+      val bs = s.getBytes("ISO-8859-1")
+      require(bs.length <= len, s"'$s' over $len bytes")
+      System.arraycopy(bs, 0, tag, off, bs.length)
+    }
+    put(title, 3, 30); put(artist, 33, 30); put(album, 63, 30)
+    put(year, 93, 4)
+    if (track >= 0) {
+      require(track > 0, "v1.1 track 0 is indistinguishable from v1")
+      put(comment, 97, 28)
+      tag(126) = track.toByte
+    } else put(comment, 97, 30)
+    tag(127) = genre.toByte
+    val out = new Array[Byte](payload.length + 128)
+    System.arraycopy(payload, 0, out, 0, payload.length)
+    System.arraycopy(tag, 0, out, payload.length, 128)
+    out
+  }
+
   private def samplesPerFrame(versionBits: Int): Int =
     if (versionBits == 3) 1152 else 576
 

@@ -645,15 +645,20 @@ object Webm {
   case class WebmCue(id: Long, cueIndex: Long, startMs: Long,
       endMs: Long, text: String)
 
-  /** Extract the FIRST `S_TEXT/UTF8` subtitle track's cues from each
-    * Matroska/WebM payload — the video→text bridge: caption text is
-    * aligned-transcript training data, and it rides the container in
-    * CLOSED FORM (UTF-8 block payloads + exact tick arithmetic; no
-    * codec in the way). Start = cluster timestamp + the block's
-    * signed relative timestamp; end = start + `BlockDuration` when
-    * the cue is BlockGroup-wrapped (the standard subtitle shape), and
-    * start itself for a bare SimpleBlock (duration unknown — never
-    * invented). Laced blocks, negative start ticks, tick arithmetic
+  /** Extract the FIRST text-subtitle track's cues (`S_TEXT/UTF8` or
+    * `S_TEXT/ASS`) from each Matroska/WebM payload — the video→text
+    * bridge: caption text is aligned-transcript training data, and
+    * it rides the container in CLOSED FORM (text block payloads +
+    * exact tick arithmetic; no codec in the way). Start = cluster
+    * timestamp + the block's signed relative timestamp; end =
+    * start + `BlockDuration` when the cue is BlockGroup-wrapped (the
+    * standard subtitle shape), and start itself for a bare
+    * SimpleBlock (duration unknown — never invented). ASS payloads
+    * carry the Matroska-defined `ReadOrder,Layer,Style,Name,MarginL,
+    * MarginR,MarginV,Effect,Text` line — the Text field (commas
+    * preserved) is emitted through [[Subtitle.assPlainText]]'s
+    * published transform; a payload with fewer than nine fields
+    * refuses. Laced blocks, negative start ticks, tick arithmetic
     * that would overflow, and over-cap files (`maxCues`) refuse the
     * whole payload; payloads without a subtitle track emit nothing.
     */
@@ -708,6 +713,7 @@ object Webm {
 
     var timescaleNs = 1000000L // the published default
     var subTrack = -1L
+    var subIsAss = false
     var sawTracks = false
     def ticksToMs(t: Long): Option[Long] =
       if (t < 0L || t > Long.MaxValue / timescaleNs) None
@@ -756,9 +762,11 @@ object Webm {
             }
             q = te
           }
-          if (trackType == 17L && codecId == "S_TEXT/UTF8") {
+          if (trackType == 17L && (codecId == "S_TEXT/UTF8" ||
+            codecId == "S_TEXT/ASS")) {
             if (num <= 0L || num > 126L) return false
             subTrack = num
+            subIsAss = codecId == "S_TEXT/ASS"
           }
         }
         p = e
@@ -787,8 +795,18 @@ object Webm {
           else ticksToMs(startTicks + durTicks).getOrElse(return false)
         nCues += 1
         if (nCues > maxCues) return false // refuse, never trim
-        cues += ((startMs, endMs,
-          new String(bytes, hdr.toInt, (e - hdr).toInt, "UTF-8")))
+        val payload = new String(bytes, hdr.toInt, (e - hdr).toInt,
+          "UTF-8")
+        val text =
+          if (!subIsAss) payload
+          else {
+            // Matroska ASS block line: ReadOrder,Layer,Style,Name,
+            // MarginL,MarginR,MarginV,Effect,Text (Text keeps commas)
+            val parts = payload.split(",", 9)
+            if (parts.length < 9) return false
+            Subtitle.assPlainText(parts(8))
+          }
+        cues += ((startMs, endMs, text))
       }
       true
     }
@@ -865,7 +883,8 @@ object Webm {
       audioPcm: Array[Int] = null, pcmBigEndian: Boolean = false,
       blockSamples: Seq[Int] = Nil,
       useBlockGroups: Boolean = false,
-      subCues: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
+      subCues: Seq[(Long, Long, String)] = Nil,
+      subAss: Boolean = false): Array[Byte] = {
     require(docType == "webm" || docType == "matroska", "docType")
     require(timescaleNs > 0, "timescaleNs")
     require(videoCodec.nonEmpty || audioCodec.nonEmpty ||
@@ -991,7 +1010,8 @@ object Webm {
             uintEl(0xD7L, subNum)
             uintEl(0x73C5L, subNum)
             uintEl(IdTrackType, 17L) // subtitle
-            strEl(IdCodecId, "S_TEXT/UTF8")
+            strEl(IdCodecId,
+              if (subAss) "S_TEXT/ASS" else "S_TEXT/UTF8")
           }
         }
       }
@@ -1043,6 +1063,7 @@ object Webm {
         // standard subtitle shape), durTicks < 0 a bare SimpleBlock
         val subNum = 1L + (if (videoCodec.nonEmpty) 1L else 0L) +
           (if (audioCodec.nonEmpty || audioPcm != null) 1L else 0L)
+        var readOrder = 0
         subCues.grouped(2).foreach { grp =>
           val clusterTs = grp.head._1
           element(IdCluster) {
@@ -1051,12 +1072,18 @@ object Webm {
               val rel = st - clusterTs
               require(rel >= Short.MinValue && rel <= Short.MaxValue,
                 s"cue relative timestamp $rel does not fit s16")
+              val line =
+                if (subAss) {
+                  val l = s"$readOrder,0,Default,,0,0,0,,$text"
+                  readOrder += 1
+                  l
+                } else text
               def blockBody(simple: Boolean): Unit = {
                 bos.write((0x80L | subNum).toInt) // 1-byte varint
                 bos.write(((rel >> 8) & 0xFF).toInt)
                 bos.write((rel & 0xFF).toInt)
                 bos.write(if (simple) 0x80 else 0x00) // no lacing
-                val tb = text.getBytes("UTF-8")
+                val tb = line.getBytes("UTF-8")
                 bos.write(tb, 0, tb.length)
               }
               if (dur >= 0L)

@@ -199,4 +199,36 @@ class Mp3Spec extends AnyFunSuite with BeforeAndAfterAll {
       r.getInt(3) == 1 && r.getLong(4) == 8L && r.getInt(5) == 24)
     assert(r.getLong(8) == 8L * 576 * 1000 / 16000)
   }
+
+  test("ID3v1 trailer: v1.1 (track byte) and plain v1 round trip; " +
+      "NUL/space padding trims; payloads without a trailer, short " +
+      "payloads, and a mid-file TAG are present = false") {
+    import graft.operators.Mp3
+    val mp3 = Mp3.buildMp3(3, 0, Seq(5, 5), mono = false)
+    val v11 = Mp3.withId3v1(mp3, "My Title", "The Artist", "An Album",
+      "1994", "a comment", track = 7, genre = 17)
+    val v1 = Mp3.withId3v1(mp3, "T", "A", "B", "2001",
+      "thirty-char-comment-padding ok", genre = 255)
+    val rows = Mp3.id3v1Scan(df(1L -> v11, 2L -> v1, 3L -> mp3,
+      4L -> "short".getBytes("UTF-8")), "id", "content")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[String]("title") === "My Title")
+    assert(rows(0).getAs[String]("artist") === "The Artist")
+    assert(rows(0).getAs[String]("year") === "1994")
+    assert(rows(0).getAs[String]("comment") === "a comment")
+    assert(rows(0).getAs[Int]("track") === 7)
+    assert(rows(0).getAs[Int]("genre") === 17)
+    assert(rows(0).getAs[Boolean]("present"))
+    assert(rows(1).getAs[Int]("track") === -1) // plain v1
+    assert(rows(1).getAs[String]("comment") ===
+      "thirty-char-comment-padding ok")
+    assert(rows(1).getAs[Int]("genre") === 255)
+    assert(!rows(2).getAs[Boolean]("present"))
+    assert(!rows(3).getAs[Boolean]("present"))
+    // TAG anywhere but the last 128 bytes is NOT a trailer
+    val midTag = v11 ++ Array.fill[Byte](40)(0x55)
+    val mid = Mp3.id3v1Scan(df(9L -> midTag), "id", "content")
+      .collect()(0)
+    assert(!mid.getAs[Boolean]("present"))
+  }
 }

@@ -227,6 +227,43 @@ class SubtitleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mr(0).getAs[String]("text") === "{unclosed brace")
   }
 
+  test("Matroska S_TEXT/ASS tracks: block lines carry the " +
+      "ReadOrder,...,Text grammar — commas in Text survive, override " +
+      "blocks strip, short lines refuse the payload") {
+    val cues = Seq((0L, 400L, "{\\i1}styled{\\i0}, with comma"),
+      (1000L, 300L, "plain\\Nbreak"))
+    val b = Webm.buildWebm("matroska", 1000000L, 2000.0,
+      subCues = cues, subAss = true)
+    val rows = Webm.webmSubtitleCues(df(1L -> b), "id", "content")
+      .orderBy("cue_index").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("text") === "styled, with comma")
+    assert(rows(0).getAs[Long]("end_ms") === 400L)
+    assert(rows(1).getAs[String]("text") === "plain\nbreak")
+    // a hostile ASS block with fewer than nine fields refuses
+    val hostile = Webm.buildWebm("matroska", 1000000L, 2000.0,
+      subCues = Seq((0L, 100L, "x")), subAss = true)
+    // corrupt the block line by shortening the payload text to drop
+    // below nine comma-separated fields: rebuild with a raw UTF8
+    // track claiming the ASS codec is simpler — hand-craft via the
+    // UTF8 builder then patch the codec id bytes
+    val utf8 = Webm.buildWebm("matroska", 1000000L, 2000.0,
+      subCues = Seq((0L, 100L, "no-commas-here")))
+    val patched = {
+      val s = "S_TEXT/UTF8".getBytes("US-ASCII")
+      val a = "S_TEXT/ASS\u0000".getBytes("ISO-8859-1")
+      val raw = utf8.clone()
+      val at = (0 to raw.length - s.length).find(i =>
+        s.indices.forall(j => raw(i + j) == s(j))).get
+      a.indices.foreach(j => raw(at + j) = a(j))
+      raw
+    }
+    assert(Webm.webmSubtitleCues(df(1L -> hostile), "id", "content")
+      .count() === 1L) // the builder writes well-formed lines
+    assert(Webm.webmSubtitleCues(df(2L -> patched), "id", "content")
+      .count() === 0L) // short line refuses the payload
+  }
+
   test("streaming: cue extraction is stateless and runs per " +
       "micro-batch over a live feed — SRT/VTT files and WebM text " +
       "tracks both") {
