@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TdeiDate, TextFunctions, UrlFunctions}
-import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Flac, Gif, HtmlExtract, LanguageModel, Mp3, Mp4, Multimodal, Png, ProductQuantization, QualityClassifier, Retrieval, Similarity, Subtitle, TextRepair, VectorOps, Video, WebCorpus, Webm}
+import graft.operators.{Audio, CorpusAnalysis, CorpusPrep, DataSelection, Dedup, Flac, Gif, HtmlExtract, LanguageModel, Mp3, Mp4, Multimodal, Png, ProductQuantization, QualityClassifier, Retrieval, Similarity, Subtitle, Tar, TextRepair, VectorOps, Video, WebCorpus, Webm}
 import graft.query.{DynamicQuery, SqlOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -312,6 +312,27 @@ object SparkEntry {
       Mp3.buildMp3(vb, (base / 3) % 3,
         Seq.fill(frames)(1 + base % 14), mono = base % 2 == 0,
         xingFrames = if (base % 4 == 0) frames.toLong else -1L)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** WebDataset-style tar shards: per doc_id, 2 + id % 3 samples of
+    * three members each (`shard/<id>_<k>.jpg/.txt/.json`, ASCII
+    * closed-form contents) plus one member whose 110-char directory
+    * exercises the ustar prefix field — real checksums throughout.
+    */
+  private def syntheticTarClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val n = (2 + id % 3).toInt
+      val members = (0 until n).flatMap { k =>
+        Seq(
+          (s"shard/${id}_$k.jpg", s"img:$id:$k".getBytes("UTF-8")),
+          (s"shard/${id}_$k.txt", s"txt:$id:$k".getBytes("UTF-8")),
+          (s"shard/${id}_$k.json", s"""{"k":$k}""".getBytes("UTF-8")))
+      } :+ (("d" * 110) + s"/long_$id.dat",
+        s"long:$id".getBytes("UTF-8"))
+      Tar.buildTar(members)
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -2839,6 +2860,24 @@ object SparkEntry {
     "q_subtitles" -> ((s, dir) =>
       Subtitle.subtitleCues(
         syntheticSubtitleClassed(t(s, dir, "documents")),
+        "id", "content")),
+
+    // TAR shards — how multimodal corpora actually ship: REAL ustar
+    // archives (every header checksum verified, the >100-char-path
+    // prefix field exercised) exploded to members; content strings
+    // and entry order are closed forms of doc_id
+    "q_tar_entries" -> ((s, dir) =>
+      Tar.tarEntries(syntheticTarClassed(t(s, dir, "documents")),
+        "id", "content")
+        .select(col("id"), col("entry_index"), col("path"),
+          col("bytes").cast("string").as("content_str"),
+          col("size"))),
+
+    // WebDataset sample assembly: members grouped by basename stem
+    // (a LOCAL per-shard fold — no shuffle in the member walk), the
+    // completeness census every multimodal ingest runs first
+    "q_webdataset" -> ((s, dir) =>
+      Tar.webdatasetSamples(syntheticTarClassed(t(s, dir, "documents")),
         "id", "content")),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
@@ -6114,6 +6153,54 @@ object SparkEntry {
         |    AS chars,
         |  CAST(sum(w) AS BIGINT) AS words
         |FROM c GROUP BY id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // tar members: entry order is build order — per sample k the
+    // jpg/txt/json triple at indices 3k..3k+2, the prefix-field
+    // member last
+    "q_tar_entries" ->
+      """WITH g AS (SELECT doc_id AS id, 2 + doc_id % 3 AS n
+        |  FROM documents),
+        |m AS (SELECT id, k * 3 + m AS entry_index,
+        |    'shard/' || id || '_' || k ||
+        |      CASE m WHEN 0 THEN '.jpg' WHEN 1 THEN '.txt'
+        |        ELSE '.json' END AS path,
+        |    CASE m WHEN 0 THEN 'img:' || id || ':' || k
+        |      WHEN 1 THEN 'txt:' || id || ':' || k
+        |      ELSE '{"k":' || k || '}' END AS content_str
+        |  FROM g
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS m)
+        |  WHERE k < n
+        |UNION ALL
+        |  SELECT id, n * 3,
+        |    repeat('d', 110) || '/long_' || id || '.dat',
+        |    'long:' || id
+        |  FROM g)
+        |SELECT id, CAST(entry_index AS BIGINT) AS entry_index, path,
+        |  content_str, CAST(length(content_str) AS BIGINT) AS size
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // WebDataset census: every sample is the complete jpg/json/txt
+    // triple; the prefix-field member is its own single-member stem
+    "q_webdataset" ->
+      """WITH g AS (SELECT doc_id AS id, 2 + doc_id % 3 AS n
+        |  FROM documents),
+        |s AS (SELECT id, 'shard/' || id || '_' || k AS stem,
+        |    CAST(3 AS BIGINT) AS n_members,
+        |    'jpg,json,txt' AS exts,
+        |    CAST(length('img:' || id || ':' || k)
+        |      + length('txt:' || id || ':' || k)
+        |      + length('{"k":' || k || '}') AS BIGINT) AS total_bytes
+        |  FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        |  WHERE k < n
+        |UNION ALL
+        |  SELECT id, repeat('d', 110) || '/long_' || id,
+        |    CAST(1 AS BIGINT), 'dat',
+        |    CAST(length('long:' || id) AS BIGINT)
+        |  FROM g)
+        |SELECT id, stem, n_members, exts, total_bytes FROM s
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3v1 trailer: every field a closed form of base = doc_id % 64

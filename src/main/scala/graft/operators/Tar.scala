@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** TAR shards and the WebDataset convention — how large multimodal
+  * training corpora actually ship: a corpus is millions of `.tar`
+  * shards, each holding sample files grouped by BASENAME STEM
+  * (`000123.jpg` + `000123.txt` + `000123.json` = one sample). The
+  * walk derives entirely from the published POSIX ustar format:
+  * 512-byte headers (name, octal size/mtime, checksum over the
+  * header with the checksum field blanked, typeflag, ustar magic +
+  * name-prefix field), file data padded to 512, an end-of-archive
+  * marker of two zero blocks.
+  *
+  * Honesty contract: every header's checksum is VERIFIED (both the
+  * unsigned convention the spec mandates and the signed-byte variant
+  * historical writers used); a bad checksum, a malformed size field,
+  * or data running past the payload refuses the WHOLE shard — a
+  * silently half-read shard drops samples without anyone noticing.
+  * Non-file entries (directories, links, PAX/GNU extension headers)
+  * are SKIPPED by declared size, never interpreted.
+  *
+  * Design for 100 TB: shards stream through `mapPartitions` one in
+  * memory at a time; the entry walk is O(#entries) header reads plus
+  * slice copies of requested members; `maxEntryBytes` refuses
+  * oversized members before allocating; the WebDataset grouping is a
+  * per-shard LOCAL fold (stems never straddle shards by convention),
+  * so NO shuffle happens — sample assembly is embarrassingly
+  * parallel whatever the corpus size.
+  */
+object Tar {
+
+  /** One archive member: `path` as stored (prefix field honored),
+    * bytes, and the entry index in archive order.
+    */
+  case class TarEntry(id: Long, entryIndex: Long, path: String,
+      bytes: Array[Byte], size: Long)
+
+  /** One WebDataset sample: every member sharing a basename stem,
+    * as (extension → bytes) pairs exploded to rows.
+    */
+  case class WdsMember(id: Long, stem: String, ext: String,
+      bytes: Array[Byte], size: Long)
+
+  /** Explode every regular-file member of every tar payload.
+    * Unparseable shards emit nothing (the per-file honesty contract);
+    * `maxEntryBytes` refuses the SHARD rather than truncate a member.
+    */
+  def tarEntries(df: DataFrame, idCol: String, binCol: String,
+      maxEntryBytes: Int = 1 << 28): DataFrame = {
+    require(maxEntryBytes > 0, "maxEntryBytes must be positive")
+    implicit val enc = Encoders.product[TarEntry]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          parseTar(r.getAs[Array[Byte]](1), maxEntryBytes) match {
+            case Some(entries) => entries.zipWithIndex.map {
+              case ((p, b), i) => TarEntry(id, i.toLong, p, b,
+                b.length.toLong)
+            }
+            case None => Nil
+          }
+        }
+    }.toDF().select(col("id"), col("entryIndex").as("entry_index"),
+      col("path"), col("bytes"), col("size"))
+  }
+
+  /** WebDataset sample assembly: members grouped by basename stem
+    * (the path up to the FIRST dot of the basename — WebDataset
+    * extensions may be dotted, e.g. `seg.png`), exploded as
+    * (stem, ext, bytes) rows. Grouping is per shard and LOCAL — no
+    * shuffle. Members without a dot in their basename refuse the
+    * shard (they belong to no sample; silently dropping them would
+    * hide corpus damage).
+    */
+  def webdatasetMembers(df: DataFrame, idCol: String, binCol: String,
+      maxEntryBytes: Int = 1 << 28): DataFrame = {
+    require(maxEntryBytes > 0, "maxEntryBytes must be positive")
+    implicit val enc = Encoders.product[WdsMember]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val members = for {
+            entries <- parseTar(r.getAs[Array[Byte]](1), maxEntryBytes)
+            split <- splitStems(entries)
+          } yield split
+          members match {
+            case Some(ms) => ms.map { case (stem, ext, b) =>
+              WdsMember(id, stem, ext, b, b.length.toLong)
+            }
+            case None => Nil
+          }
+        }
+    }.toDF().select(col("id"), col("stem"), col("ext"), col("bytes"),
+      col("size"))
+  }
+
+  /** Per-sample census — the curation projection over a WebDataset
+    * corpus: one row per (shard, stem) with its member extensions
+    * (sorted, comma-joined) and total bytes. This is the "is every
+    * sample complete?" filter a 100 TB ingest runs first.
+    */
+  def webdatasetSamples(df: DataFrame, idCol: String, binCol: String,
+      maxEntryBytes: Int = 1 << 28): DataFrame =
+    webdatasetMembers(df, idCol, binCol, maxEntryBytes)
+      .groupBy(col("id"), col("stem"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("ext"))), ",")
+          .as("exts"),
+        sum(col("size")).as("total_bytes"))
+
+  private def splitStems(entries: Vector[(String, Array[Byte])])
+      : Option[Vector[(String, String, Array[Byte])]] = {
+    val out = Vector.newBuilder[(String, String, Array[Byte])]
+    entries.foreach { case (path, bytes) =>
+      val slash = path.lastIndexOf('/')
+      val base = path.substring(slash + 1)
+      val dot = base.indexOf('.')
+      if (dot <= 0) return None // no extension: not a WebDataset member
+      val stem = path.substring(0, slash + 1) + base.substring(0, dot)
+      out += ((stem, base.substring(dot + 1), bytes))
+    }
+    Some(out.result())
+  }
+
+  // ---- imperative internals (the mapPartitions shard walker) ---------
+
+  /** Parse a POSIX ustar archive: (path, bytes) per regular file,
+    * checksums verified on EVERY header, non-file entries skipped by
+    * size. None on any structural violation.
+    */
+  private[graft] def parseTar(bytes: Array[Byte],
+      maxEntryBytes: Int): Option[Vector[(String, Array[Byte])]] = {
+    if (bytes == null || bytes.length < 1024 ||
+      bytes.length % 512 != 0) return None
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    var pos = 0
+    while (pos + 512 <= bytes.length) {
+      if (isZeroBlock(bytes, pos)) {
+        // end-of-archive: two zero blocks; anything after must be
+        // zero padding (tar blocks archives to a blocking factor)
+        if (pos + 1024 > bytes.length ||
+          !isZeroBlock(bytes, pos + 512)) return None
+        var t = pos + 1024
+        while (t < bytes.length) {
+          if (bytes(t) != 0) return None
+          t += 1
+        }
+        return Some(out.result()) // an empty archive is valid tar
+      }
+      // header checksum: sum of header bytes with the checksum field
+      // (148..155) read as spaces — unsigned per spec, signed variant
+      // tolerated (historical writers)
+      var unsigned = 0L
+      var signed = 0L
+      var i = 0
+      while (i < 512) {
+        val raw = if (i >= 148 && i < 156) 32.toByte else bytes(pos + i)
+        unsigned += raw & 0xFF
+        signed += raw
+        i += 1
+      }
+      val declared = octal(bytes, pos + 148, 8).getOrElse(return None)
+      if (declared != unsigned && declared != signed) return None
+      val size = octal(bytes, pos + 124, 12).getOrElse(return None)
+      if (size < 0L || size > maxEntryBytes) return None
+      val dataEnd = pos + 512L + size
+      if (dataEnd > bytes.length) return None
+      val typeflag = bytes(pos + 156)
+      if (typeflag == '0'.toByte || typeflag == 0.toByte) {
+        val name = cstr(bytes, pos, 100)
+        if (name.isEmpty) return None
+        // ustar prefix field (345..499) prepends path/ when present
+        val magic = cstr(bytes, pos + 257, 6)
+        val prefix =
+          if (magic == "ustar") cstr(bytes, pos + 345, 155) else ""
+        val data = new Array[Byte](size.toInt)
+        System.arraycopy(bytes, pos + 512, data, 0, size.toInt)
+        out += ((if (prefix.isEmpty) name else prefix + "/" + name,
+          data))
+      } // else: dir/link/PAX/GNU entries skipped by declared size
+      val padded = ((size + 511L) / 512L) * 512L
+      if (512L + padded > Int.MaxValue - pos) return None
+      pos += (512L + padded).toInt
+    }
+    None // ran out before the end-of-archive marker
+  }
+
+  private def isZeroBlock(b: Array[Byte], pos: Int): Boolean = {
+    var i = 0
+    while (i < 512) {
+      if (b(pos + i) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** NUL-terminated (or field-filling) string field. */
+  private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    while (end < off + len && b(end) != 0) end += 1
+    new String(b, off, end - off, "UTF-8")
+  }
+
+  /** Octal numeric field: leading spaces/NULs tolerated, digits,
+    * terminated by space/NUL/end — the published grammar. None on
+    * any other byte.
+    */
+  private def octal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    var i = off
+    val end = off + len
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    var v = 0L
+    var digits = 0
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = (v << 3) | (b(i) - '0')
+      if (v < 0L) return None // overflow
+      digits += 1
+      i += 1
+    }
+    if (digits == 0) return None
+    while (i < end) {
+      if (b(i) != ' ' && b(i) != 0) return None
+      i += 1
+    }
+    Some(v)
+  }
+
+  // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
+
+  /** Build a POSIX ustar archive from (path, bytes) members — real
+    * checksums, the prefix field used when a path exceeds the name
+    * field, two zero end blocks.
+    */
+  def buildTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (path, data) =>
+      require(path.nonEmpty && path.length <= 255,
+        s"path length ${path.length} out of range")
+      val (prefix, name) =
+        if (path.length <= 100) ("", path)
+        else {
+          val cut = path.lastIndexOf('/', 154)
+          require(cut > 0 && path.length - cut - 1 <= 100,
+            s"path '$path' does not split into prefix/name")
+          (path.substring(0, cut), path.substring(cut + 1))
+        }
+      val h = new Array[Byte](512)
+      def put(s: String, off: Int, len: Int): Unit = {
+        val b = s.getBytes("UTF-8")
+        require(b.length <= len, s"field over $len bytes")
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      def putOctal(v: Long, off: Int, len: Int): Unit =
+        put(("%0" + (len - 1) + "o").format(v), off, len)
+      put(name, 0, 100)
+      putOctal(420L, 100, 8) // mode 0644
+      putOctal(0L, 108, 8); putOctal(0L, 116, 8) // uid/gid
+      putOctal(data.length.toLong, 124, 12)
+      putOctal(0L, 136, 12) // mtime
+      h(156) = '0'.toByte
+      put("ustar", 257, 6)
+      h(263) = '0'.toByte; h(264) = '0'.toByte // version "00"
+      if (prefix.nonEmpty) put(prefix, 345, 155)
+      // checksum over the header with the field as spaces
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      h.foreach(b => sum += b & 0xFF)
+      val cs = ("%06o").format(sum)
+      put(cs, 148, 7)
+      h(154) = 0
+      h(155) = ' '.toByte
+      bos.write(h)
+      bos.write(data)
+      val pad = (512 - data.length % 512) % 512
+      bos.write(new Array[Byte](pad))
+    }
+    bos.write(new Array[Byte](1024)) // end-of-archive marker
+    bos.toByteArray
+  }
+}

@@ -2649,6 +2649,43 @@ object ScaleSmoke {
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     }
 
+    // --- WebDataset shards: 200k tar shards x 8 samples x 3 members
+    // through the checksum-verified ustar walk + the LOCAL stem fold
+    // (no shuffle until the census aggregate) — censuses exact.
+    {
+      import spark.implicits._
+      val nTar = 200000L
+      val t104 = System.nanoTime()
+      val tars = spark.range(0L, nTar).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val members = (0 until 8).flatMap { k =>
+              Seq(
+                (s"shard/${id}_$k.jpg",
+                  s"img:$id:$k".getBytes("UTF-8")),
+                (s"shard/${id}_$k.txt",
+                  ("t" * (10 + ((id + k) % 20)).toInt).getBytes("UTF-8")),
+                (s"shard/${id}_$k.json",
+                  s"""{"k":$k}""".getBytes("UTF-8")))
+            }
+            (id, graft.operators.Tar.buildTar(members))
+          }
+        }.toDF("id", "content")
+      val wdAgg = graft.operators.Tar.webdatasetSamples(tars, "id",
+        "content")
+        .agg(count(lit(1)), min(col("n_members")),
+          sum(when(col("exts") === "jpg,json,txt", 1L).otherwise(0L)))
+        .collect()(0)
+      val tTar = (System.nanoTime() - t104) / 1e9
+      require(wdAgg.getLong(0) == 8L * nTar &&
+        wdAgg.getLong(1) == 3L && wdAgg.getLong(2) == 8L * nTar,
+        s"webdataset: $wdAgg")
+      println(f"webdataset: $nTar%d tar shards -> ${8 * nTar}%d " +
+        f"complete samples (checksums verified on every header) in " +
+        f"$tTar%.1f s (${nTar / tTar}%.0f shards/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
     // --- subtitle extraction throughput: 500k SRT/VTT transcripts +
     // 300k WebM S_TEXT tracks through the strict walks, cue censuses
     // and exact ms totals in closed form.

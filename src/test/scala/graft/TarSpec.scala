@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Png, Tar}
+
+/** TAR shards / WebDataset: the ustar walk (checksums verified on
+  * every header, prefix-field paths, padding), sample assembly by
+  * basename stem, the honesty matrix, and the composition that makes
+  * it matter — a real PNG member decoding through the image family.
+  */
+class TarSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toDF("id", "content")
+  }
+
+  test("round trip: member paths, bytes, order; 512 padding; the " +
+      ">100-char-path prefix field; empty archives are valid") {
+    val longPath = ("p" * 120) + "/deep_file.bin"
+    val members = Seq(
+      "a/0.jpg" -> "alpha".getBytes("UTF-8"),
+      "a/0.txt" -> ("x" * 513).getBytes("UTF-8"), // crosses a block
+      longPath -> Array[Byte](1, 2, 3))
+    val tar = Tar.buildTar(members)
+    assert(tar.length % 512 === 0)
+    val rows = Tar.tarEntries(df(1L -> tar), "id", "content")
+      .orderBy("entry_index").collect()
+    assert(rows.length === 3)
+    rows.zip(members).foreach { case (r, (p, b)) =>
+      assert(r.getAs[String]("path") === p)
+      assert(r.getAs[Array[Byte]]("bytes").toSeq === b.toSeq)
+      assert(r.getAs[Long]("size") === b.length.toLong)
+    }
+    assert(Tar.tarEntries(df(2L -> Tar.buildTar(Nil)), "id",
+      "content").count() === 0L)
+  }
+
+  test("honesty: a flipped checksum, truncation, non-512-multiple " +
+      "length, data overrunning the archive, junk after the end " +
+      "marker, and over-cap members all refuse the WHOLE shard; " +
+      "directory/link entries are skipped by size") {
+    val good = Tar.buildTar(Seq("f.txt" -> "hello".getBytes("UTF-8")))
+    val badCksum = good.clone()
+    badCksum(0) = 'g'.toByte // name change breaks the stored checksum
+    val truncated = good.take(good.length - 512)
+    val odd = good.take(good.length - 100)
+    val junkAfter = good.clone()
+    junkAfter(good.length - 1) = 7
+    def count(b: Array[Byte]) =
+      Tar.tarEntries(df(1L -> b), "id", "content").count()
+    assert(count(badCksum) === 0L)
+    assert(count(truncated) === 0L)
+    assert(count(odd) === 0L)
+    assert(count(junkAfter) === 0L)
+    assert(Tar.tarEntries(df(1L -> good), "id", "content",
+      maxEntryBytes = 4).count() === 0L) // refuse, never truncate
+    // a directory entry (typeflag '5') between two files is skipped
+    val withDir = {
+      val a = Tar.buildTar(Seq("d/a.txt" -> "A".getBytes("UTF-8")))
+      val b = Tar.buildTar(Seq("d/b.txt" -> "B".getBytes("UTF-8")))
+      val dir = Tar.buildTar(Seq("d/sub" -> Array.emptyByteArray))
+      val dirHdr = dir.take(512).clone()
+      dirHdr(156) = '5'.toByte
+      // re-checksum after the typeflag change
+      java.util.Arrays.fill(dirHdr, 148, 156, ' '.toByte)
+      var sum = 0L
+      dirHdr.foreach(x => sum += x & 0xFF)
+      val cs = "%06o".format(sum).getBytes("US-ASCII")
+      System.arraycopy(cs, 0, dirHdr, 148, 6)
+      dirHdr(154) = 0; dirHdr(155) = ' '.toByte
+      a.take(a.length - 1024) ++ dirHdr ++ b
+    }
+    val rows = Tar.tarEntries(df(1L -> withDir), "id", "content")
+      .orderBy("entry_index").collect()
+    assert(rows.map(_.getAs[String]("path")).toSeq ===
+      Seq("d/a.txt", "d/b.txt"))
+  }
+
+  test("WebDataset assembly: members group by basename stem (dotted " +
+      "extensions preserved past the FIRST dot), census rows are " +
+      "exact, and a dotless member refuses the shard") {
+    val tar = Tar.buildTar(Seq(
+      "s/1.jpg" -> "i1".getBytes("UTF-8"),
+      "s/1.seg.png" -> "p1".getBytes("UTF-8"),
+      "s/1.txt" -> "t1".getBytes("UTF-8"),
+      "s/2.jpg" -> "i2".getBytes("UTF-8"),
+      "s/2.txt" -> "t22".getBytes("UTF-8")))
+    val members = Tar.webdatasetMembers(df(1L -> tar), "id",
+      "content").collect()
+      .map(r => (r.getAs[String]("stem"), r.getAs[String]("ext")))
+      .sorted.toSeq
+    assert(members === Seq(("s/1", "jpg"), ("s/1", "seg.png"),
+      ("s/1", "txt"), ("s/2", "jpg"), ("s/2", "txt")))
+    val samples = Tar.webdatasetSamples(df(1L -> tar), "id",
+      "content").orderBy("stem").collect()
+    assert(samples.length === 2)
+    assert(samples(0).getAs[Long]("n_members") === 3L)
+    assert(samples(0).getAs[String]("exts") === "jpg,seg.png,txt")
+    assert(samples(0).getAs[Long]("total_bytes") === 6L)
+    assert(samples(1).getAs[String]("exts") === "jpg,txt")
+    assert(samples(1).getAs[Long]("total_bytes") === 5L)
+    val dotless = Tar.buildTar(Seq(
+      "s/1.jpg" -> "i".getBytes("UTF-8"),
+      "s/README" -> "r".getBytes("UTF-8")))
+    assert(Tar.webdatasetMembers(df(1L -> dotless), "id", "content")
+      .count() === 0L)
+  }
+
+  test("composition: a REAL PNG member extracted from a shard " +
+      "decodes through the image family bit-exactly") {
+    import org.apache.spark.sql.functions._
+    val px = Array.tabulate(16)(p => ((p * 31 + 5) % 256).toByte)
+    val png = Png.buildPng(4, 4, 0, px, filterOf = y => y % 5)
+    val tar = Tar.buildTar(Seq(
+      "w/7.png" -> png,
+      "w/7.txt" -> "a real caption".getBytes("UTF-8")))
+    val pngs = Tar.webdatasetMembers(df(1L -> tar), "id", "content")
+      .filter(col("ext") === "png")
+      .select(col("id"), col("bytes"))
+    val stats = Png.pngStats(pngs, "id", "bytes").collect()
+    assert(stats.length === 1)
+    val expected = px.map(v => 3L * (v & 0xFF)).sum
+    assert(stats(0).getAs[Long]("luma_total") === expected)
+  }
+}
