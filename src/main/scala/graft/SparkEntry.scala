@@ -332,7 +332,10 @@ object SparkEntry {
           (s"shard/${id}_$k.json", s"""{"k":$k}""".getBytes("UTF-8")))
       } :+ (("d" * 110) + s"/long_$id.dat",
         s"long:$id".getBytes("UTF-8"))
-      Tar.buildTar(members)
+      val tar = Tar.buildTar(members)
+      // odd ids ship gzipped (.tar.gz): same members either way, the
+      // walk dispatches on the gzip magic per row
+      if (id % 2 == 0) tar else Tar.gzipBytes(tar)
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)

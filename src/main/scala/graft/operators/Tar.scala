@@ -43,19 +43,29 @@ object Tar {
   case class WdsMember(id: Long, stem: String, ext: String,
       bytes: Array[Byte], size: Long)
 
-  /** Explode every regular-file member of every tar payload.
-    * Unparseable shards emit nothing (the per-file honesty contract);
-    * `maxEntryBytes` refuses the SHARD rather than truncate a member.
+  /** Explode every regular-file member of every tar payload — plain
+    * `.tar` or gzipped `.tar.gz` shards, dispatched by the gzip
+    * magic (`1F 8B`) per row; inflation is bounded by
+    * `maxShardBytes` (an over-cap shard refuses whole, never
+    * truncates). Unparseable shards emit nothing (the per-file
+    * honesty contract); `maxEntryBytes` refuses the SHARD rather
+    * than truncate a member.
     */
   def tarEntries(df: DataFrame, idCol: String, binCol: String,
-      maxEntryBytes: Int = 1 << 28): DataFrame = {
+      maxEntryBytes: Int = 1 << 28,
+      maxShardBytes: Int = 1 << 28): DataFrame = {
     require(maxEntryBytes > 0, "maxEntryBytes must be positive")
+    require(maxShardBytes > 0, "maxShardBytes must be positive")
     implicit val enc = Encoders.product[TarEntry]
     df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
       (rows: Iterator[Row]) =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          parseTar(r.getAs[Array[Byte]](1), maxEntryBytes) match {
+          val parsed = for {
+            raw <- maybeGunzip(r.getAs[Array[Byte]](1), maxShardBytes)
+            entries <- parseTar(raw, maxEntryBytes)
+          } yield entries
+          parsed match {
             case Some(entries) => entries.zipWithIndex.map {
               case ((p, b), i) => TarEntry(id, i.toLong, p, b,
                 b.length.toLong)
@@ -67,6 +77,32 @@ object Tar {
       col("path"), col("bytes"), col("size"))
   }
 
+  /** Pass plain payloads through; inflate gzip-magic payloads with a
+    * hard output bound — None on corrupt streams or a shard that
+    * would exceed `maxShardBytes` inflated.
+    */
+  private def maybeGunzip(bytes: Array[Byte],
+      maxShardBytes: Int): Option[Array[Byte]] = {
+    if (bytes == null) return None
+    if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F ||
+      (bytes(1) & 0xFF) != 0x8B) return Some(bytes)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (out.size().toLong + n > maxShardBytes) return None
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        Some(out.toByteArray)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** WebDataset sample assembly: members grouped by basename stem
     * (the path up to the FIRST dot of the basename — WebDataset
     * extensions may be dotted, e.g. `seg.png`), exploded as
@@ -76,15 +112,18 @@ object Tar {
     * hide corpus damage).
     */
   def webdatasetMembers(df: DataFrame, idCol: String, binCol: String,
-      maxEntryBytes: Int = 1 << 28): DataFrame = {
+      maxEntryBytes: Int = 1 << 28,
+      maxShardBytes: Int = 1 << 28): DataFrame = {
     require(maxEntryBytes > 0, "maxEntryBytes must be positive")
+    require(maxShardBytes > 0, "maxShardBytes must be positive")
     implicit val enc = Encoders.product[WdsMember]
     df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
       (rows: Iterator[Row]) =>
         rows.flatMap { r =>
           val id = r.getLong(0)
           val members = for {
-            entries <- parseTar(r.getAs[Array[Byte]](1), maxEntryBytes)
+            raw <- maybeGunzip(r.getAs[Array[Byte]](1), maxShardBytes)
+            entries <- parseTar(raw, maxEntryBytes)
             split <- splitStems(entries)
           } yield split
           members match {
@@ -104,8 +143,9 @@ object Tar {
     * sample complete?" filter a 100 TB ingest runs first.
     */
   def webdatasetSamples(df: DataFrame, idCol: String, binCol: String,
-      maxEntryBytes: Int = 1 << 28): DataFrame =
-    webdatasetMembers(df, idCol, binCol, maxEntryBytes)
+      maxEntryBytes: Int = 1 << 28,
+      maxShardBytes: Int = 1 << 28): DataFrame =
+    webdatasetMembers(df, idCol, binCol, maxEntryBytes, maxShardBytes)
       .groupBy(col("id"), col("stem"))
       .agg(count(lit(1)).as("n_members"),
         array_join(array_sort(collect_list(col("ext"))), ",")
@@ -279,6 +319,14 @@ object Tar {
       bos.write(new Array[Byte](pad))
     }
     bos.write(new Array[Byte](1024)) // end-of-archive marker
+    bos.toByteArray
+  }
+
+  /** Gzip a payload (the `.tar.gz` fixture/smoke composer). */
+  def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
     bos.toByteArray
   }
 }

@@ -781,4 +781,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!tPlan.contains("CartesianProduct") &&
       !tPlan.contains("BroadcastNestedLoopJoin"), tPlan)
   }
+
+  test("tar/WebDataset, media scans: shard member assembly is a " +
+      "LOCAL fold (zero Exchange), the auto scans read the binary " +
+      "column once (no Union)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tar = graft.operators.Tar.buildTar(Seq(
+      "s/1.jpg" -> "i".getBytes("UTF-8"),
+      "s/1.txt" -> "t".getBytes("UTF-8")))
+    val shards = Seq((1L, tar)).toDF("id", "content")
+    // member assembly: mapPartitions over the scan, nothing else
+    val members = graft.operators.Tar.webdatasetMembers(
+      shards, "id", "content")
+    val mPlan = members.queryExecution.executedPlan.toString
+    assert(!mPlan.contains("Exchange"),
+      s"webdatasetMembers must not shuffle:\n$mPlan")
+    assert(!mPlan.contains("Union"), mPlan)
+    // the container-auto EXIF scan: one pass, no Union of per-format
+    // filters
+    val exif = graft.operators.Multimodal.exifScanAuto(
+      shards, "id", "content")
+    val ePlan = exif.queryExecution.executedPlan.toString
+    assert(!ePlan.contains("Exchange") && !ePlan.contains("Union"),
+      s"exifScanAuto must be one narrow pass:\n$ePlan")
+    // the census aggregate shuffles exactly once, on (id, stem)
+    val census = graft.operators.Tar.webdatasetSamples(
+      shards, "id", "content")
+    val cPlan = census.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val keyed = cPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"expected one keyed shuffle:\n$cPlan")
+  }
 }

@@ -119,6 +119,30 @@ class TarSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0L)
   }
 
+  test("gzipped shards: .tar.gz payloads dispatch on the gzip magic " +
+      "and walk identically; corrupt gzip and over-cap inflation " +
+      "refuse the shard whole") {
+    val members = Seq("g/1.jpg" -> "gz-img".getBytes("UTF-8"),
+      "g/1.txt" -> "gz-txt".getBytes("UTF-8"))
+    val plain = Tar.buildTar(members)
+    val gz = Tar.gzipBytes(plain)
+    val rows = Tar.tarEntries(df(1L -> plain, 2L -> gz), "id",
+      "content").orderBy("id", "entry_index").collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[String]("path")).toSeq ===
+      Seq("g/1.jpg", "g/1.txt", "g/1.jpg", "g/1.txt"))
+    assert(rows(0).getAs[Array[Byte]]("bytes").toSeq ===
+      rows(2).getAs[Array[Byte]]("bytes").toSeq)
+    val corrupt = gz.clone()
+    corrupt(gz.length / 2) = (corrupt(gz.length / 2) ^ 0x7F).toByte
+    assert(Tar.tarEntries(df(1L -> corrupt), "id", "content")
+      .count() === 0L)
+    assert(Tar.tarEntries(df(1L -> gz), "id", "content",
+      maxShardBytes = 64).count() === 0L) // refuse, never truncate
+    assert(Tar.webdatasetSamples(df(1L -> gz), "id", "content")
+      .count() === 1L)
+  }
+
   test("composition: a REAL PNG member extracted from a shard " +
       "decodes through the image family bit-exactly") {
     import org.apache.spark.sql.functions._
