@@ -341,6 +341,23 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** ZIP shards (the column form): per doc_id, 3 + id % 3 members of
+    * ASCII closed-form content, methods alternating stored/deflate,
+    * a trailing archive comment on odd ids — real CRCs throughout.
+    */
+  private def syntheticZipClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val n = (3 + id % 3).toInt
+      val members = (0 until n).map { k =>
+        (s"z/${id}_$k.txt", s"zm:$id:$k".getBytes("UTF-8"), k % 2 == 1)
+      }
+      operators.Zip.buildZip(members,
+        comment = if (id % 2 == 1) s"c$id" else "")
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
     * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
     * appended — v1.1 (with track) on even ids, plain v1 on odd.
@@ -2882,6 +2899,17 @@ object SparkEntry {
     "q_webdataset" -> ((s, dir) =>
       Tar.webdatasetSamples(syntheticTarClassed(t(s, dir, "documents")),
         "id", "content")),
+
+    // ZIP shards, the COLUMN walk (EOCD -> central directory ->
+    // local headers, CRC verified on EVERY member): stored and
+    // deflate members, trailing comments; contents and order are
+    // closed forms of doc_id
+    "q_zip_entries" -> ((s, dir) =>
+      operators.Zip.zipEntries(
+        syntheticZipClassed(t(s, dir, "documents")), "id", "content")
+        .select(col("id"), col("entry_index"), col("path"),
+          col("bytes").cast("string").as("content_str"),
+          col("size"), col("method"))),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
     // headers are q_audio_id3): REAL MP3 frames + a closed-form
@@ -6204,6 +6232,23 @@ object SparkEntry {
         |    CAST(length('long:' || id) AS BIGINT)
         |  FROM g)
         |SELECT id, stem, n_members, exts, total_bytes FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // zip members: CD order is build order; method alternates by k
+    "q_zip_entries" ->
+      """WITH g AS (SELECT doc_id AS id, 3 + doc_id % 3 AS n
+        |  FROM documents),
+        |m AS (SELECT id, k,
+        |    'z/' || id || '_' || k || '.txt' AS path,
+        |    'zm:' || id || ':' || k AS content_str,
+        |    CASE WHEN k % 2 = 1 THEN 'deflate' ELSE 'stored' END
+        |      AS method
+        |  FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+        |  WHERE k < n)
+        |SELECT id, CAST(k AS BIGINT) AS entry_index, path,
+        |  content_str, CAST(length(content_str) AS BIGINT) AS size,
+        |  method
+        |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3v1 trailer: every field a closed form of base = doc_id % 64

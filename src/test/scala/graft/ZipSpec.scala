@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Zip
+
+/** ZIP shard walk (column operator): EOCD location through trailing
+  * comments, central-directory authority, stored + deflate members
+  * with CRC verification on every member, and the honesty matrix.
+  */
+class ZipSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toDF("id", "content")
+  }
+
+  test("round trip: stored and deflate members, CD order, trailing " +
+      "archive comment, directory entries skipped; JVM ZipInputStream " +
+      "reads the built archives (writer parity)") {
+    val members = Seq(
+      ("a/1.txt", "stored member".getBytes("UTF-8"), false),
+      ("a/2.bin", Array.tabulate[Byte](5000)(i => (i * 31).toByte), true),
+      ("dir/", Array.emptyByteArray, false),
+      ("b/3.txt", ("z" * 600).getBytes("UTF-8"), true))
+    val zip = Zip.buildZip(members, comment = "shard comment")
+    val rows = Zip.zipEntries(df(1L -> zip), "id", "content")
+      .orderBy("entry_index").collect()
+    assert(rows.length === 3) // dir skipped
+    assert(rows.map(_.getAs[String]("path")).toSeq ===
+      Seq("a/1.txt", "a/2.bin", "b/3.txt"))
+    assert(rows.map(_.getAs[String]("method")).toSeq ===
+      Seq("stored", "deflate", "deflate"))
+    assert(rows(1).getAs[Array[Byte]]("bytes").toSeq ===
+      members(1)._2.toSeq)
+    // parity: the JVM's own reader walks the same archive
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(zip))
+    val seen = Iterator.continually(zis.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toSeq
+    assert(seen === Seq("a/1.txt", "a/2.bin", "dir/", "b/3.txt"))
+  }
+
+  test("honesty: flipped member byte (CRC mismatch), truncated CD, " +
+      "entry-count lie, encrypted flag, unknown method, over-cap " +
+      "member, and a bogus EOCD all refuse the WHOLE shard") {
+    val good = Zip.buildZip(Seq(
+      ("f.txt", "hello zip".getBytes("UTF-8"), false),
+      ("g.txt", "deflated".getBytes("UTF-8"), true)))
+    def count(b: Array[Byte]) =
+      Zip.zipEntries(df(1L -> b), "id", "content").count()
+    assert(count(good) === 2L)
+    val flipped = good.clone()
+    flipped(35) = (flipped(35) ^ 0x20).toByte // inside member 1 data
+    assert(count(flipped) === 0L)
+    assert(count(good.take(good.length - 4)) === 0L) // EOCD truncated
+    val lie = good.clone()
+    lie(good.length - 12) = 9 // total-entries field
+    lie(good.length - 14) = 9 // this-disk field (kept equal)
+    assert(count(lie) === 0L)
+    val enc = good.clone()
+    // set the encrypted bit in the CD's first entry flags: find the
+    // CD by signature
+    val cd = (0 until good.length - 4).find(i =>
+      good(i) == 'P' && good(i + 1) == 'K' && good(i + 2) == 1 &&
+        good(i + 3) == 2).get
+    enc(cd + 8) = (enc(cd + 8) | 0x01).toByte
+    assert(count(enc) === 0L)
+    val badMethod = good.clone()
+    badMethod(cd + 10) = 99.toByte
+    assert(count(badMethod) === 0L)
+    assert(Zip.zipEntries(df(1L -> good), "id", "content",
+      maxEntryBytes = 4).count() === 0L)
+    assert(count("PKgarbage".getBytes("UTF-8")) === 0L)
+  }
+}
