@@ -341,6 +341,38 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Real AIFF payloads (big-endian PCM, IFF chunks, 80-bit extended
+    * sample rate): doc_id % 3 rotates stereo-16 (non-negative planted
+    * channels so the mixdown floor is division), mono-16 with a
+    * nonzero SSND offset, and mono-8 (AIFF's SIGNED 8-bit, scaled by
+    * 256 like every 8→16 path).
+    */
+  private def syntheticAiffClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = 200 + 3 * base
+      (id % 3) match {
+        case 0 =>
+          val inter = new Array[Int](2 * n)
+          (0 until n).foreach { k =>
+            inter(2 * k) = (base * 53 + k * 17) % 201
+            inter(2 * k + 1) = (base * 29 + k * 13) % 201
+          }
+          Audio.buildAiff(inter, channels = 2, rate = 8000)
+        case 1 =>
+          Audio.buildAiff(
+            Array.tabulate(n)(k => (base * 53 + k * 17) % 201 - 100),
+            channels = 1, rate = 8000, ssndOffset = 1 + base % 5)
+        case _ =>
+          Audio.buildAiff(
+            Array.tabulate(n)(k => (base * 7 + k * 11) % 201 - 100),
+            channels = 1, rate = 8000, bits = 8)
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** ZIP shards (the column form): per doc_id, 3 + id % 3 members of
     * ASCII closed-form content, methods alternating stored/deflate,
     * a trailing archive comment on odd ids — real CRCs throughout.
@@ -2899,6 +2931,24 @@ object SparkEntry {
     "q_webdataset" -> ((s, dir) =>
       Tar.webdatasetSamples(syntheticTarClassed(t(s, dir, "documents")),
         "id", "content")),
+
+    // AIFF — the remaining mainstream PCM container (big-endian
+    // samples, IFF chunk grammar, the 80-bit extended-float rate
+    // field parsed exactly): REAL encoder-built payloads through the
+    // container-auto audio decode -> exact integer stats; every
+    // column is a closed form of doc_id. WAV/AIFF signature equality
+    // is spec-pinned in AudioSpec
+    "q_audio_aiff" -> ((s, dir) =>
+      Audio.decodePcm16(syntheticAiffClassed(t(s, dir, "documents")),
+        "id", "content").toDF()
+        .filter(col("decoded"))
+        .select(col("id"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("nFrames").as("n_frames"),
+          aggregate(col("samples"), lit(0L), (a, x) => a + x)
+            .as("sample_sum"),
+          array_max(col("samples")).cast("long").as("sample_peak"),
+          array_min(col("samples")).cast("long").as("sample_min"))),
 
     // ZIP shards, the COLUMN walk (EOCD -> central directory ->
     // local headers, CRC verified on EVERY member): stored and
@@ -6232,6 +6282,31 @@ object SparkEntry {
         |    CAST(length('long:' || id) AS BIGINT)
         |  FROM g)
         |SELECT id, stem, n_members, exts, total_bytes FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // AIFF: the planted streams replay per doc_id % 3 — stereo
+    // mixdown (non-negative channels, so // is the mixdown floor),
+    // mono, and signed-8-bit scaled by 256
+    "q_audio_aiff" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    200 + (doc_id % 64) * 3 AS n,
+        |    CAST(doc_id % 3 AS BIGINT) AS m
+        |  FROM documents),
+        |s AS (SELECT id, n, list_transform(generate_series(0, n - 1),
+        |    k -> CASE m
+        |      WHEN 0 THEN ((base * 53 + k * 17) % 201
+        |        + (base * 29 + k * 13) % 201) // 2
+        |      WHEN 1 THEN (base * 53 + k * 17) % 201 - 100
+        |      ELSE ((base * 7 + k * 11) % 201 - 100) * 256
+        |    END) AS ss
+        |  FROM g)
+        |SELECT id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_sum(ss) AS BIGINT) AS sample_sum,
+        |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
+        |  CAST(list_min(ss) AS BIGINT) AS sample_min
+        |FROM s
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // zip members: CD order is build order; method alternates by k

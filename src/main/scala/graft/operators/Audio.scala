@@ -355,6 +355,11 @@ object Audio {
     */
   private val FlacFormat = -2
 
+  /** Sentinel for AIFF payloads in [[Parsed]].format (IFF containers
+    * have no WAV-style format code).
+    */
+  private val AiffFormat = -3
+
   /** The per-payload decode kernel behind [[decodePcm16]] and the
     * streaming signature UDF — identical arithmetic on both paths by
     * construction (parity is spec-pinned). CONTAINER-AUTO since r17
@@ -378,6 +383,43 @@ object Audio {
         case (rate, ch, mono) =>
           (Parsed(FlacFormat, rate, ch, 16, mono.length.toLong,
             mono.length * 1000L / rate, 0L, 0L), mono)
+      }
+    if (bytes != null && bytes.length >= 12 && bytes(0) == 'F'.toByte &&
+      bytes(1) == 'O'.toByte && bytes(2) == 'R'.toByte &&
+      bytes(3) == 'M'.toByte && bytes(8) == 'A'.toByte &&
+      bytes(9) == 'I'.toByte && bytes(10) == 'F'.toByte &&
+      bytes(11) == 'F'.toByte)
+      return parseAiff(bytes).map { m =>
+        // AIFF PCM is BIG-endian and SIGNED at every width (unlike
+        // WAV's unsigned 8-bit); the mixdown mirrors the WAV path so
+        // the same samples carry the same signature either way
+        val bps = m.bitsPerSample / 8
+        val frames = math.min(m.nFrames, maxFrames.toLong).toInt
+        val out = new Array[Int](frames)
+        val frameBytes = bps * m.channels
+        var f = 0
+        while (f < frames) {
+          val base = m.dataOffset.toInt + f * frameBytes
+          var sum = 0L
+          var c = 0
+          while (c < m.channels) {
+            val o = base + bps * c
+            sum += (bps match {
+              case 1 => bytes(o).toInt << 8
+              case 2 => ((bytes(o) << 8) | (bytes(o + 1) & 0xFF))
+              case 3 => ((bytes(o) << 16) | ((bytes(o + 1) & 0xFF) << 8)
+                | (bytes(o + 2) & 0xFF)) >> 8
+              case _ => ((bytes(o) << 24) |
+                ((bytes(o + 1) & 0xFF) << 16) |
+                ((bytes(o + 2) & 0xFF) << 8) |
+                (bytes(o + 3) & 0xFF)) >> 16
+            })
+            c += 1
+          }
+          out(f) = math.floorDiv(sum, m.channels).toInt
+          f += 1
+        }
+        (m, out)
       }
     parseWav(bytes) match {
       case Some(m) if m.format == 1 && (m.bitsPerSample == 8 ||
@@ -1590,6 +1632,128 @@ object Audio {
 
   private def tag(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** AIFF (IFF `FORM`/`AIFF`): big-endian chunks, `COMM` (channels,
+    * frame count, sample size, the 80-bit extended-float sample
+    * rate) and `SSND` (offset/blockSize then data). The rate must be
+    * a positive integer that fits an Int — fractional, huge, or
+    * negative extended floats refuse. Odd chunks pad one byte (the
+    * IFF rule). Returns the [[Parsed]] shape with
+    * `format = AiffFormat` so the shared PCM machinery applies.
+    */
+  private[graft] def parseAiff(bytes: Array[Byte]): Option[Parsed] = {
+    if (bytes == null || bytes.length < 12) return None
+    def be16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    if (tag(bytes, 0) != "FORM" || tag(bytes, 8) != "AIFF") return None
+    val total = math.min(8L + be32(4), bytes.length.toLong)
+    var channels = 0; var nFrames = -1L; var bits = 0; var rate = -1L
+    var dataOffset = -1L; var dataLen = -1L
+    var pos = 12L
+    while (pos + 8 <= total) {
+      val ct = tag(bytes, pos.toInt)
+      val sz = be32((pos + 4).toInt)
+      val body = pos + 8
+      if (body + sz > total) return None
+      if (ct == "COMM") {
+        if (sz < 18) return None
+        channels = be16(body.toInt)
+        nFrames = be32((body + 2).toInt)
+        bits = be16((body + 6).toInt)
+        rate = extended80(bytes, (body + 8).toInt).getOrElse(return None)
+      } else if (ct == "SSND") {
+        if (sz < 8) return None
+        val off = be32(body.toInt)
+        // blockSize (body+4) is advisory; data begins after offset
+        dataOffset = body + 8 + off
+        dataLen = sz - 8 - off
+        if (dataLen < 0) return None
+      }
+      pos = body + sz + (sz & 1L) // odd chunks pad one byte
+    }
+    if (channels <= 0 || channels > 64 || nFrames < 0 || rate <= 0L ||
+      rate > Int.MaxValue) return None
+    if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+    if (dataOffset < 0L) return None
+    val need = nFrames * channels * (bits / 8)
+    if (need > dataLen || dataOffset + need > bytes.length) return None
+    Some(Parsed(AiffFormat, rate.toInt, channels, bits, nFrames,
+      nFrames * 1000L / rate, dataOffset, dataLen))
+  }
+
+  /** 80-bit IEEE extended float at `o` → exact positive integer, or
+    * None for anything that is not one (the honest reading of a
+    * sample-rate field).
+    */
+  private def extended80(b: Array[Byte], o: Int): Option[Long] = {
+    val se = ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    if ((se & 0x8000) != 0) return None // negative rate
+    val exp = se & 0x7FFF
+    var mant = 0L
+    var i = 0
+    while (i < 8) { mant = (mant << 8) | (b(o + 2 + i) & 0xFF); i += 1 }
+    if (exp == 0 && mant == 0L) return None // zero
+    if (exp == 0x7FFF) return None // inf/nan
+    // value = mant * 2^(exp - 16383 - 63); integers need exp <= 16446
+    val shift = 16446 - exp
+    if (shift < 0 || shift > 63) return None
+    val v = mant >>> shift
+    if ((v << shift) != mant) return None // fractional rate
+    if (v <= 0L) return None
+    Some(v)
+  }
+
+  /** Build an AIFF: FORM/AIFF + COMM (real 80-bit extended rate) +
+    * SSND (with an optional leading offset) — the encode twin of
+    * [[parseAiff]]. `samples(f * channels + c)` are 16-bit values
+    * stored big-endian.
+    */
+  def buildAiff(samples: Array[Int], channels: Int, rate: Int,
+      ssndOffset: Int = 0, bits: Int = 16): Array[Byte] = {
+    require(channels >= 1, "channels")
+    require(rate > 0, "rate")
+    require(ssndOffset >= 0, "ssndOffset")
+    require(bits == 8 || bits == 16, "bits must be 8 or 16")
+    require(samples.length % channels == 0, "frame alignment")
+    val (lo, hi) = if (bits == 8) (-128, 127)
+      else (Short.MinValue.toInt, Short.MaxValue.toInt)
+    samples.foreach(v => require(v >= lo && v <= hi,
+      s"$bits-bit samples"))
+    val nFrames = samples.length / channels
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF) }
+    def w32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xFF).toInt); bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 8) & 0xFF).toInt); bos.write((v & 0xFF).toInt)
+    }
+    bos.write("FORM".getBytes("US-ASCII"))
+    val dataBytes = (bits / 8) * samples.length
+    val commSz = 18
+    val ssndSz = 8 + ssndOffset + dataBytes
+    w32(4L + (8 + commSz) + (8L + ssndSz) + (ssndSz & 1))
+    bos.write("AIFF".getBytes("US-ASCII"))
+    bos.write("COMM".getBytes("US-ASCII"))
+    w32(commSz.toLong)
+    w16(channels)
+    w32(nFrames.toLong)
+    w16(bits)
+    // 80-bit extended: normalize rate to mant with the top bit set
+    val lead = java.lang.Long.numberOfLeadingZeros(rate.toLong)
+    val exp = 16446 - (lead + 1) + 1 // so that mant >>> shift == rate
+    val mant = rate.toLong << lead
+    w16(exp)
+    w32(mant >>> 32); w32(mant & 0xFFFFFFFFL)
+    bos.write("SSND".getBytes("US-ASCII"))
+    w32(ssndSz.toLong)
+    w32(ssndOffset.toLong); w32(0L)
+    (0 until ssndOffset).foreach(_ => bos.write(0))
+    if (bits == 8) samples.foreach(v => bos.write(v & 0xFF))
+    else samples.foreach(w16)
+    if ((ssndSz & 1) == 1) bos.write(0) // IFF pad
+    bos.toByteArray
+  }
 
   /** `totalLen < 0` means `bytes` IS the whole payload; a
     * non-negative `totalLen` marks `bytes` as a leading PREFIX of a
