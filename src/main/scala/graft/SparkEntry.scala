@@ -684,8 +684,10 @@ object SparkEntry {
             audioRate = if (alt) 48000.0 else 0.0)
         case 4 =>
           val n = 400 + base * 2
-          Audio.wrapWav(Array.tabulate(n)(k =>
-            (base * 53 + k * 17) % 201 - 100), 0, n, 8000)
+          val stream = Array.tabulate(n)(k =>
+            (base * 53 + k * 17) % 201 - 100)
+          if (alt) Audio.wrapWav(stream, 0, n, 8000)
+          else Audio.buildAiff(stream, channels = 1, rate = 8000)
         case 5 =>
           val n = 384 + 16 * ((base / 8) % 8)
           Flac.buildFlac(8000, Array(Array.tabulate(n)(k =>
@@ -6043,7 +6045,8 @@ object SparkEntry {
         |SELECT id,
         |  CASE f WHEN 0 THEN 'avi' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp4'
         |    WHEN 3 THEN CASE WHEN alt THEN 'webm' ELSE 'matroska' END
-        |    WHEN 4 THEN 'wav' WHEN 5 THEN 'flac' WHEN 6 THEN 'mp3'
+        |    WHEN 4 THEN CASE WHEN alt THEN 'wav' ELSE 'aiff' END
+        |    WHEN 5 THEN 'flac' WHEN 6 THEN 'mp3'
         |    ELSE 'ogg' END AS container,
         |  CAST(CASE f
         |    WHEN 0 THEN (2 + base % 3) * 40
@@ -6072,7 +6075,9 @@ object SparkEntry {
         |    ELSE '' END AS video_codec,
         |  CASE WHEN f = 2 AND NOT alt THEN 'mp4a'
         |    WHEN f = 3 AND alt THEN 'A_OPUS'
-        |    WHEN f = 4 THEN 'wave_1' WHEN f = 5 THEN 'flac'
+        |    WHEN f = 4 THEN CASE WHEN alt THEN 'wave_1'
+        |      ELSE 'aiff_pcm' END
+        |    WHEN f = 5 THEN 'flac'
         |    WHEN f = 6 THEN 'mp3'
         |    WHEN f = 7 THEN CASE WHEN alt THEN 'opus' ELSE 'vorbis' END
         |    ELSE '' END AS audio_codec,
@@ -6428,7 +6433,8 @@ object SparkEntry {
         |SELECT id,
         |  CASE f WHEN 0 THEN 'avi' WHEN 2 THEN 'mp4'
         |    WHEN 3 THEN CASE WHEN alt THEN 'webm' ELSE 'matroska' END
-        |    WHEN 4 THEN 'wav' WHEN 5 THEN 'flac'
+        |    WHEN 4 THEN CASE WHEN alt THEN 'wav' ELSE 'aiff' END
+        |    WHEN 5 THEN 'flac'
         |    ELSE '' END AS container,
         |  CAST(CASE f
         |    WHEN 0 THEN (2 + base % 3) * 40
@@ -6451,7 +6457,9 @@ object SparkEntry {
         |    ELSE '' END AS video_codec,
         |  CASE WHEN f = 2 AND NOT alt THEN 'mp4a'
         |    WHEN f = 3 AND alt THEN 'A_OPUS'
-        |    WHEN f = 4 THEN 'wave_1' WHEN f = 5 THEN 'flac'
+        |    WHEN f = 4 THEN CASE WHEN alt THEN 'wave_1'
+        |      ELSE 'aiff_pcm' END
+        |    WHEN f = 5 THEN 'flac'
         |    ELSE '' END AS audio_codec,
         |  CAST(CASE WHEN f = 2 AND NOT alt THEN 44100
         |    WHEN f = 3 AND alt THEN 48000

@@ -1641,30 +1641,34 @@ object Audio {
     * IFF rule). Returns the [[Parsed]] shape with
     * `format = AiffFormat` so the shared PCM machinery applies.
     */
-  private[graft] def parseAiff(bytes: Array[Byte]): Option[Parsed] = {
+  private[graft] def parseAiff(bytes: Array[Byte],
+      trueLen: Long = -1L): Option[Parsed] = {
     if (bytes == null || bytes.length < 12) return None
+    val effLen = if (trueLen < 0) bytes.length.toLong else trueLen
     def be16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
     def be32(o: Int): Long =
       ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
         ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
     if (tag(bytes, 0) != "FORM" || tag(bytes, 8) != "AIFF") return None
-    val total = math.min(8L + be32(4), bytes.length.toLong)
+    val total = math.min(8L + be32(4), effLen)
     var channels = 0; var nFrames = -1L; var bits = 0; var rate = -1L
     var dataOffset = -1L; var dataLen = -1L
     var pos = 12L
     while (pos + 8 <= total) {
+      // a chunk header past the buffered prefix refuses honestly
+      if (pos + 8 > bytes.length) return None
       val ct = tag(bytes, pos.toInt)
       val sz = be32((pos + 4).toInt)
       val body = pos + 8
       if (body + sz > total) return None
       if (ct == "COMM") {
-        if (sz < 18) return None
+        if (sz < 18 || body + 18 > bytes.length) return None
         channels = be16(body.toInt)
         nFrames = be32((body + 2).toInt)
         bits = be16((body + 6).toInt)
         rate = extended80(bytes, (body + 8).toInt).getOrElse(return None)
       } else if (ct == "SSND") {
-        if (sz < 8) return None
+        if (sz < 8 || body + 8 > bytes.length) return None
         val off = be32(body.toInt)
         // blockSize (body+4) is advisory; data begins after offset
         dataOffset = body + 8 + off
@@ -1678,7 +1682,8 @@ object Audio {
     if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
     if (dataOffset < 0L) return None
     val need = nFrames * channels * (bits / 8)
-    if (need > dataLen || dataOffset + need > bytes.length) return None
+    if (need > dataLen || dataOffset + need > effLen) return None
+    if (trueLen < 0 && dataOffset + need > bytes.length) return None
     Some(Parsed(AiffFormat, rate.toInt, channels, bits, nFrames,
       nFrames * 1000L / rate, dataOffset, dataLen))
   }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** ONE metadata filter over a MIXED media corpus — the shape a
   * 100 TB ingest actually has: a binary column holding AVI, animated
-  * GIF, ISO-BMFF/MP4, Matroska/WebM, WAV, FLAC, MP3, and Ogg payloads
+  * GIF, ISO-BMFF/MP4, Matroska/WebM, WAV, AIFF, FLAC, MP3, and Ogg
+  * payloads
   * side by side. [[mediaMetaScan]] dispatches each row by its magic
   * bytes into the matching container walk (all header-only except the
   * MP3 4-bytes-per-frame sync hop, all honest) and projects the
@@ -130,6 +131,11 @@ object Media {
         MediaMeta(0L, "avi", m.totalFrames * m.microsPerFrame / 1000L,
           m.width, m.height, vc, ac, m.audRate, parsed = true)
       }
+    else if (is(0, "FORM") && is(8, "AIFF"))
+      Audio.parseAiff(b, trueLen).map { m =>
+        MediaMeta(0L, "aiff", m.durationMs, 0, 0, "", "aiff_pcm",
+          m.sampleRate, parsed = true)
+      }
     else if (is(4, "ftyp"))
       Mp4.parseMp4(b, trueLen).map { m =>
         MediaMeta(0L, "mp4", m.duration * 1000L / m.timescale,
@@ -146,7 +152,7 @@ object Media {
     else None // GIF/MP3/Ogg grammars need the tail: refuse honestly
   }
 
-  /** Per-payload magic dispatch into the eight container walks. */
+  /** Per-payload magic dispatch into the nine container walks. */
   private def mediaMeta(b: Array[Byte]): Option[MediaMeta] = {
     if (b == null || b.length < 12) return None
     def is(o: Int, s: String): Boolean =
@@ -186,6 +192,11 @@ object Media {
           if (m.audioStream >= 0) "wave_" + m.audFormat else ""
         MediaMeta(0L, "avi", m.totalFrames * m.microsPerFrame / 1000L,
           m.width, m.height, vc, ac, m.audRate, parsed = true)
+      }
+    else if (is(0, "FORM") && is(8, "AIFF"))
+      Audio.parseAiff(b).map { m =>
+        MediaMeta(0L, "aiff", m.durationMs, 0, 0, "", "aiff_pcm",
+          m.sampleRate, parsed = true)
       }
     else if (is(0, "GIF8"))
       Gif.parseGif(b).map { g =>

@@ -240,4 +240,25 @@ class MediaMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(full == Map(3L -> true, 4L -> true), full.toString)
   }
+
+  test("AIFF is the ninth family: the common row through the IFF " +
+      "walk, prefix-boundable (COMM leads, SSND skipped by size)") {
+    import graft.operators.{Audio, Media}
+    val aiff = Audio.buildAiff(
+      Array.tabulate(4000)(k => (k * 7) % 201 - 100),
+      channels = 1, rate = 8000)
+    val r = Media.mediaMetaScan(df((1L, aiff)), "id", "content")
+      .collect().head
+    assert(r.getAs[String]("container") === "aiff")
+    assert(r.getAs[Long]("duration_ms") === 500L)
+    assert(r.getAs[String]("audio_codec") === "aiff_pcm")
+    assert(r.getAs[Int]("audio_rate") === 8000)
+    assert(r.getAs[Boolean]("parsed"))
+    // prefix mode: 1 KiB prefix of an ~8 KB payload still parses
+    val p = Media.mediaMetaScanPrefix(df((1L, aiff)), "id", "content",
+      prefixBytes = 1024).collect().head
+    assert(p.getAs[Boolean]("parsed") &&
+      p.getAs[String]("container") === "aiff" &&
+      p.getAs[Long]("duration_ms") === 500L)
+  }
 }
