@@ -2691,7 +2691,7 @@ object ScaleSmoke {
     // and exact ms totals in closed form.
     {
       import spark.implicits._
-      val nSb = 500000L
+      val nSb = 512000L // divisible by 64: the closed forms are per-base
       val t102 = System.nanoTime()
       val subs = spark.range(0L, nSb).repartition(64)
         .mapPartitions { it =>
@@ -2726,7 +2726,7 @@ object ScaleSmoke {
         f"speech-ms totals exact, " +
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
 
-      val nWs = 300000L
+      val nWs = 320000L // divisible by 64
       val t103 = System.nanoTime()
       val wsubs = spark.range(0L, nWs).repartition(64)
         .mapPartitions { it =>
