@@ -754,7 +754,7 @@ object SparkEntry {
         ((v * v % 65521) % 2001).toInt - 1000
       }
       if (id % 2 == 0) Audio.wrapWav(s, 0, n, 8000)
-      else (cls % 4: @unchecked) match {
+      else (cls % 5: @unchecked) match {
         case 0 => Flac.buildFlac(8000, Array(s), strategy = "verbatim",
           blockSize = 128)
         case 1 => Flac.buildFlac(8000, Array(s), strategy = "fixed1",
@@ -763,6 +763,8 @@ object SparkEntry {
           blockSize = 128)
         case 3 => Flac.buildFlac(8000, Array(s), strategy = "lpc",
           blockSize = 128, lpcCoefs = Array(25, -9), lpcShift = 4)
+        case 4 => // the THIRD container: big-endian AIFF, same stream
+          Audio.buildAiff(s, channels = 1, rate = 8000)
       }
     })
     docs.select(col("doc_id").as("id"),
@@ -3029,12 +3031,13 @@ object SparkEntry {
           col("parsed"))),
 
     // cross-container AUDIO dedup: ONE signature space over a mixed
-    // WAV/FLAC corpus (decodeSamples dispatches by magic; FLAC
+    // WAV/FLAC/AIFF corpus (decodeSamples dispatches by magic; FLAC
     // decodes through the real Rice/LPC bit walk, WAV through the
-    // RIFF walk) — the same samples pair at distance 0 whatever the
-    // container; the oracle replays the shared energy-gradient
-    // closed form once (container-independent by construction)
-    // through the HUGEINT fingerprint + block machinery
+    // RIFF walk, AIFF through the big-endian IFF walk) — the same
+    // samples pair at distance 0 whatever the container; the oracle
+    // replays the shared energy-gradient closed form once
+    // (container-independent by construction) through the HUGEINT
+    // fingerprint + block machinery
     "q_audio_cross_container" -> ((s, dir) =>
       Audio.audioNearDupPairs(
         syntheticAudioCrossClassed(t(s, dir, "documents")),
