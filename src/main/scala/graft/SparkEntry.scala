@@ -373,6 +373,30 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Image–caption WebDataset shards: per doc_id two samples, each a
+    * REAL 4×4 gray PNG (closed-form pixels, rotating filters) paired
+    * with a closed-form caption; odd ids ship `.tar.gz`.
+    */
+  private def syntheticWdsPairsClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val members = (0 until 2).flatMap { k =>
+        val png = Png.buildPng(4, 4, 0,
+          Array.tabulate(16)(p => ((id * 7 + k * 13 + p * 5) % 256).toByte),
+          filterOf = y => ((id + k + y) % 5).toInt)
+        val words = (2 + (id + k) % 3).toInt
+        val caption = (0 until words)
+          .map(j => s"w${(id * 13 + k * 5 + j * 7) % 50}")
+          .mkString(" ")
+        Seq((s"s/${id}_$k.png", png),
+          (s"s/${id}_$k.txt", caption.getBytes("UTF-8")))
+      }
+      val tar = Tar.buildTar(members)
+      if (id % 2 == 0) tar else Tar.gzipBytes(tar)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** ZIP shards (the column form): per doc_id, 3 + id % 3 members of
     * ASCII closed-form content, methods alternating stored/deflate,
     * a trailing archive comment on odd ids — real CRCs throughout.
@@ -2953,6 +2977,29 @@ object SparkEntry {
             .as("sample_sum"),
           array_max(col("samples")).cast("long").as("sample_peak"),
           array_min(col("samples")).cast("long").as("sample_min"))),
+
+    // the multimodal pipeline END-TO-END in one declarative chain:
+    // tar(.gz) shard -> checksum-verified member walk -> WebDataset
+    // stem grouping -> the REAL PNG decode on the image member +
+    // caption text on the text member, paired per sample; every
+    // column is a closed form of doc_id
+    "q_webdataset_pairs" -> ((s, dir) => {
+      val m = Tar.webdatasetMembers(
+        syntheticWdsPairsClassed(t(s, dir, "documents")),
+        "id", "content")
+        .withColumn("k",
+          regexp_extract(col("stem"), "_([0-9]+)$", 1).cast("long"))
+        .withColumn("sid", col("id") * 4 + col("k"))
+      val img = Png.decodePixels(
+        m.filter(col("ext") === "png").select(col("sid"), col("bytes")),
+        "sid", "bytes").toDF().filter(col("decoded"))
+        .select(col("id").as("sid"), col("lumaTotal").as("luma_total"))
+      val cap = m.filter(col("ext") === "txt")
+        .select(col("sid"), col("bytes").cast("string").as("caption"))
+      img.join(cap, "sid")
+        .select(col("sid"), col("luma_total"), col("caption"),
+          size(split(col("caption"), " ")).cast("long").as("words"))
+    }),
 
     // ZIP shards, the COLUMN walk (EOCD -> central directory ->
     // local headers, CRC verified on EVERY member): stored and
@@ -6315,6 +6362,24 @@ object SparkEntry {
         |  CAST(list_max(ss) AS BIGINT) AS sample_peak,
         |  CAST(list_min(ss) AS BIGINT) AS sample_min
         |FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // image–caption pairs: PNG pixels are lossless, so per-sample
+    // luma and the caption text both replay in closed form
+    "q_webdataset_pairs" ->
+      """WITH g AS (SELECT doc_id AS id FROM documents),
+        |c AS (SELECT id, k, id * 4 + k AS sid,
+        |    list_sum(list_transform(generate_series(0, 15), p ->
+        |      3 * ((id * 7 + k * 13 + p * 5) % 256))) AS luma_total,
+        |    array_to_string(list_transform(
+        |      generate_series(0, 1 + (id + k) % 3),
+        |      j -> 'w' || ((id * 13 + k * 5 + j * 7) % 50)), ' ')
+        |      AS caption
+        |  FROM g CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT CAST(sid AS BIGINT) AS sid,
+        |  CAST(luma_total AS BIGINT) AS luma_total, caption,
+        |  CAST(2 + (id + k) % 3 AS BIGINT) AS words
+        |FROM c
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // zip members: CD order is build order; method alternates by k
