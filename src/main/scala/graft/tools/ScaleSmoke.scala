@@ -2686,7 +2686,131 @@ object ScaleSmoke {
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     }
 
-    // --- subtitle extraction throughput: 500k SRT/VTT transcripts +
+    // --- ZIP shards: 200k archives through the EOCD/central-directory
+    // walk — CRC verified on every member, stored + deflate mixed.
+    {
+      import spark.implicits._
+      val nZp = 200000L
+      val t105 = System.nanoTime()
+      val zips = spark.range(0L, nZp).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            (id, graft.operators.Zip.buildZip((0 until 4).map { k =>
+              (s"z/${id}_$k.txt",
+                ("m" * (8 + (b + k) % 16)).getBytes("UTF-8"),
+                k % 2 == 1)
+            }))
+          }
+        }.toDF("id", "content")
+      val zpAgg = graft.operators.Zip.zipEntries(zips, "id", "content")
+        .agg(count(lit(1)),
+          sum(when(col("method") === "deflate", 1L).otherwise(0L)),
+          sum(col("size"))).collect()(0)
+      val tZp = (System.nanoTime() - t105) / 1e9
+      val expBytes = (0 until 64).map(b =>
+        (0 until 4).map(k => 8L + (b + k) % 16).sum).sum * (nZp / 64L)
+      require(zpAgg.getLong(0) == 4L * nZp &&
+        zpAgg.getLong(1) == 2L * nZp && zpAgg.getLong(2) == expBytes,
+        s"zipShards: $zpAgg (expected bytes $expBytes)")
+      println(f"zipShards: $nZp%d zip archives -> ${4 * nZp}%d members " +
+        f"(CRC verified on every one, half deflate) in $tZp%.1f s " +
+        f"(${nZp / tZp}%.0f shards/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- AIFF decode: 512k big-endian PCM payloads through the
+    // container-auto audio decode, sample sums exact.
+    {
+      import spark.implicits._
+      val nAf = 512000L // divisible by 64
+      val t106 = System.nanoTime()
+      val aiffs = spark.range(0L, nAf).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            val n = 200 + 3 * b
+            (id, graft.operators.Audio.buildAiff(
+              Array.tabulate(n)(k => (b * 53 + k * 17) % 201 - 100),
+              channels = 1, rate = 8000))
+          }
+        }.toDF("id", "content")
+      val afAgg = graft.operators.Audio.decodePcm16(aiffs, "id",
+        "content").toDF().filter(col("decoded"))
+        .select(col("id"),
+          aggregate(col("samples"), lit(0L), (a, x) => a + x).as("s"))
+        .agg(count(lit(1)), sum(col("s"))).collect()(0)
+      val tAf = (System.nanoTime() - t106) / 1e9
+      val expSum = (0 until 64).map(b =>
+        (0 until (200 + 3 * b)).map(k =>
+          (b * 53L + k * 17) % 201 - 100).sum).sum * (nAf / 64L)
+      require(afAgg.getLong(0) == nAf && afAgg.getLong(1) == expSum,
+        s"aiffDecode: $afAgg (expected sum $expSum)")
+      println(f"aiffDecode: $nAf%d AIFF payloads big-endian decoded " +
+        f"in $tAf%.1f s (${nAf / tAf}%.0f files/s), sample sums " +
+        f"exact, heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- the multimodal pipeline end-to-end: 128k tar(.gz) shards ->
+    // WebDataset grouping -> REAL PNG decode + caption join per
+    // sample; luma and word totals exact.
+    {
+      import spark.implicits._
+      val nWp = 128000L // divisible by 64
+      val t107 = System.nanoTime()
+      val shards = spark.range(0L, nWp).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            val members = (0 until 2).flatMap { k =>
+              val png = graft.operators.Png.buildPng(4, 4, 0,
+                Array.tabulate(16)(p =>
+                  ((b * 7 + k * 13 + p * 5) % 256).toByte),
+                filterOf = y => (b + k + y) % 5)
+              val caption = (0 until (2 + (b + k) % 3))
+                .map(j => "w" + ((b * 13 + k * 5 + j * 7) % 50))
+                .mkString(" ")
+              Seq((s"s/${id}_$k.png", png),
+                (s"s/${id}_$k.txt", caption.getBytes("UTF-8")))
+            }
+            val tar = graft.operators.Tar.buildTar(members)
+            (id, if (id % 2 == 0) tar
+            else graft.operators.Tar.gzipBytes(tar))
+          }
+        }.toDF("id", "content")
+      val m = graft.operators.Tar.webdatasetMembers(shards, "id",
+        "content")
+        .withColumn("k",
+          regexp_extract(col("stem"), "_([0-9]+)$", 1).cast("long"))
+        .withColumn("sid", col("id") * 4 + col("k"))
+      val img = graft.operators.Png.decodePixels(
+        m.filter(col("ext") === "png")
+          .select(col("sid"), col("bytes")), "sid", "bytes")
+        .toDF().filter(col("decoded"))
+        .select(col("id").as("sid"), col("lumaTotal"))
+      val cap = m.filter(col("ext") === "txt")
+        .select(col("sid"), col("bytes").cast("string").as("caption"))
+      val wpAgg = img.join(cap, "sid")
+        .agg(count(lit(1)), sum(col("lumaTotal")),
+          sum(size(split(col("caption"), " ")).cast("long")))
+        .collect()(0)
+      val tWp = (System.nanoTime() - t107) / 1e9
+      val expLuma = (0 until 64).map(b => (0 until 2).map(k =>
+        (0 until 16).map(p => 3L * ((b * 7 + k * 13 + p * 5) % 256))
+          .sum).sum).sum * (nWp / 64L)
+      val expWords = (0 until 64).map(b =>
+        (0 until 2).map(k => 2L + (b + k) % 3).sum).sum * (nWp / 64L)
+      require(wpAgg.getLong(0) == 2L * nWp &&
+        wpAgg.getLong(1) == expLuma && wpAgg.getLong(2) == expWords,
+        s"wdsPairs: $wpAgg (expected luma $expLuma words $expWords)")
+      println(f"wdsPairs: $nWp%d tar(.gz) shards -> ${2 * nWp}%d " +
+        f"image+caption samples (member walk -> stem grouping -> " +
+        f"REAL PNG decode -> join) in $tWp%.1f s " +
+        f"(${nWp / tWp}%.0f shards/s), luma/word totals exact, " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- subtitle extraction throughput: 512k SRT/VTT transcripts +
     // 300k WebM S_TEXT tracks through the strict walks, cue censuses
     // and exact ms totals in closed form.
     {
