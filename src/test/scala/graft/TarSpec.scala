@@ -143,6 +143,33 @@ class TarSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 1L)
   }
 
+  test("streaming: shard member extraction is stateless and runs " +
+      "per micro-batch over a live shard feed — plain and gzipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Tar.webdatasetMembers(mem.toDF().toDF("id", "content"),
+        "id", "content")
+      .writeStream.format("memory").queryName("tar_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(1L -> Tar.buildTar(Seq(
+        "a/1.jpg" -> "i".getBytes("UTF-8"),
+        "a/1.txt" -> "t".getBytes("UTF-8"))))
+      q.processAllAvailable()
+      assert(spark.table("tar_stream").count() === 2L)
+      mem.addData(
+        2L -> Tar.gzipBytes(Tar.buildTar(Seq(
+          "b/2.txt" -> "gz".getBytes("UTF-8")))),
+        3L -> "not a tar".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = spark.table("tar_stream").collect()
+      assert(rows.length === 3) // the garbage shard emitted nothing
+      assert(rows.map(_.getAs[Long]("id")).toSet === Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("composition: a REAL PNG member extracted from a shard " +
       "decodes through the image family bit-exactly") {
     import org.apache.spark.sql.functions._
