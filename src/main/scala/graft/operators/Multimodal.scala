@@ -440,7 +440,9 @@ object Multimodal {
             if (b != null && b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
               (b(1) & 0xFF) == 0xD8) ("jpeg", parseJpegExif(b))
             else if (b != null && b.length >= 12 && b(0) == 'R' &&
-              b(1) == 'I' && b(8) == 'W') ("webp", parseWebpExif(b))
+              b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+              b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+              b(11) == 'P') ("webp", parseWebpExif(b))
             else if (b != null && b.length >= 8 &&
               (b(0) & 0xFF) == 0x89 && b(1) == 'P') ("png",
               parsePngExif(b))

@@ -228,6 +228,7 @@ object Png {
     var idatBytes = 0L
     var idatDone = false // set once a non-IDAT follows the first IDAT
     val idat = Vector.newBuilder[(Int, Int)]
+    var sawIdat = false
     var plteOff = -1; var plteLen = 0
     var exifOff = -1; var exifLen = 0
     val texts = Vector.newBuilder[TextRec]
@@ -265,6 +266,7 @@ object Png {
           plteOff = dataOff; plteLen = len.toInt
         case "IDAT" =>
           if (!sawIhdr || idatDone) return None // must be consecutive
+          sawIdat = true
           idat += ((dataOff, len.toInt))
           idatBytes += len
         case "IEND" =>
@@ -277,7 +279,7 @@ object Png {
           if (exifOff < 0) { exifOff = dataOff; exifLen = len.toInt }
         case _ => // ancillary chunk: CRC held, content skipped
       }
-      if (ctype != "IDAT" && idatBytes > 0L) idatDone = true
+      if (ctype != "IDAT" && sawIdat) idatDone = true
       if (!sawIhdr) return None // first chunk must be IHDR
       pos += 12 + len
     }
@@ -324,7 +326,6 @@ object Png {
         }
       }
       if (expected >= 0 && outPos != expected) None
-      else if (expected < 0 && outPos == 0) None
       else Some(if (outPos == out.length) out
       else java.util.Arrays.copyOf(out, outPos))
     } finally inf.end()

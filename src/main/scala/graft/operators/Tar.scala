@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
   * historical writers used); a bad checksum, a malformed size field,
   * or data running past the payload refuses the WHOLE shard — a
   * silently half-read shard drops samples without anyone noticing.
-  * Non-file entries (directories, links, PAX/GNU extension headers)
-  * are SKIPPED by declared size, never interpreted.
+  * Long-path extension records are HONORED, not skipped: a GNU 'L'
+  * longname record or a PAX 'x' header carrying `path=` overrides
+  * the following entry's 100-byte name field (PAX wins over GNU when
+  * both precede one entry, per the pax spec's precedence), so
+  * >100-char shard paths keep their true WebDataset stems. A
+  * malformed extension record (bad PAX record grammar, empty name)
+  * refuses the whole shard, and a PAX GLOBAL header ('g') that
+  * carries `path=` refuses too — one global path would mislabel
+  * every member. Other non-file entries (directories, links, 'K'
+  * long-linkname records) are skipped by declared size.
   *
   * Design for 100 TB: shards stream through `mapPartitions` one in
   * memory at a time; the entry walk is O(#entries) header reads plus
@@ -177,6 +185,8 @@ object Tar {
     if (bytes == null || bytes.length < 1024 ||
       bytes.length % 512 != 0) return None
     val out = Vector.newBuilder[(String, Array[Byte])]
+    var pendingLongName: Option[String] = None
+    var pendingPaxPath: Option[String] = None
     var pos = 0
     while (pos + 512 <= bytes.length) {
       if (isZeroBlock(bytes, pos)) {
@@ -189,6 +199,10 @@ object Tar {
           if (bytes(t) != 0) return None
           t += 1
         }
+        // a trailing extension record naming an entry that never
+        // came is a malformed archive
+        if (pendingLongName.isDefined || pendingPaxPath.isDefined)
+          return None
         return Some(out.result()) // an empty archive is valid tar
       }
       // header checksum: sum of header bytes with the checksum field
@@ -211,17 +225,50 @@ object Tar {
       if (dataEnd > bytes.length) return None
       val typeflag = bytes(pos + 156)
       if (typeflag == '0'.toByte || typeflag == 0.toByte) {
-        val name = cstr(bytes, pos, 100)
+        val stored = {
+          val name = cstr(bytes, pos, 100)
+          // ustar prefix field (345..499) prepends path/ when present
+          val magic = cstr(bytes, pos + 257, 6)
+          val prefix =
+            if (magic == "ustar") cstr(bytes, pos + 345, 155) else ""
+          if (prefix.isEmpty) name else prefix + "/" + name
+        }
+        // PAX path wins over a GNU longname when both precede the
+        // entry (pax precedence); either wins over the ustar fields
+        val name = pendingPaxPath.orElse(pendingLongName)
+          .getOrElse(stored)
         if (name.isEmpty) return None
-        // ustar prefix field (345..499) prepends path/ when present
-        val magic = cstr(bytes, pos + 257, 6)
-        val prefix =
-          if (magic == "ustar") cstr(bytes, pos + 345, 155) else ""
         val data = new Array[Byte](size.toInt)
         System.arraycopy(bytes, pos + 512, data, 0, size.toInt)
-        out += ((if (prefix.isEmpty) name else prefix + "/" + name,
-          data))
-      } // else: dir/link/PAX/GNU entries skipped by declared size
+        out += ((name, data))
+        pendingLongName = None; pendingPaxPath = None
+      } else if (typeflag == 'L'.toByte) {
+        // GNU longname: data is the next entry's path, NUL-terminated
+        if (size == 0L) return None
+        var e = pos + 512
+        val dEnd = pos + 512 + size.toInt
+        while (e < dEnd && bytes(e) != 0) e += 1
+        val n = new String(bytes, pos + 512, e - (pos + 512), "UTF-8")
+        if (n.isEmpty) return None
+        pendingLongName = Some(n)
+      } else if (typeflag == 'x'.toByte || typeflag == 'g'.toByte) {
+        // PAX extended header: "%d key=value\n" records
+        val recs = parsePaxRecords(bytes, pos + 512, size.toInt)
+          .getOrElse(return None)
+        recs.get("path").foreach { p =>
+          if (typeflag == 'g'.toByte || p.isEmpty) return None
+          pendingPaxPath = Some(p)
+        }
+        // a PAX size= override would contradict the next header's
+        // verified octal field — refuse rather than pick one
+        if (recs.contains("size")) return None
+      } else if (typeflag != 'K'.toByte) {
+        // dir/link entries: skipped by declared size; any pending
+        // name override applied to them is consumed. ('K' long-LINK
+        // records leave pendings alone — GNU tar emits K and L as
+        // siblings before one entry, in either order.)
+        pendingLongName = None; pendingPaxPath = None
+      }
       val padded = ((size + 511L) / 512L) * 512L
       if (512L + padded > Int.MaxValue - pos) return None
       pos += (512L + padded).toInt
@@ -269,7 +316,73 @@ object Tar {
     Some(v)
   }
 
+  /** PAX extended-header records: `"%d key=value\n"` where the
+    * decimal length counts the WHOLE record (digits, space, body,
+    * newline) — the published pax grammar. None on any deviation.
+    */
+  private[graft] def parsePaxRecords(b: Array[Byte], off: Int,
+      len: Int): Option[Map[String, String]] = {
+    val out = Map.newBuilder[String, String]
+    var p = off
+    val end = off + len
+    while (p < end) {
+      var q = p
+      var recLen = 0
+      var digits = 0
+      while (q < end && b(q) >= '0' && b(q) <= '9') {
+        recLen = recLen * 10 + (b(q) - '0')
+        if (recLen > len) return None
+        digits += 1; q += 1
+      }
+      if (digits == 0 || q >= end || b(q) != ' ') return None
+      if (recLen < digits + 3 || p + recLen > end) return None
+      if (b(p + recLen - 1) != '\n') return None
+      val body = new String(b, q + 1, p + recLen - 1 - (q + 1), "UTF-8")
+      val eq = body.indexOf('=')
+      if (eq <= 0) return None
+      out += (body.substring(0, eq) -> body.substring(eq + 1))
+      p += recLen
+    }
+    Some(out.result())
+  }
+
   // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
+
+  /** One checksummed ustar header block. */
+  private def header(name: String, prefix: String, size: Long,
+      typeflag: Byte): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(s: String, off: Int, len: Int): Unit = {
+      val b = s.getBytes("UTF-8")
+      require(b.length <= len, s"field over $len bytes")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    def putOctal(v: Long, off: Int, len: Int): Unit =
+      put(("%0" + (len - 1) + "o").format(v), off, len)
+    put(name, 0, 100)
+    putOctal(420L, 100, 8) // mode 0644
+    putOctal(0L, 108, 8); putOctal(0L, 116, 8) // uid/gid
+    putOctal(size, 124, 12)
+    putOctal(0L, 136, 12) // mtime
+    h(156) = typeflag
+    put("ustar", 257, 6)
+    h(263) = '0'.toByte; h(264) = '0'.toByte // version "00"
+    if (prefix.nonEmpty) put(prefix, 345, 155)
+    // checksum over the header with the field as spaces
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    h.foreach(b => sum += b & 0xFF)
+    put("%06o".format(sum), 148, 7)
+    h(154) = 0
+    h(155) = ' '.toByte
+    h
+  }
+
+  private def writePadded(bos: java.io.ByteArrayOutputStream,
+      data: Array[Byte]): Unit = {
+    bos.write(data)
+    bos.write(new Array[Byte]((512 - data.length % 512) % 512))
+  }
 
   /** Build a POSIX ustar archive from (path, bytes) members — real
     * checksums, the prefix field used when a path exceeds the name
@@ -288,38 +401,61 @@ object Tar {
             s"path '$path' does not split into prefix/name")
           (path.substring(0, cut), path.substring(cut + 1))
         }
-      val h = new Array[Byte](512)
-      def put(s: String, off: Int, len: Int): Unit = {
-        val b = s.getBytes("UTF-8")
-        require(b.length <= len, s"field over $len bytes")
-        System.arraycopy(b, 0, h, off, b.length)
-      }
-      def putOctal(v: Long, off: Int, len: Int): Unit =
-        put(("%0" + (len - 1) + "o").format(v), off, len)
-      put(name, 0, 100)
-      putOctal(420L, 100, 8) // mode 0644
-      putOctal(0L, 108, 8); putOctal(0L, 116, 8) // uid/gid
-      putOctal(data.length.toLong, 124, 12)
-      putOctal(0L, 136, 12) // mtime
-      h(156) = '0'.toByte
-      put("ustar", 257, 6)
-      h(263) = '0'.toByte; h(264) = '0'.toByte // version "00"
-      if (prefix.nonEmpty) put(prefix, 345, 155)
-      // checksum over the header with the field as spaces
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-      var sum = 0L
-      h.foreach(b => sum += b & 0xFF)
-      val cs = ("%06o").format(sum)
-      put(cs, 148, 7)
-      h(154) = 0
-      h(155) = ' '.toByte
-      bos.write(h)
-      bos.write(data)
-      val pad = (512 - data.length % 512) % 512
-      bos.write(new Array[Byte](pad))
+      bos.write(header(name, prefix, data.length.toLong, '0'.toByte))
+      writePadded(bos, data)
     }
     bos.write(new Array[Byte](1024)) // end-of-archive marker
     bos.toByteArray
+  }
+
+  /** Build a GNU-style archive: every member's path ships in an 'L'
+    * longname record (data = path + NUL) ahead of a header whose name
+    * field holds only a truncated stand-in — exactly what GNU tar
+    * emits for >100-char paths (the round-trip twin of the 'L' walk).
+    */
+  def buildTarGnuLong(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (path, data) =>
+      require(path.nonEmpty, "empty path")
+      val nameBytes = path.getBytes("UTF-8") :+ 0.toByte
+      bos.write(header("././@LongLink", "", nameBytes.length.toLong,
+        'L'.toByte))
+      writePadded(bos, nameBytes)
+      bos.write(header(path.take(100), "", data.length.toLong,
+        '0'.toByte))
+      writePadded(bos, data)
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
+
+  /** Build a pax-style archive: every member's path ships in an 'x'
+    * extended header (`"%d path=...\n"` record) ahead of a header
+    * whose name field holds only a truncated stand-in — what
+    * `tar --format=pax` emits for long paths.
+    */
+  def buildTarPax(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (path, data) =>
+      require(path.nonEmpty, "empty path")
+      bos.write(header("./PaxHeaders/" + path.take(85), "",
+        paxRecord("path", path).length.toLong, 'x'.toByte))
+      writePadded(bos, paxRecord("path", path))
+      bos.write(header(path.take(100), "", data.length.toLong,
+        '0'.toByte))
+      writePadded(bos, data)
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
+
+  /** One pax record with its self-counting decimal length prefix. */
+  private[graft] def paxRecord(key: String, value: String): Array[Byte] = {
+    val body = s" $key=$value\n".getBytes("UTF-8")
+    var total = body.length // fixed point: total = digits(total) + body
+    while (total.toString.length + body.length != total)
+      total = total.toString.length + body.length
+    total.toString.getBytes("US-ASCII") ++ body
   }
 
   /** Gzip a payload (the `.tar.gz` fixture/smoke composer). */

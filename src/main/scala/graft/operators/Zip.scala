@@ -90,6 +90,7 @@ object Zip {
     if (cdOff == 0xFFFFFFFFL || cdSize == 0xFFFFFFFFL) return None
     if (cdOff + cdSize != eocd.toLong) return None
     val out = Vector.newBuilder[(String, Array[Byte], String)]
+    val ranges = Vector.newBuilder[(Long, Long)] // member [lho, dataEnd)
     var pos = cdOff
     var i = 0
     while (i < nEntries) {
@@ -118,6 +119,7 @@ object Zip {
         if (le32(bytes, l) != 0x04034b50L) return None
         val dataOff = lho + 30 + le16(bytes, l + 26) + le16(bytes, l + 28)
         if (dataOff + compSize > bytes.length) return None
+        ranges += ((lho, dataOff + compSize))
         if (method == 0) {
           if (compSize != uncompSize) return None
           val data = new Array[Byte](uncompSize.toInt)
@@ -135,6 +137,14 @@ object Zip {
       i += 1
     }
     if (pos != eocd.toLong) return None // CD shorter than declared
+    // overlapping members: two CD entries pointing into the same
+    // local data are a crafted archive, not a packaging accident
+    val sorted = ranges.result().sortBy(_._1)
+    var j = 1
+    while (j < sorted.length) {
+      if (sorted(j)._1 < sorted(j - 1)._2) return None
+      j += 1
+    }
     Some(out.result())
   }
 

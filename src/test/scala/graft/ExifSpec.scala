@@ -200,4 +200,16 @@ class ExifSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("exif_width") === 31L)
     }
   }
+
+  test("container sniff: a RIFF/WAVE payload is NOT labeled webp — " +
+      "the full WEBP fourcc at offset 8 gates the webp walk") {
+    val wav = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ new Array[Byte](20)
+    val rows = Multimodal.exifScanAuto(df(1L -> wav), "id", "content")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("container") === "")
+    assert(!rows(0).getAs[Boolean]("parsed"))
+  }
 }

@@ -340,6 +340,33 @@ class PngSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 1L)
   }
 
+  test("honesty: a zero-length FIRST IDAT followed by another chunk " +
+      "then more IDATs still violates consecutiveness and refuses; " +
+      "an empty zTXt payload emits an EMPTY string, not a drop") {
+    val raw = Array.tabulate(8 * (1 + 8))(i =>
+      (if (i % 9 == 0) 0 else i % 251).toByte)
+    val z = deflate(raw)
+    val emptyFirst = assemble(
+      chunk("IHDR", ihdr(8, 8, 8, 0, 0)),
+      chunk("IDAT", Array.emptyByteArray),
+      chunk("tEXt", "k v".getBytes("ISO-8859-1")),
+      chunk("IDAT", z),
+      chunk("IEND", Array.emptyByteArray))
+    assert(Png.parsePng(emptyFirst).isEmpty)
+    val emptyZtxt = assemble(
+      chunk("IHDR", ihdr(8, 8, 8, 0, 0)),
+      chunk("IDAT", z),
+      chunk("zTXt", "k".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++
+        deflate(Array.emptyByteArray)),
+      chunk("IEND", Array.emptyByteArray))
+    val rows = Png.pngTextChunks(df(1L -> emptyZtxt), "id", "content")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("keyword") === "k")
+    assert(rows(0).getAs[String]("text") === "")
+    assert(rows(0).getAs[String]("kind") === "ztxt")
+  }
+
   test("image-family bridge: pngFrameImages emits the canonical BMP " +
       "of the decoded pixels — luminance grids (hence every hash) " +
       "match the BMP of the same pixels bit-for-bit") {

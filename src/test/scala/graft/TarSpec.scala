@@ -170,6 +170,97 @@ class TarSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("long-path extension records: GNU 'L' longname and PAX 'x' " +
+      "path= override the 100-byte name field, and WebDataset stems " +
+      "derive from the TRUE path") {
+    val long = ("n" * 140) + "/sample_000001.jpg"
+    val gnu = Tar.buildTarGnuLong(Seq(long -> "G".getBytes("UTF-8")))
+    val gnuRows = Tar.tarEntries(df(1L -> gnu), "id", "content")
+      .collect()
+    assert(gnuRows.map(_.getAs[String]("path")).toSeq === Seq(long))
+    assert(gnuRows.head.getAs[Array[Byte]]("bytes").toSeq ===
+      "G".getBytes("UTF-8").toSeq)
+    val pax = Tar.buildTarPax(Seq(long -> "P".getBytes("UTF-8")))
+    val paxRows = Tar.tarEntries(df(1L -> pax), "id", "content")
+      .collect()
+    assert(paxRows.map(_.getAs[String]("path")).toSeq === Seq(long))
+    val wds = Tar.buildTarPax(Seq(
+      (("d" * 120) + "/s1.jpg") -> "i".getBytes("UTF-8"),
+      (("d" * 120) + "/s1.txt") -> "t".getBytes("UTF-8")))
+    val stems = Tar.webdatasetMembers(df(1L -> wds), "id", "content")
+      .collect().map(_.getAs[String]("stem")).distinct.toSeq
+    assert(stems === Seq(("d" * 120) + "/s1"))
+  }
+
+  test("extension-record precedence and honesty: PAX path wins over " +
+      "GNU; 'K' long-link records pass through; a global 'g' path, " +
+      "malformed PAX grammar, a PAX size= override, a trailing " +
+      "extension record, and a pending name consumed by a dir all " +
+      "behave per the contract") {
+    def retypeflag(block: Array[Byte], flag: Byte): Array[Byte] = {
+      val h = block.clone()
+      h(156) = flag
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      h.foreach(x => sum += x & 0xFF)
+      val cs = "%06o".format(sum).getBytes("US-ASCII")
+      System.arraycopy(cs, 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '.toByte
+      h
+    }
+    def paths(b: Array[Byte]): Seq[String] =
+      Tar.tarEntries(df(1L -> b), "id", "content")
+        .orderBy("entry_index").collect()
+        .map(_.getAs[String]("path")).toSeq
+    val gnuPath = ("g" * 110) + "/via_gnu.bin"
+    val paxPath = ("p" * 110) + "/via_pax.bin"
+    val data = "D".getBytes("UTF-8")
+    val gnu = Tar.buildTarGnuLong(Seq(gnuPath -> data))
+    val pax = Tar.buildTarPax(Seq(paxPath -> data))
+    // both records before one entry: PAX path= wins (pax precedence)
+    // in EITHER record order
+    assert(paths(gnu.take(1024) ++ pax) === Seq(paxPath))
+    assert(paths(pax.take(1024) ++ gnu) === Seq(paxPath))
+    // a 'K' long-link record between the 'L' record and its entry
+    // leaves the pending longname alone
+    val kRec = retypeflag(gnu.take(512), 'K'.toByte) ++
+      gnu.slice(512, 1024)
+    assert(paths(gnu.take(1024) ++ kRec ++ gnu.drop(1024)) ===
+      Seq(gnuPath))
+    // 'g' global header carrying path= refuses the shard
+    val g = retypeflag(pax.take(512), 'g'.toByte) ++ pax.drop(512)
+    assert(paths(g) === Seq.empty)
+    // malformed PAX record grammar (length prefix corrupted) refuses
+    val badPax = pax.clone()
+    badPax(512) = 'A'.toByte
+    assert(paths(badPax) === Seq.empty)
+    // a PAX size= override contradicting the verified header refuses:
+    // rewrite the path= key to size= in place (same record length)
+    val short = Tar.buildTarPax(Seq("12345" -> data))
+    val sized = {
+      val c = short.clone()
+      val needle = " path=12345\n".getBytes("UTF-8")
+      val at = (512 until 512 + 64).find(o =>
+        needle.indices.forall(i => c(o + i) == needle(i))).get
+      val repl = "size=".getBytes("UTF-8")
+      System.arraycopy(repl, 0, c, at + 1, 5)
+      c
+    }
+    assert(paths(short) === Seq("12345"))
+    assert(paths(sized) === Seq.empty)
+    // a trailing extension record naming a member that never came
+    assert(paths(gnu.take(1024) ++ new Array[Byte](1024)) ===
+      Seq.empty)
+    // a dir entry consumes the pending override; the NEXT file keeps
+    // its own stored name
+    val plain = Tar.buildTar(Seq("own_name.txt" -> data))
+    val dirBlock = retypeflag(
+      Tar.buildTar(Seq("somedir" -> Array.emptyByteArray)).take(512),
+      '5'.toByte)
+    assert(paths(gnu.take(1024) ++ dirBlock ++ plain) ===
+      Seq("own_name.txt"))
+  }
+
   test("composition: a REAL PNG member extracted from a shard " +
       "decodes through the image family bit-exactly") {
     import org.apache.spark.sql.functions._

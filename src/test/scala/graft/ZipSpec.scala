@@ -84,4 +84,26 @@ class ZipSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxEntryBytes = 4).count() === 0L)
     assert(count("PKgarbage".getBytes("UTF-8")) === 0L)
   }
+
+  test("overlapping members: two central-directory entries pointing " +
+      "at the same local data refuse the shard whole") {
+    val data = "same-bytes".getBytes("UTF-8")
+    val zip = Zip.buildZip(Seq(
+      ("a.txt", data, false), ("b.txt", data, false)))
+    assert(Zip.zipEntries(df(1L -> zip), "id", "content")
+      .count() === 2L)
+    // patch the SECOND CD entry's local-header offset to the first's
+    // (identical name lengths + contents keep every per-member check
+    // green; only the overlap check can catch it)
+    val evil = zip.clone()
+    val cdSigs = (0 until evil.length - 4).filter(o =>
+      evil(o) == 'P' && evil(o + 1) == 'K' &&
+        (evil(o + 2) & 0xFF) == 1 && (evil(o + 3) & 0xFF) == 2)
+    assert(cdSigs.length === 2)
+    val firstOff = java.util.Arrays.copyOfRange(
+      evil, cdSigs(0) + 42, cdSigs(0) + 46)
+    System.arraycopy(firstOff, 0, evil, cdSigs(1) + 42, 4)
+    assert(Zip.zipEntries(df(1L -> evil), "id", "content")
+      .count() === 0L)
+  }
 }
