@@ -1523,6 +1523,39 @@ object SparkEntry {
     * metadata, and stats are all oracle-checkable from the loaded
     * tables. Returns the warehouse root.
     */
+  /** On-disk WebDataset shard fixture for the path-level STREAMING
+    * tar source: 64 shards under a temp dir, one per doc_id % 64
+    * bucket, each holding `d/<id>.txt` + `d/<id>.json` members with
+    * closed-form contents for every bucket doc_id in ascending order.
+    * Even buckets ship plain ustar (`wds_<b>.tar`); odd buckets ship
+    * pax 'x' long-path records AND gzip (`wds_<b>.tar.gz`), so the
+    * oracle row exercises the extension-record and inflate-through-
+    * the-stream paths too. Written once per (JVM, sfDir).
+    */
+  private val tarShardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tarShardDir(s: SparkSession, dir: String): String =
+    tarShardCache.computeIfAbsent(dir, { _ =>
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")).collect().map(_.getLong(0))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-tar-shards")
+      (0 until 64).foreach { b =>
+        val members = ids.filter(_ % 64 == b).toSeq.flatMap { id =>
+          Seq((s"d/$id.txt", s"s:$id:t".getBytes("UTF-8")),
+            (s"d/$id.json", s"""{"i":$id}""".getBytes("UTF-8")))
+        }
+        if (b % 2 == 0)
+          java.nio.file.Files.write(out.resolve(s"wds_$b.tar"),
+            Tar.buildTar(members))
+        else
+          java.nio.file.Files.write(out.resolve(s"wds_$b.tar.gz"),
+            Tar.gzipBytes(Tar.buildTarPax(members)))
+      }
+      out.toString
+    })
+
   private val ingestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3830,6 +3863,33 @@ object SparkEntry {
         get_json_object(col("f"), "$.properties['ext:elevation']")
           .cast("double").as("elev"))
     }),
+
+    // the path-level STREAMING shard source — the 100 TB shape: 64
+    // on-disk WebDataset shards (plain ustar on even buckets; pax
+    // long-path records + gzip on odd buckets) walked member-by-
+    // member off a Hadoop FS stream through the SAME state machine
+    // as the column operator; every column is a closed form of the
+    // doc_id that named the member
+    "q_tar_stream" -> ((s, dir) =>
+      graft.sources.TarShardSource
+        .members(s, tarShardDir(s, dir) + "/wds_*.tar*")
+        .toDF()
+        .select(
+          regexp_extract(col("path"), "/(\\d+)\\.", 1).cast("long")
+            .as("id"),
+          col("entry_index"), col("path"),
+          col("bytes").cast("string").as("content_str"),
+          col("size"))),
+
+    // the WebDataset census over the SAME on-disk shards, assembled
+    // at path level (stem split per member, per-shard local fold)
+    "q_webdataset_stream" -> ((s, dir) =>
+      graft.sources.TarShardSource
+        .webdatasetSamples(s, tarShardDir(s, dir) + "/wds_*.tar*")
+        .select(
+          regexp_extract(col("stem"), "/(\\d+)$", 1).cast("long")
+            .as("id"),
+          col("n_members"), col("exts"), col("total_bytes"))),
 
     "q_geo_linestring" -> ((s, dir) => {
       graft.expressions.ProcessGeometryExpr.register(s)
@@ -8937,6 +8997,36 @@ object SparkEntry {
         |  CAST(NULL AS DOUBLE) AS z_after,
         |  CASE WHEN l_tax <> 0 THEN l_tax END AS elev
         |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // streaming shard source: member rows replay in closed form —
+    // entry order within a bucket shard is (rank of id) * 2 + k, txt
+    // before json per id
+    "q_tar_stream" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 64
+        |      ORDER BY doc_id) - 1 AS BIGINT) AS rnk
+        |  FROM documents),
+        |m AS (
+        |  SELECT id, rnk * 2 AS entry_index,
+        |    'd/' || id || '.txt' AS path,
+        |    's:' || id || ':t' AS content_str FROM g
+        |  UNION ALL
+        |  SELECT id, rnk * 2 + 1, 'd/' || id || '.json',
+        |    '{"i":' || id || '}' FROM g)
+        |SELECT id, CAST(entry_index AS BIGINT) AS entry_index, path,
+        |  content_str, CAST(length(content_str) AS BIGINT) AS size
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // streaming WebDataset census: every sample is the txt+json pair
+    "q_webdataset_stream" ->
+      """SELECT doc_id AS id, CAST(2 AS BIGINT) AS n_members,
+        |  'json,txt' AS exts,
+        |  CAST(length('s:' || doc_id || ':t')
+        |    + length('{"i":' || doc_id || '}') AS BIGINT)
+        |    AS total_bytes
+        |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_geo_linestring" ->
       """SELECT l_orderkey, l_linenumber,

@@ -37,6 +37,14 @@ import org.apache.spark.sql.functions._
   * so NO shuffle happens — sample assembly is embarrassingly
   * parallel whatever the corpus size.
   */
+/** A structurally invalid shard met by a STREAMING walk — members may
+  * already have been emitted, so the only honest "refuse whole" left
+  * is a loud task failure (the column operators catch it and map to
+  * emit-nothing instead).
+  */
+final class MalformedShardException(msg: String)
+  extends java.io.IOException(msg)
+
 object Tar {
 
   /** One archive member: `path` as stored (prefix field honored),
@@ -184,97 +192,184 @@ object Tar {
       maxEntryBytes: Int): Option[Vector[(String, Array[Byte])]] = {
     if (bytes == null || bytes.length < 1024 ||
       bytes.length % 512 != 0) return None
-    val out = Vector.newBuilder[(String, Array[Byte])]
-    var pendingLongName: Option[String] = None
-    var pendingPaxPath: Option[String] = None
-    var pos = 0
-    while (pos + 512 <= bytes.length) {
-      if (isZeroBlock(bytes, pos)) {
-        // end-of-archive: two zero blocks; anything after must be
-        // zero padding (tar blocks archives to a blocking factor)
-        if (pos + 1024 > bytes.length ||
-          !isZeroBlock(bytes, pos + 512)) return None
-        var t = pos + 1024
-        while (t < bytes.length) {
-          if (bytes(t) != 0) return None
-          t += 1
+    try Some(streamTarEntries(
+      new java.io.ByteArrayInputStream(bytes), maxEntryBytes,
+      "<column>").toVector)
+    catch { case _: MalformedShardException => None }
+  }
+
+  /** The SINGLE ustar state machine, expressed over a stream — the
+    * column operator ([[parseTar]]) and the path-level source
+    * (`sources.TarShardSource`) both walk through here, so their
+    * honesty contracts can never drift. Residency is ONE member (plus
+    * one 512-byte header block), never the shard: multi-GiB shards
+    * stream in constant memory. A structural violation throws
+    * [[MalformedShardException]] — members may already have been
+    * emitted, so in a streamed walk "refuse the whole shard" is only
+    * honest as a loud failure; the column path catches it and maps to
+    * emit-nothing.
+    */
+  private[graft] def streamTarEntries(in: java.io.InputStream,
+      maxEntryBytes: Int, shard: String)
+      : Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private val hdr = new Array[Byte](512)
+      private var nextEntry: (String, Array[Byte]) = null
+      private var done = false
+      private var pendingLongName: Option[String] = None
+      private var pendingPaxPath: Option[String] = None
+
+      private def fail(why: String): Nothing =
+        throw new MalformedShardException(s"$shard: $why")
+
+      private def readFully(buf: Array[Byte], off: Int,
+          len: Int): Unit = {
+        var p = off
+        while (p < off + len) {
+          val n = in.read(buf, p, off + len - p)
+          if (n < 0) fail("truncated inside a block")
+          p += n
+        }
+      }
+
+      /** One 512-byte block into `hdr`; false on clean EOF at a
+        * block boundary, throws on a partial block.
+        */
+      private def readBlock(): Boolean = {
+        val first = in.read(hdr, 0, 512)
+        if (first < 0) return false
+        readFully(hdr, first, 512 - first)
+        true
+      }
+
+      private def skipData(size: Long): Unit = {
+        var left = ((size + 511L) / 512L) * 512L
+        val scratch = new Array[Byte](1 << 16)
+        while (left > 0) {
+          val n = in.read(scratch, 0,
+            math.min(left, scratch.length.toLong).toInt)
+          if (n < 0) fail("truncated member data")
+          left -= n
+        }
+      }
+
+      /** `size` data bytes plus the padding to the 512 boundary. */
+      private def readData(size: Long): Array[Byte] = {
+        val data = new Array[Byte](size.toInt)
+        readFully(data, 0, size.toInt)
+        val pad = ((512 - (size % 512)) % 512).toInt
+        if (pad > 0) readFully(new Array[Byte](pad), 0, pad)
+        data
+      }
+
+      /** End-of-archive: a second zero block, then nothing but zero
+        * padding to EOF (tar blocks archives to a blocking factor).
+        */
+      private def finish(): Unit = {
+        if (!readBlock() || !isZeroBlock(hdr, 0))
+          fail("single zero block is not an end-of-archive marker")
+        var n = in.read(hdr, 0, 512)
+        while (n >= 0) {
+          var i = 0
+          while (i < n) {
+            if (hdr(i) != 0) fail("junk after the end-of-archive marker")
+            i += 1
+          }
+          n = in.read(hdr, 0, 512)
         }
         // a trailing extension record naming an entry that never
         // came is a malformed archive
         if (pendingLongName.isDefined || pendingPaxPath.isDefined)
-          return None
-        return Some(out.result()) // an empty archive is valid tar
+          fail("trailing extension record with no entry")
+        done = true
       }
-      // header checksum: sum of header bytes with the checksum field
-      // (148..155) read as spaces — unsigned per spec, signed variant
-      // tolerated (historical writers)
-      var unsigned = 0L
-      var signed = 0L
-      var i = 0
-      while (i < 512) {
-        val raw = if (i >= 148 && i < 156) 32.toByte else bytes(pos + i)
-        unsigned += raw & 0xFF
-        signed += raw
-        i += 1
-      }
-      val declared = octal(bytes, pos + 148, 8).getOrElse(return None)
-      if (declared != unsigned && declared != signed) return None
-      val size = octal(bytes, pos + 124, 12).getOrElse(return None)
-      if (size < 0L || size > maxEntryBytes) return None
-      val dataEnd = pos + 512L + size
-      if (dataEnd > bytes.length) return None
-      val typeflag = bytes(pos + 156)
-      if (typeflag == '0'.toByte || typeflag == 0.toByte) {
-        val stored = {
-          val name = cstr(bytes, pos, 100)
-          // ustar prefix field (345..499) prepends path/ when present
-          val magic = cstr(bytes, pos + 257, 6)
-          val prefix =
-            if (magic == "ustar") cstr(bytes, pos + 345, 155) else ""
-          if (prefix.isEmpty) name else prefix + "/" + name
+
+      private def advance(): Unit = {
+        while (nextEntry == null && !done) {
+          if (!readBlock()) fail("EOF before the end-of-archive marker")
+          if (isZeroBlock(hdr, 0)) { finish(); return }
+          // header checksum: sum of header bytes with the checksum
+          // field (148..155) read as spaces — unsigned per spec,
+          // signed variant tolerated (historical writers)
+          var unsigned = 0L
+          var signed = 0L
+          var i = 0
+          while (i < 512) {
+            val raw = if (i >= 148 && i < 156) 32.toByte else hdr(i)
+            unsigned += raw & 0xFF
+            signed += raw
+            i += 1
+          }
+          val declared = octal(hdr, 148, 8)
+            .getOrElse(fail("malformed checksum field"))
+          if (declared != unsigned && declared != signed)
+            fail("header checksum mismatch")
+          val size = octal(hdr, 124, 12)
+            .getOrElse(fail("malformed size field"))
+          if (size < 0L || size > maxEntryBytes)
+            fail(s"entry of $size bytes over the $maxEntryBytes cap")
+          val typeflag = hdr(156)
+          if (typeflag == '0'.toByte || typeflag == 0.toByte) {
+            val stored = {
+              val name = cstr(hdr, 0, 100)
+              // ustar prefix field (345..499) prepends path/
+              val magic = cstr(hdr, 257, 6)
+              val prefix =
+                if (magic == "ustar") cstr(hdr, 345, 155) else ""
+              if (prefix.isEmpty) name else prefix + "/" + name
+            }
+            // PAX path wins over a GNU longname when both precede
+            // the entry (pax precedence); either wins over ustar
+            val name = pendingPaxPath.orElse(pendingLongName)
+              .getOrElse(stored)
+            if (name.isEmpty) fail("empty member path")
+            nextEntry = (name, readData(size))
+            pendingLongName = None; pendingPaxPath = None
+          } else if (typeflag == 'L'.toByte) {
+            // GNU longname: the next entry's path, NUL-terminated
+            if (size == 0L) fail("empty GNU longname record")
+            val data = readData(size)
+            var e = 0
+            while (e < data.length && data(e) != 0) e += 1
+            val n = new String(data, 0, e, "UTF-8")
+            if (n.isEmpty) fail("empty GNU longname")
+            pendingLongName = Some(n)
+          } else if (typeflag == 'x'.toByte || typeflag == 'g'.toByte) {
+            // PAX extended header: "%d key=value\n" records
+            val data = readData(size)
+            val recs = parsePaxRecords(data, 0, data.length)
+              .getOrElse(fail("malformed pax record grammar"))
+            recs.get("path").foreach { p =>
+              if (typeflag == 'g'.toByte || p.isEmpty)
+                fail("global or empty pax path override")
+              pendingPaxPath = Some(p)
+            }
+            // a PAX size= override would contradict the next header's
+            // verified octal field — refuse rather than pick one
+            if (recs.contains("size")) fail("pax size= override")
+          } else if (typeflag != 'K'.toByte) {
+            // dir/link entries: skipped by declared size; any pending
+            // name override applied to them is consumed. ('K'
+            // long-LINK records leave pendings alone — GNU tar emits
+            // K and L as siblings before one entry, in either order.)
+            skipData(size)
+            pendingLongName = None; pendingPaxPath = None
+          } else skipData(size)
         }
-        // PAX path wins over a GNU longname when both precede the
-        // entry (pax precedence); either wins over the ustar fields
-        val name = pendingPaxPath.orElse(pendingLongName)
-          .getOrElse(stored)
-        if (name.isEmpty) return None
-        val data = new Array[Byte](size.toInt)
-        System.arraycopy(bytes, pos + 512, data, 0, size.toInt)
-        out += ((name, data))
-        pendingLongName = None; pendingPaxPath = None
-      } else if (typeflag == 'L'.toByte) {
-        // GNU longname: data is the next entry's path, NUL-terminated
-        if (size == 0L) return None
-        var e = pos + 512
-        val dEnd = pos + 512 + size.toInt
-        while (e < dEnd && bytes(e) != 0) e += 1
-        val n = new String(bytes, pos + 512, e - (pos + 512), "UTF-8")
-        if (n.isEmpty) return None
-        pendingLongName = Some(n)
-      } else if (typeflag == 'x'.toByte || typeflag == 'g'.toByte) {
-        // PAX extended header: "%d key=value\n" records
-        val recs = parsePaxRecords(bytes, pos + 512, size.toInt)
-          .getOrElse(return None)
-        recs.get("path").foreach { p =>
-          if (typeflag == 'g'.toByte || p.isEmpty) return None
-          pendingPaxPath = Some(p)
-        }
-        // a PAX size= override would contradict the next header's
-        // verified octal field — refuse rather than pick one
-        if (recs.contains("size")) return None
-      } else if (typeflag != 'K'.toByte) {
-        // dir/link entries: skipped by declared size; any pending
-        // name override applied to them is consumed. ('K' long-LINK
-        // records leave pendings alone — GNU tar emits K and L as
-        // siblings before one entry, in either order.)
-        pendingLongName = None; pendingPaxPath = None
       }
-      val padded = ((size + 511L) / 512L) * 512L
-      if (512L + padded > Int.MaxValue - pos) return None
-      pos += (512L + padded).toInt
+
+      override def hasNext: Boolean = {
+        if (nextEntry == null && !done) advance()
+        nextEntry != null
+      }
+
+      override def next(): (String, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException("exhausted")
+        val e = nextEntry
+        nextEntry = null
+        e
+      }
     }
-    None // ran out before the end-of-archive marker
-  }
 
   private def isZeroBlock(b: Array[Byte], pos: Int): Boolean = {
     var i = 0

@@ -20,6 +20,25 @@ private[sources] object StreamUtil {
     }
     override def next(): T = it.next()
   }
+
+  /** Driver-side resolution of a path/glob/directory into files —
+    * one driver RPC per load; the per-file bytes stay on executors.
+    */
+  def resolveFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)) match {
+      case None | Some(Array()) =>
+        throw new java.io.FileNotFoundException(path)
+      case Some(arr) => arr.toSeq
+    }
+    matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString)
+  }
 }
 
 /** Hadoop Configuration is not Serializable; ship it to tasks via its
