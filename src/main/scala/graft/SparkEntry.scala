@@ -414,6 +414,24 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** ZIP64 shards: the [[syntheticZipClassed]] members written in the
+    * FULL ZIP64 shape (sentinel CD fields + 0x0001 extras, ZIP64 EOCD
+    * record + locator behind an all-sentinel classic EOCD) — what a
+    * >4 GiB writer emits, on fixture-sized bytes.
+    */
+  private def syntheticZip64Classed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val n = (3 + id % 3).toInt
+      val members = (0 until n).map { k =>
+        (s"z/${id}_$k.txt", s"zm:$id:$k".getBytes("UTF-8"), k % 2 == 1)
+      }
+      operators.Zip.buildZip(members,
+        comment = if (id % 2 == 1) s"c$id" else "", zip64 = true)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
     * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
     * appended — v1.1 (with track) on even ids, plain v1 on odd.
@@ -3041,6 +3059,16 @@ object SparkEntry {
     "q_zip_entries" -> ((s, dir) =>
       operators.Zip.zipEntries(
         syntheticZipClassed(t(s, dir, "documents")), "id", "content")
+        .select(col("id"), col("entry_index"), col("path"),
+          col("bytes").cast("string").as("content_str"),
+          col("size"), col("method"))),
+
+    // the SAME members in the full ZIP64 shape (sentinel fields ->
+    // locator -> ZIP64 EOCD; per-entry 0x0001 extras) — >4 GiB /
+    // >65,535-entry production archives walk like any other shard
+    "q_zip64_entries" -> ((s, dir) =>
+      operators.Zip.zipEntries(
+        syntheticZip64Classed(t(s, dir, "documents")), "id", "content")
         .select(col("id"), col("entry_index"), col("path"),
           col("bytes").cast("string").as("content_str"),
           col("size"), col("method"))),
@@ -6444,6 +6472,24 @@ object SparkEntry {
 
     // zip members: CD order is build order; method alternates by k
     "q_zip_entries" ->
+      """WITH g AS (SELECT doc_id AS id, 3 + doc_id % 3 AS n
+        |  FROM documents),
+        |m AS (SELECT id, k,
+        |    'z/' || id || '_' || k || '.txt' AS path,
+        |    'zm:' || id || ':' || k AS content_str,
+        |    CASE WHEN k % 2 = 1 THEN 'deflate' ELSE 'stored' END
+        |      AS method
+        |  FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+        |  WHERE k < n)
+        |SELECT id, CAST(k AS BIGINT) AS entry_index, path,
+        |  content_str, CAST(length(content_str) AS BIGINT) AS size,
+        |  method
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // zip64 members: identical closed form — the container shape
+    // changes, the members must not
+    "q_zip64_entries" ->
       """WITH g AS (SELECT doc_id AS id, 3 + doc_id % 3 AS n
         |  FROM documents),
         |m AS (SELECT id, k,

@@ -14,14 +14,20 @@ import org.apache.spark.sql.functions._
   * data descriptors are in play), then each member's local header
   * for the data offset.
   *
+  * ZIP64 archives (>4 GiB, >65,535 entries) are WALKED, not refused:
+  * sentinel EOCD fields route through the ZIP64 EOCD locator/record
+  * (APPNOTE 4.4.1) and per-entry `0xFFFFFFFF` fields resolve through
+  * the 0x0001 extended-information extra, so production-sized image
+  * and document archives read like any other shard.
+  *
   * Honesty contract: the declared entry count must match the walk,
   * every member's CRC-32 is VERIFIED against its decompressed bytes,
   * stored members must declare equal sizes, and encrypted members,
-  * ZIP64 markers (`0xFFFFFFFF`/`0xFFFF` sentinel fields), unknown
-  * compression methods, overlapping/overrunning offsets, or a
-  * corrupt deflate stream refuse the WHOLE shard — a half-read
-  * archive silently drops members. Directory entries (name ending
-  * `/`) are skipped.
+  * sentinel fields with no ZIP64 record behind them, truncated ZIP64
+  * records, unknown compression methods, overlapping/overrunning
+  * offsets, or a corrupt deflate stream refuse the WHOLE shard — a
+  * half-read archive silently drops members. Directory entries (name
+  * ending `/`) are skipped.
   *
   * Design for 100 TB: one shard in memory at a time inside
   * `mapPartitions`; the CD walk is O(#entries); `maxEntryBytes`
@@ -68,6 +74,9 @@ object Zip {
     (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
       ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
 
+  private def le64(b: Array[Byte], o: Int): Long =
+    le32(b, o) | (le32(b, o + 4) << 32)
+
   private[graft] def parseZip(bytes: Array[Byte],
       maxEntryBytes: Int): Option[Vector[(String, Array[Byte], String)]] = {
     if (bytes == null || bytes.length < 22) return None
@@ -82,34 +91,91 @@ object Zip {
       else p -= 1
     }
     if (eocd < 0) return None
-    val nEntries = le16(bytes, eocd + 10)
+    var nEntries = le16(bytes, eocd + 10).toLong
     if (nEntries != le16(bytes, eocd + 8)) return None // multi-disk
-    if (nEntries == 0xFFFF) return None // ZIP64: refuse honestly
-    val cdSize = le32(bytes, eocd + 12)
-    val cdOff = le32(bytes, eocd + 16)
-    if (cdOff == 0xFFFFFFFFL || cdSize == 0xFFFFFFFFL) return None
-    if (cdOff + cdSize != eocd.toLong) return None
+    var cdSize = le32(bytes, eocd + 12)
+    var cdOff = le32(bytes, eocd + 16)
+    // ZIP64: any sentinel field sends us through the EOCD locator to
+    // the ZIP64 EOCD record (the published APPNOTE 4.4.1 escape for
+    // >4 GiB archives / >65,535 entries)
+    var cdEnd = eocd.toLong
+    if (nEntries == 0xFFFFL || cdSize == 0xFFFFFFFFL ||
+      cdOff == 0xFFFFFFFFL) {
+      // locator: 20 bytes directly before the EOCD
+      val loc = eocd - 20
+      if (loc < 0 || le32(bytes, loc) != 0x07064b50L) return None
+      if (le32(bytes, loc + 4) != 0L) return None // zip64 EOCD disk
+      if (le32(bytes, loc + 16) != 1L) return None // total disks
+      val z64 = le64(bytes, loc + 8)
+      if (z64 < 0L || z64 > Int.MaxValue.toLong || z64 + 56 > loc)
+        return None
+      val z = z64.toInt // JVM arrays are < 2 GiB; bounds-checked above
+      if (le32(bytes, z) != 0x06064b50L) return None
+      // record size counts everything after the first 12 bytes; the
+      // record must END at the locator (nothing hides between)
+      if (z64 + 12 + le64(bytes, z + 4) != loc.toLong) return None
+      if (le32(bytes, z + 16) != 0L || le32(bytes, z + 20) != 0L)
+        return None // this disk / CD-start disk
+      nEntries = le64(bytes, z + 24)
+      if (nEntries != le64(bytes, z + 32)) return None
+      if (nEntries < 0L || nEntries > Int.MaxValue.toLong) return None
+      cdSize = le64(bytes, z + 40)
+      cdOff = le64(bytes, z + 48)
+      if (cdSize < 0L || cdOff < 0L) return None
+      cdEnd = z64
+    }
+    if (cdOff + cdSize != cdEnd) return None
     val out = Vector.newBuilder[(String, Array[Byte], String)]
     val ranges = Vector.newBuilder[(Long, Long)] // member [lho, dataEnd)
     var pos = cdOff
     var i = 0
     while (i < nEntries) {
-      if (pos + 46 > eocd) return None
+      if (pos + 46 > cdEnd) return None
       val o = pos.toInt
       if (le32(bytes, o) != 0x02014b50L) return None
       val flags = le16(bytes, o + 8)
       if ((flags & 0x0001) != 0) return None // encrypted: refuse
       val method = le16(bytes, o + 10)
       val crc = le32(bytes, o + 16)
-      val compSize = le32(bytes, o + 20)
-      val uncompSize = le32(bytes, o + 24)
-      if (compSize == 0xFFFFFFFFL || uncompSize == 0xFFFFFFFFL)
-        return None // ZIP64
+      var compSize = le32(bytes, o + 20)
+      var uncompSize = le32(bytes, o + 24)
       val nameLen = le16(bytes, o + 28)
       val extraLen = le16(bytes, o + 30)
       val commentLen = le16(bytes, o + 32)
-      val lho = le32(bytes, o + 42)
-      if (pos + 46 + nameLen + extraLen + commentLen > eocd) return None
+      var lho = le32(bytes, o + 42)
+      if (pos + 46 + nameLen + extraLen + commentLen > cdEnd) return None
+      // sentinel fields resolve through the ZIP64 extended-info extra
+      // (header id 0x0001): 8-byte values present ONLY for the fields
+      // that are 0xFFFFFFFF, in uncomp/comp/offset order
+      if (compSize == 0xFFFFFFFFL || uncompSize == 0xFFFFFFFFL ||
+        lho == 0xFFFFFFFFL) {
+        var e = o + 46 + nameLen
+        val eEnd = e + extraLen
+        var found = false
+        while (!found && e + 4 <= eEnd) {
+          val hid = le16(bytes, e)
+          val dsz = le16(bytes, e + 2)
+          if (e + 4 + dsz > eEnd) return None
+          if (hid == 0x0001) {
+            var f = e + 4
+            if (uncompSize == 0xFFFFFFFFL) {
+              if (f + 8 > e + 4 + dsz) return None
+              uncompSize = le64(bytes, f); f += 8
+            }
+            if (compSize == 0xFFFFFFFFL) {
+              if (f + 8 > e + 4 + dsz) return None
+              compSize = le64(bytes, f); f += 8
+            }
+            if (lho == 0xFFFFFFFFL) {
+              if (f + 8 > e + 4 + dsz) return None
+              lho = le64(bytes, f); f += 8
+            }
+            found = true
+          } else e += 4 + dsz
+        }
+        if (!found) return None // sentinel with no ZIP64 extra: refuse
+        if (compSize < 0L || uncompSize < 0L || lho < 0L) return None
+      }
       val name = new String(bytes, o + 46, nameLen, "UTF-8")
       if (!name.endsWith("/")) {
         if (uncompSize > maxEntryBytes) return None
@@ -136,7 +202,7 @@ object Zip {
       pos += 46 + nameLen + extraLen + commentLen
       i += 1
     }
-    if (pos != eocd.toLong) return None // CD shorter than declared
+    if (pos != cdEnd) return None // CD shorter than declared
     // overlapping members: two CD entries pointing into the same
     // local data are a crafted archive, not a packaging accident
     val sorted = ranges.result().sortBy(_._1)
@@ -188,16 +254,23 @@ object Zip {
   // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
 
   /** Build a ZIP from (path, bytes, deflate?) members — real CRCs,
-    * local headers + central directory + EOCD.
+    * local headers + central directory + EOCD. With `zip64 = true`
+    * the archive ships the FULL ZIP64 shape on small fixture bytes:
+    * every CD entry carries sentinel size/offset fields resolved by a
+    * 0x0001 extended-info extra, and the classic EOCD's sentinel
+    * count/size/offset route through a ZIP64 EOCD record + locator —
+    * exactly what a >4 GiB writer emits, exercisable without 4 GiB
+    * of fixture.
     */
   def buildZip(entries: Seq[(String, Array[Byte], Boolean)],
-      comment: String = ""): Array[Byte] = {
+      comment: String = "", zip64: Boolean = false): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
     def w32(v: Long): Unit = {
       bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
       bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
     }
+    def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32(v >>> 32) }
     val recs = entries.map { case (path, data, deflated) =>
       val crc = new java.util.zip.CRC32()
       crc.update(data)
@@ -231,23 +304,53 @@ object Zip {
       case ((path, data, comp, crc, method), off) =>
         val nb = path.getBytes("UTF-8")
         w32(0x02014b50L)
-        w16(20); w16(20); w16(0); w16(method)
+        w16(if (zip64) 45 else 20); w16(if (zip64) 45 else 20)
+        w16(0); w16(method)
         w16(0); w16(0)
-        w32(crc); w32(comp.length.toLong); w32(data.length.toLong)
-        w16(nb.length); w16(0); w16(0)
+        w32(crc)
+        if (zip64) { w32(0xFFFFFFFFL); w32(0xFFFFFFFFL) }
+        else { w32(comp.length.toLong); w32(data.length.toLong) }
+        w16(nb.length)
+        w16(if (zip64) 28 else 0) // extra: 0x0001 header + 3 x 8 bytes
+        w16(0)
         w16(0); w16(0) // disk, internal attrs
         w32(0L) // external attrs
-        w32(off.toLong)
+        if (zip64) w32(0xFFFFFFFFL) else w32(off.toLong)
         bos.write(nb)
+        if (zip64) {
+          w16(0x0001); w16(24)
+          w64(data.length.toLong); w64(comp.length.toLong)
+          w64(off.toLong)
+        }
     }
     val cdSize = bos.size() - cdStart
     val cb = comment.getBytes("UTF-8")
-    w32(0x06054b50L)
-    w16(0); w16(0)
-    w16(entries.length); w16(entries.length)
-    w32(cdSize.toLong); w32(cdStart.toLong)
-    w16(cb.length)
-    bos.write(cb)
+    if (zip64) {
+      val z64Off = bos.size()
+      w32(0x06064b50L)
+      w64(44L) // record size after the first 12 bytes
+      w16(45); w16(45)
+      w32(0L); w32(0L) // this disk / CD-start disk
+      w64(entries.length.toLong); w64(entries.length.toLong)
+      w64(cdSize.toLong); w64(cdStart.toLong)
+      // locator
+      w32(0x07064b50L)
+      w32(0L); w64(z64Off.toLong); w32(1L)
+      // classic EOCD, all sentinels
+      w32(0x06054b50L)
+      w16(0); w16(0)
+      w16(0xFFFF); w16(0xFFFF)
+      w32(0xFFFFFFFFL); w32(0xFFFFFFFFL)
+      w16(cb.length)
+      bos.write(cb)
+    } else {
+      w32(0x06054b50L)
+      w16(0); w16(0)
+      w16(entries.length); w16(entries.length)
+      w32(cdSize.toLong); w32(cdStart.toLong)
+      w16(cb.length)
+      bos.write(cb)
+    }
     bos.toByteArray
   }
 }

@@ -106,4 +106,71 @@ class ZipSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Zip.zipEntries(df(1L -> evil), "id", "content")
       .count() === 0L)
   }
+
+  test("ZIP64: sentinel EOCD fields route through the locator + " +
+      "ZIP64 EOCD record, per-entry sentinels resolve through the " +
+      "0x0001 extra, and members match the classic build exactly") {
+    val entries = (0 until 5).map { k =>
+      (s"z64/$k.txt", s"member:$k".getBytes("UTF-8"), k % 2 == 1)
+    }
+    val classic = Zip.buildZip(entries)
+    val z64 = Zip.buildZip(entries, zip64 = true)
+    assert(z64.length > classic.length) // extras + zip64 EOCD present
+    def rows(b: Array[Byte]) =
+      Zip.zipEntries(df(1L -> b), "id", "content")
+        .orderBy("entry_index").collect()
+        .map(r => (r.getAs[Long]("entry_index"),
+          r.getAs[String]("path"),
+          new String(r.getAs[Array[Byte]]("bytes"), "UTF-8"),
+          r.getAs[String]("method")))
+    assert(rows(z64).toSeq === rows(classic).toSeq)
+    assert(rows(z64).length === 5)
+    // JVM reader parity: the stream reader walks the same members
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(z64))
+    val jvmNames = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toSeq
+    assert(jvmNames === entries.map(_._1))
+  }
+
+  test("ZIP64 honesty: a sentinel EOCD with no locator, a corrupted " +
+      "ZIP64 EOCD signature, a truncated record, and a per-entry " +
+      "sentinel whose 0x0001 extra is missing all refuse whole") {
+    val entries = Seq(("a.txt", "data-a".getBytes("UTF-8"), false))
+    val z64 = Zip.buildZip(entries, zip64 = true)
+    def count(b: Array[Byte]) =
+      Zip.zipEntries(df(1L -> b), "id", "content").count()
+    assert(count(z64) === 1L)
+    // classic build whose EOCD count is patched to the sentinel:
+    // sentinel with NOTHING behind it must refuse
+    val classic = Zip.buildZip(entries)
+    val lied = classic.clone()
+    // EOCD is the last 22 bytes (no comment): count fields at +8/+10
+    val eocd = lied.length - 22
+    lied(eocd + 8) = 0xFF.toByte; lied(eocd + 9) = 0xFF.toByte
+    lied(eocd + 10) = 0xFF.toByte; lied(eocd + 11) = 0xFF.toByte
+    assert(count(lied) === 0L)
+    // corrupt the ZIP64 EOCD record signature
+    val badSig = z64.clone()
+    val zOff = (0 until badSig.length - 4).find(o =>
+      badSig(o) == 'P' && badSig(o + 1) == 'K' &&
+        (badSig(o + 2) & 0xFF) == 6 && (badSig(o + 3) & 0xFF) == 6).get
+    badSig(zOff + 3) = 9.toByte
+    assert(count(badSig) === 0L)
+    // truncate the zip64 record's size field (record no longer ends
+    // at the locator)
+    val badLen = z64.clone()
+    badLen(zOff + 4) = 1.toByte
+    assert(count(badLen) === 0L)
+    // strip the 0x0001 extra id from the CD entry (sentinels left
+    // dangling)
+    val noExtra = z64.clone()
+    val cdSig = (0 until noExtra.length - 4).find(o =>
+      noExtra(o) == 'P' && noExtra(o + 1) == 'K' &&
+        (noExtra(o + 2) & 0xFF) == 1 && (noExtra(o + 3) & 0xFF) == 2).get
+    val nameLen = (noExtra(cdSig + 28) & 0xFF) |
+      ((noExtra(cdSig + 29) & 0xFF) << 8)
+    noExtra(cdSig + 46 + nameLen) = 0x77.toByte // extra header id
+    assert(count(noExtra) === 0L)
+  }
 }
