@@ -432,6 +432,30 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** AVIF/HEIF still images: each file carries a thumbnail item AND
+    * the primary item (so the walk must resolve pitm/ipma, not grab
+    * the first ispe), with rotation, mirror, brand, codec, ipma index
+    * width, and pitm version all closed forms of doc_id.
+    */
+  private def syntheticAvifClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val codec = if (id % 2 == 0) "av1C" else "hvcC"
+      operators.Avif.buildAvif(
+        brand = if (id % 2 == 0) "avif" else "heic",
+        items = Seq(
+          operators.Avif.AvifItem(1L, 160L, 90L, 0, -1, codec),
+          operators.Avif.AvifItem(2L, 320L + 16 * (base % 8),
+            240L + 16 * (base % 5), (base % 4) * 90,
+            if (base % 5 == 0) base % 2 else -1, codec)),
+        primary = 2L,
+        wideIndexes = base % 3 == 0,
+        pitmV1 = base % 7 == 0)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
     * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
     * appended — v1.1 (with track) on even ids, plain v1 on odd.
@@ -3072,6 +3096,32 @@ object SparkEntry {
         .select(col("id"), col("entry_index"), col("path"),
           col("bytes").cast("string").as("content_str"),
           col("size"), col("method"))),
+
+    // AVIF/HEIF — the ISO-BMFF IMAGE family: dims are item
+    // properties, so the walk resolves the PRIMARY item through
+    // pitm/ipma (a thumbnail item with its own ispe is planted in
+    // every file), applies irot/imir, and reports the codec config;
+    // every column is a closed form of doc_id
+    "q_image_avif" -> ((s, dir) =>
+      operators.Avif.avifMetaScan(
+        syntheticAvifClassed(t(s, dir, "documents")), "id", "content")
+        .select(col("id"), col("brand"), col("primary_item"),
+          col("width"), col("height"),
+          col("rotation").cast("long").as("rotation"),
+          col("mirrored"), col("disp_width"), col("disp_height"),
+          col("codec"), col("n_items"), col("parsed"))),
+
+    // the SAME corpus through the unified 10-family media scan's
+    // PREFIX path (the 100 TB metadata-filter shape: the meta box
+    // leads the file, so a 4 KiB prefix answers the whole filter)
+    "q_image_avif_prefix" -> ((s, dir) =>
+      graft.operators.Media.mediaMetaScanPrefix(
+        syntheticAvifClassed(t(s, dir, "documents")), "id", "content",
+        prefixBytes = 4096)
+        .select(col("id"), col("container"), col("duration_ms"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("video_codec"), col("parsed"))),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
     // headers are q_audio_id3): REAL MP3 frames + a closed-form
@@ -6502,6 +6552,55 @@ object SparkEntry {
         |SELECT id, CAST(k AS BIGINT) AS entry_index, path,
         |  content_str, CAST(length(content_str) AS BIGINT) AS size,
         |  method
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // AVIF: the primary item's properties replay in closed form; the
+    // displayed dims swap on 90/270 rotations
+    "q_image_avif" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |m AS (SELECT id, base,
+        |    320 + 16 * (base % 8) AS w, 240 + 16 * (base % 5) AS h,
+        |    (base % 4) * 90 AS rot,
+        |    base % 5 = 0 AS mir
+        |  FROM g)
+        |SELECT id,
+        |  CASE WHEN id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+        |  CAST(2 AS BIGINT) AS primary_item,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(rot AS BIGINT) AS rotation, mir AS mirrored,
+        |  CAST(CASE WHEN rot IN (90, 270) THEN h ELSE w END
+        |    AS BIGINT) AS disp_width,
+        |  CAST(CASE WHEN rot IN (90, 270) THEN w ELSE h END
+        |    AS BIGINT) AS disp_height,
+        |  CASE WHEN id % 2 = 0 THEN 'av1' ELSE 'hevc' END AS codec,
+        |  CAST(2 AS BIGINT) AS n_items, TRUE AS parsed
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // AVIF through the unified prefix scan: container label + the
+    // DISPLAYED dims land in the common media columns
+    "q_image_avif_prefix" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |m AS (SELECT id, base,
+        |    320 + 16 * (base % 8) AS w, 240 + 16 * (base % 5) AS h,
+        |    (base % 4) * 90 AS rot
+        |  FROM g)
+        |SELECT id,
+        |  CASE WHEN id % 2 = 0 THEN 'avif' ELSE 'heic' END
+        |    AS container,
+        |  CAST(0 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN rot IN (90, 270) THEN h ELSE w END
+        |    AS BIGINT) AS width,
+        |  CAST(CASE WHEN rot IN (90, 270) THEN w ELSE h END
+        |    AS BIGINT) AS height,
+        |  CASE WHEN id % 2 = 0 THEN 'av1' ELSE 'hevc' END
+        |    AS video_codec,
+        |  TRUE AS parsed
         |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

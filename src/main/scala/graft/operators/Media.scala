@@ -5,9 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** ONE metadata filter over a MIXED media corpus — the shape a
   * 100 TB ingest actually has: a binary column holding AVI, animated
-  * GIF, ISO-BMFF/MP4, Matroska/WebM, WAV, AIFF, FLAC, MP3, and Ogg
-  * payloads
-  * side by side. [[mediaMetaScan]] dispatches each row by its magic
+  * GIF, ISO-BMFF/MP4, AVIF/HEIF still images, Matroska/WebM, WAV,
+  * AIFF, FLAC, MP3, and Ogg payloads side by side. [[mediaMetaScan]] dispatches each row by its magic
   * bytes into the matching container walk (all header-only except the
   * MP3 4-bytes-per-frame sync hop, all honest) and projects the
   * COMMON fields a corpus filter queries — container, duration,
@@ -21,7 +20,8 @@ import org.apache.spark.sql.functions._
 object Media {
 
   /** The cross-container metadata row. `container` is `avi` / `gif` /
-    * `mp4` / `webm` / `matroska` / `wav` / `flac` / `mp3` / `ogg`;
+    * `mp4` / `avif` / `heic` / `webm` / `matroska` / `wav` / `flac` /
+    * `mp3` / `ogg`;
     * `videoCodec` is the container's own codec identifier (AVI
     * fourcc — `DIB ` for uncompressed, GIF's LZW, the MP4
     * sample-entry fourcc, the Matroska codec id); `audioCodec`
@@ -66,8 +66,9 @@ object Media {
     * `substring(bin, 1, prefixBytes)` plus the TRUE payload length as
     * narrow columns at ingest and the filter never touches the media
     * data. Families whose metadata leads the file parse from the
-    * prefix (AVI, MP4 faststart, WebM/Matroska, WAV, FLAC —
-    * STREAMINFO is ≤ 42 bytes); families whose grammar NEEDS the tail
+    * prefix (AVI, MP4 faststart, AVIF/HEIF — the meta box
+    * leads the file, WebM/Matroska, WAV, FLAC — STREAMINFO is ≤ 42
+    * bytes); families whose grammar NEEDS the tail
     * (GIF's full block walk, MP3's to-EOF sync walk, Ogg's last-page
     * granule) are honestly `parsed = false` here — never fabricated
     * fields. Route those to their full scans, or accept the refusal
@@ -136,6 +137,12 @@ object Media {
         MediaMeta(0L, "aiff", m.durationMs, 0, 0, "", "aiff_pcm",
           m.sampleRate, parsed = true)
       }
+    else if (Avif.isImageBrand(b)) // the meta box leads the file
+      Avif.parseAvif(b, trueLen).map { a =>
+        MediaMeta(0L, if (a.brand == "heix") "heic" else a.brand, 0L,
+          a.dispWidth.toInt, a.dispHeight.toInt, a.codec, "", 0,
+          parsed = true)
+      }
     else if (is(4, "ftyp"))
       Mp4.parseMp4(b, trueLen).map { m =>
         MediaMeta(0L, "mp4", m.duration * 1000L / m.timescale,
@@ -152,7 +159,7 @@ object Media {
     else None // GIF/MP3/Ogg grammars need the tail: refuse honestly
   }
 
-  /** Per-payload magic dispatch into the nine container walks. */
+  /** Per-payload magic dispatch into the ten container walks. */
   private def mediaMeta(b: Array[Byte]): Option[MediaMeta] = {
     if (b == null || b.length < 12) return None
     def is(o: Int, s: String): Boolean =
@@ -202,6 +209,12 @@ object Media {
       Gif.parseGif(b).map { g =>
         MediaMeta(0L, "gif", g.totalDelayCs * 10L, g.width, g.height,
           "lzw", "", 0, parsed = true)
+      }
+    else if (Avif.isImageBrand(b))
+      Avif.parseAvif(b).map { a =>
+        MediaMeta(0L, if (a.brand == "heix") "heic" else a.brand, 0L,
+          a.dispWidth.toInt, a.dispHeight.toInt, a.codec, "", 0,
+          parsed = true)
       }
     else if (is(4, "ftyp"))
       Mp4.parseMp4(b).map { m =>
