@@ -456,6 +456,29 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** MP4s with REAL H.264 SPS extradata: the avcC config carries an
+    * encoder-built SPS whose crop-derived dims, profile, and level
+    * are closed forms of doc_id; every id % 3 == 0 file's stsd LIES
+    * about the dimensions (the in-the-wild failure the SPS cross-
+    * check exists to catch).
+    */
+  private def syntheticH264Classed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val spsW = 318 + 2 * (base % 16)
+      val spsH = 178 + 2 * (base % 12)
+      val lie = id % 3 == 0
+      Mp4.buildMp4(timescale = 600L, duration = 1000L + base,
+        width = if (lie) spsW + 16 else spsW,
+        height = if (lie) spsH + 16 else spsH,
+        videoExtra = Mp4.buildAvcC(Mp4.buildSps(spsW, spsH,
+          profileIdc = if (id % 2 == 0) 66 else 100,
+          levelIdc = 30 + base % 4)))
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
     * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
     * appended — v1.1 (with track) on even ids, plain v1 on odd.
@@ -3122,6 +3145,22 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("video_codec"), col("parsed"))),
+
+    // H.264 SPS cross-check: the stsd dims are a muxer's CLAIM; the
+    // SPS inside avcC is what a decoder obeys (exp-Golomb parse,
+    // macroblock grid minus frame crop) — a lying stsd flips
+    // dims_match instead of being believed
+    "q_video_h264_sps" -> ((s, dir) =>
+      Mp4.h264SpsScan(
+        syntheticH264Classed(t(s, dir, "documents")), "id", "content")
+        .select(col("id"),
+          col("stsd_width").cast("long").as("stsd_width"),
+          col("stsd_height").cast("long").as("stsd_height"),
+          col("profile_idc").cast("long").as("profile_idc"),
+          col("level_idc").cast("long").as("level_idc"),
+          col("sps_width").cast("long").as("sps_width"),
+          col("sps_height").cast("long").as("sps_height"),
+          col("dims_match"), col("parsed"))),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
     // headers are q_audio_id3): REAL MP3 frames + a closed-form
@@ -6601,6 +6640,30 @@ object SparkEntry {
         |  CASE WHEN id % 2 = 0 THEN 'av1' ELSE 'hevc' END
         |    AS video_codec,
         |  TRUE AS parsed
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // H.264 SPS: profile/level/dims replay in closed form; the
+    // planted stsd lie flips dims_match
+    "q_video_h264_sps" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |m AS (SELECT id, base,
+        |    318 + 2 * (base % 16) AS w, 178 + 2 * (base % 12) AS h,
+        |    id % 3 = 0 AS lie
+        |  FROM g)
+        |SELECT id,
+        |  CAST(CASE WHEN lie THEN w + 16 ELSE w END AS BIGINT)
+        |    AS stsd_width,
+        |  CAST(CASE WHEN lie THEN h + 16 ELSE h END AS BIGINT)
+        |    AS stsd_height,
+        |  CAST(CASE WHEN id % 2 = 0 THEN 66 ELSE 100 END AS BIGINT)
+        |    AS profile_idc,
+        |  CAST(30 + base % 4 AS BIGINT) AS level_idc,
+        |  CAST(w AS BIGINT) AS sps_width,
+        |  CAST(h AS BIGINT) AS sps_height,
+        |  NOT lie AS dims_match, TRUE AS parsed
         |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

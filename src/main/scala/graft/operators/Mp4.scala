@@ -644,7 +644,8 @@ object Mp4 {
       height: Int, videoCodec: String = "avc1", nFrames: Long = 0L,
       audioCodec: String = "", audioChannels: Int = 0,
       audioRate: Int = 0, mdatBytes: Int = 64,
-      use64Bit: Boolean = false): Array[Byte] = {
+      use64Bit: Boolean = false,
+      videoExtra: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     require(timescale > 0 && duration >= 0, "timescale/duration")
     require(videoCodec.isEmpty || videoCodec.length == 4,
       "videoCodec must be empty (audio-only / M4A) or a 4CC")
@@ -737,6 +738,7 @@ object Mp4 {
             w32(0L); w16(1) // reserved, frame_count
             (0 until 32).foreach(_ => bos.write(0)) // compressorname
             w16(24); w16(0xFFFF) // depth, pre_defined(-1)
+            bos.write(videoExtra) // e.g. an avcC config child box
           }
         }, nFrames)
       if (audioCodec.nonEmpty)
@@ -931,6 +933,379 @@ object Mp4 {
           }
         })
     }
+    bos.toByteArray
+  }
+
+  // ---- H.264 SPS (the authoritative dims behind avc1 tracks) ---------
+
+  /** SPS-derived facts for the first `avc1`/`avc3` video track. The
+    * `stsd` width/height u16s are DECLARED values a muxer wrote; the
+    * SPS inside the `avcC` config is what a DECODER obeys (macroblock
+    * grid minus the frame crop), so a lying `stsd` is detectable —
+    * `dimsMatch` is the honesty flag. `parsed = false` rows carry a
+    * `reason`: not ISO-BMFF, no avc track, or a malformed
+    * config/SPS — never guessed fields.
+    */
+  case class H264Sps(id: Long, stsdWidth: Int, stsdHeight: Int,
+      profileIdc: Int, levelIdc: Int, spsWidth: Int, spsHeight: Int,
+      dimsMatch: Boolean, reason: String, parsed: Boolean)
+
+  def h264SpsScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[H264Sps]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          h264SpsInfo(r.getAs[Array[Byte]](1)) match {
+            case Right(m) => m.copy(id = id)
+            case Left(reason) => H264Sps(id, 0, 0, 0, 0, 0, 0,
+              dimsMatch = false, reason, parsed = false)
+          }
+        }
+    }.toDF().select(col("id"),
+      col("stsdWidth").as("stsd_width"),
+      col("stsdHeight").as("stsd_height"),
+      col("profileIdc").as("profile_idc"),
+      col("levelIdc").as("level_idc"),
+      col("spsWidth").as("sps_width"),
+      col("spsHeight").as("sps_height"),
+      col("dimsMatch").as("dims_match"),
+      col("reason"), col("parsed"))
+  }
+
+  /** Locate the first avc sample entry's `avcC` box and parse its
+    * first SPS.
+    */
+  private def h264SpsInfo(bytes: Array[Byte])
+      : Either[String, H264Sps] = {
+    if (parseMp4(bytes).isEmpty) return Left("not iso-bmff")
+    val avail = bytes.length.toLong
+
+    def children(start: Long, end: Long)
+        : Option[Vector[(String, Long, Long)]] = {
+      val out = Vector.newBuilder[(String, Long, Long)]
+      var pos = start
+      while (pos + 8 <= end) {
+        boxAt(bytes, pos, end, avail) match {
+          case Some((typ, body, boxEnd)) =>
+            if (boxEnd > end) return None
+            if (typ != "mdat" && typ != "free" && typ != "skip" &&
+              boxEnd > avail) return None
+            out += ((typ, body, boxEnd))
+            pos = boxEnd
+          case None => return None
+        }
+      }
+      Some(out.result())
+    }
+
+    val top = children(0L, bytes.length.toLong)
+      .getOrElse(return Left("malformed boxes"))
+    val moov = top.find(_._1 == "moov").getOrElse(return Left("no moov"))
+    val traks = children(moov._2, moov._3)
+      .getOrElse(return Left("malformed moov")).filter(_._1 == "trak")
+    traks.foreach { trak =>
+      val tc = children(trak._2, trak._3)
+        .getOrElse(return Left("malformed trak"))
+      tc.filter(_._1 == "mdia").foreach { mdia =>
+        val mc = children(mdia._2, mdia._3)
+          .getOrElse(return Left("malformed mdia"))
+        val isVide = mc.exists { case (t, b, e) =>
+          t == "hdlr" && b + 12 <= avail && b + 12 <= e &&
+            fourcc(bytes, b.toInt + 8) == "vide"
+        }
+        if (isVide) mc.filter(_._1 == "minf").foreach { minf =>
+          children(minf._2, minf._3).toVector.flatten
+            .filter(_._1 == "stbl").foreach { stbl =>
+              children(stbl._2, stbl._3).toVector.flatten
+                .filter(_._1 == "stsd").foreach { stsd =>
+                  // FullBox(4) + entry_count(4) + first entry
+                  val e = stsd._2 + 8
+                  if (e + 16 > avail) return Left("truncated stsd")
+                  val entryEnd = e + be32(bytes, e.toInt)
+                  if (entryEnd > stsd._3 || entryEnd > avail)
+                    return Left("truncated sample entry")
+                  val fmt = fourcc(bytes, e.toInt + 4)
+                  if (fmt == "avc1" || fmt == "avc3") {
+                    if (e + 86 > entryEnd)
+                      return Left("short visual entry")
+                    val sw = be16(bytes, e.toInt + 32)
+                    val sh = be16(bytes, e.toInt + 34)
+                    val kids = children(e + 86, entryEnd)
+                      .getOrElse(return Left("malformed entry boxes"))
+                    val avcC = kids.find(_._1 == "avcC")
+                      .getOrElse(return Left("no avcC"))
+                    return parseAvcC(bytes, avcC._2, avcC._3).flatMap {
+                      sps =>
+                        parseSps(sps).map { case (pr, lv, w, h) =>
+                          H264Sps(0L, sw, sh, pr, lv, w, h,
+                            dimsMatch = sw == w && sh == h, "",
+                            parsed = true)
+                        }
+                    }
+                  }
+                }
+            }
+        }
+      }
+    }
+    Left("no avc track")
+  }
+
+  /** AVCDecoderConfigurationRecord: version 1, profile/compat/level,
+    * then the SPS list — returns the FIRST SPS NAL.
+    */
+  private def parseAvcC(b: Array[Byte], start: Long,
+      end: Long): Either[String, Array[Byte]] = {
+    if (start + 6 > end) return Left("truncated avcC")
+    val o = start.toInt
+    if ((b(o) & 0xFF) != 1) return Left("avcC version")
+    val numSps = b(o + 5) & 0x1F
+    if (numSps < 1) return Left("avcC without sps")
+    if (start + 8 > end) return Left("truncated avcC")
+    val spsLen = be16(b, o + 6)
+    if (start + 8 + spsLen > end) return Left("truncated sps")
+    val sps = new Array[Byte](spsLen)
+    System.arraycopy(b, o + 8, sps, 0, spsLen)
+    Right(sps)
+  }
+
+  private final class RbspEof extends RuntimeException
+
+  /** Exp-Golomb bit reader over an RBSP (emulation-prevention bytes
+    * already stripped).
+    */
+  private final class BitReader(rbsp: Array[Byte]) {
+    private var bit = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byteIx = bit >> 3
+        if (byteIx >= rbsp.length) throw new RbspEof
+        v = (v << 1) | ((rbsp(byteIx) >> (7 - (bit & 7))) & 1)
+        bit += 1
+        i += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 31) throw new RbspEof // hostile golomb
+      }
+      if (zeros == 0) 0 else ((1 << zeros) - 1) + u(zeros)
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+  }
+
+  /** Parse one SPS NAL (ITU-T H.264 §7.3.2.1.1): profile, level, and
+    * the crop-derived frame dimensions a decoder actually outputs.
+    */
+  private[graft] def parseSps(nal: Array[Byte])
+      : Either[String, (Int, Int, Int, Int)] = {
+    if (nal.length < 4) return Left("sps too short")
+    if ((nal(0) & 0x1F) != 7) return Left("not an sps nal")
+    // strip emulation prevention: 00 00 03 -> 00 00
+    val rbsp = {
+      val out = new java.io.ByteArrayOutputStream()
+      var zeros = 0
+      var i = 1
+      while (i < nal.length) {
+        val v = nal(i) & 0xFF
+        if (zeros >= 2 && v == 3) zeros = 0 // skip the 0x03
+        else {
+          out.write(v)
+          zeros = if (v == 0) zeros + 1 else 0
+        }
+        i += 1
+      }
+      out.toByteArray
+    }
+    try {
+      val r = new BitReader(rbsp)
+      val profile = r.u(8)
+      r.u(8) // constraint flags + reserved
+      val level = r.u(8)
+      r.ue() // seq_parameter_set_id
+      var chromaFormat = 1 // implied 4:2:0 for the pre-FRExt profiles
+      var separateColour = 0
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
+        134, 135).contains(profile)) {
+        chromaFormat = r.ue()
+        if (chromaFormat == 3) separateColour = r.u(1)
+        r.ue(); r.ue() // bit depths
+        r.u(1) // qpprime_y_zero_transform_bypass
+        if (r.u(1) == 1) { // seq_scaling_matrix_present
+          val lists = if (chromaFormat == 3) 12 else 8
+          var i = 0
+          while (i < lists) {
+            if (r.u(1) == 1) { // scaling list present
+              val size = if (i < 6) 16 else 64
+              var lastScale = 8; var nextScale = 8
+              var j = 0
+              while (j < size) {
+                if (nextScale != 0) {
+                  val delta = r.se()
+                  nextScale = (lastScale + delta + 256) % 256
+                }
+                if (nextScale != 0) lastScale = nextScale
+                j += 1
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      r.ue() // log2_max_frame_num_minus4
+      val pocType = r.ue()
+      if (pocType == 0) r.ue()
+      else if (pocType == 1) {
+        r.u(1); r.se(); r.se()
+        val n = r.ue()
+        var i = 0
+        while (i < n) { r.se(); i += 1 }
+      }
+      r.ue() // max_num_ref_frames
+      r.u(1) // gaps_in_frame_num_value_allowed
+      val widthMbs = r.ue() + 1
+      val heightUnits = r.ue() + 1
+      val frameMbsOnly = r.u(1)
+      if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field
+      r.u(1) // direct_8x8_inference
+      var cl = 0; var cr = 0; var ct = 0; var cb = 0
+      if (r.u(1) == 1) { // frame_cropping
+        cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue()
+      }
+      // crop units (§7.4.2.1.1): ChromaArrayType 0 -> 1 / (2 - fmof);
+      // else SubWidthC / SubHeightC x (2 - fmof)
+      val chromaArrayType = if (separateColour == 1) 0 else chromaFormat
+      val (cux, cuy) = chromaArrayType match {
+        case 0 => (1, 2 - frameMbsOnly)
+        case 1 => (2, 2 * (2 - frameMbsOnly))
+        case 2 => (2, 1 * (2 - frameMbsOnly))
+        case 3 => (1, 1 * (2 - frameMbsOnly))
+        case _ => return Left("bad chroma_format_idc")
+      }
+      val w = widthMbs * 16 - cux * (cl + cr)
+      val h = (2 - frameMbsOnly) * heightUnits * 16 - cuy * (ct + cb)
+      if (w <= 0 || h <= 0) return Left("crop exceeds frame")
+      Right((profile, level, w, h))
+    } catch { case _: RbspEof => Left("truncated sps") }
+  }
+
+  // ---- SPS/avcC encoders (round-trip twins; fixture builders) --------
+
+  /** Exp-Golomb bit writer; emits the RBSP with a stop bit. */
+  private final class BitWriter {
+    private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    def u(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val code = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(code)
+      u(0, len - 1)
+      u(code, len)
+    }
+    def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    def toRbsp: Array[Byte] = {
+      u(1, 1) // rbsp_stop_one_bit
+      while (bits.length % 8 != 0) u(0, 1)
+      val out = new Array[Byte](bits.length / 8)
+      var i = 0
+      while (i < bits.length) {
+        if (bits(i) == 1) out(i / 8) =
+          (out(i / 8) | (1 << (7 - (i % 8)))).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Build a REAL SPS NAL for the given decoder-output dims —
+    * `spsWidth`/`spsHeight` need not be macroblock multiples (the
+    * remainder becomes the frame crop, like every real encoder).
+    * Baseline (66) or a FRExt profile (e.g. 100, which writes the
+    * chroma-format block). Emulation-prevention bytes inserted.
+    */
+  def buildSps(spsWidth: Int, spsHeight: Int, profileIdc: Int = 66,
+      levelIdc: Int = 30, spsId: Int = 0): Array[Byte] = {
+    require(spsWidth > 0 && spsHeight > 0, "dims")
+    require(spsWidth % 2 == 0 && spsHeight % 2 == 0,
+      "4:2:0 crops move in 2-pixel units")
+    val w = new BitWriter
+    w.u(profileIdc, 8)
+    w.u(0, 8) // constraint flags
+    w.u(levelIdc, 8)
+    w.ue(spsId)
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
+      134, 135).contains(profileIdc)) {
+      w.ue(1) // chroma_format_idc 4:2:0
+      w.ue(0); w.ue(0) // bit depths
+      w.u(0, 1) // qpprime
+      w.u(0, 1) // no scaling matrix
+    }
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(0) // pic_order_cnt_type 0
+    w.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1) // max_num_ref_frames
+    w.u(0, 1) // gaps
+    val mbsW = (spsWidth + 15) / 16
+    val mapH = (spsHeight + 15) / 16
+    w.ue(mbsW - 1)
+    w.ue(mapH - 1)
+    w.u(1, 1) // frame_mbs_only
+    w.u(1, 1) // direct_8x8_inference
+    val cropR = (mbsW * 16 - spsWidth) / 2
+    val cropB = (mapH * 16 - spsHeight) / 2
+    if (cropR > 0 || cropB > 0) {
+      w.u(1, 1)
+      w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB)
+    } else w.u(0, 1)
+    w.u(0, 1) // vui_parameters_present
+    val rbsp = w.toRbsp
+    // NAL: header 0x67 (ref idc 3, type 7) + emulation prevention
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x67)
+    var zeros = 0
+    rbsp.foreach { b =>
+      val v = b & 0xFF
+      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** The `avcC` child box wrapping one SPS (profile/level echoed from
+    * the SPS bytes, as real muxers do) — pass as [[buildMp4]]'s
+    * `videoExtra`.
+    */
+  def buildAvcC(sps: Array[Byte]): Array[Byte] = {
+    require(sps.length >= 4 && (sps(0) & 0x1F) == 7, "not an sps")
+    val bos = new java.io.ByteArrayOutputStream()
+    val payload = new java.io.ByteArrayOutputStream()
+    payload.write(1) // configurationVersion
+    payload.write(sps(1)); payload.write(sps(2)); payload.write(sps(3))
+    payload.write(0xFF) // reserved + lengthSizeMinusOne 3
+    payload.write(0xE1) // reserved + 1 sps
+    payload.write((sps.length >> 8) & 0xFF)
+    payload.write(sps.length & 0xFF)
+    payload.write(sps)
+    payload.write(0) // 0 pps (fixture: decoders need one, walks don't)
+    val body = payload.toByteArray
+    val sz = body.length + 8
+    bos.write((sz >> 24) & 0xFF); bos.write((sz >> 16) & 0xFF)
+    bos.write((sz >> 8) & 0xFF); bos.write(sz & 0xFF)
+    bos.write("avcC".getBytes("US-ASCII"))
+    bos.write(body)
     bos.toByteArray
   }
 }

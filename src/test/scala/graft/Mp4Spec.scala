@@ -325,4 +325,75 @@ class Mp4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!capped.decoded && capped.wav.isEmpty,
       "over-cap must refuse entirely, never truncate")
   }
+
+  test("H.264 SPS: profile/level and crop-derived dims parse from " +
+      "the avcC config; a lying stsd is DETECTED, not believed; " +
+      "baseline and FRExt profiles; emulation-prevention bytes " +
+      "round-trip") {
+    import org.apache.spark.sql.functions.col
+    def mp4(stsdW: Int, stsdH: Int, spsW: Int, spsH: Int,
+        profile: Int, level: Int) =
+      Mp4.buildMp4(timescale = 600L, duration = 1200L,
+        width = stsdW, height = stsdH,
+        videoExtra = Mp4.buildAvcC(Mp4.buildSps(spsW, spsH, profile,
+          level)))
+    val rows = Mp4.h264SpsScan(df(
+        1L -> mp4(1920, 1080, 1920, 1080, 66, 40),  // honest, cropB=4
+        2L -> mp4(1280, 720, 1280, 720, 100, 31),   // FRExt chroma blk
+        3L -> mp4(626, 468, 626, 468, 66, 30),      // honest w/ crops
+        4L -> mp4(640, 480, 320, 240, 77, 30)),     // stsd LIES
+      "id", "content").orderBy("id").collect()
+    assert(rows.forall(_.getAs[Boolean]("parsed")))
+    assert(rows(0).getAs[Int]("sps_width") === 1920)
+    assert(rows(0).getAs[Int]("sps_height") === 1080)
+    assert(rows(0).getAs[Int]("profile_idc") === 66)
+    assert(rows(0).getAs[Int]("level_idc") === 40)
+    assert(rows(0).getAs[Boolean]("dims_match"))
+    assert(rows(1).getAs[Int]("profile_idc") === 100)
+    assert(rows(1).getAs[Boolean]("dims_match"))
+    assert(rows(2).getAs[Int]("sps_width") === 626)
+    assert(rows(2).getAs[Int]("sps_height") === 468)
+    assert(rows(2).getAs[Boolean]("dims_match"))
+    assert(rows(3).getAs[Int]("stsd_width") === 640)
+    assert(rows(3).getAs[Int]("sps_width") === 320)
+    assert(!rows(3).getAs[Boolean]("dims_match"))
+    // emulation prevention: level 0 + a 7-leading-zero golomb sps_id
+    // force a 00 00 0x run the writer must escape with 0x03
+    val spsZeros = Mp4.buildSps(64, 64, 66, 0, spsId = 254)
+    assert((0 until spsZeros.length - 2).exists(i =>
+      spsZeros(i) == 0 && spsZeros(i + 1) == 0 && spsZeros(i + 2) == 3))
+    assert(Mp4.parseSps(spsZeros) === Right((66, 0, 64, 64)))
+  }
+
+  test("H.264 SPS honesty: no avc track, truncated avcC, and a " +
+      "corrupted SPS all refuse with a reason — never guessed dims") {
+    val noAvc = Mp4.buildMp4(600L, 1200L, 320, 240,
+      videoCodec = "hvc1")
+    val good = Mp4.buildMp4(600L, 1200L, 320, 240,
+      videoExtra = Mp4.buildAvcC(Mp4.buildSps(320, 240)))
+    // truncate INSIDE the avcC payload but keep box sizes coherent:
+    // declare numSps = 0 instead
+    val noSps = {
+      val c = good.clone()
+      val at = (0 until c.length - 4).find(o =>
+        new String(c, o, 4, "US-ASCII") == "avcC").get
+      c(at + 4 + 5) = 0xE0.toByte // 0 sps
+      c
+    }
+    val badSps = {
+      val c = good.clone()
+      val at = (0 until c.length - 4).find(o =>
+        new String(c, o, 4, "US-ASCII") == "avcC").get
+      c(at + 4 + 8) = 0x1F.toByte // NAL type no longer 7
+      c
+    }
+    val rows = Mp4.h264SpsScan(df(1L -> noAvc, 2L -> noSps,
+        3L -> badSps, 4L -> "garbage".getBytes("UTF-8")),
+      "id", "content").orderBy("id").collect()
+    assert(rows.forall(!_.getAs[Boolean]("parsed")))
+    assert(rows(0).getAs[String]("reason") === "no avc track")
+    assert(rows(1).getAs[String]("reason") === "avcC without sps")
+    assert(rows(2).getAs[String]("reason") === "not an sps nal")
+    assert(rows(3).getAs[String]("reason") === "not iso-bmff")
+  }
 }
