@@ -479,6 +479,31 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** FLAC / Ogg-Vorbis / Ogg-Opus payloads carrying REAL Vorbis
+    * comments (the VORBIS_COMMENT block / second logical packet),
+    * every key and value a closed form of doc_id; id % 3 rotates the
+    * carrier.
+    */
+  private def syntheticVorbisCommentClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val comments = Seq(
+        "TITLE" -> s"t$id",
+        "ARTIST" -> s"a${base % 7}",
+        "LANGUAGE" -> s"l${base % 9}")
+      (id % 3) match {
+        case 0 => Audio.buildFlacHeader(8000, 1, 16, 4000 + base,
+          vendor = s"v${base % 5}", comments = comments)
+        case 1 => Audio.buildOgg("vorbis", 1, 8000, 800L + base,
+          vendor = s"v${base % 5}", comments = comments)
+        case _ => Audio.buildOgg("opus", 2, 48000, 4800L + base,
+          vendor = s"v${base % 5}", comments = comments)
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
     * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
     * appended — v1.1 (with track) on even ids, plain v1 on odd.
@@ -3161,6 +3186,15 @@ object SparkEntry {
           col("sps_width").cast("long").as("sps_width"),
           col("sps_height").cast("long").as("sps_height"),
           col("dims_match"), col("parsed"))),
+
+    // Vorbis comments — where real audio corpora carry title /
+    // artist / language: the FLAC VORBIS_COMMENT block and the Ogg
+    // vorbis/opus second packet, one container-auto scan; every
+    // column a closed form of doc_id
+    "q_audio_vorbis_comment" -> ((s, dir) =>
+      Audio.vorbisCommentScan(
+        syntheticVorbisCommentClassed(t(s, dir, "documents")),
+        "id", "content")),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
     // headers are q_audio_id3): REAL MP3 frames + a closed-form
@@ -6665,6 +6699,26 @@ object SparkEntry {
         |  CAST(h AS BIGINT) AS sps_height,
         |  NOT lie AS dims_match, TRUE AS parsed
         |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Vorbis comments: carrier rotates by id % 3; keys/values replay
+    // in closed form, stored order preserved
+    "q_audio_vorbis_comment" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |m AS (SELECT id, base,
+        |    CASE CAST(id % 3 AS BIGINT) WHEN 0 THEN 'flac'
+        |      WHEN 1 THEN 'vorbis' ELSE 'opus' END AS source,
+        |    'v' || (base % 5) AS vendor
+        |  FROM g)
+        |SELECT id, source, vendor,
+        |  CAST(k AS BIGINT) AS comment_index,
+        |  CASE k WHEN 0 THEN 'TITLE' WHEN 1 THEN 'ARTIST'
+        |    ELSE 'LANGUAGE' END AS key,
+        |  CASE k WHEN 0 THEN 't' || id WHEN 1 THEN 'a' || (base % 7)
+        |    ELSE 'l' || (base % 9) END AS value
+        |FROM m CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3v1 trailer: every field a closed form of base = doc_id % 64

@@ -1250,14 +1250,17 @@ object Audio {
     */
   def buildFlacHeader(sampleRate: Int, channels: Int,
       bitsPerSample: Int, totalSamples: Long,
-      fillBytes: Int = 64): Array[Byte] = {
+      fillBytes: Int = 64, vendor: String = "",
+      comments: Seq[(String, String)] = Nil): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20), "sampleRate")
     require(channels >= 1 && channels <= 8, "channels")
     require(bitsPerSample >= 4 && bitsPerSample <= 32, "bits")
     require(totalSamples >= 0 && totalSamples < (1L << 36), "samples")
+    val withComments = comments.nonEmpty || vendor.nonEmpty
     val bos = new java.io.ByteArrayOutputStream()
     bos.write("fLaC".getBytes("US-ASCII"))
-    bos.write(0x80) // last block + type 0 (STREAMINFO)
+    // last-block bit clears when a VORBIS_COMMENT block follows
+    bos.write(if (withComments) 0x00 else 0x80)
     bos.write(0); bos.write(0); bos.write(34)
     // min/max block size, min/max frame size (structural bounds)
     bos.write(0x10); bos.write(0x00); bos.write(0x10); bos.write(0x00)
@@ -1273,7 +1276,36 @@ object Audio {
     bos.write(((totalSamples >> 8) & 0xFF).toInt)
     bos.write((totalSamples & 0xFF).toInt)
     (0 until 16).foreach(_ => bos.write(0)) // MD5 (unset)
+    if (withComments) {
+      val body = vorbisCommentBytes(vendor, comments)
+      bos.write(0x80 | 4) // last block + VORBIS_COMMENT
+      bos.write((body.length >> 16) & 0xFF)
+      bos.write((body.length >> 8) & 0xFF)
+      bos.write(body.length & 0xFF)
+      bos.write(body)
+    }
     (0 until fillBytes).foreach(i => bos.write(i & 0xFF))
+    bos.toByteArray
+  }
+
+  /** The shared comment structure: vendor + "KEY=value" list, all
+    * lengths little-endian (the encode twin of
+    * [[parseVorbisComments]]).
+    */
+  private[graft] def vorbisCommentBytes(vendor: String,
+      comments: Seq[(String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    val vb = vendor.getBytes("UTF-8")
+    le32(vb.length); bos.write(vb)
+    le32(comments.length)
+    comments.foreach { case (k, v) =>
+      val cb = s"$k=$v".getBytes("UTF-8")
+      le32(cb.length); bos.write(cb)
+    }
     bos.toByteArray
   }
 
@@ -1378,7 +1410,8 @@ object Audio {
     * packet bytes beyond the ID header are opaque filler.
     */
   def buildOgg(codec: String, channels: Int, sampleRate: Int,
-      granule: Long, fillBytes: Int = 96): Array[Byte] = {
+      granule: Long, fillBytes: Int = 96, vendor: String = "",
+      comments: Seq[(String, String)] = Nil): Array[Byte] = {
     require(codec == "vorbis" || codec == "opus", "codec")
     require(channels >= 1 && channels <= 255 && sampleRate > 0 &&
       granule >= 0, "shape")
@@ -1427,9 +1460,194 @@ object Audio {
       idPacket.write(0) // mapping family 0
     }
     page(0x02, -1L, 0, idPacket.toByteArray) // BOS, no packet ends
-    page(0x04, granule, 1,
+    var seq = 1
+    if (comments.nonEmpty || vendor.nonEmpty) {
+      // the comment header is the stream's SECOND logical packet
+      val pkt = new java.io.ByteArrayOutputStream()
+      if (codec == "vorbis") {
+        pkt.write(0x03)
+        pkt.write("vorbis".getBytes("US-ASCII"))
+        pkt.write(vorbisCommentBytes(vendor, comments))
+        pkt.write(0x01) // framing bit
+      } else {
+        pkt.write("OpusTags".getBytes("US-ASCII"))
+        pkt.write(vorbisCommentBytes(vendor, comments))
+      }
+      page(0x00, -1L, seq, pkt.toByteArray)
+      seq += 1
+    }
+    page(0x04, granule, seq,
       Array.tabulate[Byte](fillBytes)(i => (i * 31).toByte)) // EOS
     bos.toByteArray
+  }
+
+  /** One Vorbis comment: the `source` names the carrier (`flac`
+    * block, Ogg `vorbis` packet, Ogg `opus` OpusTags), `vendor` is
+    * the writer string, and comments are (key, value) in stored
+    * order. This is where real audio corpora carry title / artist /
+    * language — the curation metadata the text pipeline joins on.
+    */
+  case class VorbisCommentRow(id: Long, source: String, vendor: String,
+      commentIndex: Long, key: String, value: String)
+
+  /** Explode the Vorbis comments of FLAC (VORBIS_COMMENT metadata
+    * block, type 4) and Ogg Vorbis/Opus (the second logical packet)
+    * payloads — one row per comment, dispatched per row by magic.
+    * Malformed structures emit nothing (per-file honesty); files
+    * without a comment block emit nothing (absence is not an error).
+    */
+  def vorbisCommentScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[VorbisCommentRow]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val parsed: Option[(String, String, Vector[(String, String)])] =
+            if (b != null && b.length >= 8 && b(0) == 'f'.toByte &&
+              b(1) == 'L'.toByte && b(2) == 'a'.toByte &&
+              b(3) == 'C'.toByte)
+              flacVorbisComment(b).map { case (v, cs) => ("flac", v, cs) }
+            else if (b != null && b.length >= 28 && b(0) == 'O'.toByte &&
+              b(1) == 'g'.toByte && b(2) == 'g'.toByte &&
+              b(3) == 'S'.toByte)
+              oggVorbisComment(b)
+            else None
+          parsed match {
+            case Some((src, vendor, cs)) => cs.zipWithIndex.map {
+              case ((k, v), i) =>
+                VorbisCommentRow(id, src, vendor, i.toLong, k, v)
+            }
+            case None => Nil
+          }
+        }
+    }.toDF().select(col("id"), col("source"), col("vendor"),
+      col("commentIndex").as("comment_index"), col("key"),
+      col("value"))
+  }
+
+  /** The published comment structure (all lengths LITTLE-endian,
+    * unlike the rest of FLAC): vendor_length + vendor, count, then
+    * per comment length + "KEY=value". `exact` demands the structure
+    * end exactly at `end`. Keys must be printable ASCII without '='
+    * (the spec grammar) — anything else refuses.
+    */
+  private[graft] def parseVorbisComments(b: Array[Byte], start: Int,
+      end: Int, exact: Boolean)
+      : Option[(String, Vector[(String, String)], Int)] = {
+    def le32at(o: Int): Long = (b(o) & 0xFFL) |
+      ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) |
+      ((b(o + 3) & 0xFFL) << 24)
+    if (start + 4 > end) return None
+    val vlen = le32at(start)
+    if (vlen < 0L || start + 4 + vlen > end) return None
+    val vendor = new String(b, start + 4, vlen.toInt, "UTF-8")
+    var p = start + 4 + vlen.toInt
+    if (p + 4 > end) return None
+    val n = le32at(p)
+    p += 4
+    if (n < 0L || n > (end - p)) return None // each comment is >= 4+1
+    val out = Vector.newBuilder[(String, String)]
+    var i = 0L
+    while (i < n) {
+      if (p + 4 > end) return None
+      val clen = le32at(p)
+      p += 4
+      if (clen < 0L || p + clen > end) return None
+      val s = new String(b, p, clen.toInt, "UTF-8")
+      val eq = s.indexOf('=')
+      if (eq <= 0) return None
+      val key = s.substring(0, eq)
+      if (!key.forall(c => c >= 0x20 && c <= 0x7D && c != '='))
+        return None
+      out += ((key, s.substring(eq + 1)))
+      p += clen.toInt
+      i += 1
+    }
+    if (exact && p != end) return None
+    Some((vendor, out.result(), p))
+  }
+
+  /** FLAC: walk the metadata-block chain to the VORBIS_COMMENT block
+    * (type 4). None on malformed chains OR absent blocks.
+    */
+  private[graft] def flacVorbisComment(b: Array[Byte])
+      : Option[(String, Vector[(String, String)])] = {
+    if (parseFlacInfo(b).isEmpty) return None
+    var p = 4
+    var last = false
+    while (!last) {
+      if (p + 4 > b.length) return None
+      val h = b(p) & 0xFF
+      last = (h & 0x80) != 0
+      val typ = h & 0x7F
+      val len = ((b(p + 1) & 0xFF) << 16) | ((b(p + 2) & 0xFF) << 8) |
+        (b(p + 3) & 0xFF)
+      if (p + 4 + len > b.length) return None
+      if (typ == 4)
+        return parseVorbisComments(b, p + 4, p + 4 + len,
+          exact = true).map { case (v, cs, _) => (v, cs) }
+      if (typ == 127) return None // invalid block type per spec
+      p += 4 + len
+    }
+    None // no comment block: absence, not structure — emit nothing
+  }
+
+  /** Ogg: reassemble the SECOND logical packet through the lacing
+    * tables and parse it as a Vorbis comment header (0x03"vorbis" +
+    * structure + framing bit) or OpusTags. None on malformed pages
+    * or packets.
+    */
+  private[graft] def oggVorbisComment(b: Array[Byte])
+      : Option[(String, String, Vector[(String, String)])] = {
+    val codec = parseOgg(b).map(_._1).getOrElse(return None)
+    // packet reassembly: concatenate segment runs; a lacing value
+    // < 255 ends the packet
+    val packets = Vector.newBuilder[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    var nPackets = 0
+    var pos = 0
+    while (pos + 27 <= b.length && nPackets < 2) {
+      val nSegs = b(pos + 26) & 0xFF
+      var body = pos + 27 + nSegs
+      var s = 0
+      while (s < nSegs && nPackets < 2) {
+        val lace = b(pos + 27 + s) & 0xFF
+        cur.write(b, body, lace)
+        body += lace
+        if (lace < 255) {
+          packets += cur.toByteArray
+          cur.reset()
+          nPackets += 1
+        }
+        s += 1
+      }
+      // advance to the next page (skip any segments beyond packet 2)
+      var full = pos + 27 + nSegs
+      var t = 0
+      while (t < nSegs) { full += b(pos + 27 + t) & 0xFF; t += 1 }
+      pos = full
+    }
+    val ps = packets.result()
+    if (ps.length < 2) return None
+    val pkt = ps(1)
+    if (codec == "vorbis") {
+      // 0x03 "vorbis" + structure + framing bit 0x01
+      if (pkt.length < 8 || (pkt(0) & 0xFF) != 0x03 ||
+        new String(pkt, 1, 6, "US-ASCII") != "vorbis") return None
+      parseVorbisComments(pkt, 7, pkt.length, exact = false).flatMap {
+        case (v, cs, endAt) =>
+          if (endAt + 1 != pkt.length || (pkt(endAt) & 0x01) != 1) None
+          else Some(("vorbis", v, cs))
+      }
+    } else {
+      if (pkt.length < 8 ||
+        new String(pkt, 0, 8, "US-ASCII") != "OpusTags") return None
+      parseVorbisComments(pkt, 8, pkt.length, exact = true).map {
+        case (v, cs, _) => ("opus", v, cs)
+      }
+    }
   }
 
   /** NEEDLE HUNT: find clips whose content CONTAINS a known jingle —

@@ -1285,4 +1285,64 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Map(1L -> false, 2L -> false, 3L -> false,
       4L -> false, 5L -> false, 6L -> true), rows.toString)
   }
+
+  test("Vorbis comments: FLAC VORBIS_COMMENT blocks and Ogg " +
+      "vorbis/opus second packets round trip (UTF-8 values, '=' in " +
+      "values, >255-byte comments across lacing boundaries); absence " +
+      "and malformed structures emit nothing") {
+    import graft.operators.Audio
+    val longVal = "x" * 600 // forces multi-segment lacing in Ogg
+    val comments = Seq("TITLE" -> "caf\u00e9 \u2603 nights",
+      "ARTIST" -> "a=b=c", "PAD" -> longVal)
+    val flac = Audio.buildFlacHeader(8000, 1, 16, 4000,
+      vendor = "graft-enc", comments = comments)
+    val ogg = Audio.buildOgg("vorbis", 1, 8000, 800L,
+      vendor = "graft-ogg", comments = comments)
+    val opus = Audio.buildOgg("opus", 2, 48000, 4800L,
+      vendor = "graft-opus", comments = comments)
+    val bare = Audio.buildFlacHeader(8000, 1, 16, 4000)
+    val bareOgg = Audio.buildOgg("vorbis", 1, 8000, 800L)
+    val rows = Audio.vorbisCommentScan(df(
+        1L -> flac, 2L -> ogg, 3L -> opus, 4L -> bare, 5L -> bareOgg,
+        6L -> "garbage".getBytes("UTF-8")),
+      "id", "content").orderBy("id", "comment_index").collect()
+    assert(rows.length === 9)
+    assert(rows.map(_.getAs[Long]("id")).distinct.toSeq ===
+      Seq(1L, 2L, 3L))
+    Seq((0, "flac", "graft-enc"), (3, "vorbis", "graft-ogg"),
+        (6, "opus", "graft-opus")).foreach { case (o, src, vend) =>
+      assert(rows(o).getAs[String]("source") === src)
+      assert(rows(o).getAs[String]("vendor") === vend)
+      assert(rows(o).getAs[String]("key") === "TITLE")
+      assert(rows(o).getAs[String]("value") === "caf\u00e9 \u2603 nights")
+      assert(rows(o + 1).getAs[String]("value") === "a=b=c")
+      assert(rows(o + 2).getAs[String]("value") === longVal)
+    }
+    // honesty: flip the framing bit off the vorbis comment packet
+    val noFraming = ogg.clone()
+    // the comment page is the second page; its last body byte is the
+    // framing bit
+    assert(Audio.vorbisCommentScan(df(1L -> {
+      val c = ogg.clone()
+      // find "vorbis" of the COMMENT packet (0x03 prefix) and break
+      // the structure by zeroing its packet-type byte
+      val at = (1 until c.length - 7).find(o =>
+        (c(o) & 0xFF) == 0x03 &&
+          new String(c, o + 1, 6, "US-ASCII") == "vorbis").get
+      c(at) = 0x05.toByte
+      c
+    }), "id", "content").count() === 0L)
+    // truncated FLAC comment block length lies past the file
+    val truncated = flac.clone()
+    val at = (4 until truncated.length - 4).find(o =>
+      (truncated(o) & 0x7F) == 4).get
+    truncated(at + 1) = 0x7F.toByte
+    assert(Audio.vorbisCommentScan(df(1L -> truncated), "id",
+      "content").count() === 0L)
+    // a key with a forbidden byte refuses the whole structure
+    val badKey = Audio.buildFlacHeader(8000, 1, 16, 4000,
+      vendor = "v", comments = Seq("BAD\u0007KEY" -> "v"))
+    assert(Audio.vorbisCommentScan(df(1L -> badKey), "id",
+      "content").count() === 0L)
+  }
 }
