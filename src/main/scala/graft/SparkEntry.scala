@@ -322,21 +322,60 @@ object SparkEntry {
     * closed-form contents) plus one member whose 110-char directory
     * exercises the ustar prefix field — real checksums throughout.
     */
+  private val streamRunCounter =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def jingleBytes(c: Long): Array[Int] =
+    Array.tabulate(1040)(k =>
+      (Math.floorMod(c * 2654435761L + k * 40503L, 65536L) - 32768L)
+        .toInt)
+
+  /** The hunt clip corpus: ids with base < 32 carry jingle #base
+    * between two noise runs; the rest are pure noise.
+    */
+  private def jingleClipBytes(id: Long): Array[Byte] = {
+    val base = id % 64
+    val noise = Array.tabulate(1040)(k =>
+      (Math.floorMod(id * 48271L + k * 16807L, 65536L) - 32768L).toInt)
+    val all =
+      if (base < 32) noise ++ jingleBytes(base) ++ noise
+      else noise ++ noise ++ noise
+    Audio.wrapWav(all, 0, 3120, 8000)
+  }
+
+  /** Write the 32-jingle index at a per-run path (two concurrent
+    * suite runs on one host must not overwrite each other's index
+    * mid-read — the Spark app id is unique per SparkSession).
+    */
+  private def jingleIndexPath(s: SparkSession, tag: String): String = {
+    val idxPath = new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${s.sparkContext.applicationId}").toString
+    Audio.writeAudioNearDupIndex(
+      s.range(0, 32).select(col("id"),
+        udf((c: Long) => Audio.wrapWav(jingleBytes(c), 0, 1040, 8000))
+          .apply(col("id")).as("content")),
+      "id", "content", idxPath)
+    idxPath
+  }
+
+  private def tarShardBytes(id: Long): Array[Byte] = {
+    val n = (2 + id % 3).toInt
+    val members = (0 until n).flatMap { k =>
+      Seq(
+        (s"shard/${id}_$k.jpg", s"img:$id:$k".getBytes("UTF-8")),
+        (s"shard/${id}_$k.txt", s"txt:$id:$k".getBytes("UTF-8")),
+        (s"shard/${id}_$k.json", s"""{"k":$k}""".getBytes("UTF-8")))
+    } :+ (("d" * 110) + s"/long_$id.dat",
+      s"long:$id".getBytes("UTF-8"))
+    val tar = Tar.buildTar(members)
+    // odd ids ship gzipped (.tar.gz): same members either way, the
+    // walk dispatches on the gzip magic per row
+    if (id % 2 == 0) tar else Tar.gzipBytes(tar)
+  }
+
   private def syntheticTarClassed(docs: DataFrame): DataFrame = {
-    val build = udf((id: Long) => {
-      val n = (2 + id % 3).toInt
-      val members = (0 until n).flatMap { k =>
-        Seq(
-          (s"shard/${id}_$k.jpg", s"img:$id:$k".getBytes("UTF-8")),
-          (s"shard/${id}_$k.txt", s"txt:$id:$k".getBytes("UTF-8")),
-          (s"shard/${id}_$k.json", s"""{"k":$k}""".getBytes("UTF-8")))
-      } :+ (("d" * 110) + s"/long_$id.dat",
-        s"long:$id".getBytes("UTF-8"))
-      val tar = Tar.buildTar(members)
-      // odd ids ship gzipped (.tar.gz): same members either way, the
-      // walk dispatches on the gzip magic per row
-      if (id % 2 == 0) tar else Tar.gzipBytes(tar)
-    })
+    val build = udf(tarShardBytes _)
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
@@ -2846,35 +2885,44 @@ object SparkEntry {
     // streams are noise-like and the match requires exact 64-bit
     // equality of exact-copied samples
     "q_jingle_hunt" -> ((s, dir) => {
-      import org.apache.hadoop.fs.Path
-      def jingle(c: Long): Array[Int] = Array.tabulate(1040)(k =>
-        (Math.floorMod(c * 2654435761L + k * 40503L, 65536L) - 32768L)
-          .toInt)
-      // per-run path: two concurrent suite runs on one host must not
-      // overwrite each other's index mid-read (the Spark app id is
-      // unique per SparkSession)
-      val idxPath = new Path(sys.props("java.io.tmpdir"),
-        s"graft_q_jingle_hunt_idx_${s.sparkContext.applicationId}")
-        .toString
-      Audio.writeAudioNearDupIndex(
-        s.range(0, 32).select(col("id"),
-          udf((c: Long) => Audio.wrapWav(jingle(c), 0, 1040, 8000))
-            .apply(col("id")).as("content")),
-        "id", "content", idxPath)
+      val idxPath = jingleIndexPath(s, "q_jingle_hunt_idx")
       val clips = t(s, dir, "documents").select(
         col("doc_id").as("id"),
-        udf((id: Long) => {
-          val base = id % 64
-          val noise = Array.tabulate(1040)(k =>
-            (Math.floorMod(id * 48271L + k * 16807L, 65536L) - 32768L)
-              .toInt)
-          val all =
-            if (base < 32) noise ++ jingle(base) ++ noise
-            else noise ++ noise ++ noise
-          Audio.wrapWav(all, 0, 3120, 8000)
-        }).apply(col("doc_id")).as("content")).localCheckpoint(true)
+        udf(jingleClipBytes _).apply(col("doc_id")).as("content"))
+        .localCheckpoint(true)
       Audio.findClipsContainingJingle(clips, "id", "content", idxPath,
         segmentFrames = 1040)
+    }),
+
+    // the SAME hunt as a STREAMING query over a live clip feed,
+    // batch-equivalence proven by the oracle: the MemoryStream feed
+    // arrives in three micro-batches, the stateless kernel emits
+    // matches in the batch each clip arrives, and the unioned memory
+    // sink must hash-equal q_jingle_hunt's closed form
+    "q_jingle_hunt_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val idxPath = jingleIndexPath(s, "q_jingle_hunt_stream_idx")
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")).collect().map(_.getLong(0))
+      val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+      val out = Audio.findClipsContainingJingleStream(
+        mem.toDF().toDF("id", "content", "ts"), "id", "content", "ts",
+        idxPath, segmentFrames = 1040)
+      val table = s"q_jingle_hunt_stream_${
+        streamRunCounter.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(table)
+        .outputMode("append").start()
+      try {
+        ids.grouped(math.max(1, ids.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.map(id => (id, jingleClipBytes(id),
+            new java.sql.Timestamp(id * 1000L))).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(table).select(col("id"), col("seg_idx"),
+        col("start_frame"))
     }),
 
     // WebP header metadata (the modern image container): REAL bytes
@@ -3075,6 +3123,38 @@ object SparkEntry {
         .select(col("id"), col("entry_index"), col("path"),
           col("bytes").cast("string").as("content_str"),
           col("size"))),
+
+    // the SAME member walk as a STREAMING query over a live shard
+    // feed (three micro-batches through a MemoryStream), the census
+    // aggregated from the unioned memory sink — batch equivalence
+    // proven against q_webdataset's closed form
+    "q_wds_member_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")).collect().map(_.getLong(0))
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val out = Tar.webdatasetMembers(
+        mem.toDF().toDF("id", "content"), "id", "content")
+      val table = s"q_wds_member_stream_${
+        streamRunCounter.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(table)
+        .outputMode("append").start()
+      try {
+        ids.grouped(math.max(1, ids.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.map(id =>
+            (id, tarShardBytes(id))).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(table)
+        .groupBy(col("id"), col("stem"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(array_sort(collect_list(col("ext"))), ",")
+            .as("exts"),
+          sum(col("size")).as("total_bytes"))
+    }),
 
     // WebDataset sample assembly: members grouped by basename stem
     // (a LOCAL per-shard fold — no shuffle in the member walk), the
@@ -9259,6 +9339,37 @@ object SparkEntry {
         |  CAST(NULL AS DOUBLE) AS z_after,
         |  CASE WHEN l_tax <> 0 THEN l_tax END AS elev
         |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // streaming jingle hunt: identical closed form to q_jingle_hunt —
+    // the kernel is stateless, so micro-batching must not change one
+    // row
+    "q_jingle_hunt_stream" ->
+      """SELECT doc_id AS id, CAST(1 AS BIGINT) AS seg_idx,
+        |  CAST(1040 AS BIGINT) AS start_frame
+        |FROM documents
+        |WHERE doc_id % 64 < 32
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // streaming WebDataset member walk: identical census to
+    // q_webdataset
+    "q_wds_member_stream" ->
+      """WITH g AS (SELECT doc_id AS id, 2 + doc_id % 3 AS n
+        |  FROM documents),
+        |s AS (SELECT id, 'shard/' || id || '_' || k AS stem,
+        |    CAST(3 AS BIGINT) AS n_members,
+        |    'jpg,json,txt' AS exts,
+        |    CAST(length('img:' || id || ':' || k)
+        |      + length('txt:' || id || ':' || k)
+        |      + length('{"k":' || k || '}') AS BIGINT) AS total_bytes
+        |  FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        |  WHERE k < n
+        |UNION ALL
+        |  SELECT id, repeat('d', 110) || '/long_' || id,
+        |    CAST(1 AS BIGINT), 'dat',
+        |    CAST(length('long:' || id) AS BIGINT)
+        |  FROM g)
+        |SELECT id, stem, n_members, exts, total_bytes FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // streaming shard source: member rows replay in closed form —
     // entry order within a bucket shard is (rank of id) * 2 + k, txt
