@@ -2891,6 +2891,12 @@ object ScaleSmoke {
         f"(${nWs / tWs}%.0f files/s), speech-ms totals exact, " +
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     }
+    // --- STREAMING multi-GiB tar shards: the path-level source walks
+    // shards far beyond any column-operator cap with ONE member
+    // resident — counts, byte sums, and planted bytes exact.
+    ShardStreamSmoke.run(spark, nShards = 4, membersPerShard = 1536,
+      memberBytes = 1 << 20)
+
     spark.stop()
   }
 }
