@@ -543,6 +543,30 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** MP4s with REAL H.265 SPS extradata (hvc1 tracks): the hvcC
+    * carries an encoder-built SPS whose conformance-window dims,
+    * profile/tier/level are closed forms of doc_id; every
+    * id % 3 == 0 file's stsd LIES about the dimensions.
+    */
+  private def syntheticH265Classed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val spsW = 322 + 2 * (base % 16)
+      val spsH = 178 + 2 * (base % 12)
+      val lie = id % 3 == 0
+      Mp4.buildMp4(timescale = 600L, duration = 1000L + base,
+        width = if (lie) spsW + 32 else spsW,
+        height = if (lie) spsH + 32 else spsH,
+        videoCodec = "hvc1",
+        videoExtra = Mp4.buildHvcC(Mp4.buildHevcSps(spsW, spsH,
+          profileIdc = if (id % 2 == 0) 1 else 2,
+          tier = (base % 2),
+          levelIdc = 90 + 3 * (base % 4))))
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
     * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
     * appended — v1.1 (with track) on even ids, plain v1 on odd.
@@ -3275,6 +3299,22 @@ object SparkEntry {
       Audio.vorbisCommentScan(
         syntheticVorbisCommentClassed(t(s, dir, "documents")),
         "id", "content")),
+
+    // H.265 SPS cross-check — the hvc1 counterpart of
+    // q_video_h264_sps: profile_tier_level + conformance-window dims
+    // from the hvcC config; a lying stsd flips dims_match
+    "q_video_h265_sps" -> ((s, dir) =>
+      Mp4.h265SpsScan(
+        syntheticH265Classed(t(s, dir, "documents")), "id", "content")
+        .select(col("id"),
+          col("stsd_width").cast("long").as("stsd_width"),
+          col("stsd_height").cast("long").as("stsd_height"),
+          col("profile_idc").cast("long").as("profile_idc"),
+          col("tier").cast("long").as("tier"),
+          col("level_idc").cast("long").as("level_idc"),
+          col("sps_width").cast("long").as("sps_width"),
+          col("sps_height").cast("long").as("sps_height"),
+          col("dims_match"), col("parsed"))),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
     // headers are q_audio_id3): REAL MP3 frames + a closed-form
@@ -6799,6 +6839,30 @@ object SparkEntry {
         |  CASE k WHEN 0 THEN 't' || id WHEN 1 THEN 'a' || (base % 7)
         |    ELSE 'l' || (base % 9) END AS value
         |FROM m CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // H.265 SPS: the hvc1 closed forms
+    "q_video_h265_sps" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |m AS (SELECT id, base,
+        |    322 + 2 * (base % 16) AS w, 178 + 2 * (base % 12) AS h,
+        |    id % 3 = 0 AS lie
+        |  FROM g)
+        |SELECT id,
+        |  CAST(CASE WHEN lie THEN w + 32 ELSE w END AS BIGINT)
+        |    AS stsd_width,
+        |  CAST(CASE WHEN lie THEN h + 32 ELSE h END AS BIGINT)
+        |    AS stsd_height,
+        |  CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS profile_idc,
+        |  CAST(base % 2 AS BIGINT) AS tier,
+        |  CAST(90 + 3 * (base % 4) AS BIGINT) AS level_idc,
+        |  CAST(w AS BIGINT) AS sps_width,
+        |  CAST(h AS BIGINT) AS sps_height,
+        |  NOT lie AS dims_match, TRUE AS parsed
+        |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3v1 trailer: every field a closed form of base = doc_id % 64

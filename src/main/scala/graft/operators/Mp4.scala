@@ -974,11 +974,13 @@ object Mp4 {
       col("reason"), col("parsed"))
   }
 
-  /** Locate the first avc sample entry's `avcC` box and parse its
-    * first SPS.
+  /** Locate the first video sample entry whose format is in `fmts`:
+    * (stsd width, stsd height, the entry's child boxes). Shared by
+    * the H.264 and H.265 SPS scans.
     */
-  private def h264SpsInfo(bytes: Array[Byte])
-      : Either[String, H264Sps] = {
+  private def firstVideoEntry(bytes: Array[Byte], fmts: Set[String],
+      missing: String)
+      : Either[String, (Int, Int, Vector[(String, Long, Long)])] = {
     if (parseMp4(bytes).isEmpty) return Left("not iso-bmff")
     val avail = bytes.length.toLong
 
@@ -1027,31 +1029,39 @@ object Mp4 {
                   if (entryEnd > stsd._3 || entryEnd > avail)
                     return Left("truncated sample entry")
                   val fmt = fourcc(bytes, e.toInt + 4)
-                  if (fmt == "avc1" || fmt == "avc3") {
+                  if (fmts.contains(fmt)) {
                     if (e + 86 > entryEnd)
                       return Left("short visual entry")
                     val sw = be16(bytes, e.toInt + 32)
                     val sh = be16(bytes, e.toInt + 34)
                     val kids = children(e + 86, entryEnd)
                       .getOrElse(return Left("malformed entry boxes"))
-                    val avcC = kids.find(_._1 == "avcC")
-                      .getOrElse(return Left("no avcC"))
-                    return parseAvcC(bytes, avcC._2, avcC._3).flatMap {
-                      sps =>
-                        parseSps(sps).map { case (pr, lv, w, h) =>
-                          H264Sps(0L, sw, sh, pr, lv, w, h,
-                            dimsMatch = sw == w && sh == h, "",
-                            parsed = true)
-                        }
-                    }
+                    return Right((sw, sh, kids))
                   }
                 }
             }
         }
       }
     }
-    Left("no avc track")
+    Left(missing)
   }
+
+  /** Locate the first avc sample entry's `avcC` box and parse its
+    * first SPS.
+    */
+  private def h264SpsInfo(bytes: Array[Byte])
+      : Either[String, H264Sps] =
+    firstVideoEntry(bytes, Set("avc1", "avc3"), "no avc track")
+      .flatMap { case (sw, sh, kids) =>
+        val avcC = kids.find(_._1 == "avcC")
+          .getOrElse(return Left("no avcC"))
+        parseAvcC(bytes, avcC._2, avcC._3).flatMap { sps =>
+          parseSps(sps).map { case (pr, lv, w, h) =>
+            H264Sps(0L, sw, sh, pr, lv, w, h,
+              dimsMatch = sw == w && sh == h, "", parsed = true)
+          }
+        }
+      }
 
   /** AVCDecoderConfigurationRecord: version 1, profile/compat/level,
     * then the SPS list — returns the FIRST SPS NAL.
@@ -1305,6 +1315,253 @@ object Mp4 {
     bos.write((sz >> 24) & 0xFF); bos.write((sz >> 16) & 0xFF)
     bos.write((sz >> 8) & 0xFF); bos.write(sz & 0xFF)
     bos.write("avcC".getBytes("US-ASCII"))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  // ---- H.265/HEVC SPS (the hvc1/hev1 counterpart) ---------------------
+
+  /** SPS-derived facts for the first `hvc1`/`hev1` track — the H.265
+    * counterpart of [[H264Sps]]: profile space/tier/profile/level
+    * from the profile_tier_level block, luma dimensions minus the
+    * conformance window (what a decoder outputs), `dimsMatch` against
+    * the `stsd` claim.
+    */
+  case class H265Sps(id: Long, stsdWidth: Int, stsdHeight: Int,
+      profileIdc: Int, tier: Int, levelIdc: Int, spsWidth: Int,
+      spsHeight: Int, dimsMatch: Boolean, reason: String,
+      parsed: Boolean)
+
+  def h265SpsScan(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[H265Sps]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          h265SpsInfo(r.getAs[Array[Byte]](1)) match {
+            case Right(m) => m.copy(id = id)
+            case Left(reason) => H265Sps(id, 0, 0, 0, 0, 0, 0, 0,
+              dimsMatch = false, reason, parsed = false)
+          }
+        }
+    }.toDF().select(col("id"),
+      col("stsdWidth").as("stsd_width"),
+      col("stsdHeight").as("stsd_height"),
+      col("profileIdc").as("profile_idc"),
+      col("tier"),
+      col("levelIdc").as("level_idc"),
+      col("spsWidth").as("sps_width"),
+      col("spsHeight").as("sps_height"),
+      col("dimsMatch").as("dims_match"),
+      col("reason"), col("parsed"))
+  }
+
+  private def h265SpsInfo(bytes: Array[Byte])
+      : Either[String, H265Sps] =
+    firstVideoEntry(bytes, Set("hvc1", "hev1"), "no hevc track")
+      .flatMap { case (sw, sh, kids) =>
+        val hvcC = kids.find(_._1 == "hvcC")
+          .getOrElse(return Left("no hvcC"))
+        parseHvcC(bytes, hvcC._2, hvcC._3).flatMap { sps =>
+          parseHevcSps(sps).map { case (pr, tier, lv, w, h) =>
+            H265Sps(0L, sw, sh, pr, tier, lv, w, h,
+              dimsMatch = sw == w && sh == h, "", parsed = true)
+          }
+        }
+      }
+
+  /** HEVCDecoderConfigurationRecord (ISO/IEC 14496-15 §8.3.3.1):
+    * 22 fixed bytes, then NAL arrays — return the first NAL of the
+    * SPS array (type 33).
+    */
+  private def parseHvcC(b: Array[Byte], start: Long,
+      end: Long): Either[String, Array[Byte]] = {
+    if (start + 23 > end) return Left("truncated hvcC")
+    val o = start.toInt
+    if ((b(o) & 0xFF) != 1) return Left("hvcC version")
+    val nArrays = b(o + 22) & 0xFF
+    var p = o + 23
+    var a = 0
+    while (a < nArrays) {
+      if (p + 3 > end) return Left("truncated hvcC arrays")
+      val nalType = b(p) & 0x3F
+      val nNalus = be16(b, p + 1)
+      p += 3
+      var u = 0
+      while (u < nNalus) {
+        if (p + 2 > end) return Left("truncated hvcC nalu")
+        val len = be16(b, p)
+        if (p + 2 + len > end) return Left("truncated hvcC nalu")
+        if (nalType == 33 && u == 0) {
+          val sps = new Array[Byte](len)
+          System.arraycopy(b, p + 2, sps, 0, len)
+          return Right(sps)
+        }
+        p += 2 + len
+        u += 1
+      }
+      a += 1
+    }
+    Left("hvcC without sps")
+  }
+
+  /** Parse one H.265 SPS NAL (ITU-T H.265 §7.3.2.2.1): profile
+    * space-checked profile_tier_level, then luma dims minus the
+    * conformance window — (profile, tier, level, width, height).
+    */
+  private[graft] def parseHevcSps(nal: Array[Byte])
+      : Either[String, (Int, Int, Int, Int, Int)] = {
+    if (nal.length < 4) return Left("sps too short")
+    if (((nal(0) >> 1) & 0x3F) != 33) return Left("not an hevc sps nal")
+    // strip emulation prevention after the 2-byte NAL header
+    val rbsp = {
+      val out = new java.io.ByteArrayOutputStream()
+      var zeros = 0
+      var i = 2
+      while (i < nal.length) {
+        val v = nal(i) & 0xFF
+        if (zeros >= 2 && v == 3) zeros = 0
+        else {
+          out.write(v)
+          zeros = if (v == 0) zeros + 1 else 0
+        }
+        i += 1
+      }
+      out.toByteArray
+    }
+    try {
+      val r = new BitReader(rbsp)
+      r.u(4) // sps_video_parameter_set_id
+      val maxSubLayersMinus1 = r.u(3)
+      r.u(1) // sps_temporal_id_nesting_flag
+      // profile_tier_level: general 96 bits
+      r.u(2) // general_profile_space
+      val tier = r.u(1)
+      val profile = r.u(5)
+      r.u(32) // general_profile_compatibility_flags
+      r.u(24); r.u(24) // constraint flags + reserved (48 bits)
+      val level = r.u(8)
+      // sub-layer presence flags + per-sub-layer blocks
+      val profPresent = new Array[Int](maxSubLayersMinus1)
+      val lvlPresent = new Array[Int](maxSubLayersMinus1)
+      var i = 0
+      while (i < maxSubLayersMinus1) {
+        profPresent(i) = r.u(1); lvlPresent(i) = r.u(1)
+        i += 1
+      }
+      if (maxSubLayersMinus1 > 0) {
+        var j = maxSubLayersMinus1
+        while (j < 8) { r.u(2); j += 1 } // reserved_zero_2bits
+      }
+      i = 0
+      while (i < maxSubLayersMinus1) {
+        if (profPresent(i) == 1) { r.u(24); r.u(24); r.u(24); r.u(16) } // 88 bits
+        if (lvlPresent(i) == 1) r.u(8)
+        i += 1
+      }
+      r.ue() // sps_seq_parameter_set_id
+      val chromaFormat = r.ue()
+      if (chromaFormat == 3) r.u(1) // separate_colour_plane_flag
+      val picW = r.ue()
+      val picH = r.ue()
+      var cl = 0; var cr = 0; var ct = 0; var cb = 0
+      if (r.u(1) == 1) { // conformance_window_flag
+        cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue()
+      }
+      val (subW, subH) = chromaFormat match {
+        case 0 => (1, 1)
+        case 1 => (2, 2)
+        case 2 => (2, 1)
+        case 3 => (1, 1)
+        case _ => return Left("bad chroma_format_idc")
+      }
+      val w = picW - subW * (cl + cr)
+      val h = picH - subH * (ct + cb)
+      if (w <= 0 || h <= 0) return Left("window exceeds frame")
+      Right((profile, tier, level, w, h))
+    } catch { case _: RbspEof => Left("truncated sps") }
+  }
+
+  /** Build a REAL H.265 SPS NAL for the given decoder-output dims —
+    * the remainder above a multiple of 8 luma samples becomes the
+    * conformance window, like every real encoder. 4:2:0 (window
+    * offsets move in 2-sample units → even dims required).
+    */
+  def buildHevcSps(spsWidth: Int, spsHeight: Int, profileIdc: Int = 1,
+      tier: Int = 0, levelIdc: Int = 120): Array[Byte] = {
+    require(spsWidth > 0 && spsHeight > 0, "dims")
+    require(spsWidth % 2 == 0 && spsHeight % 2 == 0,
+      "4:2:0 window offsets move in 2-sample units")
+    val w = new BitWriter
+    w.u(0, 4) // vps id
+    w.u(0, 3) // max_sub_layers_minus1
+    w.u(1, 1) // temporal_id_nesting
+    // profile_tier_level (general, 96 bits)
+    w.u(0, 2); w.u(tier, 1); w.u(profileIdc, 5)
+    w.u(1 << (31 - profileIdc), 32) // compatibility flag for profile
+    w.u(1, 1); w.u(0, 1); w.u(1, 1); w.u(1, 1) // prog/int/nonpacked/frameonly
+    w.u(0, 24); w.u(0, 20) // reserved 44 bits
+    w.u(levelIdc, 8)
+    w.ue(0) // sps id
+    w.ue(1) // chroma_format_idc 4:2:0
+    val picW = (spsWidth + 7) / 8 * 8
+    val picH = (spsHeight + 7) / 8 * 8
+    w.ue(picW)
+    w.ue(picH)
+    val offR = (picW - spsWidth) / 2
+    val offB = (picH - spsHeight) / 2
+    if (offR > 0 || offB > 0) {
+      w.u(1, 1)
+      w.ue(0); w.ue(offR); w.ue(0); w.ue(offB)
+    } else w.u(0, 1)
+    w.ue(0); w.ue(0) // bit depths
+    val rbsp = w.toRbsp
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(33 << 1); out.write(1) // NAL header: SPS, tid+1 = 1
+    var zeros = 0
+    rbsp.foreach { b =>
+      val v = b & 0xFF
+      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** The `hvcC` child box wrapping one SPS (profile/tier/level echoed
+    * from the SPS the way real muxers do) — pass as [[buildMp4]]'s
+    * `videoExtra` with `videoCodec = "hvc1"`.
+    */
+  def buildHvcC(sps: Array[Byte]): Array[Byte] = {
+    require(sps.length >= 4 && ((sps(0) >> 1) & 0x3F) == 33,
+      "not an hevc sps")
+    val payload = new java.io.ByteArrayOutputStream()
+    payload.write(1) // configurationVersion
+    // general_profile_space/tier/profile from the SPS PTL: the PTL
+    // starts at rbsp bit 8 (after vps id + layers + nesting)
+    payload.write(sps(3) & 0xFF) // close-enough echo for a fixture
+    (0 until 4).foreach(_ => payload.write(0)) // compat flags
+    (0 until 6).foreach(_ => payload.write(0)) // constraint flags
+    payload.write(0x78) // general_level_idc echo (fixture)
+    payload.write(0xF0); payload.write(0) // min_spatial_segmentation
+    payload.write(0xFC) // parallelismType
+    payload.write(0xFD) // chromaFormat 1
+    payload.write(0xF8); payload.write(0xF8) // bit depths
+    payload.write(0); payload.write(0) // avgFrameRate
+    payload.write(0x03) // lengthSizeMinusOne 3
+    payload.write(1) // numOfArrays
+    payload.write(0x20 | 33) // array_completeness=0, NAL type 33
+    payload.write(0); payload.write(1) // numNalus
+    payload.write((sps.length >> 8) & 0xFF)
+    payload.write(sps.length & 0xFF)
+    payload.write(sps)
+    val body = payload.toByteArray
+    val bos = new java.io.ByteArrayOutputStream()
+    val sz = body.length + 8
+    bos.write((sz >> 24) & 0xFF); bos.write((sz >> 16) & 0xFF)
+    bos.write((sz >> 8) & 0xFF); bos.write(sz & 0xFF)
+    bos.write("hvcC".getBytes("US-ASCII"))
     bos.write(body)
     bos.toByteArray
   }

@@ -396,4 +396,74 @@ class Mp4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2).getAs[String]("reason") === "not an sps nal")
     assert(rows(3).getAs[String]("reason") === "not iso-bmff")
   }
+
+  test("H.265 SPS: profile/tier/level and conformance-window dims " +
+      "parse from the hvcC config; a lying stsd is DETECTED; " +
+      "emulation-prevention bytes round-trip") {
+    def mp4(stsdW: Int, stsdH: Int, spsW: Int, spsH: Int,
+        profile: Int, tier: Int, level: Int) =
+      Mp4.buildMp4(timescale = 600L, duration = 1200L,
+        width = stsdW, height = stsdH, videoCodec = "hvc1",
+        videoExtra = Mp4.buildHvcC(Mp4.buildHevcSps(spsW, spsH,
+          profile, tier, level)))
+    val rows = Mp4.h265SpsScan(df(
+        1L -> mp4(1920, 1080, 1920, 1080, 1, 0, 120),  // honest, 1080%8!=0
+        2L -> mp4(1280, 720, 1280, 720, 2, 1, 153),    // Main10, high tier
+        3L -> mp4(850, 478, 850, 478, 1, 0, 90),       // window both axes
+        4L -> mp4(3840, 2160, 1920, 1080, 1, 0, 120)), // stsd LIES
+      "id", "content").orderBy("id").collect()
+    assert(rows.forall(_.getAs[Boolean]("parsed")))
+    assert(rows(0).getAs[Int]("sps_width") === 1920)
+    assert(rows(0).getAs[Int]("sps_height") === 1080)
+    assert(rows(0).getAs[Int]("profile_idc") === 1)
+    assert(rows(0).getAs[Int]("tier") === 0)
+    assert(rows(0).getAs[Int]("level_idc") === 120)
+    assert(rows(0).getAs[Boolean]("dims_match"))
+    assert(rows(1).getAs[Int]("profile_idc") === 2)
+    assert(rows(1).getAs[Int]("tier") === 1)
+    assert(rows(1).getAs[Int]("level_idc") === 153)
+    assert(rows(1).getAs[Boolean]("dims_match"))
+    assert(rows(2).getAs[Int]("sps_width") === 850)
+    assert(rows(2).getAs[Int]("sps_height") === 478)
+    assert(rows(2).getAs[Boolean]("dims_match"))
+    assert(rows(3).getAs[Int]("stsd_width") === 3840)
+    assert(rows(3).getAs[Int]("sps_width") === 1920)
+    assert(!rows(3).getAs[Boolean]("dims_match"))
+    // the zeroed compatibility+constraint run in the PTL forces 00 00
+    // sequences the writer must escape
+    val sps = Mp4.buildHevcSps(64, 64, 0, 0, 0)
+    assert((0 until sps.length - 2).exists(i =>
+      sps(i) == 0 && sps(i + 1) == 0 && sps(i + 2) == 3))
+    assert(Mp4.parseHevcSps(sps) === Right((0, 0, 0, 64, 64)))
+  }
+
+  test("H.265 SPS honesty: no hevc track, an hvcC without an SPS " +
+      "array, and a corrupted NAL type all refuse with a reason") {
+    val noHevc = Mp4.buildMp4(600L, 1200L, 320, 240,
+      videoCodec = "avc1")
+    val good = Mp4.buildMp4(600L, 1200L, 320, 240,
+      videoCodec = "hvc1",
+      videoExtra = Mp4.buildHvcC(Mp4.buildHevcSps(320, 240)))
+    val noSps = {
+      val c = good.clone()
+      val at = (0 until c.length - 4).find(o =>
+        new String(c, o, 4, "US-ASCII") == "hvcC").get
+      c(at + 4 + 23) = (0x20 | 34).toByte // SPS array -> PPS array
+      c
+    }
+    val badNal = {
+      val c = good.clone()
+      val at = (0 until c.length - 4).find(o =>
+        new String(c, o, 4, "US-ASCII") == "hvcC").get
+      // first NAL byte: after 23 fixed + 3 array header + 2 len
+      c(at + 4 + 23 + 3 + 2) = (20 << 1).toByte
+      c
+    }
+    val rows = Mp4.h265SpsScan(df(1L -> noHevc, 2L -> noSps,
+        3L -> badNal), "id", "content").orderBy("id").collect()
+    assert(rows.forall(!_.getAs[Boolean]("parsed")))
+    assert(rows(0).getAs[String]("reason") === "no hevc track")
+    assert(rows(1).getAs[String]("reason") === "hvcC without sps")
+    assert(rows(2).getAs[String]("reason") === "not an hevc sps nal")
+  }
 }
