@@ -1349,8 +1349,44 @@ object Audio {
       col("durationMs").as("duration_ms"), col("parsed"))
   }
 
+  /** The Ogg page CRC (RFC 3533 §6): CRC-32, generator 0x04C11DB7,
+    * no bit reflection, zero initial value, zero final XOR, computed
+    * over the whole page with the CRC field read as zero.
+    */
+  private val oggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04C11DB7
+        else r << 1
+        j += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private[graft] def oggPageCrc(b: Array[Byte], start: Int,
+      len: Int): Long = {
+    var crc = 0
+    var i = 0
+    while (i < len) {
+      // the CRC field itself (bytes 22..25 of the page) reads as zero
+      val v = if (i >= 22 && i < 26) 0 else b(start + i) & 0xFF
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ v) & 0xFF)
+      i += 1
+    }
+    crc.toLong & 0xFFFFFFFFL
+  }
+
   /** (codec, channels, rate, lastGranule) — None on anything
-    * malformed. The walk reads page HEADERS only.
+    * malformed, INCLUDING a page whose CRC-32 does not verify (a
+    * half-flipped page silently lying about its granule is the
+    * failure mode the field exists for).
     */
   private[graft] def parseOgg(
       b: Array[Byte]): Option[(String, Int, Int, Long)] = {
@@ -1380,6 +1416,8 @@ object Audio {
       }
       val body = pos + 27 + nSegs
       if (body + bodyLen > b.length) return None
+      if (oggPageCrc(b, pos, 27 + nSegs + bodyLen) !=
+        le32at(pos + 22)) return None // page CRC must verify
       if (first) {
         if ((b(pos + 5) & 0x02) == 0) return None // BOS flag required
         // Vorbis ID: 0x01 "vorbis" ver(4) ch(1) rate(4) …
@@ -1425,16 +1463,25 @@ object Audio {
     def page(headerType: Int, pGranule: Long, seq: Int,
         body: Array[Byte]): Unit = {
       require(body.length < 255 * 255, "single-page bodies only")
+      val at = bos.size()
       bos.write("OggS".getBytes("US-ASCII"))
       bos.write(0); bos.write(headerType)
       w64(pGranule); w32(0x6772616FL); w32(seq.toLong)
-      w32(0L) // CRC unchecked by this walk (honest: metadata only)
+      w32(0L) // CRC patched below once the page is complete
       val full = body.length / 255
       val rem = body.length % 255
       bos.write(full + 1)
       (0 until full).foreach(_ => bos.write(255))
       bos.write(rem)
       bos.write(body, 0, body.length)
+      // real RFC 3533 page CRC over the finished page
+      val all = bos.toByteArray
+      val crc = oggPageCrc(all, at, all.length - at)
+      all(at + 22) = (crc & 0xFF).toByte
+      all(at + 23) = ((crc >> 8) & 0xFF).toByte
+      all(at + 24) = ((crc >> 16) & 0xFF).toByte
+      all(at + 25) = ((crc >> 24) & 0xFF).toByte
+      bos.reset(); bos.write(all, 0, all.length)
     }
     val idPacket = new java.io.ByteArrayOutputStream()
     if (codec == "vorbis") {

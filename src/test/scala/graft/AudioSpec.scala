@@ -1345,4 +1345,52 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Audio.vorbisCommentScan(df(1L -> badKey), "id",
       "content").count() === 0L)
   }
+
+  test("Ogg page CRC: builder pages verify against an independent " +
+      "bit-by-bit RFC 3533 CRC; any flipped page byte refuses the " +
+      "file whole") {
+    import graft.operators.Audio
+    val ogg = Audio.buildOgg("vorbis", 1, 8000, 1234L)
+    // independent bit-level CRC (poly 0x04C11DB7, no reflection)
+    def bitCrc(b: Array[Byte], start: Int, len: Int): Long = {
+      var crc = 0L
+      var i = 0
+      while (i < len) {
+        val v = if (i >= 22 && i < 26) 0 else b(start + i) & 0xFF
+        crc ^= (v.toLong << 24)
+        var j = 0
+        while (j < 8) {
+          crc = if ((crc & 0x80000000L) != 0L)
+            ((crc << 1) ^ 0x04C11DB7L) & 0xFFFFFFFFL
+          else (crc << 1) & 0xFFFFFFFFL
+          j += 1
+        }
+        i += 1
+      }
+      crc
+    }
+    // page 1 spans [0, secondPageAt); its stored CRC at 22..25 LE
+    val second = (1 until ogg.length - 4).find(o =>
+      ogg(o) == 'O' && ogg(o + 1) == 'g' && ogg(o + 2) == 'g' &&
+        ogg(o + 3) == 'S').get
+    val stored = (ogg(22) & 0xFFL) | ((ogg(23) & 0xFFL) << 8) |
+      ((ogg(24) & 0xFFL) << 16) | ((ogg(25) & 0xFFL) << 24)
+    assert(stored === bitCrc(ogg, 0, second))
+    assert(Audio.oggMetaScan(df(1L -> ogg), "id", "content")
+      .filter(org.apache.spark.sql.functions.col("parsed"))
+      .count() === 1L)
+    // flip one body byte in the LAST page: granule would lie — CRC
+    // refuses the file
+    val flipped = ogg.clone()
+    flipped(ogg.length - 1) = (flipped(ogg.length - 1) ^ 0x20).toByte
+    assert(Audio.oggMetaScan(df(1L -> flipped), "id", "content")
+      .filter(org.apache.spark.sql.functions.col("parsed"))
+      .count() === 0L)
+    // flip the granule field itself
+    val granLie = ogg.clone()
+    granLie(second + 6) = (granLie(second + 6) ^ 0x01).toByte
+    assert(Audio.oggMetaScan(df(1L -> granLie), "id", "content")
+      .filter(org.apache.spark.sql.functions.col("parsed"))
+      .count() === 0L)
+  }
 }
