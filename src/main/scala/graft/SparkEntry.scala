@@ -567,6 +567,49 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Mixed audio-tag corpus: id % 5 rotates MP3+ID3v2.4, MP3 with
+    * BOTH an ID3v2.3 header and a v1 trailer, MP3+ID3v1 only, FLAC
+    * Vorbis comments, and Ogg (vorbis on even base, opus on odd) —
+    * every tag name and value a closed form of doc_id.
+    */
+  private def syntheticAudioTagsClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      (id % 5) match {
+        case 0 => Mp3.buildMp3(3, base % 3, Seq.fill(3)(1 + base % 14),
+          mono = base % 2 == 0, id3Bytes = 16,
+          id3Frames = Seq("TIT2" -> s"t$id", "TPE1" -> s"a${base % 7}",
+            "TPUB" -> s"p${base % 5}"), id3Major = 4)
+        case 1 => Mp3.withId3v1(
+          Mp3.buildMp3(3, base % 3, Seq.fill(3)(1 + base % 14),
+            mono = base % 2 == 0, id3Bytes = 16,
+            id3Frames = Seq("TIT2" -> s"t$id", "TCON" -> s"g${base % 9}"),
+            id3Major = 3),
+          title = s"vt$id", artist = "", album = "",
+          year = (1980 + base % 40).toString, comment = "",
+          track = -1, genre = base % 148)
+        case 2 => Mp3.withId3v1(
+          Mp3.buildMp3(3, base % 3, Seq.fill(3)(1 + base % 14),
+            mono = base % 2 == 0),
+          title = s"o$id", artist = s"ar${base % 7}",
+          album = s"al${base % 5}", year = (1970 + base % 50).toString,
+          comment = s"c${base % 11}", track = 1 + base % 20,
+          genre = base % 148)
+        case 3 => Audio.buildFlacHeader(8000, 1, 16, 4000 + base,
+          vendor = s"v${base % 5}",
+          comments = Seq("TITLE" -> s"t$id", "Artist" -> s"a${base % 7}",
+            "CUSTOMKEY" -> s"x${base % 3}"))
+        case _ => Audio.buildOgg(
+          if (base % 2 == 0) "vorbis" else "opus", 1, 8000,
+          800L + base, vendor = s"v${base % 5}",
+          comments = Seq("TITLE" -> s"t$id",
+            "LANGUAGE" -> s"l${base % 9}"))
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
     * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
     * appended — v1.1 (with track) on even ids, plain v1 on odd.
@@ -3315,6 +3358,16 @@ object SparkEntry {
           col("sps_width").cast("long").as("sps_width"),
           col("sps_height").cast("long").as("sps_height"),
           col("dims_match"), col("parsed"))),
+
+    // audio metadata uniformity — the audio exifScanAuto: ID3v2
+    // frames, ID3v1 trailers, and Vorbis comments from ONE scan over
+    // a mixed MP3/FLAC/Ogg corpus, tag names normalized through the
+    // published conventions (unmapped tags pass through verbatim);
+    // every row a closed form of doc_id
+    "q_audio_tags" -> ((s, dir) =>
+      graft.operators.AudioTags.audioTagScan(
+        syntheticAudioTagsClassed(t(s, dir, "documents")),
+        "id", "content")),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
     // headers are q_audio_id3): REAL MP3 frames + a closed-form
@@ -6863,6 +6916,59 @@ object SparkEntry {
         |  CAST(h AS BIGINT) AS sps_height,
         |  NOT lie AS dims_match, TRUE AS parsed
         |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // unified audio tags: five carrier arms union into the closed
+    // forms; the v2+v1 arm contributes BOTH sources
+    "q_audio_tags" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CAST(doc_id % 5 AS BIGINT) AS m
+        |  FROM documents),
+        |r AS (
+        |  SELECT id, 'mp3' AS container, 'id3v2' AS source,
+        |      'title' AS tag, 't' || id AS value FROM g WHERE m = 0
+        |  UNION ALL SELECT id, 'mp3', 'id3v2', 'artist',
+        |      'a' || (base % 7) FROM g WHERE m = 0
+        |  UNION ALL SELECT id, 'mp3', 'id3v2', 'TPUB',
+        |      'p' || (base % 5) FROM g WHERE m = 0
+        |  UNION ALL SELECT id, 'mp3', 'id3v2', 'title', 't' || id
+        |      FROM g WHERE m = 1
+        |  UNION ALL SELECT id, 'mp3', 'id3v2', 'genre',
+        |      'g' || (base % 9) FROM g WHERE m = 1
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'title', 'vt' || id
+        |      FROM g WHERE m = 1
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'date',
+        |      CAST(1980 + base % 40 AS VARCHAR) FROM g WHERE m = 1
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'genre_id',
+        |      CAST(base % 148 AS VARCHAR) FROM g WHERE m = 1
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'title', 'o' || id
+        |      FROM g WHERE m = 2
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'artist',
+        |      'ar' || (base % 7) FROM g WHERE m = 2
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'album',
+        |      'al' || (base % 5) FROM g WHERE m = 2
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'date',
+        |      CAST(1970 + base % 50 AS VARCHAR) FROM g WHERE m = 2
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'comment',
+        |      'c' || (base % 11) FROM g WHERE m = 2
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'track',
+        |      CAST(1 + base % 20 AS VARCHAR) FROM g WHERE m = 2
+        |  UNION ALL SELECT id, 'mp3', 'id3v1', 'genre_id',
+        |      CAST(base % 148 AS VARCHAR) FROM g WHERE m = 2
+        |  UNION ALL SELECT id, 'flac', 'vorbis', 'title', 't' || id
+        |      FROM g WHERE m = 3
+        |  UNION ALL SELECT id, 'flac', 'vorbis', 'artist',
+        |      'a' || (base % 7) FROM g WHERE m = 3
+        |  UNION ALL SELECT id, 'flac', 'vorbis', 'customkey',
+        |      'x' || (base % 3) FROM g WHERE m = 3
+        |  UNION ALL SELECT id, 'ogg',
+        |      CASE WHEN base % 2 = 0 THEN 'vorbis' ELSE 'opus' END,
+        |      'title', 't' || id FROM g WHERE m = 4
+        |  UNION ALL SELECT id, 'ogg',
+        |      CASE WHEN base % 2 = 0 THEN 'vorbis' ELSE 'opus' END,
+        |      'language', 'l' || (base % 9) FROM g WHERE m = 4)
+        |SELECT id, container, source, tag, value FROM r
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3v1 trailer: every field a closed form of base = doc_id % 64

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Audio, AudioTags, Mp3}
+
+/** Unified audio tag scan: one pass over mixed MP3/FLAC/Ogg payloads
+  * normalizing ID3v2 frames, ID3v1 trailers, and Vorbis comments into
+  * (container, source, tag, value) rows under the published name
+  * conventions — unmapped tags pass through, both MP3 tag grammars
+  * coexist, garbage emits nothing.
+  */
+class AudioTagsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toDF("id", "content")
+  }
+
+  test("one scan, three grammars: ID3v2 frames normalize (TIT2 -> " +
+      "title, TDRC -> date, unmapped frames verbatim), a v2+v1 MP3 " +
+      "emits BOTH sources, vorbis keys lowercase-normalize, opus " +
+      "labels its source, and garbage emits nothing") {
+    val v2 = Mp3.buildMp3(3, 0, Seq(5, 5), mono = true, id3Bytes = 16,
+      id3Frames = Seq("TIT2" -> "Song A", "TPE1" -> "Band B",
+        "TDRC" -> "2021", "TPUB" -> "Label C"), id3Major = 4)
+    val both = Mp3.withId3v1(
+      Mp3.buildMp3(3, 0, Seq(5, 5), mono = true, id3Bytes = 16,
+        id3Frames = Seq("TIT2" -> "V2 Title"), id3Major = 3),
+      title = "V1 Title", artist = "V1 Artist", album = "",
+      year = "1999", comment = "", track = 7, genre = 17)
+    val flac = Audio.buildFlacHeader(8000, 1, 16, 4000,
+      vendor = "v", comments = Seq("TITLE" -> "Flac T",
+        "Artist" -> "Flac A", "CUSTOMKEY" -> "kept"))
+    val opus = Audio.buildOgg("opus", 2, 48000, 4800L,
+      vendor = "v", comments = Seq("TRACKNUMBER" -> "3",
+        "LANGUAGE" -> "eo"))
+    val rows = AudioTags.audioTagScan(df(
+        1L -> v2, 2L -> both, 3L -> flac, 4L -> opus,
+        5L -> "not audio".getBytes("UTF-8")),
+      "id", "content").orderBy("id", "source", "tag").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("container"),
+        r.getAs[String]("source"), r.getAs[String]("tag"),
+        r.getAs[String]("value")))
+    assert(rows.filter(_._1 == 1L).toSet === Set(
+      (1L, "mp3", "id3v2", "title", "Song A"),
+      (1L, "mp3", "id3v2", "artist", "Band B"),
+      (1L, "mp3", "id3v2", "date", "2021"),
+      (1L, "mp3", "id3v2", "TPUB", "Label C")))
+    assert(rows.filter(_._1 == 2L).toSet === Set(
+      (2L, "mp3", "id3v2", "title", "V2 Title"),
+      (2L, "mp3", "id3v1", "title", "V1 Title"),
+      (2L, "mp3", "id3v1", "artist", "V1 Artist"),
+      (2L, "mp3", "id3v1", "date", "1999"),
+      (2L, "mp3", "id3v1", "track", "7"),
+      (2L, "mp3", "id3v1", "genre_id", "17")))
+    assert(rows.filter(_._1 == 3L).toSet === Set(
+      (3L, "flac", "vorbis", "title", "Flac T"),
+      (3L, "flac", "vorbis", "artist", "Flac A"),
+      (3L, "flac", "vorbis", "customkey", "kept")))
+    assert(rows.filter(_._1 == 4L).toSet === Set(
+      (4L, "ogg", "opus", "track", "3"),
+      (4L, "ogg", "opus", "language", "eo")))
+    assert(rows.count(_._1 == 5L) === 0)
+  }
+}
