@@ -480,13 +480,16 @@ object SparkEntry {
     val build = udf((id: Long) => {
       val base = (id % 64).toInt
       val codec = if (id % 2 == 0) "av1C" else "hvcC"
+      val itemType = if (id % 2 == 0) "av01" else "hvc1"
       operators.Avif.buildAvif(
         brand = if (id % 2 == 0) "avif" else "heic",
         items = Seq(
-          operators.Avif.AvifItem(1L, 160L, 90L, 0, -1, codec),
+          operators.Avif.AvifItem(1L, 160L, 90L, 0, -1, codec,
+            itemType, s"th:$id".getBytes("UTF-8")),
           operators.Avif.AvifItem(2L, 320L + 16 * (base % 8),
             240L + 16 * (base % 5), (base % 4) * 90,
-            if (base % 5 == 0) base % 2 else -1, codec)),
+            if (base % 5 == 0) base % 2 else -1, codec,
+            itemType, s"main:$id:${base % 13}".getBytes("UTF-8"))),
         primary = 2L,
         wideIndexes = base % 3 == 0,
         pitmV1 = base % 7 == 0)
@@ -3305,6 +3308,16 @@ object SparkEntry {
           col("rotation").cast("long").as("rotation"),
           col("mirrored"), col("disp_width"), col("disp_height"),
           col("codec"), col("n_items"), col("parsed"))),
+
+    // AVIF item EXTRACTION: iinf types + iloc extents resolve every
+    // item's payload bytes — the surface payload-level dedup hashes;
+    // every column a closed form of doc_id
+    "q_image_avif_items" -> ((s, dir) =>
+      operators.Avif.avifItemScan(
+        syntheticAvifClassed(t(s, dir, "documents")), "id", "content")
+        .select(col("id"), col("item_id"), col("item_type"),
+          col("is_primary"), col("size"),
+          col("bytes").cast("string").as("content_str"))),
 
     // the SAME corpus through the unified 10-family media scan's
     // PREFIX path (the 100 TB metadata-filter shape: the meta box
@@ -6823,6 +6836,25 @@ object SparkEntry {
         |    AS BIGINT) AS disp_height,
         |  CASE WHEN id % 2 = 0 THEN 'av1' ELSE 'hevc' END AS codec,
         |  CAST(2 AS BIGINT) AS n_items, TRUE AS parsed
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // AVIF items: thumbnail + primary payloads replay in closed form
+    "q_image_avif_items" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |m AS (
+        |  SELECT id, CAST(1 AS BIGINT) AS item_id, FALSE AS is_primary,
+        |    'th:' || id AS content_str FROM g
+        |  UNION ALL
+        |  SELECT id, CAST(2 AS BIGINT), TRUE,
+        |    'main:' || id || ':' || (base % 13) FROM g)
+        |SELECT id, item_id,
+        |  CASE WHEN id % 2 = 0 THEN 'av01' ELSE 'hvc1' END
+        |    AS item_type,
+        |  is_primary,
+        |  CAST(length(content_str) AS BIGINT) AS size, content_str
         |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -239,14 +239,192 @@ object Avif {
       parsed = true))
   }
 
+  /** One located item: type from `iinf`, primary flag from `pitm`,
+    * payload bytes resolved through `iloc` (construction method 0 —
+    * absolute file offsets; `idat`/item references refuse honestly).
+    */
+  case class AvifItemRow(id: Long, itemId: Long, itemType: String,
+      isPrimary: Boolean, size: Long, bytes: Array[Byte])
+
+  /** Explode every located item of every AVIF/HEIF payload — the
+    * payload-level surface (exact-dup hashing, codec-bytes storage
+    * accounting) the metadata scan cannot give. Unparseable files,
+    * out-of-bounds extents, non-file-offset construction methods,
+    * external data references, or an `iinf`/`iloc` item-set mismatch
+    * refuse the WHOLE file (a half-resolved item table silently drops
+    * payloads). `maxItemBytes` refuses rather than truncates.
+    */
+  def avifItemScan(df: DataFrame, idCol: String, binCol: String,
+      maxItemBytes: Int = 1 << 26): DataFrame = {
+    require(maxItemBytes > 0, "maxItemBytes must be positive")
+    implicit val enc = Encoders.product[AvifItemRow]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          parseAvifItems(r.getAs[Array[Byte]](1), maxItemBytes) match {
+            case Some(items) => items.map { case (iid, typ, prim, b) =>
+              AvifItemRow(id, iid, typ, prim, b.length.toLong, b)
+            }
+            case None => Nil
+          }
+        }
+    }.toDF().select(col("id"), col("itemId").as("item_id"),
+      col("itemType").as("item_type"),
+      col("isPrimary").as("is_primary"), col("size"), col("bytes"))
+  }
+
+  private[graft] def parseAvifItems(bytes: Array[Byte],
+      maxItemBytes: Int)
+      : Option[Vector[(Long, String, Boolean, Array[Byte])]] = {
+    if (!isImageBrand(bytes)) return None
+    val avail = bytes.length.toLong
+    val top = childRanges(bytes, 0L, avail, avail).getOrElse(return None)
+    val meta = top.find(_._1 == "meta").getOrElse(return None)
+    if (meta._2 + 4 > avail) return None
+    val mc = childRanges(bytes, meta._2 + 4, meta._3, avail)
+      .getOrElse(return None)
+    // primary item id (same grammar as parseAvif)
+    val pitm = mc.find(_._1 == "pitm").getOrElse(return None)
+    if (pitm._2 + 4 > avail) return None
+    val primary =
+      if ((bytes(pitm._2.toInt) & 0xFF) == 0) {
+        if (pitm._2 + 6 > pitm._3) return None
+        be16(bytes, pitm._2.toInt + 4).toLong
+      } else {
+        if (pitm._2 + 8 > pitm._3) return None
+        be32(bytes, pitm._2.toInt + 4)
+      }
+    // iinf: item id -> type
+    val iinf = mc.find(_._1 == "iinf").getOrElse(return None)
+    if (iinf._2 + 4 > avail) return None
+    val iinfVer = bytes(iinf._2.toInt) & 0xFF
+    var p = iinf._2 + 4
+    val entryCount =
+      if (iinfVer == 0) {
+        if (p + 2 > iinf._3) return None
+        val v = be16(bytes, p.toInt).toLong; p += 2; v
+      } else {
+        if (p + 4 > iinf._3) return None
+        val v = be32(bytes, p.toInt); p += 4; v
+      }
+    val types = scala.collection.mutable.LinkedHashMap[Long, String]()
+    val infes = childRanges(bytes, p, iinf._3, avail)
+      .getOrElse(return None)
+    if (infes.length.toLong != entryCount) return None
+    infes.foreach { case (typ, b0, e0) =>
+      if (typ != "infe") return None
+      if (b0 + 4 > e0) return None
+      val ver = bytes(b0.toInt) & 0xFF
+      if (ver != 2 && ver != 3) return None
+      var q = b0 + 4
+      val itemId =
+        if (ver == 2) {
+          if (q + 2 > e0) return None
+          val v = be16(bytes, q.toInt).toLong; q += 2; v
+        } else {
+          if (q + 4 > e0) return None
+          val v = be32(bytes, q.toInt); q += 4; v
+        }
+      if (q + 6 > e0) return None
+      // protection index (2) + item_type (4cc)
+      if (types.contains(itemId)) return None // duplicate id
+      types(itemId) = fourcc(bytes, q.toInt + 2)
+    }
+    // iloc: item id -> concatenated extents
+    val iloc = mc.find(_._1 == "iloc").getOrElse(return None)
+    if (iloc._2 + 4 > avail) return None
+    val ilocVer = bytes(iloc._2.toInt) & 0xFF
+    if (ilocVer > 2) return None
+    p = iloc._2 + 4
+    if (p + 2 > iloc._3) return None
+    val offSize = (bytes(p.toInt) >> 4) & 0xF
+    val lenSize = bytes(p.toInt) & 0xF
+    val baseSize = (bytes(p.toInt + 1) >> 4) & 0xF
+    val idxSize = bytes(p.toInt + 1) & 0xF // v1/v2 extent index size
+    if (!Set(0, 4, 8)(offSize) || !Set(0, 4, 8)(lenSize) ||
+      !Set(0, 4, 8)(baseSize)) return None
+    p += 2
+    val itemCount =
+      if (ilocVer < 2) {
+        if (p + 2 > iloc._3) return None
+        val v = be16(bytes, p.toInt).toLong; p += 2; v
+      } else {
+        if (p + 4 > iloc._3) return None
+        val v = be32(bytes, p.toInt); p += 4; v
+      }
+    def readSized(size: Int): Option[Long] = {
+      if (size == 0) return Some(0L)
+      if (p + size > iloc._3) return None
+      val v = if (size == 4) be32(bytes, p.toInt)
+      else be64(bytes, p.toInt)
+      p += size
+      Some(v)
+    }
+    val out = Vector.newBuilder[(Long, String, Boolean, Array[Byte])]
+    var seenPrimary = false
+    var i = 0L
+    while (i < itemCount) {
+      val itemId =
+        if (ilocVer < 2) {
+          if (p + 2 > iloc._3) return None
+          val v = be16(bytes, p.toInt).toLong; p += 2; v
+        } else {
+          if (p + 4 > iloc._3) return None
+          val v = be32(bytes, p.toInt); p += 4; v
+        }
+      if (ilocVer == 1 || ilocVer == 2) {
+        if (p + 2 > iloc._3) return None
+        val method = be16(bytes, p.toInt) & 0xF
+        p += 2
+        if (method != 0) return None // idat/item refs: refuse honestly
+      }
+      if (p + 2 > iloc._3) return None
+      val dataRef = be16(bytes, p.toInt)
+      p += 2
+      if (dataRef != 0) return None // external file: refuse honestly
+      val base = readSized(baseSize).getOrElse(return None)
+      if (p + 2 > iloc._3) return None
+      val nExtents = be16(bytes, p.toInt)
+      p += 2
+      if (nExtents < 1) return None
+      val buf = new java.io.ByteArrayOutputStream()
+      var e = 0
+      while (e < nExtents) {
+        if ((ilocVer == 1 || ilocVer == 2) && idxSize > 0) {
+          if (p + idxSize > iloc._3) return None
+          p += idxSize
+        }
+        val off = readSized(offSize).getOrElse(return None)
+        val len = readSized(lenSize).getOrElse(return None)
+        val at = base + off
+        if (len < 0L || at < 0L || at + len > avail) return None
+        if (buf.size().toLong + len > maxItemBytes) return None
+        buf.write(bytes, at.toInt, len.toInt)
+        e += 1
+      }
+      val typ = types.getOrElse(itemId, return None)
+      if (itemId == primary) seenPrimary = true
+      out += ((itemId, typ, itemId == primary, buf.toByteArray))
+      i += 1
+    }
+    if (p != iloc._3) return None // trailing bytes inside iloc
+    if (types.size.toLong != itemCount) return None // iinf/iloc drift
+    if (!seenPrimary) return None // pitm names a phantom item
+    Some(out.result())
+  }
+
   // ---- encoder (round-trip twin; also the fixture/smoke builder) -----
 
   /** One item for [[buildAvif]]: id, ispe extent, rotation in degrees
-    * (0/90/180/270; 0 emits no irot), mirror axis (-1 = no imir), and
-    * coding-config fourcc ("av1C" / "hvcC" / "" for none).
+    * (0/90/180/270; 0 emits no irot), mirror axis (-1 = no imir),
+    * coding-config fourcc ("av1C" / "hvcC" / "" for none), the
+    * `iinf` item type, and the mdat payload bytes.
     */
   case class AvifItem(itemId: Long, width: Long, height: Long,
-      rotation: Int = 0, mirrorAxis: Int = -1, codec: String = "av1C")
+      rotation: Int = 0, mirrorAxis: Int = -1, codec: String = "av1C",
+      itemType: String = "av01",
+      payload: Array[Byte] = Array.emptyByteArray)
 
   /** Build a minimal conforming AVIF/HEIF: ftyp + meta(hdlr pict,
     * pitm, iprp(ipco + ipma)) + a stub mdat. Properties land in ipco
@@ -280,6 +458,11 @@ object Avif {
       box(typ) { w32(((version.toLong & 0xFF) << 24) | flags); body }
 
     box("ftyp") { tag(brand); w32(0L); tag(brand); tag("mif1") }
+    // absolute positions of iloc extent-offset fields to patch once
+    // the mdat position is known (box-size rewriting never shifts
+    // already-written bytes, so positions recorded here are stable)
+    val offsetPatches =
+      scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     // property list in item order; remember each item's 1-based idxs
     val propIdx = scala.collection.mutable.Map[Long, Vector[Int]]()
     var next = 1
@@ -320,8 +503,52 @@ object Avif {
           }
         }
       }
+      // iinf: one infe (version 2) per item — type + empty name
+      fullBox("iinf", 0) {
+        w16(items.length)
+        items.foreach { it =>
+          fullBox("infe", 2) {
+            w16(it.itemId.toInt)
+            w16(0) // protection index
+            tag(it.itemType)
+            bos.write(0) // empty NUL-terminated name
+          }
+        }
+      }
+      // iloc: version 0, 4-byte offsets/lengths, no base offset,
+      // construction method 0 (absolute file offsets) — the offset
+      // fields are patched once the mdat position is known
+      fullBox("iloc", 0) {
+        bos.write(0x44) // offset_size 4, length_size 4
+        bos.write(0x00) // base_offset_size 0, reserved
+        w16(items.length)
+        items.foreach { it =>
+          w16(it.itemId.toInt)
+          w16(0) // data_reference_index
+          w16(1) // extent_count
+          offsetPatches += ((bos.size(), it.itemId))
+          w32(0L) // extent_offset (patched)
+          w32(it.payload.length.toLong)
+        }
+      }
     }
-    box("mdat") { tag("stub") }
-    bos.toByteArray
+    val mdatHeaderAt = bos.size()
+    box("mdat") { items.foreach(it => bos.write(it.payload)) }
+    val out = bos.toByteArray
+    // patch the iloc extent offsets now that the mdat start is known
+    var off = mdatHeaderAt + 8
+    val offsetOf = scala.collection.mutable.Map[Long, Long]()
+    items.foreach { it =>
+      offsetOf(it.itemId) = off.toLong
+      off += it.payload.length
+    }
+    offsetPatches.foreach { case (pos, itemId) =>
+      val v = offsetOf(itemId)
+      out(pos) = ((v >> 24) & 0xFF).toByte
+      out(pos + 1) = ((v >> 16) & 0xFF).toByte
+      out(pos + 2) = ((v >> 8) & 0xFF).toByte
+      out(pos + 3) = (v & 0xFF).toByte
+    }
+    out
   }
 }

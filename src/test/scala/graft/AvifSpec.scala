@@ -139,4 +139,49 @@ class AvifSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pre(0).getAs[Int]("width") === 600)
     assert(pre(0).getAs[Boolean]("parsed"))
   }
+
+  test("item extraction: iinf types + iloc extents resolve every " +
+      "item's payload bytes exactly, the primary flag follows pitm, " +
+      "and lying tables refuse the whole file") {
+    val items = Seq(
+      AvifItem(1L, 160L, 90L, itemType = "av01",
+        payload = "thumb-bytes".getBytes("UTF-8")),
+      AvifItem(2L, 3840L, 2160L, itemType = "av01",
+        payload = ("main-payload-" + ("x" * 50)).getBytes("UTF-8")),
+      AvifItem(3L, 3840L, 2160L, itemType = "mime",
+        payload = """{"xmp":1}""".getBytes("UTF-8")))
+    val b = Avif.buildAvif("avif", items, primary = 2L)
+    val rows = Avif.avifItemScan(df(1L -> b), "id", "content")
+      .orderBy("item_id").collect()
+    assert(rows.length === 3)
+    rows.zip(items).foreach { case (r, it) =>
+      assert(r.getAs[Long]("item_id") === it.itemId)
+      assert(r.getAs[String]("item_type") === it.itemType)
+      assert(r.getAs[Boolean]("is_primary") === (it.itemId == 2L))
+      assert(r.getAs[Long]("size") === it.payload.length.toLong)
+      assert(r.getAs[Array[Byte]]("bytes").toSeq === it.payload.toSeq)
+    }
+    // honesty: an iloc offset running past the file refuses WHOLE
+    val evil = b.clone()
+    val ilocAt = (0 until evil.length - 4).find(o =>
+      new String(evil, o, 4, "US-ASCII") == "iloc").get
+    // first item's 4-byte extent offset: ver/flags(4) sizes(2)
+    // count(2) item_id(2) dri(2) extents(2) -> offset at +14
+    evil(ilocAt + 4 + 4 + 2 + 2 + 2 + 2 + 2) = 0x7F.toByte
+    assert(Avif.avifItemScan(df(1L -> evil), "id", "content")
+      .count() === 0L)
+    // over-cap items refuse, never truncate
+    assert(Avif.avifItemScan(df(1L -> b), "id", "content",
+      maxItemBytes = 8).count() === 0L)
+    // payload dedup composition: two files sharing the main payload
+    // hash-equal on the primary item
+    import org.apache.spark.sql.functions._
+    val twin = Avif.buildAvif("heic", items, primary = 2L)
+    val hashes = Avif.avifItemScan(df(1L -> b, 2L -> twin), "id",
+        "content")
+      .filter(col("is_primary"))
+      .select(sha2(col("bytes"), 256).as("h"))
+      .distinct().count()
+    assert(hashes === 1L)
+  }
 }
