@@ -1731,6 +1731,31 @@ object SparkEntry {
     * oracle row exercises the extension-record and inflate-through-
     * the-stream paths too. Written once per (JVM, sfDir).
     */
+  /** On-disk ZIP fixture for the path-level random-access source:
+    * 64 archives, one per doc_id % 64 bucket, same member closed
+    * forms as the tar shards — classic shape on even buckets, full
+    * ZIP64 shape on odd ones.
+    */
+  private val zipShardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def zipShardDir(s: SparkSession, dir: String): String =
+    zipShardCache.computeIfAbsent(dir, { _ =>
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")).collect().map(_.getLong(0))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-zip-shards")
+      (0 until 64).foreach { b =>
+        val members = ids.filter(_ % 64 == b).toSeq.flatMap { id =>
+          Seq((s"d/$id.txt", s"s:$id:t".getBytes("UTF-8"), id % 2 == 1),
+            (s"d/$id.json", s"""{"i":$id}""".getBytes("UTF-8"), false))
+        }
+        java.nio.file.Files.write(out.resolve(s"arch_$b.zip"),
+          operators.Zip.buildZip(members, zip64 = b % 2 == 1))
+      }
+      out.toString
+    })
+
   private val tarShardCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4210,6 +4235,22 @@ object SparkEntry {
     "q_tar_stream" -> ((s, dir) =>
       graft.sources.TarShardSource
         .members(s, tarShardDir(s, dir) + "/wds_*.tar*")
+        .toDF()
+        .select(
+          regexp_extract(col("path"), "/(\\d+)\\.", 1).cast("long")
+            .as("id"),
+          col("entry_index"), col("path"),
+          col("bytes").cast("string").as("content_str"),
+          col("size"))),
+
+    // the path-level RANDOM-ACCESS zip source — ZIP's honest
+    // streamed form (the central directory at the END is the
+    // authoritative list, so correct streaming means seeking): 64
+    // on-disk archives, classic on even buckets, full ZIP64 on odd,
+    // walked through the SAME state machine as the column operator
+    "q_zip_stream" -> ((s, dir) =>
+      graft.sources.ZipShardSource
+        .members(s, zipShardDir(s, dir) + "/arch_*.zip")
         .toDF()
         .select(
           regexp_extract(col("path"), "/(\\d+)\\.", 1).cast("long")
@@ -9550,6 +9591,25 @@ object SparkEntry {
         |  CAST(1040 AS BIGINT) AS start_frame
         |FROM documents
         |WHERE doc_id % 64 < 32
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // streamed zip source: identical member closed form to
+    // q_tar_stream (CD order is build order)
+    "q_zip_stream" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 64
+        |      ORDER BY doc_id) - 1 AS BIGINT) AS rnk
+        |  FROM documents),
+        |m AS (
+        |  SELECT id, rnk * 2 AS entry_index,
+        |    'd/' || id || '.txt' AS path,
+        |    's:' || id || ':t' AS content_str FROM g
+        |  UNION ALL
+        |  SELECT id, rnk * 2 + 1, 'd/' || id || '.json',
+        |    '{"i":' || id || '}' FROM g)
+        |SELECT id, CAST(entry_index AS BIGINT) AS entry_index, path,
+        |  content_str, CAST(length(content_str) AS BIGINT) AS size
+        |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // streaming WebDataset member walk: identical census to

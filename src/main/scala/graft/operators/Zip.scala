@@ -77,141 +77,220 @@ object Zip {
   private def le64(b: Array[Byte], o: Int): Long =
     le32(b, o) | (le32(b, o + 4) << 32)
 
+  /** Random-access view of one archive — the column operator wraps a
+    * byte array, the path-level source (`sources.ZipShardSource`)
+    * wraps a seekable Hadoop stream, and BOTH run [[walkZip]], so the
+    * honesty contracts cannot drift.
+    */
+  private[graft] trait ZipReader {
+    def length: Long
+    /** Read exactly `len` bytes at absolute `at` — throws on EOF. */
+    def readFully(at: Long, buf: Array[Byte], off: Int, len: Int): Unit
+  }
+
+  private[graft] final class ArrayZipReader(b: Array[Byte])
+      extends ZipReader {
+    def length: Long = b.length.toLong
+    def readFully(at: Long, buf: Array[Byte], off: Int,
+        len: Int): Unit = {
+      if (at < 0L || at + len > b.length)
+        throw new MalformedShardException("read past the archive")
+      System.arraycopy(b, at.toInt, buf, off, len)
+    }
+  }
+
   private[graft] def parseZip(bytes: Array[Byte],
       maxEntryBytes: Int): Option[Vector[(String, Array[Byte], String)]] = {
     if (bytes == null || bytes.length < 22) return None
-    // EOCD: scan back through at most 64 KiB of comment
-    var eocd = -1
-    val lo = math.max(0, bytes.length - 22 - 0xFFFF)
-    var p = bytes.length - 22
-    while (eocd < 0 && p >= lo) {
-      if (bytes(p) == 'P' && bytes(p + 1) == 'K' &&
-        (bytes(p + 2) & 0xFF) == 5 && (bytes(p + 3) & 0xFF) == 6 &&
-        p + 22 + le16(bytes, p + 20) == bytes.length) eocd = p
-      else p -= 1
+    try Some(walkZip(new ArrayZipReader(bytes), maxEntryBytes,
+      1 << 28, "<column>").toVector)
+    catch { case _: MalformedShardException => None }
+  }
+
+  /** The SINGLE ZIP state machine over random access: locate the
+    * EOCD (through ≤64 KiB of trailing comment), follow the ZIP64
+    * locator/record when sentinel fields demand it, materialize the
+    * CENTRAL directory (≤ `maxCdBytes` — the authoritative member
+    * list), then per member seek to its local header, read the
+    * compressed bytes, inflate to exactly the declared size, and
+    * verify the CRC-32. Residency is the CD plus ONE member.
+    * Structural violations throw [[MalformedShardException]]; the
+    * column operator maps that to emit-nothing.
+    */
+  private[graft] def walkZip(in: ZipReader, maxEntryBytes: Int,
+      maxCdBytes: Int, shard: String)
+      : Iterator[(String, Array[Byte], String)] = {
+    def fail(why: String): Nothing =
+      throw new MalformedShardException(s"$shard: $why")
+    val fileLen = in.length
+    if (fileLen < 22L) fail("shorter than an EOCD record")
+    // tail window: EOCD + up to 64 KiB of comment
+    val tailLen = math.min(fileLen, 22L + 0xFFFF).toInt
+    val tailAt = fileLen - tailLen
+    val tail = new Array[Byte](tailLen)
+    in.readFully(tailAt, tail, 0, tailLen)
+    var e = tailLen - 22
+    var eocdRel = -1
+    while (eocdRel < 0 && e >= 0) {
+      if (tail(e) == 'P' && tail(e + 1) == 'K' &&
+        (tail(e + 2) & 0xFF) == 5 && (tail(e + 3) & 0xFF) == 6 &&
+        tailAt + e + 22 + le16(tail, e + 20) == fileLen) eocdRel = e
+      else e -= 1
     }
-    if (eocd < 0) return None
-    var nEntries = le16(bytes, eocd + 10).toLong
-    if (nEntries != le16(bytes, eocd + 8)) return None // multi-disk
-    var cdSize = le32(bytes, eocd + 12)
-    var cdOff = le32(bytes, eocd + 16)
+    if (eocdRel < 0) fail("no end-of-central-directory record")
+    val eocdAbs = tailAt + eocdRel
+    var nEntries = le16(tail, eocdRel + 10).toLong
+    if (nEntries != le16(tail, eocdRel + 8)) fail("multi-disk archive")
+    var cdSize = le32(tail, eocdRel + 12)
+    var cdOff = le32(tail, eocdRel + 16)
     // ZIP64: any sentinel field sends us through the EOCD locator to
     // the ZIP64 EOCD record (the published APPNOTE 4.4.1 escape for
     // >4 GiB archives / >65,535 entries)
-    var cdEnd = eocd.toLong
+    var cdEndAbs = eocdAbs
     if (nEntries == 0xFFFFL || cdSize == 0xFFFFFFFFL ||
       cdOff == 0xFFFFFFFFL) {
       // locator: 20 bytes directly before the EOCD
-      val loc = eocd - 20
-      if (loc < 0 || le32(bytes, loc) != 0x07064b50L) return None
-      if (le32(bytes, loc + 4) != 0L) return None // zip64 EOCD disk
-      if (le32(bytes, loc + 16) != 1L) return None // total disks
-      val z64 = le64(bytes, loc + 8)
-      if (z64 < 0L || z64 > Int.MaxValue.toLong || z64 + 56 > loc)
-        return None
-      val z = z64.toInt // JVM arrays are < 2 GiB; bounds-checked above
-      if (le32(bytes, z) != 0x06064b50L) return None
+      val locAbs = eocdAbs - 20
+      if (locAbs < 0) fail("sentinel fields without a ZIP64 locator")
+      val loc = new Array[Byte](20)
+      in.readFully(locAbs, loc, 0, 20)
+      if (le32(loc, 0) != 0x07064b50L)
+        fail("sentinel fields without a ZIP64 locator")
+      if (le32(loc, 4) != 0L) fail("ZIP64 EOCD on another disk")
+      if (le32(loc, 16) != 1L) fail("multi-disk archive")
+      val z64 = le64(loc, 8)
+      if (z64 < 0L || z64 + 56 > locAbs) fail("ZIP64 EOCD out of range")
+      val z = new Array[Byte](56)
+      in.readFully(z64, z, 0, 56)
+      if (le32(z, 0) != 0x06064b50L) fail("bad ZIP64 EOCD signature")
       // record size counts everything after the first 12 bytes; the
       // record must END at the locator (nothing hides between)
-      if (z64 + 12 + le64(bytes, z + 4) != loc.toLong) return None
-      if (le32(bytes, z + 16) != 0L || le32(bytes, z + 20) != 0L)
-        return None // this disk / CD-start disk
-      nEntries = le64(bytes, z + 24)
-      if (nEntries != le64(bytes, z + 32)) return None
-      if (nEntries < 0L || nEntries > Int.MaxValue.toLong) return None
-      cdSize = le64(bytes, z + 40)
-      cdOff = le64(bytes, z + 48)
-      if (cdSize < 0L || cdOff < 0L) return None
-      cdEnd = z64
+      if (z64 + 12 + le64(z, 4) != locAbs) fail("ZIP64 EOCD size lie")
+      if (le32(z, 16) != 0L || le32(z, 20) != 0L)
+        fail("multi-disk archive")
+      nEntries = le64(z, 24)
+      if (nEntries != le64(z, 32)) fail("ZIP64 entry-count mismatch")
+      if (nEntries < 0L || nEntries > Int.MaxValue.toLong)
+        fail("insane ZIP64 entry count")
+      cdSize = le64(z, 40)
+      cdOff = le64(z, 48)
+      if (cdSize < 0L || cdOff < 0L) fail("negative ZIP64 CD fields")
+      cdEndAbs = z64
     }
-    if (cdOff + cdSize != cdEnd) return None
-    val out = Vector.newBuilder[(String, Array[Byte], String)]
+    if (cdOff + cdSize != cdEndAbs)
+      fail("central directory does not end at its terminator")
+    if (cdSize > maxCdBytes)
+      fail(s"central directory of $cdSize bytes over the " +
+        s"$maxCdBytes cap")
+    val cd = new Array[Byte](cdSize.toInt)
+    in.readFully(cdOff, cd, 0, cdSize.toInt)
+    val out = Vector
+      .newBuilder[(String, Int, Long, Long, Long, Long)]
     val ranges = Vector.newBuilder[(Long, Long)] // member [lho, dataEnd)
-    var pos = cdOff
-    var i = 0
+    var pos = 0L
+    var i = 0L
     while (i < nEntries) {
-      if (pos + 46 > cdEnd) return None
+      if (pos + 46 > cdSize) fail("central directory truncated")
       val o = pos.toInt
-      if (le32(bytes, o) != 0x02014b50L) return None
-      val flags = le16(bytes, o + 8)
-      if ((flags & 0x0001) != 0) return None // encrypted: refuse
-      val method = le16(bytes, o + 10)
-      val crc = le32(bytes, o + 16)
-      var compSize = le32(bytes, o + 20)
-      var uncompSize = le32(bytes, o + 24)
-      val nameLen = le16(bytes, o + 28)
-      val extraLen = le16(bytes, o + 30)
-      val commentLen = le16(bytes, o + 32)
-      var lho = le32(bytes, o + 42)
-      if (pos + 46 + nameLen + extraLen + commentLen > cdEnd) return None
+      if (le32(cd, o) != 0x02014b50L) fail("bad CD entry signature")
+      val flags = le16(cd, o + 8)
+      if ((flags & 0x0001) != 0) fail("encrypted member")
+      val method = le16(cd, o + 10)
+      val crc = le32(cd, o + 16)
+      var compSize = le32(cd, o + 20)
+      var uncompSize = le32(cd, o + 24)
+      val nameLen = le16(cd, o + 28)
+      val extraLen = le16(cd, o + 30)
+      val commentLen = le16(cd, o + 32)
+      var lho = le32(cd, o + 42)
+      if (pos + 46 + nameLen + extraLen + commentLen > cdSize)
+        fail("CD entry overruns the directory")
       // sentinel fields resolve through the ZIP64 extended-info extra
       // (header id 0x0001): 8-byte values present ONLY for the fields
       // that are 0xFFFFFFFF, in uncomp/comp/offset order
       if (compSize == 0xFFFFFFFFL || uncompSize == 0xFFFFFFFFL ||
         lho == 0xFFFFFFFFL) {
-        var e = o + 46 + nameLen
-        val eEnd = e + extraLen
+        var e2 = o + 46 + nameLen
+        val eEnd = e2 + extraLen
         var found = false
-        while (!found && e + 4 <= eEnd) {
-          val hid = le16(bytes, e)
-          val dsz = le16(bytes, e + 2)
-          if (e + 4 + dsz > eEnd) return None
+        while (!found && e2 + 4 <= eEnd) {
+          val hid = le16(cd, e2)
+          val dsz = le16(cd, e2 + 2)
+          if (e2 + 4 + dsz > eEnd) fail("extra field overruns")
           if (hid == 0x0001) {
-            var f = e + 4
+            var f = e2 + 4
             if (uncompSize == 0xFFFFFFFFL) {
-              if (f + 8 > e + 4 + dsz) return None
-              uncompSize = le64(bytes, f); f += 8
+              if (f + 8 > e2 + 4 + dsz) fail("short ZIP64 extra")
+              uncompSize = le64(cd, f); f += 8
             }
             if (compSize == 0xFFFFFFFFL) {
-              if (f + 8 > e + 4 + dsz) return None
-              compSize = le64(bytes, f); f += 8
+              if (f + 8 > e2 + 4 + dsz) fail("short ZIP64 extra")
+              compSize = le64(cd, f); f += 8
             }
             if (lho == 0xFFFFFFFFL) {
-              if (f + 8 > e + 4 + dsz) return None
-              lho = le64(bytes, f); f += 8
+              if (f + 8 > e2 + 4 + dsz) fail("short ZIP64 extra")
+              lho = le64(cd, f); f += 8
             }
             found = true
-          } else e += 4 + dsz
+          } else e2 += 4 + dsz
         }
-        if (!found) return None // sentinel with no ZIP64 extra: refuse
-        if (compSize < 0L || uncompSize < 0L || lho < 0L) return None
+        if (!found) fail("sentinel fields with no ZIP64 extra")
+        if (compSize < 0L || uncompSize < 0L || lho < 0L)
+          fail("negative ZIP64 member fields")
       }
-      val name = new String(bytes, o + 46, nameLen, "UTF-8")
+      val name = new String(cd, o + 46, nameLen, "UTF-8")
       if (!name.endsWith("/")) {
-        if (uncompSize > maxEntryBytes) return None
-        // local header: sig + its OWN name/extra lengths
-        if (lho + 30 > bytes.length) return None
-        val l = lho.toInt
-        if (le32(bytes, l) != 0x04034b50L) return None
-        val dataOff = lho + 30 + le16(bytes, l + 26) + le16(bytes, l + 28)
-        if (dataOff + compSize > bytes.length) return None
+        if (uncompSize > maxEntryBytes)
+          fail(s"member of $uncompSize bytes over the " +
+            s"$maxEntryBytes cap")
+        // deflate worst-case expansion bound: a compSize far beyond
+        // it is a crafted field, not compression
+        if (compSize > uncompSize + (uncompSize >> 9) + 4096)
+          fail("compressed size exceeds the deflate expansion bound")
+        // local header: sig + its OWN name/extra lengths (a 30-byte
+        // read per member — structure verified UP FRONT so the
+        // overlap check can run before any member data is read)
+        if (lho + 30 > fileLen) fail("local header out of range")
+        val lh = new Array[Byte](30)
+        in.readFully(lho, lh, 0, 30)
+        if (le32(lh, 0) != 0x04034b50L)
+          fail("bad local header signature")
+        val dataOff = lho + 30 + le16(lh, 26) + le16(lh, 28)
+        if (dataOff + compSize > fileLen) fail("member data overruns")
         ranges += ((lho, dataOff + compSize))
-        if (method == 0) {
-          if (compSize != uncompSize) return None
-          val data = new Array[Byte](uncompSize.toInt)
-          System.arraycopy(bytes, dataOff.toInt, data, 0, data.length)
-          if (!crcOk(data, crc)) return None
-          out += ((name, data, "stored"))
-        } else if (method == 8) {
-          val data = inflateRaw(bytes, dataOff.toInt, compSize.toInt,
-            uncompSize.toInt).getOrElse(return None)
-          if (!crcOk(data, crc)) return None
-          out += ((name, data, "deflate"))
-        } else return None // unknown method: refuse honestly
+        out += ((name, method, crc, compSize, uncompSize, dataOff))
       }
       pos += 46 + nameLen + extraLen + commentLen
       i += 1
     }
-    if (pos != cdEnd) return None // CD shorter than declared
+    if (pos != cdSize) fail("central directory shorter than declared")
     // overlapping members: two CD entries pointing into the same
     // local data are a crafted archive, not a packaging accident
     val sorted = ranges.result().sortBy(_._1)
     var j = 1
     while (j < sorted.length) {
-      if (sorted(j)._1 < sorted(j - 1)._2) return None
+      if (sorted(j)._1 < sorted(j - 1)._2)
+        fail("overlapping member data")
       j += 1
     }
-    Some(out.result())
+    // phase 2, LAZY: member bytes read + verified one at a time —
+    // residency stays CD + one member whatever the archive size
+    out.result().iterator.map {
+      case (name, method, crc, compSize, uncompSize, dataOff) =>
+        val comp = new Array[Byte](compSize.toInt)
+        in.readFully(dataOff, comp, 0, compSize.toInt)
+        if (method == 0) {
+          if (compSize != uncompSize)
+            fail("stored member with unequal sizes")
+          if (!crcOk(comp, crc)) fail("member CRC mismatch")
+          (name, comp, "stored")
+        } else if (method == 8) {
+          val data = inflateRaw(comp, 0, comp.length,
+            uncompSize.toInt).getOrElse(fail("corrupt deflate stream"))
+          if (!crcOk(data, crc)) fail("member CRC mismatch")
+          (name, data, "deflate")
+        } else fail(s"unknown compression method $method")
+    }
   }
 
   private def crcOk(data: Array[Byte], declared: Long): Boolean = {
