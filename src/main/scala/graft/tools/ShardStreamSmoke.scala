@@ -93,5 +93,88 @@ object ShardStreamSmoke {
     java.nio.file.Files.walk(dir)
       .sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
+
+    // --- the ZIP counterpart: one multi-GiB archive walked off disk
+    // via the random-access EOCD/CD path — CD + one member resident.
+    val zdir = java.nio.file.Files
+      .createTempDirectory("graft-scale-zip")
+    val t2 = System.nanoTime()
+    val nZipMembers = 2048
+    val zipMemberBytes = memberBytes
+    // streamed writer: local headers + stored data to disk one member
+    // at a time, CD composed incrementally (stored members, real CRCs)
+    locally {
+      val f = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(
+          zdir.resolve("big.zip").toFile), 1 << 20)
+      var pos = 0L
+      val cd = new java.io.ByteArrayOutputStream()
+      def w16(o: java.io.OutputStream, v: Int): Unit = {
+        o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      }
+      def w32(o: java.io.OutputStream, v: Long): Unit = {
+        o.write((v & 0xFF).toInt); o.write(((v >> 8) & 0xFF).toInt)
+        o.write(((v >> 16) & 0xFF).toInt)
+        o.write(((v >> 24) & 0xFF).toInt)
+      }
+      (0 until nZipMembers).foreach { m =>
+        val data = new Array[Byte](zipMemberBytes)
+        var i = 0
+        while (i < zipMemberBytes) {
+          data(i) = ((m * 31 + i * 7) % 251).toByte
+          i += 1
+        }
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        val name = s"zip/$m.bin".getBytes("UTF-8")
+        val lho = pos
+        w32(f, 0x04034b50L); w16(f, 20); w16(f, 0); w16(f, 0)
+        w16(f, 0); w16(f, 0)
+        w32(f, crc.getValue); w32(f, data.length.toLong)
+        w32(f, data.length.toLong)
+        w16(f, name.length); w16(f, 0)
+        f.write(name); f.write(data)
+        pos += 30 + name.length + data.length
+        w32(cd, 0x02014b50L); w16(cd, 20); w16(cd, 20); w16(cd, 0)
+        w16(cd, 0); w16(cd, 0); w16(cd, 0)
+        w32(cd, crc.getValue); w32(cd, data.length.toLong)
+        w32(cd, data.length.toLong)
+        w16(cd, name.length); w16(cd, 0); w16(cd, 0)
+        w16(cd, 0); w16(cd, 0); w32(cd, 0L)
+        w32(cd, lho)
+        cd.write(name)
+      }
+      val cdBytes = cd.toByteArray
+      f.write(cdBytes)
+      w32(f, 0x06054b50L); w16(f, 0); w16(f, 0)
+      w16(f, nZipMembers); w16(f, nZipMembers)
+      w32(f, cdBytes.length.toLong); w32(f, pos); w16(f, 0)
+      f.close()
+    }
+    val zipTotal = nZipMembers.toLong * zipMemberBytes
+    println(f"shardStream(zip): wrote a ${zipTotal / 1e9}%.1f GB " +
+      f"archive in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    val t3 = System.nanoTime()
+    val zMembers = graft.sources.ZipShardSource.members(spark,
+      zdir.resolve("big.zip").toString,
+      maxEntryBytes = 2 * zipMemberBytes)
+    val zAgg = zMembers.toDF()
+      .agg(count(lit(1)), sum(col("size")),
+        sum(firstByte(col("bytes")))).collect()(0)
+    val tZ = (System.nanoTime() - t3) / 1e9
+    val expZFirst = (0 until nZipMembers)
+      .map(m => ((m * 31) % 251).toLong).sum
+    require(zAgg.getLong(0) == nZipMembers.toLong,
+      s"zip member count ${zAgg.getLong(0)}")
+    require(zAgg.getLong(1) == zipTotal, s"zip byte sum ${zAgg.getLong(1)}")
+    require(zAgg.getLong(2) == expZFirst,
+      s"zip first-byte sum ${zAgg.getLong(2)} != $expZFirst")
+    println(f"shardStream(zip): $nZipMembers%d members " +
+      f"(${zipTotal / 1e9}%.1f GB, every CRC verified) walked off " +
+      f"disk in $tZ%.1f s (${zipTotal / 1e9 / tZ}%.2f GB/s), " +
+      f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    java.nio.file.Files.walk(zdir)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
   }
 }
