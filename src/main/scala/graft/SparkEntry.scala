@@ -613,6 +613,29 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** MP4s carrying tx3g timed-text tracks: per doc_id, 3 + base % 3
+    * closed-form cues at a uniform tick duration, a gap sample after
+    * the first cue on even bases, per-sample chunking and the `text`
+    * handler on odd ids — every cue time an exact integer form.
+    */
+  private def syntheticTx3gClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val n = (3 + id % 3).toInt
+      val d = 600L + 60L * (base % 5)
+      val cues = (0 until n).map(k => (d, s"cue:$id:$k"))
+      val samples =
+        if (base % 2 == 0) cues.take(1) ++ Seq((300L, "")) ++ cues.drop(1)
+        else cues
+      Mp4.buildMp4Tx3g(600L, samples,
+        chunkSamples =
+          if (id % 2 == 1) Seq.fill(samples.length)(1) else Nil,
+        handler = if (id % 2 == 0) "sbtl" else "text")
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
     * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
     * appended — v1.1 (with track) on even ids, plain v1 on odd.
@@ -3406,6 +3429,14 @@ object SparkEntry {
       graft.operators.AudioTags.audioTagScan(
         syntheticAudioTagsClassed(t(s, dir, "documents")),
         "id", "content")),
+
+    // MP4 timed text (tx3g) — the ISO-BMFF rung of the subtitle
+    // family: u16-length samples through the full sample-table walk
+    // (stts timing, stsc/stco layouts, gap samples skipped); every
+    // cue time and text a closed form of doc_id
+    "q_video_mp4_subtitles" -> ((s, dir) =>
+      Mp4.mp4SubtitleCues(
+        syntheticTx3gClassed(t(s, dir, "documents")), "id", "content")),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
     // headers are q_audio_id3): REAL MP3 frames + a closed-form
@@ -7042,6 +7073,29 @@ object SparkEntry {
         |      CASE WHEN base % 2 = 0 THEN 'vorbis' ELSE 'opus' END,
         |      'language', 'l' || (base % 9) FROM g WHERE m = 4)
         |SELECT id, container, source, tag, value FROM r
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // tx3g cues: uniform tick duration + an even-base gap after the
+    // first cue; floor-millis under the 600 timescale
+    "q_video_mp4_subtitles" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    3 + doc_id % 3 AS n
+        |  FROM documents),
+        |m AS (SELECT id, base, n,
+        |    600 + 60 * (base % 5) AS d,
+        |    CASE WHEN base % 2 = 0 THEN 300 ELSE 0 END AS gap
+        |  FROM g),
+        |c AS (SELECT id, k, d, gap FROM m
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+        |  WHERE k < n)
+        |SELECT id, CAST(k AS BIGINT) AS cue_index,
+        |  CAST((k * d + CASE WHEN k >= 1 THEN gap ELSE 0 END)
+        |    * 1000 // 600 AS BIGINT) AS start_ms,
+        |  CAST((k * d + CASE WHEN k >= 1 THEN gap ELSE 0 END + d)
+        |    * 1000 // 600 AS BIGINT) AS end_ms,
+        |  'cue:' || id || ':' || k AS text
+        |FROM c
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3v1 trailer: every field a closed form of base = doc_id % 64

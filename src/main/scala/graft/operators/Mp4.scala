@@ -1565,4 +1565,349 @@ object Mp4 {
     bos.write(body)
     bos.toByteArray
   }
+
+  // ---- MP4 timed text (tx3g) — the subtitle rung of ISO-BMFF -------
+
+  /** One timed-text cue out of a tx3g track. */
+  case class Mp4Cue(id: Long, cueIndex: Long, startMs: Long,
+      endMs: Long, text: String)
+
+  /** Extract the first `text`/`sbtl` track's tx3g cues: sample
+    * payloads are a u16 text length + UTF-8 bytes (trailing modifier
+    * boxes ignored), timing is the `stts` delta table under the
+    * track's own `mdhd` timescale — the MP4 rung of the subtitle
+    * family (SRT/VTT/ASS/Matroska S_TEXT are the others), so every
+    * transcript-side operator consumes MP4 captions with zero new
+    * code. Zero-length samples are the published "no subtitle on
+    * screen" gaps — skipped, not emitted. Files without a text track
+    * emit nothing; structural lies (text length past the sample,
+    * tables past the payload, over-cap text) refuse the whole file.
+    */
+  def mp4SubtitleCues(df: DataFrame, idCol: String, binCol: String,
+      maxTextBytes: Int = 1 << 24): DataFrame = {
+    require(maxTextBytes > 0, "maxTextBytes must be positive")
+    implicit val enc = Encoders.product[Mp4Cue]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          parseTx3g(r.getAs[Array[Byte]](1), maxTextBytes) match {
+            case Some(cues) => cues.zipWithIndex.map {
+              case ((s0, e0, t), i) => Mp4Cue(id, i.toLong, s0, e0, t)
+            }
+            case None => Nil
+          }
+        }
+    }.toDF().select(col("id"), col("cueIndex").as("cue_index"),
+      col("startMs").as("start_ms"), col("endMs").as("end_ms"),
+      col("text"))
+  }
+
+  private[graft] def parseTx3g(bytes: Array[Byte],
+      maxTextBytes: Int): Option[Vector[(Long, Long, String)]] = {
+    if (bytes == null || bytes.length < 16) return None
+    val total = bytes.length.toLong
+    val top = childRanges(bytes, 0L, total).getOrElse(return None)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val (_, moovBody, moovEnd) =
+      top.find(_._1 == "moov").getOrElse(return None)
+    val moovKids =
+      childRanges(bytes, moovBody, moovEnd).getOrElse(return None)
+
+    // first text/sbtl trak: its mdhd timescale + stbl children
+    var stbl: Vector[(String, Long, Long)] = null
+    var timescale = 0L
+    val trakIt = moovKids.iterator.filter(_._1 == "trak")
+    while (stbl == null && trakIt.hasNext) {
+      val (_, tb, te) = trakIt.next()
+      for {
+        kids <- childRanges(bytes, tb, te)
+        (_, mb, me) <- kids.find(_._1 == "mdia")
+        mKids <- childRanges(bytes, mb, me)
+        (_, hb, he) <- mKids.find(_._1 == "hdlr")
+        if hb + 12 <= he && {
+          val h = fourcc(bytes, hb.toInt + 8)
+          h == "text" || h == "sbtl"
+        }
+        (_, dB, dE) <- mKids.find(_._1 == "mdhd")
+        if dB + 4 <= dE
+        (_, nb, ne) <- mKids.find(_._1 == "minf")
+        nKids <- childRanges(bytes, nb, ne)
+        (_, sb, se) <- nKids.find(_._1 == "stbl")
+        sKids <- childRanges(bytes, sb, se)
+      } {
+        val v = bytes(dB.toInt) & 0xFF
+        val tsOff = if (v == 1) dB + 20 else dB + 12
+        if (tsOff + 4 <= dE) {
+          timescale = be32(bytes, tsOff.toInt)
+          stbl = sKids
+        }
+      }
+    }
+    if (stbl == null || timescale <= 0L) return None
+
+    def full(name: String): Option[(Long, Long)] =
+      stbl.find(_._1 == name).collect {
+        case (_, b, e) if b + 4 <= e => (b + 4, e)
+      }
+
+    // stsd: first entry must be tx3g
+    val (sdB, sdE) = full("stsd").getOrElse(return None)
+    if (sdB + 4 > sdE || be32(bytes, sdB.toInt) < 1L) return None
+    if (sdB + 12 > sdE) return None
+    if (fourcc(bytes, sdB.toInt + 8) != "tx3g") return None
+
+    // stsz sizes
+    val (szB, szE) = full("stsz").getOrElse(return None)
+    if (szB + 8 > szE) return None
+    val defaultSize = be32(bytes, szB.toInt)
+    val sampleCount = be32(bytes, szB.toInt + 4)
+    if (sampleCount <= 0L || sampleCount > (1L << 20)) return None
+    val tableOff = szB + 8
+    if (defaultSize == 0L && tableOff + 4L * sampleCount > szE)
+      return None
+    def sampleSizeAt(i: Long): Long =
+      if (defaultSize != 0L) defaultSize
+      else be32(bytes, (tableOff + 4L * i).toInt)
+
+    // stts: per-sample durations (run-length)
+    val (ttB, ttE) = full("stts").getOrElse(return None)
+    if (ttB + 4 > ttE) return None
+    val ttN = be32(bytes, ttB.toInt)
+    if (ttN <= 0L || ttB + 4 + 8L * ttN > ttE) return None
+    val durations = new Array[Long](sampleCount.toInt)
+    var di = 0
+    var k = 0
+    while (k < ttN.toInt) {
+      val o = (ttB + 4 + 8L * k).toInt
+      val cnt = be32(bytes, o)
+      val delta = be32(bytes, o + 4)
+      if (cnt < 0L || delta < 0L) return None
+      var c = 0L
+      while (c < cnt) {
+        if (di >= durations.length) return None // stts over-declares
+        durations(di) = delta
+        di += 1
+        c += 1L
+      }
+      k += 1
+    }
+    if (di != durations.length) return None // stts under-declares
+
+    // stsc runs + chunk offsets (same grammar as the audio walk)
+    val (scB, scE) = full("stsc").getOrElse(return None)
+    if (scB + 4 > scE) return None
+    val scN = be32(bytes, scB.toInt)
+    if (scN <= 0L || scB + 4 + 12L * scN > scE) return None
+    val runs = new Array[Long](2 * scN.toInt)
+    var prevFirst = 0L
+    k = 0
+    while (k < scN.toInt) {
+      val o = (scB + 4 + 12L * k).toInt
+      val first = be32(bytes, o)
+      val spc = be32(bytes, o + 4)
+      if (first <= prevFirst || spc <= 0L ||
+        be32(bytes, o + 8) != 1L) return None
+      if (k == 0 && first != 1L) return None
+      runs(2 * k) = first; runs(2 * k + 1) = spc
+      prevFirst = first
+      k += 1
+    }
+    val (coName, coWidth) =
+      if (stbl.exists(_._1 == "stco")) ("stco", 4L) else ("co64", 8L)
+    val (coB, coE) = full(coName).getOrElse(return None)
+    if (coB + 4 > coE) return None
+    val nChunks = be32(bytes, coB.toInt)
+    if (nChunks <= 0L || coB + 4 + coWidth * nChunks > coE) return None
+    def chunkOffset(c: Long): Long = {
+      val o = (coB + 4 + coWidth * c).toInt
+      if (coWidth == 4L) be32(bytes, o) else be64(bytes, o)
+    }
+
+    // walk samples in chunk order, decode tx3g payloads, accumulate
+    // cue times in SAMPLE order (tables are sample-ordered)
+    val out = Vector.newBuilder[(Long, Long, String)]
+    var tTicks = 0L
+    var textTotal = 0L
+    var sample = 0L
+    var run = 0
+    var chunk = 0L
+    while (sample < sampleCount && chunk < nChunks) {
+      while (run + 1 < scN.toInt && runs(2 * (run + 1)) <= chunk + 1L)
+        run += 1
+      val spc = runs(2 * run + 1)
+      var off = chunkOffset(chunk)
+      var j = 0L
+      while (j < spc && sample < sampleCount) {
+        val sz = sampleSizeAt(sample)
+        if (sz < 2L || off < 0L || off + sz > total) return None
+        val tlen = be16(bytes, off.toInt)
+        if (2L + tlen > sz) return None // text past its sample
+        textTotal += tlen
+        if (textTotal > maxTextBytes) return None // refuse, not trim
+        val delta = durations(sample.toInt)
+        if (tlen > 0) {
+          val text = new String(bytes, off.toInt + 2, tlen, "UTF-8")
+          out += ((tTicks * 1000L / timescale,
+            (tTicks + delta) * 1000L / timescale, text))
+        } // tlen == 0: the published no-subtitle gap sample
+        tTicks += delta
+        off += sz
+        j += 1L
+        sample += 1L
+      }
+      chunk += 1L
+    }
+    if (sample < sampleCount) return None
+    Some(out.result())
+  }
+
+  /** Build an MP4 with a tx3g timed-text track — the encode twin of
+    * [[mp4SubtitleCues]]. `samples` are (durationTicks, text) pairs
+    * in timeline order; empty text writes the published gap sample.
+    * mdat-first so chunk offsets are real; `chunkSamples` splits the
+    * samples into chunks to exercise the stsc walk.
+    */
+  def buildMp4Tx3g(timescale: Long, samples: Seq[(Long, String)],
+      chunkSamples: Seq[Int] = Nil,
+      handler: String = "sbtl"): Array[Byte] = {
+    require(timescale > 0, "timescale")
+    require(samples.nonEmpty, "at least one sample")
+    require(handler == "sbtl" || handler == "text", "handler")
+    val chunks =
+      if (chunkSamples.isEmpty) Seq(samples.length)
+      else chunkSamples
+    require(chunks.sum == samples.length && chunks.forall(_ > 0),
+      "chunkSamples must partition the samples")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = {
+      bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF)
+    }
+    def w32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 8) & 0xFF).toInt); bos.write((v & 0xFF).toInt)
+    }
+    def tag4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def box(typ: String)(body: => Unit): Unit = {
+      val sizeAt = bos.size()
+      w32(0L); tag4(typ)
+      body
+      val outB = bos.toByteArray
+      val sz = outB.length - sizeAt
+      bos.reset()
+      bos.write(outB, 0, sizeAt)
+      w32(sz.toLong); bos.write(outB, sizeAt + 4, sz - 4)
+    }
+    def fullBox(typ: String, version: Int)(body: => Unit): Unit =
+      box(typ) { bos.write(version); bos.write(0); w16(0); body }
+
+    box("ftyp") { tag4("isom"); w32(512L); tag4("isom"); tag4("iso2") }
+
+    // mdat FIRST: per-sample u16 length + UTF-8 text
+    val sampleBytes = samples.map { case (_, t) =>
+      val tb = t.getBytes("UTF-8")
+      require(tb.length <= 0xFFFF, "text over the u16 length field")
+      val b = new Array[Byte](2 + tb.length)
+      b(0) = ((tb.length >> 8) & 0xFF).toByte
+      b(1) = (tb.length & 0xFF).toByte
+      System.arraycopy(tb, 0, b, 2, tb.length)
+      b
+    }
+    val offsets = new Array[Long](chunks.length)
+    box("mdat") {
+      var s0 = 0
+      chunks.zipWithIndex.foreach { case (n, c) =>
+        offsets(c) = bos.size().toLong
+        (0 until n).foreach { _ =>
+          bos.write(sampleBytes(s0)); s0 += 1
+        }
+      }
+    }
+
+    val duration = samples.map(_._1).sum
+    box("moov") {
+      fullBox("mvhd", 0) {
+        w32(0L); w32(0L)
+        w32(timescale); w32(duration)
+        w32(0x00010000L); w16(0x0100); w16(0)
+        w32(0L); w32(0L)
+        Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+          0x40000000L).foreach(w32)
+        (0 until 6).foreach(_ => w32(0L))
+        w32(2L)
+      }
+      box("trak") {
+        fullBox("tkhd", 0) {
+          w32(0L); w32(0L); w32(1L); w32(0L); w32(duration)
+          w32(0L); w32(0L); w16(0); w16(0); w16(0); w16(0)
+          Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+            0x40000000L).foreach(w32)
+          w32(0L); w32(0L)
+        }
+        box("mdia") {
+          fullBox("mdhd", 0) {
+            w32(0L); w32(0L)
+            w32(timescale); w32(duration)
+            w16(0x55C4); w16(0)
+          }
+          fullBox("hdlr", 0) {
+            w32(0L); tag4(handler); w32(0L); w32(0L); w32(0L)
+            bos.write("SubtitleHandler".getBytes("US-ASCII"))
+            bos.write(0)
+          }
+          box("minf") {
+            box("stbl") {
+              fullBox("stsd", 0) {
+                w32(1L)
+                box("tx3g") {
+                  (0 until 6).foreach(_ => bos.write(0)); w16(1)
+                  w32(0L) // displayFlags
+                  bos.write(1); bos.write(-1) // justification
+                  w32(0L) // background color
+                  w32(0L); w32(0L) // default text box
+                  w32(0L); w16(0); w16(0) // style record head
+                  w32(0L) // style record tail
+                }
+              }
+              fullBox("stts", 0) {
+                // run-length encode equal consecutive durations
+                val rle = scala.collection.mutable
+                  .ArrayBuffer[(Long, Long)]()
+                samples.foreach { case (d, _) =>
+                  if (rle.nonEmpty && rle.last._2 == d)
+                    rle(rle.length - 1) = (rle.last._1 + 1, d)
+                  else rle += ((1L, d))
+                }
+                w32(rle.length.toLong)
+                rle.foreach { case (cnt, d) => w32(cnt); w32(d) }
+              }
+              fullBox("stsc", 0) {
+                // one run per distinct chunk size change
+                val entries = scala.collection.mutable
+                  .ArrayBuffer[(Long, Long)]()
+                chunks.zipWithIndex.foreach { case (n, c) =>
+                  if (entries.isEmpty || entries.last._2 != n.toLong)
+                    entries += ((c + 1L, n.toLong))
+                }
+                w32(entries.length.toLong)
+                entries.foreach { case (first, spc) =>
+                  w32(first); w32(spc); w32(1L)
+                }
+              }
+              fullBox("stsz", 0) {
+                w32(0L); w32(samples.length.toLong)
+                sampleBytes.foreach(b => w32(b.length.toLong))
+              }
+              fullBox("stco", 0) {
+                w32(chunks.length.toLong)
+                offsets.foreach(w32)
+              }
+            }
+          }
+        }
+      }
+    }
+    bos.toByteArray
+  }
 }

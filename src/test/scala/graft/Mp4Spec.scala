@@ -466,4 +466,42 @@ class Mp4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getAs[String]("reason") === "hvcC without sps")
     assert(rows(2).getAs[String]("reason") === "not an hevc sps nal")
   }
+
+  test("tx3g timed text: cues round trip with exact stts timing, " +
+      "gap samples (empty text) are skipped, multi-chunk stsc " +
+      "layouts walk identically, and structural lies refuse") {
+    val samples = Seq(
+      (600L, "First cue"),
+      (300L, ""),                // gap: nothing on screen
+      (900L, "Second cue \u2014 caf\u00e9"),
+      (600L, "Third"))
+    val one = Mp4.buildMp4Tx3g(600L, samples)
+    val multi = Mp4.buildMp4Tx3g(600L, samples,
+      chunkSamples = Seq(1, 2, 1), handler = "text")
+    def cues(b: Array[Byte]) =
+      Mp4.mp4SubtitleCues(df(1L -> b), "id", "content")
+        .orderBy("cue_index").collect()
+        .map(r => (r.getAs[Long]("cue_index"),
+          r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"),
+          r.getAs[String]("text")))
+    val expected = Seq(
+      (0L, 0L, 1000L, "First cue"),
+      (1L, 1500L, 3000L, "Second cue \u2014 caf\u00e9"),
+      (2L, 3000L, 4000L, "Third"))
+    assert(cues(one).toSeq === expected)
+    assert(cues(multi).toSeq === expected)
+    // no text track -> emits nothing (not an error)
+    val plain = Mp4.buildMp4(600L, 1200L, 320, 240)
+    assert(Mp4.mp4SubtitleCues(df(1L -> plain), "id", "content")
+      .count() === 0L)
+    // text length lying past its sample refuses the FILE
+    val lied = one.clone()
+    val mdatAt = indexOfTag(lied, "mdat") - 4
+    lied(mdatAt + 8) = 0x7F.toByte // first sample's u16 len -> huge
+    assert(Mp4.mp4SubtitleCues(df(1L -> lied), "id", "content")
+      .count() === 0L)
+    // over-cap text refuses, never trims
+    assert(Mp4.mp4SubtitleCues(df(1L -> one), "id", "content",
+      maxTextBytes = 4).count() === 0L)
+  }
 }
