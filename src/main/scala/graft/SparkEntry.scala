@@ -570,15 +570,16 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
-  /** Mixed audio-tag corpus: id % 5 rotates MP3+ID3v2.4, MP3 with
+  /** Mixed audio-tag corpus: id % 6 rotates MP3+ID3v2.4, MP3 with
     * BOTH an ID3v2.3 header and a v1 trailer, MP3+ID3v1 only, FLAC
-    * Vorbis comments, and Ogg (vorbis on even base, opus on odd) —
-    * every tag name and value a closed form of doc_id.
+    * Vorbis comments, Ogg (vorbis on even base, opus on odd), and
+    * M4A iTunes-style ilst — every tag name and value a closed form
+    * of doc_id.
     */
   private def syntheticAudioTagsClassed(docs: DataFrame): DataFrame = {
     val build = udf((id: Long) => {
       val base = (id % 64).toInt
-      (id % 5) match {
+      (id % 6) match {
         case 0 => Mp3.buildMp3(3, base % 3, Seq.fill(3)(1 + base % 14),
           mono = base % 2 == 0, id3Bytes = 16,
           id3Frames = Seq("TIT2" -> s"t$id", "TPE1" -> s"a${base % 7}",
@@ -602,11 +603,18 @@ object SparkEntry {
           vendor = s"v${base % 5}",
           comments = Seq("TITLE" -> s"t$id", "Artist" -> s"a${base % 7}",
             "CUSTOMKEY" -> s"x${base % 3}"))
-        case _ => Audio.buildOgg(
+        case 4 => Audio.buildOgg(
           if (base % 2 == 0) "vorbis" else "opus", 1, 8000,
           800L + base, vendor = s"v${base % 5}",
           comments = Seq("TITLE" -> s"t$id",
             "LANGUAGE" -> s"l${base % 9}"))
+        case _ => Mp4.withIlstTags(
+          Mp4.buildMp4(timescale = 44100L, duration = 441000L,
+            width = 0, height = 0, videoCodec = "",
+            audioCodec = "mp4a", audioChannels = 2,
+            audioRate = 44100),
+          Seq("\u00A9nam" -> s"t$id", "\u00A9ART" -> s"a${base % 7}",
+            "cust" -> s"x${base % 3}"))
       }
     })
     docs.select(col("doc_id").as("id"),
@@ -7027,7 +7035,7 @@ object SparkEntry {
     "q_audio_tags" ->
       """WITH g AS (SELECT doc_id AS id,
         |    CAST(doc_id % 64 AS BIGINT) AS base,
-        |    CAST(doc_id % 5 AS BIGINT) AS m
+        |    CAST(doc_id % 6 AS BIGINT) AS m
         |  FROM documents),
         |r AS (
         |  SELECT id, 'mp3' AS container, 'id3v2' AS source,
@@ -7071,7 +7079,13 @@ object SparkEntry {
         |      'title', 't' || id FROM g WHERE m = 4
         |  UNION ALL SELECT id, 'ogg',
         |      CASE WHEN base % 2 = 0 THEN 'vorbis' ELSE 'opus' END,
-        |      'language', 'l' || (base % 9) FROM g WHERE m = 4)
+        |      'language', 'l' || (base % 9) FROM g WHERE m = 4
+        |  UNION ALL SELECT id, 'mp4', 'ilst', 'title', 't' || id
+        |      FROM g WHERE m = 5
+        |  UNION ALL SELECT id, 'mp4', 'ilst', 'artist',
+        |      'a' || (base % 7) FROM g WHERE m = 5
+        |  UNION ALL SELECT id, 'mp4', 'ilst', 'cust',
+        |      'x' || (base % 3) FROM g WHERE m = 5)
         |SELECT id, container, source, tag, value FROM r
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

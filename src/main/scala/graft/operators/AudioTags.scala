@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * not a resolver, and which one wins is the caller's curation
   * policy.
   */
-object AudioTags {
+object AudioTags { // carriers: MP3 (ID3v2+v1), FLAC/Ogg (Vorbis), MP4 (ilst)
 
   /** One normalized tag: `container` ∈ mp3|flac|ogg, `source` ∈
     * id3v2|id3v1|vorbis|opus.
@@ -34,6 +34,11 @@ object AudioTags {
     "TIT2" -> "title", "TPE1" -> "artist", "TALB" -> "album",
     "TDRC" -> "date", "TYER" -> "date", "TCON" -> "genre",
     "TRCK" -> "track", "TLAN" -> "language")
+
+  private val ilstMap = Map(
+    "\u00A9nam" -> "title", "\u00A9ART" -> "artist",
+    "\u00A9alb" -> "album", "\u00A9day" -> "date",
+    "\u00A9gen" -> "genre", "\u00A9lyr" -> "lyrics")
 
   private val vorbisMap = Map(
     "title" -> "title", "artist" -> "artist", "album" -> "album",
@@ -90,6 +95,12 @@ object AudioTags {
           val lk = k.toLowerCase(java.util.Locale.ROOT)
           ("ogg", codec, vorbisMap.getOrElse(lk, lk), v)
         }
+      }
+    } else if (b.length >= 12 &&
+      new String(b, 4, 4, "US-ASCII") == "ftyp") {
+      // M4A/MP4: iTunes-style ilst text items
+      Mp4.parseIlst(b).map { case (name, v) =>
+        ("mp4", "ilst", ilstMap.getOrElse(name, name), v)
       }
     } else Nil
   }

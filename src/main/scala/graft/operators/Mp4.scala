@@ -159,7 +159,8 @@ object Mp4 {
   private def be64(b: Array[Byte], o: Int): Long =
     (be32(b, o) << 32) | be32(b, o + 4)
   private def fourcc(b: Array[Byte], o: Int): String =
-    new String(b, o, 4, "US-ASCII")
+    // ISO-8859-1: byte-preserving (iTunes ilst names carry 0xA9 '©')
+    new String(b, o, 4, "ISO-8859-1")
 
   /** One box header at `pos`: (payloadStart, boxEnd) — None when the
     * header itself (including a 64-bit largesize) doesn't fit the
@@ -1909,5 +1910,125 @@ object Mp4 {
       }
     }
     bos.toByteArray
+  }
+
+  // ---- iTunes-style metadata (moov/udta/meta/ilst) -------------------
+
+  /** Text tags out of the ilst atom — where M4A/MP4 audio carries
+    * title/artist/album (the `©nam` family): each ilst child wraps a
+    * `data` box whose type indicator 1 means UTF-8 text. Binary
+    * items (artwork, trkn) are skipped — this reads TEXT metadata,
+    * not payloads. Empty on files without the atom chain; malformed
+    * boxes refuse (empty result) per the metadata-scan convention.
+    */
+  private[graft] def parseIlst(
+      bytes: Array[Byte]): Seq[(String, String)] = {
+    if (bytes == null || bytes.length < 16) return Nil
+    val total = bytes.length.toLong
+    val walk = for {
+      top <- childRanges(bytes, 0L, total)
+      if top.nonEmpty && top.head._1 == "ftyp"
+      (_, mb, me) <- top.find(_._1 == "moov")
+      mKids <- childRanges(bytes, mb, me)
+      (_, ub, ue) <- mKids.find(_._1 == "udta")
+      uKids <- childRanges(bytes, ub, ue)
+      (_, tb, te) <- uKids.find(_._1 == "meta")
+      if tb + 4 <= te // meta is a FullBox
+      tKids <- childRanges(bytes, tb + 4, te)
+      (_, ib, ie) <- tKids.find(_._1 == "ilst")
+      items <- childRanges(bytes, ib, ie)
+    } yield items
+    walk match {
+      case None => Nil
+      case Some(items) =>
+        val out = Seq.newBuilder[(String, String)]
+        items.foreach { case (name, b0, e0) =>
+          childRanges(bytes, b0, e0) match {
+            case None => return Nil // malformed item: refuse all
+            case Some(kids) => kids.find(_._1 == "data").foreach {
+              case (_, db, de) =>
+                // data: type(4) locale(4) payload
+                if (db + 8 > de) return Nil
+                if (be32(bytes, db.toInt) == 1L) { // UTF-8 text
+                  val len = (de - db - 8).toInt
+                  out += ((name,
+                    new String(bytes, db.toInt + 8, len, "UTF-8")))
+                }
+            }
+          }
+        }
+        out.result()
+    }
+  }
+
+  /** Append a udta/meta/ilst chain carrying UTF-8 text tags to a
+    * built MP4 — the encode twin of [[parseIlst]]. Rewrites the moov
+    * box size in place.
+    */
+  def withIlstTags(mp4: Array[Byte],
+      tags: Seq[(String, String)]): Array[Byte] = {
+    require(tags.nonEmpty, "no tags")
+    // locate the moov box at top level
+    var pos = 0
+    var moovAt = -1
+    var moovEnd = -1
+    while (moovAt < 0 && pos + 8 <= mp4.length) {
+      val sz = be32(mp4, pos)
+      require(sz >= 8L, "largesize/to-end boxes before moov unsupported")
+      val typ = fourcc(mp4, pos + 4)
+      if (typ == "moov") { moovAt = pos; moovEnd = pos + sz.toInt }
+      else pos += sz.toInt
+    }
+    require(moovAt >= 0, "no moov box")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt)
+      bos.write(((v >> 8) & 0xFF).toInt); bos.write((v & 0xFF).toInt)
+    }
+    def tag4(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    def box(typ: String)(body: => Unit): Unit = {
+      val at = bos.size()
+      w32(0L); tag4(typ)
+      body
+      val outB = bos.toByteArray
+      val sz = outB.length - at
+      bos.reset(); bos.write(outB, 0, at)
+      w32(sz.toLong); bos.write(outB, at + 4, sz - 4)
+    }
+    box("udta") {
+      box("meta") {
+        w32(0L) // FullBox version/flags
+        box("hdlr") {
+          w32(0L); w32(0L); tag4("mdir"); tag4("appl")
+          w32(0L); w32(0L); bos.write(0)
+        }
+        box("ilst") {
+          tags.foreach { case (name, value) =>
+            require(name.length == 4, s"ilst item '$name' not a 4CC")
+            box(name) {
+              box("data") {
+                w32(1L) // type indicator: UTF-8 text
+                w32(0L) // locale
+                bos.write(value.getBytes("UTF-8"))
+              }
+            }
+          }
+        }
+      }
+    }
+    val udta = bos.toByteArray
+    val out = new Array[Byte](mp4.length + udta.length)
+    System.arraycopy(mp4, 0, out, 0, moovEnd)
+    System.arraycopy(udta, 0, out, moovEnd, udta.length)
+    System.arraycopy(mp4, moovEnd, out, moovEnd + udta.length,
+      mp4.length - moovEnd)
+    // grow the moov size to cover the appended udta
+    val newSz = be32(mp4, moovAt) + udta.length
+    out(moovAt) = ((newSz >> 24) & 0xFF).toByte
+    out(moovAt + 1) = ((newSz >> 16) & 0xFF).toByte
+    out(moovAt + 2) = ((newSz >> 8) & 0xFF).toByte
+    out(moovAt + 3) = (newSz & 0xFF).toByte
+    out
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{Audio, AudioTags, Mp3}
+import graft.operators.{Audio, AudioTags, Mp3, Mp4}
 
 /** Unified audio tag scan: one pass over mixed MP3/FLAC/Ogg payloads
   * normalizing ID3v2 frames, ID3v1 trailers, and Vorbis comments into
@@ -73,5 +73,33 @@ class AudioTagsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "ogg", "opus", "track", "3"),
       (4L, "ogg", "opus", "language", "eo")))
     assert(rows.count(_._1 == 5L) === 0)
+  }
+
+  test("M4A/MP4 ilst: iTunes-style text items normalize through the " +
+      "published names, binary data items are skipped, and untagged " +
+      "MP4s emit nothing") {
+    val m4a = Mp4.withIlstTags(
+      Mp4.buildMp4(timescale = 44100L, duration = 441000L,
+        width = 0, height = 0, videoCodec = "",
+        audioCodec = "mp4a", audioChannels = 2, audioRate = 44100),
+      Seq("\u00A9nam" -> "M4A Title", "\u00A9ART" -> "M4A Artist",
+        "\u00A9day" -> "2020", "cust" -> "kept-verbatim"))
+    val bare = Mp4.buildMp4(600L, 1200L, 320, 240)
+    val rows = AudioTags.audioTagScan(df(1L -> m4a, 2L -> bare),
+      "id", "content").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("container"),
+        r.getAs[String]("source"), r.getAs[String]("tag"),
+        r.getAs[String]("value")))
+    assert(rows.filter(_._1 == 1L).toSet === Set(
+      (1L, "mp4", "ilst", "title", "M4A Title"),
+      (1L, "mp4", "ilst", "artist", "M4A Artist"),
+      (1L, "mp4", "ilst", "date", "2020"),
+      (1L, "mp4", "ilst", "cust", "kept-verbatim")))
+    assert(rows.count(_._1 == 2L) === 0)
+    // the tagged file still parses as a normal MP4 (moov size grown
+    // correctly)
+    val m = graft.operators.Mp4.parseMp4Header(df(1L -> m4a), "id",
+      "content").collect().head
+    assert(m.parsed && m.audioCodec == "mp4a")
   }
 }
