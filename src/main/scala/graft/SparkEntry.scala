@@ -570,16 +570,16 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
-  /** Mixed audio-tag corpus: id % 6 rotates MP3+ID3v2.4, MP3 with
+  /** Mixed audio-tag corpus: id % 8 rotates MP3+ID3v2.4, MP3 with
     * BOTH an ID3v2.3 header and a v1 trailer, MP3+ID3v1 only, FLAC
-    * Vorbis comments, Ogg (vorbis on even base, opus on odd), and
-    * M4A iTunes-style ilst — every tag name and value a closed form
-    * of doc_id.
+    * Vorbis comments, Ogg (vorbis on even base, opus on odd), M4A
+    * iTunes-style ilst, WAV RIFF INFO, and AIFF text chunks — every
+    * tag name and value a closed form of doc_id.
     */
   private def syntheticAudioTagsClassed(docs: DataFrame): DataFrame = {
     val build = udf((id: Long) => {
       val base = (id % 64).toInt
-      (id % 6) match {
+      (id % 8) match {
         case 0 => Mp3.buildMp3(3, base % 3, Seq.fill(3)(1 + base % 14),
           mono = base % 2 == 0, id3Bytes = 16,
           id3Frames = Seq("TIT2" -> s"t$id", "TPE1" -> s"a${base % 7}",
@@ -608,13 +608,24 @@ object SparkEntry {
           800L + base, vendor = s"v${base % 5}",
           comments = Seq("TITLE" -> s"t$id",
             "LANGUAGE" -> s"l${base % 9}"))
-        case _ => Mp4.withIlstTags(
+        case 5 => Mp4.withIlstTags(
           Mp4.buildMp4(timescale = 44100L, duration = 441000L,
             width = 0, height = 0, videoCodec = "",
             audioCodec = "mp4a", audioChannels = 2,
             audioRate = 44100),
           Seq("\u00A9nam" -> s"t$id", "\u00A9ART" -> s"a${base % 7}",
             "cust" -> s"x${base % 3}"))
+        case 6 => Audio.withRiffInfo(
+          Audio.wrapWav(Array.tabulate(64)(k => (base + k) % 100),
+            0, 64, 8000),
+          Seq("INAM" -> s"t$id", "IART" -> s"a${base % 7}",
+            "ICRD" -> (1960 + base % 60).toString))
+        case _ => Audio.withAiffText(
+          Audio.buildAiff(
+            Array.tabulate(64)(k => (base + k) % 100 - 50),
+            channels = 1, rate = 8000),
+          Seq("NAME" -> s"t$id", "AUTH" -> s"a${base % 7}",
+            "ANNO" -> s"n${base % 4}"))
       }
     })
     docs.select(col("doc_id").as("id"),
@@ -639,6 +650,28 @@ object SparkEntry {
         chunkSamples =
           if (id % 2 == 1) Seq.fill(samples.length)(1) else Nil,
         handler = if (id % 2 == 0) "sbtl" else "text")
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** MP4s whose tx3g cues carry language-marker text: id % 5 rotates
+    * English/Spanish/German/French marker words and CJK — so the
+    * video -> transcript -> language-ID composition has a closed-form
+    * answer per id.
+    */
+  private def syntheticTx3gLangClassed(docs: DataFrame): DataFrame = {
+    val samplesByLang = Array(
+      "the and of is with",
+      "el la los es y de con",
+      "der die das und ist mit",
+      "le les est et avec des",
+      "\u4e00\u4e8c\u4e09")
+    val build = udf((id: Long) => {
+      val text = samplesByLang((id % 5).toInt)
+      Mp4.buildMp4Tx3g(600L, Seq(
+        (600L, s"$text w${id}a"),
+        (600L, s"$text w${id}b")))
     })
     docs.select(col("doc_id").as("id"),
       build(col("doc_id")).as("content")).localCheckpoint(true)
@@ -3445,6 +3478,20 @@ object SparkEntry {
     "q_video_mp4_subtitles" -> ((s, dir) =>
       Mp4.mp4SubtitleCues(
         syntheticTx3gClassed(t(s, dir, "documents")), "id", "content")),
+
+    // the video -> text bridge COMPOSED with text analysis: tx3g cues
+    // extracted from MP4s, concatenated per video, through the SAME
+    // language-ID heuristic the document pipeline runs — one
+    // declarative chain, closed-form language per id
+    "q_video_subtitle_langid" -> ((s, dir) => {
+      val cues = Mp4.mp4SubtitleCues(
+        syntheticTx3gLangClassed(t(s, dir, "documents")),
+        "id", "content")
+      cues.groupBy(col("id")).agg(
+        count(lit(1)).as("n_cues"),
+        TextFunctions.langId(
+          concat_ws(" ", collect_list(col("text")))).as("lang_pred"))
+    }),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
     // headers are q_audio_id3): REAL MP3 frames + a closed-form
@@ -7035,7 +7082,7 @@ object SparkEntry {
     "q_audio_tags" ->
       """WITH g AS (SELECT doc_id AS id,
         |    CAST(doc_id % 64 AS BIGINT) AS base,
-        |    CAST(doc_id % 6 AS BIGINT) AS m
+        |    CAST(doc_id % 8 AS BIGINT) AS m
         |  FROM documents),
         |r AS (
         |  SELECT id, 'mp3' AS container, 'id3v2' AS source,
@@ -7085,7 +7132,19 @@ object SparkEntry {
         |  UNION ALL SELECT id, 'mp4', 'ilst', 'artist',
         |      'a' || (base % 7) FROM g WHERE m = 5
         |  UNION ALL SELECT id, 'mp4', 'ilst', 'cust',
-        |      'x' || (base % 3) FROM g WHERE m = 5)
+        |      'x' || (base % 3) FROM g WHERE m = 5
+        |  UNION ALL SELECT id, 'wav', 'riff_info', 'title', 't' || id
+        |      FROM g WHERE m = 6
+        |  UNION ALL SELECT id, 'wav', 'riff_info', 'artist',
+        |      'a' || (base % 7) FROM g WHERE m = 6
+        |  UNION ALL SELECT id, 'wav', 'riff_info', 'date',
+        |      CAST(1960 + base % 60 AS VARCHAR) FROM g WHERE m = 6
+        |  UNION ALL SELECT id, 'aiff', 'iff_text', 'title', 't' || id
+        |      FROM g WHERE m = 7
+        |  UNION ALL SELECT id, 'aiff', 'iff_text', 'artist',
+        |      'a' || (base % 7) FROM g WHERE m = 7
+        |  UNION ALL SELECT id, 'aiff', 'iff_text', 'comment',
+        |      'n' || (base % 4) FROM g WHERE m = 7)
         |SELECT id, container, source, tag, value FROM r
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
@@ -7110,6 +7169,16 @@ object SparkEntry {
         |    * 1000 // 600 AS BIGINT) AS end_ms,
         |  'cue:' || id || ':' || k AS text
         |FROM c
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // tx3g -> language-ID: the planted marker words make each arm's
+    // winner unambiguous under the published heuristic order
+    "q_video_subtitle_langid" ->
+      """SELECT doc_id AS id, CAST(2 AS BIGINT) AS n_cues,
+        |  CASE CAST(doc_id % 5 AS BIGINT)
+        |    WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'de'
+        |    WHEN 3 THEN 'fr' ELSE 'zh' END AS lang_pred
+        |FROM documents
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3v1 trailer: every field a closed form of base = doc_id % 64

@@ -1697,6 +1697,139 @@ object Audio {
     }
   }
 
+  /** RIFF INFO sub-chunks out of a WAV's `LIST`/`INFO` chunk — the
+    * published metadata home of the WAV world (INAM title, IART
+    * artist, IPRD product/album, ICRD date, IGNR genre, ICMT
+    * comment). Values are NUL-terminated text; odd chunks pad one
+    * byte per the RIFF rule. Empty on files without the chunk;
+    * malformed LIST structure refuses (empty).
+    */
+  private[graft] def parseRiffInfo(
+      b: Array[Byte]): Seq[(String, String)] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
+      tag(b, 8) != "WAVE") return Nil
+    val declared = 8L + le32(b, 4)
+    val total = math.min(declared, b.length.toLong)
+    var pos = 12L
+    while (pos + 8 <= total) {
+      val ct = tag(b, pos.toInt)
+      val len = le32(b, pos.toInt + 4)
+      if (len < 0L || pos + 8 + len > total) return Nil
+      if (ct == "LIST" && len >= 4 &&
+        tag(b, pos.toInt + 8) == "INFO") {
+        val out = Seq.newBuilder[(String, String)]
+        var q = pos + 12
+        val end = pos + 8 + len
+        while (q + 8 <= end) {
+          val sub = tag(b, q.toInt)
+          val sl = le32(b, q.toInt + 4)
+          if (sl < 0L || q + 8 + sl > end) return Nil
+          var e = (q + 8 + sl).toInt
+          while (e > q + 8 && b(e - 1) == 0) e -= 1 // NUL padding
+          out += ((sub, new String(b, q.toInt + 8,
+            e - (q + 8).toInt, "UTF-8")))
+          q += 8 + sl + (sl & 1L) // odd chunks pad
+        }
+        return out.result()
+      }
+      pos += 8 + len + (len & 1L)
+    }
+    Nil
+  }
+
+  /** AIFF text chunks (`NAME`, `AUTH`, `ANNO`, `(c) `) — the IFF
+    * metadata home. Same refusal/padding rules as the RIFF side.
+    */
+  private[graft] def parseAiffText(
+      b: Array[Byte]): Seq[(String, String)] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "FORM" ||
+      tag(b, 8) != "AIFF") return Nil
+    val declared = 8L + beU32(b, 4)
+    val total = math.min(declared, b.length.toLong)
+    val wanted = Set("NAME", "AUTH", "ANNO", "(c) ")
+    val out = Seq.newBuilder[(String, String)]
+    var pos = 12L
+    while (pos + 8 <= total) {
+      val ct = tag(b, pos.toInt)
+      val len = beU32(b, pos.toInt + 4)
+      if (len < 0L || pos + 8 + len > total) return Nil
+      if (wanted(ct))
+        out += ((ct, new String(b, pos.toInt + 8, len.toInt, "UTF-8")))
+      pos += 8 + len + (len & 1L)
+    }
+    out.result()
+  }
+
+  private def beU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+  /** Append a `LIST`/`INFO` chunk to a built WAV (RIFF size grown in
+    * place) — the encode twin of [[parseRiffInfo]].
+    */
+  def withRiffInfo(wav: Array[Byte],
+      tags: Seq[(String, String)]): Array[Byte] = {
+    require(tags.nonEmpty, "no tags")
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("INFO".getBytes("US-ASCII"))
+    tags.foreach { case (k, v) =>
+      require(k.length == 4, s"INFO id '$k' not a 4CC")
+      val vb = v.getBytes("UTF-8") :+ 0.toByte // NUL-terminated
+      body.write(k.getBytes("US-ASCII"))
+      body.write(vb.length & 0xFF); body.write((vb.length >> 8) & 0xFF)
+      body.write((vb.length >> 16) & 0xFF)
+      body.write((vb.length >> 24) & 0xFF)
+      body.write(vb)
+      if (vb.length % 2 == 1) body.write(0) // pad
+    }
+    val list = body.toByteArray
+    val out = new Array[Byte](wav.length + 8 + list.length)
+    System.arraycopy(wav, 0, out, 0, wav.length)
+    var o = wav.length
+    "LIST".getBytes("US-ASCII").copyToArray(out, o); o += 4
+    out(o) = (list.length & 0xFF).toByte
+    out(o + 1) = ((list.length >> 8) & 0xFF).toByte
+    out(o + 2) = ((list.length >> 16) & 0xFF).toByte
+    out(o + 3) = ((list.length >> 24) & 0xFF).toByte
+    System.arraycopy(list, 0, out, o + 4, list.length)
+    // grow the RIFF size
+    val newSz = le32(wav, 4) + 8 + list.length
+    out(4) = (newSz & 0xFF).toByte
+    out(5) = ((newSz >> 8) & 0xFF).toByte
+    out(6) = ((newSz >> 16) & 0xFF).toByte
+    out(7) = ((newSz >> 24) & 0xFF).toByte
+    out
+  }
+
+  /** Append IFF text chunks to a built AIFF (FORM size grown in
+    * place) — the encode twin of [[parseAiffText]].
+    */
+  def withAiffText(aiff: Array[Byte],
+      tags: Seq[(String, String)]): Array[Byte] = {
+    require(tags.nonEmpty, "no tags")
+    val body = new java.io.ByteArrayOutputStream()
+    tags.foreach { case (k, v) =>
+      require(k.length == 4, s"chunk id '$k' not a 4CC")
+      val vb = v.getBytes("UTF-8")
+      body.write(k.getBytes("US-ASCII"))
+      body.write((vb.length >> 24) & 0xFF)
+      body.write((vb.length >> 16) & 0xFF)
+      body.write((vb.length >> 8) & 0xFF); body.write(vb.length & 0xFF)
+      body.write(vb)
+      if (vb.length % 2 == 1) body.write(0)
+    }
+    val chunks = body.toByteArray
+    val out = new Array[Byte](aiff.length + chunks.length)
+    System.arraycopy(aiff, 0, out, 0, aiff.length)
+    System.arraycopy(chunks, 0, out, aiff.length, chunks.length)
+    val newSz = beU32(aiff, 4) + chunks.length
+    out(4) = ((newSz >> 24) & 0xFF).toByte
+    out(5) = ((newSz >> 16) & 0xFF).toByte
+    out(6) = ((newSz >> 8) & 0xFF).toByte
+    out(7) = (newSz & 0xFF).toByte
+    out
+  }
+
   /** NEEDLE HUNT: find clips whose content CONTAINS a known jingle —
     * segment every clip into `segmentFrames` windows
     * ([[segmentClips]]), fingerprint each under the index's OWN

@@ -40,6 +40,14 @@ object AudioTags { // carriers: MP3 (ID3v2+v1), FLAC/Ogg (Vorbis), MP4 (ilst)
     "\u00A9alb" -> "album", "\u00A9day" -> "date",
     "\u00A9gen" -> "genre", "\u00A9lyr" -> "lyrics")
 
+  private val riffInfoMap = Map(
+    "INAM" -> "title", "IART" -> "artist", "IPRD" -> "album",
+    "ICRD" -> "date", "IGNR" -> "genre", "ICMT" -> "comment")
+
+  private val aiffMap = Map(
+    "NAME" -> "title", "AUTH" -> "artist", "ANNO" -> "comment",
+    "(c) " -> "copyright")
+
   private val vorbisMap = Map(
     "title" -> "title", "artist" -> "artist", "album" -> "album",
     "date" -> "date", "genre" -> "genre", "tracknumber" -> "track",
@@ -95,6 +103,18 @@ object AudioTags { // carriers: MP3 (ID3v2+v1), FLAC/Ogg (Vorbis), MP4 (ilst)
           val lk = k.toLowerCase(java.util.Locale.ROOT)
           ("ogg", codec, vorbisMap.getOrElse(lk, lk), v)
         }
+      }
+    } else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+      b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' &&
+      b(10) == 'V' && b(11) == 'E') {
+      Audio.parseRiffInfo(b).map { case (k, v) =>
+        ("wav", "riff_info", riffInfoMap.getOrElse(k, k), v)
+      }
+    } else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' &&
+      b(2) == 'R' && b(3) == 'M' && b(8) == 'A' && b(9) == 'I' &&
+      b(10) == 'F' && b(11) == 'F') {
+      Audio.parseAiffText(b).map { case (k, v) =>
+        ("aiff", "iff_text", aiffMap.getOrElse(k, k), v)
       }
     } else if (b.length >= 12 &&
       new String(b, 4, 4, "US-ASCII") == "ftyp") {

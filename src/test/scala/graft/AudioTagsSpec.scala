@@ -102,4 +102,39 @@ class AudioTagsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "content").collect().head
     assert(m.parsed && m.audioCodec == "mp4a")
   }
+
+  test("WAV RIFF INFO and AIFF text chunks: the IFF-world metadata " +
+      "normalizes through the published ids; tagged files still " +
+      "decode as plain PCM; untagged files emit nothing") {
+    val wav = Audio.withRiffInfo(
+      Audio.wrapWav(Array.tabulate(200)(k => k % 100), 0, 200, 8000),
+      Seq("INAM" -> "Wav Title", "IART" -> "Wav Artist",
+        "ICRD" -> "1987", "IXXX" -> "kept"))
+    val aiff = Audio.withAiffText(
+      Audio.buildAiff(Array.tabulate(200)(k => k % 100 - 50),
+        channels = 1, rate = 8000),
+      Seq("NAME" -> "Aiff Title", "AUTH" -> "Aiff Author",
+        "ANNO" -> "a note"))
+    val bare = Audio.wrapWav(Array.tabulate(8)(identity), 0, 8, 8000)
+    val rows = AudioTags.audioTagScan(df(1L -> wav, 2L -> aiff,
+        3L -> bare), "id", "content").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("container"),
+        r.getAs[String]("source"), r.getAs[String]("tag"),
+        r.getAs[String]("value")))
+    assert(rows.filter(_._1 == 1L).toSet === Set(
+      (1L, "wav", "riff_info", "title", "Wav Title"),
+      (1L, "wav", "riff_info", "artist", "Wav Artist"),
+      (1L, "wav", "riff_info", "date", "1987"),
+      (1L, "wav", "riff_info", "IXXX", "kept")))
+    assert(rows.filter(_._1 == 2L).toSet === Set(
+      (2L, "aiff", "iff_text", "title", "Aiff Title"),
+      (2L, "aiff", "iff_text", "artist", "Aiff Author"),
+      (2L, "aiff", "iff_text", "comment", "a note")))
+    assert(rows.count(_._1 == 3L) === 0)
+    // the tagged files still decode as plain PCM through the
+    // container-auto audio path
+    val dec = Audio.decodePcm16(df(1L -> wav, 2L -> aiff), "id",
+      "content").toDF().collect()
+    assert(dec.forall(_.getAs[Boolean]("decoded")))
+  }
 }
