@@ -570,16 +570,17 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
-  /** Mixed audio-tag corpus: id % 8 rotates MP3+ID3v2.4, MP3 with
+  /** Mixed media-tag corpus: id % 9 rotates MP3+ID3v2.4, MP3 with
     * BOTH an ID3v2.3 header and a v1 trailer, MP3+ID3v1 only, FLAC
     * Vorbis comments, Ogg (vorbis on even base, opus on odd), M4A
-    * iTunes-style ilst, WAV RIFF INFO, and AIFF text chunks — every
-    * tag name and value a closed form of doc_id.
+    * iTunes-style ilst, WAV RIFF INFO, AIFF text chunks, and
+    * Matroska SimpleTags — every tag name and value a closed form of
+    * doc_id across NINE carrier grammars.
     */
   private def syntheticAudioTagsClassed(docs: DataFrame): DataFrame = {
     val build = udf((id: Long) => {
       val base = (id % 64).toInt
-      (id % 8) match {
+      (id % 9) match {
         case 0 => Mp3.buildMp3(3, base % 3, Seq.fill(3)(1 + base % 14),
           mono = base % 2 == 0, id3Bytes = 16,
           id3Frames = Seq("TIT2" -> s"t$id", "TPE1" -> s"a${base % 7}",
@@ -620,12 +621,18 @@ object SparkEntry {
             0, 64, 8000),
           Seq("INAM" -> s"t$id", "IART" -> s"a${base % 7}",
             "ICRD" -> (1960 + base % 60).toString))
-        case _ => Audio.withAiffText(
+        case 7 => Audio.withAiffText(
           Audio.buildAiff(
             Array.tabulate(64)(k => (base + k) % 100 - 50),
             channels = 1, rate = 8000),
           Seq("NAME" -> s"t$id", "AUTH" -> s"a${base % 7}",
             "ANNO" -> s"n${base % 4}"))
+        case _ => graft.operators.Webm.buildWebm(
+          docType = if (base % 2 == 0) "webm" else "matroska",
+          timescaleNs = 1000000L, durationTicks = 1000.0 + base,
+          videoCodec = "V_VP9", width = 320, height = 240,
+          tags = Seq("TITLE" -> s"t$id", "ARTIST" -> s"a${base % 7}",
+            "X_CUSTOM" -> s"x${base % 3}"))
       }
     })
     docs.select(col("doc_id").as("id"),
@@ -7082,7 +7089,7 @@ object SparkEntry {
     "q_audio_tags" ->
       """WITH g AS (SELECT doc_id AS id,
         |    CAST(doc_id % 64 AS BIGINT) AS base,
-        |    CAST(doc_id % 8 AS BIGINT) AS m
+        |    CAST(doc_id % 9 AS BIGINT) AS m
         |  FROM documents),
         |r AS (
         |  SELECT id, 'mp3' AS container, 'id3v2' AS source,
@@ -7144,7 +7151,13 @@ object SparkEntry {
         |  UNION ALL SELECT id, 'aiff', 'iff_text', 'artist',
         |      'a' || (base % 7) FROM g WHERE m = 7
         |  UNION ALL SELECT id, 'aiff', 'iff_text', 'comment',
-        |      'n' || (base % 4) FROM g WHERE m = 7)
+        |      'n' || (base % 4) FROM g WHERE m = 7
+        |  UNION ALL SELECT id, 'matroska', 'simple_tag', 'title',
+        |      't' || id FROM g WHERE m = 8
+        |  UNION ALL SELECT id, 'matroska', 'simple_tag', 'artist',
+        |      'a' || (base % 7) FROM g WHERE m = 8
+        |  UNION ALL SELECT id, 'matroska', 'simple_tag', 'X_CUSTOM',
+        |      'x' || (base % 3) FROM g WHERE m = 8)
         |SELECT id, container, source, tag, value FROM r
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

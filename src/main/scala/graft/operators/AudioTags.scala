@@ -48,6 +48,11 @@ object AudioTags { // carriers: MP3 (ID3v2+v1), FLAC/Ogg (Vorbis), MP4 (ilst)
     "NAME" -> "title", "AUTH" -> "artist", "ANNO" -> "comment",
     "(c) " -> "copyright")
 
+  private val matroskaMap = Map(
+    "TITLE" -> "title", "ARTIST" -> "artist", "ALBUM" -> "album",
+    "DATE_RELEASED" -> "date", "GENRE" -> "genre",
+    "COMMENT" -> "comment")
+
   private val vorbisMap = Map(
     "title" -> "title", "artist" -> "artist", "album" -> "album",
     "date" -> "date", "genre" -> "genre", "tracknumber" -> "track",
@@ -121,6 +126,13 @@ object AudioTags { // carriers: MP3 (ID3v2+v1), FLAC/Ogg (Vorbis), MP4 (ilst)
       // M4A/MP4: iTunes-style ilst text items
       Mp4.parseIlst(b).map { case (name, v) =>
         ("mp4", "ilst", ilstMap.getOrElse(name, name), v)
+      }
+    } else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) {
+      // Matroska/WebM: segment-level SimpleTags
+      Webm.webmSimpleTags(b).map { case (name, v) =>
+        ("matroska", "simple_tag",
+          matroskaMap.getOrElse(name, name), v)
       }
     } else Nil
   }

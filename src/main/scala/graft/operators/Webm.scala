@@ -156,6 +156,12 @@ object Webm {
   private val IdSamplingFrequency = 0xB5L
   private val IdChannels = 0x9FL
   private val IdCluster = 0x1F43B675L
+  private val IdTags = 0x1254C367L
+  private val IdTag = 0x7373L
+  private val IdTargets = 0x63C0L
+  private val IdSimpleTag = 0x67C8L
+  private val IdTagName = 0x45A3L
+  private val IdTagString = 0x4487L
 
   private val UnknownSize = -2L // sentinel: all value bits set
 
@@ -440,6 +446,76 @@ object Webm {
     * transform is the big-endian pair swap WAV's canonical layout
     * demands. Returns (wavFormat=1, channels, rate, bits, wavBytes).
     */
+  /** Segment-level SimpleTags out of the Tags element (the published
+    * Matroska metadata home: Tag -> SimpleTag -> TagName/TagString,
+    * both UTF-8). Empty on files without Tags; a malformed Tags
+    * structure refuses (empty) per the metadata-scan convention. The
+    * file must first pass the container walk — tags from a broken
+    * Matroska are not evidence.
+    */
+  private[graft] def webmSimpleTags(
+      bytes: Array[Byte]): Seq[(String, String)] = {
+    if (parseWebm(bytes).isEmpty) return Nil
+    val avail = bytes.length.toLong
+    val (_, _, hEnd) =
+      elementAt(bytes, 0L, avail).getOrElse(return Nil)
+    val (segId, segBody, segEndRaw) =
+      elementAt(bytes, hEnd, avail).getOrElse(return Nil)
+    if (segId != IdSegment) return Nil
+    val segEnd =
+      if (segEndRaw == UnknownSize) avail
+      else math.min(segEndRaw, avail)
+    val out = Seq.newBuilder[(String, String)]
+    var p = segBody
+    while (p < segEnd) {
+      val (eid, b, e) = elementAt(bytes, p, avail).getOrElse(return Nil)
+      if (e == UnknownSize) {
+        if (eid != IdCluster) return Nil
+        return out.result() // unknown-size cluster runs to EOF
+      }
+      if (e > segEnd) return Nil
+      if (eid == IdTags) {
+        var t = b
+        while (t < e) {
+          val (tid, tb, te) =
+            elementAt(bytes, t, avail).getOrElse(return Nil)
+          if (te == UnknownSize || te > e) return Nil
+          if (tid == IdTag) {
+            var q = tb
+            while (q < te) {
+              val (qid, qb, qe) =
+                elementAt(bytes, q, avail).getOrElse(return Nil)
+              if (qe == UnknownSize || qe > te) return Nil
+              if (qid == IdSimpleTag) {
+                var name: String = null
+                var value: String = null
+                var r = qb
+                while (r < qe) {
+                  val (rid, rb, re) =
+                    elementAt(bytes, r, avail).getOrElse(return Nil)
+                  if (re == UnknownSize || re > qe) return Nil
+                  if (rid == IdTagName)
+                    name = new String(bytes, rb.toInt,
+                      (re - rb).toInt, "UTF-8")
+                  else if (rid == IdTagString)
+                    value = new String(bytes, rb.toInt,
+                      (re - rb).toInt, "UTF-8")
+                  r = re
+                }
+                if (name == null || value == null) return Nil
+                out += ((name, value))
+              }
+              q = qe
+            }
+          }
+          t = te
+        }
+      }
+      p = e
+    }
+    out.result()
+  }
+
   private[graft] def webmAudioTrackWav(bytes: Array[Byte],
       maxAudioBytes: Int): Option[(Int, Int, Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < 8) return None
@@ -884,7 +960,8 @@ object Webm {
       blockSamples: Seq[Int] = Nil,
       useBlockGroups: Boolean = false,
       subCues: Seq[(Long, Long, String)] = Nil,
-      subAss: Boolean = false): Array[Byte] = {
+      subAss: Boolean = false,
+      tags: Seq[(String, String)] = Nil): Array[Byte] = {
     require(docType == "webm" || docType == "matroska", "docType")
     require(timescaleNs > 0, "timescaleNs")
     require(videoCodec.nonEmpty || audioCodec.nonEmpty ||
@@ -1092,6 +1169,21 @@ object Webm {
                   uintEl(0x9BL, dur) // BlockDuration
                 }
               else element(0xA3L) { blockBody(simple = true) }
+            }
+          }
+        }
+      }
+      if (tags.nonEmpty) element(IdTags) {
+        element(IdTag) {
+          element(IdTargets) {} // empty targets = whole segment
+          tags.foreach { case (name, value) =>
+            element(IdSimpleTag) {
+              element(IdTagName) {
+                bos.write(name.getBytes("UTF-8"))
+              }
+              element(IdTagString) {
+                bos.write(value.getBytes("UTF-8"))
+              }
             }
           }
         }

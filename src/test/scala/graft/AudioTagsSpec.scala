@@ -137,4 +137,31 @@ class AudioTagsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "content").toDF().collect()
     assert(dec.forall(_.getAs[Boolean]("decoded")))
   }
+
+  test("Matroska/WebM SimpleTags: segment-level Tags normalize " +
+      "through the published names; untagged files emit nothing") {
+    import graft.operators.Webm
+    val tagged = Webm.buildWebm(docType = "matroska",
+      timescaleNs = 1000000L, durationTicks = 1000.0,
+      videoCodec = "V_VP9", width = 320, height = 240,
+      tags = Seq("TITLE" -> "MKV Title", "ARTIST" -> "MKV Artist",
+        "ENCODER_SETTINGS" -> "kept"))
+    val bare = Webm.buildWebm(docType = "webm",
+      timescaleNs = 1000000L, durationTicks = 1000.0,
+      videoCodec = "V_VP8", width = 320, height = 240)
+    val rows = AudioTags.audioTagScan(df(1L -> tagged, 2L -> bare),
+      "id", "content").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("container"),
+        r.getAs[String]("source"), r.getAs[String]("tag"),
+        r.getAs[String]("value")))
+    assert(rows.filter(_._1 == 1L).toSet === Set(
+      (1L, "matroska", "simple_tag", "title", "MKV Title"),
+      (1L, "matroska", "simple_tag", "artist", "MKV Artist"),
+      (1L, "matroska", "simple_tag", "ENCODER_SETTINGS", "kept")))
+    assert(rows.count(_._1 == 2L) === 0)
+    // the tagged file still parses as a normal Matroska
+    val m = Webm.webmMetaScan(df(1L -> tagged), "id", "content")
+      .collect().head
+    assert(m.getAs[Boolean]("parsed"))
+  }
 }
