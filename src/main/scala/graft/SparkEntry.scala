@@ -684,6 +684,40 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Mixed image-comment corpus: id % 3 rotates a JPEG marker stream
+    * with COM segments, a PNG with tEXt+zTXt chunks, and a GIF with a
+    * comment extension — every comment a closed form of doc_id.
+    */
+  private def syntheticImageCommentsClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      (id % 3) match {
+        case 0 =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write(0xFF); bos.write(0xD8)
+          (0 until (1 + base % 2)).foreach { k =>
+            val cb = s"jc:$id:$k".getBytes("UTF-8")
+            bos.write(0xFF); bos.write(0xFE)
+            bos.write(((cb.length + 2) >> 8) & 0xFF)
+            bos.write((cb.length + 2) & 0xFF)
+            bos.write(cb)
+          }
+          bos.write(0xFF); bos.write(0xDA) // SOS: the walk stops here
+          bos.toByteArray
+        case 1 => Png.buildPng(4, 4, 0,
+          Array.tabulate(16)(p => ((id * 7 + p) % 256).toByte),
+          texts = Seq(("Software", s"ps:$id", "text"),
+            ("note", s"pz:$id", "ztxt")))
+        case _ => Gif.buildGif(4, 3,
+          Array.tabulate(16)(i => i * 0x111111),
+          Seq(Array.tabulate[Byte](12)(p => (p % 16).toByte)),
+          delayCs = 4, comments = Seq(s"gc:$id"))
+      }
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Real MP3 payloads carrying an ID3v1/v1.1 TRAILER: the
     * [[syntheticMp3Classed]] frames with a 128-byte closed-form tag
     * appended — v1.1 (with track) on even ids, plain v1 on odd.
@@ -3499,6 +3533,15 @@ object SparkEntry {
         TextFunctions.langId(
           concat_ws(" ", collect_list(col("text")))).as("lang_pred"))
     }),
+
+    // image PROVENANCE uniformity — the image counterpart of
+    // q_audio_tags: JPEG COM segments, PNG text chunks, and GIF
+    // comment extensions in ONE container-auto scan; every comment a
+    // closed form of doc_id
+    "q_image_comments" -> ((s, dir) =>
+      Multimodal.imageCommentScan(
+        syntheticImageCommentsClassed(t(s, dir, "documents")),
+        "id", "content")),
 
     // ID3v1 — the 128-byte trailer tag (the other ID3 grammar; v2
     // headers are q_audio_id3): REAL MP3 frames + a closed-form
@@ -7192,6 +7235,26 @@ object SparkEntry {
         |    WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'de'
         |    WHEN 3 THEN 'fr' ELSE 'zh' END AS lang_pred
         |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // image comments: three carrier arms replay in closed form
+    "q_image_comments" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CAST(doc_id % 3 AS BIGINT) AS m
+        |  FROM documents),
+        |r AS (
+        |  SELECT id, 'jpeg' AS container, 'com' AS source,
+        |      '' AS keyword, 'jc:' || id || ':' || k AS text
+        |    FROM g CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        |    WHERE m = 0 AND k <= base % 2
+        |  UNION ALL SELECT id, 'png', 'text', 'Software', 'ps:' || id
+        |      FROM g WHERE m = 1
+        |  UNION ALL SELECT id, 'png', 'ztxt', 'note', 'pz:' || id
+        |      FROM g WHERE m = 1
+        |  UNION ALL SELECT id, 'gif', 'comment_ext', '', 'gc:' || id
+        |      FROM g WHERE m = 2)
+        |SELECT id, container, source, keyword, text FROM r
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // ID3v1 trailer: every field a closed form of base = doc_id % 64

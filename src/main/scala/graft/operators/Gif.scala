@@ -267,6 +267,45 @@ object Gif {
     * the 4096-entry prefix/suffix dictionary. None on any malformed
     * stream (bad code, short data, wrong pixel count).
     */
+  /** Comment extensions (label 0xFE): sub-block data concatenated
+    * per extension, decoded as UTF-8 — image PROVENANCE text (the
+    * GIF counterpart of PNG's tEXt). The file must first pass the
+    * container walk; malformed sub-blocks refuse (empty).
+    */
+  private[graft] def gifComments(bytes: Array[Byte]): Seq[String] = {
+    if (parseGif(bytes).isEmpty) return Nil
+    val out = Seq.newBuilder[String]
+    // position past header + GCT (same arithmetic as parseGif)
+    val packed = bytes(10) & 0xFF
+    var pos = 13 + (if ((packed & 0x80) != 0)
+      3 * (1 << ((packed & 0x07) + 1)) else 0)
+    while (pos < bytes.length && (bytes(pos) & 0xFF) != 0x3B) {
+      (bytes(pos) & 0xFF) match {
+        case 0x21 =>
+          val label = bytes(pos + 1) & 0xFF
+          pos += 2
+          val buf = new java.io.ByteArrayOutputStream()
+          while ((bytes(pos) & 0xFF) != 0) {
+            val len = bytes(pos) & 0xFF
+            buf.write(bytes, pos + 1, len)
+            pos += 1 + len
+          }
+          pos += 1
+          if (label == 0xFE)
+            out += new String(buf.toByteArray, "UTF-8")
+        case 0x2C =>
+          val ipacked = bytes(pos + 9) & 0xFF
+          pos += 10
+          if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 0x07) + 1))
+          pos += 1 // LZW min code size
+          while ((bytes(pos) & 0xFF) != 0) pos += 1 + (bytes(pos) & 0xFF)
+          pos += 1
+        case _ => return Nil
+      }
+    }
+    out.result()
+  }
+
   private[graft] def lzwDecode(data: Array[Byte], minCodeSize: Int,
       expected: Int): Option[Array[Byte]] = {
     if (minCodeSize < 2 || minCodeSize > 11) return None
@@ -459,7 +498,8 @@ object Gif {
     * top-down) of frame f; `palette(i)` is 0xRRGGBB.
     */
   def buildGif(width: Int, height: Int, palette: Array[Int],
-      frames: Seq[Array[Byte]], delayCs: Int): Array[Byte] = {
+      frames: Seq[Array[Byte]], delayCs: Int,
+      comments: Seq[String] = Nil): Array[Byte] = {
     require(width > 0 && height > 0, "width/height must be positive")
     require(palette.length >= 2 && palette.length <= 256 &&
       (palette.length & (palette.length - 1)) == 0,
@@ -484,6 +524,19 @@ object Gif {
     palette.foreach { rgb =>
       bos.write((rgb >> 16) & 0xFF); bos.write((rgb >> 8) & 0xFF)
       bos.write(rgb & 0xFF)
+    }
+    // comment extensions (label 0xFE) ahead of the frames,
+    // sub-block framed at <= 255 bytes each
+    comments.foreach { c =>
+      bos.write(0x21); bos.write(0xFE)
+      val cb = c.getBytes("UTF-8")
+      var o = 0
+      while (o < cb.length) {
+        val n = math.min(255, cb.length - o)
+        bos.write(n); bos.write(cb, o, n)
+        o += n
+      }
+      bos.write(0)
     }
     val minCodeSize = math.max(2, gctBits)
     val clear = 1 << minCodeSize

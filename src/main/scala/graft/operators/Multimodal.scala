@@ -467,6 +467,94 @@ object Multimodal {
       col("parsed"))
   }
 
+  /** One image comment: `container` ∈ jpeg|png|gif, `source` names
+    * the carrying structure (`com` segment, png text-chunk kind,
+    * `comment_ext`), `keyword` is PNG's chunk keyword (empty for the
+    * keyword-less jpeg/gif forms).
+    */
+  case class ImageComment(id: Long, container: String, source: String,
+      keyword: String, text: String)
+
+  /** ONE comment scan over a MIXED image corpus — the image
+    * counterpart of the unified audio tag scan: provenance text lives
+    * in a JPEG COM segment, a PNG tEXt/zTXt/iTXt chunk, or a GIF
+    * comment extension depending on the container (generated-image
+    * detectors read exactly these). Dispatch per row by magic;
+    * commentless and malformed files emit nothing.
+    */
+  def imageCommentScan(df: DataFrame, idCol: String, binCol: String,
+      maxTextBytes: Int = 1 << 20): DataFrame = {
+    require(maxTextBytes > 0, "maxTextBytes must be positive")
+    implicit val enc = Encoders.product[ImageComment]
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          if (b == null || b.length < 6) Nil
+          else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+            jpegComments(b).map(t =>
+              ImageComment(id, "jpeg", "com", "", t))
+          else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P')
+            Png.textChunksOf(b, maxTextBytes).map { case (k, v, kind) =>
+              ImageComment(id, "png", kind, k, v)
+            }
+          else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+            Gif.gifComments(b).map(t =>
+              ImageComment(id, "gif", "comment_ext", "", t))
+          else Nil
+        }
+    }.toDF().select(col("id"), col("container"), col("source"),
+      col("keyword"), col("text"))
+  }
+
+  /** COM (0xFE) segments out of a JPEG's marker walk, stopping at
+    * SOS. Malformed marker structure refuses (empty).
+    */
+  private[graft] def jpegComments(b: Array[Byte]): Seq[String] = {
+    if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF ||
+      (b(1) & 0xFF) != 0xD8) return Nil
+    val out = Seq.newBuilder[String]
+    var pos = 2
+    while (pos + 2 <= b.length) {
+      if ((b(pos) & 0xFF) != 0xFF) return Nil
+      val m = b(pos + 1) & 0xFF
+      if (m == 0xD9 || m == 0xDA) return out.result() // EOI / SOS
+      if (m >= 0xD0 && m <= 0xD7) { pos += 2 }
+      else {
+        if (pos + 4 > b.length) return Nil
+        val segLen = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+        if (segLen < 2 || pos + 2 + segLen > b.length) return Nil
+        if (m == 0xFE)
+          out += new String(b, pos + 4, segLen - 2, "UTF-8")
+        pos += 2 + segLen
+      }
+    }
+    Nil // ran out before SOS/EOI: malformed
+  }
+
+  /** Insert COM segments right after SOI — the encode twin of
+    * [[jpegComments]]; the image still decodes (COM is metadata).
+    */
+  def withJpegComments(jpeg: Array[Byte],
+      comments: Seq[String]): Array[Byte] = {
+    require(comments.nonEmpty, "no comments")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF &&
+      (jpeg(1) & 0xFF) == 0xD8, "not a JPEG")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(jpeg, 0, 2)
+    comments.foreach { c =>
+      val cb = c.getBytes("UTF-8")
+      require(cb.length <= 0xFFFF - 2, "comment over the u16 field")
+      bos.write(0xFF); bos.write(0xFE)
+      bos.write(((cb.length + 2) >> 8) & 0xFF)
+      bos.write((cb.length + 2) & 0xFF)
+      bos.write(cb)
+    }
+    bos.write(jpeg, 2, jpeg.length - 2)
+    bos.toByteArray
+  }
+
   /** Output row of [[exifScanAuto]]. */
   case class ExifAuto(id: Long, container: String,
       littleEndian: Boolean, orientation: Int, make: String,

@@ -104,6 +104,17 @@ object Png {
     * bounded by `maxTextBytes` (an over-cap text refuses the CHUNK —
     * emits nothing for it — never truncates).
     */
+  /** Local-bytes form of [[pngTextChunks]] — (keyword, text, kind)
+    * rows for one payload (the unified image-comment scan's png arm).
+    */
+  private[graft] def textChunksOf(b: Array[Byte],
+      maxTextBytes: Int): Seq[(String, String, String)] =
+    parsePng(b) match {
+      case Some(p) => p.texts.flatMap(t =>
+        decodeText(p.bytes, t, maxTextBytes))
+      case None => Nil
+    }
+
   def pngTextChunks(df: DataFrame, idCol: String, binCol: String,
       maxTextBytes: Int = 1 << 20): DataFrame = {
     require(maxTextBytes > 0, "maxTextBytes must be positive")

@@ -693,4 +693,56 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("exceed maxBucket=3"), e.getMessage)
   }
+
+  test("unified image comments: JPEG COM segments, PNG text chunks, " +
+      "and GIF comment extensions in ONE scan; tagged images still " +
+      "decode; commentless and garbage rows emit nothing") {
+    import graft.operators.{Gif, Png}
+    import spark.implicits._
+    def mk(rows: (Long, Array[Byte])*) = rows.toDF("id", "content")
+    val realJpeg = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x =>
+        img.setRGB(x, y, (x * 31 + y * 7) * 1000)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val jpeg = Multimodal.withJpegComments(realJpeg,
+      Seq("made with graft", "second note"))
+    val png = Png.buildPng(4, 4, 0,
+      Array.tabulate(16)(p => (p * 7).toByte),
+      texts = Seq(("Software", "graft 2.0", "text"),
+        ("parameters", "seed=1", "ztxt")))
+    val gif = Gif.buildGif(4, 3, Array.tabulate(16)(i => i * 0x111111),
+      Seq(Array.tabulate[Byte](12)(p => (p % 16).toByte)),
+      delayCs = 4, comments = Seq("gif provenance " + ("x" * 300)))
+    val bare = Gif.buildGif(4, 3, Array.tabulate(16)(i => i * 0x111111),
+      Seq(Array.tabulate[Byte](12)(p => (p % 16).toByte)), delayCs = 4)
+    val rows = Multimodal.imageCommentScan(mk(1L -> jpeg, 2L -> png,
+        3L -> gif, 4L -> bare, 5L -> "garbage".getBytes("UTF-8")),
+      "id", "content").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("container"),
+        r.getAs[String]("source"), r.getAs[String]("keyword"),
+        r.getAs[String]("text")))
+    assert(rows.filter(_._1 == 1L).toSet === Set(
+      (1L, "jpeg", "com", "", "made with graft"),
+      (1L, "jpeg", "com", "", "second note")))
+    assert(rows.filter(_._1 == 2L).toSet === Set(
+      (2L, "png", "text", "Software", "graft 2.0"),
+      (2L, "png", "ztxt", "parameters", "seed=1")))
+    // the >255-byte comment crossed GIF sub-block framing intact
+    assert(rows.filter(_._1 == 3L).toSeq === Seq(
+      (3L, "gif", "comment_ext", "", "gif provenance " + ("x" * 300))))
+    assert(rows.count(r => r._1 == 4L || r._1 == 5L) === 0)
+    // the commented JPEG still reports its SOF dims; the commented
+    // GIF still parses
+    val dims = mk(1L -> jpeg)
+      .select(Multimodal.jpegDimensions(col("content")).as("d"))
+      .collect()(0).getStruct(0)
+    assert((dims.getLong(0), dims.getLong(1)) === ((8L, 8L)))
+    assert(Gif.gifMetaScan(mk(1L -> gif), "id", "content")
+      .collect().head.getAs[Boolean]("parsed"))
+  }
 }
