@@ -2891,6 +2891,179 @@ object ScaleSmoke {
         f"(${nWs / tWs}%.0f files/s), speech-ms totals exact, " +
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     }
+    // --- ZIP64 shards at scale: 200k full-ZIP64-shape archives
+    // (sentinel EOCD -> locator -> ZIP64 record; per-entry 0x0001
+    // extras) — every member CRC-verified, contents exact.
+    {
+      import spark.implicits._
+      val nZ64 = 200000L
+      val t110 = System.nanoTime()
+      val zips = spark.range(0L, nZ64).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            (id, graft.operators.Zip.buildZip((0 until 4).map { k =>
+              (s"z64/${id}_$k.txt",
+                s"zm:$id:$k".getBytes("UTF-8"), k % 2 == 1)
+            }, zip64 = true))
+          }
+        }.toDF("id", "content")
+      val zAgg = graft.operators.Zip.zipEntries(zips, "id", "content")
+        .agg(count(lit(1)), sum(col("size")),
+          sum(when(col("method") === "deflate", 1L).otherwise(0L)))
+        .collect()(0)
+      val tZ64 = (System.nanoTime() - t110) / 1e9
+      val expBytes = (0L until nZ64).map(id =>
+        (0 until 4).map(k => s"zm:$id:$k".length.toLong).sum).sum
+      require(zAgg.getLong(0) == 4L * nZ64 &&
+        zAgg.getLong(1) == expBytes && zAgg.getLong(2) == 2L * nZ64,
+        s"zip64: $zAgg")
+      println(f"zip64Shards: $nZ64%d ZIP64 archives -> ${4 * nZ64}%d " +
+        f"CRC-verified members in $tZ64%.1f s " +
+        f"(${nZ64 / tZ64}%.0f shards/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- AVIF/HEIF at scale: 512k files, each with a thumbnail decoy
+    // item — primary-item resolution + irot display swap exact.
+    {
+      import spark.implicits._
+      val nAv = 512000L
+      val t111 = System.nanoTime()
+      val avifs = spark.range(0L, nAv).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            (id, graft.operators.Avif.buildAvif(
+              if (id % 2 == 0) "avif" else "heic",
+              Seq(
+                graft.operators.Avif.AvifItem(1L, 160L, 90L, 0, -1,
+                  if (id % 2 == 0) "av1C" else "hvcC"),
+                graft.operators.Avif.AvifItem(2L, 320L + 16 * (b % 8),
+                  240L + 16 * (b % 5), (b % 4) * 90,
+                  if (b % 5 == 0) b % 2 else -1,
+                  if (id % 2 == 0) "av1C" else "hvcC")),
+              primary = 2L, wideIndexes = b % 3 == 0,
+              pitmV1 = b % 7 == 0))
+          }
+        }.toDF("id", "content")
+      val aAgg = graft.operators.Avif.avifMetaScan(avifs, "id",
+          "content")
+        .agg(count(lit(1)), sum(when(col("parsed"), 1L).otherwise(0L)),
+          sum(col("disp_width")), sum(col("disp_height")),
+          sum(when(col("brand") === "avif", 1L).otherwise(0L)))
+        .collect()(0)
+      val tAv = (System.nanoTime() - t111) / 1e9
+      val expW = (0L until nAv).map { id =>
+        val b = (id % 64).toInt
+        val (w, h) = (320L + 16 * (b % 8), 240L + 16 * (b % 5))
+        if ((b % 4) * 90 == 90 || (b % 4) * 90 == 270) h else w
+      }.sum
+      val expH = (0L until nAv).map { id =>
+        val b = (id % 64).toInt
+        val (w, h) = (320L + 16 * (b % 8), 240L + 16 * (b % 5))
+        if ((b % 4) * 90 == 90 || (b % 4) * 90 == 270) w else h
+      }.sum
+      require(aAgg.getLong(0) == nAv && aAgg.getLong(1) == nAv &&
+        aAgg.getLong(2) == expW && aAgg.getLong(3) == expH &&
+        aAgg.getLong(4) == nAv / 2, s"avif: $aAgg")
+      println(f"avifMeta: $nAv%d AVIF/HEIC files (thumbnail decoys, " +
+        f"rotations) -> primary-item dims exact in $tAv%.1f s " +
+        f"(${nAv / tAv}%.0f files/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- H.264/H.265 SPS honesty at scale: 256k MP4s (half avc1,
+    // half hvc1), every third stsd lying — dims_match counts exact.
+    {
+      import spark.implicits._
+      val nSp = 256000L
+      val t112 = System.nanoTime()
+      val mp4s = spark.range(0L, nSp).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            val w = 320 + 2 * (b % 16)
+            val h = 180 + 2 * (b % 12)
+            val lie = id % 3 == 0
+            val bytes =
+              if (id % 2 == 0)
+                graft.operators.Mp4.buildMp4(600L, 1000L,
+                  if (lie) w + 16 else w, if (lie) h + 16 else h,
+                  videoExtra = graft.operators.Mp4.buildAvcC(
+                    graft.operators.Mp4.buildSps(w, h)))
+              else
+                graft.operators.Mp4.buildMp4(600L, 1000L,
+                  if (lie) w + 16 else w, if (lie) h + 16 else h,
+                  videoCodec = "hvc1",
+                  videoExtra = graft.operators.Mp4.buildHvcC(
+                    graft.operators.Mp4.buildHevcSps(w, h)))
+            (id, bytes)
+          }
+        }.toDF("id", "content")
+      val avc = graft.operators.Mp4.h264SpsScan(
+        mp4s.filter(col("id") % 2 === 0), "id", "content")
+      val hevc = graft.operators.Mp4.h265SpsScan(
+        mp4s.filter(col("id") % 2 =!= 0), "id", "content")
+      val sAgg = avc.select(col("id"), col("dims_match"),
+          col("parsed"))
+        .union(hevc.select(col("id"), col("dims_match"),
+          col("parsed")))
+        .agg(count(lit(1)), sum(when(col("parsed"), 1L).otherwise(0L)),
+          sum(when(col("dims_match"), 1L).otherwise(0L)))
+        .collect()(0)
+      val tSp = (System.nanoTime() - t112) / 1e9
+      val expMatch = (0L until nSp).count(id => id % 3 != 0).toLong
+      require(sAgg.getLong(0) == nSp && sAgg.getLong(1) == nSp &&
+        sAgg.getLong(2) == expMatch, s"sps: $sAgg (exp $expMatch)")
+      println(f"spsHonesty: $nSp%d MP4s (avc1+hvc1, every third " +
+        f"stsd lying) -> dims_match counts exact in $tSp%.1f s " +
+        f"(${nSp / tSp}%.0f files/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
+    // --- Vorbis comments at scale: 512k FLAC/Ogg/Opus carriers ->
+    // 1.536M comment rows, key/value sums exact.
+    {
+      import spark.implicits._
+      val nVc = 512000L
+      val t113 = System.nanoTime()
+      val files = spark.range(0L, nVc).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            val comments = Seq("TITLE" -> s"t$id",
+              "ARTIST" -> s"a${b % 7}", "LANGUAGE" -> s"l${b % 9}")
+            val bytes = (id % 3) match {
+              case 0 => graft.operators.Audio.buildFlacHeader(8000, 1,
+                16, 4000, vendor = s"v${b % 5}", comments = comments)
+              case 1 => graft.operators.Audio.buildOgg("vorbis", 1,
+                8000, 800L, vendor = s"v${b % 5}", comments = comments)
+              case _ => graft.operators.Audio.buildOgg("opus", 2,
+                48000, 4800L, vendor = s"v${b % 5}",
+                comments = comments)
+            }
+            (id, bytes)
+          }
+        }.toDF("id", "content")
+      val vAgg = graft.operators.Audio.vorbisCommentScan(files, "id",
+          "content")
+        .agg(count(lit(1)),
+          sum(when(col("key") === "TITLE" &&
+            col("value") === concat(lit("t"), col("id")), 1L)
+            .otherwise(0L)),
+          sum(when(col("source") === "flac", 1L).otherwise(0L)))
+        .collect()(0)
+      val tVc = (System.nanoTime() - t113) / 1e9
+      val expFlac = 3L * (0L until nVc).count(_ % 3 == 0)
+      require(vAgg.getLong(0) == 3L * nVc &&
+        vAgg.getLong(1) == nVc && vAgg.getLong(2) == expFlac,
+        s"vorbisComments: $vAgg")
+      println(f"vorbisComments: $nVc%d FLAC/Ogg/Opus carriers -> " +
+        f"${3 * nVc}%d comment rows exact in $tVc%.1f s " +
+        f"(${nVc / tVc}%.0f files/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
     // --- STREAMING multi-GiB tar shards: the path-level source walks
     // shards far beyond any column-operator cap with ONE member
     // resident — counts, byte sums, and planted bytes exact.
