@@ -362,6 +362,7 @@ object Avif {
       Some(v)
     }
     val out = Vector.newBuilder[(Long, String, Boolean, Array[Byte])]
+    val seenIds = scala.collection.mutable.HashSet.empty[Long]
     var seenPrimary = false
     var i = 0L
     while (i < itemCount) {
@@ -397,13 +398,21 @@ object Avif {
         }
         val off = readSized(offSize).getOrElse(return None)
         val len = readSized(lenSize).getOrElse(return None)
+        // bound each addend BEFORE summing: base+off (and at+len) on two
+        // attacker-controlled 64-bit values can wrap Long into a small
+        // positive that slips past an after-the-fact range check
+        if (base < 0L || off < 0L || len < 0L) return None
+        if (base > avail || off > avail - base) return None
         val at = base + off
-        if (len < 0L || at < 0L || at + len > avail) return None
+        if (len > avail - at) return None
         if (buf.size().toLong + len > maxItemBytes) return None
         buf.write(bytes, at.toInt, len.toInt)
         e += 1
       }
       val typ = types.getOrElse(itemId, return None)
+      // a duplicated iloc row would emit one payload twice and leave
+      // another iinf item unlocated while still matching on COUNT below
+      if (!seenIds.add(itemId)) return None
       if (itemId == primary) seenPrimary = true
       out += ((itemId, typ, itemId == primary, buf.toByteArray))
       i += 1

@@ -270,9 +270,14 @@ object Gif {
   /** Comment extensions (label 0xFE): sub-block data concatenated
     * per extension, decoded as UTF-8 — image PROVENANCE text (the
     * GIF counterpart of PNG's tEXt). The file must first pass the
-    * container walk; malformed sub-blocks refuse (empty).
+    * container walk; malformed sub-blocks refuse (empty). An
+    * extension whose accumulated sub-blocks exceed `maxTextBytes`
+    * emits nothing for that EXTENSION (the PNG arm's per-chunk
+    * refusal) — buffering stops at the cap, so a degenerate chain
+    * costs O(cap) memory, not O(file).
     */
-  private[graft] def gifComments(bytes: Array[Byte]): Seq[String] = {
+  private[graft] def gifComments(bytes: Array[Byte],
+      maxTextBytes: Int = Int.MaxValue): Seq[String] = {
     if (parseGif(bytes).isEmpty) return Nil
     val out = Seq.newBuilder[String]
     // position past header + GCT (same arithmetic as parseGif)
@@ -285,13 +290,15 @@ object Gif {
           val label = bytes(pos + 1) & 0xFF
           pos += 2
           val buf = new java.io.ByteArrayOutputStream()
+          var acc = 0L
           while ((bytes(pos) & 0xFF) != 0) {
             val len = bytes(pos) & 0xFF
-            buf.write(bytes, pos + 1, len)
+            acc += len
+            if (acc <= maxTextBytes) buf.write(bytes, pos + 1, len)
             pos += 1 + len
           }
           pos += 1
-          if (label == 0xFE)
+          if (label == 0xFE && acc <= maxTextBytes)
             out += new String(buf.toByteArray, "UTF-8")
         case 0x2C =>
           val ipacked = bytes(pos + 9) & 0xFF

@@ -493,14 +493,14 @@ object Multimodal {
           val b = r.getAs[Array[Byte]](1)
           if (b == null || b.length < 6) Nil
           else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
-            jpegComments(b).map(t =>
+            jpegComments(b, maxTextBytes).map(t =>
               ImageComment(id, "jpeg", "com", "", t))
           else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P')
             Png.textChunksOf(b, maxTextBytes).map { case (k, v, kind) =>
               ImageComment(id, "png", kind, k, v)
             }
           else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
-            Gif.gifComments(b).map(t =>
+            Gif.gifComments(b, maxTextBytes).map(t =>
               ImageComment(id, "gif", "comment_ext", "", t))
           else Nil
         }
@@ -509,9 +509,12 @@ object Multimodal {
   }
 
   /** COM (0xFE) segments out of a JPEG's marker walk, stopping at
-    * SOS. Malformed marker structure refuses (empty).
+    * SOS. Malformed marker structure refuses (empty). A segment whose
+    * text exceeds `maxTextBytes` emits nothing for that SEGMENT (the
+    * PNG arm's per-chunk refusal), never a truncation.
     */
-  private[graft] def jpegComments(b: Array[Byte]): Seq[String] = {
+  private[graft] def jpegComments(b: Array[Byte],
+      maxTextBytes: Int = Int.MaxValue): Seq[String] = {
     if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF ||
       (b(1) & 0xFF) != 0xD8) return Nil
     val out = Seq.newBuilder[String]
@@ -525,7 +528,7 @@ object Multimodal {
         if (pos + 4 > b.length) return Nil
         val segLen = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
         if (segLen < 2 || pos + 2 + segLen > b.length) return Nil
-        if (m == 0xFE)
+        if (m == 0xFE && segLen - 2 <= maxTextBytes)
           out += new String(b, pos + 4, segLen - 2, "UTF-8")
         pos += 2 + segLen
       }

@@ -184,4 +184,70 @@ class AvifSpec extends AnyFunSuite with BeforeAndAfterAll {
       .distinct().count()
     assert(hashes === 1L)
   }
+
+  test("lying iloc tables: a duplicated item id and an offset pair " +
+      "whose Long sum wraps back in-bounds both refuse the whole " +
+      "file") {
+    def findTag(buf: Array[Byte], t: String): Int =
+      (0 until buf.length - 4).find(o =>
+        new String(buf, o, 4, "US-ASCII") == t).get
+    def be32(buf: Array[Byte], o: Int): Long =
+      ((buf(o) & 0xFFL) << 24) | ((buf(o + 1) & 0xFFL) << 16) |
+        ((buf(o + 2) & 0xFFL) << 8) | (buf(o + 3) & 0xFFL)
+
+    // duplicate: rename the second iloc record to item 1 — the iinf
+    // count still equals the iloc count, so a count-only consistency
+    // check passes while item 1's id is emitted twice and item 2's
+    // payload is silently never located; must refuse the whole file
+    val items = Seq(
+      AvifItem(1L, 64L, 64L, itemType = "av01",
+        payload = "one".getBytes("UTF-8")),
+      AvifItem(2L, 64L, 64L, itemType = "av01",
+        payload = "two-payload".getBytes("UTF-8")))
+    val dup = Avif.buildAvif("avif", items, primary = 1L).clone()
+    val ilocAt = findTag(dup, "iloc")
+    // records start at tag+12 (verflags 4, sizes 2, count 2); each is
+    // id(2) dri(2) extents(2) off(4) len(4) = 14 bytes
+    dup(ilocAt + 26) = 0; dup(ilocAt + 27) = 1
+    assert(Avif.avifItemScan(df(1L -> dup), "id", "content")
+      .count() === 0L)
+
+    // overflow: splice in a hand-rolled iloc with 8-byte base/offset
+    // fields where base = 2^63-16 and offset reads as -2^63+32, so
+    // the UNGUARDED sum wraps to at = 16 (in-bounds) and len = 8
+    // passes an after-the-fact range check — emitting in-bounds
+    // garbage as the item payload. The pre-sum bound must refuse.
+    val v = Avif.buildAvif("avif", Seq(AvifItem(1L, 64L, 64L,
+      itemType = "av01",
+      payload = "payload-bytes".getBytes("UTF-8"))), primary = 1L)
+    val vIloc = findTag(v, "iloc")
+    val boxStart = vIloc - 4
+    val oldSize = be32(v, boxStart).toInt
+    val nb = new java.io.ByteArrayOutputStream()
+    def w16(x: Int): Unit = { nb.write((x >> 8) & 0xFF); nb.write(x & 0xFF) }
+    def w32(x: Long): Unit = { w16(((x >> 16) & 0xFFFF).toInt); w16((x & 0xFFFF).toInt) }
+    def w64(x: Long): Unit = { w32(x >>> 32); w32(x & 0xFFFFFFFFL) }
+    w32(46L); nb.write("iloc".getBytes("US-ASCII"))
+    w32(0L)                     // version 0, flags 0
+    nb.write(0x88)              // offset_size 8, length_size 8
+    nb.write(0x80)              // base_offset_size 8, reserved
+    w16(1)                      // item count
+    w16(1); w16(0)              // item id 1, data ref 0
+    w64(0x7FFFFFFFFFFFFFF0L)    // base offset: 2^63 - 16
+    w16(1)                      // extent count
+    w64(0x8000000000000020L)    // extent offset: -2^63 + 32 as Long
+    w64(8L)                     // extent length
+    val body = nb.toByteArray
+    assert(body.length === 46)
+    val evil = v.take(boxStart) ++ body ++ v.drop(boxStart + oldSize)
+    // grow the parent meta box size by the iloc delta
+    val metaAt = findTag(evil, "meta")
+    val mSz = be32(evil, metaAt - 4) + (46 - oldSize)
+    evil(metaAt - 4) = ((mSz >> 24) & 0xFF).toByte
+    evil(metaAt - 3) = ((mSz >> 16) & 0xFF).toByte
+    evil(metaAt - 2) = ((mSz >> 8) & 0xFF).toByte
+    evil(metaAt - 1) = (mSz & 0xFF).toByte
+    assert(Avif.avifItemScan(df(1L -> evil), "id", "content")
+      .count() === 0L)
+  }
 }

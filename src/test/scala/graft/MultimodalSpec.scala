@@ -745,4 +745,46 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Gif.gifMetaScan(mk(1L -> gif), "id", "content")
       .collect().head.getAs[Boolean]("parsed"))
   }
+
+  test("image comment cap binds on ALL THREE arms: an over-cap JPEG " +
+      "COM segment or GIF comment extension emits nothing for that " +
+      "comment (the PNG per-chunk refusal), never a truncation") {
+    import graft.operators.{Gif, Png}
+    import spark.implicits._
+    def mk(rows: (Long, Array[Byte])*) = rows.toDF("id", "content")
+    val realJpeg = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x =>
+        img.setRGB(x, y, (x * 31 + y * 7) * 1000)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val jpeg = Multimodal.withJpegComments(realJpeg,
+      Seq("short", "y" * 100))
+    // PNG's cap is an INFLATION bound (zTXt/iTXt decompress), so the
+    // over-cap entry is a ztxt chunk — the arm the contract covers
+    val png = Png.buildPng(4, 4, 0,
+      Array.tabulate(16)(p => (p * 7).toByte),
+      texts = Seq(("Software", "graft", "text"),
+        ("parameters", "z" * 100, "ztxt")))
+    val gif = Gif.buildGif(4, 3, Array.tabulate(16)(i => i * 0x111111),
+      Seq(Array.tabulate[Byte](12)(p => (p % 16).toByte)),
+      delayCs = 4, comments = Seq("x" * 300))
+    val rows = Multimodal.imageCommentScan(
+      mk(1L -> jpeg, 2L -> png, 3L -> gif), "id", "content",
+      maxTextBytes = 50).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text")))
+    // in-cap comments survive untouched; over-cap ones vanish whole
+    assert(rows.filter(_._1 == 1L).map(_._2).toSet === Set("short"))
+    assert(rows.filter(_._1 == 2L).map(_._2).toSet === Set("graft"))
+    assert(rows.count(_._1 == 3L) === 0)
+    // with a cap above every comment the full set is back — proves
+    // the refusal path, not a broken walk, removed the rows above
+    val wide = Multimodal.imageCommentScan(
+      mk(1L -> jpeg, 3L -> gif), "id", "content",
+      maxTextBytes = 1 << 20).collect()
+    assert(wide.length === 3)
+  }
 }
