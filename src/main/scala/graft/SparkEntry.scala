@@ -570,6 +570,54 @@ object SparkEntry {
       build(col("doc_id")).as("content")).localCheckpoint(true)
   }
 
+  /** Raw ADTS-AAC streams: profile, rate, channels, CRC flag, frame
+    * count, and blocks-per-frame all closed forms of doc_id — the
+    * standalone `.aac` rung of container family #11.
+    */
+  private def syntheticAdtsClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      operators.MpegTs.buildAdts(
+        profile = base % 2, sfIdx = 3 + base % 4,
+        channels = 1 + base % 3, frames = 3 + base % 5,
+        payloadPerFrame = 11 + base % 7, crc = id % 3 == 0,
+        rdb = base % 2)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
+  /** MPEG-TS segments: single program, H.264 (3 in 4) or H.265 video
+    * whose dims/profile/level live ONLY in the contained SPS, a
+    * PTS span that is the exact closed-form duration, and (2 in 3)
+    * an ADTS audio track whose rate/channels replay through the same
+    * header parser as the standalone walk.
+    */
+  private def syntheticMpegTsClassed(docs: DataFrame): DataFrame = {
+    val build = udf((id: Long) => {
+      val base = (id % 64).toInt
+      val h265 = id % 4 == 3
+      val durMs = 1000L + 10L * base
+      val adts =
+        if (id % 3 == 2) None
+        else Some(operators.MpegTs.buildAdts(
+          profile = 1, sfIdx = 3 + base % 3, channels = 1 + base % 2,
+          frames = 2))
+      operators.MpegTs.buildTs(
+        spsWidth = 320 + 2 * (base % 16),
+        spsHeight = 180 + 2 * (base % 12),
+        profileIdc =
+          if (h265) { if (base % 2 == 0) 1 else 2 }
+          else { if (base % 2 == 0) 66 else 100 },
+        levelIdc = if (h265) 90 + 3 * (base % 4) else 30 + base % 4,
+        videoPts = Seq(90000L, 90000L + 45L * durMs,
+          90000L + 90L * durMs),
+        adts = adts, h265 = h265)
+    })
+    docs.select(col("doc_id").as("id"),
+      build(col("doc_id")).as("content")).localCheckpoint(true)
+  }
+
   /** Mixed media-tag corpus: id % 9 rotates MP3+ID3v2.4, MP3 with
     * BOTH an ID3v2.3 header and a v1 trailer, MP3+ID3v1 only, FLAC
     * Vorbis comments, Ogg (vorbis on even base, opus on odd), M4A
@@ -3476,6 +3524,23 @@ object SparkEntry {
           col("sps_width").cast("long").as("sps_width"),
           col("sps_height").cast("long").as("sps_height"),
           col("dims_match"), col("parsed"))),
+
+    // ADTS-AAC frame chain — the raw `.aac` rung of container
+    // family #11: profile/rate/channels/CRC and the sample-exact
+    // duration, every column a closed form of doc_id
+    "q_audio_adts" -> ((s, dir) =>
+      graft.operators.MpegTs.adtsMetaScan(
+        syntheticAdtsClassed(t(s, dir, "documents")), "id", "content")),
+
+    // MPEG-TS segments — the HLS carrier: PAT/PMT routing, dims and
+    // profile/level decoded from the CONTAINED H.264/H.265 SPS (a TS
+    // has no container dims to lie with — the same exp-Golomb parsers
+    // as the MP4 cross-checks), PTS-span duration, and the audio
+    // fields through the SAME ADTS header parse as q_audio_adts
+    "q_video_mpegts" -> ((s, dir) =>
+      graft.operators.MpegTs.tsMetaScan(
+        syntheticMpegTsClassed(t(s, dir, "documents")), "id", "content")
+        .drop("packets")),
 
     // Vorbis comments — where real audio corpora carry title /
     // artist / language: the FLAC VORBIS_COMMENT block and the Ogg
@@ -7080,6 +7145,62 @@ object SparkEntry {
         |  CAST(w AS BIGINT) AS sps_width,
         |  CAST(h AS BIGINT) AS sps_height,
         |  NOT lie AS dims_match, TRUE AS parsed
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // ADTS: every field a closed form of base = doc_id % 64
+    "q_audio_adts" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |m AS (SELECT id, base,
+        |    CASE CAST(base % 4 AS BIGINT) WHEN 0 THEN 48000
+        |      WHEN 1 THEN 44100 WHEN 2 THEN 32000
+        |      ELSE 24000 END AS sr,
+        |    3 + base % 5 AS fr, 1 + base % 2 AS blocks
+        |  FROM g)
+        |SELECT id, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(1 + base % 3 AS BIGINT) AS channels,
+        |  CASE WHEN base % 2 = 0 THEN 'aac_main'
+        |    ELSE 'aac_lc' END AS profile,
+        |  id % 3 = 0 AS crc,
+        |  CAST(fr AS BIGINT) AS frames,
+        |  CAST(fr * blocks * 1024 AS BIGINT) AS samples,
+        |  CAST(fr * blocks * 1024 * 1000 // sr AS BIGINT)
+        |    AS duration_ms,
+        |  TRUE AS parsed
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // MPEG-TS: dims/profile/level replay the SPS closed forms; the
+    // PTS span replays the duration; audio arms rotate by id % 3
+    "q_video_mpegts" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |m AS (SELECT id, base, id % 4 = 3 AS h265,
+        |    320 + 2 * (base % 16) AS w, 180 + 2 * (base % 12) AS h,
+        |    1000 + 10 * base AS dur, id % 3 <> 2 AS hasaudio
+        |  FROM g)
+        |SELECT id, CAST(1 AS BIGINT) AS programs,
+        |  CASE WHEN h265 THEN 'h265' ELSE 'h264' END AS video_codec,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(CASE WHEN h265 THEN
+        |      CASE WHEN base % 2 = 0 THEN 1 ELSE 2 END
+        |    ELSE CASE WHEN base % 2 = 0 THEN 66 ELSE 100 END
+        |    END AS BIGINT) AS sps_profile,
+        |  CAST(CASE WHEN h265 THEN 90 + 3 * (base % 4)
+        |    ELSE 30 + base % 4 END AS BIGINT) AS sps_level,
+        |  CASE WHEN hasaudio THEN 'adts_aac' ELSE '' END
+        |    AS audio_codec,
+        |  CAST(CASE WHEN NOT hasaudio THEN 0
+        |    WHEN base % 3 = 0 THEN 48000
+        |    WHEN base % 3 = 1 THEN 44100
+        |    ELSE 32000 END AS BIGINT) AS audio_rate,
+        |  CAST(CASE WHEN hasaudio THEN 1 + base % 2 ELSE 0 END
+        |    AS BIGINT) AS audio_channels,
+        |  CAST(dur AS BIGINT) AS duration_ms,
+        |  TRUE AS parsed
         |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

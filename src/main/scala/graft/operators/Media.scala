@@ -180,6 +180,14 @@ object Media {
         MediaMeta(0L, "ogg", granule * 1000L / clock, 0, 0, "", codec,
           rate, parsed = true)
       }
+    // ADTS before MP3: both sync on 0xFF Fx, but ADTS's layer bits
+    // are 00 — a value no MPEG-audio frame carries
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF0) == 0xF0 &&
+      (b(1) & 0x06) == 0)
+      MpegTs.parseAdts(b).map { a =>
+        MediaMeta(0L, "adts", a.durationMs, 0, 0, "", "aac",
+          a.sampleRate, parsed = true)
+      }
     else if (is(0, "ID3") || ((b(0) & 0xFF) == 0xFF &&
       (b(1) & 0xE0) == 0xE0))
       Mp3.parseMp3(b).map { m =>
@@ -228,6 +236,18 @@ object Media {
         MediaMeta(0L, w.docType, math.max(w.durationMs, -1L), w.width,
           w.height, w.videoCodec, w.audioCodec, w.audioRate,
           parsed = true)
+      }
+    // MPEG-TS: 0x47 sync repeating on EVERY 188-byte boundary — one
+    // sync byte alone is no signature (it is ASCII 'G')
+    else if ((b(0) & 0xFF) == 0x47 && b.length % 188 == 0 &&
+      b.length >= 376 && (b(188) & 0xFF) == 0x47)
+      MpegTs.parseTs(b).map { t =>
+        val vc = if (t.videoPid >= 0) MpegTs.tsVideoCodecName(
+          t.videoStreamType) else ""
+        val ac = if (t.audioPid >= 0) MpegTs.tsAudioCodecName(
+          t.audioStreamType) else ""
+        MediaMeta(0L, "mpegts", t.durationMs, t.width, t.height, vc,
+          ac, t.audioRate, parsed = true)
       }
     else None
   }

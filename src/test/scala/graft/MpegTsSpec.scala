@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Media, MpegTs}
+
+/** MPEG-TS segment + ADTS-AAC stream walks (container family #11):
+  * round trips through the encode twins, PTS-span duration, dims
+  * decoded from the CONTAINED SPS (a TS has no container dims to
+  * lie with), the ADTS frame chain, the truncation/garbage honesty
+  * matrix, and the unified [[Media]] dispatch.
+  */
+class MpegTsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toDF("id", "content")
+  }
+
+  test("ADTS round trip: profile/rate/channels/crc replay, frame " +
+      "count and sample-exact duration, multi-block frames") {
+    val a = MpegTs.buildAdts(profile = 1, sfIdx = 4, channels = 2,
+      frames = 5) // 44100 Hz stereo LC, 5 x 1024 samples
+    val b = MpegTs.buildAdts(profile = 0, sfIdx = 8, channels = 1,
+      frames = 3, crc = true, rdb = 1) // 16 kHz mono, 2 blocks/frame
+    val rows = MpegTs.adtsMetaScan(df(1L -> a, 2L -> b), "id",
+      "content").orderBy("id").collect()
+    assert(rows(0).getAs[Long]("sample_rate") === 44100L)
+    assert(rows(0).getAs[Long]("channels") === 2L)
+    assert(rows(0).getAs[String]("profile") === "aac_lc")
+    assert(!rows(0).getAs[Boolean]("crc"))
+    assert(rows(0).getAs[Long]("frames") === 5L)
+    assert(rows(0).getAs[Long]("samples") === 5120L)
+    assert(rows(0).getAs[Long]("duration_ms") === 5120L * 1000 / 44100)
+    assert(rows(1).getAs[String]("profile") === "aac_main")
+    assert(rows(1).getAs[Boolean]("crc"))
+    assert(rows(1).getAs[Long]("samples") === 3L * 2048) // rdb = 1
+    assert(rows.forall(_.getAs[Boolean]("parsed")))
+  }
+
+  test("ADTS honesty: truncated final frame, mid-stream garbage, " +
+      "config drift, reserved frequency index, and an MP3 frame " +
+      "(layer != 0) all refuse — never a partial count") {
+    val good = MpegTs.buildAdts(1, 4, 2, 3)
+    assert(MpegTs.adtsMetaScan(df(1L -> good), "id", "content")
+      .filter("parsed").count() === 1L)
+    // truncated: drop the last 4 bytes — the final frame's declared
+    // stride runs past the payload
+    val trunc = good.dropRight(4)
+    // garbage: flip a byte at the second frame boundary
+    val garbled = good.clone()
+    garbled(20) = 0x00 // frame 0 is 20 bytes (7 hdr + 13 payload)
+    // drift: two VALID streams concatenated (44.1 kHz then 16 kHz)
+    val drift = good ++ MpegTs.buildAdts(1, 8, 2, 2)
+    // reserved sampling_frequency_index 14
+    val badSf = good.clone()
+    badSf(2) = ((1 << 6) | (14 << 2)).toByte
+    // an MPEG-1 Layer III sync (layer bits 01) must NOT be read as
+    // ADTS — that is the MP3 walk's format
+    val mp3ish = good.clone()
+    mp3ish(1) = 0xFB.toByte
+    val rows = MpegTs.adtsMetaScan(
+      df(1L -> trunc, 2L -> garbled, 3L -> drift, 4L -> badSf,
+        5L -> mp3ish), "id", "content").collect()
+    assert(rows.forall(!_.getAs[Boolean]("parsed")))
+  }
+
+  test("TS round trip: PAT/PMT routing, dims decoded from the " +
+      "contained H.264 SPS, PTS-span duration, ADTS audio fields " +
+      "from the SAME header parser as the standalone walk") {
+    val adts = MpegTs.buildAdts(profile = 1, sfIdx = 3, channels = 2,
+      frames = 2) // 48 kHz stereo
+    val ts = MpegTs.buildTs(spsWidth = 322, spsHeight = 182,
+      profileIdc = 100, levelIdc = 31,
+      videoPts = Seq(90000L, 90000L + 45000L, 90000L + 90000L),
+      adts = Some(adts))
+    assert(ts.length % 188 === 0)
+    val r = MpegTs.tsMetaScan(df(1L -> ts), "id", "content")
+      .collect()(0)
+    assert(r.getAs[Boolean]("parsed"))
+    assert(r.getAs[Long]("programs") === 1L)
+    assert(r.getAs[String]("video_codec") === "h264")
+    assert(r.getAs[Long]("width") === 322L) // from the SPS crop math
+    assert(r.getAs[Long]("height") === 182L)
+    assert(r.getAs[Long]("sps_profile") === 100L)
+    assert(r.getAs[Long]("sps_level") === 31L)
+    assert(r.getAs[String]("audio_codec") === "adts_aac")
+    assert(r.getAs[Long]("audio_rate") === 48000L)
+    assert(r.getAs[Long]("audio_channels") === 2L)
+    assert(r.getAs[Long]("duration_ms") === 1000L) // 90000 ticks
+  }
+
+  test("TS h265 arm: stream_type 0x24 routes to the HEVC SPS parser") {
+    val ts = MpegTs.buildTs(spsWidth = 640, spsHeight = 360,
+      profileIdc = 2, levelIdc = 93, videoPts = Seq(0L, 180000L),
+      h265 = true)
+    val r = MpegTs.tsMetaScan(df(1L -> ts), "id", "content")
+      .collect()(0)
+    assert(r.getAs[Boolean]("parsed"))
+    assert(r.getAs[String]("video_codec") === "h265")
+    assert(r.getAs[Long]("width") === 640L)
+    assert(r.getAs[Long]("height") === 360L)
+    assert(r.getAs[Long]("sps_profile") === 2L)
+    assert(r.getAs[Long]("duration_ms") === 2000L)
+  }
+
+  test("TS honesty: a non-188 length, a lost packet sync, a " +
+      "corrupted PMT CRC, a scrambled PID, and a declared-H.264 " +
+      "stream with no SPS all refuse the whole payload") {
+    val ts = MpegTs.buildTs(320, 180, 66, 30, Seq(0L, 90000L))
+    assert(MpegTs.tsMetaScan(df(1L -> ts), "id", "content")
+      .filter("parsed").count() === 1L)
+    val shorted = ts.dropRight(17) // mid-packet truncation
+    val desync = ts.clone(); desync(188 * 2) = 0x48
+    // flip one CRC byte of the PMT: stuffing precedes payload, so
+    // the section (CRC last) ends exactly at the packet boundary
+    val badCrc = ts.clone()
+    badCrc(188 * 2 - 1) = (badCrc(188 * 2 - 1) ^ 0x01).toByte
+    val scrambled = ts.clone()
+    scrambled(188 * 2 + 3) = (scrambled(188 * 2 + 3) | 0x80).toByte
+    // drop the first video packet (the one carrying the SPS): a
+    // declared-H.264 stream whose capped ES scan finds no SPS must
+    // refuse, not report zero dims
+    val noSps = ts.take(188 * 2) ++ ts.drop(188 * 3)
+    val rows = MpegTs.tsMetaScan(
+      df(1L -> shorted, 2L -> desync, 3L -> badCrc, 4L -> scrambled,
+        5L -> noSps), "id", "content").collect()
+    assert(rows.forall(!_.getAs[Boolean]("parsed")))
+  }
+
+  test("unified Media dispatch: .ts and .aac payloads route to the " +
+      "new walks; an MP3 still routes to the MP3 walk (the ADTS " +
+      "check is layer-exact, not sync-loose); prefix path refuses " +
+      "both honestly (their grammars need the tail)") {
+    import graft.operators.Mp3
+    val ts = MpegTs.buildTs(322, 182, 66, 30, Seq(0L, 90000L),
+      adts = Some(MpegTs.buildAdts(1, 3, 2, 2)))
+    val aac = MpegTs.buildAdts(1, 4, 1, 4)
+    val mp3 = Mp3.buildMp3(3, 0, Seq(5, 5, 5), mono = false, id3Bytes = 0, xingFrames = -1L, id3Frames = Nil, id3Major = 4)
+    val rows = Media.mediaMetaScan(
+      df(1L -> ts, 2L -> aac, 3L -> mp3), "id", "content")
+      .orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("container")).toSeq ===
+      Seq("mpegts", "adts", "mp3"))
+    assert(rows(0).getAs[Int]("width") === 322)
+    assert(rows(0).getAs[String]("audio_codec") === "adts_aac")
+    assert(rows(0).getAs[Long]("duration_ms") === 1000L)
+    assert(rows(1).getAs[String]("audio_codec") === "aac")
+    assert(rows(1).getAs[Int]("audio_rate") === 44100)
+    assert(rows.forall(_.getAs[Boolean]("parsed")))
+    // prefix path: both grammars need the tail (last PTS / to-EOF
+    // frame chain), so the prefix scan refuses rather than guesses
+    val pre = Media.mediaMetaScanPrefix(df(1L -> ts, 2L -> aac),
+      "id", "content", prefixBytes = 4096).orderBy("id").collect()
+    assert(pre.forall(!_.getAs[Boolean]("parsed")))
+  }
+}
