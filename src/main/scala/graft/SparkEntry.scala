@@ -4114,6 +4114,76 @@ object SparkEntry {
           length(col("text")).as("n_chars"))
     }),
 
+    // The COMPLETE corpus build driven end-to-end: WET archives
+    // written to a real drop directory, CorpusBuild.buildCorpus run
+    // through ALL NINE stages (extract -> repair -> gate -> dedup ->
+    // tiers -> mix -> pack -> curriculum -> report) on a fresh stage
+    // directory, final 7_curriculum training table returned. The
+    // fixture is engineered so every stage's effect is a closed form:
+    // texts are 28 md5-derived tokens (4 template lines) that pass
+    // the C4/Gopher gates whole, share < 0.8 Jaccard pairwise (the
+    // near-dedup verify keeps everything), and tier rates of 1.0
+    // make the mixture an identity with copy = 0 — so the oracle
+    // replays ids (path:seq hashes), pack geometry (constant 28
+    // tokens under the 256 cap = 9 docs per pack, first-fit in
+    // mix_id order per shard), and the curriculum cut (constant
+    // score -> rank by pack id) without replicating the LM. Tier
+    // VALUES are oracled separately by q_ccnet_buckets; this row
+    // oracles the stage WIRING the specs alone covered before.
+    "q_corpus_build" -> ((s, dir) => {
+      val ids = col("doc_id").cast("string")
+      def hashWord(k: String) =
+        substring(md5(concat(ids, lit(k))), 1, 8)
+      val line = (k: Int) => concat(lit("Word "), hashWord(s":$k"),
+        lit(" and "), hashWord(s":$k:b"), lit(" mingle quietly today."))
+      val text = concat_ws("\n", line(0), line(1), line(2), line(3))
+      val textBin = text.cast("binary")
+      val wetHead = concat_ws("",
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:uuid:graft-cb-"),
+        ids,
+        lit(">\r\nWARC-Date: 2024-03-03T00:00:00Z\r\n" +
+          "WARC-Target-URI: http://graft.test/doc/"), ids,
+        lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        octet_length(textBin).cast("string"), lit("\r\n\r\n"))
+      val rec = concat(wetHead.cast("binary"), textBin,
+        lit("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val archives = t(s, dir, "documents")
+        .select(col("doc_id"), rec.as("rec"))
+        .groupBy(pmod(col("doc_id"), lit(2)).as("g"))
+        .agg(sort_array(collect_list(struct(col("doc_id").as("i"),
+          col("rec").as("r")))).as("rs"))
+        .select(concat(lit("wet-"), col("g").cast("string"),
+            lit(".warc")).as("path"),
+          aggregate(col("rs"), lit(Array.empty[Byte]),
+            (acc, x) => concat(acc, x("r"))).as("content"))
+        .collect()
+      // a REAL drop directory + a fresh stage directory per run: the
+      // row times and checks the whole restartable pipeline, so a
+      // stale stage dir must never turn the run into a resume no-op
+      val root = new java.io.File("/tmp/graft_q_corpus_build")
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmTree)
+        f.delete(); ()
+      }
+      if (root.exists()) rmTree(root)
+      val warcDir = new java.io.File(root, "warc")
+      warcDir.mkdirs()
+      archives.foreach { r =>
+        java.nio.file.Files.write(
+          new java.io.File(warcDir, r.getString(0)).toPath,
+          r.getAs[Array[Byte]](1))
+      }
+      operators.CorpusBuild.buildCorpus(s, warcDir.getAbsolutePath,
+        new java.io.File(root, "stages").getAbsolutePath,
+        minWords = 10, minLinesKept = 1, minWordsPerLine = 3,
+        nearDupThreshold = 0.8,
+        tierRates = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0),
+        packTokens = 256)
+      s.read.parquet(s"${root.getAbsolutePath}/stages/7_curriculum")
+        .select(col("id"), col("stage"), col("shard"), col("position"),
+          col("pack_tokens"), col("n_docs"), col("text"))
+    }),
+
     // C4 bad-word page filter: single- and multi-word entries over the
     // corpus vocabulary ("slow join" appears as adjacent tokens), one
     // never-matching entry, entry-side case folding
@@ -7147,6 +7217,56 @@ object SparkEntry {
         |  NOT lie AS dims_match, TRUE AS parsed
         |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // the composed corpus build: ids replay the (archive path, record
+    // seq) hashes, the mix is an identity (rates 1.0, copy 0), packs
+    // are 9 x 28-token docs first-fit in mix_id order per pack shard,
+    // and the curriculum cut is rank-by-pack-id (constant score) —
+    // every stage's closed form chained into ONE relation
+    "q_corpus_build" -> {
+      val lineSql = (k: Int) =>
+        s"'Word ' || substr(md5(doc_id || ':$k'), 1, 8) || ' and ' || " +
+          s"substr(md5(doc_id || ':$k:b'), 1, 8) || ' mingle quietly today.'"
+      s"""WITH d AS (SELECT doc_id,
+         |    ${lineSql(0)} || chr(10) || ${lineSql(1)} || chr(10) ||
+         |    ${lineSql(2)} || chr(10) || ${lineSql(3)} AS text
+         |  FROM documents),
+         |seq AS (SELECT doc_id, doc_id % 2 AS g, text,
+         |    row_number() OVER (PARTITION BY doc_id % 2
+         |      ORDER BY doc_id) - 1 AS rs
+         |  FROM d),
+         |ids AS (SELECT ${H60(
+             "'file:/tmp/graft_q_corpus_build/warc/wet-' || g || " +
+             "'.warc:' || rs")} AS id, text FROM seq),
+         |mix AS (SELECT ${H60("CAST(id AS VARCHAR) || ':0'")} AS mid,
+         |    text FROM ids),
+         |sh AS (SELECT mid, text,
+         |    CAST(${H60("'pack:' || CAST(mid AS VARCHAR)")} % 16 AS INT)
+         |      AS pshard
+         |  FROM mix),
+         |ord AS (SELECT *, row_number() OVER (PARTITION BY pshard
+         |    ORDER BY mid) - 1 AS rn FROM sh),
+         |pk AS (SELECT pshard, rn // 9 AS pack_id, rn % 9 AS pack_pos,
+         |    mid, text FROM ord),
+         |packs AS (SELECT
+         |    ${H60("pshard || ':' || pack_id")} AS id,
+         |    CAST(28 * count(*) AS BIGINT) AS pack_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    string_agg(text, ' ' ORDER BY pack_pos) AS text
+         |  FROM pk GROUP BY pshard, pack_id),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM packs),
+         |r AS (SELECT *, row_number() OVER (ORDER BY id) AS rk
+         |  FROM packs),
+         |st AS (SELECT id, pack_tokens, n_docs, text,
+         |    CAST((rk * 3 + cnt - 1) // cnt AS INTEGER) AS stage,
+         |    ${H60("'buildcorpus:cur:' || CAST(id AS VARCHAR)")} AS h
+         |  FROM r CROSS JOIN n)
+         |SELECT id, stage, CAST(h % 16 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY stage, h % 16
+         |    ORDER BY h, id) AS BIGINT) AS position,
+         |  pack_tokens, n_docs, text
+         |FROM st ORDER BY ALL NULLS FIRST""".stripMargin
+    },
 
     // ADTS: every field a closed form of base = doc_id % 64
     "q_audio_adts" ->

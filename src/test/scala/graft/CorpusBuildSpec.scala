@@ -272,4 +272,54 @@ class CorpusBuildSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eNull.getMessage.contains("DIFFERENT parameters"),
       eNull.getMessage)
   }
+
+  test("kill-resume determinism: a build KILLED mid-run (right after " +
+      "3_dedup commits) and restarted yields a 7_curriculum table " +
+      "row-identical to an uninterrupted build") {
+    val warcDir = java.nio.file.Files
+      .createTempDirectory("graft-kr-warc")
+    val caps0 = (0 until 6).map(i =>
+      record("response", s"http://kr$i.test/a",
+        httpBlock(page(goodDoc(i)))))
+    val caps1 = (6 until 12).map(i =>
+      record("response", s"http://kr$i.test/a",
+        httpBlock(page(goodDoc(i)))))
+    java.nio.file.Files.write(warcDir.resolve("kr-0.warc.gz"),
+      gzMembers(caps0))
+    java.nio.file.Files.write(warcDir.resolve("kr-1.warc.gz"),
+      gzMembers(caps1))
+    val clean = java.nio.file.Files
+      .createTempDirectory("graft-kr-clean").toString
+    val resumed = java.nio.file.Files
+      .createTempDirectory("graft-kr-resumed").toString
+    def run(stageDir: String,
+        onStage: (String, Double) => Unit = (_, _) => ()) =
+      CorpusBuild.buildCorpus(spark, warcDir.toString, stageDir,
+        nearDupThreshold = 0.7, packTokens = 64, onStage = onStage)
+    run(clean).collect()
+    // the kill: onStage fires AFTER a stage's parquet + sidecars
+    // commit, so aborting on 3_dedup models a worker dying between
+    // stage 3 landing and stage 4 starting
+    val killed = intercept[RuntimeException] {
+      run(resumed, onStage = (st, _) =>
+        if (st == "3_dedup")
+          throw new RuntimeException("simulated mid-build kill"))
+    }
+    assert(killed.getMessage.contains("simulated mid-build kill"))
+    assert(new java.io.File(
+      s"$resumed/3_dedup/_graft_schema.json").exists())
+    assert(!new java.io.File(s"$resumed/4_tiers").exists())
+    // restart: stages 0-3 resume (lineage-checked), 4-7 compute; the
+    // final training table must be ROW-IDENTICAL to the clean build —
+    // resume determinism is what makes a mid-build kill at 100 TB a
+    // delay, not a different corpus
+    run(resumed).collect()
+    def rows(dir: String): Seq[String] = {
+      val df = spark.read.parquet(s"$dir/7_curriculum")
+      df.select("id", "stage", "shard", "position", "pack_tokens",
+        "n_docs", "text").collect().map(_.toString).sorted.toSeq
+    }
+    val (a, b) = (rows(clean), rows(resumed))
+    assert(a.nonEmpty && a === b)
+  }
 }
