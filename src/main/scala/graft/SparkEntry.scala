@@ -1933,6 +1933,29 @@ object SparkEntry {
       out.toString
     })
 
+  private val webmShardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The [[syntheticWebmClassed]] payloads written as ON-DISK
+    * `.webm`/`.mkv` files — the drop-directory shape the path-level
+    * [[graft.sources.WebmShardSource]] streams (one bounded header
+    * read per file instead of a whole-blob binary column).
+    */
+  private def webmShardDir(s: SparkSession, dir: String): String =
+    webmShardCache.computeIfAbsent(dir, { _ =>
+      val rows = syntheticWebmClassed(t(s, dir, "documents"))
+        .collect()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-webm-shards")
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val ext = if (id % 2 == 0) "webm" else "mkv"
+        java.nio.file.Files.write(out.resolve(s"v_$id.$ext"),
+          r.getAs[Array[Byte]](1))
+      }
+      out.toString
+    })
+
   private val ingestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4529,6 +4552,26 @@ object SparkEntry {
           col("entry_index"), col("path"),
           col("bytes").cast("string").as("content_str"),
           col("size"))),
+
+    // the path-level Matroska/WebM source: the SAME synthetic corpus
+    // as q_video_webm written as on-disk files and walked by
+    // WebmShardSource — one bounded header read per file feeding the
+    // SAME parseWebm state machine, so the row set is byte-identical
+    // to the column operator's (and shares its oracle's closed forms)
+    "q_webm_stream" -> ((s, dir) =>
+      graft.sources.WebmShardSource
+        .metaScanDF(s, webmShardDir(s, dir) + "/v_*.*",
+          maxHeaderBytes = 1024)
+        .select(
+          regexp_extract(col("shard_path"), "/v_(\\d+)\\.", 1)
+            .cast("long").as("id"),
+          col("doc_type"), col("timescale_ns"), col("duration_ms"),
+          col("tracks").cast("long").as("tracks"),
+          col("video_codec"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("audio_codec"),
+          col("audio_channels").cast("long").as("audio_channels"),
+          col("audio_rate").cast("long").as("audio_rate"),
+          col("parsed"))),
 
     // the WebDataset census over the SAME on-disk shards, assembled
     // at path level (stem split per member, per-shard local fold)
@@ -7731,6 +7774,40 @@ object SparkEntry {
     // true — honesty rows live in WebmMetaSpec where corruption is
     // byte-surgical
     "q_video_webm" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents)
+        |SELECT id,
+        |  CASE WHEN base % 2 = 0 THEN 'webm' ELSE 'matroska' END
+        |    AS doc_type,
+        |  CAST(1000000 AS BIGINT) AS timescale_ns,
+        |  CAST(CASE WHEN base % 7 = 6 THEN -1
+        |    ELSE 1000 + base * 13 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN base % 3 = 2 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS tracks,
+        |  CASE WHEN base % 3 <> 0
+        |    THEN 'V_VP' || CAST(8 + base % 2 AS VARCHAR)
+        |    ELSE '' END AS video_codec,
+        |  CAST(CASE WHEN base % 3 <> 0 THEN 320 + 16 * (base % 4)
+        |    ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN base % 3 <> 0 THEN 240 + 16 * (base % 3)
+        |    ELSE 0 END AS BIGINT) AS height,
+        |  CASE WHEN base % 3 <> 1 THEN
+        |    CASE WHEN base % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+        |    ELSE '' END AS audio_codec,
+        |  CAST(CASE WHEN base % 3 <> 1 THEN 1 + base % 2
+        |    ELSE 0 END AS BIGINT) AS audio_channels,
+        |  CAST(CASE WHEN base % 3 <> 1 THEN
+        |    CASE WHEN base % 2 = 0 THEN 48000 ELSE 44100 END
+        |    ELSE 0 END AS BIGINT) AS audio_rate,
+        |  TRUE AS parsed
+        |FROM g
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // the path-level WebM source replays the SAME closed forms as
+    // q_video_webm — the byte-equality contract between the stream
+    // and column walks, stated as one shared oracle
+    "q_webm_stream" ->
       """WITH g AS (SELECT doc_id AS id,
         |    CAST(doc_id % 64 AS BIGINT) AS base
         |  FROM documents)
