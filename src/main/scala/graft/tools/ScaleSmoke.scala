@@ -3070,6 +3070,11 @@ object ScaleSmoke {
     ShardStreamSmoke.run(spark, nShards = 4, membersPerShard = 1536,
       memberBytes = 1 << 20)
 
+    // --- >4 GiB ZIP64 archive with bit-3 data descriptors: every
+    // local header lies, offsets cross the 4 GiB line, and the
+    // CD-authoritative seek walk reads every member CRC-exact.
+    ZipStreamSmoke.run(spark, nMembers = 66, memberBytes = 1 << 26)
+
     spark.stop()
   }
 }
