@@ -3064,6 +3064,84 @@ object ScaleSmoke {
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     }
 
+    // --- MPEG-TS + ADTS at scale: 256k TS segments (h264/h265 SPS as
+    // the only dims source, embedded ADTS audio on 2 in 3) and 256k
+    // raw ADTS streams — counts and field sums exact.
+    {
+      import spark.implicits._
+      val nTs = 256000L
+      val t114 = System.nanoTime()
+      val tss = spark.range(0L, nTs).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            val h265 = id % 4 == 3
+            val durMs = 1000L + 10L * b
+            val adts =
+              if (id % 3 == 2) None
+              else Some(graft.operators.MpegTs.buildAdts(1, 3 + b % 3,
+                1 + b % 2, 2))
+            (id, graft.operators.MpegTs.buildTs(
+              320 + 2 * (b % 16), 180 + 2 * (b % 12),
+              if (h265) { if (b % 2 == 0) 1 else 2 }
+              else { if (b % 2 == 0) 66 else 100 },
+              if (h265) 90 + 3 * (b % 4) else 30 + b % 4,
+              Seq(90000L, 90000L + 45L * durMs, 90000L + 90L * durMs),
+              adts, h265))
+          }
+        }.toDF("id", "content")
+      val tsAgg = graft.operators.MpegTs.tsMetaScan(tss, "id",
+          "content")
+        .agg(count(lit(1)), sum(when(col("parsed"), 1L).otherwise(0L)),
+          sum(col("width")), sum(col("duration_ms")),
+          sum(when(col("audio_codec") === "adts_aac", 1L)
+            .otherwise(0L)))
+        .collect()(0)
+      val tTs = (System.nanoTime() - t114) / 1e9
+      val expW = (0L until nTs).map(id => 320L + 2 * ((id % 64) % 16)).sum
+      val expDur = (0L until nTs).map(id => 1000L + 10L * (id % 64)).sum
+      val expAud = (0L until nTs).count(_ % 3 != 2).toLong
+      require(tsAgg.getLong(0) == nTs && tsAgg.getLong(1) == nTs &&
+        tsAgg.getLong(2) == expW && tsAgg.getLong(3) == expDur &&
+        tsAgg.getLong(4) == expAud, s"mpegts: $tsAgg")
+      println(f"mpegtsMeta: $nTs%d TS segments (PAT/PMT CRC-checked, " +
+        f"SPS-decoded dims, PTS spans) exact in $tTs%.1f s " +
+        f"(${nTs / tTs}%.0f files/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+
+      val nAd = 256000L
+      val rates = Array(48000L, 44100L, 32000L, 24000L)
+      val t115 = System.nanoTime()
+      val aacs = spark.range(0L, nAd).repartition(64)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (id % 64).toInt
+            (id, graft.operators.MpegTs.buildAdts(b % 2, 3 + b % 4,
+              1 + b % 3, 3 + b % 5, 11 + b % 7, id % 3 == 0, b % 2))
+          }
+        }.toDF("id", "content")
+      val adAgg = graft.operators.MpegTs.adtsMetaScan(aacs, "id",
+          "content")
+        .agg(count(lit(1)), sum(when(col("parsed"), 1L).otherwise(0L)),
+          sum(col("samples")), sum(col("duration_ms")))
+        .collect()(0)
+      val tAd = (System.nanoTime() - t115) / 1e9
+      val expSamples = (0L until nAd).map { id =>
+        val b = (id % 64).toInt
+        (3L + b % 5) * (1L + b % 2) * 1024L
+      }.sum
+      val expMs = (0L until nAd).map { id =>
+        val b = (id % 64).toInt
+        (3L + b % 5) * (1L + b % 2) * 1024L * 1000L / rates(b % 4)
+      }.sum
+      require(adAgg.getLong(0) == nAd && adAgg.getLong(1) == nAd &&
+        adAgg.getLong(2) == expSamples && adAgg.getLong(3) == expMs,
+        s"adts: $adAgg (exp $expSamples / $expMs)")
+      println(f"adtsChains: $nAd%d ADTS streams -> sample/duration " +
+        f"sums exact in $tAd%.1f s (${nAd / tAd}%.0f files/s), " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+    }
+
     // --- STREAMING multi-GiB tar shards: the path-level source walks
     // shards far beyond any column-operator cap with ONE member
     // resident — counts, byte sums, and planted bytes exact.
