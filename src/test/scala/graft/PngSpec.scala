@@ -311,7 +311,7 @@ class PngSpec extends AnyFunSuite with BeforeAndAfterAll {
     val interleaved = assemble(
       chunk("IHDR", ihdr(8, 8, 8, 0, 0)),
       chunk("IDAT", z.take(4)),
-      chunk("tEXt", "k v".getBytes("ISO-8859-1")),
+      chunk("tEXt", "k\u0000v".getBytes("ISO-8859-1")),
       chunk("IDAT", z.drop(4)),
       chunk("IEND", Array.emptyByteArray))
     assert(Png.parsePng(interleaved).isEmpty)
