@@ -307,6 +307,9 @@ object MpegTs {
             if (prog != 0) { programSet += prog; pmtPid = p13 }
             q += 4
           }
+          // stray bytes between the last entry and the CRC are a
+          // lying section_length, not padding
+          if (q != secEnd - 4) return None
           if (pmtPid < 0) return None // a PAT with no program
         } else if (pid == pmtPid && pusi) { // PMT
           val (s, secEnd) = section(b, pOff, pEnd, 0x02)
@@ -314,6 +317,7 @@ object MpegTs {
           val progInfoLen = ((b(s + 10) & 0x0F) << 8) |
             (b(s + 11) & 0xFF)
           var q = s + 12 + progInfoLen
+          if (q > secEnd - 4) return None // program info overruns
           while (q + 5 <= secEnd - 4) {
             val st = b(q) & 0xFF
             val epid = ((b(q + 1) & 0x1F) << 8) | (b(q + 2) & 0xFF)
@@ -325,6 +329,9 @@ object MpegTs {
             }
             q += 5 + esLen
           }
+          // a stream's ES_info_length overrunning the CRC, or stray
+          // bytes before it, are a malformed table — refuse
+          if (q != secEnd - 4) return None
         } else if (pid == videoPid || pid == audioPid) {
           var es = pOff
           if (pusi) {

@@ -137,6 +137,25 @@ class MpegTsSpec extends AnyFunSuite with BeforeAndAfterAll {
       df(1L -> shorted, 2L -> desync, 3L -> badCrc, 4L -> scrambled,
         5L -> noSps), "id", "content").collect()
     assert(rows.forall(!_.getAs[Boolean]("parsed")))
+
+    // a PMT whose last stream's ES_info_length overruns the CRC is a
+    // lying table even when the CRC is RE-SIGNED over the lie — the
+    // structural landing check must refuse on its own
+    val lying = ts.clone()
+    val secEnd = 188 * 2 // stuffing precedes payload: section ends here
+    lying(secEnd - 6) = 0; lying(secEnd - 5) = 2 // esLen 0 -> 2
+    val s = (188 until secEnd - 4).find { i =>
+      (lying(i) & 0xFF) == 0x02 &&
+        i + 3 + (((lying(i + 1) & 0x0F) << 8) | (lying(i + 2) & 0xFF)) == secEnd
+    }.get
+    val crc2 = MpegTs.crc32Mpeg(lying, s, secEnd - 4 - s)
+    lying(secEnd - 4) = ((crc2 >>> 24) & 0xFF).toByte
+    lying(secEnd - 3) = ((crc2 >>> 16) & 0xFF).toByte
+    lying(secEnd - 2) = ((crc2 >>> 8) & 0xFF).toByte
+    lying(secEnd - 1) = (crc2 & 0xFF).toByte
+    val lrow = MpegTs.tsMetaScan(df(1L -> lying), "id", "content")
+      .collect()(0)
+    assert(!lrow.getAs[Boolean]("parsed"))
   }
 
   test("unified Media dispatch: .ts and .aac payloads route to the " +
