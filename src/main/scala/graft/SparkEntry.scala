@@ -1956,6 +1956,26 @@ object SparkEntry {
       out.toString
     })
 
+  private val tsShardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The [[syntheticMpegTsClassed]] payloads written as ON-DISK
+    * `.ts` segments — the HLS drop-directory shape the path-level
+    * [[graft.sources.MpegTsShardSource]] streams packet-by-packet.
+    */
+  private def tsSegmentDir(s: SparkSession, dir: String): String =
+    tsShardCache.computeIfAbsent(dir, { _ =>
+      val rows = syntheticMpegTsClassed(t(s, dir, "documents"))
+        .collect()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ts-segments")
+      rows.foreach { r =>
+        java.nio.file.Files.write(out.resolve(s"seg_${r.getLong(0)}.ts"),
+          r.getAs[Array[Byte]](1))
+      }
+      out.toString
+    })
+
   private val ingestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4572,6 +4592,23 @@ object SparkEntry {
           col("audio_channels").cast("long").as("audio_channels"),
           col("audio_rate").cast("long").as("audio_rate"),
           col("parsed"))),
+
+    // the path-level MPEG-TS source: the SAME synthetic segments as
+    // q_video_mpegts written as on-disk .ts files and consumed packet
+    // by packet off the Hadoop stream through the SAME per-packet
+    // state machine (a TS is a chained grammar — unlike ZIP, the
+    // forward walk IS its honest streamed form), so the row set is
+    // byte-identical to the column operator's shared closed forms
+    "q_mpegts_stream" -> ((s, dir) =>
+      graft.sources.MpegTsShardSource
+        .metaScanDF(s, tsSegmentDir(s, dir) + "/seg_*.ts")
+        .select(
+          regexp_extract(col("shard_path"), "/seg_(\\d+)\\.", 1)
+            .cast("long").as("id"),
+          col("programs"), col("video_codec"), col("width"),
+          col("height"), col("sps_profile"), col("sps_level"),
+          col("audio_codec"), col("audio_rate"), col("audio_channels"),
+          col("duration_ms"), col("parsed"))),
 
     // the WebDataset census over the SAME on-disk shards, assembled
     // at path level (stem split per member, per-shard local fold)
@@ -7338,6 +7375,38 @@ object SparkEntry {
     // MPEG-TS: dims/profile/level replay the SPS closed forms; the
     // PTS span replays the duration; audio arms rotate by id % 3
     "q_video_mpegts" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base
+        |  FROM documents),
+        |m AS (SELECT id, base, id % 4 = 3 AS h265,
+        |    320 + 2 * (base % 16) AS w, 180 + 2 * (base % 12) AS h,
+        |    1000 + 10 * base AS dur, id % 3 <> 2 AS hasaudio
+        |  FROM g)
+        |SELECT id, CAST(1 AS BIGINT) AS programs,
+        |  CASE WHEN h265 THEN 'h265' ELSE 'h264' END AS video_codec,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(CASE WHEN h265 THEN
+        |      CASE WHEN base % 2 = 0 THEN 1 ELSE 2 END
+        |    ELSE CASE WHEN base % 2 = 0 THEN 66 ELSE 100 END
+        |    END AS BIGINT) AS sps_profile,
+        |  CAST(CASE WHEN h265 THEN 90 + 3 * (base % 4)
+        |    ELSE 30 + base % 4 END AS BIGINT) AS sps_level,
+        |  CASE WHEN hasaudio THEN 'adts_aac' ELSE '' END
+        |    AS audio_codec,
+        |  CAST(CASE WHEN NOT hasaudio THEN 0
+        |    WHEN base % 3 = 0 THEN 48000
+        |    WHEN base % 3 = 1 THEN 44100
+        |    ELSE 32000 END AS BIGINT) AS audio_rate,
+        |  CAST(CASE WHEN hasaudio THEN 1 + base % 2 ELSE 0 END
+        |    AS BIGINT) AS audio_channels,
+        |  CAST(dur AS BIGINT) AS duration_ms,
+        |  TRUE AS parsed
+        |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // the path-level MPEG-TS source replays the SAME closed forms as
+    // q_video_mpegts — the stream/column byte-equality contract
+    "q_mpegts_stream" ->
       """WITH g AS (SELECT doc_id AS id,
         |    CAST(doc_id % 64 AS BIGINT) AS base
         |  FROM documents),

@@ -237,33 +237,31 @@ object MpegTs {
       audioStreamType: Int, audioRate: Int, audioChannels: Int,
       durationMs: Long)
 
-  /** Single forward pass over the packet run. Unsupported-but-valid
-    * shapes refuse rather than guess: multi-packet PSI sections,
-    * scrambled PIDs, and streams whose declared H.264/H.265 video
-    * never yields a parseable SPS within `maxEsScanBytes` all return
-    * `None` — this scan's contract is "fields a decoder would obey",
-    * so absent evidence is a refusal, not a zero.
+  /** The ONE per-packet state machine behind both the column walk
+    * ([[parseTs]]) and the path-level stream walk ([[parseTsStream]])
+    * — the [[Tar.streamTarEntries]] sharing pattern, so the two
+    * paths cannot drift. `offer` consumes one 188-byte packet and
+    * returns false on any structural violation (the caller refuses);
+    * `finish` runs the end-of-walk SPS scan and the contract checks.
+    * State is O(1) plus the `maxEsScanBytes`-capped ES buffer,
+    * whatever the stream length — a TS is a CHAINED grammar, so
+    * unlike ZIP the forward walk loses nothing.
     */
-  private[graft] def parseTs(b: Array[Byte],
-      maxEsScanBytes: Int = 1 << 18): Option[TsInfo] = {
-    if (b == null || b.length < TsPacket) return None
-    if (b.length % TsPacket != 0) return None // truncated packet run
-    val nPackets = b.length / TsPacket
-
-    var pmtPid = -1
+  private final class TsAcc(maxEsScanBytes: Int) {
+    private var pmtPid = -1
     // real segments REPEAT PAT/PMT every ~100 ms; repeats must be
     // idempotent, not double-counted
-    val programSet = scala.collection.mutable.HashSet.empty[Int]
-    var videoPid = -1; var videoType = -1
-    var audioPid = -1; var audioType = -1
-    var audioRate = 0; var audioChannels = 0
-    var audioDone = false
-    var minPts = Long.MaxValue; var maxPts = Long.MinValue
-    val vEs = new java.io.ByteArrayOutputStream()
+    private val programSet = scala.collection.mutable.HashSet.empty[Int]
+    private var videoPid = -1; private var videoType = -1
+    private var audioPid = -1; private var audioType = -1
+    private var audioRate = 0; private var audioChannels = 0
+    private var audioDone = false
+    private var minPts = Long.MaxValue; private var maxPts = Long.MinValue
+    private val vEs = new java.io.ByteArrayOutputStream()
 
     // one PSI section out of one packet's payload (pointer_field
-    // first on PUSI). Multi-packet sections refuse (None).
-    def section(p: Array[Byte], off: Int, end: Int,
+    // first on PUSI). Multi-packet sections refuse.
+    private def section(p: Array[Byte], off: Int, end: Int,
         tableId: Int): Option[(Int, Int)] = {
       if (off >= end) return None
       val ptr = p(off) & 0xFF
@@ -278,28 +276,27 @@ object MpegTs {
       Some((s, secEnd))
     }
 
-    var pk = 0
-    while (pk < nPackets) {
-      val o = pk * TsPacket
-      if ((b(o) & 0xFF) != 0x47) return None // lost sync
-      if ((b(o + 1) & 0x80) != 0) return None // transport error bit
+    /** One packet at `b(o until o+188)`; false = refuse the stream. */
+    def offer(b: Array[Byte], o: Int): Boolean = {
+      if ((b(o) & 0xFF) != 0x47) return false // lost sync
+      if ((b(o + 1) & 0x80) != 0) return false // transport error bit
       val pusi = (b(o + 1) & 0x40) != 0
       val pid = ((b(o + 1) & 0x1F) << 8) | (b(o + 2) & 0xFF)
-      if ((b(o + 3) & 0xC0) != 0) return None // scrambled: refuse
+      if ((b(o + 3) & 0xC0) != 0) return false // scrambled: refuse
       val afc = (b(o + 3) >> 4) & 0x3
-      if (afc == 0) return None // reserved adaptation_field_control
+      if (afc == 0) return false // reserved adaptation_field_control
       var pOff = o + 4
       if (afc >= 2) { // adaptation field present
         val afLen = b(pOff) & 0xFF
         val maxAf = if (afc == 3) 182 else 183
-        if (afLen > maxAf) return None // lying adaptation length
+        if (afLen > maxAf) return false // lying adaptation length
         pOff += 1 + afLen
       }
       val pEnd = o + TsPacket
       if (afc == 1 || afc == 3) { // payload present
         if (pid == 0x0000 && pusi) { // PAT
           val (s, secEnd) = section(b, pOff, pEnd, 0x00)
-            .getOrElse(return None)
+            .getOrElse(return false)
           var q = s + 8
           while (q + 4 <= secEnd - 4) { // entries before the CRC
             val prog = ((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)
@@ -309,15 +306,15 @@ object MpegTs {
           }
           // stray bytes between the last entry and the CRC are a
           // lying section_length, not padding
-          if (q != secEnd - 4) return None
-          if (pmtPid < 0) return None // a PAT with no program
+          if (q != secEnd - 4) return false
+          if (pmtPid < 0) return false // a PAT with no program
         } else if (pid == pmtPid && pusi) { // PMT
           val (s, secEnd) = section(b, pOff, pEnd, 0x02)
-            .getOrElse(return None)
+            .getOrElse(return false)
           val progInfoLen = ((b(s + 10) & 0x0F) << 8) |
             (b(s + 11) & 0xFF)
           var q = s + 12 + progInfoLen
-          if (q > secEnd - 4) return None // program info overruns
+          if (q > secEnd - 4) return false // program info overruns
           while (q + 5 <= secEnd - 4) {
             val st = b(q) & 0xFF
             val epid = ((b(q + 1) & 0x1F) << 8) | (b(q + 2) & 0xFF)
@@ -331,24 +328,24 @@ object MpegTs {
           }
           // a stream's ES_info_length overrunning the CRC, or stray
           // bytes before it, are a malformed table — refuse
-          if (q != secEnd - 4) return None
+          if (q != secEnd - 4) return false
         } else if (pid == videoPid || pid == audioPid) {
           var es = pOff
           if (pusi) {
             // PES header: 00 00 01 stream_id len(2) '10'xx flags hdrLen
-            if (pOff + 9 > pEnd) return None
+            if (pOff + 9 > pEnd) return false
             if (b(pOff) != 0 || b(pOff + 1) != 0 || b(pOff + 2) != 1)
-              return None
-            if ((b(pOff + 6) & 0xC0) != 0x80) return None
+              return false
+            if ((b(pOff + 6) & 0xC0) != 0x80) return false
             val flags = b(pOff + 7) & 0xFF
             val hdrLen = b(pOff + 8) & 0xFF
             es = pOff + 9 + hdrLen
-            if (es > pEnd) return None
+            if (es > pEnd) return false
             if ((flags & 0x80) != 0) { // PTS present
-              if (pOff + 14 > pEnd) return None
+              if (pOff + 14 > pEnd) return false
               val p0 = b(pOff + 9) & 0xFF
               if ((p0 & 0xF0) != 0x20 && (p0 & 0xF0) != 0x30)
-                return None // prefix nibble must be 0010/0011
+                return false // prefix nibble must be 0010/0011
               val pts = (((p0 >> 1) & 0x7).toLong << 30) |
                 ((b(pOff + 10) & 0xFF).toLong << 22) |
                 (((b(pOff + 11) & 0xFF) >> 1).toLong << 15) |
@@ -373,66 +370,119 @@ object MpegTs {
         }
         // other PIDs (null packets 0x1FFF, unreferenced): skipped
       }
-      pk += 1
+      true
     }
 
-    if (pmtPid < 0 || programSet.isEmpty) return None // no PAT seen
-    if (videoPid < 0 && audioPid < 0) return None // PMT had no stream
-
-    // ONE Annex-B pass over the capped video ES buffer for the first
-    // SPS — done after the packet walk so a NAL split across packets
-    // is whole before it is judged (at end-of-stream a tail NAL IS
-    // complete, so a truncated one refuses honestly). O(cap), not
-    // O(cap x packets).
-    var width = 0; var height = 0
-    var spsProfile = 0; var spsLevel = 0
-    var spsDone = false
-    if (videoType == 0x1B || videoType == 0x24) {
-      val es = vEs.toByteArray
-      var i = 0
-      while (!spsDone && i + 4 < es.length) {
-        if (es(i) == 0 && es(i + 1) == 0 && es(i + 2) == 1) {
-          val nalStart = i + 3
-          var j = nalStart
-          var nalEnd = es.length
-          var found = false
-          while (!found && j + 3 <= es.length) {
-            if (es(j) == 0 && es(j + 1) == 0 &&
-              (es(j + 2) == 1 || (j + 4 <= es.length &&
-                es(j + 2) == 0 && es(j + 3) == 1))) {
-              nalEnd = j; found = true
-            } else j += 1
-          }
-          val nal = java.util.Arrays.copyOfRange(es, nalStart, nalEnd)
-          val isSps =
-            if (videoType == 0x1B)
-              nal.length > 0 && (nal(0) & 0x1F) == 7
-            else nal.length > 0 && ((nal(0) >> 1) & 0x3F) == 33
-          if (isSps) {
-            if (videoType == 0x1B) Mp4.parseSps(nal) match {
-              case Right((p, l, w, h)) =>
-                spsProfile = p; spsLevel = l; width = w; height = h
-                spsDone = true
-              case Left(_) => return None // a lying SPS refuses
-            } else Mp4.parseHevcSps(nal) match {
-              case Right((p, _, l, w, h)) =>
-                spsProfile = p; spsLevel = l; width = w; height = h
-                spsDone = true
-              case Left(_) => return None
+    /** Close the walk: table presence, the one Annex-B SPS pass over
+      * the capped ES buffer (done after the walk so a NAL split
+      * across packets is whole before it is judged; at end-of-stream
+      * a tail NAL IS complete, so a truncated one refuses honestly —
+      * O(cap), not O(cap x packets)), and the SPS-evidence contract.
+      */
+    def finish(nPackets: Long): Option[TsInfo] = {
+      if (pmtPid < 0 || programSet.isEmpty) return None // no PAT seen
+      if (videoPid < 0 && audioPid < 0) return None // PMT had no stream
+      var width = 0; var height = 0
+      var spsProfile = 0; var spsLevel = 0
+      var spsDone = false
+      if (videoType == 0x1B || videoType == 0x24) {
+        val es = vEs.toByteArray
+        var i = 0
+        while (!spsDone && i + 4 < es.length) {
+          if (es(i) == 0 && es(i + 1) == 0 && es(i + 2) == 1) {
+            val nalStart = i + 3
+            var j = nalStart
+            var nalEnd = es.length
+            var found = false
+            while (!found && j + 3 <= es.length) {
+              if (es(j) == 0 && es(j + 1) == 0 &&
+                (es(j + 2) == 1 || (j + 4 <= es.length &&
+                  es(j + 2) == 0 && es(j + 3) == 1))) {
+                nalEnd = j; found = true
+              } else j += 1
             }
-          }
-          i = math.max(nalEnd, i + 1)
-        } else i += 1
+            val nal = java.util.Arrays.copyOfRange(es, nalStart, nalEnd)
+            val isSps =
+              if (videoType == 0x1B)
+                nal.length > 0 && (nal(0) & 0x1F) == 7
+              else nal.length > 0 && ((nal(0) >> 1) & 0x3F) == 33
+            if (isSps) {
+              if (videoType == 0x1B) Mp4.parseSps(nal) match {
+                case Right((p, l, w, h)) =>
+                  spsProfile = p; spsLevel = l; width = w; height = h
+                  spsDone = true
+                case Left(_) => return None // a lying SPS refuses
+              } else Mp4.parseHevcSps(nal) match {
+                case Right((p, _, l, w, h)) =>
+                  spsProfile = p; spsLevel = l; width = w; height = h
+                  spsDone = true
+                case Left(_) => return None
+              }
+            }
+            i = math.max(nalEnd, i + 1)
+          } else i += 1
+        }
+        // declared H.264/H.265 video MUST yield a decoded SPS — dims
+        // are this scan's contract; a guess would poison every filter
+        if (!spsDone) return None
       }
-      // declared H.264/H.265 video MUST yield a decoded SPS — dims
-      // are this scan's contract; a guess would poison every filter
-      if (!spsDone) return None
+      val dur =
+        if (minPts == Long.MaxValue) 0L else (maxPts - minPts) / 90L
+      Some(TsInfo(nPackets, programSet.size, videoPid, videoType,
+        width, height, spsProfile, spsLevel, audioPid, audioType,
+        audioRate, audioChannels, dur))
     }
-    val dur =
-      if (minPts == Long.MaxValue) 0L else (maxPts - minPts) / 90L
-    Some(TsInfo(nPackets.toLong, programSet.size, videoPid, videoType, width,
-      height, spsProfile, spsLevel, audioPid, audioType, audioRate,
-      audioChannels, dur))
+  }
+
+  /** Single forward pass over a column-held packet run. Unsupported-
+    * but-valid shapes refuse rather than guess: multi-packet PSI
+    * sections, scrambled PIDs, and streams whose declared
+    * H.264/H.265 video never yields a parseable SPS within
+    * `maxEsScanBytes` all return `None` — this scan's contract is
+    * "fields a decoder would obey", so absent evidence is a refusal,
+    * not a zero.
+    */
+  private[graft] def parseTs(b: Array[Byte],
+      maxEsScanBytes: Int = 1 << 18): Option[TsInfo] = {
+    if (b == null || b.length < TsPacket) return None
+    if (b.length % TsPacket != 0) return None // truncated packet run
+    val acc = new TsAcc(maxEsScanBytes)
+    var o = 0
+    while (o < b.length) {
+      if (!acc.offer(b, o)) return None
+      o += TsPacket
+    }
+    acc.finish((b.length / TsPacket).toLong)
+  }
+
+  /** The path-level stream form: packets consumed one at a time off
+    * an `InputStream` through the SAME [[TsAcc]] state machine as
+    * [[parseTs]] — residency is one packet plus the capped ES
+    * buffer, whatever the capture length. A partial tail packet
+    * refuses exactly like a non-multiple-of-188 column value.
+    */
+  private[graft] def parseTsStream(in: java.io.InputStream,
+      maxEsScanBytes: Int = 1 << 18): Option[TsInfo] = {
+    val acc = new TsAcc(maxEsScanBytes)
+    val pkt = new Array[Byte](TsPacket)
+    var n = 0L
+    var eof = false
+    while (!eof) {
+      var got = 0
+      var r = 0
+      while (got < TsPacket && r >= 0) {
+        r = in.read(pkt, got, TsPacket - got)
+        if (r > 0) got += r
+      }
+      if (got == 0) eof = true
+      else if (got < TsPacket) return None // truncated tail packet
+      else {
+        if (!acc.offer(pkt, 0)) return None
+        n += 1
+      }
+    }
+    if (n == 0) return None // empty stream is no transport stream
+    acc.finish(n)
   }
 
   /** Output row of [[tsMetaScan]]. */

@@ -158,6 +158,50 @@ class MpegTsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!lrow.getAs[Boolean]("parsed"))
   }
 
+  test("path-level stream source: on-disk .ts captures yield EXACTLY " +
+      "the column operator's rows through the SAME per-packet state " +
+      "machine; a truncated tail packet and garbage refuse as " +
+      "parsed = false rows") {
+    import org.apache.spark.sql.functions._
+    val payloads = (0L until 6L).map { id =>
+      val b = (id % 4).toInt
+      id -> MpegTs.buildTs(320 + 2 * b, 180 + 2 * b,
+        if (id % 2 == 0) 66 else 100, 30 + b,
+        videoPts = Seq(0L, 45000L + 900L * id, 90000L + 1800L * id),
+        adts = if (id % 3 == 2) None
+          else Some(MpegTs.buildAdts(1, 3 + b % 3, 1 + b % 2, 2)),
+        h265 = id % 4 == 3)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ts-src-spec")
+    payloads.foreach { case (id, bytes) =>
+      java.nio.file.Files.write(dir.resolve(s"seg_$id.ts"), bytes)
+    }
+    // a mid-packet truncation and a non-TS file: parsed = false rows
+    java.nio.file.Files.write(dir.resolve("seg_97.ts"),
+      payloads.head._2.dropRight(17))
+    java.nio.file.Files.write(dir.resolve("seg_98.ts"),
+      "not a transport stream".getBytes("UTF-8"))
+
+    val cols = Seq("id", "packets", "programs", "video_codec", "width",
+      "height", "sps_profile", "sps_level", "audio_codec",
+      "audio_rate", "audio_channels", "duration_ms", "parsed")
+    val streamed = graft.sources.MpegTsShardSource.metaScanDF(spark,
+        dir.toString + "/seg_*.ts")
+      .withColumn("id",
+        regexp_extract(col("shard_path"), "/seg_(\\d+)\\.", 1)
+          .cast("long"))
+      .select(cols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val all = payloads ++ Seq(97L -> payloads.head._2.dropRight(17),
+      98L -> "not a transport stream".getBytes("UTF-8"))
+    val column = MpegTs.tsMetaScan(df(all: _*), "id", "content")
+      .select(cols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === column)
+    assert(streamed.count(_.contains("true")) === 6)
+  }
+
   test("unified Media dispatch: .ts and .aac payloads route to the " +
       "new walks; an MP3 still routes to the MP3 walk (the ADTS " +
       "check is layer-exact, not sync-loose); prefix path refuses " +
