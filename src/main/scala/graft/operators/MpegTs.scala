@@ -525,7 +525,7 @@ object MpegTs {
 
   // ---- TS encoder (round-trip twin; the fixture/smoke builder) ------
 
-  private final class TsWriter(out: java.io.ByteArrayOutputStream) {
+  private final class TsWriter(out: java.io.OutputStream) {
     private val cc = scala.collection.mutable.Map[Int, Int]()
     /** One packet: header + (stuffing adaptation field) + payload. */
     def packet(pid: Int, pusi: Boolean, payload: Array[Byte],
@@ -612,9 +612,25 @@ object MpegTs {
       levelIdc: Int, videoPts: Seq[Long],
       adts: Option[Array[Byte]] = None, h265: Boolean = false,
       tsId: Int = 1): Array[Byte] = {
-    require(videoPts.nonEmpty, "at least one video PES")
-    val vPid = 0x100; val aPid = 0x101; val pmtPid = 0x1000
     val out = new java.io.ByteArrayOutputStream()
+    writeTs(out, spsWidth, spsHeight, profileIdc, levelIdc,
+      videoPts.iterator, adts, h265, tsId)
+    out.toByteArray
+  }
+
+  /** [[buildTs]] streamed to an `OutputStream`, PES by PES — the
+    * multi-GiB smoke form: the writer holds one PES packet, never
+    * the capture, so a synthetic multi-hour recording streams to
+    * disk the way the path-level source later reads it back.
+    * `videoPts` is an iterator so a billion-tick PTS run never
+    * materializes either. Byte-identical to [[buildTs]] on the same
+    * arguments (it IS buildTs's body).
+    */
+  def writeTs(out: java.io.OutputStream, spsWidth: Int, spsHeight: Int,
+      profileIdc: Int, levelIdc: Int, videoPts: Iterator[Long],
+      adts: Option[Array[Byte]] = None, h265: Boolean = false,
+      tsId: Int = 1): Unit = {
+    val vPid = 0x100; val aPid = 0x101; val pmtPid = 0x1000
     val w = new TsWriter(out)
     // PAT: program 1 -> pmtPid
     w.pes(0x0000, psiSection(0x00, tsId, Array[Byte](
@@ -637,7 +653,11 @@ object MpegTs {
       if (h265) Mp4.buildHevcSps(spsWidth, spsHeight, profileIdc,
         tier = 0, levelIdc = levelIdc)
       else Mp4.buildSps(spsWidth, spsHeight, profileIdc, levelIdc)
-    videoPts.zipWithIndex.foreach { case (pts, k) =>
+    var k = 0
+    var firstPts = 0L
+    while (videoPts.hasNext) {
+      val pts = videoPts.next()
+      if (k == 0) firstPts = pts
       val es = new java.io.ByteArrayOutputStream()
       if (k == 0) {
         es.write(0); es.write(0); es.write(0); es.write(1)
@@ -648,8 +668,9 @@ object MpegTs {
       var i = 0
       while (i < 16) { es.write((k * 29 + i * 11 + 1) & 0xFF); i += 1 }
       w.pes(vPid, pesPacket(0xE0, pts, es.toByteArray))
+      k += 1
     }
-    adts.foreach { a => w.pes(aPid, pesPacket(0xC0, videoPts.head, a)) }
-    out.toByteArray
+    require(k > 0, "at least one video PES")
+    adts.foreach { a => w.pes(aPid, pesPacket(0xC0, firstPts, a)) }
   }
 }

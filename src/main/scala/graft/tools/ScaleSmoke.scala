@@ -3153,6 +3153,11 @@ object ScaleSmoke {
     // CD-authoritative seek walk reads every member CRC-exact.
     ZipStreamSmoke.run(spark, nMembers = 66, memberBytes = 1 << 26)
 
+    // --- multi-GiB TS captures: ~24 h of PTS per capture streamed
+    // to disk PES-by-PES and walked back packet-by-packet — the
+    // multi-hour-recording shape no column operator can hold.
+    TsStreamSmoke.run(spark, nCaptures = 4, nPes = 2000000)
+
     spark.stop()
   }
 }
