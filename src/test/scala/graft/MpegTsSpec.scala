@@ -200,6 +200,31 @@ class MpegTsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed === column)
     assert(streamed.count(_.contains("true")) === 6)
+
+    // an empty file is no transport stream (the n == 0 stream path)
+    java.nio.file.Files.write(dir.resolve("seg_99.ts"),
+      Array.emptyByteArray)
+    val empty = graft.sources.MpegTsShardSource.metaScanDF(spark,
+      dir.toString + "/seg_99.ts").collect()
+    assert(empty.length === 1 && !empty(0).getAs[Boolean]("parsed"))
+
+    // a dribbling stream (1 byte per read) must assemble packets
+    // correctly through the inner refill loop — same result as the
+    // column walk on the same bytes
+    val bytes = payloads.head._2
+    val dribble = new java.io.InputStream {
+      private var i = 0
+      override def read(): Int =
+        if (i >= bytes.length) -1
+        else { val v = bytes(i) & 0xFF; i += 1; v }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (i >= bytes.length) return -1
+        b(off) = bytes(i); i += 1; 1 // one byte at a time
+      }
+    }
+    val viaStream = MpegTs.parseTsStream(dribble)
+    val viaColumn = MpegTs.parseTs(bytes)
+    assert(viaStream === viaColumn && viaStream.isDefined)
   }
 
   test("unified Media dispatch: .ts and .aac payloads route to the " +
