@@ -1976,6 +1976,32 @@ object SparkEntry {
       out.toString
     })
 
+  private val mp4ShardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The [[syntheticMp4Classed]] payloads written as ON-DISK `.mp4`
+    * files — the drop-directory shape the path-level
+    * [[graft.sources.Mp4ShardSource]] walks by SEEKING. Even ids keep
+    * the builder's faststart layout (moov before mdat); odd ids are
+    * rewritten to the trailing-moov archival layout
+    * ([[Mp4.toTrailingMoov]]), so the oracle row proves the seek walk
+    * finds the metadata on BOTH sides of the media data.
+    */
+  private def mp4ShardDir(s: SparkSession, dir: String): String =
+    mp4ShardCache.computeIfAbsent(dir, { _ =>
+      val rows = syntheticMp4Classed(t(s, dir, "documents"))
+        .collect()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-mp4-shards")
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val laid = if (id % 2 == 0) bytes else Mp4.toTrailingMoov(bytes)
+        java.nio.file.Files.write(out.resolve(s"v_$id.mp4"), laid)
+      }
+      out.toString
+    })
+
   private val ingestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4609,6 +4635,30 @@ object SparkEntry {
           col("height"), col("sps_profile"), col("sps_level"),
           col("audio_codec"), col("audio_rate"), col("audio_channels"),
           col("duration_ms"), col("parsed"))),
+
+    // the path-level MP4 source: the SAME synthetic corpus as
+    // q_video_mp4 written as on-disk .mp4 files (odd ids rewritten
+    // to the trailing-moov archival layout) and walked by SEEKING —
+    // ISO-BMFF is an indexed grammar, so its honest streamed form
+    // hops box headers and reads only the moov, never the mdat,
+    // through the SAME moov state machine as the column operator
+    "q_mp4_stream" -> ((s, dir) =>
+      graft.sources.Mp4ShardSource
+        .metaScanDF(s, mp4ShardDir(s, dir) + "/v_*.mp4")
+        .select(
+          regexp_extract(col("shard_path"), "/v_(\\d+)\\.", 1)
+            .cast("long").as("id"),
+          col("major_brand"), col("timescale"), col("duration"),
+          col("duration_ms"),
+          col("tracks").cast("long").as("tracks"),
+          col("video_codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("video_frames"),
+          col("audio_codec"),
+          col("audio_channels").cast("long").as("audio_channels"),
+          col("audio_rate").cast("long").as("audio_rate"),
+          col("parsed"))),
 
     // the WebDataset census over the SAME on-disk shards, assembled
     // at path level (stem split per member, per-shard local fold)
@@ -7434,6 +7484,34 @@ object SparkEntry {
         |  CAST(dur AS BIGINT) AS duration_ms,
         |  TRUE AS parsed
         |FROM m
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // the path-level MP4 source replays the SAME closed forms as
+    // q_video_mp4 — the seek/column byte-equality contract (odd ids
+    // on disk carry the trailing-moov layout; the fields are
+    // layout-invariant, which is exactly the point)
+    "q_mp4_stream" ->
+      """SELECT doc_id AS id, 'isom' AS major_brand,
+        |  CAST(600 + doc_id % 64 AS BIGINT) AS timescale,
+        |  CAST(1000 + (doc_id % 64) * 77 AS BIGINT) AS duration,
+        |  CAST((1000 + (doc_id % 64) * 77) * 1000
+        |    // (600 + doc_id % 64) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 64 % 3 = 0 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS tracks,
+        |  CASE WHEN doc_id % 64 % 2 = 0 THEN 'avc1' ELSE 'hvc1' END
+        |    AS video_codec,
+        |  CAST(16 * (1 + doc_id % 64 % 4) AS BIGINT) AS width,
+        |  CAST(16 * (1 + doc_id % 64 % 3) AS BIGINT) AS height,
+        |  CAST(24 + doc_id % 64 % 8 AS BIGINT) AS video_frames,
+        |  CASE WHEN doc_id % 64 % 3 = 0 THEN 'mp4a' ELSE '' END
+        |    AS audio_codec,
+        |  CAST(CASE WHEN doc_id % 64 % 3 = 0 THEN 1 + doc_id % 64 % 2
+        |    ELSE 0 END AS BIGINT) AS audio_channels,
+        |  CAST(CASE WHEN doc_id % 64 % 3 = 0 THEN
+        |    8000 + 100 * (doc_id % 64) ELSE 0 END AS BIGINT)
+        |    AS audio_rate,
+        |  TRUE AS parsed
+        |FROM documents
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Vorbis comments: carrier rotates by id % 3; keys/values replay

@@ -189,6 +189,38 @@ object Mp4 {
     }
   }
 
+  /** The mutable moov-walk state — ONE accumulator class behind both
+    * the column walk ([[parseMp4]]) and the path-level seek walk
+    * ([[graft.sources.Mp4ShardSource]]), the [[graft.operators.MpegTs]]
+    * `TsAcc` sharing pattern: the subtree grammar, first-track-wins
+    * rules, and sanity gates live in exactly one place so the two
+    * paths cannot drift. Multiple `moov` boxes (degenerate but legal
+    * to the walk) accumulate across calls exactly like the original
+    * single-buffer closure did.
+    */
+  private[graft] final class MoovAcc {
+    var timescale = 0L
+    var duration = -1L
+    var tracks = 0
+    var videoCodec = ""
+    var width = 0
+    var height = 0
+    var videoFrames = 0L
+    var audioCodec = ""
+    var audioChannels = 0
+    var audioRate = 0
+
+    /** The end-of-walk contract gates (present-and-sane timescale /
+      * duration / dimensions) — shared verbatim by both paths.
+      */
+    def result(majorBrand: String): Option[ParsedMp4] =
+      if (timescale <= 0L || !durSane(duration) ||
+        !dimsSane(width, height)) None
+      else Some(ParsedMp4(majorBrand, timescale, duration, tracks,
+        videoCodec, width, height, videoFrames, audioCodec,
+        audioChannels, audioRate))
+  }
+
   /** The ISO-BMFF walk. `trueLen < 0` means `bytes` IS the whole
     * payload; otherwise `bytes` is a prefix of a `trueLen`-byte
     * payload. Identification requires a leading `ftyp` (the standard
@@ -209,17 +241,42 @@ object Mp4 {
       return None
     val majorBrand = fourcc(bytes, ftypBody.toInt)
 
-    var timescale = 0L
-    var duration = -1L
-    var tracks = 0
-    var videoCodec = ""
-    var width = 0
-    var height = 0
-    var videoFrames = 0L
-    var audioCodec = ""
-    var audioChannels = 0
-    var audioRate = 0
+    val acc = new MoovAcc
     var sawMoov = false
+
+    // top-level walk: moov structure must be PRESENT; mdat/free/skip
+    // content is skipped by declared size (may lie beyond a prefix)
+    var pos = ftypEnd
+    while (pos + 8 <= total) {
+      boxAt(bytes, pos, total, avail) match {
+        case Some((typ, body, boxEnd)) =>
+          if (typ == "moov") {
+            if (boxEnd > avail) return None // header beyond prefix
+            if (!walkMoovBuf(acc, bytes, body, boxEnd, avail))
+              return None
+            sawMoov = true
+          }
+          pos = boxEnd
+        case None =>
+          // a top-level header beyond the prefix: honest only if the
+          // moov was already seen (trailing mdat in a prefix parse)
+          return if (sawMoov && pos + 8 > avail && pos + 8 <= total)
+            acc.result(majorBrand)
+          else None
+      }
+    }
+    if (!sawMoov) None else acc.result(majorBrand)
+  }
+
+  /** The moov-subtree walk over an in-memory range — the shared state
+    * machine behind [[parseMp4]] (column / prefix path, real buffer
+    * offsets) and [[graft.sources.Mp4ShardSource]] (seek path, the
+    * moov body read alone into a fresh buffer). Returns false on
+    * malformed / beyond-`avail` structure; metadata accumulates into
+    * `acc` under the first-`vide`/first-`soun`-track-wins rules.
+    */
+  private[graft] def walkMoovBuf(acc: MoovAcc, bytes: Array[Byte],
+      moovBody: Long, moovEnd: Long, avail: Long): Boolean = {
 
     /** Child walk of a container box — returns false on malformed /
       * beyond-prefix structure (the whole parse then fails).
@@ -246,8 +303,12 @@ object Mp4 {
       walkChildren(start, end, (typ, body, boxEnd) => typ match {
         case "stsd" =>
           // FullBox(4) + entry_count(4), then the first sample entry:
-          // size(4) format(4) reserved(6) data_ref_index(2)
-          if (body + 8 > avail) false
+          // size(4) format(4) reserved(6) data_ref_index(2).
+          // The entry_count read is bounded by the BOX too — without
+          // the boxEnd bound a degenerate 8-byte stsd would read the
+          // next box's bytes in the column path but refuse in the
+          // seek path's moov-only buffer, breaking path equality
+          if (body + 8 > avail || body + 8 > boxEnd) false
           else if (be32(bytes, body.toInt + 4) < 1) true
           else {
             val e = body + 8
@@ -259,10 +320,10 @@ object Mp4 {
                 // pre_defined(12) → width u16 @+32, height u16 @+34
                 if (e + 36 > avail || e + 36 > boxEnd) false
                 else {
-                  if (videoCodec.isEmpty) {
-                    videoCodec = fmt
-                    width = be16(bytes, e.toInt + 32)
-                    height = be16(bytes, e.toInt + 34)
+                  if (acc.videoCodec.isEmpty) {
+                    acc.videoCodec = fmt
+                    acc.width = be16(bytes, e.toInt + 32)
+                    acc.height = be16(bytes, e.toInt + 34)
                   }
                   true
                 }
@@ -272,10 +333,11 @@ object Mp4 {
                 // reserved(2), samplerate u32 16.16 @+32
                 if (e + 36 > avail || e + 36 > boxEnd) false
                 else {
-                  if (audioCodec.isEmpty) {
-                    audioCodec = fmt
-                    audioChannels = be16(bytes, e.toInt + 24)
-                    audioRate = (be32(bytes, e.toInt + 32) >> 16).toInt
+                  if (acc.audioCodec.isEmpty) {
+                    acc.audioCodec = fmt
+                    acc.audioChannels = be16(bytes, e.toInt + 24)
+                    acc.audioRate =
+                      (be32(bytes, e.toInt + 32) >> 16).toInt
                   }
                   true
                 }
@@ -286,8 +348,8 @@ object Mp4 {
           // FullBox(4) + sample_size(4) + sample_count(4)
           if (body + 12 > avail || body + 12 > boxEnd) false
           else {
-            if (handler == "vide" && videoFrames == 0L)
-              videoFrames = be32(bytes, body.toInt + 8)
+            if (handler == "vide" && acc.videoFrames == 0L)
+              acc.videoFrames = be32(bytes, body.toInt + 8)
             true
           }
         case _ => true // stts/stsc/stco/co64/… — layout, not metadata
@@ -324,65 +386,114 @@ object Mp4 {
         })
     }
 
-    def walkMoov(start: Long, end: Long): Boolean =
-      walkChildren(start, end, (typ, body, boxEnd) => typ match {
-        case "mvhd" =>
-          if (body + 4 > avail) false
-          else if ((bytes(body.toInt) & 0xFF) == 1) {
-            // 64-bit creation/modification, u32 timescale, u64 duration
-            if (body + 32 > avail || body + 32 > boxEnd) false
-            else {
-              timescale = be32(bytes, body.toInt + 20)
-              duration = be64(bytes, body.toInt + 24)
-              true
-            }
-          } else {
-            if (body + 24 > avail || body + 24 > boxEnd) false
-            else {
-              timescale = be32(bytes, body.toInt + 12)
-              duration = be32(bytes, body.toInt + 16)
-              true
-            }
+    walkChildren(moovBody, moovEnd, (typ, body, boxEnd) => typ match {
+      case "mvhd" =>
+        if (body + 4 > avail) false
+        else if ((bytes(body.toInt) & 0xFF) == 1) {
+          // 64-bit creation/modification, u32 timescale, u64 duration
+          if (body + 32 > avail || body + 32 > boxEnd) false
+          else {
+            acc.timescale = be32(bytes, body.toInt + 20)
+            acc.duration = be64(bytes, body.toInt + 24)
+            true
           }
-        case "trak" =>
-          tracks += 1
-          walkTrak(body, boxEnd)
-        case _ => true
-      })
-
-    // top-level walk: moov structure must be PRESENT; mdat/free/skip
-    // content is skipped by declared size (may lie beyond a prefix)
-    var pos = ftypEnd
-    while (pos + 8 <= total) {
-      boxAt(bytes, pos, total, avail) match {
-        case Some((typ, body, boxEnd)) =>
-          if (typ == "moov") {
-            if (boxEnd > avail) return None // header beyond prefix
-            if (!walkMoov(body, boxEnd)) return None
-            sawMoov = true
+        } else {
+          if (body + 24 > avail || body + 24 > boxEnd) false
+          else {
+            acc.timescale = be32(bytes, body.toInt + 12)
+            acc.duration = be32(bytes, body.toInt + 16)
+            true
           }
-          pos = boxEnd
-        case None =>
-          // a top-level header beyond the prefix: honest only if the
-          // moov was already seen (trailing mdat in a prefix parse)
-          return if (sawMoov && pos + 8 > avail && pos + 8 <= total &&
-            timescale > 0L && durSane(duration) &&
-            dimsSane(width, height))
-            Some(ParsedMp4(majorBrand, timescale, duration, tracks,
-              videoCodec, width, height, videoFrames, audioCodec,
-              audioChannels, audioRate))
-          else None
-      }
-    }
-    if (!sawMoov || timescale <= 0L || !durSane(duration) ||
-      !dimsSane(width, height)) None
-    else Some(ParsedMp4(majorBrand, timescale, duration, tracks,
-      videoCodec, width, height, videoFrames, audioCodec,
-      audioChannels, audioRate))
+        }
+      case "trak" =>
+        acc.tracks += 1
+        walkTrak(body, boxEnd)
+      case _ => true
+    })
   }
 
   private def dimsSane(w: Int, h: Int): Boolean =
     (w == 0 && h == 0) || (w > 0 && h > 0 && w <= 32768 && h <= 32768)
+
+  // ---- the path-level seek walk (Mp4ShardSource's engine) -----------
+
+  /** Random-access reader abstraction for [[parseMp4Seek]] — the
+    * [[Zip.ZipReader]] pattern. ISO-BMFF is an INDEXED grammar: the
+    * `moov` metadata tree commonly TRAILS a multi-GiB `mdat` (the
+    * non-faststart archival layout), so unlike MPEG-TS/tar the honest
+    * streamed form of an on-disk `.mp4` is neither a forward walk nor
+    * a prefix read — it is a SEEKING walk over top-level box headers
+    * that fetches only the `moov` subtree, wherever it sits.
+    */
+  private[graft] trait Mp4Reader {
+    def length: Long
+    def readFully(at: Long, buf: Array[Byte], off: Int, n: Int): Unit
+  }
+
+  /** [[parseMp4]]'s seek twin: the same top-level grammar (leading
+    * `ftyp`, declared-size box hopping, a trailing box may declare
+    * past EOF) reading 8/16-byte box headers at their file offsets,
+    * and the SAME [[walkMoovBuf]] state machine over the `moov` body
+    * read ALONE into memory — on a conforming file the result is
+    * byte-identical to the column walk over the whole payload, while
+    * residency is O(box headers + moov), never the `mdat`.
+    * `maxMoovBytes` bounds the one materialized structure (a real
+    * moov is KBs–MBs; past the cap the file refuses honestly rather
+    * than buffering unbounded — the [[Zip.walkZip]] `maxCdBytes`
+    * principle).
+    */
+  private[graft] def parseMp4Seek(r: Mp4Reader,
+      maxMoovBytes: Int = 1 << 28): Option[ParsedMp4] = {
+    val len = r.length
+    if (len < 16L) return None
+    val hdr = new Array[Byte](16)
+    // [[boxAt]] at file scale: whole file addressable (avail = len)
+    def boxAtSeek(pos: Long): Option[(String, Long, Long)] = {
+      if (pos + 8 > len) return None
+      r.readFully(pos, hdr, 0, 8)
+      val sz32 = be32(hdr, 0)
+      val typ = fourcc(hdr, 4)
+      if (sz32 == 1L) { // 64-bit largesize follows the type
+        if (pos + 16 > len) return None
+        r.readFully(pos + 8, hdr, 8, 8)
+        val sz = be64(hdr, 8)
+        if (sz < 16L) None else Some((typ, pos + 16, pos + sz))
+      } else if (sz32 == 0L) { // box extends to the end of the file
+        Some((typ, pos + 8, len))
+      } else {
+        if (sz32 < 8L) None else Some((typ, pos + 8, pos + sz32))
+      }
+    }
+    val (t0, ftypBody, ftypEnd) = boxAtSeek(0L).getOrElse(return None)
+    if (t0 != "ftyp" || ftypBody + 8 > len || ftypEnd > len)
+      return None
+    r.readFully(ftypBody, hdr, 0, 4)
+    val majorBrand = fourcc(hdr, 0)
+    val acc = new MoovAcc
+    var sawMoov = false
+    var pos = ftypEnd
+    while (pos + 8 <= len) {
+      boxAtSeek(pos) match {
+        case Some((typ, body, boxEnd)) =>
+          if (typ == "moov") {
+            if (boxEnd > len) return None // moov overruns the file
+            val moovSize = boxEnd - body
+            if (moovSize > maxMoovBytes) return None // bounded, honest
+            val buf = new Array[Byte](moovSize.toInt)
+            r.readFully(body, buf, 0, moovSize.toInt)
+            if (!walkMoovBuf(acc, buf, 0L, moovSize, moovSize))
+              return None
+            sawMoov = true
+          }
+          // any other box (mdat above all) is hopped by declared
+          // size — never read; a trailing box declaring past EOF
+          // exits the loop exactly like the column walk
+          pos = boxEnd
+        case None => return None
+      }
+    }
+    if (!sawMoov) None else acc.result(majorBrand)
+  }
 
   // ---- soundtrack extraction (the MP4 side of the audio bridge) ------
 
@@ -760,6 +871,32 @@ object Mp4 {
       (0 until mdatBytes).foreach(i => bos.write(i & 0xFF))
     }
     bos.toByteArray
+  }
+
+  /** Rewrite a complete faststart payload ([[buildMp4]]'s layout)
+    * into the trailing-`moov` archival layout: top-level boxes
+    * reordered so every `moov` follows everything else. Metadata-
+    * equivalent for this family's walks (the fixtures' `stco` tables
+    * are empty, so no chunk offset goes stale) — the fixture builder
+    * for the non-faststart arm of [[parseMp4Seek]]'s contract.
+    */
+  def toTrailingMoov(bytes: Array[Byte]): Array[Byte] = {
+    val total = bytes.length.toLong
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    val moovs = new java.io.ByteArrayOutputStream()
+    var pos = 0L
+    while (pos + 8 <= total) {
+      val (typ, _, boxEnd) = boxAt(bytes, pos, total, total)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed box at $pos"))
+      require(boxEnd <= total, s"box at $pos overruns the payload")
+      val dst = if (typ == "moov") moovs else out
+      dst.write(bytes, pos.toInt, (boxEnd - pos).toInt)
+      pos = boxEnd
+    }
+    require(pos == total, "trailing garbage after the last box")
+    moovs.writeTo(out)
+    out.toByteArray
   }
 
   /** Build an MP4 carrying a REAL uncompressed-PCM sound track — the

@@ -75,14 +75,29 @@ object MpegTs {
     * any invalid field — sync, layer != 0, reserved frequency index,
     * channel_configuration 0 (PCE-carried configs are refused, not
     * guessed), or a frame_length shorter than its own header.
+    *
+    * `end` is an explicit read bound: the standalone `.aac` walk
+    * passes the whole buffer's length, while the TS audio branch
+    * passes the 188-byte packet end — WITHOUT the bound, a PES
+    * header leaving fewer than 7 payload bytes in the packet would
+    * read the NEXT packet's sync/PID bytes as header fields in the
+    * column walk (whole-array) but refuse in the stream walk
+    * (one-packet buffer), breaking the byte-equality contract
+    * between [[parseTs]] and [[parseTsStream]]. A CRC-protected
+    * header needs its 2 CRC bytes inside the bound too.
     */
   private[graft] def parseAdtsHeader(b: Array[Byte], off: Int)
+      : Option[(Int, Int, Int, Boolean, Int, Int)] =
+    parseAdtsHeader(b, off, b.length)
+
+  private[graft] def parseAdtsHeader(b: Array[Byte], off: Int, end: Int)
       : Option[(Int, Int, Int, Boolean, Int, Int)] = {
-    if (off + 7 > b.length) return None
+    if (off + 7 > end) return None
     if ((b(off) & 0xFF) != 0xFF || (b(off + 1) & 0xF0) != 0xF0)
       return None
     if ((b(off + 1) & 0x06) != 0) return None // layer must be 00
     val crcPresent = (b(off + 1) & 0x01) == 0 // protection_absent = 0
+    if (crcPresent && off + 9 > end) return None // CRC outside bound
     val profile = (b(off + 2) >> 6) & 0x3
     val sfIdx = (b(off + 2) >> 2) & 0xF
     if (sfIdx >= AdtsRates.length) return None
@@ -257,6 +272,16 @@ object MpegTs {
     private var audioRate = 0; private var audioChannels = 0
     private var audioDone = false
     private var minPts = Long.MaxValue; private var maxPts = Long.MinValue
+    // PTS is a 33-bit counter on the 90 kHz clock — it wraps every
+    // ~26.5 h, inside the multi-hour-recording shape this walk
+    // advertises. Unwrap each sample to the 2^33-multiple nearest
+    // the PREVIOUS video PTS (phase unwrap): monotone ramps and
+    // B-frame jitter get k=0 and are byte-identical to the pre-wrap
+    // arithmetic; a genuine wrap (delta near ±2^33) continues the
+    // timeline instead of exploding the span. A discontinuity-tagged
+    // hard reset is indistinguishable from a wrap at this layer and
+    // is carried as one — the span stays physical either way.
+    private var lastVideoPtsAdj = Long.MinValue
     private val vEs = new java.io.ByteArrayOutputStream()
 
     // one PSI section out of one packet's payload (pointer_field
@@ -308,6 +333,11 @@ object MpegTs {
           // lying section_length, not padding
           if (q != secEnd - 4) return false
           if (pmtPid < 0) return false // a PAT with no program
+          // multi-program: pmtPid is single-valued, so parsing on
+          // would report one arbitrary program's streams under a
+          // programs=N banner — refuse whole, like multi-packet
+          // sections (repeats of the SAME program are idempotent)
+          if (programSet.size > 1) return false
         } else if (pid == pmtPid && pusi) { // PMT
           val (s, secEnd) = section(b, pOff, pEnd, 0x02)
             .getOrElse(return false)
@@ -341,6 +371,11 @@ object MpegTs {
             val hdrLen = b(pOff + 8) & 0xFF
             es = pOff + 9 + hdrLen
             if (es > pEnd) return false
+            // a declared PTS needs 5 header-data bytes (10 with DTS);
+            // a shorter hdrLen would read leading ES bytes as the
+            // timestamp AND append them to vEs — refuse the lie
+            if ((flags & 0x80) != 0 && hdrLen < 5) return false
+            if ((flags & 0xC0) == 0xC0 && hdrLen < 10) return false
             if ((flags & 0x80) != 0) { // PTS present
               if (pOff + 14 > pEnd) return false
               val p0 = b(pOff + 9) & 0xFF
@@ -352,8 +387,14 @@ object MpegTs {
                 ((b(pOff + 12) & 0xFF).toLong << 7) |
                 ((b(pOff + 13) & 0xFF) >> 1).toLong
               if (pid == videoPid) {
-                if (pts < minPts) minPts = pts
-                if (pts > maxPts) maxPts = pts
+                val wrap = 1L << 33
+                val adj =
+                  if (lastVideoPtsAdj == Long.MinValue) pts
+                  else pts + java.lang.Math.floorDiv(
+                    lastVideoPtsAdj - pts + wrap / 2, wrap) * wrap
+                lastVideoPtsAdj = adj
+                if (adj < minPts) minPts = adj
+                if (adj > maxPts) maxPts = adj
               }
             }
           }
@@ -362,7 +403,10 @@ object MpegTs {
             vEs.write(b, es, pEnd - es)
           if (pid == audioPid && !audioDone && pusi && es < pEnd &&
             audioType == 0x0F)
-            parseAdtsHeader(b, es).foreach {
+            // bound the header read at THIS packet's end — see the
+            // parseAdtsHeader(b, off, end) doc for why the whole-array
+            // bound would desync the column and stream walks
+            parseAdtsHeader(b, es, pEnd).foreach {
               case (_, sfIdx, ch, _, _, _) =>
                 audioRate = AdtsRates(sfIdx); audioChannels = ch
                 audioDone = true

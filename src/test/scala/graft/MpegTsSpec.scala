@@ -158,6 +158,116 @@ class MpegTsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!lrow.getAs[Boolean]("parsed"))
   }
 
+  test("packet-bounded ADTS sniff: a PES header leaving fewer than 7 " +
+      "payload bytes in the packet must NOT read the next packet's " +
+      "sync/PID bytes as ADTS fields — column and stream walks agree") {
+    // one audio PES of exactly 184 bytes (no adaptation stuffing):
+    // 14-byte PES header + 170 ADTS bytes (5 frames x 34)
+    val adts = MpegTs.buildAdts(profile = 1, sfIdx = 3, channels = 2,
+      frames = 5, payloadPerFrame = 27)
+    assert(adts.length === 170)
+    val ts = MpegTs.buildTs(320, 180, 66, 30, Seq(0L, 90000L),
+      adts = Some(adts))
+    // find the audio PUSI packet (PID 0x101) and inflate its PES
+    // header-data length so the ES starts 3 bytes before packet end
+    val b = ts.clone()
+    val o = (0 until b.length by 188).find { o =>
+      (b(o + 1) & 0x40) != 0 &&
+        (((b(o + 1) & 0x1F) << 8) | (b(o + 2) & 0xFF)) == 0x101
+    }.get
+    assert((b(o + 3) & 0x30) === 0x10, "payload-only packet expected")
+    val pOff = o + 4
+    b(pOff + 8) = 172.toByte // hdrLen 5 -> 172; es = pOff + 181
+    java.util.Arrays.fill(b, pOff + 14, o + 185, 0xFF.toByte)
+    // the ES tail is a REAL ADTS header start split across packets —
+    // the next packet's 0x47 sync would complete it into bogus fields
+    b(o + 185) = 0xFF.toByte; b(o + 186) = 0xF1.toByte
+    b(o + 187) = 0x4C.toByte
+    val viaColumn = MpegTs.parseTs(b)
+    val viaStream =
+      MpegTs.parseTsStream(new java.io.ByteArrayInputStream(b))
+    assert(viaColumn === viaStream)
+    assert(viaColumn.isDefined)
+    // no whole header fit any audio packet: fields must be 0, not a
+    // cross-packet parse (pre-fix the column walk read 48 kHz here)
+    assert(viaColumn.get.audioRate === 0)
+    assert(viaColumn.get.audioChannels === 0)
+  }
+
+  test("multi-program PAT refuses whole (single-valued PMT routing " +
+      "would report one arbitrary program's streams); repeated " +
+      "single-program PATs stay idempotent") {
+    val ts = MpegTs.buildTs(320, 180, 66, 30, Seq(0L, 90000L))
+    // hand-build a 2-program PAT section (programs 1 and 2)
+    val body = Array[Byte](0x00, 0x01, 0xF0.toByte, 0x00, // 1->0x1000
+      0x00, 0x02, 0xF0.toByte, 0x01) // 2 -> 0x1001
+    val secLen = 5 + body.length + 4
+    val sec = new java.io.ByteArrayOutputStream()
+    sec.write(0x00) // tableId
+    sec.write(0xB0 | ((secLen >> 8) & 0x0F)); sec.write(secLen & 0xFF)
+    sec.write(0x00); sec.write(0x01) // transport_stream_id
+    sec.write(0xC1); sec.write(0x00); sec.write(0x00)
+    sec.write(body, 0, body.length)
+    val sarr = sec.toByteArray
+    val crc = MpegTs.crc32Mpeg(sarr, 0, sarr.length)
+    sec.write((crc >>> 24) & 0xFF); sec.write((crc >>> 16) & 0xFF)
+    sec.write((crc >>> 8) & 0xFF); sec.write(crc & 0xFF)
+    val b = ts.clone()
+    b(4) = 0x00 // pointer_field
+    val s2 = sec.toByteArray
+    System.arraycopy(s2, 0, b, 5, s2.length)
+    java.util.Arrays.fill(b, 5 + s2.length, 188, 0xFF.toByte)
+    // the original PAT packet was payload-only with the section
+    // ending at the packet boundary; force the same flags
+    b(3) = 0x10
+    val rows = MpegTs.tsMetaScan(df(1L -> b), "id", "content")
+      .collect()
+    assert(!rows(0).getAs[Boolean]("parsed"))
+    assert(MpegTs.parseTsStream(
+      new java.io.ByteArrayInputStream(b)).isEmpty)
+    // idempotent repeats: the SAME single-program PAT twice parses
+    val rep = ts.take(188) ++ ts
+    assert(MpegTs.parseTs(rep).isDefined)
+  }
+
+  test("a declared PTS with PES_header_data_length < 5 is a lying " +
+      "header — refused, not read as timestamp-plus-ES") {
+    val ts = MpegTs.buildTs(320, 180, 66, 30, Seq(0L, 90000L))
+    val b = ts.clone()
+    val o = (0 until b.length by 188).find { o =>
+      (b(o + 1) & 0x40) != 0 &&
+        (((b(o + 1) & 0x1F) << 8) | (b(o + 2) & 0xFF)) == 0x100
+    }.get
+    val afc = (b(o + 3) >> 4) & 0x3 // skip any adaptation stuffing
+    val pOff =
+      if (afc >= 2) o + 5 + (b(o + 4) & 0xFF) else o + 4
+    assert(b(pOff) === 0 && b(pOff + 1) === 0 && b(pOff + 2) === 1,
+      "PES start code expected")
+    assert((b(pOff + 7) & 0x80) !== 0, "PTS flag expected")
+    b(pOff + 8) = 3 // hdrLen 5 -> 3: too short for the declared PTS
+    val rows = MpegTs.tsMetaScan(df(1L -> b), "id", "content")
+      .collect()
+    assert(!rows(0).getAs[Boolean]("parsed"))
+    assert(MpegTs.parseTsStream(
+      new java.io.ByteArrayInputStream(b)).isEmpty)
+  }
+
+  test("33-bit PTS wraparound: a capture crossing the ~26.5 h wrap " +
+      "unwraps to the physical span instead of a ~26 h lie") {
+    val wrap = 1L << 33
+    // 45000 ticks (500 ms) before the wrap, then 45000 ticks after:
+    // the raw values jump from 2^33-45000 down to 45000
+    val ts = MpegTs.buildTs(320, 180, 66, 30,
+      Seq(wrap - 45000L, 45000L))
+    val r = MpegTs.tsMetaScan(df(1L -> ts), "id", "content")
+      .collect()(0)
+    assert(r.getAs[Boolean]("parsed"))
+    assert(r.getAs[Long]("duration_ms") === 1000L) // 90000 ticks
+    // stream walk shares the accumulator, so the same unwrap
+    assert(MpegTs.parseTsStream(
+      new java.io.ByteArrayInputStream(ts)).get.durationMs === 1000L)
+  }
+
   test("path-level stream source: on-disk .ts captures yield EXACTLY " +
       "the column operator's rows through the SAME per-packet state " +
       "machine; a truncated tail packet and garbage refuse as " +
