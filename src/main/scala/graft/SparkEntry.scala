@@ -2002,6 +2002,49 @@ object SparkEntry {
       out.toString
     })
 
+  private val mediaShardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The [[syntheticMediaClassed]] mixed corpus written as ON-DISK
+    * files — the crawl-landing-directory shape the unified path-level
+    * census ([[graft.sources.MediaShardSource]]) routes by magic.
+    * MP4-family odd ids are rewritten to the trailing-moov layout
+    * (the fields are layout-invariant — exactly what the seek route
+    * must prove), and every doc_id % 64 == 63 ALSO drops a
+    * [[syntheticMpegTsClassed]]-form `.ts` segment so the census
+    * exercises the stream route in the same directory.
+    */
+  private def mediaShardDir(s: SparkSession, dir: String): String =
+    mediaShardCache.computeIfAbsent(dir, { _ =>
+      val rows = syntheticMediaClassed(t(s, dir, "documents"))
+        .collect()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-media-shards")
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val laid =
+          if (id % 64 % 8 == 2 && id % 2 == 1) Mp4.toTrailingMoov(bytes)
+          else bytes
+        java.nio.file.Files.write(out.resolve(s"m_$id.bin"), laid)
+        if (id % 64 == 63) {
+          val durMs = 1000L + 10L * 63L
+          val seg = operators.MpegTs.buildTs(
+            spsWidth = 320 + 2 * (63 % 16),
+            spsHeight = 180 + 2 * (63 % 12),
+            profileIdc = 2, levelIdc = 90 + 3 * (63 % 4), // id%4==3
+            videoPts = Seq(90000L, 90000L + 45L * durMs,
+              90000L + 90L * durMs),
+            adts = if (id % 3 == 2) None
+              else Some(operators.MpegTs.buildAdts(profile = 1,
+                sfIdx = 3, channels = 2, frames = 2)), // base 63
+            h265 = true)
+          java.nio.file.Files.write(out.resolve(s"g_$id.ts"), seg)
+        }
+      }
+      out.toString
+    })
+
   private val ingestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4659,6 +4702,24 @@ object SparkEntry {
           col("audio_channels").cast("long").as("audio_channels"),
           col("audio_rate").cast("long").as("audio_rate"),
           col("parsed"))),
+
+    // the unified path-level media census: ONE mixed drop directory
+    // (eight container families + planted .ts segments), every FILE
+    // routed by magic to its cheapest honest walk — prefix read /
+    // seek walk / forward stream / capped full read — replaying the
+    // SAME closed forms as the column census plus the route itself
+    "q_media_stream" -> ((s, dir) =>
+      graft.sources.MediaShardSource
+        .metaScanDF(s, mediaShardDir(s, dir) + "/*_*.*")
+        .select(
+          regexp_extract(col("shard_path"), "/[mg]_(\\d+)\\.", 1)
+            .cast("long").as("id"),
+          col("container"), col("duration_ms"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("video_codec"), col("audio_codec"),
+          col("audio_rate").cast("long").as("audio_rate"),
+          col("route"), col("parsed"))),
 
     // the WebDataset census over the SAME on-disk shards, assembled
     // at path level (stem split per member, per-shard local fold)
@@ -7512,6 +7573,78 @@ object SparkEntry {
         |    AS audio_rate,
         |  TRUE AS parsed
         |FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // the unified path-level census replays the column census's
+    // closed forms (the m_ files), the per-family route, and the
+    // planted .ts segments' stream-route rows (the g_ files)
+    "q_media_stream" ->
+      """WITH g AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 64 AS BIGINT) AS base,
+        |    CAST(doc_id % 64 AS BIGINT) % 8 AS f,
+        |    ((doc_id % 64) // 8) % 2 = 0 AS alt
+        |  FROM documents)
+        |SELECT id,
+        |  CASE f WHEN 0 THEN 'avi' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp4'
+        |    WHEN 3 THEN CASE WHEN alt THEN 'webm' ELSE 'matroska' END
+        |    WHEN 4 THEN CASE WHEN alt THEN 'wav' ELSE 'aiff' END
+        |    WHEN 5 THEN 'flac' WHEN 6 THEN 'mp3'
+        |    ELSE 'ogg' END AS container,
+        |  CAST(CASE f
+        |    WHEN 0 THEN (2 + base % 3) * 40
+        |    WHEN 1 THEN (2 + base % 3) * (4 + base % 5) * 10
+        |    WHEN 2 THEN ((1000 + base * 77) * 1000) // (600 + base)
+        |    WHEN 3 THEN 1000 + base * 13
+        |    WHEN 4 THEN (400 + base * 2) // 8
+        |    WHEN 5 THEN (384 + 16 * ((base // 8) % 8)) // 8
+        |    WHEN 6 THEN ((5 + (base // 8) % 6) * 1152 * 1000) // 44100
+        |    ELSE CASE WHEN alt
+        |      THEN ((800 + base * 10) * 1000) // 48000
+        |      ELSE ((800 + base * 10) * 1000) // 8000 END
+        |    END AS BIGINT) AS duration_ms,
+        |  CAST(CASE f WHEN 0 THEN 4 WHEN 1 THEN 4
+        |    WHEN 2 THEN 16 * (1 + base % 4)
+        |    WHEN 3 THEN 320 + 16 * (base % 4)
+        |    ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE f WHEN 0 THEN 3 WHEN 1 THEN 3
+        |    WHEN 2 THEN 16 * (1 + base % 3)
+        |    WHEN 3 THEN 240 + 16 * (base % 3)
+        |    ELSE 0 END AS BIGINT) AS height,
+        |  CASE f WHEN 0 THEN 'DIB ' WHEN 1 THEN 'lzw'
+        |    WHEN 2 THEN 'avc1'
+        |    WHEN 3 THEN 'V_VP' ||
+        |      CAST(CASE WHEN alt THEN 8 ELSE 9 END AS VARCHAR)
+        |    ELSE '' END AS video_codec,
+        |  CASE WHEN f = 2 AND NOT alt THEN 'mp4a'
+        |    WHEN f = 3 AND alt THEN 'A_OPUS'
+        |    WHEN f = 4 THEN CASE WHEN alt THEN 'wave_1'
+        |      ELSE 'aiff_pcm' END
+        |    WHEN f = 5 THEN 'flac'
+        |    WHEN f = 6 THEN 'mp3'
+        |    WHEN f = 7 THEN CASE WHEN alt THEN 'opus' ELSE 'vorbis' END
+        |    ELSE '' END AS audio_codec,
+        |  CAST(CASE WHEN f = 2 AND NOT alt THEN 44100
+        |    WHEN f = 3 AND alt THEN 48000
+        |    WHEN f = 4 THEN 8000 WHEN f = 5 THEN 8000
+        |    WHEN f = 6 THEN 44100 WHEN f = 7 THEN 8000
+        |    ELSE 0 END AS BIGINT) AS audio_rate,
+        |  CASE f WHEN 0 THEN 'prefix' WHEN 1 THEN 'full'
+        |    WHEN 2 THEN 'seek' WHEN 3 THEN 'prefix'
+        |    WHEN 4 THEN 'prefix' WHEN 5 THEN 'prefix'
+        |    ELSE 'full' END AS route,
+        |  TRUE AS parsed
+        |FROM g
+        |UNION ALL
+        |SELECT doc_id AS id, 'mpegts' AS container,
+        |  CAST(1630 AS BIGINT) AS duration_ms,
+        |  CAST(350 AS BIGINT) AS width, CAST(186 AS BIGINT) AS height,
+        |  'h265' AS video_codec,
+        |  CASE WHEN doc_id % 3 <> 2 THEN 'adts_aac' ELSE '' END
+        |    AS audio_codec,
+        |  CAST(CASE WHEN doc_id % 3 <> 2 THEN 48000 ELSE 0 END
+        |    AS BIGINT) AS audio_rate,
+        |  'stream' AS route, TRUE AS parsed
+        |FROM documents WHERE doc_id % 64 = 63
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Vorbis comments: carrier rotates by id % 3; keys/values replay

@@ -100,10 +100,70 @@ object Media {
         col("parsed"))
   }
 
+  /** The MP4 arm's field mapping — shared by the column dispatch and
+    * the path-level census's seek route so the two cannot drift.
+    */
+  private[graft] def mp4ToMedia(m: Mp4.ParsedMp4): MediaMeta =
+    MediaMeta(0L, "mp4", m.duration * 1000L / m.timescale,
+      m.width, m.height, m.videoCodec, m.audioCodec, m.audioRate,
+      parsed = true)
+
+  /** The MPEG-TS arm's field mapping — shared by the column dispatch
+    * and the path-level census's stream route.
+    */
+  private[graft] def tsToMedia(t: MpegTs.TsInfo): MediaMeta = {
+    val vc = if (t.videoPid >= 0) MpegTs.tsVideoCodecName(
+      t.videoStreamType) else ""
+    val ac = if (t.audioPid >= 0) MpegTs.tsAudioCodecName(
+      t.audioStreamType) else ""
+    MediaMeta(0L, "mpegts", t.durationMs, t.width, t.height, vc,
+      ac, t.audioRate, parsed = true)
+  }
+
+  /** Path-level routing: which is the CHEAPEST HONEST walk for an
+    * on-disk file whose leading bytes are `b` (a sniff of at least
+    * 189 bytes when the file has them) and whose true length is
+    * `fileLen`? Magic checks and their order mirror [[mediaMeta]]'s
+    * column dispatch exactly:
+    *  - `"prefix"`: metadata leads the file (AVI, WAV, AIFF, FLAC,
+    *    AVIF/HEIF, WebM/Matroska) — one bounded header read answers.
+    *  - `"seek"`: indexed grammar (ISO-BMFF — moov may trail) — hop
+    *    box headers, fetch only the metadata subtree.
+    *  - `"stream"`: chained grammar (MPEG-TS) — the forward packet
+    *    walk IS the honest streamed form, O(packet) residency.
+    *  - `"full"`: the grammar needs the tail with no cheaper honest
+    *    walk in this library (GIF block walk, MP3/ADTS to-EOF frame
+    *    chains, Ogg last-page granule) — a capped whole read.
+    *  - `""`: unknown container (the census row refuses).
+    */
+  private[graft] def routeOf(b: Array[Byte], fileLen: Long): String = {
+    if (b == null || b.length < 12 || fileLen < 12) return ""
+    def is(o: Int, s: String): Boolean =
+      s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+    if (is(0, "RIFF") && is(8, "WAVE")) "prefix"
+    else if (is(0, "fLaC")) "prefix"
+    else if (is(0, "OggS")) "full"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF0) == 0xF0 &&
+      (b(1) & 0x06) == 0) "full" // ADTS (layer 00)
+    else if (is(0, "ID3") || ((b(0) & 0xFF) == 0xFF &&
+      (b(1) & 0xE0) == 0xE0)) "full" // MP3
+    else if (is(0, "RIFF") && is(8, "AVI ")) "prefix"
+    else if (is(0, "FORM") && is(8, "AIFF")) "prefix"
+    else if (is(0, "GIF8")) "full"
+    else if (Avif.isImageBrand(b)) "prefix"
+    else if (is(4, "ftyp")) "seek"
+    else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) "prefix"
+    else if ((b(0) & 0xFF) == 0x47 && fileLen % 188 == 0 &&
+      fileLen >= 376 && b.length > 188 && (b(188) & 0xFF) == 0x47)
+      "stream"
+    else ""
+  }
+
   /** The prefix-honest dispatch: walks that are prefix-boundable run
     * with the true length; the rest refuse.
     */
-  private def mediaMetaPrefix(b: Array[Byte],
+  private[graft] def mediaMetaPrefix(b: Array[Byte],
       trueLen: Long): Option[MediaMeta] = {
     if (b == null || b.length < 12) return None
     def is(o: Int, s: String): Boolean =
@@ -160,7 +220,7 @@ object Media {
   }
 
   /** Per-payload magic dispatch into the ten container walks. */
-  private def mediaMeta(b: Array[Byte]): Option[MediaMeta] = {
+  private[graft] def mediaMeta(b: Array[Byte]): Option[MediaMeta] = {
     if (b == null || b.length < 12) return None
     def is(o: Int, s: String): Boolean =
       s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
@@ -225,11 +285,7 @@ object Media {
           parsed = true)
       }
     else if (is(4, "ftyp"))
-      Mp4.parseMp4(b).map { m =>
-        MediaMeta(0L, "mp4", m.duration * 1000L / m.timescale,
-          m.width, m.height, m.videoCodec, m.audioCodec, m.audioRate,
-          parsed = true)
-      }
+      Mp4.parseMp4(b).map(mp4ToMedia)
     else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
       (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)
       Webm.parseWebm(b).map { w =>
@@ -241,14 +297,7 @@ object Media {
     // sync byte alone is no signature (it is ASCII 'G')
     else if ((b(0) & 0xFF) == 0x47 && b.length % 188 == 0 &&
       b.length >= 376 && (b(188) & 0xFF) == 0x47)
-      MpegTs.parseTs(b).map { t =>
-        val vc = if (t.videoPid >= 0) MpegTs.tsVideoCodecName(
-          t.videoStreamType) else ""
-        val ac = if (t.audioPid >= 0) MpegTs.tsAudioCodecName(
-          t.audioStreamType) else ""
-        MediaMeta(0L, "mpegts", t.durationMs, t.width, t.height, vc,
-          ac, t.audioRate, parsed = true)
-      }
+      MpegTs.parseTs(b).map(tsToMedia)
     else None
   }
 }

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.io.BufferedInputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Media, Mp4, MpegTs}
+
+/** One on-disk media file's cross-container metadata. Fields mirror
+  * [[graft.operators.Media.MediaMeta]] with the path as identity,
+  * plus `route` — which honest walk answered (`prefix` / `seek` /
+  * `stream` / `full`, or `""` for an unknown container).
+  */
+final case class MediaShardMeta(shard_path: String, file_bytes: Long,
+    container: String, duration_ms: Long, width: Int, height: Int,
+    video_codec: String, audio_codec: String, audio_rate: Int,
+    route: String, parsed: Boolean)
+
+/** The unified PATH-LEVEL media census — the real crawl-landing
+  * shape at 100 TB: one directory holding `.mp4`, `.ts`, `.webm`,
+  * `.mp3`, `.gif`, `.wav`, `.flac`, `.ogg`, … side by side. The
+  * column census ([[Media.mediaMetaScan]]) dispatches binary COLUMN
+  * values by magic; this source applies the same dispatch
+  * ([[Media.routeOf]] — magic checks and order shared with the
+  * column walk) to FILES, routing each to the CHEAPEST walk that is
+  * still honest for its grammar:
+  *
+  *  - **prefix** (AVI, WAV, AIFF, FLAC, AVIF/HEIF, WebM/Matroska):
+  *    metadata leads the file — ONE bounded header read
+  *    (`maxHeaderBytes`), parsed with the true file length through
+  *    [[Media.mediaMetaPrefix]] (the column prefix path's exact
+  *    dispatch). Residency O(prefix) whatever the file size.
+  *  - **seek** (MP4/ISO-BMFF): indexed grammar, moov may trail the
+  *    mdat — [[Mp4.parseMp4Seek]] hops box headers and reads only
+  *    the moov ([[Mp4ShardSource]]'s engine). Residency
+  *    O(headers + moov).
+  *  - **stream** (MPEG-TS): chained grammar — the forward packet
+  *    walk through [[MpegTs.parseTsStream]]
+  *    ([[MpegTsShardSource]]'s engine). Residency one packet plus
+  *    the capped SPS buffer.
+  *  - **full** (GIF, MP3, ADTS, Ogg): the grammar needs the tail
+  *    (block walk / to-EOF frame chain / last-page granule) and this
+  *    library has no cheaper honest walk — a whole read CAPPED at
+  *    `maxFullReadBytes`; a file past the cap refuses
+  *    (`parsed = false`) rather than buffering unbounded. These
+  *    families are small in practice; a multi-GiB one is exactly a
+  *    file the census SHOULD flag rather than silently skip-parse.
+  *
+  * Unknown containers are `parsed = false` with an empty route —
+  * never guessed. On every parsed file the metadata fields equal the
+  * column census's ([[Media.mediaMetaScan]]) for the same bytes: the
+  * prefix arm runs the column prefix dispatch, the seek/stream arms
+  * share their state machines AND field mappings
+  * ([[Media.mp4ToMedia]] / [[Media.tsToMedia]]) with the column
+  * dispatch, and the full arm IS the column dispatch.
+  */
+object MediaShardSource {
+
+  /** Census row for every file matched by `path` (file, glob, or
+    * directory). Parallelism comes from many files, one per task.
+    */
+  def metaScan(spark: SparkSession, path: String,
+      maxHeaderBytes: Int = 8 << 20,
+      maxMoovBytes: Int = 1 << 28,
+      maxFullReadBytes: Int = 1 << 26,
+      maxEsScanBytes: Int = 1 << 18): Dataset[MediaShardMeta] = {
+    import spark.implicits._
+    require(maxHeaderBytes >= 512, "maxHeaderBytes must cover a sniff")
+    require(maxMoovBytes > 0 && maxFullReadBytes > 0 &&
+      maxEsScanBytes > 0, "caps must be positive")
+    val files = StreamUtil.resolveFiles(spark, path)
+    val hconf =
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val parallelism = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files)
+      .repartition(parallelism)
+      .map { p =>
+        val fsPath = new Path(p)
+        val fs = fsPath.getFileSystem(hconf.value)
+        val len = fs.getFileStatus(fsPath).getLen
+        val stream = fs.open(fsPath)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => stream.close()))
+        def refused(route: String) = MediaShardMeta(p, len, "", 0L,
+          0, 0, "", "", 0, route, parsed = false)
+        val row = try {
+          val sniffLen = math.min(len, 512L).toInt
+          val sniff = new Array[Byte](sniffLen)
+          if (sniffLen > 0) stream.readFully(0L, sniff, 0, sniffLen)
+          val route = Media.routeOf(sniff, len)
+          val meta: Option[Media.MediaMeta] = route match {
+            case "prefix" =>
+              val want = math.min(len, maxHeaderBytes.toLong).toInt
+              val prefix = new Array[Byte](want)
+              stream.readFully(0L, prefix, 0, want)
+              Media.mediaMetaPrefix(prefix, len)
+            case "seek" =>
+              val reader = new Mp4.Mp4Reader {
+                def length: Long = len
+                def readFully(at: Long, buf: Array[Byte], off: Int,
+                    n: Int): Unit = {
+                  if (at < 0L || at + n > len)
+                    throw new graft.operators.MalformedShardException(
+                      s"$p: read past the file")
+                  stream.readFully(at, buf, off, n)
+                }
+              }
+              Mp4.parseMp4Seek(reader, maxMoovBytes)
+                .map(Media.mp4ToMedia)
+            case "stream" =>
+              stream.seek(0L)
+              MpegTs.parseTsStream(
+                new BufferedInputStream(stream, 1 << 16),
+                maxEsScanBytes).map(Media.tsToMedia)
+            case "full" if len <= maxFullReadBytes =>
+              val whole = new Array[Byte](len.toInt)
+              stream.readFully(0L, whole, 0, whole.length)
+              Media.mediaMeta(whole)
+            case _ => None // unknown container, or full past the cap
+          }
+          meta match {
+            case Some(m) => MediaShardMeta(p, len, m.container,
+              m.durationMs, m.width, m.height, m.videoCodec,
+              m.audioCodec, m.audioRate, route, parsed = true)
+            case None => refused(route)
+          }
+        } finally stream.close()
+        row
+      }
+  }
+
+  /** [[metaScan]] projected to the column operator's
+    * [[Media.mediaMetaScan]] shape (path-keyed, plus `route`) — the
+    * drop-in the path/column equality contract is stated over.
+    */
+  def metaScanDF(spark: SparkSession, path: String,
+      maxHeaderBytes: Int = 8 << 20,
+      maxMoovBytes: Int = 1 << 28,
+      maxFullReadBytes: Int = 1 << 26,
+      maxEsScanBytes: Int = 1 << 18): DataFrame =
+    metaScan(spark, path, maxHeaderBytes, maxMoovBytes,
+      maxFullReadBytes, maxEsScanBytes).toDF()
+      .select(col("shard_path"), col("file_bytes"), col("container"),
+        col("duration_ms"), col("width"), col("height"),
+        col("video_codec"), col("audio_codec"), col("audio_rate"),
+        col("route"), col("parsed"))
+}

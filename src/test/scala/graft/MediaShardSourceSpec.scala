@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Audio, Flac, Gif, Media, Mp3, Mp4, MpegTs, Video, Webm}
+import graft.sources.MediaShardSource
+
+/** Unified path-level media census: per-family routing to the
+  * cheapest honest walk, field parity with the column census on the
+  * same bytes, and the refusal matrix (unknown magic, capped full
+  * reads).
+  */
+class MediaShardSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def mixedCorpus: Seq[(String, Array[Byte])] = Seq(
+    "avi" -> Video.buildUncompressedAvi(4, 3, Seq(
+      Array.tabulate[Byte](36)(k => (k * 7 % 101).toByte)), 40000L),
+    "gif" -> Gif.buildGif(4, 3, Array.tabulate(16)(i => i * 0x111111),
+      Seq(Array.tabulate[Byte](12)(p => (p % 16).toByte)), delayCs = 5),
+    "mp4" -> Mp4.toTrailingMoov(Mp4.buildMp4(600L, 3000L, 320, 240,
+      "avc1", nFrames = 24L, mdatBytes = 4096)),
+    "webm" -> Webm.buildWebm("webm", 1000000L, 1500.0, "V_VP9",
+      640, 360, "A_OPUS", 2, 48000.0),
+    "wav" -> Audio.wrapWav(Array.tabulate(400)(k => k % 100), 0, 400,
+      8000),
+    "flac" -> Flac.buildFlac(8000, Array(Array.tabulate(384)(k =>
+      k % 100)), blockSize = 128),
+    "mp3" -> Mp3.buildMp3(3, 0, Seq.fill(5)(5), mono = true),
+    "ogg" -> Audio.buildOgg("opus", channels = 1, sampleRate = 8000,
+      granule = 960L),
+    "adts" -> MpegTs.buildAdts(1, 4, 2, 3),
+    "mpegts" -> MpegTs.buildTs(322, 182, 100, 31,
+      Seq(0L, 45000L, 90000L),
+      adts = Some(MpegTs.buildAdts(1, 3, 2, 2))))
+
+  private val expectedRoute = Map("avi" -> "prefix", "gif" -> "full",
+    "mp4" -> "seek", "webm" -> "prefix", "wav" -> "prefix",
+    "flac" -> "prefix", "mp3" -> "full", "ogg" -> "full",
+    "adts" -> "full", "mpegts" -> "stream")
+
+  test("ten-family mixed directory: every file routes to its " +
+      "cheapest honest walk and the fields equal the column census " +
+      "over the same bytes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("media-census")
+    val corpus = mixedCorpus
+    corpus.zipWithIndex.foreach { case ((fam, bytes), i) =>
+      java.nio.file.Files.write(dir.resolve(s"f_${i}_$fam.bin"), bytes)
+    }
+    val colRows = Media.mediaMetaScan(
+      corpus.zipWithIndex.map { case ((_, b), i) => (i.toLong, b) }
+        .toDF("id", "content"), "id", "content")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val census = MediaShardSource
+      .metaScanDF(spark, dir.toString + "/f_*.bin")
+      .collect()
+      .map { r =>
+        val name = r.getString(0).split('/').last
+        val i = name.split('_')(1).toLong
+        val fam = name.split('_')(2).stripSuffix(".bin")
+        (i, fam, r)
+      }
+    assert(census.length === corpus.length)
+    for ((i, fam, r) <- census) {
+      assert(r.getAs[String]("route") === expectedRoute(fam),
+        s"family $fam routed wrong")
+      assert(r.getAs[Boolean]("parsed"), s"family $fam refused")
+      // drop shard_path/file_bytes, compare (container..parsed)
+      // against the column row minus id, route column excluded
+      val got = r.toSeq.drop(2).patch(7, Nil, 1) // drop route
+      assert(got === colRows(i), s"family $fam fields drifted")
+    }
+  }
+
+  test("refusal matrix: unknown magic refuses with an empty route; " +
+      "a tail-grammar file past maxFullReadBytes refuses as route " +
+      "'full' instead of buffering unbounded") {
+    val dir = java.nio.file.Files.createTempDirectory("media-refuse")
+    java.nio.file.Files.write(dir.resolve("u.bin"),
+      Array.fill[Byte](64)(0x11))
+    java.nio.file.Files.write(dir.resolve("big.bin"),
+      Mp3.buildMp3(3, 0, Seq.fill(20)(5), mono = true))
+    val rows = MediaShardSource
+      .metaScanDF(spark, dir.toString + "/*.bin",
+        maxFullReadBytes = 32)
+      .collect()
+      .map(r => r.getString(0).split('/').last ->
+        (r.getAs[String]("route"), r.getAs[Boolean]("parsed"))).toMap
+    assert(rows("u.bin") === (("", false)))
+    assert(rows("big.bin") === (("full", false)))
+  }
+}
