@@ -4269,29 +4269,39 @@ object SparkEntry {
           aggregate(col("rs"), lit(Array.empty[Byte]),
             (acc, x) => concat(acc, x("r"))).as("content"))
         .collect()
-      // a REAL drop directory + a fresh stage directory per run: the
-      // row times and checks the whole restartable pipeline, so a
-      // stale stage dir must never turn the run into a resume no-op
-      val root = new java.io.File("/tmp/graft_q_corpus_build")
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmTree)
-        f.delete(); ()
-      }
-      if (root.exists()) rmTree(root)
-      val warcDir = new java.io.File(root, "warc")
+      // a REAL drop directory + a fresh PER-RUN stage dir. The drop
+      // path must be DETERMINISTIC (doc ids hash the archive path —
+      // the oracle replays it), so it cannot be a random temp dir;
+      // it is scoped by the documents row count (the oracle derives
+      // the same scope from its own count(*)), so different SFs never
+      // share a path, and each file lands by ATOMIC rename of
+      // identical bytes, so concurrent same-SF sessions can only
+      // replace a file with itself — no rmTree, no mid-build
+      // deletion window. Stages stay per-run (a stale stage dir must
+      // never turn the timed build into a resume no-op; runs never
+      // share one).
+      val docCount = t(s, dir, "documents").count()
+      val warcDir = new java.io.File(
+        s"/tmp/graft_q_corpus_build/n$docCount/warc")
       warcDir.mkdirs()
       archives.foreach { r =>
-        java.nio.file.Files.write(
+        val tmp = java.nio.file.Files.createTempFile(warcDir.toPath,
+          ".w", ".tmp")
+        java.nio.file.Files.write(tmp, r.getAs[Array[Byte]](1))
+        java.nio.file.Files.move(tmp,
           new java.io.File(warcDir, r.getString(0)).toPath,
-          r.getAs[Array[Byte]](1))
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
+      val stageDir = java.nio.file.Files
+        .createTempDirectory("graft-q-corpus-build-stages").toString
       operators.CorpusBuild.buildCorpus(s, warcDir.getAbsolutePath,
-        new java.io.File(root, "stages").getAbsolutePath,
+        stageDir,
         minWords = 10, minLinesKept = 1, minWordsPerLine = 3,
         nearDupThreshold = 0.8,
         tierRates = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0),
         packTokens = 256)
-      s.read.parquet(s"${root.getAbsolutePath}/stages/7_curriculum")
+      s.read.parquet(s"$stageDir/7_curriculum")
         .select(col("id"), col("stage"), col("shard"), col("position"),
           col("pack_tokens"), col("n_docs"), col("text"))
     }),
@@ -7427,8 +7437,10 @@ object SparkEntry {
          |      ORDER BY doc_id) - 1 AS rs
          |  FROM d),
          |ids AS (SELECT ${H60(
-             "'file:/tmp/graft_q_corpus_build/warc/wet-' || g || " +
-             "'.warc:' || rs")} AS id, text FROM seq),
+             "'file:/tmp/graft_q_corpus_build/n' || " +
+             "(SELECT count(*) FROM documents) || " +
+             "'/warc/wet-' || g || '.warc:' || rs")} AS id, text
+         |  FROM seq),
          |mix AS (SELECT ${H60("CAST(id AS VARCHAR) || ':0'")} AS mid,
          |    text FROM ids),
          |sh AS (SELECT mid, text,

@@ -3142,6 +3142,15 @@ object ScaleSmoke {
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
     }
 
+    // --- the COMPOSED nine-stage corpus build at 1M docs: a real WET
+    // drop dir streamed to disk, then buildCorpus end-to-end with
+    // exact planted attrition per stage + the all-skip resume — the
+    // constituent operators all have their own scale sections above;
+    // this drives their COMPOSITION (staged parquet, lineage tokens,
+    // the LM tier pass) at corpus scale.
+    CorpusBuildSmoke.run(spark,
+      nCb = args.lift(2).map(_.toInt).getOrElse(1000000))
+
     // --- STREAMING multi-GiB tar shards: the path-level source walks
     // shards far beyond any column-operator cap with ONE member
     // resident — counts, byte sums, and planted bytes exact.

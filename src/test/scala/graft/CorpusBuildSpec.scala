@@ -322,4 +322,55 @@ class CorpusBuildSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (a, b) = (rows(clean), rows(resumed))
     assert(a.nonEmpty && a === b)
   }
+
+  test("resume SKIPS completed stages: after a kill at 3_dedup the " +
+      "restarted run computes ONLY 4_tiers..7_curriculum — the " +
+      "operational payoff the staged-parquet design buys at 100 TB") {
+    val warcDir = java.nio.file.Files
+      .createTempDirectory("graft-rs-warc")
+    val caps = (0 until 12).map(i =>
+      record("response", s"http://rs$i.test/a",
+        httpBlock(page(goodDoc(i)))))
+    java.nio.file.Files.write(warcDir.resolve("rs-0.warc.gz"),
+      gzMembers(caps))
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft-rs-stages").toString
+    def run(onStage: (String, Double) => Unit) = {
+      val t0 = System.nanoTime()
+      CorpusBuild.buildCorpus(spark, warcDir.toString, stageDir,
+        nearDupThreshold = 0.7, packTokens = 64,
+        onStage = onStage).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // full build, killed right after 3_dedup commits
+    val firstComputed = scala.collection.mutable.ArrayBuffer[String]()
+    intercept[RuntimeException] {
+      run { (st, _) =>
+        firstComputed += st
+        if (st == "3_dedup")
+          throw new RuntimeException("simulated mid-build kill")
+      }
+    }
+    assert(firstComputed.toSeq ===
+      Seq("0_extract", "1_repair", "2_gate", "3_dedup"))
+    // the resume: onStage fires ONLY for stages that actually
+    // computed, so the recorded list IS the skip evidence
+    val resumedComputed = scala.collection.mutable.ArrayBuffer[String]()
+    val tResume = run((st, _) => { resumedComputed += st; () })
+    // the report reads every stage, so any recompute invalidates it
+    // (its upstream lineage is the whole token chain) — it correctly
+    // re-runs here; the DATA stages 0-3 must not
+    assert(resumedComputed.toSeq ===
+      Seq("4_tiers", "5_mix", "6_pack", "7_curriculum", "report"),
+      "resume recomputed a committed stage")
+    // and a second resume on a COMPLETE stage dir computes nothing —
+    // the all-skip fast path (pure reads, no stage work at all)
+    val noopComputed = scala.collection.mutable.ArrayBuffer[String]()
+    val tNoop = run((st, _) => { noopComputed += st; () })
+    assert(noopComputed.isEmpty, "no-op resume recomputed a stage")
+    info(f"resume (4 of 8 stages) took $tResume%.2f s; " +
+      f"all-skip resume $tNoop%.2f s")
+    assert(tNoop < tResume,
+      "the all-skip resume should do strictly less work")
+  }
 }
