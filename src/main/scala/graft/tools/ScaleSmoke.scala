@@ -3167,6 +3167,11 @@ object ScaleSmoke {
     // multi-hour-recording shape no column operator can hold.
     TsStreamSmoke.run(spark, nCaptures = 4, nPes = 2000000)
 
+    // --- multi-GiB trailing-moov MP4s: the archival layout no prefix
+    // read answers, seek-walked at O(headers + moov) residency — the
+    // census costs a few KB of reads per file whatever the mdat size.
+    Mp4StreamSmoke.run(spark, nFiles = 3, mdatBytes = 1536L << 20)
+
     spark.stop()
   }
 }
