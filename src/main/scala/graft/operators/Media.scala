@@ -108,6 +108,13 @@ object Media {
       m.width, m.height, m.videoCodec, m.audioCodec, m.audioRate,
       parsed = true)
 
+  /** The ADTS arm's field mapping — shared by the column dispatch
+    * and the path-level census's stream route.
+    */
+  private[graft] def adtsToMedia(a: MpegTs.AdtsInfo): MediaMeta =
+    MediaMeta(0L, "adts", a.durationMs, 0, 0, "", "aac",
+      a.sampleRate, parsed = true)
+
   /** The MPEG-TS arm's field mapping — shared by the column dispatch
     * and the path-level census's stream route.
     */
@@ -129,11 +136,13 @@ object Media {
     *    AVIF/HEIF, WebM/Matroska) — one bounded header read answers.
     *  - `"seek"`: indexed grammar (ISO-BMFF — moov may trail) — hop
     *    box headers, fetch only the metadata subtree.
-    *  - `"stream"`: chained grammar (MPEG-TS) — the forward packet
-    *    walk IS the honest streamed form, O(packet) residency.
+    *  - `"stream"`: chained grammars (MPEG-TS packets, ADTS frame
+    *    hops) — the forward walk IS the honest streamed form,
+    *    O(packet)/O(header) residency.
     *  - `"full"`: the grammar needs the tail with no cheaper honest
-    *    walk in this library (GIF block walk, MP3/ADTS to-EOF frame
-    *    chains, Ogg last-page granule) — a capped whole read.
+    *    walk in this library (GIF block walk, MP3's to-EOF sync walk
+    *    with Xing/ID3 handling, Ogg last-page granule) — a capped
+    *    whole read.
     *  - `""`: unknown container (the census row refuses).
     */
   private[graft] def routeOf(b: Array[Byte], fileLen: Long): String = {
@@ -144,7 +153,7 @@ object Media {
     else if (is(0, "fLaC")) "prefix"
     else if (is(0, "OggS")) "full"
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF0) == 0xF0 &&
-      (b(1) & 0x06) == 0) "full" // ADTS (layer 00)
+      (b(1) & 0x06) == 0) "stream" // ADTS (layer 00): O(1) frame hop
     else if (is(0, "ID3") || ((b(0) & 0xFF) == 0xFF &&
       (b(1) & 0xE0) == 0xE0)) "full" // MP3
     else if (is(0, "RIFF") && is(8, "AVI ")) "prefix"
@@ -244,10 +253,7 @@ object Media {
     // are 00 — a value no MPEG-audio frame carries
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF0) == 0xF0 &&
       (b(1) & 0x06) == 0)
-      MpegTs.parseAdts(b).map { a =>
-        MediaMeta(0L, "adts", a.durationMs, 0, 0, "", "aac",
-          a.sampleRate, parsed = true)
-      }
+      MpegTs.parseAdts(b).map(adtsToMedia)
     else if (is(0, "ID3") || ((b(0) & 0xFF) == 0xFF &&
       (b(1) & 0xE0) == 0xE0))
       Mp3.parseMp3(b).map { m =>

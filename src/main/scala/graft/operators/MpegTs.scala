@@ -149,6 +149,74 @@ object MpegTs {
     }
   }
 
+  /** The path-level stream form of [[parseAdts]]: frames consumed one
+    * header at a time off an `InputStream` through the SAME
+    * [[parseAdtsHeader]] and the same refusal matrix (truncated final
+    * frame, config drift, any invalid header) — residency is one
+    * 9-byte header buffer whatever the stream length, so a multi-hour
+    * radio rip costs the same memory as a jingle. On any byte array
+    * `b`, `parseAdtsStream(new ByteArrayInputStream(b))` equals
+    * `parseAdts(b)` (spec-pinned, including dribbling reads).
+    */
+  private[graft] def parseAdtsStream(
+      in: java.io.InputStream): Option[AdtsInfo] = {
+    val hdr = new Array[Byte](9)
+    def readFullyOrEof(off: Int, n: Int): Int = {
+      var got = 0
+      var r = 0
+      while (got < n && r >= 0) {
+        r = in.read(hdr, off + got, n - got)
+        if (r > 0) got += r
+      }
+      got
+    }
+    def skipFully(n0: Long): Boolean = {
+      var left = n0
+      while (left > 0L) {
+        val s = in.skip(left)
+        if (s > 0L) left -= s
+        else if (in.read() < 0) return false // truncated mid-frame
+        else left -= 1
+      }
+      true
+    }
+    var first: Option[(Int, Int, Int, Boolean)] = None
+    var frames = 0L
+    var samples = 0L
+    var eof = false
+    while (!eof) {
+      val got = readFullyOrEof(0, 7)
+      if (got == 0 && frames > 0) eof = true // clean frame boundary
+      else if (got < 7) return None // empty stream or torn header
+      else {
+        // a CRC-protected header is 9 bytes — the buffered walk
+        // demands all 9 present, so read the 2 CRC bytes before
+        // judging the header (a torn CRC refuses, exactly like a
+        // buffer ending inside it)
+        val headerLen =
+          if ((hdr(1) & 0x01) == 0) {
+            if (readFullyOrEof(7, 2) < 2) return None
+            9
+          } else 7
+        val h = parseAdtsHeader(hdr, 0, headerLen)
+          .getOrElse(return None)
+        val (profile, sfIdx, channels, crc, frameLen, rdb) = h
+        first match {
+          case None => first = Some((profile, sfIdx, channels, crc))
+          case Some(f) =>
+            if (f != ((profile, sfIdx, channels, crc))) return None
+        }
+        if (!skipFully(frameLen - headerLen.toLong)) return None
+        frames += 1
+        samples += 1024L * (rdb + 1)
+      }
+    }
+    first.map { case (profile, sfIdx, channels, crc) =>
+      AdtsInfo(AdtsRates(sfIdx), channels, profile, crc, frames,
+        samples)
+    }
+  }
+
   /** Output row of [[adtsMetaScan]]. */
   case class AdtsMeta(id: Long, sampleRate: Int, channels: Int,
       profile: String, crc: Boolean, frames: Long, samples: Long,

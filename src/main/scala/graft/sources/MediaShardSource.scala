@@ -37,11 +37,12 @@ final case class MediaShardMeta(shard_path: String, file_bytes: Long,
   *    mdat — [[Mp4.parseMp4Seek]] hops box headers and reads only
   *    the moov ([[Mp4ShardSource]]'s engine). Residency
   *    O(headers + moov).
-  *  - **stream** (MPEG-TS): chained grammar — the forward packet
-  *    walk through [[MpegTs.parseTsStream]]
-  *    ([[MpegTsShardSource]]'s engine). Residency one packet plus
-  *    the capped SPS buffer.
-  *  - **full** (GIF, MP3, ADTS, Ogg): the grammar needs the tail
+  *  - **stream** (MPEG-TS, ADTS): chained grammars — the forward
+  *    packet walk through [[MpegTs.parseTsStream]]
+  *    ([[MpegTsShardSource]]'s engine), or the ADTS frame-header hop
+  *    through [[MpegTs.parseAdtsStream]]. Residency one packet /
+  *    one 9-byte header (plus TS's capped SPS buffer).
+  *  - **full** (GIF, MP3, Ogg): the grammar needs the tail
   *    (block walk / to-EOF frame chain / last-page granule) and this
   *    library has no cheaper honest walk — a whole read CAPPED at
   *    `maxFullReadBytes`; a file past the cap refuses
@@ -113,9 +114,16 @@ object MediaShardSource {
                 .map(Media.mp4ToMedia)
             case "stream" =>
               stream.seek(0L)
-              MpegTs.parseTsStream(
-                new BufferedInputStream(stream, 1 << 16),
-                maxEsScanBytes).map(Media.tsToMedia)
+              val buffered = new BufferedInputStream(stream, 1 << 16)
+              // two chained grammars stream: TS (packet walk) and
+              // ADTS (frame-header hop) — disambiguated by the same
+              // magic the route decision used
+              if ((sniff(0) & 0xFF) == 0x47)
+                MpegTs.parseTsStream(buffered, maxEsScanBytes)
+                  .map(Media.tsToMedia)
+              else
+                MpegTs.parseAdtsStream(buffered)
+                  .map(Media.adtsToMedia)
             case "full" if len <= maxFullReadBytes =>
               val whole = new Array[Byte](len.toInt)
               stream.readFully(0L, whole, 0, whole.length)

@@ -47,7 +47,7 @@ class MediaShardSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val expectedRoute = Map("avi" -> "prefix", "gif" -> "full",
     "mp4" -> "seek", "webm" -> "prefix", "wav" -> "prefix",
     "flac" -> "prefix", "mp3" -> "full", "ogg" -> "full",
-    "adts" -> "full", "mpegts" -> "stream")
+    "adts" -> "stream", "mpegts" -> "stream")
 
   test("ten-family mixed directory: every file routes to its " +
       "cheapest honest walk and the fields equal the column census " +

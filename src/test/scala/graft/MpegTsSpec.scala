@@ -158,6 +158,40 @@ class MpegTsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!lrow.getAs[Boolean]("parsed"))
   }
 
+  test("ADTS stream walk: byte-equal to the buffered walk on every " +
+      "honesty-matrix shape, one 9-byte header resident — including " +
+      "a dribbling one-byte-at-a-time stream") {
+    val good = MpegTs.buildAdts(1, 4, 2, 5, payloadPerFrame = 27)
+    val crc = MpegTs.buildAdts(0, 8, 1, 3, crc = true, rdb = 1)
+    val cases = Seq[Array[Byte]](
+      good, crc,
+      good.dropRight(4), // truncated final frame
+      good ++ MpegTs.buildAdts(1, 8, 2, 2), // config drift
+      good.take(7), // lone header, stride past EOF
+      crc.take(8), // CRC byte torn off the first header
+      Array[Byte](), Array[Byte](0xFF.toByte),
+      Array.fill[Byte](64)(0x11)) // garbage
+    for (b <- cases) {
+      val buffered = MpegTs.parseAdts(b)
+      assert(MpegTs.parseAdtsStream(
+        new java.io.ByteArrayInputStream(b)) === buffered)
+      val dribble = new java.io.InputStream {
+        private var i = 0
+        override def read(): Int =
+          if (i >= b.length) -1
+          else { val v = b(i) & 0xFF; i += 1; v }
+        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+          if (i >= b.length) return -1
+          buf(off) = b(i); i += 1; 1
+        }
+        override def skip(n: Long): Long = 0L // force the read path
+      }
+      assert(MpegTs.parseAdtsStream(dribble) === buffered)
+    }
+    assert(MpegTs.parseAdtsStream(
+      new java.io.ByteArrayInputStream(good)).isDefined)
+  }
+
   test("packet-bounded ADTS sniff: a PES header leaving fewer than 7 " +
       "payload bytes in the packet must NOT read the next packet's " +
       "sync/PID bytes as ADTS fields — column and stream walks agree") {
