@@ -2008,9 +2008,11 @@ object SparkEntry {
   /** The [[syntheticMediaClassed]] mixed corpus written as ON-DISK
     * files — the crawl-landing-directory shape the unified path-level
     * census ([[graft.sources.MediaShardSource]]) routes by magic.
-    * MP4-family odd ids are rewritten to the trailing-moov layout
-    * (the fields are layout-invariant — exactly what the seek route
-    * must prove), and every doc_id % 64 == 63 ALSO drops a
+    * MP4-family files in odd GROUPS (id / 64 odd — the family's ids
+    * are all ≡ 2 mod 8, hence even) are rewritten to the
+    * trailing-moov layout (the fields are layout-invariant — exactly
+    * what the seek route must prove), and every doc_id % 64 == 63
+    * ALSO drops a
     * [[syntheticMpegTsClassed]]-form `.ts` segment so the census
     * exercises the stream route in the same directory.
     */
@@ -2023,8 +2025,12 @@ object SparkEntry {
       rows.foreach { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
+        // the MP4 family is id ≡ 2 (mod 8) — always even — so the
+        // layout split alternates by GROUP (id / 64), not by id
+        // parity, to actually exercise both layouts
         val laid =
-          if (id % 64 % 8 == 2 && id % 2 == 1) Mp4.toTrailingMoov(bytes)
+          if (id % 64 % 8 == 2 && (id / 64) % 2 == 1)
+            Mp4.toTrailingMoov(bytes)
           else bytes
         java.nio.file.Files.write(out.resolve(s"m_$id.bin"), laid)
         if (id % 64 == 63) {
@@ -4272,20 +4278,27 @@ object SparkEntry {
       // a REAL drop directory + a fresh PER-RUN stage dir. The drop
       // path must be DETERMINISTIC (doc ids hash the archive path —
       // the oracle replays it), so it cannot be a random temp dir;
-      // it is scoped by the documents row count (the oracle derives
-      // the same scope from its own count(*)), so different SFs never
-      // share a path, and each file lands by ATOMIC rename of
-      // identical bytes, so concurrent same-SF sessions can only
-      // replace a file with itself — no rmTree, no mid-build
-      // deletion window. Stages stay per-run (a stale stage dir must
-      // never turn the timed build into a resume no-op; runs never
-      // share one).
-      val docCount = t(s, dir, "documents").count()
-      val warcDir = new java.io.File(
-        s"/tmp/graft_q_corpus_build/n$docCount/warc")
+      // it is scoped by the documents row count AND a doc_id-sum
+      // fingerprint (the oracle derives the identical scope from its
+      // own count(*)/sum(doc_id)), so different datasets never share
+      // a path even at equal counts. Each file STAGES in the parent
+      // dir (never inside warc/ — a leaked temp file there would be
+      // listed and ingested as an archive) and lands by ATOMIC
+      // rename of deterministic bytes, so concurrent same-dataset
+      // sessions can only replace a file with itself — no rmTree, no
+      // mid-build deletion window. Stages stay per-run (a stale
+      // stage dir must never turn the timed build into a resume
+      // no-op; runs never share one).
+      val scopeRow = t(s, dir, "documents")
+        .agg(count(lit(1)), sum(col("doc_id") % 1000000007L))
+        .head
+      val scope =
+        s"n${scopeRow.getLong(0)}_h${scopeRow.getLong(1) % 1000000007L}"
+      val root = new java.io.File(s"/tmp/graft_q_corpus_build/$scope")
+      val warcDir = new java.io.File(root, "warc")
       warcDir.mkdirs()
       archives.foreach { r =>
-        val tmp = java.nio.file.Files.createTempFile(warcDir.toPath,
+        val tmp = java.nio.file.Files.createTempFile(root.toPath,
           ".w", ".tmp")
         java.nio.file.Files.write(tmp, r.getAs[Array[Byte]](1))
         java.nio.file.Files.move(tmp,
@@ -7438,7 +7451,9 @@ object SparkEntry {
          |  FROM d),
          |ids AS (SELECT ${H60(
              "'file:/tmp/graft_q_corpus_build/n' || " +
-             "(SELECT count(*) FROM documents) || " +
+             "(SELECT count(*) FROM documents) || '_h' || " +
+             "(SELECT sum(doc_id % 1000000007) % 1000000007 " +
+             "FROM documents) || " +
              "'/warc/wet-' || g || '.warc:' || rs")} AS id, text
          |  FROM seq),
          |mix AS (SELECT ${H60("CAST(id AS VARCHAR) || ':0'")} AS mid,

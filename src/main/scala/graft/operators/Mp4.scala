@@ -886,6 +886,12 @@ object Mp4 {
     val moovs = new java.io.ByteArrayOutputStream()
     var pos = 0L
     while (pos + 8 <= total) {
+      // a size-0 (extends-to-EOF) box would still claim "to EOF"
+      // AFTER the moov is appended behind it, hiding the relocated
+      // metadata from every walk — refuse rather than corrupt
+      require(be32(bytes, pos.toInt) != 0L,
+        s"box at $pos uses the to-EOF size-0 form; relocating a moov " +
+          "behind it would make the moov unreachable")
       val (typ, _, boxEnd) = boxAt(bytes, pos, total, total)
         .getOrElse(throw new IllegalArgumentException(
           s"malformed box at $pos"))

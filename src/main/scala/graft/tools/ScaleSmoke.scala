@@ -3149,7 +3149,7 @@ object ScaleSmoke {
     // this drives their COMPOSITION (staged parquet, lineage tokens,
     // the LM tier pass) at corpus scale.
     CorpusBuildSmoke.run(spark,
-      nCb = args.lift(2).map(_.toInt).getOrElse(1000000))
+      nCb = args.lift(3).map(_.toInt).getOrElse(1000000))
 
     // --- STREAMING multi-GiB tar shards: the path-level source walks
     // shards far beyond any column-operator cap with ONE member
