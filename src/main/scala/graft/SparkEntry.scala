@@ -7658,6 +7658,7 @@ object SparkEntry {
         |  CASE f WHEN 0 THEN 'prefix' WHEN 1 THEN 'full'
         |    WHEN 2 THEN 'seek' WHEN 3 THEN 'prefix'
         |    WHEN 4 THEN 'prefix' WHEN 5 THEN 'prefix'
+        |    WHEN 6 THEN 'stream'
         |    ELSE 'full' END AS route,
         |  TRUE AS parsed
         |FROM g

@@ -115,6 +115,13 @@ object Media {
     MediaMeta(0L, "adts", a.durationMs, 0, 0, "", "aac",
       a.sampleRate, parsed = true)
 
+  /** The MP3 arm's field mapping — shared by the column dispatch
+    * and the path-level census's stream route.
+    */
+  private[graft] def mp3ToMedia(m: Mp3.Mp3Meta): MediaMeta =
+    MediaMeta(0L, "mp3", m.durationMs, 0, 0, "", "mp3",
+      m.sampleRate, parsed = true)
+
   /** The MPEG-TS arm's field mapping — shared by the column dispatch
     * and the path-level census's stream route.
     */
@@ -136,13 +143,12 @@ object Media {
     *    AVIF/HEIF, WebM/Matroska) — one bounded header read answers.
     *  - `"seek"`: indexed grammar (ISO-BMFF — moov may trail) — hop
     *    box headers, fetch only the metadata subtree.
-    *  - `"stream"`: chained grammars (MPEG-TS packets, ADTS frame
-    *    hops) — the forward walk IS the honest streamed form,
-    *    O(packet)/O(header) residency.
-    *  - `"full"`: the grammar needs the tail with no cheaper honest
-    *    walk in this library (GIF block walk, MP3's to-EOF sync walk
-    *    with Xing/ID3 handling, Ogg last-page granule) — a capped
-    *    whole read.
+    *  - `"stream"`: chained grammars (MPEG-TS packets, ADTS and
+    *    MP3 frame hops) — the forward walk IS the honest streamed
+    *    form, O(packet)/O(frame-header) residency.
+    *  - `"full"`: the grammar needs the full walk with no cheaper
+    *    honest form in this library (GIF's block walk, Ogg's
+    *    every-page CRC verification) — a capped whole read.
     *  - `""`: unknown container (the census row refuses).
     */
   private[graft] def routeOf(b: Array[Byte], fileLen: Long): String = {
@@ -155,7 +161,7 @@ object Media {
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF0) == 0xF0 &&
       (b(1) & 0x06) == 0) "stream" // ADTS (layer 00): O(1) frame hop
     else if (is(0, "ID3") || ((b(0) & 0xFF) == 0xFF &&
-      (b(1) & 0xE0) == 0xE0)) "full" // MP3
+      (b(1) & 0xE0) == 0xE0)) "stream" // MP3: O(1) frame hop
     else if (is(0, "RIFF") && is(8, "AVI ")) "prefix"
     else if (is(0, "FORM") && is(8, "AIFF")) "prefix"
     else if (is(0, "GIF8")) "full"
@@ -256,10 +262,7 @@ object Media {
       MpegTs.parseAdts(b).map(adtsToMedia)
     else if (is(0, "ID3") || ((b(0) & 0xFF) == 0xFF &&
       (b(1) & 0xE0) == 0xE0))
-      Mp3.parseMp3(b).map { m =>
-        MediaMeta(0L, "mp3", m.durationMs, 0, 0, "", "mp3",
-          m.sampleRate, parsed = true)
-      }
+      Mp3.parseMp3(b).map(mp3ToMedia)
     else if (is(0, "RIFF") && is(8, "AVI "))
       Video.parseAvi(b).map { m =>
         val vc =

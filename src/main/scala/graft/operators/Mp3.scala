@@ -340,6 +340,120 @@ object Mp3 {
       frames * spf * 1000L / rate, parsed = true))
   }
 
+  /** The path-level stream form of [[parseMp3]]: the same forward
+    * walk — optional ID3v2 skip, Layer III frame hops with the
+    * version/rate drift refusals, the frame-0 Xing/Info sniff —
+    * consumed off an `InputStream` with ONE frame buffered only for
+    * frame 0 (a Layer III frame is ≤ ~1.5 KB) and every later frame
+    * SKIPPED by its declared stride, so a multi-hour podcast rip
+    * costs O(1) memory. On any byte array `b`,
+    * `parseMp3Stream(new ByteArrayInputStream(b))` equals
+    * `parseMp3(b)` (spec-pinned, including dribbling reads): EOF
+    * mid-tag, mid-header, or mid-frame refuses exactly where the
+    * buffered walk's bounds checks do.
+    */
+  private[graft] def parseMp3Stream(
+      in: java.io.InputStream): Option[Mp3Meta] = {
+    val hdr = new Array[Byte](10)
+    def readUpTo(buf: Array[Byte], off: Int, n: Int): Int = {
+      var got = 0
+      var r = 0
+      while (got < n && r >= 0) {
+        r = in.read(buf, off + got, n - got)
+        if (r > 0) got += r
+      }
+      got
+    }
+    def skipFully(n0: Long): Boolean = {
+      var left = n0
+      while (left > 0L) {
+        val s = in.skip(left)
+        if (s > 0L) left -= s
+        else if (in.read() < 0) return false
+        else left -= 1
+      }
+      true
+    }
+    // optional ID3v2 tag — mirror parseMp3's gate exactly: a stream
+    // shorter than the 10-byte tag header refuses (its bytes cannot
+    // be a frame header either), a footer flag refuses, EOF inside
+    // or exactly at the end of the tag refuses
+    var have = readUpTo(hdr, 0, 4)
+    if (have < 4) return None
+    if (hdr(0) == 'I'.toByte && hdr(1) == 'D'.toByte &&
+      hdr(2) == '3'.toByte) {
+      if (readUpTo(hdr, 4, 6) < 6) return None
+      if ((hdr(5) & 0x10) != 0) return None // footer: unsupported
+      val size = ((hdr(6) & 0x7F) << 21) | ((hdr(7) & 0x7F) << 14) |
+        ((hdr(8) & 0x7F) << 7) | (hdr(9) & 0x7F)
+      if (!skipFully(size.toLong)) return None
+      have = 0
+    }
+    var frames = 0L
+    var versionBits = -1
+    var rateIdx = -1
+    var channels = 0
+    var firstKbps = 0
+    var vbr = false
+    var xingFrames = -1L
+    var eof = false
+    while (!eof) {
+      if (have < 4) {
+        val got = readUpTo(hdr, have, 4 - have)
+        if (got == 0 && have == 0 && frames > 0) eof = true
+        else if (have + got < 4) return None // torn header (or empty)
+      }
+      if (!eof) {
+        have = 0
+        val (vb, ri, kbps, ch, fb) =
+          frameHeader(hdr, 0).getOrElse(return None)
+        if (frames == 0L) {
+          versionBits = vb; rateIdx = ri; channels = ch
+          firstKbps = kbps
+          // frame 0 is buffered whole for the Xing/Info sniff — the
+          // one frame this walk ever materializes
+          val frame0 = new Array[Byte](fb)
+          System.arraycopy(hdr, 0, frame0, 0, math.min(4, fb))
+          if (fb > 4 && readUpTo(frame0, 4, fb - 4) < fb - 4)
+            return None // truncated first frame
+          val side =
+            if (vb == 3) { if (ch == 1) 17 else 32 }
+            else { if (ch == 1) 9 else 17 }
+          val x = 4 + side
+          if (x + 8 <= fb) {
+            val tag = new String(frame0, x, 4, "US-ASCII")
+            if (tag == "Xing" || tag == "Info") {
+              val flags = ((frame0(x + 4) & 0xFF) << 24) |
+                ((frame0(x + 5) & 0xFF) << 16) |
+                ((frame0(x + 6) & 0xFF) << 8) | (frame0(x + 7) & 0xFF)
+              if ((flags & 1) != 0 && x + 12 <= fb)
+                xingFrames = ((frame0(x + 8) & 0xFFL) << 24) |
+                  ((frame0(x + 9) & 0xFFL) << 16) |
+                  ((frame0(x + 10) & 0xFFL) << 8) |
+                  (frame0(x + 11) & 0xFFL)
+            }
+          }
+        } else {
+          if (vb != versionBits || ri != rateIdx) return None
+          if (kbps != firstKbps) vbr = true
+          if (!skipFully(fb - 4L)) return None // truncated frame
+        }
+        frames += 1
+      }
+    }
+    if (frames == 0L) return None
+    val rate = SampleRates(versionBits)(rateIdx)
+    val spf = samplesPerFrame(versionBits)
+    val version = versionBits match {
+      case 3 => "1"
+      case 2 => "2"
+      case _ => "2.5"
+    }
+    Some(Mp3Meta(0L, version, rate, channels, frames,
+      if (vbr) 0 else firstKbps, vbr, xingFrames,
+      frames * spf * 1000L / rate, parsed = true))
+  }
+
   // ---- encoder (round-trip twin; also the fixture builder) -----------
 
   /** Build a valid Layer III frame stream: `nFrames` frames of the

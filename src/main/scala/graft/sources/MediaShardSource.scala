@@ -37,14 +37,17 @@ final case class MediaShardMeta(shard_path: String, file_bytes: Long,
   *    mdat — [[Mp4.parseMp4Seek]] hops box headers and reads only
   *    the moov ([[Mp4ShardSource]]'s engine). Residency
   *    O(headers + moov).
-  *  - **stream** (MPEG-TS, ADTS): chained grammars — the forward
-  *    packet walk through [[MpegTs.parseTsStream]]
-  *    ([[MpegTsShardSource]]'s engine), or the ADTS frame-header hop
-  *    through [[MpegTs.parseAdtsStream]]. Residency one packet /
-  *    one 9-byte header (plus TS's capped SPS buffer).
-  *  - **full** (GIF, MP3, Ogg): the grammar needs the tail
-  *    (block walk / to-EOF frame chain / last-page granule) and this
-  *    library has no cheaper honest walk — a whole read CAPPED at
+  *  - **stream** (MPEG-TS, ADTS, MP3): chained grammars — the
+  *    forward packet walk through [[MpegTs.parseTsStream]]
+  *    ([[MpegTsShardSource]]'s engine), the ADTS frame-header hop
+  *    through [[MpegTs.parseAdtsStream]], or the MP3 frame hop
+  *    through [[graft.operators.Mp3.parseMp3Stream]]. Residency one
+  *    packet / one frame header (plus TS's capped SPS buffer and
+  *    MP3's one buffered first frame for the Xing sniff).
+  *  - **full** (GIF, Ogg): the grammar needs the full walk (GIF's
+  *    block walk; Ogg verifies EVERY page CRC, which a tail seek
+  *    would skip) and this library has no cheaper honest form that
+  *    keeps the column contract — a whole read CAPPED at
   *    `maxFullReadBytes`; a file past the cap refuses
   *    (`parsed = false`) rather than buffering unbounded. These
   *    families are small in practice; a multi-GiB one is exactly a
@@ -115,15 +118,19 @@ object MediaShardSource {
             case "stream" =>
               stream.seek(0L)
               val buffered = new BufferedInputStream(stream, 1 << 16)
-              // two chained grammars stream: TS (packet walk) and
-              // ADTS (frame-header hop) — disambiguated by the same
-              // magic the route decision used
+              // three chained grammars stream: TS (packet walk),
+              // ADTS and MP3 (frame-header hops) — disambiguated by
+              // the same magics the route decision used
               if ((sniff(0) & 0xFF) == 0x47)
                 MpegTs.parseTsStream(buffered, maxEsScanBytes)
                   .map(Media.tsToMedia)
-              else
+              else if ((sniff(0) & 0xFF) == 0xFF &&
+                (sniff(1) & 0xF0) == 0xF0 && (sniff(1) & 0x06) == 0)
                 MpegTs.parseAdtsStream(buffered)
                   .map(Media.adtsToMedia)
+              else
+                graft.operators.Mp3.parseMp3Stream(buffered)
+                  .map(Media.mp3ToMedia)
             case "full" if len <= maxFullReadBytes =>
               val whole = new Array[Byte](len.toInt)
               stream.readFully(0L, whole, 0, whole.length)

@@ -46,7 +46,7 @@ class MediaShardSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val expectedRoute = Map("avi" -> "prefix", "gif" -> "full",
     "mp4" -> "seek", "webm" -> "prefix", "wav" -> "prefix",
-    "flac" -> "prefix", "mp3" -> "full", "ogg" -> "full",
+    "flac" -> "prefix", "mp3" -> "stream", "ogg" -> "full",
     "adts" -> "stream", "mpegts" -> "stream")
 
   test("ten-family mixed directory: every file routes to its " +
@@ -90,7 +90,8 @@ class MediaShardSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.write(dir.resolve("u.bin"),
       Array.fill[Byte](64)(0x11))
     java.nio.file.Files.write(dir.resolve("big.bin"),
-      Mp3.buildMp3(3, 0, Seq.fill(20)(5), mono = true))
+      Audio.buildOgg("opus", channels = 1, sampleRate = 8000,
+        granule = 960L))
     val rows = MediaShardSource
       .metaScanDF(spark, dir.toString + "/*.bin",
         maxFullReadBytes = 32)

@@ -231,4 +231,49 @@ class Mp3Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(!mid.getAs[Boolean]("present"))
   }
+
+  test("MP3 stream walk: byte-equal to the buffered walk on the " +
+      "whole honesty matrix — CBR, VBR, Xing, ID3v2-tagged, " +
+      "truncated, drifting, id3v1-trailed, garbage — including a " +
+      "dribbling one-byte stream, with one frame resident") {
+    val cases = Seq[Array[Byte]](
+      Mp3.buildMp3(3, 0, Seq.fill(5)(5), mono = true), // CBR MPEG-1
+      Mp3.buildMp3(2, 1, Seq(3, 5, 7, 5), mono = false), // VBR MPEG-2
+      Mp3.buildMp3(3, 0, Seq.fill(4)(5), mono = true,
+        xingFrames = 4L), // Xing count in frame 0
+      Mp3.buildMp3(3, 0, Seq.fill(3)(5), mono = true, id3Bytes = 64,
+        id3Frames = Seq("TIT2" -> "t"), id3Major = 4), // ID3v2 skip
+      Mp3.buildMp3(0, 2, Seq.fill(3)(8), mono = true), // MPEG-2.5
+      Mp3.buildMp3(3, 0, Seq.fill(5)(5), mono = true).dropRight(7),
+      Mp3.buildMp3(3, 0, Seq.fill(2)(5), mono = true) ++
+        Mp3.buildMp3(2, 1, Seq.fill(2)(5), mono = true), // drift
+      Mp3.withId3v1(Mp3.buildMp3(3, 0, Seq.fill(3)(5), mono = true),
+        "t", "a", "al", "1999", "", -1, 0), // trailer: both refuse
+      Mp3.buildMp3(3, 0, Seq.fill(3)(5), mono = true).take(2),
+      "ID3".getBytes("UTF-8"), // shorter than the tag header
+      Array[Byte](), Array.fill[Byte](64)(0x11))
+    for (b <- cases) {
+      val buffered = Mp3.parseMp3(b)
+      assert(Mp3.parseMp3Stream(
+        new java.io.ByteArrayInputStream(b)) === buffered)
+      val dribble = new java.io.InputStream {
+        private var i = 0
+        override def read(): Int =
+          if (i >= b.length) -1
+          else { val v = b(i) & 0xFF; i += 1; v }
+        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+          if (i >= b.length) return -1
+          buf(off) = b(i); i += 1; 1
+        }
+        override def skip(n: Long): Long = 0L // force the read path
+      }
+      assert(Mp3.parseMp3Stream(dribble) === buffered)
+    }
+    // at least the happy paths must actually parse
+    assert(Mp3.parseMp3Stream(new java.io.ByteArrayInputStream(
+      Mp3.buildMp3(3, 0, Seq.fill(5)(5), mono = true))).isDefined)
+    assert(Mp3.parseMp3Stream(new java.io.ByteArrayInputStream(
+      Mp3.buildMp3(3, 0, Seq.fill(4)(5), mono = true,
+        xingFrames = 4L))).get.xingFrames === 4L)
+  }
 }
