@@ -113,6 +113,17 @@ case class AudioStatsExpr(child: Expression)
     StructField("zero_crossings", LongType, nullable = false),
     StructField("total_energy", LongType, nullable = false)))
 
+  // The kernel returns null for a null ELEMENT (the whole-array-null
+  // contract), so the result is nullable whenever the elements are —
+  // not just when the array column itself is. Precision matters for
+  // codegen too: nullSafeCodeGen only declares `boolean ${ev.isNull}`
+  // when `nullable` is true, so the null branch below must be emitted
+  // if and only if this is.
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(IntegerType | LongType, _) =>
@@ -133,10 +144,20 @@ case class AudioStatsExpr(child: Expression)
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val boxed = ctx.freshName("boxed")
+      // `${ev.isNull}` is only a declared variable when `nullable` is
+      // true (nullSafeCodeGen's non-nullable branch replaces it with a
+      // literal AFTER this string is built — assigning to it would
+      // reference an undeclared name and kill compilation of the whole
+      // generated class). Non-nullable input means containsNull=false,
+      // so the kernel cannot return null; fail loud if it ever does.
+      val onNull =
+        if (nullable) s"${ev.isNull} = true;"
+        else "throw new IllegalStateException(" +
+          "\"audio_stats_native: null from non-nullable input\");"
       s"""
          |org.apache.spark.sql.catalyst.InternalRow $boxed =
          |  graft.expressions.AudioStatsKernel.stats($a, $longElems);
-         |if ($boxed == null) { ${ev.isNull} = true; }
+         |if ($boxed == null) { $onNull }
          |else { ${ev.value} = $boxed; }
        """.stripMargin
     })
@@ -156,6 +177,15 @@ case class AudioEnergiesExpr(left: Expression, right: Expression,
 
   override def prettyName: String = "audio_energies_native"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Same null contract and same codegen constraint as
+  // [[AudioStatsExpr.nullable]]: null is reachable only through a null
+  // input or a null element.
+  override def nullable: Boolean =
+    left.nullable || right.nullable || (left.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -179,10 +209,16 @@ case class AudioEnergiesExpr(left: Expression, right: Expression,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, w) => {
       val boxed = ctx.freshName("boxed")
+      // See AudioStatsExpr.doGenCode: assigning ${ev.isNull} is only
+      // legal when `nullable` declared the variable.
+      val onNull =
+        if (nullable) s"${ev.isNull} = true;"
+        else "throw new IllegalStateException(" +
+          "\"audio_energies_native: null from non-nullable input\");"
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $boxed =
          |  graft.expressions.AudioKernels.energies($a, $w, $nWindows, $longElems);
-         |if ($boxed == null) { ${ev.isNull} = true; }
+         |if ($boxed == null) { $onNull }
          |else { ${ev.value} = $boxed; }
        """.stripMargin
     })
