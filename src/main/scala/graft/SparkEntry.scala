@@ -4729,8 +4729,9 @@ object SparkEntry {
     // the unified path-level media census: ONE mixed drop directory
     // (eight container families + planted .ts segments), every FILE
     // routed by magic to its cheapest honest walk — prefix read /
-    // seek walk / forward stream / capped full read — replaying the
-    // SAME closed forms as the column census plus the route itself
+    // seek walk / forward stream, no route buffers a whole file —
+    // replaying the SAME closed forms as the column census plus the
+    // route itself
     "q_media_stream" -> ((s, dir) =>
       graft.sources.MediaShardSource
         .metaScanDF(s, mediaShardDir(s, dir) + "/*_*.*")
@@ -7655,11 +7656,11 @@ object SparkEntry {
         |    WHEN f = 4 THEN 8000 WHEN f = 5 THEN 8000
         |    WHEN f = 6 THEN 44100 WHEN f = 7 THEN 8000
         |    ELSE 0 END AS BIGINT) AS audio_rate,
-        |  CASE f WHEN 0 THEN 'prefix' WHEN 1 THEN 'full'
+        |  CASE f WHEN 0 THEN 'prefix' WHEN 1 THEN 'stream'
         |    WHEN 2 THEN 'seek' WHEN 3 THEN 'prefix'
         |    WHEN 4 THEN 'prefix' WHEN 5 THEN 'prefix'
         |    WHEN 6 THEN 'stream'
-        |    ELSE 'full' END AS route,
+        |    ELSE 'stream' END AS route,
         |  TRUE AS parsed
         |FROM g
         |UNION ALL

@@ -1420,18 +1420,10 @@ object Audio {
         le32at(pos + 22)) return None // page CRC must verify
       if (first) {
         if ((b(pos + 5) & 0x02) == 0) return None // BOS flag required
-        // Vorbis ID: 0x01 "vorbis" ver(4) ch(1) rate(4) …
-        if (bodyLen >= 16 && (b(body) & 0xFF) == 0x01 &&
-          new String(b, body + 1, 6, "US-ASCII") == "vorbis") {
-          codec = "vorbis"
-          channels = b(body + 11) & 0xFF
-          rate = le32at(body + 12).toInt
-        } else if (bodyLen >= 19 &&
-          new String(b, body, 8, "US-ASCII") == "OpusHead") {
-          codec = "opus"
-          channels = b(body + 9) & 0xFF
-          rate = le32at(body + 12).toInt
-        } else return None
+        oggIdPacket(b, body, bodyLen) match {
+          case Some((c, ch, r)) => codec = c; channels = ch; rate = r
+          case None => return None
+        }
         if (channels <= 0 || rate <= 0) return None
         first = false
       }
@@ -1440,6 +1432,101 @@ object Audio {
       pos = body + bodyLen
     }
     if (first || pos != b.length) return None // trailing junk refuses
+    Some((codec, channels, rate, math.max(0L, granule)))
+  }
+
+  /** The BOS page's identification packet: (codec, channels, rate)
+    * for Vorbis (`0x01 "vorbis" ver(4) ch(1) rate(4) …`) and Opus
+    * (`"OpusHead" ver ch preskip(2) rate(4) …`) — the ONE packet
+    * parser both the buffered walk ([[parseOgg]]) and the path-level
+    * stream walk ([[parseOggStream]]) dispatch through, so the two
+    * carriers cannot drift on codec identification.
+    */
+  private def oggIdPacket(b: Array[Byte], body: Int,
+      bodyLen: Int): Option[(String, Int, Int)] = {
+    def le32at(o: Int): Long = (b(o) & 0xFFL) |
+      ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) |
+      ((b(o + 3) & 0xFFL) << 24)
+    if (bodyLen >= 16 && (b(body) & 0xFF) == 0x01 &&
+      new String(b, body + 1, 6, "US-ASCII") == "vorbis")
+      Some(("vorbis", b(body + 11) & 0xFF, le32at(body + 12).toInt))
+    else if (bodyLen >= 19 &&
+      new String(b, body, 8, "US-ASCII") == "OpusHead")
+      Some(("opus", b(body + 9) & 0xFF, le32at(body + 12).toInt))
+    else None
+  }
+
+  /** The path-level stream form of [[parseOgg]]: the same forward
+    * page walk — magic + version, EVERY page's RFC 3533 CRC, the BOS
+    * identification packet through [[oggIdPacket]], the last
+    * completed-packet granule — consumed off an `InputStream` with
+    * ONE page resident (an Ogg page is ≤ 65,307 bytes by grammar:
+    * 27-byte header + ≤255 segment lengths + ≤255·255 body). The
+    * buffered walk needs the whole capture in memory; this walk
+    * censuses a multi-GiB live-stream dump at O(page). On any byte
+    * array `b`, `parseOggStream(new ByteArrayInputStream(b))` equals
+    * `parseOgg(b)` (spec-pinned, including dribbling reads): EOF
+    * mid-header, mid-segment-table, or mid-body refuses exactly
+    * where the buffered walk's bounds checks do, and a clean EOF at
+    * a page boundary ends the walk exactly where `pos == b.length`
+    * accepts.
+    */
+  private[graft] def parseOggStream(
+      in: java.io.InputStream): Option[(String, Int, Int, Long)] = {
+    val page = new Array[Byte](27 + 255 + 255 * 255)
+    def readUpTo(off: Int, n: Int): Int = {
+      var got = 0
+      var r = 0
+      while (got < n && r >= 0) {
+        r = in.read(page, off + got, n - got)
+        if (r > 0) got += r
+      }
+      got
+    }
+    def le32(o: Int): Long = (page(o) & 0xFFL) |
+      ((page(o + 1) & 0xFFL) << 8) | ((page(o + 2) & 0xFFL) << 16) |
+      ((page(o + 3) & 0xFFL) << 24)
+    var codec = ""
+    var channels = 0
+    var rate = 0
+    var granule = -1L
+    var first = true
+    var eof = false
+    while (!eof) {
+      val got = readUpTo(0, 27)
+      if (got == 0) eof = true // clean end at a page boundary
+      else {
+        if (got < 27) return None // torn page header
+        if (page(0) != 'O'.toByte || page(1) != 'g'.toByte ||
+          page(2) != 'g'.toByte || page(3) != 'S'.toByte ||
+          page(4) != 0) return None
+        val nSegs = page(26) & 0xFF
+        if (readUpTo(27, nSegs) < nSegs) return None
+        var bodyLen = 0
+        var s = 0
+        while (s < nSegs) {
+          bodyLen += page(27 + s) & 0xFF
+          s += 1
+        }
+        val body = 27 + nSegs
+        if (readUpTo(body, bodyLen) < bodyLen) return None
+        if (oggPageCrc(page, 0, body + bodyLen) != le32(22))
+          return None // page CRC must verify
+        if (first) {
+          if ((page(5) & 0x02) == 0) return None // BOS flag required
+          oggIdPacket(page, body, bodyLen) match {
+            case Some((c, ch, r)) => codec = c; channels = ch; rate = r
+            case None => return None
+          }
+          if (channels <= 0 || rate <= 0) return None
+          first = false
+        }
+        val pageGranule = le32(6) | (le32(10) << 32)
+        // -1 marks a page with no completed packet; skip for duration
+        if (pageGranule != -1L) granule = pageGranule
+      }
+    }
+    if (first) return None
     Some((codec, channels, rate, math.max(0L, granule)))
   }
 

@@ -261,6 +261,112 @@ object Gif {
     None // ran out before the trailer
   }
 
+  /** What the path-level stream walk ([[parseGifStream]]) can know
+    * without frame offsets: the logical screen, frame count, summed
+    * GCE delay, and whether a global color table is present —
+    * exactly the fields [[parseGifHeader]] projects from
+    * [[ParsedGif]].
+    */
+  private[graft] final case class GifStreamMeta(width: Int,
+      height: Int, frames: Long, totalDelayCs: Long,
+      globalPalette: Boolean)
+
+  /** The path-level stream form of [[parseGif]]: the same forward
+    * block walk — header + logical screen descriptor, color-table
+    * skips, `0x21` extensions with the graphic-control delay capture,
+    * `0x2C` image descriptors with their LZW sub-blocks hopped by
+    * length byte, the `0x3B` trailer — consumed off an `InputStream`
+    * with ONE ≤255-byte sub-block resident. The buffered walk needs
+    * the whole file in memory; this walk censuses a multi-GiB
+    * animation at O(1). On any byte array `b`,
+    * `parseGifStream(new ByteArrayInputStream(b))` agrees with
+    * `parseGif(b)` on presence and on every [[GifStreamMeta]] field
+    * (spec-pinned, including dribbling reads): EOF inside the
+    * header, a color table, a descriptor, or a sub-block refuses
+    * exactly where the buffered walk's bounds checks do, and both
+    * accept at the trailer without reading past it.
+    */
+  private[graft] def parseGifStream(
+      in: java.io.InputStream): Option[GifStreamMeta] = {
+    val buf = new Array[Byte](256)
+    def readUpTo(off: Int, n: Int): Int = {
+      var got = 0
+      var r = 0
+      while (got < n && r >= 0) {
+        r = in.read(buf, off + got, n - got)
+        if (r > 0) got += r
+      }
+      got
+    }
+    def skipFully(n0: Long): Boolean = {
+      var left = n0
+      while (left > 0L) {
+        val s = in.skip(left)
+        if (s > 0L) left -= s
+        else if (in.read() < 0) return false
+        else left -= 1
+      }
+      true
+    }
+    // one byte, or −1 at EOF (dribble-proof by contract of read())
+    def byte(): Int = in.read()
+    if (readUpTo(0, 13) < 13) return None
+    val sig = new String(buf, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    val w = u16le(buf, 6)
+    val h = u16le(buf, 8)
+    if (w <= 0 || h <= 0) return None
+    val packed = buf(10) & 0xFF
+    val hasGct = (packed & 0x80) != 0
+    if (hasGct && !skipFully(3L * (1 << ((packed & 0x07) + 1))))
+      return None
+    var delayCs = 0
+    var totalDelay = 0L
+    var frames = 0L
+    while (true) {
+      byte() match {
+        case 0x3B => // trailer: accept without reading further
+          return Some(GifStreamMeta(w, h, frames, totalDelay, hasGct))
+        case 0x21 => // extension
+          val label = byte()
+          if (label < 0) return None
+          // the graphic control payload is the extension's FIRST
+          // sub-block when its length is 4 — same gate as the
+          // buffered walk's `bytes(pos + 2) == 4` peek
+          var firstSub = true
+          var len = byte()
+          if (len < 0) return None
+          while (len != 0) {
+            if (readUpTo(0, len) < len) return None
+            if (firstSub && label == 0xF9 && len == 4)
+              delayCs = u16le(buf, 1)
+            firstSub = false
+            len = byte()
+            if (len < 0) return None
+          }
+        case 0x2C => // image descriptor: 9 bytes after the separator
+          if (readUpTo(0, 9) < 9) return None
+          frames += 1
+          totalDelay += delayCs
+          delayCs = 0
+          val ipacked = buf(8) & 0xFF
+          if ((ipacked & 0x80) != 0 &&
+            !skipFully(3L * (1 << ((ipacked & 0x07) + 1))))
+            return None // truncated local color table
+          if (byte() < 0) return None // LZW minimum code size
+          var len = byte()
+          if (len < 0) return None
+          while (len != 0) {
+            if (!skipFully(len.toLong)) return None
+            len = byte()
+            if (len < 0) return None
+          }
+        case _ => return None // EOF before trailer, or broken grammar
+      }
+    }
+    None // unreachable
+  }
+
   /** GIF-LZW decode of one frame's concatenated sub-block data to
     * exactly `expected` palette indices — the published variable-
     * width (3–12 bit) LSB-first algorithm with clear/EOI codes and

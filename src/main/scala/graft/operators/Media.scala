@@ -122,6 +122,26 @@ object Media {
     MediaMeta(0L, "mp3", m.durationMs, 0, 0, "", "mp3",
       m.sampleRate, parsed = true)
 
+  /** The GIF arm's field mapping — shared by the column dispatch and
+    * the path-level census's stream route.
+    */
+  private[graft] def gifToMedia(width: Int, height: Int,
+      totalDelayCs: Long): MediaMeta =
+    MediaMeta(0L, "gif", totalDelayCs * 10L, width, height, "lzw", "",
+      0, parsed = true)
+
+  /** The Ogg arm's field mapping — shared by the column dispatch and
+    * the path-level census's stream route. Opus granules tick the
+    * 48 kHz clock whatever the input rate (RFC 7845 §4); Vorbis
+    * granules tick the stream's own rate.
+    */
+  private[graft] def oggToMedia(codec: String, channels: Int,
+      rate: Int, granule: Long): MediaMeta = {
+    val clock = if (codec == "opus") 48000 else rate
+    MediaMeta(0L, "ogg", granule * 1000L / clock, 0, 0, "", codec,
+      rate, parsed = true)
+  }
+
   /** The MPEG-TS arm's field mapping — shared by the column dispatch
     * and the path-level census's stream route.
     */
@@ -143,13 +163,14 @@ object Media {
     *    AVIF/HEIF, WebM/Matroska) — one bounded header read answers.
     *  - `"seek"`: indexed grammar (ISO-BMFF — moov may trail) — hop
     *    box headers, fetch only the metadata subtree.
-    *  - `"stream"`: chained grammars (MPEG-TS packets, ADTS and
-    *    MP3 frame hops) — the forward walk IS the honest streamed
-    *    form, O(packet)/O(frame-header) residency.
-    *  - `"full"`: the grammar needs the full walk with no cheaper
-    *    honest form in this library (GIF's block walk, Ogg's
-    *    every-page CRC verification) — a capped whole read.
+    *  - `"stream"`: chained grammars (MPEG-TS packets, ADTS and MP3
+    *    frame hops, Ogg's page hop with every CRC still verified,
+    *    GIF's block hop) — the forward walk IS the honest streamed
+    *    form, O(packet/frame-header/page/sub-block) residency.
     *  - `""`: unknown container (the census row refuses).
+    *
+    * Every known family now has a bounded-residency walk — no route
+    * ever buffers a whole file.
     */
   private[graft] def routeOf(b: Array[Byte], fileLen: Long): String = {
     if (b == null || b.length < 12 || fileLen < 12) return ""
@@ -157,14 +178,14 @@ object Media {
       s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
     if (is(0, "RIFF") && is(8, "WAVE")) "prefix"
     else if (is(0, "fLaC")) "prefix"
-    else if (is(0, "OggS")) "full"
+    else if (is(0, "OggS")) "stream" // page hop, one page resident
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF0) == 0xF0 &&
       (b(1) & 0x06) == 0) "stream" // ADTS (layer 00): O(1) frame hop
     else if (is(0, "ID3") || ((b(0) & 0xFF) == 0xFF &&
       (b(1) & 0xE0) == 0xE0)) "stream" // MP3: O(1) frame hop
     else if (is(0, "RIFF") && is(8, "AVI ")) "prefix"
     else if (is(0, "FORM") && is(8, "AIFF")) "prefix"
-    else if (is(0, "GIF8")) "full"
+    else if (is(0, "GIF8")) "stream" // block hop, one sub-block resident
     else if (Avif.isImageBrand(b)) "prefix"
     else if (is(4, "ftyp")) "seek"
     else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
@@ -251,9 +272,7 @@ object Media {
       }
     else if (is(0, "OggS"))
       Audio.parseOgg(b).map { case (codec, ch, rate, granule) =>
-        val clock = if (codec == "opus") 48000 else rate
-        MediaMeta(0L, "ogg", granule * 1000L / clock, 0, 0, "", codec,
-          rate, parsed = true)
+        oggToMedia(codec, ch, rate, granule)
       }
     // ADTS before MP3: both sync on 0xFF Fx, but ADTS's layer bits
     // are 00 — a value no MPEG-audio frame carries
@@ -283,10 +302,8 @@ object Media {
           m.sampleRate, parsed = true)
       }
     else if (is(0, "GIF8"))
-      Gif.parseGif(b).map { g =>
-        MediaMeta(0L, "gif", g.totalDelayCs * 10L, g.width, g.height,
-          "lzw", "", 0, parsed = true)
-      }
+      Gif.parseGif(b).map(g =>
+        gifToMedia(g.width, g.height, g.totalDelayCs))
     else if (Avif.isImageBrand(b))
       Avif.parseAvif(b).map { a =>
         MediaMeta(0L, if (a.brand == "heix") "heic" else a.brand, 0L,

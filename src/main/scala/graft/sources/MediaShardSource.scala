@@ -7,12 +7,12 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Media, Mp4, MpegTs}
+import graft.operators.{Audio, Gif, Media, Mp4, MpegTs}
 
 /** One on-disk media file's cross-container metadata. Fields mirror
   * [[graft.operators.Media.MediaMeta]] with the path as identity,
   * plus `route` — which honest walk answered (`prefix` / `seek` /
-  * `stream` / `full`, or `""` for an unknown container).
+  * `stream`, or `""` for an unknown container).
   */
 final case class MediaShardMeta(shard_path: String, file_bytes: Long,
     container: String, duration_ms: Long, width: Int, height: Int,
@@ -37,21 +37,22 @@ final case class MediaShardMeta(shard_path: String, file_bytes: Long,
   *    mdat — [[Mp4.parseMp4Seek]] hops box headers and reads only
   *    the moov ([[Mp4ShardSource]]'s engine). Residency
   *    O(headers + moov).
-  *  - **stream** (MPEG-TS, ADTS, MP3): chained grammars — the
-  *    forward packet walk through [[MpegTs.parseTsStream]]
+  *  - **stream** (MPEG-TS, ADTS, MP3, Ogg, GIF): chained grammars —
+  *    the forward packet walk through [[MpegTs.parseTsStream]]
   *    ([[MpegTsShardSource]]'s engine), the ADTS frame-header hop
-  *    through [[MpegTs.parseAdtsStream]], or the MP3 frame hop
-  *    through [[graft.operators.Mp3.parseMp3Stream]]. Residency one
-  *    packet / one frame header (plus TS's capped SPS buffer and
-  *    MP3's one buffered first frame for the Xing sniff).
-  *  - **full** (GIF, Ogg): the grammar needs the full walk (GIF's
-  *    block walk; Ogg verifies EVERY page CRC, which a tail seek
-  *    would skip) and this library has no cheaper honest form that
-  *    keeps the column contract — a whole read CAPPED at
-  *    `maxFullReadBytes`; a file past the cap refuses
-  *    (`parsed = false`) rather than buffering unbounded. These
-  *    families are small in practice; a multi-GiB one is exactly a
-  *    file the census SHOULD flag rather than silently skip-parse.
+  *    through [[MpegTs.parseAdtsStream]], the MP3 frame hop through
+  *    [[graft.operators.Mp3.parseMp3Stream]], the Ogg page hop
+  *    through [[Audio.parseOggStream]] (EVERY page's CRC still
+  *    verified — a tail seek could not keep that contract, a
+  *    forward hop can, with one ≤ 64 KB page resident), or the GIF
+  *    block hop through [[Gif.parseGifStream]]. Residency one
+  *    packet / frame header / page / sub-block (plus TS's capped
+  *    SPS buffer and MP3's one buffered first frame for the Xing
+  *    sniff).
+  *
+  * Every known family routes to a bounded-residency walk — the
+  * census never buffers a whole file, whatever lands in the
+  * directory.
   *
   * Unknown containers are `parsed = false` with an empty route —
   * never guessed. On every parsed file the metadata fields equal the
@@ -69,12 +70,11 @@ object MediaShardSource {
   def metaScan(spark: SparkSession, path: String,
       maxHeaderBytes: Int = 8 << 20,
       maxMoovBytes: Int = 1 << 28,
-      maxFullReadBytes: Int = 1 << 26,
       maxEsScanBytes: Int = 1 << 18): Dataset[MediaShardMeta] = {
     import spark.implicits._
     require(maxHeaderBytes >= 512, "maxHeaderBytes must cover a sniff")
-    require(maxMoovBytes > 0 && maxFullReadBytes > 0 &&
-      maxEsScanBytes > 0, "caps must be positive")
+    require(maxMoovBytes > 0 && maxEsScanBytes > 0,
+      "caps must be positive")
     val files = StreamUtil.resolveFiles(spark, path)
     val hconf =
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
@@ -118,12 +118,25 @@ object MediaShardSource {
             case "stream" =>
               stream.seek(0L)
               val buffered = new BufferedInputStream(stream, 1 << 16)
-              // three chained grammars stream: TS (packet walk),
-              // ADTS and MP3 (frame-header hops) — disambiguated by
-              // the same magics the route decision used
-              if ((sniff(0) & 0xFF) == 0x47)
+              // five chained grammars stream: TS (packet walk), Ogg
+              // (page hop), GIF (block hop), ADTS and MP3
+              // (frame-header hops) — disambiguated by the same
+              // magics the route decision used
+              def sniffIs(s: String): Boolean =
+                s.indices.forall(i => sniff(i) == s.charAt(i).toByte)
+              // GIF8 before the TS sync check: 'G' IS 0x47, the TS
+              // sync byte — routeOf puts the GIF magic first too
+              if (sniffIs("GIF8"))
+                Gif.parseGifStream(buffered).map(g =>
+                  Media.gifToMedia(g.width, g.height, g.totalDelayCs))
+              else if ((sniff(0) & 0xFF) == 0x47)
                 MpegTs.parseTsStream(buffered, maxEsScanBytes)
                   .map(Media.tsToMedia)
+              else if (sniffIs("OggS"))
+                Audio.parseOggStream(buffered).map {
+                  case (codec, ch, rate, granule) =>
+                    Media.oggToMedia(codec, ch, rate, granule)
+                }
               else if ((sniff(0) & 0xFF) == 0xFF &&
                 (sniff(1) & 0xF0) == 0xF0 && (sniff(1) & 0x06) == 0)
                 MpegTs.parseAdtsStream(buffered)
@@ -131,11 +144,7 @@ object MediaShardSource {
               else
                 graft.operators.Mp3.parseMp3Stream(buffered)
                   .map(Media.mp3ToMedia)
-            case "full" if len <= maxFullReadBytes =>
-              val whole = new Array[Byte](len.toInt)
-              stream.readFully(0L, whole, 0, whole.length)
-              Media.mediaMeta(whole)
-            case _ => None // unknown container, or full past the cap
+            case _ => None // unknown container
           }
           meta match {
             case Some(m) => MediaShardMeta(p, len, m.container,
@@ -155,10 +164,9 @@ object MediaShardSource {
   def metaScanDF(spark: SparkSession, path: String,
       maxHeaderBytes: Int = 8 << 20,
       maxMoovBytes: Int = 1 << 28,
-      maxFullReadBytes: Int = 1 << 26,
       maxEsScanBytes: Int = 1 << 18): DataFrame =
     metaScan(spark, path, maxHeaderBytes, maxMoovBytes,
-      maxFullReadBytes, maxEsScanBytes).toDF()
+      maxEsScanBytes).toDF()
       .select(col("shard_path"), col("file_bytes"), col("container"),
         col("duration_ms"), col("width"), col("height"),
         col("video_codec"), col("audio_codec"), col("audio_rate"),

@@ -1393,4 +1393,48 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(org.apache.spark.sql.functions.col("parsed"))
       .count() === 0L)
   }
+
+  test("Ogg stream walk: byte-equal to the buffered walk on the " +
+      "whole honesty matrix — vorbis, opus, multi-segment comment " +
+      "lacing, CRC flip, truncations at every page position, " +
+      "trailing junk, cleared BOS, garbage — including a dribbling " +
+      "one-byte stream, with one page resident") {
+    import graft.operators.Audio
+    val vorbis = Audio.buildOgg("vorbis", 1, 8000, 800L)
+    val opus = Audio.buildOgg("opus", 2, 48000, 4800L,
+      vendor = "v", comments = Seq("PAD" -> ("y" * 600))) // laced page
+    val crcFlip = { val c = vorbis.clone()
+      c(30) = (c(30) ^ 0x01).toByte; c }
+    val noBos = { val c = vorbis.clone()
+      c(5) = 0; c } // clears BOS AND breaks the CRC: refuse either way
+    val cases = Seq[Array[Byte]](
+      vorbis, opus, crcFlip, noBos,
+      vorbis ++ opus, // second BOS mid-stream: pages still walk
+      vorbis ++ "junk".getBytes("US-ASCII"), // trailing junk refuses
+      vorbis.dropRight(3), // mid-body
+      vorbis.take(27), // header, no segment table
+      vorbis.take(13), // torn header
+      Array[Byte](), Array.fill[Byte](64)('O'.toByte))
+    for (b <- cases) {
+      val buffered = Audio.parseOgg(b)
+      assert(Audio.parseOggStream(
+        new java.io.ByteArrayInputStream(b)) === buffered)
+      val dribble = new java.io.InputStream {
+        private var i = 0
+        override def read(): Int =
+          if (i >= b.length) -1
+          else { val v = b(i) & 0xFF; i += 1; v }
+        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+          if (i >= b.length) return -1
+          buf(off) = b(i); i += 1; 1
+        }
+      }
+      assert(Audio.parseOggStream(dribble) === buffered)
+    }
+    // the happy paths must actually parse, with the planted fields
+    assert(Audio.parseOggStream(new java.io.ByteArrayInputStream(
+      vorbis)) === Some(("vorbis", 1, 8000, 800L)))
+    assert(Audio.parseOggStream(new java.io.ByteArrayInputStream(
+      opus)) === Some(("opus", 2, 48000, 4800L)))
+  }
 }

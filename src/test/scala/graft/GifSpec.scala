@@ -296,4 +296,80 @@ class GifSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped == Set(1002L),
       s"the carrying GIF's frame 2 must be the only drop: $dropped")
   }
+
+  test("GIF stream walk: agrees with the buffered walk on the whole " +
+      "honesty matrix — multi-frame, comments, GIF87a, hand-rolled " +
+      "local color table, truncations at every grammar position, " +
+      "missing trailer, trailing junk, unknown block, garbage — " +
+      "including a dribbling one-byte stream") {
+    // a no-GCT GIF with a local color table — buildGif always writes
+    // a GCT, so roll the LCT layout by hand (the walk skips LZW data
+    // by length, so filler bytes stand in for a real code stream)
+    val lctGif: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("GIF89a".getBytes("US-ASCII"))
+      bos.write(6); bos.write(0); bos.write(3); bos.write(0) // 6x3
+      bos.write(0x00) // no GCT
+      bos.write(0); bos.write(0) // bg, aspect
+      bos.write(0x2C) // descriptor
+      bos.write(0); bos.write(0); bos.write(0); bos.write(0)
+      bos.write(6); bos.write(0); bos.write(3); bos.write(0)
+      bos.write(0x81) // LCT present, size bits 1 -> 4 entries
+      (0 until 12).foreach(i => bos.write(i * 17)) // the LCT
+      bos.write(2) // LZW minimum code size
+      bos.write(3); bos.write(0x11); bos.write(0x22); bos.write(0x33)
+      bos.write(0) // sub-block terminator
+      bos.write(0x3B)
+      bos.toByteArray
+    }
+    val base = gif(1, 3, delayCs = 7)
+    val gif87 = { val b = gif(2, 2).clone(); b(4) = '7'.toByte; b }
+    val unknownBlock = {
+      val b = gif(3, 1).clone(); b(b.length - 1) = 0x99.toByte
+      b ++ Array[Byte](1, 2, 3)
+    }
+    val cases = Seq[Array[Byte]](
+      base,
+      Gif.buildGif(8, 4, palette,
+        Seq(idxFrame(4, 0, 8, 4)), delayCs = 0,
+        comments = Seq("provenance: synthesized")),
+      gif87,
+      lctGif,
+      base ++ Array[Byte](0x55, 0x66), // trailing junk: both accept
+      base.dropRight(1), // missing trailer
+      base.dropRight(7), // mid-sub-block
+      base.take(20), // inside the GCT
+      base.take(13), // header only
+      base.take(9), // torn screen descriptor
+      unknownBlock,
+      Array[Byte](), Array.fill[Byte](40)(0x2C))
+    for (b <- cases) {
+      val expect = Gif.parseGif(b).map(g => Gif.GifStreamMeta(g.width,
+        g.height, g.frames.length.toLong, g.totalDelayCs,
+        g.gct.nonEmpty))
+      assert(Gif.parseGifStream(
+        new java.io.ByteArrayInputStream(b)) === expect)
+      val dribble = new java.io.InputStream {
+        private var i = 0
+        override def read(): Int =
+          if (i >= b.length) -1
+          else { val v = b(i) & 0xFF; i += 1; v }
+        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+          if (i >= b.length) return -1
+          buf(off) = b(i); i += 1; 1
+        }
+        override def skip(n: Long): Long = 0L // force the read path
+      }
+      assert(Gif.parseGifStream(dribble) === expect)
+    }
+    // the happy paths must actually parse, with the planted fields
+    val parsed = Gif.parseGifStream(
+      new java.io.ByteArrayInputStream(base)).get
+    assert(parsed === Gif.GifStreamMeta(8, 4, 3L, 21L,
+      globalPalette = true))
+    val lct = Gif.parseGifStream(
+      new java.io.ByteArrayInputStream(lctGif)).get
+    assert(lct === Gif.GifStreamMeta(6, 3, 1L, 0L,
+      globalPalette = false))
+  }
 }

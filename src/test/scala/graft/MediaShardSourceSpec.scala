@@ -9,8 +9,8 @@ import graft.sources.MediaShardSource
 
 /** Unified path-level media census: per-family routing to the
   * cheapest honest walk, field parity with the column census on the
-  * same bytes, and the refusal matrix (unknown magic, capped full
-  * reads).
+  * same bytes, and the refusal matrix (unknown magic, corrupted
+  * streams).
   */
 class MediaShardSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -44,9 +44,9 @@ class MediaShardSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(0L, 45000L, 90000L),
       adts = Some(MpegTs.buildAdts(1, 3, 2, 2))))
 
-  private val expectedRoute = Map("avi" -> "prefix", "gif" -> "full",
+  private val expectedRoute = Map("avi" -> "prefix", "gif" -> "stream",
     "mp4" -> "seek", "webm" -> "prefix", "wav" -> "prefix",
-    "flac" -> "prefix", "mp3" -> "stream", "ogg" -> "full",
+    "flac" -> "prefix", "mp3" -> "stream", "ogg" -> "stream",
     "adts" -> "stream", "mpegts" -> "stream")
 
   test("ten-family mixed directory: every file routes to its " +
@@ -84,21 +84,27 @@ class MediaShardSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("refusal matrix: unknown magic refuses with an empty route; " +
-      "a tail-grammar file past maxFullReadBytes refuses as route " +
-      "'full' instead of buffering unbounded") {
+      "a CRC-corrupted Ogg and a truncated GIF refuse as route " +
+      "'stream' — the walk runs, the grammar refuses") {
     val dir = java.nio.file.Files.createTempDirectory("media-refuse")
     java.nio.file.Files.write(dir.resolve("u.bin"),
       Array.fill[Byte](64)(0x11))
-    java.nio.file.Files.write(dir.resolve("big.bin"),
-      Audio.buildOgg("opus", channels = 1, sampleRate = 8000,
-        granule = 960L))
+    val badOgg = Audio.buildOgg("opus", channels = 1, sampleRate = 8000,
+      granule = 960L)
+    badOgg(30) = (badOgg(30) ^ 0x01).toByte // flip a body byte: CRC fails
+    java.nio.file.Files.write(dir.resolve("badogg.bin"), badOgg)
+    val shortGif = Gif.buildGif(4, 3,
+      Array.tabulate(16)(i => i * 0x111111),
+      Seq(Array.tabulate[Byte](12)(p => (p % 16).toByte)), delayCs = 5)
+      .dropRight(3) // lose the last sub-blocks + trailer
+    java.nio.file.Files.write(dir.resolve("shortgif.bin"), shortGif)
     val rows = MediaShardSource
-      .metaScanDF(spark, dir.toString + "/*.bin",
-        maxFullReadBytes = 32)
+      .metaScanDF(spark, dir.toString + "/*.bin")
       .collect()
       .map(r => r.getString(0).split('/').last ->
         (r.getAs[String]("route"), r.getAs[Boolean]("parsed"))).toMap
     assert(rows("u.bin") === (("", false)))
-    assert(rows("big.bin") === (("full", false)))
+    assert(rows("badogg.bin") === (("stream", false)))
+    assert(rows("shortgif.bin") === (("stream", false)))
   }
 }
