@@ -3172,6 +3172,12 @@ object ScaleSmoke {
     // census costs a few KB of reads per file whatever the mdat size.
     Mp4StreamSmoke.run(spark, nFiles = 3, mdatBytes = 1536L << 20)
 
+    // --- multi-GiB Ogg dumps + many-frame GIFs: the census's last
+    // two whole-file reads, upgraded to page/sub-block hops — every
+    // page CRC still verified, every frame delay still summed, at a
+    // small fixed heap.
+    MediaStreamSmoke.run(spark, nFiles = 2, targetBytes = 1536L << 20)
+
     spark.stop()
   }
 }
