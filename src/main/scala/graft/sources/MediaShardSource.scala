@@ -29,10 +29,12 @@ final case class MediaShardMeta(shard_path: String, file_bytes: Long,
   * still honest for its grammar:
   *
   *  - **prefix** (AVI, WAV, AIFF, FLAC, AVIF/HEIF, WebM/Matroska):
-  *    metadata leads the file — ONE bounded header read
-  *    (`maxHeaderBytes`), parsed with the true file length through
-  *    [[Media.mediaMetaPrefix]] (the column prefix path's exact
-  *    dispatch). Residency O(prefix) whatever the file size.
+  *    metadata leads the file — an ESCALATING bounded header read
+  *    (64 KB first, the `maxHeaderBytes` cap only when the small
+  *    prefix honestly refuses), parsed with the true file length
+  *    through [[Media.mediaMetaPrefix]] (the column prefix path's
+  *    exact dispatch). Residency O(prefix) whatever the file size;
+  *    I/O O(64 KB) for the common front-loaded file.
   *  - **seek** (MP4/ISO-BMFF): indexed grammar, moov may trail the
   *    mdat — [[Mp4.parseMp4Seek]] hops box headers and reads only
   *    the moov ([[Mp4ShardSource]]'s engine). Residency
@@ -98,10 +100,36 @@ object MediaShardSource {
           val route = Media.routeOf(sniff, len)
           val meta: Option[Media.MediaMeta] = route match {
             case "prefix" =>
-              val want = math.min(len, maxHeaderBytes.toLong).toInt
-              val prefix = new Array[Byte](want)
-              stream.readFully(0L, prefix, 0, want)
-              Media.mediaMetaPrefix(prefix, len)
+              // Escalating read: for most prefix families the
+              // metadata sits in the first tens of KB (FLAC's
+              // STREAMINFO in 42 bytes, WAV/AIFF fmt chunks within a
+              // few hundred, AVI's hdrl and Matroska's Info near the
+              // front), so read 64 KB first and escalate to the full
+              // cap only when the small prefix honestly refuses — a
+              // drop directory of a million WAVs costs 64 KB per
+              // file, not `maxHeaderBytes`. A small-prefix success
+              // means every field-bearing chunk/box the parser uses
+              // sat inside 64 KB; only a NON-STANDARD layout (a
+              // duplicate fmt, a fact chunk trailing the data) could
+              // place field-bearing metadata past a successful
+              // prefix — the exact boundary caveat the single capped
+              // read always had at `maxHeaderBytes`, moved to 64 KB
+              // for the success path (spec-pinned on a forced-
+              // escalation fixture: a refusing small prefix
+              // escalates and matches the column census).
+              val small =
+                math.min(len, math.min(64L << 10,
+                  maxHeaderBytes.toLong)).toInt
+              val prefix = new Array[Byte](small)
+              stream.readFully(0L, prefix, 0, small)
+              val firstTry = Media.mediaMetaPrefix(prefix, len)
+              if (firstTry.isDefined || len <= small) firstTry
+              else {
+                val want = math.min(len, maxHeaderBytes.toLong).toInt
+                val full = new Array[Byte](want)
+                stream.readFully(0L, full, 0, want)
+                Media.mediaMetaPrefix(full, len)
+              }
             case "seek" =>
               val reader = new Mp4.Mp4Reader {
                 def length: Long = len

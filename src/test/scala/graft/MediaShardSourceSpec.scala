@@ -107,4 +107,47 @@ class MediaShardSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("badogg.bin") === (("stream", false)))
     assert(rows("shortgif.bin") === (("stream", false)))
   }
+
+  test("escalating prefix read: a WAV whose data chunk is pushed " +
+      "past the 64 KB first read by a JUNK chunk refuses on the " +
+      "small prefix, escalates to the full cap, and matches the " +
+      "column census exactly") {
+    import spark.implicits._
+    val plain = Audio.wrapWav(Array.tabulate(400)(k => k % 100), 0,
+      400, 8000)
+    // splice a 100 KB JUNK chunk between "WAVE" and the fmt chunk,
+    // patching the RIFF size: fmt+data now sit past the 64 KB read
+    val junkLen = 100 << 10
+    val spliced = new java.io.ByteArrayOutputStream()
+    spliced.write(plain, 0, 12) // RIFF size patched below
+    spliced.write("JUNK".getBytes("US-ASCII"))
+    spliced.write(junkLen & 0xFF); spliced.write((junkLen >> 8) & 0xFF)
+    spliced.write((junkLen >> 16) & 0xFF)
+    spliced.write((junkLen >> 24) & 0xFF)
+    spliced.write(new Array[Byte](junkLen))
+    spliced.write(plain, 12, plain.length - 12)
+    val big = spliced.toByteArray
+    val riffSz = big.length - 8
+    big(4) = (riffSz & 0xFF).toByte
+    big(5) = ((riffSz >> 8) & 0xFF).toByte
+    big(6) = ((riffSz >> 16) & 0xFF).toByte
+    big(7) = ((riffSz >> 24) & 0xFF).toByte
+    // the small prefix alone must honestly refuse (the escalation's
+    // precondition), the full prefix must parse
+    assert(Media.mediaMetaPrefix(big.take(64 << 10),
+      big.length.toLong).isEmpty)
+    assert(Media.mediaMetaPrefix(big, big.length.toLong).isDefined)
+    val dir = java.nio.file.Files.createTempDirectory("media-escalate")
+    java.nio.file.Files.write(dir.resolve("pushed.bin"), big)
+    val row = MediaShardSource
+      .metaScanDF(spark, dir.toString + "/pushed.bin")
+      .collect()(0)
+    assert(row.getAs[String]("route") === "prefix")
+    assert(row.getAs[Boolean]("parsed"))
+    val colRow = Media.mediaMetaScan(
+      Seq((0L, big)).toDF("id", "content"), "id", "content")
+      .collect()(0)
+    assert(row.toSeq.drop(2).patch(7, Nil, 1) === colRow.toSeq.drop(1),
+      "escalated fields must equal the column census")
+  }
 }
