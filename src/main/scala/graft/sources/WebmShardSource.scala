@@ -59,12 +59,26 @@ object WebmShardSource {
         val fsPath = new Path(p)
         val fs = fsPath.getFileSystem(hconf.value)
         val fileLen = fs.getFileStatus(fsPath).getLen
-        val want = math.min(fileLen, maxHeaderBytes.toLong).toInt
-        val prefix = new Array[Byte](want)
+        // escalating read (the MediaShardSource prefix-arm rule): a
+        // faststart recording answers from the first 64 KB; only a
+        // header past that pays the full capped read
+        val small =
+          math.min(fileLen, math.min(64L << 10,
+            maxHeaderBytes.toLong)).toInt
         val in = fs.open(fsPath)
-        try in.readFully(0L, prefix, 0, want)
-        finally in.close()
-        Webm.parseWebm(prefix, fileLen) match {
+        val meta = try {
+          val prefix = new Array[Byte](small)
+          in.readFully(0L, prefix, 0, small)
+          val firstTry = Webm.parseWebm(prefix, fileLen)
+          if (firstTry.isDefined || fileLen <= small) firstTry
+          else {
+            val want = math.min(fileLen, maxHeaderBytes.toLong).toInt
+            val full = new Array[Byte](want)
+            in.readFully(0L, full, 0, want)
+            Webm.parseWebm(full, fileLen)
+          }
+        } finally in.close()
+        meta match {
           case Some(m) => WebmShardMeta(p, fileLen, m.docType,
             m.timescaleNs, m.durationMs, m.tracks, m.videoCodec,
             m.width, m.height, m.audioCodec, m.audioChannels,
