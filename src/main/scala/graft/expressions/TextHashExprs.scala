@@ -169,6 +169,67 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Per-position bigram hash rows — parity with the zip_with+md5Hash60
+    * formulation (LanguageModel.bigramRows): element i (0-based) covers
+    * tokens (i, i+1) with ctx = md5-60(t_i), big = md5-60(t_i+" "+t_{i+1}),
+    * w = md5-60(t_{i+1}). Token hashes are computed ONCE and shared
+    * between the w slot of row i and the ctx slot of row i+1 — n + (n−1)
+    * digests instead of the HOF form's 3(n−1), with no hex-string/conv
+    * round-trip. Fewer than two tokens → empty array (posexplode drops
+    * the doc, the LM-family contract).
+    */
+  def bigramRowsData(text: UTF8String): ArrayData = {
+    val ts = tokens(text)
+    if (ts.length < 2) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      th(i) = md5Hash60(
+        ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val out = new Array[Any](ts.length - 1)
+    i = 0
+    while (i < out.length) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](th(i), md5Hash60(gramBytes(ts, i, 2)), th(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-position trigram hash rows — parity with
+    * LanguageModel.trigramRows: element i covers tokens (i, i+1, i+2)
+    * with tri_ctx = md5-60(t_i+" "+t_{i+1}), tri = md5-60 of the
+    * 3-gram, ctx = md5-60(t_{i+1}), big = md5-60(t_{i+1}+" "+t_{i+2}),
+    * w = md5-60(t_{i+2}). Token and 2-gram hashes are shared across
+    * positions (tri_ctx(i) = gram2(i), big(i) = gram2(i+1)). Fewer
+    * than three tokens → empty array.
+    */
+  def trigramRowsData(text: UTF8String): ArrayData = {
+    val ts = tokens(text)
+    if (ts.length < 3) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      th(i) = md5Hash60(
+        ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val g2 = new Array[Long](ts.length - 1)
+    i = 0
+    while (i < g2.length) { g2(i) = md5Hash60(gramBytes(ts, i, 2)); i += 1 }
+    val out = new Array[Any](ts.length - 2)
+    i = 0
+    while (i < out.length) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](g2(i), md5Hash60(gramBytes(ts, i, 3)), th(i + 1),
+          g2(i + 1), th(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over token md5-60 hashes — parity with
     * `TextFunctions.simhash64`: bit j set iff strictly more than half of
     * the tokens have bit j set (c·2 > n); no tokens → 0.
@@ -252,6 +313,40 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+case class BigramHashRowsExpr(child: Expression) extends TextKernelExpr {
+  override def prettyName: String = "bigram_hash_rows_native"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ctx_hash", LongType, nullable = false),
+    StructField("big_hash", LongType, nullable = false),
+    StructField("w_hash", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.bigramRowsData(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.expressions.TextKernels.bigramRowsData($t)")
+  override protected def withNewChildInternal(c: Expression): BigramHashRowsExpr =
+    copy(child = c)
+}
+
+case class TrigramHashRowsExpr(child: Expression) extends TextKernelExpr {
+  override def prettyName: String = "trigram_hash_rows_native"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tri_ctx_hash", LongType, nullable = false),
+    StructField("tri_hash", LongType, nullable = false),
+    StructField("ctx_hash", LongType, nullable = false),
+    StructField("big_hash", LongType, nullable = false),
+    StructField("w_hash", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.trigramRowsData(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.expressions.TextKernels.trigramRowsData($t)")
+  override protected def withNewChildInternal(c: Expression): TrigramHashRowsExpr =
+    copy(child = c)
+}
+
 case class SimHash64Expr(child: Expression) extends TextKernelExpr {
   override def prettyName: String = "simhash64_native"
   override def dataType: DataType = LongType
@@ -281,6 +376,8 @@ object TextHashExprs {
         .value.asInstanceOf[Boolean])),
     "minhash_sig_native" -> (es => MinHashSigExpr(es(0), lit(es(1)))),
     "simhash64_native" -> (es => SimHash64Expr(es(0))),
+    "bigram_hash_rows_native" -> (es => BigramHashRowsExpr(es(0))),
+    "trigram_hash_rows_native" -> (es => TrigramHashRowsExpr(es(0))),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -310,4 +407,8 @@ object TextHashExprs {
     call_function("minhash_sig_native", text, slit(numHashes))
   def simhash64Native(text: Column): Column =
     call_function("simhash64_native", text)
+  def bigramHashRows(text: Column): Column =
+    call_function("bigram_hash_rows_native", text)
+  def trigramHashRows(text: Column): Column =
+    call_function("trigram_hash_rows_native", text)
 }

@@ -44,18 +44,22 @@ object LanguageModel {
     */
   private def bigramRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    // Native single-pass kernel (values bit-identical to the former
+    // zip_with + 3×md5Hash60 HOF form — parity pinned in
+    // NativeKernelParitySpec): HOFs are CodegenFallback, and the hex
+    // md5→substring→conv chain ran three digests per bigram; the
+    // kernel hashes each token once and each 2-gram once, inside
+    // whole-stage codegen. Measured as the dominant cost of every
+    // LM-family query (ccnet/sb/kn/moore-lewis) at sf0.1.
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
     docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode(zip_with(
-          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-          (c, w) => struct(c.as("c"), w.as("w")))))
+        posexplode(graft.expressions.TextHashExprs
+          .bigramHashRows(col(textCol))))
       .select(col("id"), (col("pos") + 1).as("pos"),
-        TextFunctions.md5Hash60(col("col.c")).as("ctx_hash"),
-        TextFunctions.md5Hash60(
-          concat(col("col.c"), lit(" "), col("col.w"))).as("big_hash"),
-        TextFunctions.md5Hash60(col("col.w")).as("w_hash"))
+        col("col.ctx_hash").as("ctx_hash"),
+        col("col.big_hash").as("big_hash"),
+        col("col.w_hash").as("w_hash"))
   }
 
   /** Bigram count table from the target corpus:
@@ -92,12 +96,12 @@ object LanguageModel {
     val contexts = bigrams.groupBy(col("ctx_hash"))
       .agg(sum(col("cnt")).as("ctx_cnt"))
     val unigrams = target
-      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(explode(graft.expressions.TextHashExprs.ngramsNative(col(textCol), 1)).as("t"))
       .groupBy(TextFunctions.md5Hash60(col("t")).as("w_hash"))
       .agg(count(lit(1)).as("u_cnt"))
     // N and V in one pass — the single collect of the pipeline
     val nv = target
-      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(explode(graft.expressions.TextHashExprs.ngramsNative(col(textCol), 1)).as("t"))
       .agg(count(lit(1)), countDistinct(col("t"))).collect()(0)
     val nTok = nv.getLong(0)
     val vocab = math.max(1L, nv.getLong(1))
@@ -167,7 +171,7 @@ object LanguageModel {
       .agg(count(lit(1)).as("n1b"))
     val bCnt = cb.count()
     val vocab = math.max(1L, target
-      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(explode(graft.expressions.TextHashExprs.ngramsNative(col(textCol), 1)).as("t"))
       .agg(countDistinct(col("t"))).collect()(0).getLong(0))
     val bDenom = bCnt.toDouble + alpha * vocab
     val pcont = (coalesce(col("n1b"), lit(0L)) + lit(alpha)) / lit(bDenom)
@@ -197,25 +201,21 @@ object LanguageModel {
     */
   private def trigramRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    // Native kernel, same rationale (and parity pin) as [[bigramRows]]:
+    // the HOF form ran FIVE hex-md5 chains per trigram position inside
+    // two nested interpreted zip_withs; the kernel shares token and
+    // 2-gram digests across positions in one codegen'd loop.
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
     docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode(zip_with(
-          zip_with(
-            slice(toks, lit(1), greatest(size(toks) - 2, lit(0))),
-            slice(toks, lit(2), greatest(size(toks) - 2, lit(0))),
-            (a, b) => struct(a.as("a"), b.as("b"))),
-          slice(toks, lit(3), greatest(size(toks) - 2, lit(0))),
-          (ab, c) => struct(ab("a").as("a"), ab("b").as("b"), c.as("c")))))
+        posexplode(graft.expressions.TextHashExprs
+          .trigramHashRows(col(textCol))))
       .select(col("id"), (col("pos") + 2).as("pos"),
-        TextFunctions.md5Hash60(
-          concat(col("col.a"), lit(" "), col("col.b"))).as("tri_ctx_hash"),
-        TextFunctions.md5Hash60(concat(col("col.a"), lit(" "), col("col.b"),
-          lit(" "), col("col.c"))).as("tri_hash"),
-        TextFunctions.md5Hash60(col("col.b")).as("ctx_hash"),
-        TextFunctions.md5Hash60(
-          concat(col("col.b"), lit(" "), col("col.c"))).as("big_hash"),
-        TextFunctions.md5Hash60(col("col.c")).as("w_hash"))
+        col("col.tri_ctx_hash").as("tri_ctx_hash"),
+        col("col.tri_hash").as("tri_hash"),
+        col("col.ctx_hash").as("ctx_hash"),
+        col("col.big_hash").as("big_hash"),
+        col("col.w_hash").as("w_hash"))
   }
 
   /** Trigram count table from the target corpus:
@@ -255,11 +255,11 @@ object LanguageModel {
     val contexts = bigrams.groupBy(col("ctx_hash"))
       .agg(sum(col("cnt")).as("ctx_cnt"))
     val unigrams = target
-      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(explode(graft.expressions.TextHashExprs.ngramsNative(col(textCol), 1)).as("t"))
       .groupBy(TextFunctions.md5Hash60(col("t")).as("w_hash"))
       .agg(count(lit(1)).as("u_cnt"))
     val nv = target
-      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(explode(graft.expressions.TextHashExprs.ngramsNative(col(textCol), 1)).as("t"))
       .agg(count(lit(1)), countDistinct(col("t"))).collect()(0)
     val uniDenom = nv.getLong(0).toDouble + alpha * math.max(1L, nv.getLong(1))
     val s = when(col("cnt3").isNotNull, col("cnt3") / col("ctx3"))
@@ -322,7 +322,7 @@ object LanguageModel {
       val ctx = big.groupBy(col("ctx_hash"))
         .agg(sum(col(s"cnt$sfx")).as(s"ctx$sfx"))
       val vocab = math.max(1L, target
-        .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+        .select(explode(graft.expressions.TextHashExprs.ngramsNative(col(textCol), 1)).as("t"))
         .agg(countDistinct(col("t"))).collect()(0).getLong(0))
       (big, ctx, vocab)
     }
@@ -383,7 +383,7 @@ object LanguageModel {
     // V: one scalar to the driver — the only collect in the pipeline.
     // max(1) keeps an empty target finite (every p becomes α/(α·1)=1).
     val vocab = math.max(1L,
-      target.select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      target.select(explode(graft.expressions.TextHashExprs.ngramsNative(col(textCol), 1)).as("t"))
         .agg(countDistinct(col("t"))).collect()(0).getLong(0))
     val alphaV = alpha * vocab
     // p is {+,/} over integer-exact doubles (counts < 2^53): correctly

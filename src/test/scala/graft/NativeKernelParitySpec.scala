@@ -111,6 +111,49 @@ class NativeKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // propagates through the HOF aggregate) — no coalesce
     assertParity(df, TextHashExprs.simhash64Native(col("t")),
       TextFunctions.simhash64(col("t")), "simhash64")
+    // bigram/trigram hash-row kernels vs the zip_with+md5Hash60 HOF
+    // forms they replaced in LanguageModel.bigramRows/trigramRows
+    // (null text → null on both sides; < n tokens → empty array)
+    assertParity(df, TextHashExprs.bigramHashRows(col("t")),
+      hofBigramRows(col("t")), "bigramHashRows")
+    assertParity(df, TextHashExprs.trigramHashRows(col("t")),
+      hofTrigramRows(col("t")), "trigramHashRows")
+  }
+
+  /** The HOF bigram-row projection exactly as `LanguageModel.bigramRows`
+    * computed it before the kernel.
+    */
+  private def hofBigramRows(t: Column): Column = {
+    val toks = TextFunctions.tokens(t)
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (c, w) => struct(
+        TextFunctions.md5Hash60(c).as("ctx_hash"),
+        TextFunctions.md5Hash60(concat(c, lit(" "), w)).as("big_hash"),
+        TextFunctions.md5Hash60(w).as("w_hash")))
+  }
+
+  /** The HOF trigram-row projection exactly as
+    * `LanguageModel.trigramRows` computed it before the kernel.
+    */
+  private def hofTrigramRows(t: Column): Column = {
+    val toks = TextFunctions.tokens(t)
+    zip_with(
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 2, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 2, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      slice(toks, lit(3), greatest(size(toks) - 2, lit(0))),
+      (ab, c) => struct(
+        TextFunctions.md5Hash60(
+          concat(ab("a"), lit(" "), ab("b"))).as("tri_ctx_hash"),
+        TextFunctions.md5Hash60(concat(ab("a"), lit(" "), ab("b"),
+          lit(" "), c)).as("tri_hash"),
+        TextFunctions.md5Hash60(ab("b")).as("ctx_hash"),
+        TextFunctions.md5Hash60(
+          concat(ab("b"), lit(" "), c)).as("big_hash"),
+        TextFunctions.md5Hash60(c).as("w_hash")))
   }
 
   test("kernels match HOF forms on edge cases (interpreted eval path)") {
