@@ -193,14 +193,15 @@ object SparkEntry {
     */
   private def syntheticPcm(docs: DataFrame, n: Int,
       classed: Boolean): DataFrame = {
-    val base =
-      if (classed) (col("doc_id") % 64).cast("long") else col("doc_id")
-    val samples = transform(sequence(lit(0), lit(n - 1)), k =>
-      (pmod(base * lit(2654435761L) + k.cast("long") * lit(40503L) +
-        (if (classed)
-          when(col("doc_id") >= 250 && k < 4, 37L).otherwise(0L)
-        else lit(0L)), lit(65536L)) - 32768L).cast("int"))
-    docs.select(col("doc_id").as("id"), samples.as("samples"))
+    // Native fixture kernel (SyntheticPcmExpr) — bit-identical to the
+    // former transform(sequence(0, n−1), …) HOF form (parity pinned in
+    // AudioSpec), which paid an interpreted lambda walk per sample per
+    // row just to BUILD the fixture (~1.2 s of each audio query at
+    // sf0.1 before any operator ran).
+    graft.expressions.AudioExprs.register(docs.sparkSession)
+    docs.select(col("doc_id").as("id"),
+      graft.expressions.AudioExprs
+        .syntheticPcmNative(col("doc_id"), n, classed).as("samples"))
       .localCheckpoint(true)
   }
 
@@ -218,13 +219,13 @@ object SparkEntry {
     * class. Same replication contract as [[syntheticPcm]].
     */
   private def syntheticPcmAutoClassed(docs: DataFrame): DataFrame = {
-    val base = (col("doc_id") % 64).cast("long")
-    val win = lit(2L) + pmod(base, lit(16L))
-    val samples = transform(sequence(lit(0L), lit(65L) * win - 1L), k =>
-      (pmod(base * lit(2654435761L) + k.cast("long") * lit(40503L) +
-        when(col("doc_id") >= 250 && k < win, 37L).otherwise(0L),
-        lit(65536L)) - 32768L).cast("int"))
-    docs.select(col("doc_id").as("id"), samples.as("samples"))
+    // Native fixture kernel — same rationale and parity pin as
+    // [[syntheticPcm]] (the auto-classed arrays run to 1105 samples,
+    // the costliest interpreted fixture in the bench).
+    graft.expressions.AudioExprs.register(docs.sparkSession)
+    docs.select(col("doc_id").as("id"),
+      graft.expressions.AudioExprs
+        .syntheticPcmAutoNative(col("doc_id")).as("samples"))
       .localCheckpoint(true)
   }
 

@@ -227,6 +227,161 @@ case class AudioEnergiesExpr(left: Expression, right: Expression,
       r: Expression): AudioEnergiesExpr = copy(left = l, right = r)
 }
 
+/** `audio_fingerprint64_native(energies)` — the codegen'd twin of
+  * [[graft.operators.Audio.audioFingerprint64]]'s interpreted
+  * `aggregate(sequence(0, 63), …)` fold (64 lambda applications + two
+  * boxed `element_at`s per row): bit i set iff energies(i) >
+  * energies(i+1), 0-based. Parity contract (the HOF fold's exact
+  * semantics): a NULL energies array yields 0 (every `when` falls to
+  * `otherwise(0)`), an out-of-range window comparison contributes no
+  * bit — so the expression is total and never null.
+  */
+case class AudioFingerprint64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "audio_fingerprint64_native"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) | NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) 0L
+    else AudioFingerprintKernel.fingerprint(a.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        long ${ev.value} = 0L;
+        if (!${c.isNull}) {
+          ${ev.value} =
+            graft.expressions.AudioFingerprintKernel.fingerprint(${c.value});
+        }
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): AudioFingerprint64Expr = copy(child = c)
+}
+
+object AudioFingerprintKernel {
+  /** Gradient bits over the first 65 entries: bit i (0..63) set iff
+    * e(i) > e(i+1); indices past the array end contribute nothing
+    * (the HOF's null `element_at` comparison). Null elements cannot
+    * occur (energies arrays are containsNull = false).
+    */
+  def fingerprint(a: ArrayData): Long = {
+    val n = a.numElements()
+    var out = 0L
+    var i = 0
+    val m = math.min(64, n - 1)
+    while (i < m) {
+      if (a.getLong(i) > a.getLong(i + 1)) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+}
+
+/** Synthetic-PCM fixture kernels — the bench/oracle fixture columns
+  * (`SparkEntry.syntheticPcm` / `syntheticPcmAutoClassed`) computed in
+  * one primitive loop instead of an interpreted
+  * `transform(sequence(0, n−1), …)` lambda chain (measured ≥1 s per
+  * audio query at sf0.1 just to BUILD the fixture). Values are
+  * bit-identical to the HOF forms (parity spec) and to the DuckDB
+  * oracle's closed forms: sample k = floorMod(base·2654435761 +
+  * k·40503 + perturb, 65536) − 32768.
+  */
+object SyntheticPcmKernel {
+  def pcm(id: Long, n: Int, classed: Boolean): ArrayData = {
+    val base = if (classed) id % 64 else id
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val perturb = if (classed && id >= 250 && k < 4) 37L else 0L
+      out(k) = (java.lang.Math.floorMod(
+        base * 2654435761L + k * 40503L + perturb, 65536L) - 32768L).toInt
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def pcmAuto(id: Long): ArrayData = {
+    val base = id % 64
+    val win = 2L + java.lang.Math.floorMod(base, 16L)
+    val n = (65L * win).toInt
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val perturb = if (id >= 250 && k < win) 37L else 0L
+      out(k) = (java.lang.Math.floorMod(
+        base * 2654435761L + k * 40503L + perturb, 65536L) - 32768L).toInt
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+case class SyntheticPcmExpr(child: Expression, n: Int, classed: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 0, s"n must be >= 0, got $n")
+  override def prettyName: String = "synthetic_pcm_native"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires bigint id, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(id: Any): Any =
+    SyntheticPcmKernel.pcm(id.asInstanceOf[Long], n, classed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      id => s"graft.expressions.SyntheticPcmKernel.pcm($id, $n, $classed)")
+
+  override protected def withNewChildInternal(c: Expression): SyntheticPcmExpr =
+    copy(child = c)
+}
+
+case class SyntheticPcmAutoExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "synthetic_pcm_auto_native"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires bigint id, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(id: Any): Any =
+    SyntheticPcmKernel.pcmAuto(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      id => s"graft.expressions.SyntheticPcmKernel.pcmAuto($id)")
+
+  override protected def withNewChildInternal(
+      c: Expression): SyntheticPcmAutoExpr = copy(child = c)
+}
+
 object AudioExprs {
 
   private def intLit(e: Expression): Int = e match {
@@ -235,10 +390,20 @@ object AudioExprs {
       s"expected an integer literal, got $other")
   }
 
+  private def boolLit(e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"expected a boolean literal, got $other")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "audio_energies_native" ->
       (es => AudioEnergiesExpr(es(0), es(1), intLit(es(2)))),
-    "audio_stats_native" -> (es => AudioStatsExpr(es(0))))
+    "audio_stats_native" -> (es => AudioStatsExpr(es(0))),
+    "audio_fingerprint64_native" -> (es => AudioFingerprint64Expr(es(0))),
+    "synthetic_pcm_native" ->
+      (es => SyntheticPcmExpr(es(0), intLit(es(1)), boolLit(es(2)))),
+    "synthetic_pcm_auto_native" -> (es => SyntheticPcmAutoExpr(es(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -266,4 +431,13 @@ object AudioExprs {
 
   def statsNative(samples: Column): Column =
     call_function("audio_stats_native", samples)
+
+  def fingerprint64Native(energies: Column): Column =
+    call_function("audio_fingerprint64_native", energies)
+
+  def syntheticPcmNative(id: Column, n: Int, classed: Boolean): Column =
+    call_function("synthetic_pcm_native", id, slit(n), slit(classed))
+
+  def syntheticPcmAutoNative(id: Column): Column =
+    call_function("synthetic_pcm_auto_native", id)
 }

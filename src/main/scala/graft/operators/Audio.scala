@@ -891,11 +891,18 @@ object Audio {
     * block pigeonhole unchanged. Same bit-replicable contract
     * (q_audio_near_dup replicates it in SQL HUGEINT arithmetic).
     */
-  def audioFingerprint64(energies: Column): Column =
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, i) => acc + when(
-        element_at(energies, i + 1) > element_at(energies, i + 2),
-        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+  def audioFingerprint64(energies: Column): Column = {
+    // Native kernel (AudioFingerprint64Expr) — the interpreted
+    // aggregate(sequence(0,63)) fold ran 64 lambda applications with
+    // two boxed element_at walks per row; values are bit-identical
+    // (parity pinned in AudioSpec, incl. the null-array → 0 contract).
+    // Registration rides the active/default session: this helper only
+    // sees a Column, and every caller builds plans under a live session.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.expressions.AudioExprs.register)
+    call_function("audio_fingerprint64_native", energies)
+  }
 
   /** Exact per-clip stats over a decoded sample array: frame count,
     * peak |sample|, zero crossings, total energy (Σ s²), and the first

@@ -332,6 +332,79 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromPq.count() == 5) // generated code compiles + runs
   }
 
+  test("native fingerprint + synthetic-PCM kernels bit-equal their " +
+      "HOF reference forms (gradient fold incl. null→0; fixture " +
+      "arithmetic incl. the >=250 perturb branch and auto widths)") {
+    import spark.implicits._
+    graft.expressions.AudioExprs.register(spark)
+    val rnd = new scala.util.Random(47)
+    // energies arrays are ALWAYS exactly 65 entries in production
+    // (energiesNative emits nWindows = 65); the HOF form threw on
+    // shorter arrays under ANSI element_at, so the HOF comparison
+    // runs on the production shape and short arrays pin the kernel's
+    // total extension against a Scala reference
+    val rows = Seq(
+      (1L, Array.fill(65)(rnd.nextLong() % 1000000L)),
+      (2L, Array.fill(65)(rnd.nextLong() % 1000000L)),
+      (3L, Array.fill(66)(rnd.nextLong() % 1000000L)))
+    // the HOF fold audioFingerprint64 replaced — kept here as the
+    // replication recipe (matches the DuckDB oracle's formulation)
+    def hofFingerprint(energies: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(sequence(lit(0), lit(63)), lit(0L),
+        (acc, i) => acc + when(
+          element_at(energies, i + 1) > element_at(energies, i + 2),
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    val fp = rows.toDF("id", "en").select(col("id"),
+      Audio.audioFingerprint64(col("en")).as("n"),
+      hofFingerprint(col("en")).as("h")).collect()
+    fp.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"fingerprint id=${r.getLong(0)}"))
+    // short arrays: gradient bits over what exists, no throw
+    val short = Seq((6L, Array(9L, 3L, 7L)), (7L, Array(5L)),
+      (8L, Array.emptyLongArray)).toDF("id", "en")
+      .select(col("id"), Audio.audioFingerprint64(col("en"))).collect()
+    assert(short.map(r => r.getLong(1)).toSeq == Seq(1L, 0L, 0L))
+    // null array → 0, the HOF's when/otherwise contract
+    val nullFp = Seq(Tuple1(Option.empty[Array[Long]])).toDF("en")
+      .select(Audio.audioFingerprint64(col("en"))).collect()(0)
+    assert(!nullFp.isNullAt(0) && nullFp.getLong(0) == 0L)
+    // synthetic-PCM fixture kernels vs the HOF forms they replaced in
+    // SparkEntry.syntheticPcm / syntheticPcmAutoClassed — ids straddle
+    // the >=250 perturb threshold and cover every class base
+    val ids = spark.range(0, 300).select(col("id").as("doc_id"))
+    def hofPcm(n: Int, classed: Boolean): org.apache.spark.sql.Column = {
+      val base =
+        if (classed) (col("doc_id") % 64).cast("long") else col("doc_id")
+      transform(sequence(lit(0), lit(n - 1)), k =>
+        (pmod(base * lit(2654435761L) + k.cast("long") * lit(40503L) +
+          (if (classed)
+            when(col("doc_id") >= 250 && k < 4, 37L).otherwise(0L)
+          else lit(0L)), lit(65536L)) - 32768L).cast("int"))
+    }
+    def hofPcmAuto: org.apache.spark.sql.Column = {
+      val base = (col("doc_id") % 64).cast("long")
+      val win = lit(2L) + pmod(base, lit(16L))
+      transform(sequence(lit(0L), lit(65L) * win - 1L), k =>
+        (pmod(base * lit(2654435761L) + k.cast("long") * lit(40503L) +
+          when(col("doc_id") >= 250 && k < win, 37L).otherwise(0L),
+          lit(65536L)) - 32768L).cast("int"))
+    }
+    for ((n, classed) <- Seq((256, false), (65 * 4, true))) {
+      val got = ids.select(col("doc_id"),
+        graft.expressions.AudioExprs
+          .syntheticPcmNative(col("doc_id"), n, classed).as("n"),
+        hofPcm(n, classed).as("h")).collect()
+      got.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"pcm n=$n classed=$classed id=${r.getLong(0)}"))
+    }
+    val auto = ids.select(col("doc_id"),
+      graft.expressions.AudioExprs
+        .syntheticPcmAutoNative(col("doc_id")).as("n"),
+      hofPcmAuto.as("h")).collect()
+    auto.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+      s"pcmAuto id=${r.getLong(0)}"))
+  }
+
   test("audio near-dup index: build once / admit many; appends are " +
       "transactional (uncommitted batches invisible); fail-loud on " +
       "params mismatch, missing sidecar, and crash-mid-rewrite; " +
