@@ -169,8 +169,14 @@ object Retrieval {
     TopK.requireIntegral(corpus, idCol, "bm25TopK")
     TopK.requireIntegral(queries, queryIdCol, "bm25TopK")
 
+    // token HASHES straight from the native kernel (one md5 per token
+    // in one codegen loop — the split+per-token md5Hash60 SQL chain
+    // this replaces computed identical values interpreted); the token
+    // strings themselves never enter the pipeline
+    graft.expressions.TextHashExprs.register(corpus.sparkSession)
     val docToks = corpus.select(col(idCol).cast("long").as("id"),
-      TextFunctions.tokens(col(textCol)).as("__t"))
+      graft.expressions.TextHashExprs
+        .ngramHashes(col(textCol), 1, distinct = false).as("__t"))
 
     // corpus envelope: N docs, total token count — 2 scalars, bounded
     val stat = docToks
@@ -184,13 +190,18 @@ object Retrieval {
     // postings keyed by the 60-bit term hash, doc length riding along
     // (dl is id-functional — it widens the aggregation key by 8 bytes,
     // not the shuffle by a join)
+    // materialized ONCE (localCheckpoint, the kneserNeyScores `cb`
+    // rationale): the postings feed BOTH the df table and the scoring
+    // join below — without the checkpoint the corpus-wide
+    // tokenize + hash + aggregate lineage runs twice per query batch
+    // (measured as the two dominant ~1 s stages of q_bm25 at sf0.1)
     val posts = docToks
       .select(col("id"), size(col("__t")).as("dl"),
-        explode_outer(col("__t")).as("__tok"))
-      .filter(col("__tok").isNotNull)
-      .groupBy(col("id"), col("dl"),
-        TextFunctions.md5Hash60(col("__tok")).as("gh"))
+        explode_outer(col("__t")).as("gh"))
+      .filter(col("gh").isNotNull)
+      .groupBy(col("id"), col("dl"), col("gh"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfTbl = posts.groupBy(col("gh")).agg(count(lit(1)).as("df"))
 
     // distinct query terms, hashed the same way; the df join broadcasts
