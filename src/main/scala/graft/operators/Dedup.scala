@@ -342,19 +342,43 @@ object Dedup {
     // double explode expands each bucket's ordered pairs with no
     // further join. Ids ride as longs (integral-id contract shared
     // with nearDupClusters/TopK).
+    //
+    // The aggregation is materialized ONCE (localCheckpoint): it feeds
+    // the candidate pairs AND the two verify-side prefilters below —
+    // without the checkpoint each consumer would re-run the corpus-wide
+    // signature + banding shuffle. The observe node sits ABOVE the
+    // checkpoint on the candidates branch only, so bucket stats still
+    // ride the result frame's own execution (the bucketStats /
+    // curateWithStats contract) and fire exactly once per action.
     val bounded = TopK.boundedCollect[Long](maxBucket)
-    val buckets = observeBuckets(
-      banded.groupBy(col("band"), col("band_sig"))
-        .agg(bounded(col("id").cast("long")).as("ids")),
+    val bucketsAgg = banded.groupBy(col("band"), col("band_sig"))
+      .agg(bounded(col("id").cast("long")).as("ids"))
+      .localCheckpoint(true)
+    def keep = size(col("ids")) > 1 && size(col("ids")) <= maxBucket
+    val buckets = observeBuckets(bucketsAgg,
       "minhash", size(col("ids")), maxBucket)
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .filter(keep)
     val candidates = buckets
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
 
-    verifyJaccard(docs, idCol, textCol, candidates, threshold)
+    // guide §3.2 (pre-filter the big side): only docs that SHARE a kept
+    // bucket can appear in a candidate pair, so both verification sides
+    // are semi-joined to the bucket membership before the (expensive)
+    // per-doc gram-set projection runs — the grams of the rest of the
+    // corpus are never built. needIds is exploded straight off the
+    // checkpointed agg (no observe: metrics must fire once, on the
+    // candidates branch); no distinct — the semi-join hash build dedups,
+    // and dropping it saves a shuffle.
+    def needIds = bucketsAgg.filter(keep)
+      .select(explode(col("ids")).as("__cid"))
+    def prefilter(side: DataFrame): DataFrame =
+      side.join(needIds, side(idCol).cast("long") === col("__cid"),
+        "leftsemi")
+    verifyJaccardSides(prefilter(docs), prefilter(docs), idCol, textCol,
+      candidates, threshold)
   }
 
   /** Exact word-shingle Jaccard for the candidate pairs only. The pair
