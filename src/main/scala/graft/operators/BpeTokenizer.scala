@@ -53,11 +53,16 @@ object BpeTokenizer {
   val EndOfWord = "</w>"
 
   /** (word, cnt) from one tokenize pass — distinct-word-sized. */
-  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame = {
+    // native tokenizer kernel — bit-identical to the interpreted
+    // filter(split(trim)) HOF form (NativeKernelParitySpec)
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
     docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(explode(graft.expressions.TextHashExprs
+        .ngramsNative(col(textCol), 1)).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Code-point lexicographic ordering — identical to UTF-8 unsigned
     * byte order (Spark's and DuckDB's string collation) on every
@@ -337,8 +342,13 @@ object BpeTokenizer {
       }
       def apply(word: String): Array[String] = encodeWord(word, m)
     })
+    // native tokenizer kernel (bit-identical to the HOF form —
+    // NativeKernelParitySpec); the UDF still runs only over the
+    // DISTINCT-word table
+    graft.expressions.TextHashExprs.register(spark)
     docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(explode(graft.expressions.TextHashExprs
+        .ngramsNative(col(textCol), 1)).as("word"))
       .distinct()
       .select(col("word"), encode(col("word")).as("syms"))
   }
@@ -357,11 +367,14 @@ object BpeTokenizer {
     TopK.requireIntegral(docs, idCol, "applyBpeMerges")
     val table = encodeWordTable(docs, textCol, merges)
       .select(TextFunctions.md5Hash60(col("word")).as("wh"), col("syms"))
+    // corpus tokens arrive pre-hashed from the native kernel — the
+    // token strings never enter the corpus-side pipeline (the join key
+    // is the same 60-bit md5 the SQL chain computed, parity-pinned)
     docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))))
-      .select(col("id"), col("pos"),
-        TextFunctions.md5Hash60(col("col")).as("wh"))
+        posexplode(graft.expressions.TextHashExprs
+          .ngramHashes(col(textCol), 1, distinct = false)))
+      .select(col("id"), col("pos"), col("col").as("wh"))
       .join(table, Seq("wh"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"),

@@ -139,8 +139,13 @@ object UnigramTokenizer {
       def apply(word: String): (Array[String], Long) =
         encodeWord(word, v, maxLen, buk)
     })
+    // native tokenizer/hash kernels on the corpus side (bit-identical
+    // to the HOF tokens + SQL md5 chain — NativeKernelParitySpec); the
+    // Viterbi UDF still runs only over the distinct-word table
+    graft.expressions.TextHashExprs.register(spark)
     val table = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(explode(graft.expressions.TextHashExprs
+        .ngramsNative(col(textCol), 1)).as("word"))
       .distinct()
       .select(TextFunctions.md5Hash60(col("word")).as("wh"),
         enc(col("word")).as("__e"))
@@ -148,9 +153,9 @@ object UnigramTokenizer {
         col("__e._2").as("wcost"))
     docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))))
-      .select(col("id"), col("pos"),
-        TextFunctions.md5Hash60(col("col")).as("wh"))
+        posexplode(graft.expressions.TextHashExprs
+          .ngramHashes(col(textCol), 1, distinct = false)))
+      .select(col("id"), col("pos"), col("col").as("wh"))
       .join(table, Seq("wh"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"),

@@ -77,16 +77,22 @@ object WordPieceTokenizer {
       }
       def apply(word: String): Array[String] = encodeWord(word, v, bunk)
     })
+    // corpus-side tokens + hashes come from the native kernels (one
+    // codegen loop per row; bit-identical to the HOF tokens + SQL
+    // md5-hex chain — NativeKernelParitySpec); the distinct-word table
+    // keeps the SQL md5Hash60 — it runs once per VOCABULARY word
+    graft.expressions.TextHashExprs.register(spark)
     val table = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(explode(graft.expressions.TextHashExprs
+        .ngramsNative(col(textCol), 1)).as("word"))
       .distinct()
       .select(TextFunctions.md5Hash60(col("word")).as("wh"),
         enc(col("word")).as("pieces"))
     docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))))
-      .select(col("id"), col("pos"),
-        TextFunctions.md5Hash60(col("col")).as("wh"))
+        posexplode(graft.expressions.TextHashExprs
+          .ngramHashes(col(textCol), 1, distinct = false)))
+      .select(col("id"), col("pos"), col("col").as("wh"))
       .join(table, Seq("wh"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"),
