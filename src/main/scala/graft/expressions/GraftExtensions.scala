@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "process_geometry_native"),
       exprs => ProcessGeometryExpr(exprs(0), exprs(1))))
     TextHashExprs.injectInto(ext)
+    TextQualityExprs.injectInto(ext)
     VectorHashExprs.injectInto(ext)
     AudioExprs.injectInto(ext)
   }

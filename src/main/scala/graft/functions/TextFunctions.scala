@@ -19,7 +19,16 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count via the native tokenizer kernel (one codegen loop —
+    * the HOF form above is interpreted per row); null → null like
+    * size(tokens(null)), empty → 0. Parity-pinned.
+    */
+  def tokenCount(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.expressions.TextHashExprs.register)
+    size(graft.expressions.TextHashExprs.ngramsNative(text, 1))
+  }
 
   /** BPE-ish subword token count: a GPT-2-style pre-tokenizer regex —
     * common contractions, space-prefixed letter runs, digit runs,
@@ -86,8 +95,28 @@ object TextFunctions {
   /** Composite quality score in [0,1]: long-enough, low punctuation,
     * some-but-not-all stopwords. A deterministic arithmetic combination —
     * the contract is this formula, not a model.
+    *
+    * Computed by the native one-pass kernel
+    * ([[graft.expressions.QualityScoreExpr]]); [[qualityScoreSql]] is
+    * the replication recipe. Bit-identical, same IEEE op order —
+    * parity-pinned incl. the null path (`least` skips the null
+    * lenScore operand and both ratio `when`s fall to 0.0, so
+    * qualityScore(null) is the constant below).
     */
   def qualityScore(text: Column): Column = {
+    graft.expressions.TextQualityExprs.registerOnLiveSession()
+    val nullScore = {
+      val swScore = 1.0 - math.abs(0.0 - 0.15)
+      1.0 * 0.4 + 1.0 * 0.3 + swScore * 0.3
+    }
+    when(text.isNull, lit(nullScore)).otherwise(
+      graft.expressions.TextQualityExprs.qualityScoreNative(text))
+  }
+
+  /** The SQL-tree form of [[qualityScore]] — the engine-independent
+    * replication recipe and the parity-spec reference.
+    */
+  private[graft] def qualityScoreSql(text: Column): Column = {
     val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
     val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
     val swr = stopwordRatio(text)
@@ -281,8 +310,26 @@ object TextFunctions {
     * {en, es, de, fr, zh}: CJK characters → zh; otherwise score marker
     * words and characteristic letters per language. Deterministic; the
     * contract is the heuristic, not a trained model.
+    *
+    * Computed by the native single-pass kernel
+    * ([[graft.expressions.LangIdExpr]]) — the SQL tree below
+    * ([[langIdSql]], the replication recipe) is 4 interpreted
+    * tokenize+filter HOF passes plus 4 regex scans per row, measured
+    * as a dominant cost of the curate gate. Values are bit-identical
+    * (parity-pinned incl. the null → "en" path: the SQL argmax
+    * comparator returns `otherwise(0)` on null scores, so the
+    * en-first priority order survives).
     */
   def langId(text: Column): Column = {
+    graft.expressions.TextQualityExprs.registerOnLiveSession()
+    coalesce(
+      graft.expressions.TextQualityExprs.langIdNative(text), lit("en"))
+  }
+
+  /** The SQL-tree form of [[langId]] — kept as the engine-independent
+    * replication recipe and the parity-spec reference.
+    */
+  private[graft] def langIdSql(text: Column): Column = {
     val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
     def wordScore(words: Seq[String]): Column =
       size(filter(tokens(lower(text)), t => t.isin(words.map(x => x: Any): _*)))

@@ -187,6 +187,38 @@ class NativeKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.ngramJaccard(col("ta"), col("tb")), "ngramJaccard")
   }
 
+  /** Language/quality edge rows: marker-word dominance per language,
+    * accent-only tie breaks, exact ties (priority order), zh override,
+    * case folding, stopword/punct extremes.
+    */
+  private def langEdgeDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      null, "", " ", "the and of is with everything english",
+      "el la los las es y de con", "der die das und ist mit",
+      "le les est et avec des", "la la la", // la scores es AND fr — tie
+      "ñ", "¿que? ¡si!", "äöü ß", "é è ê à ç œ",
+      "中文 the and of", "text 字", "THE AND OF IS WITH",
+      "Der Die Das Und IST MIT", "punct!!! ### ... … only",
+      "the a an and of to in is", // all stopwords
+      "1234 5678 @@@@ ////", "mixed la der le the und est con",
+      "a" * 250 + " the") // long token, len>100 path
+      .toDF("t")
+  }
+
+  test("langId / qualityScore / tokenCount kernels match the SQL forms") {
+    for ((df, tag) <- Seq((edgeDf, "edge"), (langEdgeDf, "lang"),
+        (docsDf, "docs"))) {
+      assertParity(df, TextFunctions.langId(col("t")),
+        TextFunctions.langIdSql(col("t")), s"langId $tag")
+      assertParity(df, TextFunctions.qualityScore(col("t")),
+        TextFunctions.qualityScoreSql(col("t")), s"qualityScore $tag")
+      assertParity(df, TextFunctions.tokenCount(col("t")),
+        size(filter(split(trim(col("t")), "\\s+"),
+          x => length(x) > 0)), s"tokenCount $tag")
+    }
+  }
+
   test("SQL surface accepts an untyped NULL (implicit cast, like builtins)") {
     val r = spark.sql(
       """SELECT simhash64_native(NULL) AS sh,
