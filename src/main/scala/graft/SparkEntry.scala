@@ -4179,10 +4179,15 @@ object SparkEntry {
           concat(warcinfo, aggregate(col("rs"),
             lit(Array.empty[Byte]),
             (acc, x) => concat(acc, x("r")))).as("content"))
+      // materialized ONCE: html feeds BOTH extractText and the metadata
+      // join below — without the checkpoint each branch re-runs the
+      // archive build + the full WARC parse (measured as the two ~0.6 s
+      // twin stages of this query at sf0.1)
       val html = graft.sources.WarcSource
         .htmlResponses(graft.sources.WarcSource.expand(archives))
         .toDF()
         .withColumn("doc_id", substring_index(col("url"), "/", -1).cast("long"))
+        .localCheckpoint(true)
       HtmlExtract.extractText(html, "doc_id", "html")
         .join(html.select(col("doc_id").as("id"), col("url"),
           col("http_status"), col("warc_date")), "id")
