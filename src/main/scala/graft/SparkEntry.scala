@@ -168,14 +168,15 @@ object SparkEntry {
     * already materialized).
     */
   private def syntheticLumaGrids(docs: DataFrame): DataFrame = {
-    val base = (col("doc_id") % 64).cast("long")
-    val grid = transform(sequence(lit(0), lit(7)), y =>
-      transform(sequence(lit(0), lit(8)), x =>
-        pmod(base * lit(2654435761L) + y.cast("long") * lit(131L) +
-          x.cast("long") * lit(17L) +
-          when(col("doc_id") >= 250 && y === 0 && x === 0, 50L)
-            .otherwise(0L), lit(256L)).cast("int")))
-    docs.select(col("doc_id").as("id"), grid.as("grid"))
+    // native fixture kernel — the transform(sequence) lambda chain it
+    // replaces built 72 cells through interpreted lambdas per row
+    // (the same fixture-cost pattern the PCM kernels removed); values
+    // bit-identical: cell(y,x) = pmod(base·2654435761 + y·131 + x·17
+    // + (id≥250 ∧ y=x=0 ? 50 : 0), 256), base = id % 64
+    // (parity-pinned in NativeKernelParitySpec)
+    docs.select(col("doc_id").as("id"),
+      graft.expressions.ImageExprs.lumaGridNative(col("doc_id"))
+        .as("grid"))
       .localCheckpoint(true)
   }
 

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ProcessGeometryExpr(exprs(0), exprs(1))))
     TextHashExprs.injectInto(ext)
     TextQualityExprs.injectInto(ext)
+    ImageExprs.injectInto(ext)
     VectorHashExprs.injectInto(ext)
     AudioExprs.injectInto(ext)
   }

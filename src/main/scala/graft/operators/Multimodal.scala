@@ -1389,6 +1389,16 @@ object Multimodal {
     (floor(i / 8) + 1).cast("int")
 
   def dHash64(grid: Column): Column =
+    // native one-pass kernel — the SQL fold below (dHash64Sql, the
+    // replication recipe) runs 64 interpreted lambda steps with two
+    // boxed nested element_at walks per bit; values bit-identical
+    // (parity-pinned incl. null grid → 0 and ragged grids)
+    graft.expressions.ImageExprs.dHash64Native(grid)
+
+  /** The SQL-fold form of [[dHash64]] — the engine-independent
+    * replication recipe and the parity-spec reference.
+    */
+  private[graft] def dHash64Sql(grid: Column): Column =
     aggregate(sequence(lit(0), lit(63)), lit(0L),
       (acc, i) => acc + when(
         element_at(element_at(grid, row(i)), (i % 8) + 1) >
@@ -1406,7 +1416,14 @@ object Multimodal {
     * step (64×64 element_at per row — measured 3× slower at sf0.1);
     * the lambda variable evaluates it exactly once per row.
     */
-  def aHash64(grid: Column): Column = {
+  def aHash64(grid: Column): Column =
+    // native one-pass kernel (see dHash64); aHash64Sql is the recipe
+    graft.expressions.ImageExprs.aHash64Native(grid)
+
+  /** The SQL-fold form of [[aHash64]] — the engine-independent
+    * replication recipe and the parity-spec reference.
+    */
+  private[graft] def aHash64Sql(grid: Column): Column = {
     val total = aggregate(sequence(lit(0), lit(63)), lit(0L),
       (acc, i) => acc + element_at(
         element_at(grid, row(i)), (i % 8) + 1).cast("long"))

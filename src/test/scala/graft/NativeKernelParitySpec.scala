@@ -219,6 +219,62 @@ class NativeKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("image kernels match the SQL folds (grid fixture, hashes, edges)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    graft.expressions.ImageExprs.register(spark)
+    // the HOF fixture exactly as SparkEntry.syntheticLumaGrids built it
+    def hofGrid(idc: Column): Column = {
+      val base = (idc % 64).cast("long")
+      transform(sequence(lit(0), lit(7)), y =>
+        transform(sequence(lit(0), lit(8)), x =>
+          pmod(base * lit(2654435761L) + y.cast("long") * lit(131L) +
+            x.cast("long") * lit(17L) +
+            when(idc >= 250 && y === 0 && x === 0, 50L)
+              .otherwise(0L), lit(256L)).cast("int")))
+    }
+    val ids = ((0L to 70L) ++ (245L to 260L) ++ Seq(100000L, 100019L))
+      .toDF("id")
+    assertParity(ids,
+      graft.expressions.ImageExprs.lumaGridNative(col("id")),
+      hofGrid(col("id")), "lumaGrid")
+    // hashes over the fixture grids (both eval paths: the fixture is
+    // a projection, so this exercises codegen)
+    val grids = ids.select(col("id"),
+      graft.expressions.ImageExprs.lumaGridNative(col("id")).as("grid"))
+    assertParity(grids, Multimodal.dHash64(col("grid")),
+      Multimodal.dHash64Sql(col("grid")), "dHash64 fixture")
+    assertParity(grids, Multimodal.aHash64(col("grid")),
+      Multimodal.aHash64Sql(col("grid")), "aHash64 fixture")
+    // parity on every shape the SQL folds accept: null grid (null-safe
+    // element_at → bit contributions 0), exact 8×9, and larger grids.
+    // Short/ragged grids are NOT comparable — under ANSI mode the SQL
+    // fold's element_at THROWS on out-of-bounds, so no oracle-checked
+    // result can depend on them; the kernel's total (never-throw)
+    // behavior there is pinned separately below.
+    val sqlSafe: Seq[Seq[Seq[Int]]] = Seq(
+      null,
+      Seq.fill(8)(Seq.fill(9)(7)),
+      Seq.fill(10)(Seq.fill(12)(13)),
+      Seq.tabulate(8)(y => Seq.tabulate(9)(x => y * 31 + x * 17)))
+    val rdf = sqlSafe.toDF("grid")
+    assertParity(rdf, Multimodal.dHash64(col("grid")),
+      Multimodal.dHash64Sql(col("grid")), "dHash64 shapes")
+    assertParity(rdf, Multimodal.aHash64(col("grid")),
+      Multimodal.aHash64Sql(col("grid")), "aHash64 shapes")
+    // kernel-only: short/ragged grids hash total (no throw) — missing
+    // cells contribute no dHash bits and zero the aHash total
+    val ragged = Seq[Seq[Seq[Int]]](Seq.empty, Seq(Seq(1, 2, 3)),
+      Seq.fill(8)(Seq.fill(4)(200)), Seq.fill(3)(Seq.fill(9)(255)))
+      .toDF("grid")
+      .select(Multimodal.dHash64(col("grid")).as("d"),
+        Multimodal.aHash64(col("grid")).as("a"))
+      .collect()
+    ragged.foreach { r =>
+      assert(r.getLong(0) == 0L && r.getLong(1) == 0L, r.toString)
+    }
+  }
+
   test("SQL surface accepts an untyped NULL (implicit cast, like builtins)") {
     val r = spark.sql(
       """SELECT simhash64_native(NULL) AS sh,
