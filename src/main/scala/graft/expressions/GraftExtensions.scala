@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     TextHashExprs.injectInto(ext)
     TextQualityExprs.injectInto(ext)
     ImageExprs.injectInto(ext)
+    BytesExprs.injectInto(ext)
     VectorHashExprs.injectInto(ext)
     AudioExprs.injectInto(ext)
   }

@@ -275,6 +275,28 @@ class NativeKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concatBinaries matches the aggregate+concat fold") {
+    import spark.implicits._
+    graft.expressions.BytesExprs.register(spark)
+    val rows: Seq[Seq[Array[Byte]]] = Seq(
+      null, Seq.empty,
+      Seq(Array[Byte](1, 2, 3)),
+      Seq(Array[Byte](), Array[Byte](9), Array[Byte](0, -1, 127)),
+      Seq.tabulate(300)(i => Array.fill(i % 7)((i % 251).toByte)))
+    val df = rows.toDF("rs")
+    val got = df.select(
+      graft.expressions.BytesExprs.concatBinaries(col("rs")).as("native"),
+      aggregate(col("rs"), lit(Array.empty[Byte]),
+        (acc, x) => concat(acc, x)).as("hof")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val (n, h) = (r.get(0), r.get(1))
+      assert((n == null) == (h == null), s"row $i nullness: $n vs $h")
+      if (n != null)
+        assert(java.util.Arrays.equals(n.asInstanceOf[Array[Byte]],
+          h.asInstanceOf[Array[Byte]]), s"row $i bytes differ")
+    }
+  }
+
   test("SQL surface accepts an untyped NULL (implicit cast, like builtins)") {
     val r = spark.sql(
       """SELECT simhash64_native(NULL) AS sh,
