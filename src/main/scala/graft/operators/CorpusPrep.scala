@@ -101,26 +101,26 @@ object CorpusPrep {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(delta >= 0, s"delta must be >= 0, got $delta")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    // project the token array ONCE: element_at inside the index lambda
-    // over the raw tokenize expression re-runs the tokenizer per index
-    // (O(len^2) per doc — measured 50x on this operator's bench)
-    val tokd = docs.select(
-      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
-    val toks = col("__toks")
-    val uni = tokd.select(explode(toks).as("w"))
+    // native tokenizer/n-gram kernels (bit-identical to the HOF forms —
+    // NativeKernelParitySpec); the bigram pass takes the 2-gram STRINGS
+    // from the kernel and splits on the single interior space (tokens
+    // cannot contain whitespace, so the split is unambiguous) — fully
+    // codegen, no interpreted index lambda
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
+    val text = coalesce(col(textCol), lit(""))
+    val uni = docs
+      .select(explode(graft.expressions.TextHashExprs
+        .ngramsNative(text, 1)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     // one bounded driver read: the token total that scales the score
     val n = uni.agg(coalesce(sum(col("c")), lit(0L)))
       .collect()(0).getLong(0)
-    val bi = tokd
-      .select(explode(when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("b"))
-      .select(col("b.w1"), col("b.w2"))
+    val bi = docs
+      .select(explode(graft.expressions.TextHashExprs
+        .ngramsNative(text, 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
     bi

@@ -61,23 +61,50 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("minHashNearDupPairs: no cartesian, one bucket shuffle feeds pair expansion") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
-    // collect() (not count()) so THIS QueryExecution finalizes under AQE
-    pairs.collect()
-    val plan = pairs.queryExecution.executedPlan.toString
-    assert(!plan.contains("Cartesian"))
-    // candidate generation is groupBy(BoundedCollect) + double explode —
-    // no join on the bucket key (the old size-branch + self-join shape
-    // paid two extra shuffle stages per query), and the bounded
-    // aggregator (not a bare collect_list) keeps degenerate buckets
-    // from materializing
-    assert(plan.toLowerCase.contains("boundedcollect"),
-      s"bounded bucket collection missing — self-join shape or bare " +
-        s"collect_list crept back:\n$plan")
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(shuffles <= 4,
-      s"candidate generation should need ~2 keyed shuffles (buckets, " +
-        s"pair-distinct), saw $shuffles:\n$plan")
+    // the bucket aggregation runs in the eager checkpoint's OWN
+    // execution now — capture every executed plan to pin it
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+      // collect() (not count()) so THIS QueryExecution finalizes under AQE
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Cartesian"))
+      // verification sides are prefiltered to bucket-sharing docs
+      // before the gram projection (guide §3.2) — the semi-joins and
+      // the native gram projection must both be in the final plan
+      assert(plan.contains("LeftSemi"),
+        s"verify-side bucket prefilter missing:\n$plan")
+      assert(plan.contains("ngrams_native"),
+        s"native gram projection missing:\n$plan")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles <= 4,
+        s"candidate generation should need ~2 keyed shuffles (buckets, " +
+          s"pair-distinct), saw $shuffles:\n$plan")
+      // the checkpointed bucket aggregation (its own execution) still
+      // builds buckets via the BOUNDED aggregator, one keyed shuffle —
+      // not a bare collect_list; listener delivery is async, poll
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def hit: Boolean = plans.toArray.map(_.toString).exists(p =>
+        p.toLowerCase.contains("boundedcollect") &&
+          p.contains("minhash_sig_native"))
+      while (!hit && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(hit,
+        s"bounded bucket collection / native signature missing from " +
+          s"the checkpoint execution:\n${
+            plans.toArray.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("removeRepeatedLines / removeDupSpans: no shuffle keys on raw text") {
@@ -544,7 +571,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pins the WIRING — an operator quietly reverted to the interpreted
     // aggregate/zip_with fold would still pass correctness
     val expect = Seq(
-      "q_minhash_near_dup" -> "minhash_sig_native",
+      // q_minhash_near_dup's signature pass now runs inside the eager
+      // bucket checkpoint (its wiring is pinned in the bucket-shuffle
+      // test above); the final plan's kernel surface is the gram
+      // projection
+      "q_minhash_near_dup" -> "ngrams_native",
       "q_incremental_near_dedup" -> "minhash_sig_native",
       "q_dup_spans" -> "ngram_hashes_native",
       "q_simhash_near_dup" -> "simhash64_native",
