@@ -353,8 +353,11 @@ object SparkEntry {
     val idxPath = new org.apache.hadoop.fs.Path(
       sys.props("java.io.tmpdir"),
       s"graft_${tag}_${s.sparkContext.applicationId}").toString
+    // coalesce(1): 32 rows on local[32] otherwise write 32 one-row
+    // parquet files with 32 task commits (guide §6 small-files) — the
+    // index CONTENT is identical, the admission reads it back either way
     Audio.writeAudioNearDupIndex(
-      s.range(0, 32).select(col("id"),
+      s.range(0, 32).coalesce(1).select(col("id"),
         udf((c: Long) => Audio.wrapWav(jingleBytes(c), 0, 1040, 8000))
           .apply(col("id")).as("content")),
       "id", "content", idxPath)
