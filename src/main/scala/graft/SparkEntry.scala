@@ -2614,7 +2614,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val q = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+          array_join(slice(TextFunctions.tokensNative(col("text")), 1, 8), " ")
             .as("qtext"))
       Retrieval.bm25TopK(docs, q, "doc_id", "text", "query_id", "qtext",
         k = 5, rationalIdf = true)
@@ -2627,7 +2627,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val q = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+          array_join(slice(TextFunctions.tokensNative(col("text")), 1, 8), " ")
             .as("qtext"))
       Retrieval.bm25TopK(docs, q, "doc_id", "text", "query_id", "qtext",
         k = 5)
@@ -2641,7 +2641,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val q = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+          array_join(slice(TextFunctions.tokensNative(col("text")), 1, 8), " ")
             .as("qtext"))
       val lexical = Retrieval.bm25TopK(docs, q, "doc_id", "text",
         "query_id", "qtext", k = 10, rationalIdf = true)

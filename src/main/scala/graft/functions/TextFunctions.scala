@@ -15,9 +15,22 @@ object TextFunctions {
 
   /** Whitespace tokenization. Empty/blank text → empty array (split on a
     * blank string yields one empty token; filter it out so counts are 0).
+    * This HOF form is the engine-independent replication recipe and the
+    * parity reference; hot paths use [[tokensNative]].
     */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** [[tokens]] via the native one-pass kernel — bit-identical
+    * (NativeKernelParitySpec), registered on the live session like the
+    * other kernel Column helpers.
+    */
+  def tokensNative(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.expressions.TextHashExprs.register)
+    graft.expressions.TextHashExprs.ngramsNative(text, 1)
+  }
 
   /** Token count via the native tokenizer kernel (one codegen loop —
     * the HOF form above is interpreted per row); null → null like

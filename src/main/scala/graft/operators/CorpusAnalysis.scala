@@ -238,7 +238,7 @@ object CorpusAnalysis {
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopwordHits: Int = 2): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
-    val words = TextFunctions.tokens(text)
+    val words = TextFunctions.tokensNative(text)
     val nWords = size(words).cast("long")
     val meanLen = when(nWords > 0,
       aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
@@ -324,7 +324,7 @@ object CorpusAnalysis {
       val t = trim(l)
       (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
         t.endsWith("\"")) &&
-      size(TextFunctions.tokens(t)) >= minWordsPerLine &&
+      size(TextFunctions.tokensNative(t)) >= minWordsPerLine &&
       !lower(t).contains("javascript")
     })
     docs.select(col(idCol).cast("long").as("id"),
@@ -641,7 +641,7 @@ object CorpusAnalysis {
     */
   def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs
-      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("token"))
+      .select(explode_outer(TextFunctions.tokensNative(col(textCol))).as("token"))
       .filter(col("token").isNotNull)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
@@ -674,7 +674,7 @@ object CorpusAnalysis {
     */
   def corpusReport(docs: DataFrame, textCol: String): DataFrame = {
     val perDoc = docs.select(size(coalesce(
-      TextFunctions.tokens(col(textCol)),
+      TextFunctions.tokensNative(col(textCol)),
       array().cast("array<string>"))).cast("long").as("n"))
     val docStats = perDoc.agg(
       count(lit(1)).as("n_docs"),
@@ -684,7 +684,7 @@ object CorpusAnalysis {
       coalesce(min(col("n")), lit(0L)).as("min_doc_tokens"),
       coalesce(max(col("n")), lit(0L)).as("max_doc_tokens"))
     val vocab = docs
-      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(explode_outer(TextFunctions.tokensNative(col(textCol))).as("t"))
       .filter(col("t").isNotNull)
       .agg(count_distinct(col("t")).as("n_distinct_tokens"))
     docStats.crossJoin(vocab) // 1×1
@@ -704,7 +704,7 @@ object CorpusAnalysis {
     */
   def docLengthHistogram(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(size(coalesce(TextFunctions.tokens(col(textCol)),
+      .select(size(coalesce(TextFunctions.tokensNative(col(textCol)),
         array().cast("array<string>"))).cast("long").as("n"))
       .groupBy(when(col("n") === 0, lit(-1L))
         .otherwise((length(bin(col("n"))) - 1).cast("long")).as("bucket"))
@@ -736,7 +736,7 @@ object CorpusAnalysis {
       topK: Int = 10000): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     def counts(df: DataFrame): DataFrame = df
-      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("token"))
+      .select(explode_outer(TextFunctions.tokensNative(col(textCol))).as("token"))
       .filter(col("token").isNotNull)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
@@ -828,7 +828,7 @@ object CorpusAnalysis {
           .as("chunk_text"))))
     docs
       .select(col(idCol).cast("long").as("id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
+        TextFunctions.tokensNative(col(textCol)).as("__toks"))
       .select(col("id"), posexplode_outer(chunks))
       .filter(col("col").isNotNull)
       .select(col("id"), col("pos").cast("long").as("chunk_idx"),
@@ -898,7 +898,7 @@ object CorpusAnalysis {
       })
     docs
       .select(col(idCol).cast("long").as("id"),
-        coalesce(TextFunctions.tokens(col(textCol)),
+        coalesce(TextFunctions.tokensNative(col(textCol)),
           array().cast("array<string>")).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .withColumn("__bp", bp)
@@ -1508,7 +1508,7 @@ object CorpusAnalysis {
     base.join(cut, Seq("id"), "left")
       .select(col("id").as(idCol),
         array_join(
-          filter(coalesce(TextFunctions.tokens(col("__t0")),
+          filter(coalesce(TextFunctions.tokensNative(col("__t0")),
             array().cast("array<string>")),
             (_, i) => !coalesce(
               exists(col("__br"), r => r("rs") <= i && i < r("re")),
@@ -1557,7 +1557,7 @@ object CorpusAnalysis {
     base.join(bannedStarts, Seq("id"), "left")
       .select(col("id").as(idCol),
         array_join(
-          filter(coalesce(TextFunctions.tokens(col("__t0")),
+          filter(coalesce(TextFunctions.tokensNative(col("__t0")),
             array().cast("array<string>")),
             (_, i) => !coalesce(
               exists(col("__bw"), w => w <= i && i < w + n), lit(false))),
@@ -1621,7 +1621,7 @@ object CorpusAnalysis {
       vocabSize: Int = 10000): DataFrame = {
     val toksTbl = docs
       .select(col(idCol).cast("long").as("id"),
-        TextFunctions.tokens(col(textCol)).as("__t"))
+        TextFunctions.tokensNative(col(textCol)).as("__t"))
       .select(col("id"), explode_outer(col("__t")).as("tok"))
     val vocab = toksTbl
       .filter(col("tok").isNotNull)
@@ -1657,7 +1657,7 @@ object CorpusAnalysis {
     * vocabulary).
     */
   def bpePairs(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    val toks = TextFunctions.tokensNative(col(textCol))
     docs
       .select(toks.as("__t"))
       // explode_OUTER although the nulls are filtered right after: a

@@ -62,7 +62,7 @@ object CorpusPrep {
     }.reduce(_ + _)
     docs
       .select(col(idCol).as("id"),
-        transform(TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+        transform(TextFunctions.tokensNative(coalesce(col(textCol), lit(""))),
           t => lower(t)).as("__toks"))
       .select(col("id"), hits.as("bad_hits"))
       .withColumn("pass", col("bad_hits") === 0L)

@@ -49,20 +49,28 @@ object QualityClassifier {
     * [[LanguageModel.bigramLmScores]]). Narrow.
     */
   private def tokenRows(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String): DataFrame = {
+    // token hashes straight from the native kernel (bit-identical to
+    // the HOF tokens + md5-hex chain — NativeKernelParitySpec)
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
     docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))))
+        posexplode(graft.expressions.TextHashExprs
+          .ngramHashes(col(textCol), 1, distinct = false)))
       .select(col("id"), (col("pos") + 1).as("pos"),
-        TextFunctions.md5Hash60(col("col")).as("w_hash"))
+        col("col").as("w_hash"))
+  }
 
   /** Per-class unigram count table (w_hash, cnt). */
   private def classCounts(corpus: DataFrame, textCol: String,
-      cntName: String): DataFrame =
+      cntName: String): DataFrame = {
+    graft.expressions.TextHashExprs.register(corpus.sparkSession)
     corpus
-      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .groupBy(TextFunctions.md5Hash60(col("t")).as("w_hash"))
+      .select(explode(graft.expressions.TextHashExprs
+        .ngramHashes(col(textCol), 1, distinct = false)).as("w_hash"))
+      .groupBy(col("w_hash"))
       .agg(count(lit(1)).as(cntName))
+  }
 
   /** Score `docs` under an NB classifier trained on `positive` vs
     * `negative`. Returns (id, n_tokens, sum_ratio, avg_ratio,
@@ -79,11 +87,15 @@ object QualityClassifier {
     // N_pos, N_neg, V in one union-tagged pass — the single collect.
     // V is the DISTINCT-token count over BOTH classes (the shared
     // smoothing vocabulary); max(1) keeps empty training sets finite.
+    // token STRINGS here (countDistinct is over the shared vocabulary,
+    // not hashes) — still the native tokenizer
     val tagged = positive
-      .select(explode(TextFunctions.tokens(col(textCol))).as("t"),
+      .select(explode(graft.expressions.TextHashExprs
+        .ngramsNative(col(textCol), 1)).as("t"),
         lit(1).as("side"))
       .unionByName(negative
-        .select(explode(TextFunctions.tokens(col(textCol))).as("t"),
+        .select(explode(graft.expressions.TextHashExprs
+          .ngramsNative(col(textCol), 1)).as("t"),
           lit(0).as("side")))
     val nv = tagged
       .agg(sum(col("side")).cast("long"),

@@ -50,12 +50,14 @@ object Retrieval {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     TopK.requireIntegral(docs, idCol, "invertedIndex")
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
     docs
       .select(col(idCol).cast("long").as("id"),
         // explode_outer + null filter: a plain explode lets
         // InferFiltersFromGenerate duplicate the tokenize tree into a
         // pushed-down size() filter (the trap pinned in PlanShapeSpec)
-        explode_outer(TextFunctions.tokens(col(textCol))).as("term"))
+        explode_outer(graft.expressions.TextHashExprs
+          .ngramsNative(col(textCol), 1)).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("term"), col("id"))
       .agg(count(lit(1)).as("tf"))
@@ -87,11 +89,13 @@ object Retrieval {
   def tokensToIds(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, oovId: Int = 0): DataFrame = {
     TopK.requireIntegral(docs, idCol, "tokensToIds")
+    graft.expressions.TextHashExprs.register(docs.sparkSession)
     val v = broadcast(vocab.select(col("token").as("__tok"),
       col("token_id").cast("int").as("__tid")))
     docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode_outer(TextFunctions.tokens(col(textCol))))
+        posexplode_outer(graft.expressions.TextHashExprs
+          .ngramsNative(col(textCol), 1)))
       .toDF("id", "pos", "__tok")
       .join(v, Seq("__tok"), "left")
       .groupBy(col("id"))
@@ -209,10 +213,9 @@ object Retrieval {
     // its query-sized RESULT broadcasts against the corpus postings
     val qTerms = queries
       .select(col(queryIdCol).cast("long").as("query_id"),
-        explode_outer(array_distinct(
-          TextFunctions.tokens(col(queryTextCol)))).as("__tok"))
-      .filter(col("__tok").isNotNull)
-      .select(col("query_id"), TextFunctions.md5Hash60(col("__tok")).as("gh"))
+        explode_outer(graft.expressions.TextHashExprs
+          .ngramHashes(col(queryTextCol), 1, distinct = true)).as("gh"))
+      .filter(col("gh").isNotNull)
     val rational = (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val idf = if (rationalIdf) rational else log(lit(1.0) + rational)
     val qIdf = dfTbl.join(broadcast(qTerms), Seq("gh"))
