@@ -1191,7 +1191,11 @@ object Audio {
         }
         }
       }
-    }
+    }.asNondeterministic()
+    // asNondeterministic: value-deterministic, but callers filter
+    // isNotNull on the projected energies — predicate pushdown would
+    // substitute the UDF into the filter and decode every clip twice
+    // per row (guide §4.4). Results unchanged.
 
   /** FLAC STREAMINFO metadata: `fLaC` magic, then metadata blocks
     * (1-byte last-flag + type, 24-bit BE length) — STREAMINFO (type

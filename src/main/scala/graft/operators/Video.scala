@@ -980,7 +980,13 @@ object Video {
         .orElse(Gif.decodeLuma(0L, bytes, 65, maxFrameBytes))
         .orElse(Png.decodeAnimLuma(0L, bytes, 65, maxFrameBytes))
         .map(_.lumaSums)
-    }
+    }.asNondeterministic()
+    // asNondeterministic: deterministic in VALUE, but the callers
+    // filter isNotNull on the projected result — the optimizer pushes
+    // that filter below the projection by SUBSTITUTING the UDF into
+    // it, decoding every video TWICE per row (guide §4.4; the plan's
+    // twin `isnotnull(UDF(content))` Filter). The flag blocks the
+    // substitution; results are unchanged (oracle rows value-exact).
 
   /** Streaming video admission: admit a live video feed against a
     * STATIC [[writeVideoNearDupIndex]] artifact — the streaming twin
