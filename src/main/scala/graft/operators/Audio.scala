@@ -2059,7 +2059,8 @@ object Audio {
             }
           }.toSeq
       }
-    }
+    }.asNondeterministic() // block isNotNull pushdown re-running the
+    // segment decode per row (guide §4.4); value-deterministic
 
   /** STREAMING needle hunt: match a live clip feed against a STATIC
     * jingle index ([[writeAudioNearDupIndex]]) — the streaming twin

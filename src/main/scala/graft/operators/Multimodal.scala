@@ -1655,7 +1655,9 @@ object Multimodal {
   private lazy val lumaGridUdf =
     udf { (bytes: Array[Byte]) =>
       readImage(bytes).map(bi => boxSampleLuma(bi, 9, 8))
-    }
+    }.asNondeterministic()
+    // asNondeterministic: blocks the isNotNull-filter pushdown that
+    // would substitute (and re-run) the decode per row (guide §4.4)
 
   /** Streaming image admission: admit a live image feed against a
     * STATIC [[writeImageNearDupIndex]] artifact — the streaming twin

@@ -909,7 +909,8 @@ object Video {
             (s, start, sig)
           }
         })
-    }
+    }.asNondeterministic() // block isNotNull pushdown re-running the
+    // segment decode per row (guide §4.4); value-deterministic
     val streamCols = stream.columns.toSeq
     val exploded = stream
       .withWatermark(tsCol, lateness)
@@ -950,7 +951,8 @@ object Video {
     require(maxAudioBytes > 0, "maxAudioBytes must be positive")
     val trackUdf = udf { (bytes: Array[Byte]) =>
       anyAudioTrackWav(bytes, maxAudioBytes).map(_._5)
-    }
+    }.asNondeterministic() // block isNotNull pushdown re-running the
+    // track extraction per row (guide §4.4); value-deterministic
     val withWav = stream
       .withColumn("__wav", trackUdf(col(binCol)))
       .filter(col("__wav").isNotNull)
