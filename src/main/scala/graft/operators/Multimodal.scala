@@ -123,7 +123,10 @@ object Multimodal {
     None
   }
 
-  private val jpegDimsUdf = udf((b: Array[Byte]) => jpegDims(b))
+  // asNondeterministic: blocks the parsed/isNotNull filter pushdown
+  // that would substitute (and re-run) the parse per row (guide 4.4)
+  private val jpegDimsUdf =
+    udf((b: Array[Byte]) => jpegDims(b)).asNondeterministic()
 
   def jpegDimensions(c: Column): Column =
     jpegDimsUdf(c).cast("struct<width:bigint,height:bigint>")
@@ -194,7 +197,10 @@ object Multimodal {
     }
   }
 
-  private val webpInfoUdf = udf((b: Array[Byte]) => webpInfo(b))
+  // asNondeterministic: blocks the parsed/isNotNull filter pushdown
+  // that would substitute (and re-run) the parse per row (guide 4.4)
+  private val webpInfoUdf =
+    udf((b: Array[Byte]) => webpInfo(b)).asNondeterministic()
 
   // ---- TIFF header walk (metadata only) -------------------------------
 
@@ -247,7 +253,10 @@ object Multimodal {
     if (w <= 0 || h <= 0) None else Some((little, w, h, n))
   }
 
-  private val tiffInfoUdf = udf((b: Array[Byte]) => tiffInfo(b))
+  // asNondeterministic: blocks the parsed/isNotNull filter pushdown
+  // that would substitute (and re-run) the parse per row (guide 4.4)
+  private val tiffInfoUdf =
+    udf((b: Array[Byte]) => tiffInfo(b)).asNondeterministic()
 
   /** Metadata projection over a TIFF-bearing DataFrame: id + byte
     * order, dimensions, IFD entry count, `parsed`.
