@@ -50,6 +50,13 @@ object BytesKernels {
 case class BinaryConcatExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "concat_binaries_native"
   override def dataType: DataType = BinaryType
+  // The kernel yields null for a null ELEMENT even when the array
+  // itself is non-nullable; without this override nullable follows
+  // child.nullable, and over a non-nullable child (collect_list)
+  // nullSafeCodeGen emits `false = ...` for the resultCode's isNull
+  // assignment — a Janino compile failure and a silent interpreted
+  // fallback for the whole WholeStageCodegen subtree.
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(BinaryType, _) => TypeCheckResult.TypeCheckSuccess

@@ -297,6 +297,35 @@ class NativeKernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concatBinaries codegen compiles over a non-nullable child") {
+    // collect_list's output is non-nullable in Catalyst; before the
+    // nullable override BinaryConcatExpr's generated resultCode
+    // assigned ev.isNull — the literal `false` — and Janino refused
+    // the method, silently running the subtree interpreted.
+    // fallback=false makes any such compile failure loud.
+    import spark.implicits._
+    graft.expressions.BytesExprs.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((1L, Array[Byte](1, 2)), (1L, Array[Byte](3)),
+        (2L, Array[Byte]())).toDF("id", "b")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(col("b"))).as("rs"))
+        .select(col("id"),
+          graft.expressions.BytesExprs.concatBinaries(col("rs")).as("c"))
+      val got = df.collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("c").toSeq).toMap
+      assert(got(1L) == Seq[Byte](1, 2, 3), got.toString)
+      assert(got(2L) == Seq.empty[Byte], got.toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("SQL surface accepts an untyped NULL (implicit cast, like builtins)") {
     val r = spark.sql(
       """SELECT simhash64_native(NULL) AS sh,
