@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     BytesExprs.injectInto(ext)
     VectorHashExprs.injectInto(ext)
     AudioExprs.injectInto(ext)
+    BarrierExprs.injectInto(ext)
   }
 }

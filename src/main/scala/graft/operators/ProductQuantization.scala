@@ -146,13 +146,18 @@ object ProductQuantization {
   private def codesCol(v: org.apache.spark.sql.Column,
       cb: Codebook): org.apache.spark.sql.Column = {
     val (m, _, sd) = checkCodebook(cb)
-    when(size(v) === m * sd,
-      array((0 until m).map { s =>
-        element_at(Similarity.nearestCentroids(
-          cb(s).zipWithIndex.map { case (c, i) => (i, c) },
-          slice(v, s * sd + 1, sd), 1), 1)("cid")
-      }: _*))
-      .otherwise(lit(null).cast("array<int>"))
+    // evalOnce: consumers filter on codes (null / null-element rows
+    // drop out of scoring); without the barrier, pushdown substitutes
+    // ALL m kernel calls into the pushed filter and every corpus row
+    // pays the encode twice (guide §4.4, expression form)
+    graft.expressions.BarrierExprs.evalOnce(
+      when(size(v) === m * sd,
+        array((0 until m).map { s =>
+          element_at(Similarity.nearestCentroids(
+            cb(s).zipWithIndex.map { case (c, i) => (i, c) },
+            slice(v, s * sd + 1, sd), 1), 1)("cid")
+        }: _*))
+        .otherwise(lit(null).cast("array<int>")))
   }
 
   /** ADC top-k: for each query row the `k` encoded corpus rows with
@@ -221,7 +226,11 @@ object ProductQuantization {
       .select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .select(col("neighbor_id"),
-        element_at(Similarity.nearestCentroids(cents, col("v"), 1), 1)("cid")
+        // evalOnce: the equi-join on cid infers isnotnull(cid); the
+        // barrier keeps that inferred filter from re-running the
+        // coarse-assignment kernel below this projection
+        graft.expressions.BarrierExprs.evalOnce(
+          element_at(Similarity.nearestCentroids(cents, col("v"), 1), 1)("cid"))
           .as("cid"),
         codesCol(col("v"), cb).as("codes"))
       .filter(col("cid").isNotNull && col("codes").isNotNull &&

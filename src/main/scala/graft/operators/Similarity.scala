@@ -598,8 +598,13 @@ object Similarity {
     val grouped = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(c)
       .select(col("id"), col("v"), col("cid"),
-        graft.expressions.VectorHashExprs.sqDistNative(col("v"), col("cv"))
-          .as("__d"))
+        // evalOnce: the null-distance filter below would otherwise be
+        // pushed under this projection with the distance expression
+        // substituted in — the doc×centroid distance matrix computed
+        // twice (guide §4.4, expression form)
+        graft.expressions.BarrierExprs.evalOnce(
+          graft.expressions.VectorHashExprs.sqDistNative(
+            col("v"), col("cv"))).as("__d"))
       .filter(col("__d").isNotNull)
       .groupBy(col("id"))
     // keepVec rides the doc's vector through the same aggregation
@@ -635,7 +640,11 @@ object Similarity {
       Similarity.nearestCentroids(cents, vec, n)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cid", element_at(nearestCentroids(col("cv"), 1), 1)("cid"))
+      // evalOnce: the equi-join on cid infers isnotnull(cid), and
+      // pushdown would substitute the whole assignment kernel into
+      // that filter — every corpus row assigned twice (guide §4.4)
+      .withColumn("cid", graft.expressions.BarrierExprs.evalOnce(
+        element_at(nearestCentroids(col("cv"), 1), 1)("cid")))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .withColumn("probe", explode(nearestCentroids(col("qv"), nprobe)))

@@ -845,4 +845,40 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(l => l.contains("Exchange hashpartitioning"))
     assert(keyed == 1, s"expected one keyed shuffle:\n$cPlan")
   }
+
+  test("vector kernels evaluate once: no Filter recomputes a projected " +
+      "centroid/distance kernel (eval_once barrier holds)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // Before the EvalOnceExpr barrier, pushdown substituted the full
+    // codes/assignment kernel into the pushed isnotnull filter — every
+    // corpus row paid the PQ encode / coarse assignment twice
+    // (plans/r21/q_pq_int_before.txt). Pin: no Filter condition may
+    // contain a centroid or distance kernel call.
+    def kernelInFilter(name: String): Seq[LFilter] =
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case f: LFilter if f.condition.exists(e =>
+            e.isInstanceOf[graft.expressions.NearestCentroidsExpr] ||
+              e.isInstanceOf[graft.expressions.SqDistExpr]) => f
+        }
+    for (name <- Seq("q_pq_int", "q_ivfpq_int", "q_knn_ivf_int",
+        "q_recall_ivf_int"))
+      assert(kernelInFilter(name).isEmpty,
+        s"$name: centroid/distance kernel duplicated into a Filter")
+    // assignCentroidsJoin (library surface, spec-pinned parity): one
+    // sq_dist eval per (doc, centroid) — the null-distance filter sits
+    // ABOVE the projection, not substituted below it
+    import spark.implicits._
+    val docs = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(3.0, 4.0)))
+      .toDF("id", "v")
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(5.0, 5.0)))
+      .toDF("cid", "cv")
+    val assigned = Similarity.assignCentroidsJoin(docs, "id", "v", cents)
+    val offending = assigned.queryExecution.optimizedPlan.collect {
+      case f: LFilter if f.condition.exists(
+        _.isInstanceOf[graft.expressions.SqDistExpr]) => f
+    }
+    assert(offending.isEmpty,
+      s"assignCentroidsJoin: sq_dist duplicated into a Filter:\n$offending")
+  }
 }
